@@ -1,0 +1,444 @@
+"""Constraint-plan compiler: TableSchema -> fused vectorized batch kernels.
+
+The analogue of the reference's ``Build()`` step (goskema
+``dsl/object_builder.go:178-201``) and its planned compiled engine
+(``dsl/irconv/irconv.go`` -> ``internal/gen/render.go``, SURVEY §2.11
+X10): compile the declarative schema ONCE into a list of closures
+``fn(pa.Table) -> pa.Table`` (violation rows), each built purely from
+``pyarrow.compute`` kernels — no Python row loops anywhere.  The
+compiled plan lives inside each :class:`BatchValidator` actor
+(``__init__`` compiles; ``__call__`` runs per batch), so regex
+compilation, enum value-set construction and constant params strings
+are amortized across every batch an actor sees.
+
+Phase order mirrors the reference pipeline (``parse.go:13-42``,
+``dsl/object_core.go:171-196``): type reconcile/coerce -> defaults ->
+unknown-column policy -> per-column checks -> cross-field refinements.
+Determinism does NOT depend on evaluation order: the final violations
+sort (issues.sort_violations) is a total order.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .issues import (
+    AGGREGATE_VIOLATION, INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, OVERFLOW,
+    PATTERN, REQUIRED, TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL, TRUNCATED,
+    UNKNOWN_KEY, canon_params, column_path, empty_violations,
+    schema_level_violation, violations_from_mask, violations_schema,
+)
+from .schema import (
+    ByteBounds, Column, CrossFieldRule, DriftRule, Enum, LenBounds, NonNull,
+    Range, Regex, TableSchema, TsFormat, Unknown,
+)
+
+CheckFn = Callable[[pa.Table], pa.Table]
+
+
+# ---------------------------------------------------------------------------
+# Declarative boolean expressions (CrossFieldRule.when/expect) -> masks.
+# Vocabulary: {"op": ..., "col": ..., "value"/"values"/"pattern": ...} and
+# combinators {"op": "and"/"or"/"not", "args": [...]}.  The reference
+# analogue is rules.If/IfAll/IfAny + Eq/Ne/Lt/... (rules/rules.go:14-76).
+# ---------------------------------------------------------------------------
+
+_CMP = {"eq": pc.equal, "ne": pc.not_equal, "lt": pc.less, "le": pc.less_equal,
+        "gt": pc.greater, "ge": pc.greater_equal}
+
+
+def compile_expr(expr: Mapping[str, Any]) -> Callable[[pa.Table], pa.ChunkedArray]:
+    op = expr["op"]
+    if op in _CMP:
+        col, value, kernel = expr["col"], expr["value"], _CMP[op]
+        other = expr.get("other_col")
+        if other is not None:
+            return lambda t: kernel(t[col], t[other])
+        return lambda t: kernel(t[col], value)
+    if op == "is_null":
+        col = expr["col"]
+        return lambda t: pc.is_null(t[col])
+    if op == "not_null":
+        col = expr["col"]
+        return lambda t: pc.is_valid(t[col])
+    if op == "in":
+        col, values = expr["col"], expr["values"]
+        vs = pa.array(list(values))
+        return lambda t: pc.is_in(t[col], value_set=vs)
+    if op == "regex":
+        col, pat = expr["col"], f"^(?:{expr['pattern']})$"
+        return lambda t: pc.match_substring_regex(t[col], pat)
+    if op == "and":
+        fns = [compile_expr(a) for a in expr["args"]]
+        def _and(t, fns=fns):
+            m = fns[0](t)
+            for f in fns[1:]:
+                m = pc.and_kleene(m, f(t))
+            return m
+        return _and
+    if op == "or":
+        fns = [compile_expr(a) for a in expr["args"]]
+        def _or(t, fns=fns):
+            m = fns[0](t)
+            for f in fns[1:]:
+                m = pc.or_kleene(m, f(t))
+            return m
+        return _or
+    if op == "not":
+        f = compile_expr(expr["args"][0])
+        return lambda t: pc.invert(f(t))
+    raise ValueError(f"unknown expr op: {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# Per-column constraint compilers.  Each returns fn(batch)->violations.
+# Null cells are skipped by value checks (NonNull owns nulls), matching
+# the reference where type/format checks run on present values only.
+# ---------------------------------------------------------------------------
+
+def _compile_constraint(col: Column, c, key_cols: Sequence[str]) -> CheckFn:
+    path = column_path(col.name)
+    name = col.name
+
+    if isinstance(c, NonNull):
+        params = canon_params({"column": name})
+        def check(t: pa.Table) -> pa.Table:
+            return violations_from_mask(
+                t, pc.is_null(t[name]), key_cols, path, REQUIRED, c.rule,
+                "value is required", params)
+        return check
+
+    if isinstance(c, Regex):
+        pat = f"^(?:{c.pattern})$"
+        params = canon_params({"pattern": c.pattern})
+        def check(t: pa.Table) -> pa.Table:
+            m = pc.invert(pc.match_substring_regex(t[name], pat))
+            return violations_from_mask(
+                t, m, key_cols, path, PATTERN, c.rule,
+                "value does not match pattern", params)
+        return check
+
+    if isinstance(c, Enum):
+        vs = pa.array(list(c.values))
+        params = canon_params({"values": list(c.values)})
+        def check(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.invert(pc.is_in(t[name], value_set=vs)),
+                        pc.is_valid(t[name]))
+            return violations_from_mask(
+                t, m, key_cols, path, INVALID_ENUM, c.rule,
+                "value not in enum", params)
+        return check
+
+    if isinstance(c, LenBounds):
+        lo, hi = c.min_len, c.max_len
+        plo = canon_params({"min_len": lo})
+        phi = canon_params({"max_len": hi})
+        def check(t: pa.Table) -> pa.Table:
+            ln = pc.utf8_length(t[name])
+            out = []
+            if lo is not None:
+                out.append(violations_from_mask(
+                    t, pc.less(ln, lo), key_cols, path, TOO_SHORT, c.rule,
+                    "too short", plo))
+            if hi is not None:
+                out.append(violations_from_mask(
+                    t, pc.greater(ln, hi), key_cols, path, TOO_LONG, c.rule,
+                    "too long", phi))
+            return pa.concat_tables(out) if out else empty_violations(
+                [t.schema.field(k) for k in key_cols])
+        return check
+
+    if isinstance(c, ByteBounds):
+        lo, hi = c.min_bytes, c.max_bytes
+        plo = canon_params({"min_bytes": lo})
+        phi = canon_params({"max_bytes": hi})
+        def check(t: pa.Table) -> pa.Table:
+            ln = pc.binary_length(t[name])
+            out = []
+            if lo is not None:
+                out.append(violations_from_mask(
+                    t, pc.less(ln, lo), key_cols, path, TOO_SHORT, c.rule,
+                    "below byte bound", plo))
+            if hi is not None:
+                # over the DoS byte cap => truncated (reference MaxBytes
+                # semantics, parse.go:155-167)
+                out.append(violations_from_mask(
+                    t, pc.greater(ln, hi), key_cols, path, TRUNCATED, c.rule,
+                    "exceeds byte bound", phi))
+            return pa.concat_tables(out) if out else empty_violations(
+                [t.schema.field(k) for k in key_cols])
+        return check
+
+    if isinstance(c, Range):
+        lo, hi = c.min, c.max
+        lo_kernel = pc.less_equal if c.exclusive_min else pc.less
+        hi_kernel = pc.greater_equal if c.exclusive_max else pc.greater
+        plo = canon_params({"min": lo, "exclusive": c.exclusive_min})
+        phi = canon_params({"max": hi, "exclusive": c.exclusive_max})
+        def check(t: pa.Table) -> pa.Table:
+            v = t[name]
+            out = []
+            if lo is not None:
+                out.append(violations_from_mask(
+                    t, lo_kernel(v, lo), key_cols, path, TOO_SMALL, c.rule,
+                    "below minimum", plo))
+            if hi is not None:
+                out.append(violations_from_mask(
+                    t, hi_kernel(v, hi), key_cols, path, TOO_BIG, c.rule,
+                    "above maximum", phi))
+            return pa.concat_tables(out) if out else empty_violations(
+                [t.schema.field(k) for k in key_cols])
+        return check
+
+    if isinstance(c, TsFormat):
+        fmt = c.format
+        params = canon_params({"format": fmt})
+        def check(t: pa.Table) -> pa.Table:
+            parsed = pc.strptime(t[name], format=fmt, unit="us",
+                                 error_is_null=True)
+            m = pc.and_(pc.is_null(parsed), pc.is_valid(t[name]))
+            return violations_from_mask(
+                t, m, key_cols, path, INVALID_FORMAT, c.rule,
+                "timestamp does not parse", params)
+        return check
+
+    raise TypeError(f"unsupported constraint: {type(c).__name__}")
+
+
+def compile_cross_rule(rule: CrossFieldRule, key_cols: Sequence[str]) -> CheckFn:
+    when = compile_expr(rule.when) if rule.when is not None else None
+    expect = compile_expr(rule.expect)
+    params = canon_params({"rule": rule.rule})
+    path = ""  # table-scope refinement: reference Refine reports at object root
+    def check(t: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.fill_null(expect(t), False))
+        if when is not None:
+            bad = pc.and_(bad, pc.fill_null(when(t), False))
+        return violations_from_mask(
+            t, bad, key_cols, path, rule.code, rule.rule,
+            rule.message or "refinement failed", params)
+    return check
+
+
+# ---------------------------------------------------------------------------
+# Batch normalization: coerce physical types (per-row overflow masks),
+# inject defaults for absent columns, apply unknown-column policy.
+# ---------------------------------------------------------------------------
+
+def normalize_batch(
+    batch: pa.Table, schema: TableSchema
+) -> tuple[pa.Table, pa.Table]:
+    """Returns (normalized batch with exactly the declared columns in
+    declared order [+ passthrough extras], violations).
+
+    - declared column missing  -> default injected (presence: default
+      applied) or a schema-level `required` violation + null column;
+    - physical type differs    -> checked cast; rows that cannot round-
+      trip get `overflow`/`invalid_type` and become null;
+    - extra columns            -> per unknown policy (`unknown_key` /
+      strip / passthrough).
+    """
+    key_cols = list(schema.key_columns)
+    viols: list[pa.Table] = []
+    key_fields = schema.key_fields()
+    n = batch.num_rows
+    declared = set(schema.column_names)
+    out_cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    # cast violations are emitted AFTER all casts so their key columns
+    # carry the declared (post-cast) types
+    cast_viols: list[tuple] = []  # (path, code, params, bad_mask)
+
+    for col in schema.columns:
+        if col.name not in batch.column_names:
+            if col.default is not None:
+                arr = pa.nulls(n, type=col.dtype).fill_null(col.default)
+            else:
+                arr = pa.nulls(n, type=col.dtype)
+                viols.append(schema_level_violation(
+                    key_fields, column_path(col.name), REQUIRED, "schema",
+                    "declared column absent from input",
+                    canon_params({"column": col.name})))
+            out_cols[col.name] = arr
+            continue
+        arr = batch.column(col.name)
+        if arr.type != col.dtype:
+            casted, bad = _checked_cast(arr, col.dtype)
+            if casted is None:
+                viols.append(schema_level_violation(
+                    key_fields, column_path(col.name), INVALID_TYPE, "schema",
+                    "column type not coercible to declared type",
+                    canon_params({"from": str(arr.type), "to": str(col.dtype)})))
+                casted = pa.nulls(n, type=col.dtype)
+            elif bad is not None and pc.any(bad).as_py():
+                # per-row overflow: value doesn't survive the round-trip
+                code = OVERFLOW if pa.types.is_integer(col.dtype) else INVALID_TYPE
+                cast_viols.append((
+                    column_path(col.name), code,
+                    canon_params({"from": str(arr.type), "to": str(col.dtype)}),
+                    bad))
+                casted = pc.if_else(bad, pa.nulls(n, type=col.dtype), casted)
+            arr = casted
+        out_cols[col.name] = arr
+
+    if cast_viols and all(k in out_cols for k in key_cols):
+        key_tab = pa.table({k: out_cols[k] for k in key_cols})
+        for path, code, params, bad in cast_viols:
+            viols.append(violations_from_mask(
+                key_tab, bad, key_cols, path, code, "coerce",
+                "value does not fit declared type", params))
+
+    extras = [c for c in batch.column_names if c not in declared]
+    if extras:
+        if schema.unknown is Unknown.STRICT:
+            for c in sorted(extras):  # sorted-key order, reference contract
+                viols.append(schema_level_violation(
+                    key_fields, column_path(c), UNKNOWN_KEY, "schema",
+                    "undeclared column present", canon_params({"column": c})))
+        elif schema.unknown is Unknown.PASSTHROUGH:
+            for c in extras:
+                out_cols[c] = batch.column(c)
+        # STRIP: drop silently
+
+    names = schema.column_names + [c for c in extras
+                                   if schema.unknown is Unknown.PASSTHROUGH]
+    normalized = pa.table({nm: out_cols[nm] for nm in names})
+    vtab = (pa.concat_tables(viols) if viols
+            else empty_violations(key_fields))
+    return normalized, vtab
+
+
+def _checked_cast(arr, target: pa.DataType):
+    """Cast with per-row failure mask. Returns (casted|None, bad_mask|None)."""
+    try:
+        casted = pc.cast(arr, target, safe=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None, None
+    # round-trip check for lossy numeric casts
+    if (pa.types.is_integer(target) or pa.types.is_floating(target)) and (
+            pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)):
+        back = pc.cast(casted, arr.type, safe=False)
+        bad = pc.and_(pc.not_equal(back, arr), pc.is_valid(arr))
+        return casted, bad
+    return casted, None
+
+
+# ---------------------------------------------------------------------------
+# The compiled plan + validator actor.
+# ---------------------------------------------------------------------------
+
+class ConstraintPlan:
+    """Compiled, reusable per-batch validation plan."""
+
+    def __init__(self, schema: TableSchema):
+        self.schema = schema
+        self.key_cols = list(schema.key_columns)
+        self.key_fields = schema.key_fields()
+        self.checks: list[CheckFn] = []
+        for col in schema.columns:
+            for c in col.constraints:
+                self.checks.append(_compile_constraint(col, c, self.key_cols))
+        for rule in schema.rules_of(CrossFieldRule):
+            self.checks.append(compile_cross_rule(rule, self.key_cols))
+        drifts = schema.rules_of(DriftRule)
+        self.profile_categorical = [d.column for d in drifts if d.kind == "psi"]
+        self.profile_numeric = [d.column for d in drifts if d.kind == "ks"]
+        self.wants_profile = bool(drifts)
+
+    def validate(self, batch: pa.Table) -> pa.Table:
+        """Normalize + run every compiled check; concat violation rows."""
+        normalized, viols = normalize_batch(batch, self.schema)
+        out = [viols] if viols.num_rows else []
+        for check in self.checks:
+            v = check(normalized)
+            if v.num_rows:
+                out.append(v)
+        if not out:
+            return empty_violations(self.key_fields)
+        return pa.concat_tables(out)
+
+    def profile(self, batch: pa.Table):
+        """Fold one batch into a fresh ColumnProfile partial (per-batch
+        partial -> merged downstream; SURVEY §2.6 A6)."""
+        from .state.sketches import ColumnProfile, hash_strings
+
+        prof = ColumnProfile.empty(self.profile_categorical,
+                                   self.profile_numeric)
+        prof.row_count = batch.num_rows
+        for c in self.profile_categorical:
+            if c in batch.column_names:
+                vc = pc.value_counts(batch[c])
+                for entry in vc:
+                    v = entry["values"].as_py()
+                    if v is not None:
+                        prof.value_counts[c][v] = (
+                            prof.value_counts[c].get(v, 0)
+                            + entry["counts"].as_py())
+        for c in self.profile_numeric:
+            if c == "text_len" and "text" in batch.column_names:
+                vals = pc.binary_length(batch["text"])
+            elif c in batch.column_names:
+                vals = batch[c]
+            else:
+                continue
+            arr = pc.cast(vals, pa.float64()).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            prof.tdigests[c].update(arr)
+        if self.key_cols:
+            k = batch[self.key_cols[0]]
+            if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
+                h = hash_strings(k)
+            else:
+                h = pc.cast(k, pa.uint64()).combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+            prof.hll.update_hashes(h)
+            prof.countmin.update_hashes(h)
+        return prof
+
+
+class BatchValidator:
+    """Actor-pool stage: compiles the plan once per actor (__init__),
+    validates per batch (__call__).  Output is a union-typed table:
+    violation rows (kind='v', payload null) plus, when drift/profile
+    sketches are enabled, ONE sketch-partial row per batch (kind='s',
+    payload = pickled ColumnProfile) — a single pass over the input
+    produces both, so 100 TB is scanned exactly once.
+    """
+
+    def __init__(self, schema: TableSchema, with_profile: bool | None = None):
+        self.plan = ConstraintPlan(schema)
+        self.with_profile = (self.plan.wants_profile
+                             if with_profile is None else with_profile)
+        self.out_schema = combined_schema(schema)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        viols = self.plan.validate(batch)
+        nv = viols.num_rows
+        kinds = ["v"] * nv
+        payloads: list[bytes | None] = [None] * nv
+        tables = [viols]
+        if self.with_profile and batch.num_rows:
+            prof = self.plan.profile(batch)
+            tables.append(empty_violations(self.plan.key_fields))
+            # one sketch row: null keys, empty violation cols
+            srow = schema_level_violation(self.plan.key_fields, "",
+                                          AGGREGATE_VIOLATION, "", "", "")
+            tables.append(srow)
+            kinds.append("s")
+            payloads.append(prof.to_bytes())
+        combined = pa.concat_tables([t for t in tables if t.num_rows]) \
+            if any(t.num_rows for t in tables) else viols
+        combined = combined.append_column(
+            "kind", pa.array(kinds, type=pa.string()))
+        combined = combined.append_column(
+            "payload", pa.array(payloads, type=pa.binary()))
+        return combined.cast(self.out_schema)
+
+
+def combined_schema(schema: TableSchema) -> pa.Schema:
+    base = violations_schema(schema.key_fields())
+    return base.append(pa.field("kind", pa.string())).append(
+        pa.field("payload", pa.binary()))

@@ -1,0 +1,337 @@
+"""Declarative table schema + constraint vocabulary.
+
+The analogue of the reference's fluent DSL (goskema
+``dsl/object_builder.go:29-210``): declare once, compile once
+(``rayskema.plan.compile_plan``), evaluate many times over Arrow
+batches.  A :class:`TableSchema` wraps a ``pyarrow.Schema`` with:
+
+- per-column constraints (type, non-null, regex, enum, length/byte
+  bounds, numeric range, timestamp format) — reference codes
+  ``invalid_type/required/pattern/invalid_enum/too_*/overflow``
+  (``dsl/primitives.go``, ``kubeopenapi/patterns.go:14-44``);
+- per-column ``default`` (reference default application,
+  ``dsl/object_builder.go:70-91``) and ``nullable``;
+- an unknown-column policy Strict/Strip/Passthrough (reference
+  ``types.go:3-10``, ``dsl/object_core.go:136-169``);
+- table-scope rules: uniqueness over key columns (reference
+  ``rules/rules.go:104-137`` + duplicate-key enforcement
+  ``internal/engine/enforce.go:116-136``), referential integrity
+  (context rules, ``examples/context_order_inventory``), conditional
+  cross-column refinements (``rules/rules.go:14-76``,
+  ``dsl/object_builder.go:129-135``), per-group (per-conversation)
+  rules, and distribution-drift checks (beyond-reference, from the
+  north rule).
+
+Pure Python; picklable (constraints are declarative data, compiled
+lazily inside each actor — reference analogue: ``Build()`` caches
+sorted keys once, ``dsl/object_builder.go:178-201``).
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Mapping, Sequence
+
+import pyarrow as pa
+
+
+class Unknown(enum.Enum):
+    """Unknown-column policy (reference types.go:3-10)."""
+
+    STRICT = "strict"          # extra column in file => unknown_key violation
+    STRIP = "strip"            # drop silently
+    PASSTHROUGH = "passthrough"  # keep extras in canonical output
+
+
+# ---------------------------------------------------------------------------
+# Column-level constraints. Each is pure data; the plan compiler turns it
+# into a vectorized pyarrow.compute kernel.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Constraint:
+    rule: str = ""  # optional rule name stamped on violations
+
+
+@dataclass(frozen=True)
+class NonNull(Constraint):
+    """Null in a non-nullable column => `required` (reference
+    dsl/object_core.go:113-131 via Arrow validity bitmap)."""
+
+
+@dataclass(frozen=True)
+class Regex(Constraint):
+    """Full-match regex => `pattern` (reference kubeopenapi/patterns.go)."""
+
+    pattern: str = ""
+
+
+@dataclass(frozen=True)
+class Enum(Constraint):
+    """Value must be in the set => `invalid_enum` (reference errors.go:20)."""
+
+    values: tuple = ()
+
+
+@dataclass(frozen=True)
+class LenBounds(Constraint):
+    """UTF-8 character length bounds => too_short / too_long
+    (reference dsl/array.go:137-158 for the string/array length family)."""
+
+    min_len: int | None = None
+    max_len: int | None = None
+
+
+@dataclass(frozen=True)
+class ByteBounds(Constraint):
+    """Byte-size bounds — the per-cell DoS guard (reference MaxBytes,
+    parse.go:155-167 / enforce.go:147-155) => too_short / truncated."""
+
+    min_bytes: int | None = None
+    max_bytes: int | None = None
+
+
+@dataclass(frozen=True)
+class Range(Constraint):
+    """Numeric range => too_small / too_big (reference
+    kubeopenapi minimum/maximum; dsl width checks)."""
+
+    min: float | int | None = None
+    max: float | int | None = None
+    exclusive_min: bool = False
+    exclusive_max: bool = False
+
+
+@dataclass(frozen=True)
+class TsFormat(Constraint):
+    """String column must parse with strptime format => `invalid_format`
+    (reference codec/rfc3339.go:27-37)."""
+
+    format: str = "%Y-%m-%dT%H:%M:%S%z"
+
+
+@dataclass(frozen=True)
+class Column:
+    name: str
+    dtype: pa.DataType
+    nullable: bool = True
+    default: Any = None           # applied when column absent from a file
+    constraints: tuple = ()       # tuple[Constraint, ...]
+
+    def with_constraints(self, *cs: Constraint) -> "Column":
+        return Column(self.name, self.dtype, self.nullable, self.default,
+                      self.constraints + tuple(cs))
+
+
+# ---------------------------------------------------------------------------
+# Table-scope rules.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class UniqueRule:
+    """No duplicate key tuples across the whole table (reference
+    rules.UniqueBy, rules/rules.go:104-137; duplicate JSON keys
+    reinterpreted as duplicate primary key per SURVEY §2.3 E2).
+    Violations: code=duplicate_key, rule name as given."""
+
+    columns: tuple
+    rule: str = "unique_key"
+
+
+@dataclass(frozen=True)
+class RefIntegrityRule:
+    """Every value of `column` must appear in a manifest key set
+    (reference context rules / existence lookups, SURVEY §2.5 J2).
+    Dangling => code=conflict. The manifest is broadcast via ray.put."""
+
+    column: str
+    rule: str = "ref_integrity"
+    # cross-check declared group size (manifest n_turns) vs observed
+    # distinct count (FIXTURES.md §3)
+    check_counts: bool = True
+    count_rule: str = "declared_turns"
+
+
+@dataclass(frozen=True)
+class GroupCountRule:
+    """Per-group row-count bounds (reference AtLeastOne / min-maxItems,
+    rules/rules.go:79-99) => aggregate_violation."""
+
+    group_by: tuple
+    min_count: int | None = 1
+    max_count: int | None = None
+    rule: str = "group_count"
+
+
+@dataclass(frozen=True)
+class ContiguousRule:
+    """Within each group, `column` must be exactly 0..n-1 (gap-free,
+    duplicate-free). Checked via per-group min/max/count aggregates —
+    no map_groups needed. => aggregate_violation (gaps) / too_small
+    (negative index)."""
+
+    group_by: tuple
+    column: str = "turn_idx"
+    rule: str = "contiguous_index"
+
+
+@dataclass(frozen=True)
+class MonotonicRule:
+    """Within each group ordered by `order_by`, `column` must be
+    non-decreasing (ts regression => business_rule; reference typed
+    rules dsl/typed_rules.go:56-91)."""
+
+    group_by: tuple
+    order_by: str = "turn_idx"
+    column: str = "ts"
+    rule: str = "ts_monotonic"
+
+
+@dataclass(frozen=True)
+class CrossFieldRule:
+    """Row-local cross-column refinement (reference Refine,
+    dsl/object_builder.go:129-135): a named, declarative predicate of
+    the form  `when` (mask expr) => `expect` (mask expr) must hold.
+    Expressions are declarative dicts compiled to pyarrow.compute masks
+    (see plan.compile_expr). Failing rows => code (default
+    business_rule)."""
+
+    rule: str
+    when: Mapping[str, Any] | None  # None = always
+    expect: Mapping[str, Any]
+    code: str = "business_rule"
+    message: str = ""
+
+
+@dataclass(frozen=True)
+class DriftRule:
+    """Distribution drift vs a baseline profile (north-rule extension;
+    no reference analogue — reference aggregates are exact in-memory,
+    SURVEY §2.6 A6). Sketch-backed: role-frequency PSI and
+    numeric-column KS from merged t-digests."""
+
+    column: str
+    kind: str = "psi"        # "psi" (categorical) | "ks" (numeric)
+    threshold: float = 0.2
+    rule: str = "drift"
+
+
+TableRule = Any  # union of the rule dataclasses above
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    """The declared contract for one table."""
+
+    columns: tuple                      # tuple[Column, ...]
+    key_columns: tuple = ()             # identity of a row in violation output
+    unknown: Unknown = Unknown.STRICT
+    rules: tuple = ()                   # tuple[TableRule, ...]
+    name: str = "table"
+
+    def __post_init__(self) -> None:
+        names = [c.name for c in self.columns]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate column names in schema")
+        for k in self.key_columns:
+            if k not in names:
+                raise ValueError(f"key column {k!r} not declared")
+
+    # -- helpers -----------------------------------------------------------
+    def column(self, name: str) -> Column:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def arrow_schema(self) -> pa.Schema:
+        return pa.schema(
+            [pa.field(c.name, c.dtype, nullable=c.nullable) for c in self.columns]
+        )
+
+    def key_fields(self) -> list[pa.Field]:
+        return [pa.field(k, self.column(k).dtype, nullable=True)
+                for k in self.key_columns]
+
+    def schema_hash(self) -> str:
+        """Stable hash of the declaration — stamped into checkpoint
+        manifests so resume refuses to mix schema versions."""
+        payload = repr(self).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def rules_of(self, cls: type) -> list:
+        return [r for r in self.rules if isinstance(r, cls)]
+
+
+# ---------------------------------------------------------------------------
+# The transcript contract (BASELINE.json input_hint / FIXTURES.md §1).
+# ---------------------------------------------------------------------------
+
+ROLE_ENUM = ("system", "user", "assistant", "tool")
+CONV_ID_PATTERN = r"conv_[0-9]{8}"
+TOOL_PATTERN = r"[a-z][a-z0-9_]{0,63}"
+TEXT_MAX_BYTES = 4096
+
+
+def transcript_schema(
+    *,
+    text_max_bytes: int = TEXT_MAX_BYTES,
+    with_drift: bool = True,
+) -> TableSchema:
+    cols = (
+        Column("conv_id", pa.string(), nullable=False,
+               constraints=(NonNull(rule="conv_id_required"),
+                            Regex(pattern=CONV_ID_PATTERN, rule="conv_id_format"))),
+        Column("turn_idx", pa.int32(), nullable=False,
+               constraints=(NonNull(rule="turn_idx_required"),
+                            Range(min=0, rule="turn_idx_nonneg"))),
+        Column("role", pa.string(), nullable=False,
+               constraints=(NonNull(rule="role_required"),
+                            Enum(values=ROLE_ENUM, rule="role_enum"))),
+        Column("text", pa.string(), nullable=False,
+               constraints=(NonNull(rule="text_required"),
+                            ByteBounds(min_bytes=1, max_bytes=text_max_bytes,
+                                       rule="text_bytes"))),
+        Column("tool", pa.string(), nullable=True,
+               constraints=(Regex(pattern=TOOL_PATTERN, rule="tool_format"),)),
+        Column("ts", pa.timestamp("us"), nullable=False,
+               constraints=(NonNull(rule="ts_required"),)),
+    )
+    rules: list[TableRule] = [
+        UniqueRule(columns=("conv_id", "turn_idx"), rule="unique_turn"),
+        RefIntegrityRule(column="conv_id", rule="conv_manifest"),
+        ContiguousRule(group_by=("conv_id",), column="turn_idx",
+                       rule="turn_idx_contiguous"),
+        MonotonicRule(group_by=("conv_id",), order_by="turn_idx", column="ts",
+                      rule="ts_monotonic"),
+        # tool set <=> role=="tool" (FIXTURES.md corruption table)
+        CrossFieldRule(rule="tool_iff_tool_role",
+                       when={"op": "ne", "col": "role", "value": "tool"},
+                       expect={"op": "is_null", "col": "tool"},
+                       code="business_rule",
+                       message="tool must be null unless role=='tool'"),
+        CrossFieldRule(rule="tool_role_has_tool",
+                       when={"op": "eq", "col": "role", "value": "tool"},
+                       expect={"op": "not_null", "col": "tool"},
+                       code="business_rule",
+                       message="role=='tool' requires tool name"),
+    ]
+    if with_drift:
+        rules.append(DriftRule(column="role", kind="psi", threshold=0.2,
+                               rule="role_psi_drift"))
+        rules.append(DriftRule(column="text_len", kind="ks", threshold=0.1,
+                               rule="text_len_ks_drift"))
+    return TableSchema(
+        columns=cols,
+        key_columns=("conv_id", "turn_idx"),
+        unknown=Unknown.STRICT,
+        rules=tuple(rules),
+        name="transcripts",
+    )

@@ -1,0 +1,345 @@
+"""Mergeable streaming sketches: HyperLogLog, t-digest, count-min.
+
+The reference computes all aggregates exactly in memory (e.g. UniqueBy's
+``map[string]int``, rules/rules.go:116-135) — viable in a single
+process, not at 10^12 rows.  These sketches are the distributed
+replacement (SURVEY §2.4 T6 / §2.6 A6-A7): each validator actor folds
+its batches into per-batch partial states, partials are merged
+associatively (any order) in a tiny reduce, and the merged state feeds
+the drift / cardinality checks.
+
+All three are standard public algorithms:
+- HyperLogLog: Flajolet et al. 2007, with the small-range linear
+  counting correction.
+- t-digest: Dunning & Ertl, "Computing Extremely Accurate Quantiles
+  Using t-Digests" (arXiv:1902.04023) — simplified scale-function k1
+  merging variant; compression pinned so merge order cannot flip a KS
+  verdict beyond tolerance (SURVEY §7.4.4).
+- count-min: Cormode & Muthukrishnan 2005.
+
+Pure Python + numpy; serialization via ``to_bytes``/``from_bytes``
+(pickle of plain arrays) for checkpoint lineage.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit splitmix-style hash of a uint64 array."""
+    x = values.astype(np.uint64, copy=True)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    z = x
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit hash of a string array (pyarrow or numpy).
+
+    Uses a polynomial rolling hash over UTF-8 bytes, computed with numpy
+    over the flat Arrow buffer — no Python loop over rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(values, type=pa.string())
+    if values.null_count:
+        values = pc.fill_null(values, "")
+    values = pc.cast(values, pa.large_binary())
+    buffers = values.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                            count=len(values) + 1, offset=values.offset * 8)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    # Segmented polynomial hash via prefix sums over the flat byte buffer:
+    # H(s..e) = (prefix[e]-prefix[s]) * inv_base^s  (mod 2^64), where
+    # prefix[i] = sum_{j<i} byte[j]*base^j.  inv_base exists because base
+    # is odd.  All vectorized; wraps mod 2^64 (numpy uint64 semantics).
+    base = np.uint64(1099511628211)
+    inv_base = np.uint64(pow(1099511628211, -1, 1 << 64))
+    n_bytes = offsets[-1] - offsets[0]
+    if n_bytes == 0:
+        out = np.full(len(values), int(seed) + 1469598103934665603, dtype=np.uint64)
+        return _hash64(out)
+    flat = data[offsets[0]: offsets[-1]].astype(np.uint64)
+    powers = np.empty(len(flat), dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    if len(flat) > 1:
+        np.multiply.accumulate(np.full(len(flat) - 1, base, dtype=np.uint64),
+                               out=powers[1:])
+    inv_powers = np.empty(len(flat) + 1, dtype=np.uint64)
+    inv_powers[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(len(flat), inv_base, dtype=np.uint64),
+                           out=inv_powers[1:])
+    terms = flat * powers
+    prefix = np.zeros(len(flat) + 1, dtype=np.uint64)
+    np.cumsum(terms, out=prefix[1:])
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    ends = (offsets[1:] - offsets[0]).astype(np.int64)
+    seg = (prefix[ends] - prefix[starts]) * inv_powers[starts]
+    # mix in length and seed so prefix-sharing strings diverge
+    lengths = (ends - starts).astype(np.uint64)
+    out = seg ^ (lengths * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(seed)
+    return _hash64(out)
+
+
+class HyperLogLog:
+    """Distinct-count sketch. ``p`` registers bits => 2^p registers,
+    standard error ≈ 1.04/sqrt(2^p). p=14 → ~0.8% error, 16 KiB."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (hashes << np.uint64(self.p)) & _MASK64
+        # rank = leading zeros of rest + 1, capped at 64-p+1
+        lz = np.full(len(rest), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # count leading zeros via bit_length on the nonzero values
+            restnz = rest[nz]
+            bl = np.zeros(len(restnz), dtype=np.uint8)
+            v = restnz.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                ge = v >= (np.uint64(1) << np.uint64(shift))
+                bl[ge] += np.uint8(shift)
+                v[ge] >>= np.uint64(shift)
+            lz_nz = (np.uint8(63) - bl) + np.uint8(1)
+            lz[nz] = np.minimum(lz_nz, np.uint8(64 - self.p + 1))
+        np.maximum.at(self.registers, idx, lz)
+
+    def update_strings(self, values, seed: int = 0) -> None:
+        self.update_hashes(hash_strings(values, seed))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting small-range fix
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.p, self.registers), protocol=5)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p, regs = pickle.loads(b)
+        s = cls(p)
+        s.registers = regs
+        return s
+
+
+class TDigest:
+    """Quantile sketch (merging t-digest, k1 scale function).
+
+    Centroids kept sorted by mean; ``compress`` bounds their count.
+    ``delta`` pinned at construction — merge order then perturbs
+    quantiles well under the KS tolerance used by drift checks.
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf_means: list[np.ndarray] = []
+        self._buf_weights: list[np.ndarray] = []
+
+    def update(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        self._buf_means.append(values)
+        self._buf_weights.append(np.ones(len(values)))
+        if sum(len(b) for b in self._buf_means) > 8 * self.delta:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf_means:
+            return
+        means = np.concatenate([self.means] + self._buf_means)
+        weights = np.concatenate([self.weights] + self._buf_weights)
+        self._buf_means, self._buf_weights = [], []
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # k1 scale: k(q) = delta/(2*pi) * asin(2q-1); merge while k-span <= 1
+        cum = np.cumsum(weights) - weights / 2.0
+        q = cum / total
+        k = (self.delta / (2 * np.pi)) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+        # greedy grouping: new group when floor(k*2) changes (approx)
+        group = np.floor((k - k[0]) * 2.0).astype(np.int64)
+        # enforce monotone group ids
+        group = np.maximum.accumulate(group)
+        uniq, inv = np.unique(group, return_inverse=True)
+        gw = np.bincount(inv, weights=weights)
+        gm = np.bincount(inv, weights=weights * means) / gw
+        self.means, self.weights = gm, gw
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._flush()
+        if len(other.means):
+            self._buf_means.append(other.means.copy())
+            self._buf_weights.append(other.weights.copy())
+        self._flush()
+        return self
+
+    def quantile(self, q) -> np.ndarray:
+        self._flush()
+        if len(self.means) == 0:
+            return np.full(np.shape(q) or (), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        cum /= self.weights.sum()
+        return np.interp(q, cum, self.means)
+
+    def cdf(self, x) -> np.ndarray:
+        self._flush()
+        if len(self.means) == 0:
+            return np.full(np.shape(x) or (), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        cum /= self.weights.sum()
+        return np.interp(x, self.means, cum, left=0.0, right=1.0)
+
+    @property
+    def total_weight(self) -> float:
+        self._flush()
+        return float(self.weights.sum())
+
+    def to_bytes(self) -> bytes:
+        self._flush()
+        return pickle.dumps((self.delta, self.means, self.weights), protocol=5)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        delta, means, weights = pickle.loads(b)
+        s = cls(delta)
+        s.means, s.weights = means, weights
+        return s
+
+
+class CountMin:
+    """Frequency sketch: d rows × w counters, point query = min over rows."""
+
+    def __init__(self, w: int = 2048, d: int = 5):
+        self.w, self.d = w, d
+        self.table = np.zeros((d, w), dtype=np.int64)
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        for r in range(self.d):
+            idx = (_hash64(hashes ^ np.uint64(r * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+                   % np.uint64(self.w)).astype(np.int64)
+            np.add.at(self.table[r], idx, 1)
+
+    def update_strings(self, values) -> None:
+        self.update_hashes(hash_strings(values))
+
+    def query_string(self, value: str) -> int:
+        h = hash_strings([value])[0:1]
+        est = np.iinfo(np.int64).max
+        for r in range(self.d):
+            idx = int(_hash64(h ^ np.uint64(r * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))[0]
+                      % np.uint64(self.w))
+            est = min(est, int(self.table[r, idx]))
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.w, self.d) == (other.w, other.d)
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.w, self.d, self.table), protocol=5)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        w, d, t = pickle.loads(b)
+        s = cls(w, d)
+        s.table = t
+        return s
+
+
+@dataclass
+class ColumnProfile:
+    """The per-table sketch bundle emitted as per-batch partials and
+    merged for drift/cardinality checks: exact counts for low-cardinality
+    categorical columns (role), a t-digest per numeric profile column,
+    an HLL for key cardinality, a count-min for heavy-hitter detection
+    (hot-conversation salting)."""
+
+    value_counts: dict
+    tdigests: dict
+    hll: HyperLogLog
+    countmin: CountMin
+    row_count: int = 0
+
+    @classmethod
+    def empty(cls, categorical: list[str], numeric: list[str],
+              hll_p: int = 14, cm_w: int = 2048) -> "ColumnProfile":
+        return cls(
+            value_counts={c: {} for c in categorical},
+            tdigests={c: TDigest() for c in numeric},
+            hll=HyperLogLog(hll_p),
+            countmin=CountMin(cm_w),
+        )
+
+    def merge(self, other: "ColumnProfile") -> "ColumnProfile":
+        for c, vc in other.value_counts.items():
+            mine = self.value_counts.setdefault(c, {})
+            for k, v in vc.items():
+                mine[k] = mine.get(k, 0) + v
+        for c, td in other.tdigests.items():
+            if c in self.tdigests:
+                self.tdigests[c].merge(td)
+            else:
+                self.tdigests[c] = td
+        self.hll.merge(other.hll)
+        self.countmin.merge(other.countmin)
+        self.row_count += other.row_count
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {
+                "value_counts": self.value_counts,
+                "tdigests": {c: t.to_bytes() for c, t in self.tdigests.items()},
+                "hll": self.hll.to_bytes(),
+                "countmin": self.countmin.to_bytes(),
+                "row_count": self.row_count,
+            },
+            protocol=5,
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "ColumnProfile":
+        d = pickle.loads(b)
+        return cls(
+            value_counts=d["value_counts"],
+            tdigests={c: TDigest.from_bytes(t) for c, t in d["tdigests"].items()},
+            hll=HyperLogLog.from_bytes(d["hll"]),
+            countmin=CountMin.from_bytes(d["countmin"]),
+            row_count=d["row_count"],
+        )
