@@ -172,4 +172,8 @@ def sort_violations(table: pa.Table, key_cols: Sequence[str]) -> pa.Table:
     message, params (total order ⇒ byte-stable output under any
     parallelism). Nulls (schema-level issues) sort first."""
     keys = [(c, "ascending") for c in list(key_cols) + VIOLATION_COLS]
-    return table.sort_by(keys)
+    import pyarrow.compute as pc
+
+    indices = pc.sort_indices(
+        table, sort_keys=keys, null_placement="at_start")
+    return table.take(indices)

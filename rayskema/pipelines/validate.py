@@ -441,21 +441,34 @@ def validate(
     groups, file_viols = inspect_files(files, schema)
 
     # ---- pass 1: full-width scan, batch-local checks + sketch partials --
-    combined_parts: list = []
-    for g in groups:
-        ds = rd.read_parquet(g.files, columns=g.read_columns)
-        kwargs: dict = dict(
-            batch_format="pyarrow", batch_size=cfg.batch_size,
-            fn_constructor_args=(schema,),
-            fn_constructor_kwargs={"with_profile": cfg.with_profile},
-            num_cpus=cfg.num_cpus,
-        )
-        if cfg.concurrency is not None:
-            kwargs["concurrency"] = cfg.concurrency
-        combined_parts.append(ds.map_batches(BatchValidator, **kwargs))
-    combined = combined_parts[0]
-    for part in combined_parts[1:]:
-        combined = combined.union(part)
+    # One read per schema-group (per-group column pruning), unioned BEFORE
+    # the validator so a single actor pool serves every group — the
+    # validator normalizes per-batch schema differences itself.
+    reads = [rd.read_parquet(g.files, columns=g.read_columns)
+             for g in groups]
+    ds = reads[0]
+    for part in reads[1:]:
+        ds = ds.union(part)
+    kwargs: dict = dict(
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        fn_constructor_args=(schema,),
+        fn_constructor_kwargs={"with_profile": cfg.with_profile},
+        num_cpus=cfg.num_cpus,
+    )
+    if cfg.concurrency is not None:
+        kwargs["concurrency"] = cfg.concurrency
+        combined = ds.map_batches(BatchValidator, **kwargs)
+    else:
+        # stateless-task variant: plan compiled once on the driver,
+        # shipped in the (cloudpickled) closure — cheaper for small runs
+        validator = BatchValidator(schema, with_profile=cfg.with_profile)
+
+        def validate_batch(batch: pa.Table, _v=validator) -> pa.Table:
+            return _v(batch)
+
+        kwargs.pop("fn_constructor_args")
+        kwargs.pop("fn_constructor_kwargs")
+        combined = ds.map_batches(validate_batch, **kwargs)
     mat = combined.materialize()   # violations + sketch rows only (small)
 
     tables = ray.get(mat.to_arrow_refs())
@@ -487,15 +500,14 @@ def validate(
             cols = [c for c in key_cols if c in g.read_columns]
             if not cols:
                 continue
-            ds = rd.read_parquet(g.files, columns=cols)
-            ds = ds.map_batches(
-                make_key_normalizer(schema, key_cols, cfg.buckets),
-                batch_format="pyarrow", batch_size=cfg.batch_size)
-            parts.append(ds)
+            parts.append(rd.read_parquet(g.files, columns=cols))
         if parts:
             keys_ds = parts[0]
             for p in parts[1:]:
                 keys_ds = keys_ds.union(p)
+            keys_ds = keys_ds.map_batches(
+                make_key_normalizer(schema, key_cols, cfg.buckets),
+                batch_format="pyarrow", batch_size=cfg.batch_size)
             checker = BucketChecker(schema, manifest_ref)
 
             def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
@@ -539,6 +551,30 @@ def validate(
     }
     return ValidationResult(violations=violations, profile=profile,
                             drift=drift, verdicts=verdicts, metrics=metrics)
+
+
+def normalize_dataset(paths, schema: TableSchema,
+                      config: ValidateConfig | None = None) -> "rd.Dataset":
+    """Canonical pass-through output: the input normalized to the declared
+    schema (casts applied, defaults injected, unknown-column policy
+    applied), exactly the declared columns.  Text cells are never
+    round-tripped through Python strings (Arrow kernels only), so the
+    per-turn text-equality invariant holds byte-for-byte."""
+    cfg = config or ValidateConfig()
+    files = _discover(paths)
+    groups, _ = inspect_files(files, schema)
+    reads = [rd.read_parquet(g.files, columns=g.read_columns) for g in groups]
+    ds = reads[0]
+    for part in reads[1:]:
+        ds = ds.union(part)
+
+    from ..plan import normalize_batch
+
+    def normalize(batch: pa.Table, _s=schema) -> pa.Table:
+        return normalize_batch(batch, _s)[0]
+
+    return ds.map_batches(normalize, batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
 
 
 def build_verdicts(violations: pa.Table, schema: TableSchema,

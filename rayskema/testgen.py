@@ -282,16 +282,20 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
 
     for b in range(N_BUCKETS):
         part = table.filter(pa.array(bucket == b))
-        pq.write_table(part, os.path.join(tdir, f"part-{b:05d}.parquet"))
+        pq.write_table(part.replace_schema_metadata(None),
+                       os.path.join(tdir, f"part-{b:05d}.parquet"))
     if special_overflow is not None:
-        pq.write_table(special_overflow, os.path.join(tdir, "part-overflow.parquet"))
+        pq.write_table(special_overflow.replace_schema_metadata(None),
+                       os.path.join(tdir, "part-overflow.parquet"))
     if special_extra is not None:
-        pq.write_table(special_extra, os.path.join(tdir, "part-extra.parquet"))
+        pq.write_table(special_extra.replace_schema_metadata(None),
+                       os.path.join(tdir, "part-extra.parquet"))
     if extra_rows:
         import pandas as pd
         dup_tab = pa.Table.from_pandas(pd.concat(extra_rows),
                                        schema=clean.schema, preserve_index=False)
-        pq.write_table(dup_tab, os.path.join(tdir, "part-dup.parquet"))
+        pq.write_table(dup_tab.replace_schema_metadata(None),
+                       os.path.join(tdir, "part-dup.parquet"))
 
     # ---- manifest --------------------------------------------------------
     man_convs = [c for c in uniq_convs if c not in manifest_drop]

@@ -1,0 +1,88 @@
+"""Sketch correctness: accuracy envelopes, merge associativity,
+serialization round-trips (checkpoint lineage requires byte-stable
+serialize/merge, SURVEY §7.4.4)."""
+
+import numpy as np
+import pyarrow as pa
+
+from rayskema.state.sketches import (
+    ColumnProfile, CountMin, HyperLogLog, TDigest, hash_strings,
+)
+
+
+def test_hash_strings_deterministic_and_offset_invariant():
+    a = hash_strings(["abc", "abc", "xyz", ""])
+    assert a[0] == a[1] and a[0] != a[2]
+    # same values at different buffer offsets hash identically
+    chunked = pa.chunked_array([["zz", "abc"], ["xyz", ""]])
+    b = hash_strings(chunked)
+    assert b[1] == a[0] and b[2] == a[2] and b[3] == a[3]
+    # sliced array (nonzero arr.offset)
+    sliced = pa.array(["pad", "abc", "xyz"]).slice(1)
+    c = hash_strings(sliced)
+    assert c[0] == a[0] and c[1] == a[2]
+
+
+def test_hash_strings_seed_changes_hash():
+    a = hash_strings(["abc"], seed=0)
+    b = hash_strings(["abc"], seed=1)
+    assert a[0] != b[0]
+
+
+def test_hll_accuracy_and_merge():
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.update_strings([f"a{i}" for i in range(5000)])
+    h2.update_strings([f"a{i}" for i in range(2500, 7500)])
+    est = h1.merge(h2).estimate()
+    assert abs(est - 7500) / 7500 < 0.05
+    rt = HyperLogLog.from_bytes(h1.to_bytes())
+    assert rt.estimate() == h1.estimate()
+
+
+def test_tdigest_quantiles_and_merge_associativity():
+    rng = np.random.RandomState(7)
+    data = rng.normal(size=30000)
+    parts = np.array_split(data, 10)
+    tds = []
+    for p in parts:
+        td = TDigest()
+        td.update(p)
+        tds.append(td)
+    # merge left-to-right vs pairwise-tree: quantiles must agree closely
+    left = TDigest()
+    for td in tds:
+        left.merge(TDigest.from_bytes(td.to_bytes()))
+    import functools
+    tree = functools.reduce(
+        lambda a, b: a.merge(b),
+        [TDigest.from_bytes(t.to_bytes()) for t in tds])
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(data, q)
+        assert abs(left.quantile(q) - exact) < 0.05
+        assert abs(left.quantile(q) - tree.quantile(q)) < 0.02
+
+
+def test_countmin_frequencies():
+    cm = CountMin(w=1024, d=4)
+    vals = ["hot"] * 1000 + [f"cold{i}" for i in range(200)]
+    cm.update_strings(vals)
+    assert cm.query_string("hot") >= 1000          # never undercounts
+    assert cm.query_string("hot") < 1100
+    other = CountMin(w=1024, d=4)
+    other.update_strings(["hot"] * 50)
+    cm.merge(other)
+    assert cm.query_string("hot") >= 1050
+
+
+def test_profile_merge_and_roundtrip():
+    p1 = ColumnProfile.empty(["role"], ["len"])
+    p2 = ColumnProfile.empty(["role"], ["len"])
+    p1.value_counts["role"] = {"user": 3}
+    p2.value_counts["role"] = {"user": 1, "tool": 2}
+    p1.tdigests["len"].update(np.array([1.0, 2.0]))
+    p2.tdigests["len"].update(np.array([3.0, 4.0]))
+    p1.row_count, p2.row_count = 5, 3
+    merged = ColumnProfile.from_bytes(p1.to_bytes()).merge(p2)
+    assert merged.value_counts["role"] == {"user": 4, "tool": 2}
+    assert merged.row_count == 8
+    assert merged.tdigests["len"].total_weight == 4
