@@ -1,44 +1,434 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-validation pipeline (the north
+rule) on a deterministic synthetic fixture.  ``queries()`` exposes one
+entry per implemented operator family from SURVEY.md §2 over the driver
+testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
+the operator is SQL-expressible (approximate/sketch/LSH operators are
+rows-only by design).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from rayskema.schema import (
+    Column, CrossFieldRule, Enum, Range, Regex, TableSchema, Unknown,
+)
+
+_SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: transcript validation (BASELINE.json north rule)
+# ---------------------------------------------------------------------------
+
+_ENTRY_FIXTURE = "/tmp/rayskema_fixture_entry"
+
+
+def _ensure_entry_fixture() -> str:
+    from rayskema.testgen import write_fixture
+
+    marker = os.path.join(_ENTRY_FIXTURE, "violations_expected.parquet")
+    if not os.path.exists(marker):
+        write_fixture(_ENTRY_FIXTURE, 6000, corrupt=True)
+    return _ENTRY_FIXTURE
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Full constraint suite (type/non-null/regex/enum/bounds, uniqueness,
+    referential integrity, contiguity, monotonicity, KS/PSI drift) over a
+    deterministic synthetic transcript corpus shaped per
+    BASELINE.json input_hint; returns the sorted violations table."""
+    from rayskema.pipelines.validate import ValidateConfig, validate
+    from rayskema.schema import transcript_schema
+    from rayskema.state.sketches import ColumnProfile
+
+    d = _ensure_entry_fixture()
+    with open(os.path.join(d, "baseline_profile.bin"), "rb") as f:
+        baseline = ColumnProfile.from_bytes(f.read())
+    res = validate(
+        os.path.join(d, "transcripts"), transcript_schema(),
+        manifest_path=os.path.join(d, "conversations.parquet"),
+        baseline_profile=baseline,
+        config=ValidateConfig(buckets=16),
+    )
+    return res.violations.select(
+        ["conv_id", "turn_idx", "path", "code", "rule"]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Schemas for the relational validation queries (columns read are pruned
+# to the declared set; Unknown.STRIP because we deliberately declare a
+# subset of each table).
+# ---------------------------------------------------------------------------
+
+def _orders_schema() -> TableSchema:
+    return TableSchema(
+        columns=(
+            Column("o_orderkey", pa.int64(), nullable=False),
+            Column("o_orderstatus", pa.string(),
+                   constraints=(Enum(values=("O", "F"), rule="status_enum"),)),
+            Column("o_totalprice", pa.float64(),
+                   constraints=(Range(max=400000, rule="price_cap"),)),
+            Column("o_orderpriority", pa.string(),
+                   constraints=(Regex(pattern=r"[1-3]-.*|5-LOW",
+                                      rule="priority_format"),)),
+        ),
+        key_columns=("o_orderkey",), unknown=Unknown.STRIP, name="orders",
+    )
+
+
+def _lineitem_schema() -> TableSchema:
+    return TableSchema(
+        columns=(
+            Column("l_orderkey", pa.int64(), nullable=False),
+            Column("l_linenumber", pa.int32(), nullable=False),
+            Column("l_quantity", pa.float64(),
+                   constraints=(Range(min=2, rule="qty_floor"),)),
+            Column("l_discount", pa.float64(),
+                   constraints=(Range(max=0.08, rule="discount_cap"),)),
+            Column("l_tax", pa.float64()),
+        ),
+        key_columns=("l_orderkey", "l_linenumber"), unknown=Unknown.STRIP,
+        rules=(CrossFieldRule(
+            rule="discount_le_tax", when=None,
+            expect={"op": "le", "col": "l_discount", "other_col": "l_tax"},
+            code="business_rule", message="discount exceeds tax"),),
+        name="lineitem",
+    )
+
+
+def _events_schema() -> TableSchema:
+    return TableSchema(
+        columns=(
+            Column("event_id", pa.int64(), nullable=False),
+            Column("event_type", pa.string(),
+                   constraints=(Enum(values=("click", "view", "purchase",
+                                             "signup"), rule="type_enum"),)),
+            Column("value", pa.float64(),
+                   constraints=(Range(max=450, rule="value_cap"),)),
+        ),
+        key_columns=("event_id",), unknown=Unknown.STRIP, name="events",
+    )
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _viol_select(ds: "rd.Dataset", key_cols: list[str]) -> "rd.Dataset":
+    return ds.select_columns(key_cols + ["path", "code", "rule"])
+
+
+# ---------------------------------------------------------------------------
+# Query implementations
+# ---------------------------------------------------------------------------
+
+def _q_validate_orders(sf_dir: str):
+    from rayskema.pipelines.relational import check_constraints
+    s = _orders_schema()
+    ds = _read(sf_dir, "orders", s.column_names)
+    return _viol_select(check_constraints(ds, s), ["o_orderkey"])
+
+
+def _q_validate_lineitem(sf_dir: str):
+    from rayskema.pipelines.relational import check_constraints
+    s = _lineitem_schema()
+    ds = _read(sf_dir, "lineitem", s.column_names)
+    return _viol_select(check_constraints(ds, s),
+                        ["l_orderkey", "l_linenumber"])
+
+
+def _q_validate_events(sf_dir: str):
+    from rayskema.pipelines.relational import check_constraints
+    s = _events_schema()
+    ds = _read(sf_dir, "events", s.column_names)
+    return _viol_select(check_constraints(ds, s), ["event_id"])
+
+
+def _q_events_monotonic(sf_dir: str):
+    from rayskema.pipelines.relational import monotonic_violations
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return monotonic_violations(ds, "user_id", "ts", "value", ["event_id"])
+
+
+def _q_events_dups(sf_dir: str):
+    from rayskema.pipelines.relational import find_duplicates
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return find_duplicates(ds, ["user_id", "event_type"])
+
+
+def _q_orders_per_customer_cap(sf_dir: str):
+    from rayskema.pipelines.relational import group_count_violations
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return group_count_violations(ds, ["o_custkey"], max_count=18)
+
+
+def _q_orders_ref_customers(sf_dir: str):
+    import pyarrow.parquet as pq
+    from rayskema.pipelines.relational import ref_violations
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    valid = cust.filter(
+        pa.compute.greater_equal(cust["c_acctbal"], 0.0))["c_custkey"]
+    valid_ref = ray.put(valid.combine_chunks())
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = ref_violations(ds, "o_custkey", valid_ref, ["o_orderkey"],
+                         rule="cust_manifest", manifest_name="customers")
+    return _viol_select(out, ["o_orderkey"])
+
+
+def _q_customer_distinct_segments(sf_dir: str):
+    from rayskema.pipelines.relational import distinct_count
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return distinct_count(ds, "c_nationkey", "c_mktsegment")
+
+
+def _q_docs_dedup_exact(sf_dir: str):
+    from rayskema.functions.dedup import exact_duplicates
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return exact_duplicates(ds, ["lang", "n_chars"], "doc_id")
+
+
+def _q_docs_charset_jaccard(sf_dir: str):
+    from rayskema.functions.dedup import charset_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return charset_jaccard_pairs(ds, "text", "doc_id", ["lang", "source"],
+                                 threshold=0.9)
+
+
+def _q_docs_minhash_pairs(sf_dir: str):
+    from rayskema.functions.dedup import minhash_lsh_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=0.5)
+
+
+def _q_docs_simhash_pairs(sf_dir: str):
+    from rayskema.functions.dedup import simhash_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def _q_docs_token_stats(sf_dir: str):
+    from rayskema.functions.textstats import token_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_stats(ds, "text", "doc_id")
+
+
+def _q_docs_quality(sf_dir: str):
+    from rayskema.functions.textstats import quality_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_stats(ds, "text", "doc_id")
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    from rayskema.functions.textstats import fingerprint_md5
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_md5(ds, "text", "doc_id")
+
+
+def _q_docs_lang_id(sf_dir: str):
+    from rayskema.functions.textstats import lang_id
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lang_id(ds, "text", "doc_id")
+
+
+def _q_emb_knn_brute(sf_dir: str):
+    from rayskema.functions.similarity import knn_cosine_brute
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    tab = knn_cosine_brute(ds, "embedding", "vec_id",
+                           query_ids=[0, 1, 2, 3, 4], k=5)
+    score = pa.compute.round(tab["score"], ndigits=4)
+    return tab.set_column(tab.schema.get_field_index("score"),
+                          "score", score)
+
+
+def _q_emb_knn_lsh(sf_dir: str):
+    from rayskema.functions.similarity import knn_cosine_lsh
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_cosine_lsh(ds, "embedding", "vec_id",
+                          query_ids=[0, 1, 2, 3, 4], k=5,
+                          n_planes=8, n_tables=8)
+
+
+def _q_emb_near_dups(sf_dir: str):
+    from rayskema.functions.similarity import embedding_near_dup_pairs
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                    cosine_threshold=0.35)
+
+
+def _q_transcript_validate(sf_dir: str):
+    # flagship north-rule pipeline; input synthesized per round spec
+    # (transcript shape is not part of the driver testdata)
+    return entry()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "validate_orders": _q_validate_orders,
+        "validate_lineitem": _q_validate_lineitem,
+        "validate_events": _q_validate_events,
+        "events_monotonic": _q_events_monotonic,
+        "events_dups": _q_events_dups,
+        "orders_per_customer_cap": _q_orders_per_customer_cap,
+        "orders_ref_customers": _q_orders_ref_customers,
+        "customer_distinct_segments": _q_customer_distinct_segments,
+        "docs_dedup_exact": _q_docs_dedup_exact,
+        "docs_charset_jaccard": _q_docs_charset_jaccard,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_lang_id": _q_docs_lang_id,
+        "emb_knn_brute": _q_emb_knn_brute,
+        "emb_knn_lsh": _q_emb_knn_lsh,
+        "emb_near_dups": _q_emb_near_dups,
+        "transcript_validate": _q_transcript_validate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_orders": """
+            SELECT o_orderkey, '/o_orderstatus' AS path,
+                   'invalid_enum' AS code, 'status_enum' AS rule
+            FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+            UNION ALL
+            SELECT o_orderkey, '/o_totalprice', 'too_big', 'price_cap'
+            FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey, '/o_orderpriority', 'pattern',
+                   'priority_format'
+            FROM orders
+            WHERE NOT regexp_full_match(o_orderpriority, '[1-3]-.*|5-LOW')
+        """,
+        "validate_lineitem": """
+            SELECT l_orderkey, l_linenumber, '/l_quantity' AS path,
+                   'too_small' AS code, 'qty_floor' AS rule
+            FROM lineitem WHERE l_quantity < 2
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_discount', 'too_big',
+                   'discount_cap'
+            FROM lineitem WHERE l_discount > 0.08
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '', 'business_rule',
+                   'discount_le_tax'
+            FROM lineitem WHERE NOT (l_discount <= l_tax)
+        """,
+        "validate_events": """
+            SELECT event_id, '/event_type' AS path, 'invalid_enum' AS code,
+                   'type_enum' AS rule
+            FROM events
+            WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+            UNION ALL
+            SELECT event_id, '/value', 'too_big', 'value_cap'
+            FROM events WHERE value > 450
+        """,
+        "events_monotonic": """
+            SELECT event_id, prev_value, value FROM (
+                SELECT event_id, value,
+                       lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev_value
+                FROM events)
+            WHERE value < prev_value
+        """,
+        "events_dups": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type HAVING count(*) >= 2
+        """,
+        "orders_per_customer_cap": """
+            SELECT o_custkey, count(*) AS n
+            FROM orders GROUP BY o_custkey HAVING count(*) > 18
+        """,
+        "orders_ref_customers": """
+            SELECT o_orderkey, '/o_custkey' AS path, 'conflict' AS code,
+                   'cust_manifest' AS rule
+            FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+        """,
+        "customer_distinct_segments": """
+            SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_distinct
+            FROM customer GROUP BY c_nationkey
+        """,
+        "docs_dedup_exact": """
+            SELECT d.doc_id, g.keeper, d.lang, d.n_chars
+            FROM documents d
+            JOIN (SELECT lang, n_chars, min(doc_id) AS keeper
+                  FROM documents GROUP BY lang, n_chars
+                  HAVING count(*) > 1) g USING (lang, n_chars)
+            WHERE d.doc_id > g.keeper
+        """,
+        "docs_charset_jaccard": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   jaccard(a.text, b.text) AS jaccard
+            FROM documents a
+            JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+            WHERE jaccard(a.text, b.text) >= 0.9
+        """,
+        "docs_token_stats": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\S+'))::BIGINT
+                       AS n_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents
+        """,
+        "docs_quality": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z]'))::BIGINT
+                       AS n_alpha,
+                   length(regexp_extract_all(text, '[0-9]'))::BIGINT
+                       AS n_digit,
+                   (length(text) - length(replace(text, ' ', '')))::BIGINT
+                       AS n_space,
+                   length(regexp_extract_all(text, '[.,;:!?]'))::BIGINT
+                       AS n_punct,
+                   length(regexp_extract_all(text, '\S+'))::BIGINT
+                       AS n_words,
+                   coalesce(list_max(list_transform(
+                       regexp_extract_all(text, '\S+'),
+                       w -> length(w))), 0)::BIGINT AS max_word_len
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "emb_knn_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(
+                             q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY sc DESC, neighbor_id) AS rank, sc
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, round(sc, 4) AS score
+            FROM r WHERE rank <= 5
+        """
+        # rows-only (approximate / sketch / LSH / synthetic-input):
+        # docs_minhash_pairs, docs_simhash_pairs, docs_lang_id,
+        # emb_knn_lsh, emb_near_dups, transcript_validate
+    }

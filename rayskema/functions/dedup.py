@@ -1,0 +1,395 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's exact ``UniqueBy`` (``rules/rules.go:104-137``),
+these are the near-dup family a 100 TB training-data pipeline needs.
+All are built on the same two Ray Data motifs:
+
+1. a full-width ``map_batches`` pass computing per-row signatures
+   (hashes / sketches) — vectorized numpy over Arrow buffers, no Python
+   row loops in the signature path;
+2. ONE hash shuffle on the signature (``bucketed_map_groups``) to
+   co-locate candidates, then vectorized verification inside buckets.
+
+Candidate verification (pairwise Jaccard/hamming) runs only within
+buckets, so cost is sum of bucket^2, not corpus^2 — the LSH banding
+threshold controls bucket sizes.  At 10^12 rows the band buckets are
+additionally salted by ``% buckets`` exactly like every other grouped
+op in this engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..pipelines.relational import bucketed_map_groups, segment_starts
+from ..state.sketches import _hash64, hash_strings
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (first-wins by id)
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(ds: "rd.Dataset", key_cols, id_col: str,
+                     *, buckets: int = 64) -> "rd.Dataset":
+    """Rows that duplicate an earlier row (smaller ``id_col``) with the
+    same key tuple: (id, keeper, key...).  Hash-partition on the key,
+    first-wins inside each bucket — the distributed form of the
+    reference's first-wins map (``rules/rules.go:116-135``)."""
+    key_cols = list(key_cols)
+
+    def _dups(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(c, "ascending") for c in key_cols]
+                          + [(id_col, "ascending")])
+        new = segment_starts(tab, key_cols)
+        firsts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        dup_idx = np.flatnonzero(~new)
+        keeper_idx = firsts[seg_id[dup_idx]]
+        out = {id_col: tab[id_col].take(pa.array(dup_idx)),
+               "keeper": tab[id_col].take(pa.array(keeper_idx))}
+        for c in key_cols:
+            out[c] = tab[c].take(pa.array(dup_idx))
+        return pa.table(out)
+
+    return bucketed_map_groups(ds.select_columns(key_cols + [id_col]),
+                               key_cols, _dups, buckets=buckets,
+                               sort_within=False)
+
+
+# ---------------------------------------------------------------------------
+# Signatures (shared by MinHash / SimHash / n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+def _utf8_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, flat byte buffer) of a string array, zero-copy."""
+    arr = pc.cast(arr, pa.large_binary())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1,
+                            offset=arr.offset * 8)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    # slice to this array's bytes so offsets can be used relative to 0
+    data = data[offsets[0]: offsets[-1]]
+    offsets = offsets - offsets[0]
+    return offsets, data
+
+
+def char_shingle_hashes(arr: pa.Array, k: int = 5):
+    """Per-row sets of hashed character k-shingles, fully vectorized:
+    returns (row_ids int64, shingle_hashes uint64) flattened across the
+    batch — one rolling polynomial hash over the flat UTF-8 buffer."""
+    offsets, data = _utf8_buffers(arr)
+    n = len(offsets) - 1
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    lens = ends - starts
+    n_sh = np.maximum(lens - (k - 1), 1)  # short rows contribute 1 shingle
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+    # shingle start positions within the flat buffer
+    base = np.repeat(starts, n_sh)
+    local = np.arange(len(row_ids), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_sh)[:-1]]), n_sh)
+    pos = base + local
+    flat = data.astype(np.uint64)
+    # polynomial hash of data[pos:pos+k] (clamped at row end)
+    h = np.zeros(len(pos), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    row_end = np.repeat(ends, n_sh)
+    for j in range(k):
+        p = np.minimum(pos + j, row_end - 1)
+        p = np.maximum(p, 0)
+        byte = flat[p] if len(flat) else np.zeros(len(p), dtype=np.uint64)
+        h = (h * prime + byte) & _MASK64
+    return row_ids, _hash64(h)
+
+
+def word_shingle_hashes(arr: pa.Array, k: int = 3):
+    """Per-row hashed word k-shingles: tokenizes via Arrow regex split,
+    hashes tokens vectorized, then combines k consecutive token hashes."""
+    tokens = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"\s+")
+    flat = pc.list_flatten(tokens)
+    tok_counts = pc.list_value_length(tokens).fill_null(0)\
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    th = hash_strings(flat.combine_chunks() if isinstance(
+        flat, pa.ChunkedArray) else flat)
+    n = len(tok_counts)
+    n_sh = np.maximum(tok_counts - (k - 1), np.minimum(tok_counts, 1))
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+    tok_starts = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
+    base = np.repeat(tok_starts, n_sh)
+    local = np.arange(len(row_ids), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_sh)[:-1]]), n_sh)
+    pos = base + local
+    h = np.zeros(len(pos), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    tok_ends = tok_starts + tok_counts
+    row_end = np.repeat(tok_ends, n_sh)
+    for j in range(k):
+        p = np.minimum(pos + j, np.maximum(row_end - 1, 0))
+        h = (h * prime + (th[p] if len(th) else np.uint64(0))) & _MASK64
+    return row_ids, _hash64(h)
+
+
+def minhash_signature(row_ids: np.ndarray, hashes: np.ndarray, n_rows: int,
+                      n_perm: int = 64) -> np.ndarray:
+    """(n_rows, n_perm) uint64 MinHash matrix via the standard universal
+    a*x+b trick — one vectorized pass per permutation."""
+    rng = np.random.default_rng(0xD00D)
+    a = rng.integers(1, 1 << 63, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
+    sig = np.full((n_rows, n_perm), _MASK64, dtype=np.uint64)
+    for p in range(n_perm):
+        hp = (hashes * a[p] + b[p]) & _MASK64
+        np.minimum.at(sig[:, p], row_ids, hp)
+    return sig
+
+
+def simhash64(row_ids: np.ndarray, hashes: np.ndarray,
+              n_rows: int) -> np.ndarray:
+    """64-bit SimHash per row: sign of per-bit vote sums over feature
+    hashes (Charikar 2002), vectorized with bincount per bit."""
+    votes = np.zeros((n_rows, 64), dtype=np.int64)
+    for bit in range(64):
+        b = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        votes[:, bit] += np.bincount(row_ids, weights=2 * b - 1,
+                                     minlength=n_rows).astype(np.int64)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    for bit in range(64):
+        out |= (votes[:, bit] > 0).astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding pipeline
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    n_perm: int = 64, bands: int = 8, shingle_k: int = 5,
+    jaccard_threshold: float = 0.7, buckets: int = 64,
+) -> "rd.Dataset":
+    """Near-duplicate pairs by MinHash+LSH: per-batch signatures →
+    flat_map to (band, band_hash, id, sig) rows → shuffle on the band
+    bucket → pairwise signature-Jaccard verification inside buckets →
+    distinct pairs (id_a < id_b) with the estimated Jaccard.
+
+    Returns columns (id_a, id_b, jaccard_est).
+    """
+    rows_per_band = n_perm // bands
+
+    def _sigs(tab: pa.Table) -> pa.Table:
+        arr = tab[text_col].combine_chunks()
+        rid, h = char_shingle_hashes(arr, k=shingle_k)
+        sig = minhash_signature(rid, h, tab.num_rows, n_perm)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # one output row per (row, band): band bucket key + full signature
+        band_rows = []
+        for b in range(bands):
+            bh = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            key = np.zeros(len(ids), dtype=np.uint64)
+            for j in range(rows_per_band):
+                key = (key * np.uint64(0x100000001B3) + bh[:, j]) & _MASK64
+            band_rows.append(pa.table({
+                "band": pa.array(np.full(len(ids), b, dtype=np.int32)),
+                "band_key": pa.array(_hash64(key ^ np.uint64(b + 1))
+                                     .astype(np.int64)),
+                id_col: pa.array(ids),
+                "sig": pa.array(list(sig.astype(np.int64)),
+                                type=pa.list_(pa.int64(), n_perm)),
+            }))
+        return pa.concat_tables(band_rows)
+
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        _sigs, batch_format="pyarrow")
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        # bucket sorted by (band, band_key): candidate groups are
+        # contiguous runs of equal (band, band_key)
+        tab = tab.sort_by([("band", "ascending"), ("band_key", "ascending"),
+                           (id_col, "ascending")])
+        new = segment_starts(tab, ["band", "band_key"])
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sigs = np.asarray(tab["sig"].combine_chunks().flatten()
+                          .to_numpy(zero_copy_only=False)
+                          ).reshape(len(ids), -1)
+        out_a, out_b, out_j = [], [], []
+        firsts = np.flatnonzero(new)
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            gid, gsig = ids[s:e], sigs[s:e]
+            m = len(gid)
+            eq = (gsig[:, None, :] == gsig[None, :, :]).mean(axis=2)
+            ia, ib = np.triu_indices(m, k=1)
+            keep = eq[ia, ib] >= jaccard_threshold
+            out_a.append(gid[ia[keep]])
+            out_b.append(gid[ib[keep]])
+            out_j.append(eq[ia, ib][keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "jaccard_est": pa.array([], type=pa.float64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "jaccard_est": pa.array(np.concatenate(out_j)),
+        })
+
+    pairs = bucketed_map_groups(sig_ds, ["band_key"], _pairs,
+                                buckets=buckets, sort_within=False)
+
+    # same pair can surface from multiple bands: distinct on (id_a, id_b)
+    def _dedup_pairs(tab: pa.Table) -> pa.Table:
+        return tab.group_by(["id_a", "id_b"]).aggregate(
+            [("jaccard_est", "max")]).rename_columns(
+                ["id_a", "id_b", "jaccard_est"])
+
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
+                               buckets=max(8, buckets // 8),
+                               sort_within=False)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pipeline
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    max_hamming: int = 3, n_blocks: int = 4, buckets: int = 64,
+) -> "rd.Dataset":
+    """Near-dup pairs by 64-bit SimHash: block-permutation blocking (any
+    pair within hamming distance d < n_blocks shares at least one exact
+    16-bit block), verify hamming inside candidate groups.
+    Returns (id_a, id_b, hamming)."""
+    bits = 64 // n_blocks
+
+    def _sigs(tab: pa.Table) -> pa.Table:
+        arr = tab[text_col].combine_chunks()
+        rid, h = word_shingle_hashes(arr, k=1)
+        sh = simhash64(rid, h, tab.num_rows)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(n_blocks):
+            block = (sh >> np.uint64(b * bits)) & np.uint64((1 << bits) - 1)
+            parts.append(pa.table({
+                "block": pa.array(np.full(len(ids), b, dtype=np.int32)),
+                "block_key": pa.array(block.astype(np.int64)),
+                id_col: pa.array(ids),
+                "simhash": pa.array(sh.astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        _sigs, batch_format="pyarrow")
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("block", "ascending"), ("block_key", "ascending"),
+                           (id_col, "ascending")])
+        new = segment_starts(tab, ["block", "block_key"])
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sh = tab["simhash"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        firsts = np.flatnonzero(new)
+        out_a, out_b, out_h = [], [], []
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            gid, gsh = ids[s:e], sh[s:e]
+            ia, ib = np.triu_indices(len(gid), k=1)
+            x = gsh[ia] ^ gsh[ib]
+            ham = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            while v.any():
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(gid[ia[keep]])
+            out_b.append(gid[ib[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "hamming": pa.array(np.concatenate(out_h)),
+        })
+
+    pairs = bucketed_map_groups(sig_ds, ["block_key"], _pairs,
+                                buckets=buckets, sort_within=False)
+
+    def _dedup_pairs(tab: pa.Table) -> pa.Table:
+        return tab.group_by(["id_a", "id_b"]).aggregate(
+            [("hamming", "min")]).rename_columns(["id_a", "id_b", "hamming"])
+
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
+                               buckets=max(8, buckets // 8),
+                               sort_within=False)
+
+
+# ---------------------------------------------------------------------------
+# Character-set Jaccard within groups (exact; DuckDB-oracle-compatible:
+# jaccard(s1, s2) over distinct character sets)
+# ---------------------------------------------------------------------------
+
+def charset_jaccard_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, group_cols,
+    *, threshold: float = 0.99, buckets: int = 16,
+) -> "rd.Dataset":
+    """All pairs within each group whose character-set Jaccard similarity
+    is >= threshold: (id_a, id_b, jaccard).  Exact (not sketched);
+    candidate scope is bounded by the grouping columns — the pattern for
+    'verify candidates only within a blocking key'."""
+    group_cols = list(group_cols)
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(c, "ascending") for c in group_cols]
+                          + [(id_col, "ascending")])
+        new = segment_starts(tab, group_cols)
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        firsts = np.flatnonzero(new)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        arr = tab[text_col].combine_chunks()
+        offsets, data = _utf8_buffers(arr)
+        starts, ends = offsets[:-1], offsets[1:]
+        # per-row 256-slot byte-presence bitmap, vectorized
+        n = tab.num_rows
+        present = np.zeros((n, 256), dtype=bool)
+        row_of = np.repeat(np.arange(n), (ends - starts))
+        present[row_of, data] = True
+        sizes = present.sum(axis=1)
+        out_a, out_b, out_j = [], [], []
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            gp = present[s:e]
+            inter = (gp[:, None, :] & gp[None, :, :]).sum(axis=2)
+            union = sizes[s:e][:, None] + sizes[s:e][None, :] - inter
+            jac = inter / np.maximum(union, 1)
+            ia, ib = np.triu_indices(e - s, k=1)
+            keep = jac[ia, ib] >= threshold
+            out_a.append(ids[s:e][ia[keep]])
+            out_b.append(ids[s:e][ib[keep]])
+            out_j.append(jac[ia, ib][keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "jaccard": pa.array(np.concatenate(out_j)),
+        })
+
+    return bucketed_map_groups(
+        ds.select_columns(group_cols + [id_col, text_col]), group_cols,
+        _pairs, buckets=buckets, sort_within=False)

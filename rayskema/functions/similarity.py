@@ -1,0 +1,262 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+via ``ray.put``; every ``map_batches`` task computes a numpy matmul of
+its batch against the broadcast matrix and emits only its local top-k
+candidates, so the shuffle/merge moves O(n_queries * k * n_blocks)
+rows, never the corpus.  The driver-side final merge is tiny.
+
+Scale path: LSH-bucketed variant (random-hyperplane signs) that
+restricts the matmul to rows sharing a hash bucket with the query —
+same broadcast pattern, corpus scanned once, candidate sets bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) float64 matrix from a fixed-width list<float> column,
+    zero-copy from the flat values buffer where possible."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0))
+    d = len(flat) // n
+    return flat.to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_cosine_brute(
+    ds: "rd.Dataset", vec_col: str, id_col: str,
+    query_ids: list, *, k: int = 5,
+) -> pa.Table:
+    """Exact cosine top-k for each query id (queries are corpus rows,
+    fetched once and broadcast).  Returns (query_id, neighbor_id, rank,
+    score) — rank 1..k by descending cosine, ties broken by ascending
+    neighbor id; the query row itself is included (rank 1, score 1)."""
+    qset = pa.array(query_ids, type=pa.int64())
+    q_tab_ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=qset)),
+        batch_format="pyarrow")
+    q_tab = pa.concat_tables(ray.get(q_tab_ds.to_arrow_refs()))
+    q_tab = q_tab.sort_by([(id_col, "ascending")])
+    qm = _normalize(_matrix(q_tab[vec_col]))
+    qids = q_tab[id_col].to_numpy(zero_copy_only=False)
+    q_ref = ray.put((qids, qm))
+
+    class _TopK:
+        def __init__(self) -> None:
+            self.qids, self.qm = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            scores = self.qm @ m.T                     # (nq, nb)
+            nb = scores.shape[1]
+            kk = min(k, nb)
+            # local top-k per query (argpartition, then exact sort later)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            nq = len(self.qids)
+            out_q = np.repeat(self.qids, kk)
+            out_n = ids[part.ravel()]
+            out_s = scores[np.repeat(np.arange(nq), kk), part.ravel()]
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            })
+
+    cand = ds.select_columns([id_col, vec_col]).map_batches(
+        _TopK, batch_format="pyarrow", concurrency=4)
+    tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    # final merge (tiny): global top-k per query, deterministic ordering
+    tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
+                       ("neighbor_id", "ascending")])
+    q = tab["query_id"].to_numpy(zero_copy_only=False)
+    new = np.zeros(len(q), dtype=bool)
+    if len(q):
+        new[0] = True
+        new[1:] = q[1:] != q[:-1]
+    pos = np.arange(len(q)) - np.repeat(
+        np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(q))))
+    keep = pos < k
+    tab = tab.filter(pa.array(keep))
+    tab = tab.append_column("rank", pa.array((pos[keep] + 1).astype(np.int64)))
+    return tab.select(["query_id", "neighbor_id", "rank", "score"])
+
+
+def knn_cosine_lsh(
+    ds: "rd.Dataset", vec_col: str, id_col: str,
+    query_ids: list, *, k: int = 5, n_planes: int = 12, n_tables: int = 4,
+    seed: int = 7,
+) -> pa.Table:
+    """Approximate cosine top-k: random-hyperplane LSH. A corpus row is
+    a candidate for a query iff they share a signature in ANY of the
+    ``n_tables`` hash tables; candidates are scored exactly.  Same
+    broadcast + local-top-k merge shape as the brute-force baseline, but
+    each batch scores only its bucket-colliding rows (the 100 TB path:
+    candidate count per query is ~corpus/2^n_planes per table)."""
+    qset = pa.array(query_ids, type=pa.int64())
+    q_ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=qset)),
+        batch_format="pyarrow")
+    q_tab = pa.concat_tables(ray.get(q_ds.to_arrow_refs()))
+    q_tab = q_tab.sort_by([(id_col, "ascending")])
+    qm = _normalize(_matrix(q_tab[vec_col]))
+    qids = q_tab[id_col].to_numpy(zero_copy_only=False)
+    d = qm.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    powers = 1 << np.arange(n_planes)
+
+    def _sig(m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int signatures."""
+        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = ((m @ planes[t].T) > 0) @ powers
+        return out
+
+    qsig = _sig(qm)
+    q_ref = ray.put((qids, qm, qsig))
+
+    class _TopK:
+        def __init__(self) -> None:
+            self.qids, self.qm, self.qsig = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sig = _sig(m)
+            out_q, out_n, out_s = [], [], []
+            # collide per table: (nq, nb) any-table signature match
+            cand = np.zeros((len(self.qids), len(ids)), dtype=bool)
+            for t in range(planes.shape[0]):
+                cand |= self.qsig[:, t][:, None] == sig[:, t][None, :]
+            for qi in range(len(self.qids)):
+                sel = np.flatnonzero(cand[qi])
+                if len(sel) == 0:
+                    continue
+                sc = m[sel] @ self.qm[qi]
+                kk = min(k, len(sel))
+                part = np.argpartition(-sc, kk - 1)[:kk]
+                out_q.append(np.full(kk, self.qids[qi]))
+                out_n.append(ids[sel[part]])
+                out_s.append(sc[part])
+            if not out_q:
+                return pa.table({
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n),
+                                        type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            })
+
+    cand = ds.select_columns([id_col, vec_col]).map_batches(
+        _TopK, batch_format="pyarrow", concurrency=4)
+    tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
+                       ("neighbor_id", "ascending")])
+    q = tab["query_id"].to_numpy(zero_copy_only=False)
+    new = np.zeros(len(q), dtype=bool)
+    if len(q):
+        new[0] = True
+        new[1:] = q[1:] != q[:-1]
+    pos = np.arange(len(q)) - np.repeat(
+        np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(q))))
+    keep = pos < k
+    tab = tab.filter(pa.array(keep))
+    tab = tab.append_column("rank", pa.array((pos[keep] + 1).astype(np.int64)))
+    return tab.select(["query_id", "neighbor_id", "rank", "score"])
+
+
+def embedding_near_dup_pairs(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *,
+    cosine_threshold: float = 0.95, n_planes: int = 10, n_tables: int = 6,
+    seed: int = 11, buckets: int = 64,
+) -> "rd.Dataset":
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    banding (shuffle on (table, signature)), exact cosine verification
+    inside buckets.  Returns (id_a, id_b, cosine)."""
+    from ..pipelines.relational import bucketed_map_groups, segment_starts
+
+    probe = ds.take_batch(1, batch_format="pyarrow")
+    d = len(probe[vec_col][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    powers = 1 << np.arange(n_planes)
+
+    def _sigs(tab: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(tab[vec_col]))
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        parts = []
+        for t in range(n_tables):
+            sig = ((m @ planes[t].T) > 0) @ powers
+            parts.append(pa.table({
+                "tbl": pa.array(np.full(len(ids), t, dtype=np.int32)),
+                "sig": pa.array(sig.astype(np.int64)),
+                id_col: pa.array(ids),
+                "vec": pa.array(list(m), type=pa.list_(pa.float64(), d)),
+            }))
+        return pa.concat_tables(parts)
+
+    sig_ds = ds.select_columns([id_col, vec_col]).map_batches(
+        _sigs, batch_format="pyarrow")
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("tbl", "ascending"), ("sig", "ascending"),
+                           (id_col, "ascending")])
+        new = segment_starts(tab, ["tbl", "sig"])
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        firsts = np.flatnonzero(new)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        m = np.asarray(tab["vec"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).reshape(len(ids), -1)
+        out_a, out_b, out_c = [], [], []
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            gm, gid = m[s:e], ids[s:e]
+            cos = gm @ gm.T
+            ia, ib = np.triu_indices(e - s, k=1)
+            keep = cos[ia, ib] >= cosine_threshold
+            out_a.append(gid[ia[keep]])
+            out_b.append(gid[ib[keep]])
+            out_c.append(cos[ia, ib][keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_c)),
+        })
+
+    pairs = bucketed_map_groups(sig_ds, ["sig"], _pairs, buckets=buckets,
+                                sort_within=False)
+
+    def _dedup(tab: pa.Table) -> pa.Table:
+        return tab.group_by(["id_a", "id_b"]).aggregate(
+            [("cosine", "max")]).rename_columns(["id_a", "id_b", "cosine"])
+
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup,
+                               buckets=max(8, buckets // 8),
+                               sort_within=False)

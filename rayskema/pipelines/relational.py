@@ -1,0 +1,283 @@
+"""Generic relational check pipelines over arbitrary Parquet tables.
+
+The transcript pipeline (``pipelines.validate``) is the flagship; these
+are the same engine primitives exposed as reusable operators over any
+table — the shapes a user of the reference library (goskema) runs today,
+re-expressed Ray-Data-first:
+
+- per-batch constraint checks (``check_constraints``): the compiled
+  :class:`~rayskema.plan.ConstraintPlan` over ``map_batches`` with
+  zero-copy Arrow batches (reference per-field checks,
+  ``dsl/primitives.go``, ``dsl/object_core.go``);
+- duplicate-key detection (``find_duplicates``): reference
+  ``rules.UniqueBy`` (``rules/rules.go:104-137``) as a hash shuffle;
+- referential integrity (``ref_violations``): reference context-rule
+  existence lookups (``examples/context_order_inventory``) as a
+  broadcast semi/anti join — the small side is ``ray.put`` ONCE and
+  read inside every task, never re-shipped per batch;
+- group-count bounds (``group_count_violations``): reference
+  ``rules.AtLeastOne`` (``rules/rules.go:79-99``);
+- per-group monotonicity (``monotonic_violations``): reference typed
+  refinement rules (``dsl/typed_rules.go:56-132``).
+
+Scale notes: every grouped op here uses the *bucketed* pattern — add a
+``bucket = hash(key) % P`` column, ``groupby("bucket").map_groups`` and
+run the per-group logic VECTORIZED over the whole bucket (numpy over
+sorted arrays), never one Python call per key group.  P is the skew
+knob: a bucket holds ~n_keys/P keys, so a hot key perturbs one bucket
+only.  ``groupby().aggregate()`` paths pre-aggregate inside blocks
+before the shuffle (Ray Data's partial+final aggregate).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..issues import CONFLICT, canon_params, column_path, violations_schema
+from ..plan import ConstraintPlan
+from ..schema import TableSchema
+from ..state.sketches import hash_strings
+
+
+# ---------------------------------------------------------------------------
+# Bucketed grouping: the ONE shuffle pattern every grouped check shares.
+# ---------------------------------------------------------------------------
+
+def composite_hash(tab: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Vectorized 64-bit hash of a key-column tuple (mixing per column)."""
+    h = np.zeros(tab.num_rows, dtype=np.uint64)
+    for i, c in enumerate(key_cols):
+        arr = tab[c]
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            hc = hash_strings(arr.combine_chunks(), seed=i)
+        else:
+            v = pc.cast(arr, pa.int64(), safe=False).fill_null(
+                np.iinfo(np.int64).min).combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+            from ..state.sketches import _hash64
+            hc = _hash64(v ^ np.uint64((i + 1) * 0x9E3779B97F4A7C15
+                                       & 0xFFFFFFFFFFFFFFFF))
+        h = h * np.uint64(0x100000001B3) + hc
+    return h
+
+
+def add_bucket(ds: "rd.Dataset", key_cols: Sequence[str],
+               buckets: int) -> "rd.Dataset":
+    key_cols = list(key_cols)
+
+    def _stamp(tab: pa.Table) -> pa.Table:
+        b = (composite_hash(tab, key_cols) % np.uint64(buckets)).astype(np.int64)
+        return tab.append_column("bucket", pa.array(b))
+
+    return ds.map_batches(_stamp, batch_format="pyarrow")
+
+
+def bucketed_map_groups(
+    ds: "rd.Dataset",
+    key_cols: Sequence[str],
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    buckets: int = 64,
+    sort_within: bool = True,
+) -> "rd.Dataset":
+    """Hash-partition on ``key_cols`` and apply ``fn`` to each bucket
+    (NOT each key group — buckets keep the Python-call count at P, the
+    per-group logic stays vectorized).  ``fn`` sees the bucket sorted by
+    ``key_cols`` with the ``bucket`` column dropped."""
+    key_cols = list(key_cols)
+
+    def _apply(tab: pa.Table) -> pa.Table:
+        tab = tab.drop_columns(["bucket"])
+        if sort_within and tab.num_rows:
+            tab = tab.sort_by([(c, "ascending") for c in key_cols])
+        return fn(tab)
+
+    return add_bucket(ds, key_cols, buckets).groupby("bucket").map_groups(
+        _apply, batch_format="pyarrow")
+
+
+def segment_starts(tab: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Boolean 'new group starts here' mask over a key-sorted table."""
+    n = tab.num_rows
+    new = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new
+    new[0] = True
+    for c in key_cols:
+        arr = tab[c].combine_chunks()
+        v = arr.to_numpy(zero_copy_only=False)
+        new[1:] |= v[1:] != v[:-1]
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+def check_constraints(ds: "rd.Dataset", schema: TableSchema,
+                      *, columns: Sequence[str] | None = None) -> "rd.Dataset":
+    """Per-batch constraint evaluation: violations Dataset with columns
+    (key..., path, code, rule, message, params)."""
+    out_schema = violations_schema(schema.key_fields())
+
+    class _Check:
+        def __init__(self) -> None:
+            self.plan = ConstraintPlan(schema)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self.plan.validate(batch).cast(out_schema)
+
+    # stateless-task form with a driver-compiled plan also works; the
+    # callable-class form keeps per-actor compile cost amortized.
+    return ds.map_batches(_Check, batch_format="pyarrow", concurrency=4)
+
+
+def find_duplicates(ds: "rd.Dataset", key_cols: Sequence[str],
+                    *, buckets: int = 64, min_count: int = 2) -> "rd.Dataset":
+    """Key tuples appearing >= min_count times: (key..., n).  The
+    cross-partition duplicate check (reference duplicate_key/uniqueness)
+    as one hash shuffle; counting is vectorized per bucket."""
+    key_cols = list(key_cols)
+
+    def _dups(tab: pa.Table) -> pa.Table:
+        new = segment_starts(tab, key_cols)
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        firsts = np.flatnonzero(new)
+        keep = counts >= min_count
+        idx = firsts[keep]
+        out = {c: tab[c].take(pa.array(idx)) for c in key_cols}
+        out["n"] = pa.array(counts[keep], type=pa.int64())
+        return pa.table(out)
+
+    return bucketed_map_groups(ds, key_cols, _dups, buckets=buckets)
+
+
+def ref_violations(ds: "rd.Dataset", column: str, valid_keys_ref,
+                   key_cols: Sequence[str], *, rule: str = "ref_integrity",
+                   manifest_name: str = "manifest") -> "rd.Dataset":
+    """Rows whose ``column`` is not in the broadcast key set => CONFLICT
+    violations.  ``valid_keys_ref`` is a ``ray.put`` ObjectRef of a
+    pyarrow Array (broadcast once; resolved lazily per actor)."""
+    key_cols = list(key_cols)
+    params = canon_params({"manifest": manifest_name})
+    path = column_path(column)
+
+    class _Anti:
+        def __init__(self) -> None:
+            keys = valid_keys_ref
+            self.keys = ray.get(keys) if isinstance(keys, ray.ObjectRef) else keys
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..issues import violations_from_mask
+            dangling = pc.and_(
+                pc.invert(pc.is_in(batch[column], value_set=self.keys)),
+                pc.is_valid(batch[column]))
+            return violations_from_mask(
+                batch, dangling, key_cols, path, CONFLICT, rule,
+                "key not present in manifest", params)
+
+    return ds.map_batches(_Anti, batch_format="pyarrow", concurrency=4)
+
+
+def group_count_violations(ds: "rd.Dataset", group_cols: Sequence[str],
+                           *, min_count: int | None = None,
+                           max_count: int | None = None,
+                           buckets: int = 64) -> "rd.Dataset":
+    """Groups whose row count is out of bounds: (group..., n).
+    Pre-aggregates inside map_batches (partial counts) before the
+    shuffle, so the exchange moves one row per (block, group), not one
+    per input row."""
+    group_cols = list(group_cols)
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        t = tab.group_by(group_cols).aggregate([(group_cols[0], "count")])
+        return t.rename_columns(group_cols + ["n"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        new = segment_starts(tab, group_cols)
+        seg_id = np.cumsum(new) - 1
+        n = np.bincount(seg_id, weights=tab["n"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        firsts = np.flatnonzero(new)
+        bad = np.zeros(len(n), dtype=bool)
+        if min_count is not None:
+            bad |= n < min_count
+        if max_count is not None:
+            bad |= n > max_count
+        idx = firsts[bad]
+        out = {c: tab[c].take(pa.array(idx)) for c in group_cols}
+        out["n"] = pa.array(n[bad], type=pa.int64())
+        return pa.table(out)
+
+    return bucketed_map_groups(partial, group_cols, _final)
+
+
+def monotonic_violations(
+    ds: "rd.Dataset", group_col: str, order_col: str, value_col: str,
+    id_cols: Sequence[str], *, buckets: int = 64,
+) -> "rd.Dataset":
+    """Rows where ``value_col`` regresses vs the previous row of the same
+    group ordered by ``order_col``: (id..., prev_value, value).  One
+    hash shuffle on the group key; the lag compare is numpy over the
+    bucket-sorted arrays."""
+    id_cols = list(id_cols)
+    need = list(dict.fromkeys([group_col, order_col, value_col] + id_cols))
+
+    def _mono(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending"), (order_col, "ascending")])
+        new = segment_starts(tab, [group_col])
+        v = tab[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").astype(np.int64)
+        n = len(v)
+        bad = np.zeros(n, dtype=bool)
+        if n > 1:
+            bad[1:] = (~new[1:]) & (v[1:] < v[:-1])
+        idx = pa.array(np.flatnonzero(bad))
+        prev = pa.array(np.flatnonzero(bad) - 1)
+        out = {c: tab[c].take(idx) for c in id_cols}
+        out["prev_value"] = tab[value_col].take(prev)
+        out["value"] = tab[value_col].take(idx)
+        return pa.table(out)
+
+    return bucketed_map_groups(ds.select_columns(need), [group_col], _mono,
+                               buckets=buckets, sort_within=False)
+
+
+def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
+                   *, buckets: int = 64) -> "rd.Dataset":
+    """Exact distinct values of ``value_col`` per ``group_col``:
+    (group, n_distinct).  Pre-dedups (group, value) pairs inside each
+    block before the shuffle (map-side combine), then counts distinct
+    per bucket vectorized."""
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        return tab.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([])
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _count(tab: pa.Table) -> pa.Table:
+        tab = tab.group_by([group_col, value_col]).aggregate([])
+        tab = tab.sort_by([(group_col, "ascending")])
+        new = segment_starts(tab, [group_col])
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        firsts = np.flatnonzero(new)
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(firsts)),
+            "n_distinct": pa.array(counts, type=pa.int64()),
+        })
+
+    return bucketed_map_groups(pairs, [group_col], _count,
+                               buckets=buckets, sort_within=False)

@@ -54,7 +54,7 @@ _CMP = {"eq": pc.equal, "ne": pc.not_equal, "lt": pc.less, "le": pc.less_equal,
 def compile_expr(expr: Mapping[str, Any]) -> Callable[[pa.Table], pa.ChunkedArray]:
     op = expr["op"]
     if op in _CMP:
-        col, value, kernel = expr["col"], expr["value"], _CMP[op]
+        col, value, kernel = expr["col"], expr.get("value"), _CMP[op]
         other = expr.get("other_col")
         if other is not None:
             return lambda t: kernel(t[col], t[other])
