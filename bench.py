@@ -72,7 +72,9 @@ def run_flagship(corpus: str, num_cpus: int) -> dict:
         baseline = ColumnProfile.from_bytes(f.read())
     cfg = ValidateConfig(
         buckets=max(32, num_cpus * 2),
-        concurrency=num_cpus,
+        # autoscaling pool: never a fixed pool sized to the whole
+        # cluster (starves read tasks of sibling stages)
+        concurrency=(1, num_cpus),
     )
     t0 = time.perf_counter()
     res = validate(

@@ -1,0 +1,132 @@
+"""Schema contract export/import: TableSchema <-> JSON document.
+
+Reference analogue: JSON Schema export per schema node
+(``dsl/object_core.go:289-320``, ``jsonschema/schema.go:5-23``) and the
+OpenAPI/CRD importer seam (``kubeopenapi/kubeopenapi.go:14-57``).  The
+contract is the distribution format for a table's validation rules:
+export it once, ship it, rebuild the identical TableSchema (same
+``schema_hash``) anywhere.
+
+Unknown-policy mapping follows the reference (README.md:171-176):
+Strict => additionalColumns: false; Strip/Passthrough => true.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+
+import pyarrow as pa
+
+from .schema import (
+    ByteBounds, Column, ContiguousRule, CrossFieldRule, DriftRule, Enum,
+    GroupCountRule, LenBounds, MonotonicRule, NonNull, Range,
+    RefIntegrityRule, Regex, TableSchema, TsFormat, UniqueRule, Unknown,
+)
+
+_CONSTRAINTS = {c.__name__: c for c in
+                (NonNull, Regex, Enum, LenBounds, ByteBounds, Range, TsFormat)}
+_RULES = {c.__name__: c for c in
+          (ContiguousRule, CrossFieldRule, DriftRule, GroupCountRule,
+           MonotonicRule, RefIntegrityRule, UniqueRule)}
+
+_TYPES = {
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "bool": pa.bool_(),
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(),
+    "uint32": pa.uint32(), "uint64": pa.uint64(),
+    "float": pa.float32(), "double": pa.float64(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "date32[day]": pa.date32(),
+}
+
+
+def _dtype_name(t: pa.DataType) -> str:
+    s = str(t)
+    if s not in _TYPES:
+        raise ValueError(f"dtype not representable in contract: {s}")
+    return s
+
+
+def export_contract(schema: TableSchema) -> dict:
+    doc = {
+        "contract_version": 1,
+        "name": schema.name,
+        "key_columns": list(schema.key_columns),
+        "additionalColumns": schema.unknown is not Unknown.STRICT,
+        "unknown": schema.unknown.value,
+        "columns": [],
+        "rules": [],
+        "schema_hash": schema.schema_hash(),
+    }
+    for c in schema.columns:
+        doc["columns"].append({
+            "name": c.name,
+            "dtype": _dtype_name(c.dtype),
+            "nullable": c.nullable,
+            "default": c.default,
+            "constraints": [
+                {"_type": type(k).__name__, **asdict(k)}
+                for k in c.constraints
+            ],
+        })
+    for r in schema.rules:
+        # "_type" is the discriminator; it must not collide with rule
+        # fields (DriftRule has its own "kind" field)
+        doc["rules"].append({"_type": type(r).__name__, **_rule_dict(r)})
+    return doc
+
+
+def _rule_dict(r) -> dict:
+    d = asdict(r)
+    for k, v in list(d.items()):
+        if isinstance(v, tuple):
+            d[k] = list(v)
+    return d
+
+
+def import_contract(doc: dict) -> TableSchema:
+    if doc.get("contract_version") != 1:
+        raise ValueError("unsupported contract_version")
+    cols = []
+    for c in doc["columns"]:
+        constraints = []
+        for k in c.get("constraints", []):
+            k = dict(k)
+            cls = _CONSTRAINTS[k.pop("_type")]
+            if "values" in k:
+                k["values"] = tuple(k["values"])
+            constraints.append(cls(**k))
+        cols.append(Column(c["name"], _TYPES[c["dtype"]],
+                           nullable=c.get("nullable", True),
+                           default=c.get("default"),
+                           constraints=tuple(constraints)))
+    rules = []
+    for r in doc.get("rules", []):
+        r = dict(r)
+        cls = _RULES[r.pop("_type")]
+        for key in ("columns", "group_by"):
+            if key in r and isinstance(r[key], list):
+                r[key] = tuple(r[key])
+        rules.append(cls(**r))
+    return TableSchema(
+        columns=tuple(cols),
+        key_columns=tuple(doc.get("key_columns", ())),
+        unknown=Unknown(doc.get("unknown", "strict")),
+        rules=tuple(rules),
+        name=doc.get("name", "table"),
+    )
+
+
+def save_contract(schema: TableSchema, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(export_contract(schema), f, indent=2, sort_keys=True)
+
+
+def load_contract(path: str) -> TableSchema:
+    with open(path) as f:
+        return import_contract(json.load(f))

@@ -171,8 +171,8 @@ def simhash64(row_ids: np.ndarray, hashes: np.ndarray,
 
 def minhash_lsh_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
-    n_perm: int = 64, bands: int = 8, shingle_k: int = 5,
-    jaccard_threshold: float = 0.7, buckets: int = 64,
+    n_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+    jaccard_threshold: float = 0.5, buckets: int = 64,
 ) -> "rd.Dataset":
     """Near-duplicate pairs by MinHash+LSH: per-batch signatures →
     flat_map to (band, band_hash, id, sig) rows → shuffle on the band
@@ -180,6 +180,9 @@ def minhash_lsh_pairs(
     distinct pairs (id_a < id_b) with the estimated Jaccard.
 
     Returns columns (id_a, id_b, jaccard_est).
+
+    Banding theory: the LSH similarity threshold is ~(1/bands)^(bands/n_perm)
+    — (16 bands x 4 rows) targets ~0.5; pick (8 x 8) for ~0.77.
     """
     rows_per_band = n_perm // bands
 

@@ -73,6 +73,13 @@ def add_bucket(ds: "rd.Dataset", key_cols: Sequence[str],
     key_cols = list(key_cols)
 
     def _stamp(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            # degenerate empty blocks (e.g. from an upstream map_groups
+            # with no groups) may carry no schema; emit an empty
+            # bucket-only block — groupby drops empty blocks anyway
+            cols = {c: tab[c] for c in tab.column_names}
+            cols["bucket"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         b = (composite_hash(tab, key_cols) % np.uint64(buckets)).astype(np.int64)
         return tab.append_column("bucket", pa.array(b))
 

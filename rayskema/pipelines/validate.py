@@ -441,23 +441,20 @@ def validate(
     groups, file_viols = inspect_files(files, schema)
 
     # ---- pass 1: full-width scan, batch-local checks + sketch partials --
-    # One read per schema-group (per-group column pruning), unioned BEFORE
-    # the validator so a single actor pool serves every group — the
-    # validator normalizes per-batch schema differences itself.
-    reads = [rd.read_parquet(g.files, columns=g.read_columns)
-             for g in groups]
-    ds = reads[0]
-    for part in reads[1:]:
-        ds = ds.union(part)
+    # One read per schema-group (per-group column pruning); each group is
+    # validated by its own map stage and the SMALL outputs (violations +
+    # sketch rows) are unioned afterwards.  Never union raw reads into a
+    # fixed-size actor pool: a pool sized near the cluster CPU count
+    # starves the other branch's read tasks and deadlocks the union.
     kwargs: dict = dict(
         batch_format="pyarrow", batch_size=cfg.batch_size,
-        fn_constructor_args=(schema,),
-        fn_constructor_kwargs={"with_profile": cfg.with_profile},
         num_cpus=cfg.num_cpus,
     )
     if cfg.concurrency is not None:
         kwargs["concurrency"] = cfg.concurrency
-        combined = ds.map_batches(BatchValidator, **kwargs)
+        kwargs["fn_constructor_args"] = (schema,)
+        kwargs["fn_constructor_kwargs"] = {"with_profile": cfg.with_profile}
+        make = lambda ds: ds.map_batches(BatchValidator, **kwargs)  # noqa: E731
     else:
         # stateless-task variant: plan compiled once on the driver,
         # shipped in the (cloudpickled) closure — cheaper for small runs
@@ -466,9 +463,12 @@ def validate(
         def validate_batch(batch: pa.Table, _v=validator) -> pa.Table:
             return _v(batch)
 
-        kwargs.pop("fn_constructor_args")
-        kwargs.pop("fn_constructor_kwargs")
-        combined = ds.map_batches(validate_batch, **kwargs)
+        make = lambda ds: ds.map_batches(validate_batch, **kwargs)  # noqa: E731
+    outs = [make(rd.read_parquet(g.files, columns=g.read_columns))
+            for g in groups]
+    combined = outs[0]
+    for part in outs[1:]:
+        combined = combined.union(part)
     mat = combined.materialize()   # violations + sketch rows only (small)
 
     tables = ray.get(mat.to_arrow_refs())

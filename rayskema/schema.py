@@ -38,6 +38,25 @@ from typing import Any, Callable, Mapping, Sequence
 import pyarrow as pa
 
 
+def _canon(obj):
+    """Recursively canonicalize schema objects for hashing: dataclasses
+    -> {type, sorted fields}, dicts sorted, tuples/lists -> lists,
+    everything else -> str."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {"__type__": type(obj).__name__,
+                **{f.name: _canon(getattr(obj, f.name))
+                   for f in dataclasses.fields(obj)}}
+    if isinstance(obj, Mapping):
+        return {str(k): _canon(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_canon(v) for v in obj]
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
+
+
 class Unknown(enum.Enum):
     """Unknown-column policy (reference types.go:3-10)."""
 
@@ -262,8 +281,12 @@ class TableSchema:
 
     def schema_hash(self) -> str:
         """Stable hash of the declaration — stamped into checkpoint
-        manifests so resume refuses to mix schema versions."""
-        payload = repr(self).encode()
+        manifests so resume refuses to mix schema versions.  Uses a
+        canonical (sorted-keys) dump so equal schemas hash equally even
+        when nested dict key order differs (e.g. after a contract
+        round-trip)."""
+        payload = json.dumps(_canon(self), sort_keys=True,
+                             separators=(",", ":")).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
     def rules_of(self, cls: type) -> list:

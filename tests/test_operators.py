@@ -1,0 +1,241 @@
+"""Unit/e2e tests for the operator suite (relational checks, dedup,
+similarity, text stats, multimodal plumbing, contract round-trip).
+
+Reference test-strategy analogue: per-operator unit tests
+(/root/reference/dsl/*_test.go) on tiny in-memory tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    return pa.concat_tables(tabs)
+
+
+# ---------------------------------------------------------------------------
+# relational
+# ---------------------------------------------------------------------------
+
+def test_find_duplicates(ray_session):
+    from rayskema.pipelines.relational import find_duplicates
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b", "c", "c", "c"], "v": [1, 1, 2, 3, 3, 3]}))
+    out = _collect(find_duplicates(ds, ["k", "v"], buckets=4)).sort_by("k")
+    assert out["k"].to_pylist() == ["a", "c"]
+    assert out["n"].to_pylist() == [2, 3]
+
+
+def test_monotonic_violations(ray_session):
+    from rayskema.pipelines.relational import monotonic_violations
+    ds = rd.from_arrow(pa.table({
+        "g": ["x", "x", "x", "y", "y"],
+        "o": [0, 1, 2, 0, 1],
+        "v": [1.0, 3.0, 2.0, 5.0, 7.0],
+        "id": [10, 11, 12, 20, 21]}))
+    out = _collect(monotonic_violations(ds, "g", "o", "v", ["id"], buckets=2))
+    assert out["id"].to_pylist() == [12]
+    assert out["prev_value"].to_pylist() == [3.0]
+
+
+def test_distinct_count(ray_session):
+    from rayskema.pipelines.relational import distinct_count
+    ds = rd.from_arrow(pa.table({
+        "g": [1, 1, 1, 2, 2], "v": ["a", "a", "b", "c", "c"]}))
+    out = _collect(distinct_count(ds, "g", "v", buckets=2)).sort_by("g")
+    assert out["g"].to_pylist() == [1, 2]
+    assert out["n_distinct"].to_pylist() == [2, 1]
+
+
+def test_ref_violations_broadcast(ray_session):
+    from rayskema.pipelines.relational import ref_violations
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3], "fk": ["a", "zz", "b"]}))
+    valid = ray.put(pa.array(["a", "b"]))
+    out = _collect(ref_violations(ds, "fk", valid, ["id"]))
+    assert out["id"].to_pylist() == [2]
+    assert out["code"].to_pylist() == ["conflict"]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates_first_wins(ray_session):
+    from rayskema.functions.dedup import exact_duplicates
+    ds = rd.from_arrow(pa.table({
+        "id": [5, 3, 9, 1], "k": ["x", "x", "x", "y"]}))
+    out = _collect(exact_duplicates(ds, ["k"], "id", buckets=2)).sort_by("id")
+    assert out["id"].to_pylist() == [5, 9]
+    assert out["keeper"].to_pylist() == [3, 3]
+
+
+def test_minhash_finds_near_dups(ray_session):
+    from rayskema.functions.dedup import minhash_lsh_pairs
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about ray data pipelines " * 10
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3], "text": [base, near, other]}))
+    out = _collect(minhash_lsh_pairs(ds, "text", "doc_id",
+                                     jaccard_threshold=0.5, buckets=4))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_finds_near_dups(ray_session):
+    from rayskema.functions.dedup import simhash_pairs
+    # one changed token out of 200 distinct => small hamming distance;
+    # blocking guarantees detection for hamming <= n_blocks - 1
+    base = " ".join(f"word{i:03d}" for i in range(200))
+    near = base.replace("word100", "changed")
+    other = " ".join(f"other{i:03d}" for i in range(200))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3], "text": [base, near, other]}))
+    out = _collect(simhash_pairs(ds, "text", "doc_id", max_hamming=4,
+                                 buckets=4))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_charset_jaccard_exact(ray_session):
+    from rayskema.functions.dedup import charset_jaccard_pairs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["abc", "abcd", "xyz"],
+        "g": ["g1", "g1", "g1"]}))
+    out = _collect(charset_jaccard_pairs(ds, "text", "doc_id", ["g"],
+                                         threshold=0.7, buckets=2))
+    assert out["id_a"].to_pylist() == [1]
+    assert out["id_b"].to_pylist() == [2]
+    assert out["jaccard"].to_pylist() == [0.75]  # |{abc}|/|{abcd}|
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def _vec_table(n=50, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[1] = m[0] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near-dup
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(list(m), type=pa.list_(pa.float32(), d)),
+    })
+
+
+def test_knn_brute_exact(ray_session):
+    from rayskema.functions.similarity import knn_cosine_brute
+    tab = _vec_table()
+    ds = rd.from_arrow(tab)
+    out = knn_cosine_brute(ds, "embedding", "vec_id", [0], k=3)
+    rows = out.to_pylist()
+    assert rows[0]["neighbor_id"] == 0 and rows[0]["rank"] == 1
+    assert rows[1]["neighbor_id"] == 1  # planted near-dup is rank 2
+    # verify against numpy ground truth
+    m = np.stack([np.array(v) for v in tab["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(-(m @ m[0]))[:3]
+    assert [r["neighbor_id"] for r in rows] == order.tolist()
+
+
+def test_embedding_near_dups(ray_session):
+    from rayskema.functions.similarity import embedding_near_dup_pairs
+    ds = rd.from_arrow(_vec_table())
+    out = _collect(embedding_near_dup_pairs(
+        ds, "embedding", "vec_id", cosine_threshold=0.99, buckets=4))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 1) in pairs
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+def test_token_and_quality_stats(ray_session):
+    from rayskema.functions.textstats import quality_stats, token_stats
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["hello world 42!", "  a  bb  "]}))
+    t = _collect(token_stats(ds, "text", "doc_id")).sort_by("doc_id")
+    assert t["n_tokens"].to_pylist() == [3, 2]
+    q = _collect(quality_stats(ds, "text", "doc_id")).sort_by("doc_id")
+    assert q["n_alpha"].to_pylist() == [10, 3]
+    assert q["n_digit"].to_pylist() == [2, 0]
+    assert q["n_punct"].to_pylist() == [1, 0]
+    assert q["max_word_len"].to_pylist() == [5, 2]
+
+
+def test_fingerprints(ray_session):
+    import hashlib
+    from rayskema.functions.textstats import fingerprint_md5, fingerprint_rolling
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abc"]}))
+    fp = _collect(fingerprint_md5(ds, "text", "doc_id"))
+    assert fp["fp"].to_pylist() == [hashlib.md5(b"abc").hexdigest()]
+    fr = _collect(fingerprint_rolling(ds, "text", "doc_id"))
+    assert len(fr["fp64"].to_pylist()) == 1
+
+
+def test_lang_id_markers(ray_session):
+    from rayskema.functions.textstats import lang_id
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat is in the house and it is lazy",
+                 "el gato que esta en la casa de los perros",
+                 "zzz qqq www"]}))
+    out = _collect(lang_id(ds, "text", "doc_id")).sort_by("doc_id")
+    assert out["pred_lang"].to_pylist() == ["en", "es", "und"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_decode_stage_requires_decoder():
+    from rayskema.stages.multimodal import DecodeStage
+    with pytest.raises(NotImplementedError):
+        DecodeStage("payload", ["id"])  # no codec in this container
+
+
+def test_decode_features_fake(ray_session):
+    from rayskema.stages.multimodal import decode_features
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2], "payload": [b"\x00" * 100, b"\xff" * 100]}))
+    out = _collect(decode_features(ds, "payload", ["id"], fake=True,
+                                   concurrency=(1, 2))).sort_by("id")
+    assert out["height"].to_pylist() == [8, 8]
+    means = out["channel_mean"].to_pylist()
+    assert means[0] == [0.0, 0.0, 0.0]
+    assert means[1] == [255.0, 255.0, 255.0]
+
+
+def test_frame_sample_stage():
+    from rayskema.stages.multimodal import FrameSampleStage
+    stage = FrameSampleStage("payload", ["id"], frame_bytes=10, stride=2)
+    tab = pa.table({"id": [7], "payload": [bytes(range(100)) * 1]})
+    out = stage(tab)
+    assert out["frame_idx"].to_pylist() == [0, 2, 4, 6, 8]
+    assert out["frame"].to_pylist()[0] == bytes(range(10))
+
+
+# ---------------------------------------------------------------------------
+# contract round-trip
+# ---------------------------------------------------------------------------
+
+def test_contract_roundtrip(tmp_path):
+    from rayskema.contract import load_contract, save_contract
+    from rayskema.schema import transcript_schema
+    s = transcript_schema()
+    p = str(tmp_path / "contract.json")
+    save_contract(s, p)
+    s2 = load_contract(p)
+    assert s2 == s
+    assert s2.schema_hash() == s.schema_hash()
