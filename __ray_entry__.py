@@ -24,7 +24,8 @@ import ray
 import ray.data as rd
 
 from rayskema.schema import (
-    Column, CrossFieldRule, Enum, Range, Regex, TableSchema, Unknown,
+    Column, CrossFieldRule, Enum, Normalizer, Range, Regex, TableSchema,
+    UnionRule, Unknown,
 )
 
 _SF001 = "/root/testdata/sf0.001"
@@ -124,6 +125,26 @@ def _events_schema() -> TableSchema:
     )
 
 
+def _events_union_schema() -> TableSchema:
+    return TableSchema(
+        columns=(
+            Column("event_id", pa.int64(), nullable=False),
+            Column("event_type", pa.string()),
+            Column("value", pa.float64()),
+        ),
+        key_columns=("event_id",), unknown=Unknown.STRIP,
+        rules=(UnionRule(
+            discriminator="event_type",
+            variants={
+                "purchase": (("value", Range(max=300, rule="purchase_cap")),),
+                "signup": (("value", Range(min=1, rule="signup_floor")),),
+                "click": (), "view": (),
+            },
+            rule="etype_union"),),
+        name="events_union",
+    )
+
+
 def _read(sf_dir: str, table: str, columns: list[str]) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                            columns=columns)
@@ -157,6 +178,26 @@ def _q_validate_events(sf_dir: str):
     s = _events_schema()
     ds = _read(sf_dir, "events", s.column_names)
     return _viol_select(check_constraints(ds, s), ["event_id"])
+
+
+def _q_events_union(sf_dir: str):
+    from rayskema.pipelines.relational import check_constraints
+    s = _events_union_schema()
+    ds = _read(sf_dir, "events", s.column_names)
+    return _viol_select(check_constraints(ds, s), ["event_id"])
+
+
+def _q_docs_normalize(sf_dir: str):
+    from rayskema.pipelines.validate import normalize_dataset
+    s = TableSchema(
+        columns=(Column("doc_id", pa.int64(), nullable=False),
+                 Column("text", pa.string())),
+        key_columns=("doc_id",), unknown=Unknown.STRIP,
+        normalizers=(Normalizer(column="text", kind="utf8_trim"),
+                     Normalizer(column="text", kind="utf8_lower")),
+        name="documents_norm",
+    )
+    return normalize_dataset(os.path.join(sf_dir, "documents.parquet"), s)
 
 
 def _q_events_monotonic(sf_dir: str):
@@ -285,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_orders": _q_validate_orders,
         "validate_lineitem": _q_validate_lineitem,
         "validate_events": _q_validate_events,
+        "events_union": _q_events_union,
+        "docs_normalize": _q_docs_normalize,
         "events_monotonic": _q_events_monotonic,
         "events_dups": _q_events_dups,
         "orders_per_customer_cap": _q_orders_per_customer_cap,
@@ -341,6 +384,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, '/value', 'too_big', 'value_cap'
             FROM events WHERE value > 450
+        """,
+        "events_union": """
+            SELECT event_id, '/event_type' AS path,
+                   'discriminator_unknown' AS code, 'etype_union' AS rule
+            FROM events
+            WHERE event_type NOT IN ('click', 'purchase', 'signup', 'view')
+            UNION ALL
+            SELECT event_id, '/value', 'too_big', 'purchase_cap'
+            FROM events WHERE event_type = 'purchase' AND value > 300
+            UNION ALL
+            SELECT event_id, '/value', 'too_small', 'signup_floor'
+            FROM events WHERE event_type = 'signup' AND value < 1
+        """,
+        "docs_normalize": """
+            SELECT doc_id, lower(trim(text)) AS text FROM documents
         """,
         "events_monotonic": """
             SELECT event_id, prev_value, value FROM (

@@ -86,6 +86,7 @@ def run_flagship(corpus: str, num_cpus: int) -> dict:
         "wall_sec": wall,
         "rows": res.metrics.get("rows_validated") or 0,
         "violations": res.violations.num_rows,
+        "stage_sec": res.metrics.get("stage_sec", {}),
     }
 
 
@@ -191,6 +192,7 @@ def main() -> None:
         "rows": flag["rows"],
         "turns_per_sec": round(flag["rows"] / flag["wall_sec"]),
         "violations": flag["violations"],
+        "stage_sec": flag["stage_sec"],
     }))
 
 

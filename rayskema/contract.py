@@ -20,15 +20,16 @@ import pyarrow as pa
 
 from .schema import (
     ByteBounds, Column, ContiguousRule, CrossFieldRule, DriftRule, Enum,
-    GroupCountRule, LenBounds, MonotonicRule, NonNull, Range,
-    RefIntegrityRule, Regex, TableSchema, TsFormat, UniqueRule, Unknown,
+    GroupCountRule, LenBounds, MonotonicRule, NonNull, Normalizer, Range,
+    RefIntegrityRule, Regex, TableSchema, TsFormat, UnionRule, UniqueRule,
+    Unknown,
 )
 
 _CONSTRAINTS = {c.__name__: c for c in
                 (NonNull, Regex, Enum, LenBounds, ByteBounds, Range, TsFormat)}
 _RULES = {c.__name__: c for c in
           (ContiguousRule, CrossFieldRule, DriftRule, GroupCountRule,
-           MonotonicRule, RefIntegrityRule, UniqueRule)}
+           MonotonicRule, RefIntegrityRule, UniqueRule, UnionRule)}
 
 _TYPES = {
     "string": pa.string(), "large_string": pa.large_string(),
@@ -61,6 +62,7 @@ def export_contract(schema: TableSchema) -> dict:
         "unknown": schema.unknown.value,
         "columns": [],
         "rules": [],
+        "normalizers": [asdict(n) for n in schema.normalizers],
         "schema_hash": schema.schema_hash(),
     }
     for c in schema.columns:
@@ -82,6 +84,16 @@ def export_contract(schema: TableSchema) -> dict:
 
 
 def _rule_dict(r) -> dict:
+    if isinstance(r, UnionRule):
+        return {
+            "discriminator": r.discriminator,
+            "rule": r.rule,
+            "variants": {
+                value: [{"column": col, "_type": type(c).__name__,
+                         **asdict(c)} for col, c in pairs]
+                for value, pairs in r.variants.items()
+            },
+        }
     d = asdict(r)
     for k, v in list(d.items()):
         if isinstance(v, tuple):
@@ -109,6 +121,19 @@ def import_contract(doc: dict) -> TableSchema:
     for r in doc.get("rules", []):
         r = dict(r)
         cls = _RULES[r.pop("_type")]
+        if cls is UnionRule:
+            variants = {}
+            for value, pairs in r["variants"].items():
+                out = []
+                for p in pairs:
+                    p = dict(p)
+                    col = p.pop("column")
+                    ccls = _CONSTRAINTS[p.pop("_type")]
+                    if "values" in p:
+                        p["values"] = tuple(p["values"])
+                    out.append((col, ccls(**p)))
+                variants[value] = tuple(out)
+            r["variants"] = variants
         for key in ("columns", "group_by"):
             if key in r and isinstance(r[key], list):
                 r[key] = tuple(r[key])
@@ -119,6 +144,8 @@ def import_contract(doc: dict) -> TableSchema:
         unknown=Unknown(doc.get("unknown", "strict")),
         rules=tuple(rules),
         name=doc.get("name", "table"),
+        normalizers=tuple(Normalizer(**n)
+                          for n in doc.get("normalizers", [])),
     )
 
 

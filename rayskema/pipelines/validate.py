@@ -194,6 +194,8 @@ class BucketChecker:
         return self._manifest
 
     def __call__(self, tab: pa.Table) -> pa.Table:
+        from ..plan import limit_arrow_threads
+        limit_arrow_threads()
         gk = self.group_key
         if "bucket" in tab.column_names:
             tab = tab.drop_columns(["bucket"])
@@ -322,36 +324,29 @@ class BucketChecker:
                       canon_params({"order_by": rule.order_by}))
 
         # -- referential integrity + declared-count cross-check ------------
+        # broadcast-manifest lookup via index_in (single-threaded hash
+        # kernel) — NOT an Acero join: joins spin up arrow's global
+        # thread pool per task, which oversubscribes the node when many
+        # 1-CPU bucket tasks run concurrently (observed 25x slowdown)
         for rule in self.ref_rules:
             man = self.manifest
-            seg_tab = pa.table({
-                rule.column: pa.array(seg_convs, type=pa.string()),
-                "_distinct": pa.array(
-                    distinct_per_seg if turn is not None
-                    else np.ones(n_seg, dtype=np.int64)),
-            })
-            joined = seg_tab.join(man, keys=rule.column, join_type="left outer")
-            joined = joined.sort_by(rule.column)
-            dangling = pc.is_null(joined["n_turns"]) if "n_turns" in \
-                joined.column_names else pa.array([False] * n_seg)
-            jconv = joined[rule.column].combine_chunks().to_numpy(
-                zero_copy_only=False)
-            dmask = np.asarray(dangling.combine_chunks()
-                               if isinstance(dangling, pa.ChunkedArray)
-                               else dangling)
+            seg_arr = pa.array(seg_convs, type=pa.string())
+            pos = pc.index_in(seg_arr,
+                              value_set=man[rule.column].combine_chunks())
+            dmask = np.asarray(pc.is_null(pos))
             idx = np.flatnonzero(dmask)
-            emit_rows(jconv[idx], [None] * len(idx), column_path(rule.column),
+            emit_rows(seg_convs[idx], [None] * len(idx),
+                      column_path(rule.column),
                       CONFLICT, rule.rule, "key not present in manifest",
                       canon_params({"manifest": "conversations"}))
-            if rule.check_counts and "n_turns" in joined.column_names \
+            if rule.check_counts and "n_turns" in man.column_names \
                     and turn is not None:
-                declared = joined["n_turns"].combine_chunks()\
-                    .fill_null(-1).to_numpy(zero_copy_only=False)
-                observed = joined["_distinct"].combine_chunks().to_numpy(
-                    zero_copy_only=False)
+                declared = man["n_turns"].combine_chunks().take(
+                    pos.fill_null(0)).to_numpy(zero_copy_only=False)
+                observed = distinct_per_seg
                 bad = (~dmask) & (declared != observed)
                 idx = np.flatnonzero(bad)
-                emit_rows(jconv[idx], [None] * len(idx),
+                emit_rows(seg_convs[idx], [None] * len(idx),
                           column_path("turn_idx"), AGGREGATE_VIOLATION,
                           rule.count_rule, "observed turn count != declared",
                           canon_params({"declared_column": "n_turns"}))
@@ -436,9 +431,14 @@ def validate(
 ) -> ValidationResult:
     """Run the full constraint suite. Returns sorted violations + drift
     report + per-partition verdicts + metrics."""
+    import time as _time
+
     cfg = config or ValidateConfig()
+    stage_t: dict = {}
+    t0 = _time.perf_counter()
     files = _discover(paths)
     groups, file_viols = inspect_files(files, schema)
+    stage_t["inspect"] = round(_time.perf_counter() - t0, 3)
 
     # ---- pass 1: full-width scan, batch-local checks + sketch partials --
     # One read per schema-group (per-group column pruning); each group is
@@ -464,60 +464,98 @@ def validate(
             return _v(batch)
 
         make = lambda ds: ds.map_batches(validate_batch, **kwargs)  # noqa: E731
-    outs = [make(rd.read_parquet(g.files, columns=g.read_columns))
-            for g in groups]
-    combined = outs[0]
-    for part in outs[1:]:
-        combined = combined.union(part)
-    mat = combined.materialize()   # violations + sketch rows only (small)
 
-    tables = ray.get(mat.to_arrow_refs())
-    tables = [t for t in tables if t.num_rows]
-    big = pa.concat_tables(tables) if tables else \
-        combined_schema(schema).empty_table()
-    is_v = pc.equal(big["kind"], "v")
-    viol_tabs = [big.filter(is_v).drop_columns(["kind", "payload"])]
-    if file_viols.num_rows:
-        viol_tabs.append(file_viols)
+    # dataset CONSTRUCTION stays on the main thread (read_parquet path
+    # resolution does lazy imports that race across threads — Ray only
+    # catches ModuleNotFoundError, a partially-initialized module raises
+    # plain ImportError); only EXECUTION runs in the worker threads.
+    p1_outs = [make(rd.read_parquet(g.files, columns=g.read_columns))
+               for g in groups]
 
-    profile = None
-    if cfg.with_profile:
-        payloads = big.filter(pc.equal(big["kind"], "s"))["payload"]
+    def run_pass1():
+        t0 = _time.perf_counter()
+        combined = p1_outs[0]
+        for part in p1_outs[1:]:
+            combined = combined.union(part)
+        mat = combined.materialize()  # violations + sketch rows only (small)
+        tables = ray.get(mat.to_arrow_refs())
+        tables = [t for t in tables if t.num_rows]
+        big = pa.concat_tables(tables) if tables else \
+            combined_schema(schema).empty_table()
+        is_v = pc.equal(big["kind"], "v")
+        vtabs = [big.filter(is_v).drop_columns(["kind", "payload"])]
         profile = None
-        for chunk in payloads.chunks:
-            for buf in chunk:
-                part = ColumnProfile.from_bytes(buf.as_py())
-                profile = part if profile is None else profile.merge(part)
+        if cfg.with_profile:
+            payloads = big.filter(pc.equal(big["kind"], "s"))["payload"]
+            for chunk in payloads.chunks:
+                for buf in chunk:
+                    part = ColumnProfile.from_bytes(buf.as_py())
+                    profile = part if profile is None else profile.merge(part)
+        stage_t["pass1"] = round(_time.perf_counter() - t0, 3)
+        return vtabs, profile
 
-    # ---- pass 2: keys-only scan + one conv_id-hash shuffle --------------
+    p2_parts = []
     if has_group_rules(schema):
+        key_cols = _group_rule_columns(schema)
+        for g in groups:
+            cols = [c for c in key_cols if c in g.read_columns]
+            if cols:
+                p2_parts.append(rd.read_parquet(g.files, columns=cols))
+
+    def run_pass2():
+        # keys-only scan + the ONE conv_id-hash shuffle
+        t0 = _time.perf_counter()
+        if not p2_parts:
+            return []
         key_cols = _group_rule_columns(schema)
         manifest_ref = None
         if manifest_path and os.path.exists(manifest_path):
             manifest_ref = ray.put(pq.read_table(manifest_path))
-        parts = []
-        for g in groups:
-            cols = [c for c in key_cols if c in g.read_columns]
-            if not cols:
-                continue
-            parts.append(rd.read_parquet(g.files, columns=cols))
-        if parts:
-            keys_ds = parts[0]
-            for p in parts[1:]:
-                keys_ds = keys_ds.union(p)
-            keys_ds = keys_ds.map_batches(
-                make_key_normalizer(schema, key_cols, cfg.buckets),
-                batch_format="pyarrow", batch_size=cfg.batch_size)
-            checker = BucketChecker(schema, manifest_ref)
+        parts = p2_parts
+        keys_ds = parts[0]
+        for p in parts[1:]:
+            keys_ds = keys_ds.union(p)
+        keys_ds = keys_ds.map_batches(
+            make_key_normalizer(schema, key_cols, cfg.buckets),
+            batch_format="pyarrow", batch_size=cfg.batch_size)
+        checker = BucketChecker(schema, manifest_ref)
 
-            def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
-                return _c(tab)
+        def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
+            return _c(tab)
 
-            grouped = keys_ds.groupby("bucket").map_groups(
-                check_bucket, batch_format="pyarrow")
-            gtabs = [t for t in ray.get(grouped.to_arrow_refs())
-                     if t.num_rows]
-            viol_tabs += gtabs
+        grouped = keys_ds.groupby("bucket").map_groups(
+            check_bucket, batch_format="pyarrow")
+        gtabs = [t for t in ray.get(grouped.to_arrow_refs()) if t.num_rows]
+        stage_t["pass2"] = round(_time.perf_counter() - t0, 3)
+        return gtabs
+
+    # The two passes are independent Dataset pipelines over different
+    # column subsets; drive them CONCURRENTLY from two driver threads so
+    # total wall is max(pass1, pass2), not the sum — the streaming
+    # executor shares cluster resources between them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # pre-warm lazy imports Ray's read path does per-call: two threads
+    # triggering the same first import race on the partially-initialized
+    # module ("cannot import name HTTPFileSystem from fsspec...")
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        pass
+
+    t0 = _time.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(run_pass1)
+        f2 = ex.submit(run_pass2)
+        vtabs1, profile = f1.result()
+        gtabs = f2.result()
+    stage_t["pass1_pass2_wall"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+
+    viol_tabs = vtabs1
+    if file_viols.num_rows:
+        viol_tabs.append(file_viols)
+    viol_tabs += gtabs
 
     # ---- drift ----------------------------------------------------------
     drift = []
@@ -542,12 +580,14 @@ def validate(
     violations = sort_violations(violations, schema.key_columns)
 
     verdicts = build_verdicts(violations, schema, n_partitions=cfg.buckets)
+    stage_t["finalize"] = round(_time.perf_counter() - t0, 3)
     metrics = {
         "n_violations": violations.num_rows,
         "n_files": len(files),
         "rows_validated": profile.row_count if profile else None,
         "distinct_keys_estimate":
             round(profile.hll.estimate()) if profile else None,
+        "stage_sec": stage_t,
     }
     return ValidationResult(violations=violations, profile=profile,
                             drift=drift, verdicts=verdicts, metrics=metrics)
@@ -568,10 +608,11 @@ def normalize_dataset(paths, schema: TableSchema,
     for part in reads[1:]:
         ds = ds.union(part)
 
-    from ..plan import normalize_batch
+    from ..plan import apply_normalizers, normalize_batch
 
     def normalize(batch: pa.Table, _s=schema) -> pa.Table:
-        return normalize_batch(batch, _s)[0]
+        out = normalize_batch(batch, _s)[0]
+        return apply_normalizers(out, _s.normalizers)
 
     return ds.map_batches(normalize, batch_format="pyarrow",
                           batch_size=cfg.batch_size)

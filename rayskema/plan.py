@@ -27,17 +27,34 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .issues import (
-    AGGREGATE_VIOLATION, INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, OVERFLOW,
-    PATTERN, REQUIRED, TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL, TRUNCATED,
-    UNKNOWN_KEY, canon_params, column_path, empty_violations,
-    schema_level_violation, violations_from_mask, violations_schema,
+    AGGREGATE_VIOLATION, DISCRIMINATOR_MISSING, DISCRIMINATOR_UNKNOWN,
+    INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, OVERFLOW, PATTERN, REQUIRED,
+    TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL, TRUNCATED, UNKNOWN_KEY,
+    canon_params, column_path, empty_violations, schema_level_violation,
+    violations_from_mask, violations_schema,
 )
 from .schema import (
     ByteBounds, Column, CrossFieldRule, DriftRule, Enum, LenBounds, NonNull,
-    Range, Regex, TableSchema, TsFormat, Unknown,
+    Normalizer, Range, Regex, TableSchema, TsFormat, UnionRule, Unknown,
 )
 
 CheckFn = Callable[[pa.Table], pa.Table]
+
+
+def limit_arrow_threads() -> None:
+    """Pin pyarrow's internal thread pool to the task's CPU share.
+
+    Ray sizes ``OMP_NUM_THREADS`` to the task's ``num_cpus`` but arrow's
+    pool defaults to the PHYSICAL core count — with many concurrent
+    1-CPU tasks each sort/join/kernel tries to fan out node-wide and the
+    node thrashes (observed 25x slowdown on the bucket-checker stage).
+    Idempotent per worker process.
+    """
+    import os
+
+    want = max(1, int(float(os.environ.get("OMP_NUM_THREADS", "1"))))
+    if pa.cpu_count() != want:
+        pa.set_cpu_count(want)
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +226,73 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str]) -> CheckFn:
     raise TypeError(f"unsupported constraint: {type(c).__name__}")
 
 
+def compile_union_rule(rule: UnionRule, schema: TableSchema,
+                       key_cols: Sequence[str]) -> CheckFn:
+    """Discriminated union routing (reference dsl/union.go:17-52):
+    per-variant constraint sets evaluated on the variant's row mask."""
+    disc = rule.discriminator
+    disc_path = column_path(disc)
+    values = pa.array(sorted(rule.variants))
+    variant_checks: dict[str, list[CheckFn]] = {}
+    for value, pairs in rule.variants.items():
+        checks = []
+        for col_name, c in pairs:
+            checks.append(_compile_constraint(
+                schema.column(col_name), c, key_cols))
+        variant_checks[value] = checks
+    miss_params = canon_params({"discriminator": disc})
+    unk_params = canon_params({"discriminator": disc,
+                               "variants": sorted(rule.variants)})
+
+    def check(t: pa.Table) -> pa.Table:
+        out = []
+        d = t[disc]
+        out.append(violations_from_mask(
+            t, pc.is_null(d), key_cols, disc_path, DISCRIMINATOR_MISSING,
+            rule.rule, "discriminator value missing", miss_params))
+        unknown = pc.and_(pc.invert(pc.is_in(d, value_set=values)),
+                          pc.is_valid(d))
+        out.append(violations_from_mask(
+            t, unknown, key_cols, disc_path, DISCRIMINATOR_UNKNOWN,
+            rule.rule, "discriminator value has no variant", unk_params))
+        for value in sorted(variant_checks):
+            mask = pc.fill_null(pc.equal(d, value), False)
+            if not pc.any(mask).as_py():
+                continue
+            sub = t.filter(mask)
+            for c in variant_checks[value]:
+                v = c(sub)
+                if v.num_rows:
+                    out.append(v)
+        out = [v for v in out if v.num_rows]
+        if not out:
+            return empty_violations([t.schema.field(k) for k in key_cols])
+        return pa.concat_tables(out)
+
+    return check
+
+
+_NORMALIZE_KERNELS = {
+    "utf8_trim": lambda a: pc.utf8_trim_whitespace(a),
+    "utf8_lower": lambda a: pc.utf8_lower(a),
+    "utf8_upper": lambda a: pc.utf8_upper(a),
+    "nfc": lambda a: pc.utf8_normalize(a, form="NFC"),
+}
+
+
+def apply_normalizers(batch: pa.Table, normalizers) -> pa.Table:
+    """Reference ApplyNormalize pass (pipeline.go:6-11): runs BEFORE
+    constraint checks, vectorized Arrow kernels only."""
+    for n in normalizers:
+        if n.column not in batch.column_names:
+            continue
+        kern = _NORMALIZE_KERNELS[n.kind]
+        idx = batch.schema.get_field_index(n.column)
+        batch = batch.set_column(idx, batch.schema.field(idx),
+                                 kern(batch[n.column]))
+    return batch
+
+
 def compile_cross_rule(rule: CrossFieldRule, key_cols: Sequence[str]) -> CheckFn:
     when = compile_expr(rule.when) if rule.when is not None else None
     expect = compile_expr(rule.expect)
@@ -331,10 +415,19 @@ def _checked_cast(arr, target: pa.DataType):
 # ---------------------------------------------------------------------------
 
 class ConstraintPlan:
-    """Compiled, reusable per-batch validation plan."""
+    """Compiled, reusable per-batch validation plan.
 
-    def __init__(self, schema: TableSchema):
+    ``fail_fast``: stop at the first failing check per batch (reference
+    FailFast flag, api.go:147-156; default collect-all per
+    README.md:573).  ``max_issues``: cap collected violations per batch
+    and append a ``truncated`` sentinel (reference maxIssues,
+    internal/engine/json_dup_detect.go:53-61)."""
+
+    def __init__(self, schema: TableSchema, *, fail_fast: bool = False,
+                 max_issues: int | None = None):
         self.schema = schema
+        self.fail_fast = fail_fast
+        self.max_issues = max_issues
         self.key_cols = list(schema.key_columns)
         self.key_fields = schema.key_fields()
         self.checks: list[CheckFn] = []
@@ -343,6 +436,8 @@ class ConstraintPlan:
                 self.checks.append(_compile_constraint(col, c, self.key_cols))
         for rule in schema.rules_of(CrossFieldRule):
             self.checks.append(compile_cross_rule(rule, self.key_cols))
+        for rule in schema.rules_of(UnionRule):
+            self.checks.append(compile_union_rule(rule, schema, self.key_cols))
         drifts = schema.rules_of(DriftRule)
         self.profile_categorical = [d.column for d in drifts if d.kind == "psi"]
         self.profile_numeric = [d.column for d in drifts if d.kind == "ks"]
@@ -351,14 +446,28 @@ class ConstraintPlan:
     def validate(self, batch: pa.Table) -> pa.Table:
         """Normalize + run every compiled check; concat violation rows."""
         normalized, viols = normalize_batch(batch, self.schema)
+        if self.schema.normalizers:
+            normalized = apply_normalizers(normalized,
+                                           self.schema.normalizers)
         out = [viols] if viols.num_rows else []
         for check in self.checks:
             v = check(normalized)
             if v.num_rows:
                 out.append(v)
+                if self.fail_fast:
+                    break
         if not out:
             return empty_violations(self.key_fields)
-        return pa.concat_tables(out)
+        result = pa.concat_tables(out)
+        if self.max_issues is not None and result.num_rows > self.max_issues:
+            result = pa.concat_tables([
+                result.slice(0, self.max_issues),
+                schema_level_violation(
+                    self.key_fields, "", TRUNCATED, "max_issues",
+                    "issue collection truncated",
+                    canon_params({"max_issues": self.max_issues})),
+            ])
+        return result
 
     def profile(self, batch: pa.Table):
         """Fold one batch into a fresh ColumnProfile partial (per-batch
@@ -408,13 +517,16 @@ class BatchValidator:
     produces both, so 100 TB is scanned exactly once.
     """
 
-    def __init__(self, schema: TableSchema, with_profile: bool | None = None):
-        self.plan = ConstraintPlan(schema)
+    def __init__(self, schema: TableSchema, with_profile: bool | None = None,
+                 *, fail_fast: bool = False, max_issues: int | None = None):
+        self.plan = ConstraintPlan(schema, fail_fast=fail_fast,
+                                   max_issues=max_issues)
         self.with_profile = (self.plan.wants_profile
                              if with_profile is None else with_profile)
         self.out_schema = combined_schema(schema)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        limit_arrow_threads()
         viols = self.plan.validate(batch)
         nv = viols.num_rows
         kinds = ["v"] * nv

@@ -226,6 +226,33 @@ class CrossFieldRule:
 
 
 @dataclass(frozen=True)
+class UnionRule:
+    """Discriminated union (reference ``dsl/union.go:17-52``,
+    ``dsl/object_builder.go:144-175``): rows are routed by the value of
+    ``discriminator`` to a per-variant constraint set; each variant maps
+    column -> constraints evaluated ONLY on that variant's rows
+    (vectorized masks, no row loop).  Null discriminator =>
+    ``discriminator_missing``; value not in the variant map =>
+    ``discriminator_unknown`` (codes from reference errors.go:23-25)."""
+
+    discriminator: str = ""
+    # mapping: discriminator value -> tuple[(column, Constraint), ...]
+    variants: Mapping[str, tuple] = dc_field(default_factory=dict)
+    rule: str = "union"
+
+
+@dataclass(frozen=True)
+class Normalizer:
+    """Column normalization applied BEFORE checks (reference
+    ``Normalizer[T]`` hook, api.go:108-110 / pipeline.go:6-11).
+    Declarative kinds keep the plan picklable: utf8_trim, utf8_lower,
+    utf8_upper, nfc (unicode NFC via pyarrow utf8_normalize)."""
+
+    column: str = ""
+    kind: str = "utf8_trim"
+
+
+@dataclass(frozen=True)
 class DriftRule:
     """Distribution drift vs a baseline profile (north-rule extension;
     no reference analogue — reference aggregates are exact in-memory,
@@ -250,6 +277,7 @@ class TableSchema:
     unknown: Unknown = Unknown.STRICT
     rules: tuple = ()                   # tuple[TableRule, ...]
     name: str = "table"
+    normalizers: tuple = ()             # tuple[Normalizer, ...]
 
     def __post_init__(self) -> None:
         names = [c.name for c in self.columns]
