@@ -1,0 +1,147 @@
+"""CLI driver (reference analogue: middleware/cmd adapters, SURVEY §2.11
+X9): ``python -m rayskema <command>``.
+
+Commands:
+  validate   run the full constraint suite over Parquet shards
+             (checkpointed + resumable when --out is given)
+  normalize  write the canonical normalized dataset
+  contract   export the built-in transcript contract, or echo a contract
+             file back after a round-trip (schema tooling)
+  fixture    generate the deterministic synthetic transcript corpus
+
+This is the ``ray job submit``-able entry point: on a cluster, run
+``ray job submit -- python -m rayskema validate --input ... --out ...``
+— the script only calls ``ray.init`` when no cluster is attached.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+
+
+def _load_schema(args):
+    if args.contract:
+        from .contract import load_contract
+        return load_contract(args.contract)
+    from .schema import transcript_schema
+    return transcript_schema()
+
+
+def cmd_validate(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.validate import ValidateConfig, validate
+    from .state.sketches import ColumnProfile
+
+    schema = _load_schema(args)
+    baseline = None
+    if args.baseline_profile and os.path.exists(args.baseline_profile):
+        with open(args.baseline_profile, "rb") as f:
+            baseline = ColumnProfile.from_bytes(f.read())
+    cfg = ValidateConfig(buckets=args.buckets)
+    if args.out:
+        from .pipelines.checkpoint import run_checkpointed
+        res = run_checkpointed(
+            args.input, schema, args.out, manifest_path=args.manifest,
+            baseline_profile=baseline, config=cfg)
+        print(json.dumps(res.run_manifest))
+        return 0 if res.run_manifest.get("passed", False) else 1
+    res = validate(args.input, schema, manifest_path=args.manifest,
+                   baseline_profile=baseline, config=cfg)
+    print(json.dumps({
+        "passed": res.passed, "metrics": res.metrics,
+        "drift": res.drift,
+    }))
+    if args.violations_out:
+        import pyarrow.parquet as pq
+        pq.write_table(res.violations, args.violations_out)
+    return 0 if res.passed else 1
+
+
+def cmd_normalize(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.validate import normalize_dataset
+
+    schema = _load_schema(args)
+    ds = normalize_dataset(args.input, schema)
+    ds.write_parquet(args.out)
+    print(json.dumps({"written": args.out}))
+    return 0
+
+
+def cmd_contract(args) -> int:
+    from .contract import load_contract, save_contract
+    from .schema import transcript_schema
+
+    schema = load_contract(args.contract) if args.contract \
+        else transcript_schema()
+    save_contract(schema, args.out)
+    print(json.dumps({"written": args.out,
+                      "schema_hash": schema.schema_hash()}))
+    return 0
+
+
+def cmd_fixture(args) -> int:
+    from .testgen import write_fixture
+
+    info = write_fixture(args.out, args.turns, corrupt=args.corrupt,
+                         drifted=args.drifted)
+    print(json.dumps(info))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayskema")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--input", required=True,
+                   help="parquet file/dir of transcript shards")
+    v.add_argument("--contract", help="JSON contract (default: built-in "
+                   "transcript schema)")
+    v.add_argument("--manifest", help="conversations manifest parquet")
+    v.add_argument("--baseline-profile", help="drift baseline sketch file")
+    v.add_argument("--out", help="checkpoint dir => resumable run")
+    v.add_argument("--violations-out", help="violations parquet path "
+                   "(non-checkpointed mode)")
+    v.add_argument("--buckets", type=int, default=64)
+    v.add_argument("--num-cpus", type=int)
+    v.set_defaults(fn=cmd_validate)
+
+    n = sub.add_parser("normalize")
+    n.add_argument("--input", required=True)
+    n.add_argument("--contract")
+    n.add_argument("--out", required=True)
+    n.add_argument("--num-cpus", type=int)
+    n.set_defaults(fn=cmd_normalize)
+
+    c = sub.add_parser("contract")
+    c.add_argument("--contract", help="round-trip an existing contract")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_contract)
+
+    f = sub.add_parser("fixture")
+    f.add_argument("--out", required=True)
+    f.add_argument("--turns", type=int, default=20000)
+    f.add_argument("--corrupt", action="store_true")
+    f.add_argument("--drifted", action="store_true")
+    f.set_defaults(fn=cmd_fixture)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -313,8 +313,15 @@ def compile_cross_rule(rule: CrossFieldRule, key_cols: Sequence[str]) -> CheckFn
 # inject defaults for absent columns, apply unknown-column policy.
 # ---------------------------------------------------------------------------
 
+# Presence bit flags — exact parity with the reference
+# (/root/reference/presence.go:8-15).
+PRESENCE_SEEN = 1
+PRESENCE_WAS_NULL = 2
+PRESENCE_DEFAULT_APPLIED = 4
+
+
 def normalize_batch(
-    batch: pa.Table, schema: TableSchema
+    batch: pa.Table, schema: TableSchema, *, with_presence: bool = False
 ) -> tuple[pa.Table, pa.Table]:
     """Returns (normalized batch with exactly the declared columns in
     declared order [+ passthrough extras], violations).
@@ -325,6 +332,12 @@ def normalize_batch(
       trip get `overflow`/`invalid_type` and become null;
     - extra columns            -> per unknown policy (`unknown_key` /
       strip / passthrough).
+
+    ``with_presence=True`` appends a ``_presence_<col>`` uint8 column
+    per declared column carrying the reference's presence bits
+    (presence.go:8-15): SEEN=1 (column present in this file's schema),
+    WAS_NULL=2 (value null on the wire), DEFAULT_APPLIED=4 — the
+    tri-state Arrow alone cannot express (SURVEY §7.4.3).
     """
     key_cols = list(schema.key_columns)
     viols: list[pa.Table] = []
@@ -336,12 +349,16 @@ def normalize_batch(
     # carry the declared (post-cast) types
     cast_viols: list[tuple] = []  # (path, code, params, bad_mask)
 
+    presence: dict[str, pa.Array] = {}
     for col in schema.columns:
         if col.name not in batch.column_names:
             if col.default is not None:
                 arr = pa.nulls(n, type=col.dtype).fill_null(col.default)
+                presence[col.name] = pa.array(
+                    np.full(n, PRESENCE_DEFAULT_APPLIED, dtype=np.uint8))
             else:
                 arr = pa.nulls(n, type=col.dtype)
+                presence[col.name] = pa.array(np.zeros(n, dtype=np.uint8))
                 viols.append(schema_level_violation(
                     key_fields, column_path(col.name), REQUIRED, "schema",
                     "declared column absent from input",
@@ -349,6 +366,13 @@ def normalize_batch(
             out_cols[col.name] = arr
             continue
         arr = batch.column(col.name)
+        if with_presence:
+            wasnull = pc.is_null(arr).combine_chunks() \
+                if isinstance(arr, pa.ChunkedArray) else pc.is_null(arr)
+            pres = np.full(n, PRESENCE_SEEN, dtype=np.uint8)
+            pres |= np.asarray(wasnull).astype(
+                np.uint8) * PRESENCE_WAS_NULL
+            presence[col.name] = pa.array(pres)
         if arr.type != col.dtype:
             casted, bad = _checked_cast(arr, col.dtype)
             if casted is None:
@@ -390,9 +414,34 @@ def normalize_batch(
     names = schema.column_names + [c for c in extras
                                    if schema.unknown is Unknown.PASSTHROUGH]
     normalized = pa.table({nm: out_cols[nm] for nm in names})
+    if with_presence:
+        for col in schema.columns:
+            normalized = normalized.append_column(
+                f"_presence_{col.name}", presence[col.name])
     vtab = (pa.concat_tables(viols) if viols
             else empty_violations(key_fields))
     return normalized, vtab
+
+
+def encode_preserving(batch: pa.Table, schema: TableSchema) -> pa.Table:
+    """Round-trip-faithful output (reference EncodePreservingObject,
+    encode_preserve.go:11-28): cells whose value exists only because a
+    default was applied are restored to their wire state (absent =>
+    null), explicit nulls are kept; presence columns are dropped.
+    Requires a batch produced by ``normalize_batch(with_presence=True)``."""
+    out = {}
+    for col in schema.columns:
+        pcol = f"_presence_{col.name}"
+        arr = batch[col.name]
+        if pcol in batch.column_names:
+            pres = batch[pcol]
+            defaulted = pc.equal(
+                pc.bit_wise_and(pres, PRESENCE_DEFAULT_APPLIED),
+                PRESENCE_DEFAULT_APPLIED)
+            arr = pc.if_else(defaulted, pa.nulls(batch.num_rows,
+                                                 type=col.dtype), arr)
+        out[col.name] = arr
+    return pa.table(out)
 
 
 def _checked_cast(arr, target: pa.DataType):

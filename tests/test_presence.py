@@ -1,0 +1,59 @@
+"""Presence tri-state + preserve-mode round trip (reference
+presence.go:8-15, encode_preserve.go:11-28; SURVEY §7.4.3)."""
+
+import pyarrow as pa
+
+from rayskema.plan import (
+    PRESENCE_DEFAULT_APPLIED, PRESENCE_SEEN, PRESENCE_WAS_NULL,
+    encode_preserving, normalize_batch,
+)
+from rayskema.schema import Column, TableSchema, Unknown
+
+
+def _schema():
+    return TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("a", pa.string()),
+            Column("b", pa.string(), default="dflt"),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+
+
+def test_presence_bits():
+    batch = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "a": pa.array(["x", None], type=pa.string()),
+        # column b absent from this shard => default applied
+    })
+    norm, _ = normalize_batch(batch, _schema(), with_presence=True)
+    assert norm["b"].to_pylist() == ["dflt", "dflt"]
+    assert norm["_presence_a"].to_pylist() == [
+        PRESENCE_SEEN, PRESENCE_SEEN | PRESENCE_WAS_NULL]
+    assert norm["_presence_b"].to_pylist() == [
+        PRESENCE_DEFAULT_APPLIED, PRESENCE_DEFAULT_APPLIED]
+
+
+def test_encode_preserving_round_trip():
+    batch = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "a": pa.array(["x", None], type=pa.string()),
+    })
+    norm, _ = normalize_batch(batch, _schema(), with_presence=True)
+    preserved = encode_preserving(norm, _schema())
+    # defaults undone (b back to absent=null), explicit null in a kept
+    assert preserved.column_names == ["id", "a", "b"]
+    assert preserved["b"].to_pylist() == [None, None]
+    assert preserved["a"].to_pylist() == ["x", None]
+
+
+def test_preserve_keeps_explicit_value_over_default():
+    batch = pa.table({
+        "id": pa.array([1], type=pa.int64()),
+        "a": pa.array(["x"], type=pa.string()),
+        "b": pa.array(["explicit"], type=pa.string()),
+    })
+    norm, _ = normalize_batch(batch, _schema(), with_presence=True)
+    preserved = encode_preserving(norm, _schema())
+    assert preserved["b"].to_pylist() == ["explicit"]
