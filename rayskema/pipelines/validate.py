@@ -74,6 +74,11 @@ class ValidateConfig:
     with_profile: bool = True            # sketch partials + drift
     group_concurrency: Any = None
     concurrent_passes: bool = False      # overlap pass1/pass2 execution
+    # hot-conversation salting (north rule): conversations whose declared
+    # n_turns exceeds this are split into turn-ranges of this span, each
+    # range hashed to its own bucket; per-conversation rules then merge
+    # range partials in a tiny driver-side second reduce.  None = off.
+    salt_threshold: int | None = None
 
 
 @dataclass
@@ -174,8 +179,10 @@ class BucketChecker:
     partitioning assumption the north rule names.
     """
 
-    def __init__(self, schema: TableSchema, manifest_ref=None):
+    def __init__(self, schema: TableSchema, manifest_ref=None,
+                 salt_span: int = 0):
         self.schema = schema
+        self.salt_span = salt_span
         self.key_fields = schema.key_fields()
         self.key_cols = list(schema.key_columns)
         self.group_key = "conv_id" if "conv_id" in schema.column_names else \
@@ -213,6 +220,10 @@ class BucketChecker:
         if "turn_idx" in tab.column_names:
             order.append(("turn_idx", "ascending"))
         tab = tab.sort_by(order)  # nulls sort last within the sort key
+        salted_col = None
+        if "salted" in tab.column_names:
+            salted_col = np.asarray(tab["salted"].combine_chunks())
+            tab = tab.drop_columns(["salted"])
 
         conv = tab[gk].combine_chunks()
         conv_np = conv.to_numpy(zero_copy_only=False)
@@ -271,6 +282,12 @@ class BucketChecker:
             same = np.zeros(n, dtype=bool)
             dup_extra_per_seg = np.zeros(n_seg, dtype=np.int64)
 
+        # salted segments (hot conversations split across buckets by
+        # turn-range): per-conversation rules emit mergeable PARTIALS
+        # instead of final verdicts; the driver runs the second reduce.
+        seg_salted = salted_col[seg_starts] if salted_col is not None \
+            else np.zeros(n_seg, dtype=bool)
+
         # -- per-conversation distinct-turn stats --------------------------
         if turn is not None:
             valid_per_seg = np.bincount(seg_ids[turn_valid], minlength=n_seg)
@@ -284,7 +301,7 @@ class BucketChecker:
             tmax = np.full(n, np.iinfo(np.int64).min)
             tmax[turn_valid] = turn[turn_valid]
             seg_max = np.maximum.reduceat(tmax, seg_starts)
-            has_valid = valid_per_seg > 0
+            has_valid = (valid_per_seg > 0) & ~seg_salted
 
             for rule in self.contig_rules:
                 bad = has_valid & (
@@ -296,13 +313,15 @@ class BucketChecker:
                           canon_params({"column": rule.column}))
             for rule in self.count_rules:
                 if rule.min_count is not None:
-                    idx = np.flatnonzero(distinct_per_seg < rule.min_count)
+                    idx = np.flatnonzero(
+                        (distinct_per_seg < rule.min_count) & ~seg_salted)
                     emit_rows(seg_convs[idx], [None] * len(idx), "",
                               AGGREGATE_VIOLATION, rule.rule,
                               "group too small",
                               canon_params({"min_count": rule.min_count}))
                 if rule.max_count is not None:
-                    idx = np.flatnonzero(distinct_per_seg > rule.max_count)
+                    idx = np.flatnonzero(
+                        (distinct_per_seg > rule.max_count) & ~seg_salted)
                     emit_rows(seg_convs[idx], [None] * len(idx), "",
                               AGGREGATE_VIOLATION, rule.rule,
                               "group too large",
@@ -322,6 +341,16 @@ class BucketChecker:
             prev_ok = np.zeros(n, dtype=bool)
             prev_ok[1:] = (~new_conv[1:]) & turn_valid[1:] & turn_valid[:-1] \
                 & (turn[1:] != turn[:-1]) & v_valid[1:] & v_valid[:-1]
+            if salted_col is not None and salted_col.any() \
+                    and self.salt_span > 0:
+                # non-adjacent turn ranges of a hot conversation can
+                # collide into one bucket; only adjacent ranges form
+                # valid comparison pairs — boundaries across ranges are
+                # re-checked in the driver merge from the partials
+                rng = turn // max(1, self.salt_span)
+                same_rng = np.zeros(n, dtype=bool)
+                same_rng[1:] = rng[1:] == rng[:-1]
+                prev_ok[1:] &= ~salted_col[1:] | same_rng[1:]
             bad = np.zeros(n, dtype=bool)
             bad[1:] = prev_ok[1:] & (v[1:] < v[:-1])
             idx = np.flatnonzero(bad)
@@ -340,7 +369,7 @@ class BucketChecker:
             seg_arr = pa.array(seg_convs, type=pa.string())
             pos = pc.index_in(seg_arr,
                               value_set=man[rule.column].combine_chunks())
-            dmask = np.asarray(pc.is_null(pos))
+            dmask = np.asarray(pc.is_null(pos)) & ~seg_salted
             idx = np.flatnonzero(dmask)
             emit_rows(seg_convs[idx], [None] * len(idx),
                       column_path(rule.column),
@@ -351,16 +380,170 @@ class BucketChecker:
                 declared = man["n_turns"].combine_chunks().take(
                     pos.fill_null(0)).to_numpy(zero_copy_only=False)
                 observed = distinct_per_seg
-                bad = (~dmask) & (declared != observed)
+                bad = (~np.asarray(pc.is_null(pos))) & ~seg_salted \
+                    & (declared != observed)
                 idx = np.flatnonzero(bad)
                 emit_rows(seg_convs[idx], [None] * len(idx),
                           column_path("turn_idx"), AGGREGATE_VIOLATION,
                           rule.count_rule, "observed turn count != declared",
                           canon_params({"declared_column": "n_turns"}))
 
+        # -- salted partials: one row per (hot conv, turn-range) -----------
+        if salted_col is not None and salted_col.any() and turn is not None \
+                and self.salt_span > 0:
+            import json as _json
+
+            sal = salted_col
+            rng = turn // max(1, self.salt_span)
+            prev_diff = np.ones(n, dtype=bool)
+            prev_diff[1:] = new_conv[1:] | (rng[1:] != rng[:-1]) | (~sal[:-1])
+            run_start_full = sal & prev_diff
+            # compact to salted rows only so reduceat segments are exact
+            s_sel = np.flatnonzero(sal)
+            s_turn = turn[s_sel]
+            s_valid = turn_valid[s_sel]
+            s_conv = conv_np[s_sel]
+            s_dup = same[s_sel]
+            comp_start = np.flatnonzero(run_start_full[s_sel])
+            run_of = np.cumsum(run_start_full[s_sel]) - 1
+            n_run = len(comp_start)
+            valid_per_run = np.bincount(run_of[s_valid], minlength=n_run)
+            dup_per_run = np.bincount(run_of[s_dup], minlength=n_run)
+            big2 = np.iinfo(np.int64).max
+            tmn = np.where(s_valid, s_turn, big2)
+            run_min = np.minimum.reduceat(tmn, comp_start) if n_run else tmn[:0]
+            tmx = np.where(s_valid, s_turn, np.iinfo(np.int64).min)
+            run_max = np.maximum.reduceat(tmx, comp_start) if n_run else tmx[:0]
+            mono_bounds: dict[str, tuple] = {}
+            for rule in self.mono_rules:
+                if rule.column not in tab.column_names:
+                    continue
+                vals = tab[rule.column].combine_chunks()
+                vv = ~np.asarray(vals.is_null())
+                v = vals.to_numpy(zero_copy_only=False)
+                if np.issubdtype(v.dtype, np.datetime64):
+                    v = v.astype("datetime64[us]").astype(np.int64)
+                else:
+                    v = np.asarray(v, dtype=np.int64)
+                s_v, s_vv = v[s_sel], (vv & turn_valid)[s_sel]
+                # first/last usable row per run (rows are turn-sorted)
+                idx_arr = np.arange(len(s_sel))
+                fi = np.where(s_vv, idx_arr, big2)
+                first_i = np.minimum.reduceat(fi, comp_start) if n_run else fi[:0]
+                li = np.where(s_vv, idx_arr, -1)
+                last_i = np.maximum.reduceat(li, comp_start) if n_run else li[:0]
+                mono_bounds[rule.rule] = (first_i, last_i, s_turn, s_v)
+            for r in range(n_run):
+                payload = {
+                    "distinct": int(valid_per_run[r] - dup_per_run[r]),
+                    "min": int(run_min[r]) if valid_per_run[r] else None,
+                    "max": int(run_max[r]) if valid_per_run[r] else None,
+                    "n_valid": int(valid_per_run[r]),
+                    "mono": {},
+                }
+                for rname, (first_i, last_i, st, sv) in mono_bounds.items():
+                    if first_i[r] != big2 and last_i[r] >= 0:
+                        payload["mono"][rname] = [
+                            int(st[first_i[r]]), int(sv[first_i[r]]),
+                            int(st[last_i[r]]), int(sv[last_i[r]])]
+                emit_rows([s_conv[comp_start[r]]], [None], "",
+                          AGGREGATE_VIOLATION, "__salt_partial__", "",
+                          _json.dumps(payload, sort_keys=True,
+                                      separators=(",", ":")))
+
         if not out:
             return empty_violations(self.key_fields)
         return pa.concat_tables(out)
+
+
+def merge_salt_partials(partials: pa.Table, schema: TableSchema,
+                        manifest: pa.Table | None) -> list[pa.Table]:
+    """Driver-side second reduce for hot-conversation salting: merge the
+    per-(conv, turn-range) partials emitted by BucketChecker and apply
+    the per-conversation rules exactly as the unsalted path would —
+    identical codes / messages / params (asserted by tests)."""
+    import json as _json
+
+    key_fields = schema.key_fields()
+    out: list[pa.Table] = []
+
+    def emit(conv, turn, path, code, rule, message, params):
+        arrays = [pa.array([conv], type=key_fields[0].type)]
+        if len(key_fields) > 1:
+            arrays.append(pa.array([turn], type=key_fields[1].type))
+        for val in (path, code, rule, message, params):
+            arrays.append(pa.array([val], type=pa.string()))
+        out.append(pa.Table.from_arrays(
+            arrays, schema=violations_schema(key_fields)))
+
+    by_conv: dict[str, list[dict]] = {}
+    convs = partials[schema.key_columns[0]].to_pylist()
+    payloads = partials["params"].to_pylist()
+    for conv, payload in zip(convs, payloads):
+        by_conv.setdefault(conv, []).append(_json.loads(payload))
+
+    contig_rules = schema.rules_of(ContiguousRule)
+    count_rules = schema.rules_of(GroupCountRule)
+    mono_rules = {r.rule: r for r in schema.rules_of(MonotonicRule)}
+    ref_rules = schema.rules_of(RefIntegrityRule) if manifest is not None \
+        else []
+    man_index: dict[str, int] = {}
+    if ref_rules:
+        ids = manifest[ref_rules[0].column].to_pylist()
+        nt = manifest["n_turns"].to_pylist() \
+            if "n_turns" in manifest.column_names else [None] * len(ids)
+        man_index = dict(zip(ids, nt))
+
+    for conv in sorted(by_conv):
+        ranges = [p for p in by_conv[conv] if p.get("n_valid")]
+        ranges.sort(key=lambda p: (p["min"] is None, p["min"]))
+        distinct = sum(p["distinct"] for p in ranges)
+        gmin = min((p["min"] for p in ranges if p["min"] is not None),
+                   default=None)
+        gmax = max((p["max"] for p in ranges if p["max"] is not None),
+                   default=None)
+        has_valid = gmin is not None
+        for rule in contig_rules:
+            if has_valid and (gmin != 0 or gmax != distinct - 1):
+                emit(conv, None, column_path(rule.column),
+                     AGGREGATE_VIOLATION, rule.rule,
+                     "index not contiguous from 0",
+                     canon_params({"column": rule.column}))
+        for rule in count_rules:
+            if rule.min_count is not None and distinct < rule.min_count:
+                emit(conv, None, "", AGGREGATE_VIOLATION, rule.rule,
+                     "group too small",
+                     canon_params({"min_count": rule.min_count}))
+            if rule.max_count is not None and distinct > rule.max_count:
+                emit(conv, None, "", AGGREGATE_VIOLATION, rule.rule,
+                     "group too large",
+                     canon_params({"max_count": rule.max_count}))
+        # monotonic boundaries between consecutive turn ranges
+        for rname, rule in mono_rules.items():
+            prev = None
+            for p in ranges:
+                b = p.get("mono", {}).get(rname)
+                if not b:
+                    continue
+                first_turn, first_val, last_turn, last_val = b
+                if prev is not None and first_val < prev:
+                    emit(conv, first_turn, column_path(rule.column),
+                         getattr(rule, "code", "business_rule"), rule.rule,
+                         "value regressed within group",
+                         canon_params({"order_by": rule.order_by}))
+                prev = last_val
+        for rule in ref_rules:
+            if conv not in man_index:
+                emit(conv, None, column_path(rule.column), CONFLICT,
+                     rule.rule, "key not present in manifest",
+                     canon_params({"manifest": "conversations"}))
+            elif rule.check_counts and man_index[conv] is not None \
+                    and man_index[conv] != distinct:
+                emit(conv, None, column_path("turn_idx"),
+                     AGGREGATE_VIOLATION, rule.count_rule,
+                     "observed turn count != declared",
+                     canon_params({"declared_column": "n_turns"}))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -369,9 +552,27 @@ class BucketChecker:
 # ---------------------------------------------------------------------------
 
 class KeyNormalizer:
+    """Casts key columns and stamps the hash bucket.  When a hot-set is
+    configured (salting), rows of hot conversations get
+    ``bucket = hash(conv, turn_idx // span) % P`` and ``salted=True`` —
+    equal ``(conv, turn)`` tuples still co-locate (same range), so
+    duplicate detection stays exact, while a 10M-turn conversation
+    spreads over ~n_turns/span buckets instead of one."""
+
     def __init__(self, schema: TableSchema, columns: list[str]):
         self.types = {c: schema.column(c).dtype for c in columns}
         self.columns = columns
+        self._hot_ref = None  # ray.put of a pa.Array of hot conv ids
+        self._hot = None
+        self._salt_span: int = 0
+
+    @property
+    def hot(self):
+        if self._hot is None and self._hot_ref is not None:
+            ref = self._hot_ref
+            self._hot = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+                else ref
+        return self._hot
 
     def __call__(self, tab: pa.Table) -> pa.Table:
         cols = {}
@@ -391,22 +592,39 @@ class KeyNormalizer:
                 arr = casted
             cols[c] = arr
         out = pa.table(cols)
-        bucket = hash_strings(out[self.columns[0]].combine_chunks()) if \
-            pa.types.is_string(self.types[self.columns[0]]) else \
-            pc.cast(out[self.columns[0]], pa.uint64(),
+        key0 = self.columns[0]
+        h = hash_strings(out[key0].combine_chunks()) if \
+            pa.types.is_string(self.types[key0]) else \
+            pc.cast(out[key0], pa.uint64(),
                     safe=False).combine_chunks().to_numpy(
                         zero_copy_only=False).astype(np.uint64)
+        salted = np.zeros(n, dtype=bool)
+        if self.hot is not None and len(self.hot) and \
+                "turn_idx" in out.column_names:
+            is_hot = np.asarray(
+                pc.is_in(out[key0], value_set=self.hot))
+            if is_hot.any():
+                turn = pc.cast(out["turn_idx"], pa.int64()).fill_null(0)\
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                rng = (turn // max(1, self._salt_span)).astype(np.uint64)
+                from ..state.sketches import _hash64
+                h = np.where(is_hot, _hash64(h ^ (rng + np.uint64(1))), h)
+                salted = is_hot
         out = out.append_column(
-            "bucket", pa.array((bucket % np.uint64(self._n_buckets))
+            "bucket", pa.array((h % np.uint64(self._n_buckets))
                                .astype(np.int64)))
+        out = out.append_column("salted", pa.array(salted))
         return out
 
     _n_buckets: int = 64
 
 
-def make_key_normalizer(schema: TableSchema, columns: list[str], buckets: int):
+def make_key_normalizer(schema: TableSchema, columns: list[str], buckets: int,
+                        hot_ref=None, salt_span: int = 0):
     kn = KeyNormalizer(schema, columns)
     kn._n_buckets = buckets
+    kn._hot_ref = hot_ref
+    kn._salt_span = salt_span
     return kn
 
 
@@ -538,17 +756,31 @@ def validate(
         if not p2_parts:
             return []
         key_cols = _group_rule_columns(schema)
+        manifest = None
         manifest_ref = None
         if manifest_path and os.path.exists(manifest_path):
-            manifest_ref = ray.put(pq.read_table(manifest_path))
+            manifest = pq.read_table(manifest_path)
+            manifest_ref = ray.put(manifest)
+        # hot-conversation salting: declared-huge conversations split by
+        # turn range (north rule "salted repartitioning")
+        hot_ref = None
+        salt_span = 0
+        if cfg.salt_threshold and manifest is not None \
+                and "n_turns" in manifest.column_names:
+            hot = manifest.filter(pc.greater(
+                manifest["n_turns"], cfg.salt_threshold))[schema.key_columns[0]]
+            if len(hot):
+                hot_ref = ray.put(hot.combine_chunks())
+                salt_span = cfg.salt_threshold
         parts = p2_parts
         keys_ds = parts[0]
         for p in parts[1:]:
             keys_ds = keys_ds.union(p)
         keys_ds = keys_ds.map_batches(
-            make_key_normalizer(schema, key_cols, cfg.buckets),
+            make_key_normalizer(schema, key_cols, cfg.buckets,
+                                hot_ref=hot_ref, salt_span=salt_span),
             batch_format="pyarrow", batch_size=cfg.batch_size)
-        checker = BucketChecker(schema, manifest_ref)
+        checker = BucketChecker(schema, manifest_ref, salt_span=salt_span)
 
         def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
             return _c(tab)
@@ -556,6 +788,14 @@ def validate(
         grouped = keys_ds.groupby("bucket").map_groups(
             check_bucket, batch_format="pyarrow")
         gtabs = [t for t in ray.get(grouped.to_arrow_refs()) if t.num_rows]
+        # second reduce: merge hot-conversation range partials (tiny)
+        if salt_span and gtabs:
+            allg = pa.concat_tables(gtabs)
+            is_partial = pc.equal(allg["rule"], "__salt_partial__")
+            partials = allg.filter(is_partial)
+            gtabs = [allg.filter(pc.invert(is_partial))]
+            if partials.num_rows:
+                gtabs += merge_salt_partials(partials, schema, manifest)
         stage_t["pass2"] = round(_time.perf_counter() - t0, 3)
         return gtabs
 
