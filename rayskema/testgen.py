@@ -164,7 +164,10 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
 
     if corrupt:
         n_conv = len(uniq_convs)
-        per_class = max(1, n_conv // 120)  # ~10 classes * ~0.8% convs ≈ 2% rows
+        # ~2% of conversations at small scale, capped so fixture
+        # generation stays fast at bench scale (the mutation loop is
+        # per-conversation Python; the vectorized clean gen dominates)
+        per_class = min(200, max(1, n_conv // 120))
         classes = ["dup", "null_text", "bad_role", "bad_tool", "tool_wrong_role",
                    "long_text", "empty_text", "gap", "neg", "ts_reg", "dangling"]
         picks = _pick_convs(counts.to_numpy(), len(classes), per_class)
