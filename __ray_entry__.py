@@ -232,6 +232,32 @@ def _q_orders_ref_customers(sf_dir: str):
     return _viol_select(out, ["o_orderkey"])
 
 
+def _q_orders_topk_per_customer(sf_dir: str):
+    from rayskema.pipelines.relational import topk_per_group
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderkey"])
+    return topk_per_group(ds, "o_custkey", "o_totalprice", "o_orderkey", k=3)
+
+
+def _q_events_windowed(sf_dir: str):
+    from rayskema.pipelines.relational import windowed_agg
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return windowed_agg(ds, "ts", ["event_type"], "value", window="day")
+
+
+def _q_events_orders_asof(sf_dir: str):
+    from rayskema.pipelines.relational import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = asof_join(ev, orders, key="o_custkey", left_key="user_id",
+                    left_ts="ts", right_ts="o_orderdate",
+                    left_id="event_id", value_col="o_orderdate")
+
+    def rename(t):
+        return t.rename_columns(["event_id", "user_id", "asof_date"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_customer_distinct_segments(sf_dir: str):
     from rayskema.pipelines.relational import distinct_count
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
@@ -333,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_cap": _q_orders_per_customer_cap,
         "orders_ref_customers": _q_orders_ref_customers,
         "customer_distinct_segments": _q_customer_distinct_segments,
+        "orders_topk_per_customer": _q_orders_topk_per_customer,
+        "events_windowed": _q_events_windowed,
+        "events_orders_asof": _q_events_orders_asof,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -426,6 +455,28 @@ def oracle_sql() -> dict[str, str]:
         "customer_distinct_segments": """
             SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_distinct
             FROM customer GROUP BY c_nationkey
+        """,
+        "orders_topk_per_customer": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders)
+            WHERE rank <= 3
+        """,
+        "events_windowed": """
+            SELECT date_trunc('day', ts) AS window_start, event_type,
+                   count(value) AS n, min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_orders_asof": """
+            SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_date
+            FROM events e
+            JOIN orders o ON o.o_custkey = e.user_id
+                         AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id, e.user_id
         """,
         "docs_dedup_exact": """
             SELECT d.doc_id, g.keeper, d.lang, d.n_chars

@@ -288,3 +288,135 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
 
     return bucketed_map_groups(pairs, [group_col], _count,
                                buckets=buckets, sort_within=False)
+
+
+def topk_per_group(ds: "rd.Dataset", group_col: str, order_col: str,
+                   id_col: str, *, k: int = 3, descending: bool = True,
+                   buckets: int = 64) -> "rd.Dataset":
+    """Top-k rows per group by ``order_col`` (ties broken by ascending
+    ``id_col``): (group, id, rank).  One hash shuffle; ranking is
+    vectorized over the bucket-sorted arrays — never a per-group Python
+    call (reference has no analogue; the sort/limit family of SURVEY
+    §2.7 generalized per-group)."""
+
+    def _topk(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([
+            (group_col, "ascending"),
+            (order_col, "descending" if descending else "ascending"),
+            (id_col, "ascending")])
+        new = segment_starts(tab, [group_col])
+        firsts = np.flatnonzero(new)
+        n = tab.num_rows
+        pos = np.arange(n) - np.repeat(
+            firsts, np.diff(np.append(firsts, n)))
+        keep = pos < k
+        out = {
+            group_col: tab[group_col].filter(pa.array(keep)),
+            id_col: tab[id_col].filter(pa.array(keep)),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+        }
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col, order_col, id_col]), [group_col],
+        _topk, buckets=buckets, sort_within=False)
+
+
+def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
+                 value_col: str, *, window: str = "day") -> "rd.Dataset":
+    """Tumbling-window aggregate: (window_start, group..., n, min_value,
+    max_value).  Pre-aggregates inside every block (map-side combine)
+    before ONE small shuffle over (window, group) — the partial+final
+    pattern of SURVEY §2.6 A6; aggregates chosen to be order-exact
+    (counts/min/max, no float-sum nondeterminism)."""
+    group_cols = list(group_cols)
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tab[ts_col], unit=window)
+        t = tab.select(group_cols + [value_col]).append_column(
+            "window_start", win)
+        return t.group_by(["window_start"] + group_cols).aggregate(
+            [(value_col, "count"), (value_col, "min"), (value_col, "max")]
+        ).rename_columns(["window_start"] + group_cols
+                         + ["n", "min_value", "max_value"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        return tab.group_by(["window_start"] + group_cols).aggregate(
+            [("n", "sum"), ("min_value", "min"), ("max_value", "max")]
+        ).rename_columns(["window_start"] + group_cols
+                         + ["n", "min_value", "max_value"])
+
+    return bucketed_map_groups(partial, ["window_start"] + group_cols,
+                               _final, buckets=16, sort_within=False)
+
+
+def asof_join(
+    left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
+    left_ts: str, right_ts: str, left_id: str, value_col: str,
+    buckets: int = 64,
+) -> "rd.Dataset":
+    """As-of join: for each left row, the greatest ``right_ts`` value
+    with ``right_ts <= left_ts`` for the same key; returns
+    (left_id, left_key, asof_<value_col>).  Left rows with no match are
+    dropped (inner as-of).  Both sides shuffle ONCE on the key; the
+    merge is a vectorized carry-forward over the bucket sorted by
+    (key, ts, side) — right rows sort before left rows at equal ts so
+    ``<=`` semantics hold (SURVEY §2.5 custom operator)."""
+
+    def _tag_left(tab: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(tab[left_key], pa.int64()),
+            "ts": pc.cast(tab[left_ts], pa.timestamp("us")),
+            "side": pa.array(np.ones(tab.num_rows, dtype=np.int8)),
+            "lid": pc.cast(tab[left_id], pa.int64()),
+            "val": pa.nulls(tab.num_rows, type=pa.timestamp("us")),
+        })
+
+    def _tag_right(tab: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(tab[key], pa.int64()),
+            "ts": pc.cast(tab[right_ts], pa.timestamp("us")),
+            "side": pa.array(np.zeros(tab.num_rows, dtype=np.int8)),
+            "lid": pa.nulls(tab.num_rows, type=pa.int64()),
+            "val": pc.cast(tab[value_col], pa.timestamp("us")),
+        })
+
+    both = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow"))
+
+    def _merge(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("k", "ascending"), ("ts", "ascending"),
+                           ("side", "ascending")])
+        n = tab.num_rows
+        kv = tab["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = tab["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        new_key = np.zeros(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = kv[1:] != kv[:-1]
+        # carry forward the index of the last right row within each key
+        idx = np.arange(n)
+        last_right = np.where(side == 0, idx, -1)
+        # reset at key boundaries: do segmented cummax via subtracting
+        # the segment's base from a global cummax trick
+        seg_id = np.cumsum(new_key) - 1
+        # global cummax of (seg_id * (n+1) + last_right+1) keeps maxima
+        # within segments (different segments never mix because seg_id
+        # dominates the packed value)
+        packed = seg_id * (n + 1) + (last_right + 1)
+        run = np.maximum.accumulate(packed)
+        carried = run - seg_id * (n + 1) - 1   # -1 => no right row yet
+        is_left = side == 1
+        ok = is_left & (carried >= 0)
+        src = carried[ok]
+        out = pa.table({
+            "lid": tab["lid"].filter(pa.array(ok)),
+            "k": tab["k"].filter(pa.array(ok)),
+            "asof_value": tab["val"].take(pa.array(src)),
+        })
+        return out
+
+    return bucketed_map_groups(both, ["k"], _merge, buckets=buckets,
+                               sort_within=False)

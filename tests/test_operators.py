@@ -239,3 +239,52 @@ def test_contract_roundtrip(tmp_path):
     s2 = load_contract(p)
     assert s2 == s
     assert s2.schema_hash() == s.schema_hash()
+
+
+# ---------------------------------------------------------------------------
+# top-k / windows / as-of join
+# ---------------------------------------------------------------------------
+
+def test_topk_per_group(ray_session):
+    from rayskema.pipelines.relational import topk_per_group
+    ds = rd.from_arrow(pa.table({
+        "g": [1, 1, 1, 1, 2],
+        "v": [10.0, 30.0, 20.0, 30.0, 5.0],
+        "id": [100, 101, 102, 103, 200]}))
+    out = _collect(topk_per_group(ds, "g", "v", "id", k=2, buckets=2))
+    out = out.sort_by([("g", "ascending"), ("rank", "ascending")])
+    # ties on v=30 broken by ascending id: 101 then 103
+    assert out["id"].to_pylist() == [101, 103, 200]
+    assert out["rank"].to_pylist() == [1, 2, 1]
+
+
+def test_windowed_agg(ray_session):
+    from rayskema.pipelines.relational import windowed_agg
+    ts = pa.array([0, 3_600_000_000, 90_000_000_000],
+                  type=pa.timestamp("us"))  # two in day 0, one in day 1
+    ds = rd.from_arrow(pa.table({
+        "ts": ts, "g": ["a", "a", "a"], "v": [1.0, 5.0, 2.0]}))
+    out = _collect(windowed_agg(ds, "ts", ["g"], "v")).sort_by(
+        [("window_start", "ascending")])
+    assert out["n"].to_pylist() == [2, 1]
+    assert out["min_value"].to_pylist() == [1.0, 2.0]
+    assert out["max_value"].to_pylist() == [5.0, 2.0]
+
+
+def test_asof_join(ray_session):
+    from rayskema.pipelines.relational import asof_join
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([100, 300, 100], type=pa.timestamp("us")),
+        "eid": pa.array([10, 11, 20], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "rts": pa.array([50, 200, 500], type=pa.timestamp("us"))}))
+    out = _collect(asof_join(
+        left, right, key="k", left_key="uid", left_ts="ts",
+        right_ts="rts", left_id="eid", value_col="rts",
+        buckets=2)).sort_by([("lid", "ascending")])
+    # eid 10: latest rts<=100 is 50; eid 11: 200; eid 20: none (dropped)
+    assert out["lid"].to_pylist() == [10, 11]
+    vals = pa.compute.cast(out["asof_value"], pa.int64()).to_pylist()
+    assert vals == [50, 200]
