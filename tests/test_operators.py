@@ -288,3 +288,17 @@ def test_asof_join(ray_session):
     assert out["lid"].to_pylist() == [10, 11]
     vals = pa.compute.cast(out["asof_value"], pa.int64()).to_pylist()
     assert vals == [50, 200]
+
+
+def test_i18n_render():
+    from rayskema.i18n import render
+    v = pa.table({
+        "conv_id": ["c1", "c2"], "turn_idx": [0, 1],
+        "path": ["/role", "/x"], "code": ["invalid_enum", "business_rule"],
+        "rule": ["r", "r"], "message": ["value not in enum", "custom"],
+        "params": ["", ""]})
+    ja = render(v, "ja")
+    assert ja["message"].to_pylist() == ["列挙値ではありません", "業務ルール違反"]
+    # en keeps engine messages; codes never change
+    assert render(v, "en")["message"].to_pylist()[0] == "value not in enum"
+    assert ja["code"].to_pylist() == v["code"].to_pylist()
