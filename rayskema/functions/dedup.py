@@ -173,6 +173,7 @@ def minhash_lsh_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     n_perm: int = 64, bands: int = 16, shingle_k: int = 5,
     jaccard_threshold: float = 0.5, buckets: int = 64,
+    max_group: int = 1024,
 ) -> "rd.Dataset":
     """Near-duplicate pairs by MinHash+LSH: per-batch signatures →
     flat_map to (band, band_hash, id, sig) rows → shuffle on the band
@@ -183,6 +184,12 @@ def minhash_lsh_pairs(
 
     Banding theory: the LSH similarity threshold is ~(1/bands)^(bands/n_perm)
     — (16 bands x 4 rows) targets ~0.5; pick (8 x 8) for ~0.77.
+
+    ``max_group`` caps candidate-group size (standard LSH practice): a
+    band bucket larger than this is a degenerate "everything collides"
+    bucket (low-entropy corpus); its pairs are skipped rather than
+    paying O(m^2) verification.  Pairs that similar almost surely share
+    another, smaller bucket.
     """
     rows_per_band = n_perm // bands
 
@@ -225,7 +232,7 @@ def minhash_lsh_pairs(
                           ).reshape(len(ids), -1)
         out_a, out_b, out_j = [], [], []
         firsts = np.flatnonzero(new)
-        for g in np.flatnonzero(counts > 1):
+        for g in np.flatnonzero((counts > 1) & (counts <= max_group)):
             s, e = firsts[g], firsts[g] + counts[g]
             gid, gsig = ids[s:e], sigs[s:e]
             m = len(gid)
