@@ -54,8 +54,22 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
         values = values.combine_chunks()
     if not isinstance(values, pa.Array):
         values = pa.array(values, type=pa.string())
+    if pa.types.is_dictionary(values.type):
+        dh = hash_strings(values.dictionary, seed)
+        idx = values.indices.fill_null(0).to_numpy(zero_copy_only=False)
+        return dh[idx]
     if values.null_count:
         values = pc.fill_null(values, "")
+    # repeated-key fast path: hash each DISTINCT string once (the
+    # dictionary encode is a C-speed hash table), then gather — keys
+    # like conv_id repeat ~n_turns times, cutting the O(total bytes)
+    # polynomial-hash work by the repetition factor
+    if len(values) > 65536:
+        enc = pc.dictionary_encode(values)
+        if len(enc.dictionary) * 2 < len(values):
+            dh = hash_strings(enc.dictionary, seed)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            return dh[idx]
     values = pc.cast(values, pa.large_binary())
     buffers = values.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int64,
