@@ -264,6 +264,33 @@ def _q_customer_distinct_segments(sf_dir: str):
     return distinct_count(ds, "c_nationkey", "c_mktsegment")
 
 
+def _q_orders_snapshot_diff(sf_dir: str):
+    # two synthetic snapshots derived from orders: 10%-keys "added"
+    # since old, 1/13-keys "removed" in new, 1/7-keys status "changed"
+    from rayskema.pipelines.relational import diff_snapshots
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def _mod(arr, m: int):
+        import pyarrow.compute as pc
+        return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+    def make_old(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.not_equal(_mod(t["o_orderkey"], 10), 0))
+        ch = pc.equal(_mod(t["o_orderkey"], 7), 0)
+        status = pc.if_else(ch, "X", t["o_orderstatus"])
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderstatus": status})
+
+    def make_new(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.not_equal(_mod(t["o_orderkey"], 13), 0))
+
+    old = ds.map_batches(make_old, batch_format="pyarrow")
+    new = ds.map_batches(make_new, batch_format="pyarrow")
+    return diff_snapshots(old, new, ["o_orderkey"], ["o_orderstatus"])
+
+
 def _q_docs_dedup_exact(sf_dir: str):
     from rayskema.functions.dedup import exact_duplicates
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -362,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_customer": _q_orders_topk_per_customer,
         "events_windowed": _q_events_windowed,
         "events_orders_asof": _q_events_orders_asof,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -477,6 +505,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "orders_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus
+                FROM orders WHERE o_orderkey % 10 != 0),
+            new AS (
+                SELECT o_orderkey, o_orderstatus
+                FROM orders WHERE o_orderkey % 13 != 0)
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.o_orderstatus <> n.o_orderstatus
         """,
         "docs_dedup_exact": """
             SELECT d.doc_id, g.keeper, d.lang, d.n_chars

@@ -420,3 +420,70 @@ def asof_join(
 
     return bucketed_map_groups(both, ["k"], _merge, buckets=buckets,
                                sort_within=False)
+
+
+def diff_snapshots(
+    old: "rd.Dataset", new: "rd.Dataset", key_cols, compare_cols,
+    *, buckets: int = 64,
+) -> "rd.Dataset":
+    """Old-vs-new snapshot diff keyed on ``key_cols`` (reference
+    ``RequestInfo.Old`` update semantics, domain_types.go:46-51 /
+    SURVEY §2.5 J3): returns (key..., change) with change in
+    {'added', 'removed', 'changed'}.  Both snapshots hash-partition ONCE
+    on the key; the per-bucket compare is a vectorized sorted-merge.
+    Assumes keys are unique within each snapshot (validate first)."""
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+
+    def _tag(side: int):
+        def fn(tab: pa.Table) -> pa.Table:
+            t = tab.select(key_cols + compare_cols)
+            return t.append_column(
+                "side", pa.array(np.full(tab.num_rows, side, dtype=np.int8)))
+        return fn
+
+    both = old.map_batches(_tag(0), batch_format="pyarrow").union(
+        new.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _diff(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(c, "ascending") for c in key_cols]
+                          + [("side", "ascending")])
+        n = tab.num_rows
+        new_key = segment_starts(tab, key_cols)
+        side = tab["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        seg_id = np.cumsum(new_key) - 1
+        n_seg = int(seg_id[-1]) + 1 if n else 0
+        has_old = np.zeros(n_seg, dtype=bool)
+        has_new = np.zeros(n_seg, dtype=bool)
+        has_old[seg_id[side == 0]] = True
+        has_new[seg_id[side == 1]] = True
+        firsts = np.flatnonzero(new_key)
+        # changed: both present and any compare column differs between
+        # the pair's two adjacent rows (old sorts before new)
+        pair_first = firsts[has_old & has_new]
+        changed = np.zeros(len(pair_first), dtype=bool)
+        for c in compare_cols:
+            v = tab[c].combine_chunks()
+            a = v.take(pa.array(pair_first))
+            b = v.take(pa.array(pair_first + 1))
+            neq = pc.fill_null(pc.not_equal(a, b), True)
+            # both-null counts as equal
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            neq = pc.and_(neq, pc.invert(both_null))
+            changed |= np.asarray(neq)
+        out_idx = []
+        out_change = []
+        removed_idx = firsts[has_old & ~has_new]
+        added_idx = firsts[~has_old & has_new]
+        out_idx.append(added_idx); out_change += ["added"] * len(added_idx)
+        out_idx.append(removed_idx); out_change += ["removed"] * len(removed_idx)
+        ch_idx = pair_first[changed]
+        out_idx.append(ch_idx); out_change += ["changed"] * len(ch_idx)
+        idx = pa.array(np.concatenate(out_idx).astype(np.int64)) if out_idx \
+            else pa.array([], type=pa.int64())
+        out = {c: tab[c].take(idx) for c in key_cols}
+        out["change"] = pa.array(out_change, type=pa.string())
+        return pa.table(out)
+
+    return bucketed_map_groups(both, key_cols, _diff, buckets=buckets,
+                               sort_within=False)

@@ -302,3 +302,15 @@ def test_i18n_render():
     # en keeps engine messages; codes never change
     assert render(v, "en")["message"].to_pylist()[0] == "value not in enum"
     assert ja["code"].to_pylist() == v["code"].to_pylist()
+
+
+def test_diff_snapshots(ray_session):
+    from rayskema.pipelines.relational import diff_snapshots
+    old = rd.from_arrow(pa.table({
+        "k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    new = rd.from_arrow(pa.table({
+        "k": [2, 3, 4], "v": ["b", "CHANGED", "d"]}))
+    out = _collect(diff_snapshots(old, new, ["k"], ["v"],
+                                  buckets=2)).sort_by("k")
+    assert list(zip(out["k"].to_pylist(), out["change"].to_pylist())) == [
+        (1, "removed"), (3, "changed"), (4, "added")]
