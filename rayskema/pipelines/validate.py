@@ -684,6 +684,18 @@ def validate(
     files = _discover(paths)
     groups, file_viols = inspect_files(files, schema)
     stage_t["inspect"] = round(_time.perf_counter() - t0, 3)
+    if not groups:
+        # no input files: an empty (vacuously passing) run, not a crash
+        key_fields = schema.key_fields()
+        violations = sort_violations(
+            file_viols if file_viols.num_rows else
+            empty_violations(key_fields), schema.key_columns)
+        return ValidationResult(
+            violations=violations, profile=None, drift=[],
+            verdicts=build_verdicts(violations, schema,
+                                    n_partitions=cfg.buckets),
+            metrics={"n_violations": violations.num_rows, "n_files": 0,
+                     "rows_validated": 0, "stage_sec": stage_t})
 
     # ---- pass 1: full-width scan, batch-local checks + sketch partials --
     # One read per schema-group (per-group column pruning); each group is

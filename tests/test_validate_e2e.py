@@ -127,3 +127,16 @@ def test_determinism_across_parallelism(ray_session, fixture_corrupt):
     assert (sum(r1.verdicts["violation_count"].to_pylist())
             == sum(r2.verdicts["violation_count"].to_pylist())
             == b1.num_rows)
+
+
+def test_validate_empty_input(ray_session, tmp_path):
+    """No input files => empty passing result, not a crash."""
+    from rayskema.pipelines.validate import ValidateConfig, validate
+    from rayskema.schema import transcript_schema
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    res = validate(str(d), transcript_schema(),
+                   config=ValidateConfig(buckets=4))
+    assert res.violations.num_rows == 0
+    assert res.passed
