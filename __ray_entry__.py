@@ -360,6 +360,15 @@ def _q_emb_knn_lsh(sf_dir: str):
                           n_planes=8, n_tables=8)
 
 
+def _q_emb_knn_ivf(sf_dir: str):
+    from rayskema.functions.similarity import knn_cosine_ivf
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_cosine_ivf(ds, "embedding", "vec_id",
+                          query_ids=[0, 1, 2, 3, 4], k=5,
+                          n_clusters=16, n_probe=6)
+
+
 def _q_emb_near_dups(sf_dir: str):
     from rayskema.functions.similarity import embedding_near_dup_pairs
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -400,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _q_docs_lang_id,
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
+        "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dups": _q_emb_near_dups,
         "transcript_validate": _q_transcript_validate,
     }

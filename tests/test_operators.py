@@ -314,3 +314,20 @@ def test_diff_snapshots(ray_session):
                                   buckets=2)).sort_by("k")
     assert list(zip(out["k"].to_pylist(), out["change"].to_pylist())) == [
         (1, "removed"), (3, "changed"), (4, "added")]
+
+
+def test_knn_ivf_high_recall(ray_session):
+    from rayskema.functions.similarity import knn_cosine_brute, knn_cosine_ivf
+    tab = _vec_table(n=200)
+    ds = rd.from_arrow(tab)
+    exact = knn_cosine_brute(ds, "embedding", "vec_id", [0, 7], k=5)
+    approx = knn_cosine_ivf(ds, "embedding", "vec_id", [0, 7], k=5,
+                            n_clusters=8, n_probe=4)
+    ex = set(zip(exact["query_id"].to_pylist(),
+                 exact["neighbor_id"].to_pylist()))
+    ap = set(zip(approx["query_id"].to_pylist(),
+                 approx["neighbor_id"].to_pylist()))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5
+    # the planted near-dup must be found for query 0
+    assert (0, 1) in ap
