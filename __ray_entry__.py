@@ -377,6 +377,51 @@ def _q_emb_near_dups(sf_dir: str):
                                     cosine_threshold=0.35)
 
 
+def _q_events_type_psi(sf_dir: str):
+    """Distribution drift as a query: PSI of the event_type histogram,
+    first half vs second half of the stream by ts (median cutoff).
+    Engine shape: per-batch partial counts in map_batches, merged on the
+    driver (the same partial+final pattern the sketch profiles use; at
+    scale the cutoff comes from the merged t-digest median)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from rayskema.functions.drift import psi
+
+    ts_tab = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts"])
+    ts = ts_tab["ts"].to_numpy(zero_copy_only=False)\
+        .astype("datetime64[us]").astype(np.int64)
+    cutoff = pa.scalar(int(np.median(ts)), type=pa.timestamp("us"))
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        out = []
+        for side, mask in (("a", pc.less(t["ts"], cutoff)),
+                           ("b", pc.greater_equal(t["ts"], cutoff))):
+            sub = t.filter(mask)
+            vc = sub.group_by(["event_type"]).aggregate(
+                [("event_type", "count")])
+            vc = vc.rename_columns(["event_type", "n"]).append_column(
+                "side", pa.array([side] * vc.num_rows, type=pa.string()))
+            out.append(vc)
+        return pa.concat_tables(out)
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial_counts,
+                               batch_format="pyarrow").to_arrow_refs()))
+    a: dict = {}
+    b: dict = {}
+    for et, n, side in zip(parts["event_type"].to_pylist(),
+                           parts["n"].to_pylist(),
+                           parts["side"].to_pylist()):
+        d = a if side == "a" else b
+        d[et] = d.get(et, 0) + n
+    return pa.table({"psi": pa.array([round(psi(a, b), 6)],
+                                     type=pa.float64())})
+
+
 def _q_transcript_validate(sf_dir: str):
     # flagship north-rule pipeline; input synthesized per round spec
     # (transcript shape is not part of the driver testdata)
@@ -411,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": _q_emb_knn_lsh,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dups": _q_emb_near_dups,
+        "events_type_psi": _q_events_type_psi,
         "transcript_validate": _q_transcript_validate,
     }
 
@@ -576,6 +622,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "events_type_psi": """
+            WITH cut AS (SELECT median(ts) AS m FROM events),
+            a AS (SELECT event_type, count(*)::DOUBLE AS c
+                  FROM events, cut WHERE ts < m GROUP BY 1),
+            b AS (SELECT event_type, count(*)::DOUBLE AS c
+                  FROM events, cut WHERE ts >= m GROUP BY 1),
+            t AS (SELECT a.event_type,
+                         a.c / (SELECT sum(c) FROM a) AS pe,
+                         b.c / (SELECT sum(c) FROM b) AS po
+                  FROM a JOIN b USING (event_type))
+            SELECT round(sum((po - pe) * ln(po / pe)), 6) AS psi FROM t
         """,
         "emb_knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
