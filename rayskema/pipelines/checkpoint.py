@@ -52,7 +52,8 @@ from ..schema import DriftRule, TableSchema
 from ..state.sketches import ColumnProfile
 from .validate import (
     BucketChecker, ValidateConfig, build_verdicts, _discover,
-    _group_rule_columns, has_group_rules, inspect_files, make_key_normalizer,
+    _group_rule_columns, has_group_rules, inspect_files,
+    make_key_normalizer, merge_salt_partials,
 )
 
 
@@ -169,11 +170,24 @@ def run_checkpointed(
 
     key_fields = schema.key_fields()
     vtabs = [file_viols] if file_viols.num_rows else []
+    partial_tabs = []
     for name in sorted(os.listdir(viol_dir)):
         if name.endswith(".parquet"):
             t = pq.read_table(os.path.join(viol_dir, name))
+            if not t.num_rows:
+                continue
+            t = t.cast(violations_schema(key_fields))
+            is_partial = pc.equal(t["rule"], "__salt_partial__")
+            if pc.any(is_partial).as_py():
+                partial_tabs.append(t.filter(is_partial))
+                t = t.filter(pc.invert(is_partial))
             if t.num_rows:
-                vtabs.append(t.cast(violations_schema(key_fields)))
+                vtabs.append(t)
+    if partial_tabs:
+        manifest = pq.read_table(manifest_path) if manifest_path and \
+            os.path.exists(manifest_path) else None
+        vtabs += merge_salt_partials(pa.concat_tables(partial_tabs),
+                                     schema, manifest)
 
     drift = []
     drules = schema.rules_of(DriftRule)
@@ -257,9 +271,20 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
 def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
                 remaining, schema_hash) -> None:
     key_cols = _group_rule_columns(schema)
+    manifest = None
     manifest_ref = None
     if manifest_path and os.path.exists(manifest_path):
-        manifest_ref = ray.put(pq.read_table(manifest_path))
+        manifest = pq.read_table(manifest_path)
+        manifest_ref = ray.put(manifest)
+    hot_ref = None
+    salt_span = 0
+    if cfg.salt_threshold and manifest is not None \
+            and "n_turns" in manifest.column_names:
+        hot = manifest.filter(pc.greater(
+            manifest["n_turns"], cfg.salt_threshold))[schema.key_columns[0]]
+        if len(hot):
+            hot_ref = ray.put(hot.combine_chunks())
+            salt_span = cfg.salt_threshold
     parts = []
     for g in groups:
         cols = [c for c in key_cols if c in g.read_columns]
@@ -275,14 +300,15 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
     for p in parts[1:]:
         keys_ds = keys_ds.union(p)
     keys_ds = keys_ds.map_batches(
-        make_key_normalizer(schema, key_cols, cfg.buckets),
+        make_key_normalizer(schema, key_cols, cfg.buckets,
+                            hot_ref=hot_ref, salt_span=salt_span),
         batch_format="pyarrow")
     remaining_set = set(remaining)
     rem_arr = pa.array(sorted(remaining_set), type=pa.int64())
     keys_ds = keys_ds.map_batches(
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=rem_arr)),
         batch_format="pyarrow")
-    checker = BucketChecker(schema, manifest_ref)
+    checker = BucketChecker(schema, manifest_ref, salt_span=salt_span)
 
     def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
         bucket = int(tab["bucket"][0].as_py())

@@ -68,3 +68,23 @@ def test_salting_actually_splits(env):
     n_buckets = len(pc.unique(hot_rows["bucket"]))
     assert n_buckets > 1
     assert pc.all(hot_rows["salted"]).as_py()
+
+
+def test_checkpointed_salted_equals_unsalted(env, tmp_path):
+    """Salting works through the resumable runner too: identical final
+    violations with and without salting."""
+    from rayskema.pipelines.checkpoint import run_checkpointed
+    import pyarrow.parquet as pq
+
+    d, kwargs = env
+    plain = run_checkpointed(
+        os.path.join(d, "transcripts"), transcript_schema(),
+        str(tmp_path / "plain"), config=ValidateConfig(buckets=8), **kwargs)
+    salted = run_checkpointed(
+        os.path.join(d, "transcripts"), transcript_schema(),
+        str(tmp_path / "salted"),
+        config=ValidateConfig(buckets=8, salt_threshold=64), **kwargs)
+    a = pq.read_table(plain.violations_path)
+    b = pq.read_table(salted.violations_path)
+    assert a.equals(b)
+    assert a.num_rows > 0
