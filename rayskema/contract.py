@@ -21,8 +21,8 @@ import pyarrow as pa
 from .schema import (
     ByteBounds, Column, ContiguousRule, CrossFieldRule, DriftRule, Enum,
     GroupCountRule, LenBounds, MonotonicRule, NonNull, Normalizer, Range,
-    RefIntegrityRule, Regex, TableSchema, TsFormat, UnionRule, UniqueRule,
-    Unknown,
+    RefIntegrityRule, Regex, StructField, TableSchema, TsFormat, UnionRule,
+    UniqueRule, Unknown,
 )
 
 _CONSTRAINTS = {c.__name__: c for c in
@@ -46,11 +46,34 @@ _TYPES = {
 }
 
 
-def _dtype_name(t: pa.DataType) -> str:
+def _dtype_name(t: pa.DataType):
+    """Serialize a dtype: primitives by name, struct/list recursively."""
+    if pa.types.is_struct(t):
+        return {"struct": [{"name": t.field(i).name,
+                            "dtype": _dtype_name(t.field(i).type)}
+                           for i in range(t.num_fields)]}
+    if pa.types.is_fixed_size_list(t):
+        return {"fixed_size_list": _dtype_name(t.value_type),
+                "size": t.list_size}
+    if pa.types.is_list(t):
+        return {"list": _dtype_name(t.value_type)}
     s = str(t)
     if s not in _TYPES:
         raise ValueError(f"dtype not representable in contract: {s}")
     return s
+
+
+def _dtype_from(d) -> pa.DataType:
+    if isinstance(d, str):
+        return _TYPES[d]
+    if "struct" in d:
+        return pa.struct([(f["name"], _dtype_from(f["dtype"]))
+                          for f in d["struct"]])
+    if "fixed_size_list" in d:
+        return pa.list_(_dtype_from(d["fixed_size_list"]), d["size"])
+    if "list" in d:
+        return pa.list_(_dtype_from(d["list"]))
+    raise ValueError(f"bad dtype doc: {d!r}")
 
 
 def export_contract(schema: TableSchema) -> dict:
@@ -71,16 +94,34 @@ def export_contract(schema: TableSchema) -> dict:
             "dtype": _dtype_name(c.dtype),
             "nullable": c.nullable,
             "default": c.default,
-            "constraints": [
-                {"_type": type(k).__name__, **asdict(k)}
-                for k in c.constraints
-            ],
+            "constraints": [_constraint_dict(k) for k in c.constraints],
         })
     for r in schema.rules:
         # "_type" is the discriminator; it must not collide with rule
         # fields (DriftRule has its own "kind" field)
         doc["rules"].append({"_type": type(r).__name__, **_rule_dict(r)})
     return doc
+
+
+def _constraint_dict(k) -> dict:
+    if isinstance(k, StructField):
+        return {"_type": "StructField", "rule": k.rule,
+                "path": list(k.path),
+                "constraint": _constraint_dict(k.constraint)}
+    return {"_type": type(k).__name__, **asdict(k)}
+
+
+def _constraint_from(d: dict):
+    d = dict(d)
+    kind = d.pop("_type")
+    if kind == "StructField":
+        return StructField(rule=d.get("rule", ""),
+                           path=tuple(d["path"]),
+                           constraint=_constraint_from(d["constraint"]))
+    cls = _CONSTRAINTS[kind]
+    if "values" in d:
+        d["values"] = tuple(d["values"])
+    return cls(**d)
 
 
 def _rule_dict(r) -> dict:
@@ -106,14 +147,8 @@ def import_contract(doc: dict) -> TableSchema:
         raise ValueError("unsupported contract_version")
     cols = []
     for c in doc["columns"]:
-        constraints = []
-        for k in c.get("constraints", []):
-            k = dict(k)
-            cls = _CONSTRAINTS[k.pop("_type")]
-            if "values" in k:
-                k["values"] = tuple(k["values"])
-            constraints.append(cls(**k))
-        cols.append(Column(c["name"], _TYPES[c["dtype"]],
+        constraints = [_constraint_from(k) for k in c.get("constraints", [])]
+        cols.append(Column(c["name"], _dtype_from(c["dtype"]),
                            nullable=c.get("nullable", True),
                            default=c.get("default"),
                            constraints=tuple(constraints)))

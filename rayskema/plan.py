@@ -35,7 +35,8 @@ from .issues import (
 )
 from .schema import (
     ByteBounds, Column, CrossFieldRule, DriftRule, Enum, LenBounds, NonNull,
-    Normalizer, Range, Regex, TableSchema, TsFormat, UnionRule, Unknown,
+    Normalizer, Range, Regex, StructField, TableSchema, TsFormat, UnionRule,
+    Unknown,
 )
 
 CheckFn = Callable[[pa.Table], pa.Table]
@@ -117,8 +118,33 @@ def compile_expr(expr: Mapping[str, Any]) -> Callable[[pa.Table], pa.ChunkedArra
 # the reference where type/format checks run on present values only.
 # ---------------------------------------------------------------------------
 
-def _compile_constraint(col: Column, c, key_cols: Sequence[str]) -> CheckFn:
-    path = column_path(col.name)
+def _compile_constraint(col: Column, c, key_cols: Sequence[str],
+                        path: str | None = None) -> CheckFn:
+    if isinstance(c, StructField):
+        # nested subfield: compile the inner constraint against a view
+        # table where the column is replaced by the child array
+        # (pc.struct_field — zero-copy); the violation path is rebased
+        # to /<col>/<sub...> (reference child-issue rebasing,
+        # dsl/object_core.go:53-80)
+        inner = _compile_constraint(
+            col, c.constraint, key_cols,
+            path=column_path(col.name, *c.path))
+        subpath = tuple(c.path)
+        name = col.name
+
+        def check(t: pa.Table) -> pa.Table:
+            child = t[name]
+            if isinstance(child, pa.ChunkedArray):
+                child = child.combine_chunks()
+            for part in subpath:
+                child = pc.struct_field(child, part)
+            view = t.set_column(t.schema.get_field_index(name),
+                                pa.field(name, child.type), child)
+            return inner(view)
+
+        return check
+    if path is None:
+        path = column_path(col.name)
     name = col.name
 
     if isinstance(c, NonNull):

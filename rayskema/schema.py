@@ -133,6 +133,18 @@ class TsFormat(Constraint):
 
 
 @dataclass(frozen=True)
+class StructField(Constraint):
+    """Apply a constraint to a nested struct subfield (reference nested
+    object validation, ``dsl/object_core.go`` child-issue path rebasing
+    ``/field/...``): ``path`` names the chain of struct field names
+    under the column; violations carry the JSON-Pointer path
+    ``/<col>/<path...>``."""
+
+    path: tuple = ()              # ("meta", "lang") under the column
+    constraint: Constraint | None = None
+
+
+@dataclass(frozen=True)
 class Column:
     name: str
     dtype: pa.DataType

@@ -112,3 +112,51 @@ def test_union_contract_roundtrip():
     s2 = import_contract(export_contract(s))
     assert s2 == s
     assert s2.schema_hash() == s.schema_hash()
+
+
+def test_struct_field_constraints():
+    from rayskema.schema import Column, Enum, NonNull, StructField
+    meta_t = pa.struct([("lang", pa.string()), ("score", pa.float64())])
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("meta", meta_t, constraints=(
+                StructField(path=("lang",),
+                            constraint=Enum(values=("en", "fr"),
+                                            rule="lang_enum")),
+                StructField(path=("lang",),
+                            constraint=NonNull(rule="lang_required")),
+            )),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "meta": pa.array([{"lang": "en", "score": 1.0},
+                          {"lang": "zz", "score": 2.0},
+                          {"lang": None, "score": 3.0}], type=meta_t),
+    })
+    out = ConstraintPlan(s).validate(batch)
+    rows = sorted((r["id"], r["path"], r["code"]) for r in out.to_pylist())
+    assert rows == [(2, "/meta/lang", "invalid_enum"),
+                    (3, "/meta/lang", "required")]
+
+
+def test_struct_contract_roundtrip():
+    from rayskema.contract import export_contract, import_contract
+    from rayskema.schema import Column, Enum, StructField
+    meta_t = pa.struct([("lang", pa.string()),
+                        ("tags", pa.list_(pa.string()))])
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("meta", meta_t, constraints=(
+                StructField(path=("lang",),
+                            constraint=Enum(values=("en",), rule="r")),)),
+            Column("emb", pa.list_(pa.float32(), 8)),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+    s2 = import_contract(export_contract(s))
+    assert s2 == s
+    assert s2.schema_hash() == s.schema_hash()
