@@ -180,8 +180,14 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
         lo, hi = c.min_len, c.max_len
         plo = canon_params({"min_len": lo})
         phi = canon_params({"max_len": hi})
+        # strings => UTF-8 char length; list columns => element count
+        # (reference array min/maxItems, dsl/array.go:45-48)
+        is_list = pa.types.is_list(col.dtype) or \
+            pa.types.is_fixed_size_list(col.dtype) or \
+            pa.types.is_large_list(col.dtype)
+        length_kernel = pc.list_value_length if is_list else pc.utf8_length
         def check(t: pa.Table) -> pa.Table:
-            ln = pc.utf8_length(t[name])
+            ln = length_kernel(t[name])
             out = []
             if lo is not None:
                 out.append(violations_from_mask(

@@ -160,3 +160,24 @@ def test_struct_contract_roundtrip():
     s2 = import_contract(export_contract(s))
     assert s2 == s
     assert s2.schema_hash() == s.schema_hash()
+
+
+def test_len_bounds_on_list_column():
+    from rayskema.schema import Column, LenBounds
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("tags", pa.list_(pa.string()),
+                   constraints=(LenBounds(min_len=1, max_len=3,
+                                          rule="tags_len"),)),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "tags": pa.array([[], ["a"], ["a", "b", "c", "d"]],
+                         type=pa.list_(pa.string())),
+    })
+    out = ConstraintPlan(s).validate(batch)
+    rows = sorted((r["id"], r["code"]) for r in out.to_pylist())
+    assert rows == [(1, "too_short"), (3, "too_long")]
