@@ -94,6 +94,7 @@ def export_contract(schema: TableSchema) -> dict:
             "dtype": _dtype_name(c.dtype),
             "nullable": c.nullable,
             "default": c.default,
+            "codec": c.codec,
             "constraints": [_constraint_dict(k) for k in c.constraints],
         })
     for r in schema.rules:
@@ -151,7 +152,8 @@ def import_contract(doc: dict) -> TableSchema:
         cols.append(Column(c["name"], _dtype_from(c["dtype"]),
                            nullable=c.get("nullable", True),
                            default=c.get("default"),
-                           constraints=tuple(constraints)))
+                           constraints=tuple(constraints),
+                           codec=c.get("codec")))
     rules = []
     for r in doc.get("rules", []):
         r = dict(r)

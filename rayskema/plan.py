@@ -382,6 +382,38 @@ def normalize_batch(
     cast_viols: list[tuple] = []  # (path, code, params, bad_mask)
 
     presence: dict[str, pa.Array] = {}
+    # column codecs: decode wire representation before type reconcile
+    # (reference Decode direction, api.go:44-47); per-row parse
+    # failures => invalid_format (codec/rfc3339.go:27-37)
+    for col in schema.columns:
+        if col.codec == "rfc3339" and col.name in batch.column_names:
+            arr = batch.column(col.name)
+            if pa.types.is_string(arr.type) or \
+                    pa.types.is_large_string(arr.type):
+                parsed = pc.cast(
+                    pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S%z",
+                                unit="us", error_is_null=True),
+                    col.dtype, safe=False)  # tz-aware -> UTC wall time
+                if pc.any(pc.is_null(parsed)).as_py():
+                    # second chance: no-offset form
+                    alt = pc.cast(
+                        pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S",
+                                    unit="us", error_is_null=True),
+                        col.dtype, safe=False)
+                    parsed = pc.if_else(pc.is_null(parsed), alt, parsed)
+                bad = pc.and_(pc.is_null(parsed), pc.is_valid(arr))
+                if key_cols and all(k in batch.column_names
+                                    for k in key_cols) and \
+                        pc.any(bad).as_py():
+                    viols.append(violations_from_mask(
+                        batch, bad, key_cols, column_path(col.name),
+                        INVALID_FORMAT, "codec",
+                        "value does not parse as RFC3339",
+                        canon_params({"codec": "rfc3339"})))
+                idx = batch.schema.get_field_index(col.name)
+                batch = batch.set_column(
+                    idx, pa.field(col.name, parsed.type), parsed)
+
     for col in schema.columns:
         if col.name not in batch.column_names:
             if col.default is not None:
@@ -453,6 +485,21 @@ def normalize_batch(
     vtab = (pa.concat_tables(viols) if viols
             else empty_violations(key_fields))
     return normalized, vtab
+
+
+def encode_canonical(batch: pa.Table, schema: TableSchema) -> pa.Table:
+    """Re-encode codec columns to their canonical wire form (reference
+    Encode direction with canonical UTC RFC3339, codec/rfc3339.go:
+    126-129): timestamps render as UTC ISO-8601 with 'T' separator."""
+    out = batch
+    for col in schema.columns:
+        if col.codec == "rfc3339" and col.name in out.column_names:
+            arr = out[col.name]
+            if pa.types.is_timestamp(arr.type):
+                s = pc.strftime(arr, format="%Y-%m-%dT%H:%M:%S%z")
+                idx = out.schema.get_field_index(col.name)
+                out = out.set_column(idx, pa.field(col.name, pa.string()), s)
+    return out
 
 
 def encode_preserving(batch: pa.Table, schema: TableSchema) -> pa.Table:

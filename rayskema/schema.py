@@ -151,10 +151,16 @@ class Column:
     nullable: bool = True
     default: Any = None           # applied when column absent from a file
     constraints: tuple = ()       # tuple[Constraint, ...]
+    # column codec (reference Codec[A,B], api.go:40-51; rfc3339 codec
+    # codec/rfc3339.go): wire representation <-> declared dtype.
+    # "rfc3339": string on the wire <-> timestamp[us] declared; decode
+    # applied during normalize (parse errors => invalid_format),
+    # canonical re-encode via plan.encode_canonical (UTC RFC3339).
+    codec: str | None = None
 
     def with_constraints(self, *cs: Constraint) -> "Column":
         return Column(self.name, self.dtype, self.nullable, self.default,
-                      self.constraints + tuple(cs))
+                      self.constraints + tuple(cs), self.codec)
 
 
 # ---------------------------------------------------------------------------

@@ -57,3 +57,33 @@ def test_preserve_keeps_explicit_value_over_default():
     norm, _ = normalize_batch(batch, _schema(), with_presence=True)
     preserved = encode_preserving(norm, _schema())
     assert preserved["b"].to_pylist() == ["explicit"]
+
+
+def test_rfc3339_codec_decode_and_canonical_encode():
+    """Column codec (reference codec/rfc3339.go): string wire form
+    decodes to timestamp during normalize; bad strings => invalid_format;
+    canonical re-encode renders UTC RFC3339."""
+    from rayskema.plan import encode_canonical
+    from rayskema.schema import Column
+
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("ts", pa.timestamp("us"), codec="rfc3339"),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": pa.array(["2024-01-02T03:04:05+0000",
+                        "2024-06-07T08:09:10", "not a time"],
+                       type=pa.string()),
+    })
+    norm, viols = normalize_batch(batch, s)
+    assert norm["ts"].type == pa.timestamp("us")
+    assert norm["ts"].to_pylist()[2] is None
+    codes = [(r["id"], r["code"]) for r in viols.to_pylist()]
+    assert (3, "invalid_format") in codes
+    enc = encode_canonical(norm, s)
+    assert enc["ts"].type == pa.string()
+    assert enc["ts"].to_pylist()[0].startswith("2024-01-02T03:04:05")
