@@ -496,6 +496,8 @@ def encode_canonical(batch: pa.Table, schema: TableSchema) -> pa.Table:
         if col.codec == "rfc3339" and col.name in out.column_names:
             arr = out[col.name]
             if pa.types.is_timestamp(arr.type):
+                if arr.type.tz is None:
+                    arr = pc.assume_timezone(arr, "UTC")
                 s = pc.strftime(arr, format="%Y-%m-%dT%H:%M:%S%z")
                 idx = out.schema.get_field_index(col.name)
                 out = out.set_column(idx, pa.field(col.name, pa.string()), s)
