@@ -227,9 +227,95 @@ def scaling_main() -> None:
     }))
 
 
+def micro_main() -> None:
+    """Per-operator micro-benchmarks (mirrors the reference's
+    per-operator harness structure, benchmarks/benchmark_*.go): rows/s
+    per single check on one core, plus the uniqueness shuffle alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from rayskema.plan import ConstraintPlan
+    from rayskema.schema import (
+        ByteBounds, Column, Enum, NonNull, Range, Regex, TableSchema,
+        Unknown, transcript_schema,
+    )
+
+    corpus = ensure_corpus(min(flagship_turns(), 6_000_000))
+    shard = sorted(os.listdir(os.path.join(corpus, "transcripts")))[0]
+    tab = pq.read_table(os.path.join(corpus, "transcripts", shard))
+    n = tab.num_rows
+    out = {}
+
+    def one(name, *cols):
+        s = TableSchema(columns=(
+            Column("conv_id", pa.string(), nullable=False),
+            Column("turn_idx", pa.int32(), nullable=False),
+            *cols), key_columns=("conv_id", "turn_idx"),
+            unknown=Unknown.STRIP)
+        plan = ConstraintPlan(s)
+        plan.validate(tab.select(s.column_names))  # warm
+        t0 = time.perf_counter()
+        plan.validate(tab.select(s.column_names))
+        out[name] = round(n / (time.perf_counter() - t0))
+
+    one("regex_only", Column("tool", pa.string(), constraints=(
+        Regex(pattern=r"[a-z][a-z0-9_]{0,63}", rule="r"),)))
+    one("enum_only", Column("role", pa.string(), constraints=(
+        Enum(values=("system", "user", "assistant", "tool"), rule="r"),)))
+    one("nonnull_only", Column("text", pa.string(), constraints=(
+        NonNull(rule="r"),)))
+    one("byte_bounds_only", Column("text", pa.string(), constraints=(
+        ByteBounds(min_bytes=1, max_bytes=4096, rule="r"),)))
+
+    def range_check():
+        s = TableSchema(columns=(
+            Column("conv_id", pa.string(), nullable=False),
+            Column("turn_idx", pa.int32(), nullable=False,
+                   constraints=(Range(min=0, rule="r"),)),
+        ), key_columns=("conv_id", "turn_idx"), unknown=Unknown.STRIP)
+        plan = ConstraintPlan(s)
+        sub = tab.select(s.column_names)
+        plan.validate(sub)
+        t0 = time.perf_counter()
+        plan.validate(sub)
+        out["range_only"] = round(n / (time.perf_counter() - t0))
+
+    range_check()
+
+    # full suite, single core, one batch
+    full = ConstraintPlan(transcript_schema(with_drift=False))
+    full.validate(tab)
+    t0 = time.perf_counter()
+    full.validate(tab)
+    out["full_suite_single_core"] = round(n / (time.perf_counter() - t0))
+
+    # uniqueness shuffle alone (distributed)
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from rayskema.pipelines.relational import find_duplicates
+    ds = rd.read_parquet(os.path.join(corpus, "transcripts"),
+                         columns=["conv_id", "turn_idx"])
+    total = ds.count()
+    t0 = time.perf_counter()
+    dups = find_duplicates(ds, ["conv_id", "turn_idx"], buckets=64)
+    for _ in dups.iter_batches(batch_format="pyarrow"):
+        pass
+    out["uniqueness_shuffle_rows_per_sec"] = round(
+        total / (time.perf_counter() - t0))
+    ray.shutdown()
+    print(json.dumps({"metric": "micro_rows_per_sec", "unit": "rows/sec",
+                      "rows_per_batch": n, "value": out}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--micro", action="store_true")
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--corpus", default=None)
@@ -241,6 +327,9 @@ def main() -> None:
         return
     if args.scaling:
         scaling_main()
+        return
+    if args.micro:
+        micro_main()
         return
 
     import ray
