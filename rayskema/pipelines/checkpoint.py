@@ -304,7 +304,7 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
                             hot_ref=hot_ref, salt_span=salt_span),
         batch_format="pyarrow")
     remaining_set = set(remaining)
-    rem_arr = pa.array(sorted(remaining_set), type=pa.int64())
+    rem_arr = pa.array(sorted(remaining_set), type=pa.int32())
     keys_ds = keys_ds.map_batches(
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=rem_arr)),
         batch_format="pyarrow")

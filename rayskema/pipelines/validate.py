@@ -598,9 +598,10 @@ class KeyNormalizer:
             pc.cast(out[key0], pa.uint64(),
                     safe=False).combine_chunks().to_numpy(
                         zero_copy_only=False).astype(np.uint64)
+        salting = self.hot is not None and len(self.hot) \
+            and "turn_idx" in out.column_names
         salted = np.zeros(n, dtype=bool)
-        if self.hot is not None and len(self.hot) and \
-                "turn_idx" in out.column_names:
+        if salting:
             is_hot = np.asarray(
                 pc.is_in(out[key0], value_set=self.hot))
             if is_hot.any():
@@ -612,8 +613,9 @@ class KeyNormalizer:
                 salted = is_hot
         out = out.append_column(
             "bucket", pa.array((h % np.uint64(self._n_buckets))
-                               .astype(np.int64)))
-        out = out.append_column("salted", pa.array(salted))
+                               .astype(np.int32)))
+        if salting:  # shuffle payload: only carry the flag when salting
+            out = out.append_column("salted", pa.array(salted))
         return out
 
     _n_buckets: int = 64
