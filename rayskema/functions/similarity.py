@@ -64,6 +64,11 @@ def knn_cosine_brute(
             self.qids, self.qm = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64())})
             m = _normalize(_matrix(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             scores = self.qm @ m.T                     # (nq, nb)
@@ -139,6 +144,11 @@ def knn_cosine_lsh(
             self.qids, self.qm, self.qsig = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64())})
             m = _normalize(_matrix(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             sig = _sig(m)
@@ -204,6 +214,13 @@ def embedding_near_dup_pairs(
     powers = 1 << np.arange(n_planes)
 
     def _sigs(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({
+                "tbl": pa.array([], type=pa.int32()),
+                "sig": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "vec": pa.array([], type=pa.list_(pa.float64(), d)),
+            })
         m = _normalize(_matrix(tab[vec_col]))
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         parts = []
@@ -318,6 +335,11 @@ def knn_cosine_ivf(
             self.qids, self.qm, self.qcells, self.centroids = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64())})
             m = _normalize(_matrix(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             cell = np.argmax(m @ self.centroids.T, axis=1)

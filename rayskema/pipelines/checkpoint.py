@@ -101,6 +101,8 @@ def run_checkpointed(
     """Run (or resume) a checkpointed validation. Re-invoking with the
     same ``out_dir`` skips completed partitions; output is identical to
     an uninterrupted run (asserted by tests)."""
+    import hashlib
+
     cfg = config or ValidateConfig()
     files = _discover(paths)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
@@ -108,6 +110,12 @@ def run_checkpointed(
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(viol_dir, exist_ok=True)
     schema_hash = schema.schema_hash()
+    # fingerprint of the WHOLE input set: stage-2 (cross-partition)
+    # results depend on every file, so its checkpoints are only valid
+    # for the exact same input set — any add/remove invalidates them
+    input_sig = hashlib.sha256(";".join(
+        f"{f}:{os.path.getsize(f)}" for f in sorted(files)
+    ).encode()).hexdigest()[:16]
 
     # ---- stage 1: per-file batch-local checks + sketch partials ---------
     groups, file_viols = inspect_files(files, schema)
@@ -137,17 +145,18 @@ def run_checkpointed(
     stage1_complete = len(done_p1) == len(files)
 
     # ---- stage 2: bucketed cross-partition checks -----------------------
+    def _p2_valid(b: int) -> bool:
+        man = _load_manifest(os.path.join(ckpt_dir, f"p2-{b:05d}.json"))
+        return man is not None and man.get("input_sig") == input_sig \
+            and man.get("schema_hash") == schema_hash
+
     stage2_complete = True
     if has_group_rules(schema) and stage1_complete:
-        remaining = [b for b in range(cfg.buckets)
-                     if _load_manifest(os.path.join(
-                         ckpt_dir, f"p2-{b:05d}.json")) is None]
+        remaining = [b for b in range(cfg.buckets) if not _p2_valid(b)]
         if remaining:
             _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir,
-                        manifest_path, remaining, schema_hash)
-        stage2_complete = all(
-            _load_manifest(os.path.join(ckpt_dir, f"p2-{b:05d}.json"))
-            is not None for b in range(cfg.buckets))
+                        manifest_path, remaining, schema_hash, input_sig)
+        stage2_complete = all(_p2_valid(b) for b in range(cfg.buckets))
     elif has_group_rules(schema):
         stage2_complete = False
 
@@ -171,9 +180,15 @@ def run_checkpointed(
     key_fields = schema.key_fields()
     vtabs = [file_viols] if file_viols.num_rows else []
     partial_tabs = []
-    for name in sorted(os.listdir(viol_dir)):
-        if name.endswith(".parquet"):
-            t = pq.read_table(os.path.join(viol_dir, name))
+    # only the CURRENT run's partitions — never os.listdir the whole
+    # dir: a shrunk input set or bucket count between resumes would
+    # leave stale p1-/p2- outputs that must not be merged
+    expected = [f"p1-{i:05d}.parquet" for i in range(len(files))] + \
+               [f"p2-{b:05d}.parquet" for b in range(cfg.buckets)]
+    for name in expected:
+        path = os.path.join(viol_dir, name)
+        if os.path.exists(path):
+            t = pq.read_table(path)
             if not t.num_rows:
                 continue
             t = t.cast(violations_schema(key_fields))
@@ -269,7 +284,7 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
 
 
 def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
-                remaining, schema_hash) -> None:
+                remaining, schema_hash, input_sig) -> None:
     key_cols = _group_rule_columns(schema)
     manifest = None
     manifest_ref = None
@@ -293,7 +308,8 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
     if not parts:
         for b in remaining:
             _atomic_write_json({"complete": True, "bucket": b,
-                                "schema_hash": schema_hash},
+                                "schema_hash": schema_hash,
+                                "input_sig": input_sig},
                                os.path.join(ckpt_dir, f"p2-{b:05d}.json"))
         return
     keys_ds = parts[0]
@@ -318,6 +334,7 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
         _atomic_write_json(
             {"complete": True, "bucket": bucket,
              "rows": tab.num_rows, "schema_hash": schema_hash,
+             "input_sig": input_sig,
              "violation_count": viols.num_rows},
             os.path.join(ckpt_dir, f"p2-{bucket:05d}.json"))
         return viols.slice(0, 0)
@@ -328,7 +345,14 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
     # buckets with no rows at all never reach the checker: mark complete
     for b in remaining:
         p = os.path.join(ckpt_dir, f"p2-{b:05d}.json")
-        if _load_manifest(p) is None:
+        man = _load_manifest(p)
+        if man is None or man.get("input_sig") != input_sig:
+            # bucket had no rows this run: clear any stale output from
+            # a previous input set before committing the empty manifest
+            _atomic_write_parquet(
+                empty_violations(schema.key_fields()),
+                os.path.join(viol_dir, f"p2-{b:05d}.parquet"))
             _atomic_write_json({"complete": True, "bucket": b, "rows": 0,
                                 "schema_hash": schema_hash,
+                                "input_sig": input_sig,
                                 "violation_count": 0}, p)

@@ -424,7 +424,9 @@ class BucketChecker:
                 if np.issubdtype(v.dtype, np.datetime64):
                     v = v.astype("datetime64[us]").astype(np.int64)
                 else:
-                    v = np.asarray(v, dtype=np.int64)
+                    # keep float precision: int truncation would miss
+                    # boundary regressions the unsalted path reports
+                    v = np.asarray(v, dtype=np.float64)
                 s_v, s_vv = v[s_sel], (vv & turn_valid)[s_sel]
                 # first/last usable row per run (rows are turn-sorted)
                 idx_arr = np.arange(len(s_sel))
@@ -443,9 +445,13 @@ class BucketChecker:
                 }
                 for rname, (first_i, last_i, st, sv) in mono_bounds.items():
                     if first_i[r] != big2 and last_i[r] >= 0:
+                        # ints for timestamps (exact), floats kept as
+                        # floats — int() truncation loses regressions
+                        conv_v = int if np.issubdtype(
+                            sv.dtype, np.integer) else float
                         payload["mono"][rname] = [
-                            int(st[first_i[r]]), int(sv[first_i[r]]),
-                            int(st[last_i[r]]), int(sv[last_i[r]])]
+                            int(st[first_i[r]]), conv_v(sv[first_i[r]]),
+                            int(st[last_i[r]]), conv_v(sv[last_i[r]])]
                 emit_rows([s_conv[comp_start[r]]], [None], "",
                           AGGREGATE_VIOLATION, "__salt_partial__", "",
                           _json.dumps(payload, sort_keys=True,
@@ -915,7 +921,14 @@ def build_verdicts(violations: pa.Table, schema: TableSchema,
     if violations.num_rows:
         conv = violations[key].combine_chunks()
         valid = ~np.asarray(conv.is_null())
-        h = hash_strings(conv) % np.uint64(n_partitions)
+        if pa.types.is_string(conv.type) or \
+                pa.types.is_large_string(conv.type):
+            h = hash_strings(conv)
+        else:
+            from ..state.sketches import _hash64
+            h = _hash64(pc.cast(conv, pa.int64(), safe=False).fill_null(0)
+                        .to_numpy(zero_copy_only=False).astype(np.uint64))
+        h = h % np.uint64(n_partitions)
         part = np.where(valid, h.astype(np.int64), -1)
         counts = np.bincount(part + 1, minlength=n_partitions + 1)
     else:

@@ -384,32 +384,21 @@ def normalize_batch(
     presence: dict[str, pa.Array] = {}
     # column codecs: decode wire representation before type reconcile
     # (reference Decode direction, api.go:44-47); per-row parse
-    # failures => invalid_format (codec/rfc3339.go:27-37)
+    # failures => invalid_format (codec/rfc3339.go:27-37).  Violations
+    # are deferred to cast_viols so their key columns carry the
+    # DECLARED (post-cast) types — emitting with wire-typed keys makes
+    # the final concat_tables fail on mixed key schemas.
     for col in schema.columns:
         if col.codec == "rfc3339" and col.name in batch.column_names:
             arr = batch.column(col.name)
             if pa.types.is_string(arr.type) or \
                     pa.types.is_large_string(arr.type):
-                parsed = pc.cast(
-                    pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S%z",
-                                unit="us", error_is_null=True),
-                    col.dtype, safe=False)  # tz-aware -> UTC wall time
-                if pc.any(pc.is_null(parsed)).as_py():
-                    # second chance: no-offset form
-                    alt = pc.cast(
-                        pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S",
-                                    unit="us", error_is_null=True),
-                        col.dtype, safe=False)
-                    parsed = pc.if_else(pc.is_null(parsed), alt, parsed)
-                bad = pc.and_(pc.is_null(parsed), pc.is_valid(arr))
-                if key_cols and all(k in batch.column_names
-                                    for k in key_cols) and \
-                        pc.any(bad).as_py():
-                    viols.append(violations_from_mask(
-                        batch, bad, key_cols, column_path(col.name),
-                        INVALID_FORMAT, "codec",
-                        "value does not parse as RFC3339",
-                        canon_params({"codec": "rfc3339"})))
+                parsed, bad = decode_rfc3339(arr, col.dtype)
+                if pc.any(bad).as_py():
+                    cast_viols.append((
+                        column_path(col.name), INVALID_FORMAT,
+                        canon_params({"codec": "rfc3339"}), bad,
+                        "value does not parse as RFC3339"))
                 idx = batch.schema.get_field_index(col.name)
                 batch = batch.set_column(
                     idx, pa.field(col.name, parsed.type), parsed)
@@ -451,17 +440,17 @@ def normalize_batch(
                 cast_viols.append((
                     column_path(col.name), code,
                     canon_params({"from": str(arr.type), "to": str(col.dtype)}),
-                    bad))
+                    bad, "value does not fit declared type"))
                 casted = pc.if_else(bad, pa.nulls(n, type=col.dtype), casted)
             arr = casted
         out_cols[col.name] = arr
 
     if cast_viols and all(k in out_cols for k in key_cols):
         key_tab = pa.table({k: out_cols[k] for k in key_cols})
-        for path, code, params, bad in cast_viols:
+        for path, code, params, bad, message in cast_viols:
             viols.append(violations_from_mask(
                 key_tab, bad, key_cols, path, code, "coerce",
-                "value does not fit declared type", params))
+                message, params))
 
     extras = [c for c in batch.column_names if c not in declared]
     if extras:
@@ -487,6 +476,61 @@ def normalize_batch(
     return normalized, vtab
 
 
+_RFC3339_PAT = (
+    r"^(?P<date>\d{4}-\d{2}-\d{2})[Tt ]"
+    r"(?P<time>\d{2}:\d{2}:\d{2})"
+    r"(?:\.(?P<frac>\d{1,9}))?"
+    r"(?P<tz>[Zz]|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def decode_rfc3339(arr, dtype: pa.DataType):
+    """Fully vectorized RFC3339 parse (reference codec/rfc3339.go:
+    12-70): supports fractional seconds (arrow strptime cannot) and
+    'Z'/±hh[:]mm offsets.  Returns (timestamp array in ``dtype``,
+    bad-row mask).  Nulls pass through as nulls (not bad)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ex = pc.extract_regex(arr, pattern=_RFC3339_PAT)
+    matched = pc.is_valid(ex)
+    bad = pc.and_(pc.invert(matched), pc.is_valid(arr))
+    date = pc.struct_field(ex, "date")
+    time_ = pc.struct_field(ex, "time")
+    base_str = pc.binary_join_element_wise(
+        pc.fill_null(date, "1970-01-01"), pc.fill_null(time_, "00:00:00"),
+        "T")
+    base = pc.strptime(base_str, format="%Y-%m-%dT%H:%M:%S", unit="us",
+                       error_is_null=True)
+    base_us = base.cast(pa.int64()).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    def _int_or_zero(strarr) -> np.ndarray:
+        safe = pc.if_else(pc.equal(strarr, ""), "0", strarr)
+        return pc.cast(pc.fill_null(safe, "0"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    # fractional seconds -> microseconds (pad/truncate to 6 digits)
+    frac = pc.fill_null(pc.struct_field(ex, "frac"), "")
+    frac6 = pc.utf8_slice_codeunits(
+        pc.binary_join_element_wise(frac, "000000", ""), 0, 6)
+    micros = _int_or_zero(frac6)
+    # offset: Z/empty => 0; ±hh[:]mm => signed minutes
+    tz = pc.fill_null(pc.struct_field(ex, "tz"), "Z")
+    tzn = pc.replace_substring(tz, ":", "")
+    sign = pc.utf8_slice_codeunits(tzn, 0, 1)
+    is_offset = pc.is_in(sign, value_set=pa.array(["+", "-"]))
+    hh = _int_or_zero(pc.utf8_slice_codeunits(tzn, 1, 3))
+    mm = _int_or_zero(pc.utf8_slice_codeunits(tzn, 3, 5))
+    sgn = np.where(np.asarray(pc.equal(sign, "-")), -1, 1)
+    offset_us = np.where(np.asarray(is_offset),
+                         sgn * (hh * 60 + mm) * 60_000_000, 0)
+    out_us = base_us + micros - offset_us  # local + frac -> UTC
+    ok = pc.and_(matched, pc.is_valid(base))
+    bad = pc.or_(bad, pc.and_(pc.invert(pc.is_valid(base)), matched))
+    result = pc.if_else(ok, pa.array(out_us, type=pa.int64()),
+                        pa.nulls(len(arr), type=pa.int64()))
+    return pc.cast(result, dtype, safe=False), bad
+
+
 def encode_canonical(batch: pa.Table, schema: TableSchema) -> pa.Table:
     """Re-encode codec columns to their canonical wire form (reference
     Encode direction with canonical UTC RFC3339, codec/rfc3339.go:
@@ -498,7 +542,11 @@ def encode_canonical(batch: pa.Table, schema: TableSchema) -> pa.Table:
             if pa.types.is_timestamp(arr.type):
                 if arr.type.tz is None:
                     arr = pc.assume_timezone(arr, "UTC")
-                s = pc.strftime(arr, format="%Y-%m-%dT%H:%M:%S%z")
+                # arrow strftime always appends .ffffff after %S; with a
+                # literal Z this renders canonical UTC RFC3339 with
+                # microsecond precision ("...:05.000000Z"), which
+                # decode_rfc3339 round-trips exactly
+                s = pc.strftime(arr, format="%Y-%m-%dT%H:%M:%SZ")
                 idx = out.schema.get_field_index(col.name)
                 out = out.set_column(idx, pa.field(col.name, pa.string()), s)
     return out

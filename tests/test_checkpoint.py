@@ -95,3 +95,24 @@ def test_manifest_lineage_fields(ckpt_env):
                   "violation_count", "sketch_b64", "wall_sec"):
         assert field in man, field
     assert man["complete"]
+
+
+def test_resume_after_input_shrink_ignores_stale_partitions(ckpt_env):
+    """Review finding: finalize must not merge stale partition outputs
+    when the input file set shrinks between resumes."""
+    import shutil
+
+    d, kwargs, tmpf = ckpt_env
+    src = os.path.join(d, "transcripts")
+    work = str(tmpf.mktemp("shrink") / "in")
+    shutil.copytree(src, work)
+    out = str(tmpf.mktemp("shrink") / "ckpt")
+    run_checkpointed(work, transcript_schema(), out, **kwargs)
+    files = sorted(os.listdir(work))
+    os.remove(os.path.join(work, files[-1]))
+    resumed = run_checkpointed(work, transcript_schema(), out, **kwargs)
+    fresh_dir = str(tmpf.mktemp("shrink") / "fresh")
+    fresh = run_checkpointed(work, transcript_schema(), fresh_dir, **kwargs)
+    a = pq.read_table(resumed.violations_path)
+    b = pq.read_table(fresh.violations_path)
+    assert a.equals(b)

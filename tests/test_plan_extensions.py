@@ -181,3 +181,53 @@ def test_len_bounds_on_list_column():
     out = ConstraintPlan(s).validate(batch)
     rows = sorted((r["id"], r["code"]) for r in out.to_pylist())
     assert rows == [(1, "too_short"), (3, "too_long")]
+
+
+def test_codec_violation_with_key_cast():
+    """Codec violations must carry DECLARED-typed key columns even when
+    the wire key needs casting (review finding: mixed key schemas
+    crashed concat_tables)."""
+    from rayskema.schema import Column
+    s = TableSchema(columns=(
+        Column("id", pa.int64(), nullable=False),
+        Column("ts", pa.timestamp("us"), codec="rfc3339"),
+    ), key_columns=("id",), unknown=Unknown.STRIP)
+    wire = pa.table({
+        "id": pa.array([1, 2], type=pa.int32()),  # wire narrower than declared
+        "ts": pa.array(["2024-01-01T00:00:00Z", "junk"], type=pa.string()),
+    })
+    out = ConstraintPlan(s).validate(wire)
+    assert out["id"].type == pa.int64()
+    assert [(r["id"], r["code"]) for r in out.to_pylist()] == \
+        [(2, "invalid_format")]
+
+
+def test_rfc3339_fractional_and_offset():
+    """Fractional seconds and ±hh:mm offsets are valid RFC3339 (review
+    finding: strptime-only decode rejected them)."""
+    from rayskema.plan import decode_rfc3339
+    arr = pa.array(["2024-01-01T00:00:00.123Z",
+                    "2024-06-07T08:09:10.123456+02:00",
+                    "2024-06-07 08:09:10", None, "junk"])
+    ts, bad = decode_rfc3339(arr, pa.timestamp("us"))
+    vals = ts.to_pylist()
+    assert vals[0].microsecond == 123000
+    assert vals[1].hour == 6 and vals[1].microsecond == 123456  # UTC
+    assert vals[3] is None
+    assert bad.to_pylist() == [False, False, False, False, True]
+
+
+def test_build_verdicts_numeric_key():
+    """build_verdicts must hash non-string keys too (review finding)."""
+    from rayskema.issues import violations_schema
+    from rayskema.pipelines.validate import build_verdicts
+    from rayskema.schema import Column
+    s = TableSchema(columns=(Column("id", pa.int64(), nullable=False),),
+                    key_columns=("id",), unknown=Unknown.STRIP)
+    v = pa.table({
+        "id": pa.array([1, 2, None], type=pa.int64()),
+        "path": ["/x"] * 3, "code": ["required"] * 3, "rule": ["r"] * 3,
+        "message": [""] * 3, "params": [""] * 3,
+    }).cast(violations_schema(s.key_fields()))
+    verd = build_verdicts(v, s, n_partitions=8)
+    assert int(pa.compute.sum(verd["violation_count"]).as_py()) == 3
