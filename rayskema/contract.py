@@ -20,13 +20,15 @@ import pyarrow as pa
 
 from .schema import (
     ByteBounds, Column, ContiguousRule, CrossFieldRule, DriftRule, Enum,
-    GroupCountRule, LenBounds, MonotonicRule, NonNull, Normalizer, Range,
-    RefIntegrityRule, Regex, StructField, TableSchema, TsFormat, UnionRule,
+    GroupCountRule, LenBounds, MapKeyRegex, MonotonicRule, NonNull,
+    Normalizer, Range, RefIntegrityRule, Regex, StructField, TableSchema,
+    TsFormat, UnionRule,
     UniqueRule, Unknown,
 )
 
 _CONSTRAINTS = {c.__name__: c for c in
-                (NonNull, Regex, Enum, LenBounds, ByteBounds, Range, TsFormat)}
+                (NonNull, Regex, Enum, LenBounds, ByteBounds, Range,
+                 TsFormat, MapKeyRegex)}
 _RULES = {c.__name__: c for c in
           (ContiguousRule, CrossFieldRule, DriftRule, GroupCountRule,
            MonotonicRule, RefIntegrityRule, UniqueRule, UnionRule)}
@@ -57,6 +59,9 @@ def _dtype_name(t: pa.DataType):
                 "size": t.list_size}
     if pa.types.is_list(t):
         return {"list": _dtype_name(t.value_type)}
+    if pa.types.is_map(t):
+        return {"map_key": _dtype_name(t.key_type),
+                "map_value": _dtype_name(t.item_type)}
     s = str(t)
     if s not in _TYPES:
         raise ValueError(f"dtype not representable in contract: {s}")
@@ -73,6 +78,9 @@ def _dtype_from(d) -> pa.DataType:
         return pa.list_(_dtype_from(d["fixed_size_list"]), d["size"])
     if "list" in d:
         return pa.list_(_dtype_from(d["list"]))
+    if "map_key" in d:
+        return pa.map_(_dtype_from(d["map_key"]),
+                       _dtype_from(d["map_value"]))
     raise ValueError(f"bad dtype doc: {d!r}")
 
 

@@ -34,9 +34,9 @@ from .issues import (
     violations_from_mask, violations_schema,
 )
 from .schema import (
-    ByteBounds, Column, CrossFieldRule, DriftRule, Enum, LenBounds, NonNull,
-    Normalizer, Range, Regex, StructField, TableSchema, TsFormat, UnionRule,
-    Unknown,
+    ByteBounds, Column, CrossFieldRule, DriftRule, Enum, LenBounds,
+    MapKeyRegex, NonNull, Normalizer, Range, Regex, StructField, TableSchema,
+    TsFormat, UnionRule, Unknown,
 )
 
 CheckFn = Callable[[pa.Table], pa.Table]
@@ -241,6 +241,34 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
                     "above maximum", phi))
             return pa.concat_tables(out) if out else empty_violations(
                 [t.schema.field(k) for k in key_cols])
+        return check
+
+    if isinstance(c, MapKeyRegex):
+        pat = f"^(?:{c.pattern})$"
+        params = canon_params({"pattern": c.pattern})
+
+        def check(t: pa.Table) -> pa.Table:
+            arr = t[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # map<k,v> flattens to per-entry keys; segment-reduce "any
+            # bad key" back to rows via the offsets
+            keys = arr.keys
+            bad_keys = pc.invert(pc.match_substring_regex(keys, pat))
+            bad_np = np.asarray(pc.fill_null(bad_keys, True))
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            starts = offsets[:-1] - offsets[0]
+            n_entries = np.diff(offsets)
+            row_bad = np.zeros(t.num_rows, dtype=bool)
+            nz = n_entries > 0
+            if bad_np.size and nz.any():
+                cums = np.concatenate([[0], np.cumsum(bad_np)])
+                ends = starts + n_entries
+                row_bad[nz] = (cums[ends[nz]] - cums[starts[nz]]) > 0
+            return violations_from_mask(
+                t, pa.array(row_bad), key_cols, path, PATTERN, c.rule,
+                "map key does not match pattern", params)
+
         return check
 
     if isinstance(c, TsFormat):

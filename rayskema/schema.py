@@ -133,6 +133,16 @@ class TsFormat(Constraint):
 
 
 @dataclass(frozen=True)
+class MapKeyRegex(Constraint):
+    """All keys of a map column must full-match the pattern (reference
+    patternProperties/propertyNames import, kubeopenapi/patterns.go:
+    14-207; map key validation of MapAny) => `pattern` violation on any
+    offending row."""
+
+    pattern: str = ""
+
+
+@dataclass(frozen=True)
 class StructField(Constraint):
     """Apply a constraint to a nested struct subfield (reference nested
     object validation, ``dsl/object_core.go`` child-issue path rebasing

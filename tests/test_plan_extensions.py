@@ -231,3 +231,25 @@ def test_build_verdicts_numeric_key():
     }).cast(violations_schema(s.key_fields()))
     verd = build_verdicts(v, s, n_partitions=8)
     assert int(pa.compute.sum(verd["violation_count"]).as_py()) == 3
+
+
+def test_map_key_regex():
+    from rayskema.schema import Column, MapKeyRegex
+    mt = pa.map_(pa.string(), pa.int64())
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("props", mt, constraints=(
+                MapKeyRegex(pattern=r"[a-z_]+", rule="prop_keys"),)),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "props": pa.array([[("good_key", 1), ("also_ok", 2)],
+                           [("BadKey", 3)],
+                           []], type=mt),
+    })
+    out = ConstraintPlan(s).validate(batch)
+    assert [(r["id"], r["code"], r["path"]) for r in out.to_pylist()] == \
+        [(2, "pattern", "/props")]
