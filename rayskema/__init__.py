@@ -15,9 +15,16 @@ from .issues import (  # noqa: F401
 )
 from .schema import (  # noqa: F401
     ByteBounds, Column, ContiguousRule, CrossFieldRule, DriftRule, Enum,
-    GroupCountRule, LenBounds, MonotonicRule, NonNull, Range, RefIntegrityRule,
-    Regex, TableSchema, TsFormat, UniqueRule, Unknown, transcript_schema,
+    GroupCountRule, LenBounds, MapKeyRegex, MonotonicRule, NonNull,
+    Normalizer, Range, RefIntegrityRule, Regex, StructField, TableSchema,
+    TsFormat, UnionRule, UniqueRule, Unknown, transcript_schema,
 )
-from .plan import BatchValidator, ConstraintPlan  # noqa: F401
+from .plan import (  # noqa: F401
+    BatchValidator, ConstraintPlan, decode_rfc3339, encode_canonical,
+    encode_preserving, normalize_batch,
+)
+from .contract import (  # noqa: F401
+    export_contract, import_contract, load_contract, save_contract,
+)
 
 __version__ = "0.1.0"

@@ -87,7 +87,7 @@ def knn_cosine_brute(
             })
 
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopK, batch_format="pyarrow", concurrency=4)
+        _TopK, batch_format="pyarrow", concurrency=(1, 4))
     tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     # final merge (tiny): global top-k per query, deterministic ordering
     tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
@@ -180,7 +180,7 @@ def knn_cosine_lsh(
             })
 
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopK, batch_format="pyarrow", concurrency=4)
+        _TopK, batch_format="pyarrow", concurrency=(1, 4))
     tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
                        ("neighbor_id", "ascending")])
@@ -367,7 +367,7 @@ def knn_cosine_ivf(
             })
 
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopK, batch_format="pyarrow", concurrency=4)
+        _TopK, batch_format="pyarrow", concurrency=(1, 4))
     tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
                        ("neighbor_id", "ascending")])

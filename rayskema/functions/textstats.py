@@ -123,7 +123,7 @@ class LangIdStage:
 def lang_id(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
     return ds.select_columns([id_col, text_col]).map_batches(
         LangIdStage, fn_constructor_args=(text_col, id_col),
-        batch_format="pyarrow", concurrency=4)
+        batch_format="pyarrow", concurrency=(1, 4))
 
 
 def fingerprint_md5(ds: "rd.Dataset", text_col: str,

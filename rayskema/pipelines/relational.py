@@ -143,7 +143,8 @@ def check_constraints(ds: "rd.Dataset", schema: TableSchema,
 
     # stateless-task form with a driver-compiled plan also works; the
     # callable-class form keeps per-actor compile cost amortized.
-    return ds.map_batches(_Check, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(_Check, batch_format="pyarrow",
+                          concurrency=(1, 4))
 
 
 def find_duplicates(ds: "rd.Dataset", key_cols: Sequence[str],
