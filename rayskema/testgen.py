@@ -42,19 +42,24 @@ TOOL_POOL = np.array(["search", "calculator", "browser", "python",
                       "sql_query", "retrieval"], dtype=object)
 
 
-def _conv_ids(n_conv: int) -> np.ndarray:
-    return np.char.add("conv_", np.char.zfill(np.arange(n_conv).astype("U8"), 8))
+def _conv_ids(n_conv: int, offset: int = 0) -> np.ndarray:
+    return np.char.add("conv_", np.char.zfill(
+        np.arange(offset, offset + n_conv).astype("U8"), 8))
 
 
 def gen_clean(n_turns_target: int, seed: int = 42, *,
-              drifted: bool = False) -> pa.Table:
-    """Vectorized clean transcript table, sorted by (conv_id, turn_idx)."""
+              drifted: bool = False, conv_offset: int = 0) -> pa.Table:
+    """Vectorized clean transcript table, sorted by (conv_id, turn_idx).
+
+    ``conv_offset`` shifts the conversation id range so corpora larger
+    than memory can be generated in disjoint chunks (the flat text
+    index array is ~8 bytes per text byte — ~50GB at 96M turns)."""
     rng = np.random.default_rng([seed, 1])
     n_conv = max(2, n_turns_target // 7)
     counts = rng.integers(2, 13, size=n_conv).astype(np.int64)
     counts[0] = int(np.median(counts)) * 50  # hot conversation (skew fixture)
     total = int(counts.sum())
-    conv_ids = _conv_ids(n_conv)
+    conv_ids = _conv_ids(n_conv, conv_offset)
     conv_rep = np.repeat(conv_ids, counts)
     conv_ordinal = np.repeat(np.arange(n_conv), counts)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
