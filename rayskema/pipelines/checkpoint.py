@@ -286,11 +286,14 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
 def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
                 remaining, schema_hash, input_sig) -> None:
     key_cols = _group_rule_columns(schema)
+    from .validate import split_manifest_by_bucket
+
     manifest = None
     manifest_ref = None
     if manifest_path and os.path.exists(manifest_path):
         manifest = pq.read_table(manifest_path)
-        manifest_ref = ray.put(manifest)
+        manifest_ref = ray.put(split_manifest_by_bucket(
+            manifest, schema.key_columns[0], cfg.buckets))
     hot_ref = None
     salt_span = 0
     if cfg.salt_threshold and manifest is not None \
