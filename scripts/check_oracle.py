@@ -1,6 +1,7 @@
 """Local simulation of the driver's correctness gate."""
 import sys, time
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import numpy as np
 import pandas as pd
