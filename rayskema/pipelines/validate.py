@@ -68,12 +68,16 @@ from ..state.sketches import ColumnProfile, hash_strings
 @dataclass
 class ValidateConfig:
     batch_size: int | None = None        # None => whole blocks (zero-copy)
-    concurrency: Any = None              # validator actor pool size (int|tuple)
+    concurrency: Any = None              # None = stateless tasks (measured
+    # faster than an actor pool at every tested scale on this hardware:
+    # actors pay ~fresh-process spawn + import + first-touch page-fault
+    # cost per actor; tasks reuse Ray's warm worker pool)
     num_cpus: float = 1.0
     buckets: int = 64                    # hash partitions for pass 2
     with_profile: bool = True            # sketch partials + drift
     group_concurrency: Any = None
-    concurrent_passes: bool = False      # overlap pass1/pass2 execution
+    concurrent_passes: bool = True       # overlap pass1/pass2 execution
+    # (wall = max(pass1, pass2) instead of the sum; the tuned default)
     # hot-conversation salting (north rule): conversations whose declared
     # n_turns exceeds this are split into turn-ranges of this span, each
     # range hashed to its own bucket; per-conversation rules then merge
@@ -186,6 +190,21 @@ def split_manifest_by_bucket(manifest: pa.Table, key_col: str,
     offsets = np.concatenate([[0], np.cumsum(counts)])
     return {i: sorted_tab.slice(offsets[i], counts[i])
             for i in range(buckets) if counts[i]}
+
+
+@ray.remote(num_cpus=1)
+def _split_manifest_task(manifest_path: str, key_col: str,
+                         buckets: int) -> dict:
+    """Read + hash-split the manifest in a WORKER, not the driver: the
+    split overlaps pass 1, and the per-bucket slices are ray.put once
+    each so a checker task fetches ONLY its own slice (dict of
+    ObjectRefs) — on a multi-node cluster the whole manifest never
+    ships to any single task."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    manifest = pq.read_table(manifest_path)
+    parts = split_manifest_by_bucket(manifest, key_col, buckets)
+    return {i: ray.put(t) for i, t in parts.items()}
 
 
 class BucketChecker:
@@ -392,6 +411,9 @@ class BucketChecker:
             man = self.manifest
             if isinstance(man, dict):
                 man = man.get(self._current_bucket)
+                if isinstance(man, ray.ObjectRef):
+                    # per-bucket slice ref: fetch only this bucket's part
+                    man = ray.get(man)
                 if man is None:  # no manifest keys hash to this bucket
                     man = pa.table({
                         rule.column: pa.array([], type=pa.string()),
@@ -800,18 +822,25 @@ def validate(
                 p2_parts.append(rd.read_parquet(g.files, columns=cols,
                                                 override_num_blocks=nb))
 
+    # launch the manifest read+hash-split in a worker NOW so it overlaps
+    # pass-1 execution (driver-side it cost seconds of first-touch page
+    # faults on this VM class; worker-side it's warm and concurrent)
+    have_manifest = bool(manifest_path and os.path.exists(manifest_path))
+    split_fut = _split_manifest_task.remote(
+        manifest_path, schema.key_columns[0], cfg.buckets) \
+        if have_manifest and has_group_rules(schema) else None
+    # the driver itself only needs the manifest table when salting (the
+    # hot-set comes from declared n_turns) or merging salt partials
+    manifest = pq.read_table(manifest_path) \
+        if have_manifest and cfg.salt_threshold else None
+
     def run_pass2():
         # keys-only scan + the ONE conv_id-hash shuffle
         t0 = _time.perf_counter()
         if not p2_parts:
             return []
         key_cols = _group_rule_columns(schema)
-        manifest = None
-        manifest_ref = None
-        if manifest_path and os.path.exists(manifest_path):
-            manifest = pq.read_table(manifest_path)
-            manifest_ref = ray.put(split_manifest_by_bucket(
-                manifest, schema.key_columns[0], cfg.buckets))
+        manifest_ref = ray.get(split_fut) if split_fut is not None else None
         # hot-conversation salting: declared-huge conversations split by
         # turn range (north rule "salted repartitioning")
         hot_ref = None
