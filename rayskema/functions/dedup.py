@@ -83,7 +83,12 @@ def _utf8_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def char_shingle_hashes(arr: pa.Array, k: int = 5):
     """Per-row sets of hashed character k-shingles, fully vectorized:
     returns (row_ids int64, shingle_hashes uint64) flattened across the
-    batch — one rolling polynomial hash over the flat UTF-8 buffer."""
+    batch — one rolling polynomial hash over the flat UTF-8 buffer.
+
+    A row shorter than ``k`` contributes ONE shingle: the hash of its
+    entire byte content (an empty row hashes the empty sequence — a
+    fixed sentinel independent of neighboring rows in the batch, so
+    signatures are deterministic across block boundaries)."""
     offsets, data = _utf8_buffers(arr)
     n = len(offsets) - 1
     starts = offsets[:-1]
@@ -97,15 +102,17 @@ def char_shingle_hashes(arr: pa.Array, k: int = 5):
         np.concatenate([[0], np.cumsum(n_sh)[:-1]]), n_sh)
     pos = base + local
     flat = data.astype(np.uint64)
-    # polynomial hash of data[pos:pos+k] (clamped at row end)
+    # polynomial hash of data[pos:pos+k], truncated at the row end:
+    # positions past a row's last byte contribute nothing (prime^0
+    # style zero byte), never a neighboring row's data
     h = np.zeros(len(pos), dtype=np.uint64)
     prime = np.uint64(1099511628211)
     row_end = np.repeat(ends, n_sh)
     for j in range(k):
-        p = np.minimum(pos + j, row_end - 1)
-        p = np.maximum(p, 0)
+        in_row = pos + j < row_end
+        p = np.clip(pos + j, 0, max(len(flat) - 1, 0))
         byte = flat[p] if len(flat) else np.zeros(len(p), dtype=np.uint64)
-        h = (h * prime + byte) & _MASK64
+        h = (h * prime + np.where(in_row, byte, np.uint64(0))) & _MASK64
     return row_ids, _hash64(h)
 
 
@@ -273,11 +280,18 @@ def minhash_lsh_pairs(
 def simhash_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     max_hamming: int = 3, n_blocks: int = 4, buckets: int = 64,
+    max_group: int = 1024,
 ) -> "rd.Dataset":
     """Near-dup pairs by 64-bit SimHash: block-permutation blocking (any
     pair within hamming distance d < n_blocks shares at least one exact
     16-bit block), verify hamming inside candidate groups.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    ``max_group`` caps candidate-group size: a degenerate block value
+    shared by more than this many rows (e.g. near-empty docs all
+    hashing block 0) would cost O(m^2) verification; such groups are
+    skipped — a pair within hamming <= d shares another block with
+    overwhelming probability."""
     bits = 64 // n_blocks
 
     def _sigs(tab: pa.Table) -> pa.Table:
@@ -310,7 +324,7 @@ def simhash_pairs(
             zero_copy_only=False).astype(np.uint64)
         firsts = np.flatnonzero(new)
         out_a, out_b, out_h = [], [], []
-        for g in np.flatnonzero(counts > 1):
+        for g in np.flatnonzero((counts > 1) & (counts <= max_group)):
             s, e = firsts[g], firsts[g] + counts[g]
             gid, gsh = ids[s:e], sh[s:e]
             ia, ib = np.triu_indices(len(gid), k=1)
@@ -351,14 +365,204 @@ def simhash_pairs(
 # jaccard(s1, s2) over distinct character sets)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Exact candidate verification (shared by the MinHash / SimHash near-dup
+# pipelines): LSH produces CANDIDATE pairs; the exact pass recomputes the
+# true shingle-set Jaccard for just the involved documents, so the final
+# output has precision 1.0 by construction and is SQL-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def _row_shingle_sets(arr: pa.Array, kind: str) -> list[np.ndarray]:
+    """Per-row sorted unique shingle-hash sets.
+
+    kind="char5": distinct character 5-shingles over UTF-8 bytes (a row
+    shorter than 5 contributes its whole text; empty rows the empty
+    sequence) — matches the SQL set
+    ``list_distinct(list_transform(generate_series(1, greatest(len-4,1)),
+    i -> substr(text, i, 5)))``.
+
+    kind="word3": distinct word 3-grams of the lowercased
+    whitespace-tokenized text (fewer than 3 tokens => one shingle of all
+    tokens) — matches
+    ``list_distinct(list_transform(generate_series(1, greatest(n-2,1)),
+    i -> array_to_string(list_slice(tokens, i, i+2), ' ')))`` with
+    ``tokens = regexp_extract_all(lower(text), '\\S+')``.
+
+    Runs only over candidate documents (bounded by the LSH pair count),
+    so the small per-row python loop in the word path is off the corpus
+    hot path."""
+    if kind == "char5":
+        rid, h = char_shingle_hashes(arr, k=5)
+        order = np.lexsort((h, rid))
+        rid, h = rid[order], h[order]
+        out: list[np.ndarray] = []
+        bounds = np.searchsorted(rid, np.arange(len(arr) + 1))
+        for i in range(len(arr)):
+            out.append(np.unique(h[bounds[i]:bounds[i + 1]]))
+        return out
+    if kind == "word3":
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"\s+")
+        flat = toks.flatten() if isinstance(toks, pa.Array) else \
+            pc.list_flatten(toks)
+        th = hash_strings(flat.combine_chunks() if isinstance(
+            flat, pa.ChunkedArray) else flat)
+        nonempty = np.asarray(pc.not_equal(flat, "").fill_null(False))
+        counts = pc.list_value_length(toks).fill_null(0)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        prime = np.uint64(0x100000001B3)
+        out = []
+        for i in range(len(arr)):
+            h_i = th[starts[i]:starts[i] + counts[i]][
+                nonempty[starts[i]:starts[i] + counts[i]]]
+            n = len(h_i)
+            if n >= 3:
+                combo = (h_i[:-2] * prime + h_i[1:-1]) * prime + h_i[2:]
+            else:
+                c = np.uint64(0)
+                for v in h_i:
+                    c = c * prime + v
+                combo = np.array([c], dtype=np.uint64)
+            out.append(np.unique(_hash64(combo & _MASK64)))
+        return out
+    raise ValueError(f"unknown shingle kind: {kind}")
+
+
+def exact_shingle_jaccard_pairs(
+    ds: "rd.Dataset", candidates: "rd.Dataset | pa.Table",
+    text_col: str, id_col: str, *, kind: str = "char5",
+    threshold: float = 0.5, round_digits: int = 4,
+) -> pa.Table:
+    """Exact shingle-set Jaccard for candidate pairs: one column-pruned
+    scan extracts shingle sets for ONLY the documents named by the
+    candidate pairs (a broadcast semi-join — involved docs are O(pairs),
+    never the corpus), then each pair's true Jaccard is computed and
+    filtered at ``threshold``.  Returns (id_a, id_b, jaccard) sorted by
+    (id_a, id_b), jaccard rounded to ``round_digits``."""
+    import ray
+
+    if isinstance(candidates, rd.Dataset):
+        ctabs = [t for t in ray.get(candidates.to_arrow_refs())
+                 if t.num_rows]
+        cand = pa.concat_tables(ctabs) if ctabs else pa.table(
+            {"id_a": pa.array([], type=pa.int64()),
+             "id_b": pa.array([], type=pa.int64())})
+    else:
+        cand = candidates
+    a = cand["id_a"].to_numpy(zero_copy_only=False)
+    b = cand["id_b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    involved = np.unique(np.concatenate([a, b]))
+    inv_set = ray.put(pa.array(involved, type=pa.int64()))
+
+    def _extract(tab: pa.Table) -> pa.Table:
+        sel = tab.filter(pc.is_in(tab[id_col], value_set=ray.get(inv_set)))
+        if sel.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "sh": pa.array([], type=pa.list_(pa.uint64()))})
+        sets = _row_shingle_sets(sel[text_col].combine_chunks(), kind)
+        return pa.table({
+            id_col: sel[id_col],
+            "sh": pa.array([s for s in sets], type=pa.list_(pa.uint64())),
+        })
+
+    stabs = [t for t in ray.get(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _extract, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    sets_by_id: dict[int, np.ndarray] = {}
+    for t in stabs:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["sh"].combine_chunks()
+        for i, doc in enumerate(ids):
+            sets_by_id[int(doc)] = np.asarray(sh[i].values)
+    out_a, out_b, out_j = [], [], []
+    seen = set()
+    for ia, ib in zip(a, b):
+        lo, hi = (int(ia), int(ib)) if ia < ib else (int(ib), int(ia))
+        if (lo, hi) in seen or lo == hi:
+            continue
+        seen.add((lo, hi))
+        sa, sb = sets_by_id.get(lo), sets_by_id.get(hi)
+        if sa is None or sb is None:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / max(union, 1)
+        if j >= threshold:
+            from . import round_half_away
+            out_a.append(lo)
+            out_b.append(hi)
+            out_j.append(float(round_half_away(j, round_digits)))
+    tab = pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                    "id_b": pa.array(out_b, type=pa.int64()),
+                    "jaccard": pa.array(out_j, type=pa.float64())})
+    return tab.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def minhash_near_dup_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    jaccard_threshold: float = 0.5, **lsh_kwargs,
+) -> pa.Table:
+    """MinHash+LSH candidates + exact char-5-shingle verification:
+    (id_a, id_b, jaccard) with the TRUE Jaccard, filtered at
+    ``jaccard_threshold``.  Precision is 1.0 by construction; recall is
+    the LSH banding recall at the threshold (>= 1-(1-t^r)^b, ~1.0 for
+    near-identical pairs)."""
+    est_floor = max(0.0, jaccard_threshold - 0.15)
+    cands = minhash_lsh_pairs(ds, text_col, id_col,
+                              jaccard_threshold=est_floor, **lsh_kwargs)
+    return exact_shingle_jaccard_pairs(
+        ds, cands, text_col, id_col, kind="char5",
+        threshold=jaccard_threshold)
+
+
+def simhash_near_dup_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    jaccard_threshold: float = 0.8, max_hamming: int = 16,
+    n_blocks: int = 8, **sim_kwargs,
+) -> pa.Table:
+    """SimHash block-collision candidates + exact word-3-gram
+    verification: (id_a, id_b, jaccard) with the TRUE word-3-shingle
+    Jaccard, filtered at ``jaccard_threshold``.  SimHash is the blocking
+    stage — with 8 blocks of 8 bits, any pair within hamming distance 7
+    is GUARANTEED to share a block (pigeonhole), which covers
+    word-Jaccard >= ~0.9 near-dups; the exact pass makes precision 1.0.
+    ``max_hamming`` only PRE-prunes candidates (random pairs sit at
+    hamming ~32, near-dups well under 16) — precision comes from the
+    exact verify, so the default is deliberately loose."""
+    cands = simhash_pairs(ds, text_col, id_col, max_hamming=max_hamming,
+                          n_blocks=n_blocks, **sim_kwargs)
+    return exact_shingle_jaccard_pairs(
+        ds, cands, text_col, id_col, kind="word3",
+        threshold=jaccard_threshold)
+
+
+# popcount lookup over uint8 (numpy<2 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
 def charset_jaccard_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, group_cols,
-    *, threshold: float = 0.99, buckets: int = 16,
+    *, threshold: float = 0.99, buckets: int = 16, tile: int = 512,
 ) -> "rd.Dataset":
-    """All pairs within each group whose character-set Jaccard similarity
-    is >= threshold: (id_a, id_b, jaccard).  Exact (not sketched);
+    """All pairs within each group whose byte-set Jaccard similarity is
+    >= threshold: (id_a, id_b, jaccard).  Exact (not sketched);
     candidate scope is bounded by the grouping columns — the pattern for
-    'verify candidates only within a blocking key'."""
+    'verify candidates only within a blocking key'.
+
+    The presence set is over UTF-8 BYTES (256-slot bitmap, packed to 32
+    bytes/row).  For ASCII text this equals character-set Jaccard (the
+    DuckDB ``jaccard()`` oracle); for multibyte text lead/continuation
+    bytes are shared across codepoints and the score is a byte-level
+    approximation.
+
+    Pair scoring runs in ``tile``x``tile`` blocks (memory per tile pair
+    = tile^2*32 bytes, ~8MB at the default), so a million-row group
+    costs bounded memory — still O(m^2) compute, which is inherent to
+    exact all-pairs; cap group size upstream if that is not acceptable."""
     group_cols = list(group_cols)
 
     def _pairs(tab: pa.Table) -> pa.Table:
@@ -372,24 +576,38 @@ def charset_jaccard_pairs(
         arr = tab[text_col].combine_chunks()
         offsets, data = _utf8_buffers(arr)
         starts, ends = offsets[:-1], offsets[1:]
-        # per-row 256-slot byte-presence bitmap, vectorized
+        # per-row byte-presence bitmap, packed to 32 bytes per row
         n = tab.num_rows
         present = np.zeros((n, 256), dtype=bool)
         row_of = np.repeat(np.arange(n), (ends - starts))
         present[row_of, data] = True
-        sizes = present.sum(axis=1)
+        sizes = present.sum(axis=1).astype(np.int64)
+        words = np.packbits(present, axis=1)          # (n, 32) uint8
         out_a, out_b, out_j = [], [], []
         for g in np.flatnonzero(counts > 1):
             s, e = firsts[g], firsts[g] + counts[g]
-            gp = present[s:e]
-            inter = (gp[:, None, :] & gp[None, :, :]).sum(axis=2)
-            union = sizes[s:e][:, None] + sizes[s:e][None, :] - inter
-            jac = inter / np.maximum(union, 1)
-            ia, ib = np.triu_indices(e - s, k=1)
-            keep = jac[ia, ib] >= threshold
-            out_a.append(ids[s:e][ia[keep]])
-            out_b.append(ids[s:e][ib[keep]])
-            out_j.append(jac[ia, ib][keep])
+            gw, gid, gsz = words[s:e], ids[s:e], sizes[s:e]
+            m = e - s
+            for ti in range(0, m, tile):
+                wi = gw[ti:ti + tile]
+                for tj in range(ti, m, tile):
+                    wj = gw[tj:tj + tile]
+                    inter = _POP8[wi[:, None, :] & wj[None, :, :]]\
+                        .sum(axis=2, dtype=np.int64)
+                    union = gsz[ti:ti + tile][:, None] \
+                        + gsz[tj:tj + tile][None, :] - inter
+                    jac = inter / np.maximum(union, 1)
+                    if ti == tj:
+                        ia, ib = np.triu_indices(len(wi), k=1)
+                    else:
+                        ia, ib = np.meshgrid(np.arange(len(wi)),
+                                             np.arange(len(wj)),
+                                             indexing="ij")
+                        ia, ib = ia.ravel(), ib.ravel()
+                    keep = jac[ia, ib] >= threshold
+                    out_a.append(gid[ti + ia[keep]])
+                    out_b.append(gid[tj + ib[keep]])
+                    out_j.append(jac[ia, ib][keep])
         if not out_a:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64()),

@@ -200,11 +200,19 @@ def knn_cosine_lsh(
 def embedding_near_dup_pairs(
     ds: "rd.Dataset", vec_col: str, id_col: str, *,
     cosine_threshold: float = 0.95, n_planes: int = 10, n_tables: int = 6,
-    seed: int = 11, buckets: int = 64,
+    seed: int = 11, buckets: int = 64, max_group: int = 1024,
 ) -> "rd.Dataset":
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
     banding (shuffle on (table, signature)), exact cosine verification
-    inside buckets.  Returns (id_a, id_b, cosine)."""
+    inside buckets.  Returns (id_a, id_b, cosine).
+
+    Approximate-recall operator (the 100 TB path): only pairs that
+    collide in some hash table are scored.  ``max_group`` caps a
+    degenerate signature bucket (e.g. many zero vectors) so
+    verification never goes O(m^2) on one group; such pairs almost
+    surely collide in another, smaller bucket.  For the exact,
+    oracle-checkable variant see
+    :func:`embedding_near_dup_pairs_exact`."""
     from ..pipelines.relational import bucketed_map_groups, segment_starts
 
     probe = ds.take_batch(1, batch_format="pyarrow")
@@ -223,6 +231,10 @@ def embedding_near_dup_pairs(
             })
         m = _normalize(_matrix(tab[vec_col]))
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # zero-copy fixed-size-list column from the flat values buffer
+        # (never a Python list of rows)
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), type=pa.float64()), d)
         parts = []
         for t in range(n_tables):
             sig = ((m @ planes[t].T) > 0) @ powers
@@ -230,7 +242,7 @@ def embedding_near_dup_pairs(
                 "tbl": pa.array(np.full(len(ids), t, dtype=np.int32)),
                 "sig": pa.array(sig.astype(np.int64)),
                 id_col: pa.array(ids),
-                "vec": pa.array(list(m), type=pa.list_(pa.float64(), d)),
+                "vec": vec_arr,
             }))
         return pa.concat_tables(parts)
 
@@ -248,7 +260,7 @@ def embedding_near_dup_pairs(
         m = np.asarray(tab["vec"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False)).reshape(len(ids), -1)
         out_a, out_b, out_c = [], [], []
-        for g in np.flatnonzero(counts > 1):
+        for g in np.flatnonzero((counts > 1) & (counts <= max_group)):
             s, e = firsts[g], firsts[g] + counts[g]
             gm, gid = m[s:e], ids[s:e]
             cos = gm @ gm.T
@@ -277,6 +289,69 @@ def embedding_near_dup_pairs(
     return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup,
                                buckets=max(8, buckets // 8),
                                sort_within=False)
+
+
+def embedding_near_dup_pairs_exact(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *,
+    cosine_threshold: float = 0.4, round_digits: int = 4,
+) -> pa.Table:
+    """EXACT all-pairs cosine near-duplicates: the normalized corpus is
+    broadcast once via ``ray.put`` and every ``map_batches`` task scores
+    its rows against the full matrix (pairs emitted only where
+    id_a < id_b, so each unordered pair is produced exactly once).
+    Returns (id_a, id_b, cosine) sorted, cosine rounded.
+
+    Compute is O(n^2/tasks) and the broadcast is O(n*d) — exact
+    verification for corpora whose embedding table fits the object
+    store (~millions of vectors); above that, use the LSH variant
+    (:func:`embedding_near_dup_pairs`) to generate candidates and this
+    pattern on the candidate subset."""
+    tabs = [t for t in ray.get(
+        ds.select_columns([id_col, vec_col]).to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+    full = pa.concat_tables(tabs)
+    all_ids = full[id_col].to_numpy(zero_copy_only=False)
+    all_m = _normalize(_matrix(full[vec_col]))
+    corpus_ref = ray.put((all_ids, all_m))
+
+    class _Pairs:
+        def __init__(self) -> None:
+            self.ids, self.m = ray.get(corpus_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                              "id_b": pa.array([], type=pa.int64()),
+                              "cosine": pa.array([], type=pa.float64())})
+            if batch.num_rows == 0:
+                return empty
+            bm = _normalize(_matrix(batch[vec_col]))
+            bids = batch[id_col].to_numpy(zero_copy_only=False)
+            cos = bm @ self.m.T                       # (nb, n)
+            ia, ib = np.nonzero(
+                (cos >= cosine_threshold)
+                & (bids[:, None] < self.ids[None, :]))
+            if not len(ia):
+                return empty
+            from . import round_half_away
+            return pa.table({
+                "id_a": pa.array(bids[ia], type=pa.int64()),
+                "id_b": pa.array(self.ids[ib], type=pa.int64()),
+                "cosine": pa.array(round_half_away(cos[ia, ib],
+                                                   round_digits),
+                                   type=pa.float64()),
+            })
+
+    out = ds.select_columns([id_col, vec_col]).map_batches(
+        _Pairs, batch_format="pyarrow", concurrency=(1, 4))
+    otabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(otabs) if otabs else pa.table(
+        {"id_a": pa.array([], type=pa.int64()),
+         "id_b": pa.array([], type=pa.int64()),
+         "cosine": pa.array([], type=pa.float64())})
+    return tab.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------

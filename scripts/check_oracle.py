@@ -15,7 +15,7 @@ DataContext.get_current().enable_progress_bars = False
 
 import __ray_entry__ as E
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:

@@ -1,0 +1,152 @@
+"""Caps on pair-verification loops (degenerate corpora must complete in
+bounded work) and exactness of the candidate-verification operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rayskema.functions import round_half_away
+from rayskema.functions.dedup import (
+    charset_jaccard_pairs, exact_shingle_jaccard_pairs,
+    minhash_near_dup_pairs, simhash_near_dup_pairs, simhash_pairs,
+)
+from rayskema.functions.similarity import (
+    embedding_near_dup_pairs, embedding_near_dup_pairs_exact,
+)
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def test_round_half_away_matches_sql():
+    assert float(round_half_away(157 / 160, 4)) == 0.9813
+    assert float(round_half_away(0.98135, 4)) == 0.9814
+    assert float(round_half_away(-0.98125, 4)) == -0.9813
+    assert float(round_half_away(2.5, 0)) == 3.0
+
+
+def test_simhash_degenerate_corpus_bounded(ray_session):
+    # 20k identical short docs: every block bucket is one giant group;
+    # the max_group cap must skip them instead of O(m^2) verification
+    ds = _docs(["tiny doc"] * 20_000)
+    out = simhash_pairs(ds, "text", "doc_id", max_group=256)
+    tabs = out.take_all()
+    assert len(tabs) == 0  # skipped, not exploded
+
+
+def test_embedding_degenerate_corpus_bounded(ray_session):
+    n, d = 10_000, 16
+    vecs = np.tile(np.arange(1, d + 1, dtype=np.float64), (n, 1))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel()), d),
+    }))
+    out = embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                   cosine_threshold=0.9, max_group=256)
+    assert len(out.take_all()) == 0
+
+
+def test_charset_tiling_matches_untiled(ray_session):
+    rng = np.random.default_rng(3)
+    alphabet = "abcdefghijklmnop"
+    texts = ["".join(rng.choice(list(alphabet), size=rng.integers(3, 10)))
+             for _ in range(60)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()),
+        "text": pa.array(texts),
+        "g": pa.array(["x"] * 60),
+    }))
+    small = charset_jaccard_pairs(ds, "text", "doc_id", ["g"],
+                                  threshold=0.6, tile=7).take_all()
+    big = charset_jaccard_pairs(ds, "text", "doc_id", ["g"],
+                                threshold=0.6, tile=512).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(small, key=key) == sorted(big, key=key)
+    assert len(big) > 0
+
+
+def _py_char5_jaccard(a: str, b: str) -> float:
+    sa = {a[i:i + 5] for i in range(max(len(a) - 4, 1))}
+    sb = {b[i:i + 5] for i in range(max(len(b) - 4, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_near_dup_exact_values(ray_session):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "idle")
+    texts = [base, near] + [f"unrelated document number {i} with words {i}"
+                            for i in range(30)]
+    tab = minhash_near_dup_pairs(_docs(texts), "text", "doc_id",
+                                 jaccard_threshold=0.5)
+    rows = {(tab["id_a"][i].as_py(), tab["id_b"][i].as_py()):
+            tab["jaccard"][i].as_py() for i in range(tab.num_rows)}
+    assert (0, 1) in rows
+    expect = float(round_half_away(_py_char5_jaccard(base, near), 4))
+    assert rows[(0, 1)] == expect
+
+
+def _py_word3_jaccard(a: str, b: str) -> float:
+    def s(t):
+        toks = t.lower().split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    sa, sb = s(a), s(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_simhash_near_dup_exact_values(ray_session):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base.replace("zeta", "zeta2")
+    texts = [base, near] + [f"totally different text {i} here now ok {i}"
+                            for i in range(20)]
+    tab = simhash_near_dup_pairs(_docs(texts), "text", "doc_id",
+                                 jaccard_threshold=0.3)
+    got = {(tab["id_a"][i].as_py(), tab["id_b"][i].as_py()):
+           tab["jaccard"][i].as_py() for i in range(tab.num_rows)}
+    assert (0, 1) in got
+    assert got[(0, 1)] == float(round_half_away(
+        _py_word3_jaccard(base, near), 4))
+
+
+def test_exact_shingle_jaccard_direct(ray_session):
+    texts = ["abcdefgh", "abcdefgx", "zzzz"]
+    cand = pa.table({"id_a": pa.array([0, 0], type=pa.int64()),
+                     "id_b": pa.array([1, 2], type=pa.int64())})
+    tab = exact_shingle_jaccard_pairs(_docs(texts), cand, "text", "doc_id",
+                                      kind="char5", threshold=0.0)
+    got = {(tab["id_a"][i].as_py(), tab["id_b"][i].as_py()):
+           tab["jaccard"][i].as_py() for i in range(tab.num_rows)}
+    assert got[(0, 1)] == float(round_half_away(
+        _py_char5_jaccard(texts[0], texts[1]), 4))
+    assert got[(0, 2)] == 0.0
+
+
+def test_embedding_exact_pairs_match_numpy(ray_session):
+    rng = np.random.default_rng(9)
+    n, d = 120, 8
+    m = rng.standard_normal((n, d))
+    m[7] = m[3] + rng.standard_normal(d) * 0.01   # planted near-dup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel()), d),
+    }))
+    tab = embedding_near_dup_pairs_exact(ds, "embedding", "vec_id",
+                                         cosine_threshold=0.6)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    ia, ib = np.nonzero(np.triu(cos >= 0.6, k=1))
+    want = {(int(a), int(b)): float(round_half_away(cos[a, b], 4))
+            for a, b in zip(ia, ib)}
+    got = {(tab["id_a"][i].as_py(), tab["id_b"][i].as_py()):
+           tab["cosine"][i].as_py() for i in range(tab.num_rows)}
+    assert got == want
+    assert (3, 7) in got
