@@ -291,6 +291,68 @@ def _q_orders_snapshot_diff(sf_dir: str):
     return diff_snapshots(old, new, ["o_orderkey"], ["o_orderstatus"])
 
 
+_ORDERS_OPENAPI = {
+    "openAPIV3Schema": {
+        "type": "object",
+        "additionalProperties": False,
+        "required": ["o_orderkey"],
+        "properties": {
+            "o_orderkey": {"type": "integer"},
+            "o_orderstatus": {"type": "string", "enum": ["O", "F"]},
+            "o_totalprice": {"type": "number", "maximum": 400000},
+            "o_orderpriority": {"type": "string",
+                                "pattern": "^(?:[1-3]-.*|5-LOW)$"},
+        },
+    }
+}
+
+
+def _q_orders_crd_import(sf_dir: str):
+    """X8: validate the orders table under a contract IMPORTED from an
+    OpenAPI v3 document (reference kubeopenapi.Import,
+    kubeopenapi/kubeopenapi.go:14-57) — same constraint surface as
+    validate_orders but sourced from the schema document."""
+    from rayskema.contract_openapi import import_openapi
+    from rayskema.pipelines.relational import check_constraints
+    s, diag = import_openapi(_ORDERS_OPENAPI, name="orders",
+                             key_columns=("o_orderkey",))
+    assert not diag.warnings, diag.warnings
+    ds = _read(sf_dir, "orders", s.column_names)
+    return _viol_select(check_constraints(ds, s), ["o_orderkey"])
+
+
+def _q_docs_list_contains(sf_dir: str):
+    """M16: list-column contains/minContains/maxContains + list-element
+    uniqueness (reference kubeopenapi/contains.go:15-126 and
+    list.go:19-136) over a token-list column derived from documents."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import check_constraints
+    from rayskema.schema import Contains, ListUnique
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+"),
+        })
+
+    s = TableSchema(
+        columns=(
+            Column("doc_id", pa.int64(), nullable=False),
+            Column("tokens", pa.list_(pa.string()), constraints=(
+                Contains(predicate={"op": "eq", "value": "data"},
+                         min_contains=1, max_contains=8, rule="has_data"),
+                ListUnique(rule="tokens_unique"),
+            )),
+        ),
+        key_columns=("doc_id",), unknown=Unknown.STRIP, name="doc_tokens",
+    )
+    out = check_constraints(ds.map_batches(toks, batch_format="pyarrow"), s)
+    return _viol_select(out, ["doc_id"])
+
+
 def _q_docs_dedup_exact(sf_dir: str):
     from rayskema.functions.dedup import exact_duplicates
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -487,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_orders_asof": _q_events_orders_asof,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "orders_crd_import": _q_orders_crd_import,
+        "docs_list_contains": _q_docs_list_contains,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -509,6 +573,39 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     return {
+        "orders_crd_import": """
+            SELECT o_orderkey, '/o_orderstatus' AS path,
+                   'invalid_enum' AS code, 'o_orderstatus' AS rule
+            FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+            UNION ALL
+            SELECT o_orderkey, '/o_totalprice', 'too_big', 'o_totalprice'
+            FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey, '/o_orderpriority', 'pattern',
+                   'o_orderpriority'
+            FROM orders
+            WHERE NOT regexp_matches(o_orderpriority,
+                                     '^(?:[1-3]-.*|5-LOW)$')
+        """,
+        "docs_list_contains": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_extract_all(text, '\S+'),
+                           x -> x = 'data')) AS n,
+                       len(regexp_extract_all(text, '\S+')) AS ntok,
+                       len(list_distinct(regexp_extract_all(text, '\S+')))
+                           AS ndist
+                FROM documents)
+            SELECT doc_id, '/tokens' AS path, 'too_short' AS code,
+                   'has_data' AS rule
+            FROM c WHERE n < 1
+            UNION ALL
+            SELECT doc_id, '/tokens', 'too_long', 'has_data'
+            FROM c WHERE n > 8
+            UNION ALL
+            SELECT doc_id, '/tokens', 'duplicate_item', 'tokens_unique'
+            FROM c WHERE ntok != ndist
+        """,
         "docs_minhash_pairs": """
             WITH sh AS (
                 SELECT doc_id, list_distinct(list_transform(

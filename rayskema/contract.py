@@ -19,16 +19,16 @@ from dataclasses import asdict
 import pyarrow as pa
 
 from .schema import (
-    ByteBounds, Column, ContiguousRule, CrossFieldRule, DriftRule, Enum,
-    GroupCountRule, LenBounds, MapKeyRegex, MonotonicRule, NonNull,
-    Normalizer, Range, RefIntegrityRule, Regex, StructField, TableSchema,
-    TsFormat, UnionRule,
+    ByteBounds, Column, Contains, ContiguousRule, CrossFieldRule, DriftRule,
+    Enum, GroupCountRule, LenBounds, ListUnique, MapKeyRegex, MonotonicRule,
+    NonNull, Normalizer, Range, RefIntegrityRule, Regex, StructField,
+    TableSchema, TsFormat, UnionRule,
     UniqueRule, Unknown,
 )
 
 _CONSTRAINTS = {c.__name__: c for c in
                 (NonNull, Regex, Enum, LenBounds, ByteBounds, Range,
-                 TsFormat, MapKeyRegex)}
+                 TsFormat, MapKeyRegex, Contains, ListUnique)}
 _RULES = {c.__name__: c for c in
           (ContiguousRule, CrossFieldRule, DriftRule, GroupCountRule,
            MonotonicRule, RefIntegrityRule, UniqueRule, UnionRule)}
@@ -130,6 +130,8 @@ def _constraint_from(d: dict):
     cls = _CONSTRAINTS[kind]
     if "values" in d:
         d["values"] = tuple(d["values"])
+    if "keys" in d:
+        d["keys"] = tuple(d["keys"])
     return cls(**d)
 
 

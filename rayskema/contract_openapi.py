@@ -1,0 +1,347 @@
+"""OpenAPI v3 / Kubernetes CRD contract import (reference X8).
+
+Maps an ``openAPIV3Schema`` document (or a full CRD manifest) onto a
+:class:`rayskema.schema.TableSchema` so existing JSON-Schema/CRD
+contracts can drive the Ray validation pipelines directly.  The
+semantics mirror the reference importer:
+
+- entry + CRD unwrapping: ``kubeopenapi/kubeopenapi.go:14-100``
+  (direct ``openAPIV3Schema``, ``spec.versions[].schema`` preferring
+  ``served=true``, legacy ``spec.validation``);
+- local ``$defs``/``$ref`` resolution with shallow merge + cycle
+  detection: ``kubeopenapi/refs.go:14-69``;
+- unknown-field policy: ``x-kubernetes-preserve-unknown-fields`` =>
+  PASSTHROUGH, ``additionalProperties: false`` => STRICT, otherwise
+  STRIP (``kubeopenapi/kubeopenapi.go:146-163``);
+- required => non-nullable column + ``required`` violations
+  (``kubeopenapi/kubeopenapi.go:131-134``);
+- string facets pattern/enum/min-maxLength, numeric minimum/maximum/
+  exclusive*, array min-maxItems (``kubeopenapi/adapters.go``,
+  ``patterns.go:14-207``);
+- ``patternProperties``/``propertyNames.pattern`` on object-typed
+  fields => :class:`MapKeyRegex` (multi-pattern = alternation: a key
+  must match at least one, ``patterns.go:46-91``);
+- ``x-kubernetes-list-type: set|map`` => :class:`ListUnique`
+  (``kubeopenapi/list.go:19-136``);
+- array ``contains``/``minContains``/``maxContains`` =>
+  :class:`Contains` (``kubeopenapi/contains.go:15-126``);
+- nested objects with ``properties`` => Arrow struct columns with
+  :class:`StructField`-rebased constraints (child issue paths
+  ``/field/sub``, like the reference's nested object adapters).
+
+Unsupported constructs degrade with a warning (the reference's
+``Diag`` channel), never silently.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+from .schema import (
+    ByteBounds, Column, Contains, Enum, LenBounds, ListUnique, MapKeyRegex,
+    NonNull, Range, Regex, StructField, TableSchema, Unknown,
+)
+
+
+class ImportDiag:
+    """Non-fatal import warnings (reference Options Diag,
+    ``kubeopenapi/options.go:54-64``)."""
+
+    def __init__(self) -> None:
+        self.warnings: list[str] = []
+
+    def warn(self, msg: str) -> None:
+        self.warnings.append(msg)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ImportDiag({self.warnings!r})"
+
+
+def _unwrap(root: dict) -> dict:
+    """Accept a direct schema, an ``{"openAPIV3Schema": ...}`` wrapper,
+    or a full CRD manifest (kubeopenapi.go:60-100)."""
+    if isinstance(root.get("openAPIV3Schema"), dict):
+        return root["openAPIV3Schema"]
+    spec = root.get("spec")
+    if isinstance(spec, dict):
+        first = None
+        for v in spec.get("versions") or []:
+            if not isinstance(v, dict):
+                continue
+            sch = v.get("schema")
+            oas = sch.get("openAPIV3Schema") if isinstance(sch, dict) else None
+            if isinstance(oas, dict):
+                if v.get("served", True):
+                    return oas
+                first = first or oas
+        if first is not None:
+            return first
+        val = spec.get("validation")
+        if isinstance(val, dict) and isinstance(
+                val.get("openAPIV3Schema"), dict):
+            return val["openAPIV3Schema"]
+    return root
+
+
+def _resolve_refs(node: dict, defs: dict, diag: ImportDiag,
+                  visited: set) -> dict:
+    """Expand local ``#/$defs/*`` refs with shallow merge; cycles warn
+    and stop (refs.go:33-69)."""
+    if not isinstance(node, dict):
+        return node
+    ref = node.get("$ref")
+    if isinstance(ref, str):
+        if not ref.startswith("#/$defs/"):
+            diag.warn(f"$ref {ref!r} not supported (local $defs only)")
+            return node
+        key = ref[len("#/$defs/"):]
+        base = defs.get(key)
+        if not isinstance(base, dict):
+            diag.warn(f"$ref to unknown $defs/{key}")
+            return node
+        if key in visited:
+            diag.warn(f"cyclic $ref at $defs/{key} (skipping expansion)")
+            return node
+        visited.add(key)
+        merged = dict(_resolve_refs(json.loads(json.dumps(base)), defs,
+                                    diag, visited))
+        visited.discard(key)
+        for k, v in node.items():
+            if k != "$ref":
+                merged[k] = v
+        node = merged
+    for key in ("properties", "patternProperties"):
+        pm = node.get(key)
+        if isinstance(pm, dict):
+            node[key] = {k: _resolve_refs(v, defs, diag, visited)
+                         if isinstance(v, dict) else v
+                         for k, v in pm.items()}
+    for key in ("items", "contains", "additionalProperties"):
+        if isinstance(node.get(key), dict):
+            node[key] = _resolve_refs(node[key], defs, diag, visited)
+    return node
+
+
+def _unknown_policy(doc: dict, diag: ImportDiag) -> Unknown:
+    if doc.get("x-kubernetes-preserve-unknown-fields") is True:
+        return Unknown.PASSTHROUGH
+    ap = doc.get("additionalProperties")
+    if ap is False:
+        return Unknown.STRICT
+    if isinstance(ap, dict):
+        diag.warn("additionalProperties as schema treated as strip")
+    return Unknown.STRIP
+
+
+_PRIMITIVES = {
+    "string": pa.string(),
+    "boolean": pa.bool_(),
+    "integer": pa.int64(),
+    "number": pa.float64(),
+}
+
+
+def _dtype_for(ps: dict, diag: ImportDiag, where: str) -> pa.DataType:
+    """Arrow dtype for one property schema (adapters.go:9-44)."""
+    if ps.get("x-kubernetes-int-or-string") is True:
+        diag.warn(f"{where}: int-or-string kept as string "
+                  "(numeric checks skipped)")
+        return pa.string()
+    t = ps.get("type")
+    if t in _PRIMITIVES:
+        if t == "string" and ps.get("format") == "date-time":
+            return pa.string()   # validated via codec/format constraint
+        return _PRIMITIVES[t]
+    if t == "object":
+        props = ps.get("properties")
+        if isinstance(props, dict) and props:
+            return pa.struct([
+                pa.field(k, _dtype_for(v if isinstance(v, dict) else {},
+                                       diag, f"{where}/{k}"))
+                for k, v in sorted(props.items())])
+        # map-shaped object: value type from patternProperties /
+        # additionalProperties when uniform, else string
+        vt = None
+        pp = ps.get("patternProperties")
+        if isinstance(pp, dict):
+            types = {v.get("type") for v in pp.values()
+                     if isinstance(v, dict)}
+            if len(types) == 1:
+                vt = _PRIMITIVES.get(next(iter(types)))
+        if vt is None and isinstance(ps.get("additionalProperties"), dict):
+            vt = _PRIMITIVES.get(ps["additionalProperties"].get("type"))
+        if vt is None:
+            diag.warn(f"{where}: object without properties as map<string,"
+                      "string>")
+            vt = pa.string()
+        return pa.map_(pa.string(), vt)
+    if t == "array":
+        items = ps.get("items")
+        if isinstance(items, dict):
+            return pa.list_(_dtype_for(items, diag, f"{where}/items"))
+        diag.warn(f"{where}: array without items as list<string>")
+        return pa.list_(pa.string())
+    if t is not None:
+        diag.warn(f"{where}: unknown type {t!r} kept as string")
+    else:
+        diag.warn(f"{where}: untyped schema kept as string")
+    return pa.string()
+
+
+def _value_constraints(ps: dict, rule: str, diag: ImportDiag,
+                       where: str) -> list:
+    """Facet constraints for one (scalar/array) property schema."""
+    out: list = []
+    t = ps.get("type")
+    if isinstance(ps.get("pattern"), str):
+        out.append(Regex(pattern=ps["pattern"], rule=rule, search=True))
+    if isinstance(ps.get("enum"), list):
+        out.append(Enum(values=tuple(ps["enum"]), rule=rule))
+    if t == "string":
+        lo, hi = ps.get("minLength"), ps.get("maxLength")
+        if lo is not None or hi is not None:
+            out.append(LenBounds(min_len=lo, max_len=hi, rule=rule))
+        if ps.get("maxBytes") is not None:  # extension: DoS byte cap
+            out.append(ByteBounds(max_bytes=ps["maxBytes"], rule=rule))
+    if t in ("integer", "number"):
+        lo, hi = ps.get("minimum"), ps.get("maximum")
+        if lo is not None or hi is not None:
+            out.append(Range(
+                min=lo, max=hi,
+                exclusive_min=bool(ps.get("exclusiveMinimum") is True),
+                exclusive_max=bool(ps.get("exclusiveMaximum") is True),
+                rule=rule))
+    if t == "array":
+        lo, hi = ps.get("minItems"), ps.get("maxItems")
+        if lo is not None or hi is not None:
+            out.append(LenBounds(min_len=lo, max_len=hi, rule=rule))
+        lt = ps.get("x-kubernetes-list-type")
+        if lt == "set" or ps.get("uniqueItems") is True:
+            out.append(ListUnique(rule=rule + "_unique"))
+        elif lt == "map":
+            keys = tuple(ps.get("x-kubernetes-list-map-keys") or ())
+            if keys:
+                out.append(ListUnique(keys=keys, rule=rule + "_unique"))
+            else:
+                diag.warn(f"{where}: list-type map without list-map-keys")
+        cont = ps.get("contains")
+        if isinstance(cont, dict):
+            pred = _contains_predicate(cont, diag, where)
+            if pred is not None:
+                out.append(Contains(
+                    predicate=pred,
+                    min_contains=ps.get("minContains",
+                                        1 if "contains" in ps else None),
+                    max_contains=ps.get("maxContains"), rule=rule))
+    if t == "object":
+        pats = []
+        pn = ps.get("propertyNames")
+        if isinstance(pn, dict) and isinstance(pn.get("pattern"), str):
+            pats.append(pn["pattern"])
+        pp = ps.get("patternProperties")
+        if isinstance(pp, dict) and pp and not (
+                isinstance(ps.get("properties"), dict)
+                and ps["properties"]):
+            # a key must match AT LEAST ONE pattern (patterns.go:46-91)
+            pats.append("|".join(f"(?:{p})" for p in sorted(pp)))
+        for p in pats:
+            out.append(MapKeyRegex(pattern=p, rule=rule + "_keys", search=True))
+    return out
+
+
+def _contains_predicate(cont: dict, diag: ImportDiag, where: str):
+    """contains schema -> element predicate expr (contains.go MVP:
+    const/enum/type + numeric bounds)."""
+    if "const" in cont:
+        return {"op": "eq", "value": cont["const"]}
+    if isinstance(cont.get("enum"), list):
+        return {"op": "in", "values": tuple(cont["enum"])}
+    if isinstance(cont.get("pattern"), str):
+        return {"op": "regex_search", "pattern": cont["pattern"]}
+    lo, hi = cont.get("minimum"), cont.get("maximum")
+    if lo is not None and hi is not None:
+        return {"op": "and", "args": ({"op": "ge", "value": lo},
+                                      {"op": "le", "value": hi})}
+    if lo is not None:
+        return {"op": "ge", "value": lo}
+    if hi is not None:
+        return {"op": "le", "value": hi}
+    diag.warn(f"{where}: contains schema not expressible "
+              "(const/enum/pattern/bounds only); skipped")
+    return None
+
+
+def import_openapi(
+    doc: dict | bytes | str, *,
+    name: str = "table", key_columns: tuple = (),
+) -> tuple[TableSchema, ImportDiag]:
+    """Compile an OpenAPI v3 / CRD schema into a TableSchema
+    (reference ``kubeopenapi.Import``, kubeopenapi.go:14-57).
+
+    Top-level ``properties`` become columns; ``required`` names become
+    non-nullable columns with a ``required``-code NonNull constraint.
+    Nested objects become struct columns whose facet constraints are
+    rebased via :class:`StructField` (one level of nesting compiled;
+    deeper levels contribute dtype only, with a warning)."""
+    diag = ImportDiag()
+    if isinstance(doc, (bytes, str)):
+        doc = json.loads(doc)
+    if not isinstance(doc, dict):
+        raise TypeError("import_openapi: document must be a JSON object")
+    root = _unwrap(doc)
+    defs = root.get("$defs") if isinstance(root.get("$defs"), dict) else {}
+    root = _resolve_refs(json.loads(json.dumps(root)), defs, diag, set())
+    if root.get("type") not in (None, "object"):
+        diag.warn(f"non-object root treated as object: {root.get('type')!r}")
+    required = {r for r in root.get("required") or [] if isinstance(r, str)}
+    unknown = _unknown_policy(root, diag)
+    props = root.get("properties")
+    if not isinstance(props, dict):
+        props = {}
+        diag.warn("schema has no properties")
+    columns = []
+    for pname in sorted(props):
+        ps = props[pname] if isinstance(props[pname], dict) else {}
+        dtype = _dtype_for(ps, diag, pname)
+        cons = list(_value_constraints(ps, pname, diag, pname))
+        # one level of nested-object facet constraints, path-rebased
+        if ps.get("type") == "object" and isinstance(
+                ps.get("properties"), dict):
+            sub_required = {r for r in ps.get("required") or []
+                            if isinstance(r, str)}
+            for sub, sps in sorted(ps["properties"].items()):
+                if not isinstance(sps, dict):
+                    continue
+                for c in _value_constraints(sps, f"{pname}_{sub}", diag,
+                                            f"{pname}/{sub}"):
+                    cons.append(StructField(path=(sub,), constraint=c,
+                                            rule=c.rule))
+                if sub in sub_required:
+                    cons.append(StructField(
+                        path=(sub,),
+                        constraint=NonNull(rule=f"{pname}_{sub}_required"),
+                        rule=f"{pname}_{sub}_required"))
+        nullable = pname not in required
+        if pname in required:
+            cons.insert(0, NonNull(rule=f"{pname}_required"))
+        codec = None
+        if ps.get("type") == "string" and ps.get("format") == "date-time":
+            # RFC3339 string on the wire, timestamp declared — decoded
+            # by the rfc3339 codec during normalize (invalid_format on
+            # parse failure), like the reference codec/rfc3339.go
+            codec = "rfc3339"
+            dtype = pa.timestamp("us")
+        columns.append(Column(pname, dtype, nullable=nullable,
+                              default=ps.get("default"),
+                              constraints=tuple(cons), codec=codec))
+    schema = TableSchema(
+        columns=tuple(columns),
+        key_columns=tuple(k for k in key_columns
+                          if k in {c.name for c in columns}),
+        unknown=unknown,
+        name=name,
+    )
+    return schema, diag

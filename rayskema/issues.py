@@ -44,6 +44,8 @@ UNION_AMBIGUOUS = "union_ambiguous"
 PARSE_ERROR = "parse_error"
 OVERFLOW = "overflow"
 TRUNCATED = "truncated"
+# list-element duplicate (reference kubeopenapi/list.go:29 "duplicate_item")
+DUPLICATE_ITEM = "duplicate_item"
 # Domain codes (reference errors.go:29-36)
 DOMAIN_RANGE = "domain_range"
 AGGREGATE_VIOLATION = "aggregate_violation"

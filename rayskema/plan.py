@@ -28,15 +28,15 @@ import pyarrow.compute as pc
 
 from .issues import (
     AGGREGATE_VIOLATION, DISCRIMINATOR_MISSING, DISCRIMINATOR_UNKNOWN,
-    INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, OVERFLOW, PATTERN, REQUIRED,
-    TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL, TRUNCATED, UNKNOWN_KEY,
-    canon_params, column_path, empty_violations, schema_level_violation,
-    violations_from_mask, violations_schema,
+    DUPLICATE_ITEM, INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, OVERFLOW,
+    PATTERN, REQUIRED, TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL, TRUNCATED,
+    UNKNOWN_KEY, canon_params, column_path, empty_violations,
+    schema_level_violation, violations_from_mask, violations_schema,
 )
 from .schema import (
-    ByteBounds, Column, CrossFieldRule, DriftRule, Enum, LenBounds,
-    MapKeyRegex, NonNull, Normalizer, Range, Regex, StructField, TableSchema,
-    TsFormat, UnionRule, Unknown,
+    ByteBounds, Column, Contains, CrossFieldRule, DriftRule, Enum, LenBounds,
+    ListUnique, MapKeyRegex, NonNull, Normalizer, Range, Regex, StructField,
+    TableSchema, TsFormat, UnionRule, Unknown,
 )
 
 CheckFn = Callable[[pa.Table], pa.Table]
@@ -89,6 +89,9 @@ def compile_expr(expr: Mapping[str, Any]) -> Callable[[pa.Table], pa.ChunkedArra
         return lambda t: pc.is_in(t[col], value_set=vs)
     if op == "regex":
         col, pat = expr["col"], f"^(?:{expr['pattern']})$"
+        return lambda t: pc.match_substring_regex(t[col], pat)
+    if op == "regex_search":
+        col, pat = expr["col"], expr["pattern"]
         return lambda t: pc.match_substring_regex(t[col], pat)
     if op == "and":
         fns = [compile_expr(a) for a in expr["args"]]
@@ -156,7 +159,7 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
         return check
 
     if isinstance(c, Regex):
-        pat = f"^(?:{c.pattern})$"
+        pat = c.pattern if c.search else f"^(?:{c.pattern})$"
         params = canon_params({"pattern": c.pattern})
         def check(t: pa.Table) -> pa.Table:
             m = pc.invert(pc.match_substring_regex(t[name], pat))
@@ -244,7 +247,7 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
         return check
 
     if isinstance(c, MapKeyRegex):
-        pat = f"^(?:{c.pattern})$"
+        pat = c.pattern if c.search else f"^(?:{c.pattern})$"
         params = canon_params({"pattern": c.pattern})
 
         def check(t: pa.Table) -> pa.Table:
@@ -268,6 +271,104 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
             return violations_from_mask(
                 t, pa.array(row_bad), key_cols, path, PATTERN, c.rule,
                 "map key does not match pattern", params)
+
+        return check
+
+    if isinstance(c, Contains):
+        # element-count constraint on a list column (reference
+        # kubeopenapi/contains.go:82-126): count matching elements per
+        # row via one vectorized predicate over the flattened values +
+        # a prefix-sum segment reduce — no per-row loop
+        pred = compile_expr({**dict(c.predicate), "col": "_el"})
+        lo, hi = c.min_contains, c.max_contains
+        plo = canon_params({"min_contains": lo, "predicate": dict(c.predicate)})
+        phi = canon_params({"max_contains": hi, "predicate": dict(c.predicate)})
+
+        def check(t: pa.Table) -> pa.Table:
+            arr = t[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = pc.list_value_length(arr).fill_null(0)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = arr.flatten()      # values of non-null rows, in order
+            if len(flat):
+                mask = pred(pa.table({"_el": flat}))
+                m_np = np.asarray(pc.fill_null(
+                    mask.combine_chunks() if isinstance(
+                        mask, pa.ChunkedArray) else mask, False))
+            else:
+                m_np = np.zeros(0, dtype=bool)
+            cums = np.concatenate([[0], np.cumsum(m_np)])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            count = cums[starts + lens] - cums[starts]
+            valid = ~np.asarray(arr.is_null())  # null lists are skipped
+            out = []
+            if lo is not None:
+                out.append(violations_from_mask(
+                    t, pa.array((count < lo) & valid), key_cols, path,
+                    TOO_SHORT, c.rule,
+                    "contains matched less than minContains", plo))
+            if hi is not None:
+                out.append(violations_from_mask(
+                    t, pa.array((count > hi) & valid), key_cols, path,
+                    TOO_LONG, c.rule,
+                    "contains matched more than maxContains", phi))
+            return pa.concat_tables(out) if out else empty_violations(
+                [t.schema.field(k) for k in key_cols])
+
+        return check
+
+    if isinstance(c, ListUnique):
+        # per-row element uniqueness on a list column (reference
+        # x-kubernetes-list-type set/map, kubeopenapi/list.go:19-136):
+        # hash elements (or the composite struct key), lexsort by
+        # (row, hash), duplicates are adjacent equals within a row
+        keys = tuple(c.keys)
+        params = canon_params({"keys": list(keys)} if keys else {})
+
+        def _element_hashes(flat: pa.Array) -> np.ndarray:
+            from .state.sketches import _hash64, hash_strings
+            if pa.types.is_string(flat.type) or \
+                    pa.types.is_large_string(flat.type):
+                return hash_strings(flat)
+            if pa.types.is_floating(flat.type):
+                v = flat.to_numpy(zero_copy_only=False)
+                return _hash64(np.asarray(v, dtype=np.float64)
+                               .view(np.uint64) + np.uint64(1))
+            v = pc.cast(flat, pa.int64(), safe=False).fill_null(
+                np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+            from .state.sketches import _hash64 as h64
+            return h64(v.astype(np.uint64))
+
+        def check(t: pa.Table) -> pa.Table:
+            from .state.sketches import _hash64
+            arr = t[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = pc.list_value_length(arr).fill_null(0)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = arr.flatten()
+            if keys:
+                h = np.zeros(len(flat), dtype=np.uint64)
+                for k in keys:
+                    h = _hash64(h ^ _element_hashes(
+                        pc.struct_field(flat, k).combine_chunks()
+                        if isinstance(pc.struct_field(flat, k),
+                                      pa.ChunkedArray)
+                        else pc.struct_field(flat, k)))
+            else:
+                h = _element_hashes(flat)
+            row_ids = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+            order = np.lexsort((h, row_ids))
+            rr, rh = row_ids[order], h[order]
+            dup = np.zeros(len(rr), dtype=bool)
+            if len(rr) > 1:
+                dup[1:] = (rr[1:] == rr[:-1]) & (rh[1:] == rh[:-1])
+            row_bad = np.zeros(t.num_rows, dtype=bool)
+            row_bad[rr[dup]] = True
+            return violations_from_mask(
+                t, pa.array(row_bad), key_cols, path, DUPLICATE_ITEM,
+                c.rule, "duplicate element in list", params)
 
         return check
 

@@ -83,9 +83,13 @@ class NonNull(Constraint):
 
 @dataclass(frozen=True)
 class Regex(Constraint):
-    """Full-match regex => `pattern` (reference kubeopenapi/patterns.go)."""
+    """Regex => `pattern` (reference kubeopenapi/patterns.go).
+    Full-match by default; ``search=True`` uses unanchored search
+    semantics (JSON Schema / Go ``MatchString`` — what the OpenAPI
+    importer emits)."""
 
     pattern: str = ""
+    search: bool = False
 
 
 @dataclass(frozen=True)
@@ -137,9 +141,36 @@ class MapKeyRegex(Constraint):
     """All keys of a map column must full-match the pattern (reference
     patternProperties/propertyNames import, kubeopenapi/patterns.go:
     14-207; map key validation of MapAny) => `pattern` violation on any
-    offending row."""
+    offending row.  ``search=True`` = unanchored (JSON Schema
+    patternProperties semantics)."""
 
     pattern: str = ""
+    search: bool = False
+
+
+@dataclass(frozen=True)
+class Contains(Constraint):
+    """List-column contains/minContains/maxContains (reference
+    ``kubeopenapi/contains.go:15-126``): count the elements of each
+    row's list that match ``predicate`` (a ``plan.compile_expr``
+    expression over the ELEMENT value, column name ``"_el"``); rows
+    with fewer than ``min_contains`` matches emit ``too_short`` and
+    rows with more than ``max_contains`` emit ``too_long`` at the
+    column path, mirroring the reference's codes."""
+
+    predicate: Mapping[str, Any] = dc_field(default_factory=dict)
+    min_contains: int | None = None
+    max_contains: int | None = None
+
+
+@dataclass(frozen=True)
+class ListUnique(Constraint):
+    """List-column element uniqueness (reference x-kubernetes-list-type
+    set/map import, ``kubeopenapi/list.go:19-136``): a row whose list
+    holds duplicate elements (or duplicate composite keys of struct
+    elements, ``keys``) emits ``duplicate_item``."""
+
+    keys: tuple = ()               # () = whole element; else struct keys
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,189 @@
+"""OpenAPI/CRD contract import (reference X8, kubeopenapi package) and
+the list-column Contains/ListUnique constraints (M16)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from rayskema.contract import export_contract, import_contract
+from rayskema.contract_openapi import import_openapi
+from rayskema.plan import ConstraintPlan
+from rayskema.schema import (
+    Column, Contains, ListUnique, TableSchema, Unknown,
+)
+
+_REF = "/root/reference/kubeopenapi/testdata"
+
+
+def _codes(v: pa.Table) -> set:
+    return set(zip(v["path"].to_pylist(), v["code"].to_pylist()))
+
+
+def test_import_minimal_object():
+    s, diag = import_openapi({
+        "openAPIV3Schema": {
+            "type": "object", "additionalProperties": False,
+            "required": ["id"],
+            "properties": {
+                "id": {"type": "integer", "minimum": 0},
+                "name": {"type": "string", "pattern": "^[a-z]+$",
+                         "minLength": 2, "maxLength": 8},
+                "kind": {"type": "string", "enum": ["a", "b"]},
+            },
+        }
+    }, name="t", key_columns=("id",))
+    assert s.unknown is Unknown.STRICT
+    assert not diag.warnings
+    id_col = s.column("id")
+    assert not id_col.nullable
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({
+        "id": pa.array([1, -5, None], type=pa.int64()),
+        "kind": pa.array(["a", "z", "b"]),
+        "name": pa.array(["ok", "BAD", "x"]),
+    }))
+    got = _codes(v)
+    assert ("/id", "too_small") in got
+    assert ("/id", "required") in got
+    assert ("/kind", "invalid_enum") in got
+    assert ("/name", "pattern") in got
+    assert ("/name", "too_short") in got
+
+
+def test_pattern_is_search_semantics():
+    # JSON Schema pattern = unanchored search (Go MatchString)
+    s, _ = import_openapi({
+        "type": "object",
+        "properties": {"v": {"type": "string", "pattern": "mid"}},
+    })
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({"v": pa.array(["xx mid yy", "nope"])}))
+    assert v.num_rows == 1
+
+
+def test_ref_resolution_and_cycle():
+    s, diag = import_openapi({
+        "type": "object",
+        "$defs": {
+            "port": {"type": "integer", "minimum": 1, "maximum": 65535},
+            "loop": {"$ref": "#/$defs/loop"},
+        },
+        "properties": {
+            "port": {"$ref": "#/$defs/port"},
+            "bad": {"$ref": "#/$defs/missing"},
+            "cyc": {"$ref": "#/$defs/loop"},
+        },
+    })
+    assert s.column("port").dtype == pa.int64()
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({
+        "bad": pa.array(["x", "y"]),
+        "cyc": pa.array(["x", "y"]),
+        "port": pa.array([80, 99999], type=pa.int64())}))
+    assert ("/port", "too_big") in _codes(v)
+    assert any("unknown $defs" in w for w in diag.warnings)
+    assert any("cyclic" in w for w in diag.warnings)
+
+
+def test_contains_and_min_max():
+    s, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "tags": {"type": "array", "items": {"type": "string"},
+                     "contains": {"const": "x"},
+                     "minContains": 1, "maxContains": 2},
+        },
+    })
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({"tags": pa.array(
+        [["x"], ["y"], ["x", "x", "x"], None],
+        type=pa.list_(pa.string()))}))
+    got = _codes(v)
+    assert ("/tags", "too_short") in got
+    assert ("/tags", "too_long") in got
+    assert v.num_rows == 2   # null list is skipped
+
+
+def test_list_unique_numeric_and_struct_keys():
+    s = TableSchema(columns=(
+        Column("ports", pa.list_(pa.int64()),
+               constraints=(ListUnique(rule="ports_set"),)),
+    ), unknown=Unknown.STRIP)
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({"ports": pa.array(
+        [[80, 443], [80, 80], []], type=pa.list_(pa.int64()))}))
+    assert v.num_rows == 1 and v["code"][0].as_py() == "duplicate_item"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference corpus absent")
+def test_reference_alertmanager_alias_list_map():
+    # receivers: x-kubernetes-list-type map keyed by name
+    with open(os.path.join(_REF, "alertmanager_alias_schema.json")) as f:
+        doc = json.load(f)
+    s, diag = import_openapi(doc, name="alertmanager")
+    col = s.column("receivers")
+    assert any(isinstance(c, ListUnique) and c.keys == ("name",)
+               for c in col.constraints)
+    plan = ConstraintPlan(s)
+    elem = pa.struct([pa.field("name", pa.string())])
+    v = plan.validate(pa.table({"receivers": pa.array(
+        [[{"name": "a"}, {"name": "b"}],
+         [{"name": "a"}, {"name": "a"}]], type=pa.list_(elem))}))
+    assert v.num_rows == 1
+    assert v["code"][0].as_py() == "duplicate_item"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference corpus absent")
+def test_reference_servicemonitor_crd_unwrap():
+    with open(os.path.join(_REF, "servicemonitor_crd_wrapped.json")) as f:
+        doc = json.load(f)
+    s, diag = import_openapi(doc, name="servicemonitor")
+    assert s.unknown is Unknown.STRICT
+    assert {c.name for c in s.columns} == {"labels", "targets",
+                                           "sampleLimit"}
+    # int-or-string degraded to string with a warning
+    assert s.column("sampleLimit").dtype == pa.string()
+    assert any("int-or-string" in w for w in diag.warnings)
+    targets = s.column("targets")
+    assert any(isinstance(c, ListUnique) for c in targets.constraints)
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({
+        "labels": pa.array([[("k", "v")]],
+                           type=pa.map_(pa.string(), pa.string())),
+        "sampleLimit": pa.array(["10"]),
+        "targets": pa.array([["t1", "t1"]], type=pa.list_(pa.string())),
+    }))
+    assert ("/targets", "duplicate_item") in _codes(v)
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference corpus absent")
+def test_reference_podmonitor_propertynames():
+    with open(os.path.join(_REF, "podmonitor_propertynames_schema.json")) as f:
+        doc = json.load(f)
+    s, _ = import_openapi(doc, name="podmonitor")
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({"labels": pa.array(
+        [[("pm-ok", "1")], [("bad", "1")], None],
+        type=pa.map_(pa.string(), pa.string()))}))
+    got = _codes(v)
+    assert ("/labels", "pattern") in got
+    assert ("/labels", "required") in got   # labels is required
+
+
+def test_contract_roundtrip_with_list_constraints():
+    s = TableSchema(columns=(
+        Column("doc_id", pa.int64(), nullable=False),
+        Column("tags", pa.list_(pa.string()), constraints=(
+            Contains(predicate={"op": "eq", "value": "x"},
+                     min_contains=1, rule="has_x"),
+            ListUnique(keys=("name",), rule="uniq"),
+        )),
+    ), key_columns=("doc_id",), unknown=Unknown.STRIP, name="t")
+    s2 = import_contract(json.loads(json.dumps(export_contract(s))))
+    assert s2.schema_hash() == s.schema_hash()
+    tags = s2.column("tags")
+    assert any(isinstance(c, Contains) for c in tags.constraints)
+    assert any(isinstance(c, ListUnique) and c.keys == ("name",)
+               for c in tags.constraints)
