@@ -85,11 +85,40 @@ def cmd_contract(args) -> int:
     from .contract import load_contract, save_contract
     from .schema import transcript_schema
 
-    schema = load_contract(args.contract) if args.contract \
-        else transcript_schema()
-    save_contract(schema, args.out)
+    if args.from_openapi:
+        from .contract_openapi import import_openapi
+        with open(args.from_openapi) as f:
+            schema, diag = import_openapi(f.read(), name="imported")
+        for w in diag.warnings:
+            print(f"warning: {w}", file=sys.stderr)
+    else:
+        schema = load_contract(args.contract) if args.contract \
+            else transcript_schema()
+    if args.json_schema:
+        from .jsonschema import export_json_schema
+        with open(args.out, "w") as f:
+            json.dump(export_json_schema(schema, wrap=True), f, indent=2,
+                      sort_keys=True)
+    else:
+        save_contract(schema, args.out)
     print(json.dumps({"written": args.out,
                       "schema_hash": schema.schema_hash()}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.sampling import seeded_sample
+
+    ds = rd.read_parquet(args.input)
+    out = seeded_sample(ds, args.fraction, seed=args.seed, key=args.key)
+    out.write_parquet(args.out)
+    n = out.count()
+    print(json.dumps({"written": args.out, "rows": n,
+                      "fraction": args.fraction, "seed": args.seed,
+                      "key": args.key}))
     return 0
 
 
@@ -129,8 +158,24 @@ def main(argv=None) -> int:
 
     c = sub.add_parser("contract")
     c.add_argument("--contract", help="round-trip an existing contract")
+    c.add_argument("--from-openapi", help="import an OpenAPI/CRD schema "
+                   "document (X8)")
+    c.add_argument("--json-schema", action="store_true",
+                   help="write standard JSON Schema instead of the "
+                   "native contract format")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_contract)
+
+    s = sub.add_parser("sample", help="seeded deterministic sample "
+                       "(cheap drift pre-check input)")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--fraction", type=float, required=True)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--key", help="content-keyed sampling column "
+                   "(deterministic across any block layout)")
+    s.add_argument("--num-cpus", type=int)
+    s.set_defaults(fn=cmd_sample)
 
     f = sub.add_parser("fixture")
     f.add_argument("--out", required=True)

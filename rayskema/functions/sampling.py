@@ -1,0 +1,48 @@
+"""Seeded sampling (SURVEY §2.7 O3): the cheap pre-check every large
+corpus run starts with — sample before you validate/drift-check.
+
+Two modes:
+
+- ``key`` given: CONTENT-keyed Bernoulli sampling — a row is kept iff
+  ``hash(key, seed) < fraction * 2^64``.  Deterministic regardless of
+  block layout, partitioning or cluster size (the property that matters
+  at 100 TB, where the block structure of two runs never matches), and
+  consistent across tables: the same key samples in or out everywhere,
+  so sampled fact/dimension tables stay joinable.
+- no ``key``: positional sampling via ``Dataset.random_sample`` with a
+  fixed seed (deterministic for a fixed block layout only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..state.sketches import _hash64, hash_strings
+
+
+def seeded_sample(ds: "rd.Dataset", fraction: float, seed: int = 0,
+                  *, key: str | None = None) -> "rd.Dataset":
+    """Deterministic sample of ``fraction`` of the rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if key is None:
+        return ds.random_sample(fraction, seed=seed)
+    threshold = np.uint64(int(fraction * float(2**64 - 1)))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_strings(col, seed=seed)
+        else:
+            v = pc.cast(col, pa.int64(), safe=False).fill_null(0)\
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = _hash64(v ^ np.uint64(seed))
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -110,11 +110,15 @@ def run_checkpointed(
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(viol_dir, exist_ok=True)
     schema_hash = schema.schema_hash()
-    # fingerprint of the WHOLE input set: stage-2 (cross-partition)
-    # results depend on every file, so its checkpoints are only valid
-    # for the exact same input set — any add/remove invalidates them
-    input_sig = hashlib.sha256(";".join(
-        f"{f}:{os.path.getsize(f)}" for f in sorted(files)
+    # fingerprint of the WHOLE input set AND the partitioning config:
+    # stage-2 (cross-partition) results depend on every file and on the
+    # hash%buckets layout + salting, so its checkpoints are only valid
+    # for the exact same input set and config — any add/remove/rewrite
+    # or bucket-count change invalidates them
+    input_sig = hashlib.sha256((";".join(
+        f"{f}:{os.path.getsize(f)}:{os.stat(f).st_mtime_ns}"
+        for f in sorted(files))
+        + f";buckets={cfg.buckets};salt={cfg.salt_threshold}"
     ).encode()).hexdigest()[:16]
 
     # ---- stage 1: per-file batch-local checks + sketch partials ---------
@@ -126,8 +130,13 @@ def run_checkpointed(
     todo = []
     for i, f in enumerate(sorted(files)):
         man = _load_manifest(os.path.join(ckpt_dir, f"p1-{i:05d}.json"))
+        st = os.stat(f)
+        # a file rewritten in place (same path, new size/mtime) must
+        # NOT reuse its stage-1 checkpoint
         if man is not None and man.get("schema_hash") == schema_hash \
-                and man.get("input_file") == f:
+                and man.get("input_file") == f \
+                and man.get("input_size") == st.st_size \
+                and man.get("input_mtime_ns") == st.st_mtime_ns:
             continue
         todo.append((i, f))
     if max_stage1_partitions is not None:
@@ -253,6 +262,7 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
     @ray.remote(num_cpus=1)
     def _one_file(pid: int, path: str, cols) -> dict:
         t0 = time.time()
+        st = os.stat(path)   # lineage BEFORE the read (no write race)
         tab = pq.read_table(path, columns=list(cols))
         validator = BatchValidator(schema)
         combined = validator(tab)
@@ -267,6 +277,7 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
         man = {
             "complete": True, "partition": f"p1-{pid:05d}",
             "input_file": path, "rows": tab.num_rows,
+            "input_size": st.st_size, "input_mtime_ns": st.st_mtime_ns,
             "row_range": [0, tab.num_rows],
             "schema_hash": schema_hash,
             "violation_count": viols.num_rows,
@@ -286,14 +297,17 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
 def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
                 remaining, schema_hash, input_sig) -> None:
     key_cols = _group_rule_columns(schema)
-    from .validate import split_manifest_by_bucket
+    from .validate import _split_manifest_task
 
     manifest = None
     manifest_ref = None
     if manifest_path and os.path.exists(manifest_path):
-        manifest = pq.read_table(manifest_path)
-        manifest_ref = ray.put(split_manifest_by_bucket(
-            manifest, schema.key_columns[0], cfg.buckets))
+        # read+hash-split in a worker (driver-side first-touch page
+        # faults cost seconds on this VM class); per-bucket refs
+        manifest_ref = ray.get(_split_manifest_task.remote(
+            manifest_path, schema.key_columns[0], cfg.buckets))
+        if cfg.salt_threshold:
+            manifest = pq.read_table(manifest_path)
     hot_ref = None
     salt_span = 0
     if cfg.salt_threshold and manifest is not None \

@@ -78,6 +78,13 @@ class ValidateConfig:
     group_concurrency: Any = None
     concurrent_passes: bool = True       # overlap pass1/pass2 execution
     # (wall = max(pass1, pass2) instead of the sum; the tuned default)
+    # Violations above this row count are NOT pulled to the driver:
+    # they are sorted distributedly (Dataset.sort) and streamed to
+    # ``spill_dir`` as partitioned parquet — a pathological 100%-dirty
+    # corpus must not OOM the driver.  Below it, the driver-side sort
+    # produces the byte-stable in-memory table as before.
+    driver_sort_limit: int = 2_000_000
+    spill_dir: str | None = None         # default: /tmp/rayskema_violations
     # hot-conversation salting (north rule): conversations whose declared
     # n_turns exceeds this are split into turn-ranges of this span, each
     # range hashed to its own bucket; per-conversation rules then merge
@@ -92,11 +99,15 @@ class ValidationResult:
     drift: list[dict]
     verdicts: pa.Table                   # per-partition pass/fail
     metrics: dict = field(default_factory=dict)
+    # set when the violation count exceeded driver_sort_limit: the full
+    # sorted output lives in partitioned parquet here and .violations
+    # holds only the schema (empty table)
+    violations_path: str | None = None
 
     @property
     def passed(self) -> bool:
-        return self.violations.num_rows == 0 and all(
-            d["passed"] for d in self.drift)
+        n = self.metrics.get("n_violations", self.violations.num_rows)
+        return n == 0 and all(d["passed"] for d in self.drift)
 
 
 # ---------------------------------------------------------------------------
@@ -796,22 +807,34 @@ def validate(
         combined = p1_outs[0]
         for part in p1_outs[1:]:
             combined = combined.union(part)
-        mat = combined.materialize()  # violations + sketch rows only (small)
-        tables = ray.get(mat.to_arrow_refs())
-        tables = [t for t in tables if t.num_rows]
-        big = pa.concat_tables(tables) if tables else \
-            combined_schema(schema).empty_table()
-        is_v = pc.equal(big["kind"], "v")
-        vtabs = [big.filter(is_v).drop_columns(["kind", "payload"])]
+        # blocks stay in the object store; the driver pulls ONLY the
+        # (small, bounded) sketch partials — violation rows remain a
+        # Dataset so a pathological 100%-dirty corpus never lands on
+        # the driver heap
+        mat = combined.materialize()
+
+        def only_viol(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], "v")).drop_columns(
+                ["kind", "payload"])
+
         profile = None
         if cfg.with_profile:
-            payloads = big.filter(pc.equal(big["kind"], "s"))["payload"]
-            for chunk in payloads.chunks:
-                for buf in chunk:
-                    part = ColumnProfile.from_bytes(buf.as_py())
-                    profile = part if profile is None else profile.merge(part)
+            def only_sketch(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(t["kind"], "s"))
+
+            sk = mat.map_batches(only_sketch, batch_format="pyarrow")
+            for t in ray.get(sk.to_arrow_refs()):
+                if not t.num_rows:
+                    continue
+                for chunk in t["payload"].chunks:
+                    for buf in chunk:
+                        part = ColumnProfile.from_bytes(buf.as_py())
+                        profile = part if profile is None \
+                            else profile.merge(part)
+        viol_ds = mat.map_batches(
+            only_viol, batch_format="pyarrow").materialize()
         stage_t["pass1"] = round(_time.perf_counter() - t0, 3)
-        return vtabs, profile
+        return viol_ds, profile
 
     p2_parts = []
     if has_group_rules(schema):
@@ -838,7 +861,7 @@ def validate(
         # keys-only scan + the ONE conv_id-hash shuffle
         t0 = _time.perf_counter()
         if not p2_parts:
-            return []
+            return None, []
         key_cols = _group_rule_columns(schema)
         manifest_ref = ray.get(split_fut) if split_fut is not None else None
         # hot-conversation salting: declared-huge conversations split by
@@ -867,17 +890,26 @@ def validate(
 
         grouped = keys_ds.groupby("bucket").map_groups(
             check_bucket, batch_format="pyarrow")
-        gtabs = [t for t in ray.get(grouped.to_arrow_refs()) if t.num_rows]
-        # second reduce: merge hot-conversation range partials (tiny)
-        if salt_span and gtabs:
-            allg = pa.concat_tables(gtabs)
-            is_partial = pc.equal(allg["rule"], "__salt_partial__")
-            partials = allg.filter(is_partial)
-            gtabs = [allg.filter(pc.invert(is_partial))]
-            if partials.num_rows:
-                gtabs += merge_salt_partials(partials, schema, manifest)
+        gmat = grouped.materialize()
+        viol2_ds = gmat
+        extra: list[pa.Table] = []
+        # second reduce: merge hot-conversation range partials (tiny —
+        # only the partial rows are pulled to the driver)
+        if salt_span:
+            part_ds = gmat.map_batches(
+                lambda t: t.filter(pc.equal(t["rule"], "__salt_partial__")),
+                batch_format="pyarrow")
+            partials = [t for t in ray.get(part_ds.to_arrow_refs())
+                        if t.num_rows]
+            viol2_ds = gmat.map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t["rule"], "__salt_partial__")),
+                batch_format="pyarrow").materialize()
+            if partials:
+                extra = merge_salt_partials(
+                    pa.concat_tables(partials), schema, manifest)
         stage_t["pass2"] = round(_time.perf_counter() - t0, 3)
-        return gtabs
+        return viol2_ds, extra
 
     # The two passes are independent Dataset pipelines over different
     # column subsets; drive them CONCURRENTLY from two driver threads so
@@ -898,18 +930,17 @@ def validate(
         with ThreadPoolExecutor(max_workers=2) as ex:
             f1 = ex.submit(run_pass1)
             f2 = ex.submit(run_pass2)
-            vtabs1, profile = f1.result()
-            gtabs = f2.result()
+            viol1_ds, profile = f1.result()
+            viol2_ds, salt_tabs = f2.result()
     else:
-        vtabs1, profile = run_pass1()
-        gtabs = run_pass2()
+        viol1_ds, profile = run_pass1()
+        viol2_ds, salt_tabs = run_pass2()
     stage_t["pass1_pass2_wall"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
 
-    viol_tabs = vtabs1
+    small_tabs: list[pa.Table] = list(salt_tabs)
     if file_viols.num_rows:
-        viol_tabs.append(file_viols)
-    viol_tabs += gtabs
+        small_tabs.append(file_viols)
 
     # ---- drift ----------------------------------------------------------
     drift = []
@@ -920,7 +951,7 @@ def validate(
         drift = drift_report(baseline_profile, profile, drules)
         for d in drift:
             if not d["passed"]:
-                viol_tabs.append(schema_level_violation(
+                small_tabs.append(schema_level_violation(
                     key_fields, column_path(d["column"]),
                     AGGREGATE_VIOLATION, d["rule"],
                     f"distribution drift: {d['kind']} over threshold",
@@ -928,23 +959,38 @@ def validate(
                                   "threshold": d["threshold"],
                                   "kind": d["kind"]})))
 
-    violations = pa.concat_tables(
-        [t.cast(violations_schema(key_fields)) for t in viol_tabs]) \
-        if viol_tabs else empty_violations(key_fields)
-    violations = sort_violations(violations, schema.key_columns)
+    vschema = violations_schema(key_fields)
+    viol_datasets = [d for d in (viol1_ds, viol2_ds) if d is not None]
+    n_big = sum(d.count() for d in viol_datasets)  # metadata: materialized
+    n_total = n_big + sum(t.num_rows for t in small_tabs)
 
-    verdicts = build_verdicts(violations, schema, n_partitions=cfg.buckets)
+    violations_path = None
+    if n_total <= cfg.driver_sort_limit:
+        tabs = list(small_tabs)
+        for d in viol_datasets:
+            tabs += [t for t in ray.get(d.to_arrow_refs()) if t.num_rows]
+        violations = pa.concat_tables([t.cast(vschema) for t in tabs]) \
+            if tabs else empty_violations(key_fields)
+        violations = sort_violations(violations, schema.key_columns)
+        verdicts = build_verdicts(violations, schema,
+                                  n_partitions=cfg.buckets)
+    else:
+        violations, verdicts, violations_path = _spill_sorted_violations(
+            viol_datasets, small_tabs, schema, cfg)
     stage_t["finalize"] = round(_time.perf_counter() - t0, 3)
     metrics = {
-        "n_violations": violations.num_rows,
+        "n_violations": n_total,
         "n_files": len(files),
         "rows_validated": profile.row_count if profile else None,
         "distinct_keys_estimate":
             round(profile.hll.estimate()) if profile else None,
         "stage_sec": stage_t,
     }
+    if violations_path:
+        metrics["violations_path"] = violations_path
     return ValidationResult(violations=violations, profile=profile,
-                            drift=drift, verdicts=verdicts, metrics=metrics)
+                            drift=drift, verdicts=verdicts, metrics=metrics,
+                            violations_path=violations_path)
 
 
 def normalize_dataset(paths, schema: TableSchema,
@@ -972,30 +1018,106 @@ def normalize_dataset(paths, schema: TableSchema,
                           batch_size=cfg.batch_size)
 
 
-def build_verdicts(violations: pa.Table, schema: TableSchema,
-                   n_partitions: int = 64) -> pa.Table:
-    """Per-partition pass/fail: partition = hash(conv_id) % n_partitions
-    (the same physical partitioning as the shuffle); schema-level
-    violations (null key) land in partition -1."""
+def _partition_counts(violations: pa.Table, schema: TableSchema,
+                      n_partitions: int) -> np.ndarray:
+    """Violation counts per partition (index 0 = partition -1, the
+    schema-level/null-key bucket), partition = hash(key0) % n."""
     key = schema.key_columns[0]
-    if violations.num_rows:
-        conv = violations[key].combine_chunks()
-        valid = ~np.asarray(conv.is_null())
-        if pa.types.is_string(conv.type) or \
-                pa.types.is_large_string(conv.type):
-            h = hash_strings(conv)
-        else:
-            from ..state.sketches import _hash64
-            h = _hash64(pc.cast(conv, pa.int64(), safe=False).fill_null(0)
-                        .to_numpy(zero_copy_only=False).astype(np.uint64))
-        h = h % np.uint64(n_partitions)
-        part = np.where(valid, h.astype(np.int64), -1)
-        counts = np.bincount(part + 1, minlength=n_partitions + 1)
+    if not violations.num_rows:
+        return np.zeros(n_partitions + 1, dtype=np.int64)
+    conv = violations[key].combine_chunks()
+    valid = ~np.asarray(conv.is_null())
+    if pa.types.is_string(conv.type) or \
+            pa.types.is_large_string(conv.type):
+        h = hash_strings(conv)
     else:
-        counts = np.zeros(n_partitions + 1, dtype=np.int64)
-    pids = np.arange(-1, n_partitions)
+        from ..state.sketches import _hash64
+        h = _hash64(pc.cast(conv, pa.int64(), safe=False).fill_null(0)
+                    .to_numpy(zero_copy_only=False).astype(np.uint64))
+    h = h % np.uint64(n_partitions)
+    part = np.where(valid, h.astype(np.int64), -1)
+    return np.bincount(part + 1, minlength=n_partitions + 1)
+
+
+def _verdicts_from_counts(counts: np.ndarray) -> pa.Table:
+    pids = np.arange(-1, len(counts) - 1)
     return pa.table({
         "partition": pa.array(pids, type=pa.int32()),
         "violation_count": pa.array(counts, type=pa.int64()),
         "passed": pa.array(counts == 0),
     })
+
+
+def build_verdicts(violations: pa.Table, schema: TableSchema,
+                   n_partitions: int = 64) -> pa.Table:
+    """Per-partition pass/fail: partition = hash(conv_id) % n_partitions
+    (the same physical partitioning as the shuffle); schema-level
+    violations (null key) land in partition -1."""
+    return _verdicts_from_counts(
+        _partition_counts(violations, schema, n_partitions))
+
+
+def _spill_sorted_violations(viol_datasets, small_tabs, schema: TableSchema,
+                             cfg: ValidateConfig):
+    """Distributed fallback when violations exceed driver_sort_limit:
+    union the violation Datasets (blocks never leave the object store),
+    sort with Dataset.sort under the same total order as
+    ``sort_violations`` (null keys first via explicit not-null flag
+    keys), and stream to partitioned parquet.  Verdict counts come from
+    vectorized per-batch partial bincounts, so the driver only ever
+    holds O(buckets) integers."""
+    key_cols = list(schema.key_columns)
+    key_fields = schema.key_fields()
+    vschema = violations_schema(key_fields)
+    spill_dir = cfg.spill_dir or os.path.join(
+        "/tmp", f"rayskema_violations_{os.getpid()}")
+    parts = [d.map_batches(lambda t, _s=vschema: t.cast(_s),
+                           batch_format="pyarrow") for d in viol_datasets]
+    if small_tabs:
+        small = pa.concat_tables([t.cast(vschema) for t in small_tabs])
+        parts.append(rd.from_arrow(small))
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.union(p)
+
+    def pcounts(t: pa.Table, _s=schema, _n=cfg.buckets) -> pa.Table:
+        c = _partition_counts(t, _s, _n)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            "partition": pa.array((nz - 1).astype(np.int64)),
+            "n": pa.array(c[nz].astype(np.int64))})
+
+    totals = np.zeros(cfg.buckets + 1, dtype=np.int64)
+    for t in ray.get(big.map_batches(
+            pcounts, batch_format="pyarrow").to_arrow_refs()):
+        if not t.num_rows or "partition" not in t.column_names:
+            continue  # Ray passes empty blocks through un-transformed
+        for p_, n_ in zip(t["partition"].to_pylist(), t["n"].to_pylist()):
+            totals[p_ + 1] += n_
+    verdicts = _verdicts_from_counts(totals)
+
+    from ..issues import VIOLATION_COLS
+    nn = [f"__nn{i}" for i in range(len(key_cols))]
+
+    def add_flags(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(key_cols):
+            t = t.append_column(
+                nn[i], pc.cast(pc.is_valid(t[k]), pa.int8()))
+        return t
+
+    sort_keys: list[str] = []
+    for i, k in enumerate(key_cols):
+        sort_keys += [nn[i], k]
+    sort_keys += VIOLATION_COLS
+    ctx = rd.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        sorted_ds = big.map_batches(
+            add_flags, batch_format="pyarrow").sort(sort_keys)
+        sorted_ds.map_batches(
+            lambda t: t.drop_columns(nn),
+            batch_format="pyarrow").write_parquet(spill_dir)
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return empty_violations(key_fields), verdicts, spill_dir

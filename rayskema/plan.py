@@ -605,11 +605,14 @@ def normalize_batch(
     return normalized, vtab
 
 
+# Strict RFC3339 (reference codec parity — Go time.RFC3339/RFC3339Nano
+# rejects a space separator, a missing offset, and ±hhmm without the
+# colon; all of those are invalid_format here too)
 _RFC3339_PAT = (
-    r"^(?P<date>\d{4}-\d{2}-\d{2})[Tt ]"
+    r"^(?P<date>\d{4}-\d{2}-\d{2})[Tt]"
     r"(?P<time>\d{2}:\d{2}:\d{2})"
     r"(?:\.(?P<frac>\d{1,9}))?"
-    r"(?P<tz>[Zz]|[+-]\d{2}:?\d{2})?$"
+    r"(?P<tz>[Zz]|[+-]\d{2}:\d{2})$"
 )
 
 

@@ -203,18 +203,23 @@ def test_codec_violation_with_key_cast():
 
 
 def test_rfc3339_fractional_and_offset():
-    """Fractional seconds and ±hh:mm offsets are valid RFC3339 (review
-    finding: strptime-only decode rejected them)."""
+    """Fractional seconds and ±hh:mm offsets are valid RFC3339; a space
+    separator, a MISSING offset, and ±hhmm (no colon) are invalid —
+    exactly what Go time.RFC3339/RFC3339Nano rejects (reference codec
+    parity)."""
     from rayskema.plan import decode_rfc3339
     arr = pa.array(["2024-01-01T00:00:00.123Z",
                     "2024-06-07T08:09:10.123456+02:00",
-                    "2024-06-07 08:09:10", None, "junk"])
+                    "2024-06-07 08:09:10Z",        # space separator
+                    "2024-06-07T08:09:10",         # missing offset
+                    "2024-06-07T08:09:10+0200",    # offset without colon
+                    None, "junk"])
     ts, bad = decode_rfc3339(arr, pa.timestamp("us"))
     vals = ts.to_pylist()
     assert vals[0].microsecond == 123000
     assert vals[1].hour == 6 and vals[1].microsecond == 123456  # UTC
-    assert vals[3] is None
-    assert bad.to_pylist() == [False, False, False, False, True]
+    assert vals[5] is None
+    assert bad.to_pylist() == [False, False, True, True, True, False, True]
 
 
 def test_build_verdicts_numeric_key():

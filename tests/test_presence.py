@@ -75,14 +75,17 @@ def test_rfc3339_codec_decode_and_canonical_encode():
     )
     batch = pa.table({
         "id": pa.array([1, 2, 3], type=pa.int64()),
-        "ts": pa.array(["2024-01-02T03:04:05+0000",
-                        "2024-06-07T08:09:10", "not a time"],
+        "ts": pa.array(["2024-01-02T03:04:05+00:00",
+                        "2024-06-07T08:09:10",  # no offset: invalid
+                        "not a time"],
                        type=pa.string()),
     })
     norm, viols = normalize_batch(batch, s)
     assert norm["ts"].type == pa.timestamp("us")
+    assert norm["ts"].to_pylist()[1] is None
     assert norm["ts"].to_pylist()[2] is None
     codes = [(r["id"], r["code"]) for r in viols.to_pylist()]
+    assert (2, "invalid_format") in codes
     assert (3, "invalid_format") in codes
     enc = encode_canonical(norm, s)
     assert enc["ts"].type == pa.string()
