@@ -485,21 +485,15 @@ def _q_emb_near_dups(sf_dir: str):
 def _q_events_type_psi(sf_dir: str):
     """Distribution drift as a query: PSI of the event_type histogram,
     first half vs second half of the stream by ts (median cutoff).
-    Engine shape: per-batch partial counts in map_batches, merged on the
-    driver (the same partial+final pattern the sketch profiles use; at
-    scale the cutoff comes from the merged t-digest median)."""
-    import numpy as np
+    Engine shape: the cutoff is the EXACT distributed median (t-digest
+    bracket + narrow-window refinement — the ts column never lands on
+    the driver), then per-batch partial counts merged on the driver."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from rayskema.functions.drift import psi
-
-    ts_tab = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                           columns=["ts"])
-    ts = ts_tab["ts"].to_numpy(zero_copy_only=False)\
-        .astype("datetime64[us]").astype(np.int64)
-    cutoff = pa.scalar(int(np.median(ts)), type=pa.timestamp("us"))
+    from rayskema.functions.drift import exact_median_i64, psi
 
     ds = _read(sf_dir, "events", ["ts", "event_type"])
+    med = exact_median_i64(ds.select_columns(["ts"]), "ts")
+    cutoff = pa.scalar(med, type=pa.timestamp("us"))
 
     def partial_counts(t: pa.Table) -> pa.Table:
         out = []

@@ -19,16 +19,16 @@ from dataclasses import asdict
 import pyarrow as pa
 
 from .schema import (
-    ByteBounds, Column, Contains, ContiguousRule, CrossFieldRule, DriftRule,
-    Enum, GroupCountRule, LenBounds, ListUnique, MapKeyRegex, MonotonicRule,
-    NonNull, Normalizer, Range, RefIntegrityRule, Regex, StructField,
-    TableSchema, TsFormat, UnionRule,
+    AnyOf, ByteBounds, Column, Contains, ContiguousRule, CrossFieldRule,
+    DriftRule, Enum, GroupCountRule, LenBounds, ListUnique, MapKeyRegex,
+    MonotonicRule, NonNull, Normalizer, Range, RefIntegrityRule, Regex,
+    StructField, TableSchema, TsFormat, UnionRule,
     UniqueRule, Unknown,
 )
 
 _CONSTRAINTS = {c.__name__: c for c in
                 (NonNull, Regex, Enum, LenBounds, ByteBounds, Range,
-                 TsFormat, MapKeyRegex, Contains, ListUnique)}
+                 TsFormat, MapKeyRegex, Contains, ListUnique, AnyOf)}
 _RULES = {c.__name__: c for c in
           (ContiguousRule, CrossFieldRule, DriftRule, GroupCountRule,
            MonotonicRule, RefIntegrityRule, UniqueRule, UnionRule)}
@@ -132,6 +132,8 @@ def _constraint_from(d: dict):
         d["values"] = tuple(d["values"])
     if "keys" in d:
         d["keys"] = tuple(d["keys"])
+    if "branches" in d:
+        d["branches"] = tuple(d["branches"])
     return cls(**d)
 
 

@@ -41,8 +41,8 @@ from typing import Any
 import pyarrow as pa
 
 from .schema import (
-    ByteBounds, Column, Contains, Enum, LenBounds, ListUnique, MapKeyRegex,
-    NonNull, Range, Regex, StructField, TableSchema, Unknown,
+    AnyOf, ByteBounds, Column, Contains, Enum, LenBounds, ListUnique,
+    MapKeyRegex, NonNull, Range, Regex, StructField, TableSchema, Unknown,
 )
 
 
@@ -236,6 +236,20 @@ def _value_constraints(ps: dict, rule: str, diag: ImportDiag,
                     min_contains=ps.get("minContains",
                                         1 if "contains" in ps else None),
                     max_contains=ps.get("maxContains"), rule=rule))
+    for comb, strat in (("oneOf", "error"), ("anyOf", "first_match")):
+        branches = ps.get(comb)
+        if isinstance(branches, list) and branches:
+            # anyOf/oneOf ambiguity (reference union_ambiguity.go:12-75,
+            # plan.go:195-222: oneOf => Error strategy)
+            preds = []
+            for b in branches:
+                p = _contains_predicate(b, diag, f"{where}/{comb}") \
+                    if isinstance(b, dict) else None
+                if p is None:
+                    p = {"op": "not_null"}   # reference fallback: accept
+                preds.append(p)
+            out.append(AnyOf(branches=tuple(preds), strategy=strat,
+                             rule=f"{rule}_{comb.lower()}"))
     if t == "object":
         pats = []
         pn = ps.get("propertyNames")

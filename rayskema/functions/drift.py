@@ -39,6 +39,79 @@ def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
     return float(np.max(np.abs(a.cdf(grid) - b.cdf(grid))))
 
 
+def exact_median_i64(ds, col: str, *, window_cap: int = 5_000_000) -> int:
+    """EXACT distributed median of a numeric/timestamp column without
+    materializing it on the driver:
+
+    1. one ``map_batches`` pass folds every batch into a t-digest
+       partial (mergeable, tiny);
+    2. the merged digest brackets the median: ``[q(0.49), q(0.51)]``;
+    3. a second pruned pass counts rows below the window and collects
+       ONLY the in-window values (~2% of rows by digest accuracy,
+       hard-capped at ``window_cap``), from which the exact median
+       (numpy convention: mean of the two middle values for even n)
+       is computed.
+
+    This is the scale path for the PSI cutoff: the driver holds one
+    digest and one narrow window, never the column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    def _to_i64(t):
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").astype(np.int64)
+        return np.asarray(v, dtype=np.float64)
+
+    def digest_partial(t):
+        td = TDigest()
+        v = _to_i64(t)
+        td.update(v[~np.isnan(v)])
+        return pa.table({"d": pa.array([td.to_bytes()])})
+
+    merged = TDigest()
+    for t in ray.get(ds.map_batches(
+            digest_partial, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows and "d" in t.column_names:
+            for b in t["d"].to_pylist():
+                merged.merge(TDigest.from_bytes(b))
+    n_total = int(merged.total_weight)
+    # t-digest is least accurate at mid-quantiles: bracket generously
+    # (10% of rows; still bounded driver memory)
+    lo, hi = merged.quantile(np.array([0.45, 0.55]))
+
+    def window_partial(t, _lo=lo, _hi=hi):
+        v = _to_i64(t)
+        v = v[~np.isnan(v)]
+        below = int((v < _lo).sum())
+        win = v[(v >= _lo) & (v <= _hi)]
+        return pa.table({"below": pa.array([below]),
+                         "win": pa.array([win.astype(np.int64)],
+                                         type=pa.list_(pa.int64()))})
+
+    below = 0
+    wins = []
+    for t in ray.get(ds.map_batches(
+            window_partial, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows and "below" in t.column_names:
+            below += sum(t["below"].to_pylist())
+            for w in t["win"]:
+                wins.append(np.asarray(w.values))
+    win = np.sort(np.concatenate(wins)) if wins else np.array([], np.int64)
+    if len(win) > window_cap or below + len(win) < (n_total + 1) // 2:
+        raise ValueError(
+            "median window out of digest bounds; widen the quantile "
+            "bracket or raise window_cap")
+    mid = (n_total - 1) / 2
+    i0, i1 = int(np.floor(mid)) - below, int(np.ceil(mid)) - below
+    return int((win[i0] + win[i1]) / 2)
+
+
 def drift_report(baseline: ColumnProfile, observed: ColumnProfile,
                  rules) -> list[dict]:
     """Evaluate every DriftRule; returns one record per rule with the

@@ -133,7 +133,15 @@ def fingerprint_md5(ds: "rd.Dataset", text_col: str,
 
     def _fp(tab: pa.Table) -> pa.Table:
         arr = pc.cast(tab[text_col], pa.large_binary()).combine_chunks()
-        fps = [hashlib.md5(v.as_py() or b"").hexdigest() for v in arr]
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int64,
+                                count=len(arr) + 1, offset=arr.offset * 8)
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        # hash zero-copy slices of the flat buffer: no per-row Python
+        # string round-trip (hashing is the work; slicing is free).
+        # Null rows have zero-length slices => md5("") like before.
+        fps = [hashlib.md5(mv[offsets[i]:offsets[i + 1]]).hexdigest()
+               for i in range(len(arr))]
         return pa.table({id_col: tab[id_col],
                          "fp": pa.array(fps, type=pa.string())})
 

@@ -46,6 +46,8 @@ OVERFLOW = "overflow"
 TRUNCATED = "truncated"
 # list-element duplicate (reference kubeopenapi/list.go:29 "duplicate_item")
 DUPLICATE_ITEM = "duplicate_item"
+# anyOf/oneOf: no branch matched (reference union_ambiguity.go:63-70)
+NO_MATCH = "no_match"
 # Domain codes (reference errors.go:29-36)
 DOMAIN_RANGE = "domain_range"
 AGGREGATE_VIOLATION = "aggregate_violation"

@@ -14,8 +14,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .schema import (
-    ByteBounds, Column, Contains, Enum, LenBounds, ListUnique, MapKeyRegex,
-    NonNull, Range, Regex, StructField, TableSchema, TsFormat, Unknown,
+    AnyOf, ByteBounds, Column, Contains, Enum, LenBounds, ListUnique,
+    MapKeyRegex, NonNull, Range, Regex, StructField, TableSchema, TsFormat,
+    Unknown,
 )
 
 
@@ -106,6 +107,9 @@ def _apply_constraint(node: dict, c, is_list: bool) -> None:
         else:
             node["x-kubernetes-list-type"] = "set"
             node["uniqueItems"] = True
+    elif isinstance(c, AnyOf):
+        key = "oneOf" if c.strategy == "error" else "anyOf"
+        node[key] = [_pred_to_contains(dict(b)) for b in c.branches]
     elif isinstance(c, MapKeyRegex):
         node["propertyNames"] = {
             "pattern": c.pattern if c.search else f"^(?:{c.pattern})$"}

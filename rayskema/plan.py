@@ -28,16 +28,28 @@ import pyarrow.compute as pc
 
 from .issues import (
     AGGREGATE_VIOLATION, DISCRIMINATOR_MISSING, DISCRIMINATOR_UNKNOWN,
-    DUPLICATE_ITEM, INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, OVERFLOW,
-    PATTERN, REQUIRED, TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL, TRUNCATED,
-    UNKNOWN_KEY, canon_params, column_path, empty_violations,
-    schema_level_violation, violations_from_mask, violations_schema,
+    DUPLICATE_ITEM, INVALID_ENUM, INVALID_FORMAT, INVALID_TYPE, NO_MATCH,
+    OVERFLOW, PATTERN, REQUIRED, TOO_BIG, TOO_LONG, TOO_SHORT, TOO_SMALL,
+    TRUNCATED, UNION_AMBIGUOUS, UNKNOWN_KEY, canon_params, column_path,
+    empty_violations, schema_level_violation, violations_from_mask,
+    violations_schema,
 )
 from .schema import (
-    ByteBounds, Column, Contains, CrossFieldRule, DriftRule, Enum, LenBounds,
-    ListUnique, MapKeyRegex, NonNull, Normalizer, Range, Regex, StructField,
-    TableSchema, TsFormat, UnionRule, Unknown,
+    AnyOf, ByteBounds, Column, Contains, CrossFieldRule, DriftRule, Enum,
+    LenBounds, ListUnique, MapKeyRegex, NonNull, Normalizer, Range, Regex,
+    StructField, TableSchema, TsFormat, UnionRule, Unknown,
 )
+
+
+def _expr_with_col(expr: Mapping[str, Any], col: str) -> dict:
+    """Inject the target column name into a column-less predicate expr
+    (recursively through and/or/not combinators)."""
+    out = dict(expr)
+    if out.get("op") in ("and", "or", "not"):
+        out["args"] = tuple(_expr_with_col(a, col) for a in out["args"])
+    elif "col" not in out:
+        out["col"] = col
+    return out
 
 CheckFn = Callable[[pa.Table], pa.Table]
 
@@ -271,6 +283,37 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
             return violations_from_mask(
                 t, pa.array(row_bad), key_cols, path, PATTERN, c.rule,
                 "map key does not match pattern", params)
+
+        return check
+
+    if isinstance(c, AnyOf):
+        # anyOf/oneOf ambiguity strategies (reference
+        # union_ambiguity.go:46-75): vectorized per-branch masks,
+        # summed to a match count per row
+        preds = [compile_expr(_expr_with_col(b, name)) for b in c.branches]
+        strategy = c.strategy
+        pamb = canon_params({"branches": len(preds), "strategy": strategy})
+
+        def check(t: pa.Table) -> pa.Table:
+            counts = np.zeros(t.num_rows, dtype=np.int64)
+            for p in preds:
+                m = p(t)
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                counts += np.asarray(pc.fill_null(m, False))
+            valid = np.asarray(pc.is_valid(
+                t[name].combine_chunks() if isinstance(
+                    t[name], pa.ChunkedArray) else t[name]))
+            out = []
+            if strategy == "error":
+                out.append(violations_from_mask(
+                    t, pa.array((counts > 1) & valid), key_cols, path,
+                    UNION_AMBIGUOUS, c.rule,
+                    "value matches more than one oneOf branch", pamb))
+            out.append(violations_from_mask(
+                t, pa.array((counts == 0) & valid), key_cols, path,
+                NO_MATCH, c.rule, "value matches no branch", pamb))
+            return pa.concat_tables(out)
 
         return check
 

@@ -149,6 +149,21 @@ class MapKeyRegex(Constraint):
 
 
 @dataclass(frozen=True)
+class AnyOf(Constraint):
+    """anyOf/oneOf branch matching with an ambiguity strategy
+    (reference ``kubeopenapi/union_ambiguity.go:12-75`` +
+    ``options.go:44-51``): count how many ``branches`` (compile_expr
+    predicates over the column value) match each row.
+
+    strategy="error" (oneOf): more than one match => ``union_ambiguous``,
+    zero matches => ``no_match``.
+    strategy="first_match" (anyOf): only zero matches => ``no_match``."""
+
+    branches: tuple = ()           # tuple[Mapping] predicate exprs
+    strategy: str = "error"
+
+
+@dataclass(frozen=True)
 class Contains(Constraint):
     """List-column contains/minContains/maxContains (reference
     ``kubeopenapi/contains.go:15-126``): count the elements of each

@@ -123,18 +123,32 @@ class FrameSampleStage:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = {c: [] for c in self.key_cols}
-        frame_idx, frames = [], []
-        for i, v in enumerate(batch[self.payload_col].combine_chunks()):
-            b = v.as_py() or b""
-            n_frames = max(1, len(b) // self.frame_bytes)
-            for f in range(0, n_frames, self.stride):
-                for c in self.key_cols:
-                    keys[c].append(batch[c][i].as_py())
-                frame_idx.append(f)
-                frames.append(b[f * self.frame_bytes:(f + 1) * self.frame_bytes])
-        out = {c: pa.array(keys[c]) for c in self.key_cols}
-        out["frame_idx"] = pa.array(frame_idx, type=pa.int32())
+        import pyarrow.compute as pc
+
+        arr = pc.cast(batch[self.payload_col],
+                      pa.large_binary()).combine_chunks()
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int64,
+                                count=len(arr) + 1, offset=arr.offset * 8)
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        lens = offsets[1:] - offsets[:-1]
+        fb, st = self.frame_bytes, self.stride
+        n_frames = np.maximum(lens // fb, 1)
+        n_samp = -(-n_frames // st)                 # ceil(n_frames/stride)
+        # one take per key column over repeated row indices — no
+        # per-row .as_py() round trip (the row-expansion indices and
+        # frame windows are all computed vectorized; only the frame
+        # byte copies remain per-row, which is the actual work)
+        row_ids = np.repeat(np.arange(len(arr), dtype=np.int64), n_samp)
+        local = np.arange(len(row_ids), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_samp)[:-1]]), n_samp)
+        fidx = local * st
+        starts = offsets[:-1][row_ids] + fidx * fb
+        ends = np.minimum(starts + fb, offsets[1:][row_ids])
+        frames = [mv[s:e] for s, e in zip(starts, ends)]
+        idx = pa.array(row_ids)
+        out = {c: batch[c].take(idx) for c in self.key_cols}
+        out["frame_idx"] = pa.array(fidx.astype(np.int32), type=pa.int32())
         out["frame"] = pa.array(frames, type=pa.binary())
         return pa.table(out)
 

@@ -187,3 +187,49 @@ def test_contract_roundtrip_with_list_constraints():
     assert any(isinstance(c, Contains) for c in tags.constraints)
     assert any(isinstance(c, ListUnique) and c.keys == ("name",)
                for c in tags.constraints)
+
+
+def test_anyof_oneof_ambiguity_strategies():
+    from rayskema.schema import AnyOf
+    # oneOf (error strategy): overlapping branches => union_ambiguous,
+    # no branch => no_match (reference union_ambiguity.go:46-75)
+    s, diag = import_openapi({
+        "type": "object",
+        "properties": {
+            "v": {"type": "string",
+                  "oneOf": [{"pattern": "^a"}, {"pattern": "b$"}]},
+            "w": {"type": "string",
+                  "anyOf": [{"const": "x"}, {"const": "y"}]},
+        },
+    })
+    assert any(isinstance(c, AnyOf) and c.strategy == "error"
+               for c in s.column("v").constraints)
+    plan = ConstraintPlan(s)
+    v = plan.validate(pa.table({
+        "v": pa.array(["a--b", "a--", "--b", "zz", None]),
+        "w": pa.array(["x", "z", "y", "x", "x"]),
+    }))
+    got = _codes(v)
+    assert ("/v", "union_ambiguous") in got
+    assert ("/v", "no_match") in got
+    assert ("/w", "no_match") in got
+    # exactly: v ambiguous x1, v no_match x1, w no_match x1
+    assert v.num_rows == 3
+
+
+def test_anyof_contract_and_jsonschema_roundtrip():
+    import json as _json
+
+    from rayskema.jsonschema import export_json_schema
+    from rayskema.schema import AnyOf
+    s = TableSchema(columns=(
+        Column("v", pa.string(), constraints=(
+            AnyOf(branches=({"op": "eq", "value": "a"},
+                            {"op": "regex_search", "pattern": "b"}),
+                  strategy="error", rule="v_oneof"),)),
+    ), unknown=Unknown.STRIP, name="u")
+    s2 = import_contract(_json.loads(_json.dumps(export_contract(s))))
+    assert s2.schema_hash() == s.schema_hash()
+    doc = export_json_schema(s)
+    assert doc["properties"]["v"]["oneOf"] == [
+        {"const": "a"}, {"pattern": "b"}]
