@@ -45,3 +45,22 @@ def test_spill_path_matches_driver_sort(ray_session, tmp_path):
     assert spilled.cast(ref.violations.schema).equals(ref.violations)
     # verdict counts agree between the two paths
     assert res.verdicts.equals(ref.verdicts)
+
+
+def test_manual_exchange_matches_sort_shuffle(ray_session, tmp_path):
+    from rayskema.pipelines.validate import ValidateConfig, validate
+    from rayskema.schema import transcript_schema
+    from rayskema.testgen import write_fixture
+
+    fixture = str(tmp_path / "corpus2")
+    write_fixture(fixture, 4000, corrupt=True)
+    schema = transcript_schema(with_drift=False)
+    kwargs = dict(manifest_path=os.path.join(fixture,
+                                             "conversations.parquet"))
+    a = validate(os.path.join(fixture, "transcripts"), schema,
+                 config=ValidateConfig(buckets=8, shuffle="sort"), **kwargs)
+    b = validate(os.path.join(fixture, "transcripts"), schema,
+                 config=ValidateConfig(buckets=8, shuffle="manual"),
+                 **kwargs)
+    assert b.violations.equals(a.violations)
+    assert b.verdicts.equals(a.verdicts)
