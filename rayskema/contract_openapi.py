@@ -207,13 +207,21 @@ def _value_constraints(ps: dict, rule: str, diag: ImportDiag,
         if ps.get("maxBytes") is not None:  # extension: DoS byte cap
             out.append(ByteBounds(max_bytes=ps["maxBytes"], rule=rule))
     if t in ("integer", "number"):
+        # exclusiveMinimum/Maximum: boolean (OpenAPI 3.0 — modifies
+        # minimum/maximum) OR numeric (JSON Schema 2020-12 / OpenAPI
+        # 3.1 — its own bound); intersection semantics when both given
         lo, hi = ps.get("minimum"), ps.get("maximum")
+        exmin, exmax = ps.get("exclusiveMinimum"), ps.get("exclusiveMaximum")
+        ex_lo, ex_hi = exmin is True, exmax is True
+        if isinstance(exmin, (int, float)) and not isinstance(exmin, bool):
+            if lo is None or exmin >= lo:
+                lo, ex_lo = exmin, True
+        if isinstance(exmax, (int, float)) and not isinstance(exmax, bool):
+            if hi is None or exmax <= hi:
+                hi, ex_hi = exmax, True
         if lo is not None or hi is not None:
-            out.append(Range(
-                min=lo, max=hi,
-                exclusive_min=bool(ps.get("exclusiveMinimum") is True),
-                exclusive_max=bool(ps.get("exclusiveMaximum") is True),
-                rule=rule))
+            out.append(Range(min=lo, max=hi, exclusive_min=ex_lo,
+                             exclusive_max=ex_hi, rule=rule))
     if t == "array":
         lo, hi = ps.get("minItems"), ps.get("maxItems")
         if lo is not None or hi is not None:

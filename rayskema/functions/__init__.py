@@ -3,6 +3,26 @@
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def binary_buffers(arr):
+    """(offsets int64, flat data memoryview, null_mask) of a
+    string/binary array, zero-copy.  Offsets are ABSOLUTE positions in
+    the data buffer.  Callers must treat null slots as empty: the Arrow
+    spec only requires monotonic offsets, so a null slot MAY span bytes
+    (e.g. a validity bitmap applied over existing data) and those bytes
+    are undefined."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.large_binary())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1,
+                            offset=arr.offset * 8)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    null_mask = np.asarray(arr.is_null()) if arr.null_count else None
+    return offsets, mv, null_mask
 
 
 def round_half_away(values, digits: int = 4):

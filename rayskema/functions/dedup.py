@@ -89,6 +89,8 @@ def char_shingle_hashes(arr: pa.Array, k: int = 5):
     entire byte content (an empty row hashes the empty sequence — a
     fixed sentinel independent of neighboring rows in the batch, so
     signatures are deterministic across block boundaries)."""
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")   # null offsets may span junk bytes
     offsets, data = _utf8_buffers(arr)
     n = len(offsets) - 1
     starts = offsets[:-1]
@@ -239,10 +241,21 @@ def minhash_lsh_pairs(
                           ).reshape(len(ids), -1)
         out_a, out_b, out_j = [], [], []
         firsts = np.flatnonzero(new)
-        for g in np.flatnonzero((counts > 1) & (counts <= max_group)):
+        for g in np.flatnonzero(counts > 1):
             s, e = firsts[g], firsts[g] + counts[g]
             gid, gsig = ids[s:e], sigs[s:e]
             m = len(gid)
+            if m > max_group:
+                # degenerate bucket = a giant near-identical cluster:
+                # exact all-pairs is O(m^2), so emit the STAR pairing
+                # against the group representative (smallest id) —
+                # O(m), preserves cluster connectivity for dedup
+                eq1 = (gsig[1:] == gsig[0]).mean(axis=1)
+                keep = eq1 >= jaccard_threshold
+                out_a.append(np.full(int(keep.sum()), gid[0]))
+                out_b.append(gid[1:][keep])
+                out_j.append(eq1[keep])
+                continue
             eq = (gsig[:, None, :] == gsig[None, :, :]).mean(axis=2)
             ia, ib = np.triu_indices(m, k=1)
             keep = eq[ia, ib] >= jaccard_threshold
@@ -324,10 +337,17 @@ def simhash_pairs(
             zero_copy_only=False).astype(np.uint64)
         firsts = np.flatnonzero(new)
         out_a, out_b, out_h = [], [], []
-        for g in np.flatnonzero((counts > 1) & (counts <= max_group)):
+        for g in np.flatnonzero(counts > 1):
             s, e = firsts[g], firsts[g] + counts[g]
             gid, gsh = ids[s:e], sh[s:e]
-            ia, ib = np.triu_indices(len(gid), k=1)
+            if len(gid) > max_group:
+                # degenerate block value: star pairing vs the smallest
+                # id (O(m)) instead of O(m^2) all-pairs — connectivity
+                # is preserved for near-identical clusters
+                ia = np.zeros(len(gid) - 1, dtype=np.int64)
+                ib = np.arange(1, len(gid), dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(len(gid), k=1)
             x = gsh[ia] ^ gsh[ib]
             ham = np.zeros(len(x), dtype=np.int64)
             v = x.copy()
@@ -478,6 +498,7 @@ def exact_shingle_jaccard_pairs(
         sh = t["sh"].combine_chunks()
         for i, doc in enumerate(ids):
             sets_by_id[int(doc)] = np.asarray(sh[i].values)
+    from . import round_half_away
     out_a, out_b, out_j = [], [], []
     seen = set()
     for ia, ib in zip(a, b):
@@ -492,7 +513,6 @@ def exact_shingle_jaccard_pairs(
         union = len(sa) + len(sb) - inter
         j = inter / max(union, 1)
         if j >= threshold:
-            from . import round_half_away
             out_a.append(lo)
             out_b.append(hi)
             out_j.append(float(round_half_away(j, round_digits)))
@@ -506,12 +526,20 @@ def minhash_near_dup_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     jaccard_threshold: float = 0.5, **lsh_kwargs,
 ) -> pa.Table:
-    """MinHash+LSH candidates + exact char-5-shingle verification:
-    (id_a, id_b, jaccard) with the TRUE Jaccard, filtered at
-    ``jaccard_threshold``.  Precision is 1.0 by construction; recall is
-    the LSH banding recall at the threshold (>= 1-(1-t^r)^b, ~1.0 for
-    near-identical pairs)."""
-    est_floor = max(0.0, jaccard_threshold - 0.15)
+    """MinHash+LSH candidates + exact char-5-shingle verification over
+    UTF-8 BYTE shingles: (id_a, id_b, jaccard) with the TRUE Jaccard,
+    filtered at ``jaccard_threshold``.
+
+    Precision is 1.0 by construction.  Recall is PROBABILISTIC, not
+    guaranteed: the banding recall at the threshold (1-(1-t^r)^b;
+    ~1.0 for near-identical pairs, lower for pairs sitting exactly at
+    the threshold) times the chance the 64-perm signature estimate
+    clears ``threshold - 0.25`` (≈4-sigma margin).  The SQL-oracle
+    equality asserted by the driver holds for the test corpora (all
+    qualifying pairs >= 0.9 true Jaccard), not universally.  Byte
+    shingles equal character shingles only for ASCII text (multibyte
+    codepoints share lead/continuation bytes)."""
+    est_floor = max(0.0, jaccard_threshold - 0.25)
     cands = minhash_lsh_pairs(ds, text_col, id_col,
                               jaccard_threshold=est_floor, **lsh_kwargs)
     return exact_shingle_jaccard_pairs(
@@ -528,11 +556,15 @@ def simhash_near_dup_pairs(
     verification: (id_a, id_b, jaccard) with the TRUE word-3-shingle
     Jaccard, filtered at ``jaccard_threshold``.  SimHash is the blocking
     stage — with 8 blocks of 8 bits, any pair within hamming distance 7
-    is GUARANTEED to share a block (pigeonhole), which covers
-    word-Jaccard >= ~0.9 near-dups; the exact pass makes precision 1.0.
-    ``max_hamming`` only PRE-prunes candidates (random pairs sit at
-    hamming ~32, near-dups well under 16) — precision comes from the
-    exact verify, so the default is deliberately loose."""
+    is GUARANTEED to share a block (pigeonhole); the exact pass makes
+    precision 1.0.  Recall is therefore guaranteed only for pairs whose
+    simhashes differ in <= 7 bits (near-identical docs) and
+    probabilistic for pairs at hamming 8..max_hamming — a true
+    Jaccard-at-threshold pair with a spread-out simhash CAN be missed,
+    so oracle equality is a property of the tested corpora, not a
+    universal invariant.  ``max_hamming`` only PRE-prunes candidates
+    (random pairs sit at hamming ~32) — precision comes from the exact
+    verify, so the default is deliberately loose."""
     cands = simhash_pairs(ds, text_col, id_col, max_hamming=max_hamming,
                           n_blocks=n_blocks, **sim_kwargs)
     return exact_shingle_jaccard_pairs(
@@ -574,6 +606,8 @@ def charset_jaccard_pairs(
         firsts = np.flatnonzero(new)
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         arr = tab[text_col].combine_chunks()
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
         offsets, data = _utf8_buffers(arr)
         starts, ends = offsets[:-1], offsets[1:]
         # per-row byte-presence bitmap, packed to 32 bytes per row

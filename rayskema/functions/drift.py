@@ -85,30 +85,44 @@ def exact_median_i64(ds, col: str, *, window_cap: int = 5_000_000) -> int:
     # (10% of rows; still bounded driver memory)
     lo, hi = merged.quantile(np.array([0.45, 0.55]))
 
-    def window_partial(t, _lo=lo, _hi=hi):
+    def window_partial(t, _lo=lo, _hi=hi, _cap=window_cap):
         v = _to_i64(t)
         v = v[~np.isnan(v)]
         below = int((v < _lo).sum())
         win = v[(v >= _lo) & (v <= _hi)]
+        if len(win) > _cap:   # fail in the TASK, before shipping
+            raise ValueError(
+                "median window exceeds window_cap within one block; "
+                "raise window_cap or narrow the quantile bracket")
         return pa.table({"below": pa.array([below]),
                          "win": pa.array([win.astype(np.int64)],
                                          type=pa.list_(pa.int64()))})
 
     below = 0
     wins = []
+    total_win = 0
     for t in ray.get(ds.map_batches(
             window_partial, batch_format="pyarrow").to_arrow_refs()):
         if t.num_rows and "below" in t.column_names:
             below += sum(t["below"].to_pylist())
             for w in t["win"]:
-                wins.append(np.asarray(w.values))
+                a = np.asarray(w.values)
+                total_win += len(a)
+                if total_win > window_cap:
+                    raise ValueError(
+                        "median window exceeds window_cap; raise it or "
+                        "narrow the quantile bracket")
+                wins.append(a)
     win = np.sort(np.concatenate(wins)) if wins else np.array([], np.int64)
-    if len(win) > window_cap or below + len(win) < (n_total + 1) // 2:
-        raise ValueError(
-            "median window out of digest bounds; widen the quantile "
-            "bracket or raise window_cap")
     mid = (n_total - 1) / 2
     i0, i1 = int(np.floor(mid)) - below, int(np.ceil(mid)) - below
+    if i0 < 0 or i1 >= len(win):
+        # the digest's mid-quantile estimate missed the true median
+        # (possible under extreme duplication): both middle ranks must
+        # land inside the collected window — never index blindly
+        raise ValueError(
+            "median ranks fall outside the digest window; widen the "
+            "quantile bracket")
     return int((win[i0] + win[i1]) / 2)
 
 

@@ -31,7 +31,9 @@ def seeded_sample(ds: "rd.Dataset", fraction: float, seed: int = 0,
         raise ValueError("fraction must be in [0, 1]")
     if key is None:
         return ds.random_sample(fraction, seed=seed)
-    threshold = np.uint64(int(fraction * float(2**64 - 1)))
+    if fraction >= 1.0:
+        return ds     # keep everything (2^64 overflows uint64 below)
+    threshold = np.uint64(int(fraction * 2.0**64))
 
     def _keep(t: pa.Table) -> pa.Table:
         col = t[key]

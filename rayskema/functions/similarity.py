@@ -260,9 +260,18 @@ def embedding_near_dup_pairs(
         m = np.asarray(tab["vec"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False)).reshape(len(ids), -1)
         out_a, out_b, out_c = [], [], []
-        for g in np.flatnonzero((counts > 1) & (counts <= max_group)):
+        for g in np.flatnonzero(counts > 1):
             s, e = firsts[g], firsts[g] + counts[g]
             gm, gid = m[s:e], ids[s:e]
+            if len(gid) > max_group:
+                # degenerate signature bucket: star pairing vs the
+                # smallest id (O(m*d)) — connectivity preserved
+                cos1 = gm[1:] @ gm[0]
+                keep = cos1 >= cosine_threshold
+                out_a.append(np.full(int(keep.sum()), gid[0]))
+                out_b.append(gid[1:][keep])
+                out_c.append(cos1[keep])
+                continue
             cos = gm @ gm.T
             ia, ib = np.triu_indices(e - s, k=1)
             keep = cos[ia, ib] >= cosine_threshold
@@ -294,6 +303,7 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_pairs_exact(
     ds: "rd.Dataset", vec_col: str, id_col: str, *,
     cosine_threshold: float = 0.4, round_digits: int = 4,
+    col_tile: int = 16384,
 ) -> pa.Table:
     """EXACT all-pairs cosine near-duplicates: the normalized corpus is
     broadcast once via ``ray.put`` and every ``map_batches`` task scores
@@ -327,21 +337,32 @@ def embedding_near_dup_pairs_exact(
                               "cosine": pa.array([], type=pa.float64())})
             if batch.num_rows == 0:
                 return empty
+            from . import round_half_away
             bm = _normalize(_matrix(batch[vec_col]))
             bids = batch[id_col].to_numpy(zero_copy_only=False)
-            cos = bm @ self.m.T                       # (nb, n)
-            ia, ib = np.nonzero(
-                (cos >= cosine_threshold)
-                & (bids[:, None] < self.ids[None, :]))
-            if not len(ia):
+            out_a, out_b, out_c = [], [], []
+            # tile the corpus dimension: memory per tile is
+            # nb x col_tile x 8B, never nb x n (a dense (batch, corpus)
+            # matrix would be GBs at 1M vectors)
+            for c0 in range(0, len(self.ids), col_tile):
+                cm = self.m[c0:c0 + col_tile]
+                cids = self.ids[c0:c0 + col_tile]
+                cos = bm @ cm.T
+                ia, ib = np.nonzero(
+                    (cos >= cosine_threshold)
+                    & (bids[:, None] < cids[None, :]))
+                if len(ia):
+                    out_a.append(bids[ia])
+                    out_b.append(cids[ib])
+                    out_c.append(cos[ia, ib])
+            if not out_a:
                 return empty
-            from . import round_half_away
             return pa.table({
-                "id_a": pa.array(bids[ia], type=pa.int64()),
-                "id_b": pa.array(self.ids[ib], type=pa.int64()),
-                "cosine": pa.array(round_half_away(cos[ia, ib],
-                                                   round_digits),
-                                   type=pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(round_half_away(
+                    np.concatenate(out_c), round_digits),
+                    type=pa.float64()),
             })
 
     out = ds.select_columns([id_col, vec_col]).map_batches(

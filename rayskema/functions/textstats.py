@@ -132,16 +132,17 @@ def fingerprint_md5(ds: "rd.Dataset", text_col: str,
     matches any SQL engine's md5())."""
 
     def _fp(tab: pa.Table) -> pa.Table:
-        arr = pc.cast(tab[text_col], pa.large_binary()).combine_chunks()
-        bufs = arr.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int64,
-                                count=len(arr) + 1, offset=arr.offset * 8)
-        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        from . import binary_buffers
+        offsets, mv, null_mask = binary_buffers(tab[text_col])
+        empty = memoryview(b"")
         # hash zero-copy slices of the flat buffer: no per-row Python
         # string round-trip (hashing is the work; slicing is free).
-        # Null rows have zero-length slices => md5("") like before.
-        fps = [hashlib.md5(mv[offsets[i]:offsets[i + 1]]).hexdigest()
-               for i in range(len(arr))]
+        # Null slots hash md5("") regardless of their offset extent.
+        n = len(offsets) - 1
+        fps = [hashlib.md5(
+            empty if null_mask is not None and null_mask[i]
+            else mv[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(n)]
         return pa.table({id_col: tab[id_col],
                          "fp": pa.array(fps, type=pa.string())})
 

@@ -297,15 +297,16 @@ def _run_stage1(todo, read_cols, schema, cfg, ckpt_dir, viol_dir,
 def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
                 remaining, schema_hash, input_sig) -> None:
     key_cols = _group_rule_columns(schema)
-    from .validate import _split_manifest_task
+    from .validate import launch_manifest_split
 
     manifest = None
     manifest_ref = None
     if manifest_path and os.path.exists(manifest_path):
         # read+hash-split in a worker (driver-side first-touch page
-        # faults cost seconds on this VM class); per-bucket refs
-        manifest_ref = ray.get(_split_manifest_task.remote(
-            manifest_path, schema.key_columns[0], cfg.buckets))
+        # faults cost seconds on this VM class); per-bucket
+        # driver-owned task-return refs
+        manifest_ref = launch_manifest_split(
+            manifest_path, schema.key_columns[0], cfg.buckets)
         if cfg.salt_threshold:
             manifest = pq.read_table(manifest_path)
     hot_ref = None

@@ -261,17 +261,30 @@ def _manual_exchange_refs(keys_mat, checker, buckets: int) -> list:
 
 @ray.remote(num_cpus=1)
 def _split_manifest_task(manifest_path: str, key_col: str,
-                         buckets: int) -> dict:
+                         buckets: int) -> list:
     """Read + hash-split the manifest in a WORKER, not the driver: the
-    split overlaps pass 1, and the per-bucket slices are ray.put once
-    each so a checker task fetches ONLY its own slice (dict of
-    ObjectRefs) — on a multi-node cluster the whole manifest never
-    ships to any single task."""
+    split overlaps pass 1.  Invoked with ``num_returns=buckets`` so
+    each per-bucket slice is its own TASK-RETURN object — owned by the
+    driver with full lineage (a transient worker dying cannot strand
+    them, unlike in-task ``ray.put``) — and a checker task fetches ONLY
+    its own slice."""
     from ..plan import limit_arrow_threads
     limit_arrow_threads()
     manifest = pq.read_table(manifest_path)
     parts = split_manifest_by_bucket(manifest, key_col, buckets)
-    return {i: ray.put(t) for i, t in parts.items()}
+    empty = manifest.slice(0, 0)
+    out = [parts.get(i, empty) for i in range(buckets)]
+    return out if buckets > 1 else out[0]
+
+
+def launch_manifest_split(manifest_path: str, key_col: str,
+                          buckets: int) -> dict:
+    """dict bucket -> ObjectRef of that bucket's manifest slice."""
+    if buckets == 1:
+        return {0: _split_manifest_task.remote(manifest_path, key_col, 1)}
+    refs = _split_manifest_task.options(num_returns=buckets).remote(
+        manifest_path, key_col, buckets)
+    return {i: r for i, r in enumerate(refs)}
 
 
 class BucketChecker:
@@ -905,7 +918,7 @@ def validate(
     # pass-1 execution (driver-side it cost seconds of first-touch page
     # faults on this VM class; worker-side it's warm and concurrent)
     have_manifest = bool(manifest_path and os.path.exists(manifest_path))
-    split_fut = _split_manifest_task.remote(
+    split_refs = launch_manifest_split(
         manifest_path, schema.key_columns[0], cfg.buckets) \
         if have_manifest and has_group_rules(schema) else None
     # the driver itself only needs the manifest table when salting (the
@@ -919,7 +932,7 @@ def validate(
         if not p2_parts:
             return None, []
         key_cols = _group_rule_columns(schema)
-        manifest_ref = ray.get(split_fut) if split_fut is not None else None
+        manifest_ref = split_refs
         # hot-conversation salting: declared-huge conversations split by
         # turn range (north rule "salted repartitioning")
         hot_ref = None

@@ -123,15 +123,13 @@ class FrameSampleStage:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from ..functions import binary_buffers
 
-        arr = pc.cast(batch[self.payload_col],
-                      pa.large_binary()).combine_chunks()
-        bufs = arr.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int64,
-                                count=len(arr) + 1, offset=arr.offset * 8)
-        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        arr = batch[self.payload_col]
+        offsets, mv, null_mask = binary_buffers(arr)
         lens = offsets[1:] - offsets[:-1]
+        if null_mask is not None:     # null payloads sample zero frames
+            lens = np.where(null_mask, 0, lens)
         fb, st = self.frame_bytes, self.stride
         n_frames = np.maximum(lens // fb, 1)
         n_samp = -(-n_frames // st)                 # ceil(n_frames/stride)
@@ -139,12 +137,15 @@ class FrameSampleStage:
         # per-row .as_py() round trip (the row-expansion indices and
         # frame windows are all computed vectorized; only the frame
         # byte copies remain per-row, which is the actual work)
-        row_ids = np.repeat(np.arange(len(arr), dtype=np.int64), n_samp)
+        n_rows = len(offsets) - 1
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), n_samp)
         local = np.arange(len(row_ids), dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(n_samp)[:-1]]), n_samp)
         fidx = local * st
         starts = offsets[:-1][row_ids] + fidx * fb
-        ends = np.minimum(starts + fb, offsets[1:][row_ids])
+        # bound by the row's LOGICAL end (lens, not raw offsets — null
+        # slots may span undefined bytes)
+        ends = np.minimum(starts + fb, offsets[:-1][row_ids] + lens[row_ids])
         frames = [mv[s:e] for s, e in zip(starts, ends)]
         idx = pa.array(row_ids)
         out = {c: batch[c].take(idx) for c in self.key_cols}

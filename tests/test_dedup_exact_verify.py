@@ -33,11 +33,14 @@ def test_round_half_away_matches_sql():
 
 def test_simhash_degenerate_corpus_bounded(ray_session):
     # 20k identical short docs: every block bucket is one giant group;
-    # the max_group cap must skip them instead of O(m^2) verification
-    ds = _docs(["tiny doc"] * 20_000)
+    # above max_group the verification degrades to O(m) STAR pairing
+    # against the representative — bounded work, connectivity kept
+    n = 20_000
+    ds = _docs(["tiny doc"] * n)
     out = simhash_pairs(ds, "text", "doc_id", max_group=256)
-    tabs = out.take_all()
-    assert len(tabs) == 0  # skipped, not exploded
+    rows = out.take_all()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
 
 
 def test_embedding_degenerate_corpus_bounded(ray_session):
@@ -50,7 +53,16 @@ def test_embedding_degenerate_corpus_bounded(ray_session):
     }))
     out = embedding_near_dup_pairs(ds, "embedding", "vec_id",
                                    cosine_threshold=0.9, max_group=256)
-    assert len(out.take_all()) == 0
+    rows = out.take_all()
+    assert len(rows) == n - 1                      # star pairing
+    assert all(r["id_a"] == 0 for r in rows)
+
+
+def test_sample_fraction_one_keeps_all(ray_session):
+    from rayskema.functions.sampling import seeded_sample
+    tab = pa.table({"doc_id": pa.array(range(100), type=pa.int64())})
+    out = seeded_sample(rd.from_arrow(tab), 1.0, seed=1, key="doc_id")
+    assert out.count() == 100
 
 
 def test_charset_tiling_matches_untiled(ray_session):
