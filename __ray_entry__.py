@@ -353,6 +353,41 @@ def _q_docs_list_contains(sf_dir: str):
     return _viol_select(out, ["doc_id"])
 
 
+def _q_events_map_keys(sf_dir: str):
+    """MapKeyRegex over a synthesized map column (event_type -> value):
+    every map key must full-match the allowed-key pattern (reference
+    patternProperties/propertyNames enforcement,
+    kubeopenapi/patterns.go:14-44)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import check_constraints
+    from rayskema.schema import MapKeyRegex
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = pc.fill_null(t["event_type"].combine_chunks(), "")
+        items = pc.cast(pc.fill_null(t["value"], 0.0), pa.string())
+        attrs = pa.MapArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), keys,
+            items.combine_chunks())
+        return pa.table({"event_id": t["event_id"], "attrs": attrs})
+
+    s = TableSchema(
+        columns=(
+            Column("event_id", pa.int64(), nullable=False),
+            Column("attrs", pa.map_(pa.string(), pa.string()),
+                   constraints=(MapKeyRegex(
+                       pattern=r"click|view|purchase|signup",
+                       rule="attr_keys"),)),
+        ),
+        key_columns=("event_id",), unknown=Unknown.STRIP, name="event_attrs",
+    )
+    out = check_constraints(ds.map_batches(mk, batch_format="pyarrow"), s)
+    return _viol_select(out, ["event_id"])
+
+
 def _q_docs_dedup_exact(sf_dir: str):
     from rayskema.functions.dedup import exact_duplicates
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -545,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "orders_crd_import": _q_orders_crd_import,
         "docs_list_contains": _q_docs_list_contains,
+        "events_map_keys": _q_events_map_keys,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -599,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, '/tokens', 'duplicate_item', 'tokens_unique'
             FROM c WHERE ntok != ndist
+        """,
+        "events_map_keys": """
+            SELECT event_id, '/attrs' AS path, 'pattern' AS code,
+                   'attr_keys' AS rule
+            FROM events
+            WHERE NOT regexp_full_match(
+                coalesce(event_type, ''),
+                'click|view|purchase|signup')
         """,
         "docs_minhash_pairs": """
             WITH sh AS (

@@ -86,13 +86,19 @@ def run_flagship(corpus: str, num_cpus: int, *,
     with open(os.path.join(corpus, "baseline_profile.bin"), "rb") as f:
         baseline = ColumnProfile.from_bytes(f.read())
     if scaling:
-        # clean scaling measurement: pure task parallelism and serial
-        # passes (no cross-pass CPU contention)
+        # scaling children must RESPECT the CPU quota: concurrent
+        # passes drive extra driver-side threads outside Ray's
+        # num_cpus accounting, which lets a 2-CPU child use >2 cores
+        # and corrupts the efficiency ratio (measured: 2-CPU wall
+        # nearly equal to 8-CPU with concurrency on).  Serial passes +
+        # stateless tasks keep the child inside its quota; the manual
+        # hash exchange is still the default pass-2 path.
         cfg = ValidateConfig(buckets=max(32, num_cpus * 2),
-                             concurrency=None, concurrent_passes=False)
+                             concurrent_passes=False)
     else:
         # the library defaults ARE the tuned configuration (stateless
-        # tasks + concurrent passes); only size buckets to the cluster
+        # tasks, concurrent passes, manual hash exchange); only size
+        # buckets to the cluster
         cfg = ValidateConfig(buckets=max(32, num_cpus * 2))
     # Warm up OUTSIDE the timed region: worker-pool spawn + imports +
     # first-touch page faults of the hash scratch buffers (this VM
@@ -149,9 +155,15 @@ def child_main(num_cpus: int, corpus: str) -> None:
     print("CHILD_RESULT " + json.dumps(r))
 
 
-def _hw_burn(_):
+def _hw_burn(n_cores: int):
     import numpy as np
 
+    # confine the ceiling measurement to the same core set the
+    # pipeline child gets (a faithful "cluster of n cores")
+    try:
+        os.sched_setaffinity(0, set(range(n_cores)))
+    except (AttributeError, OSError):
+        pass
     x = np.random.default_rng(0).standard_normal(4_000_000)
     s = 0.0
     for _ in range(60):
@@ -175,7 +187,7 @@ def _hw_ceiling(levels) -> dict:
         reps = 4
         t0 = time.perf_counter()
         with mp.Pool(n) as p:
-            p.map(_hw_burn, range(n * reps))
+            p.map(_hw_burn, [n] * (n * reps))
         out[n] = n * reps / (time.perf_counter() - t0)
     return out
 
@@ -192,10 +204,17 @@ def scaling_main() -> None:
     for cpus in levels:
         best = None
         for _ in range(2):  # best-of-2: absorb page-cache/steal noise
+            # pin the WHOLE child (Ray workers AND its driver threads)
+            # to exactly `cpus` cores: Ray's num_cpus quota does not
+            # bound driver-side work, which otherwise lets a small
+            # "cluster" borrow extra cores and corrupts the ratio
+            cmd = [sys.executable, os.path.abspath(__file__), "--child",
+                   "--num-cpus", str(cpus), "--corpus", corpus]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["/usr/bin/taskset", "-c",
+                       f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 "--num-cpus", str(cpus), "--corpus", corpus],
-                capture_output=True, text=True, timeout=3600)
+                cmd, capture_output=True, text=True, timeout=3600)
             line = [ln for ln in p.stdout.splitlines()
                     if ln.startswith("CHILD_RESULT ")]
             if not line:
