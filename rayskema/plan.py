@@ -848,7 +848,19 @@ class ConstraintPlan:
                 continue
             arr = pc.cast(vals, pa.float64()).combine_chunks().to_numpy(
                 zero_copy_only=False)
-            prof.tdigests[c].update(arr)
+            finite = arr[~np.isnan(arr)]
+            # bounded non-negative ints (byte lengths, turn indices):
+            # pre-aggregate with bincount so the digest sorts O(distinct)
+            # per batch instead of O(rows) — the profiling stage cost
+            # 13x the validation itself before this
+            if len(finite) and np.all(finite == np.floor(finite)) \
+                    and finite.min() >= 0 and finite.max() < 1 << 20:
+                counts = np.bincount(finite.astype(np.int64))
+                nz = np.flatnonzero(counts)
+                prof.tdigests[c].update_weighted(
+                    nz.astype(np.float64), counts[nz])
+            else:
+                prof.tdigests[c].update(finite)
         if self.key_cols:
             k = batch[self.key_cols[0]]
             if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
