@@ -854,6 +854,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '\S+'))::BIGINT
                        AS n_tokens,
+                   length(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))::BIGINT
+                       AS n_subtokens,
                    length(text)::BIGINT AS n_chars
             FROM documents
         """,

@@ -30,14 +30,26 @@ _LANG_MARKERS = {
 }
 
 
+# BPE-style pretokenizer (simplified GPT-2 pattern, RE2-compatible —
+# no lookahead): a leading space folds into the following word/number,
+# runs of punctuation and residual whitespace are their own tokens
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_stats(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
-    """(id, n_tokens, n_chars) — whitespace tokens + UTF-8 char count."""
+    """(id, n_tokens, n_subtokens, n_chars) — whitespace tokens, a
+    BPE-ish pretokenizer count (the cheap LLM-token estimate), and the
+    UTF-8 char count."""
 
     def _stats(tab: pa.Table) -> pa.Table:
         return pa.table({
             id_col: tab[id_col],
             "n_tokens": pc.cast(
                 pc.count_substring_regex(tab[text_col], pattern=r"\S+"),
+                pa.int64()),
+            "n_subtokens": pc.cast(
+                pc.count_substring_regex(tab[text_col],
+                                         pattern=BPE_ISH_PATTERN),
                 pa.int64()),
             "n_chars": pc.cast(pc.utf8_length(tab[text_col]), pa.int64()),
         })
