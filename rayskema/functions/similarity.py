@@ -59,35 +59,34 @@ def knn_cosine_brute(
     qids = q_tab[id_col].to_numpy(zero_copy_only=False)
     q_ref = ray.put((qids, qm))
 
-    class _TopK:
-        def __init__(self) -> None:
-            self.qids, self.qm = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64())})
-            m = _normalize(_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            scores = self.qm @ m.T                     # (nq, nb)
-            nb = scores.shape[1]
-            kk = min(k, nb)
-            # local top-k per query (argpartition, then exact sort later)
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            nq = len(self.qids)
-            out_q = np.repeat(self.qids, kk)
-            out_n = ids[part.ravel()]
-            out_s = scores[np.repeat(np.arange(nq), kk), part.ravel()]
+    def _topk(batch: pa.Table) -> pa.Table:
+        # stateless task: q_ref resolves zero-copy from the object
+        # store per task (no actor spawn — seconds on this hardware)
+        if batch.num_rows == 0:
             return pa.table({
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "score": pa.array(out_s, type=pa.float64()),
-            })
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        qids, qm = ray.get(q_ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        scores = qm @ m.T                          # (nq, nb)
+        nb = scores.shape[1]
+        kk = min(k, nb)
+        # local top-k per query (argpartition, then exact sort later)
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        nq = len(qids)
+        out_q = np.repeat(qids, kk)
+        out_n = ids[part.ravel()]
+        out_s = scores[np.repeat(np.arange(nq), kk), part.ravel()]
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
 
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopK, batch_format="pyarrow", concurrency=(1, 4))
+        _topk, batch_format="pyarrow")
     tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     # final merge (tiny): global top-k per query, deterministic ordering
     tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
@@ -139,48 +138,45 @@ def knn_cosine_lsh(
     qsig = _sig(qm)
     q_ref = ray.put((qids, qm, qsig))
 
-    class _TopK:
-        def __init__(self) -> None:
-            self.qids, self.qm, self.qsig = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64())})
-            m = _normalize(_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            sig = _sig(m)
-            out_q, out_n, out_s = [], [], []
-            # collide per table: (nq, nb) any-table signature match
-            cand = np.zeros((len(self.qids), len(ids)), dtype=bool)
-            for t in range(planes.shape[0]):
-                cand |= self.qsig[:, t][:, None] == sig[:, t][None, :]
-            for qi in range(len(self.qids)):
-                sel = np.flatnonzero(cand[qi])
-                if len(sel) == 0:
-                    continue
-                sc = m[sel] @ self.qm[qi]
-                kk = min(k, len(sel))
-                part = np.argpartition(-sc, kk - 1)[:kk]
-                out_q.append(np.full(kk, self.qids[qi]))
-                out_n.append(ids[sel[part]])
-                out_s.append(sc[part])
-            if not out_q:
-                return pa.table({
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64())})
+    def _topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table({
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n),
-                                        type=pa.int64()),
-                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
-            })
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        qids, qm, qsig = ray.get(q_ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = _sig(m)
+        out_q, out_n, out_s = [], [], []
+        # collide per table: (nq, nb) any-table signature match
+        cand = np.zeros((len(qids), len(ids)), dtype=bool)
+        for t in range(planes.shape[0]):
+            cand |= qsig[:, t][:, None] == sig[:, t][None, :]
+        for qi in range(len(qids)):
+            sel = np.flatnonzero(cand[qi])
+            if len(sel) == 0:
+                continue
+            sc = m[sel] @ qm[qi]
+            kk = min(k, len(sel))
+            part = np.argpartition(-sc, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_n.append(ids[sel[part]])
+            out_s.append(sc[part])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n),
+                                    type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
 
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopK, batch_format="pyarrow", concurrency=(1, 4))
+        _topk, batch_format="pyarrow")
     tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
                        ("neighbor_id", "ascending")])
@@ -327,46 +323,43 @@ def embedding_near_dup_pairs_exact(
     all_m = _normalize(_matrix(full[vec_col]))
     corpus_ref = ray.put((all_ids, all_m))
 
-    class _Pairs:
-        def __init__(self) -> None:
-            self.ids, self.m = ray.get(corpus_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                              "id_b": pa.array([], type=pa.int64()),
-                              "cosine": pa.array([], type=pa.float64())})
-            if batch.num_rows == 0:
-                return empty
-            from . import round_half_away
-            bm = _normalize(_matrix(batch[vec_col]))
-            bids = batch[id_col].to_numpy(zero_copy_only=False)
-            out_a, out_b, out_c = [], [], []
-            # tile the corpus dimension: memory per tile is
-            # nb x col_tile x 8B, never nb x n (a dense (batch, corpus)
-            # matrix would be GBs at 1M vectors)
-            for c0 in range(0, len(self.ids), col_tile):
-                cm = self.m[c0:c0 + col_tile]
-                cids = self.ids[c0:c0 + col_tile]
-                cos = bm @ cm.T
-                ia, ib = np.nonzero(
-                    (cos >= cosine_threshold)
-                    & (bids[:, None] < cids[None, :]))
-                if len(ia):
-                    out_a.append(bids[ia])
-                    out_b.append(cids[ib])
-                    out_c.append(cos[ia, ib])
-            if not out_a:
-                return empty
-            return pa.table({
-                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "cosine": pa.array(round_half_away(
-                    np.concatenate(out_c), round_digits),
-                    type=pa.float64()),
-            })
+    def _pairs_fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        from . import round_half_away
+        all_ids_, all_m_ = ray.get(corpus_ref)
+        bm = _normalize(_matrix(batch[vec_col]))
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_c = [], [], []
+        # tile the corpus dimension: memory per tile is
+        # nb x col_tile x 8B, never nb x n (a dense (batch, corpus)
+        # matrix would be GBs at 1M vectors)
+        for c0 in range(0, len(all_ids_), col_tile):
+            cm = all_m_[c0:c0 + col_tile]
+            cids = all_ids_[c0:c0 + col_tile]
+            cos = bm @ cm.T
+            ia, ib = np.nonzero(
+                (cos >= cosine_threshold)
+                & (bids[:, None] < cids[None, :]))
+            if len(ia):
+                out_a.append(bids[ia])
+                out_b.append(cids[ib])
+                out_c.append(cos[ia, ib])
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "cosine": pa.array(round_half_away(
+                np.concatenate(out_c), round_digits),
+                type=pa.float64()),
+        })
 
     out = ds.select_columns([id_col, vec_col]).map_batches(
-        _Pairs, batch_format="pyarrow", concurrency=(1, 4))
+        _pairs_fn, batch_format="pyarrow")
     otabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     tab = pa.concat_tables(otabs) if otabs else pa.table(
         {"id_a": pa.array([], type=pa.int64()),
@@ -426,44 +419,41 @@ def knn_cosine_ivf(
     qcells = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
     q_ref = ray.put((qids, qm, qcells, centroids))
 
-    class _TopK:
-        def __init__(self) -> None:
-            self.qids, self.qm, self.qcells, self.centroids = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64())})
-            m = _normalize(_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            cell = np.argmax(m @ self.centroids.T, axis=1)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(self.qids)):
-                sel = np.flatnonzero(np.isin(cell, self.qcells[qi]))
-                if not len(sel):
-                    continue
-                sc = m[sel] @ self.qm[qi]
-                kk = min(k, len(sel))
-                part = np.argpartition(-sc, kk - 1)[:kk]
-                out_q.append(np.full(kk, self.qids[qi]))
-                out_n.append(ids[sel[part]])
-                out_s.append(sc[part])
-            if not out_q:
-                return pa.table({
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64())})
+    def _topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table({
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n),
-                                        type=pa.int64()),
-                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
-            })
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        qids, qm, qcells, cents = ray.get(q_ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cell = np.argmax(m @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            sel = np.flatnonzero(np.isin(cell, qcells[qi]))
+            if not len(sel):
+                continue
+            sc = m[sel] @ qm[qi]
+            kk = min(k, len(sel))
+            part = np.argpartition(-sc, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_n.append(ids[sel[part]])
+            out_s.append(sc[part])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n),
+                                    type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
 
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopK, batch_format="pyarrow", concurrency=(1, 4))
+        _topk, batch_format="pyarrow")
     tab = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     tab = tab.sort_by([("query_id", "ascending"), ("score", "descending"),
                        ("neighbor_id", "ascending")])

@@ -133,9 +133,13 @@ class LangIdStage:
 
 
 def lang_id(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
+    # a picklable INSTANCE runs as stateless tasks on the warm worker
+    # pool (patterns are tiny strings; arrow compiles per kernel call)
+    # — actor spawn costs seconds on this hardware class and buys
+    # nothing for light per-stage state
+    stage = LangIdStage(text_col, id_col)
     return ds.select_columns([id_col, text_col]).map_batches(
-        LangIdStage, fn_constructor_args=(text_col, id_col),
-        batch_format="pyarrow", concurrency=(1, 4))
+        stage, batch_format="pyarrow")
 
 
 def fingerprint_md5(ds: "rd.Dataset", text_col: str,

@@ -134,17 +134,18 @@ def check_constraints(ds: "rd.Dataset", schema: TableSchema,
     (key..., path, code, rule, message, params)."""
     out_schema = violations_schema(schema.key_fields())
 
-    class _Check:
-        def __init__(self) -> None:
-            self.plan = ConstraintPlan(schema)
+    # stateless-task form: the plan compiles ONCE on the driver and
+    # ships in the (cloudpickled) closure — Ray's warm worker pool
+    # runs it without actor spawn (a fresh actor process costs seconds
+    # of imports + first-touch page faults on this hardware class; for
+    # heavyweight per-actor state — models, codecs — use the actor
+    # form, e.g. stages/multimodal.py)
+    plan = ConstraintPlan(schema)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return self.plan.validate(batch).cast(out_schema)
+    def _check(batch: pa.Table, _p=plan) -> pa.Table:
+        return _p.validate(batch).cast(out_schema)
 
-    # stateless-task form with a driver-compiled plan also works; the
-    # callable-class form keeps per-actor compile cost amortized.
-    return ds.map_batches(_Check, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    return ds.map_batches(_check, batch_format="pyarrow")
 
 
 def find_duplicates(ds: "rd.Dataset", key_cols: Sequence[str],
