@@ -534,12 +534,16 @@ def minhash_near_dup_pairs(
     guaranteed: the banding recall at the threshold (1-(1-t^r)^b;
     ~1.0 for near-identical pairs, lower for pairs sitting exactly at
     the threshold) times the chance the 64-perm signature estimate
-    clears ``threshold - 0.25`` (≈4-sigma margin).  The SQL-oracle
-    equality asserted by the driver holds for the test corpora (all
-    qualifying pairs >= 0.9 true Jaccard), not universally.  Byte
-    shingles equal character shingles only for ASCII text (multibyte
-    codepoints share lead/continuation bytes)."""
-    est_floor = max(0.0, jaccard_threshold - 0.25)
+    clears the candidate floor — a 2.4-sigma margin below the
+    threshold (sigma = sqrt(t(1-t)/n_perm)).  A wider margin costs
+    candidate volume quadratically on shared-vocabulary corpora
+    (measured at sf0.1: floor 0.35 -> 29k candidates, 0.25 -> 383k).
+    The SQL-oracle equality asserted by the driver holds for the test
+    corpora (all qualifying pairs >= 0.9 true Jaccard), not
+    universally.  Byte shingles equal character shingles only for
+    ASCII text (multibyte codepoints share lead/continuation bytes)."""
+    sigma = (jaccard_threshold * (1 - jaccard_threshold) / 64) ** 0.5
+    est_floor = max(0.0, jaccard_threshold - 2.4 * sigma)
     cands = minhash_lsh_pairs(ds, text_col, id_col,
                               jaccard_threshold=est_floor, **lsh_kwargs)
     return exact_shingle_jaccard_pairs(
@@ -549,7 +553,7 @@ def minhash_near_dup_pairs(
 
 def simhash_near_dup_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
-    jaccard_threshold: float = 0.8, max_hamming: int = 16,
+    jaccard_threshold: float = 0.8, max_hamming: int = 10,
     n_blocks: int = 8, **sim_kwargs,
 ) -> pa.Table:
     """SimHash block-collision candidates + exact word-3-gram
@@ -564,7 +568,10 @@ def simhash_near_dup_pairs(
     so oracle equality is a property of the tested corpora, not a
     universal invariant.  ``max_hamming`` only PRE-prunes candidates
     (random pairs sit at hamming ~32) — precision comes from the exact
-    verify, so the default is deliberately loose."""
+    verify.  The default adds margin 3 over the pigeonhole guarantee;
+    on shared-vocabulary corpora candidate volume grows steeply with
+    this knob (sf0.1: ham<=8 -> 46k pairs, <=12 -> 597k, <=16 ->
+    2.1M), so widen it deliberately, not defensively."""
     cands = simhash_pairs(ds, text_col, id_col, max_hamming=max_hamming,
                           n_blocks=n_blocks, **sim_kwargs)
     return exact_shingle_jaccard_pairs(
