@@ -119,8 +119,10 @@ def test_simhash_near_dup_exact_values(ray_session):
     near = base.replace("zeta", "zeta2")
     texts = [base, near] + [f"totally different text {i} here now ok {i}"
                             for i in range(20)]
+    # this pair's simhash hamming is 11 (word-jaccard 0.45 — blocking
+    # is tuned for >=0.8 near-dups); widen the pre-prune to reach it
     tab = simhash_near_dup_pairs(_docs(texts), "text", "doc_id",
-                                 jaccard_threshold=0.3)
+                                 jaccard_threshold=0.3, max_hamming=16)
     got = {(tab["id_a"][i].as_py(), tab["id_b"][i].as_py()):
            tab["jaccard"][i].as_py() for i in range(tab.num_rows)}
     assert (0, 1) in got
