@@ -200,9 +200,14 @@ def test_lang_id_markers(ray_session):
 # ---------------------------------------------------------------------------
 
 def test_decode_stage_requires_decoder():
-    from rayskema.stages.multimodal import DecodeStage
+    from rayskema.stages.multimodal import DecodeStage, sniff_decode
     with pytest.raises(NotImplementedError):
-        DecodeStage("payload", ["id"])  # no codec in this container
+        DecodeStage("payload", ["id"], decoder=None)
+    # compressed formats need external codec libraries
+    with pytest.raises(NotImplementedError):
+        sniff_decode(b"\xff\xd8\xff\xe0JFIF-ish")
+    with pytest.raises(ValueError):
+        sniff_decode(b"????unknown")
 
 
 def test_decode_features_fake(ray_session):
