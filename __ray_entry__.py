@@ -439,6 +439,63 @@ def _q_docs_fingerprint(sf_dir: str):
     return fingerprint_md5(ds, "text", "doc_id")
 
 
+def _q_docs_multimodal_decode(sf_dir: str):
+    """Multimodal decode, driver-checkable: each document's first 192
+    text bytes become the pixels of a REAL 24-bit BMP payload, the
+    payload is decoded by the multimodal DecodeStage (magic-byte
+    dispatch to the built-in BMP codec), and per-channel pixel means
+    are reported — which the DuckDB oracle reproduces directly from
+    the text bytes (the corpus is ASCII, so ord(char) == byte)."""
+    from rayskema.functions import binary_buffers, round_half_away
+    from rayskema.plan import limit_arrow_threads
+    from rayskema.stages.multimodal import DecodeStage, encode_bmp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary())})
+        batch = batch.filter(pc.greater_equal(
+            pc.binary_length(pc.cast(batch["text"], pa.binary())), 192))
+        offsets, mv, _ = binary_buffers(batch["text"])
+        flat = np.frombuffer(mv, dtype=np.uint8)
+        idx = offsets[:-1, None] + np.arange(192, dtype=np.int64)
+        pixels = flat[idx].reshape(-1, 8, 8, 3) if len(offsets) > 1 \
+            else np.zeros((0, 8, 8, 3), dtype=np.uint8)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([encode_bmp(p) for p in pixels],
+                                type=pa.binary()),
+        })
+
+    stage = DecodeStage("payload", ["doc_id"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "payload" not in batch.column_names:  # empty passthrough block
+            batch = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "payload": pa.array([], pa.binary())})
+        out = stage(batch)
+        means = np.asarray(out["channel_mean"].combine_chunks()
+                           .flatten()).reshape(-1, 3).astype(np.float64)
+        means = round_half_away(means, 4)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "height": pc.cast(out["height"], pa.int32()),
+            "width": pc.cast(out["width"], pa.int32()),
+            "r_mean": pa.array(means[:, 0]),
+            "g_mean": pa.array(means[:, 1]),
+            "b_mean": pa.array(means[:, 2]),
+        })
+
+    return (ds.map_batches(encode, batch_format="pyarrow")
+              .map_batches(decode, batch_format="pyarrow"))
+
+
 def _q_docs_lang_id(sf_dir: str):
     from rayskema.functions.textstats import lang_id
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -589,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
+        "docs_multimodal_decode": _q_docs_multimodal_decode,
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
         "emb_knn_ivf": _q_emb_knn_ivf,
@@ -879,6 +937,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "docs_multimodal_decode": """
+            WITH px AS (
+                SELECT d.doc_id, t.i,
+                       ord(substr(d.text, CAST(t.i AS INTEGER), 1)) AS b
+                FROM documents d CROSS JOIN generate_series(1, 192) t(i)
+                WHERE strlen(d.text) >= 192
+            )
+            SELECT doc_id,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS width,
+                   ROUND(AVG(CASE WHEN (i-1)%3=0 THEN b END), 4) AS r_mean,
+                   ROUND(AVG(CASE WHEN (i-1)%3=1 THEN b END), 4) AS g_mean,
+                   ROUND(AVG(CASE WHEN (i-1)%3=2 THEN b END), 4) AS b_mean
+            FROM px GROUP BY doc_id
         """,
         "events_type_psi": """
             WITH cut AS (SELECT median(ts) AS m FROM events),
