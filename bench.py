@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -210,9 +211,16 @@ def scaling_main() -> None:
             # "cluster" borrow extra cores and corrupts the ratio
             cmd = [sys.executable, os.path.abspath(__file__), "--child",
                    "--num-cpus", str(cpus), "--corpus", corpus]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["/usr/bin/taskset", "-c",
+            taskset = shutil.which("taskset")
+            if taskset:
+                cmd = [taskset, "-c",
                        f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+            else:
+                sys.stderr.write(
+                    "WARNING: taskset not found — children run "
+                    "unpinned; Ray's num_cpus quota does not bound "
+                    "driver-side threads, so the efficiency ratio "
+                    "may be inflated at the low level\n")
             p = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=3600)
             line = [ln for ln in p.stdout.splitlines()

@@ -542,7 +542,8 @@ def minhash_near_dup_pairs(
     corpora (all qualifying pairs >= 0.9 true Jaccard), not
     universally.  Byte shingles equal character shingles only for
     ASCII text (multibyte codepoints share lead/continuation bytes)."""
-    sigma = (jaccard_threshold * (1 - jaccard_threshold) / 64) ** 0.5
+    n_perm = lsh_kwargs.get("n_perm", 64)
+    sigma = (jaccard_threshold * (1 - jaccard_threshold) / n_perm) ** 0.5
     est_floor = max(0.0, jaccard_threshold - 2.4 * sigma)
     cands = minhash_lsh_pairs(ds, text_col, id_col,
                               jaccard_threshold=est_floor, **lsh_kwargs)
@@ -553,7 +554,7 @@ def minhash_near_dup_pairs(
 
 def simhash_near_dup_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
-    jaccard_threshold: float = 0.8, max_hamming: int = 10,
+    jaccard_threshold: float = 0.8, max_hamming: int | None = None,
     n_blocks: int = 8, **sim_kwargs,
 ) -> pa.Table:
     """SimHash block-collision candidates + exact word-3-gram
@@ -568,10 +569,20 @@ def simhash_near_dup_pairs(
     so oracle equality is a property of the tested corpora, not a
     universal invariant.  ``max_hamming`` only PRE-prunes candidates
     (random pairs sit at hamming ~32) — precision comes from the exact
-    verify.  The default adds margin 3 over the pigeonhole guarantee;
-    on shared-vocabulary corpora candidate volume grows steeply with
-    this knob (sf0.1: ham<=8 -> 46k pairs, <=12 -> 597k, <=16 ->
-    2.1M), so widen it deliberately, not defensively."""
+    verify.  The default (``None``) is DERIVED from the threshold so
+    the pre-prune is consistent with the recall target: for cosine
+    similarity s ~ 2t/(1+t) (binary bags of comparable size) each
+    simhash bit flips with p = arccos(s)/pi, so qualifying pairs sit
+    at hamming ~ 64p +- sqrt(64p(1-p)) and the cut is placed 2.4
+    sigma above the mean (t=0.8 -> 17, t=0.5 -> 26).  On
+    shared-vocabulary corpora candidate volume grows steeply with this
+    knob (sf0.1: ham<=8 -> 46k pairs, <=12 -> 597k, <=16 -> 2.1M), so
+    tighten it deliberately when cost matters more than
+    at-threshold recall."""
+    if max_hamming is None:
+        t = jaccard_threshold
+        p = float(np.arccos(2 * t / (1 + t)) / np.pi)
+        max_hamming = int(np.ceil(64 * p + 2.4 * (64 * p * (1 - p)) ** 0.5))
     cands = simhash_pairs(ds, text_col, id_col, max_hamming=max_hamming,
                           n_blocks=n_blocks, **sim_kwargs)
     return exact_shingle_jaccard_pairs(

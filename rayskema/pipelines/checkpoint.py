@@ -344,22 +344,7 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
         batch_format="pyarrow")
     checker = BucketChecker(schema, manifest_ref, salt_span=salt_span)
 
-    # manual split/gather hash exchange (same 2.35x-over-sort path as
-    # validate(); the per-bucket task ALSO owns the bucket's commit:
-    # violations parquet + manifest written atomically inside the task,
-    # so a killed run resumes at bucket granularity)
-    from .validate import _split_block_by_bucket
-
-    @ray.remote(num_cpus=1)
-    def _check_and_commit(bucket: int, _c, *parts_in: pa.Table) -> int:
-        tabs = [p for p in parts_in if p.num_rows]
-        if tabs:
-            tab = pa.concat_tables(tabs)
-            n_rows = tab.num_rows
-            viols = _c(tab)
-        else:
-            n_rows = 0
-            viols = empty_violations(schema.key_fields())
+    def _commit(bucket: int, n_rows: int, viols: pa.Table) -> None:
         _atomic_write_parquet(
             viols, os.path.join(viol_dir, f"p2-{bucket:05d}.parquet"))
         _atomic_write_json(
@@ -368,16 +353,47 @@ def _run_stage2(groups, schema, cfg, ckpt_dir, viol_dir, manifest_path,
              "input_sig": input_sig,
              "violation_count": viols.num_rows},
             os.path.join(ckpt_dir, f"p2-{bucket:05d}.json"))
-        return viols.num_rows
 
-    refs = keys_ds.materialize().to_arrow_refs()
-    split = [_split_block_by_bucket.options(
-        num_returns=cfg.buckets).remote(r, cfg.buckets) for r in refs]
-    if cfg.buckets == 1:
-        split = [[s] for s in split]
-    ray.get([_check_and_commit.remote(b, checker, *[s[b] for s in split])
-             for b in sorted(remaining_set)])
-    # buckets with no rows at all never reach the checker: mark complete
+    if cfg.shuffle == "manual":
+        # manual split/gather hash exchange (same 2.35x-over-sort path
+        # as validate(), via the shared split half); the per-bucket
+        # task ALSO owns the bucket's commit: violations parquet +
+        # manifest written atomically inside the task, so a killed run
+        # resumes at bucket granularity
+        from .validate import _exchange_bucket_parts
+
+        @ray.remote(num_cpus=1)
+        def _check_and_commit(bucket: int, _c, *parts_in: pa.Table) -> int:
+            tabs = [p for p in parts_in if p.num_rows]
+            if tabs:
+                tab = pa.concat_tables(tabs)
+                n_rows = tab.num_rows
+                viols = _c(tab)
+            else:
+                n_rows = 0
+                viols = empty_violations(schema.key_fields())
+            _commit(bucket, n_rows, viols)
+            return viols.num_rows
+
+        parts_by_bucket = _exchange_bucket_parts(
+            keys_ds.materialize(), cfg.buckets)
+        ray.get([_check_and_commit.remote(b, checker, *parts_by_bucket[b])
+                 for b in sorted(remaining_set)])
+    else:
+        # sort-shuffle fallback (cfg.shuffle="sort": bounds the
+        # O(blocks x buckets) object count of the manual exchange)
+        def check_bucket(tab: pa.Table, _c=checker) -> pa.Table:
+            bucket = int(tab["bucket"][0].as_py())
+            viols = _c(tab)
+            _commit(bucket, tab.num_rows, viols)
+            return viols.slice(0, 0)
+
+        keys_ds.groupby("bucket").map_groups(
+            check_bucket, batch_format="pyarrow").materialize()
+    # under the sort shuffle, buckets with no rows never reach the
+    # checker (manual-exchange tasks commit every remaining bucket
+    # in-task, so this loop finds their manifests fresh and skips):
+    # mark complete + clear stale output
     for b in remaining:
         p = os.path.join(ckpt_dir, f"p2-{b:05d}.json")
         man = _load_manifest(p)

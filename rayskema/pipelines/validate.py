@@ -241,22 +241,29 @@ def _check_bucket_parts(checker, *parts: pa.Table) -> pa.Table:
     return checker(pa.concat_tables(parts))
 
 
-def _manual_exchange_refs(keys_mat, checker, buckets: int) -> list:
-    """Explicit split/gather hash exchange over raw Ray tasks (the
-    Dataset.groupby alternative): every materialized keys block is
-    split once by bucket; each bucket task concatenates its B
-    sub-tables.  Returns the per-bucket output ObjectRefs (results
-    stay in the object store).  Object count is O(blocks x buckets) —
-    at extreme scale raise the target block size or fall back to
-    shuffle="sort" (tree-merge rounds would bound it; not needed at
-    tested scales)."""
+def _exchange_bucket_parts(keys_mat, buckets: int) -> list:
+    """Split half of the manual hash exchange: every materialized keys
+    block is split once by bucket (one task per block,
+    ``num_returns=buckets``).  Returns, per bucket, the list of its
+    sub-table ObjectRefs — callers launch their own gather/reduce task
+    over each list (plain check, or check+commit for checkpointed
+    runs).  Object count is O(blocks x buckets) — at extreme scale
+    raise the target block size or fall back to shuffle="sort"
+    (tree-merge rounds would bound it; not needed at tested scales)."""
     refs = keys_mat.to_arrow_refs()
     split = [_split_block_by_bucket.options(num_returns=buckets).remote(
         r, buckets) for r in refs]
     if buckets == 1:
         split = [[s] for s in split]
-    return [_check_bucket_parts.remote(checker, *[s[b] for s in split])
-            for b in range(buckets)]
+    return [[s[b] for s in split] for b in range(buckets)]
+
+
+def _manual_exchange_refs(keys_mat, checker, buckets: int) -> list:
+    """Explicit split/gather hash exchange over raw Ray tasks (the
+    Dataset.groupby alternative); returns the per-bucket output
+    ObjectRefs (results stay in the object store)."""
+    return [_check_bucket_parts.remote(checker, *parts)
+            for parts in _exchange_bucket_parts(keys_mat, buckets)]
 
 
 @ray.remote(num_cpus=1)

@@ -150,12 +150,25 @@ def sniff_decode(payload: bytes, meta: dict | None = None) -> np.ndarray:
     (h, w, 3) uint8; WAV audio returns (n_samples, channels) int16.
     Compressed formats raise ``NotImplementedError`` naming the format
     (they need external codec libraries)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)[0]
+    return sniff_decode_image(payload, meta)
+
+
+def sniff_decode_image(payload: bytes,
+                       meta: dict | None = None) -> np.ndarray:
+    """Image-only magic-byte dispatch: always (h, w, 3) uint8.  The
+    image stages (DecodeStage/ResizeStage) use this so an audio payload
+    fails with a clear error instead of mis-shaping their fixed-size
+    feature columns — WAV belongs to AudioStatsStage."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav(payload)[0]
+        raise TypeError(
+            "WAV payload in an image stage; route audio columns "
+            "through AudioStatsStage")
     for magic, name in _UNAVAILABLE_MAGIC:
         if payload[:len(magic)] == magic:
             raise NotImplementedError(
@@ -187,11 +200,11 @@ class DecodeStage:
         if fake:
             decoder = fake_decode
         elif decoder == "auto":
-            decoder = sniff_decode
+            decoder = sniff_decode_image
         elif decoder is None:
             raise NotImplementedError(
-                "pass decoder=... , decoder='auto' (built-in "
-                "BMP/PPM/WAV codecs), or fake=True")
+                "pass decoder=..., decoder='auto' (built-in BMP/PPM "
+                "codecs), or fake=True")
         self.decode = decoder
         self.payload_col = payload_col
         self.key_cols = list(key_cols)
@@ -234,7 +247,7 @@ class ResizeStage:
         if fake:
             decoder = fake_decode
         elif decoder == "auto":
-            decoder = sniff_decode
+            decoder = sniff_decode_image
         elif decoder is None:
             raise NotImplementedError(
                 "pass decoder=..., decoder='auto' (built-in BMP/PPM "

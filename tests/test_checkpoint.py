@@ -41,6 +41,19 @@ def test_full_run_matches_direct_validate(ckpt_env):
     assert got.equals(direct.violations)
 
 
+def test_sort_shuffle_matches_manual(ckpt_env):
+    d, kwargs, tmpf = ckpt_env
+    out = str(tmpf.mktemp("ckpt") / "sort")
+    sort_kwargs = dict(kwargs,
+                       config=ValidateConfig(buckets=8, shuffle="sort"))
+    res = run_checkpointed(os.path.join(d, "transcripts"),
+                           transcript_schema(), out, **sort_kwargs)
+    assert res.run_manifest["complete"]
+    direct = validate(os.path.join(d, "transcripts"), transcript_schema(),
+                      **kwargs)
+    assert pq.read_table(res.violations_path).equals(direct.violations)
+
+
 def test_interrupt_then_resume_identical(ckpt_env):
     d, kwargs, tmpf = ckpt_env
     out_a = str(tmpf.mktemp("ckpt") / "interrupted")
