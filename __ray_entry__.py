@@ -496,6 +496,63 @@ def _q_docs_multimodal_decode(sf_dir: str):
               .map_batches(decode, batch_format="pyarrow"))
 
 
+def _q_docs_multimodal_audio(sf_dir: str):
+    """Audio decode, driver-checkable: each document's first 200 text
+    bytes become 100 little-endian int16 samples of a REAL PCM WAV
+    payload (stdlib wave container), decoded by AudioStatsStage; the
+    DuckDB oracle recomputes rate/length/RMS directly from the byte
+    pairs."""
+    from rayskema.functions import binary_buffers, round_half_away
+    from rayskema.plan import limit_arrow_threads
+    from rayskema.stages.multimodal import AudioStatsStage, encode_wav
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary())})
+        batch = batch.filter(pc.greater_equal(
+            pc.binary_length(pc.cast(batch["text"], pa.binary())), 200))
+        offsets, mv, _ = binary_buffers(batch["text"])
+        flat = np.frombuffer(mv, dtype=np.uint8)
+        idx = offsets[:-1, None] + np.arange(200, dtype=np.int64)
+        raw = flat[idx] if len(offsets) > 1 else \
+            np.zeros((0, 200), dtype=np.uint8)
+        samples = raw.view("<i2")  # (n, 100) little-endian int16
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(
+                [encode_wav(s[:, None], 8000) for s in samples],
+                type=pa.binary()),
+        })
+
+    stage = AudioStatsStage("payload", ["doc_id"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "payload" not in batch.column_names:  # empty passthrough block
+            batch = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "payload": pa.array([], pa.binary())})
+        out = stage(batch)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "sample_rate": out["sample_rate"],
+            "n_samples": out["n_samples"],
+            "n_channels": out["n_channels"],
+            "duration_s": pa.array(round_half_away(
+                out["duration_s"].to_numpy(zero_copy_only=False), 4)),
+            "rms": pa.array(round_half_away(
+                out["rms"].to_numpy(zero_copy_only=False), 4)),
+        })
+
+    return (ds.map_batches(encode, batch_format="pyarrow")
+              .map_batches(decode, batch_format="pyarrow"))
+
+
 def _q_docs_lang_id(sf_dir: str):
     from rayskema.functions.textstats import lang_id
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -647,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
         "docs_multimodal_decode": _q_docs_multimodal_decode,
+        "docs_multimodal_audio": _q_docs_multimodal_audio,
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
         "emb_knn_ivf": _q_emb_knn_ivf,
@@ -952,6 +1010,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CASE WHEN (i-1)%3=1 THEN b END), 4) AS g_mean,
                    ROUND(AVG(CASE WHEN (i-1)%3=2 THEN b END), 4) AS b_mean
             FROM px GROUP BY doc_id
+        """,
+        "docs_multimodal_audio": """
+            WITH s AS (
+                SELECT d.doc_id, t.i,
+                       ((ord(substr(d.text, CAST(2*t.i-1 AS INTEGER), 1))
+                         + 256 * ord(substr(d.text, CAST(2*t.i AS INTEGER), 1))
+                         + 32768) % 65536) - 32768 AS v
+                FROM documents d CROSS JOIN generate_series(1, 100) t(i)
+                WHERE strlen(d.text) >= 200
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(100 AS BIGINT) AS n_samples,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   ROUND(100.0 / 8000, 4) AS duration_s,
+                   ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)), 4) AS rms
+            FROM s GROUP BY doc_id
         """,
         "events_type_psi": """
             WITH cut AS (SELECT median(ts) AS m FROM events),
