@@ -258,6 +258,25 @@ def _q_events_orders_asof(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_events_orders_range_join(sf_dir: str):
+    """Interval-count join: events within 7 days of each order's date
+    for the order's customer (range join — the third of the
+    asof/range/window custom-operator family)."""
+    from rayskema.pipelines.relational import range_count_join
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = range_count_join(
+        orders, ev, key="user_id", left_key="o_custkey",
+        left_ts="o_orderdate", right_ts="ts", left_id="o_orderkey",
+        span_us=7 * 24 * 3600 * 1_000_000)
+
+    def rename(t):
+        return t.rename_columns(["o_orderkey", "o_custkey", "n_events"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_customer_distinct_segments(sf_dir: str):
     from rayskema.pipelines.relational import distinct_count
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
@@ -691,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_customer": _q_orders_topk_per_customer,
         "events_windowed": _q_events_windowed,
         "events_orders_asof": _q_events_orders_asof,
+        "events_orders_range_join": _q_events_orders_range_join,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "orders_crd_import": _q_orders_crd_import,
         "docs_list_contains": _q_docs_list_contains,
@@ -931,6 +951,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "events_orders_range_join": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   count(e.user_id) AS n_events
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey, o.o_custkey
         """,
         "orders_snapshot_diff": """
             WITH old AS (

@@ -424,6 +424,93 @@ def asof_join(
                                sort_within=False)
 
 
+def range_count_join(
+    left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
+    left_ts: str, right_ts: str, left_id: str, span_us: int,
+    buckets: int = 64,
+) -> "rd.Dataset":
+    """Range (interval) join, count form: for each left row, the number
+    of right rows with the same key whose timestamp falls in
+    ``[left_ts, left_ts + span_us)``.  Returns (left_id, left_key,
+    n_matches) with EVERY left row present (count 0 when nothing
+    matches).
+
+    Both sides shuffle ONCE on the key; inside each bucket the count is
+    fully vectorized: each left row contributes two MARKER rows (its
+    interval start and end), markers sort before right rows at equal
+    (key, ts), and a segmented exclusive prefix-count of right rows
+    evaluated at the two marker positions gives
+    count = prefix(end) - prefix(start) — no per-row or per-key Python
+    loop (SURVEY §2.5 custom operator family: asof / range / window)."""
+
+    def _tag_left(tab: pa.Table) -> pa.Table:
+        n = tab.num_rows
+        ts_np = pc.cast(pc.cast(tab[left_ts], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        k = pc.cast(tab[left_key], pa.int64())\
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        lid = pc.cast(tab[left_id], pa.int64())\
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(np.concatenate([k, k])),
+            "ts": pa.array(np.concatenate([ts_np, ts_np + span_us])),
+            # markers (side 0) sort before right rows (side 1) at equal
+            # ts: start inclusive, end exclusive
+            "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)])),
+            "lid": pa.array(np.concatenate([lid, lid])),
+        })
+
+    def _tag_right(tab: pa.Table) -> pa.Table:
+        n = tab.num_rows
+        return pa.table({
+            "k": pc.cast(tab[key], pa.int64()),
+            "ts": pc.cast(pc.cast(tab[right_ts], pa.timestamp("us")),
+                          pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "kind": pa.array(np.full(n, -1, dtype=np.int8)),
+            "lid": pa.nulls(n, type=pa.int64()),
+        })
+
+    both = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow"))
+
+    def _merge(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("k", "ascending"), ("ts", "ascending"),
+                           ("side", "ascending"), ("kind", "ascending")])
+        n = tab.num_rows
+        kv = tab["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = tab["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        kind = tab["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        lid = tab["lid"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_right = (side == 1).astype(np.int64)
+        # exclusive prefix: right rows strictly before position i
+        prefix = np.concatenate([[0], np.cumsum(is_right)[:-1]]) if n \
+            else np.zeros(0, dtype=np.int64)
+        new_key = np.zeros(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = kv[1:] != kv[:-1]
+        firsts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        local = prefix - prefix[firsts[seg_id]] if n else prefix
+        m = side == 0
+        lid_m, kind_m, cnt_m, k_m = lid[m], kind[m], local[m], kv[m]
+        order = np.lexsort((kind_m, lid_m))
+        lid_s, cnt_s, k_s = lid_m[order], cnt_m[order], k_m[order]
+        # markers come in (start, end) pairs per lid after the sort
+        starts, ends = cnt_s[::2], cnt_s[1::2]
+        return pa.table({
+            "lid": pa.array(lid_s[::2].astype(np.int64)),
+            "k": pa.array(k_s[::2].astype(np.int64)),
+            "n_matches": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    return bucketed_map_groups(both, ["k"], _merge, buckets=buckets,
+                               sort_within=False)
+
+
 def diff_snapshots(
     old: "rd.Dataset", new: "rd.Dataset", key_cols, compare_cols,
     *, buckets: int = 64,

@@ -295,6 +295,28 @@ def test_asof_join(ray_session):
     assert vals == [50, 200]
 
 
+def test_range_count_join(ray_session):
+    from rayskema.pipelines.relational import range_count_join
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([100, 300, 100, 100], type=pa.timestamp("us")),
+        "oid": pa.array([10, 11, 20, 30], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "rts": pa.array([100, 149, 150, 99, 100],
+                        type=pa.timestamp("us"))}))
+    out = _collect(range_count_join(
+        left, right, key="k", left_key="uid", left_ts="ts",
+        right_ts="rts", left_id="oid", span_us=50,
+        buckets=2)).sort_by([("lid", "ascending")])
+    assert out["lid"].to_pylist() == [10, 11, 20, 30]
+    # oid 10: rts in [100,150) -> {100,149}; start inclusive, end
+    # exclusive (150 excluded). oid 11: none in [300,350).
+    # oid 20: [100,150) -> {100} (99 before start). oid 30: key 3 has
+    # no right rows at all but the left row is still emitted.
+    assert out["n_matches"].to_pylist() == [2, 0, 1, 0]
+
+
 def test_i18n_render():
     from rayskema.i18n import render
     v = pa.table({
