@@ -440,6 +440,17 @@ def _q_docs_simhash_pairs(sf_dir: str):
                                   jaccard_threshold=0.8)
 
 
+def _q_docs_ngram_jaccard(sf_dir: str):
+    """Word-3-gram Jaccard near-dup pairs: MinHash+LSH over WORD
+    shingles for candidates, exact word-3-gram verify (the n-gram
+    Jaccard member of the dedup family; candidates differ from
+    docs_simhash_pairs, the exact verify is shared)."""
+    from rayskema.functions.dedup import ngram_jaccard_near_dup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_near_dup_pairs(ds, "text", "doc_id",
+                                        jaccard_threshold=0.6)
+
+
 def _q_docs_token_stats(sf_dir: str):
     from rayskema.functions.textstats import token_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -812,6 +824,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM p WHERE j >= 0.8
+        """,
+        "docs_ngram_jaccard": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                    AS s
+                FROM t),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM p WHERE j >= 0.6
         """,
         "docs_lang_id": r"""
             WITH s AS (

@@ -183,7 +183,7 @@ def minhash_lsh_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     n_perm: int = 64, bands: int = 16, shingle_k: int = 5,
     jaccard_threshold: float = 0.5, buckets: int = 64,
-    max_group: int = 1024,
+    max_group: int = 1024, shingles: str = "char5",
 ) -> "rd.Dataset":
     """Near-duplicate pairs by MinHash+LSH: per-batch signatures →
     flat_map to (band, band_hash, id, sig) rows → shuffle on the band
@@ -200,12 +200,19 @@ def minhash_lsh_pairs(
     bucket (low-entropy corpus); its pairs are skipped rather than
     paying O(m^2) verification.  Pairs that similar almost surely share
     another, smaller bucket.
+
+    ``shingles`` selects the feature set the MinHash runs over:
+    ``"char5"`` (character ``shingle_k``-grams over UTF-8 bytes) or
+    ``"word3"`` (word 3-grams of the lowercased tokenized text).
     """
     rows_per_band = n_perm // bands
 
     def _sigs(tab: pa.Table) -> pa.Table:
         arr = tab[text_col].combine_chunks()
-        rid, h = char_shingle_hashes(arr, k=shingle_k)
+        if shingles == "word3":
+            rid, h = word_shingle_hashes(arr, k=3)
+        else:
+            rid, h = char_shingle_hashes(arr, k=shingle_k)
         sig = minhash_signature(rid, h, tab.num_rows, n_perm)
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         # one output row per (row, band): band bucket key + full signature
@@ -629,6 +636,33 @@ def minhash_near_dup_pairs(
                               jaccard_threshold=est_floor, **lsh_kwargs)
     return exact_shingle_jaccard_pairs(
         ds, cands, text_col, id_col, kind="char5",
+        threshold=jaccard_threshold)
+
+
+def ngram_jaccard_near_dup_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    jaccard_threshold: float = 0.6, **lsh_kwargs,
+) -> pa.Table:
+    """Word n-gram Jaccard near-duplicates: MinHash+LSH candidate
+    generation over WORD 3-gram shingles, exact word-3-gram Jaccard
+    verification — the n-gram-Jaccard member of the dedup family
+    (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine).
+
+    Precision is 1.0 by construction (every emitted pair carries its
+    TRUE word-3-shingle Jaccard >= ``jaccard_threshold``).  Recall is
+    the LSH banding recall at the candidate floor — the same 2.4-sigma
+    margin construction as :func:`minhash_near_dup_pairs`, evaluated on
+    word-shingle signatures instead of char shingles.  Word shingles
+    make the score tokenization-aware (reordered / partially rewritten
+    documents score by shared phrases, not shared bytes), at ~20x fewer
+    features per document than char-5 shingles."""
+    n_perm = lsh_kwargs.get("n_perm", 64)
+    sigma = (jaccard_threshold * (1 - jaccard_threshold) / n_perm) ** 0.5
+    est_floor = max(0.0, jaccard_threshold - 2.4 * sigma)
+    cands = minhash_lsh_pairs(ds, text_col, id_col, shingles="word3",
+                              jaccard_threshold=est_floor, **lsh_kwargs)
+    return exact_shingle_jaccard_pairs(
+        ds, cands, text_col, id_col, kind="word3",
         threshold=jaccard_threshold)
 
 

@@ -106,6 +106,23 @@ def test_simhash_finds_near_dups(ray_session):
     assert (1, 3) not in pairs
 
 
+def test_ngram_jaccard_near_dups(ray_session):
+    from rayskema.functions.dedup import ngram_jaccard_near_dup_pairs
+    # word-shingle Jaccard is order-sensitive at the 3-gram level but
+    # tolerant of a small edit; an unrelated vocabulary never pairs
+    base = " ".join(f"word{i:03d}" for i in range(100))
+    near = base.replace("word050", "changed")   # 3 of 98 shingles differ
+    other = " ".join(f"other{i:03d}" for i in range(100))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3], "text": [base, near, other]}))
+    out = ngram_jaccard_near_dup_pairs(ds, "text", "doc_id",
+                                       jaccard_threshold=0.8, buckets=4)
+    assert out["id_a"].to_pylist() == [1]
+    assert out["id_b"].to_pylist() == [2]
+    # true word-3-gram jaccard: 95 shared / 101 union
+    assert abs(out["jaccard"].to_pylist()[0] - 95 / 101) < 1e-3
+
+
 def test_charset_jaccard_exact(ray_session):
     from rayskema.functions.dedup import charset_jaccard_pairs
     ds = rd.from_arrow(pa.table({
