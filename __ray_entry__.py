@@ -277,6 +277,16 @@ def _q_events_orders_range_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-based session windows per user (6h inactivity gap): the
+    session-window member of the asof/range/tumbling/session custom
+    operator family."""
+    from rayskema.pipelines.relational import session_windows
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ev, key="user_id", ts_col="ts",
+                           gap_us=6 * 3600 * 1_000_000)
+
+
 def _q_customer_distinct_segments(sf_dir: str):
     from rayskema.pipelines.relational import distinct_count
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
@@ -722,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_orders_asof": _q_events_orders_asof,
         "events_orders_range_join": _q_events_orders_range_join,
+        "events_sessions": _q_events_sessions,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "orders_crd_import": _q_orders_crd_import,
         "docs_list_contains": _q_docs_list_contains,
@@ -982,6 +993,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "events_sessions": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('microsecond',
+                                          lag(ts) OVER w, ts)
+                                > 21600000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS session_idx
+                FROM x)
+            SELECT user_id, session_idx, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, session_idx
         """,
         "events_orders_range_join": """
             SELECT o.o_orderkey, o.o_custkey,

@@ -354,6 +354,60 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
                                _final, buckets=16, sort_within=False)
 
 
+def session_windows(
+    ds: "rd.Dataset", *, key: str, ts_col: str, gap_us: int,
+    buckets: int = 64,
+) -> "rd.Dataset":
+    """Session windows (gap-based sessionization): consecutive events of
+    the same key belong to one session while the time gap between them
+    is <= ``gap_us``; a larger gap starts a new session.  Returns one
+    row per (key, session): (key, session_idx 1-based per key,
+    session_start, session_end, n_events).
+
+    The streaming-window member of the custom-operator family
+    (asof / range / tumbling / session — SURVEY §2.5): one hash shuffle
+    on the key, then a fully vectorized boundary scan per bucket
+    (sorted diff > gap, cumulative boundary count rebased per key) and
+    an Arrow C-speed group_by for the per-session aggregates.  Session
+    numbering is deterministic under timestamp ties: a tie has gap 0,
+    never a boundary, so any tie order yields the same sessions."""
+
+    def _sessions(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0 or ts_col not in tab.column_names:
+            return pa.table({
+                key: pa.array([], type=pa.int64()),
+                "session_idx": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "session_end": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64())})
+        tab = tab.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        ts = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")), pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        new_key = segment_starts(tab, [key])
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = new_key | (gap > gap_us)
+        b = np.cumsum(new_sess)
+        key_firsts = np.flatnonzero(new_key)
+        key_seg = np.cumsum(new_key) - 1
+        sess_idx = b - b[key_firsts[key_seg]] + 1
+        t = pa.table({
+            key: tab[key],
+            "session_idx": pa.array(sess_idx.astype(np.int64)),
+            "ts": tab[ts_col],
+        })
+        out = t.group_by([key, "session_idx"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ("ts", "count")])
+        return out.rename_columns(
+            [key, "session_idx", "session_start", "session_end",
+             "n_events"]).set_column(
+                 4, "n_events", pc.cast(out.column(4), pa.int64()))
+
+    return bucketed_map_groups(ds, [key], _sessions, buckets=buckets,
+                               sort_within=False)
+
+
 def asof_join(
     left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
     left_ts: str, right_ts: str, left_id: str, value_col: str,

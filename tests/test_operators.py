@@ -312,6 +312,25 @@ def test_asof_join(ray_session):
     assert vals == [50, 200]
 
 
+def test_session_windows(ray_session):
+    from rayskema.pipelines.relational import session_windows
+    ds = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([0, 10, 10, 21, 5, 100],
+                       type=pa.timestamp("us"))}))
+    out = _collect(session_windows(
+        ds, key="uid", ts_col="ts", gap_us=10, buckets=2)).sort_by(
+            [("uid", "ascending"), ("session_idx", "ascending")])
+    # uid 1: 0,10 (gap 10 == threshold stays), tie 10, then 21 (gap 11
+    # > 10 -> new session). uid 2: numbering restarts at 1; 5 -> 100
+    # is a boundary.
+    assert out["uid"].to_pylist() == [1, 1, 2, 2]
+    assert out["session_idx"].to_pylist() == [1, 2, 1, 2]
+    assert [t.timestamp() * 1e6 for t in
+            out["session_start"].to_pylist()] == [0, 21, 5, 100]
+    assert out["n_events"].to_pylist() == [3, 1, 1, 1]
+
+
 def test_range_count_join(ray_session):
     from rayskema.pipelines.relational import range_count_join
     left = rd.from_arrow(pa.table({
