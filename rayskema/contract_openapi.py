@@ -310,9 +310,22 @@ def import_openapi(
     deeper levels contribute dtype only, with a warning)."""
     diag = ImportDiag()
     if isinstance(doc, (bytes, str)):
-        doc = json.loads(doc)
+        text = doc.decode("utf-8") if isinstance(doc, bytes) else doc
+        try:
+            doc = json.loads(text)
+        except json.JSONDecodeError:
+            # real-world CRD manifests are YAML; PyYAML is optional at
+            # runtime so the JSON path never depends on it
+            try:
+                import yaml
+            except ImportError as ex:     # pragma: no cover
+                raise ValueError(
+                    "import_openapi: document is not JSON and PyYAML "
+                    "is unavailable for YAML parsing") from ex
+            doc = yaml.safe_load(text)
     if not isinstance(doc, dict):
-        raise TypeError("import_openapi: document must be a JSON object")
+        raise TypeError("import_openapi: document must be a JSON/YAML "
+                        "mapping")
     root = _unwrap(doc)
     defs = root.get("$defs") if isinstance(root.get("$defs"), dict) else {}
     root = _resolve_refs(json.loads(json.dumps(root)), defs, diag, set())

@@ -52,6 +52,45 @@ def test_import_minimal_object():
     assert ("/name", "too_short") in got
 
 
+def test_import_yaml_crd_manifest():
+    # real CRDs ship as YAML manifests; the importer must sniff and
+    # parse them identically to the JSON form
+    yaml_doc = """
+apiVersion: apiextensions.k8s.io/v1
+kind: CustomResourceDefinition
+spec:
+  group: example.io
+  versions:
+    - name: v1
+      served: true
+      schema:
+        openAPIV3Schema:
+          type: object
+          additionalProperties: false
+          required: [id]
+          properties:
+            id:
+              type: integer
+              minimum: 0
+            name:
+              type: string
+              pattern: "^[a-z]+$"
+"""
+    s, diag = import_openapi(yaml_doc, name="t", key_columns=("id",))
+    assert s.unknown is Unknown.STRICT
+    assert not diag.warnings
+    assert not s.column("id").nullable
+    json_equiv, _ = import_openapi(json.dumps({
+        "openAPIV3Schema": {
+            "type": "object", "additionalProperties": False,
+            "required": ["id"],
+            "properties": {
+                "id": {"type": "integer", "minimum": 0},
+                "name": {"type": "string", "pattern": "^[a-z]+$"},
+            }}}), name="t", key_columns=("id",))
+    assert export_contract(s) == export_contract(json_equiv)
+
+
 def test_pattern_is_search_semantics():
     # JSON Schema pattern = unanchored search (Go MatchString)
     s, _ = import_openapi({
