@@ -417,6 +417,25 @@ def _q_events_map_keys(sf_dir: str):
     return _viol_select(out, ["event_id"])
 
 
+def _q_orders_profile(sf_dir: str):
+    """Per-column profile of orders (counts, nulls, exact distinct,
+    min/max) — the column-stats surface, mergeable partials + one
+    distinct-value shuffle."""
+    import pyarrow.compute as pc
+    from rayskema.functions.profile import profile_columns
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority",
+            "o_orderstatus", "o_totalprice"]
+    ds = _read(sf_dir, "orders", cols)
+    out = profile_columns(ds, cols)
+    # canonical-compare guard: null strings sort poorly through pandas;
+    # the oracle emits '' for the non-applicable min/max slots too
+    return out.set_column(
+        out.column_names.index("min_str"), "min_str",
+        pc.fill_null(out["min_str"], "")).set_column(
+        out.column_names.index("max_str"), "max_str",
+        pc.fill_null(out["max_str"], ""))
+
+
 def _q_docs_dedup_exact(sf_dir: str):
     from rayskema.functions.dedup import exact_duplicates
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -737,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_crd_import": _q_orders_crd_import,
         "docs_list_contains": _q_docs_list_contains,
         "events_map_keys": _q_events_map_keys,
+        "orders_profile": _q_orders_profile,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -1040,6 +1060,42 @@ def oracle_sql() -> dict[str, str]:
             FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
             WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
                OR o.o_orderstatus <> n.o_orderstatus
+        """,
+        "orders_profile": """
+            SELECT 'o_custkey' AS col, count(*)::BIGINT AS n,
+                   (count(*) - count(o_custkey))::BIGINT AS n_null,
+                   count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+                   CAST(min(o_custkey) AS DOUBLE) AS min_num,
+                   CAST(max(o_custkey) AS DOUBLE) AS max_num,
+                   '' AS min_str, '' AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+                   count(DISTINCT o_orderkey),
+                   CAST(min(o_orderkey) AS DOUBLE),
+                   CAST(max(o_orderkey) AS DOUBLE), '', ''
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS DOUBLE),
+                   CAST(max(o_totalprice) AS DOUBLE), '', ''
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   NULL::DOUBLE, NULL::DOUBLE,
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   NULL::DOUBLE, NULL::DOUBLE,
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
         """,
         "docs_dedup_exact": """
             SELECT d.doc_id, g.keeper, d.lang, d.n_chars

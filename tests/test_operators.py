@@ -312,6 +312,24 @@ def test_asof_join(ray_session):
     assert vals == [50, 200]
 
 
+def test_profile_columns(ray_session):
+    from rayskema.functions.profile import profile_columns
+    tab = pa.table({
+        "a": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+        "b": pa.array(["x", "y", None, "x", "z"]),
+    })
+    out = profile_columns(rd.from_arrow(tab).repartition(3),
+                          ["a", "b"], buckets=4)
+    assert out["col"].to_pylist() == ["a", "b"]
+    assert out["n"].to_pylist() == [5, 5]
+    assert out["n_null"].to_pylist() == [1, 1]
+    assert out["n_distinct"].to_pylist() == [3, 3]  # nulls excluded
+    assert out["min_num"].to_pylist() == [1.0, None]
+    assert out["max_num"].to_pylist() == [5.0, None]
+    assert out["min_str"].to_pylist() == [None, "x"]
+    assert out["max_str"].to_pylist() == [None, "z"]
+
+
 def test_session_windows(ray_session):
     from rayskema.pipelines.relational import session_windows
     ds = rd.from_arrow(pa.table({
