@@ -729,6 +729,17 @@ def _q_events_type_psi(sf_dir: str):
                                      type=pa.float64())})
 
 
+def _q_docs_ks_drift(sf_dir: str):
+    """EXACT two-sample KS over the discrete n_chars domain: English
+    docs vs the rest (the hard-verified companion of the t-digest KS
+    used by the flagship drift check)."""
+    import pandas as pd
+    from rayskema.functions.drift import exact_ks_discrete
+    ds = _read(sf_dir, "documents", ["n_chars", "lang"])
+    ks, n_a, n_b = exact_ks_discrete(ds, "n_chars", "lang", "en")
+    return pd.DataFrame({"ks": [ks], "n_a": [n_a], "n_b": [n_b]})
+
+
 def _q_transcript_validate(sf_dir: str):
     # flagship north-rule pipeline; input synthesized per round spec
     # (transcript shape is not part of the driver testdata)
@@ -773,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dups": _q_emb_near_dups,
         "events_type_psi": _q_events_type_psi,
+        "docs_ks_drift": _q_docs_ks_drift,
         "transcript_validate": _q_transcript_validate,
     }
 
@@ -1060,6 +1072,28 @@ def oracle_sql() -> dict[str, str]:
             FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
             WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
                OR o.o_orderstatus <> n.o_orderstatus
+        """,
+        "docs_ks_drift": """
+            WITH c AS (
+                SELECT n_chars AS v,
+                       count(*) FILTER (WHERE lang = 'en') AS ca,
+                       count(*) FILTER (WHERE lang <> 'en') AS cb
+                FROM documents
+                WHERE n_chars IS NOT NULL
+                GROUP BY n_chars),
+            tot AS (
+                SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                FROM c),
+            t AS (
+                SELECT sum(ca) OVER (ORDER BY v)::DOUBLE
+                           / (SELECT na FROM tot) AS fa,
+                       sum(cb) OVER (ORDER BY v)::DOUBLE
+                           / (SELECT nb FROM tot) AS fb
+                FROM c)
+            SELECT max(abs(fa - fb)) AS ks,
+                   (SELECT na FROM tot) AS n_a,
+                   (SELECT nb FROM tot) AS n_b
+            FROM t
         """,
         "orders_profile": """
             SELECT 'o_custkey' AS col, count(*)::BIGINT AS n,

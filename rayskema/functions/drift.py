@@ -126,6 +126,58 @@ def exact_median_i64(ds, col: str, *, window_cap: int = 5_000_000) -> int:
     return int((win[i0] + win[i1]) / 2)
 
 
+def exact_ks_discrete(ds, value_col: str, group_col: str, group_a: str):
+    """EXACT two-sample KS statistic of ``value_col`` between the rows
+    where ``group_col == group_a`` (side A) and the rest (side B):
+    max over the value domain of |ECDF_A(v) - ECDF_B(v)|.  Null values
+    are excluded from both samples.
+
+    Valid for DISCRETE / bounded-cardinality value columns: every block
+    pre-aggregates to (value, count_a, count_b) partials, so the reduce
+    volume is bounded by the distinct-value count, never the row count
+    (the partial+final pattern).  The final cumsum runs on the driver
+    over the merged value domain — use the t-digest
+    :func:`ks_statistic` for continuous/high-cardinality columns where
+    the domain itself is too large to collect.
+
+    Returns (ks: float, n_a: int, n_b: int)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        keep = pc.is_valid(tab[value_col])
+        tab = tab.filter(keep) if tab.num_rows else tab
+        is_a = pc.equal(tab[group_col], group_a)
+        t = pa.table({
+            "v": tab[value_col],
+            "ca": pc.cast(pc.fill_null(is_a, False), pa.int64()),
+            "cb": pc.cast(pc.fill_null(pc.invert(is_a), False),
+                          pa.int64()),
+        })
+        return t.group_by(["v"]).aggregate(
+            [("ca", "sum"), ("cb", "sum")]).rename_columns(
+                ["v", "ca", "cb"])
+
+    tabs = [t for t in ray.get(
+        ds.select_columns([value_col, group_col]).map_batches(
+            _partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not tabs:
+        return 0.0, 0, 0
+    merged = pa.concat_tables(tabs).group_by(["v"]).aggregate(
+        [("ca", "sum"), ("cb", "sum")]).rename_columns(["v", "ca", "cb"])
+    merged = merged.sort_by([("v", "ascending")])
+    ca = merged["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = merged["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        return 0.0, n_a, n_b
+    fa = np.cumsum(ca).astype(np.float64) / n_a
+    fb = np.cumsum(cb).astype(np.float64) / n_b
+    return float(np.max(np.abs(fa - fb))), n_a, n_b
+
+
 def drift_report(baseline: ColumnProfile, observed: ColumnProfile,
                  rules) -> list[dict]:
     """Evaluate every DriftRule; returns one record per rule with the

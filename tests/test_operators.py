@@ -312,6 +312,24 @@ def test_asof_join(ray_session):
     assert vals == [50, 200]
 
 
+def test_exact_ks_discrete(ray_session):
+    from rayskema.functions.drift import exact_ks_discrete
+    # A = {1, 2}, B = {2, 3}: ECDFs diverge most at v=1 (0.5 vs 0.0)
+    # and v=2 (1.0 vs 0.5) -> KS = 0.5; null value excluded
+    tab = pa.table({
+        "v": pa.array([1, 2, 2, 3, None], type=pa.int64()),
+        "g": ["a", "a", "b", "b", "a"]})
+    ks, n_a, n_b = exact_ks_discrete(
+        rd.from_arrow(tab).repartition(2), "v", "g", "a")
+    assert (ks, n_a, n_b) == (0.5, 2, 2)
+    # identical samples -> 0
+    ks2, _, _ = exact_ks_discrete(
+        rd.from_arrow(pa.table({
+            "v": pa.array([1, 2, 1, 2], type=pa.int64()),
+            "g": ["a", "a", "b", "b"]})), "v", "g", "a")
+    assert ks2 == 0.0
+
+
 def test_profile_columns(ray_session):
     from rayskema.functions.profile import profile_columns
     tab = pa.table({
