@@ -560,7 +560,10 @@ def _q_docs_multimodal_audio(sf_dir: str):
     bytes become 100 little-endian int16 samples of a REAL PCM WAV
     payload (stdlib wave container), decoded by AudioStatsStage; the
     DuckDB oracle recomputes rate/length/RMS directly from the byte
-    pairs."""
+    pairs.  Oracle scope: the SQL walks CHARACTERS (substr/ord) while
+    the pipeline packs raw BYTES, so equality holds for ASCII corpora
+    (all sf testdata) — same documented scope as the byte-shingle
+    oracles in minhash/charset queries."""
     from rayskema.functions import binary_buffers, round_half_away
     from rayskema.plan import limit_arrow_threads
     from rayskema.stages.multimodal import AudioStatsStage, encode_wav

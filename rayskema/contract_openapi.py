@@ -35,6 +35,7 @@ Unsupported constructs degrade with a warning (the reference's
 
 from __future__ import annotations
 
+import copy
 import json
 from typing import Any
 
@@ -106,7 +107,7 @@ def _resolve_refs(node: dict, defs: dict, diag: ImportDiag,
             diag.warn(f"cyclic $ref at $defs/{key} (skipping expansion)")
             return node
         visited.add(key)
-        merged = dict(_resolve_refs(json.loads(json.dumps(base)), defs,
+        merged = dict(_resolve_refs(copy.deepcopy(base), defs,
                                     diag, visited))
         visited.discard(key)
         for k, v in node.items():
@@ -310,10 +311,11 @@ def import_openapi(
     deeper levels contribute dtype only, with a warning)."""
     diag = ImportDiag()
     if isinstance(doc, (bytes, str)):
-        text = doc.decode("utf-8") if isinstance(doc, bytes) else doc
         try:
-            doc = json.loads(text)
-        except json.JSONDecodeError:
+            # bytes go straight to json.loads, which auto-detects
+            # UTF-8/16/32 per RFC 8259
+            doc = json.loads(doc)
+        except (json.JSONDecodeError, UnicodeDecodeError):
             # real-world CRD manifests are YAML; PyYAML is optional at
             # runtime so the JSON path never depends on it
             try:
@@ -322,13 +324,17 @@ def import_openapi(
                 raise ValueError(
                     "import_openapi: document is not JSON and PyYAML "
                     "is unavailable for YAML parsing") from ex
+            text = doc.decode("utf-8", errors="replace") \
+                if isinstance(doc, bytes) else doc
             doc = yaml.safe_load(text)
     if not isinstance(doc, dict):
         raise TypeError("import_openapi: document must be a JSON/YAML "
                         "mapping")
     root = _unwrap(doc)
     defs = root.get("$defs") if isinstance(root.get("$defs"), dict) else {}
-    root = _resolve_refs(json.loads(json.dumps(root)), defs, diag, set())
+    # deep copy, NOT a json round-trip: YAML docs may carry non-JSON
+    # scalars (dates) that json.dumps would reject
+    root = _resolve_refs(copy.deepcopy(root), defs, diag, set())
     if root.get("type") not in (None, "object"):
         diag.warn(f"non-object root treated as object: {root.get('type')!r}")
     required = {r for r in root.get("required") or [] if isinstance(r, str)}

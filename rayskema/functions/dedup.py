@@ -121,14 +121,25 @@ def char_shingle_hashes(arr: pa.Array, k: int = 5):
 
 def word_shingle_hashes(arr: pa.Array, k: int = 3):
     """Per-row hashed word k-shingles: tokenizes via Arrow regex split,
-    hashes tokens vectorized, then combines k consecutive token hashes."""
+    hashes tokens vectorized, then combines k consecutive token hashes.
+
+    Empty tokens (regex-split artifacts at leading/trailing/duplicated
+    whitespace) are dropped BEFORE shingling, matching the
+    ``\\S+``-extraction tokenization of the exact verifier
+    (``_row_shingle_sets``) and the SQL oracle — otherwise a
+    whitespace-padded document grows phantom edge shingles and its
+    MinHash estimate diverges from the true word-shingle Jaccard."""
     tokens = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"\s+")
     flat = pc.list_flatten(tokens)
-    tok_counts = pc.list_value_length(tokens).fill_null(0)\
+    raw_counts = pc.list_value_length(tokens).fill_null(0)\
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    th = hash_strings(flat.combine_chunks() if isinstance(
-        flat, pa.ChunkedArray) else flat)
-    n = len(tok_counts)
+    n = len(raw_counts)
+    flat = flat.combine_chunks() if isinstance(
+        flat, pa.ChunkedArray) else flat
+    keep = np.asarray(pc.not_equal(flat, "").fill_null(False))
+    row_of = np.repeat(np.arange(n, dtype=np.int64), raw_counts)[keep]
+    th = hash_strings(flat.filter(pa.array(keep)))
+    tok_counts = np.bincount(row_of, minlength=n).astype(np.int64)
     n_sh = np.maximum(tok_counts - (k - 1), np.minimum(tok_counts, 1))
     row_ids = np.repeat(np.arange(n, dtype=np.int64), n_sh)
     tok_starts = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])

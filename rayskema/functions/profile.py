@@ -4,16 +4,16 @@ validation engine (reference analogue: goskema computes per-field
 aggregates in-memory, e.g. UniqueBy's value map rules/rules.go:116-135;
 here the same facts come from mergeable per-batch partials).
 
-Scale shape: counts and min/max are embarrassingly mergeable map-side
-partials (one tiny row per column per block — no data shuffle at all).
-Exact distinct is inherently a shuffle of the distinct value set; values
-are pre-deduplicated inside every batch before the exchange, so the
-shuffled volume is bounded by per-block cardinality, not row count (a
-low-cardinality column ships a handful of strings per block regardless
-of table size).  For 100 TB-scale profiling where exactness is not
-required, the HyperLogLog profile in the validate pipeline
-(state/sketches.py) is the cheap alternative; this operator is the
-exact form."""
+Scale shape: ONE scan of the pruned columns.  Every block emits (a) one
+tiny stats partial per column (counts + min/max — no shuffle cost to
+speak of) and (b) its per-block-deduplicated distinct values, tagged
+rows of one union schema; both ride a single (col, value) hash
+exchange, so the shuffled volume is bounded by per-block cardinality,
+never row count (a low-cardinality column ships a handful of strings
+per block regardless of table size).  For 100 TB-scale profiling where
+exactness is not required, the HyperLogLog profile in the validate
+pipeline (state/sketches.py) is the cheap alternative; this operator is
+the exact form."""
 
 from __future__ import annotations
 
@@ -37,6 +37,20 @@ def _is_numeric(t: pa.DataType) -> bool:
     return any(k(t) for k in _NUM_KINDS)
 
 
+def _empty_out() -> pa.Table:
+    return pa.table({
+        "col": pa.array([], type=pa.string()),
+        "kind": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "n_null": pa.array([], type=pa.int64()),
+        "min_num": pa.array([], type=pa.float64()),
+        "max_num": pa.array([], type=pa.float64()),
+        "min_str": pa.array([], type=pa.string()),
+        "max_str": pa.array([], type=pa.string()),
+    })
+
+
 def profile_columns(
     ds: "rd.Dataset", columns: Sequence[str], *, buckets: int = 16,
 ) -> pa.Table:
@@ -50,86 +64,122 @@ def profile_columns(
 
     def _partials(tab: pa.Table) -> pa.Table:
         limit_arrow_threads()
-        rows = {"col": [], "n": [], "n_null": [], "min_num": [],
-                "max_num": [], "min_str": [], "max_str": []}
+        parts = []
         for c in columns:
             arr = tab[c]
-            rows["col"].append(c)
-            rows["n"].append(tab.num_rows)
-            rows["n_null"].append(arr.null_count)
             mn = mx = None
             if tab.num_rows > arr.null_count:
                 mm = pc.min_max(arr)
                 mn, mx = mm["min"].as_py(), mm["max"].as_py()
-            if _is_numeric(arr.type):
-                rows["min_num"].append(
-                    None if mn is None else float(mn))
-                rows["max_num"].append(
-                    None if mx is None else float(mx))
-                rows["min_str"].append(None)
-                rows["max_str"].append(None)
-            else:
-                rows["min_num"].append(None)
-                rows["max_num"].append(None)
-                rows["min_str"].append(None if mn is None else str(mn))
-                rows["max_str"].append(None if mx is None else str(mx))
-        return pa.table({
-            "col": pa.array(rows["col"], type=pa.string()),
-            "n": pa.array(rows["n"], type=pa.int64()),
-            "n_null": pa.array(rows["n_null"], type=pa.int64()),
-            "min_num": pa.array(rows["min_num"], type=pa.float64()),
-            "max_num": pa.array(rows["max_num"], type=pa.float64()),
-            "min_str": pa.array(rows["min_str"], type=pa.string()),
-            "max_str": pa.array(rows["max_str"], type=pa.string()),
-        })
-
-    def _distincts(tab: pa.Table) -> pa.Table:
-        limit_arrow_threads()
-        parts = []
-        for c in columns:
-            u = pc.unique(tab[c].combine_chunks())
-            u = u.filter(pc.is_valid(u))
+            numeric = _is_numeric(arr.type)
+            # stats partial row ("s"): v is a fixed sentinel so all of
+            # a column's partials co-locate in one bucket
             parts.append(pa.table({
-                "col": pa.array(np.full(len(u), c), type=pa.string()),
+                "col": pa.array([c], type=pa.string()),
+                "kind": pa.array(["s"]),
+                "v": pa.array([""]),
+                "n": pa.array([tab.num_rows], type=pa.int64()),
+                "n_null": pa.array([arr.null_count], type=pa.int64()),
+                "min_num": pa.array(
+                    [float(mn) if numeric and mn is not None else None],
+                    type=pa.float64()),
+                "max_num": pa.array(
+                    [float(mx) if numeric and mx is not None else None],
+                    type=pa.float64()),
+                "min_str": pa.array(
+                    [None if numeric or mn is None else str(mn)],
+                    type=pa.string()),
+                "max_str": pa.array(
+                    [None if numeric or mx is None else str(mx)],
+                    type=pa.string()),
+            }))
+            # distinct-value rows ("d"): deduped per block
+            u = pc.unique(arr.combine_chunks())
+            u = u.filter(pc.is_valid(u))
+            k = len(u)
+            parts.append(pa.table({
+                "col": pa.array(np.full(k, c), type=pa.string()),
+                "kind": pa.array(np.full(k, "d"), type=pa.string()),
                 "v": pc.cast(u, pa.string()),
+                "n": pa.nulls(k, type=pa.int64()),
+                "n_null": pa.nulls(k, type=pa.int64()),
+                "min_num": pa.nulls(k, type=pa.float64()),
+                "max_num": pa.nulls(k, type=pa.float64()),
+                "min_str": pa.nulls(k, type=pa.string()),
+                "max_str": pa.nulls(k, type=pa.string()),
             }))
         return pa.concat_tables(parts)
 
-    src = ds.select_columns(columns)
-    part_ds = src.map_batches(_partials, batch_format="pyarrow")
-    dist_ds = src.map_batches(_distincts, batch_format="pyarrow")
+    fused = ds.select_columns(columns).map_batches(
+        _partials, batch_format="pyarrow")
 
-    # per-(col,value)-bucket dedup, then a per-bucket per-col count —
-    # the second reduce is over <= buckets x n_cols tiny rows
-    def _count_bucket(tab: pa.Table) -> pa.Table:
-        u = tab.group_by(["col", "v"]).aggregate([]).group_by(
-            ["col"]).aggregate([("v", "count")])
-        return u.rename_columns(["col", "nd"])
+    # one (col, v) hash exchange carries both kinds; each bucket task
+    # dedup-counts its distinct slice and pre-merges its stats partials
+    def _reduce_bucket(tab: pa.Table) -> pa.Table:
+        limit_arrow_threads()
+        if tab.num_rows == 0 or "kind" not in tab.column_names:
+            return _empty_out()
+        is_d = pc.equal(tab["kind"], "d")
+        d = tab.filter(is_d)
+        s = tab.filter(pc.invert(is_d))
+        out = []
+        if d.num_rows:
+            nd = d.select(["col", "v"]).group_by(["col", "v"]) \
+                .aggregate([]).group_by(["col"]) \
+                .aggregate([("v", "count")]).rename_columns(
+                    ["col", "n"])
+            k = nd.num_rows
+            out.append(pa.table({
+                "col": nd["col"],
+                "kind": pa.array(np.full(k, "d"), type=pa.string()),
+                "v": pa.nulls(k, type=pa.string()),
+                "n": pc.cast(nd["n"], pa.int64()),
+                "n_null": pa.nulls(k, type=pa.int64()),
+                "min_num": pa.nulls(k, type=pa.float64()),
+                "max_num": pa.nulls(k, type=pa.float64()),
+                "min_str": pa.nulls(k, type=pa.string()),
+                "max_str": pa.nulls(k, type=pa.string()),
+            }))
+        if s.num_rows:
+            m = s.group_by(["col"]).aggregate(
+                [("n", "sum"), ("n_null", "sum"), ("min_num", "min"),
+                 ("max_num", "max"), ("min_str", "min"),
+                 ("max_str", "max")]).rename_columns(
+                    ["col", "n", "n_null", "min_num", "max_num",
+                     "min_str", "max_str"])
+            k = m.num_rows
+            out.append(pa.table({
+                "col": m["col"],
+                "kind": pa.array(np.full(k, "s"), type=pa.string()),
+                "v": pa.nulls(k, type=pa.string()),
+                "n": m["n"], "n_null": m["n_null"],
+                "min_num": m["min_num"], "max_num": m["max_num"],
+                "min_str": m["min_str"], "max_str": m["max_str"],
+            }))
+        return pa.concat_tables(out) if out else _empty_out()
 
-    dist_counts = bucketed_map_groups(dist_ds, ["col", "v"],
-                                      _count_bucket, buckets=buckets,
-                                      sort_within=False)
+    reduced = bucketed_map_groups(fused, ["col", "v"], _reduce_bucket,
+                                  buckets=buckets, sort_within=False)
+    tabs = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows
+            and "kind" in t.column_names]
+    if not tabs:
+        both = _empty_out()
+    else:
+        both = pa.concat_tables(tabs)
 
-    stats_tabs = [t for t in ray.get(part_ds.to_arrow_refs())
-                  if t.num_rows]
-    dist_tabs = [t for t in ray.get(dist_counts.to_arrow_refs())
-                 if t.num_rows]
-    stats = pa.concat_tables(stats_tabs) if stats_tabs else _partials(
-        pa.table({c: pa.array([], type=pa.string()) for c in columns}))
-    merged = stats.group_by(["col"]).aggregate(
+    is_d = pc.equal(both["kind"], "d")
+    d = both.filter(is_d)
+    s = both.filter(pc.invert(is_d))
+    merged = s.group_by(["col"]).aggregate(
         [("n", "sum"), ("n_null", "sum"), ("min_num", "min"),
          ("max_num", "max"), ("min_str", "min"), ("max_str", "max")]
     ).rename_columns(["col", "n", "n_null", "min_num", "max_num",
                       "min_str", "max_str"])
-    if dist_tabs:
-        d = pa.concat_tables(dist_tabs).group_by(["col"]).aggregate(
-            [("nd", "sum")]).rename_columns(["col", "n_distinct"])
-    else:
-        d = pa.table({"col": pa.array([], type=pa.string()),
-                      "n_distinct": pa.array([], type=pa.int64())})
-    nd = pc.index_in(merged["col"], value_set=d["col"])
-    nd_vals = d["n_distinct"].take(nd) if d.num_rows else pa.nulls(
-        merged.num_rows, type=pa.int64())
+    dist = d.group_by(["col"]).aggregate([("n", "sum")]) \
+        .rename_columns(["col", "n_distinct"])
+    nd_idx = pc.index_in(merged["col"], value_set=dist["col"])
+    nd_vals = dist["n_distinct"].take(nd_idx) if dist.num_rows else \
+        pa.nulls(merged.num_rows, type=pa.int64())
     out = merged.append_column(
         "n_distinct", pc.fill_null(pc.cast(nd_vals, pa.int64()), 0))
     return out.select(["col", "n", "n_null", "n_distinct", "min_num",

@@ -370,9 +370,15 @@ def session_windows(
     (sorted diff > gap, cumulative boundary count rebased per key) and
     an Arrow C-speed group_by for the per-session aggregates.  Session
     numbering is deterministic under timestamp ties: a tie has gap 0,
-    never a boundary, so any tie order yields the same sessions."""
+    never a boundary, so any tie order yields the same sessions.
+    Rows with a null timestamp are EXCLUDED (sessionization is
+    undefined for them; a NaN-through-int64 cast would otherwise turn
+    them into arbitrary boundaries)."""
 
     def _sessions(tab: pa.Table) -> pa.Table:
+        if tab.num_rows and ts_col in tab.column_names and \
+                tab[ts_col].null_count:
+            tab = tab.filter(pc.is_valid(tab[ts_col]))
         if tab.num_rows == 0 or ts_col not in tab.column_names:
             return pa.table({
                 key: pa.array([], type=pa.int64()),
@@ -524,7 +530,9 @@ def range_count_join(
                           pa.int64()),
             "side": pa.array(np.ones(n, dtype=np.int8)),
             "kind": pa.array(np.full(n, -1, dtype=np.int8)),
-            "lid": pa.nulls(n, type=pa.int64()),
+            # zeros, not nulls: a null int64 column round-trips through
+            # float64 in to_numpy and corrupts ids >= 2^53
+            "lid": pa.array(np.zeros(n, dtype=np.int64)),
         })
 
     both = left.map_batches(_tag_left, batch_format="pyarrow").union(
@@ -550,14 +558,21 @@ def range_count_join(
         seg_id = np.cumsum(new_key) - 1
         local = prefix - prefix[firsts[seg_id]] if n else prefix
         m = side == 0
-        lid_m, kind_m, cnt_m, k_m = lid[m], kind[m], local[m], kv[m]
-        order = np.lexsort((kind_m, lid_m))
-        lid_s, cnt_s, k_s = lid_m[order], cnt_m[order], k_m[order]
-        # markers come in (start, end) pairs per lid after the sort
-        starts, ends = cnt_s[::2], cnt_s[1::2]
+        tsv = tab["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        lid_m, kind_m, cnt_m = lid[m], kind[m], local[m]
+        k_m, ts_m = kv[m], tsv[m]
+        # pair each left row's start marker with ITS end marker even
+        # when left_id repeats: end ts = start ts + span (a constant),
+        # so sorting starts and ends independently by (lid, ts) aligns
+        # them 1:1 per lid (ties are identical intervals)
+        s_mask, e_mask = kind_m == 0, kind_m == 1
+        s_ord = np.lexsort((ts_m[s_mask], lid_m[s_mask]))
+        e_ord = np.lexsort((ts_m[e_mask], lid_m[e_mask]))
+        starts = cnt_m[s_mask][s_ord]
+        ends = cnt_m[e_mask][e_ord]
         return pa.table({
-            "lid": pa.array(lid_s[::2].astype(np.int64)),
-            "k": pa.array(k_s[::2].astype(np.int64)),
+            "lid": pa.array(lid_m[s_mask][s_ord].astype(np.int64)),
+            "k": pa.array(k_m[s_mask][s_ord].astype(np.int64)),
             "n_matches": pa.array((ends - starts).astype(np.int64)),
         })
 

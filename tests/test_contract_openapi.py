@@ -91,6 +91,30 @@ spec:
     assert export_contract(s) == export_contract(json_equiv)
 
 
+def test_import_yaml_with_date_scalar():
+    # regression: YAML parses unquoted dates to datetime.date; the
+    # importer must not crash on them (the deep copy used to be a JSON
+    # round-trip, which rejects date objects)
+    s, diag = import_openapi("""
+openAPIV3Schema:
+  type: object
+  properties:
+    id: {type: integer}
+    created:
+      type: string
+      example: 2024-01-01
+""", name="t", key_columns=("id",))
+    assert {c.name for c in s.columns} == {"id", "created"}
+
+
+def test_import_utf16_json_bytes():
+    doc = json.dumps({"openAPIV3Schema": {
+        "type": "object",
+        "properties": {"id": {"type": "integer"}}}}).encode("utf-16")
+    s, _ = import_openapi(doc, name="t", key_columns=("id",))
+    assert [c.name for c in s.columns] == ["id"]
+
+
 def test_pattern_is_search_semantics():
     # JSON Schema pattern = unanchored search (Go MatchString)
     s, _ = import_openapi({

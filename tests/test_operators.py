@@ -123,6 +123,21 @@ def test_ngram_jaccard_near_dups(ray_session):
     assert abs(out["jaccard"].to_pylist()[0] - 95 / 101) < 1e-3
 
 
+def test_ngram_jaccard_whitespace_padding(ray_session):
+    # regression: split-regex edge artifacts must not create phantom
+    # shingles — '  a b c ' and 'a b c' are word-identical (jaccard 1)
+    from rayskema.functions.dedup import (
+        ngram_jaccard_near_dup_pairs, word_shingle_hashes)
+    rid, h = word_shingle_hashes(pa.array(["  a b c ", "a b c"]))
+    assert set(h[rid == 0]) == set(h[rid == 1])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["  a b c ", "a b c"]}))
+    out = ngram_jaccard_near_dup_pairs(ds, "text", "doc_id",
+                                       jaccard_threshold=0.9, buckets=2)
+    assert out["id_a"].to_pylist() == [1]
+    assert out["jaccard"].to_pylist() == [1.0]
+
+
 def test_charset_jaccard_exact(ray_session):
     from rayskema.functions.dedup import charset_jaccard_pairs
     ds = rd.from_arrow(pa.table({
@@ -387,6 +402,39 @@ def test_range_count_join(ray_session):
     # oid 20: [100,150) -> {100} (99 before start). oid 30: key 3 has
     # no right rows at all but the left row is still emitted.
     assert out["n_matches"].to_pylist() == [2, 0, 1, 0]
+
+
+def test_range_count_join_duplicate_left_ids(ray_session):
+    # regression: repeated left_id values must pair each start marker
+    # with ITS end marker, not a neighbor's
+    from rayskema.pipelines.relational import range_count_join
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([0, 100], type=pa.timestamp("us")),
+        "oid": pa.array([7, 7], type=pa.int64())}))   # same id twice
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], type=pa.int64()),
+        "rts": pa.array([5, 10, 105], type=pa.timestamp("us"))}))
+    out = _collect(range_count_join(
+        left, right, key="k", left_key="uid", left_ts="ts",
+        right_ts="rts", left_id="oid", span_us=50,
+        buckets=2)).sort_by([("n_matches", "ascending")])
+    # interval [0,50) -> {5,10} = 2; [100,150) -> {105} = 1
+    assert out["n_matches"].to_pylist() == [1, 2]
+    assert out["lid"].to_pylist() == [7, 7]
+
+
+def test_session_windows_null_ts(ray_session):
+    from rayskema.pipelines.relational import session_windows
+    ds = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([0, None, 100], type=pa.timestamp("us"))}))
+    out = _collect(session_windows(
+        ds, key="uid", ts_col="ts", gap_us=10, buckets=2)).sort_by(
+            [("session_idx", "ascending")])
+    # null row dropped; remaining rows split into two sessions
+    assert out["session_idx"].to_pylist() == [1, 2]
+    assert out["n_events"].to_pylist() == [1, 1]
 
 
 def test_i18n_render():
