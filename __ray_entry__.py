@@ -206,6 +206,20 @@ def _q_events_monotonic(sf_dir: str):
     return monotonic_violations(ds, "user_id", "ts", "value", ["event_id"])
 
 
+def _q_events_sequence(sf_dir: str):
+    """Ordered role/event-sequence rules per user: first event must be
+    signup/view, an error may only be followed by view/signup, and no
+    event type may immediately repeat (the transcript role-sequence
+    check of the north rule over the events table)."""
+    from rayskema.pipelines.relational import sequence_violations
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return sequence_violations(
+        ds, "user_id", ["ts", "event_id"], "event_type", ["event_id"],
+        allowed_first=("signup", "view"),
+        allowed_after={"error": ("view", "signup")},
+        no_repeat=True)
+
+
 def _q_events_dups(sf_dir: str):
     from rayskema.pipelines.relational import find_duplicates
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
@@ -469,6 +483,15 @@ def _q_docs_simhash_pairs(sf_dir: str):
                                   jaccard_threshold=0.8)
 
 
+def _q_docs_dedup_clusters(sf_dir: str):
+    """Near-dup connected components + keep/drop verdict per document
+    (rep = min doc_id of the component; filtering on keep yields the
+    deduplicated corpus)."""
+    from rayskema.functions.dedup import near_dup_clusters
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return near_dup_clusters(ds, "text", "doc_id", jaccard_threshold=0.5)
+
+
 def _q_docs_ngram_jaccard(sf_dir: str):
     """Word-3-gram Jaccard near-dup pairs: MinHash+LSH over WORD
     shingles for candidates, exact word-3-gram verify (the n-gram
@@ -490,6 +513,22 @@ def _q_docs_quality(sf_dir: str):
     from rayskema.functions.textstats import quality_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return quality_stats(ds, "text", "doc_id")
+
+
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-line fraction,
+    top-token share) per document."""
+    from rayskema.functions.textstats import repetition_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds, "text", "doc_id")
+
+
+def _q_docs_top_tokens(sf_dir: str):
+    """Corpus-wide top-20 whitespace tokens (partial-aggregated counts,
+    vocabulary-sized shuffle)."""
+    from rayskema.functions.textstats import top_k_tokens
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_k_tokens(ds, "text", k=20)
 
 
 def _q_docs_fingerprint(sf_dir: str):
@@ -757,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_union": _q_events_union,
         "docs_normalize": _q_docs_normalize,
         "events_monotonic": _q_events_monotonic,
+        "events_sequence": _q_events_sequence,
         "events_dups": _q_events_dups,
         "orders_per_customer_cap": _q_orders_per_customer_cap,
         "orders_ref_customers": _q_orders_ref_customers,
@@ -775,9 +815,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
+        "docs_repetition": _q_docs_repetition,
+        "docs_top_tokens": _q_docs_top_tokens,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
         "docs_multimodal_decode": _q_docs_multimodal_decode,
@@ -851,6 +894,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM p WHERE j >= 0.5
+        """,
+        "docs_dedup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(length(text) - 4, 1)),
+                    i -> substr(text, i, 5))) AS s
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+            e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+            reach(u, v) AS (
+                SELECT doc_id AS u, doc_id AS v FROM documents
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v)
+            SELECT u AS doc_id, min(v) AS rep_id, (u = min(v)) AS keep
+            FROM reach GROUP BY u
         """,
         "docs_simhash_pairs": r"""
             WITH t AS (
@@ -987,6 +1049,27 @@ def oracle_sql() -> dict[str, str]:
                            AS prev_value
                 FROM events)
             WHERE value < prev_value
+        """,
+        "events_sequence": """
+            WITH s AS (
+                SELECT event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT event_id, prev AS prev_value, event_type AS value,
+                   'sequence_repeat' AS code
+            FROM s WHERE prev = event_type
+            UNION ALL
+            SELECT event_id, prev, event_type, 'sequence_transition'
+            FROM s
+            WHERE prev = 'error'
+              AND event_type NOT IN ('view', 'signup')
+            UNION ALL
+            SELECT event_id, NULL, event_type, 'sequence_start'
+            FROM s
+            WHERE prev IS NULL
+              AND event_type NOT IN ('signup', 'view')
         """,
         "events_dups": """
             SELECT user_id, event_type, count(*) AS n
@@ -1177,6 +1260,37 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(text, '\S+'),
                        w -> length(w))), 0)::BIGINT AS max_word_len
             FROM documents
+        """,
+        "docs_repetition": r"""
+            WITH ln AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10))) AS n_lines,
+                       len(list_distinct(string_split(text, chr(10))))
+                           AS n_distinct
+                FROM documents),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+')) AS w
+                      FROM documents) t
+                GROUP BY doc_id, w),
+            tw AS (
+                SELECT doc_id, max(c) AS topc, sum(c) AS nw
+                FROM wc GROUP BY doc_id)
+            SELECT ln.doc_id,
+                   ln.n_lines::BIGINT AS n_lines,
+                   (ln.n_lines - ln.n_distinct)::BIGINT AS n_dup_lines,
+                   round((ln.n_lines - ln.n_distinct)::DOUBLE
+                         / ln.n_lines, 4) AS dup_line_frac,
+                   coalesce(round(tw.topc::DOUBLE / tw.nw, 4), 0.0)
+                       AS top_word_frac
+            FROM ln LEFT JOIN tw USING (doc_id)
+        """,
+        "docs_top_tokens": r"""
+            SELECT w AS token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                  FROM documents) t
+            GROUP BY w ORDER BY n DESC, token LIMIT 20
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

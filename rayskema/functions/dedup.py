@@ -677,6 +677,73 @@ def ngram_jaccard_near_dup_pairs(
         threshold=jaccard_threshold)
 
 
+def near_dup_clusters(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    jaccard_threshold: float = 0.5, pairs: pa.Table | None = None,
+    **lsh_kwargs,
+) -> "rd.Dataset":
+    """Near-duplicate CLUSTERS and the keep/drop verdict per document:
+    ``(id, rep_id, keep)`` for every input row.
+
+    Connected components over the exact-verified near-dup pair graph
+    (:func:`minhash_near_dup_pairs` unless ``pairs`` is supplied);
+    ``rep_id`` = the smallest id in the component (first-wins, matching
+    the reference's ``UniqueBy`` first-dup semantics,
+    ``rules/rules.go:116-135``); ``keep`` = (id == rep_id).  Filtering
+    on ``keep`` yields the deduplicated corpus.
+
+    Scale shape: the pair graph is tiny relative to the corpus (the
+    same pairs<<rows design assumption as the violation path), so
+    union-find runs on the driver over |pairs| edges and the
+    node->rep map is broadcast ONCE via ``ray.put``; the verdict stamp
+    is an ``index_in`` lookup per batch — the corpus is never shuffled.
+    """
+    if pairs is None:
+        pairs = minhash_near_dup_pairs(
+            ds, text_col, id_col, jaccard_threshold=jaccard_threshold,
+            **lsh_kwargs)
+    ia = pairs["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([ia, ib]))
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def _find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(np.searchsorted(nodes, ia),
+                    np.searchsorted(nodes, ib)):
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([_find(i) for i in range(len(nodes))],
+                     dtype=np.int64)
+    # rep of a component = its minimum member id; nodes is sorted, so
+    # the first member hit per root is the minimum
+    rep_min = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep_min, roots, nodes)
+    rep_of_node = rep_min[roots]
+    handle = ray.put((pa.array(nodes, type=pa.int64()),
+                      pa.array(rep_of_node, type=pa.int64())))
+
+    def _verdict(tab: pa.Table) -> pa.Table:
+        node_arr, rep_arr = ray.get(handle)
+        ids = pc.cast(tab[id_col], pa.int64()).combine_chunks()
+        idx = pc.index_in(ids, value_set=node_arr)
+        rep = pc.if_else(idx.is_valid(),
+                         pc.take(rep_arr, idx.fill_null(0)), ids)
+        return pa.table({
+            id_col: tab[id_col],
+            "rep_id": rep,
+            "keep": pc.equal(pc.cast(rep, pa.int64()), ids),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        _verdict, batch_format="pyarrow")
+
+
 def simhash_near_dup_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     jaccard_threshold: float = 0.8, max_hamming: int | None = None,

@@ -100,6 +100,116 @@ def quality_stats(ds: "rd.Dataset", text_col: str,
         _stats, batch_format="pyarrow")
 
 
+def repetition_stats(ds: "rd.Dataset", text_col: str,
+                     id_col: str) -> "rd.Dataset":
+    """Gopher-style repetition quality signals per document:
+    ``(id, n_lines, n_dup_lines, dup_line_frac, top_word_frac)``.
+
+    - ``n_dup_lines`` / ``dup_line_frac``: lines (split on ``\\n``)
+      minus distinct lines — boilerplate/navigation detection;
+    - ``top_word_frac``: the most frequent whitespace token's share of
+      all tokens (0.0 for token-less docs) — degenerate-repetition
+      detection.
+
+    Fully vectorized: lines/words are flattened list arrays hashed with
+    the 64-bit rolling hash (``state.sketches.hash_strings``); distinct
+    and mode counts come from one ``np.lexsort`` + run-length pass per
+    batch, never a Python loop over rows.  (Collisions in the 64-bit
+    hash would undercount distincts; negligible at any batch size.)
+    """
+    from . import round_half_away
+
+    def _runs(flat_hash: np.ndarray, seg: np.ndarray, n_rows: int):
+        """Per-segment (distinct count, max run count, total count)."""
+        total = np.bincount(seg, minlength=n_rows)
+        if not len(flat_hash):
+            z = np.zeros(n_rows, dtype=np.int64)
+            return z, z, total
+        order = np.lexsort((flat_hash, seg))
+        hs, ss = flat_hash[order], seg[order]
+        newrun = np.ones(len(hs), dtype=bool)
+        newrun[1:] = (ss[1:] != ss[:-1]) | (hs[1:] != hs[:-1])
+        run_start = np.flatnonzero(newrun)
+        run_counts = np.diff(np.append(run_start, len(hs)))
+        run_seg = ss[run_start]
+        distinct = np.bincount(run_seg, minlength=n_rows)
+        seg_new = np.ones(len(run_start), dtype=bool)
+        seg_new[1:] = run_seg[1:] != run_seg[:-1]
+        first_runs = np.flatnonzero(seg_new)
+        mx = np.zeros(n_rows, dtype=np.int64)
+        mx[run_seg[first_runs]] = np.maximum.reduceat(run_counts,
+                                                      first_runs)
+        return distinct, mx, total
+
+    def _stats(tab: pa.Table) -> pa.Table:
+        n = tab.num_rows
+        t = pc.fill_null(tab[text_col], "")
+        lines = pc.split_pattern(t, pattern="\n")
+        lcounts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lseg = np.repeat(np.arange(n), lcounts)
+        lhash = hash_strings(pc.list_flatten(lines).combine_chunks())
+        ldistinct, _, ltotal = _runs(lhash, lseg, n)
+        dup = ltotal - ldistinct
+        # whitespace tokens: split on \s+ yields empty tokens at the
+        # edges — mask them out so counts equal the \S+ token set
+        words = pc.split_pattern_regex(t, pattern=r"\s+")
+        wflat = pc.list_flatten(words).combine_chunks()
+        wcounts = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        wseg = np.repeat(np.arange(n), wcounts)
+        keep = np.asarray(pc.not_equal(wflat, ""))
+        _, wmax, wtotal = _runs(hash_strings(wflat)[keep], wseg[keep], n)
+        with np.errstate(invalid="ignore"):
+            topf = np.where(wtotal > 0, wmax / np.maximum(wtotal, 1), 0.0)
+        return pa.table({
+            id_col: tab[id_col],
+            "n_lines": pa.array(ltotal, type=pa.int64()),
+            "n_dup_lines": pa.array(dup, type=pa.int64()),
+            "dup_line_frac": pa.array(
+                round_half_away(dup / np.maximum(ltotal, 1)),
+                type=pa.float64()),
+            "top_word_frac": pa.array(round_half_away(topf),
+                                      type=pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _stats, batch_format="pyarrow")
+
+
+def top_k_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
+                 buckets: int = 64) -> "rd.Dataset":
+    """Corpus-wide most frequent whitespace tokens: ``(token, n)``,
+    top ``k`` by count descending then token ascending (deterministic
+    tie-break).
+
+    Scale shape: each block is reduced to its distinct (token, count)
+    pairs with Arrow's C-speed ``value_counts`` BEFORE the shuffle
+    (partial aggregation), so only the vocabulary — not the corpus —
+    moves; the bucketed hash exchange sums partials per token and the
+    final sort runs over ~vocabulary rows, not corpus rows."""
+    from ..pipelines.relational import bucketed_map_groups
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.combine_chunks().value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partial = ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _sum(tab: pa.Table) -> pa.Table:
+        g = tab.group_by("token").aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    summed = bucketed_map_groups(partial, ["token"], _sum,
+                                 buckets=buckets, sort_within=False)
+    return summed.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 class LangIdStage:
     """Actor-pool language-ID stage: stopword-marker voting. Patterns
     are compiled once per actor (__init__), scoring is vectorized —

@@ -263,6 +263,105 @@ def monotonic_violations(
                                buckets=buckets, sort_within=False)
 
 
+def sequence_violations(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, id_cols: Sequence[str], *,
+    allowed_first: Sequence[str] | None = None,
+    allowed_after: dict[str, Sequence[str]] | None = None,
+    no_repeat: bool = False,
+    buckets: int = 64,
+) -> "rd.Dataset":
+    """Ordered-sequence rules over a categorical column, per group.
+
+    The transcript role-sequence check of the north rule (and the
+    reference's ordered typed-refinement rules, ``rules/rules.go:14-76``)
+    generalized: within each ``group_col`` group ordered by
+    ``order_cols``, emit one violation row ``(id..., prev_value, value,
+    code)`` for:
+
+    - ``no_repeat``: a value equal to its predecessor
+      (code ``sequence_repeat``);
+    - ``allowed_first``: a group's first value outside the set
+      (code ``sequence_start``, ``prev_value`` null);
+    - ``allowed_after``: a transition ``prev -> value`` where ``prev``
+      is a key of the dict and ``value`` is not in its allowed set
+      (code ``sequence_transition``).
+
+    One hash shuffle on the group key; the lag compare and all rule
+    masks are numpy/pc over the bucket-sorted arrays (no per-group
+    Python).  Null values never match any rule (SQL lag semantics).
+    """
+    id_cols = list(id_cols)
+    order_cols = list(order_cols)
+    need = list(dict.fromkeys([group_col, *order_cols, value_col] + id_cols))
+    first_set = pa.array(sorted(allowed_first), type=pa.string()) \
+        if allowed_first else None
+    after = {k: pa.array(sorted(v), type=pa.string())
+             for k, v in sorted((allowed_after or {}).items())}
+
+    def _seq(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(c, "ascending")
+                           for c in [group_col, *order_cols]])
+        n = tab.num_rows
+        new = segment_starts(tab, [group_col])
+        v = tab[value_col].combine_chunks()
+        valid = ~np.asarray(v.is_null()) if v.null_count else \
+            np.ones(n, dtype=bool)
+        # per-bucket dictionary codes give exact string equality compares
+        enc = v.dictionary_encode()
+        code = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        prev_ok = np.zeros(n, dtype=bool)   # has a valid predecessor
+        if n > 1:
+            prev_ok[1:] = ~new[1:] & valid[1:] & valid[:-1]
+        masks: list[tuple[np.ndarray, str]] = []
+        if no_repeat and n > 1:
+            rep = np.zeros(n, dtype=bool)
+            rep[1:] = prev_ok[1:] & (code[1:] == code[:-1])
+            masks.append((rep, "sequence_repeat"))
+        if first_set is not None:
+            in_first = np.asarray(pc.is_in(v, value_set=first_set)
+                                  .fill_null(False))
+            masks.append((new & valid & ~in_first, "sequence_start"))
+        if after:
+            trans = np.zeros(n, dtype=bool)
+            for key, allowed in after.items():
+                kidx = pc.index_in(pa.scalar(key), value_set=enc.dictionary)
+                if not kidx.is_valid:
+                    continue
+                prev_is_key = np.zeros(n, dtype=bool)
+                prev_is_key[1:] = prev_ok[1:] & (code[:-1] == kidx.as_py())
+                ok = np.asarray(pc.is_in(v, value_set=allowed)
+                                .fill_null(False))
+                trans |= prev_is_key & ~ok
+            masks.append((trans, "sequence_transition"))
+        parts = []
+        for mask, rule_code in masks:
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            cols = {c: tab[c].take(pa.array(idx)) for c in id_cols}
+            if rule_code == "sequence_start":
+                cols["prev_value"] = pa.nulls(len(idx), type=pa.string())
+            else:
+                cols["prev_value"] = v.take(pa.array(idx - 1))
+            cols["value"] = v.take(pa.array(idx))
+            cols["code"] = pa.array([rule_code] * len(idx),
+                                    type=pa.string())
+            parts.append(pa.table(cols))
+        if not parts:
+            return pa.table(
+                {**{c: pa.chunked_array([], type=tab[c].type)
+                    for c in id_cols},
+                 "prev_value": pa.array([], type=pa.string()),
+                 "value": pa.array([], type=pa.string()),
+                 "code": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    return bucketed_map_groups(ds.select_columns(need), [group_col], _seq,
+                               buckets=buckets, sort_within=False)
+
+
 def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
                    *, buckets: int = 64) -> "rd.Dataset":
     """Exact distinct values of ``value_col`` per ``group_col``:

@@ -478,3 +478,68 @@ def test_knn_ivf_high_recall(ray_session):
     assert recall >= 0.5
     # the planted near-dup must be found for query 0
     assert (0, 1) in ap
+
+
+def test_sequence_violations(ray_session):
+    from rayskema.pipelines.relational import sequence_violations
+    ds = rd.from_arrow(pa.table({
+        "g": ["u1", "u1", "u1", "u1", "u2", "u2", "u3"],
+        "o": [0, 1, 2, 3, 0, 1, 0],
+        "v": ["start", "work", "work", "stop", "work", None, "start"],
+        "id": [1, 2, 3, 4, 5, 6, 7]}))
+    out = _collect(sequence_violations(
+        ds, "g", ["o"], "v", ["id"],
+        allowed_first=("start",),
+        allowed_after={"stop": ()},  # nothing may follow a stop
+        no_repeat=True, buckets=2)).sort_by([("id", "ascending"),
+                                             ("code", "ascending")])
+    rows = list(zip(out["id"].to_pylist(), out["code"].to_pylist()))
+    # id=3: work repeats; id=5: u2 starts with 'work'; null at id=6
+    # never matches; u3 starts legally
+    assert rows == [(3, "sequence_repeat"), (5, "sequence_start")]
+    # transitions: stop -> anything is illegal
+    ds2 = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a"], "o": [0, 1, 2],
+        "v": ["start", "stop", "start"], "id": [1, 2, 3]}))
+    out2 = _collect(sequence_violations(
+        ds2, "g", ["o"], "v", ["id"],
+        allowed_after={"stop": ()}, buckets=2))
+    assert out2["id"].to_pylist() == [3]
+    assert out2["code"].to_pylist() == ["sequence_transition"]
+    assert out2["prev_value"].to_pylist() == ["stop"]
+
+
+def test_repetition_stats(ray_session):
+    from rayskema.functions.textstats import repetition_stats
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3],
+        "text": ["a b\na b\nc", "x y x x", ""]}))
+    out = _collect(repetition_stats(ds, "text", "id")).sort_by("id")
+    assert out["n_lines"].to_pylist() == [3, 1, 1]
+    assert out["n_dup_lines"].to_pylist() == [1, 0, 0]
+    assert out["dup_line_frac"].to_pylist() == [0.3333, 0.0, 0.0]
+    # doc1: tokens a,b,a,b,c -> top 'a' 2/5; doc2: x 3/4; doc3 empty
+    assert out["top_word_frac"].to_pylist() == [0.4, 0.75, 0.0]
+
+
+def test_top_k_tokens(ray_session):
+    from rayskema.functions.textstats import top_k_tokens
+    ds = rd.from_arrow(pa.table({
+        "text": ["b a a", "c b a", "  ", None]}))
+    out = _collect(top_k_tokens(ds, "text", k=2, buckets=2))
+    assert out["token"].to_pylist() == ["a", "b"]
+    assert out["n"].to_pylist() == [3, 2]
+
+
+def test_near_dup_clusters(ray_session):
+    from rayskema.functions.dedup import near_dup_clusters
+    # supply the pair graph directly: {1,2,3} chained, {7,9} paired
+    pairs = pa.table({"id_a": [1, 2, 7], "id_b": [2, 3, 9],
+                      "jaccard": [1.0, 1.0, 1.0]})
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 5, 7, 9], "text": ["x"] * 6}))
+    out = _collect(near_dup_clusters(
+        ds, "text", "doc_id", pairs=pairs)).sort_by("doc_id")
+    assert out["rep_id"].to_pylist() == [1, 1, 1, 5, 7, 7]
+    assert out["keep"].to_pylist() == [True, False, False, True, True,
+                                       False]
