@@ -39,10 +39,10 @@ _ENTRY_FIXTURE = "/tmp/rayskema_fixture_entry"
 
 
 def _ensure_entry_fixture() -> str:
-    from rayskema.testgen import write_fixture
+    from rayskema.testgen import fixture_current, write_fixture
 
     marker = os.path.join(_ENTRY_FIXTURE, "violations_expected.parquet")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not fixture_current(_ENTRY_FIXTURE):
         write_fixture(_ENTRY_FIXTURE, 6000, corrupt=True)
     return _ENTRY_FIXTURE
 
@@ -450,6 +450,14 @@ def _q_orders_profile(sf_dir: str):
         pc.fill_null(out["max_str"], ""))
 
 
+def _q_docs_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-language sample ranked by md5(text) —
+    balanced strata, reproducible by any SQL engine."""
+    from rayskema.functions.sampling import stratified_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return stratified_sample(ds, "lang", "doc_id", "text", k=5)
+
+
 def _q_docs_dedup_exact(sf_dir: str):
     from rayskema.functions.dedup import exact_duplicates
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -529,6 +537,27 @@ def _q_docs_top_tokens(sf_dir: str):
     from rayskema.functions.textstats import top_k_tokens
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return top_k_tokens(ds, "text", k=20)
+
+
+def _q_docs_scrub(sf_dir: str):
+    """PII redaction over documents enriched with synthetic emails/URLs/
+    long numbers (the corpus itself is a-z text, so the fixture plants
+    one of each per doc — the oracle performs the identical enrichment
+    in SQL; both regex engines are RE2, so bytes match)."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions.textstats import scrub_text
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(tab: pa.Table) -> pa.Table:
+        ids = pc.cast(tab["doc_id"], pa.string())
+        t = pc.binary_join_element_wise(
+            pc.fill_null(tab["text"], ""), " contact_", ids,
+            "@example.com see http://ex.com/", ids, " id 123456789", "")
+        return pa.table({"doc_id": tab["doc_id"], "text": t})
+
+    return scrub_text(ds.map_batches(enrich, batch_format="pyarrow"),
+                      "text", "doc_id")
 
 
 def _q_docs_fingerprint(sf_dir: str):
@@ -811,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_list_contains": _q_docs_list_contains,
         "events_map_keys": _q_events_map_keys,
         "orders_profile": _q_orders_profile,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_charset_jaccard": _q_docs_charset_jaccard,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -821,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
         "docs_top_tokens": _q_docs_top_tokens,
+        "docs_scrub": _q_docs_scrub,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
         "docs_multimodal_decode": _q_docs_multimodal_decode,
@@ -894,6 +925,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM p WHERE j >= 0.5
+        """,
+        "docs_stratified_sample": """
+            SELECT lang, doc_id, rank FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(text), doc_id) AS rank
+                FROM documents) t
+            WHERE rank <= 5
         """,
         "docs_dedup_clusters": """
             WITH RECURSIVE sh AS (
@@ -1285,6 +1325,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(tw.topc::DOUBLE / tw.nw, 4), 0.0)
                        AS top_word_frac
             FROM ln LEFT JOIN tw USING (doc_id)
+        """,
+        "docs_scrub": r"""
+            WITH s0 AS (
+                SELECT doc_id,
+                       text || ' contact_' || doc_id::VARCHAR
+                            || '@example.com see http://ex.com/'
+                            || doc_id::VARCHAR || ' id 123456789' AS t
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                           AS c1,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM s0),
+            s2 AS (
+                SELECT doc_id,
+                       c1, len(regexp_extract_all(t, 'https?://[^\s]+')) AS c2,
+                       regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, c1, c2,
+                       len(regexp_extract_all(t, '[0-9]{7,}')) AS c3,
+                       regexp_replace(t, '[0-9]{7,}', '<NUM>', 'g') AS t
+                FROM s2)
+            SELECT doc_id, t AS text_clean,
+                   (c1 + c2 + c3)::BIGINT AS n_redactions
+            FROM s3
         """,
         "docs_top_tokens": r"""
             SELECT w AS token, count(*)::BIGINT AS n

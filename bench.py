@@ -57,21 +57,15 @@ def ensure_corpus(n_turns: int) -> str:
     disk tops out ~120MB/s, which caps BOTH cluster sizes identically
     and masks compute scaling — on a real cluster, storage bandwidth
     scales with nodes.  The corpus (a few GB) fits tmpfs easily."""
-    from rayskema.testgen import write_fixture
+    from rayskema.testgen import fixture_current, write_fixture
 
     base = os.environ.get(
         "RAYSKEMA_BENCH_DIR",
         "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
     d = os.path.join(base, f"rayskema_bench_{n_turns}")
     marker = os.path.join(d, "violations_expected.parquet")
-    if not os.path.exists(marker):
-        old = f"/tmp/rayskema_bench_{n_turns}"
-        if base != "/tmp" and os.path.exists(
-                os.path.join(old, "violations_expected.parquet")):
-            import shutil
-            shutil.copytree(old, d, dirs_exist_ok=True)
-        else:
-            write_fixture(d, n_turns, corrupt=True)
+    if not os.path.exists(marker) or not fixture_current(d):
+        write_fixture(d, n_turns, corrupt=True)
     return d
 
 

@@ -24,6 +24,43 @@ import ray.data as rd
 from ..state.sketches import _hash64, hash_strings
 
 
+def stratified_sample(ds: "rd.Dataset", group_col: str, id_col: str,
+                      text_col: str, *, k: int = 5,
+                      buckets: int = 64) -> "rd.Dataset":
+    """Deterministic k-per-group sample: ``(group, id, rank)`` — the
+    ``k`` rows of each group with the smallest ``md5(text)`` (ties by
+    ``id``).
+
+    The balanced-strata companion to :func:`seeded_sample`: every
+    stratum (language, source, ...) contributes exactly ``min(k, |g|)``
+    rows regardless of its share of the corpus, and the choice is
+    content-keyed — stable across block layouts, partition counts and
+    cluster sizes, and reproducible by any SQL engine as
+    ``row_number() OVER (PARTITION BY g ORDER BY md5(text), id) <= k``.
+    One hash shuffle on the group key (the same bucketed top-k as
+    ``topk_per_group``); batches carry only (group, id, fp)."""
+    import hashlib
+
+    from ..pipelines.relational import topk_per_group
+    from . import binary_buffers
+
+    def _fp(tab: pa.Table) -> pa.Table:
+        offsets, mv, null_mask = binary_buffers(tab[text_col])
+        empty = memoryview(b"")
+        fps = [hashlib.md5(
+            empty if null_mask is not None and null_mask[i]
+            else mv[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(len(offsets) - 1)]
+        return pa.table({group_col: tab[group_col], id_col: tab[id_col],
+                         "fp": pa.array(fps, type=pa.string())})
+
+    stamped = ds.select_columns(
+        list(dict.fromkeys([group_col, id_col, text_col]))).map_batches(
+        _fp, batch_format="pyarrow")
+    return topk_per_group(stamped, group_col, "fp", id_col, k=k,
+                          descending=False, buckets=buckets)
+
+
 def seeded_sample(ds: "rd.Dataset", fraction: float, seed: int = 0,
                   *, key: str | None = None) -> "rd.Dataset":
     """Deterministic sample of ``fraction`` of the rows."""

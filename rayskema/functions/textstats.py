@@ -252,6 +252,46 @@ def lang_id(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":
         stage, batch_format="pyarrow")
 
 
+# default scrub rules: (name, RE2 pattern, replacement).  Arrow's
+# replace_substring_regex and DuckDB's regexp_replace(...'g') are both
+# RE2, so a SQL oracle reproduces the redaction byte-for-byte.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("longnum", r"[0-9]{7,}", "<NUM>"),
+)
+
+
+def scrub_text(ds: "rd.Dataset", text_col: str, id_col: str, *,
+               rules: tuple[tuple[str, str, str], ...] = SCRUB_RULES,
+               ) -> "rd.Dataset":
+    """PII/noise redaction: ``(id, text_clean, n_redactions)`` — every
+    match of each rule pattern replaced by its tag, applied in rule
+    order.  Vectorized ``pc.replace_substring_regex`` per rule (the
+    normalize-stage shape of the reference's ``Normalizer`` hook,
+    ``api.go:108-110``, as a standalone corpus-cleaning operator);
+    ``n_redactions`` counts matches before replacement so quality
+    filters can threshold on redaction density."""
+
+    def _scrub(tab: pa.Table) -> pa.Table:
+        t = pc.fill_null(tab[text_col], "")
+        total = np.zeros(tab.num_rows, dtype=np.int64)
+        for _name, pattern, repl in rules:
+            total += pc.count_substring_regex(
+                t, pattern=pattern).to_numpy(zero_copy_only=False)
+            t = pc.replace_substring_regex(t, pattern=pattern,
+                                           replacement=repl)
+        return pa.table({
+            id_col: tab[id_col],
+            "text_clean": t,
+            "n_redactions": pa.array(total, type=pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _scrub, batch_format="pyarrow")
+
+
 def fingerprint_md5(ds: "rd.Dataset", text_col: str,
                     id_col: str) -> "rd.Dataset":
     """(id, fp) — lowercase-hex MD5 of the UTF-8 text (content hash;

@@ -447,6 +447,21 @@ def transcript_schema(
                        expect={"op": "not_null", "col": "tool"},
                        code="business_rule",
                        message="role=='tool' requires tool name"),
+        # role-sequence structure: a conversation opens with a system
+        # turn, and system turns appear nowhere else.  Stated row-local
+        # (over turn_idx) so the checks stay batch-local and
+        # salting-proof; turn_idx integrity itself is covered by the
+        # contiguity + uniqueness rules above.
+        CrossFieldRule(rule="role_seq_start",
+                       when={"op": "eq", "col": "turn_idx", "value": 0},
+                       expect={"op": "eq", "col": "role", "value": "system"},
+                       code="business_rule",
+                       message="turn 0 must be a system turn"),
+        CrossFieldRule(rule="role_seq_only_first",
+                       when={"op": "eq", "col": "role", "value": "system"},
+                       expect={"op": "eq", "col": "turn_idx", "value": 0},
+                       code="business_rule",
+                       message="system role only allowed at turn 0"),
     ]
     if with_drift:
         rules.append(DriftRule(column="role", kind="psi", threshold=0.2,

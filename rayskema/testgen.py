@@ -38,6 +38,9 @@ from .state.sketches import ColumnProfile, hash_strings
 
 EPOCH_US = 1_700_000_000_000_000  # fixed base timestamp (us)
 N_BUCKETS = 16
+# bump when the generated corpus / expected violations change shape so
+# cached fixture dirs (entry fixture, bench corpora) regenerate
+FIXTURE_VERSION = 2
 TOOL_POOL = np.array(["search", "calculator", "browser", "python",
                       "sql_query", "retrieval"], dtype=object)
 
@@ -174,7 +177,8 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
         # per-conversation Python; the vectorized clean gen dominates)
         per_class = min(200, max(1, n_conv // 120))
         classes = ["dup", "null_text", "bad_role", "bad_tool", "tool_wrong_role",
-                   "long_text", "empty_text", "gap", "neg", "ts_reg", "dangling"]
+                   "long_text", "empty_text", "gap", "neg", "ts_reg", "dangling",
+                   "role_seq"]
         picks = _pick_convs(counts.to_numpy(), len(classes), per_class)
         # generation order is (conv, turn)-sorted => rows per conversation
         # are contiguous: [conv_first[c], conv_first[c] + n_turns[c])
@@ -243,6 +247,9 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
                                      "too_small", "turn_idx_nonneg"))
                     expected.append((cid, None, "/turn_idx",
                                      "aggregate_violation", "turn_idx_contiguous"))
+                    # the system turn now sits at idx -3, not 0
+                    expected.append((cid, -3, "",
+                                     "business_rule", "role_seq_only_first"))
                 elif cls_name == "ts_reg" and n >= 3:
                     r = rows[2]
                     df.at[r, "ts"] = df.at[rows[0], "ts"] - np.timedelta64(5, "s")
@@ -252,6 +259,21 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
                     manifest_drop.add(cid)
                     expected.append((cid, None, "/conv_id",
                                      "conflict", "conv_manifest"))
+                elif cls_name == "role_seq":
+                    # open the conversation with a non-system turn
+                    r = rows[0]  # turn 0: role system, tool null
+                    df.at[r, "role"] = "user"
+                    expected.append((cid, 0, "", "business_rule",
+                                     "role_seq_start"))
+                    # and plant a stray system turn mid-conversation
+                    mid = [r2 for r2 in rows[1:]
+                           if df.at[r2, "role"] in ("user", "assistant")]
+                    if mid:
+                        r2 = mid[0]
+                        df.at[r2, "role"] = "system"
+                        expected.append((cid, int(df.at[r2, "turn_idx"]), "",
+                                         "business_rule",
+                                         "role_seq_only_first"))
 
     # ---- shard layout ----------------------------------------------------
     table = pa.Table.from_pandas(df, schema=clean.schema, preserve_index=False)
@@ -328,6 +350,20 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
                            ("rule", "ascending")])
         pq.write_table(exp, os.path.join(out_dir, "violations_expected.parquet"))
 
+    with open(os.path.join(out_dir, "fixture_version.txt"), "w") as f:
+        f.write(str(FIXTURE_VERSION))
+
     return {"rows": clean.num_rows, "n_conv": len(uniq_convs),
-            "dir": out_dir, "corrupt": corrupt,
+            "dir": out_dir, "corrupt": corrupt, "version": FIXTURE_VERSION,
             "expected_violations": len(expected) if corrupt else 0}
+
+
+def fixture_current(out_dir: str) -> bool:
+    """True when ``out_dir`` holds a complete fixture written by THIS
+    generator version — cached corpora from before a schema/corruption
+    change must be regenerated, not reused."""
+    try:
+        with open(os.path.join(out_dir, "fixture_version.txt")) as f:
+            return f.read().strip() == str(FIXTURE_VERSION)
+    except OSError:
+        return False

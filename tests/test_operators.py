@@ -543,3 +543,33 @@ def test_near_dup_clusters(ray_session):
     assert out["rep_id"].to_pylist() == [1, 1, 1, 5, 7, 7]
     assert out["keep"].to_pylist() == [True, False, False, True, True,
                                        False]
+
+
+def test_scrub_text(ray_session):
+    from rayskema.functions.textstats import scrub_text
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2],
+        "text": ["mail a@b.co and https://x.io/z num 12345678",
+                 "clean text"]}))
+    out = _collect(scrub_text(ds, "text", "id")).sort_by("id")
+    assert out["text_clean"].to_pylist() == [
+        "mail <EMAIL> and <URL> num <NUM>", "clean text"]
+    assert out["n_redactions"].to_pylist() == [3, 0]
+
+
+def test_stratified_sample(ray_session):
+    from rayskema.functions.sampling import stratified_sample
+    ds = rd.from_arrow(pa.table({
+        "g": ["a"] * 4 + ["b"] * 2,
+        "id": [1, 2, 3, 4, 5, 6],
+        "text": ["t1", "t2", "t3", "t4", "t5", "t6"]}))
+    out = _collect(stratified_sample(ds, "g", "id", "text", k=2,
+                                     buckets=2))
+    # exactly k per group (2 for a, 2 for b), ranks 1..k, deterministic
+    import collections
+    cnt = collections.Counter(out["g"].to_pylist())
+    assert cnt == {"a": 2, "b": 2}
+    assert sorted(out["rank"].to_pylist()) == [1, 1, 2, 2]
+    again = _collect(stratified_sample(ds, "g", "id", "text", k=2,
+                                       buckets=2))
+    assert out.sort_by("id").equals(again.sort_by("id"))
