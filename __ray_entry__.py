@@ -431,6 +431,15 @@ def _q_events_map_keys(sf_dir: str):
     return _viol_select(out, ["event_id"])
 
 
+def _q_events_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (rank-based, no
+    interpolation — byte-reproducible by the SQL oracle)."""
+    from rayskema.pipelines.relational import group_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value",
+                           [0.25, 0.5, 0.9, 0.99])
+
+
 def _q_orders_profile(sf_dir: str):
     """Per-column profile of orders (counts, nulls, exact distinct,
     min/max) — the column-stats surface, mergeable partials + one
@@ -749,6 +758,48 @@ def _q_emb_knn_ivf(sf_dir: str):
     return _round_score(approx)
 
 
+def _q_emb_kmeans(sf_dir: str):
+    """Distributed k-means over the embedding column (Lloyd with
+    map-side partial sums; the corpus never leaves the workers).  No
+    SQL oracle (iterative); asserted in-query instead: inertia is
+    non-increasing across iterations, AND the distributed fit matches
+    a local single-process Lloyd reference run with the identical
+    seeded init (the verification step collects the small fixture
+    table; the distributed path itself streams)."""
+    from rayskema.functions.similarity import (_init_hash, _matrix,
+                                               kmeans_assign, kmeans_fit)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids, hist = kmeans_fit(ds, "embedding", id_col="vec_id",
+                                 n_clusters=10, iters=10, seed=7)
+    assert all(hist[i + 1] <= hist[i] * (1 + 1e-9)
+               for i in range(len(hist) - 1)), f"inertia rose: {hist}"
+    out = kmeans_assign(ds, "embedding", "vec_id", centroids)
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    asg = pa.concat_tables(tabs).sort_by([("vec_id", "ascending")])
+    # local reference Lloyd with the same init (row order = vec_id order)
+    full = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    ).sort_by([("vec_id", "ascending")])
+    m = _matrix(full["embedding"])
+    ids = full["vec_id"].to_numpy(zero_copy_only=False)
+    ref_c = m[np.argsort(_init_hash(ids, 7))[:10]].copy()
+    for _ in range(len(hist)):
+        d2 = ((m[:, None, :] - ref_c[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(10):
+            if (a == c).any():
+                ref_c[c] = m[a == c].mean(axis=0)
+    ref_asg = np.argmin(
+        ((m[:, None, :] - ref_c[None, :, :]) ** 2).sum(-1), axis=1)
+    got = asg["cluster"].to_numpy(zero_copy_only=False)
+    agree = float((got == ref_asg).mean())
+    assert np.allclose(np.sort(ref_c, axis=0),
+                       np.sort(centroids, axis=0), atol=1e-6), \
+        "distributed centroids diverge from the local reference"
+    assert agree >= 0.999, f"assignments agree only {agree:.4f}"
+    return asg.select(["vec_id", "cluster"])
+
+
 def _q_emb_near_dups(sf_dir: str):
     """EXACT all-pairs cosine near-dups (broadcast-corpus tiling) — the
     oracle-checkable verification operator; the LSH candidate variant
@@ -839,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_crd_import": _q_orders_crd_import,
         "docs_list_contains": _q_docs_list_contains,
         "events_map_keys": _q_events_map_keys,
+        "events_quantiles": _q_events_quantiles,
         "orders_profile": _q_orders_profile,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_dedup_exact": _q_docs_dedup_exact,
@@ -859,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_kmeans": _q_emb_kmeans,
         "emb_near_dups": _q_emb_near_dups,
         "events_type_psi": _q_events_type_psi,
         "docs_ks_drift": _q_docs_ks_drift,
@@ -1220,6 +1273,19 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT na FROM tot) AS n_a,
                    (SELECT nb FROM tot) AS n_b
             FROM t
+        """,
+        "events_quantiles": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM events WHERE value IS NOT NULL)
+            SELECT event_type, q, min(value) AS value
+            FROM r
+            JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) qs
+              ON rn = CAST(ceil(q * cnt) AS BIGINT)
+            GROUP BY event_type, q
         """,
         "orders_profile": """
             SELECT 'o_custkey' AS col, count(*)::BIGINT AS n,

@@ -395,6 +395,151 @@ def ivf_train(ds: "rd.Dataset", vec_col: str, *, n_clusters: int = 16,
     return centroids
 
 
+def _init_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Content-keyed init ranking: 64-bit hash of (id, seed).  Rows with
+    the k smallest hashes seed the centroids — deterministic regardless
+    of block layout, partition count or cluster size (a ``limit()``
+    sample is NOT: block order varies run to run)."""
+    from ..state.sketches import _hash64
+    return _hash64(ids.astype(np.uint64)
+                   ^ np.uint64((seed * 0x9E3779B97F4A7C15)
+                               & 0xFFFFFFFFFFFFFFFF))
+
+
+def kmeans_fit(
+    ds: "rd.Dataset", vec_col: str, *, id_col: str | None = None,
+    n_clusters: int = 8, iters: int = 10, seed: int = 7,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's k-means over the WHOLE embedding column
+    (unlike :func:`ivf_train`, which fits a coarse quantizer on a
+    bounded sample).  Returns (centroids ``(k, d)``, per-iteration
+    inertia history).
+
+    Scale shape: the projected vector column is materialized ONCE (the
+    multi-pass input of an iterative algorithm — this is the one place
+    mid-pipeline materialization is the right call, and it holds only
+    the (n, d) float column, not the source table); each iteration
+    broadcasts the centroids via ``ray.put`` and every batch emits one
+    pre-aggregated partial of (per-cluster vector sum, count, sse) — k
+    rows per block — so the driver reduce is O(k*d*blocks), never the
+    corpus.  Deterministic seeded init (first distinct sample rows);
+    partials are summed in sorted block order to keep the float reduce
+    reproducible for a fixed block layout.
+    """
+    cols = [vec_col] if id_col is None else [id_col, vec_col]
+    proj = ds.select_columns(cols).materialize()
+    if id_col is not None:
+        # layout-independent seeded init: per-batch k-smallest-hash
+        # candidates, tiny driver merge
+        def _cand(tab: pa.Table) -> pa.Table:
+            ids = pc.cast(tab[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            h = _init_hash(ids, seed)
+            sel = np.argsort(h)[:min(n_clusters, len(h))]
+            return pa.table({"h": pa.array(h[sel].astype(np.int64)),
+                             "vec": tab[vec_col].take(pa.array(sel))})
+
+        cands = pa.concat_tables(
+            [t for t in ray.get(proj.map_batches(
+                _cand, batch_format="pyarrow").to_arrow_refs())
+             if t.num_rows]).sort_by([("h", "ascending")])
+        centroids = _matrix(cands["vec"])[:n_clusters].copy()
+    else:
+        sample = proj.limit(max(4096, n_clusters * 64))
+        tabs = [t for t in ray.get(sample.to_arrow_refs()) if t.num_rows]
+        sm = np.concatenate([_matrix(t[vec_col]) for t in tabs])
+        rng = np.random.default_rng(seed)
+        centroids = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)),
+                                  replace=False)].copy()
+    d = centroids.shape[1]
+    history: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def _partial(tab: pa.Table, _c=cref) -> pa.Table:
+            c = ray.get(_c)
+            m = _matrix(tab[vec_col])
+            if not len(m):
+                kk, dd = c.shape
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sse": pa.array([], type=pa.float64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64()))})
+            # squared L2 via the expansion: |x|^2 - 2 x.c + |c|^2
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+                + (c * c).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            sse_row = d2[np.arange(len(m)), assign]
+            kk = len(c)
+            counts = np.bincount(assign, minlength=kk)
+            sse = np.bincount(assign, weights=sse_row, minlength=kk)
+            vsum = np.zeros((kk, c.shape[1]))
+            np.add.at(vsum, assign, m)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+                "sse": pa.array(sse),
+                "vsum": pa.array(list(vsum)),
+            })
+
+        parts = [t for t in ray.get(
+            proj.map_batches(_partial,
+                             batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        agg_n = np.zeros(len(centroids), dtype=np.int64)
+        agg_sse = 0.0
+        agg_sum = np.zeros((len(centroids), d))
+        for t in sorted(parts, key=lambda t: t["cluster"][0].as_py()
+                        if t.num_rows else 0):
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            agg_n[cl] += t["n"].to_numpy(zero_copy_only=False)
+            agg_sse += float(np.sum(t["sse"].to_numpy(
+                zero_copy_only=False)))
+            agg_sum[cl] += np.stack(
+                t["vsum"].to_numpy(zero_copy_only=False))
+        history.append(agg_sse)
+        nz = agg_n > 0
+        new_c = centroids.copy()
+        new_c[nz] = agg_sum[nz] / agg_n[nz, None]
+        shift = float(np.abs(new_c - centroids).max())
+        centroids = new_c
+        if shift < tol:
+            break
+    return centroids, history
+
+
+def kmeans_assign(
+    ds: "rd.Dataset", vec_col: str, id_col: str,
+    centroids: np.ndarray,
+) -> "rd.Dataset":
+    """Stamp each row with its nearest centroid: ``(id, cluster,
+    distance)``.  Centroids are broadcast once; one streaming pass."""
+    cref = ray.put(centroids)
+
+    def _assign(tab: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _matrix(tab[vec_col])
+        if not len(m):
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+                "distance": pa.array([], type=pa.float64())})
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        dist = np.sqrt(np.maximum(d2[np.arange(len(m)), assign], 0.0))
+        return pa.table({
+            id_col: tab[id_col],
+            "cluster": pa.array(assign.astype(np.int64)),
+            "distance": pa.array(dist),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow")
+
+
 def knn_cosine_ivf(
     ds: "rd.Dataset", vec_col: str, id_col: str, query_ids: list, *,
     k: int = 5, centroids: np.ndarray | None = None, n_probe: int = 4,

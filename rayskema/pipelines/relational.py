@@ -391,6 +391,53 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
                                buckets=buckets, sort_within=False)
 
 
+def group_quantiles(
+    ds: "rd.Dataset", group_col: str, value_col: str,
+    qs: Sequence[float], *, buckets: int = 64,
+) -> "rd.Dataset":
+    """EXACT per-group quantiles: ``(group, q, value)`` where value is
+    the smallest element whose within-group rank reaches ``ceil(q*n)``
+    (the rank-based "type 1" quantile — unambiguous, interpolation-free,
+    reproducible by any SQL engine as
+    ``row_number() = ceil(q * count(*))``).  Nulls are excluded.
+
+    One hash shuffle on the group key; the within-group sort and rank
+    picks are vectorized over the bucket (never per-group Python).  The
+    reference computes aggregates exactly in-memory
+    (``rules/rules.go:116-135``); this is the distributed exact path —
+    the t-digest sketch in ``state/sketches.py`` is the approximate one.
+    """
+    qs = [float(q) for q in qs]
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+
+    def _quant(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[value_col]))
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=tab[group_col].type),
+                "q": pa.array([], type=pa.float64()),
+                "value": pa.array([], type=tab[value_col].type)})
+        tab = tab.sort_by([(group_col, "ascending"),
+                           (value_col, "ascending")])
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, tab.num_rows))
+        parts = []
+        for q in qs:
+            pos = starts + np.ceil(q * counts).astype(np.int64) - 1
+            parts.append(pa.table({
+                group_col: tab[group_col].take(pa.array(starts)),
+                "q": pa.array(np.full(len(starts), q)),
+                "value": tab[value_col].take(pa.array(pos)),
+            }))
+        return pa.concat_tables(parts)
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col, value_col]), [group_col], _quant,
+        buckets=buckets, sort_within=False)
+
+
 def topk_per_group(ds: "rd.Dataset", group_col: str, order_col: str,
                    id_col: str, *, k: int = 3, descending: bool = True,
                    buckets: int = 64) -> "rd.Dataset":

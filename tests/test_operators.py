@@ -573,3 +573,49 @@ def test_stratified_sample(ray_session):
     again = _collect(stratified_sample(ds, "g", "id", "text", k=2,
                                        buckets=2))
     assert out.sort_by("id").equals(again.sort_by("id"))
+
+
+def test_group_quantiles(ray_session):
+    from rayskema.pipelines.relational import group_quantiles
+    ds = rd.from_arrow(pa.table({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "v": [4.0, 1.0, 3.0, 2.0, 10.0, None, 30.0]}))
+    out = _collect(group_quantiles(ds, "g", "v", [0.5, 1.0], buckets=2))
+    rows = {(r["g"], r["q"]): r["value"]
+            for r in out.to_pylist()}
+    # a: sorted [1,2,3,4]; p50 rank ceil(0.5*4)=2 -> 2.0; max -> 4.0
+    # b: nulls excluded, sorted [10,30]; p50 -> 10.0; max -> 30.0
+    assert rows == {("a", 0.5): 2.0, ("a", 1.0): 4.0,
+                    ("b", 0.5): 10.0, ("b", 1.0): 30.0}
+
+
+def test_kmeans_distributed_matches_local(ray_session):
+    from rayskema.functions.similarity import (_init_hash, _matrix,
+                                               kmeans_assign, kmeans_fit)
+    rng = np.random.default_rng(3)
+    # two well-separated blobs
+    m = np.concatenate([rng.normal(0, 0.1, (40, 4)),
+                        rng.normal(5, 0.1, (40, 4))])
+    ids = np.arange(80)
+    tab = pa.table({"id": ids, "vec": pa.array(list(m.astype(np.float32)),
+                                               type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tab)
+    c, hist = kmeans_fit(ds, "vec", id_col="id", n_clusters=2, iters=5,
+                         seed=1)
+    assert all(hist[i + 1] <= hist[i] * (1 + 1e-9)
+               for i in range(len(hist) - 1))
+    out = _collect(kmeans_assign(ds, "vec", "id", c)).sort_by("id")
+    cl = out["cluster"].to_numpy(zero_copy_only=False)
+    # the two blobs land in two distinct pure clusters
+    assert len(set(cl[:40])) == 1 and len(set(cl[40:])) == 1
+    assert cl[0] != cl[-1]
+    # local reference with the identical content-keyed init
+    mm = _matrix(tab["vec"])
+    ref_c = mm[np.argsort(_init_hash(ids, 1))[:2]].copy()
+    for _ in range(len(hist)):
+        d2 = ((mm[:, None, :] - ref_c[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for cc in range(2):
+            if (a == cc).any():
+                ref_c[cc] = mm[a == cc].mean(axis=0)
+    assert np.allclose(ref_c, c, atol=1e-9)
