@@ -431,6 +431,25 @@ def _q_events_map_keys(sf_dir: str):
     return _viol_select(out, ["event_id"])
 
 
+def _q_events_paths(sf_dir: str):
+    """Reassemble each user's ordered event-type path into one row —
+    the turns-to-conversation-document shape for sequence-level dedup."""
+    from rayskema.pipelines.relational import assemble_sequences
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return assemble_sequences(ds, "user_id", ["ts", "event_id"],
+                              "event_type", sep="|")
+
+
+def _q_events_histogram(sf_dir: str):
+    """Exact fixed-bin value histogram per event type (the PSI drift
+    bucketing as a standalone operator; partial-aggregated)."""
+    from rayskema.pipelines.relational import group_histogram
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_histogram(ds, "event_type", "value", lo=0.0, hi=100.0,
+                           n_bins=10)
+
+
 def _q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (rank-based, no
     interpolation — byte-reproducible by the SQL oracle)."""
@@ -890,6 +909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_crd_import": _q_orders_crd_import,
         "docs_list_contains": _q_docs_list_contains,
         "events_map_keys": _q_events_map_keys,
+        "events_paths": _q_events_paths,
+        "events_histogram": _q_events_histogram,
         "events_quantiles": _q_events_quantiles,
         "orders_profile": _q_orders_profile,
         "docs_stratified_sample": _q_docs_stratified_sample,
@@ -1273,6 +1294,21 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT na FROM tot) AS n_a,
                    (SELECT nb FROM tot) AS n_b
             FROM t
+        """,
+        "events_paths": """
+            SELECT user_id, count(event_type)::BIGINT AS n,
+                   string_agg(event_type, '|' ORDER BY ts, event_id)
+                       AS seq
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id
+        """,
+        "events_histogram": """
+            SELECT event_type,
+                   CAST(least(greatest(floor((value - 0.0) / 10.0), 0),
+                              9) AS BIGINT) AS bin,
+                   count(*)::BIGINT AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, bin
         """,
         "events_quantiles": """
             WITH r AS (

@@ -438,6 +438,81 @@ def group_quantiles(
         buckets=buckets, sort_within=False)
 
 
+def assemble_sequences(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, sep: str = "|", buckets: int = 64,
+) -> "rd.Dataset":
+    """Reassemble each group's ordered values into one row:
+    ``(group, n, seq)`` — e.g. turns back into a conversation document
+    (the input shape for conversation-level dedup/fingerprinting), or a
+    user's event path.  Null values are skipped (SQL ``string_agg``
+    semantics); ``n`` counts the joined values.
+
+    One hash shuffle on the group key; the join is a single vectorized
+    ``pc.binary_join`` over a ListArray built from the segment offsets
+    of the bucket-sorted column — no per-group Python, no per-row
+    string concatenation."""
+    order_cols = list(order_cols)
+    need = list(dict.fromkeys([group_col, *order_cols, value_col]))
+
+    def _asm(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[value_col]))
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=tab[group_col].type),
+                "n": pa.array([], type=pa.int64()),
+                "seq": pa.array([], type=pa.string())})
+        tab = tab.sort_by([(c, "ascending")
+                           for c in [group_col, *order_cols]])
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, tab.num_rows).astype(np.int32)
+        values = pc.cast(tab[value_col], pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), values)
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(starts)),
+            "n": pa.array(np.diff(offsets).astype(np.int64)),
+            "seq": pc.binary_join(lists, sep),
+        })
+
+    return bucketed_map_groups(ds.select_columns(need), [group_col],
+                               _asm, buckets=buckets, sort_within=False)
+
+
+def group_histogram(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    lo: float, hi: float, n_bins: int = 10, buckets: int = 64,
+) -> "rd.Dataset":
+    """Fixed-bin per-group histogram: ``(group, bin, n)`` with
+    ``bin = clamp(floor((v - lo) / width), 0, n_bins-1)`` over non-null
+    values (the PSI/drift bucketing as a standalone exact operator).
+
+    Partial aggregation: each block reduces to its distinct
+    (group, bin, count) triples BEFORE the shuffle, so only
+    O(groups x bins) rows per block move."""
+    width = (hi - lo) / n_bins
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[value_col]))
+        v = pc.cast(tab[value_col], pa.float64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - lo) / width), 0,
+                    n_bins - 1).astype(np.int64)
+        t = tab.select([group_col]).append_column("bin", pa.array(b))
+        return t.group_by([group_col, "bin"]).aggregate(
+            [([], "count_all")]).rename_columns([group_col, "bin", "n"])
+
+    partial = ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _sum(tab: pa.Table) -> pa.Table:
+        g = tab.group_by([group_col, "bin"]).aggregate([("n", "sum")])
+        return g.rename_columns([group_col, "bin", "n"])
+
+    return bucketed_map_groups(partial, [group_col], _sum,
+                               buckets=buckets, sort_within=False)
+
+
 def topk_per_group(ds: "rd.Dataset", group_col: str, order_col: str,
                    id_col: str, *, k: int = 3, descending: bool = True,
                    buckets: int = 64) -> "rd.Dataset":

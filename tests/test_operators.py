@@ -619,3 +619,29 @@ def test_kmeans_distributed_matches_local(ray_session):
             if (a == cc).any():
                 ref_c[cc] = mm[a == cc].mean(axis=0)
     assert np.allclose(ref_c, c, atol=1e-9)
+
+
+def test_assemble_sequences(ray_session):
+    from rayskema.pipelines.relational import assemble_sequences
+    ds = rd.from_arrow(pa.table({
+        "g": ["u1", "u1", "u1", "u2", "u2"],
+        "o": [2, 0, 1, 1, 0],
+        "v": ["c", "a", None, "y", "x"]}))
+    out = _collect(assemble_sequences(ds, "g", ["o"], "v",
+                                      buckets=2)).sort_by("g")
+    assert out["g"].to_pylist() == ["u1", "u2"]
+    # nulls skipped (string_agg semantics), order restored by o
+    assert out["seq"].to_pylist() == ["a|c", "x|y"]
+    assert out["n"].to_pylist() == [2, 2]
+
+
+def test_group_histogram(ray_session):
+    from rayskema.pipelines.relational import group_histogram
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "b"],
+        "v": [-5.0, 15.0, 999.0, 5.0, None]}))
+    out = _collect(group_histogram(ds, "g", "v", lo=0.0, hi=100.0,
+                                   n_bins=10, buckets=2))
+    rows = {(r["g"], r["bin"]): r["n"] for r in out.to_pylist()}
+    # -5 clamps to bin 0, 15 -> bin 1, 999 clamps to bin 9; null dropped
+    assert rows == {("a", 0): 1, ("a", 1): 1, ("a", 9): 1, ("b", 0): 1}
