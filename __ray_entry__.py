@@ -528,6 +528,22 @@ def _q_docs_dedup_clusters(sf_dir: str):
     return near_dup_clusters(ds, "text", "doc_id", jaccard_threshold=0.5)
 
 
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus rows whose text exactly
+    matches a probe-set row (probe set = every 10th document).  Bloom
+    prefilter broadcast, exact text verify in the shuffle."""
+    from rayskema.functions.dedup import contamination_flags
+
+    def every_tenth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    probes = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        every_tenth, batch_format="pyarrow")
+    return contamination_flags(corpus, probes, "text", "doc_id")
+
+
 def _q_docs_ngram_jaccard(sf_dir: str):
     """Word-3-gram Jaccard near-dup pairs: MinHash+LSH over WORD
     shingles for candidates, exact word-3-gram verify (the n-gram
@@ -919,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
+        "docs_decontaminate": _q_docs_decontaminate,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -1008,6 +1025,11 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(text), doc_id) AS rank
                 FROM documents) t
             WHERE rank <= 5
+        """,
+        "docs_decontaminate": """
+            SELECT d.doc_id FROM documents d
+            WHERE d.text IN
+                (SELECT text FROM documents WHERE doc_id % 10 = 0)
         """,
         "docs_dedup_clusters": """
             WITH RECURSIVE sh AS (

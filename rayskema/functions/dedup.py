@@ -677,6 +677,96 @@ def ngram_jaccard_near_dup_pairs(
         threshold=jaccard_threshold)
 
 
+def contamination_flags(
+    corpus: "rd.Dataset", probes: "rd.Dataset", text_col: str,
+    id_col: str, *, bits_log2: int = 20, n_hashes: int = 4,
+    buckets: int = 64,
+) -> "rd.Dataset":
+    """Train/eval decontamination: ids of corpus rows whose ``text``
+    EXACTLY matches any probe row's text (benchmark contamination
+    check).  Returns a Dataset of ``(id,)``.
+
+    Scale shape: the probe set is reduced to a Bloom filter (2^bits
+    bits; 2^20 = 128 KiB regardless of probe count) built from
+    per-block partial bitmaps OR-merged on the driver and broadcast
+    ONCE via ``ray.put`` — the corpus is filtered locally to candidate
+    rows (true matches + the Bloom false-positive rate), and only the
+    candidates shuffle.  The exact pass co-locates candidates with
+    probe texts by hash bucket and compares TEXT (not hashes), so the
+    result is exact even under 64-bit hash collisions."""
+    mask_bits = (1 << bits_log2) - 1
+
+    def _positions(h: np.ndarray) -> np.ndarray:
+        # n_hashes derived positions per key: h1 + i*h2 (Kirsch-
+        # Mitzenmacher double hashing)
+        h2 = _hash64(h)
+        return np.stack([(h + np.uint64(i) * h2).astype(np.uint64)
+                         & np.uint64(mask_bits)
+                         for i in range(n_hashes)])
+
+    words = 1 << max(0, bits_log2 - 6)
+
+    def _partial_bloom(tab: pa.Table) -> pa.Table:
+        h = hash_strings(tab[text_col].combine_chunks())
+        bm = np.zeros(words, dtype=np.uint64)
+        pos = _positions(h).ravel()
+        np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bm.tobytes()],
+                                           type=pa.large_binary())})
+
+    parts = [t for t in ray.get(
+        probes.select_columns([text_col]).map_batches(
+            _partial_bloom, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    bloom = np.zeros(words, dtype=np.uint64)
+    for t in parts:
+        for chunk in t["bloom"].to_pylist():
+            bloom |= np.frombuffer(chunk, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def _candidates(tab: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        h = hash_strings(tab[text_col].combine_chunks())
+        pos = _positions(h)
+        hit = np.ones(len(h), dtype=bool)
+        for i in range(n_hashes):
+            hit &= (bm[(pos[i] >> np.uint64(6)).astype(np.int64)]
+                    >> (pos[i] & np.uint64(63))) & np.uint64(1) != 0
+        return pa.table({
+            id_col: pc.cast(tab[id_col], pa.int64()).filter(
+                pa.array(hit)),
+            "h": pa.array(h[hit].astype(np.int64)),
+            text_col: tab[text_col].filter(pa.array(hit)),
+        })
+
+    cands = corpus.select_columns([id_col, text_col]).map_batches(
+        _candidates, batch_format="pyarrow")
+
+    def _probe_side(tab: pa.Table) -> pa.Table:
+        h = hash_strings(tab[text_col].combine_chunks())
+        return pa.table({
+            id_col: pa.nulls(tab.num_rows, type=pa.int64()),
+            "h": pa.array(h.astype(np.int64)),
+            text_col: tab[text_col],
+        })
+
+    probe_side = probes.select_columns([text_col]).map_batches(
+        _probe_side, batch_format="pyarrow")
+
+    def _verify(tab: pa.Table) -> pa.Table:
+        is_probe = np.asarray(pc.is_null(tab[id_col]))
+        ptexts = tab[text_col].filter(pa.array(is_probe)).combine_chunks()
+        crows = tab.filter(pa.array(~is_probe))
+        if crows.num_rows == 0 or len(ptexts) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        hit = pc.is_in(crows[text_col], value_set=ptexts)
+        return pa.table({id_col: crows[id_col].filter(hit)})
+
+    return bucketed_map_groups(cands.union(probe_side), ["h"], _verify,
+                               buckets=buckets, sort_within=False)
+
+
 def near_dup_clusters(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     jaccard_threshold: float = 0.5, pairs: pa.Table | None = None,

@@ -645,3 +645,16 @@ def test_group_histogram(ray_session):
     rows = {(r["g"], r["bin"]): r["n"] for r in out.to_pylist()}
     # -5 clamps to bin 0, 15 -> bin 1, 999 clamps to bin 9; null dropped
     assert rows == {("a", 0): 1, ("a", 1): 1, ("a", 9): 1, ("b", 0): 1}
+
+
+def test_contamination_flags(ray_session):
+    from rayskema.functions.dedup import contamination_flags
+    corpus = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "text": ["benchmark q1", "clean doc", "benchmark q1", "other"]}))
+    probes = rd.from_arrow(pa.table({
+        "id": [100], "text": ["benchmark q1"]}))
+    out = _collect(contamination_flags(corpus, probes, "text", "id",
+                                       buckets=4)).sort_by("id")
+    # both copies of the probe text flagged, nothing else
+    assert out["id"].to_pylist() == [1, 3]
