@@ -1022,7 +1022,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, doc_id,
                        row_number() OVER (
                            PARTITION BY lang
-                           ORDER BY md5(text), doc_id) AS rank
+                           ORDER BY md5(coalesce(text, '')), doc_id) AS rank
                 FROM documents) t
             WHERE rank <= 5
         """,
@@ -1191,7 +1191,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, event_type,
                        lag(event_type) OVER (
                            PARTITION BY user_id
-                           ORDER BY ts, event_id) AS prev
+                           ORDER BY ts, event_id) AS prev,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
                 FROM events)
             SELECT event_id, prev AS prev_value, event_type AS value,
                    'sequence_repeat' AS code
@@ -1204,7 +1207,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, NULL, event_type, 'sequence_start'
             FROM s
-            WHERE prev IS NULL
+            WHERE rn = 1
               AND event_type NOT IN ('signup', 'view')
         """,
         "events_dups": """
@@ -1453,7 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_scrub": r"""
             WITH s0 AS (
                 SELECT doc_id,
-                       text || ' contact_' || doc_id::VARCHAR
+                       coalesce(text, '') || ' contact_' || doc_id::VARCHAR
                             || '@example.com see http://ex.com/'
                             || doc_id::VARCHAR || ' id 123456789' AS t
                 FROM documents),

@@ -25,6 +25,23 @@ def binary_buffers(arr):
     return offsets, mv, null_mask
 
 
+def md5_hex(arr) -> pa.Array:
+    """Lowercase-hex MD5 per row of a string/binary array (matches any
+    SQL engine's ``md5()``).  Hashes zero-copy slices of the flat data
+    buffer — no per-row Python string round-trip (hashing is the work;
+    slicing is free).  Null slots hash ``md5("")`` regardless of their
+    offset extent."""
+    import hashlib
+
+    offsets, mv, null_mask = binary_buffers(arr)
+    empty = memoryview(b"")
+    fps = [hashlib.md5(
+        empty if null_mask is not None and null_mask[i]
+        else mv[offsets[i]:offsets[i + 1]]).hexdigest()
+        for i in range(len(offsets) - 1)]
+    return pa.array(fps, type=pa.string())
+
+
 def round_half_away(values, digits: int = 4):
     """Round half AWAY from zero (SQL semantics — DuckDB/ANSI ROUND),
     not numpy/Python's half-to-even: oracle-compared floats must round

@@ -738,6 +738,7 @@ def contamination_flags(
                 pa.array(hit)),
             "h": pa.array(h[hit].astype(np.int64)),
             text_col: tab[text_col].filter(pa.array(hit)),
+            "is_probe": pa.array(np.zeros(int(hit.sum()), dtype=bool)),
         })
 
     cands = corpus.select_columns([id_col, text_col]).map_batches(
@@ -745,17 +746,21 @@ def contamination_flags(
 
     def _probe_side(tab: pa.Table) -> pa.Table:
         h = hash_strings(tab[text_col].combine_chunks())
+        # explicit marker column — a null corpus id must NOT make a
+        # row count as a probe
         return pa.table({
             id_col: pa.nulls(tab.num_rows, type=pa.int64()),
             "h": pa.array(h.astype(np.int64)),
             text_col: tab[text_col],
+            "is_probe": pa.array(np.ones(tab.num_rows, dtype=bool)),
         })
 
     probe_side = probes.select_columns([text_col]).map_batches(
         _probe_side, batch_format="pyarrow")
 
     def _verify(tab: pa.Table) -> pa.Table:
-        is_probe = np.asarray(pc.is_null(tab[id_col]))
+        is_probe = np.asarray(tab["is_probe"].combine_chunks(),
+                              dtype=bool)
         ptexts = tab[text_col].filter(pa.array(is_probe)).combine_chunks()
         crows = tab.filter(pa.array(~is_probe))
         if crows.num_rows == 0 or len(ptexts) == 0:

@@ -36,23 +36,18 @@ def stratified_sample(ds: "rd.Dataset", group_col: str, id_col: str,
     rows regardless of its share of the corpus, and the choice is
     content-keyed — stable across block layouts, partition counts and
     cluster sizes, and reproducible by any SQL engine as
-    ``row_number() OVER (PARTITION BY g ORDER BY md5(text), id) <= k``.
+    ``row_number() OVER (PARTITION BY g
+    ORDER BY md5(coalesce(text, '')), id) <= k``.
     One hash shuffle on the group key (the same bucketed top-k as
-    ``topk_per_group``); batches carry only (group, id, fp)."""
-    import hashlib
-
+    ``topk_per_group``); batches carry only (group, id, fp).  Null text
+    hashes ``md5('')`` (pair the SQL oracle with
+    ``md5(coalesce(text, ''))``)."""
     from ..pipelines.relational import topk_per_group
-    from . import binary_buffers
+    from . import md5_hex
 
     def _fp(tab: pa.Table) -> pa.Table:
-        offsets, mv, null_mask = binary_buffers(tab[text_col])
-        empty = memoryview(b"")
-        fps = [hashlib.md5(
-            empty if null_mask is not None and null_mask[i]
-            else mv[offsets[i]:offsets[i + 1]]).hexdigest()
-            for i in range(len(offsets) - 1)]
         return pa.table({group_col: tab[group_col], id_col: tab[id_col],
-                         "fp": pa.array(fps, type=pa.string())})
+                         "fp": md5_hex(tab[text_col])})
 
     stamped = ds.select_columns(
         list(dict.fromkeys([group_col, id_col, text_col]))).map_batches(

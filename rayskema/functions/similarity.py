@@ -423,9 +423,12 @@ def kmeans_fit(
     broadcasts the centroids via ``ray.put`` and every batch emits one
     pre-aggregated partial of (per-cluster vector sum, count, sse) — k
     rows per block — so the driver reduce is O(k*d*blocks), never the
-    corpus.  Deterministic seeded init (first distinct sample rows);
-    partials are summed in sorted block order to keep the float reduce
-    reproducible for a fixed block layout.
+    corpus.  With ``id_col`` the seeded init is layout-independent
+    (k-smallest-hash merge); without it the init falls back to a
+    ``limit()`` sample, which depends on block completion order — pass
+    ``id_col`` when reproducibility across runs matters.  Partials are
+    summed in block order, so the float reduce is reproducible for a
+    fixed block layout.
     """
     cols = [vec_col] if id_col is None else [id_col, vec_col]
     proj = ds.select_columns(cols).materialize()
@@ -437,7 +440,9 @@ def kmeans_fit(
                 zero_copy_only=False)
             h = _init_hash(ids, seed)
             sel = np.argsort(h)[:min(n_clusters, len(h))]
-            return pa.table({"h": pa.array(h[sel].astype(np.int64)),
+            # keep uint64 end-to-end: an int64 cast would wrap hashes
+            # >= 2^63 negative and reorder the driver-side merge sort
+            return pa.table({"h": pa.array(h[sel], type=pa.uint64()),
                              "vec": tab[vec_col].take(pa.array(sel))})
 
         cands = pa.concat_tables(
@@ -461,7 +466,6 @@ def kmeans_fit(
             c = ray.get(_c)
             m = _matrix(tab[vec_col])
             if not len(m):
-                kk, dd = c.shape
                 return pa.table({
                     "cluster": pa.array([], type=pa.int64()),
                     "n": pa.array([], type=pa.int64()),
@@ -491,8 +495,7 @@ def kmeans_fit(
         agg_n = np.zeros(len(centroids), dtype=np.int64)
         agg_sse = 0.0
         agg_sum = np.zeros((len(centroids), d))
-        for t in sorted(parts, key=lambda t: t["cluster"][0].as_py()
-                        if t.num_rows else 0):
+        for t in parts:
             cl = t["cluster"].to_numpy(zero_copy_only=False)
             agg_n[cl] += t["n"].to_numpy(zero_copy_only=False)
             agg_sse += float(np.sum(t["sse"].to_numpy(

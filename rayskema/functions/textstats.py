@@ -11,7 +11,6 @@ variant is fully vectorized over the flat UTF-8 buffer
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -298,19 +297,9 @@ def fingerprint_md5(ds: "rd.Dataset", text_col: str,
     matches any SQL engine's md5())."""
 
     def _fp(tab: pa.Table) -> pa.Table:
-        from . import binary_buffers
-        offsets, mv, null_mask = binary_buffers(tab[text_col])
-        empty = memoryview(b"")
-        # hash zero-copy slices of the flat buffer: no per-row Python
-        # string round-trip (hashing is the work; slicing is free).
-        # Null slots hash md5("") regardless of their offset extent.
-        n = len(offsets) - 1
-        fps = [hashlib.md5(
-            empty if null_mask is not None and null_mask[i]
-            else mv[offsets[i]:offsets[i + 1]]).hexdigest()
-            for i in range(n)]
+        from . import md5_hex
         return pa.table({id_col: tab[id_col],
-                         "fp": pa.array(fps, type=pa.string())})
+                         "fp": md5_hex(tab[text_col])})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _fp, batch_format="pyarrow")

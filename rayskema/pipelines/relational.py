@@ -294,8 +294,9 @@ def sequence_violations(
     id_cols = list(id_cols)
     order_cols = list(order_cols)
     need = list(dict.fromkeys([group_col, *order_cols, value_col] + id_cols))
+    # () means "no value may start a group" — only None disables the rule
     first_set = pa.array(sorted(allowed_first), type=pa.string()) \
-        if allowed_first else None
+        if allowed_first is not None else None
     after = {k: pa.array(sorted(v), type=pa.string())
              for k, v in sorted((allowed_after or {}).items())}
 
