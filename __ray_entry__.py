@@ -301,6 +301,35 @@ def _q_events_sessions(sf_dir: str):
                            gap_us=6 * 3600 * 1_000_000)
 
 
+def _q_orders_join_customers(sf_dir: str):
+    """General equi-join, broadcast strategy (dimension-table pattern):
+    orders x customer on the customer key — the small side is
+    ``ray.put`` once and every orders batch joins against it zero-copy;
+    no shuffle (beyond-reference operator; the reference has no
+    relational join, SURVEY §2.5)."""
+    from rayskema.pipelines.relational import hash_join
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     how="inner", broadcast=True)
+
+
+def _q_orders_join_customers_outer(sf_dir: str):
+    """Same join, bucketed-exchange strategy and left_outer semantics:
+    both sides hash-partition ONCE on the key, each bucket runs a
+    C++-speed Acero join; the right side is pre-filtered so unmatched
+    orders keep a NULL segment (verifies outer-row emission)."""
+    from rayskema.pipelines.relational import hash_join
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+    cust = cust.filter(
+        expr="c_acctbal >= 0").drop_columns(["c_acctbal"])
+    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     how="left_outer", buckets=32)
+
+
 def _q_customer_distinct_segments(sf_dir: str):
     from rayskema.pipelines.relational import distinct_count
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
@@ -916,6 +945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_cap": _q_orders_per_customer_cap,
         "orders_ref_customers": _q_orders_ref_customers,
         "customer_distinct_segments": _q_customer_distinct_segments,
+        "orders_join_customers": _q_orders_join_customers,
+        "orders_join_customers_outer": _q_orders_join_customers_outer,
         "orders_topk_per_customer": _q_orders_topk_per_customer,
         "events_windowed": _q_events_windowed,
         "events_orders_asof": _q_events_orders_asof,
@@ -1228,6 +1259,17 @@ def oracle_sql() -> dict[str, str]:
         "customer_distinct_segments": """
             SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_distinct
             FROM customer GROUP BY c_nationkey
+        """,
+        "orders_join_customers": """
+            SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "orders_join_customers_outer": """
+            SELECT o_custkey, o_orderkey, c.c_mktsegment
+            FROM orders LEFT JOIN (
+                SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_acctbal >= 0) c
+            ON o_custkey = c.c_custkey
         """,
         "orders_topk_per_customer": """
             SELECT o_custkey, o_orderkey, rank FROM (

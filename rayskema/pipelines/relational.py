@@ -802,6 +802,130 @@ def range_count_join(
                                sort_within=False)
 
 
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "full_outer": "full outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+}
+
+
+def hash_join(
+    left: "rd.Dataset", right: "rd.Dataset", *, on, right_on=None,
+    how: str = "inner", broadcast: bool = False, buckets: int = 64,
+    suffix: str = "_r",
+) -> "rd.Dataset":
+    """General distributed equi-join with SQL NULL semantics (null keys
+    never match — pyarrow's Acero join already guarantees this).
+
+    The reference has no relational join operator (SURVEY §2.5 notes its
+    join-like semantics are semi/anti lookups); this is the
+    beyond-reference general form a data-engine user needs.  Two
+    strategies, chosen by ``broadcast``:
+
+    - ``broadcast=True`` (dimension-table pattern): the right side is
+      materialized ONCE, ``ray.put`` into the object store, and every
+      left batch joins against it zero-copy inside ``map_batches`` —
+      no shuffle at all.  The right side must fit in a worker's heap;
+      right rows never move per batch.  ``full_outer`` is not
+      expressible this way (an unmatched right row is unknowable from
+      any one batch) and raises.
+    - ``broadcast=False``: both sides are padded to a shared schema,
+      unioned, hash-partitioned ONCE on the key (the repo-standard
+      bucketed exchange), and each bucket runs a C++-speed
+      ``pa.Table.join`` between its two sides.  All join types work;
+      a key's rows from both sides land in the same bucket by
+      construction.
+
+    ``how``: inner | left_outer | full_outer | left_semi | left_anti.
+    Output columns: left columns, then right non-key columns (renamed
+    with ``suffix`` on collision); semi/anti return left columns only.
+    Right key columns are coalesced into the left names.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    if len(rkeys) != len(keys):
+        raise ValueError("on and right_on must have the same arity")
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    jt = _JOIN_TYPES[how]
+    semi = how in ("left_semi", "left_anti")
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    lval = [c for c in lcols if c not in keys]
+    rval = [c for c in rschema.names if c not in rkeys]
+    ren, used = {}, set(lcols)
+    for c in rval:
+        name = c
+        while name in used:
+            name = name + suffix
+        ren[c] = name
+        used.add(name)
+    out_cols = keys + lval + ([] if semi else [ren[c] for c in rval])
+
+    def _prep_right(tab: pa.Table) -> pa.Table:
+        cols = {}
+        for lk, rk in zip(keys, rkeys):
+            cols[lk] = pc.cast(tab[rk], lschema.field(lk).type)
+        for c in rval:
+            cols[ren[c]] = tab[c]
+        return pa.table(cols)
+
+    if broadcast:
+        if how == "full_outer":
+            raise ValueError("full_outer requires broadcast=False "
+                             "(unmatched right rows are invisible to "
+                             "any single left batch)")
+        parts = ray.get(right.map_batches(
+            _prep_right, batch_format="pyarrow").to_arrow_refs())
+        rtab = pa.concat_tables(parts).combine_chunks() if parts else \
+            _prep_right(rschema.empty_table())
+        ref = ray.put(rtab)
+
+        def _jb(tab: pa.Table) -> pa.Table:
+            r = ray.get(ref)
+            return tab.join(r, keys=keys, join_type=jt).select(out_cols)
+
+        return left.map_batches(_jb, batch_format="pyarrow")
+
+    def _pad_left(tab: pa.Table) -> pa.Table:
+        cols = {c: tab[c] for c in keys + lval}
+        for c in rval:
+            cols[ren[c]] = pa.nulls(tab.num_rows,
+                                    type=rschema.field(c).type)
+        cols["__side"] = pa.array(np.ones(tab.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def _pad_right(tab: pa.Table) -> pa.Table:
+        t = _prep_right(tab)
+        cols = {}
+        for lk in keys:
+            cols[lk] = t[lk]
+        for c in lval:
+            cols[c] = pa.nulls(tab.num_rows, type=lschema.field(c).type)
+        for c in rval:
+            cols[ren[c]] = t[ren[c]]
+        cols["__side"] = pa.array(np.zeros(tab.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(_pad_left, batch_format="pyarrow").union(
+        right.map_batches(_pad_right, batch_format="pyarrow"))
+
+    def _merge(tab: pa.Table) -> pa.Table:
+        side = tab["__side"]
+        lt = tab.filter(pc.equal(side, 1)).select(keys + lval)
+        rt = tab.filter(pc.equal(side, 0)).select(
+            keys + [ren[c] for c in rval])
+        return lt.join(rt, keys=keys, join_type=jt).select(out_cols)
+
+    return bucketed_map_groups(both, keys, _merge, buckets=buckets,
+                               sort_within=False)
+
+
 def diff_snapshots(
     old: "rd.Dataset", new: "rd.Dataset", key_cols, compare_cols,
     *, buckets: int = 64,

@@ -658,3 +658,65 @@ def test_contamination_flags(ray_session):
                                        buckets=4)).sort_by("id")
     # both copies of the probe text flagged, nothing else
     assert out["id"].to_pylist() == [1, 3]
+
+
+def test_hash_join_all_types_vs_duckdb(ray_session):
+    import duckdb
+    from rayskema.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 120
+    lk = rng.integers(0, 80, n_l).astype("int64")
+    lk_obj = lk.astype(object)
+    lk_obj[::37] = None                       # null keys never match
+    ltab = pa.table({
+        "k": pa.array(lk_obj, type=pa.int64()),
+        "lv": pa.array(rng.integers(0, 1000, n_l), type=pa.int64()),
+    })
+    rk = rng.integers(40, 140, n_r).astype("int64")  # partial overlap
+    rk_obj = rk.astype(object)
+    rk_obj[::29] = None
+    rtab = pa.table({
+        "rk": pa.array(rk_obj, type=pa.int64()),
+        "rv": pa.array([f"s{i % 13}" for i in range(n_r)]),
+    })
+    con = duckdb.connect()
+    con.register("l", ltab)
+    con.register("r", rtab)
+    sql = {
+        "inner": "SELECT k, lv, rv FROM l JOIN r ON k = rk",
+        "left_outer": "SELECT k, lv, rv FROM l LEFT JOIN r ON k = rk",
+        "full_outer": "SELECT coalesce(k, rk) AS k, lv, rv "
+                      "FROM l FULL JOIN r ON k = rk",
+        "left_semi": "SELECT k, lv FROM l SEMI JOIN r ON k = rk",
+        "left_anti": "SELECT k, lv FROM l ANTI JOIN r ON k = rk",
+    }
+    for how, q in sql.items():
+        want = con.execute(q).arrow()
+        strategies = [False] if how == "full_outer" else [False, True]
+        for bc in strategies:
+            got = _collect(hash_join(
+                rd.from_arrow(ltab), rd.from_arrow(rtab),
+                on="k", right_on="rk", how=how, broadcast=bc, buckets=8))
+            assert got.num_rows == want.num_rows, (how, bc)
+            cols = sorted(got.column_names)
+            assert cols == sorted(want.column_names), (how, bc)
+            a = got.select(cols).sort_by([(c, "ascending") for c in cols])
+            b = pa.table({c: want[c].cast(got.schema.field(c).type)
+                          for c in cols}).sort_by(
+                [(c, "ascending") for c in cols])
+            assert a.equals(b), (how, bc)
+
+
+def test_hash_join_collision_rename_and_composite(ray_session):
+    from rayskema.pipelines.relational import hash_join
+    l = rd.from_arrow(pa.table({
+        "a": [1, 1, 2], "b": ["x", "y", "x"], "v": [10, 20, 30]}))
+    r = rd.from_arrow(pa.table({
+        "a": [1, 2, 2], "b": ["x", "x", "z"], "v": [7, 8, 9]}))
+    out = _collect(hash_join(l, r, on=["a", "b"], how="inner",
+                             buckets=4)).sort_by("v")
+    # composite key (a, b): matches (1,x) and (2,x); right v renamed v_r
+    assert out.column_names == ["a", "b", "v", "v_r"]
+    assert out["v"].to_pylist() == [10, 30]
+    assert out["v_r"].to_pylist() == [7, 8]
