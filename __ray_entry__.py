@@ -584,6 +584,16 @@ def _q_docs_ngram_jaccard(sf_dir: str):
                                         jaccard_threshold=0.6)
 
 
+def _q_docs_common_substrings(sf_dir: str):
+    """Exact substring-duplication pairs: documents sharing any
+    identical 32-byte substring (Lee et al. 2022 exact-substring dedup
+    via hashed windows; one shuffle on the window hash, candidates
+    verified by comparing the actual bytes at the recorded positions)."""
+    from rayskema.functions.dedup import common_substring_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return common_substring_pairs(ds, "text", "doc_id", k=32)
+
+
 def _q_docs_token_stats(sf_dir: str):
     from rayskema.functions.textstats import token_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -968,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_common_substrings": _q_docs_common_substrings,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
@@ -1118,6 +1129,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM p WHERE j >= 0.6
+        """,
+        "docs_common_substrings": """
+            WITH w AS (
+                SELECT doc_id, substr(text, i, 32) AS s
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1,
+                                 length(text) - 31)) AS i
+                      FROM documents WHERE length(text) >= 32)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
         """,
         "docs_lang_id": r"""
             WITH s AS (

@@ -772,6 +772,192 @@ def contamination_flags(
                                buckets=buckets, sort_within=False)
 
 
+def window_hashes(arr: pa.Array, k: int):
+    """All byte-window hashes of length ``k`` per row, deduplicated
+    per row keeping the FIRST occurrence position: returns
+    (row_ids int64, positions int64, hashes uint64), rows shorter than
+    ``k`` contribute nothing.  One prefix-sum rolling hash over the
+    flat UTF-8 buffer — no Python loop over rows or windows."""
+    from ..state.sketches import _hash_flat_segments
+
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    offsets, data = _utf8_buffers(arr)
+    n = len(offsets) - 1
+    starts, ends = offsets[:-1], offsets[1:]
+    n_w = np.maximum(ends - starts - (k - 1), 0)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), n_w)
+    if len(row_ids) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z.astype(np.uint64)
+    base = np.repeat(starts, n_w)
+    excl = np.concatenate([[0], np.cumsum(n_w)[:-1]])
+    local = np.arange(len(row_ids), dtype=np.int64) - np.repeat(excl, n_w)
+    pos = base + local
+    h = _hash64(_hash_flat_segments(data, pos, pos + k))
+    # per-row distinct hashes, first position wins: sort by
+    # (row, hash, pos) and keep the first of each (row, hash) run
+    order = np.lexsort((local, h, row_ids))
+    r_s, h_s, l_s = row_ids[order], h[order], local[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return r_s[first], l_s[first], h_s[first]
+
+
+def common_substring_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *, k: int = 32,
+    buckets: int = 64, max_group: int = 1024, sample_mod: int = 1,
+) -> "rd.Dataset":
+    """Exact substring-duplication detection: document pairs sharing at
+    least one identical ``k``-byte substring (the operator behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — hashed fixed-length windows instead of a suffix array,
+    the shape that distributes).  Returns distinct (id_a, id_b) with
+    id_a < id_b.
+
+    Pipeline: one ``map_batches`` pass rolls a prefix-sum hash over
+    every k-byte window (deduped per doc, first position kept), ONE
+    hash shuffle on the window hash co-locates candidates, and each
+    candidate pair is verified EXACTLY by comparing the actual k bytes
+    at the two recorded positions — both docs emitted the same hash
+    from their own window, so verification is a vectorized equality of
+    two (n_pairs, k) byte matrices, no containment search.  A 64-bit
+    collision can only create a candidate (killed by the verify), not
+    a false positive; a missed true pair would need every shared
+    window of the pair to collide with a different same-doc substring
+    (~2^-64 per window — documented, not defended).
+
+    ``sample_mod`` > 1 keeps only windows with hash % mod == 0 (a
+    deterministic 1/mod winnowing for the 100 TB path: row
+    amplification drops from ~len(text) to ~len(text)/mod; recall for
+    pairs sharing m windows becomes 1-(1-1/mod)^m).  ``max_group``
+    star-pairs degenerate groups (a window shared by thousands of docs
+    — boilerplate headers) instead of paying O(m^2); at default 1 the
+    sf-test corpora never hit it, preserving SQL-oracle equality.
+    Byte windows equal character windows only for ASCII text.
+    """
+
+    def _wins(tab: pa.Table) -> pa.Table:
+        rid, pos, h = window_hashes(tab[text_col].combine_chunks(), k)
+        if sample_mod > 1:
+            keep = (h % np.uint64(sample_mod)) == 0
+            rid, pos, h = rid[keep], pos[keep], h[keep]
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "win": pa.array(h.astype(np.int64)),
+            id_col: pa.array(ids[rid]),
+            "pos": pa.array(pos.astype(np.int64)),
+        })
+
+    wins = ds.select_columns([id_col, text_col]).map_batches(
+        _wins, batch_format="pyarrow")
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("win", "ascending"), (id_col, "ascending")])
+        new = segment_starts(tab, ["win"])
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = tab["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        firsts = np.flatnonzero(new)
+        out = []
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            gid, gpos = ids[s:e], pos[s:e]
+            # same doc can appear once per distinct window only (deduped
+            # per row), but the same window may legitimately repeat per
+            # doc across batches of a split block: collapse per doc
+            u, ui = np.unique(gid, return_index=True)
+            m = len(u)
+            if m < 2:
+                continue
+            gid, gpos = gid[ui], gpos[ui]
+            if m > max_group:
+                ia = np.zeros(m - 1, dtype=np.int64)
+                ib = np.arange(1, m, dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+            out.append(pa.table({
+                "id_a": pa.array(gid[ia].astype(np.int64)),
+                "id_b": pa.array(gid[ib].astype(np.int64)),
+                "pos_a": pa.array(gpos[ia].astype(np.int64)),
+                "pos_b": pa.array(gpos[ib].astype(np.int64)),
+            }))
+        if not out:
+            return pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "pos_a": pa.array([], type=pa.int64()),
+                "pos_b": pa.array([], type=pa.int64())})
+        return pa.concat_tables(out)
+
+    cand = bucketed_map_groups(wins, ["win"], _pairs, buckets=buckets,
+                               sort_within=False)
+
+    # candidates are O(pairs) — tiny next to the corpus — so dedup on
+    # the driver (lexsort, the exact_shingle_jaccard_pairs pattern)
+    # instead of paying a second shuffle.  One witness per distinct
+    # pair is enough for the verify, but it must be a CONSISTENT
+    # (pos_a, pos_b) from ONE shared window (min(pos_a), min(pos_b)
+    # could mix two windows): keep the lexicographically-first row
+    ctabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not ctabs:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64())}))
+    call = pa.concat_tables(ctabs)
+    _a = call["id_a"].to_numpy(zero_copy_only=False)
+    _b = call["id_b"].to_numpy(zero_copy_only=False)
+    _pa = call["pos_a"].to_numpy(zero_copy_only=False)
+    _pb = call["pos_b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((_pb, _pa, _b, _a))
+    a_s, b_s = _a[order], _b[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    keep = order[first]
+    call = pa.table({
+        "id_a": pa.array(_a[keep]), "id_b": pa.array(_b[keep]),
+        "pos_a": pa.array(_pa[keep]), "pos_b": pa.array(_pb[keep])})
+    involved = np.unique(np.concatenate([
+        call["id_a"].to_numpy(zero_copy_only=False),
+        call["id_b"].to_numpy(zero_copy_only=False)]))
+    inv_ref = ray.put(pa.array(involved, type=pa.int64()))
+
+    def _texts(tab: pa.Table) -> pa.Table:
+        sel = tab.filter(pc.is_in(tab[id_col], value_set=ray.get(inv_ref)))
+        return pa.table({id_col: sel[id_col],
+                         "text": pc.cast(sel[text_col], pa.large_binary())})
+
+    ttabs = [t for t in ray.get(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _texts, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    texts = pa.concat_tables(ttabs).combine_chunks()
+    tids = texts[id_col].to_numpy(zero_copy_only=False)
+    toffs, tdata = _utf8_buffers(texts["text"].combine_chunks())
+    t_order = np.argsort(tids, kind="stable")
+    tids_s = tids[t_order]
+    tstart_s = toffs[:-1][t_order]
+
+    a = call["id_a"].to_numpy(zero_copy_only=False)
+    b = call["id_b"].to_numpy(zero_copy_only=False)
+    pa_ = call["pos_a"].to_numpy(zero_copy_only=False)
+    pb_ = call["pos_b"].to_numpy(zero_copy_only=False)
+    ra = np.searchsorted(tids_s, a).clip(0, max(len(tids_s) - 1, 0))
+    rb = np.searchsorted(tids_s, b).clip(0, max(len(tids_s) - 1, 0))
+    valid = (tids_s[ra] == a) & (tids_s[rb] == b)
+    span = np.arange(k, dtype=np.int64)[None, :]
+    hi = max(len(tdata) - k, 0)
+    ia_idx = np.where(valid, tstart_s[ra] + pa_, 0).clip(0, hi)
+    ib_idx = np.where(valid, tstart_s[rb] + pb_, 0).clip(0, hi)
+    sub_a = tdata[ia_idx[:, None] + span]
+    sub_b = tdata[ib_idx[:, None] + span]
+    ok = valid & (sub_a == sub_b).all(axis=1)
+    out = pa.table({"id_a": pa.array(a[ok].astype(np.int64)),
+                    "id_b": pa.array(b[ok].astype(np.int64))})
+    return rd.from_arrow(out.sort_by([("id_a", "ascending"),
+                                      ("id_b", "ascending")]))
+
+
 def near_dup_clusters(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     jaccard_threshold: float = 0.5, pairs: pa.Table | None = None,

@@ -720,3 +720,49 @@ def test_hash_join_collision_rename_and_composite(ray_session):
     assert out.column_names == ["a", "b", "v", "v_r"]
     assert out["v"].to_pylist() == [10, 30]
     assert out["v_r"].to_pylist() == [7, 8]
+
+
+def test_common_substring_pairs_vs_brute(ray_session):
+    from rayskema.functions.dedup import common_substring_pairs
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdef ")
+    texts = ["".join(rng.choice(alphabet, 60)) for _ in range(40)]
+    shared = "THE-SHARED-CHUNK-XYZ"            # 20 chars > k
+    texts[3] = texts[3][:10] + shared + texts[3][30:]
+    texts[17] = shared + texts[17][20:]
+    texts[29] = texts[29][:40] + shared        # suffix position
+    texts.append("shrt")                       # below k: contributes nothing
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    k = 12
+    # brute-force ground truth over all k-substring pairs
+    wins = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t) - k + 1):
+            wins.setdefault(t[p:p + k], set()).add(i)
+    want = set()
+    for docs in wins.values():
+        ds_ = sorted(docs)
+        for x in range(len(ds_)):
+            for y in range(x + 1, len(ds_)):
+                want.add((ds_[x], ds_[y]))
+    got = _collect(common_substring_pairs(
+        rd.from_arrow(tab), "text", "doc_id", k=k, buckets=4))
+    got_pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    assert got_pairs == want
+    assert {(3, 17), (3, 29), (17, 29)} <= got_pairs
+
+
+def test_common_substring_pairs_sample_mod(ray_session):
+    from rayskema.functions.dedup import common_substring_pairs
+    # two identical long docs share EVERY window: even aggressive
+    # sampling (1/8 of windows kept) must still pair them
+    t = "the quick brown fox jumps over the lazy dog " * 4
+    tab = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array([t, t, "completely different text "
+                                      "with no overlap at all zzz"])})
+    got = _collect(common_substring_pairs(
+        rd.from_arrow(tab), "text", "doc_id", k=16, buckets=2,
+        sample_mod=8))
+    assert set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist())) \
+        == {(1, 2)}
