@@ -330,6 +330,17 @@ def _q_orders_join_customers_outer(sf_dir: str):
                      how="left_outer", buckets=32)
 
 
+def _q_events_pivot(sf_dir: str):
+    """Pivot/crosstab: one row per user with a count column per event
+    type — block-local dictionary-encode + bincount partials, ONE hash
+    shuffle of O(groups x categories) partial rows, per-bucket sum."""
+    from rayskema.pipelines.relational import pivot_counts
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "view", "purchase", "signup", "error"], other=None)
+
+
 def _q_customer_distinct_segments(sf_dir: str):
     from rayskema.pipelines.relational import distinct_count
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
@@ -955,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_cap": _q_orders_per_customer_cap,
         "orders_ref_customers": _q_orders_ref_customers,
         "customer_distinct_segments": _q_customer_distinct_segments,
+        "events_pivot": _q_events_pivot,
         "orders_join_customers": _q_orders_join_customers,
         "orders_join_customers_outer": _q_orders_join_customers_outer,
         "orders_topk_per_customer": _q_orders_topk_per_customer,
@@ -1281,6 +1293,15 @@ def oracle_sql() -> dict[str, str]:
         "customer_distinct_segments": """
             SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_distinct
             FROM customer GROUP BY c_nationkey
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
         """,
         "orders_join_customers": """
             SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment

@@ -514,6 +514,79 @@ def group_histogram(
                                buckets=buckets, sort_within=False)
 
 
+def pivot_counts(
+    ds: "rd.Dataset", group_col: str, cat_col: str,
+    categories: Sequence[str], *, buckets: int = 64,
+    other: str | None = "other",
+) -> "rd.Dataset":
+    """Pivot (crosstab): one row per group with a count column per
+    declared category — ``(group, n_<cat1>, ..., n_other)``.  The
+    category set is DECLARED, not discovered, so the output schema is
+    fixed and every stage stays vectorized (discovery would need an
+    extra pass; run ``profile`` first if the domain is unknown).
+
+    Partial aggregation: each block reduces to its (group, category)
+    counts via one dictionary-encode + bincount BEFORE the shuffle, so
+    only O(groups x categories) rows per block move; the final merge is
+    a per-bucket sum.  ``other`` names the catch-all column for values
+    outside ``categories`` (None drops them)."""
+    categories = list(categories)
+    n_cat = len(categories)
+    cat_index = {c: i for i, c in enumerate(categories)}
+    cols = [f"n_{c}" for c in categories] + (
+        [f"n_{other}"] if other is not None else [])
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            out = {group_col: tab[group_col]}
+            for c in cols:
+                out[c] = pa.array([], type=pa.int64())
+            return pa.table(out)
+        enc = pc.dictionary_encode(
+            pc.cast(tab[cat_col], pa.string()).combine_chunks())
+        # map dictionary values -> declared category slots once per
+        # distinct value, not per row
+        dict_vals = enc.dictionary.to_pylist()
+        slot_of = np.array(
+            [cat_index.get(v, n_cat) for v in dict_vals], dtype=np.int64)
+        idx = enc.indices.fill_null(len(dict_vals)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        slot_of = np.concatenate([slot_of, [n_cat]])  # nulls -> other
+        slots = slot_of[idx]
+        genc = pc.dictionary_encode(tab[group_col].combine_chunks())
+        n_g = len(genc.dictionary)
+        # a null group is its own SQL GROUP BY group: give it slot n_g
+        gidx = genc.indices.fill_null(n_g).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        has_null_g = bool((gidx == n_g).any())
+        n_rows_g = n_g + (1 if has_null_g else 0)
+        width = n_cat + 1
+        counts = np.bincount(gidx * width + slots,
+                             minlength=n_rows_g * width)[
+                                 :n_rows_g * width].reshape(n_rows_g, width)
+        gvals = genc.dictionary
+        if has_null_g:
+            gvals = pa.concat_arrays(
+                [gvals, pa.nulls(1, type=gvals.type)])
+        out = {group_col: gvals}
+        for i, c in enumerate(categories):
+            out[f"n_{c}"] = pa.array(counts[:, i])
+        if other is not None:
+            out[f"n_{other}"] = pa.array(counts[:, n_cat])
+        return pa.table(out)
+
+    partial = ds.select_columns([group_col, cat_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _sum(tab: pa.Table) -> pa.Table:
+        g = tab.group_by([group_col]).aggregate(
+            [(c, "sum") for c in cols])
+        return g.rename_columns([group_col] + cols)
+
+    return bucketed_map_groups(partial, [group_col], _sum,
+                               buckets=buckets, sort_within=False)
+
+
 def topk_per_group(ds: "rd.Dataset", group_col: str, order_col: str,
                    id_col: str, *, k: int = 3, descending: bool = True,
                    buckets: int = 64) -> "rd.Dataset":

@@ -23,13 +23,12 @@ import ray.data as rd
 from ..schema import TableSchema
 
 
-def read_jsonl(paths, schema: TableSchema) -> "rd.Dataset":
-    """Dataset over JSONL files reconciled to the declared columns:
-    missing keys become nulls, extra keys are kept (the unknown-column
-    policy is enforced later by the validator), declared dtypes are
-    cast best-effort (uncastable values null — the validator reports
+def reconcile_to_schema(ds: "rd.Dataset", schema: TableSchema) -> "rd.Dataset":
+    """Reconcile a raw-source Dataset to the declared columns: missing
+    keys become nulls, extra keys are kept (the unknown-column policy
+    is enforced later by the validator), declared dtypes are cast
+    best-effort (uncastable values left as-is — the validator reports
     them via its checked-cast path when types still differ)."""
-    ds = rd.read_json(paths)
 
     def reconcile(batch: pa.Table, _s=schema) -> pa.Table:
         out = {}
@@ -51,6 +50,28 @@ def read_jsonl(paths, schema: TableSchema) -> "rd.Dataset":
         return pa.table(out)
 
     return ds.map_batches(reconcile, batch_format="pyarrow")
+
+
+def read_jsonl(paths, schema: TableSchema) -> "rd.Dataset":
+    """Dataset over JSONL files reconciled to the declared columns
+    (see :func:`reconcile_to_schema`)."""
+    return reconcile_to_schema(rd.read_json(paths), schema)
+
+
+def read_csv(paths, schema: TableSchema, **read_kwargs) -> "rd.Dataset":
+    """Dataset over CSV files reconciled to the declared columns — the
+    same ingest seam as JSONL (reference source SPI, source.go:62-112)
+    for the other ubiquitous text format.  ``read_kwargs`` pass through
+    to ``ray.data.read_csv`` (pyarrow CSV options: delimiter, header
+    handling, explicit column types)."""
+    return reconcile_to_schema(rd.read_csv(paths, **read_kwargs), schema)
+
+
+def csv_to_parquet(paths, schema: TableSchema, out_dir: str,
+                   **write_kwargs) -> None:
+    """Land CSV files as Parquet shards for the validate pipeline
+    (one file per block — resumable output layout)."""
+    read_csv(paths, schema).write_parquet(out_dir, **write_kwargs)
 
 
 def jsonl_to_parquet(paths, schema: TableSchema, out_dir: str,

@@ -766,3 +766,31 @@ def test_common_substring_pairs_sample_mod(ray_session):
         sample_mod=8))
     assert set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist())) \
         == {(1, 2)}
+
+
+def test_pivot_counts_vs_duckdb(ray_session):
+    import duckdb
+    from rayskema.pipelines.relational import pivot_counts
+    rng = np.random.default_rng(3)
+    cats = ["a", "b", "c", "weird", None]
+    g = rng.integers(0, 12, 500).astype(object)
+    g[::61] = None                      # null group is its own group
+    tab = pa.table({
+        "g": pa.array(g, type=pa.int64()),
+        "cat": pa.array([cats[i] for i in rng.integers(0, 5, 500)]),
+    })
+    out = _collect(pivot_counts(rd.from_arrow(tab), "g", "cat",
+                                ["a", "b"], buckets=4))
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute("""
+        SELECT g, count(*) FILTER (cat = 'a') AS n_a,
+               count(*) FILTER (cat = 'b') AS n_b,
+               count(*) FILTER (cat IS NULL OR cat NOT IN ('a','b'))
+                   AS n_other
+        FROM t GROUP BY g""").arrow()
+    a = out.sort_by([("g", "ascending")]).to_pydict()
+    b = pa.table({c: want[c].cast(out.schema.field(c).type)
+                  for c in out.column_names}).sort_by(
+        [("g", "ascending")]).to_pydict()
+    assert a == b

@@ -58,3 +58,44 @@ def test_jsonl_to_parquet_then_validate(ray_session, tmp_path):
     codes = dict(zip(res.violations["code"].to_pylist(),
                      res.violations["rule"].to_pylist()))
     assert codes.get("invalid_enum") == "role_enum"
+
+
+def test_read_csv_reconciles_schema(ray_session, tmp_path):
+    from rayskema.schema import transcript_schema
+    from rayskema.sources.jsonl import read_csv
+
+    p = str(tmp_path / "a.csv")
+    with open(p, "w") as f:
+        f.write("conv_id,turn_idx,role,text,extra\n")
+        f.write("conv_00000001,0,system,hi,junk\n")
+        f.write("conv_00000001,1,user,hello there,junk2\n")
+    schema = transcript_schema()
+    tabs = ray.get(read_csv(p, schema).to_arrow_refs())
+    tab = pa.concat_tables([t for t in tabs if t.num_rows])
+    declared = [c.name for c in schema.columns]
+    # declared columns lead in order; missing ones are null; extras kept
+    assert tab.column_names[:len(declared)] == declared
+    assert "extra" in tab.column_names
+    assert tab["conv_id"].to_pylist() == ["conv_00000001"] * 2
+    assert tab["turn_idx"].to_pylist() == [0, 1]
+    ts_field = [c for c in schema.columns if c.name == "ts"][0]
+    assert tab["ts"].null_count == 2
+    assert tab["ts"].type == ts_field.dtype
+
+
+def test_csv_to_parquet_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from rayskema.schema import transcript_schema
+    from rayskema.sources.jsonl import csv_to_parquet
+
+    p = str(tmp_path / "b.csv")
+    with open(p, "w") as f:
+        f.write("conv_id,turn_idx,role,text\n")
+        for i in range(50):
+            f.write(f"conv_{i % 5:08d},{i // 5},user,row {i}\n")
+    out = str(tmp_path / "pq")
+    csv_to_parquet(p, transcript_schema(), out)
+    got = pq.read_table(out)
+    assert got.num_rows == 50
+    assert set(c.name for c in transcript_schema().columns) <= \
+        set(got.column_names)
