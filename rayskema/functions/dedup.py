@@ -186,6 +186,46 @@ def simhash64(row_ids: np.ndarray, hashes: np.ndarray,
     return out
 
 
+def _group_pair_indices(counts: np.ndarray, firsts: np.ndarray,
+                        max_group: int) -> tuple[np.ndarray, np.ndarray]:
+    """Global row-index pairs (A, B) for all within-group combinations,
+    vectorized PER GROUP SIZE: every group of size s shares one triu
+    index template, so the Python loop runs once per distinct size (a
+    handful), never once per group (tens of thousands on dup-heavy
+    corpora).  Groups larger than ``max_group`` get the star pairing
+    against their first (smallest-key) row — O(s) rows, preserves
+    cluster connectivity."""
+    A_parts, B_parts = [], []
+    for s in np.unique(counts):
+        if s < 2:
+            continue
+        base = firsts[counts == s]
+        if s > max_group:
+            ia = np.zeros(s - 1, dtype=np.int64)
+            ib = np.arange(1, s, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(int(s), k=1)
+        A_parts.append((base[:, None] + ia[None, :]).ravel())
+        B_parts.append((base[:, None] + ib[None, :]).ravel())
+    if not A_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(A_parts), np.concatenate(B_parts)
+
+
+_POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                       dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table."""
+    m = np.uint64(0xFFFF)
+    return (_POPCOUNT16[(x & m).astype(np.int64)].astype(np.int64)
+            + _POPCOUNT16[((x >> np.uint64(16)) & m).astype(np.int64)]
+            + _POPCOUNT16[((x >> np.uint64(32)) & m).astype(np.int64)]
+            + _POPCOUNT16[((x >> np.uint64(48)) & m).astype(np.int64)])
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding pipeline
 # ---------------------------------------------------------------------------
@@ -248,39 +288,30 @@ def minhash_lsh_pairs(
 
     def _pairs(tab: pa.Table) -> pa.Table:
         # bucket sorted by (band, band_key): candidate groups are
-        # contiguous runs of equal (band, band_key)
+        # contiguous runs of equal (band, band_key).  Pair emission is
+        # per-size templated (_group_pair_indices) and the signature
+        # compare runs ONCE over all pairs (chunked for memory) — no
+        # per-group Python work
         tab = tab.sort_by([("band", "ascending"), ("band_key", "ascending"),
                            (id_col, "ascending")])
         new = segment_starts(tab, ["band", "band_key"])
         seg_id = np.cumsum(new) - 1
-        counts = np.bincount(seg_id)
+        counts = np.bincount(seg_id) if len(seg_id) else \
+            np.zeros(0, dtype=np.int64)
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         sigs = np.asarray(tab["sig"].combine_chunks().flatten()
                           .to_numpy(zero_copy_only=False)
-                          ).reshape(len(ids), -1)
+                          ).reshape(max(len(ids), 1), -1)
+        A, B = _group_pair_indices(counts, np.flatnonzero(new), max_group)
         out_a, out_b, out_j = [], [], []
-        firsts = np.flatnonzero(new)
-        for g in np.flatnonzero(counts > 1):
-            s, e = firsts[g], firsts[g] + counts[g]
-            gid, gsig = ids[s:e], sigs[s:e]
-            m = len(gid)
-            if m > max_group:
-                # degenerate bucket = a giant near-identical cluster:
-                # exact all-pairs is O(m^2), so emit the STAR pairing
-                # against the group representative (smallest id) —
-                # O(m), preserves cluster connectivity for dedup
-                eq1 = (gsig[1:] == gsig[0]).mean(axis=1)
-                keep = eq1 >= jaccard_threshold
-                out_a.append(np.full(int(keep.sum()), gid[0]))
-                out_b.append(gid[1:][keep])
-                out_j.append(eq1[keep])
-                continue
-            eq = (gsig[:, None, :] == gsig[None, :, :]).mean(axis=2)
-            ia, ib = np.triu_indices(m, k=1)
-            keep = eq[ia, ib] >= jaccard_threshold
-            out_a.append(gid[ia[keep]])
-            out_b.append(gid[ib[keep]])
-            out_j.append(eq[ia, ib][keep])
+        step = 1 << 21
+        for i in range(0, len(A), step):
+            a_i, b_i = A[i:i + step], B[i:i + step]
+            eq = (sigs[a_i] == sigs[b_i]).mean(axis=1)
+            keep = eq >= jaccard_threshold
+            out_a.append(ids[a_i[keep]])
+            out_b.append(ids[b_i[keep]])
+            out_j.append(eq[keep])
         if not out_a:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64()),
@@ -354,28 +385,18 @@ def simhash_pairs(
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         sh = tab["simhash"].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.uint64)
-        firsts = np.flatnonzero(new)
+        # per-size pair templates + ONE vectorized popcount over all
+        # candidate pairs (chunked) — no per-group Python work; giant
+        # groups (degenerate block values) star-pair inside the helper
+        A, B = _group_pair_indices(counts, np.flatnonzero(new), max_group)
         out_a, out_b, out_h = [], [], []
-        for g in np.flatnonzero(counts > 1):
-            s, e = firsts[g], firsts[g] + counts[g]
-            gid, gsh = ids[s:e], sh[s:e]
-            if len(gid) > max_group:
-                # degenerate block value: star pairing vs the smallest
-                # id (O(m)) instead of O(m^2) all-pairs — connectivity
-                # is preserved for near-identical clusters
-                ia = np.zeros(len(gid) - 1, dtype=np.int64)
-                ib = np.arange(1, len(gid), dtype=np.int64)
-            else:
-                ia, ib = np.triu_indices(len(gid), k=1)
-            x = gsh[ia] ^ gsh[ib]
-            ham = np.zeros(len(x), dtype=np.int64)
-            v = x.copy()
-            while v.any():
-                ham += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
+        step = 1 << 21
+        for i in range(0, len(A), step):
+            a_i, b_i = A[i:i + step], B[i:i + step]
+            ham = _popcount64(sh[a_i] ^ sh[b_i])
             keep = ham <= max_hamming
-            out_a.append(gid[ia[keep]])
-            out_b.append(gid[ib[keep]])
+            out_a.append(ids[a_i[keep]])
+            out_b.append(ids[b_i[keep]])
             out_h.append(ham[keep])
         if not out_a:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
@@ -853,43 +874,33 @@ def common_substring_pairs(
         _wins, batch_format="pyarrow")
 
     def _pairs(tab: pa.Table) -> pa.Table:
+        # each (window, doc) row is globally unique by construction
+        # (hashes dedup per row, a doc's text lives in exactly one
+        # batch), so groups are sets of distinct docs already.  Pair
+        # emission is vectorized PER GROUP SIZE, not per group: all
+        # groups of size s share one triu index template, so the
+        # Python loop runs once per distinct size (a handful), never
+        # once per group (tens of thousands on dup-heavy corpora)
         tab = tab.sort_by([("win", "ascending"), (id_col, "ascending")])
         new = segment_starts(tab, ["win"])
         seg_id = np.cumsum(new) - 1
-        counts = np.bincount(seg_id)
+        counts = np.bincount(seg_id) if len(seg_id) else \
+            np.zeros(0, dtype=np.int64)
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         pos = tab["pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        firsts = np.flatnonzero(new)
-        out = []
-        for g in np.flatnonzero(counts > 1):
-            s, e = firsts[g], firsts[g] + counts[g]
-            gid, gpos = ids[s:e], pos[s:e]
-            # same doc can appear once per distinct window only (deduped
-            # per row), but the same window may legitimately repeat per
-            # doc across batches of a split block: collapse per doc
-            u, ui = np.unique(gid, return_index=True)
-            m = len(u)
-            if m < 2:
-                continue
-            gid, gpos = gid[ui], gpos[ui]
-            if m > max_group:
-                ia = np.zeros(m - 1, dtype=np.int64)
-                ib = np.arange(1, m, dtype=np.int64)
-            else:
-                ia, ib = np.triu_indices(m, k=1)
-            out.append(pa.table({
-                "id_a": pa.array(gid[ia].astype(np.int64)),
-                "id_b": pa.array(gid[ib].astype(np.int64)),
-                "pos_a": pa.array(gpos[ia].astype(np.int64)),
-                "pos_b": pa.array(gpos[ib].astype(np.int64)),
-            }))
-        if not out:
+        A, B = _group_pair_indices(counts, np.flatnonzero(new), max_group)
+        if not len(A):
             return pa.table({
                 "id_a": pa.array([], type=pa.int64()),
                 "id_b": pa.array([], type=pa.int64()),
                 "pos_a": pa.array([], type=pa.int64()),
                 "pos_b": pa.array([], type=pa.int64())})
-        return pa.concat_tables(out)
+        return pa.table({
+            "id_a": pa.array(ids[A].astype(np.int64)),
+            "id_b": pa.array(ids[B].astype(np.int64)),
+            "pos_a": pa.array(pos[A].astype(np.int64)),
+            "pos_b": pa.array(pos[B].astype(np.int64)),
+        })
 
     cand = bucketed_map_groups(wins, ["win"], _pairs, buckets=buckets,
                                sort_within=False)

@@ -255,25 +255,20 @@ def embedding_near_dup_pairs(
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         m = np.asarray(tab["vec"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False)).reshape(len(ids), -1)
+        # per-size pair templates (star pairing for groups beyond
+        # max_group) + chunked row-wise dot products over ALL candidate
+        # pairs at once — no per-group Python work or m x m matmuls
+        from .dedup import _group_pair_indices
+        A, B = _group_pair_indices(counts, firsts, max_group)
         out_a, out_b, out_c = [], [], []
-        for g in np.flatnonzero(counts > 1):
-            s, e = firsts[g], firsts[g] + counts[g]
-            gm, gid = m[s:e], ids[s:e]
-            if len(gid) > max_group:
-                # degenerate signature bucket: star pairing vs the
-                # smallest id (O(m*d)) — connectivity preserved
-                cos1 = gm[1:] @ gm[0]
-                keep = cos1 >= cosine_threshold
-                out_a.append(np.full(int(keep.sum()), gid[0]))
-                out_b.append(gid[1:][keep])
-                out_c.append(cos1[keep])
-                continue
-            cos = gm @ gm.T
-            ia, ib = np.triu_indices(e - s, k=1)
-            keep = cos[ia, ib] >= cosine_threshold
-            out_a.append(gid[ia[keep]])
-            out_b.append(gid[ib[keep]])
-            out_c.append(cos[ia, ib][keep])
+        step = 1 << 20
+        for i in range(0, len(A), step):
+            a_i, b_i = A[i:i + step], B[i:i + step]
+            cos = np.einsum("ij,ij->i", m[a_i], m[b_i])
+            keep = cos >= cosine_threshold
+            out_a.append(ids[a_i[keep]])
+            out_b.append(ids[b_i[keep]])
+            out_c.append(cos[keep])
         if not out_a:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64()),
