@@ -116,7 +116,13 @@ def _apply_bucket_task(fn, key_cols, sort_within: bool, schema: pa.Schema,
     from ..plan import limit_arrow_threads
     limit_arrow_threads()
     parts = [p for p in parts if p.num_rows]
-    tab = pa.concat_tables(parts) if parts else schema.empty_table()
+    if parts:
+        # input blocks may legitimately disagree on column width (e.g.
+        # a shard carrying overflow-probe int64 turn_idx next to int32
+        # shards) — promote to the common type like a sort shuffle would
+        tab = pa.concat_tables(parts, promote_options="permissive")
+    else:
+        tab = schema.empty_table()
     tab = tab.drop_columns(["bucket"])
     if sort_within and tab.num_rows:
         tab = tab.sort_by([(c, "ascending") for c in key_cols])
@@ -511,6 +517,146 @@ def group_quantiles(
     return bucketed_map_groups(
         ds.select_columns([group_col, value_col]), [group_col], _quant,
         buckets=buckets, sort_within=False)
+
+
+def group_agg(
+    ds: "rd.Dataset", group_cols: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]], *, buckets: int = 64,
+) -> "rd.Dataset":
+    """General multi-aggregate per group (the TPC-H Q1 shape):
+    ``aggs`` is a list of ``(col, op, out_name)`` with op in
+    ``sum | min | max | count | count_all | mean``; ``count`` counts
+    non-null values (SQL ``count(col)``), ``count_all`` counts rows
+    (``count(*)``; col is ignored), ``mean`` is ``sum/count`` computed
+    from exact partials.
+
+    Partial aggregation: each block reduces to one row per distinct
+    group via Arrow's hash aggregation BEFORE the shuffle, so only
+    O(groups) rows per block move; the final per-bucket merge re-sums
+    (sum/count), re-mins/maxes, and derives means.  The reference
+    computes aggregates exactly in-memory (``rules/rules.go:116-135``);
+    this is the distributed exact path.
+
+    Float caveat: float sums depend on addition order; pre-scale to
+    integer cents (and divide after) when exact cross-engine equality
+    matters."""
+    group_cols = list(group_cols)
+    aggs = [(c, op, out) for (c, op, out) in aggs]
+    ops_ok = {"sum", "min", "max", "count", "count_all", "mean"}
+    for _, op, _ in aggs:
+        if op not in ops_ok:
+            raise ValueError(f"unknown agg op {op!r}")
+
+    # distinct partials needed across all requested aggregates
+    partials: list[tuple[str, str]] = []  # (col, arrow_fn); ("", count_all)
+    seen = set()
+
+    def _need(col: str, fn: str) -> None:
+        if (col, fn) not in seen:
+            seen.add((col, fn))
+            partials.append((col, fn))
+
+    for col, op, _ in aggs:
+        if op == "count_all":
+            _need("", "count_all")
+        elif op == "mean":
+            _need(col, "sum")
+            _need(col, "count")
+        else:
+            _need(col, op)
+
+    def _pname(col: str, fn: str) -> str:
+        return f"__p_{fn}" if fn == "count_all" else f"__p_{col}_{fn}"
+
+    in_cols = group_cols + sorted({c for c, f in partials if c})
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        spec = [([] if fn == "count_all" else c, fn) for c, fn in partials]
+        g = tab.group_by(group_cols).aggregate(spec)
+        # arrow emits the group keys first, then one "<col>_<fn>" /
+        # "count_all" column per spec entry in spec order
+        return g.rename_columns(
+            group_cols + [_pname(c, fn) for c, fn in partials])
+
+    partial = ds.select_columns(in_cols).map_batches(
+        _partial, batch_format="pyarrow")
+
+    merge_fn = {"sum": "sum", "min": "min", "max": "max",
+                "count": "sum", "count_all": "sum"}
+
+    def _final(tab: pa.Table) -> pa.Table:
+        spec = [(_pname(c, fn), merge_fn[fn]) for c, fn in partials]
+        g = tab.group_by(group_cols).aggregate(spec)
+        g = g.rename_columns(group_cols
+                             + [_pname(c, fn) for c, fn in partials])
+        out = {c: g[c] for c in group_cols}
+        for col, op, name in aggs:
+            if op == "count_all":
+                out[name] = g[_pname("", "count_all")]
+            elif op == "mean":
+                out[name] = pc.divide(
+                    pc.cast(g[_pname(col, "sum")], pa.float64()),
+                    pc.cast(g[_pname(col, "count")], pa.float64()))
+            else:
+                out[name] = g[_pname(col, op)]
+        return pa.table(out)
+
+    return bucketed_map_groups(partial, group_cols, _final,
+                               buckets=buckets, sort_within=False)
+
+
+def group_running(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, buckets: int = 64,
+) -> "rd.Dataset":
+    """Per-group window functions over ``order_cols`` order:
+    ``(group, order..., value, row_number, running_sum, lag)`` —
+    ``row_number`` 1-based, ``running_sum`` the inclusive prefix sum of
+    ``value_col``, ``lag`` the previous row's value (null at each group
+    start).  SQL analogue: ``row_number() / sum(v) over (partition by g
+    order by o rows unbounded preceding) / lag(v)``.
+
+    One hash shuffle; all three windows are computed vectorized over
+    the bucket-sorted arrays (segment-reset prefix sums via
+    ``np.cumsum`` minus group-start offsets), never per-group Python.
+    Prefix sums are sequential left-to-right per group, matching SQL's
+    running-frame addition order — use integer values for exact
+    cross-engine equality.  Null values contribute 0 to
+    ``running_sum`` (SQL returns NULL until the first non-null; use a
+    non-null value column when oracle-matching)."""
+    order_cols = list(order_cols)
+
+    def _win(tab: pa.Table) -> pa.Table:
+        sort_keys = [(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols]
+        tab = tab.sort_by(sort_keys)
+        n = tab.num_rows
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        v = tab[value_col].combine_chunks()
+        vnum = pc.cast(v, pa.float64()).fill_null(0.0).to_numpy(
+            zero_copy_only=False)
+        cs = np.cumsum(vnum)
+        base = np.concatenate([[0.0], cs])[np.repeat(starts, sizes)]
+        running = cs - base
+        # lag: previous row within group, null at group starts
+        lag_idx = np.arange(n) - 1
+        lag = pc.if_else(pa.array(new), pa.nulls(n, type=v.type),
+                         v.take(pa.array(np.maximum(lag_idx, 0))))
+        out = {group_col: tab[group_col]}
+        for c in order_cols:
+            out[c] = tab[c]
+        out[value_col] = v
+        out["row_number"] = pa.array((pos + 1).astype(np.int64))
+        out["running_sum"] = pa.array(running)
+        out["lag"] = lag
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col] + order_cols + [value_col]),
+        [group_col], _win, buckets=buckets, sort_within=False)
 
 
 def assemble_sequences(

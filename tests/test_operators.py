@@ -794,3 +794,72 @@ def test_pivot_counts_vs_duckdb(ray_session):
                   for c in out.column_names}).sort_by(
         [("g", "ascending")]).to_pydict()
     assert a == b
+
+
+def test_group_agg_vs_duckdb(ray_session):
+    import duckdb
+    from rayskema.pipelines.relational import group_agg
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 23, 400).astype(object)
+    g[::37] = None                      # null group is its own group
+    v = rng.integers(0, 1000, 400).astype(object)
+    v[::17] = None                      # nulls skipped by sum/count
+    tab = pa.table({
+        "g": pa.array(g, type=pa.int64()),
+        "v": pa.array(v, type=pa.int64()),
+        "w": pa.array(rng.integers(1, 50, 400), type=pa.int64()),
+    })
+    out = _collect(group_agg(
+        rd.from_arrow(tab), ["g"],
+        [("v", "sum", "sum_v"), ("v", "count", "n_v"),
+         ("v", "mean", "avg_v"), ("w", "min", "min_w"),
+         ("w", "max", "max_w"), ("*", "count_all", "n_rows")],
+        buckets=4))
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute("""
+        SELECT g, CAST(sum(v) AS BIGINT) AS sum_v, count(v) AS n_v,
+               CAST(sum(v) AS DOUBLE) / count(v) AS avg_v,
+               min(w) AS min_w, max(w) AS max_w, count(*) AS n_rows
+        FROM t GROUP BY g""").arrow()
+    a = out.sort_by([("g", "ascending")]).to_pydict()
+    b = pa.table({c: want[c].cast(out.schema.field(c).type)
+                  for c in out.column_names}).sort_by(
+        [("g", "ascending")]).to_pydict()
+    assert a == b
+
+
+def test_group_running(ray_session):
+    from rayskema.pipelines.relational import group_running
+    ds = rd.from_arrow(pa.table({
+        "g": ["x", "x", "x", "y", "y", "z"],
+        "o": [2, 0, 1, 1, 0, 0],
+        "v": [30, 10, 20, 5, 7, 9],
+    }))
+    out = _collect(group_running(ds, "g", ["o"], "v", buckets=4))
+    out = out.sort_by([("g", "ascending"), ("o", "ascending")])
+    assert out["row_number"].to_pylist() == [1, 2, 3, 1, 2, 1]
+    assert out["running_sum"].to_pylist() == [10.0, 30.0, 60.0,
+                                              7.0, 12.0, 9.0]
+    assert out["lag"].to_pylist() == [None, 10, 20, None, 7, None]
+
+
+def test_chunk_documents(ray_session):
+    from rayskema.functions.chunking import chunk_documents
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["abcdefghij", "", None, "αβγδε"],  # codepoints, not bytes
+    }))
+    out = _collect(chunk_documents(ds, "text", "doc_id", size=4))
+    out = out.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    assert out["doc_id"].to_pylist() == [1, 1, 1, 2, 4, 4]
+    assert out["chunk_idx"].to_pylist() == [0, 1, 2, 0, 0, 1]
+    assert out["char_start"].to_pylist() == [0, 4, 8, 0, 0, 4]
+    assert out["chunk"].to_pylist() == ["abcd", "efgh", "ij", "",
+                                        "αβγδ", "ε"]
+    # overlapping windows: stride < size
+    ov = _collect(chunk_documents(ds, "text", "doc_id", size=4, stride=2))
+    ov = ov.filter(pa.compute.equal(ov["doc_id"], 1)).sort_by(
+        [("chunk_idx", "ascending")])
+    assert ov["chunk"].to_pylist() == ["abcd", "cdef", "efgh", "ghij", "ij"]
+    assert ov["char_start"].to_pylist() == [0, 2, 4, 6, 8]
