@@ -1026,6 +1026,15 @@ def _q_docs_chunks(sf_dir: str):
     return chunk_documents(ds, "text", "doc_id", size=300, stride=200)
 
 
+def _q_docs_pack(sf_dir: str):
+    """Sequence packing: consecutive docs per source (doc_id order)
+    fill 4096-char bins by cumulative n_chars (contiguous-fill
+    semantics — pure prefix sum, SQL-reproducible)."""
+    from rayskema.pipelines.relational import pack_bins
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return pack_bins(ds, "source", ["doc_id"], "n_chars", budget=4096)
+
+
 def _q_transcript_validate(sf_dir: str):
     # flagship north-rule pipeline; input synthesized per round spec
     # (transcript shape is not part of the driver testdata)
@@ -1089,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q1": _q_lineitem_q1,
         "orders_running": _q_orders_running,
         "docs_chunks": _q_docs_chunks,
+        "docs_pack": _q_docs_pack,
         "transcript_validate": _q_transcript_validate,
     }
 
@@ -1749,6 +1759,18 @@ def oracle_sql() -> dict[str, str]:
                    lag(price_c) OVER w AS lag
             FROM s WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderkey)
+        """,
+        "docs_pack": """
+            WITH s AS (
+                SELECT doc_id, source, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_chars AS excl
+                FROM documents)
+            SELECT doc_id, source, n_chars,
+                   CAST(excl // 4096 AS BIGINT) AS bin,
+                   CAST(excl % 4096 AS BIGINT) AS bin_offset
+            FROM s
         """,
         "docs_chunks": """
             WITH s AS (SELECT unnest(generate_series(

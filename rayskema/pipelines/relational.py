@@ -659,6 +659,60 @@ def group_running(
         [group_col], _win, buckets=buckets, sort_within=False)
 
 
+def pack_bins(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    weight_col: str, *, budget: int, buckets: int = 64,
+) -> "rd.Dataset":
+    """Sequence packing: assign consecutive items (in ``order_cols``
+    order within each group) to bins of capacity ``budget`` by
+    cumulative weight — the batch/context packing step of a training
+    pipeline.  Output ``(group, order..., weight, bin, bin_offset)``
+    with ``bin = floor(exclusive_prefix_sum / budget)`` and
+    ``bin_offset`` the item's start offset inside its bin's weight
+    budget.
+
+    Semantics note: an item whose weight straddles a bin boundary
+    stays WHOLLY in the bin where it starts, so a bin can exceed
+    ``budget`` by at most ``max(weight) - 1`` (contiguous-fill
+    packing).  This keeps the assignment a pure prefix-sum — exactly
+    reproducible by any SQL engine with a running-sum window and
+    vectorizable with no per-group iteration — unlike strict greedy
+    packing, whose reset-on-overflow recurrence is inherently
+    sequential.  Pre-chunk oversized items (``chunk_documents``) when
+    hard capacity matters.
+
+    One hash shuffle on the group key; prefix sums are segment-reset
+    vectorized over the bucket sort (same shape as
+    ``group_running``)."""
+    order_cols = list(order_cols)
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def _pack(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        n = tab.num_rows
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        w = pc.cast(tab[weight_col], pa.int64()).fill_null(0) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        cs = np.cumsum(w)
+        base = np.concatenate([[0], cs])[np.repeat(starts, sizes)]
+        excl = (cs - w) - base  # exclusive prefix sum within group
+        out = {group_col: tab[group_col]}
+        for c in order_cols:
+            out[c] = tab[c]
+        out[weight_col] = tab[weight_col]
+        out["bin"] = pa.array(excl // budget, type=pa.int64())
+        out["bin_offset"] = pa.array(excl % budget, type=pa.int64())
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col] + order_cols + [weight_col]),
+        [group_col], _pack, buckets=buckets, sort_within=False)
+
+
 def assemble_sequences(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, sep: str = "|", buckets: int = 64,

@@ -863,3 +863,17 @@ def test_chunk_documents(ray_session):
         [("chunk_idx", "ascending")])
     assert ov["chunk"].to_pylist() == ["abcd", "cdef", "efgh", "ghij", "ij"]
     assert ov["char_start"].to_pylist() == [0, 2, 4, 6, 8]
+
+
+def test_pack_bins(ray_session):
+    from rayskema.pipelines.relational import pack_bins
+    ds = rd.from_arrow(pa.table({
+        "g": ["a"] * 5 + ["b"] * 2,
+        "i": [0, 1, 2, 3, 4, 0, 1],
+        "w": [60, 50, 10, 100, 5, 120, 1],
+    }))
+    out = _collect(pack_bins(ds, "g", ["i"], "w", budget=100, buckets=4))
+    out = out.sort_by([("g", "ascending"), ("i", "ascending")])
+    # group a exclusive prefix sums: 0, 60, 110, 120, 220
+    assert out["bin"].to_pylist() == [0, 0, 1, 1, 2, 0, 1]
+    assert out["bin_offset"].to_pylist() == [0, 60, 10, 20, 20, 0, 20]
