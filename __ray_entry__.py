@@ -1780,7 +1780,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.i - 1 AS BIGINT) AS char_start,
                    substring(text, CAST(s.i AS INT), 300) AS chunk
             FROM documents, s
-            WHERE s.i <= greatest(length(text), 1)
+            -- null text yields no chunks (operator filters is_valid;
+            -- without this, greatest(NULL,1)=1 would emit a NULL row)
+            WHERE text IS NOT NULL
+              AND s.i <= greatest(length(text), 1)
         """
         # asserted-in-query (no SQL oracle by nature — approximate
         # indexes whose recall@k vs the exact result is computed and

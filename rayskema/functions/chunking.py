@@ -74,11 +74,13 @@ def chunk_documents(
                     sub, start=start, stop=start + size),
             }))
         if not parts:
+            # chunk keeps the input utf8 width (string vs large_string)
+            # so empty/all-null blocks schema-match non-empty ones
             return pa.table({
                 id_col: pa.array([], type=ids.type),
                 "chunk_idx": pa.array([], type=pa.int64()),
                 "char_start": pa.array([], type=pa.int64()),
-                "chunk": pa.array([], type=pa.string()),
+                "chunk": pa.array([], type=text.type),
             })
         return pa.concat_tables(parts)
 

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..pipelines.relational import bucketed_map_groups, segment_starts
+from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                    segment_starts)
 from ..state.sketches import _hash64, hash_strings
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -186,16 +187,20 @@ def simhash64(row_ids: np.ndarray, hashes: np.ndarray,
     return out
 
 
-def _group_pair_indices(counts: np.ndarray, firsts: np.ndarray,
-                        max_group: int) -> tuple[np.ndarray, np.ndarray]:
-    """Global row-index pairs (A, B) for all within-group combinations,
-    vectorized PER GROUP SIZE: every group of size s shares one triu
-    index template, so the Python loop runs once per distinct size (a
-    handful), never once per group (tens of thousands on dup-heavy
-    corpora).  Groups larger than ``max_group`` get the star pairing
-    against their first (smallest-key) row — O(s) rows, preserves
-    cluster connectivity."""
-    A_parts, B_parts = [], []
+def _group_pair_chunks(counts: np.ndarray, firsts: np.ndarray,
+                       max_group: int, chunk: int = 1 << 21):
+    """Yield global row-index pair chunks (A, B) for all within-group
+    combinations, vectorized PER GROUP SIZE: every group of size s
+    shares one triu index template, so the Python iteration count is
+    O(distinct sizes x size-class chunks), never once per group.
+
+    Streaming contract: at most ~``chunk`` pairs are materialized per
+    yield, bounding candidate-pair memory at O(chunk) no matter how
+    many groups a bucket holds (a bucket of 10k near-max groups would
+    otherwise expand to billions of resident index entries before any
+    verification ran).  Groups larger than ``max_group`` get the star
+    pairing against their first (smallest-key) row — O(s) rows,
+    preserves cluster connectivity."""
     for s in np.unique(counts):
         if s < 2:
             continue
@@ -205,12 +210,19 @@ def _group_pair_indices(counts: np.ndarray, firsts: np.ndarray,
             ib = np.arange(1, s, dtype=np.int64)
         else:
             ia, ib = np.triu_indices(int(s), k=1)
-        A_parts.append((base[:, None] + ia[None, :]).ravel())
-        B_parts.append((base[:, None] + ib[None, :]).ravel())
-    if not A_parts:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z
-    return np.concatenate(A_parts), np.concatenate(B_parts)
+        per = len(ia)
+        if per > chunk:
+            # one group's template alone exceeds the budget: emit the
+            # template in slices, one group at a time
+            for b in base:
+                for t in range(0, per, chunk):
+                    yield b + ia[t:t + chunk], b + ib[t:t + chunk]
+            continue
+        gstep = max(1, chunk // per)
+        for g in range(0, len(base), gstep):
+            bs = base[g:g + gstep]
+            yield ((bs[:, None] + ia[None, :]).ravel(),
+                   (bs[:, None] + ib[None, :]).ravel())
 
 
 _POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)],
@@ -289,9 +301,9 @@ def minhash_lsh_pairs(
     def _pairs(tab: pa.Table) -> pa.Table:
         # bucket sorted by (band, band_key): candidate groups are
         # contiguous runs of equal (band, band_key).  Pair emission is
-        # per-size templated (_group_pair_indices) and the signature
-        # compare runs ONCE over all pairs (chunked for memory) — no
-        # per-group Python work
+        # per-size templated (_group_pair_chunks) and the signature
+        # compare runs over bounded pair chunks — no per-group Python
+        # work, no unbounded candidate materialization
         tab = tab.sort_by([("band", "ascending"), ("band_key", "ascending"),
                            (id_col, "ascending")])
         new = segment_starts(tab, ["band", "band_key"])
@@ -302,11 +314,9 @@ def minhash_lsh_pairs(
         sigs = np.asarray(tab["sig"].combine_chunks().flatten()
                           .to_numpy(zero_copy_only=False)
                           ).reshape(max(len(ids), 1), -1)
-        A, B = _group_pair_indices(counts, np.flatnonzero(new), max_group)
         out_a, out_b, out_j = [], [], []
-        step = 1 << 21
-        for i in range(0, len(A), step):
-            a_i, b_i = A[i:i + step], B[i:i + step]
+        for a_i, b_i in _group_pair_chunks(counts, np.flatnonzero(new),
+                                           max_group):
             eq = (sigs[a_i] == sigs[b_i]).mean(axis=1)
             keep = eq >= jaccard_threshold
             out_a.append(ids[a_i[keep]])
@@ -327,9 +337,8 @@ def minhash_lsh_pairs(
 
     # same pair can surface from multiple bands: distinct on (id_a, id_b)
     def _dedup_pairs(tab: pa.Table) -> pa.Table:
-        return tab.group_by(["id_a", "id_b"]).aggregate(
-            [("jaccard_est", "max")]).rename_columns(
-                ["id_a", "id_b", "jaccard_est"])
+        return agg_named(tab, ["id_a", "id_b"],
+                         [("jaccard_est", "max")], ["jaccard_est"])
 
     return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
                                buckets=max(8, buckets // 8),
@@ -385,14 +394,13 @@ def simhash_pairs(
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         sh = tab["simhash"].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.uint64)
-        # per-size pair templates + ONE vectorized popcount over all
-        # candidate pairs (chunked) — no per-group Python work; giant
-        # groups (degenerate block values) star-pair inside the helper
-        A, B = _group_pair_indices(counts, np.flatnonzero(new), max_group)
+        # per-size pair templates + vectorized popcount over bounded
+        # pair chunks — no per-group Python work, no unbounded pair
+        # materialization; giant groups (degenerate block values)
+        # star-pair inside the helper
         out_a, out_b, out_h = [], [], []
-        step = 1 << 21
-        for i in range(0, len(A), step):
-            a_i, b_i = A[i:i + step], B[i:i + step]
+        for a_i, b_i in _group_pair_chunks(counts, np.flatnonzero(new),
+                                           max_group):
             ham = _popcount64(sh[a_i] ^ sh[b_i])
             keep = ham <= max_hamming
             out_a.append(ids[a_i[keep]])
@@ -412,8 +420,8 @@ def simhash_pairs(
                                 buckets=buckets, sort_within=False)
 
     def _dedup_pairs(tab: pa.Table) -> pa.Table:
-        return tab.group_by(["id_a", "id_b"]).aggregate(
-            [("hamming", "min")]).rename_columns(["id_a", "id_b", "hamming"])
+        return agg_named(tab, ["id_a", "id_b"],
+                         [("hamming", "min")], ["hamming"])
 
     return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
                                buckets=max(8, buckets // 8),
@@ -888,13 +896,16 @@ def common_substring_pairs(
             np.zeros(0, dtype=np.int64)
         ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         pos = tab["pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        A, B = _group_pair_indices(counts, np.flatnonzero(new), max_group)
-        if not len(A):
+        chunks = list(_group_pair_chunks(counts, np.flatnonzero(new),
+                                         max_group))
+        if not chunks:
             return pa.table({
                 "id_a": pa.array([], type=pa.int64()),
                 "id_b": pa.array([], type=pa.int64()),
                 "pos_a": pa.array([], type=pa.int64()),
                 "pos_b": pa.array([], type=pa.int64())})
+        A = np.concatenate([c[0] for c in chunks])
+        B = np.concatenate([c[1] for c in chunks])
         return pa.table({
             "id_a": pa.array(ids[A].astype(np.int64)),
             "id_b": pa.array(ids[B].astype(np.int64)),
@@ -929,42 +940,64 @@ def common_substring_pairs(
     call = pa.table({
         "id_a": pa.array(_a[keep]), "id_b": pa.array(_b[keep]),
         "pos_a": pa.array(_pa[keep]), "pos_b": pa.array(_pb[keep])})
-    involved = np.unique(np.concatenate([
-        call["id_a"].to_numpy(zero_copy_only=False),
-        call["id_b"].to_numpy(zero_copy_only=False)]))
-    inv_ref = ray.put(pa.array(involved, type=pa.int64()))
-
-    def _texts(tab: pa.Table) -> pa.Table:
-        sel = tab.filter(pc.is_in(tab[id_col], value_set=ray.get(inv_ref)))
-        return pa.table({id_col: sel[id_col],
-                         "text": pc.cast(sel[text_col], pa.large_binary())})
-
-    ttabs = [t for t in ray.get(
-        ds.select_columns([id_col, text_col]).map_batches(
-            _texts, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
-    texts = pa.concat_tables(ttabs).combine_chunks()
-    tids = texts[id_col].to_numpy(zero_copy_only=False)
-    toffs, tdata = _utf8_buffers(texts["text"].combine_chunks())
-    t_order = np.argsort(tids, kind="stable")
-    tids_s = tids[t_order]
-    tstart_s = toffs[:-1][t_order]
-
-    a = call["id_a"].to_numpy(zero_copy_only=False)
-    b = call["id_b"].to_numpy(zero_copy_only=False)
-    pa_ = call["pos_a"].to_numpy(zero_copy_only=False)
-    pb_ = call["pos_b"].to_numpy(zero_copy_only=False)
-    ra = np.searchsorted(tids_s, a).clip(0, max(len(tids_s) - 1, 0))
-    rb = np.searchsorted(tids_s, b).clip(0, max(len(tids_s) - 1, 0))
-    valid = (tids_s[ra] == a) & (tids_s[rb] == b)
+    # distributed exact verify: the corpus text is NEVER gathered — the
+    # driver holds only the O(pairs) candidates and O(pairs x k) window
+    # bytes.  A (doc, pos, slot) request table (two rows per pair) is
+    # broadcast ONCE via ray.put; each corpus batch slices the k-byte
+    # windows for the requests whose doc lives in that batch (doc ids
+    # are unique, so every request matches exactly one batch), and only
+    # those tiny windows come back.
+    n_pairs = call.num_rows
+    a = call["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = call["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pa_ = call["pos_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pb_ = call["pos_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    req_ref = ray.put(pa.table({
+        id_col: pa.array(np.concatenate([a, b])),
+        "pos": pa.array(np.concatenate([pa_, pb_])),
+        "slot": pa.array(np.arange(2 * n_pairs, dtype=np.int64)),
+    }))
     span = np.arange(k, dtype=np.int64)[None, :]
-    hi = max(len(tdata) - k, 0)
-    ia_idx = np.where(valid, tstart_s[ra] + pa_, 0).clip(0, hi)
-    ib_idx = np.where(valid, tstart_s[rb] + pb_, 0).clip(0, hi)
-    sub_a = tdata[ia_idx[:, None] + span]
-    sub_b = tdata[ib_idx[:, None] + span]
-    ok = valid & (sub_a == sub_b).all(axis=1)
-    out = pa.table({"id_a": pa.array(a[ok].astype(np.int64)),
-                    "id_b": pa.array(b[ok].astype(np.int64))})
+
+    def _extract(tab: pa.Table) -> pa.Table:
+        req = ray.get(req_ref)
+        row_of = pc.index_in(req[id_col],
+                             value_set=tab[id_col].combine_chunks())
+        have = pc.is_valid(row_of)
+        sel = req.filter(have)
+        if sel.num_rows == 0:
+            return pa.table({
+                "slot": pa.array([], type=pa.int64()),
+                "win": pa.array([], type=pa.list_(pa.uint8(), k))})
+        rows = row_of.filter(have).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toffs, tdata = _utf8_buffers(pc.cast(
+            tab[text_col].combine_chunks(), pa.large_binary()))
+        start = toffs[:-1][rows] + sel["pos"].to_numpy(
+            zero_copy_only=False)
+        start = start.clip(0, max(len(tdata) - k, 0))
+        win = tdata[start[:, None] + span]
+        return pa.table({
+            "slot": sel["slot"],
+            "win": pa.FixedSizeListArray.from_arrays(
+                pa.array(win.ravel(), type=pa.uint8()), k)})
+
+    wtabs = [t for t in ray.get(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _extract, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    wins = np.zeros((2 * n_pairs, k), dtype=np.uint8)
+    got = np.zeros(2 * n_pairs, dtype=bool)
+    if wtabs:
+        wt = pa.concat_tables(wtabs)
+        slots = wt["slot"].to_numpy(zero_copy_only=False)
+        mat = np.asarray(wt["win"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).reshape(-1, k)
+        wins[slots] = mat
+        got[slots] = True
+    ok = (got[:n_pairs] & got[n_pairs:]
+          & (wins[:n_pairs] == wins[n_pairs:]).all(axis=1))
+    out = pa.table({"id_a": pa.array(a[ok]), "id_b": pa.array(b[ok])})
     return rd.from_arrow(out.sort_by([("id_a", "ascending"),
                                       ("id_b", "ascending")]))
 

@@ -145,6 +145,8 @@ def exact_ks_discrete(ds, value_col: str, group_col: str, group_a: str):
     import pyarrow.compute as pc
     import ray
 
+    from ..pipelines.relational import agg_named
+
     def _partial(tab: pa.Table) -> pa.Table:
         keep = pc.is_valid(tab[value_col])
         tab = tab.filter(keep) if tab.num_rows else tab
@@ -155,9 +157,8 @@ def exact_ks_discrete(ds, value_col: str, group_col: str, group_a: str):
             "cb": pc.cast(pc.fill_null(pc.invert(is_a), False),
                           pa.int64()),
         })
-        return t.group_by(["v"]).aggregate(
-            [("ca", "sum"), ("cb", "sum")]).rename_columns(
-                ["v", "ca", "cb"])
+        return agg_named(t, ["v"], [("ca", "sum"), ("cb", "sum")],
+                         ["ca", "cb"])
 
     tabs = [t for t in ray.get(
         ds.select_columns([value_col, group_col]).map_batches(
@@ -165,8 +166,8 @@ def exact_ks_discrete(ds, value_col: str, group_col: str, group_a: str):
         if t.num_rows]
     if not tabs:
         return 0.0, 0, 0
-    merged = pa.concat_tables(tabs).group_by(["v"]).aggregate(
-        [("ca", "sum"), ("cb", "sum")]).rename_columns(["v", "ca", "cb"])
+    merged = agg_named(pa.concat_tables(tabs), ["v"],
+                       [("ca", "sum"), ("cb", "sum")], ["ca", "cb"])
     merged = merged.sort_by([("v", "ascending")])
     ca = merged["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
     cb = merged["cb"].to_numpy(zero_copy_only=False).astype(np.int64)

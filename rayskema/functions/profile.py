@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 
 from ..plan import limit_arrow_threads
-from ..pipelines.relational import bucketed_map_groups
+from ..pipelines.relational import agg_named, bucketed_map_groups
 
 _NUM_KINDS = (pa.types.is_integer, pa.types.is_floating,
               pa.types.is_decimal)
@@ -124,10 +124,9 @@ def profile_columns(
         s = tab.filter(pc.invert(is_d))
         out = []
         if d.num_rows:
-            nd = d.select(["col", "v"]).group_by(["col", "v"]) \
-                .aggregate([]).group_by(["col"]) \
-                .aggregate([("v", "count")]).rename_columns(
-                    ["col", "n"])
+            nd = agg_named(
+                d.select(["col", "v"]).group_by(["col", "v"])
+                .aggregate([]), ["col"], [("v", "count")], ["n"])
             k = nd.num_rows
             out.append(pa.table({
                 "col": nd["col"],
@@ -141,12 +140,13 @@ def profile_columns(
                 "max_str": pa.nulls(k, type=pa.string()),
             }))
         if s.num_rows:
-            m = s.group_by(["col"]).aggregate(
+            m = agg_named(
+                s, ["col"],
                 [("n", "sum"), ("n_null", "sum"), ("min_num", "min"),
                  ("max_num", "max"), ("min_str", "min"),
-                 ("max_str", "max")]).rename_columns(
-                    ["col", "n", "n_null", "min_num", "max_num",
-                     "min_str", "max_str"])
+                 ("max_str", "max")],
+                ["n", "n_null", "min_num", "max_num", "min_str",
+                 "max_str"])
             k = m.num_rows
             out.append(pa.table({
                 "col": m["col"],
@@ -170,13 +170,12 @@ def profile_columns(
     is_d = pc.equal(both["kind"], "d")
     d = both.filter(is_d)
     s = both.filter(pc.invert(is_d))
-    merged = s.group_by(["col"]).aggregate(
+    merged = agg_named(
+        s, ["col"],
         [("n", "sum"), ("n_null", "sum"), ("min_num", "min"),
-         ("max_num", "max"), ("min_str", "min"), ("max_str", "max")]
-    ).rename_columns(["col", "n", "n_null", "min_num", "max_num",
-                      "min_str", "max_str"])
-    dist = d.group_by(["col"]).aggregate([("n", "sum")]) \
-        .rename_columns(["col", "n_distinct"])
+         ("max_num", "max"), ("min_str", "min"), ("max_str", "max")],
+        ["n", "n_null", "min_num", "max_num", "min_str", "max_str"])
+    dist = agg_named(d, ["col"], [("n", "sum")], ["n_distinct"])
     nd_idx = pc.index_in(merged["col"], value_set=dist["col"])
     nd_vals = dist["n_distinct"].take(nd_idx) if dist.num_rows else \
         pa.nulls(merged.num_rows, type=pa.int64())

@@ -209,7 +209,8 @@ def embedding_near_dup_pairs(
     surely collide in another, smaller bucket.  For the exact,
     oracle-checkable variant see
     :func:`embedding_near_dup_pairs_exact`."""
-    from ..pipelines.relational import bucketed_map_groups, segment_starts
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        segment_starts)
 
     probe = ds.take_batch(1, batch_format="pyarrow")
     d = len(probe[vec_col][0])
@@ -256,14 +257,15 @@ def embedding_near_dup_pairs(
         m = np.asarray(tab["vec"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False)).reshape(len(ids), -1 if len(ids) else 0)
         # per-size pair templates (star pairing for groups beyond
-        # max_group) + chunked row-wise dot products over ALL candidate
-        # pairs at once — no per-group Python work or m x m matmuls
-        from .dedup import _group_pair_indices
-        A, B = _group_pair_indices(counts, firsts, max_group)
+        # max_group) + row-wise dot products over bounded pair chunks
+        # — no per-group Python work, no m x m matmuls, and no
+        # unbounded candidate materialization.  The smaller chunk size
+        # (vs the signature compares) bounds the fancy-index gather of
+        # two dim-wide float rows per pair
+        from .dedup import _group_pair_chunks
         out_a, out_b, out_c = [], [], []
-        step = 1 << 20
-        for i in range(0, len(A), step):
-            a_i, b_i = A[i:i + step], B[i:i + step]
+        for a_i, b_i in _group_pair_chunks(counts, firsts, max_group,
+                                           chunk=1 << 18):
             cos = np.einsum("ij,ij->i", m[a_i], m[b_i])
             keep = cos >= cosine_threshold
             out_a.append(ids[a_i[keep]])
@@ -283,8 +285,8 @@ def embedding_near_dup_pairs(
                                 sort_within=False)
 
     def _dedup(tab: pa.Table) -> pa.Table:
-        return tab.group_by(["id_a", "id_b"]).aggregate(
-            [("cosine", "max")]).rename_columns(["id_a", "id_b", "cosine"])
+        return agg_named(tab, ["id_a", "id_b"],
+                         [("cosine", "max")], ["cosine"])
 
     return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup,
                                buckets=max(8, buckets // 8),

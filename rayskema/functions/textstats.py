@@ -187,7 +187,7 @@ def top_k_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
     (partial aggregation), so only the vocabulary — not the corpus —
     moves; the bucketed hash exchange sums partials per token and the
     final sort runs over ~vocabulary rows, not corpus rows."""
-    from ..pipelines.relational import bucketed_map_groups
+    from ..pipelines.relational import agg_named, bucketed_map_groups
 
     def _partial(tab: pa.Table) -> pa.Table:
         flat = pc.list_flatten(pc.split_pattern_regex(
@@ -201,8 +201,7 @@ def top_k_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
         _partial, batch_format="pyarrow")
 
     def _sum(tab: pa.Table) -> pa.Table:
-        g = tab.group_by("token").aggregate([("n", "sum")])
-        return g.rename_columns(["token", "n"])
+        return agg_named(tab, ["token"], [("n", "sum")], ["n"])
 
     summed = bucketed_map_groups(partial, ["token"], _sum,
                                  buckets=buckets, sort_within=False)

@@ -190,8 +190,29 @@ def bucketed_map_groups(
         _apply, batch_format="pyarrow")
 
 
+def agg_named(tab: pa.Table, keys: Sequence[str],
+              spec: Sequence[tuple], names: Sequence[str]) -> pa.Table:
+    """``group_by().aggregate()`` with the output bound by NAME:
+    returns a table with columns ``keys + names`` (one per spec
+    entry).  Arrow's emitted column layout (keys first vs aggregates
+    first) has differed across pyarrow versions — selecting the
+    emitted ``<col>_<fn>`` / ``count_all`` names instead of renaming
+    by position keeps every aggregation site version-proof."""
+    keys = list(keys)
+    g = tab.group_by(keys).aggregate(list(spec))
+    out = {k: g[k] for k in keys}
+    for name, (c, fn) in zip(names, spec):
+        out[name] = g["count_all" if fn == "count_all" else f"{c}_{fn}"]
+    return pa.table(out)
+
+
 def segment_starts(tab: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
-    """Boolean 'new group starts here' mask over a key-sorted table."""
+    """Boolean 'new group starts here' mask over a key-sorted table.
+
+    SQL grouping semantics for nulls: adjacent nulls are ONE group (a
+    numeric column's nulls arrive as NaN/NaT from to_numpy, where
+    x != x would otherwise split every null row into its own group);
+    null↔value transitions always start a segment."""
     n = tab.num_rows
     new = np.zeros(n, dtype=bool)
     if n == 0:
@@ -199,8 +220,17 @@ def segment_starts(tab: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
     new[0] = True
     for c in key_cols:
         arr = tab[c].combine_chunks()
+        valid = np.asarray(arr.is_valid())
         v = arr.to_numpy(zero_copy_only=False)
-        new[1:] |= v[1:] != v[:-1]
+        both_valid = valid[1:] & valid[:-1]
+        with np.errstate(invalid="ignore"):
+            diff = (v[1:] != v[:-1]) & both_valid
+        if v.dtype.kind == "f":
+            # genuine NaN values (valid, not null) compare equal,
+            # matching SQL GROUP BY's NaN handling
+            diff &= ~(np.isnan(v[1:].astype(np.float64, copy=False))
+                      & np.isnan(v[:-1].astype(np.float64, copy=False)))
+        new[1:] |= diff | (valid[1:] != valid[:-1])
     return new
 
 
@@ -287,8 +317,8 @@ def group_count_violations(ds: "rd.Dataset", group_cols: Sequence[str],
     group_cols = list(group_cols)
 
     def _partial(tab: pa.Table) -> pa.Table:
-        t = tab.group_by(group_cols).aggregate([(group_cols[0], "count")])
-        return t.rename_columns(group_cols + ["n"])
+        return agg_named(tab, group_cols,
+                         [(group_cols[0], "count")], ["n"])
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
 
@@ -568,15 +598,13 @@ def group_agg(
     def _pname(col: str, fn: str) -> str:
         return f"__p_{fn}" if fn == "count_all" else f"__p_{col}_{fn}"
 
-    in_cols = group_cols + sorted({c for c, f in partials if c})
+    in_cols = group_cols + sorted(
+        {c for c, f in partials if c and c not in group_cols})
 
     def _partial(tab: pa.Table) -> pa.Table:
         spec = [([] if fn == "count_all" else c, fn) for c, fn in partials]
-        g = tab.group_by(group_cols).aggregate(spec)
-        # arrow emits the group keys first, then one "<col>_<fn>" /
-        # "count_all" column per spec entry in spec order
-        return g.rename_columns(
-            group_cols + [_pname(c, fn) for c, fn in partials])
+        return agg_named(tab, group_cols, spec,
+                         [_pname(c, fn) for c, fn in partials])
 
     partial = ds.select_columns(in_cols).map_batches(
         _partial, batch_format="pyarrow")
@@ -586,9 +614,8 @@ def group_agg(
 
     def _final(tab: pa.Table) -> pa.Table:
         spec = [(_pname(c, fn), merge_fn[fn]) for c, fn in partials]
-        g = tab.group_by(group_cols).aggregate(spec)
-        g = g.rename_columns(group_cols
-                             + [_pname(c, fn) for c, fn in partials])
+        g = agg_named(tab, group_cols, spec,
+                      [_pname(c, fn) for c, fn in partials])
         out = {c: g[c] for c in group_cols}
         for col, op, name in aggs:
             if op == "count_all":
@@ -774,15 +801,14 @@ def group_histogram(
         b = np.clip(np.floor((v - lo) / width), 0,
                     n_bins - 1).astype(np.int64)
         t = tab.select([group_col]).append_column("bin", pa.array(b))
-        return t.group_by([group_col, "bin"]).aggregate(
-            [([], "count_all")]).rename_columns([group_col, "bin", "n"])
+        return agg_named(t, [group_col, "bin"],
+                         [([], "count_all")], ["n"])
 
     partial = ds.select_columns([group_col, value_col]).map_batches(
         _partial, batch_format="pyarrow")
 
     def _sum(tab: pa.Table) -> pa.Table:
-        g = tab.group_by([group_col, "bin"]).aggregate([("n", "sum")])
-        return g.rename_columns([group_col, "bin", "n"])
+        return agg_named(tab, [group_col, "bin"], [("n", "sum")], ["n"])
 
     return bucketed_map_groups(partial, [group_col], _sum,
                                buckets=buckets, sort_within=False)
@@ -853,9 +879,8 @@ def pivot_counts(
         _partial, batch_format="pyarrow")
 
     def _sum(tab: pa.Table) -> pa.Table:
-        g = tab.group_by([group_col]).aggregate(
-            [(c, "sum") for c in cols])
-        return g.rename_columns([group_col] + cols)
+        return agg_named(tab, [group_col],
+                         [(c, "sum") for c in cols], cols)
 
     return bucketed_map_groups(partial, [group_col], _sum,
                                buckets=buckets, sort_within=False)
@@ -906,18 +931,18 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
         win = pc.floor_temporal(tab[ts_col], unit=window)
         t = tab.select(group_cols + [value_col]).append_column(
             "window_start", win)
-        return t.group_by(["window_start"] + group_cols).aggregate(
-            [(value_col, "count"), (value_col, "min"), (value_col, "max")]
-        ).rename_columns(["window_start"] + group_cols
-                         + ["n", "min_value", "max_value"])
+        return agg_named(
+            t, ["window_start"] + group_cols,
+            [(value_col, "count"), (value_col, "min"),
+             (value_col, "max")], ["n", "min_value", "max_value"])
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
 
     def _final(tab: pa.Table) -> pa.Table:
-        return tab.group_by(["window_start"] + group_cols).aggregate(
-            [("n", "sum"), ("min_value", "min"), ("max_value", "max")]
-        ).rename_columns(["window_start"] + group_cols
-                         + ["n", "min_value", "max_value"])
+        return agg_named(
+            tab, ["window_start"] + group_cols,
+            [("n", "sum"), ("min_value", "min"), ("max_value", "max")],
+            ["n", "min_value", "max_value"])
 
     return bucketed_map_groups(partial, ["window_start"] + group_cols,
                                _final, buckets=16, sort_within=False)
@@ -974,10 +999,11 @@ def session_windows(
         })
         out = t.group_by([key, "session_idx"]).aggregate(
             [("ts", "min"), ("ts", "max"), ("ts", "count")])
-        return out.rename_columns(
-            [key, "session_idx", "session_start", "session_end",
-             "n_events"]).set_column(
-                 4, "n_events", pc.cast(out.column(4), pa.int64()))
+        return pa.table({
+            key: out[key], "session_idx": out["session_idx"],
+            "session_start": out["ts_min"],
+            "session_end": out["ts_max"],
+            "n_events": pc.cast(out["ts_count"], pa.int64())})
 
     return bucketed_map_groups(ds, [key], _sessions, buckets=buckets,
                                sort_within=False)

@@ -877,3 +877,51 @@ def test_pack_bins(ray_session):
     # group a exclusive prefix sums: 0, 60, 110, 120, 220
     assert out["bin"].to_pylist() == [0, 0, 1, 1, 2, 0, 1]
     assert out["bin_offset"].to_pylist() == [0, 60, 10, 20, 20, 0, 20]
+
+
+def test_group_running_null_numeric_key(ray_session):
+    # null int64 partition keys must form ONE group (to_numpy turns
+    # them into NaN; NaN != NaN must not split every row)
+    from rayskema.pipelines.relational import group_running
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([None, None, None, 7], type=pa.int64()),
+        "o": [1, 2, 3, 1],
+        "v": [10, 20, 30, 5],
+    }))
+    out = _collect(group_running(ds, "g", ["o"], "v", buckets=4))
+    out = out.sort_by([("g", "ascending"), ("o", "ascending")])
+    byg = {}
+    for g, rn, rs, lg in zip(out["g"].to_pylist(),
+                             out["row_number"].to_pylist(),
+                             out["running_sum"].to_pylist(),
+                             out["lag"].to_pylist()):
+        byg.setdefault(g, []).append((rn, rs, lg))
+    assert byg[None] == [(1, 10.0, None), (2, 30.0, 10), (3, 60.0, 20)]
+    assert byg[7] == [(1, 5.0, None)]
+
+
+def test_pack_bins_null_numeric_key(ray_session):
+    from rayskema.pipelines.relational import pack_bins
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([None, None, 3], type=pa.int64()),
+        "i": [0, 1, 0],
+        "w": [100, 60, 10],
+    }))
+    out = _collect(pack_bins(ds, "g", ["i"], "w", budget=100, buckets=4))
+    got = {(g, i): b for g, i, b in zip(out["g"].to_pylist(),
+                                        out["i"].to_pylist(),
+                                        out["bin"].to_pylist())}
+    assert got == {(None, 0): 0, (None, 1): 1, (3, 0): 0}
+
+
+def test_group_agg_on_group_column(ray_session):
+    # count(g) ... GROUP BY g is legal SQL; must not double-select g
+    from rayskema.pipelines.relational import group_agg
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", None], "v": [1, 2, 3]}))
+    out = _collect(group_agg(ds, ["g"], [("g", "count", "n_g"),
+                                         ("v", "sum", "s")], buckets=2))
+    out = out.sort_by([("g", "ascending")])
+    assert out["g"].to_pylist() == ["a", None]
+    assert out["n_g"].to_pylist() == [2, 0]
+    assert out["s"].to_pylist() == [3, 3]
