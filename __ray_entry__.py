@@ -1026,6 +1026,15 @@ def _q_docs_chunks(sf_dir: str):
     return chunk_documents(ds, "text", "doc_id", size=300, stride=200)
 
 
+def _q_docs_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (postings + one vocabulary
+    exchange + broadcast idf lookup); scores rounded half-away to 6
+    digits before ranking so rank order is engine-reproducible."""
+    from rayskema.functions.textstats import tfidf_top_terms
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -1099,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running": _q_orders_running,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
+        "docs_tfidf": _q_docs_tfidf,
         "transcript_validate": _q_transcript_validate,
     }
 
@@ -1759,6 +1769,29 @@ def oracle_sql() -> dict[str, str]:
                    lag(price_c) OVER w AS lag
             FROM s WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderkey)
+        """,
+        "docs_tfidf": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, term FROM tok)
+                   GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                         round(tf.tf * ln(
+                             (SELECT count(*) FROM documents)::DOUBLE
+                             / df.df), 6) AS score
+                  FROM tf JOIN df USING (term)),
+            r AS (SELECT doc_id, term, tf, score,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY score DESC, term) AS rank
+                  FROM s)
+            SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
         """,
         "docs_pack": """
             WITH s AS (

@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..state.sketches import hash_strings
@@ -174,6 +175,111 @@ def repetition_stats(ds: "rd.Dataset", text_col: str,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _stats, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
+                    k: int = 3, buckets: int = 64) -> "rd.Dataset":
+    """Per-document top-``k`` TF-IDF terms: ``(id, term, tf, score,
+    rank)`` with ``score = tf * ln(N / df)`` (N = corpus rows, df =
+    documents containing the term), ranked by (score desc, term asc).
+    Terms are lowercased ``[a-z0-9]+`` runs.
+
+    Scale shape: one block-local pass builds distinct (doc, term, tf)
+    postings (Arrow hash-agg, no row loops); document frequencies are
+    partial-counted per block and summed through ONE hash exchange —
+    only the vocabulary moves, never the corpus; the (term → df) table
+    is broadcast ONCE via ``ray.put`` and every scoring task does an
+    ``index_in`` lookup per batch; the final per-doc top-k is one more
+    hash exchange over postings.  The broadcast assumes a
+    vocabulary-sized table fits a worker (bound it upstream with a
+    min-df filter when the corpus is open-vocabulary at 100 TB).
+
+    Scores are rounded half-away to 6 digits BEFORE ranking so the
+    ordering is reproducible across engines (ln differs in the last
+    ulp between libms)."""
+    from . import round_half_away
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        segment_starts)
+
+    def _postings(tab: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(words).combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(tab.num_rows, dtype=np.int64), counts)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        ptab = pa.table({"seg": pa.array(seg[keep]),
+                         "term": flat.filter(pa.array(keep))})
+        g = agg_named(ptab, ["seg", "term"], [([], "count_all")], ["tf"])
+        return pa.table({
+            id_col: tab[id_col].take(g["seg"]),
+            "term": g["term"],
+            "tf": pc.cast(g["tf"], pa.int64()),
+        })
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        _postings, batch_format="pyarrow")
+
+    # document frequency: postings rows are distinct (doc, term) and a
+    # doc lives in one block, so per-block term value_counts are exact
+    # df partials; one bucketed exchange sums them
+    def _df_partial(tab: pa.Table) -> pa.Table:
+        vc = tab["term"].combine_chunks().value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "df": pc.cast(vc.field("counts"), pa.int64())})
+
+    df_ds = bucketed_map_groups(
+        postings.map_batches(_df_partial, batch_format="pyarrow"),
+        ["term"],
+        lambda t: agg_named(t, ["term"], [("df", "sum")], ["df"]),
+        buckets=buckets, sort_within=False)
+    dtabs = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+    n_docs = ds.count()
+    if not dtabs:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64())}))
+    df_tab = pa.concat_tables(dtabs).combine_chunks()
+    df_ref = ray.put((df_tab["term"].combine_chunks(),
+                      df_tab["df"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)))
+
+    def _score(tab: pa.Table) -> pa.Table:
+        terms, dfs = ray.get(df_ref)
+        idx = pc.index_in(tab["term"].combine_chunks(), value_set=terms) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tab["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        score = round_half_away(
+            tf * np.log(float(n_docs) / dfs[idx]), 6)
+        return tab.append_column("score", pa.array(score))
+
+    scored = postings.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(id_col, "ascending"),
+                           ("score", "descending"),
+                           ("term", "ascending")])
+        new = segment_starts(tab, [id_col])
+        firsts = np.flatnonzero(new)
+        n = tab.num_rows
+        pos = np.arange(n) - np.repeat(
+            firsts, np.diff(np.append(firsts, n)))
+        keepm = pa.array(pos < k)
+        return pa.table({
+            id_col: tab[id_col].filter(keepm),
+            "term": tab["term"].filter(keepm),
+            "tf": tab["tf"].filter(keepm),
+            "score": tab["score"].filter(keepm),
+            "rank": pa.array((pos[pos < k] + 1).astype(np.int64)),
+        })
+
+    return bucketed_map_groups(scored, [id_col], _topk,
+                               buckets=buckets, sort_within=False)
 
 
 def top_k_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,

@@ -925,3 +925,24 @@ def test_group_agg_on_group_column(ray_session):
     assert out["g"].to_pylist() == ["a", None]
     assert out["n_g"].to_pylist() == [2, 0]
     assert out["s"].to_pylist() == [3, 3]
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+    from rayskema.functions.textstats import tfidf_top_terms
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "cherry cherry date"],
+    }))
+    out = _collect(tfidf_top_terms(ds, "text", "doc_id", k=2, buckets=4))
+    rows = {(d, r): (t, tf, s) for d, t, tf, s, r in zip(
+        out["doc_id"].to_pylist(), out["term"].to_pylist(),
+        out["tf"].to_pylist(), out["score"].to_pylist(),
+        out["rank"].to_pylist())}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert rows[(1, 1)][0] == "apple" and rows[(1, 1)][1] == 2
+    assert rows[(1, 1)][2] == round(2 * math.log(3.0), 6)
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=2 df=2 -> 2*ln(1.5); date tf=1 df=1 -> ln(3)
+    assert rows[(3, 1)][0] == "date"
+    assert rows[(3, 2)][0] == "cherry"
