@@ -1026,6 +1026,62 @@ def _q_docs_chunks(sf_dir: str):
     return chunk_documents(ds, "text", "doc_id", size=300, stride=200)
 
 
+def _q_orders_q3(sf_dir: str):
+    """TPC-H Q3 shape — three-table pipeline composition: filtered
+    customer (broadcast join) x filtered orders (bucketed join) x
+    filtered lineitem, revenue aggregated per order via group_agg over
+    exact integer basis-point units, global top-10.  Demonstrates the
+    engine's operators composing like the SQL a reference user writes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+                     batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def _li_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        # exact integer basis points: cents x (100 - discount%)
+        rev = pc.multiply(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64()),
+            pc.subtract(pa.scalar(100, type=pa.int64()),
+                        pc.cast(pc.round(pc.multiply(
+                            t["l_discount"], 100.0)), pa.int64())))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_bp": rev})
+
+    li = li.map_batches(_li_rev, batch_format="pyarrow")
+    # small filtered dimension broadcast once; fact join bucketed
+    o_b = hash_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"],
+                    how="inner", broadcast=True)
+    j = hash_join(li, o_b.select_columns(["o_orderkey", "o_orderdate"]),
+                  on=["l_orderkey"], right_on=["o_orderkey"], how="inner",
+                  buckets=16)
+    agg = group_agg(j, ["l_orderkey", "o_orderdate"],
+                    [("rev_bp", "sum", "rev_bp")], buckets=16)
+
+    def _derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "revenue": pc.divide(pc.cast(t["rev_bp"], pa.float64()),
+                                 10000.0)})
+
+    out = agg.map_batches(_derive, batch_format="pyarrow")
+    return out.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
 def _q_docs_tfidf(sf_dir: str):
     """Per-document top-3 TF-IDF terms (postings + one vocabulary
     exchange + broadcast idf lookup); scores rounded half-away to 6
@@ -1109,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_tfidf": _q_docs_tfidf,
+        "orders_q3": _q_orders_q3,
         "transcript_validate": _q_transcript_validate,
     }
 
@@ -1769,6 +1826,22 @@ def oracle_sql() -> dict[str, str]:
                    lag(price_c) OVER w AS lag
             FROM s WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderkey)
+        """,
+        "orders_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS DOUBLE) / 10000 AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "docs_tfidf": """
             WITH tok AS (
