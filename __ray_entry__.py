@@ -1891,7 +1891,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL
               AND s.i <= greatest(length(text), 1)
         """
-        # asserted-in-query (no SQL oracle by nature — approximate
-        # indexes whose recall@k vs the exact result is computed and
-        # bounded INSIDE the query): emb_knn_lsh, emb_knn_ivf
+        # asserted-in-query (no SQL oracle by nature): emb_knn_lsh /
+        # emb_knn_ivf bound recall@k vs the exact result INSIDE the
+        # query; emb_kmeans (iterative) asserts non-increasing inertia
+        # and equality with a local seeded Lloyd reference
     }
