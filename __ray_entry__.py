@@ -1017,6 +1017,55 @@ def _q_orders_running(sf_dir: str):
                          "o_custkey", ["o_orderkey"], "price_c")
 
 
+def _q_orders_rolling(sf_dir: str):
+    """Trailing 3-row rolling sum / count / mean of order value per
+    customer (the moving-average window shape); exact integer cents
+    keep the sums bit-equal to the SQL window frame."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_rolling
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _scale(tab: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": tab["o_custkey"],
+            "o_orderkey": tab["o_orderkey"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                tab["o_totalprice"], 100.0)), pa.int64()),
+        })
+
+    return group_rolling(ds.map_batches(_scale, batch_format="pyarrow"),
+                         "o_custkey", ["o_orderkey"], "price_c", window=3)
+
+
+def _q_orders_rank(sf_dir: str):
+    """SQL ranking windows (rank / dense_rank / percent_rank) of each
+    order within its customer by total price descending — computed
+    from two vectorized segment masks after one hash shuffle."""
+    from rayskema.pipelines.relational import group_rank
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+    return group_rank(ds, "o_custkey", "o_totalprice",
+                      descending=True, keep_cols=["o_orderkey"])
+
+
+def _q_events_json_extract(sf_dir: str):
+    """Scalar extraction from the JSON props sidecar (vectorized
+    regex fast path, json.loads fallback only for rows the regex
+    cannot resolve), then a grouped aggregate over the extracted
+    field."""
+    import pyarrow as pa
+    from rayskema.functions.jsoncol import with_json_field
+    from rayskema.pipelines.relational import group_agg
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ds = with_json_field(ds, "props", "k", out_col="k",
+                         value_type=pa.int64())
+    return group_agg(ds, ["event_type"],
+                     [("k", "count_all", "n"), ("k", "sum", "sum_k"),
+                      ("k", "min", "min_k"), ("k", "max", "max_k")])
+
+
 def _q_docs_chunks(sf_dir: str):
     """Sliding-window document chunking (size 300, stride 200 — the
     LLM context-window prep step); codepoint offsets match SQL
@@ -1162,6 +1211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ks_drift": _q_docs_ks_drift,
         "lineitem_q1": _q_lineitem_q1,
         "orders_running": _q_orders_running,
+        "orders_rolling": _q_orders_rolling,
+        "orders_rank": _q_orders_rank,
+        "events_json_extract": _q_events_json_extract,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_tfidf": _q_docs_tfidf,
@@ -1826,6 +1878,39 @@ def oracle_sql() -> dict[str, str]:
                    lag(price_c) OVER w AS lag
             FROM s WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderkey)
+        """,
+        "orders_rolling": """
+            WITH s AS (SELECT o_custkey, o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS price_c
+                       FROM orders)
+            SELECT o_custkey, o_orderkey, price_c,
+                   CAST(sum(price_c) OVER w AS BIGINT) AS rolling_sum,
+                   count(*) OVER w AS rolling_n,
+                   CAST(sum(price_c) OVER w AS DOUBLE)
+                       / count(*) OVER w AS rolling_mean
+            FROM s WINDOW w AS (
+                PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "orders_rank": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   rank() OVER w AS rank,
+                   dense_rank() OVER w AS dense_rank,
+                   percent_rank() OVER w AS percent_rank
+            FROM orders WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC NULLS LAST)
+        """,
+        "events_json_extract": """
+            WITH s AS (SELECT event_type,
+                              CAST(json_extract(props, '$.k') AS BIGINT)
+                                  AS k
+                       FROM events)
+            SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT)
+                       AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM s GROUP BY event_type
         """,
         "orders_q3": """
             SELECT l_orderkey, o_orderdate,

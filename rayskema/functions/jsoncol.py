@@ -1,0 +1,161 @@
+"""Vectorized scalar extraction from JSON string columns.
+
+Training corpora carry metadata sidecars as JSON strings (the
+``events.props`` shape).  goskema parses such payloads through its
+token engine (reference ``internal/engine/engine.go:40-108``); the
+columnar analogue extracts one scalar field across the whole batch.
+
+Two paths per batch:
+
+- **regex fast path** (default): one RE2-class ``pc.extract_regex``
+  over the column pulls ``"key": <scalar>`` matches — zero Python per
+  row.  Exact for flat objects (no nested object/array values that
+  repeat the key, no escaped quotes inside the value).
+- **python fallback**: rows the regex could not resolve (key present
+  but value not a plain scalar) go through ``json.loads`` — only
+  those rows pay the Python cost.  ``mode="python"`` forces it
+  everywhere (full JSON semantics, slow path).
+
+Missing key, JSON null, or unparseable document all yield null.
+"""
+from __future__ import annotations
+
+import json
+import re
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data as rd
+
+_SCALAR_RE_TMPL = (
+    r'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?'
+    r'|"(?:[^"\\]*)"|true|false|null)'
+)
+
+
+def json_scalar(
+    values: pa.ChunkedArray | pa.Array, key: str,
+    value_type: pa.DataType, *, mode: str = "auto",
+) -> pa.Array:
+    """Extract ``key``'s scalar value from every JSON document in a
+    string column.  Returns an array of ``value_type`` with nulls for
+    missing/null/unextractable rows."""
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", key):
+        raise ValueError("key must be a plain identifier (no regex "
+                         "metacharacters / quotes)")
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    n = len(values)
+    if mode == "python":
+        return _python_path(values, key, value_type, np.arange(n))
+
+    pattern = _SCALAR_RE_TMPL.format(key=re.escape(key))
+    m = pc.extract_regex(values, pattern)
+    raw = pc.struct_field(m, "v")
+    # rows where the key exists but the regex missed it (nested /
+    # escaped value) fall back to json.loads
+    has_key = pc.match_substring(values, f'"{key}"')
+    need_py = pc.and_(has_key, pc.is_null(raw)).fill_null(False)
+    out = _convert_raw(raw, value_type)
+    py_idx = np.flatnonzero(np.asarray(need_py))
+    if py_idx.size:
+        patch = _python_path(values, key, value_type, py_idx)
+        mask = np.zeros(n, dtype=bool)
+        mask[py_idx] = True
+        full = np.empty(n, dtype=object)
+        pv = patch.to_pylist()
+        for pos, val in zip(py_idx, pv):
+            full[pos] = val
+        out = pc.if_else(pa.array(mask), pa.array(list(full),
+                                                  type=value_type), out)
+    return out
+
+
+def _convert_raw(raw: pa.Array, value_type: pa.DataType) -> pa.Array:
+    """Matched JSON scalar text -> typed array (null for 'null' and
+    for type-mismatched rows)."""
+    raw = pc.if_else(pc.equal(raw, "null"), pa.nulls(len(raw),
+                                                     type=pa.string()), raw)
+    if pa.types.is_string(value_type) or pa.types.is_large_string(value_type):
+        quoted = pc.match_substring_regex(raw, r'^"').fill_null(False)
+        stripped = pc.utf8_replace_slice(
+            pc.utf8_replace_slice(raw, 0, 1, ""), -1, 2**30, "")
+        return pc.if_else(quoted, stripped,
+                          pa.nulls(len(raw), type=pa.string()))
+    numeric = pc.match_substring_regex(raw, r"^-?\d").fill_null(False)
+    num_txt = pc.if_else(numeric, raw, pa.nulls(len(raw),
+                                                type=pa.string()))
+    if pa.types.is_boolean(value_type):
+        return pc.if_else(
+            pc.is_in(raw, value_set=pa.array(["true", "false"])),
+            pc.equal(raw, "true"), pa.nulls(len(raw), type=pa.bool_()))
+    if pa.types.is_integer(value_type):
+        # only plain integer text maps to an integer target —
+        # fractional / exponent / bool values are type mismatches
+        plain = pc.match_substring_regex(
+            num_txt, r"^-?\d+$").fill_null(False)
+        return pc.cast(pc.if_else(plain, num_txt,
+                                  pa.nulls(len(raw), type=pa.string())),
+                       value_type)
+    return pc.cast(num_txt, value_type)
+
+
+def _python_path(values: pa.Array, key: str, value_type: pa.DataType,
+                 idx: np.ndarray) -> pa.Array:
+    out = []
+    for i in idx:
+        v = values[int(i)].as_py()
+        try:
+            doc = json.loads(v) if v is not None else None
+        except (ValueError, TypeError):
+            doc = None
+        val = doc.get(key) if isinstance(doc, dict) else None
+        if isinstance(val, (dict, list)):
+            val = None
+        # strict JSON-type -> Arrow-type map, matching the regex path:
+        # bool<->bool, int->int/float, float->float, str->str; anything
+        # else is a type mismatch -> null
+        if val is not None:
+            if pa.types.is_boolean(value_type):
+                val = val if isinstance(val, bool) else None
+            elif pa.types.is_integer(value_type):
+                val = val if (isinstance(val, int)
+                              and not isinstance(val, bool)) else None
+            elif pa.types.is_floating(value_type):
+                val = val if (isinstance(val, (int, float))
+                              and not isinstance(val, bool)) else None
+            elif (pa.types.is_string(value_type)
+                  or pa.types.is_large_string(value_type)):
+                val = val if isinstance(val, str) else None
+        out.append(val)
+    try:
+        return pa.array(out, type=value_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        coerced = []
+        for v in out:
+            try:
+                coerced.append(None if v is None else
+                               pa.scalar(v).cast(value_type).as_py())
+            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+                coerced.append(None)
+        return pa.array(coerced, type=value_type)
+
+
+def with_json_field(
+    ds: "rd.Dataset", col: str, key: str, *, out_col: str,
+    value_type: pa.DataType | None = None, mode: str = "auto",
+) -> "rd.Dataset":
+    """Append ``out_col`` = ``json_scalar(col, key)`` to every batch —
+    a stateless vectorized ``map_batches`` stage (the regex compiles
+    inside Arrow's kernel; no per-batch Python state to amortize)."""
+    vt = value_type if value_type is not None else pa.int64()
+
+    def _add(tab: pa.Table) -> pa.Table:
+        return tab.append_column(
+            out_col, json_scalar(tab[col], key, vt, mode=mode))
+
+    return ds.map_batches(_add, batch_format="pyarrow")

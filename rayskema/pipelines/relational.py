@@ -686,6 +686,114 @@ def group_running(
         [group_col], _win, buckets=buckets, sort_within=False)
 
 
+def group_rolling(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, window: int, buckets: int = 64,
+) -> "rd.Dataset":
+    """Trailing-frame rolling aggregates per group: for each row (in
+    ``order_cols`` order within ``group_col``) the sum / count / mean
+    of ``value_col`` over the frame ``ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW``.  Output ``(group, order..., value, rolling_sum,
+    rolling_n, rolling_mean)``; frames at a group's head are partial
+    (SQL semantics).
+
+    One hash shuffle; the sliding sums come from one prefix-sum pass
+    (``cs[i+1] - cs[max(i-window+1, group_start)]``) — no per-group
+    iteration and no O(n*window) work.  Use an integer value column
+    for bit-exact cross-engine sums; ``rolling_mean`` is the single
+    division sum/n in float64 (reproducible).  Nulls contribute 0 to
+    the sum but still occupy a frame slot (pair with a non-null
+    column when oracle-matching, as SQL excludes nulls from AVG)."""
+    order_cols = list(order_cols)
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    def _roll(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        n = tab.num_rows
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, sizes)
+        v = tab[value_col].combine_chunks()
+        is_int = pa.types.is_integer(v.type)
+        vnum = v.fill_null(0).to_numpy(zero_copy_only=False)
+        if is_int:
+            vnum = vnum.astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(vnum)])
+        idx = np.arange(n)
+        frame_lo = np.maximum(idx - window + 1, gstart)
+        roll = cs[idx + 1] - cs[frame_lo]
+        nrows = idx + 1 - frame_lo
+        out = {group_col: tab[group_col]}
+        for c in order_cols:
+            out[c] = tab[c]
+        out[value_col] = v
+        out["rolling_sum"] = pa.array(
+            roll, type=pa.int64() if is_int else pa.float64())
+        out["rolling_n"] = pa.array(nrows.astype(np.int64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = roll.astype(np.float64) / nrows
+        out["rolling_mean"] = pa.array(mean)
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col] + order_cols + [value_col]),
+        [group_col], _roll, buckets=buckets, sort_within=False)
+
+
+def group_rank(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    descending: bool = True, keep_cols: Sequence[str] = (),
+    buckets: int = 64,
+) -> "rd.Dataset":
+    """SQL ranking windows per group over ``value_col``: output
+    ``(keep..., group, value, rank, dense_rank, percent_rank)`` with
+    gaps-on-ties ``rank``, gapless ``dense_rank``, and
+    ``percent_rank = (rank-1)/(group_size-1)`` (0 for single-row
+    groups, per SQL).  Rank ties are decided by ``value_col`` alone;
+    nulls sort last (match with NULLS LAST in the oracle).
+
+    One hash shuffle; ranks are computed from two segment-start masks
+    over the bucket-sorted arrays (group boundaries and (group,value)
+    boundaries) — a rank is its value-segment's first offset within
+    the group, dense_rank the count of value segments so far; no
+    per-group Python."""
+    keep_cols = list(keep_cols)
+    order = "descending" if descending else "ascending"
+
+    def _rank(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending"), (value_col, order)])
+        n = tab.num_rows
+        new_g = segment_starts(tab, [group_col])
+        new_v = segment_starts(tab, [group_col, value_col])
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, sizes)
+        gsize = np.repeat(sizes, sizes)
+        vstarts = np.flatnonzero(new_v)
+        vsizes = np.diff(np.append(vstarts, n))
+        first_idx = np.repeat(vstarts, vsizes)
+        rank = first_idx - gstart + 1
+        seg_ord = np.cumsum(new_v)
+        dense = seg_ord - np.repeat(seg_ord[starts], sizes) + 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = np.where(gsize > 1, (rank - 1) / np.maximum(gsize - 1, 1),
+                           0.0)
+        out = {c: tab[c] for c in keep_cols}
+        out[group_col] = tab[group_col]
+        out[value_col] = tab[value_col]
+        out["rank"] = pa.array(rank.astype(np.int64))
+        out["dense_rank"] = pa.array(dense.astype(np.int64))
+        out["percent_rank"] = pa.array(pct)
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns(keep_cols + [group_col, value_col]),
+        [group_col], _rank, buckets=buckets, sort_within=False)
+
+
 def pack_bins(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     weight_col: str, *, budget: int, buckets: int = 64,

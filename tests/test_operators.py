@@ -946,3 +946,57 @@ def test_tfidf_top_terms(ray_session):
     # doc 3: cherry tf=2 df=2 -> 2*ln(1.5); date tf=1 df=1 -> ln(3)
     assert rows[(3, 1)][0] == "date"
     assert rows[(3, 2)][0] == "cherry"
+
+
+def test_group_rolling(ray_session):
+    from rayskema.pipelines.relational import group_rolling
+    ds = rd.from_arrow(pa.table({
+        "g": ["x", "x", "x", "x", "y", "z"],
+        "o": [3, 0, 1, 2, 0, 0],
+        "v": [40, 10, 20, 30, 7, None],
+    }))
+    out = _collect(group_rolling(ds, "g", ["o"], "v", window=3, buckets=4))
+    out = out.sort_by([("g", "ascending"), ("o", "ascending")])
+    # x frames: [10], [10,20], [10,20,30], [20,30,40]
+    assert out["rolling_sum"].to_pylist() == [10, 30, 60, 90, 7, 0]
+    assert out["rolling_n"].to_pylist() == [1, 2, 3, 3, 1, 1]
+    assert out["rolling_mean"].to_pylist() == [10.0, 15.0, 20.0, 30.0,
+                                               7.0, 0.0]
+    with pytest.raises(ValueError):
+        group_rolling(ds, "g", ["o"], "v", window=0)
+
+
+def test_group_rank(ray_session):
+    from rayskema.pipelines.relational import group_rank
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5, 6, 7],
+        "g": ["x", "x", "x", "x", "y", "y", "z"],
+        "v": [5.0, 9.0, 5.0, None, 3.0, 3.0, 4.0],
+    }))
+    out = _collect(group_rank(ds, "g", "v", descending=True,
+                              keep_cols=["id"], buckets=4))
+    out = out.sort_by([("id", "ascending")])
+    # x desc: 9 -> rank 1; 5,5 -> rank 2 (dense 2); null last -> rank 4
+    assert out["rank"].to_pylist() == [2, 1, 2, 4, 1, 1, 1]
+    assert out["dense_rank"].to_pylist() == [2, 1, 2, 3, 1, 1, 1]
+    pct = out["percent_rank"].to_pylist()
+    assert pct[0] == pytest.approx(1 / 3) and pct[1] == 0.0
+    assert pct[3] == 1.0
+    assert pct[4] == 0.0 and pct[5] == 0.0  # two-row tie group
+    assert pct[6] == 0.0  # single-row group
+
+
+def test_json_scalar_and_stage(ray_session):
+    from rayskema.functions.jsoncol import json_scalar, with_json_field
+    vals = pa.array(['{"k": 69}', '{"k": "s"}', '{"x": 1}', None,
+                     'broken', '{"k": {"nested": 1}}', '{"k": null}'])
+    got = json_scalar(vals, "k", pa.int64()).to_pylist()
+    assert got == [69, None, None, None, None, None, None]
+    # python fallback agrees with the regex fast path
+    assert got == json_scalar(vals, "k", pa.int64(),
+                              mode="python").to_pylist()
+    with pytest.raises(ValueError):
+        json_scalar(vals, 'k"', pa.int64())
+    ds = rd.from_arrow(pa.table({"props": vals}))
+    out = _collect(with_json_field(ds, "props", "k", out_col="k"))
+    assert sorted(x for x in out["k"].to_pylist() if x) == [69]
