@@ -1066,6 +1066,26 @@ def _q_events_json_extract(sf_dir: str):
                       ("k", "min", "min_k"), ("k", "max", "max_k")])
 
 
+def _q_emb_explode_stats(sf_dir: str):
+    """UNNEST the embedding vectors (explode operator) and aggregate
+    per dimension index — exact min/max/count after widening float32
+    values to float64 (a lossless cast both engines share)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import explode, group_agg
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ex = explode(ds, "embedding", ["vec_id"])
+
+    def _widen(tab: pa.Table) -> pa.Table:
+        return tab.set_column(tab.schema.get_field_index("val"), "val",
+                              pc.cast(tab["val"], pa.float64()))
+
+    ex = ex.map_batches(_widen, batch_format="pyarrow")
+    return group_agg(ex, ["pos"],
+                     [("val", "count_all", "n"), ("val", "min", "min_val"),
+                      ("val", "max", "max_val")], buckets=16)
+
+
 def _q_docs_chunks(sf_dir: str):
     """Sliding-window document chunking (size 300, stride 200 — the
     LLM context-window prep step); codepoint offsets match SQL
@@ -1214,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rolling": _q_orders_rolling,
         "orders_rank": _q_orders_rank,
         "events_json_extract": _q_events_json_extract,
+        "emb_explode_stats": _q_emb_explode_stats,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_tfidf": _q_docs_tfidf,
@@ -1911,6 +1932,14 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_k,
                    min(k) AS min_k, max(k) AS max_k
             FROM s GROUP BY event_type
+        """,
+        "emb_explode_stats": """
+            SELECT pos, count(*) AS n,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS val,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings)
+            GROUP BY pos
         """,
         "orders_q3": """
             SELECT l_orderkey, o_orderdate,

@@ -686,6 +686,39 @@ def group_running(
         [group_col], _win, buckets=buckets, sort_within=False)
 
 
+def explode(
+    ds: "rd.Dataset", list_col: str, keep_cols: Sequence[str], *,
+    value_col: str = "val", pos_col: str = "pos", one_based: bool = True,
+) -> "rd.Dataset":
+    """UNNEST WITH ORDINALITY: one output row per list element —
+    ``(keep..., pos, val)``; null and empty lists contribute no rows
+    (SQL UNNEST semantics).  Stateless per-batch stage, fully
+    vectorized: ``pc.list_flatten`` + ``pc.list_parent_indices`` gather
+    the values and the parent rows, and the per-parent ordinal comes
+    from one exclusive prefix sum over the list lengths — no Python
+    per row, no shuffle (row expansion happens inside the block, and
+    Ray re-splits oversized output blocks downstream)."""
+    keep_cols = list(keep_cols)
+
+    def _explode(tab: pa.Table) -> pa.Table:
+        arr = tab[list_col].combine_chunks()
+        flat = pc.list_flatten(arr)
+        parent = pc.list_parent_indices(arr)
+        lens = pc.list_value_length(arr).fill_null(0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        if one_based:
+            pos += 1
+        out = {c: tab[c].combine_chunks().take(parent) for c in keep_cols}
+        out[pos_col] = pa.array(pos)
+        out[value_col] = flat
+        return pa.table(out)
+
+    return ds.select_columns(keep_cols + [list_col]).map_batches(
+        _explode, batch_format="pyarrow")
+
+
 def group_rolling(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, window: int, buckets: int = 64,

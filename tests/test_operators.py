@@ -1000,3 +1000,18 @@ def test_json_scalar_and_stage(ray_session):
     ds = rd.from_arrow(pa.table({"props": vals}))
     out = _collect(with_json_field(ds, "props", "k", out_col="k"))
     assert sorted(x for x in out["k"].to_pylist() if x) == [69]
+
+
+def test_explode(ray_session):
+    from rayskema.pipelines.relational import explode
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "xs": [[10, 20], [], None, [30]],
+    }))
+    out = _collect(explode(ds, "xs", ["id"]))
+    out = out.sort_by([("id", "ascending"), ("pos", "ascending")])
+    assert out["id"].to_pylist() == [1, 1, 4]
+    assert out["pos"].to_pylist() == [1, 2, 1]
+    assert out["val"].to_pylist() == [10, 20, 30]
+    out0 = _collect(explode(ds, "xs", ["id"], one_based=False))
+    assert sorted(out0["pos"].to_pylist()) == [0, 0, 1]
