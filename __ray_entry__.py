@@ -1086,6 +1086,28 @@ def _q_emb_explode_stats(sf_dir: str):
                       ("val", "max", "max_val")], buckets=16)
 
 
+def _q_docs_entropy(sf_dir: str):
+    """Per-document byte-distribution Shannon entropy (quality /
+    compressibility signal) — one bincount over the flat UTF-8 buffer
+    per batch, rounded half-away for cross-engine equality."""
+    from rayskema.functions.textstats import byte_entropy
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return byte_entropy(ds, "text", "doc_id")
+
+
+def _q_events_mode(sf_dir: str):
+    """Most frequent event type per user (grouped mode) — composed
+    from the engine's own operators: partial-aggregated counts, then
+    vectorized top-1 per group with lexical tie-break."""
+    from rayskema.pipelines.relational import group_agg, topk_per_group
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = group_agg(ds, ["user_id", "event_type"],
+                       [("event_type", "count_all", "n")], buckets=16)
+    top = topk_per_group(counts, "user_id", "n", "event_type", k=1,
+                         buckets=16)
+    return top.drop_columns(["rank"])
+
+
 def _q_docs_chunks(sf_dir: str):
     """Sliding-window document chunking (size 300, stride 200 — the
     LLM context-window prep step); codepoint offsets match SQL
@@ -1235,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank": _q_orders_rank,
         "events_json_extract": _q_events_json_extract,
         "emb_explode_stats": _q_emb_explode_stats,
+        "docs_entropy": _q_docs_entropy,
+        "events_mode": _q_events_mode,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_tfidf": _q_docs_tfidf,
@@ -1932,6 +1956,27 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_k,
                    min(k) AS min_k, max(k) AS max_k
             FROM s GROUP BY event_type
+        """,
+        "docs_entropy": """
+            WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))
+                            AS c
+                        FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT doc_id, c, count(*)::DOUBLE AS n
+                  FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, sum(n) AS t FROM f GROUP BY doc_id)
+            SELECT f.doc_id,
+                   abs(round(-sum((n / t) * ln(n / t)), 6)) AS entropy
+            FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id
+        """,
+        "events_mode": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT user_id, event_type, n,
+                         row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY n DESC, event_type ASC) AS rn
+                  FROM c)
+            SELECT user_id, event_type FROM r WHERE rn = 1
         """,
         "emb_explode_stats": """
             SELECT pos, count(*) AS n,

@@ -1015,3 +1015,21 @@ def test_explode(ray_session):
     assert out["val"].to_pylist() == [10, 20, 30]
     out0 = _collect(explode(ds, "xs", ["id"], one_based=False))
     assert sorted(out0["pos"].to_pylist()) == [0, 0, 1]
+
+
+def test_byte_entropy(ray_session):
+    import math
+    from rayskema.functions.textstats import byte_entropy
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aab", "", None, "abcd"],
+    }))
+    out = _collect(byte_entropy(ds, "text", "doc_id"))
+    out = out.sort_by([("doc_id", "ascending")])
+    assert out["doc_id"].to_pylist() == [1, 2, 4]  # null emits no row
+    e = out["entropy"].to_pylist()
+    p, q = 2 / 3, 1 / 3
+    assert e[0] == pytest.approx(-(p * math.log(p) + q * math.log(q)),
+                                 abs=1e-6)
+    assert e[1] == 0.0
+    assert e[2] == pytest.approx(math.log(4), abs=1e-6)
