@@ -1086,6 +1086,16 @@ def _q_emb_explode_stats(sf_dir: str):
                       ("val", "max", "max_val")], buckets=16)
 
 
+def _q_docs_split(sf_dir: str):
+    """Deterministic content-keyed train/val/test split assignment
+    (md5 over the doc id; identical across block layouts, cluster
+    sizes and engines)."""
+    from rayskema.functions.sampling import hash_split
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def _q_docs_entropy(sf_dir: str):
     """Per-document byte-distribution Shannon entropy (quality /
     compressibility signal) — one bincount over the flat UTF-8 buffer
@@ -1257,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank": _q_orders_rank,
         "events_json_extract": _q_events_json_extract,
         "emb_explode_stats": _q_emb_explode_stats,
+        "docs_split": _q_docs_split,
         "docs_entropy": _q_docs_entropy,
         "events_mode": _q_events_mode,
         "docs_chunks": _q_docs_chunks,
@@ -1956,6 +1967,15 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_k,
                    min(k) AS min_k, max(k) AS max_k
             FROM s GROUP BY event_type
+        """,
+        "docs_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'cccccccd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "docs_entropy": """
             WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))

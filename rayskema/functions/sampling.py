@@ -80,3 +80,62 @@ def seeded_sample(ds: "rd.Dataset", fraction: float, seed: int = 0,
         return t.filter(pa.array(h < threshold))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def hash_split(ds: "rd.Dataset", key_col: str,
+               fractions: "dict[str, float]", *, salt: str = "",
+               out_col: str = "split") -> "rd.Dataset":
+    """Deterministic train/val/test split assignment: append
+    ``out_col`` naming each row's split, chosen by content hash —
+    ``u = int(md5(salt || key)[:8 hex], 16) / 2^32`` mapped onto the
+    cumulative ``fractions`` intervals (dict order = interval order).
+
+    Content-keyed like :func:`seeded_sample`: the assignment depends
+    only on the key bytes, so it is identical across block layouts,
+    cluster sizes and engines — any SQL engine reproduces it with
+    ``substr(md5(key), 1, 8)`` compared against the same hex
+    thresholds, and the same key lands in the same split in every
+    table it appears in (fact/dim splits stay joinable).  Stateless
+    vectorized stage; hashing is the work (C-speed hashlib over
+    zero-copy buffer slices)."""
+    import hashlib
+
+    from . import binary_buffers
+
+    names = list(fractions)
+    fracs = [float(fractions[n]) for n in names]
+    if not names or any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fractions must be a non-empty mapping of "
+                         "non-negative shares summing to 1")
+    cum = np.cumsum(fracs)
+    # integer thresholds over the 32-bit hash prefix; the last interval
+    # absorbs rounding so every u is assigned
+    bounds = np.array([int(round(c * 2**32)) for c in cum[:-1]],
+                      dtype=np.uint64)
+    names_arr = pa.array(names, type=pa.string())
+    salt_b = salt.encode()
+
+    def _assign(tab: pa.Table) -> pa.Table:
+        key = pc.cast(tab[key_col], pa.string())
+        offsets, mv, null_mask = binary_buffers(key.combine_chunks())
+        n = len(offsets) - 1
+        u = np.empty(n, dtype=np.uint64)
+        empty = b""
+        for i in range(n):
+            raw = (empty if null_mask is not None and null_mask[i]
+                   else mv[offsets[i]:offsets[i + 1]])
+            u[i] = int(hashlib.md5(salt_b + bytes(raw))
+                       .hexdigest()[:8], 16)
+        idx = np.searchsorted(bounds, u, side="right")
+        return tab.append_column(
+            out_col, names_arr.take(pa.array(idx.astype(np.int64))))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def split_thresholds_hex(fractions: "dict[str, float]") -> "list[str]":
+    """The 8-hex-digit thresholds :func:`hash_split` uses, for building
+    the equivalent SQL CASE expression."""
+    fracs = [float(v) for v in fractions.values()]
+    cum = np.cumsum(fracs)
+    return [format(int(round(c * 2**32)), "08x") for c in cum[:-1]]

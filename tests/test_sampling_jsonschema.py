@@ -109,3 +109,29 @@ def test_transcript_schema_exports_cleanly():
                                        "format": "date-time"}
     assert doc["properties"]["conv_id"]["pattern"] == "^(?:conv_[0-9]{8})$"
     assert doc["properties"]["text"]["maxBytes"] == 4096
+
+
+def test_hash_split(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rayskema.functions.sampling import hash_split
+
+    ds = rd.from_arrow(pa.table({"id": [str(i) for i in range(2000)]}))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(ds, "id", fr).take_all()
+    counts = {}
+    assign = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assign[r["id"]] = r["split"]
+    # shares approximate the requested fractions
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # layout-independent: same assignment under a different partitioning
+    ds2 = rd.from_arrow(pa.table({"id": [str(i) for i in range(2000)]})) \
+        .repartition(7)
+    out2 = hash_split(ds2, "id", fr).take_all()
+    assert all(assign[r["id"]] == r["split"] for r in out2)
+    import pytest
+    with pytest.raises(ValueError):
+        hash_split(ds, "id", {"a": 0.5, "b": 0.4})
