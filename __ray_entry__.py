@@ -1096,6 +1096,39 @@ def _q_docs_split(sf_dir: str):
                       {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _q_docs_cross_source_overlap(sf_dir: str):
+    """Cross-source duplicate overlap matrix — 32-codepoint prefix
+    fingerprints self-joined on md5, pairs counted per (source_a,
+    source_b): the 'how much does corpus A leak into corpus B'
+    question, composed from the engine's own fingerprint + join +
+    aggregate operators."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.functions import md5_hex
+    from rayskema.pipelines.relational import group_agg, hash_join
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _fp(tab: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(tab["text"], 0, 32)
+        return pa.table({"doc_id": tab["doc_id"],
+                         "source": tab["source"],
+                         "fp": md5_hex(prefix)})
+
+    fp = ds.map_batches(_fp, batch_format="pyarrow")
+    joined = hash_join(fp, fp, on="fp", how="inner", buckets=16)
+
+    def _cross(tab: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.less(tab["source"], tab["source_r"])
+        tab = tab.filter(keep)
+        return pa.table({"source_a": tab["source"],
+                         "source_b": tab["source_r"]})
+
+    pairs = joined.map_batches(_cross, batch_format="pyarrow")
+    return group_agg(pairs, ["source_a", "source_b"],
+                     [("source_a", "count_all", "n_pairs")], buckets=8)
+
+
 def _q_docs_entropy(sf_dir: str):
     """Per-document byte-distribution Shannon entropy (quality /
     compressibility signal) — one bincount over the flat UTF-8 buffer
@@ -1268,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": _q_events_json_extract,
         "emb_explode_stats": _q_emb_explode_stats,
         "docs_split": _q_docs_split,
+        "docs_cross_source_overlap": _q_docs_cross_source_overlap,
         "docs_entropy": _q_docs_entropy,
         "events_mode": _q_events_mode,
         "docs_chunks": _q_docs_chunks,
@@ -1967,6 +2001,17 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_k,
                    min(k) AS min_k, max(k) AS max_k
             FROM s GROUP BY event_type
+        """,
+        "docs_cross_source_overlap": """
+            WITH fp AS (SELECT doc_id, source,
+                               md5(substr(coalesce(text, ''), 1, 32))
+                                   AS fp
+                        FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_pairs
+            FROM fp a JOIN fp b ON a.fp = b.fp
+            WHERE a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "docs_split": """
             SELECT doc_id,

@@ -165,6 +165,12 @@ def bucketed_map_groups(
     if exchange == "manual":
         stamped = add_bucket(ds, key_cols, buckets).materialize()
         refs = stamped.to_arrow_refs()
+        if stamped.schema() is None:
+            # fully-empty input whose lazy schema was lost upstream
+            # (e.g. a filter dropped every row of a ref-backed
+            # dataset): nothing to group — pass the empty dataset
+            # through rather than crash
+            return stamped
         schema = stamped.schema().base_schema
         if not refs:
             return rd.from_arrow(fn(schema.empty_table()
