@@ -1138,6 +1138,16 @@ def _q_docs_entropy(sf_dir: str):
     return byte_entropy(ds, "text", "doc_id")
 
 
+def _q_events_latest(sf_dir: str):
+    """Latest full event row per user (arg_max by (ts, event_id)) —
+    the current-state-per-key extraction every event pipeline runs."""
+    from rayskema.pipelines.relational import group_latest
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+    return group_latest(ds, "user_id", ["ts", "event_id"],
+                        buckets=16)
+
+
 def _q_events_mode(sf_dir: str):
     """Most frequent event type per user (grouped mode) — composed
     from the engine's own operators: partial-aggregated counts, then
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_cross_source_overlap": _q_docs_cross_source_overlap,
         "docs_entropy": _q_docs_entropy,
+        "events_latest": _q_events_latest,
         "events_mode": _q_events_mode,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
@@ -2032,6 +2043,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id,
                    abs(round(-sum((n / t) * ln(n / t)), 6)) AS entropy
             FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id
+        """,
+        "events_latest": """
+            SELECT user_id, ts, event_id, event_type, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         "events_mode": """
             WITH c AS (SELECT user_id, event_type, count(*) AS n

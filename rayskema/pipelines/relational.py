@@ -725,6 +725,34 @@ def explode(
         _explode, batch_format="pyarrow")
 
 
+def group_latest(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str], *,
+    descending: bool = True, buckets: int = 64,
+) -> "rd.Dataset":
+    """One FULL row per group: the row that sorts first by
+    ``order_cols`` (descending by default — latest-event-per-key, the
+    arg_max shape; ``descending=False`` gives arg_min).  Make
+    ``order_cols`` a total order within each group (e.g. include a
+    unique id) for a deterministic pick under ties.
+
+    One hash shuffle; the winners are one ``take`` of the group-start
+    offsets over the bucket-sorted table — no per-group Python and no
+    second pass."""
+    order_cols = list(order_cols)
+    order = "descending" if descending else "ascending"
+
+    def _first(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, order) for c in order_cols])
+        firsts = np.flatnonzero(segment_starts(tab, [group_col]))
+        return tab.take(pa.array(firsts))
+
+    return bucketed_map_groups(ds, [group_col], _first,
+                               buckets=buckets, sort_within=False)
+
+
 def group_rolling(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, window: int, buckets: int = 64,

@@ -1033,3 +1033,20 @@ def test_byte_entropy(ray_session):
                                  abs=1e-6)
     assert e[1] == 0.0
     assert e[2] == pytest.approx(math.log(4), abs=1e-6)
+
+
+def test_group_latest(ray_session):
+    from rayskema.pipelines.relational import group_latest
+    ds = rd.from_arrow(pa.table({
+        "g": ["x", "x", "y", "y", "z"],
+        "ts": [5, 9, 1, 1, 2],
+        "id": [1, 2, 3, 4, 5],
+        "v": ["a", "b", "c", "d", "e"],
+    }))
+    out = _collect(group_latest(ds, "g", ["ts", "id"], buckets=4))
+    out = out.sort_by([("g", "ascending")])
+    assert out["id"].to_pylist() == [2, 4, 5]  # ties on ts broken by id
+    assert out["v"].to_pylist() == ["b", "d", "e"]
+    lo = _collect(group_latest(ds, "g", ["ts", "id"], descending=False,
+                               buckets=4)).sort_by([("g", "ascending")])
+    assert lo["id"].to_pylist() == [1, 3, 5]
