@@ -1138,6 +1138,18 @@ def _q_docs_entropy(sf_dir: str):
     return byte_entropy(ds, "text", "doc_id")
 
 
+def _q_lineitem_corr(sf_dir: str):
+    """Exact distributed Pearson correlation (quantity vs extended
+    price) — integer-scaled moment partials merged with
+    arbitrary-precision ints, one float expression at the end, so the
+    value is bit-reproducible at any parallelism and matches DuckDB's
+    HUGEINT evaluation of the same closed form."""
+    from rayskema.functions.profile import paired_moments_corr
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    return paired_moments_corr(ds, "l_quantity", "l_extendedprice",
+                               scale_x=1, scale_y=100)
+
+
 def _q_events_latest(sf_dir: str):
     """Latest full event row per user (arg_max by (ts, event_id)) —
     the current-state-per-key extraction every event pipeline runs."""
@@ -1313,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_cross_source_overlap": _q_docs_cross_source_overlap,
         "docs_entropy": _q_docs_entropy,
+        "lineitem_corr": _q_lineitem_corr,
         "events_latest": _q_events_latest,
         "events_mode": _q_events_mode,
         "docs_chunks": _q_docs_chunks,
@@ -2043,6 +2056,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id,
                    abs(round(-sum((n / t) * ln(n / t)), 6)) AS entropy
             FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id
+        """,
+        "lineitem_corr": """
+            WITH s AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx,
+                         CAST(sum(y * y) AS HUGEINT) AS syy,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr
+            FROM m
         """,
         "events_latest": """
             SELECT user_id, ts, event_id, event_type, value

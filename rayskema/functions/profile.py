@@ -183,3 +183,61 @@ def profile_columns(
         "n_distinct", pc.fill_null(pc.cast(nd_vals, pa.int64()), 0))
     return out.select(["col", "n", "n_null", "n_distinct", "min_num",
                        "max_num", "min_str", "max_str"]).sort_by("col")
+
+
+def paired_moments_corr(
+    ds: "rd.Dataset", x_col: str, y_col: str, *, scale_x: int = 1,
+    scale_y: int = 1,
+) -> pa.Table:
+    """Exact distributed Pearson correlation of two numeric columns:
+    one scan emitting per-block integer moment partials
+    ``(n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)``, merged driver-side
+    with Python arbitrary-precision ints, one float expression at the
+    end — so the result is bit-reproducible at any parallelism and by
+    any SQL engine that evaluates the same closed form over exact
+    sums (HUGEINT arithmetic in DuckDB).
+
+    ``scale_x`` / ``scale_y`` convert decimal-valued doubles to exact
+    integers (e.g. 100 for cents); values are rounded half-away after
+    scaling.  Rows where either side is null are dropped (SQL corr()
+    semantics).  Returns a one-row table ``(n, corr)``."""
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        x = tab[x_col]
+        y = tab[y_col]
+        keep = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        x = pc.filter(x, keep)
+        y = pc.filter(y, keep)
+        xv = pc.round(pc.multiply(pc.cast(x, pa.float64()),
+                                  float(scale_x))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        yv = pc.round(pc.multiply(pc.cast(y, pa.float64()),
+                                  float(scale_y))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xo = xv.astype(object)  # arbitrary-precision products/sums
+        yo = yv.astype(object)
+        return pa.table({
+            "n": pa.array([len(xv)], type=pa.int64()),
+            "sx": pa.array([str(xo.sum() if len(xv) else 0)]),
+            "sy": pa.array([str(yo.sum() if len(yv) else 0)]),
+            "sxx": pa.array([str((xo * xo).sum() if len(xv) else 0)]),
+            "syy": pa.array([str((yo * yo).sum() if len(yv) else 0)]),
+            "sxy": pa.array([str((xo * yo).sum() if len(xv) else 0)]),
+        })
+
+    parts = ds.select_columns([x_col, y_col]).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    syy = sum(int(p["syy"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    import math
+    corr = (float("nan") if dx == 0 or dy == 0
+            else float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "corr": pa.array([corr], type=pa.float64())})

@@ -1050,3 +1050,28 @@ def test_group_latest(ray_session):
     lo = _collect(group_latest(ds, "g", ["ts", "id"], descending=False,
                                buckets=4)).sort_by([("g", "ascending")])
     assert lo["id"].to_pylist() == [1, 3, 5]
+
+
+def test_paired_moments_corr(ray_session):
+    import numpy as np
+    from rayskema.functions.profile import paired_moments_corr
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 100, 500)
+    y = 3 * x + rng.integers(-10, 10, 500)
+    ds = rd.from_arrow(pa.table({
+        "x": x.astype(float), "y": y.astype(float)})).repartition(5)
+    out = paired_moments_corr(ds, "x", "y")
+    assert out["n"].to_pylist() == [500]
+    expect = float(np.corrcoef(x, y)[0, 1])
+    assert out["corr"].to_pylist()[0] == pytest.approx(expect, abs=1e-12)
+    # null rows dropped (SQL corr semantics)
+    ds2 = rd.from_arrow(pa.table({"x": [1.0, 2.0, None, 3.0],
+                                  "y": [2.0, 4.0, 5.0, None]}))
+    out2 = paired_moments_corr(ds2, "x", "y")
+    assert out2["n"].to_pylist() == [2] and \
+        out2["corr"].to_pylist()[0] == pytest.approx(1.0)
+    # degenerate (zero variance) -> NaN
+    ds3 = rd.from_arrow(pa.table({"x": [1.0, 1.0], "y": [2.0, 3.0]}))
+    import math
+    assert math.isnan(paired_moments_corr(ds3, "x", "y")["corr"]
+                      .to_pylist()[0])
