@@ -9,12 +9,15 @@ Two paths per batch:
 
 - **regex fast path** (default): one RE2-class ``pc.extract_regex``
   over the column pulls ``"key": <scalar>`` matches — zero Python per
-  row.  Exact for flat objects (no nested object/array values that
-  repeat the key, no escaped quotes inside the value).
-- **python fallback**: rows the regex could not resolve (key present
-  but value not a plain scalar) go through ``json.loads`` — only
-  those rows pay the Python cost.  ``mode="python"`` forces it
-  everywhere (full JSON semantics, slow path).
+  row.  Taken only for flat documents (no nested object/array
+  values), where a top-level key match is unambiguous.
+- **python fallback**: rows the regex could not resolve AND rows
+  containing any nested object/array (where a regex cannot tell the
+  top-level key from a nested occurrence) go through ``json.loads``
+  — only those rows pay the Python cost.  ``mode="python"`` forces
+  it everywhere.  Both paths produce identical results by
+  construction: strict type map, int targets null outside
+  ±(10^18-1).
 
 Missing key, JSON null, or unparseable document all yield null.
 """
@@ -56,10 +59,15 @@ def json_scalar(
     pattern = _SCALAR_RE_TMPL.format(key=re.escape(key))
     m = pc.extract_regex(values, pattern)
     raw = pc.struct_field(m, "v")
-    # rows where the key exists but the regex missed it (nested /
-    # escaped value) fall back to json.loads
+    # fall back to json.loads for (a) rows where the key exists but
+    # the regex missed it (non-scalar / escaped value) and (b) rows
+    # containing ANY nested object/array — the regex cannot tell a
+    # top-level key from the same key inside a nested value, and must
+    # not silently return the wrong occurrence
     has_key = pc.match_substring(values, f'"{key}"')
-    need_py = pc.and_(has_key, pc.is_null(raw)).fill_null(False)
+    nested = pc.match_substring_regex(values, r"[:,\[]\s*[\{\[]")
+    need_py = pc.and_(has_key,
+                      pc.or_(pc.is_null(raw), nested)).fill_null(False)
     out = _convert_raw(raw, value_type)
     py_idx = np.flatnonzero(np.asarray(need_py))
     if py_idx.size:
@@ -95,9 +103,12 @@ def _convert_raw(raw: pa.Array, value_type: pa.DataType) -> pa.Array:
             pc.equal(raw, "true"), pa.nulls(len(raw), type=pa.bool_()))
     if pa.types.is_integer(value_type):
         # only plain integer text maps to an integer target —
-        # fractional / exponent / bool values are type mismatches
+        # fractional / exponent / bool values are type mismatches;
+        # magnitude capped at 18 digits so the batch-wide cast can
+        # never raise on an out-of-int64-range value (such rows are
+        # null, mirrored in the python path)
         plain = pc.match_substring_regex(
-            num_txt, r"^-?\d+$").fill_null(False)
+            num_txt, r"^-?\d{1,18}$").fill_null(False)
         return pc.cast(pc.if_else(plain, num_txt,
                                   pa.nulls(len(raw), type=pa.string())),
                        value_type)
@@ -124,7 +135,8 @@ def _python_path(values: pa.Array, key: str, value_type: pa.DataType,
                 val = val if isinstance(val, bool) else None
             elif pa.types.is_integer(value_type):
                 val = val if (isinstance(val, int)
-                              and not isinstance(val, bool)) else None
+                              and not isinstance(val, bool)
+                              and -10**18 < val < 10**18) else None
             elif pa.types.is_floating(value_type):
                 val = val if (isinstance(val, (int, float))
                               and not isinstance(val, bool)) else None
@@ -134,13 +146,14 @@ def _python_path(values: pa.Array, key: str, value_type: pa.DataType,
         out.append(val)
     try:
         return pa.array(out, type=value_type)
-    except (pa.ArrowInvalid, pa.ArrowTypeError):
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
         coerced = []
         for v in out:
             try:
                 coerced.append(None if v is None else
                                pa.scalar(v).cast(value_type).as_py())
-            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError,
+                    OverflowError):
                 coerced.append(None)
         return pa.array(coerced, type=value_type)
 

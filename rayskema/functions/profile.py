@@ -198,9 +198,11 @@ def paired_moments_corr(
     sums (HUGEINT arithmetic in DuckDB).
 
     ``scale_x`` / ``scale_y`` convert decimal-valued doubles to exact
-    integers (e.g. 100 for cents); values are rounded half-away after
-    scaling.  Rows where either side is null are dropped (SQL corr()
-    semantics).  Returns a one-row table ``(n, corr)``."""
+    integers (e.g. 100 for cents); values are rounded half-AWAY after
+    scaling (SQL ROUND semantics, so an exact .5 rounds the same on
+    both engines).  Rows where either side is null are dropped (SQL
+    corr() semantics).  Returns a one-row table ``(n, corr)``."""
+    from . import round_half_away
 
     def _partial(tab: pa.Table) -> pa.Table:
         x = tab[x_col]
@@ -208,12 +210,12 @@ def paired_moments_corr(
         keep = pc.and_(pc.is_valid(x), pc.is_valid(y))
         x = pc.filter(x, keep)
         y = pc.filter(y, keep)
-        xv = pc.round(pc.multiply(pc.cast(x, pa.float64()),
-                                  float(scale_x))) \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        yv = pc.round(pc.multiply(pc.cast(y, pa.float64()),
-                                  float(scale_y))) \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xv = round_half_away(
+            pc.multiply(pc.cast(x, pa.float64()), float(scale_x))
+            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        yv = round_half_away(
+            pc.multiply(pc.cast(y, pa.float64()), float(scale_y))
+            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
         xo = xv.astype(object)  # arbitrary-precision products/sums
         yo = yv.astype(object)
         return pa.table({

@@ -95,9 +95,11 @@ def hash_split(ds: "rd.Dataset", key_col: str,
     cluster sizes and engines — any SQL engine reproduces it with
     ``substr(md5(key), 1, 8)`` compared against the same hex
     thresholds, and the same key lands in the same split in every
-    table it appears in (fact/dim splits stay joinable).  Stateless
-    vectorized stage; hashing is the work (C-speed hashlib over
-    zero-copy buffer slices)."""
+    table it appears in (fact/dim splits stay joinable).  Null keys
+    go to the LAST split, matching the SQL CASE's ELSE branch
+    (``md5(NULL)`` is NULL, so every comparison falls through).
+    Stateless vectorized stage; hashing is the work (C-speed hashlib
+    over zero-copy buffer slices)."""
     import hashlib
 
     from . import binary_buffers
@@ -120,13 +122,15 @@ def hash_split(ds: "rd.Dataset", key_col: str,
         offsets, mv, null_mask = binary_buffers(key.combine_chunks())
         n = len(offsets) - 1
         u = np.empty(n, dtype=np.uint64)
-        empty = b""
         for i in range(n):
-            raw = (empty if null_mask is not None and null_mask[i]
-                   else mv[offsets[i]:offsets[i + 1]])
-            u[i] = int(hashlib.md5(salt_b + bytes(raw))
-                       .hexdigest()[:8], 16)
+            if null_mask is not None and null_mask[i]:
+                continue  # assigned below, not hashed
+            u[i] = int(hashlib.md5(
+                salt_b + bytes(mv[offsets[i]:offsets[i + 1]]))
+                .hexdigest()[:8], 16)
         idx = np.searchsorted(bounds, u, side="right")
+        if null_mask is not None:
+            idx[null_mask] = len(names) - 1  # SQL CASE ELSE branch
         return tab.append_column(
             out_col, names_arr.take(pa.array(idx.astype(np.int64))))
 

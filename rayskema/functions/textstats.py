@@ -452,12 +452,10 @@ def byte_entropy(ds: "rd.Dataset", text_col: str, id_col: str, *,
         if m == 0:
             return pa.table({id_col: tab[id_col],
                              "entropy": pa.array([], type=pa.float64())})
-        b = pc.cast(arr, pa.large_binary())
-        bufs = b.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int64, count=m + 1,
-                                offset=b.offset * 8)
-        data = np.frombuffer(bufs[2], dtype=np.uint8) \
-            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        from . import binary_buffers
+        offsets, mv, _ = binary_buffers(arr)  # nulls filtered above
+        data = np.frombuffer(mv, dtype=np.uint8) if len(mv) \
+            else np.empty(0, dtype=np.uint8)
         lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
         row_of_byte = np.repeat(np.arange(m, dtype=np.int64), lens)
         # slice the data buffer to exactly the rows of this batch

@@ -989,9 +989,11 @@ def test_group_rank(ray_session):
 def test_json_scalar_and_stage(ray_session):
     from rayskema.functions.jsoncol import json_scalar, with_json_field
     vals = pa.array(['{"k": 69}', '{"k": "s"}', '{"x": 1}', None,
-                     'broken', '{"k": {"nested": 1}}', '{"k": null}'])
+                     'broken', '{"k": {"nested": 1}}', '{"k": null}',
+                     '{"k": 99999999999999999999}',
+                     '{"meta": {"k": 1}, "k": 2}'])
     got = json_scalar(vals, "k", pa.int64()).to_pylist()
-    assert got == [69, None, None, None, None, None, None]
+    assert got == [69, None, None, None, None, None, None, None, 2]
     # python fallback agrees with the regex fast path
     assert got == json_scalar(vals, "k", pa.int64(),
                               mode="python").to_pylist()
@@ -999,7 +1001,7 @@ def test_json_scalar_and_stage(ray_session):
         json_scalar(vals, 'k"', pa.int64())
     ds = rd.from_arrow(pa.table({"props": vals}))
     out = _collect(with_json_field(ds, "props", "k", out_col="k"))
-    assert sorted(x for x in out["k"].to_pylist() if x) == [69]
+    assert sorted(x for x in out["k"].to_pylist() if x) == [2, 69]
 
 
 def test_explode(ray_session):

@@ -135,3 +135,7 @@ def test_hash_split(ray_session):
     import pytest
     with pytest.raises(ValueError):
         hash_split(ds, "id", {"a": 0.5, "b": 0.4})
+    # null keys take the LAST split (the SQL CASE ELSE branch)
+    dsn = rd.from_arrow(pa.table({"id": ["a", None, "b"]}))
+    outn = hash_split(dsn, "id", fr).take_all()
+    assert [r["split"] for r in outn if r["id"] is None] == ["test"]
