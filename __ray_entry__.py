@@ -1160,6 +1160,29 @@ def _q_events_latest(sf_dir: str):
                         buckets=16)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Funnel analysis: did each user view -> click -> purchase in
+    that order?  Composed from sequence assembly (ordered event path
+    per user) + one vectorized regex over the paths — the ordered
+    sub-sequence query event pipelines run, without a per-user Python
+    loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import assemble_sequences
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    paths = assemble_sequences(ds, "user_id", ["ts", "event_id"],
+                               "event_type", sep="|", buckets=16)
+
+    def _flag(tab: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            tab["seq"], r"view.*click.*purchase")
+        return pa.table({"user_id": tab["user_id"],
+                         "converted": hit})
+
+    return paths.map_batches(_flag, batch_format="pyarrow")
+
+
 def _q_events_mode(sf_dir: str):
     """Most frequent event type per user (grouped mode) — composed
     from the engine's own operators: partial-aggregated counts, then
@@ -1327,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_entropy": _q_docs_entropy,
         "lineitem_corr": _q_lineitem_corr,
         "events_latest": _q_events_latest,
+        "events_funnel": _q_events_funnel,
         "events_mode": _q_events_mode,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
@@ -2085,6 +2109,17 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        "events_funnel": """
+            WITH p AS (SELECT user_id,
+                              string_agg(event_type, '|'
+                                  ORDER BY ts, event_id) AS seq
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY user_id)
+            SELECT user_id,
+                   regexp_matches(seq, 'view.*click.*purchase')
+                       AS converted
+            FROM p
         """,
         "events_mode": """
             WITH c AS (SELECT user_id, event_type, count(*) AS n
