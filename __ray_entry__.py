@@ -1129,6 +1129,16 @@ def _q_docs_cross_source_overlap(sf_dir: str):
                      [("source_a", "count_all", "n_pairs")], buckets=8)
 
 
+def _q_docs_lm_score(sf_dir: str):
+    """Mean trigram log-probability per document under a model fit on
+    the corpus itself (the CCNet-shape LM quality filter): block-local
+    trigram count partials, one vocabulary exchange, broadcast model,
+    vectorized per-batch scoring."""
+    from rayskema.functions.textstats import lm_trigram_score
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_trigram_score(ds, "text", "doc_id", buckets=16)
+
+
 def _q_docs_entropy(sf_dir: str):
     """Per-document byte-distribution Shannon entropy (quality /
     compressibility signal) — one bincount over the flat UTF-8 buffer
@@ -1347,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_explode_stats": _q_emb_explode_stats,
         "docs_split": _q_docs_split,
         "docs_cross_source_overlap": _q_docs_cross_source_overlap,
+        "docs_lm_score": _q_docs_lm_score,
         "docs_entropy": _q_docs_entropy,
         "lineitem_corr": _q_lineitem_corr,
         "events_latest": _q_events_latest,
@@ -2069,6 +2080,23 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "docs_lm_score": """
+            WITH pos AS (SELECT doc_id, text,
+                                unnest(generate_series(
+                                    1, length(text) - 2)) AS i
+                         FROM documents
+                         WHERE text IS NOT NULL
+                           AND length(text) >= 3),
+            t AS (SELECT doc_id, substr(text, i, 3) AS tri FROM pos),
+            c AS (SELECT tri, count(*)::DOUBLE AS cnt
+                  FROM t GROUP BY tri),
+            tot AS (SELECT sum(cnt) AS total FROM c)
+            SELECT doc_id, count(*) AS n_tri,
+                   round(sum(ln(cnt / total)) / count(*), 6)
+                       AS lm_score
+            FROM t JOIN c USING (tri), tot
+            GROUP BY doc_id
         """,
         "docs_entropy": """
             WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))

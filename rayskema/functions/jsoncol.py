@@ -66,8 +66,13 @@ def json_scalar(
     # not silently return the wrong occurrence
     has_key = pc.match_substring(values, f'"{key}"')
     nested = pc.match_substring_regex(values, r"[:,\[]\s*[\{\[]")
-    need_py = pc.and_(has_key,
-                      pc.or_(pc.is_null(raw), nested)).fill_null(False)
+    # any backslash means string values may embed an escaped quote
+    # followed by key-colon text the regex would mistake for the key
+    escaped = pc.match_substring(values, "\\")
+    need_py = pc.and_(
+        has_key,
+        pc.or_(pc.or_(pc.is_null(raw), nested), escaped)) \
+        .fill_null(False)
     out = _convert_raw(raw, value_type)
     py_idx = np.flatnonzero(np.asarray(need_py))
     if py_idx.size:

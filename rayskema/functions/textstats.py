@@ -473,3 +473,93 @@ def byte_entropy(ds: "rd.Dataset", text_col: str, id_col: str, *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _ent, batch_format="pyarrow")
+
+
+def lm_trigram_score(ds: "rd.Dataset", text_col: str, id_col: str, *,
+                     digits: int = 6, buckets: int = 64) -> "rd.Dataset":
+    """(id, n_tri, lm_score) — mean log-probability of each document
+    under a unigram-of-trigrams model fit on the corpus itself (the
+    CCNet-shape LM quality filter, with the corpus as its own model):
+    ``lm_score = mean over trigram positions of ln(count(tri)/total)``.
+    Unusual byte sequences score low, boilerplate scores high.
+
+    Scale shape (same as :func:`tfidf_top_terms`): block-local trigram
+    count partials (trigrams packed to int64 over the flat UTF-8
+    buffer — no row loop), ONE bucketed exchange sums the model (only
+    the trigram vocabulary moves), the (trigram -> count) table is
+    broadcast once via ``ray.put``, and scoring is an ``index_in``
+    lookup per batch.  Documents shorter than 3 bytes emit no row
+    (they have no trigrams — SQL-join semantics).  Scores are rounded
+    half-away for cross-engine equality; byte trigrams equal char
+    trigrams for ASCII (same scope note as ``charset_jaccard_pairs``).
+    """
+    from . import binary_buffers, round_half_away
+    from ..pipelines.relational import agg_named, bucketed_map_groups
+
+    def _tris(tab: pa.Table):
+        """(row_of_tri, tri_int64) for every trigram position."""
+        arr = tab[text_col].combine_chunks()
+        offsets, mv, null_mask = binary_buffers(arr)
+        m = len(offsets) - 1
+        data = np.frombuffer(mv, dtype=np.uint8) if len(mv) \
+            else np.empty(0, dtype=np.uint8)
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        if null_mask is not None:
+            lens = np.where(null_mask, 0, lens)
+        n_tri = np.maximum(lens - 2, 0)
+        row = np.repeat(np.arange(m, dtype=np.int64), n_tri)
+        # absolute start position of each trigram in the data buffer
+        starts = np.repeat(offsets[:-1], n_tri)
+        pos = np.arange(len(row), dtype=np.int64) - \
+            np.repeat(np.cumsum(n_tri) - n_tri, n_tri)
+        p = starts + pos
+        f = data.astype(np.int64)
+        tri = f[p] * 65536 + f[p + 1] * 256 + f[p + 2]
+        return row, tri
+
+    def _model_partial(tab: pa.Table) -> pa.Table:
+        _, tri = _tris(tab)
+        vals, cnts = np.unique(tri, return_counts=True)
+        return pa.table({"tri": pa.array(vals),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    model_ds = bucketed_map_groups(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _model_partial, batch_format="pyarrow"),
+        ["tri"],
+        lambda t: agg_named(t, ["tri"], [("cnt", "sum")], ["cnt"]),
+        buckets=buckets, sort_within=False)
+    mtabs = [t for t in ray.get(model_ds.to_arrow_refs()) if t.num_rows]
+    if not mtabs:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n_tri": pa.array([], type=pa.int64()),
+            "lm_score": pa.array([], type=pa.float64())}))
+    model = pa.concat_tables(mtabs).combine_chunks()
+    tri_vals = model["tri"].combine_chunks().to_numpy(
+        zero_copy_only=False)
+    tri_cnts = model["cnt"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    order = np.argsort(tri_vals)
+    total = float(tri_cnts.sum())
+    model_ref = ray.put((tri_vals[order], tri_cnts[order], total))
+
+    def _score(tab: pa.Table) -> pa.Table:
+        vals, cnts, tot = ray.get(model_ref)
+        row, tri = _tris(tab)
+        idx = np.searchsorted(vals, tri)
+        lp = np.log(cnts[idx] / tot)
+        n = tab.num_rows
+        n_tri = np.bincount(row, minlength=n).astype(np.int64)
+        sums = np.zeros(n, dtype=np.float64)
+        np.add.at(sums, row, lp)
+        keep = n_tri > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = round_half_away(sums[keep] / n_tri[keep], digits)
+        return pa.table({
+            id_col: tab[id_col].filter(pa.array(keep)),
+            "n_tri": pa.array(n_tri[keep]),
+            "lm_score": pa.array(score)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow")

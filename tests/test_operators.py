@@ -991,9 +991,11 @@ def test_json_scalar_and_stage(ray_session):
     vals = pa.array(['{"k": 69}', '{"k": "s"}', '{"x": 1}', None,
                      'broken', '{"k": {"nested": 1}}', '{"k": null}',
                      '{"k": 99999999999999999999}',
-                     '{"meta": {"k": 1}, "k": 2}'])
+                     '{"meta": {"k": 1}, "k": 2}',
+                     '{"a": "see \\"k\\": 5 here"}'])
     got = json_scalar(vals, "k", pa.int64()).to_pylist()
-    assert got == [69, None, None, None, None, None, None, None, 2]
+    assert got == [69, None, None, None, None, None, None, None, 2,
+                   None]
     # python fallback agrees with the regex fast path
     assert got == json_scalar(vals, "k", pa.int64(),
                               mode="python").to_pylist()
@@ -1077,3 +1079,23 @@ def test_paired_moments_corr(ray_session):
     import math
     assert math.isnan(paired_moments_corr(ds3, "x", "y")["corr"]
                       .to_pylist()[0])
+
+
+def test_lm_trigram_score(ray_session):
+    import math
+    from rayskema.functions.textstats import lm_trigram_score
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["ababa", "ab", None, "xyz"],
+    }))
+    out = _collect(lm_trigram_score(ds, "text", "doc_id", buckets=2))
+    out = out.sort_by([("doc_id", "ascending")])
+    # trigrams: doc1: aba, bab, aba; doc4: xyz -> counts aba=2 bab=1
+    # xyz=1, total=4
+    assert out["doc_id"].to_pylist() == [1, 4]  # short/null docs drop
+    assert out["n_tri"].to_pylist() == [3, 1]
+    s1 = (2 * math.log(2 / 4) + math.log(1 / 4)) / 3
+    s4 = math.log(1 / 4)
+    got = out["lm_score"].to_pylist()
+    assert got[0] == pytest.approx(s1, abs=1e-6)
+    assert got[1] == pytest.approx(s4, abs=1e-6)
