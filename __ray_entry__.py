@@ -717,6 +717,49 @@ def _q_docs_multimodal_decode(sf_dir: str):
               .map_batches(decode, batch_format="pyarrow"))
 
 
+def _q_docs_multimodal_frames(sf_dir: str):
+    """Frame sampling, driver-checkable: each document's first 256
+    text bytes form a 4-frame payload (64 bytes/frame), the
+    FrameSampleStage emits every 2nd frame as its own row (flat_map
+    layout), and per-frame byte sums are reported — reproduced by the
+    DuckDB oracle directly from the text bytes (ASCII corpus:
+    ord(char) == byte)."""
+    from rayskema.functions import binary_buffers
+    from rayskema.plan import limit_arrow_threads
+    from rayskema.stages.multimodal import FrameSampleStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = FrameSampleStage("payload", ["doc_id"], frame_bytes=64,
+                             stride=2)
+
+    def run(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int32()),
+                             "byte_sum": pa.array([], pa.int64())})
+        payload = pc.binary_slice(
+            pc.cast(batch["text"], pa.binary()), 0, 256)
+        batch = pa.table({"doc_id": batch["doc_id"],
+                          "payload": payload}).filter(
+            pc.greater_equal(pc.binary_length(payload), 256))
+        frames = stage(batch)
+        offsets, mv, _ = binary_buffers(frames["frame"])
+        flat = np.frombuffer(mv, dtype=np.uint8) if len(mv) \
+            else np.empty(0, dtype=np.uint8)
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        sums = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(sums, row, flat[offsets[0]:offsets[-1]]
+                  .astype(np.int64))
+        return pa.table({"doc_id": frames["doc_id"],
+                         "frame_idx": frames["frame_idx"],
+                         "byte_sum": pa.array(sums)})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def _q_docs_multimodal_audio(sf_dir: str):
     """Audio decode, driver-checkable: each document's first 200 text
     bytes become 100 little-endian int16 samples of a REAL PCM WAV
@@ -1341,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
         "docs_multimodal_decode": _q_docs_multimodal_decode,
+        "docs_multimodal_frames": _q_docs_multimodal_frames,
         "docs_multimodal_audio": _q_docs_multimodal_audio,
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
@@ -2080,6 +2124,23 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "docs_multimodal_frames": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE length(text) >= 256),
+            pos AS (SELECT doc_id, text,
+                           unnest(generate_series(1, 64)) AS j
+                    FROM d),
+            b AS (SELECT doc_id, 0 AS frame_idx,
+                         ord(substr(text, j, 1)) AS v
+                  FROM pos
+                  UNION ALL
+                  SELECT doc_id, 2 AS frame_idx,
+                         ord(substr(text, 128 + j, 1)) AS v
+                  FROM pos)
+            SELECT doc_id, frame_idx,
+                   CAST(sum(v) AS BIGINT) AS byte_sum
+            FROM b GROUP BY doc_id, frame_idx
         """,
         "docs_lm_score": """
             WITH pos AS (SELECT doc_id, text,
