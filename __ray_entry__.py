@@ -760,6 +760,49 @@ def _q_docs_multimodal_frames(sf_dir: str):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def _q_docs_multimodal_resize(sf_dir: str):
+    """Thumbnail resize, driver-checkable: 8x8 BMP payloads from the
+    text bytes are decoded and nearest-neighbor sampled to 4x4 by the
+    ResizeStage (grid rows/cols [0,2,4,7]); the thumbnail byte sum is
+    reproduced by the DuckDB oracle from the original text bytes at
+    the sampled (y, x, channel) positions."""
+    from rayskema.functions import binary_buffers
+    from rayskema.plan import limit_arrow_threads
+    from rayskema.stages.multimodal import ResizeStage, encode_bmp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = ResizeStage("payload", ["doc_id"], target=(4, 4))
+
+    def run(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "thumb_sum": pa.array([], pa.int64())})
+        batch = batch.filter(pc.greater_equal(
+            pc.binary_length(pc.cast(batch["text"], pa.binary())), 192))
+        offsets, mv, _ = binary_buffers(batch["text"])
+        flat = np.frombuffer(mv, dtype=np.uint8)
+        if len(offsets) > 1:
+            idx = offsets[:-1, None] + np.arange(192, dtype=np.int64)
+            pixels = flat[idx].reshape(-1, 8, 8, 3)
+        else:
+            pixels = np.zeros((0, 8, 8, 3), dtype=np.uint8)
+        enc = pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([encode_bmp(p) for p in pixels],
+                                type=pa.binary())})
+        out = stage(enc)
+        th = out["thumb"].combine_chunks()
+        sums = np.asarray(th.flatten()).astype(np.int64) \
+            .reshape(-1, 48).sum(axis=1) if len(th) \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": out["doc_id"],
+                         "thumb_sum": pa.array(sums)})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def _q_docs_multimodal_audio(sf_dir: str):
     """Audio decode, driver-checkable: each document's first 200 text
     bytes become 100 little-endian int16 samples of a REAL PCM WAV
@@ -1385,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _q_docs_lang_id,
         "docs_multimodal_decode": _q_docs_multimodal_decode,
         "docs_multimodal_frames": _q_docs_multimodal_frames,
+        "docs_multimodal_resize": _q_docs_multimodal_resize,
         "docs_multimodal_audio": _q_docs_multimodal_audio,
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
@@ -2124,6 +2168,21 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "docs_multimodal_resize": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE length(text) >= 192),
+            yy AS (SELECT doc_id, text, unnest([0, 2, 4, 7]) AS y
+                   FROM d),
+            xx AS (SELECT doc_id, text, y, unnest([0, 2, 4, 7]) AS x
+                   FROM yy),
+            cc AS (SELECT doc_id, text, y, x, unnest([0, 1, 2]) AS c
+                   FROM xx)
+            SELECT doc_id,
+                   CAST(sum(ord(substr(
+                       text, y * 24 + x * 3 + c + 1, 1))) AS BIGINT)
+                       AS thumb_sum
+            FROM cc GROUP BY doc_id
         """,
         "docs_multimodal_frames": """
             WITH d AS (SELECT doc_id, text FROM documents
