@@ -66,9 +66,11 @@ def json_scalar(
     # not silently return the wrong occurrence
     has_key = pc.match_substring(values, f'"{key}"')
     nested = pc.match_substring_regex(values, r"[:,\[]\s*[\{\[]")
-    # any backslash means string values may embed an escaped quote
-    # followed by key-colon text the regex would mistake for the key
-    escaped = pc.match_substring(values, "\\")
+    # only the two-byte sequence backslash-quote can leave a raw '"'
+    # inside a string value for the regex to mistake for the key (a
+    # \\u0022 escape has no raw quote char); ordinary escapes like \\n
+    # keep the fast path
+    escaped = pc.match_substring(values, '\\"')
     need_py = pc.and_(
         has_key,
         pc.or_(pc.or_(pc.is_null(raw), nested), escaped)) \

@@ -513,8 +513,11 @@ def lm_trigram_score(ds: "rd.Dataset", text_col: str, id_col: str, *,
         pos = np.arange(len(row), dtype=np.int64) - \
             np.repeat(np.cumsum(n_tri) - n_tri, n_tri)
         p = starts + pos
-        f = data.astype(np.int64)
-        tri = f[p] * 65536 + f[p + 1] * 256 + f[p + 2]
+        # gather uint8 first, upcast the gathered values — avoids an
+        # 8x-of-text-bytes int64 copy of the whole flat buffer
+        tri = (data[p].astype(np.int64) * 65536
+               + data[p + 1].astype(np.int64) * 256
+               + data[p + 2].astype(np.int64))
         return row, tri
 
     def _model_partial(tab: pa.Table) -> pa.Table:
@@ -523,8 +526,14 @@ def lm_trigram_score(ds: "rd.Dataset", text_col: str, id_col: str, *,
         return pa.table({"tri": pa.array(vals),
                          "cnt": pa.array(cnts.astype(np.int64))})
 
+    # materialize the projected input ONCE: both the model pass and the
+    # scoring pass replay it, and the model must be built from exactly
+    # the blocks that get scored (an upstream limit()/sample could
+    # otherwise differ between executions); only the pruned two columns
+    # are held
+    ds = ds.select_columns([id_col, text_col]).materialize()
     model_ds = bucketed_map_groups(
-        ds.select_columns([id_col, text_col]).map_batches(
+        ds.select_columns([text_col]).map_batches(
             _model_partial, batch_format="pyarrow"),
         ["tri"],
         lambda t: agg_named(t, ["tri"], [("cnt", "sum")], ["cnt"]),
@@ -548,18 +557,22 @@ def lm_trigram_score(ds: "rd.Dataset", text_col: str, id_col: str, *,
         vals, cnts, tot = ray.get(model_ref)
         row, tri = _tris(tab)
         idx = np.searchsorted(vals, tri)
-        lp = np.log(cnts[idx] / tot)
+        # belt-and-braces: every trigram is in the model by
+        # construction (same materialized blocks built it); if one
+        # ever is not, floor it at count 1 instead of indexing out of
+        # range or reading a neighbor's count
+        idx = np.minimum(idx, len(vals) - 1)
+        cnt = np.where(vals[idx] == tri, cnts[idx], 1.0)
+        lp = np.log(cnt / tot)
         n = tab.num_rows
         n_tri = np.bincount(row, minlength=n).astype(np.int64)
         sums = np.zeros(n, dtype=np.float64)
         np.add.at(sums, row, lp)
         keep = n_tri > 0
-        with np.errstate(invalid="ignore", divide="ignore"):
-            score = round_half_away(sums[keep] / n_tri[keep], digits)
+        score = round_half_away(sums[keep] / n_tri[keep], digits)
         return pa.table({
             id_col: tab[id_col].filter(pa.array(keep)),
             "n_tri": pa.array(n_tri[keep]),
             "lm_score": pa.array(score)})
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        _score, batch_format="pyarrow")
+    return ds.map_batches(_score, batch_format="pyarrow")
