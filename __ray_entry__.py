@@ -1136,6 +1136,20 @@ def _q_orders_rank(sf_dir: str):
                       descending=True, keep_cols=["o_orderkey"])
 
 
+def _q_orders_ntile(sf_dir: str):
+    """SQL NTILE(4) of each order within its customer by total price
+    descending — tile assignment is pure arithmetic over segment
+    offsets after one hash shuffle.  The order includes the unique
+    o_orderkey so tile assignment of tied prices is deterministic and
+    engine-independent."""
+    from rayskema.pipelines.relational import group_ntile
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+    return group_ntile(ds, "o_custkey",
+                       ["o_totalprice", "o_orderkey"], 4,
+                       descending=True)
+
+
 def _q_events_json_extract(sf_dir: str):
     """Scalar extraction from the JSON props sidecar (vectorized
     regex fast path, json.loads fallback only for rows the regex
@@ -1441,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running": _q_orders_running,
         "orders_rolling": _q_orders_rolling,
         "orders_rank": _q_orders_rank,
+        "orders_ntile": _q_orders_ntile,
         "events_json_extract": _q_events_json_extract,
         "emb_explode_stats": _q_emb_explode_stats,
         "docs_split": _q_docs_split,
@@ -2138,6 +2153,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WINDOW w AS (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC NULLS LAST)
+        """,
+        "orders_ntile": """
+            SELECT o_custkey, o_totalprice, o_orderkey,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC NULLS LAST,
+                                o_orderkey DESC) AS BIGINT) AS tile
+            FROM orders
         """,
         "events_json_extract": """
             WITH s AS (SELECT event_type,

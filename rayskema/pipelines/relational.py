@@ -861,6 +861,56 @@ def group_rank(
         [group_col], _rank, buckets=buckets, sort_within=False)
 
 
+def group_ntile(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    n_tiles: int, *, descending: bool = True,
+    keep_cols: Sequence[str] = (), buckets: int = 64,
+) -> "rd.Dataset":
+    """SQL NTILE per group: output ``(keep..., group, order...,
+    tile)`` with ``tile`` in ``1..n_tiles``, bucket sizes differing by
+    at most one and larger buckets first (exact SQL semantics).  Make
+    ``order_cols`` a total order within each group (include a unique
+    id) — NTILE of tied rows is otherwise engine-dependent.
+
+    One hash shuffle; the tile comes from the row's offset within its
+    group (``q = size // n, r = size % n``: the first ``r`` buckets
+    hold ``q+1`` rows) — pure arithmetic over the segment offsets, no
+    per-group Python."""
+    order_cols = list(order_cols)
+    keep_cols = list(keep_cols)
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    order = "descending" if descending else "ascending"
+
+    def _ntile(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, order) for c in order_cols])
+        n = tab.num_rows
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        gsize = np.repeat(sizes, sizes)
+        q, r = gsize // n_tiles, gsize % n_tiles
+        big = r * (q + 1)  # rows covered by the q+1-sized buckets
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                pos < big,
+                pos // np.maximum(q + 1, 1),
+                r + (pos - big) // np.maximum(q, 1))
+        out = {c: tab[c] for c in keep_cols}
+        out[group_col] = tab[group_col]
+        for c in order_cols:
+            out[c] = tab[c]
+        out["tile"] = pa.array((tile + 1).astype(np.int64))
+        return pa.table(out)
+
+    cols = list(dict.fromkeys(keep_cols + [group_col] + order_cols))
+    return bucketed_map_groups(ds.select_columns(cols), [group_col],
+                               _ntile, buckets=buckets,
+                               sort_within=False)
+
+
 def pack_bins(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     weight_col: str, *, budget: int, buckets: int = 64,

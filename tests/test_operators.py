@@ -986,6 +986,24 @@ def test_group_rank(ray_session):
     assert pct[6] == 0.0  # single-row group
 
 
+def test_group_ntile(ray_session):
+    from rayskema.pipelines.relational import group_ntile
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        "g": ["x"] * 7 + ["y", "y", "z"],
+        "v": [70, 60, 50, 40, 30, 20, 10, 2, 1, 9],
+    }))
+    out = _collect(group_ntile(ds, "g", ["v", "id"], 3,
+                               descending=True, buckets=4))
+    out = out.sort_by([("g", "ascending"), ("v", "descending")])
+    # x: 7 rows into 3 tiles -> sizes 3,2,2 (larger buckets first)
+    assert out["tile"].to_pylist() == [1, 1, 1, 2, 2, 3, 3,
+                                       1, 2,  # y: 2 rows, 3 tiles
+                                       1]     # z: single row
+    with pytest.raises(ValueError):
+        group_ntile(ds, "g", ["v"], 0)
+
+
 def test_json_scalar_and_stage(ray_session):
     from rayskema.functions.jsoncol import json_scalar, with_json_field
     vals = pa.array(['{"k": 69}', '{"k": "s"}', '{"x": 1}', None,
