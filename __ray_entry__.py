@@ -1150,6 +1150,54 @@ def _q_orders_ntile(sf_dir: str):
                        descending=True)
 
 
+def _q_lineitem_q6(sf_dir: str):
+    """TPC-H Q6 shape: filtered revenue aggregate where EVERY
+    predicate (shipdate range, discount band, quantity cap) is pushed
+    into the parquet read as a pyarrow expression, so pruned
+    row-groups never leave storage.  Revenue is summed over exact
+    integer 1e-4 units (price-cents x discount-cents) and divided
+    once, bit-identical to the SQL oracle."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+    expr = (
+        (pc.field("l_shipdate")
+         >= pa.scalar(datetime.datetime(1996, 1, 1)))
+        & (pc.field("l_shipdate")
+           < pa.scalar(datetime.datetime(1997, 1, 1)))
+        & (pc.field("l_discount") >= pa.scalar(0.05))
+        & (pc.field("l_discount") <= pa.scalar(0.07))
+        & (pc.field("l_quantity") < pa.scalar(24.0)))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"], filter=expr)
+
+    def _scale(tab: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(pc.round(pc.multiply(
+                tab["l_extendedprice"], 100.0)), pa.int64()),
+            pc.cast(pc.round(pc.multiply(
+                tab["l_discount"], 100.0)), pa.int64()))
+        import numpy as np
+        return pa.table({
+            "k": pa.array(np.zeros(tab.num_rows, dtype=np.int8)),
+            "rev_u": rev})
+
+    agg = group_agg(ds.map_batches(_scale, batch_format="pyarrow"),
+                    ["k"], [("rev_u", "sum", "rev_u_sum"),
+                            ("*", "count_all", "n_items")], buckets=1)
+
+    def _derive(tab: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_items": tab["n_items"],
+            "revenue": pc.divide(
+                pc.cast(tab["rev_u_sum"], pa.float64()), 10000.0),
+        })
+
+    return agg.map_batches(_derive, batch_format="pyarrow")
+
+
 def _q_events_json_extract(sf_dir: str):
     """Scalar extraction from the JSON props sidecar (vectorized
     regex fast path, json.loads fallback only for rows the regex
@@ -1456,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rolling": _q_orders_rolling,
         "orders_rank": _q_orders_rank,
         "orders_ntile": _q_orders_ntile,
+        "lineitem_q6": _q_lineitem_q6,
         "events_json_extract": _q_events_json_extract,
         "emb_explode_stats": _q_emb_explode_stats,
         "docs_split": _q_docs_split,
@@ -2153,6 +2202,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WINDOW w AS (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC NULLS LAST)
+        """,
+        "lineitem_q6": """
+            SELECT count(*) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS DOUBLE) / 10000 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "orders_ntile": """
             SELECT o_custkey, o_totalprice, o_orderkey,
