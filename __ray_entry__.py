@@ -2174,7 +2174,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER w AS row_number,
                    CAST(sum(price_c) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderkey
-                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
                        AS running_sum,
                    lag(price_c) OVER w AS lag
             FROM s WINDOW w AS (PARTITION BY o_custkey

@@ -6,7 +6,7 @@ pipeline (each document becomes ceil(len/stride) chunks of up to
 Embarrassingly parallel ``map_batches`` row expansion (a vectorized
 ``flat_map``): per batch the chunk counts, repeated ids and start
 offsets are computed with numpy, and the text windows are cut with one
-``pc.utf8_slice_codepoints`` kernel call per chunk ORDINAL (bounded by
+``pc.utf8_slice_codeunits`` kernel call per chunk ORDINAL (bounded by
 the longest document in the batch, not the row count) — never a
 Python loop over rows.  No shuffle; chunk rows stream straight to the
 consumer, so output size being a multiple of input size only affects

@@ -11,13 +11,15 @@ Two paths per batch:
   over the column pulls ``"key": <scalar>`` matches — zero Python per
   row.  Taken only for flat documents (no nested object/array
   values), where a top-level key match is unambiguous.
-- **python fallback**: rows the regex could not resolve AND rows
+- **python fallback**: rows the regex could not resolve, rows
   containing any nested object/array (where a regex cannot tell the
-  top-level key from a nested occurrence) go through ``json.loads``
-  — only those rows pay the Python cost.  ``mode="python"`` forces
-  it everywhere.  Both paths produce identical results by
-  construction: strict type map, int targets null outside
-  ±(10^18-1).
+  top-level key from a nested occurrence), and rows where the key
+  substring occurs more than once (duplicate keys — JSON last-wins,
+  but the regex would return the FIRST match) go through
+  ``json.loads`` — only those rows pay the Python cost.
+  ``mode="python"`` forces it everywhere.  Both paths produce
+  identical results by construction: strict type map, int targets
+  null outside ±(10^18-1).
 
 Missing key, JSON null, or unparseable document all yield null.
 """
@@ -60,11 +62,15 @@ def json_scalar(
     m = pc.extract_regex(values, pattern)
     raw = pc.struct_field(m, "v")
     # fall back to json.loads for (a) rows where the key exists but
-    # the regex missed it (non-scalar / escaped value) and (b) rows
+    # the regex missed it (non-scalar / escaped value), (b) rows
     # containing ANY nested object/array — the regex cannot tell a
     # top-level key from the same key inside a nested value, and must
-    # not silently return the wrong occurrence
-    has_key = pc.match_substring(values, f'"{key}"')
+    # not silently return the wrong occurrence — and (c) rows where
+    # the key substring occurs MORE THAN ONCE (duplicate keys:
+    # json.loads is last-wins, the regex matches first)
+    key_n = pc.count_substring(values, f'"{key}"')
+    has_key = pc.greater(key_n, 0)
+    dup_key = pc.greater(key_n, 1)
     nested = pc.match_substring_regex(values, r"[:,\[]\s*[\{\[]")
     # only the two-byte sequence backslash-quote can leave a raw '"'
     # inside a string value for the regex to mistake for the key (a
@@ -73,7 +79,8 @@ def json_scalar(
     escaped = pc.match_substring(values, '\\"')
     need_py = pc.and_(
         has_key,
-        pc.or_(pc.or_(pc.is_null(raw), nested), escaped)) \
+        pc.or_(pc.or_(pc.or_(pc.is_null(raw), nested), escaped),
+               dup_key)) \
         .fill_null(False)
     out = _convert_raw(raw, value_type)
     py_idx = np.flatnonzero(np.asarray(need_py))

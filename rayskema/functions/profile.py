@@ -185,6 +185,91 @@ def profile_columns(
                        "max_num", "min_str", "max_str"]).sort_by("col")
 
 
+_LIMB_MASK = np.uint64(0xFFFFFFFF)
+_SH32 = np.uint64(32)
+
+
+def _abs_max(x: np.ndarray) -> int:
+    """max(|x|) as a Python int (no int64 wrap on |int64.min|)."""
+    return max(abs(int(x.max())), abs(int(x.min())))
+
+
+def _exact_sum(x: np.ndarray) -> int:
+    """Exact Σx over an int64 array as a Python int, vectorized.
+    Tiered: (a) n·max|x| fits int64 → one native sum; (b) chunked
+    summation — per-chunk int64 sums are provably exact at chunk
+    length 2^63/max|x|, recombined with Python big-int arithmetic over
+    the n/chunk partials; (c) magnitudes near 2^63 → 32-bit limb sums
+    in uint64 (wrap-free for any block under 2^32 rows).  No
+    object-dtype per-element arithmetic on any path."""
+    n = len(x)
+    if n == 0:
+        return 0
+    m = _abs_max(x)
+    if n * m < 2 ** 63:
+        return int(x.sum())
+    k = (2 ** 63 - 1) // m
+    if k >= 2:
+        # per-chunk int64 sums are exact (|chunk sum| <= k*m < 2^63);
+        # recurse on the ~n/k partials (next level either native-sums
+        # or limb-reduces them — never a Python loop over elements)
+        sums = np.add.reduceat(x, np.arange(0, n, k))
+        return _exact_sum(sums)
+    return _limb_sum(x)
+
+
+def _limb_sum(x: np.ndarray) -> int:
+    """Exact Σx for arbitrary int64 magnitudes: sign-separated 32-bit
+    limb sums in uint64 (wrap-free under 2^32 rows), recombined once."""
+    neg_u = (x < 0).astype(np.uint64)
+    # abs(int64.min) wraps in int64 but the uint64 reinterpretation is
+    # exactly |x|, so the full domain is covered
+    a = np.abs(x).astype(np.uint64)
+    total = 0
+    for i, d in enumerate((a & _LIMB_MASK, a >> _SH32)):
+        s_all = int(d.sum(dtype=np.uint64))
+        s_neg = int((d * neg_u).sum(dtype=np.uint64))
+        total += (s_all - 2 * s_neg) << (32 * i)
+    return total
+
+
+def _exact_dot(x: np.ndarray, y: np.ndarray) -> int:
+    """Exact Σ x·y over int64 arrays as a Python int, vectorized.
+    Tiered: (a) n·max|x|·max|y| fits int64 → one native dot (the
+    common case for integer-cents data); (b) every PRODUCT fits int64
+    → native multiply + chunked exact summation (:func:`_exact_sum`);
+    (c) extreme magnitudes → each |x|·|y| decomposed into four
+    base-2^32 digits via limb products (all uint64, carries propagated
+    before summation, so no wrap anywhere), digit columns reduced as
+    (total − 2·negative-sign-total) and recombined with Python big-int
+    arithmetic ONCE per block."""
+    if len(x) == 0:
+        return 0
+    mx, my = _abs_max(x), _abs_max(y)
+    if len(x) * mx * my < 2 ** 63:
+        return int(np.dot(x, y))
+    if mx * my < 2 ** 63:
+        return _exact_sum(x * y)
+    neg_u = ((x < 0) ^ (y < 0)).astype(np.uint64)
+    a = np.abs(x).astype(np.uint64)
+    b = np.abs(y).astype(np.uint64)
+    a_hi, a_lo = a >> _SH32, a & _LIMB_MASK
+    b_hi, b_lo = b >> _SH32, b & _LIMB_MASK
+    t0 = a_lo * b_lo                      # < 2^64
+    t1 = a_hi * b_lo + a_lo * b_hi        # each < 2^63, sum < 2^64
+    t2 = a_hi * b_hi                      # < 2^62
+    d0 = t0 & _LIMB_MASK
+    m = t1 + (t0 >> _SH32)                # < 2^64 (t1 < 2^64 - 2^33)
+    d1 = m & _LIMB_MASK
+    u = t2 + (m >> _SH32)                 # < 2^63
+    total = 0
+    for k, d in enumerate((d0, d1, u & _LIMB_MASK, u >> _SH32)):
+        s_all = int(d.sum(dtype=np.uint64))
+        s_neg = int((d * neg_u).sum(dtype=np.uint64))
+        total += (s_all - 2 * s_neg) << (32 * k)
+    return total
+
+
 def paired_moments_corr(
     ds: "rd.Dataset", x_col: str, y_col: str, *, scale_x: int = 1,
     scale_y: int = 1,
@@ -216,15 +301,16 @@ def paired_moments_corr(
         yv = round_half_away(
             pc.multiply(pc.cast(y, pa.float64()), float(scale_y))
             .to_numpy(zero_copy_only=False), 0).astype(np.int64)
-        xo = xv.astype(object)  # arbitrary-precision products/sums
-        yo = yv.astype(object)
+        # vectorized exact accumulation (32-bit limb decomposition);
+        # arbitrary-precision arithmetic happens once per block, not
+        # per element — the merge across block partials stays big-int
         return pa.table({
             "n": pa.array([len(xv)], type=pa.int64()),
-            "sx": pa.array([str(xo.sum() if len(xv) else 0)]),
-            "sy": pa.array([str(yo.sum() if len(yv) else 0)]),
-            "sxx": pa.array([str((xo * xo).sum() if len(xv) else 0)]),
-            "syy": pa.array([str((yo * yo).sum() if len(yv) else 0)]),
-            "sxy": pa.array([str((xo * yo).sum() if len(xv) else 0)]),
+            "sx": pa.array([str(_exact_sum(xv))]),
+            "sy": pa.array([str(_exact_sum(yv))]),
+            "sxx": pa.array([str(_exact_dot(xv, xv))]),
+            "syy": pa.array([str(_exact_dot(yv, yv))]),
+            "sxy": pa.array([str(_exact_dot(xv, yv))]),
         })
 
     parts = ds.select_columns([x_col, y_col]).map_batches(

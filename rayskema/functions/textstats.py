@@ -219,8 +219,13 @@ def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
             "tf": pc.cast(g["tf"], pa.int64()),
         })
 
-    postings = ds.select_columns([id_col, text_col]).map_batches(
-        _postings, batch_format="pyarrow")
+    # materialize the projected input ONCE: the df pass, the scoring
+    # pass and the corpus count below all re-read it, and a
+    # nondeterministic upstream (e.g. limit()) re-executed per pass
+    # could otherwise emit terms absent from the broadcast df table
+    # (same hazard lm_trigram_score guards against)
+    proj = ds.select_columns([id_col, text_col]).materialize()
+    postings = proj.map_batches(_postings, batch_format="pyarrow")
 
     # document frequency: postings rows are distinct (doc, term) and a
     # doc lives in one block, so per-block term value_counts are exact
@@ -236,7 +241,7 @@ def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
         lambda t: agg_named(t, ["term"], [("df", "sum")], ["df"]),
         buckets=buckets, sort_within=False)
     dtabs = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
-    n_docs = ds.count()
+    n_docs = proj.count()
     if not dtabs:
         return rd.from_arrow(pa.table({
             id_col: pa.array([], type=pa.int64()),
@@ -251,8 +256,15 @@ def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
 
     def _score(tab: pa.Table) -> pa.Table:
         terms, dfs = ray.get(df_ref)
-        idx = pc.index_in(tab["term"].combine_chunks(), value_set=terms) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        idx_arr = pc.index_in(tab["term"].combine_chunks(),
+                              value_set=terms)
+        if idx_arr.null_count:
+            missing = tab["term"].filter(pc.is_null(idx_arr))
+            raise RuntimeError(
+                "tfidf_top_terms: scoring pass saw terms absent from "
+                f"the df table (input not stable across passes?): "
+                f"{missing.slice(0, 5).to_pylist()}")
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         tf = tab["tf"].combine_chunks().to_numpy(zero_copy_only=False)
         score = round_half_away(
             tf * np.log(float(n_docs) / dfs[idx]), 6)

@@ -627,9 +627,13 @@ def group_agg(
             if op == "count_all":
                 out[name] = g[_pname("", "count_all")]
             elif op == "mean":
-                out[name] = pc.divide(
-                    pc.cast(g[_pname(col, "sum")], pa.float64()),
-                    pc.cast(g[_pname(col, "count")], pa.float64()))
+                cnt = g[_pname(col, "count")]
+                # SQL AVG of an all-null group is NULL, not 0.0/0.0=NaN
+                out[name] = pc.if_else(
+                    pc.equal(cnt, 0),
+                    pa.nulls(g.num_rows, type=pa.float64()),
+                    pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64()),
+                              pc.cast(cnt, pa.float64())))
             else:
                 out[name] = g[_pname(col, op)]
         return pa.table(out)
@@ -653,8 +657,11 @@ def group_running(
     the bucket-sorted arrays (segment-reset prefix sums via
     ``np.cumsum`` minus group-start offsets), never per-group Python.
     Prefix sums are sequential left-to-right per group, matching SQL's
-    running-frame addition order — use integer values for exact
-    cross-engine equality.  Null values contribute 0 to
+    running-frame addition order.  Integer value columns accumulate in
+    int64 end-to-end (``running_sum`` comes out int64, exact at any
+    bucket-wide total — a float64 bucket-wide prefix would lose
+    integer exactness past 2^53 even for small groups); float columns
+    accumulate in float64.  Null values contribute 0 to
     ``running_sum`` (SQL returns NULL until the first non-null; use a
     non-null value column when oracle-matching)."""
     order_cols = list(order_cols)
@@ -669,10 +676,17 @@ def group_running(
         sizes = np.diff(np.append(starts, n))
         pos = np.arange(n) - np.repeat(starts, sizes)
         v = tab[value_col].combine_chunks()
-        vnum = pc.cast(v, pa.float64()).fill_null(0.0).to_numpy(
-            zero_copy_only=False)
+        is_int = pa.types.is_integer(v.type)
+        acc_type = pa.int64() if is_int else pa.float64()
+        vnum = pc.cast(v, acc_type).fill_null(
+            0 if is_int else 0.0).to_numpy(zero_copy_only=False)
+        # int64 cumsum wraps (two's complement) if the BUCKET-wide
+        # total exceeds 2^63, but the per-group difference cs-base is
+        # still exact whenever the group's own running total fits
+        # int64 — modular arithmetic cancels the wrap
         cs = np.cumsum(vnum)
-        base = np.concatenate([[0.0], cs])[np.repeat(starts, sizes)]
+        zero = np.zeros(1, dtype=vnum.dtype)
+        base = np.concatenate([zero, cs])[np.repeat(starts, sizes)]
         running = cs - base
         # lag: previous row within group, null at group starts
         lag_idx = np.arange(n) - 1
