@@ -52,7 +52,7 @@ def _empty_out() -> pa.Table:
 
 
 def profile_columns(
-    ds: "rd.Dataset", columns: Sequence[str], *, buckets: int = 16,
+    ds: "rd.Dataset", columns: Sequence[str], *, buckets: int | None = None,
 ) -> pa.Table:
     """Profile ``columns`` of ``ds``: returns a table with one row per
     column — (col, n, n_null, n_distinct, min_num, max_num, min_str,

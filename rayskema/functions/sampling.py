@@ -26,7 +26,7 @@ from ..state.sketches import _hash64, hash_strings
 
 def stratified_sample(ds: "rd.Dataset", group_col: str, id_col: str,
                       text_col: str, *, k: int = 5,
-                      buckets: int = 64) -> "rd.Dataset":
+                      buckets: int | None = None) -> "rd.Dataset":
     """Deterministic k-per-group sample: ``(group, id, rank)`` — the
     ``k`` rows of each group with the smallest ``md5(text)`` (ties by
     ``id``).

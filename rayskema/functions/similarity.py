@@ -196,7 +196,7 @@ def knn_cosine_lsh(
 def embedding_near_dup_pairs(
     ds: "rd.Dataset", vec_col: str, id_col: str, *,
     cosine_threshold: float = 0.95, n_planes: int = 10, n_tables: int = 6,
-    seed: int = 11, buckets: int = 64, max_group: int = 1024,
+    seed: int = 11, buckets: int | None = None, max_group: int = 1024,
 ) -> "rd.Dataset":
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
     banding (shuffle on (table, signature)), exact cosine verification
@@ -289,7 +289,8 @@ def embedding_near_dup_pairs(
                          [("cosine", "max")], ["cosine"])
 
     return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup,
-                               buckets=max(8, buckets // 8),
+                               buckets=(None if buckets is None
+                                        else max(8, buckets // 8)),
                                sort_within=False)
 
 
@@ -406,29 +407,41 @@ def _init_hash(ids: np.ndarray, seed: int) -> np.ndarray:
 def kmeans_fit(
     ds: "rd.Dataset", vec_col: str, *, id_col: str | None = None,
     n_clusters: int = 8, iters: int = 10, seed: int = 7,
-    tol: float = 1e-6,
+    tol: float = 1e-6, materialize_input: bool = True,
 ) -> tuple[np.ndarray, list[float]]:
     """Distributed Lloyd's k-means over the WHOLE embedding column
     (unlike :func:`ivf_train`, which fits a coarse quantizer on a
     bounded sample).  Returns (centroids ``(k, d)``, per-iteration
     inertia history).
 
-    Scale shape: the projected vector column is materialized ONCE (the
-    multi-pass input of an iterative algorithm — this is the one place
-    mid-pipeline materialization is the right call, and it holds only
-    the (n, d) float column, not the source table); each iteration
-    broadcasts the centroids via ``ray.put`` and every batch emits one
-    pre-aggregated partial of (per-cluster vector sum, count, sse) — k
-    rows per block — so the driver reduce is O(k*d*blocks), never the
-    corpus.  With ``id_col`` the seeded init is layout-independent
-    (k-smallest-hash merge); without it the init falls back to a
-    ``limit()`` sample, which depends on block completion order — pass
-    ``id_col`` when reproducibility across runs matters.  Partials are
-    summed in block order, so the float reduce is reproducible for a
-    fixed block layout.
+    Scale shape: each iteration broadcasts the centroids via
+    ``ray.put`` and every batch emits one pre-aggregated partial of
+    (per-cluster vector sum, count, sse) — k rows per block — so the
+    driver reduce is O(k*d*blocks), never the corpus.
+    ``materialize_input`` picks how the multi-pass input is served:
+
+    - ``True`` (default): the projected vector column is materialized
+      ONCE into the (spill-backed) object store and every iteration
+      reads the cached blocks — right when the (n, d) column fits the
+      cluster's aggregate store;
+    - ``False``: every iteration re-executes the pruned scan from the
+      source (column-projected parquet read) — the vector column never
+      sits fully in the object store, trading ``iters`` re-reads for
+      bounded memory.  The scale path when the embedding column alone
+      outgrows the store.
+
+    With ``id_col`` the seeded init is layout-independent
+    (k-smallest-hash merge) — under ``materialize_input=False`` it also
+    keeps the init independent of re-execution block order; without it
+    the init falls back to a ``limit()`` sample, which depends on block
+    completion order — pass ``id_col`` when reproducibility across runs
+    matters.  Partials are summed in block order, so the float reduce
+    is reproducible for a fixed block layout.
     """
     cols = [vec_col] if id_col is None else [id_col, vec_col]
-    proj = ds.select_columns(cols).materialize()
+    proj = ds.select_columns(cols)
+    if materialize_input:
+        proj = proj.materialize()
     if id_col is not None:
         # layout-independent seeded init: per-batch k-smallest-hash
         # candidates, tiny driver merge

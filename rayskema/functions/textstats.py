@@ -178,7 +178,7 @@ def repetition_stats(ds: "rd.Dataset", text_col: str,
 
 
 def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
-                    k: int = 3, buckets: int = 64) -> "rd.Dataset":
+                    k: int = 3, buckets: int | None = None) -> "rd.Dataset":
     """Per-document top-``k`` TF-IDF terms: ``(id, term, tf, score,
     rank)`` with ``score = tf * ln(N / df)`` (N = corpus rows, df =
     documents containing the term), ranked by (score desc, term asc).
@@ -295,7 +295,7 @@ def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
 
 
 def top_k_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
-                 buckets: int = 64) -> "rd.Dataset":
+                 buckets: int | None = None) -> "rd.Dataset":
     """Corpus-wide most frequent whitespace tokens: ``(token, n)``,
     top ``k`` by count descending then token ascending (deterministic
     tie-break).
@@ -488,7 +488,7 @@ def byte_entropy(ds: "rd.Dataset", text_col: str, id_col: str, *,
 
 
 def lm_trigram_score(ds: "rd.Dataset", text_col: str, id_col: str, *,
-                     digits: int = 6, buckets: int = 64) -> "rd.Dataset":
+                     digits: int = 6, buckets: int | None = None) -> "rd.Dataset":
     """(id, n_tri, lm_score) — mean log-probability of each document
     under a unigram-of-trigrams model fit on the corpus itself (the
     CCNet-shape LM quality filter, with the corpus as its own model):

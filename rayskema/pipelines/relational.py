@@ -86,17 +86,42 @@ def add_bucket(ds: "rd.Dataset", key_cols: Sequence[str],
     return ds.map_batches(_stamp, batch_format="pyarrow")
 
 
+def _stamp_hash(ds: "rd.Dataset", key_cols: Sequence[str]) -> "rd.Dataset":
+    """Stamp the raw 64-bit key hash as ``__h`` (int64 bit pattern) —
+    bucket assignment (``__h % P``) is deferred to the split task so P
+    can be chosen AFTER the stamped size is known."""
+    key_cols = list(key_cols)
+
+    def _stamp(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            cols = {c: tab[c] for c in tab.column_names}
+            cols["__h"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        h = composite_hash(tab, key_cols).astype(np.int64)
+        return tab.append_column("__h", pa.array(h))
+
+    return ds.map_batches(_stamp, batch_format="pyarrow")
+
+
 @ray.remote(num_cpus=1)
 def _split_bucket_parts_task(tab: pa.Table, buckets: int):
-    """Map side of the manual hash exchange: split one block into
-    per-bucket sub-tables (one object per bucket via
-    ``num_returns=buckets``)."""
+    """Map side of the manual hash exchange: split one ``__h``-stamped
+    block into per-bucket sub-tables (one object per bucket via
+    ``num_returns=buckets``); the stamp column is dropped here so
+    gather tasks see clean tables."""
     from ..plan import limit_arrow_threads
     limit_arrow_threads()
     if tab.num_rows == 0:
+        # zero-row blocks can bypass the stamping UDF entirely (Ray
+        # forms no batch from them), so __h may legitimately be absent
+        if "__h" in tab.column_names:
+            tab = tab.drop_columns(["__h"])
         empty = tab.slice(0, 0)
         return [empty] * buckets if buckets > 1 else empty
-    b = tab["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+    h = tab["__h"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    b = (h % np.uint64(buckets)).astype(np.int64)
+    tab = tab.drop_columns(["__h"])
     order = np.argsort(b, kind="stable")
     sorted_tab = tab.take(pa.array(order))
     counts = np.bincount(b, minlength=buckets)
@@ -109,8 +134,8 @@ def _split_bucket_parts_task(tab: pa.Table, buckets: int):
 def _apply_bucket_task(fn, key_cols, sort_within: bool, schema: pa.Schema,
                        *parts: pa.Table) -> pa.Table:
     """Reduce side of the manual exchange: gather one bucket's
-    sub-tables, restore the in-bucket contract (bucket column dropped,
-    optional key sort) and run ``fn``.  An empty bucket still calls
+    sub-tables (already stamp-free), restore the in-bucket contract
+    (optional key sort) and run ``fn``.  An empty bucket still calls
     ``fn`` on an empty input built from the stamped schema, so every
     output block has ``fn``'s output schema."""
     from ..plan import limit_arrow_threads
@@ -123,10 +148,29 @@ def _apply_bucket_task(fn, key_cols, sort_within: bool, schema: pa.Schema,
         tab = pa.concat_tables(parts, promote_options="permissive")
     else:
         tab = schema.empty_table()
-    tab = tab.drop_columns(["bucket"])
     if sort_within and tab.num_rows:
         tab = tab.sort_by([(c, "ascending") for c in key_cols])
     return fn(tab)
+
+
+# Adaptive-exchange knobs.  TARGET_BUCKET_BYTES bounds what one gather
+# task concatenates into its heap (plus fn's own working set);
+# MANUAL_EXCHANGE_MAX_BUCKETS bounds the manual exchange's object count
+# (O(blocks x buckets) refs) — above it the sort exchange takes over;
+# SORT_EXCHANGE_MAX_BUCKETS only bounds degenerate bucket counts.
+TARGET_BUCKET_BYTES = 256 << 20
+MANUAL_EXCHANGE_MAX_BUCKETS = 256
+SORT_EXCHANGE_MAX_BUCKETS = 1 << 16
+
+
+def _auto_buckets(total_bytes: int, target: int) -> int:
+    """Bucket count from materialized input bytes: enough buckets that
+    one bucket's gather stays under ``target`` bytes, floored at the
+    cluster CPU count so small inputs still use every core."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    floor = max(8, min(64, cpus))
+    need = -(-max(0, int(total_bytes)) // target)
+    return max(floor, need)
 
 
 def bucketed_map_groups(
@@ -134,14 +178,27 @@ def bucketed_map_groups(
     key_cols: Sequence[str],
     fn: Callable[[pa.Table], pa.Table],
     *,
-    buckets: int = 64,
+    buckets: int | None = None,
     sort_within: bool = True,
     exchange: str = "manual",
+    target_bucket_bytes: int | None = None,
 ) -> "rd.Dataset":
     """Hash-partition on ``key_cols`` and apply ``fn`` to each bucket
     (NOT each key group — buckets keep the Python-call count at P, the
     per-group logic stays vectorized).  ``fn`` sees the bucket sorted by
-    ``key_cols`` with the ``bucket`` column dropped.
+    ``key_cols`` with the helper columns dropped.
+
+    ``buckets=None`` (the default) sizes the exchange from the DATA:
+    the stamped input is materialized (the manual exchange always
+    does), P is derived so one bucket's bytes stay under
+    ``target_bucket_bytes`` (default :data:`TARGET_BUCKET_BYTES`,
+    floored at the cluster CPU count), and when the required P exceeds
+    :data:`MANUAL_EXCHANGE_MAX_BUCKETS` the exchange auto-falls back
+    to ``"sort"`` — the manual split/gather's object count is
+    O(blocks x buckets) and stops being the right tool there.  A
+    fixed-64-bucket manual exchange at 100 TB would hand ~1.6 TB to
+    each gather task; the adaptive default keeps gather heaps bounded
+    no matter the input size.
 
     ``exchange`` picks the shuffle implementation:
 
@@ -151,20 +208,18 @@ def bucketed_map_groups(
       concats its slices and runs ``fn``.  This skips Ray's sort-based
       groupby entirely (no global sort-merge barrier); measured 2.35x
       over the sort shuffle on the flagship pass-2 at 24M rows, and it
-      is the same pattern validate.py ships.  Object count is
-      O(blocks x buckets) — at extreme scale raise the block size or
-      use ``exchange="sort"``.
+      is the same pattern validate.py ships.
     - ``"sort"``: ``groupby("bucket").map_groups`` (Ray's sort-based
-      shuffle) — fully streaming, no driver-side refs.
+      shuffle) — fully streaming, no driver-side refs; the scale path.
 
     ``fn`` must tolerate an empty input table (it sees one when a
     bucket is empty); every operator in this module does.
     """
     key_cols = list(key_cols)
+    target = target_bucket_bytes or TARGET_BUCKET_BYTES
 
     if exchange == "manual":
-        stamped = add_bucket(ds, key_cols, buckets).materialize()
-        refs = stamped.to_arrow_refs()
+        stamped = _stamp_hash(ds, key_cols).materialize()
         if stamped.schema() is None:
             # fully-empty input whose lazy schema was lost upstream
             # (e.g. a filter dropped every row of a ref-backed
@@ -172,19 +227,48 @@ def bucketed_map_groups(
             # through rather than crash
             return stamped
         schema = stamped.schema().base_schema
-        if not refs:
-            return rd.from_arrow(fn(schema.empty_table()
-                                    .drop_columns(["bucket"])))
-        if buckets > 1:
-            split = [_split_bucket_parts_task.options(
-                num_returns=buckets).remote(r, buckets) for r in refs]
-        else:
-            split = [[_split_bucket_parts_task.remote(r, buckets)]
-                     for r in refs]
-        out_refs = [_apply_bucket_task.remote(
-            fn, key_cols, sort_within, schema, *[s[b] for s in split])
-            for b in range(buckets)]
-        return rd.from_arrow_refs(out_refs)
+        out_schema = pa.schema([f for f in schema if f.name != "__h"])
+        if buckets is None:
+            buckets = _auto_buckets(stamped.size_bytes() or 0, target)
+            if buckets > MANUAL_EXCHANGE_MAX_BUCKETS:
+                buckets = min(buckets, SORT_EXCHANGE_MAX_BUCKETS)
+                exchange = "sort"
+        if exchange == "manual":
+            refs = stamped.to_arrow_refs()
+            if not refs:
+                return rd.from_arrow(fn(out_schema.empty_table()))
+            if buckets > 1:
+                split = [_split_bucket_parts_task.options(
+                    num_returns=buckets).remote(r, buckets) for r in refs]
+            else:
+                split = [[_split_bucket_parts_task.remote(r, buckets)]
+                         for r in refs]
+            out_refs = [_apply_bucket_task.remote(
+                fn, key_cols, sort_within, out_schema,
+                *[s[b] for s in split])
+                for b in range(buckets)]
+            return rd.from_arrow_refs(out_refs)
+
+        # adaptive fallback: reuse the stamped materialization — one
+        # cheap map converts the hash to a bucket id, then Ray's sort
+        # shuffle streams the exchange
+        def _to_bucket(tab: pa.Table) -> pa.Table:
+            if tab.num_rows == 0:
+                cols = {c: tab[c] for c in tab.column_names
+                        if c != "__h"}
+                cols["bucket"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            h = tab["__h"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            b = (h % np.uint64(buckets)).astype(np.int64)
+            return tab.drop_columns(["__h"]).append_column(
+                "bucket", pa.array(b))
+
+        bucketed = stamped.map_batches(_to_bucket, batch_format="pyarrow")
+    else:
+        if buckets is None:
+            buckets = 64
+        bucketed = add_bucket(ds, key_cols, buckets)
 
     def _apply(tab: pa.Table) -> pa.Table:
         tab = tab.drop_columns(["bucket"])
@@ -192,7 +276,7 @@ def bucketed_map_groups(
             tab = tab.sort_by([(c, "ascending") for c in key_cols])
         return fn(tab)
 
-    return add_bucket(ds, key_cols, buckets).groupby("bucket").map_groups(
+    return bucketed.groupby("bucket").map_groups(
         _apply, batch_format="pyarrow")
 
 
@@ -265,7 +349,7 @@ def check_constraints(ds: "rd.Dataset", schema: TableSchema,
 
 
 def find_duplicates(ds: "rd.Dataset", key_cols: Sequence[str],
-                    *, buckets: int = 64, min_count: int = 2) -> "rd.Dataset":
+                    *, buckets: int | None = None, min_count: int = 2) -> "rd.Dataset":
     """Key tuples appearing >= min_count times: (key..., n).  The
     cross-partition duplicate check (reference duplicate_key/uniqueness)
     as one hash shuffle; counting is vectorized per bucket."""
@@ -315,7 +399,7 @@ def ref_violations(ds: "rd.Dataset", column: str, valid_keys_ref,
 def group_count_violations(ds: "rd.Dataset", group_cols: Sequence[str],
                            *, min_count: int | None = None,
                            max_count: int | None = None,
-                           buckets: int = 64) -> "rd.Dataset":
+                           buckets: int | None = None) -> "rd.Dataset":
     """Groups whose row count is out of bounds: (group..., n).
     Pre-aggregates inside map_batches (partial counts) before the
     shuffle, so the exchange moves one row per (block, group), not one
@@ -349,7 +433,7 @@ def group_count_violations(ds: "rd.Dataset", group_cols: Sequence[str],
 
 def monotonic_violations(
     ds: "rd.Dataset", group_col: str, order_col: str, value_col: str,
-    id_cols: Sequence[str], *, buckets: int = 64,
+    id_cols: Sequence[str], *, buckets: int | None = None,
 ) -> "rd.Dataset":
     """Rows where ``value_col`` regresses vs the previous row of the same
     group ordered by ``order_col``: (id..., prev_value, value).  One
@@ -385,7 +469,7 @@ def sequence_violations(
     allowed_first: Sequence[str] | None = None,
     allowed_after: dict[str, Sequence[str]] | None = None,
     no_repeat: bool = False,
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> "rd.Dataset":
     """Ordered-sequence rules over a categorical column, per group.
 
@@ -480,7 +564,7 @@ def sequence_violations(
 
 
 def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
-                   *, buckets: int = 64) -> "rd.Dataset":
+                   *, buckets: int | None = None) -> "rd.Dataset":
     """Exact distinct values of ``value_col`` per ``group_col``:
     (group, n_distinct).  Pre-dedups (group, value) pairs inside each
     block before the shuffle (map-side combine), then counts distinct
@@ -510,7 +594,7 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
 
 def group_quantiles(
     ds: "rd.Dataset", group_col: str, value_col: str,
-    qs: Sequence[float], *, buckets: int = 64,
+    qs: Sequence[float], *, buckets: int | None = None,
 ) -> "rd.Dataset":
     """EXACT per-group quantiles: ``(group, q, value)`` where value is
     the smallest element whose within-group rank reaches ``ceil(q*n)``
@@ -557,7 +641,7 @@ def group_quantiles(
 
 def group_agg(
     ds: "rd.Dataset", group_cols: Sequence[str],
-    aggs: Sequence[tuple[str, str, str]], *, buckets: int = 64,
+    aggs: Sequence[tuple[str, str, str]], *, buckets: int | None = None,
 ) -> "rd.Dataset":
     """General multi-aggregate per group (the TPC-H Q1 shape):
     ``aggs`` is a list of ``(col, op, out_name)`` with op in
@@ -644,7 +728,7 @@ def group_agg(
 
 def group_running(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
-    value_col: str, *, buckets: int = 64,
+    value_col: str, *, buckets: int | None = None,
 ) -> "rd.Dataset":
     """Per-group window functions over ``order_cols`` order:
     ``(group, order..., value, row_number, running_sum, lag)`` —
@@ -741,7 +825,7 @@ def explode(
 
 def group_latest(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str], *,
-    descending: bool = True, buckets: int = 64,
+    descending: bool = True, buckets: int | None = None,
 ) -> "rd.Dataset":
     """One FULL row per group: the row that sorts first by
     ``order_cols`` (descending by default — latest-event-per-key, the
@@ -769,7 +853,7 @@ def group_latest(
 
 def group_rolling(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
-    value_col: str, *, window: int, buckets: int = 64,
+    value_col: str, *, window: int, buckets: int | None = None,
 ) -> "rd.Dataset":
     """Trailing-frame rolling aggregates per group: for each row (in
     ``order_cols`` order within ``group_col``) the sum / count / mean
@@ -827,7 +911,7 @@ def group_rolling(
 def group_rank(
     ds: "rd.Dataset", group_col: str, value_col: str, *,
     descending: bool = True, keep_cols: Sequence[str] = (),
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> "rd.Dataset":
     """SQL ranking windows per group over ``value_col``: output
     ``(keep..., group, value, rank, dense_rank, percent_rank)`` with
@@ -878,7 +962,7 @@ def group_rank(
 def group_ntile(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     n_tiles: int, *, descending: bool = True,
-    keep_cols: Sequence[str] = (), buckets: int = 64,
+    keep_cols: Sequence[str] = (), buckets: int | None = None,
 ) -> "rd.Dataset":
     """SQL NTILE per group: output ``(keep..., group, order...,
     tile)`` with ``tile`` in ``1..n_tiles``, bucket sizes differing by
@@ -927,7 +1011,7 @@ def group_ntile(
 
 def pack_bins(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
-    weight_col: str, *, budget: int, buckets: int = 64,
+    weight_col: str, *, budget: int, buckets: int | None = None,
 ) -> "rd.Dataset":
     """Sequence packing: assign consecutive items (in ``order_cols``
     order within each group) to bins of capacity ``budget`` by
@@ -981,7 +1065,7 @@ def pack_bins(
 
 def assemble_sequences(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
-    value_col: str, *, sep: str = "|", buckets: int = 64,
+    value_col: str, *, sep: str = "|", buckets: int | None = None,
 ) -> "rd.Dataset":
     """Reassemble each group's ordered values into one row:
     ``(group, n, seq)`` — e.g. turns back into a conversation document
@@ -1022,7 +1106,7 @@ def assemble_sequences(
 
 def group_histogram(
     ds: "rd.Dataset", group_col: str, value_col: str, *,
-    lo: float, hi: float, n_bins: int = 10, buckets: int = 64,
+    lo: float, hi: float, n_bins: int = 10, buckets: int | None = None,
 ) -> "rd.Dataset":
     """Fixed-bin per-group histogram: ``(group, bin, n)`` with
     ``bin = clamp(floor((v - lo) / width), 0, n_bins-1)`` over non-null
@@ -1055,7 +1139,7 @@ def group_histogram(
 
 def pivot_counts(
     ds: "rd.Dataset", group_col: str, cat_col: str,
-    categories: Sequence[str], *, buckets: int = 64,
+    categories: Sequence[str], *, buckets: int | None = None,
     other: str | None = "other",
 ) -> "rd.Dataset":
     """Pivot (crosstab): one row per group with a count column per
@@ -1125,36 +1209,60 @@ def pivot_counts(
                                buckets=buckets, sort_within=False)
 
 
+def local_topk_table(tab: pa.Table, group_col: str, order_col: str,
+                     id_col: str, *, k: int, descending: bool) -> pa.Table:
+    """Block-local top-k per group (the map-side combine of
+    :func:`topk_per_group`): sort, segment, keep the first k rows of
+    every group.  Top-k is mergeable — top-k of a union equals top-k
+    over per-part top-ks — so this caps what the shuffle carries for a
+    hot group at k rows PER BLOCK instead of its full row count (the
+    same skew bound group_agg gets from partial aggregation)."""
+    tab = tab.sort_by([
+        (group_col, "ascending"),
+        (order_col, "descending" if descending else "ascending"),
+        (id_col, "ascending")])
+    new = segment_starts(tab, [group_col])
+    firsts = np.flatnonzero(new)
+    n = tab.num_rows
+    pos = np.arange(n) - np.repeat(
+        firsts, np.diff(np.append(firsts, n)))
+    return tab.filter(pa.array(pos < k))
+
+
 def topk_per_group(ds: "rd.Dataset", group_col: str, order_col: str,
                    id_col: str, *, k: int = 3, descending: bool = True,
-                   buckets: int = 64) -> "rd.Dataset":
+                   buckets: int | None = None) -> "rd.Dataset":
     """Top-k rows per group by ``order_col`` (ties broken by ascending
-    ``id_col``): (group, id, rank).  One hash shuffle; ranking is
-    vectorized over the bucket-sorted arrays — never a per-group Python
-    call (reference has no analogue; the sort/limit family of SURVEY
-    §2.7 generalized per-group)."""
+    ``id_col``): (group, id, rank).  Map-side combine
+    (:func:`local_topk_table`) caps every block's contribution at k
+    rows per group BEFORE the one hash shuffle — a group holding 50%
+    of the corpus ships O(blocks·k) rows, not O(corpus) — then the
+    per-bucket final rank is vectorized over the bucket-sorted arrays,
+    never a per-group Python call (reference has no analogue; the
+    sort/limit family of SURVEY §2.7 generalized per-group)."""
+
+    def _local(tab: pa.Table) -> pa.Table:
+        return local_topk_table(tab, group_col, order_col, id_col,
+                                k=k, descending=descending)
 
     def _topk(tab: pa.Table) -> pa.Table:
-        tab = tab.sort_by([
-            (group_col, "ascending"),
-            (order_col, "descending" if descending else "ascending"),
-            (id_col, "ascending")])
+        tab = local_topk_table(tab, group_col, order_col, id_col,
+                               k=k, descending=descending)
         new = segment_starts(tab, [group_col])
         firsts = np.flatnonzero(new)
         n = tab.num_rows
         pos = np.arange(n) - np.repeat(
             firsts, np.diff(np.append(firsts, n)))
-        keep = pos < k
-        out = {
-            group_col: tab[group_col].filter(pa.array(keep)),
-            id_col: tab[id_col].filter(pa.array(keep)),
-            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
-        }
-        return pa.table(out)
+        return pa.table({
+            group_col: tab[group_col],
+            id_col: tab[id_col],
+            "rank": pa.array((pos + 1).astype(np.int64)),
+        })
 
-    return bucketed_map_groups(
-        ds.select_columns([group_col, order_col, id_col]), [group_col],
-        _topk, buckets=buckets, sort_within=False)
+    pre = ds.select_columns([group_col, order_col, id_col]).map_batches(
+        _local, batch_format="pyarrow")
+    return bucketed_map_groups(pre, [group_col], _topk, buckets=buckets,
+                               sort_within=False)
 
 
 def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
@@ -1189,7 +1297,7 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
 
 def session_windows(
     ds: "rd.Dataset", *, key: str, ts_col: str, gap_us: int,
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> "rd.Dataset":
     """Session windows (gap-based sessionization): consecutive events of
     the same key belong to one session while the time gap between them
@@ -1251,7 +1359,7 @@ def session_windows(
 def asof_join(
     left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
     left_ts: str, right_ts: str, left_id: str, value_col: str,
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> "rd.Dataset":
     """As-of join: for each left row, the greatest ``right_ts`` value
     with ``right_ts <= left_ts`` for the same key; returns
@@ -1321,7 +1429,7 @@ def asof_join(
 def range_count_join(
     left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
     left_ts: str, right_ts: str, left_id: str, span_us: int,
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> "rd.Dataset":
     """Range (interval) join, count form: for each left row, the number
     of right rows with the same key whose timestamp falls in
@@ -1425,7 +1533,7 @@ _JOIN_TYPES = {
 
 def hash_join(
     left: "rd.Dataset", right: "rd.Dataset", *, on, right_on=None,
-    how: str = "inner", broadcast: bool = False, buckets: int = 64,
+    how: str = "inner", broadcast: bool = False, buckets: int | None = None,
     suffix: str = "_r",
 ) -> "rd.Dataset":
     """General distributed equi-join with SQL NULL semantics (null keys
@@ -1540,7 +1648,7 @@ def hash_join(
 
 def diff_snapshots(
     old: "rd.Dataset", new: "rd.Dataset", key_cols, compare_cols,
-    *, buckets: int = 64,
+    *, buckets: int | None = None,
 ) -> "rd.Dataset":
     """Old-vs-new snapshot diff keyed on ``key_cols`` (reference
     ``RequestInfo.Old`` update semantics, domain_types.go:46-51 /

@@ -1,0 +1,95 @@
+"""Distributed connected-components tests — the scale-safe cluster
+path for near_dup_clusters: the driver holds only per-round change
+counts, so a duplicate-heavy corpus (pairs ≈ rows) cannot OOM it."""
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from rayskema.functions.dedup import connected_components, near_dup_clusters
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else pa.table(
+        {"node": pa.array([], type=pa.int64()),
+         "rep": pa.array([], type=pa.int64())})
+
+
+def _local_cc(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    nodes = np.unique(np.concatenate([a, b]))
+    parent = {int(n): int(n) for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {int(n): find(int(n)) for n in nodes}
+
+
+def test_cc_chains_and_cliques(ray_session):
+    """pairs ≈ rows stress shape: long chains (worst case for naive
+    min-propagation — pointer jumping must keep rounds logarithmic)
+    plus a clique and singleton pairs."""
+    edges_a, edges_b = [], []
+    # 40 chains of length 50: node ids interleaved so chain order is
+    # not ascending (reps must still be the global min of each chain)
+    for c in range(40):
+        ids = np.arange(c, c + 50 * 1000, 1000, dtype=np.int64)
+        rng = np.random.default_rng(c)
+        perm = rng.permutation(ids)
+        edges_a.extend(perm[:-1])
+        edges_b.extend(perm[1:])
+    # one clique on high ids
+    clique = np.arange(10**6, 10**6 + 20, dtype=np.int64)
+    for i in range(len(clique)):
+        for j in range(i + 1, len(clique)):
+            edges_a.append(clique[i])
+            edges_b.append(clique[j])
+    a = np.array(edges_a, dtype=np.int64)
+    b = np.array(edges_b, dtype=np.int64)
+    pairs = rd.from_arrow(pa.table({"id_a": a, "id_b": b})).repartition(6)
+    out = _collect(connected_components(pairs, max_rounds=20))
+    got = dict(zip(out["node"].to_pylist(), out["rep"].to_pylist()))
+    expect = _local_cc(a, b)
+    assert got == expect
+
+
+def test_cc_empty_and_self_loops(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64())}))
+    out = _collect(connected_components(empty))
+    assert out.num_rows == 0
+    loops = rd.from_arrow(pa.table({"id_a": [3, 5], "id_b": [3, 5]}))
+    out = _collect(connected_components(loops))
+    got = dict(zip(out["node"].to_pylist(), out["rep"].to_pylist()))
+    assert got == {3: 3, 5: 5}
+
+
+def test_near_dup_clusters_modes_agree(ray_session):
+    """driver union-find and distributed CC produce the identical
+    verdict over the same pair graph."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(30), type=pa.int64()),
+        "text": ["t%d" % i for i in range(30)]}))
+    pairs = pa.table({
+        "id_a": pa.array([0, 1, 5, 6, 20], type=pa.int64()),
+        "id_b": pa.array([1, 2, 6, 7, 25], type=pa.int64())})
+    drv = _collect(near_dup_clusters(
+        ds, "text", "doc_id", pairs=pairs, mode="driver")).sort_by("doc_id")
+    dist = _collect(near_dup_clusters(
+        ds, "text", "doc_id", pairs=pairs,
+        mode="distributed")).sort_by("doc_id")
+    assert drv["rep_id"].to_pylist() == dist["rep_id"].to_pylist()
+    assert drv["keep"].to_pylist() == dist["keep"].to_pylist()
+    reps = dict(zip(drv["doc_id"].to_pylist(), drv["rep_id"].to_pylist()))
+    assert reps[2] == 0 and reps[7] == 5 and reps[25] == 20
+    assert reps[10] == 10  # untouched doc is its own rep

@@ -1,0 +1,151 @@
+"""Adaptive hash-exchange tests: bucket count is sized from the
+materialized input bytes so no gather task ever concatenates more than
+~target_bucket_bytes, and oversize inputs fall back to the streaming
+sort exchange — the 100 TB-safety contract of bucketed_map_groups."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from rayskema.pipelines import relational as rel
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def _make_ds(n_rows: int, payload: int) -> rd.Dataset:
+    rng = np.random.default_rng(3)
+    tab = pa.table({
+        "k": pa.array(rng.integers(0, 5000, n_rows)),
+        "v": pa.array(np.ones(n_rows, dtype=np.int64)),
+        "pad": pa.array(["x" * payload] * n_rows),
+    })
+    return rd.from_arrow(tab).repartition(8)
+
+
+def _make_sum_fn():
+    """Bucket fn recording the gathered bytes next to per-key sums.
+    Built as a closure so cloudpickle ships it by VALUE (a module-level
+    function in a test file is pickled by reference, which Ray workers
+    cannot import)."""
+
+    def _sum_fn(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "gathered": pa.array([], type=pa.int64())})
+        g = tab.group_by(["k"]).aggregate([("v", "sum")])
+        return pa.table({
+            "k": g["k"], "s": g["v_sum"],
+            "gathered": pa.array(np.full(g.num_rows, tab.nbytes)),
+        })
+
+    return _sum_fn
+
+
+def test_auto_buckets_bound_gather_bytes(ray_session):
+    target = 64 << 10  # 64 KiB per bucket
+    ds = _make_ds(6000, payload=64)  # ~0.5 MB of payload
+    out = _collect(rel.bucketed_map_groups(
+        ds, ["k"], _make_sum_fn(), target_bucket_bytes=target))
+    # correctness: every key sums to its row count
+    expect = _collect(ds).group_by(["k"]).aggregate([("v", "sum")])
+    got = out.group_by(["k"]).aggregate([("s", "sum")]).sort_by("k")
+    expect = expect.sort_by("k")
+    assert got["k"].to_pylist() == expect["k"].to_pylist()
+    assert got["s_sum"].to_pylist() == expect["v_sum"].to_pylist()
+    # scale contract: no gather held more than a few x target (hash
+    # imbalance allowance) and more than one bucket was used
+    max_gathered = pc.max(out["gathered"]).as_py()
+    assert max_gathered <= 3 * target, max_gathered
+    n_buckets = len(set(out["gathered"].to_pylist()))
+    assert n_buckets > 1
+
+
+def test_auto_fallback_to_sort_exchange(ray_session, monkeypatch):
+    """When the adaptive bucket count exceeds the manual exchange's
+    object-count budget, the sort exchange takes over transparently
+    (same results, no driver-side refs)."""
+    monkeypatch.setattr(rel, "MANUAL_EXCHANGE_MAX_BUCKETS", 4)
+    ds = _make_ds(4000, payload=64)
+    out = rel.bucketed_map_groups(
+        ds, ["k"], _make_sum_fn(), target_bucket_bytes=16 << 10)
+    tab = _collect(out)
+    expect = _collect(ds).group_by(["k"]).aggregate([("v", "sum")])
+    got = tab.group_by(["k"]).aggregate([("s", "sum")]).sort_by("k")
+    expect = expect.sort_by("k")
+    assert got["s_sum"].to_pylist() == expect["v_sum"].to_pylist()
+    # the sort path ran with > MANUAL_EXCHANGE_MAX_BUCKETS buckets
+    assert len(set(tab["gathered"].to_pylist())) > 4
+
+
+def test_explicit_buckets_still_honored(ray_session):
+    ds = _make_ds(500, payload=8)
+    out = _collect(rel.bucketed_map_groups(ds, ["k"], _make_sum_fn(), buckets=3))
+    # exactly <=3 gather calls (some may be empty and dropped)
+    assert len(set(out["gathered"].to_pylist())) <= 3
+    assert int(pc.sum(out["s"]).as_py()) == 500
+
+
+def test_local_topk_caps_hot_group():
+    """Map-side combine: a block where one group holds 1000 of 1100
+    rows contributes only k rows per group to the shuffle."""
+    rng = np.random.default_rng(5)
+    tab = pa.table({
+        "g": pa.array(np.concatenate([np.zeros(1000, dtype=np.int64),
+                                      rng.integers(1, 51, 100)])),
+        "v": pa.array(rng.integers(0, 10**6, 1100)),
+        "id": pa.array(np.arange(1100, dtype=np.int64)),
+    })
+    out = rel.local_topk_table(tab, "g", "v", "id", k=3, descending=True)
+    per_group = out.group_by(["g"]).aggregate([("id", "count")])
+    assert max(per_group["id_count"].to_pylist()) <= 3
+    # the hot group's survivors are its true top-3
+    hot = out.filter(pc.equal(out["g"], 0))
+    v = tab.filter(pc.equal(tab["g"], 0))["v"].to_pylist()
+    assert sorted(hot["v"].to_pylist(), reverse=True) == \
+        sorted(v, reverse=True)[:3]
+
+
+def test_skewed_group_ops_stay_correct(ray_session):
+    """One key holding 50% of all rows: group_agg (partial-aggregated)
+    and topk_per_group (map-side combined) both stay exact — the hot
+    key moves O(blocks) / O(blocks*k) rows through the shuffle, never
+    its full row count."""
+    rng = np.random.default_rng(9)
+    n = 40_000
+    g = np.where(np.arange(n) % 2 == 0, 7,
+                 rng.integers(100, 400, n)).astype(np.int64)
+    v = rng.integers(0, 10**6, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "g": g, "v": v, "id": np.arange(n, dtype=np.int64)
+    })).repartition(16)
+    agg = _collect(rel.group_agg(ds, ["g"], [("v", "sum", "s"),
+                                             ("v", "count_all", "n")]))
+    hot = agg.filter(pc.equal(agg["g"], 7))
+    assert hot["n"].to_pylist() == [int((g == 7).sum())]
+    assert hot["s"].to_pylist() == [int(v[g == 7].sum())]
+    topk = _collect(rel.topk_per_group(ds, "g", "v", "id", k=2))
+    hot_top = topk.filter(pc.equal(topk["g"], 7)).sort_by("rank")
+    expect = np.lexsort((np.arange(n)[g == 7], -v[g == 7]))[:2]
+    assert hot_top["id"].to_pylist() == \
+        list(np.arange(n)[g == 7][expect])
+
+
+def test_empty_and_single_bucket_paths(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.int64()),
+        "pad": pa.array([], type=pa.string())}))
+    out = _collect(rel.bucketed_map_groups(empty, ["k"], _make_sum_fn()))
+    assert out is None or out.num_rows == 0
+    one = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7, 8], type=pa.int64()),
+        "v": pa.array([1, 1, 1], type=pa.int64()),
+        "pad": pa.array(["a", "b", "c"])}))
+    t = _collect(rel.bucketed_map_groups(one, ["k"], _make_sum_fn(), buckets=1))
+    assert sorted(t["k"].to_pylist()) == [7, 8]

@@ -619,6 +619,11 @@ def test_kmeans_distributed_matches_local(ray_session):
             if (a == cc).any():
                 ref_c[cc] = mm[a == cc].mean(axis=0)
     assert np.allclose(ref_c, c, atol=1e-9)
+    # streaming-input mode (no mid-pipeline materialization): the
+    # pruned scan is re-executed per iteration, same centroids
+    c2, _ = kmeans_fit(ds, "vec", id_col="id", n_clusters=2, iters=5,
+                       seed=1, materialize_input=False)
+    assert np.allclose(c2, c, atol=1e-12)
 
 
 def test_assemble_sequences(ray_session):
