@@ -1150,6 +1150,51 @@ def _q_orders_ntile(sf_dir: str):
                        descending=True)
 
 
+def _q_lineitem_decimal(sf_dir: str):
+    """Decimal128 END-TO-END (reference NumberDecimal mode,
+    types.go:12-20): prices become exact ``decimal128(18,2)`` values
+    (``functions.decimal_from_float`` — integer-cents construction, so
+    both engines round the same binary double identically), per-flag
+    sums/min/max run IN decimal through Arrow's hash aggregation
+    (group_agg partials+final), and a decimal Range predicate counts
+    high-value rows.  Results ship as canonical scale-2 decimal text —
+    the one representation both engines print identically (DuckDB's
+    pandas bridge degrades DECIMAL to float64, so the text form IS the
+    lossless comparison contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.functions import decimal_from_float
+    from rayskema.pipelines.relational import group_agg
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def _dec(tab: pa.Table) -> pa.Table:
+        price = decimal_from_float(tab["l_extendedprice"])
+        return pa.table({
+            "l_returnflag": tab["l_returnflag"],
+            "price_d": price,
+            "over": pc.cast(pc.greater(price, 9000.0), pa.int64()),
+        })
+
+    agg = group_agg(ds.map_batches(_dec, batch_format="pyarrow"),
+                    ["l_returnflag"],
+                    [("price_d", "sum", "sum_price_d"),
+                     ("price_d", "min", "min_price_d"),
+                     ("price_d", "max", "max_price_d"),
+                     ("over", "sum", "n_over"),
+                     ("price_d", "count_all", "n")])
+
+    def _render(tab: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": tab["l_returnflag"],
+            "sum_price": pc.cast(tab["sum_price_d"], pa.string()),
+            "min_price": pc.cast(tab["min_price_d"], pa.string()),
+            "max_price": pc.cast(tab["max_price_d"], pa.string()),
+            "n_over": tab["n_over"],
+            "n": tab["n"]})
+
+    return agg.map_batches(_render, batch_format="pyarrow")
+
+
 def _q_lineitem_q6(sf_dir: str):
     """TPC-H Q6 shape: filtered revenue aggregate where EVERY
     predicate (shipdate range, discount band, quantity cap) is pushed
@@ -1445,6 +1490,36 @@ def _q_transcript_validate(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # round-2-driver-unchecked queries FIRST: the driver's
+        # correctness window covered only the first 50 entries in r02,
+        # so these lead the dict to get their driver row this round
+        "lineitem_decimal": _q_lineitem_decimal,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_near_dups": _q_emb_near_dups,
+        "events_type_psi": _q_events_type_psi,
+        "docs_ks_drift": _q_docs_ks_drift,
+        "lineitem_q1": _q_lineitem_q1,
+        "orders_running": _q_orders_running,
+        "orders_rolling": _q_orders_rolling,
+        "orders_rank": _q_orders_rank,
+        "orders_ntile": _q_orders_ntile,
+        "lineitem_q6": _q_lineitem_q6,
+        "events_json_extract": _q_events_json_extract,
+        "emb_explode_stats": _q_emb_explode_stats,
+        "docs_split": _q_docs_split,
+        "docs_cross_source_overlap": _q_docs_cross_source_overlap,
+        "docs_lm_score": _q_docs_lm_score,
+        "docs_entropy": _q_docs_entropy,
+        "lineitem_corr": _q_lineitem_corr,
+        "events_latest": _q_events_latest,
+        "events_funnel": _q_events_funnel,
+        "events_mode": _q_events_mode,
+        "docs_chunks": _q_docs_chunks,
+        "docs_pack": _q_docs_pack,
+        "docs_tfidf": _q_docs_tfidf,
+        "orders_q3": _q_orders_q3,
+        "transcript_validate": _q_transcript_validate,
+        # r02-green queries follow (driver rows already on record)
         "validate_orders": _q_validate_orders,
         "validate_lineitem": _q_validate_lineitem,
         "validate_events": _q_validate_events,
@@ -1495,31 +1570,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_brute": _q_emb_knn_brute,
         "emb_knn_lsh": _q_emb_knn_lsh,
         "emb_knn_ivf": _q_emb_knn_ivf,
-        "emb_kmeans": _q_emb_kmeans,
-        "emb_near_dups": _q_emb_near_dups,
-        "events_type_psi": _q_events_type_psi,
-        "docs_ks_drift": _q_docs_ks_drift,
-        "lineitem_q1": _q_lineitem_q1,
-        "orders_running": _q_orders_running,
-        "orders_rolling": _q_orders_rolling,
-        "orders_rank": _q_orders_rank,
-        "orders_ntile": _q_orders_ntile,
-        "lineitem_q6": _q_lineitem_q6,
-        "events_json_extract": _q_events_json_extract,
-        "emb_explode_stats": _q_emb_explode_stats,
-        "docs_split": _q_docs_split,
-        "docs_cross_source_overlap": _q_docs_cross_source_overlap,
-        "docs_lm_score": _q_docs_lm_score,
-        "docs_entropy": _q_docs_entropy,
-        "lineitem_corr": _q_lineitem_corr,
-        "events_latest": _q_events_latest,
-        "events_funnel": _q_events_funnel,
-        "events_mode": _q_events_mode,
-        "docs_chunks": _q_docs_chunks,
-        "docs_pack": _q_docs_pack,
-        "docs_tfidf": _q_docs_tfidf,
-        "orders_q3": _q_orders_q3,
-        "transcript_validate": _q_transcript_validate,
     }
 
 
@@ -2202,6 +2252,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WINDOW w AS (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC NULLS LAST)
+        """,
+        "lineitem_decimal": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) / 100
+                                   AS DECIMAL(18,2)) AS price_d
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(CAST(SUM(price_d) AS DECIMAL(38,2)) AS VARCHAR)
+                       AS sum_price,
+                   CAST(MIN(price_d) AS VARCHAR) AS min_price,
+                   CAST(MAX(price_d) AS VARCHAR) AS max_price,
+                   CAST(SUM(CASE WHEN price_d > 9000.00
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+                   COUNT(*) AS n
+            FROM s GROUP BY l_returnflag
         """,
         "lineitem_q6": """
             SELECT count(*) AS n_items,

@@ -50,3 +50,33 @@ def round_half_away(values, digits: int = 4):
     v = np.asarray(values, dtype=np.float64)
     s = 10.0 ** digits
     return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+
+def decimal_from_float(arr, *, precision: int = 18, scale: int = 2) -> pa.Array:
+    """Exact float → ``decimal128(precision, scale)`` conversion via
+    integer sub-units: ``round_half_away(x·10^scale)`` (the repo's SQL
+    ROUND convention, operating on the same binary double both engines
+    hold) → int64 → unscaled decimal → ·10^-scale.  This sidesteps the
+    engines' divergent native float→decimal casts (Arrow rounds on the
+    binary value, DuckDB on the shortest decimal string), so the result
+    equals DuckDB's ``CAST(round(x·10^s)/10^s AS DECIMAL(p,s))``
+    bit-for-bit.  Reference NumberDecimal mode (types.go:12-20) made
+    real over Arrow.  Nulls stay null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    from decimal import Decimal
+
+    f = pc.cast(arr, pa.float64())
+    valid = pc.is_valid(f)
+    units = round_half_away(
+        f.fill_null(0.0).to_numpy(zero_copy_only=False), 0
+    ) if scale == 0 else round_half_away(
+        pc.multiply(f.fill_null(0.0), float(10 ** scale))
+        .to_numpy(zero_copy_only=False), 0)
+    ints = pa.array(units.astype(np.int64), type=pa.int64())
+    ints = pc.if_else(valid, ints, pa.nulls(len(ints), type=pa.int64()))
+    wide = pc.cast(ints, pa.decimal128(30, 0))
+    if scale:
+        wide = pc.multiply(wide, pa.scalar(
+            Decimal(1).scaleb(-scale), type=pa.decimal128(scale + 1, scale)))
+    return pc.cast(wide, pa.decimal128(precision, scale))

@@ -524,6 +524,60 @@ PRESENCE_WAS_NULL = 2
 PRESENCE_DEFAULT_APPLIED = 4
 
 
+def _reconcile_struct(
+    arr, col: Column, n: int, with_presence: bool,
+) -> tuple[pa.Array, dict[str, pa.Array]]:
+    """Reconcile a wire struct column to the declared struct type,
+    child by child (reference nested-object field loop,
+    dsl/object_core.go:53-133, with subpath presence — the nested
+    analogue of encode_preserve_union_typed_test.go's round-trip):
+
+    - declared child present on the wire  -> cast to declared child
+      type; presence SEEN (+WAS_NULL where the child value is null
+      under a non-null parent);
+    - declared child ABSENT from the wire struct type -> inject the
+      ``StructField(path=(child,), default=...)`` constant where one is
+      declared (presence DEFAULT_APPLIED) else a null child (bits 0);
+    - wire children not declared are dropped (strip semantics).
+
+    Presence keys are ``<col>/<child>`` (depth-1 subpaths).  Rows whose
+    PARENT is null get bits 0 for every child (a subpath under a null
+    object was never seen — presence.go semantics)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    wire_names = ({f.name for f in arr.type}
+                  if pa.types.is_struct(arr.type) else set())
+    defaults = {c.path[0]: c.default for c in col.constraints
+                if isinstance(c, StructField) and c.default is not None
+                and len(c.path) == 1}
+    parent_valid = np.asarray(pc.is_valid(arr))
+    children: list[pa.Array] = []
+    presence: dict[str, pa.Array] = {}
+    for f in col.dtype:
+        key = f"{col.name}/{f.name}"
+        if f.name in wire_names:
+            child = pc.struct_field(arr, f.name)
+            if child.type != f.type:
+                child = pc.cast(child, f.type, safe=False)
+            bits = parent_valid.astype(np.uint8) * PRESENCE_SEEN
+            bits |= (np.asarray(pc.is_null(child)) & parent_valid)\
+                .astype(np.uint8) * PRESENCE_WAS_NULL
+        elif f.name in defaults:
+            child = pa.nulls(n, type=f.type).fill_null(defaults[f.name])
+            bits = parent_valid.astype(np.uint8) * PRESENCE_DEFAULT_APPLIED
+        else:
+            child = pa.nulls(n, type=f.type)
+            bits = np.zeros(n, dtype=np.uint8)
+        children.append(child.combine_chunks()
+                        if isinstance(child, pa.ChunkedArray) else child)
+        if with_presence:
+            presence[key] = pa.array(bits)
+    new = pa.StructArray.from_arrays(
+        children, fields=list(col.dtype),
+        mask=pa.array(~parent_valid))
+    return new, presence
+
+
 def normalize_batch(
     batch: pa.Table, schema: TableSchema, *, with_presence: bool = False
 ) -> tuple[pa.Table, pa.Table]:
@@ -598,6 +652,14 @@ def normalize_batch(
             pres |= np.asarray(wasnull).astype(
                 np.uint8) * PRESENCE_WAS_NULL
             presence[col.name] = pa.array(pres)
+        if pa.types.is_struct(col.dtype) and pa.types.is_struct(arr.type) \
+                and arr.type != col.dtype:
+            try:
+                arr, sub_pres = _reconcile_struct(
+                    arr, col, n, with_presence)
+                presence.update(sub_pres)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass  # fall through to the whole-column checked cast
         if arr.type != col.dtype:
             casted, bad = _checked_cast(arr, col.dtype)
             if casted is None:
@@ -643,6 +705,11 @@ def normalize_batch(
         for col in schema.columns:
             normalized = normalized.append_column(
                 f"_presence_{col.name}", presence[col.name])
+        # struct-subpath presence columns (_presence_<col>/<child>)
+        for key in presence:
+            if "/" in key:
+                normalized = normalized.append_column(
+                    f"_presence_{key}", presence[key])
     vtab = (pa.concat_tables(viols) if viols
             else empty_violations(key_fields))
     return normalized, vtab
@@ -729,21 +796,51 @@ def encode_canonical(batch: pa.Table, schema: TableSchema) -> pa.Table:
 
 def encode_preserving(batch: pa.Table, schema: TableSchema) -> pa.Table:
     """Round-trip-faithful output (reference EncodePreservingObject,
-    encode_preserve.go:11-28): cells whose value exists only because a
-    default was applied are restored to their wire state (absent =>
-    null), explicit nulls are kept; presence columns are dropped.
-    Requires a batch produced by ``normalize_batch(with_presence=True)``."""
+    encode_preserve.go:11-28, incl. the nested round-trip of
+    encode_preserve_union_typed_test.go): cells whose value exists only
+    because a default was applied are restored to their wire state
+    (absent => null), explicit nulls are kept; for struct columns the
+    same rule applies PER CHILD via the ``_presence_<col>/<child>``
+    subpath bits.  Presence columns are dropped.  Requires a batch
+    produced by ``normalize_batch(with_presence=True)``."""
+    n = batch.num_rows
+
+    def _defaulted_mask(pres):
+        return pc.equal(
+            pc.bit_wise_and(pres, PRESENCE_DEFAULT_APPLIED),
+            PRESENCE_DEFAULT_APPLIED)
+
     out = {}
     for col in schema.columns:
         pcol = f"_presence_{col.name}"
         arr = batch[col.name]
+        if pa.types.is_struct(col.dtype):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            children = []
+            for f in col.dtype:
+                child = pc.struct_field(arr, f.name)
+                key = f"_presence_{col.name}/{f.name}"
+                if key in batch.column_names:
+                    child = pc.if_else(
+                        _defaulted_mask(batch[key]),
+                        pa.nulls(n, type=f.type), child)
+                children.append(
+                    child.combine_chunks()
+                    if isinstance(child, pa.ChunkedArray) else child)
+            # pc.if_else has no struct kernel: a whole-column default
+            # restore folds into the rebuild's null mask instead
+            parent_null = np.asarray(pc.is_null(arr))
+            if pcol in batch.column_names:
+                parent_null = parent_null | np.asarray(
+                    _defaulted_mask(batch[pcol]))
+            out[col.name] = pa.StructArray.from_arrays(
+                children, fields=list(col.dtype),
+                mask=pa.array(parent_null))
+            continue
         if pcol in batch.column_names:
-            pres = batch[pcol]
-            defaulted = pc.equal(
-                pc.bit_wise_and(pres, PRESENCE_DEFAULT_APPLIED),
-                PRESENCE_DEFAULT_APPLIED)
-            arr = pc.if_else(defaulted, pa.nulls(batch.num_rows,
-                                                 type=col.dtype), arr)
+            defaulted = _defaulted_mask(batch[pcol])
+            arr = pc.if_else(defaulted, pa.nulls(n, type=col.dtype), arr)
         out[col.name] = arr
     return pa.table(out)
 

@@ -198,6 +198,12 @@ class StructField(Constraint):
 
     path: tuple = ()              # ("meta", "lang") under the column
     constraint: Constraint | None = None
+    # subfield default (reference nested default application,
+    # dsl/object_builder.go:70-91): when the wire struct type LACKS
+    # this child, inject the constant and set PRESENCE_DEFAULT_APPLIED
+    # on the subpath — preserve-mode encode restores it to absent.
+    # Depth-1 paths only (plan._reconcile_struct).
+    default: Any = None
 
 
 @dataclass(frozen=True)

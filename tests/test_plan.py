@@ -153,6 +153,42 @@ def test_normalize_overflow_cast():
     assert viols["k"].to_pylist() == ["b"]
 
 
+def test_decimal_column_end_to_end():
+    """Declared decimal128 column (reference NumberDecimal mode,
+    types.go:12-20): checked cast from the wire's float64, Range
+    constraint evaluated in decimal, values preserved exactly."""
+    from decimal import Decimal
+    cols = (Column("k", pa.string(), nullable=False),
+            Column("price", pa.decimal128(18, 2),
+                   constraints=(Range(min=0, max=100, rule="r"),)))
+    s = TableSchema(columns=cols, key_columns=("k",))
+    batch = pa.table({
+        "k": ["a", "b", "c", "d"],
+        "price": pa.array([1.25, 99.994, 100.01, -3.5],
+                          type=pa.float64())})
+    out, viols = normalize_batch(batch, s)
+    assert out.schema.field("price").type == pa.decimal128(18, 2)
+    assert out["price"].to_pylist() == [
+        Decimal("1.25"), Decimal("99.99"), Decimal("100.01"),
+        Decimal("-3.50")]
+    plan = ConstraintPlan(s)
+    v = plan.validate(batch)
+    assert codes_of(v) == [("c", "/price", "too_big"),
+                           ("d", "/price", "too_small")]
+
+
+def test_decimal_from_float_matches_sql_round():
+    from decimal import Decimal
+    from rayskema.functions import decimal_from_float
+    a = pa.array([1.005, 2.675, None, -2.5, 1e10 + 0.005])
+    # every expectation below equals DuckDB's
+    # CAST(round(x*100)/100 AS DECIMAL(18,2)) on the same doubles
+    # (1e10+0.005 is 10000000000.004999... in binary -> .00)
+    assert decimal_from_float(a).to_pylist() == [
+        Decimal("1.00"), Decimal("2.68"), None, Decimal("-2.50"),
+        Decimal("10000000000.00")]
+
+
 def test_validator_emits_sketch_partial():
     s = mini_schema((pa.string(), []))
     v = BatchValidator(s, with_profile=True)

@@ -90,3 +90,81 @@ def test_rfc3339_codec_decode_and_canonical_encode():
     enc = encode_canonical(norm, s)
     assert enc["ts"].type == pa.string()
     assert enc["ts"].to_pylist()[0].startswith("2024-01-02T03:04:05")
+
+
+def _struct_schema():
+    from rayskema.schema import NonNull, Range, StructField
+    meta_t = pa.struct([("lang", pa.string()), ("score", pa.int64())])
+    return TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("meta", meta_t, constraints=(
+                StructField(path=("lang",), default="en"),
+                StructField(path=("score",),
+                            constraint=Range(min=0, rule="r")),
+            )),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+
+
+def test_struct_subfield_presence_and_default():
+    """Nested presence + defaults (reference nested field loop
+    dsl/object_core.go:53-133 / default application
+    dsl/object_builder.go:70-91): a wire struct MISSING a declared
+    child gets the StructField default injected with the subpath
+    DEFAULT_APPLIED bit; children under a null parent carry bits 0."""
+    wire_t = pa.struct([("score", pa.int64())])  # no "lang" child
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "meta": pa.array([{"score": 5}, {"score": None}, None],
+                         type=wire_t),
+    })
+    s = _struct_schema()
+    norm, viols = normalize_batch(batch, s, with_presence=True)
+    assert norm["meta"].type == s.columns[1].dtype
+    assert norm["meta"].to_pylist() == [
+        {"lang": "en", "score": 5}, {"lang": "en", "score": None}, None]
+    assert norm["_presence_meta/lang"].to_pylist() == [
+        PRESENCE_DEFAULT_APPLIED, PRESENCE_DEFAULT_APPLIED, 0]
+    assert norm["_presence_meta/score"].to_pylist() == [
+        PRESENCE_SEEN, PRESENCE_SEEN | PRESENCE_WAS_NULL, 0]
+
+
+def test_struct_preserve_round_trip():
+    """The nested preserve round-trip (reference
+    encode_preserve_union_typed_test.go shape): default-applied
+    children return to absent (null), explicit values and explicit
+    nulls survive, null parents stay null."""
+    wire_t = pa.struct([("score", pa.int64())])
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "meta": pa.array([{"score": 5}, {"score": None}, None],
+                         type=wire_t),
+    })
+    s = _struct_schema()
+    norm, _ = normalize_batch(batch, s, with_presence=True)
+    preserved = encode_preserving(norm, s)
+    assert preserved["meta"].to_pylist() == [
+        {"lang": None, "score": 5}, {"lang": None, "score": None}, None]
+    # explicit wire value for the defaulted child is KEPT
+    batch2 = pa.table({
+        "id": pa.array([1], type=pa.int64()),
+        "meta": pa.array([{"lang": "fr", "score": 1}],
+                         type=s.columns[1].dtype),
+    })
+    norm2, _ = normalize_batch(batch2, s, with_presence=True)
+    pres2 = encode_preserving(norm2, s)
+    assert pres2["meta"].to_pylist() == [{"lang": "fr", "score": 1}]
+
+
+def test_struct_extra_wire_children_stripped():
+    wire_t = pa.struct([("score", pa.int64()), ("junk", pa.string())])
+    batch = pa.table({
+        "id": pa.array([1], type=pa.int64()),
+        "meta": pa.array([{"score": 2, "junk": "x"}], type=wire_t),
+    })
+    s = _struct_schema()
+    norm, _ = normalize_batch(batch, s, with_presence=False)
+    assert norm["meta"].type == s.columns[1].dtype
+    assert norm["meta"].to_pylist() == [{"lang": "en", "score": 2}]
