@@ -199,8 +199,11 @@ def _hw_ceiling(levels) -> dict:
 
 
 def scaling_main() -> None:
+    # 24M turns is the smallest size where steady-state rate dominates
+    # the ~9s fixed cold-start (BASELINE.md round-2 analysis); smaller
+    # corpora measure startup, not scaling
     n_turns = int(os.environ.get("RAYSKEMA_SCALING_TURNS",
-                                 str(flagship_turns())))
+                                 str(max(flagship_turns(), 24_000_000))))
     levels = tuple(int(x) for x in os.environ.get(
         "RAYSKEMA_SCALING_LEVELS", "2,8").split(","))
     corpus = ensure_corpus(n_turns)
