@@ -56,6 +56,13 @@ def _binding(cls: Type[T], colnames: list[str]):
     for f in dataclasses.fields(cls):
         key = resolve_field_key(f)
         if key == "-":
+            if (f.default is dataclasses.MISSING
+                    and f.default_factory is dataclasses.MISSING):
+                raise TypeError(
+                    f"field {f.name!r} is disabled with tag '-' but has "
+                    f"no default; give it a default (the reference "
+                    f"zero-values disabled fields, reflect_utils.go:"
+                    f"11-37 — Python dataclasses need an explicit one)")
             continue
         if key in colnames:
             plan.append((f.name, key))

@@ -1020,16 +1020,24 @@ def connected_components(
     rewiring is what makes chain-shaped components converge in
     O(log n) rounds where plain label propagation needs O(diameter).
 
-    Built entirely from the repo's bucketed hash exchange: one keyed
-    exchange per round (dedupe + canonical sort per owner), one
-    stateless ``map_batches`` to emit the round's messages (a bucket
-    holds ALL rows of its owners, so group mins never cross blocks),
-    and a tiny per-round (row-count, set-checksum) aggregate as the
-    convergence signal.  The driver holds two scalars per round, never
-    a node or an edge — a duplicate-heavy corpus with O(corpus)
-    near-dup edges cannot OOM it (the weakness of a driver-side
-    union-find).  Peak skew: the final star's owner group is the
-    component size; one component's rows always share a bucket.
+    Built entirely from the repo's bucketed hash exchange: ONE keyed
+    exchange per round whose group function both canonicalizes the
+    state (dedupe + sort per owner) and emits the round's messages —
+    the two outputs share a table distinguished by a ``tag`` column.
+    Group-min correctness requires COMPLETE owner groups, which only
+    the inside of ``bucketed_map_groups``'s gather guarantees: Ray
+    dynamically splits output blocks at ``target_max_block_size``, so
+    a bare ``map_batches`` over the exchange's OUTPUT may see an owner
+    group severed mid-block (observed: a 500-row group split across 28
+    batches) and would compute batch-local minima, permanently severing
+    components near convergence.  A tiny per-round (row-count,
+    set-checksum) aggregate is the convergence signal (row-hash sums
+    are order-independent, hence split-safe).  The driver holds two
+    scalars per round, never a node or an edge — a duplicate-heavy
+    corpus with O(corpus) near-dup edges cannot OOM it (the weakness
+    of a driver-side union-find).  Peak skew: the final star's owner
+    group is the component size; one component's rows always share a
+    bucket.
     """
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
@@ -1074,11 +1082,21 @@ def connected_components(
             "chk": pa.array([str(int(h.sum(dtype=np.uint64)))]),
         })
 
-    def _emit(tab: pa.Table) -> pa.Table:
-        """Messages from one bucket's (complete, sorted, deduped)
-        owner groups: (min → every member) and (every member → min)."""
+    _EMPTY_TAGGED = pa.table({
+        "owner": pa.array([], type=pa.int64()),
+        "member": pa.array([], type=pa.int64()),
+        "tag": pa.array([], type=pa.uint8())})
+
+    def _dedup_emit(tab: pa.Table) -> pa.Table:
+        """One bucket's round step, inside the gather (complete owner
+        groups guaranteed): canonicalize (tag=0) AND emit the round's
+        messages (tag=1, min → every member and every member → min).
+        Fused so group minima are computed where group completeness
+        holds — a bare map_batches over the exchange output sees
+        dynamically-split blocks and would sever components."""
+        tab = _dedup(tab)
         if tab.num_rows == 0:
-            return _EMPTY
+            return _EMPTY_TAGGED
         o = tab["owner"].to_numpy(zero_copy_only=False)
         m = tab["member"].to_numpy(zero_copy_only=False)
         new = np.ones(len(o), dtype=bool)
@@ -1086,16 +1104,28 @@ def connected_components(
         seg = np.cumsum(new) - 1
         # members are ascending within each owner group (dedupe sorted)
         mins = m[np.flatnonzero(new)][seg]
+        n_canon, n_msg = len(o), 2 * len(m)
         return pa.table({
-            "owner": pa.array(np.concatenate([mins, m]), type=pa.int64()),
-            "member": pa.array(np.concatenate([m, mins]),
-                               type=pa.int64())})
+            "owner": pa.array(
+                np.concatenate([o, mins, m]), type=pa.int64()),
+            "member": pa.array(
+                np.concatenate([m, m, mins]), type=pa.int64()),
+            "tag": pa.array(np.concatenate([
+                np.zeros(n_canon, dtype=np.uint8),
+                np.ones(n_msg, dtype=np.uint8)]))})
+
+    def _take_tag(tag: int):
+        def _f(tab: pa.Table) -> pa.Table:
+            keep = tab.filter(pc.equal(tab["tag"], tag))
+            return keep.drop_columns(["tag"])
+        return _f
 
     prev = None
     for _ in range(max_rounds):
-        canon = bucketed_map_groups(state, ["owner"], _dedup,
-                                    buckets=buckets,
-                                    sort_within=False).materialize()
+        both = bucketed_map_groups(state, ["owner"], _dedup_emit,
+                                   buckets=buckets,
+                                   sort_within=False).materialize()
+        canon = both.map_batches(_take_tag(0), batch_format="pyarrow")
         parts = [t for t in ray.get(
             canon.map_batches(_chk, batch_format="pyarrow")
             .to_arrow_refs()) if t.num_rows]
@@ -1121,7 +1151,7 @@ def connected_components(
                 canon.map_batches(_as_node, batch_format="pyarrow"),
                 ["node"], _min_rep, buckets=buckets, sort_within=False)
         prev = (cnt, chk)
-        state = canon.map_batches(_emit, batch_format="pyarrow")
+        state = both.map_batches(_take_tag(1), batch_format="pyarrow")
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds")
 
@@ -1162,6 +1192,10 @@ def near_dup_clusters(
         pairs = minhash_near_dup_pairs(
             ds, text_col, id_col, jaccard_threshold=jaccard_threshold,
             **lsh_kwargs)
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"near_dup_clusters mode must be 'auto', 'driver' or "
+            f"'distributed', got {mode!r}")
     if mode == "auto":
         mode = "driver" if (isinstance(pairs, pa.Table)
                             and pairs.num_rows < 2_000_000) \

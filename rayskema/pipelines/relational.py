@@ -68,6 +68,33 @@ def composite_hash(tab: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
     return h
 
 
+def _stamped_to_bucket(
+        tab: pa.Table, buckets: int) -> tuple[pa.Table, np.ndarray]:
+    """The ONE hash→bucket rule: convert a ``__h``-stamped block to
+    (stamp-free table, bucket-id vector).  Zero-row blocks can bypass
+    the stamping UDF entirely (Ray forms no batch from them), so
+    ``__h`` may legitimately be absent on empties."""
+    if tab.num_rows == 0:
+        if "__h" in tab.column_names:
+            tab = tab.drop_columns(["__h"])
+        return tab, np.empty(0, dtype=np.int64)
+    h = tab["__h"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    b = (h % np.uint64(buckets)).astype(np.int64)
+    return tab.drop_columns(["__h"]), b
+
+
+def _to_bucket_fn(buckets: int):
+    """Batch fn converting a ``__h``-stamped block to a ``bucket``
+    column (sort-exchange side of the hash→bucket rule)."""
+    def _to_bucket(tab: pa.Table) -> pa.Table:
+        tab, b = _stamped_to_bucket(tab, buckets)
+        return tab.append_column(
+            "bucket", pa.array(b) if len(b)
+            else pa.array([], type=pa.int64()))
+    return _to_bucket
+
+
 def add_bucket(ds: "rd.Dataset", key_cols: Sequence[str],
                buckets: int) -> "rd.Dataset":
     key_cols = list(key_cols)
@@ -80,7 +107,9 @@ def add_bucket(ds: "rd.Dataset", key_cols: Sequence[str],
             cols = {c: tab[c] for c in tab.column_names}
             cols["bucket"] = pa.array([], type=pa.int64())
             return pa.table(cols)
-        b = (composite_hash(tab, key_cols) % np.uint64(buckets)).astype(np.int64)
+        tab = tab.append_column("__h", pa.array(
+            composite_hash(tab, key_cols).astype(np.int64)))
+        tab, b = _stamped_to_bucket(tab, buckets)
         return tab.append_column("bucket", pa.array(b))
 
     return ds.map_batches(_stamp, batch_format="pyarrow")
@@ -111,17 +140,10 @@ def _split_bucket_parts_task(tab: pa.Table, buckets: int):
     gather tasks see clean tables."""
     from ..plan import limit_arrow_threads
     limit_arrow_threads()
+    tab, b = _stamped_to_bucket(tab, buckets)
     if tab.num_rows == 0:
-        # zero-row blocks can bypass the stamping UDF entirely (Ray
-        # forms no batch from them), so __h may legitimately be absent
-        if "__h" in tab.column_names:
-            tab = tab.drop_columns(["__h"])
         empty = tab.slice(0, 0)
         return [empty] * buckets if buckets > 1 else empty
-    h = tab["__h"].combine_chunks().to_numpy(
-        zero_copy_only=False).astype(np.uint64)
-    b = (h % np.uint64(buckets)).astype(np.int64)
-    tab = tab.drop_columns(["__h"])
     order = np.argsort(b, kind="stable")
     sorted_tab = tab.take(pa.array(order))
     counts = np.bincount(b, minlength=buckets)
@@ -166,9 +188,11 @@ SORT_EXCHANGE_MAX_BUCKETS = 1 << 16
 def _auto_buckets(total_bytes: int, target: int) -> int:
     """Bucket count from materialized input bytes: enough buckets that
     one bucket's gather stays under ``target`` bytes, floored at the
-    cluster CPU count so small inputs still use every core."""
+    cluster CPU count (capped at the manual exchange's bucket ceiling
+    so the floor alone never forces the sort fallback) — small inputs
+    still use every core."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    floor = max(8, min(64, cpus))
+    floor = max(8, min(cpus, MANUAL_EXCHANGE_MAX_BUCKETS))
     need = -(-max(0, int(total_bytes)) // target)
     return max(floor, need)
 
@@ -252,23 +276,25 @@ def bucketed_map_groups(
         # adaptive fallback: reuse the stamped materialization — one
         # cheap map converts the hash to a bucket id, then Ray's sort
         # shuffle streams the exchange
-        def _to_bucket(tab: pa.Table) -> pa.Table:
-            if tab.num_rows == 0:
-                cols = {c: tab[c] for c in tab.column_names
-                        if c != "__h"}
-                cols["bucket"] = pa.array([], type=pa.int64())
-                return pa.table(cols)
-            h = tab["__h"].combine_chunks().to_numpy(
-                zero_copy_only=False).astype(np.uint64)
-            b = (h % np.uint64(buckets)).astype(np.int64)
-            return tab.drop_columns(["__h"]).append_column(
-                "bucket", pa.array(b))
-
-        bucketed = stamped.map_batches(_to_bucket, batch_format="pyarrow")
+        bucketed = stamped.map_batches(
+            _to_bucket_fn(buckets), batch_format="pyarrow")
     else:
         if buckets is None:
-            buckets = 64
-        bucketed = add_bucket(ds, key_cols, buckets)
+            # the adaptive sizing contract applies to BOTH exchanges:
+            # a fixed bucket count on the explicit sort path would hand
+            # each map_groups task total_bytes/64 of heap at scale.
+            # Sizing needs the materialized byte count; callers that
+            # must stay fully streaming pass an explicit buckets=.
+            stamped = _stamp_hash(ds, key_cols).materialize()
+            if stamped.schema() is None:
+                return stamped
+            buckets = min(
+                _auto_buckets(stamped.size_bytes() or 0, target),
+                SORT_EXCHANGE_MAX_BUCKETS)
+            bucketed = stamped.map_batches(
+                _to_bucket_fn(buckets), batch_format="pyarrow")
+        else:
+            bucketed = add_bucket(ds, key_cols, buckets)
 
     def _apply(tab: pa.Table) -> pa.Table:
         tab = tab.drop_columns(["bucket"])

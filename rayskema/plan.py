@@ -526,15 +526,18 @@ PRESENCE_DEFAULT_APPLIED = 4
 
 def _reconcile_struct(
     arr, col: Column, n: int, with_presence: bool,
-) -> tuple[pa.Array, dict[str, pa.Array]]:
+) -> tuple[pa.Array, dict[str, pa.Array], list[tuple], list[tuple]]:
     """Reconcile a wire struct column to the declared struct type,
     child by child (reference nested-object field loop,
     dsl/object_core.go:53-133, with subpath presence — the nested
     analogue of encode_preserve_union_typed_test.go's round-trip):
 
-    - declared child present on the wire  -> cast to declared child
-      type; presence SEEN (+WAS_NULL where the child value is null
-      under a non-null parent);
+    - declared child present on the wire  -> CHECKED cast to declared
+      child type (same round-trip contract as flat columns: rows that
+      don't survive get ``overflow``/``invalid_type`` at the
+      ``/col/child`` subpath and become null); presence SEEN
+      (+WAS_NULL where the child value is null under a non-null
+      parent);
     - declared child ABSENT from the wire struct type -> inject the
       ``StructField(path=(child,), default=...)`` constant where one is
       declared (presence DEFAULT_APPLIED) else a null child (bits 0);
@@ -542,7 +545,13 @@ def _reconcile_struct(
 
     Presence keys are ``<col>/<child>`` (depth-1 subpaths).  Rows whose
     PARENT is null get bits 0 for every child (a subpath under a null
-    object was never seen — presence.go semantics)."""
+    object was never seen — presence.go semantics).
+
+    Returns ``(new_array, presence, row_viols, schema_viols)`` where
+    ``row_viols`` entries are ``(path, code, params, bad_mask,
+    message)`` (the caller's ``cast_viols`` shape) and ``schema_viols``
+    entries are ``(path, code, params, message)`` for children whose
+    wire type cannot be cast at all."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     wire_names = ({f.name for f in arr.type}
@@ -553,12 +562,33 @@ def _reconcile_struct(
     parent_valid = np.asarray(pc.is_valid(arr))
     children: list[pa.Array] = []
     presence: dict[str, pa.Array] = {}
+    row_viols: list[tuple] = []
+    schema_viols: list[tuple] = []
     for f in col.dtype:
         key = f"{col.name}/{f.name}"
         if f.name in wire_names:
             child = pc.struct_field(arr, f.name)
             if child.type != f.type:
-                child = pc.cast(child, f.type, safe=False)
+                casted, bad = _checked_cast(child, f.type)
+                if casted is None:
+                    schema_viols.append((
+                        column_path(col.name, f.name), INVALID_TYPE,
+                        canon_params({"from": str(child.type),
+                                      "to": str(f.type)}),
+                        "column type not coercible to declared type"))
+                    child = pa.nulls(n, type=f.type)
+                else:
+                    if bad is not None and pc.any(bad).as_py():
+                        code = (OVERFLOW if pa.types.is_integer(f.type)
+                                else INVALID_TYPE)
+                        row_viols.append((
+                            column_path(col.name, f.name), code,
+                            canon_params({"from": str(child.type),
+                                          "to": str(f.type)}),
+                            bad, "value does not fit declared type"))
+                        casted = pc.if_else(
+                            bad, pa.nulls(n, type=f.type), casted)
+                    child = casted
             bits = parent_valid.astype(np.uint8) * PRESENCE_SEEN
             bits |= (np.asarray(pc.is_null(child)) & parent_valid)\
                 .astype(np.uint8) * PRESENCE_WAS_NULL
@@ -575,7 +605,7 @@ def _reconcile_struct(
     new = pa.StructArray.from_arrays(
         children, fields=list(col.dtype),
         mask=pa.array(~parent_valid))
-    return new, presence
+    return new, presence, row_viols, schema_viols
 
 
 def normalize_batch(
@@ -642,6 +672,16 @@ def normalize_batch(
                     key_fields, column_path(col.name), REQUIRED, "schema",
                     "declared column absent from input",
                     canon_params({"column": col.name})))
+            if with_presence and pa.types.is_struct(col.dtype):
+                # child presence for absent struct columns: the whole
+                # subtree is default-applied (column default) or never
+                # seen — emitted ALWAYS so every batch, whatever its
+                # wire schema, carries the same presence column set
+                bits_val = (PRESENCE_DEFAULT_APPLIED
+                            if col.default is not None else 0)
+                for f in col.dtype:
+                    presence[f"{col.name}/{f.name}"] = pa.array(
+                        np.full(n, bits_val, dtype=np.uint8))
             out_cols[col.name] = arr
             continue
         arr = batch.column(col.name)
@@ -653,11 +693,20 @@ def normalize_batch(
                 np.uint8) * PRESENCE_WAS_NULL
             presence[col.name] = pa.array(pres)
         if pa.types.is_struct(col.dtype) and pa.types.is_struct(arr.type) \
-                and arr.type != col.dtype:
+                and (arr.type != col.dtype or with_presence):
+            # reconcile also when the wire type MATCHES and presence is
+            # requested: child presence columns must appear on every
+            # batch or batches from differently-evolved files produce
+            # different schemas and concat fails downstream
             try:
-                arr, sub_pres = _reconcile_struct(
+                arr, sub_pres, sub_rows, sub_schema = _reconcile_struct(
                     arr, col, n, with_presence)
                 presence.update(sub_pres)
+                cast_viols.extend(sub_rows)
+                for path, code, params, message in sub_schema:
+                    viols.append(schema_level_violation(
+                        key_fields, path, code, "schema", message,
+                        params))
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 pass  # fall through to the whole-column checked cast
         if arr.type != col.dtype:
@@ -678,6 +727,23 @@ def normalize_batch(
                 casted = pc.if_else(bad, pa.nulls(n, type=col.dtype), casted)
             arr = casted
         out_cols[col.name] = arr
+        if with_presence and pa.types.is_struct(col.dtype):
+            # schema-stability fill: any child whose presence the
+            # reconcile path didn't populate (wire value wasn't a
+            # struct, or reconcile fell through to the whole-column
+            # cast) derives its bits from the FINAL declared-typed
+            # column so every batch emits the full presence column set
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            pv = np.asarray(pc.is_valid(arr))
+            for f in col.dtype:
+                key = f"{col.name}/{f.name}"
+                if key not in presence:
+                    child = pc.struct_field(arr, f.name)
+                    bits = pv.astype(np.uint8) * PRESENCE_SEEN
+                    bits |= (np.asarray(pc.is_null(child)) & pv)\
+                        .astype(np.uint8) * PRESENCE_WAS_NULL
+                    presence[key] = pa.array(bits)
 
     if cast_viols and all(k in out_cols for k in key_cols):
         key_tab = pa.table({k: out_cols[k] for k in key_cols})

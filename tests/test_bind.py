@@ -63,3 +63,16 @@ def test_iter_bound_streams(ray_session):
     rows = list(iter_bound(ds, Verdict, batch_size=3))
     assert len(rows) == 10
     assert {r.conv for r in rows} == {f"c{i}" for i in range(10)}
+
+
+def test_disabled_field_without_default_rejected():
+    import dataclasses
+    import pytest
+
+    @dataclasses.dataclass
+    class Bad:
+        a: str = dataclasses.field(metadata={"json": "-"})
+
+    tab = pa.table({"a": ["x"]})
+    with pytest.raises(TypeError, match="disabled with tag"):
+        bind_table(tab, Bad)

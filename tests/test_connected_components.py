@@ -93,3 +93,43 @@ def test_near_dup_clusters_modes_agree(ray_session):
     reps = dict(zip(drv["doc_id"].to_pylist(), drv["rep_id"].to_pylist()))
     assert reps[2] == 0 and reps[7] == 5 and reps[25] == 20
     assert reps[10] == 10  # untouched doc is its own rep
+
+
+def test_cc_survives_block_splitting(ray_session):
+    """Ray dynamically splits blocks at target_max_block_size; a
+    severed owner group must NOT produce batch-local minima (the
+    emit step runs inside the gather where groups are complete).
+    Regression: with a tiny block size a 4000-edge star used to
+    converge to multiple reps for one component."""
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4096  # force aggressive splitting
+        n = 4000
+        # one big star (all -> 0) + a long chain, both single-rep
+        star_a = np.zeros(n, dtype=np.int64)
+        star_b = np.arange(1, n + 1, dtype=np.int64)
+        chain_a = np.arange(10_000, 10_500, dtype=np.int64)
+        chain_b = chain_a + 1
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array(np.concatenate([star_a, chain_a])),
+            "id_b": pa.array(np.concatenate([star_b, chain_b]))}))
+        out = _collect(connected_components(pairs, buckets=4))
+        got = dict(zip(out["node"].to_pylist(), out["rep"].to_pylist()))
+        assert len(got) == (n + 1) + 501
+        assert all(got[v] == 0 for v in range(n + 1))
+        assert all(got[v] == 10_000 for v in range(10_000, 10_501))
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_near_dup_clusters_rejects_unknown_mode(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["a", "b"]}))
+    pairs = pa.table({"id_a": pa.array([0], type=pa.int64()),
+                      "id_b": pa.array([1], type=pa.int64())})
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        near_dup_clusters(ds, "text", "doc_id", pairs=pairs,
+                          mode="distribued")

@@ -149,3 +149,27 @@ def test_empty_and_single_bucket_paths(ray_session):
         "pad": pa.array(["a", "b", "c"])}))
     t = _collect(rel.bucketed_map_groups(one, ["k"], _make_sum_fn(), buckets=1))
     assert sorted(t["k"].to_pylist()) == [7, 8]
+
+
+def test_sort_exchange_adaptive_buckets(ray_session):
+    """Explicit exchange='sort' with buckets=None sizes the exchange
+    from the data (same adaptive contract as the manual path) instead
+    of a hardcoded 64."""
+    R = rel
+    tab = pa.table({
+        "k": pa.array(np.arange(5000) % 7, type=pa.int64()),
+        "v": pa.array(np.arange(5000), type=pa.int64())})
+    ds = rd.from_arrow(tab)
+
+    def _count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return R.agg_named(t, ["k"], [("v", "count")], ["n"])
+
+    out_tabs = [t for t in ray.get(
+        R.bucketed_map_groups(ds, ["k"], _count, exchange="sort")
+        .to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(out_tabs).sort_by("k")
+    assert merged["k"].to_pylist() == list(range(7))
+    assert all(n in (714, 715) for n in merged["n"].to_pylist())

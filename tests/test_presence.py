@@ -168,3 +168,57 @@ def test_struct_extra_wire_children_stripped():
     norm, _ = normalize_batch(batch, s, with_presence=False)
     assert norm["meta"].type == s.columns[1].dtype
     assert norm["meta"].to_pylist() == [{"lang": "en", "score": 2}]
+
+
+def test_struct_presence_schema_stable_across_wire_variants():
+    """Batches whose wire struct MATCHES the declared type must emit
+    the same _presence_<col>/<child> columns as batches needing
+    reconciliation, or concat across evolved files fails."""
+    s = _struct_schema()
+    declared_t = s.columns[1].dtype
+    match = pa.table({
+        "id": pa.array([1], type=pa.int64()),
+        "meta": pa.array([{"lang": "fr", "score": 3}], type=declared_t),
+    })
+    evolved = pa.table({
+        "id": pa.array([2], type=pa.int64()),
+        "meta": pa.array([{"score": 4}],
+                         type=pa.struct([("score", pa.int64())])),
+    })
+    absent = pa.table({"id": pa.array([3], type=pa.int64())})
+    norms = [normalize_batch(b, s, with_presence=True)[0]
+             for b in (match, evolved, absent)]
+    assert norms[0].schema == norms[1].schema == norms[2].schema
+    merged = pa.concat_tables(norms)  # must not raise ArrowInvalid
+    assert merged.num_rows == 3
+    assert "_presence_meta/lang" in merged.column_names
+    assert "_presence_meta/score" in merged.column_names
+
+
+def test_struct_child_checked_cast_overflow():
+    """A non-round-trippable wire child value must produce an overflow
+    violation at the /col/child subpath and become null — same
+    contract as flat columns, one nesting level down."""
+    wire_t = pa.struct([("score", pa.int64()), ("extra", pa.string())])
+    meta32 = pa.struct([("lang", pa.string()), ("score", pa.int32())])
+    from rayskema.schema import StructField
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("meta", meta32, constraints=(
+                StructField(path=("lang",), default="en"),)),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+    )
+    big = (1 << 40) + 5
+    batch = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "meta": pa.array([{"score": big, "extra": "x"},
+                          {"score": 7, "extra": "y"}], type=wire_t),
+    })
+    norm, viols = normalize_batch(batch, s, with_presence=True)
+    assert norm["meta"].to_pylist() == [
+        {"lang": "en", "score": None}, {"lang": "en", "score": 7}]
+    v = viols.to_pylist()
+    assert any(r["code"] == "overflow" and r["path"] == "/meta/score"
+               for r in v), v
