@@ -165,6 +165,40 @@ def _q_validate_orders(sf_dir: str):
     return _viol_select(check_constraints(ds, s), ["o_orderkey"])
 
 
+class _GenValidator:
+    """Actor-pool loader for an AOT-generated validator module
+    (codegen.py; reference `goskema compile`, cmd/goskema/main.go:
+    23-38): the generated SOURCE ships in the constructor args and is
+    exec-compiled ONCE per actor — exactly how a deployed codegen
+    artifact loads on workers — then every batch runs the fused
+    generated checks."""
+
+    def __init__(self, src: str, out_schema):
+        import types
+        mod = types.ModuleType("rayskema_generated")
+        exec(compile(src, "<rayskema-gen>", "exec"), mod.__dict__)
+        self._fn = mod.validate_batch
+        self._out = out_schema
+
+    def __call__(self, t):
+        return self._fn(t).cast(self._out)
+
+
+def _q_orders_gen_validate(sf_dir: str):
+    """validate_orders via the ahead-of-time compiled module: same
+    oracle, different execution path (generated fused checks)."""
+    from rayskema.codegen import generate_module
+    from rayskema.issues import violations_schema
+    s = _orders_schema()
+    src = generate_module(s)
+    out_schema = violations_schema(s.key_fields())
+    ds = _read(sf_dir, "orders", s.column_names)
+    out = ds.map_batches(
+        _GenValidator, fn_constructor_args=(src, out_schema),
+        batch_format="pyarrow", concurrency=(1, 4))
+    return _viol_select(out, ["o_orderkey"])
+
+
 def _q_validate_lineitem(sf_dir: str):
     from rayskema.pipelines.relational import check_constraints
     s = _lineitem_schema()
@@ -1494,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correctness window covered only the first 50 entries in r02,
         # so these lead the dict to get their driver row this round
         "lineitem_decimal": _q_lineitem_decimal,
+        "orders_gen_validate": _q_orders_gen_validate,
         "emb_kmeans": _q_emb_kmeans,
         "emb_near_dups": _q_emb_near_dups,
         "events_type_psi": _q_events_type_psi,
@@ -1754,6 +1789,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, path, code, rule
             FROM read_parquet(
                 '{fixture_dir}/violations_expected.parquet')
+        """,
+        "orders_gen_validate": """
+            SELECT o_orderkey, '/o_orderstatus' AS path,
+                   'invalid_enum' AS code, 'status_enum' AS rule
+            FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+            UNION ALL
+            SELECT o_orderkey, '/o_totalprice', 'too_big', 'price_cap'
+            FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey, '/o_orderpriority', 'pattern',
+                   'priority_format'
+            FROM orders
+            WHERE NOT regexp_full_match(o_orderpriority, '[1-3]-.*|5-LOW')
         """,
         "validate_orders": """
             SELECT o_orderkey, '/o_orderstatus' AS path,

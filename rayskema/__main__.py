@@ -122,6 +122,18 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_gen(args) -> int:
+    from .codegen import compile_schema
+
+    schema = _load_schema(args)
+    src = compile_schema(schema, args.out)
+    print(json.dumps({
+        "out": args.out, "schema": schema.name,
+        "schema_hash": schema.schema_hash(),
+        "lines": src.count("\n")}))
+    return 0
+
+
 def cmd_fixture(args) -> int:
     from .testgen import write_fixture
 
@@ -176,6 +188,14 @@ def main(argv=None) -> int:
                    "(deterministic across any block layout)")
     s.add_argument("--num-cpus", type=int)
     s.set_defaults(fn=cmd_sample)
+
+    g = sub.add_parser("gen", help="ahead-of-time compile a contract "
+                       "to a standalone validator module (reference "
+                       "`goskema compile`, cmd/goskema/main.go:23-38)")
+    g.add_argument("--contract", help="JSON/YAML contract (default: "
+                   "built-in transcript schema)")
+    g.add_argument("--out", required=True, help="generated .py path")
+    g.set_defaults(fn=cmd_gen)
 
     f = sub.add_parser("fixture")
     f.add_argument("--out", required=True)
