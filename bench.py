@@ -347,6 +347,36 @@ def micro_main() -> None:
                       "rows_per_batch": n, "value": out}))
 
 
+def mem_bandwidth_probe() -> dict:
+    """Host-health provenance stamped into every bench JSON: copy
+    bandwidth of a 64 MB buffer (GB/s) and single-core matmul time.
+    This VM class shows order-of-magnitude memory-bandwidth swings
+    between boots (measured 25 MB/s .. multi-GB/s copying the same
+    buffer); a flagship sample is only comparable across rounds when
+    these probes are comparable."""
+    import numpy as np
+    x = np.random.default_rng(0).random(8_000_000)  # 64 MB
+    x.copy()  # warm allocator
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x.copy()
+    copy_gbps = 3 * x.nbytes / (time.perf_counter() - t0) / 1e9
+    # large-buffer probe: fresh 256 MB allocation + copy — this VM
+    # class punishes LARGE anonymous allocations specifically (host
+    # reclaim/balloon), which is what object-store-heavy stages feel
+    big = np.random.default_rng(2).random(32_000_000)  # 256 MB
+    t0 = time.perf_counter()
+    big.copy()
+    big_gbps = big.nbytes / (time.perf_counter() - t0) / 1e9
+    m = np.random.default_rng(1).random((1000, 1000))
+    t0 = time.perf_counter()
+    m @ m
+    matmul_ms = (time.perf_counter() - t0) * 1e3
+    return {"mem_copy_gbps": round(copy_gbps, 2),
+            "mem_copy_256mb_gbps": round(big_gbps, 2),
+            "matmul_1k_ms": round(matmul_ms, 1)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -390,6 +420,7 @@ def main() -> None:
         "turns_per_sec": round(flag["rows"] / flag["wall_sec"]),
         "violations": flag["violations"],
         "stage_sec": flag["stage_sec"],
+        "host_probe": mem_bandwidth_probe(),
     }))
 
 

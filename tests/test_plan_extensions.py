@@ -258,3 +258,52 @@ def test_map_key_regex():
     out = ConstraintPlan(s).validate(batch)
     assert [(r["id"], r["code"], r["path"]) for r in out.to_pylist()] == \
         [(2, "pattern", "/props")]
+
+
+def test_union_presence_carried_and_preserved():
+    """Presence for variant-selected fields is retained through a
+    union-routed schema, and preserve-mode drops default-applied
+    values while keeping explicit ones (reference
+    dsl/encode_preserve_union_typed_test.go: both tests' semantics at
+    the columnar level)."""
+    from rayskema.plan import (
+        PRESENCE_DEFAULT_APPLIED, PRESENCE_SEEN, encode_preserving,
+        normalize_batch,
+    )
+    s = TableSchema(
+        columns=(
+            Column("id", pa.int64(), nullable=False),
+            Column("kind", pa.string()),
+            Column("number", pa.string()),
+            Column("active", pa.bool_(), default=True),
+        ),
+        key_columns=("id",), unknown=Unknown.STRIP,
+        rules=(UnionRule(
+            discriminator="kind",
+            variants={"card": (("number", NonNull(rule="num_req")),)},
+            rule="kind_union"),),
+    )
+    # wire batch LACKS 'active' (default applies) but carries the
+    # union variant field 'number'
+    batch = pa.table({
+        "id": pa.array([0, 1], type=pa.int64()),
+        "kind": pa.array(["card", "card"]),
+        "number": pa.array(["n", None]),
+    })
+    norm, viols = normalize_batch(batch, s, with_presence=True)
+    # variant field presence retained (reference: dm.Presence["/number"])
+    pres = norm["_presence_number"].to_pylist()
+    assert pres[0] == PRESENCE_SEEN
+    assert pres[1] & PRESENCE_SEEN
+    assert norm["_presence_active"].to_pylist() == [
+        PRESENCE_DEFAULT_APPLIED] * 2
+    # union routing still fires on the normalized batch
+    plan = ConstraintPlan(s)
+    out = plan.validate(batch)
+    assert any(r["rule"] == "num_req" and r["id"] == 1
+               for r in out.to_pylist())
+    # preserve-mode: default-materialized 'active' returns to absent
+    # (null), explicit 'number' values survive
+    preserved = encode_preserving(norm, s)
+    assert preserved["active"].to_pylist() == [None, None]
+    assert preserved["number"].to_pylist() == ["n", None]
