@@ -1612,7 +1612,7 @@ def oracle_sql() -> dict[str, str]:
     # the transcript oracle reads the generator-produced expected file;
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
-    return {
+    d = {
         "orders_crd_import": """
             SELECT o_orderkey, '/o_orderstatus' AS path,
                    'invalid_enum' AS code, 'o_orderstatus' AS rule
@@ -1789,19 +1789,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, path, code, rule
             FROM read_parquet(
                 '{fixture_dir}/violations_expected.parquet')
-        """,
-        "orders_gen_validate": """
-            SELECT o_orderkey, '/o_orderstatus' AS path,
-                   'invalid_enum' AS code, 'status_enum' AS rule
-            FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
-            UNION ALL
-            SELECT o_orderkey, '/o_totalprice', 'too_big', 'price_cap'
-            FROM orders WHERE o_totalprice > 400000
-            UNION ALL
-            SELECT o_orderkey, '/o_orderpriority', 'pattern',
-                   'priority_format'
-            FROM orders
-            WHERE NOT regexp_full_match(o_orderpriority, '[1-3]-.*|5-LOW')
         """,
         "validate_orders": """
             SELECT o_orderkey, '/o_orderstatus' AS path,
@@ -2552,3 +2539,8 @@ def oracle_sql() -> dict[str, str]:
         # query; emb_kmeans (iterative) asserts non-increasing inertia
         # and equality with a local seeded Lloyd reference
     }
+    # orders_gen_validate runs the AOT-generated validator over the
+    # SAME schema as validate_orders — one oracle definition for both
+    # so a future constraint edit cannot drift them apart
+    d["orders_gen_validate"] = d["validate_orders"]
+    return d

@@ -24,7 +24,7 @@ the columnar engine:
   ``ConstraintPlan.validate`` by construction (a property test in
   ``tests/test_codegen.py`` asserts it).
 
-CLI: ``python -m rayskema gen contract.json -o gen_orders.py``.
+CLI: ``python -m rayskema gen --contract contract.json --out gen_orders.py``.
 """
 from __future__ import annotations
 
@@ -45,13 +45,13 @@ from .schema import (
 # ---------------------------------------------------------------------------
 
 _SIMPLE_DTYPES = {
+    # names where str(dtype) == the pa constructor name
     "int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64",
-    "float16", "float32", "float64",
     "string", "large_string", "binary", "large_binary",
-    "bool", "date32", "date64", "null",
+    "bool", "null",
 }
-_DTYPE_CTOR = {"bool": "bool_", "float16": "float16", "null": "null"}
+_DTYPE_CTOR = {"bool": "bool_", "null": "null"}
 
 
 def render_dtype(dt: pa.DataType) -> str:
@@ -66,6 +66,11 @@ def render_dtype(dt: pa.DataType) -> str:
         return "pa.float32()"
     if s == "halffloat":
         return "pa.float16()"
+    # str(pa.date32()) is 'date32[day]' / str(pa.date64()) 'date64[ms]'
+    if pa.types.is_date32(dt):
+        return "pa.date32()"
+    if pa.types.is_date64(dt):
+        return "pa.date64()"
     if pa.types.is_time32(dt) or pa.types.is_time64(dt):
         bits = 32 if pa.types.is_time32(dt) else 64
         return f"pa.time{bits}({dt.unit!r})"
@@ -290,10 +295,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rayskema import schema as _s
-from rayskema.issues import (
-    canon_params, empty_violations, schema_level_violation,
-    violations_from_mask,
-)
+from rayskema.issues import empty_violations, violations_from_mask
 from rayskema.plan import ConstraintPlan
 
 '''
@@ -302,6 +304,20 @@ _FOOTER = '''
 
 _PLAN = ConstraintPlan(SCHEMA)
 _CHECKS = list(_PLAN.checks)
+# Load-time guards: the patches below overwrite interpreted checks by
+# POSITIONAL index, which is only sound if the installed rayskema still
+# builds the plan with the layout this module was generated against.
+# A mismatch fails loudly here instead of silently swapping checks.
+if len(_CHECKS) != {n_total}:
+    raise ImportError(
+        "generated validator is stale: ConstraintPlan built "
+        f"{{len(_CHECKS)}} checks, module was generated for {n_total} "
+        "— regenerate with `python -m rayskema gen`")
+if SCHEMA.schema_hash() != {shash!r}:
+    raise ImportError(
+        "generated validator is stale: schema_hash mismatch "
+        f"({{SCHEMA.schema_hash()!r}} != {shash!r}) "
+        "— regenerate with `python -m rayskema gen`")
 {patches}
 
 def validate_batch(batch: pa.Table) -> pa.Table:
@@ -365,7 +381,8 @@ def generate_module(schema: TableSchema) -> str:
         src += "".join(consts) + "\n"
     src += render_schema(schema) + "\n\n"
     src += "\n\n".join(funcs)
-    src += _FOOTER.format(patches="\n".join(patches))
+    src += _FOOTER.format(patches="\n".join(patches), n_total=n_total,
+                          shash=schema.schema_hash())
     return src
 
 

@@ -3,6 +3,7 @@ compile`, cmd/goskema/main.go:23-38 + internal/gen/render.go):
 the generated module's validate_batch must be bit-identical to the
 interpreted ConstraintPlan over the same schema."""
 import importlib.util
+import os
 import subprocess
 import sys
 
@@ -128,11 +129,53 @@ def test_transcript_schema_generates(tmp_path):
     assert mod.SCHEMA.schema_hash() == s.schema_hash()
 
 
+def test_render_dtype_dates_and_floats():
+    """str(pa.date32()) is 'date32[day]' — the renderer must still
+    produce the bare constructor (regression: dates raised
+    NotImplementedError)."""
+    assert render_dtype(pa.date32()) == "pa.date32()"
+    assert render_dtype(pa.date64()) == "pa.date64()"
+    assert render_dtype(pa.float16()) == "pa.float16()"
+    assert render_dtype(pa.float32()) == "pa.float32()"
+    assert render_dtype(pa.float64()) == "pa.float64()"
+
+
+def test_date_column_schema_generates(tmp_path):
+    s = TableSchema(
+        columns=(Column("k", pa.string(), nullable=False,
+                        constraints=(NonNull(rule="nn"),)),
+                 Column("d", pa.date32()),
+                 Column("d64", pa.date64())),
+        key_columns=("k",), unknown=Unknown.STRIP, name="dated")
+    out = tmp_path / "gen_dated.py"
+    compile_schema(s, str(out))
+    mod = _import_generated(str(out), "genmod_dated")
+    assert mod.SCHEMA.schema_hash() == s.schema_hash()
+
+
+def test_stale_generated_module_fails_loudly(tmp_path):
+    """The positional _CHECKS patches are guarded: a module generated
+    against a different plan layout must refuse to import rather than
+    silently swapping checks."""
+    import re
+    s = _mixed_schema()
+    src = generate_module(s)
+    tampered = re.sub(r"len\(_CHECKS\) != (\d+)",
+                      lambda m: f"len(_CHECKS) != {int(m.group(1)) + 1}",
+                      src, count=1)
+    assert tampered != src
+    out = tmp_path / "gen_stale.py"
+    out.write_text(tampered)
+    with pytest.raises(ImportError, match="stale"):
+        _import_generated(str(out), "genmod_stale")
+
+
 def test_cli_gen(tmp_path):
     out = tmp_path / "gen_cli.py"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-m", "rayskema", "gen", "--out", str(out)],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd=repo_root)
     assert r.returncode == 0, r.stderr
     assert out.exists()
     import json
