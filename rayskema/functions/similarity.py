@@ -489,8 +489,16 @@ def kmeans_fit(
             kk = len(c)
             counts = np.bincount(assign, minlength=kk)
             sse = np.bincount(assign, weights=sse_row, minlength=kk)
+            # per-cluster vector sums via a segment reduce (stable sort
+            # keeps row order inside each cluster, so the float sum
+            # order matches the scatter it replaces); np.add.at is a
+            # ~10x-slower element-at-a-time scatter on big blocks
             vsum = np.zeros((kk, c.shape[1]))
-            np.add.at(vsum, assign, m)
+            order = np.argsort(assign, kind="stable")
+            sa = assign[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(sa)) + 1])
+            vsum[sa[starts]] = np.add.reduceat(m[order], starts, axis=0)
             return pa.table({
                 "cluster": pa.array(np.arange(kk, dtype=np.int64)),
                 "n": pa.array(counts.astype(np.int64)),
