@@ -153,14 +153,23 @@ def _pick_convs(counts: np.ndarray, n_classes: int, per_class: int):
     return picks
 
 
-def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
-                  corrupt: bool = False, drifted: bool = False) -> dict:
-    """Write the fixture to ``out_dir``. Returns a small info dict."""
-    os.makedirs(out_dir, exist_ok=True)
-    tdir = os.path.join(out_dir, "transcripts")
-    os.makedirs(tdir, exist_ok=True)
+# One chunk's worth of generation + mutation + sharding.  Bounded
+# memory: gen_clean's transient flat text index is ~8 bytes per text
+# byte (~12GB at 24M turns) and the pandas mutation copy another few
+# GB, so corpora beyond CHUNK_TURNS are generated in disjoint
+# conversation ranges and written incrementally — the 96M endurance
+# corpus OOM-killed a 128GB box when generated in one piece.
+CHUNK_TURNS = 24_000_000
 
-    clean = gen_clean(n_turns_target, seed, drifted=drifted)
+
+def _gen_chunk(n_turns_target: int, seed: int, *, corrupt: bool,
+               drifted: bool, conv_offset: int, specials: bool,
+               tdir: str, suffix: str) -> dict:
+    """Generate, mutate and write ONE chunk's shards; returns the
+    chunk's bookkeeping (expected violations, manifest entries,
+    profile, row/conv counts)."""
+    clean = gen_clean(n_turns_target, seed, drifted=drifted,
+                      conv_offset=conv_offset)
     df = clean.to_pandas()  # mutation bookkeeping in pandas (small/medium scale)
     conv_of = df["conv_id"].to_numpy()
     uniq_convs, conv_first = np.unique(conv_of, return_index=True)
@@ -283,7 +292,7 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
     # special shards (corrupt only): overflow conv + extra-column conv pulled
     # out of their home buckets into dedicated files.
     special_overflow = special_extra = None
-    if corrupt:
+    if corrupt and specials:
         # overflow: last two conversations
         ov_conv = uniq_convs[-1]
         ex_conv = uniq_convs[-2]
@@ -313,7 +322,7 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
     for b in range(N_BUCKETS):
         part = table.filter(pa.array(bucket == b))
         pq.write_table(part.replace_schema_metadata(None),
-                       os.path.join(tdir, f"part-{b:05d}.parquet"))
+                       os.path.join(tdir, f"part-{b:05d}{suffix}.parquet"))
     if special_overflow is not None:
         pq.write_table(special_overflow.replace_schema_metadata(None),
                        os.path.join(tdir, "part-overflow.parquet"))
@@ -325,18 +334,68 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
         dup_tab = pa.Table.from_pandas(pd.concat(extra_rows),
                                        schema=clean.schema, preserve_index=False)
         pq.write_table(dup_tab.replace_schema_metadata(None),
-                       os.path.join(tdir, "part-dup.parquet"))
+                       os.path.join(tdir, f"part-dup{suffix}.parquet"))
 
-    # ---- manifest --------------------------------------------------------
     man_convs = [c for c in uniq_convs if c not in manifest_drop]
     man_counts = counts.reindex(man_convs).to_numpy().astype(np.int32)
+    return {"rows": clean.num_rows, "n_conv": len(uniq_convs),
+            "expected": expected,
+            "man_convs": man_convs, "man_counts": man_counts,
+            "profile": build_profile(clean)}
+
+
+def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
+                  corrupt: bool = False, drifted: bool = False,
+                  chunk_turns: int = CHUNK_TURNS) -> dict:
+    """Write the fixture to ``out_dir``. Returns a small info dict.
+
+    Corpora up to ``chunk_turns`` are generated exactly as one chunk
+    (byte-identical output to the historical single-shot writer);
+    larger targets are split into disjoint conversation ranges,
+    each generated/mutated/written with bounded memory, their
+    manifests, baseline profiles (mergeable sketches) and expected
+    violations merged at the end.  The special shards (overflow /
+    extra-column) are emitted once, from the first chunk."""
+    os.makedirs(out_dir, exist_ok=True)
+    tdir = os.path.join(out_dir, "transcripts")
+    os.makedirs(tdir, exist_ok=True)
+
+    n_chunks = max(1, -(-n_turns_target // chunk_turns))
+    per_chunk = -(-n_turns_target // n_chunks)
+    expected: list[tuple] = []
+    man_convs_all: list = []
+    man_counts_all: list = []
+    prof = None
+    rows = n_conv_total = 0
+    conv_offset = 0
+    for i in range(n_chunks):
+        n_i = min(per_chunk, n_turns_target - i * per_chunk)
+        info = _gen_chunk(
+            n_i,
+            # distinct stream per chunk (same content as before when
+            # n_chunks == 1); conversation ids stay globally unique
+            # via conv_offset
+            seed if n_chunks == 1 else seed + 7919 * i,
+            corrupt=corrupt, drifted=drifted, conv_offset=conv_offset,
+            specials=(i == 0), tdir=tdir,
+            suffix="" if n_chunks == 1 else f"-c{i:02d}")
+        expected.extend(info["expected"])
+        man_convs_all.extend(info["man_convs"])
+        man_counts_all.append(info["man_counts"])
+        prof = info["profile"] if prof is None else \
+            prof.merge(info["profile"])
+        rows += info["rows"]
+        n_conv_total += info["n_conv"]
+        conv_offset += info["n_conv"]
+
+    # ---- manifest --------------------------------------------------------
     pq.write_table(
-        pa.table({"conv_id": pa.array(man_convs, type=pa.string()),
-                  "n_turns": pa.array(man_counts, type=pa.int32())}),
+        pa.table({"conv_id": pa.array(man_convs_all, type=pa.string()),
+                  "n_turns": pa.array(np.concatenate(man_counts_all),
+                                      type=pa.int32())}),
         os.path.join(out_dir, "conversations.parquet"))
 
     # ---- baseline profile (always from the clean generation) -------------
-    prof = build_profile(clean)
     with open(os.path.join(out_dir, "baseline_profile.bin"), "wb") as f:
         f.write(prof.to_bytes())
 
@@ -353,7 +412,7 @@ def write_fixture(out_dir: str, n_turns_target: int, seed: int = 42, *,
     with open(os.path.join(out_dir, "fixture_version.txt"), "w") as f:
         f.write(str(FIXTURE_VERSION))
 
-    return {"rows": clean.num_rows, "n_conv": len(uniq_convs),
+    return {"rows": rows, "n_conv": n_conv_total,
             "dir": out_dir, "corrupt": corrupt, "version": FIXTURE_VERSION,
             "expected_violations": len(expected) if corrupt else 0}
 

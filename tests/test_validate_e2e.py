@@ -66,6 +66,35 @@ def test_corrupt_fixture_matches_golden(ray_session, fixture_corrupt):
             == res.violations.num_rows)
 
 
+def test_chunked_fixture_matches_golden(ray_session, tmp_path):
+    """The memory-bounded chunked fixture writer (large corpora are
+    generated in disjoint conversation ranges) must produce a corpus
+    whose validation output still equals its own golden expected file
+    — specials once, mutations and manifests merged across chunks."""
+    from rayskema.testgen import write_fixture
+
+    d = str(tmp_path / "chunked")
+    info = write_fixture(d, 30_000, corrupt=True, chunk_turns=10_000)
+    assert info["rows"] >= 30_000
+    shards = os.listdir(os.path.join(d, "transcripts"))
+    assert any(s.endswith("-c02.parquet") for s in shards), shards
+    assert shards.count("part-overflow.parquet") == 1  # specials once
+    res = run_validate(d, buckets=16)
+    got = res.violations.select(["conv_id", "turn_idx", "path", "code",
+                                 "rule"])
+    exp = pq.read_table(os.path.join(d, "violations_expected.parquet"))
+    sort = [("conv_id", "ascending"), ("turn_idx", "ascending"),
+            ("path", "ascending"), ("code", "ascending"),
+            ("rule", "ascending")]
+    got = got.take(pc.sort_indices(got, sort_keys=sort,
+                                   null_placement="at_start"))
+    exp = exp.take(pc.sort_indices(exp, sort_keys=sort,
+                                   null_placement="at_start"))
+    assert got.num_rows == exp.num_rows
+    assert got.cast(exp.schema).equals(exp)
+    assert all(dr["passed"] for dr in res.drift)
+
+
 def test_drifted_fixture_fails_drift(ray_session, fixture_drifted,
                                      fixture_clean):
     # validate DRIFTED data against the CLEAN baseline profile
