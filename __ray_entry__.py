@@ -165,6 +165,19 @@ def _q_validate_orders(sf_dir: str):
     return _viol_select(check_constraints(ds, s), ["o_orderkey"])
 
 
+def _q_orders_infer_contract(sf_dir: str):
+    """Contract inference (functions/infer.py): observed per-column
+    facts — counts, exact distinct, numeric/temporal envelope (epoch
+    integers for timestamps), UTF-8 length bounds, sorted enum value
+    sets for low-cardinality strings — the tightest contract the data
+    satisfies, proposed from two pruned scans with bounded exchanges.
+    The same facts feed `infer_contract` -> a TableSchema that
+    validates this table with zero violations (tests/test_infer.py)."""
+    from rayskema.functions.infer import infer_facts
+    ds = _read(sf_dir, "orders", None)
+    return infer_facts(ds, enum_max=16)
+
+
 class _GenValidator:
     """Actor-pool loader for an AOT-generated validator module
     (codegen.py; reference `goskema compile`, cmd/goskema/main.go:
@@ -1527,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2-driver-unchecked queries FIRST: the driver's
         # correctness window covered only the first 50 entries in r02,
         # so these lead the dict to get their driver row this round
+        "orders_infer_contract": _q_orders_infer_contract,
         "lineitem_decimal": _q_lineitem_decimal,
         "orders_gen_validate": _q_orders_gen_validate,
         "emb_kmeans": _q_emb_kmeans,
@@ -1613,6 +1627,56 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "orders_infer_contract": """
+            SELECT 'o_custkey' AS col, count(*)::BIGINT AS n,
+                   (count(*) - count(o_custkey))::BIGINT AS n_null,
+                   count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+                   min(o_custkey)::DOUBLE AS min_num,
+                   max(o_custkey)::DOUBLE AS max_num,
+                   NULL::BIGINT AS min_len, NULL::BIGINT AS max_len,
+                   NULL::VARCHAR AS enum_values
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   epoch_us(min(o_orderdate))::DOUBLE,
+                   epoch_us(max(o_orderdate))::DOUBLE,
+                   NULL, NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+                   count(DISTINCT o_orderkey),
+                   min(o_orderkey)::DOUBLE, max(o_orderkey)::DOUBLE,
+                   NULL, NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority), NULL, NULL,
+                   min(length(o_orderpriority))::BIGINT,
+                   max(length(o_orderpriority))::BIGINT,
+                   (SELECT string_agg(v, ',' ORDER BY v) FROM
+                    (SELECT DISTINCT o_orderpriority AS v FROM orders
+                     WHERE o_orderpriority IS NOT NULL))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus), NULL, NULL,
+                   min(length(o_orderstatus))::BIGINT,
+                   max(length(o_orderstatus))::BIGINT,
+                   (SELECT string_agg(v, ',' ORDER BY v) FROM
+                    (SELECT DISTINCT o_orderstatus AS v FROM orders
+                     WHERE o_orderstatus IS NOT NULL))
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE,
+                   NULL, NULL, NULL
+            FROM orders
+        """,
         "orders_crd_import": """
             SELECT o_orderkey, '/o_orderstatus' AS path,
                    'invalid_enum' AS code, 'o_orderstatus' AS rule

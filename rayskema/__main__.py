@@ -143,6 +143,26 @@ def cmd_fixture(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .contract import save_contract
+    from .functions.infer import infer_contract
+
+    ds = rd.read_parquet(args.input)
+    keys = [k for k in (args.keys or "").split(",") if k]
+    schema = infer_contract(ds, key_columns=keys,
+                            enum_max=args.enum_max, name=args.name)
+    save_contract(schema, args.out)
+    print(json.dumps({
+        "out": args.out, "schema": schema.name,
+        "schema_hash": schema.schema_hash(),
+        "columns": len(schema.columns),
+        "constraints": sum(len(c.constraints) for c in schema.columns)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayskema")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -203,6 +223,16 @@ def main(argv=None) -> int:
     f.add_argument("--corrupt", action="store_true")
     f.add_argument("--drifted", action="store_true")
     f.set_defaults(fn=cmd_fixture)
+
+    i = sub.add_parser("infer", help="propose the tightest contract "
+                       "the observed Parquet data satisfies")
+    i.add_argument("--input", required=True, help="parquet file/dir")
+    i.add_argument("--out", required=True, help="contract JSON path")
+    i.add_argument("--keys", help="comma-separated key columns")
+    i.add_argument("--enum-max", type=int, default=16)
+    i.add_argument("--name", default="inferred")
+    i.add_argument("--num-cpus", type=int)
+    i.set_defaults(fn=cmd_infer)
 
     args = p.parse_args(argv)
     return args.fn(args)

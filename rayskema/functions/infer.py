@@ -1,0 +1,256 @@
+"""Contract inference: propose a :class:`TableSchema` from observed
+data — the authoring direction of a validation engine (the reference
+ships hand-written DSL contracts, e.g. ``examples/user/main.go``;
+inference bootstraps that declaration from a sample of the real table
+so the tightest contract the data satisfies becomes the starting
+point a human then relaxes).
+
+Two pruned scans, both with tiny exchanges:
+
+1. :func:`profile_columns` (one scan + one bounded (col, value) hash
+   exchange) supplies row/null counts, EXACT distinct cardinality and
+   min/max per column.  Temporal columns are pre-cast to int64 epoch
+   units in a zero-copy ``map_batches`` so their min/max ride the
+   numeric path (lexicographic strings of timestamps are
+   format-dependent; epoch integers are not).
+2. One scan of the STRING columns only emits per-block length
+   min/max partials plus, for enum candidates (global distinct
+   ``<= enum_max``, known from pass 1), the per-block distinct
+   values — per block that is at most ``n_distinct <= enum_max``
+   rows per candidate column, so the driver-side merge is
+   O(blocks x (cols + enum_max)), never row count.
+
+The proposed contract is the TIGHTEST one the observed data passes:
+``NonNull`` where no null was seen, ``Enum`` for low-cardinality
+strings, ``Range`` over observed numeric min/max, ``LenBounds`` over
+observed UTF-8 lengths.  By construction ``ConstraintPlan(infer_contract(ds)).validate``
+emits zero violations on the data it was inferred from (asserted in
+``tests/test_infer.py``); unseen future values that fall outside the
+observed envelope surface as violations, which is the point — the
+caller widens what should legitimately vary.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..plan import limit_arrow_threads
+from ..schema import (
+    Column, Enum, LenBounds, NonNull, Range, TableSchema, Unknown,
+)
+from .profile import profile_columns
+
+_FACT_COLS = ["col", "n", "n_null", "n_distinct", "min_num", "max_num",
+              "min_len", "max_len", "enum_values"]
+
+
+def _is_string(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _is_temporal(t: pa.DataType) -> bool:
+    return (pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t))
+
+
+def _empty_len_partial() -> pa.Table:
+    return pa.table({
+        "col": pa.array([], type=pa.string()),
+        "kind": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.string()),
+        "min_len": pa.array([], type=pa.int64()),
+        "max_len": pa.array([], type=pa.int64()),
+    })
+
+
+def infer_facts(
+    ds: "rd.Dataset", columns: Sequence[str] | None = None, *,
+    enum_max: int = 16, buckets: int | None = None,
+) -> pa.Table:
+    """Observed per-column facts, one row per column (see
+    :func:`_facts_and_dtypes` for the scan shape)."""
+    return _facts_and_dtypes(ds, columns, enum_max=enum_max,
+                             buckets=buckets)[0]
+
+
+def _facts_and_dtypes(
+    ds: "rd.Dataset", columns: Sequence[str] | None = None, *,
+    enum_max: int = 16, buckets: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """Observed per-column facts, one row per column sorted by name:
+    ``(col, n, n_null, n_distinct, min_num, max_num, min_len,
+    max_len, enum_values)``.
+
+    - numeric columns fill ``min_num``/``max_num`` (temporal columns
+      as int64 epoch units of their storage unit — e.g. microseconds
+      for ``timestamp[us]``);
+    - string columns fill ``min_len``/``max_len`` (UTF-8 codepoint
+      length over non-null cells) and, when their exact distinct
+      cardinality is ``<= enum_max``, ``enum_values`` = the sorted
+      distinct values joined with ``,``;
+    - ``n_distinct`` is exact and excludes nulls (SQL
+      ``count(DISTINCT col)``).
+    """
+    arrow_schema = ds.schema().base_schema
+    names = list(columns) if columns is not None else \
+        list(arrow_schema.names)
+    dtypes = {n: arrow_schema.field(n).type for n in names}
+    temporal = [n for n in names if _is_temporal(dtypes[n])]
+
+    proj = ds.select_columns(names)
+    if temporal:
+        def _epoch_cast(tab: pa.Table) -> pa.Table:
+            # zero-copy reinterpret: temporal min/max must not depend
+            # on str() formatting, so profile them as epoch integers
+            for c in temporal:
+                i = tab.column_names.index(c)
+                tab = tab.set_column(
+                    i, c, pc.cast(tab[c], pa.int64()))
+            return tab
+
+        proj = proj.map_batches(_epoch_cast, batch_format="pyarrow")
+
+    prof = profile_columns(proj, names, buckets=buckets)
+    n_distinct = dict(zip(prof["col"].to_pylist(),
+                          prof["n_distinct"].to_pylist()))
+
+    str_cols = [n for n in names if _is_string(dtypes[n])]
+    cand = [c for c in str_cols if n_distinct.get(c, 0) <= enum_max]
+    len_stats: dict[str, tuple[int | None, int | None]] = {}
+    enum_vals: dict[str, list[str]] = {}
+    if str_cols:
+        def _len_partials(tab: pa.Table) -> pa.Table:
+            limit_arrow_threads()
+            parts = []
+            for c in str_cols:
+                ln = pc.utf8_length(tab[c])
+                mm = pc.min_max(ln)
+                parts.append(pa.table({
+                    "col": pa.array([c], type=pa.string()),
+                    "kind": pa.array(["l"]),
+                    "v": pa.array([None], type=pa.string()),
+                    "min_len": pa.array([mm["min"].as_py()],
+                                        type=pa.int64()),
+                    "max_len": pa.array([mm["max"].as_py()],
+                                        type=pa.int64()),
+                }))
+                if c in cand:
+                    u = pc.unique(tab[c].combine_chunks())
+                    u = u.filter(pc.is_valid(u))
+                    k = len(u)
+                    parts.append(pa.table({
+                        "col": pa.array(np.full(k, c), type=pa.string()),
+                        "kind": pa.array(np.full(k, "v"),
+                                         type=pa.string()),
+                        "v": pc.cast(u, pa.string()),
+                        "min_len": pa.nulls(k, type=pa.int64()),
+                        "max_len": pa.nulls(k, type=pa.int64()),
+                    }))
+            return pa.concat_tables(parts) if parts else \
+                _empty_len_partial()
+
+        tabs = [t for t in ray.get(
+            ds.select_columns(str_cols).map_batches(
+                _len_partials, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows and "kind" in t.column_names]
+        if tabs:
+            both = pa.concat_tables(tabs)
+            is_l = pc.equal(both["kind"], "l")
+            lt = both.filter(is_l)
+            for c in str_cols:
+                sel = lt.filter(pc.equal(lt["col"], c))
+                mn = pc.min(sel["min_len"]).as_py()
+                mx = pc.max(sel["max_len"]).as_py()
+                len_stats[c] = (mn, mx)
+            vt = both.filter(pc.invert(is_l))
+            for c in cand:
+                vals = sorted(set(
+                    vt.filter(pc.equal(vt["col"], c))["v"].to_pylist()))
+                # enum_values is a ","-joined encoding (SQL-oracle
+                # friendly); a value containing "," or an empty value
+                # set would not round-trip — drop the enum proposal
+                # for such columns (LenBounds still applies)
+                if vals and not any("," in v for v in vals):
+                    enum_vals[c] = vals
+
+    # assemble one row per column in the profile's (sorted) order
+    cols_sorted = prof["col"].to_pylist()
+    return pa.table({
+        "col": prof["col"],
+        "n": prof["n"],
+        "n_null": prof["n_null"],
+        "n_distinct": prof["n_distinct"],
+        "min_num": prof["min_num"],
+        "max_num": prof["max_num"],
+        "min_len": pa.array(
+            [len_stats.get(c, (None, None))[0] for c in cols_sorted],
+            type=pa.int64()),
+        "max_len": pa.array(
+            [len_stats.get(c, (None, None))[1] for c in cols_sorted],
+            type=pa.int64()),
+        "enum_values": pa.array(
+            [",".join(enum_vals[c]) if c in enum_vals else None
+             for c in cols_sorted], type=pa.string()),
+    }).select(_FACT_COLS), dtypes
+
+
+def contract_from_facts(
+    facts: pa.Table, dtypes: dict[str, pa.DataType], *,
+    key_columns: Sequence[str] = (), name: str = "inferred",
+    unknown: Unknown = Unknown.STRIP,
+) -> TableSchema:
+    """Build the tightest :class:`TableSchema` the observed facts
+    satisfy.  Column order follows the facts table (sorted by name);
+    temporal/nested columns get presence constraints only (their
+    envelope is format-dependent)."""
+    cols = []
+    for row in facts.to_pylist():
+        c = row["col"]
+        dt = dtypes[c]
+        constraints = []
+        no_nulls = row["n"] > 0 and row["n_null"] == 0
+        if no_nulls:
+            constraints.append(NonNull(rule=f"{c}_required"))
+        if row["enum_values"] is not None:
+            constraints.append(Enum(
+                rule=f"{c}_enum",
+                values=tuple(row["enum_values"].split(","))
+                if row["enum_values"] else ()))
+        elif _is_string(dt) and row["min_len"] is not None:
+            constraints.append(LenBounds(
+                rule=f"{c}_len", min_len=row["min_len"],
+                max_len=row["max_len"]))
+        elif (not _is_temporal(dt) and row["min_num"] is not None
+              and (pa.types.is_integer(dt) or pa.types.is_floating(dt)
+                   or pa.types.is_decimal(dt))):
+            mn, mx = row["min_num"], row["max_num"]
+            if pa.types.is_integer(dt):
+                mn, mx = int(mn), int(mx)
+            constraints.append(Range(rule=f"{c}_range", min=mn, max=mx))
+        cols.append(Column(c, dt, nullable=not no_nulls,
+                           constraints=tuple(constraints)))
+    return TableSchema(columns=tuple(cols),
+                       key_columns=tuple(key_columns),
+                       unknown=unknown, name=name)
+
+
+def infer_contract(
+    ds: "rd.Dataset", *, columns: Sequence[str] | None = None,
+    key_columns: Sequence[str] = (), enum_max: int = 16,
+    name: str = "inferred", unknown: Unknown = Unknown.STRIP,
+    buckets: int | None = None,
+) -> TableSchema:
+    """One-call inference: scan ``ds`` and propose the tightest
+    contract it satisfies (see module docstring for the exact
+    constraint families emitted)."""
+    facts, dtypes = _facts_and_dtypes(ds, columns, enum_max=enum_max,
+                                      buckets=buckets)
+    return contract_from_facts(facts, dtypes, key_columns=key_columns,
+                               name=name, unknown=unknown)
