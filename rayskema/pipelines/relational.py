@@ -752,6 +752,113 @@ def group_agg(
                                buckets=buckets, sort_within=False)
 
 
+def group_rollup(
+    ds: "rd.Dataset", group_cols: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]], *, buckets: int | None = None,
+    level_col: str = "grouping_level",
+) -> "rd.Dataset":
+    """SQL ``GROUP BY ROLLUP(c1, .., cn)``: aggregate rows at every
+    prefix level of ``group_cols`` in one pass — level 0 is the finest
+    grouping, level k nulls out the LAST k key columns, level n is the
+    grand total.  ``level_col`` counts rolled-away columns (identical
+    to SQL ``GROUPING(c1)+..+GROUPING(cn)`` for a ROLLUP), which also
+    disambiguates a rolled-up NULL from a data NULL.  ``aggs`` follows
+    :func:`group_agg` — ``(col, op, out_name)`` with op in
+    ``sum | min | max | count | count_all | mean``.
+
+    Scale shape: each block first reduces to FINEST-level partials via
+    Arrow hash aggregation (O(distinct groups) rows per block), then
+    each partial row is replicated once per level with the rolled-up
+    suffix nulled — the exchange therefore moves O(groups × (n+1))
+    pre-aggregated rows, never raw rows — and ONE bucketed merge keyed
+    on ``(keys.., level)`` finalizes every level together.  Coarse
+    levels piggyback on the same shuffle instead of re-scanning the
+    input n+1 times (what a UNION-of-GROUP-BYs plan would do)."""
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_rollup needs at least one group column")
+    if level_col in group_cols:
+        raise ValueError(f"level_col {level_col!r} collides with a key")
+    aggs = [(c, op, out) for (c, op, out) in aggs]
+    ops_ok = {"sum", "min", "max", "count", "count_all", "mean"}
+    for _, op, _ in aggs:
+        if op not in ops_ok:
+            raise ValueError(f"unknown agg op {op!r}")
+
+    partials: list[tuple[str, str]] = []
+    seen = set()
+
+    def _need(col: str, fn: str) -> None:
+        if (col, fn) not in seen:
+            seen.add((col, fn))
+            partials.append((col, fn))
+
+    for col, op, _ in aggs:
+        if op == "count_all":
+            _need("", "count_all")
+        elif op == "mean":
+            _need(col, "sum")
+            _need(col, "count")
+        else:
+            _need(col, op)
+
+    def _pname(col: str, fn: str) -> str:
+        return f"__p_{fn}" if fn == "count_all" else f"__p_{col}_{fn}"
+
+    pnames = [_pname(c, fn) for c, fn in partials]
+    in_cols = group_cols + sorted(
+        {c for c, f in partials if c and c not in group_cols})
+    n_levels = len(group_cols) + 1
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        spec = [([] if fn == "count_all" else c, fn) for c, fn in partials]
+        g = agg_named(tab, group_cols, spec, pnames)
+        # replicate per level, nulling the rolled-up suffix; the merge
+        # dedups within-level via (keys, level) grouping
+        parts = []
+        n = g.num_rows
+        for lvl in range(n_levels):
+            cols: dict[str, pa.Array] = {}
+            for j, c in enumerate(group_cols):
+                kept = j < len(group_cols) - lvl
+                cols[c] = g[c] if kept else pa.nulls(
+                    n, type=g.schema.field(c).type)
+            cols[level_col] = pa.array(
+                np.full(n, lvl, dtype=np.int64))
+            for pn in pnames:
+                cols[pn] = g[pn]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    partial = ds.select_columns(in_cols).map_batches(
+        _partial, batch_format="pyarrow")
+
+    merge_fn = {"sum": "sum", "min": "min", "max": "max",
+                "count": "sum", "count_all": "sum"}
+    merge_keys = group_cols + [level_col]
+
+    def _final(tab: pa.Table) -> pa.Table:
+        spec = [(_pname(c, fn), merge_fn[fn]) for c, fn in partials]
+        g = agg_named(tab, merge_keys, spec, pnames)
+        out = {c: g[c] for c in merge_keys}
+        for col, op, name in aggs:
+            if op == "count_all":
+                out[name] = g[_pname("", "count_all")]
+            elif op == "mean":
+                cnt = g[_pname(col, "count")]
+                out[name] = pc.if_else(
+                    pc.equal(cnt, 0),
+                    pa.nulls(g.num_rows, type=pa.float64()),
+                    pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64()),
+                              pc.cast(cnt, pa.float64())))
+            else:
+                out[name] = g[_pname(col, op)]
+        return pa.table(out)
+
+    return bucketed_map_groups(partial, merge_keys, _final,
+                               buckets=buckets, sort_within=False)
+
+
 def group_running(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, buckets: int | None = None,

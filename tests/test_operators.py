@@ -1158,3 +1158,49 @@ def test_lm_trigram_score(ray_session):
     got = out["lm_score"].to_pylist()
     assert got[0] == pytest.approx(s1, abs=1e-6)
     assert got[1] == pytest.approx(s4, abs=1e-6)
+
+
+def test_group_rollup(ray_session):
+    from rayskema.pipelines.relational import group_rollup
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "x", "y", "y"],
+        "b": ["p", "p", "q", "p", None],
+        "v": [1, 2, 4, 8, 16]}))
+    out = _collect(group_rollup(
+        ds, ["a", "b"],
+        [("v", "sum", "s"), ("v", "count_all", "n"),
+         ("v", "mean", "m")], buckets=2))
+    rows = {(r["a"], r["b"], r["grouping_level"]):
+            (r["s"], r["n"], r["m"]) for r in out.to_pylist()}
+    assert len(rows) == len(out)
+    # level 0: finest (data NULL in b is its own group, like SQL)
+    assert rows[("x", "p", 0)] == (3, 2, 1.5)
+    assert rows[("x", "q", 0)] == (4, 1, 4.0)
+    assert rows[("y", "p", 0)] == (8, 1, 8.0)
+    assert rows[("y", None, 0)] == (16, 1, 16.0)
+    # level 1: b rolled away
+    assert rows[("x", None, 1)] == (7, 3, 7 / 3)
+    assert rows[("y", None, 1)] == (24, 2, 12.0)
+    # level 2: grand total
+    assert rows[(None, None, 2)] == (31, 5, 6.2)
+    assert len(rows) == 7
+
+
+def test_group_rollup_parallelism_invariant(ray_session):
+    from rayskema.pipelines.relational import group_rollup
+    rng = np.random.default_rng(7)
+    tab = pa.table({
+        "a": rng.integers(0, 5, 400),
+        "b": rng.integers(0, 3, 400),
+        "v": rng.integers(-100, 100, 400)})
+    ref = None
+    for nblocks, buckets in ((1, 1), (8, 3), (32, 16)):
+        ds = rd.from_arrow(tab).repartition(nblocks)
+        out = _collect(group_rollup(
+            ds, ["a", "b"], [("v", "sum", "s"), ("v", "min", "lo"),
+                             ("v", "max", "hi")], buckets=buckets))
+        got = sorted((tuple(sorted(r.items(), key=lambda kv: kv[0]))
+                      for r in out.to_pylist()), key=str)
+        if ref is None:
+            ref = got
+        assert got == ref
