@@ -1668,6 +1668,63 @@ def _q_orders_q18(sf_dir: str):
         .limit(100)
 
 
+def _q_lineitem_q14(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share: conditional aggregation
+    over lineitem⋈part for one ship-month.  The part side is joined
+    through the BUCKETED exchange, not broadcast: at TPC-H scale part
+    is ~1/30 of lineitem (a multi-TB broadcast at 100 TB), so both
+    sides hash-partition on partkey.  Both revenue sums stay exact
+    integer basis points end-to-end; only the final percentage is a
+    float, rounded half-away-from-zero to 6 digits identically on both
+    engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    lo = pa.scalar(np.datetime64("1997-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-10-01", "us"))
+
+    def _li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64()),
+            pc.subtract(pa.scalar(100, type=pa.int64()),
+                        pc.cast(pc.round(pc.multiply(
+                            t["l_discount"], 100.0)), pa.int64())))
+        return pa.table({"l_partkey": t["l_partkey"], "rev_bp": rev})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(_li_prep, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = hash_join(li, part, on=["l_partkey"], right_on=["p_partkey"],
+                  how="inner", buckets=16)
+
+    def _split(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(pc.equal(t["p_type"], "PROMO"), t["rev_bp"],
+                           pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "k": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "promo_bp": promo, "rev_bp": t["rev_bp"]})
+
+    agg = group_agg(j.map_batches(_split, batch_format="pyarrow"), ["k"],
+                    [("promo_bp", "sum", "promo_rev_bp"),
+                     ("rev_bp", "sum", "total_rev_bp")], buckets=1)
+
+    def _derive(t: pa.Table) -> pa.Table:
+        pct = round_half_away(pc.divide(
+            pc.multiply(pc.cast(t["promo_rev_bp"], pa.float64()), 100.0),
+            pc.cast(t["total_rev_bp"], pa.float64())).combine_chunks(), 6)
+        return pa.table({"promo_rev_bp": t["promo_rev_bp"],
+                         "total_rev_bp": t["total_rev_bp"],
+                         "promo_pct": pa.array(pct)})
+
+    return agg.map_batches(_derive, batch_format="pyarrow")
+
+
 def _q_customers_dormant(sf_dir: str):
     """Anti-join through the BUCKETED exchange (the non-broadcast
     NOT-EXISTS path, complementing orders_ref_customers' broadcast
@@ -1730,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2-unchecked entries lead the dict to get their row
         "lineitem_rollup": _q_lineitem_rollup,
         "orders_q5": _q_orders_q5,
+        "lineitem_q14": _q_lineitem_q14,
         "orders_q18": _q_orders_q18,
         "customers_dormant": _q_customers_dormant,
         "orders_infer_contract": _q_orders_infer_contract,
@@ -2770,6 +2828,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sq.sum_qty_c DESC, o_orderkey
             LIMIT 100
+        """,
+        "lineitem_q14": """
+            WITH s AS (
+                SELECT sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))
+                           ELSE 0 END) AS promo_rev_bp,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS total_rev_bp
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01')
+            SELECT promo_rev_bp, total_rev_bp,
+                   round(100 * CAST(promo_rev_bp AS DOUBLE)
+                         / CAST(total_rev_bp AS DOUBLE), 6) AS promo_pct
+            FROM s
         """,
         "customers_dormant": """
             SELECT c_mktsegment, count(*) AS n_dormant,
