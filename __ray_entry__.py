@@ -1668,6 +1668,35 @@ def _q_orders_q18(sf_dir: str):
         .limit(100)
 
 
+def _q_events_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup against a PERSISTENT hash-partitioned
+    key index (the continual-ingest shape): the pre-cutoff corpus's
+    (user_id, event_type) keys are built into an on-disk index once,
+    then the post-cutoff increment anti-joins bucket-by-bucket against
+    ONLY its matching index file — the old corpus never rescans or
+    reshuffles.  Survivors = increment rows whose key was never seen
+    before the cutoff (NOT EXISTS semantics; intra-increment dups all
+    survive)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    from rayskema.state.dedup_index import (build_key_index,
+                                            dedup_against_index)
+
+    cutoff = pa.scalar(np.datetime64("2024-01-10", "us"))
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    old = ev.map_batches(lambda t: t.filter(pc.less(t["ts"], cutoff))
+                         .select(["user_id", "event_type"]),
+                         batch_format="pyarrow")
+    new = ev.map_batches(lambda t: t.filter(
+        pc.greater_equal(t["ts"], cutoff)), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="rayskema_dedup_idx_")
+    build_key_index(old, ["user_id", "event_type"], idx, buckets=16)
+    return dedup_against_index(new, idx) \
+        .select_columns(["event_id", "user_id", "event_type"])
+
+
 def _q_lineitem_q14(sf_dir: str):
     """TPC-H Q14 shape — promo revenue share: conditional aggregation
     over lineitem⋈part for one ship-month.  The part side is joined
@@ -1788,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
+        "events_incremental_dedup": _q_events_incremental_dedup,
         "orders_q18": _q_orders_q18,
         "customers_dormant": _q_customers_dormant,
         "orders_infer_contract": _q_orders_infer_contract,
@@ -2828,6 +2858,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sq.sum_qty_c DESC, o_orderkey
             LIMIT 100
+        """,
+        "events_incremental_dedup": """
+            SELECT event_id, user_id, event_type
+            FROM events e
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND NOT EXISTS (
+                  SELECT 1 FROM events o
+                  WHERE o.ts < TIMESTAMP '2024-01-10'
+                    AND o.user_id = e.user_id
+                    AND o.event_type = e.event_type)
         """,
         "lineitem_q14": """
             WITH s AS (

@@ -1204,3 +1204,54 @@ def test_group_rollup_parallelism_invariant(ray_session):
         if ref is None:
             ref = got
         assert got == ref
+
+
+def test_incremental_dedup_index(ray_session, tmp_path):
+    from rayskema.state.dedup_index import (build_key_index,
+                                            dedup_against_index)
+    idx = str(tmp_path / "idx")
+    old = rd.from_arrow(pa.table({
+        "k1": [1, 1, 2, 2, 3, None],
+        "k2": ["a", "a", "b", "c", "a", "z"]}))
+    meta = build_key_index(old, ["k1", "k2"], idx, buckets=4)
+    assert meta["n_keys"] == 5  # (1,a)(2,b)(2,c)(3,a)(None,z)
+    new = rd.from_arrow(pa.table({
+        "k1": [1, 2, 4, 4, None, None],
+        "k2": ["a", "b", "x", "x", "z", None],
+        "v": [10, 20, 30, 31, 40, 50]}))
+    out = _collect(dedup_against_index(new, idx, update=True))
+    rows = sorted(out.to_pylist(), key=lambda r: r["v"])
+    # (1,a)/(2,b) seen -> dropped; (4,x) twice (both survive: NOT
+    # EXISTS, intra-increment dups kept); null keys never match
+    assert [r["v"] for r in rows] == [30, 31, 40, 50]
+    # update=True folded fresh keys in: rerun drops (4,x) both times;
+    # null-keyed rows STILL survive (null never matches, SQL NOT EXISTS)
+    out2 = _collect(dedup_against_index(new, idx))
+    assert sorted(r["v"] for r in out2.to_pylist()) == [40, 50]
+
+
+def test_incremental_dedup_parallelism_invariant(ray_session, tmp_path):
+    from rayskema.state.dedup_index import (build_key_index,
+                                            dedup_against_index)
+    rng = np.random.default_rng(3)
+    old = pa.table({"u": rng.integers(0, 50, 300),
+                    "t": rng.integers(0, 4, 300)})
+    new = pa.table({"u": rng.integers(0, 80, 200),
+                    "t": rng.integers(0, 4, 200),
+                    "i": np.arange(200)})
+    expect = None
+    for nblocks, buckets in ((1, 2), (16, 8)):
+        idx = str(tmp_path / f"idx{nblocks}")
+        build_key_index(rd.from_arrow(old).repartition(nblocks),
+                        ["u", "t"], idx, buckets=buckets)
+        out = _collect(dedup_against_index(
+            rd.from_arrow(new).repartition(nblocks), idx))
+        got = sorted(out["i"].to_pylist())
+        if expect is None:
+            old_set = set(zip(old["u"].to_pylist(), old["t"].to_pylist()))
+            expect = sorted(
+                i for u, t, i in zip(new["u"].to_pylist(),
+                                     new["t"].to_pylist(),
+                                     new["i"].to_pylist())
+                if (u, t) not in old_set)
+        assert got == expect
