@@ -1668,6 +1668,20 @@ def _q_orders_q18(sf_dir: str):
         .limit(100)
 
 
+def _q_docs_mixture(sf_dir: str):
+    """Source-mixture resampling (the data-mixing stage): src0 is
+    upsampled 2.5x (every row twice, a deterministic content-keyed
+    half a third time), src1 downsampled to 40%, src2 dropped, all
+    other sources pass through at 1.0.  copy_idx is the 0-based epoch
+    index.  Content-keyed md5 verdicts — identical at any block
+    layout or cluster size, and bit-reproducible by the SQL oracle."""
+    from rayskema.functions.sampling import mixture_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_sample(ds, "source", "doc_id",
+                          {"src0": 2.5, "src1": 0.4, "src2": 0.0},
+                          salt="mix")
+
+
 def _q_events_incremental_dedup(sf_dir: str):
     """Incremental exact dedup against a PERSISTENT hash-partitioned
     key index (the continual-ingest shape): the pre-cutoff corpus's
@@ -1818,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
+        "docs_mixture": _q_docs_mixture,
         "orders_q18": _q_orders_q18,
         "customers_dormant": _q_customers_dormant,
         "orders_infer_contract": _q_orders_infer_contract,
@@ -2858,6 +2873,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sq.sum_qty_c DESC, o_orderkey
             LIMIT 100
+        """,
+        "docs_mixture": """
+            WITH rates(source, rate) AS (
+                VALUES ('src0', 2.5), ('src1', 0.4), ('src2', 0.0)),
+            b AS (SELECT d.doc_id, d.source,
+                         coalesce(r.rate, 1.0) AS rate
+                  FROM documents d LEFT JOIN rates r USING (source)),
+            c AS (SELECT doc_id, source,
+                         CAST(floor(rate) AS BIGINT)
+                         + CASE WHEN substr(md5('mix' ||
+                                     CAST(doc_id AS VARCHAR)), 1, 8)
+                                < lpad(lower(to_hex(CAST(floor(
+                                      (rate - floor(rate)) * 4294967296)
+                                      AS BIGINT))), 8, '0')
+                                THEN 1 ELSE 0 END AS n_copies
+                  FROM b)
+            SELECT doc_id, source,
+                   unnest(generate_series(0, n_copies - 1)) AS copy_idx
+            FROM c
         """,
         "events_incremental_dedup": """
             SELECT event_id, user_id, event_type

@@ -143,3 +143,76 @@ def split_thresholds_hex(fractions: "dict[str, float]") -> "list[str]":
     fracs = [float(v) for v in fractions.values()]
     cum = np.cumsum(fracs)
     return [format(int(round(c * 2**32)), "08x") for c in cum[:-1]]
+
+
+def mixture_sample(
+    ds: "rd.Dataset", group_col: str, key_col: str,
+    rates: "dict[str, float]", *, default_rate: float = 1.0,
+    salt: str = "", copy_col: str = "copy_idx",
+) -> "rd.Dataset":
+    """Deterministic source-mixture resampling — the data-MIXING stage
+    of an LLM training pipeline (upsample curated sources, downsample
+    bulk crawl): each row whose ``group_col`` has rate ``r`` is
+    replicated ``floor(r)`` times, plus one more iff its content hash
+    falls under ``frac(r)`` — so a source with rate 2.5 contributes
+    every row twice and a deterministic half of its rows a third time,
+    and rate 0.25 keeps a deterministic quarter.  Appends ``copy_col``
+    (0-based epoch index per surviving row).
+
+    Content-keyed like :func:`hash_split` and SQL-reproducible with the
+    same primitive: ``u = substr(md5(salt || key), 1, 8)`` compared
+    against the 8-hex-digit threshold ``format(int(frac(r) * 2^32),
+    '08x')`` (fixed-width lowercase hex compares like the integer), and
+    the copies unnested from ``generate_series(0, floor(r) - 1 +
+    extra)``.  The same key draws the same verdict at any block
+    layout, partition count or cluster size.  Null keys never take the
+    fractional extra (SQL's NULL comparison falls through); groups
+    absent from ``rates`` use ``default_rate``.  Stateless vectorized
+    stage: replication is one ``np.repeat`` gather per batch — rows
+    never pass through Python, and output size is bounded by
+    ``ceil(max_rate)`` × the batch, which Ray re-splits downstream."""
+    import hashlib
+
+    from . import binary_buffers
+
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be non-negative")
+    gnames = pa.array(list(rates), type=pa.string())
+    gr = np.array([float(rates[g]) for g in rates], dtype=np.float64)
+    salt_b = salt.encode()
+
+    def _mix(tab: pa.Table) -> pa.Table:
+        n = tab.num_rows
+        if n == 0:
+            return tab.append_column(copy_col,
+                                     pa.array([], type=pa.int64()))
+        gi = pc.index_in(pc.cast(tab[group_col], pa.string()),
+                         value_set=gnames)
+        gi_np = gi.combine_chunks().fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.where(gi_np >= 0, gr[np.maximum(gi_np, 0)],
+                        default_rate)
+        whole = np.floor(rate)
+        frac = rate - whole
+        thr = np.floor(frac * 2.0**32).astype(np.uint64)
+        key = pc.cast(tab[key_col], pa.string())
+        offsets, mv, null_mask = binary_buffers(key.combine_chunks())
+        u = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            if null_mask is not None and null_mask[i]:
+                continue
+            u[i] = int(hashlib.md5(
+                salt_b + bytes(mv[offsets[i]:offsets[i + 1]]))
+                .hexdigest()[:8], 16)
+        extra = u < thr
+        if null_mask is not None:
+            extra[null_mask] = False  # SQL NULL comparison: no extra
+        copies = whole.astype(np.int64) + extra.astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), copies)
+        starts = np.cumsum(copies) - copies
+        copy_idx = (np.arange(len(idx), dtype=np.int64)
+                    - np.repeat(starts, copies))
+        out = tab.take(pa.array(idx))
+        return out.append_column(copy_col, pa.array(copy_idx))
+
+    return ds.map_batches(_mix, batch_format="pyarrow")

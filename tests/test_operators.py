@@ -1255,3 +1255,39 @@ def test_incremental_dedup_parallelism_invariant(ray_session, tmp_path):
                                      new["i"].to_pylist())
                 if (u, t) not in old_set)
         assert got == expect
+
+
+def test_mixture_sample(ray_session):
+    import hashlib
+    from rayskema.functions.sampling import mixture_sample
+    tab = pa.table({"src": ["a"] * 10 + ["b"] * 10 + ["c"] * 4,
+                    "k": [str(i) for i in range(24)]})
+    out = _collect(mixture_sample(
+        rd.from_arrow(tab).repartition(3), "src", "k",
+        {"a": 2.5, "b": 0.4, "c": 0.0}, salt="s"))
+
+    def u(key):
+        return int(hashlib.md5(b"s" + key.encode()).hexdigest()[:8], 16)
+
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["k"], []).append(r["copy_idx"])
+    for i in range(24):
+        k, src = str(i), tab["src"][i].as_py()
+        rate = {"a": 2.5, "b": 0.4, "c": 0.0}[src]
+        n = int(rate) + (1 if u(k) < (rate % 1) * 2**32 else 0)
+        assert sorted(got.get(k, [])) == list(range(n)), (k, src)
+    # rate a=2.5: every 'a' row appears at least twice
+    assert all(len(got[str(i)]) >= 2 for i in range(10))
+
+
+def test_mixture_sample_default_and_null(ray_session):
+    from rayskema.functions.sampling import mixture_sample
+    tab = pa.table({"src": ["x", "y"], "k": ["q", None]})
+    out = _collect(mixture_sample(
+        rd.from_arrow(tab), "src", "k", {"y": 1.9}, default_rate=1.0))
+    rows = sorted(out.to_pylist(), key=str)
+    # x: unlisted -> default 1.0 (one copy); y: null key takes floor
+    # only (SQL NULL comparison falls through)
+    assert len([r for r in rows if r["src"] == "x"]) == 1
+    assert len([r for r in rows if r["src"] == "y"]) == 1
