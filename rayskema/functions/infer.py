@@ -219,10 +219,13 @@ def contract_from_facts(
         if no_nulls:
             constraints.append(NonNull(rule=f"{c}_required"))
         if row["enum_values"] is not None:
+            # "" is NOT falsy-none here: it is the joined encoding of
+            # the one-value set {""} (empty sets are never stored, so
+            # "".split(",") == [""] decodes it exactly; an Enum(())
+            # would compile to a null-typed is_in and crash validation)
             constraints.append(Enum(
                 rule=f"{c}_enum",
-                values=tuple(row["enum_values"].split(","))
-                if row["enum_values"] else ()))
+                values=tuple(row["enum_values"].split(","))))
         elif _is_string(dt) and row["min_len"] is not None:
             constraints.append(LenBounds(
                 rule=f"{c}_len", min_len=row["min_len"],
@@ -232,7 +235,19 @@ def contract_from_facts(
                    or pa.types.is_decimal(dt))):
             mn, mx = row["min_num"], row["max_num"]
             if pa.types.is_integer(dt):
-                mn, mx = int(mn), int(mx)
+                # the facts carry bounds as float64; beyond 2^53 the
+                # cast may have rounded INWARD past the true extreme,
+                # and a Range tighter than the data flags the very rows
+                # it was inferred from — widen one ulp out there (exact
+                # below 2^53) and clamp to int64
+                import math
+                lo, hi = float(mn), float(mx)
+                if abs(lo) >= 2.0 ** 53:
+                    lo = math.nextafter(lo, -math.inf)
+                if abs(hi) >= 2.0 ** 53:
+                    hi = math.nextafter(hi, math.inf)
+                mn = max(int(lo), -(2 ** 63))
+                mx = min(int(hi), 2 ** 63 - 1)
             constraints.append(Range(rule=f"{c}_range", min=mn, max=mx))
         cols.append(Column(c, dt, nullable=not no_nulls,
                            constraints=tuple(constraints)))

@@ -15,6 +15,8 @@ Two modes:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -22,6 +24,27 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..state.sketches import _hash64, hash_strings
+
+
+def _md5_u32(key: "pa.Array", salt_b: bytes):
+    """Per-row uint32 from the first 8 hex digits of ``md5(salt ||
+    key)`` — THE content-hash primitive shared by :func:`hash_split`
+    and :func:`mixture_sample`, bit-identical to the SQL oracle form
+    ``substr(md5(salt || key), 1, 8)`` (fixed-width lowercase hex
+    compares like the integer).  Returns ``(u, null_mask)``; null rows
+    are left unhashed (callers route them to their SQL NULL branch)."""
+    from . import binary_buffers
+
+    offsets, mv, null_mask = binary_buffers(key)
+    n = len(offsets) - 1
+    u = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        if null_mask is not None and null_mask[i]:
+            continue
+        u[i] = int(hashlib.md5(
+            salt_b + bytes(mv[offsets[i]:offsets[i + 1]]))
+            .hexdigest()[:8], 16)
+    return u, null_mask
 
 
 def stratified_sample(ds: "rd.Dataset", group_col: str, id_col: str,
@@ -100,10 +123,6 @@ def hash_split(ds: "rd.Dataset", key_col: str,
     (``md5(NULL)`` is NULL, so every comparison falls through).
     Stateless vectorized stage; hashing is the work (C-speed hashlib
     over zero-copy buffer slices)."""
-    import hashlib
-
-    from . import binary_buffers
-
     names = list(fractions)
     fracs = [float(fractions[n]) for n in names]
     if not names or any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
@@ -119,15 +138,7 @@ def hash_split(ds: "rd.Dataset", key_col: str,
 
     def _assign(tab: pa.Table) -> pa.Table:
         key = pc.cast(tab[key_col], pa.string())
-        offsets, mv, null_mask = binary_buffers(key.combine_chunks())
-        n = len(offsets) - 1
-        u = np.empty(n, dtype=np.uint64)
-        for i in range(n):
-            if null_mask is not None and null_mask[i]:
-                continue  # assigned below, not hashed
-            u[i] = int(hashlib.md5(
-                salt_b + bytes(mv[offsets[i]:offsets[i + 1]]))
-                .hexdigest()[:8], 16)
+        u, null_mask = _md5_u32(key.combine_chunks(), salt_b)
         idx = np.searchsorted(bounds, u, side="right")
         if null_mask is not None:
             idx[null_mask] = len(names) - 1  # SQL CASE ELSE branch
@@ -171,10 +182,6 @@ def mixture_sample(
     stage: replication is one ``np.repeat`` gather per batch — rows
     never pass through Python, and output size is bounded by
     ``ceil(max_rate)`` × the batch, which Ray re-splits downstream."""
-    import hashlib
-
-    from . import binary_buffers
-
     if any(r < 0 for r in rates.values()) or default_rate < 0:
         raise ValueError("rates must be non-negative")
     gnames = pa.array(list(rates), type=pa.string())
@@ -196,14 +203,7 @@ def mixture_sample(
         frac = rate - whole
         thr = np.floor(frac * 2.0**32).astype(np.uint64)
         key = pc.cast(tab[key_col], pa.string())
-        offsets, mv, null_mask = binary_buffers(key.combine_chunks())
-        u = np.empty(n, dtype=np.uint64)
-        for i in range(n):
-            if null_mask is not None and null_mask[i]:
-                continue
-            u[i] = int(hashlib.md5(
-                salt_b + bytes(mv[offsets[i]:offsets[i + 1]]))
-                .hexdigest()[:8], 16)
+        u, null_mask = _md5_u32(key.combine_chunks(), salt_b)
         extra = u < thr
         if null_mask is not None:
             extra[null_mask] = False  # SQL NULL comparison: no extra

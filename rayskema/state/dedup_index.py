@@ -79,7 +79,9 @@ def _own_bucket(tab: pa.Table, key_cols: list[str], buckets: int) -> int:
     so a hash-rule drift between build and lookup fails loudly instead
     of silently missing keys)."""
     b = (composite_hash(tab, key_cols) % np.uint64(buckets)).astype(np.int64)
-    assert b.min() == b.max(), "exchange/bucket rule drift"
+    if b.min() != b.max():  # not an assert: must survive python -O
+        raise RuntimeError("exchange/bucket rule drift: one gather task "
+                           "received rows of multiple index buckets")
     return int(b[0])
 
 
@@ -94,9 +96,19 @@ def build_key_index(
     """Build (overwrite) the index from ``ds``'s key columns.  Returns
     the meta dict; per-bucket files land under ``index_dir``.  One
     bucketed exchange over the keys, distinct-compressed map-side by
-    the exchange's sort + segment firsts."""
+    the exchange's sort + segment firsts.  Any previous index in
+    ``index_dir`` is removed FIRST (meta, then bucket files) — a
+    rebuild whose data misses some bucket must not leave that bucket's
+    stale keys behind, and leftovers from a different ``buckets`` count
+    would be read under the wrong partitioning."""
     key_cols = list(key_cols)
     os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, _META)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)  # invalidate before touching bucket files
+    for name in os.listdir(index_dir):
+        if name.startswith("keys-") and name.endswith(".parquet"):
+            os.remove(os.path.join(index_dir, name))
 
     def _write_bucket(tab: pa.Table) -> pa.Table:
         empty = pa.table({"bucket": pa.array([], type=pa.int64()),
@@ -126,14 +138,17 @@ def build_key_index(
     return meta
 
 
-def dedup_against_index(
-    ds, index_dir: str, *, update: bool = False,
-):
+def dedup_against_index(ds, index_dir: str):
     """Rows of ``ds`` whose key tuple is NOT in the index (``NOT
     EXISTS`` semantics; intra-increment duplicates all survive).  Only
     the increment shuffles; each bucket task reads 1/P of the index.
-    ``update=True`` folds the surviving distinct keys back into the
-    bucket files (atomic replace) so the next increment sees them."""
+
+    Pure read-only filter — safe under Ray task retry and lazy
+    re-execution.  To make the next increment see this one's keys,
+    persist/consume the survivors FIRST, then call
+    :func:`update_key_index` (a fused filter-and-update inside one
+    retryable task would re-read an index already containing its own
+    keys after a retry and silently drop every survivor)."""
     meta = read_meta(index_dir)
     key_cols = list(meta["key_cols"])
     buckets = int(meta["buckets"])
@@ -147,21 +162,51 @@ def dedup_against_index(
         path = _bucket_path(index_dir, b)
         seen = pq.read_table(path) if os.path.exists(path) else None
         if seen is not None and seen.num_rows:
-            out = tab.join(seen, keys=key_cols, join_type="left anti") \
+            return tab.join(seen, keys=key_cols, join_type="left anti") \
                 .select(tab.column_names)
-        else:
-            out = tab
-        if update and out.num_rows:
-            fresh = _distinct_sorted(out.sort_by(
-                [(c, "ascending") for c in key_cols]), key_cols)
-            merged = fresh if seen is None or not seen.num_rows else \
-                _distinct_sorted(
-                    pa.concat_tables(
-                        [seen.cast(fresh.schema), fresh]).sort_by(
-                            [(c, "ascending") for c in key_cols]),
-                    key_cols)
-            _atomic_write(merged, path)
-        return out
+        return tab
 
     return bucketed_map_groups(ds, key_cols, _filter_bucket,
                                buckets=buckets, sort_within=False)
+
+
+def update_key_index(ds, index_dir: str) -> int:
+    """Fold ``ds``'s key tuples into the index (atomic per-bucket
+    replace); returns the number of keys newly added.  IDEMPOTENT —
+    merging keys already present is a no-op, so a retried task
+    converges to the same file content — which is why this is a
+    separate pass and not a flag on :func:`dedup_against_index` (see
+    there).  One bucketed exchange over the new keys only."""
+    meta = read_meta(index_dir)
+    key_cols = list(meta["key_cols"])
+    buckets = int(meta["buckets"])
+    if meta.get("hash_version") != _HASH_VERSION:
+        raise ValueError("index built with an incompatible hash version")
+    sort_keys = [(c, "ascending") for c in key_cols]
+
+    def _merge_bucket(tab: pa.Table) -> pa.Table:
+        empty = pa.table({"n_added": pa.array([], type=pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        b = _own_bucket(tab, key_cols, buckets)
+        path = _bucket_path(index_dir, b)
+        fresh = _distinct_sorted(tab, key_cols)
+        seen = pq.read_table(path) if os.path.exists(path) else None
+        if seen is None or not seen.num_rows:
+            merged = fresh
+            added = fresh.num_rows
+        else:
+            merged = _distinct_sorted(
+                pa.concat_tables([seen.cast(fresh.schema), fresh])
+                .sort_by(sort_keys), key_cols)
+            added = merged.num_rows - seen.num_rows
+        _atomic_write(merged, path)
+        return pa.table({"n_added": pa.array([added], type=pa.int64())})
+
+    out = bucketed_map_groups(ds.select_columns(key_cols), key_cols,
+                              _merge_bucket, buckets=buckets,
+                              sort_within=True)
+    import ray
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return int(sum(t["n_added"].to_numpy().sum() for t in tabs)) \
+        if tabs else 0

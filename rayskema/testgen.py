@@ -46,8 +46,16 @@ TOOL_POOL = np.array(["search", "calculator", "browser", "python",
 
 
 def _conv_ids(n_conv: int, offset: int = 0) -> np.ndarray:
+    # width sized to the largest id: a fixed U8 silently TRUNCATES ids
+    # past 1e8 (conv 100,000,000 collided with 10,000,000 — cross-chunk
+    # duplicate keys at ~700M turns).  Floor stays 8 so every existing
+    # fixture (<1e8 conversations) is byte-identical; wider chunks
+    # yield longer ids, which never collide with zero-filled 8-wide
+    # ones
+    hi = offset + max(n_conv, 1) - 1
+    width = max(8, len(str(hi)))
     return np.char.add("conv_", np.char.zfill(
-        np.arange(offset, offset + n_conv).astype("U8"), 8))
+        np.arange(offset, offset + n_conv).astype(f"U{width}"), width))
 
 
 def gen_clean(n_turns_target: int, seed: int = 42, *,

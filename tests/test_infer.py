@@ -127,3 +127,24 @@ def test_contract_round_trips_through_export(ray_session, tmp_path):
     p = str(tmp_path / "c.json")
     save_contract(schema, p)
     assert load_contract(p).schema_hash() == schema.schema_hash()
+
+
+def test_infer_all_empty_string_column(ray_session):
+    # the one-value set {""} joins to "" — must decode to Enum(("",)),
+    # not Enum(()) (whose null-typed is_in crashed validation)
+    t = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "s": pa.array(["", ""])})
+    schema = infer_contract(rd.from_arrow(t), enum_max=4)
+    s_col = {c.name: c for c in schema.columns}["s"]
+    enums = [c for c in s_col.constraints if isinstance(c, Enum)]
+    assert enums and enums[0].values == ("",)
+    assert ConstraintPlan(schema).validate(t).num_rows == 0
+
+
+def test_infer_int64_beyond_float_exact(ray_session):
+    # min/max ride through float64 in the facts; beyond 2^53 the cast
+    # can round INWARD — the inferred Range must still admit the data
+    t = pa.table({"k": pa.array([9007199254740995, 9007199254741000],
+                                type=pa.int64())})
+    schema = infer_contract(rd.from_arrow(t))
+    assert ConstraintPlan(schema).validate(t).num_rows == 0

@@ -1219,15 +1219,36 @@ def test_incremental_dedup_index(ray_session, tmp_path):
         "k1": [1, 2, 4, 4, None, None],
         "k2": ["a", "b", "x", "x", "z", None],
         "v": [10, 20, 30, 31, 40, 50]}))
-    out = _collect(dedup_against_index(new, idx, update=True))
+    out = _collect(dedup_against_index(new, idx))
     rows = sorted(out.to_pylist(), key=lambda r: r["v"])
     # (1,a)/(2,b) seen -> dropped; (4,x) twice (both survive: NOT
     # EXISTS, intra-increment dups kept); null keys never match
     assert [r["v"] for r in rows] == [30, 31, 40, 50]
-    # update=True folded fresh keys in: rerun drops (4,x) both times;
-    # null-keyed rows STILL survive (null never matches, SQL NOT EXISTS)
+    # fold the increment's keys in (separate idempotent pass): rerun
+    # drops (4,x) both times; null-keyed rows STILL survive (null
+    # never matches, SQL NOT EXISTS)
+    from rayskema.state.dedup_index import update_key_index
+    added = update_key_index(rd.from_arrow(out.select(["k1", "k2"])), idx)
+    assert added >= 1  # (4,x) is genuinely new
+    assert update_key_index(
+        rd.from_arrow(out.select(["k1", "k2"])), idx) == 0  # idempotent
     out2 = _collect(dedup_against_index(new, idx))
     assert sorted(r["v"] for r in out2.to_pylist()) == [40, 50]
+
+
+def test_key_index_rebuild_clears_stale_buckets(ray_session, tmp_path):
+    from rayskema.state.dedup_index import (build_key_index,
+                                            dedup_against_index)
+    idx = str(tmp_path / "idx")
+    build_key_index(rd.from_arrow(pa.table(
+        {"k": [1, 2, 3, 4, 5, 6]})), ["k"], idx, buckets=4)
+    # rebuild over a smaller corpus (different bucket count too):
+    # buckets the new data misses must not keep their old keys
+    build_key_index(rd.from_arrow(pa.table({"k": [1]})), ["k"], idx,
+                    buckets=3)
+    out = _collect(dedup_against_index(
+        rd.from_arrow(pa.table({"k": [2, 3, 4, 5, 6]})), idx))
+    assert sorted(out["k"].to_pylist()) == [2, 3, 4, 5, 6]
 
 
 def test_incremental_dedup_parallelism_invariant(ray_session, tmp_path):

@@ -99,3 +99,14 @@ def test_csv_to_parquet_roundtrip(ray_session, tmp_path):
     assert got.num_rows == 50
     assert set(c.name for c in transcript_schema().columns) <= \
         set(got.column_names)
+
+
+def test_conv_ids_no_truncation_past_1e8():
+    from rayskema.testgen import _conv_ids
+    a = list(_conv_ids(2, 99999999))
+    assert a == ["conv_099999999", "conv_100000000"]
+    # sub-1e8 output unchanged (cached fixtures stay byte-identical)
+    assert list(_conv_ids(2, 0)) == ["conv_00000000", "conv_00000001"]
+    pre = list(_conv_ids(2, 99999998))
+    post = list(_conv_ids(2, 100000000))
+    assert len(set(pre + post)) == 4
