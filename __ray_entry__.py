@@ -1464,22 +1464,23 @@ def _q_orders_q3(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     from rayskema.pipelines.relational import group_agg, hash_join
-    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+    import datetime
+    cutoff_dt = datetime.datetime(1998, 1, 1)
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(lambda t: t.filter(
-            pc.equal(t["c_mktsegment"], "BUILDING"))
-            .select(["c_custkey"]), batch_format="pyarrow")
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
-                     batch_format="pyarrow")
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount",
-                "l_shipdate"])
+    # every single-table predicate pushed into its parquet read
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == pa.scalar("BUILDING")))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff_dt)))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > pa.scalar(cutoff_dt)))
 
     def _li_rev(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
         # exact integer basis points: cents x (100 - discount%)
         rev = pc.multiply(
             pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
@@ -1554,9 +1555,6 @@ def _q_orders_q5(sf_dir: str):
     import pyarrow.parquet as pq
     from rayskema.pipelines.relational import group_agg, hash_join
 
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
-
     # dimension chain, resolved driver-side over the fixed-size tables
     # (25 nations x 5 regions) and broadcast once
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -1572,12 +1570,16 @@ def _q_orders_q5(sf_dir: str):
     sup_ref = ray.put((sup_in["s_suppkey"].combine_chunks(),
                        sup_in["s_nationkey"].combine_chunks()))
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(lambda t: t.filter(pc.and_(
-            pc.greater_equal(t["o_orderdate"], lo),
-            pc.less(t["o_orderdate"], hi)))
-            .select(["o_orderkey", "o_custkey"]), batch_format="pyarrow")
+    # date window pushed into the read: pruned row-groups never leave
+    # storage, and only the two join columns ship
+    import datetime
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate")
+                 >= pa.scalar(datetime.datetime(1996, 1, 1)))
+                & (pc.field("o_orderdate")
+                   < pa.scalar(datetime.datetime(1998, 1, 1)))))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     # fact x fact-sized side: bucketed exchange on the join key
     o_c = hash_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"],
@@ -1697,14 +1699,16 @@ def _q_events_incremental_dedup(sf_dir: str):
     from rayskema.state.dedup_index import (build_key_index,
                                             dedup_against_index)
 
-    cutoff = pa.scalar(np.datetime64("2024-01-10", "us"))
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
-                                  "event_type"])
-    old = ev.map_batches(lambda t: t.filter(pc.less(t["ts"], cutoff))
-                         .select(["user_id", "event_type"]),
-                         batch_format="pyarrow")
-    new = ev.map_batches(lambda t: t.filter(
-        pc.greater_equal(t["ts"], cutoff)), batch_format="pyarrow")
+    import datetime
+    cutoff = pa.scalar(datetime.datetime(2024, 1, 10))
+    path = os.path.join(sf_dir, "events.parquet")
+    # both sides of the cutoff pushed into their reads; the index side
+    # ships only the key columns
+    old = rd.read_parquet(path, columns=["user_id", "event_type"],
+                          filter=(pc.field("ts") < cutoff))
+    new = rd.read_parquet(path,
+                          columns=["event_id", "user_id", "event_type"],
+                          filter=(pc.field("ts") >= cutoff))
     idx = tempfile.mkdtemp(prefix="rayskema_dedup_idx_")
     build_key_index(old, ["user_id", "event_type"], idx, buckets=16)
     return dedup_against_index(new, idx) \
@@ -1725,12 +1729,7 @@ def _q_lineitem_q14(sf_dir: str):
     from rayskema.functions import round_half_away
     from rayskema.pipelines.relational import group_agg, hash_join
 
-    lo = pa.scalar(np.datetime64("1997-09-01", "us"))
-    hi = pa.scalar(np.datetime64("1997-10-01", "us"))
-
     def _li_prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                             pc.less(t["l_shipdate"], hi)))
         rev = pc.multiply(
             pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
                     pa.int64()),
@@ -1739,9 +1738,17 @@ def _q_lineitem_q14(sf_dir: str):
                             t["l_discount"], 100.0)), pa.int64())))
         return pa.table({"l_partkey": t["l_partkey"], "rev_bp": rev})
 
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_extendedprice", "l_discount",
-                "l_shipdate"]).map_batches(_li_prep, batch_format="pyarrow")
+    # ship-month pushed into the read (pruned row-groups never leave
+    # storage); only the three needed columns ship
+    import datetime
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate")
+                 >= pa.scalar(datetime.datetime(1997, 9, 1)))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(datetime.datetime(1997, 10, 1))))) \
+        .map_batches(_li_prep, batch_format="pyarrow")
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     j = hash_join(li, part, on=["l_partkey"], right_on=["p_partkey"],
                   how="inner", buckets=16)
@@ -1779,13 +1786,14 @@ def _q_customers_dormant(sf_dir: str):
     import pyarrow.compute as pc
     from rayskema.pipelines.relational import group_agg, hash_join
 
-    cutoff = pa.scalar(np.datetime64("2000-01-01", "us"))
+    import datetime
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_mktsegment", "c_acctbal"])
-    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
-        .map_batches(lambda t: t.filter(
-            pc.greater_equal(t["o_orderdate"], cutoff))
-            .select(["o_custkey"]), batch_format="pyarrow")
+    # cutoff pushed into the read; only the join key ships
+    recent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(datetime.datetime(2000, 1, 1))))
     dormant = hash_join(cust, recent, on=["c_custkey"],
                         right_on=["o_custkey"], how="left_anti",
                         buckets=16)
