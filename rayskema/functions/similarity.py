@@ -300,26 +300,34 @@ def embedding_near_dup_pairs_exact(
     col_tile: int = 16384,
 ) -> pa.Table:
     """EXACT all-pairs cosine near-duplicates: the normalized corpus is
-    broadcast once via ``ray.put`` and every ``map_batches`` task scores
-    its rows against the full matrix (pairs emitted only where
-    id_a < id_b, so each unordered pair is produced exactly once).
-    Returns (id_a, id_b, cosine) sorted, cosine rounded.
+    assembled ONCE in a worker task (its output ref is the broadcast —
+    the O(n·d) matrix never transits the driver heap) and every
+    ``map_batches`` task scores its rows against the full matrix (pairs
+    emitted only where id_a < id_b, so each unordered pair is produced
+    exactly once).  Returns (id_a, id_b, cosine) sorted, cosine rounded.
 
     Compute is O(n^2/tasks) and the broadcast is O(n*d) — exact
     verification for corpora whose embedding table fits the object
     store (~millions of vectors); above that, use the LSH variant
     (:func:`embedding_near_dup_pairs`) to generate candidates and this
     pattern on the candidate subset."""
-    tabs = [t for t in ray.get(
-        ds.select_columns([id_col, vec_col]).to_arrow_refs()) if t.num_rows]
-    if not tabs:
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    if not refs:
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "cosine": pa.array([], type=pa.float64())})
-    full = pa.concat_tables(tabs)
-    all_ids = full[id_col].to_numpy(zero_copy_only=False)
-    all_m = _normalize(_matrix(full[vec_col]))
-    corpus_ref = ray.put((all_ids, all_m))
+
+    @ray.remote(num_cpus=1)
+    def _pack(*tabs: pa.Table):
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:  # empty corpus: scoring loop sees 0 ids, emits 0
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 1), dtype=np.float64))
+        full = pa.concat_tables(tabs)
+        ids = full[id_col].to_numpy(zero_copy_only=False)
+        return ids, _normalize(_matrix(full[vec_col]))
+
+    corpus_ref = _pack.remote(*refs)
 
     def _pairs_fn(batch: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),

@@ -1664,6 +1664,13 @@ _JOIN_TYPES = {
 }
 
 
+@ray.remote(num_cpus=1)
+def _concat_remote(*parts: pa.Table) -> pa.Table:
+    """Assemble a broadcast table in a worker: the output lands in the
+    object store directly, keeping the driver O(refs)."""
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def hash_join(
     left: "rd.Dataset", right: "rd.Dataset", *, on, right_on=None,
     how: str = "inner", broadcast: bool = False, buckets: int | None = None,
@@ -1733,11 +1740,16 @@ def hash_join(
             raise ValueError("full_outer requires broadcast=False "
                              "(unmatched right rows are invisible to "
                              "any single left batch)")
-        parts = ray.get(right.map_batches(
-            _prep_right, batch_format="pyarrow").to_arrow_refs())
-        rtab = pa.concat_tables(parts).combine_chunks() if parts else \
-            _prep_right(rschema.empty_table())
-        ref = ray.put(rtab)
+        parts = right.map_batches(
+            _prep_right, batch_format="pyarrow").to_arrow_refs()
+        if parts:
+            # concat INSIDE a task: the assembled broadcast table goes
+            # straight into the object store as the task's output and
+            # never transits the driver heap (at scale the driver must
+            # stay O(refs), not O(right-side bytes))
+            ref = _concat_remote.remote(*parts)
+        else:
+            ref = ray.put(_prep_right(rschema.empty_table()))
 
         def _jb(tab: pa.Table) -> pa.Table:
             r = ray.get(ref)
