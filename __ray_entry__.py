@@ -1539,6 +1539,31 @@ def _q_lineitem_rollup(sf_dir: str):
                          ("qty_c", "count_all", "n")])
 
 
+def _q_orders_cube(sf_dir: str):
+    """CUBE grouping sets: order counts and exact total-price cents
+    for every subset of (status, priority) — 2^2 grouping sets in ONE
+    exchange (group_cube replicates finest-level partials per set;
+    grouping_id carries SQL's GROUPING_ID bitmask)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_cube
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())})
+
+    return group_cube(ds.map_batches(_prep, batch_format="pyarrow"),
+                      ["o_orderstatus", "o_orderpriority"],
+                      [("price_c", "sum", "sum_price_c"),
+                       ("price_c", "count_all", "n")])
+
+
 def _q_orders_q5(sf_dir: str):
     """TPC-H Q5 shape — five-table join pipeline: revenue by supplier
     nation for one region and a date window, with the local-supplier
@@ -1837,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
         "lineitem_rollup": _q_lineitem_rollup,
+        "orders_cube": _q_orders_cube,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
@@ -2846,6 +2872,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   (GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority))::BIGINT AS grouping_id,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS sum_price_c,
+                   count(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "orders_q5": """
             SELECT n_name,

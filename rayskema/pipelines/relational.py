@@ -777,6 +777,49 @@ def group_rollup(
     group_cols = list(group_cols)
     if not group_cols:
         raise ValueError("group_rollup needs at least one group column")
+    n = len(group_cols)
+    # prefix masks: level k keeps the first n-k columns
+    sets = [tuple(j < n - k for j in range(n)) for k in range(n + 1)]
+    return _grouping_sets(ds, group_cols, aggs, sets,
+                          level_values=list(range(n + 1)),
+                          level_col=level_col, buckets=buckets)
+
+
+def group_cube(
+    ds: "rd.Dataset", group_cols: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]], *, buckets: int | None = None,
+    level_col: str = "grouping_id",
+) -> "rd.Dataset":
+    """SQL ``GROUP BY CUBE(c1, .., cn)``: one aggregate row set per
+    SUBSET of ``group_cols`` (2^n sets), in the same one-exchange plan
+    as :func:`group_rollup`.  ``level_col`` carries SQL's
+    ``GROUPING_ID(c1, .., cn)`` bitmask — bit i (MSB-first, matching
+    the SQL argument order) set iff ``c(i+1)`` is rolled away — which
+    both names the subset and disambiguates rolled-up NULLs from data
+    NULLs.  Keep n small: the replication factor is 2^n (n ≤ ~4 is the
+    practical envelope, as in any engine's CUBE)."""
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cube needs at least one group column")
+    n = len(group_cols)
+    sets, ids = [], []
+    for gid in range(2 ** n):
+        # bit i of GROUPING_ID (MSB-first) set => column i rolled away
+        sets.append(tuple(not (gid >> (n - 1 - j)) & 1
+                          for j in range(n)))
+        ids.append(gid)
+    return _grouping_sets(ds, group_cols, aggs, sets, level_values=ids,
+                          level_col=level_col, buckets=buckets)
+
+
+def _grouping_sets(
+    ds: "rd.Dataset", group_cols: list, aggs, sets, *, level_values,
+    level_col: str, buckets: int | None,
+) -> "rd.Dataset":
+    """Shared ROLLUP/CUBE plan: finest-level Arrow hash partials per
+    block, one replicated row per grouping set (kept columns pass
+    through, rolled columns nulled, ``level_col`` = the set's id), ONE
+    bucketed merge keyed on ``(keys.., level)``."""
     if level_col in group_cols:
         raise ValueError(f"level_col {level_col!r} collides with a key")
     aggs = [(c, op, out) for (c, op, out) in aggs]
@@ -808,23 +851,21 @@ def group_rollup(
     pnames = [_pname(c, fn) for c, fn in partials]
     in_cols = group_cols + sorted(
         {c for c, f in partials if c and c not in group_cols})
-    n_levels = len(group_cols) + 1
 
     def _partial(tab: pa.Table) -> pa.Table:
         spec = [([] if fn == "count_all" else c, fn) for c, fn in partials]
         g = agg_named(tab, group_cols, spec, pnames)
-        # replicate per level, nulling the rolled-up suffix; the merge
-        # dedups within-level via (keys, level) grouping
+        # replicate once per grouping set, nulling the rolled columns;
+        # the merge dedups within-set via (keys, level) grouping
         parts = []
         n = g.num_rows
-        for lvl in range(n_levels):
+        for keep, lid in zip(sets, level_values):
             cols: dict[str, pa.Array] = {}
             for j, c in enumerate(group_cols):
-                kept = j < len(group_cols) - lvl
-                cols[c] = g[c] if kept else pa.nulls(
+                cols[c] = g[c] if keep[j] else pa.nulls(
                     n, type=g.schema.field(c).type)
             cols[level_col] = pa.array(
-                np.full(n, lvl, dtype=np.int64))
+                np.full(n, lid, dtype=np.int64))
             for pn in pnames:
                 cols[pn] = g[pn]
             parts.append(pa.table(cols))

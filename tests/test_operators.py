@@ -1312,3 +1312,22 @@ def test_mixture_sample_default_and_null(ray_session):
     # only (SQL NULL comparison falls through)
     assert len([r for r in rows if r["src"] == "x"]) == 1
     assert len([r for r in rows if r["src"] == "y"]) == 1
+
+
+def test_group_cube(ray_session):
+    from rayskema.pipelines.relational import group_cube
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y"],
+        "b": ["p", "q", "p"],
+        "v": [1, 2, 4]}))
+    out = _collect(group_cube(ds, ["a", "b"],
+                              [("v", "sum", "s")], buckets=2))
+    rows = {(r["a"], r["b"], r["grouping_id"]): r["s"]
+            for r in out.to_pylist()}
+    # level 0 emits only OBSERVED combos: (x,p),(x,q),(y,p) — no (y,q)
+    assert len(rows) == len(out) == 3 + 2 + 2 + 1
+    # gid bitmask MSB-first: bit for `a` = 2, bit for `b` = 1
+    assert rows[("x", "p", 0)] == 1 and rows[("y", "p", 0)] == 4
+    assert rows[("x", None, 1)] == 3 and rows[("y", None, 1)] == 4
+    assert rows[(None, "p", 2)] == 5 and rows[(None, "q", 2)] == 2
+    assert rows[(None, None, 3)] == 7
