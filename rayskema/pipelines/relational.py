@@ -812,6 +812,38 @@ def group_cube(
                           level_col=level_col, buckets=buckets)
 
 
+def group_grouping_sets(
+    ds: "rd.Dataset", group_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: Sequence[tuple[str, str, str]], *, buckets: int | None = None,
+    level_col: str = "grouping_id",
+) -> "rd.Dataset":
+    """SQL ``GROUP BY GROUPING SETS (...)``: one aggregate row set per
+    listed column subset, same one-exchange plan as
+    :func:`group_rollup` / :func:`group_cube`.  Each entry of ``sets``
+    names the columns KEPT in that set (order irrelevant; the empty
+    tuple is the grand total); ``level_col`` carries the
+    ``GROUPING_ID(group_cols...)`` bitmask of each set (bit i MSB-first
+    set iff ``group_cols[i]`` is rolled away)."""
+    group_cols = list(group_cols)
+    n = len(group_cols)
+    masks, ids, seen = [], [], set()
+    for s in sets:
+        extra = set(s) - set(group_cols)
+        if extra:
+            raise ValueError(f"grouping set names non-key columns {extra}")
+        keep = tuple(c in set(s) for c in group_cols)
+        if keep in seen:
+            raise ValueError(f"duplicate grouping set {tuple(s)!r}")
+        seen.add(keep)
+        masks.append(keep)
+        ids.append(sum((not keep[j]) << (n - 1 - j) for j in range(n)))
+    if not masks:
+        raise ValueError("need at least one grouping set")
+    return _grouping_sets(ds, group_cols, aggs, masks, level_values=ids,
+                          level_col=level_col, buckets=buckets)
+
+
 def _grouping_sets(
     ds: "rd.Dataset", group_cols: list, aggs, sets, *, level_values,
     level_col: str, buckets: int | None,

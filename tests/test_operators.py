@@ -1331,3 +1331,20 @@ def test_group_cube(ray_session):
     assert rows[("x", None, 1)] == 3 and rows[("y", None, 1)] == 4
     assert rows[(None, "p", 2)] == 5 and rows[(None, "q", 2)] == 2
     assert rows[(None, None, 3)] == 7
+
+
+def test_group_grouping_sets(ray_session):
+    from rayskema.pipelines.relational import group_grouping_sets
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]}))
+    out = _collect(group_grouping_sets(
+        ds, ["a", "b"], [("a",), (), ("a", "b")],
+        [("v", "sum", "s")], buckets=2))
+    rows = {(r["a"], r["b"], r["grouping_id"]): r["s"]
+            for r in out.to_pylist()}
+    assert rows[("x", None, 1)] == 3 and rows[("y", None, 1)] == 4
+    assert rows[(None, None, 3)] == 7
+    assert rows[("x", "p", 0)] == 1 and len(rows) == 6
+    with pytest.raises(ValueError):
+        group_grouping_sets(ds, ["a"], [("a",), ("a",)],
+                            [("v", "sum", "s")])
