@@ -294,6 +294,20 @@ def embedding_near_dup_pairs(
                                sort_within=False)
 
 
+@ray.remote(num_cpus=1)
+def _pack_corpus(id_col: str, vec_col: str, *tabs: "pa.Table"):
+    """Assemble the (ids, normalized matrix) broadcast in a worker —
+    the O(n·d) corpus never transits the driver heap (module-level
+    remote: defined once, not re-exported per call)."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:  # empty corpus: scoring loop sees 0 ids, emits 0
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, 1), dtype=np.float64))
+    full = pa.concat_tables(tabs)
+    ids = full[id_col].to_numpy(zero_copy_only=False)
+    return ids, _normalize(_matrix(full[vec_col]))
+
+
 def embedding_near_dup_pairs_exact(
     ds: "rd.Dataset", vec_col: str, id_col: str, *,
     cosine_threshold: float = 0.4, round_digits: int = 4,
@@ -316,18 +330,7 @@ def embedding_near_dup_pairs_exact(
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "cosine": pa.array([], type=pa.float64())})
-
-    @ray.remote(num_cpus=1)
-    def _pack(*tabs: pa.Table):
-        tabs = [t for t in tabs if t.num_rows]
-        if not tabs:  # empty corpus: scoring loop sees 0 ids, emits 0
-            return (np.empty(0, dtype=np.int64),
-                    np.empty((0, 1), dtype=np.float64))
-        full = pa.concat_tables(tabs)
-        ids = full[id_col].to_numpy(zero_copy_only=False)
-        return ids, _normalize(_matrix(full[vec_col]))
-
-    corpus_ref = _pack.remote(*refs)
+    corpus_ref = _pack_corpus.remote(id_col, vec_col, *refs)
 
     def _pairs_fn(batch: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),

@@ -826,13 +826,17 @@ def group_grouping_sets(
     ``GROUPING_ID(group_cols...)`` bitmask of each set (bit i MSB-first
     set iff ``group_cols[i]`` is rolled away)."""
     group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_grouping_sets needs at least one group "
+                         "column (same contract as rollup/cube)")
     n = len(group_cols)
     masks, ids, seen = [], [], set()
     for s in sets:
-        extra = set(s) - set(group_cols)
+        sset = set(s)
+        extra = sset - set(group_cols)
         if extra:
             raise ValueError(f"grouping set names non-key columns {extra}")
-        keep = tuple(c in set(s) for c in group_cols)
+        keep = tuple(c in sset for c in group_cols)
         if keep in seen:
             raise ValueError(f"duplicate grouping set {tuple(s)!r}")
         seen.add(keep)
@@ -905,6 +909,32 @@ def _grouping_sets(
 
     partial = ds.select_columns(in_cols).map_batches(
         _partial, batch_format="pyarrow")
+
+    # SQL emits the all-rolled grouping set even over ZERO input rows
+    # (grand total: counts 0, other aggregates NULL).  Seed each
+    # all-rolled set with one NEUTRAL partial row — counts 0, every
+    # other partial null — typed by running the partial fn over an
+    # empty input: merged into non-empty data it changes nothing
+    # (Arrow sum/min/max skip nulls, count += 0), and alone it yields
+    # exactly the SQL row.
+    rolled_ids = [lid for keep, lid in zip(sets, level_values)
+                  if not any(keep)]
+    if rolled_ids:
+        in_schema = ds.schema().base_schema
+        proto = _partial(pa.schema(
+            [in_schema.field(c) for c in in_cols]).empty_table())
+        cnt = {_pname(c, fn) for c, fn in partials
+               if fn in ("count", "count_all")}
+        m = len(rolled_ids)
+        seed_cols = {}
+        for f in proto.schema:
+            if f.name == level_col:
+                seed_cols[f.name] = pa.array(rolled_ids, type=f.type)
+            elif f.name in cnt:
+                seed_cols[f.name] = pa.array([0] * m, type=f.type)
+            else:
+                seed_cols[f.name] = pa.nulls(m, type=f.type)
+        partial = partial.union(rd.from_arrow(pa.table(seed_cols)))
 
     merge_fn = {"sum": "sum", "min": "min", "max": "max",
                 "count": "sum", "count_all": "sum"}
@@ -1738,10 +1768,18 @@ _JOIN_TYPES = {
 
 
 @ray.remote(num_cpus=1)
-def _concat_remote(*parts: pa.Table) -> pa.Table:
+def _concat_remote(empty: pa.Table, *parts: pa.Table) -> pa.Table:
     """Assemble a broadcast table in a worker: the output lands in the
-    object store directly, keeping the driver O(refs)."""
-    return pa.concat_tables(parts).combine_chunks()
+    object store directly, keeping the driver O(refs).  Zero-row blocks
+    are dropped BEFORE concat — an empty dataset yields one 0-row
+    0-COLUMN block (the map UDF never ran), and concatenating it would
+    produce a schemaless table that breaks the downstream join; the
+    caller-supplied ``empty`` table carries the correct schema for the
+    nothing-survived case."""
+    tabs = [t for t in parts if t.num_rows]
+    if not tabs:
+        return empty
+    return pa.concat_tables(tabs).combine_chunks()
 
 
 def hash_join(
@@ -1815,14 +1853,15 @@ def hash_join(
                              "any single left batch)")
         parts = right.map_batches(
             _prep_right, batch_format="pyarrow").to_arrow_refs()
+        empty = _prep_right(rschema.empty_table())
         if parts:
             # concat INSIDE a task: the assembled broadcast table goes
             # straight into the object store as the task's output and
             # never transits the driver heap (at scale the driver must
             # stay O(refs), not O(right-side bytes))
-            ref = _concat_remote.remote(*parts)
+            ref = _concat_remote.remote(empty, *parts)
         else:
-            ref = ray.put(_prep_right(rschema.empty_table()))
+            ref = ray.put(empty)
 
         def _jb(tab: pa.Table) -> pa.Table:
             r = ray.get(ref)

@@ -1348,3 +1348,42 @@ def test_group_grouping_sets(ray_session):
     with pytest.raises(ValueError):
         group_grouping_sets(ds, ["a"], [("a",), ("a",)],
                             [("v", "sum", "s")])
+
+
+def test_grouping_sets_empty_input_grand_total(ray_session):
+    from rayskema.pipelines.relational import group_cube, group_rollup
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int64())}))
+    # SQL GROUP BY ROLLUP/CUBE over zero rows emits the grand-total
+    # set: count 0, sum NULL
+    for op, id_col in ((group_rollup, "grouping_level"),
+                       (group_cube, "grouping_id")):
+        out = _collect(op(empty, ["a"],
+                          [("v", "sum", "s"), ("v", "count_all", "n"),
+                           ("v", "mean", "m")], buckets=2))
+        rows = out.to_pylist()
+        assert len(rows) == 1, (op, rows)
+        r = rows[0]
+        assert r["a"] is None and r[id_col] == 1
+        assert r["n"] == 0 and r["s"] is None and r["m"] is None
+
+
+def test_broadcast_join_empty_right(ray_session):
+    from rayskema.pipelines.relational import hash_join
+    left = rd.from_arrow(pa.table({"k": [1, 2], "x": ["a", "b"]}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "y": pa.array([], type=pa.string())}))
+    assert _collect(hash_join(left, right, on=["k"], how="inner",
+                              broadcast=True)).num_rows == 0
+    anti = _collect(hash_join(left, right, on=["k"], how="left_anti",
+                              broadcast=True))
+    assert sorted(anti["k"].to_pylist()) == [1, 2]
+    # a right side whose rows are all filtered away (0-row 0-column
+    # blocks from Ray) must behave identically
+    filtered = rd.from_arrow(pa.table({"k": [9], "y": ["z"]})) \
+        .map_batches(lambda t: t.filter(pa.array([False])),
+                     batch_format="pyarrow")
+    assert _collect(hash_join(left, filtered, on=["k"], how="inner",
+                              broadcast=True)).num_rows == 0
