@@ -1539,6 +1539,51 @@ def _q_lineitem_rollup(sf_dir: str):
                          ("qty_c", "count_all", "n")])
 
 
+def _q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape — distinct suppliers per part type (brand
+    exclusion pushed into the part read): part⋈lineitem through the
+    BUCKETED exchange on partkey (both sides fact-scale at TPC-H
+    ratios), then exact distinct_count with its map-side (group,
+    value) pre-dedup so only unique pairs shuffle."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import distinct_count, hash_join
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"],
+        filter=(pc.field("p_brand") != pa.scalar("Brand#1")))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    j = hash_join(li, part, on=["l_partkey"], right_on=["p_partkey"],
+                  how="inner", buckets=16)
+    return distinct_count(j, "p_type", "l_suppkey") \
+        .map_batches(lambda t: pa.table({
+            "p_type": t["p_type"],
+            "supplier_cnt": t["n_distinct"]}), batch_format="pyarrow")
+
+
+def _q_orders_share(sf_dir: str):
+    """Window share: each order's fraction of its status group's total
+    spend — v / sum(v) OVER (PARTITION BY g) in one exchange (segment
+    reduceat + repeat, no join-back second pass); exact integer-cent
+    totals, share rounded half-away to 6 digits on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_share
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())})
+
+    return group_share(ds.map_batches(_prep, batch_format="pyarrow"),
+                       ["o_orderstatus"], "price_c")
+
+
 def _q_orders_cube(sf_dir: str):
     """CUBE grouping sets: order counts and exact total-price cents
     for every subset of (status, priority) — 2^2 grouping sets in ONE
@@ -1863,6 +1908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2-unchecked entries lead the dict to get their row
         "lineitem_rollup": _q_lineitem_rollup,
         "orders_cube": _q_orders_cube,
+        "orders_share": _q_orders_share,
+        "part_supplier_counts": _q_part_supplier_counts,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
@@ -2872,6 +2919,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "part_supplier_counts": """
+            SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_type
+        """,
+        "orders_share": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                   round(CAST(round(o_totalprice * 100) AS BIGINT)
+                         / CAST(sum(CAST(round(o_totalprice * 100)
+                                         AS BIGINT))
+                                OVER (PARTITION BY o_orderstatus)
+                           AS DOUBLE), 6) AS share
+            FROM orders
         """,
         "orders_cube": """
             SELECT o_orderstatus, o_orderpriority,

@@ -962,6 +962,51 @@ def _grouping_sets(
                                buckets=buckets, sort_within=False)
 
 
+def group_share(
+    ds: "rd.Dataset", group_cols: Sequence[str], value_col: str, *,
+    out_col: str = "share", round_digits: int = 6,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-row share of the group total — SQL ``v / sum(v) OVER
+    (PARTITION BY g...)`` — appended as ``out_col`` (rounded half-away
+    to ``round_digits`` so both engines emit the same float).  One hash
+    shuffle; the per-group totals are one segment-``reduceat`` over the
+    bucket-sorted values repeated back onto the rows — no per-group
+    Python, no join-back second pass.  Null values contribute 0 to the
+    total and get a null share; an all-null/zero-total group divides to
+    null (SQL NULL), never NaN.  Integer values accumulate in int64
+    (exact totals), floats in float64."""
+    from ..functions import round_half_away
+
+    group_cols = list(group_cols)
+
+    def _share(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab.append_column(out_col,
+                                     pa.array([], type=pa.float64()))
+        tab = tab.sort_by([(c, "ascending") for c in group_cols])
+        n = tab.num_rows
+        starts = np.flatnonzero(segment_starts(tab, group_cols))
+        sizes = np.diff(np.append(starts, n))
+        v = tab[value_col].combine_chunks()
+        is_int = pa.types.is_integer(v.type)
+        vnum = pc.cast(v, pa.int64() if is_int else pa.float64()) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+        totals = np.add.reduceat(vnum, starts)
+        tot_row = np.repeat(totals, sizes).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = round_half_away(
+                vnum.astype(np.float64) / tot_row, round_digits)
+        valid = (tot_row != 0.0) & ~np.asarray(
+            v.is_null() if v.null_count else np.zeros(n, dtype=bool))
+        return tab.append_column(out_col, pa.array(
+            np.where(valid, share, np.nan), type=pa.float64(),
+            mask=~valid))
+
+    return bucketed_map_groups(ds, group_cols, _share, buckets=buckets,
+                               sort_within=False)
+
+
 def group_running(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, buckets: int | None = None,

@@ -1387,3 +1387,19 @@ def test_broadcast_join_empty_right(ray_session):
                      batch_format="pyarrow")
     assert _collect(hash_join(left, filtered, on=["k"], how="inner",
                               broadcast=True)).num_rows == 0
+
+
+def test_group_share(ray_session):
+    from rayskema.pipelines.relational import group_share
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "v": [1, 3, None, 0, 0, -2]}))
+    out = _collect(group_share(ds, ["g"], "v", buckets=2)).sort_by(
+        [("g", "ascending"), ("v", "ascending")])
+    rows = out.to_pylist()
+    by = {}
+    for r in rows:
+        by.setdefault(r["g"], []).append(r["share"])
+    assert by["a"] == [0.25, 0.75, None]      # null v -> null share
+    assert by["b"] == [None, None]            # zero total -> SQL NULL
+    assert by["c"] == [1.0]                   # negative total still 1
