@@ -1779,7 +1779,14 @@ def _q_events_incremental_dedup(sf_dir: str):
     new = rd.read_parquet(path,
                           columns=["event_id", "user_id", "event_type"],
                           filter=(pc.field("ts") >= cutoff))
-    idx = tempfile.mkdtemp(prefix="rayskema_dedup_idx_")
+    # deterministic per-corpus location, rebuilt (and cleared) on every
+    # run — repeated driver invocations reuse one dir instead of
+    # leaking a mkdtemp each
+    import hashlib
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_dedup_idx_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
     build_key_index(old, ["user_id", "event_type"], idx, buckets=16)
     return dedup_against_index(new, idx) \
         .select_columns(["event_id", "user_id", "event_type"])
