@@ -1561,6 +1561,32 @@ def _q_part_supplier_counts(sf_dir: str):
             "supplier_cnt": t["n_distinct"]}), batch_format="pyarrow")
 
 
+def _q_orders_grouping_sets(sf_dir: str):
+    """Arbitrary GROUPING SETS — per-status totals, per-priority
+    totals, and the grand total (no cross product), one exchange;
+    grouping_id carries the SQL GROUPING_ID bitmask."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_grouping_sets
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())})
+
+    return group_grouping_sets(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_orderstatus",), ("o_orderpriority",), ()],
+        [("price_c", "sum", "sum_price_c"),
+         ("price_c", "count_all", "n")])
+
+
 def _q_orders_share(sf_dir: str):
     """Window share: each order's fraction of its status group's total
     spend — v / sum(v) OVER (PARTITION BY g) in one exchange (segment
@@ -1917,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "orders_share": _q_orders_share,
         "part_supplier_counts": _q_part_supplier_counts,
+        "orders_grouping_sets": _q_orders_grouping_sets,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
@@ -2926,6 +2953,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   (GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority))::BIGINT AS grouping_id,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS sum_price_c,
+                   count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus),
+                                    (o_orderpriority), ())
         """,
         "part_supplier_counts": """
             SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt
