@@ -1805,14 +1805,18 @@ def _q_events_incremental_dedup(sf_dir: str):
     new = rd.read_parquet(path,
                           columns=["event_id", "user_id", "event_type"],
                           filter=(pc.field("ts") >= cutoff))
-    # deterministic per-corpus location, rebuilt (and cleared) on every
-    # run — repeated driver invocations reuse one dir instead of
-    # leaking a mkdtemp each
+    # deterministic per-(corpus, uid, process) location, rebuilt (and
+    # cleared) on every run — repeated invocations in one driver reuse
+    # a single dir instead of leaking a mkdtemp each, while concurrent
+    # processes (bench vs oracle-check) and other OS users can never
+    # race each other's clear-then-rewrite window or trip on /tmp
+    # sticky-bit ownership
     import hashlib
+    tag = f"{os.path.abspath(sf_dir)}|{os.getuid()}|{os.getpid()}"
     idx = os.path.join(
         tempfile.gettempdir(),
         "rayskema_dedup_idx_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+        + hashlib.md5(tag.encode()).hexdigest()[:12])
     build_key_index(old, ["user_id", "event_type"], idx, buckets=16)
     return dedup_against_index(new, idx) \
         .select_columns(["event_id", "user_id", "event_type"])
