@@ -1610,6 +1610,140 @@ def _q_orders_share(sf_dir: str):
                        ["o_orderstatus"], "price_c")
 
 
+def _q_orders_q4(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join: orders in a six-month window
+    with at least one returned lineitem, counted per priority.  The
+    date window is pushed into the orders read and the return-flag
+    predicate into the lineitem read (only the join key leaves
+    storage); the semi-join runs through the BUCKETED exchange (both
+    sides fact-scale at TPC-H ratios), then a tiny priority
+    group_agg."""
+    import datetime
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=((pc.field("o_orderdate")
+                 >= pa.scalar(datetime.datetime(1996, 1, 1)))
+                & (pc.field("o_orderdate")
+                   < pa.scalar(datetime.datetime(1996, 7, 1)))))
+    returned = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+        filter=(pc.field("l_returnflag") == pa.scalar("R")))
+    sj = hash_join(orders, returned, on=["o_orderkey"],
+                   right_on=["l_orderkey"], how="left_semi", buckets=16)
+    return group_agg(sj, ["o_orderpriority"],
+                     [("o_orderkey", "count_all", "n")], buckets=4)
+
+
+def _q_customers_order_dist(sf_dir: str):
+    """TPC-H Q13 shape — order-count distribution INCLUDING the zeros:
+    customer LEFT OUTER JOIN non-urgent orders through the BUCKETED
+    exchange, SQL-NULL-aware count(o_orderkey) per customer (an
+    unmatched customer counts 0, not NULL), then the tiny second
+    aggregate over the counts.  The join predicate on priority is
+    pushed into the orders read."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey"],
+        filter=(pc.field("o_orderpriority") != pa.scalar("1-URGENT")))
+    j = hash_join(cust, orders, on=["c_custkey"], right_on=["o_custkey"],
+                  how="left_outer", buckets=16)
+    per_cust = group_agg(j, ["c_custkey"],
+                         [("o_orderkey", "count", "c_count")],
+                         buckets=16)
+    return group_agg(per_cust, ["c_count"],
+                     [("c_count", "count_all", "custdist")], buckets=4)
+
+
+def _q_customers_q22(sf_dir: str):
+    """TPC-H Q22 shape — global scalar subquery + anti-join: customers
+    whose balance (exact cents) exceeds the positive-balance average
+    and who have no recent order, counted per nation.  The average is
+    applied as the cross-multiplied INTEGER comparison
+    ``bal_c * n_pos > sum_c`` so no float threshold can diverge between
+    engines (int64-safe to ~9e18: cents ≈ 1e6 × customers ≈ 1e10);
+    (sum_c, n_pos) come from one O(blocks)-row partial exchange — one
+    scalar row reaches the driver — and fold into the filter as plain
+    ints.  The NOT EXISTS runs through the BUCKETED anti-join with the
+    date cutoff pushed into the orders read."""
+    import datetime
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"],
+            "bal_c": pc.cast(pc.round(pc.multiply(
+                t["c_acctbal"], 100.0)), pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+
+    def _pos(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["bal_c"], 0))
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "bal_c": t["bal_c"]})
+
+    stats = group_agg(cust.map_batches(_pos, batch_format="pyarrow"),
+                      ["g"], [("bal_c", "sum", "s"),
+                              ("bal_c", "count_all", "n")],
+                      buckets=1).take_all()
+    sum_c, n_pos = int(stats[0]["s"]), int(stats[0]["n"])
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["bal_c"], pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_c, pa.int64()))),
+        batch_format="pyarrow")
+    recent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(datetime.datetime(2000, 1, 1))))
+    nocust = hash_join(rich, recent, on=["c_custkey"],
+                       right_on=["o_custkey"], how="left_anti",
+                       buckets=16)
+    return group_agg(nocust, ["c_nationkey"],
+                     [("bal_c", "count_all", "numcust"),
+                      ("bal_c", "sum", "totacctbal_c")], buckets=4)
+
+
+def _q_parts_min_price(sf_dir: str):
+    """TPC-H Q2 shape — argmin join-back: the cheapest part(s) per
+    type, ties included.  group_agg min collapses part to one row per
+    type (map-side partials, one exchange), and the O(types) minima
+    table joins BACK to part by BROADCAST on the composite
+    (type, price) key — no second shuffle.  Prices in exact cents."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_type", "p_retailprice"]) \
+        .map_batches(lambda t: pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_type": t["p_type"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["p_retailprice"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    mins = group_agg(part, ["p_type"], [("price_c", "min", "min_c")],
+                     buckets=4) \
+        .map_batches(lambda t: pa.table({
+            "p_type": t["p_type"], "price_c": t["min_c"]}),
+            batch_format="pyarrow")
+    return hash_join(part, mins, on=["p_type", "price_c"], how="inner",
+                     broadcast=True)
+
+
 def _q_orders_cube(sf_dir: str):
     """CUBE grouping sets: order counts and exact total-price cents
     for every subset of (status, priority) — 2^2 grouping sets in ONE
@@ -1948,6 +2082,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_share": _q_orders_share,
         "part_supplier_counts": _q_part_supplier_counts,
         "orders_grouping_sets": _q_orders_grouping_sets,
+        "orders_q4": _q_orders_q4,
+        "customers_order_dist": _q_customers_order_dist,
+        "customers_q22": _q_customers_q22,
+        "parts_min_price": _q_parts_min_price,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
@@ -2974,6 +3112,55 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "orders_q4": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "customers_order_dist": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey) t
+            GROUP BY c_count
+        """,
+        "customers_q22": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                       AS totacctbal_c
+            FROM customer c
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+                  * (SELECT count(*) FROM customer
+                     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+                  > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                     FROM customer
+                     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate
+                                    >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+        """,
+        "parts_min_price": """
+            SELECT p.p_type,
+                   CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       AS price_c,
+                   p.p_partkey
+            FROM part p
+            JOIN (SELECT p_type,
+                         min(CAST(round(p_retailprice * 100) AS BIGINT))
+                             AS min_c
+                  FROM part GROUP BY p_type) m
+              ON p.p_type = m.p_type
+             AND CAST(round(p.p_retailprice * 100) AS BIGINT) = m.min_c
         """,
         "orders_share": """
             SELECT o_orderkey, o_orderstatus,
