@@ -1744,6 +1744,41 @@ def _q_parts_min_price(sf_dir: str):
                      broadcast=True)
 
 
+def _q_lineitem_variance(sf_dir: str):
+    """Per-(returnflag, linestatus) variance/stddev of quantity cents:
+    the group_agg variance family — exact int64 (Σv², Σv, n) partials
+    through the one bucketed exchange, ONE float closed form at the
+    end, mirrored bit-for-bit by the oracle's HUGEINT→DOUBLE
+    expression (never the engine's own var_pop, whose summation order
+    differs).  Rounded half-away to 6 digits on both engines."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import group_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"]) \
+        .map_batches(lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": pc.cast(pc.round(pc.multiply(
+                t["l_quantity"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    agg = group_agg(ds, ["l_returnflag", "l_linestatus"],
+                    [("qty_c", "count", "n"),
+                     ("qty_c", "var_pop", "var_pop_qty"),
+                     ("qty_c", "stddev_samp", "stddev_qty")],
+                    buckets=4)
+
+    def _round(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in ("l_returnflag", "l_linestatus", "n")}
+        for c in ("var_pop_qty", "stddev_qty"):
+            v = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(round_half_away(v, 6), pa.float64())
+        return pa.table(cols)
+
+    return agg.map_batches(_round, batch_format="pyarrow")
+
+
 def _q_orders_cube(sf_dir: str):
     """CUBE grouping sets: order counts and exact total-price cents
     for every subset of (status, priority) — 2^2 grouping sets in ONE
@@ -2086,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_order_dist": _q_customers_order_dist,
         "customers_q22": _q_customers_q22,
         "parts_min_price": _q_parts_min_price,
+        "lineitem_variance": _q_lineitem_variance,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
@@ -3148,6 +3184,33 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate
                                     >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "lineitem_variance": """
+            WITH p AS (
+                SELECT l_returnflag, l_linestatus,
+                       count(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS n,
+                       sum(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                                AS HUGEINT)) AS s,
+                       sum(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                                AS HUGEINT)
+                           * CAST(CAST(round(l_quantity * 100)
+                                       AS BIGINT) AS HUGEINT)) AS ss
+                FROM lineitem
+                GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, n,
+                   round(greatest(
+                       (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE), 0.0), 6) AS var_pop_qty,
+                   round(sqrt(greatest(
+                       (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6)
+                       AS stddev_qty
+            FROM p
         """,
         "parts_min_price": """
             SELECT p.p_type,

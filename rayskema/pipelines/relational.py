@@ -671,10 +671,11 @@ def group_agg(
 ) -> "rd.Dataset":
     """General multi-aggregate per group (the TPC-H Q1 shape):
     ``aggs`` is a list of ``(col, op, out_name)`` with op in
-    ``sum | min | max | count | count_all | mean``; ``count`` counts
-    non-null values (SQL ``count(col)``), ``count_all`` counts rows
-    (``count(*)``; col is ignored), ``mean`` is ``sum/count`` computed
-    from exact partials.
+    ``sum | min | max | count | count_all | mean | var_pop | var_samp
+    | stddev_pop | stddev_samp``; ``count`` counts non-null values
+    (SQL ``count(col)``), ``count_all`` counts rows (``count(*)``;
+    col is ignored), ``mean`` is ``sum/count`` computed from exact
+    partials.
 
     Partial aggregation: each block reduces to one row per distinct
     group via Arrow's hash aggregation BEFORE the shuffle, so only
@@ -683,12 +684,23 @@ def group_agg(
     computes aggregates exactly in-memory (``rules/rules.go:116-135``);
     this is the distributed exact path.
 
+    The variance family ships (Σv², Σv, n) partials — integer columns
+    square through ``multiply_checked`` int64 (EXACT and
+    order-independent; overflows raise instead of wrapping, bound
+    Σv² < 2^63, e.g. ~3.7e11 rows per group at |v| ≤ 5000) — and
+    derives ``(ss - s·s/n)/denom`` as ONE float expression at the end,
+    clamped at 0 against fp residue; SQL NULL when n = 0 (pop) or
+    n < 2 (samp).  Reproduce in SQL with the same closed form over
+    HUGEINT sums cast to DOUBLE (the ``lineitem_corr`` pattern), not
+    the engine's own ``var_pop`` (different summation algorithm).
+
     Float caveat: float sums depend on addition order; pre-scale to
     integer cents (and divide after) when exact cross-engine equality
     matters."""
     group_cols = list(group_cols)
     aggs = [(c, op, out) for (c, op, out) in aggs]
-    ops_ok = {"sum", "min", "max", "count", "count_all", "mean"}
+    ops_ok = {"sum", "min", "max", "count", "count_all", "mean",
+              "var_pop", "var_samp", "stddev_pop", "stddev_samp"}
     for _, op, _ in aggs:
         if op not in ops_ok:
             raise ValueError(f"unknown agg op {op!r}")
@@ -702,10 +714,15 @@ def group_agg(
             seen.add((col, fn))
             partials.append((col, fn))
 
+    var_ops = {"var_pop", "var_samp", "stddev_pop", "stddev_samp"}
     for col, op, _ in aggs:
         if op == "count_all":
             _need("", "count_all")
         elif op == "mean":
+            _need(col, "sum")
+            _need(col, "count")
+        elif op in var_ops:
+            _need(col, "sum_sq")
             _need(col, "sum")
             _need(col, "count")
         else:
@@ -718,7 +735,24 @@ def group_agg(
         {c for c, f in partials if c and c not in group_cols})
 
     def _partial(tab: pa.Table) -> pa.Table:
-        spec = [([] if fn == "count_all" else c, fn) for c, fn in partials]
+        spec = []
+        for c, fn in partials:
+            if fn == "sum_sq":
+                sq = f"__sq_{c}"
+                if sq not in tab.column_names:
+                    v = tab[c]
+                    if pa.types.is_integer(v.type):
+                        # exact, order-independent; raise (never wrap)
+                        # if a square leaves int64
+                        vv = pc.cast(v, pa.int64())
+                        tab = tab.append_column(
+                            sq, pc.multiply_checked(vv, vv))
+                    else:
+                        vf = pc.cast(v, pa.float64())
+                        tab = tab.append_column(sq, pc.multiply(vf, vf))
+                spec.append((sq, "sum"))
+            else:
+                spec.append(([] if fn == "count_all" else c, fn))
         return agg_named(tab, group_cols, spec,
                          [_pname(c, fn) for c, fn in partials])
 
@@ -726,7 +760,7 @@ def group_agg(
         _partial, batch_format="pyarrow")
 
     merge_fn = {"sum": "sum", "min": "min", "max": "max",
-                "count": "sum", "count_all": "sum"}
+                "count": "sum", "count_all": "sum", "sum_sq": "sum"}
 
     def _final(tab: pa.Table) -> pa.Table:
         spec = [(_pname(c, fn), merge_fn[fn]) for c, fn in partials]
@@ -744,6 +778,27 @@ def group_agg(
                     pa.nulls(g.num_rows, type=pa.float64()),
                     pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64()),
                               pc.cast(cnt, pa.float64())))
+            elif op in var_ops:
+                # one float expression over exact partials, identical
+                # op order to the documented SQL closed form:
+                # (ss - s*s/n) / denom
+                n_np = pc.cast(g[_pname(col, "count")], pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
+                s_np = pc.cast(g[_pname(col, "sum")], pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
+                ss_np = pc.cast(g[_pname(col, "sum_sq")], pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
+                pop = op.endswith("_pop")
+                denom = n_np if pop else n_np - 1.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    var = (ss_np - s_np * s_np / n_np) / denom
+                    var = np.maximum(var, 0.0)   # fp residue clamp
+                    if op.startswith("stddev"):
+                        var = np.sqrt(var)
+                valid = n_np >= (1.0 if pop else 2.0)
+                out[name] = pa.array(
+                    np.where(valid, var, np.nan), type=pa.float64(),
+                    mask=~valid)
             else:
                 out[name] = g[_pname(col, op)]
         return pa.table(out)

@@ -1403,3 +1403,34 @@ def test_group_share(ray_session):
     assert by["a"] == [0.25, 0.75, None]      # null v -> null share
     assert by["b"] == [None, None]            # zero total -> SQL NULL
     assert by["c"] == [1.0]                   # negative total still 1
+
+
+def test_group_agg_variance(ray_session):
+    from rayskema.pipelines.relational import group_agg
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "b", "d"],
+        "v": [2, 4, 6, 5, None, None]}))
+    out = _collect(group_agg(ds, ["g"], [
+        ("v", "count", "n"),
+        ("v", "var_pop", "vp"), ("v", "var_samp", "vs"),
+        ("v", "stddev_pop", "sp"), ("v", "stddev_samp", "ss")],
+        buckets=2))
+    by = {r["g"]: r for r in out.to_pylist()}
+    a = by["a"]
+    assert a["n"] == 3 and abs(a["vp"] - 8 / 3) < 1e-12
+    assert a["vs"] == 4.0 and a["ss"] == 2.0
+    assert abs(a["sp"] - (8 / 3) ** 0.5) < 1e-12
+    b = by["b"]                      # one non-null value
+    assert b["n"] == 1 and b["vp"] == 0.0 and b["sp"] == 0.0
+    assert b["vs"] is None and b["ss"] is None     # n<2 -> SQL NULL
+    d = by["d"]                      # all-null group
+    assert d["n"] == 0 and d["vp"] is None and d["ss"] is None
+
+
+def test_group_agg_variance_overflow_raises(ray_session):
+    from rayskema.pipelines.relational import group_agg
+    big = 4_000_000_000                       # square leaves int64
+    ds = rd.from_arrow(pa.table({"g": ["a"], "v": [big]}))
+    with pytest.raises(Exception, match="[Oo]verflow"):
+        _collect(group_agg(ds, ["g"], [("v", "var_pop", "vp")],
+                           buckets=1))
