@@ -1744,6 +1744,32 @@ def _q_parts_min_price(sf_dir: str):
                      broadcast=True)
 
 
+def _q_events_approx_distinct(sf_dir: str):
+    """Approximate distinct users per event type (grouped HLL
+    partials): O(groups × blocks) sketch bytes cross the exchange
+    instead of every unique (type, user) pair — the 10^12-row path
+    for high-cardinality values.  No SQL oracle (an estimate never
+    hash-matches the exact count); instead asserted in-query against
+    the engine's own exact distinct_count: relative error ≤ 5% per
+    group (p=12 ⇒ ~1.6% expected).  The estimate itself is
+    deterministic and parallelism-independent (register max)."""
+    from rayskema.pipelines.relational import (approx_distinct_count,
+                                               distinct_count)
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    approx = approx_distinct_count(ds, "event_type", "user_id",
+                                   p=12, buckets=4)
+    exact = {r["event_type"]: r["n_distinct"]
+             for r in distinct_count(ds, "event_type", "user_id",
+                                     buckets=4).take_all()}
+    out = approx.materialize()
+    for r in out.take_all():
+        e = exact[r["event_type"]]
+        assert abs(r["n_approx"] - e) <= max(1, 0.05 * e), \
+            (r["event_type"], r["n_approx"], e)
+    return out
+
+
 def _q_lineitem_variance(sf_dir: str):
     """Per-(returnflag, linestatus) variance/stddev of quantity cents:
     the group_agg variance family — exact int64 (Σv², Σv, n) partials
@@ -2122,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_q22": _q_customers_q22,
         "parts_min_price": _q_parts_min_price,
         "lineitem_variance": _q_lineitem_variance,
+        "events_approx_distinct": _q_events_approx_distinct,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,

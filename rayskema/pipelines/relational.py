@@ -618,6 +618,89 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
                                buckets=buckets, sort_within=False)
 
 
+def approx_distinct_count(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    p: int = 12, buckets: int | None = None,
+    out_col: str = "n_approx",
+) -> "rd.Dataset":
+    """Approximate distinct values of ``value_col`` per ``group_col``
+    via per-group HyperLogLog partials: ``(group, out_col)``.
+
+    Scale shape: exact :func:`distinct_count` ships every unique
+    (group, value) pair through the exchange — O(distinct pairs) —
+    while this ships ONE 2^p-register sketch per (group, block),
+    O(groups × blocks) bytes regardless of value cardinality: the
+    right tool for web-scale values over modest group cardinality
+    (distinct users per event type across 10^12 rows).  Standard
+    error ≈ 1.04/√2^p (p=12 → ~1.6%, 4 KiB/sketch).
+
+    Deterministic and parallelism-independent: the merged register
+    array is the elementwise max over the seeded hashes of the
+    group's values, which no block partitioning can change, so the
+    estimate is bit-stable at any bucket/block count.  Null values
+    are excluded (SQL ``count(DISTINCT v)``); a null group is its own
+    group (SQL ``GROUP BY``)."""
+    from ..state.sketches import HyperLogLog, _hash64, hash_strings
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        gtype = tab.schema.field(group_col).type
+        tab = tab.select([group_col, value_col])
+        tab = tab.filter(pc.is_valid(tab[value_col]))
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({group_col: pa.nulls(0, type=gtype),
+                             "__hll": pa.array([], type=pa.binary())})
+        v = tab[value_col].combine_chunks()
+        if pa.types.is_integer(v.type):
+            hashes = _hash64(pc.cast(v, pa.int64())
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.uint64))
+        else:
+            hashes = hash_strings(pc.cast(v, pa.string()))
+        enc = pc.dictionary_encode(tab[group_col].combine_chunks())
+        codes = enc.indices.fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc, sh = codes[order], hashes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        bounds = np.append(starts, n)
+        take_idx, blobs = [], []
+        for i, st in enumerate(starts):
+            h = HyperLogLog(p)
+            h.update_hashes(sh[st:bounds[i + 1]])
+            take_idx.append(int(sc[st]) if sc[st] >= 0 else None)
+            blobs.append(h.to_bytes())
+        gvals = enc.dictionary.take(pa.array(take_idx, type=pa.int64()))
+        return pa.table({group_col: pc.cast(gvals, gtype),
+                         "__hll": pa.array(blobs, type=pa.binary())})
+
+    partial = ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        gtype = tab.schema.field(group_col).type
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({group_col: pa.nulls(0, type=gtype),
+                             out_col: pa.array([], type=pa.int64())})
+        tab = tab.sort_by([(group_col, "ascending")])
+        starts = np.flatnonzero(segment_starts(tab, [group_col]))
+        bounds = np.append(starts, n)
+        blobs = tab["__hll"].to_pylist()
+        ests = []
+        for i, st in enumerate(starts):
+            h = HyperLogLog.from_bytes(blobs[st])
+            for j in range(st + 1, bounds[i + 1]):
+                h.merge(HyperLogLog.from_bytes(blobs[j]))
+            ests.append(int(round(h.estimate())))
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(starts)),
+            out_col: pa.array(ests, type=pa.int64())})
+
+    return bucketed_map_groups(partial, [group_col], _final,
+                               buckets=buckets, sort_within=False)
+
+
 def group_quantiles(
     ds: "rd.Dataset", group_col: str, value_col: str,
     qs: Sequence[float], *, buckets: int | None = None,

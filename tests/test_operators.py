@@ -1434,3 +1434,31 @@ def test_group_agg_variance_overflow_raises(ray_session):
     with pytest.raises(Exception, match="[Oo]verflow"):
         _collect(group_agg(ds, ["g"], [("v", "var_pop", "vp")],
                            buckets=1))
+
+
+def test_approx_distinct_count(ray_session):
+    from rayskema.pipelines.relational import (approx_distinct_count,
+                                               distinct_count)
+    import pandas as pd
+    rows = []
+    for g, card in (("a", 400), ("b", 37), (None, 5)):
+        for i in range(card):
+            for _ in range(2):                     # duplicates
+                rows.append({"g": g, "v": f"{g}-{i}"})
+    rows.append({"g": "a", "v": None})             # null value ignored
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(6)
+    out = {r["g"]: r["n_approx"] for r in _collect(
+        approx_distinct_count(ds, "g", "v", buckets=3)).to_pylist()}
+    exact = {r["g"]: r["n_distinct"] for r in _collect(
+        distinct_count(ds.filter(lambda r: r["v"] is not None),
+                       "g", "v")).to_pylist()}
+    assert set(out) == {"a", "b", None}
+    for g, e in exact.items():
+        assert abs(out[g] - e) <= max(1, 0.05 * e), (g, out[g], e)
+    # parallelism-independence: merged registers are a max over the
+    # group's value hashes — bucket/block layout cannot change them
+    out1 = {r["g"]: r["n_approx"] for r in _collect(
+        approx_distinct_count(ds.repartition(1), "g", "v",
+                              buckets=1)).to_pylist()}
+    assert out1 == out
