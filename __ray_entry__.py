@@ -1770,6 +1770,31 @@ def _q_events_approx_distinct(sf_dir: str):
     return out
 
 
+def _q_docs_approx_quantiles(sf_dir: str):
+    """Approximate per-source document-length quantiles (grouped
+    t-digest partials): constant sketch bytes per (group, block)
+    through the exchange — the percentile_approx path for 10^12-row
+    groups.  No SQL oracle (estimates never hash-match); asserted
+    in-query against the engine's exact rank quantiles: each estimate
+    must land within the exact [q−2%, q+2%] rank band."""
+    from rayskema.pipelines.relational import (approx_group_quantiles,
+                                               group_quantiles)
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    qs = [0.1, 0.5, 0.9]
+    approx = approx_group_quantiles(ds, "source", "n_chars", qs,
+                                    buckets=4).materialize()
+    band = sorted({round(q + d, 3) for q in qs for d in (-0.02, 0.02)})
+    exact = {(r["source"], r["q"]): r["value"]
+             for r in group_quantiles(ds, "source", "n_chars",
+                                      band, buckets=4).take_all()}
+    for r in approx.take_all():
+        lo = exact[(r["source"], round(r["q"] - 0.02, 3))]
+        hi = exact[(r["source"], round(r["q"] + 0.02, 3))]
+        assert lo <= r["value_est"] <= hi, (r, lo, hi)
+    return approx
+
+
 def _q_lineitem_variance(sf_dir: str):
     """Per-(returnflag, linestatus) variance/stddev of quantity cents:
     the group_agg variance family — exact int64 (Σv², Σv, n) partials
@@ -2149,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_min_price": _q_parts_min_price,
         "lineitem_variance": _q_lineitem_variance,
         "events_approx_distinct": _q_events_approx_distinct,
+        "docs_approx_quantiles": _q_docs_approx_quantiles,
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,

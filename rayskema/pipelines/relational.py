@@ -701,6 +701,89 @@ def approx_distinct_count(
                                buckets=buckets, sort_within=False)
 
 
+def approx_group_quantiles(
+    ds: "rd.Dataset", group_col: str, value_col: str,
+    qs: Sequence[float], *, delta: int = 200,
+    buckets: int | None = None, out_col: str = "value_est",
+) -> "rd.Dataset":
+    """Approximate per-group quantiles via per-group t-digest
+    partials: ``(group, q, out_col)`` — the ``percentile_approx``
+    analogue of exact :func:`group_quantiles`.
+
+    Scale shape: the exact operator ships every (group, value) row
+    through the exchange and sorts within buckets; this ships one
+    O(delta)-centroid digest per (group, block) — constant bytes per
+    group regardless of row count, the 10^12-row path.  Error is a
+    fraction of rank (tightest at the tails, k1 scale); t-digest
+    merges are order-perturbed within that tolerance, so treat
+    results as estimates, not reproducible bits (use
+    :func:`group_quantiles` when exactness matters).  Null values are
+    excluded; a null group is its own group; an all-null group yields
+    null estimates."""
+    from ..state.sketches import TDigest
+
+    qs = [float(q) for q in qs]
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        gtype = tab.schema.field(group_col).type
+        tab = tab.select([group_col, value_col])
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({group_col: pa.nulls(0, type=gtype),
+                             "__td": pa.array([], type=pa.binary())})
+        vals = pc.cast(tab[value_col].combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)     # nulls arrive as NaN
+        enc = pc.dictionary_encode(tab[group_col].combine_chunks())
+        codes = enc.indices.fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        bounds = np.append(starts, n)
+        take_idx, blobs = [], []
+        for i, st in enumerate(starts):
+            d = TDigest(delta)
+            d.update(sv[st:bounds[i + 1]])      # update drops NaN
+            take_idx.append(int(sc[st]) if sc[st] >= 0 else None)
+            blobs.append(d.to_bytes())
+        gvals = enc.dictionary.take(pa.array(take_idx, type=pa.int64()))
+        return pa.table({group_col: pc.cast(gvals, gtype),
+                         "__td": pa.array(blobs, type=pa.binary())})
+
+    partial = ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        gtype = tab.schema.field(group_col).type
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({group_col: pa.nulls(0, type=gtype),
+                             "q": pa.array([], type=pa.float64()),
+                             out_col: pa.array([], type=pa.float64())})
+        tab = tab.sort_by([(group_col, "ascending")])
+        starts = np.flatnonzero(segment_starts(tab, [group_col]))
+        bounds = np.append(starts, n)
+        blobs = tab["__td"].to_pylist()
+        gidx, qout, vout = [], [], []
+        from ..state.sketches import TDigest as _TD
+        for i, st in enumerate(starts):
+            d = _TD.from_bytes(blobs[st])
+            for j in range(st + 1, bounds[i + 1]):
+                d.merge(_TD.from_bytes(blobs[j]))
+            est = d.quantile(np.asarray(qs))
+            for q, v in zip(qs, np.atleast_1d(est)):
+                gidx.append(int(st))
+                qout.append(q)
+                vout.append(None if np.isnan(v) else float(v))
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(gidx, pa.int64())),
+            "q": pa.array(qout, type=pa.float64()),
+            out_col: pa.array(vout, type=pa.float64())})
+
+    return bucketed_map_groups(partial, [group_col], _final,
+                               buckets=buckets, sort_within=False)
+
+
 def group_quantiles(
     ds: "rd.Dataset", group_col: str, value_col: str,
     qs: Sequence[float], *, buckets: int | None = None,

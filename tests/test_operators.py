@@ -1462,3 +1462,22 @@ def test_approx_distinct_count(ray_session):
         approx_distinct_count(ds.repartition(1), "g", "v",
                               buckets=1)).to_pylist()}
     assert out1 == out
+
+
+def test_approx_group_quantiles(ray_session):
+    from rayskema.pipelines.relational import approx_group_quantiles
+    import pandas as pd
+    rows = []
+    for g, n in (("a", 2000), ("b", 101)):
+        for i in range(n):
+            rows.append({"g": g, "v": float(i)})
+    rows.append({"g": "c", "v": None})             # all-null group
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    out = _collect(approx_group_quantiles(
+        ds, "g", "v", [0.1, 0.5, 0.9], buckets=2)).to_pylist()
+    by = {(r["g"], r["q"]): r["value_est"] for r in out}
+    assert len(by) == 9
+    for q in (0.1, 0.5, 0.9):                      # rank error ≲ 2%
+        assert abs(by[("a", q)] - q * 1999) <= 0.02 * 2000
+        assert abs(by[("b", q)] - q * 100) <= max(2, 0.05 * 101)
+        assert by[("c", q)] is None
