@@ -594,7 +594,10 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
     """Exact distinct values of ``value_col`` per ``group_col``:
     (group, n_distinct).  Pre-dedups (group, value) pairs inside each
     block before the shuffle (map-side combine), then counts distinct
-    per bucket vectorized."""
+    per bucket vectorized.  SQL ``count(DISTINCT v)`` null semantics:
+    null values do not count, but a group with only null values stays
+    in the output with 0 (the deduped (group, null) pair still rides
+    the exchange as the group's marker)."""
 
     def _pairs(tab: pa.Table) -> pa.Table:
         return tab.select([group_col, value_col]).group_by(
@@ -607,7 +610,10 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
         tab = tab.sort_by([(group_col, "ascending")])
         new = segment_starts(tab, [group_col])
         seg_id = np.cumsum(new) - 1
-        counts = np.bincount(seg_id)
+        v = tab[value_col].combine_chunks()
+        valid = np.asarray(v.is_valid()).astype(np.float64) \
+            if v.null_count else np.ones(tab.num_rows)
+        counts = np.bincount(seg_id, weights=valid).astype(np.int64)
         firsts = np.flatnonzero(new)
         return pa.table({
             group_col: tab[group_col].take(pa.array(firsts)),
@@ -616,6 +622,57 @@ def distinct_count(ds: "rd.Dataset", group_col: str, value_col: str,
 
     return bucketed_map_groups(pairs, [group_col], _count,
                                buckets=buckets, sort_within=False)
+
+
+def _grouped_sketch_partial(
+    tab: pa.Table, group_col: str, value_prep, make_blob, blob_col: str,
+) -> pa.Table:
+    """Shared grouped-sketch block partial: one sketch blob per
+    in-block group.  ``value_prep(tab) -> (data, valid)`` per-row
+    arrays (vectorized once per block); ``make_blob(data_slice) ->
+    bytes`` sees only the group's VALID rows (SQL aggregates ignore
+    nulls) — a group whose rows are all null still emits a blob built
+    from zero rows, so the group stays present (SQL ``GROUP BY``).
+    A null group key is its own group."""
+    gtype = tab.schema.field(group_col).type
+    n = tab.num_rows
+    if n == 0:
+        return pa.table({group_col: pa.nulls(0, type=gtype),
+                         blob_col: pa.array([], type=pa.binary())})
+    data, valid = value_prep(tab)
+    enc = pc.dictionary_encode(tab[group_col].combine_chunks())
+    codes = enc.indices.fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(codes, kind="stable")
+    sc, sd, sv = codes[order], data[order], valid[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    bounds = np.append(starts, n)
+    take_idx, blobs = [], []
+    for i, st in enumerate(starts):
+        en = bounds[i + 1]
+        take_idx.append(int(sc[st]) if sc[st] >= 0 else None)
+        blobs.append(make_blob(sd[st:en][sv[st:en]]))
+    gvals = enc.dictionary.take(pa.array(take_idx, type=pa.int64()))
+    return pa.table({group_col: pc.cast(gvals, gtype),
+                     blob_col: pa.array(blobs, type=pa.binary())})
+
+
+def _merge_grouped_blobs(tab: pa.Table, group_col: str, blob_col: str,
+                         from_bytes):
+    """Shared grouped-sketch merge: sort the bucket by group, merge
+    each group's blobs.  Returns ``(sorted_tab, starts, merged)``."""
+    tab = tab.sort_by([(group_col, "ascending")])
+    n = tab.num_rows
+    starts = np.flatnonzero(segment_starts(tab, [group_col]))
+    bounds = np.append(starts, n)
+    blobs = tab[blob_col].to_pylist()
+    merged = []
+    for i, st in enumerate(starts):
+        s = from_bytes(blobs[st])
+        for j in range(st + 1, bounds[i + 1]):
+            s.merge(from_bytes(blobs[j]))
+        merged.append(s)
+    return tab, starts, merged
 
 
 def approx_distinct_count(
@@ -637,62 +694,41 @@ def approx_distinct_count(
     Deterministic and parallelism-independent: the merged register
     array is the elementwise max over the seeded hashes of the
     group's values, which no block partitioning can change, so the
-    estimate is bit-stable at any bucket/block count.  Null values
-    are excluded (SQL ``count(DISTINCT v)``); a null group is its own
-    group (SQL ``GROUP BY``)."""
+    estimate is bit-stable at any bucket/block count.  SQL
+    ``count(DISTINCT v)`` null semantics: null values are excluded,
+    and a group with only null values stays in the output with 0."""
     from ..state.sketches import HyperLogLog, _hash64, hash_strings
 
-    def _partial(tab: pa.Table) -> pa.Table:
-        gtype = tab.schema.field(group_col).type
-        tab = tab.select([group_col, value_col])
-        tab = tab.filter(pc.is_valid(tab[value_col]))
-        n = tab.num_rows
-        if n == 0:
-            return pa.table({group_col: pa.nulls(0, type=gtype),
-                             "__hll": pa.array([], type=pa.binary())})
+    def _prep(tab: pa.Table):
         v = tab[value_col].combine_chunks()
+        valid = np.asarray(v.is_valid()) if v.null_count else \
+            np.ones(len(v), dtype=bool)
         if pa.types.is_integer(v.type):
-            hashes = _hash64(pc.cast(v, pa.int64())
-                             .to_numpy(zero_copy_only=False)
-                             .astype(np.uint64))
+            data = _hash64(pc.cast(v, pa.int64()).fill_null(0)
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.uint64))
         else:
-            hashes = hash_strings(pc.cast(v, pa.string()))
-        enc = pc.dictionary_encode(tab[group_col].combine_chunks())
-        codes = enc.indices.fill_null(-1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(codes, kind="stable")
-        sc, sh = codes[order], hashes[order]
-        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-        bounds = np.append(starts, n)
-        take_idx, blobs = [], []
-        for i, st in enumerate(starts):
-            h = HyperLogLog(p)
-            h.update_hashes(sh[st:bounds[i + 1]])
-            take_idx.append(int(sc[st]) if sc[st] >= 0 else None)
-            blobs.append(h.to_bytes())
-        gvals = enc.dictionary.take(pa.array(take_idx, type=pa.int64()))
-        return pa.table({group_col: pc.cast(gvals, gtype),
-                         "__hll": pa.array(blobs, type=pa.binary())})
+            data = hash_strings(pc.cast(v, pa.string()))
+        return data, valid
+
+    def _make(hashes: np.ndarray) -> bytes:
+        h = HyperLogLog(p)
+        h.update_hashes(hashes)
+        return h.to_bytes()
 
     partial = ds.select_columns([group_col, value_col]).map_batches(
-        _partial, batch_format="pyarrow")
+        lambda t: _grouped_sketch_partial(t, group_col, _prep, _make,
+                                          "__hll"),
+        batch_format="pyarrow")
 
     def _final(tab: pa.Table) -> pa.Table:
         gtype = tab.schema.field(group_col).type
-        n = tab.num_rows
-        if n == 0:
+        if tab.num_rows == 0:
             return pa.table({group_col: pa.nulls(0, type=gtype),
                              out_col: pa.array([], type=pa.int64())})
-        tab = tab.sort_by([(group_col, "ascending")])
-        starts = np.flatnonzero(segment_starts(tab, [group_col]))
-        bounds = np.append(starts, n)
-        blobs = tab["__hll"].to_pylist()
-        ests = []
-        for i, st in enumerate(starts):
-            h = HyperLogLog.from_bytes(blobs[st])
-            for j in range(st + 1, bounds[i + 1]):
-                h.merge(HyperLogLog.from_bytes(blobs[j]))
-            ests.append(int(round(h.estimate())))
+        tab, starts, merged = _merge_grouped_blobs(
+            tab, group_col, "__hll", HyperLogLog.from_bytes)
+        ests = [int(round(h.estimate())) for h in merged]
         return pa.table({
             group_col: tab[group_col].take(pa.array(starts)),
             out_col: pa.array(ests, type=pa.int64())})
@@ -724,52 +760,31 @@ def approx_group_quantiles(
 
     qs = [float(q) for q in qs]
 
-    def _partial(tab: pa.Table) -> pa.Table:
-        gtype = tab.schema.field(group_col).type
-        tab = tab.select([group_col, value_col])
-        n = tab.num_rows
-        if n == 0:
-            return pa.table({group_col: pa.nulls(0, type=gtype),
-                             "__td": pa.array([], type=pa.binary())})
+    def _prep(tab: pa.Table):
         vals = pc.cast(tab[value_col].combine_chunks(), pa.float64()) \
             .to_numpy(zero_copy_only=False)     # nulls arrive as NaN
-        enc = pc.dictionary_encode(tab[group_col].combine_chunks())
-        codes = enc.indices.fill_null(-1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(codes, kind="stable")
-        sc, sv = codes[order], vals[order]
-        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-        bounds = np.append(starts, n)
-        take_idx, blobs = [], []
-        for i, st in enumerate(starts):
-            d = TDigest(delta)
-            d.update(sv[st:bounds[i + 1]])      # update drops NaN
-            take_idx.append(int(sc[st]) if sc[st] >= 0 else None)
-            blobs.append(d.to_bytes())
-        gvals = enc.dictionary.take(pa.array(take_idx, type=pa.int64()))
-        return pa.table({group_col: pc.cast(gvals, gtype),
-                         "__td": pa.array(blobs, type=pa.binary())})
+        return vals, ~np.isnan(vals)
+
+    def _make(values: np.ndarray) -> bytes:
+        d = TDigest(delta)
+        d.update(values)
+        return d.to_bytes()
 
     partial = ds.select_columns([group_col, value_col]).map_batches(
-        _partial, batch_format="pyarrow")
+        lambda t: _grouped_sketch_partial(t, group_col, _prep, _make,
+                                          "__td"),
+        batch_format="pyarrow")
 
     def _final(tab: pa.Table) -> pa.Table:
         gtype = tab.schema.field(group_col).type
-        n = tab.num_rows
-        if n == 0:
+        if tab.num_rows == 0:
             return pa.table({group_col: pa.nulls(0, type=gtype),
                              "q": pa.array([], type=pa.float64()),
                              out_col: pa.array([], type=pa.float64())})
-        tab = tab.sort_by([(group_col, "ascending")])
-        starts = np.flatnonzero(segment_starts(tab, [group_col]))
-        bounds = np.append(starts, n)
-        blobs = tab["__td"].to_pylist()
+        tab, starts, merged = _merge_grouped_blobs(
+            tab, group_col, "__td", TDigest.from_bytes)
         gidx, qout, vout = [], [], []
-        from ..state.sketches import TDigest as _TD
-        for i, st in enumerate(starts):
-            d = _TD.from_bytes(blobs[st])
-            for j in range(st + 1, bounds[i + 1]):
-                d.merge(_TD.from_bytes(blobs[j]))
+        for st, d in zip(starts, merged):
             est = d.quantile(np.asarray(qs))
             for q, v in zip(qs, np.atleast_1d(est)):
                 gidx.append(int(st))
@@ -850,15 +865,17 @@ def group_agg(
     computes aggregates exactly in-memory (``rules/rules.go:116-135``);
     this is the distributed exact path.
 
-    The variance family ships (Σv², Σv, n) partials — integer columns
-    square through ``multiply_checked`` int64 (EXACT and
-    order-independent; overflows raise instead of wrapping, bound
-    Σv² < 2^63, e.g. ~3.7e11 rows per group at |v| ≤ 5000) — and
-    derives ``(ss - s·s/n)/denom`` as ONE float expression at the end,
-    clamped at 0 against fp residue; SQL NULL when n = 0 (pop) or
-    n < 2 (samp).  Reproduce in SQL with the same closed form over
-    HUGEINT sums cast to DOUBLE (the ``lineitem_corr`` pattern), not
-    the engine's own ``var_pop`` (different summation algorithm).
+    The variance family ships (Σv², Σv, n) partials.  Integer columns
+    stay EXACT and order-independent at any scale: each square goes
+    through ``multiply_checked`` int64 (so |v| < ~3.04e9 or it raises,
+    never wraps) and BOTH sums accumulate as decimal128(38, 0) —
+    overflow-free to 10^38, far past any 10^12-row corpus — then cast
+    to float64 once.  Float columns accumulate in float64 (the usual
+    order caveat).  The end is ``(ss - s·s/n)/denom`` as ONE float
+    expression, clamped at 0 against fp residue; SQL NULL when n = 0
+    (pop) or n < 2 (samp).  Reproduce in SQL with the same closed form
+    over HUGEINT sums cast to DOUBLE (the ``lineitem_corr`` pattern),
+    not the engine's own ``var_pop`` (different summation algorithm).
 
     Float caveat: float sums depend on addition order; pre-scale to
     integer cents (and divide after) when exact cross-engine equality
@@ -889,7 +906,7 @@ def group_agg(
             _need(col, "count")
         elif op in var_ops:
             _need(col, "sum_sq")
-            _need(col, "sum")
+            _need(col, "sum_dec")
             _need(col, "count")
         else:
             _need(col, op)
@@ -908,15 +925,29 @@ def group_agg(
                 if sq not in tab.column_names:
                     v = tab[c]
                     if pa.types.is_integer(v.type):
-                        # exact, order-independent; raise (never wrap)
-                        # if a square leaves int64
+                        # exact, order-independent: the per-element
+                        # square is checked int64 (raises, never
+                        # wraps), the accumulation decimal128
                         vv = pc.cast(v, pa.int64())
-                        tab = tab.append_column(
-                            sq, pc.multiply_checked(vv, vv))
+                        tab = tab.append_column(sq, pc.cast(
+                            pc.multiply_checked(vv, vv),
+                            pa.decimal128(38, 0)))
                     else:
                         vf = pc.cast(v, pa.float64())
                         tab = tab.append_column(sq, pc.multiply(vf, vf))
                 spec.append((sq, "sum"))
+            elif fn == "sum_dec":
+                dc = f"__dec_{c}"
+                if dc not in tab.column_names:
+                    v = tab[c]
+                    if pa.types.is_integer(v.type):
+                        tab = tab.append_column(dc, pc.cast(
+                            pc.cast(v, pa.int64()),
+                            pa.decimal128(38, 0)))
+                    else:
+                        tab = tab.append_column(
+                            dc, pc.cast(v, pa.float64()))
+                spec.append((dc, "sum"))
             else:
                 spec.append(([] if fn == "count_all" else c, fn))
         return agg_named(tab, group_cols, spec,
@@ -926,7 +957,8 @@ def group_agg(
         _partial, batch_format="pyarrow")
 
     merge_fn = {"sum": "sum", "min": "min", "max": "max",
-                "count": "sum", "count_all": "sum", "sum_sq": "sum"}
+                "count": "sum", "count_all": "sum", "sum_sq": "sum",
+                "sum_dec": "sum"}
 
     def _final(tab: pa.Table) -> pa.Table:
         spec = [(_pname(c, fn), merge_fn[fn]) for c, fn in partials]
@@ -942,18 +974,21 @@ def group_agg(
                 out[name] = pc.if_else(
                     pc.equal(cnt, 0),
                     pa.nulls(g.num_rows, type=pa.float64()),
-                    pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64()),
-                              pc.cast(cnt, pa.float64())))
+                    pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64(),
+                                      safe=False),
+                              pc.cast(cnt, pa.float64(), safe=False)))
             elif op in var_ops:
                 # one float expression over exact partials, identical
                 # op order to the documented SQL closed form:
-                # (ss - s*s/n) / denom
-                n_np = pc.cast(g[_pname(col, "count")], pa.float64()) \
-                    .to_numpy(zero_copy_only=False)
-                s_np = pc.cast(g[_pname(col, "sum")], pa.float64()) \
-                    .to_numpy(zero_copy_only=False)
-                ss_np = pc.cast(g[_pname(col, "sum_sq")], pa.float64()) \
-                    .to_numpy(zero_copy_only=False)
+                # (ss - s*s/n) / denom.  safe=False: the default safe
+                # int64→float64 cast rejects |x| > 2^53 — the whole
+                # point of the exact partials is surviving past that
+                n_np = pc.cast(g[_pname(col, "count")], pa.float64(),
+                               safe=False).to_numpy(zero_copy_only=False)
+                s_np = pc.cast(g[_pname(col, "sum_dec")], pa.float64(),
+                               safe=False).to_numpy(zero_copy_only=False)
+                ss_np = pc.cast(g[_pname(col, "sum_sq")], pa.float64(),
+                                safe=False).to_numpy(zero_copy_only=False)
                 pop = op.endswith("_pop")
                 denom = n_np if pop else n_np - 1.0
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -1173,8 +1208,9 @@ def _grouping_sets(
                 out[name] = pc.if_else(
                     pc.equal(cnt, 0),
                     pa.nulls(g.num_rows, type=pa.float64()),
-                    pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64()),
-                              pc.cast(cnt, pa.float64())))
+                    pc.divide(pc.cast(g[_pname(col, "sum")], pa.float64(),
+                                      safe=False),
+                              pc.cast(cnt, pa.float64(), safe=False)))
             else:
                 out[name] = g[_pname(col, op)]
         return pa.table(out)

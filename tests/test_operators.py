@@ -53,6 +53,18 @@ def test_distinct_count(ray_session):
     assert out["n_distinct"].to_pylist() == [2, 1]
 
 
+def test_distinct_count_null_semantics(ray_session):
+    # SQL count(DISTINCT v): nulls don't count, but an all-null group
+    # stays in the output with 0
+    from rayskema.pipelines.relational import distinct_count
+    ds = rd.from_arrow(pa.table({
+        "g": [1, 1, 1, 2, 3],
+        "v": ["a", None, "b", None, "c"]}))
+    out = _collect(distinct_count(ds, "g", "v", buckets=2)).sort_by("g")
+    assert out["g"].to_pylist() == [1, 2, 3]
+    assert out["n_distinct"].to_pylist() == [2, 0, 1]
+
+
 def test_ref_violations_broadcast(ray_session):
     from rayskema.pipelines.relational import ref_violations
     ds = rd.from_arrow(pa.table({
@@ -1427,6 +1439,18 @@ def test_group_agg_variance(ray_session):
     assert d["n"] == 0 and d["vp"] is None and d["ss"] is None
 
 
+def test_group_agg_variance_large_magnitude(ray_session):
+    # partials past 2^53 (Σv² = 8e18) must flow through the decimal
+    # accumulation and unsafe float casts, not crash on a safe cast
+    from rayskema.pipelines.relational import group_agg
+    vals = [2_000_000_000, 2_000_000_000, 0]
+    ds = rd.from_arrow(pa.table({"g": ["a"] * 3, "v": vals}))
+    out = _collect(group_agg(ds, ["g"], [("v", "var_pop", "vp")],
+                             buckets=1)).to_pylist()
+    ss, s, n = float(sum(v * v for v in vals)), float(sum(vals)), 3.0
+    assert out[0]["vp"] == (ss - s * s / n) / n
+
+
 def test_group_agg_variance_overflow_raises(ray_session):
     from rayskema.pipelines.relational import group_agg
     big = 4_000_000_000                       # square leaves int64
@@ -1446,14 +1470,15 @@ def test_approx_distinct_count(ray_session):
             for _ in range(2):                     # duplicates
                 rows.append({"g": g, "v": f"{g}-{i}"})
     rows.append({"g": "a", "v": None})             # null value ignored
+    rows.append({"g": "z", "v": None})             # all-null group -> 0
     df = pd.DataFrame(rows)
     ds = rd.from_pandas(df).repartition(6)
     out = {r["g"]: r["n_approx"] for r in _collect(
         approx_distinct_count(ds, "g", "v", buckets=3)).to_pylist()}
     exact = {r["g"]: r["n_distinct"] for r in _collect(
-        distinct_count(ds.filter(lambda r: r["v"] is not None),
-                       "g", "v")).to_pylist()}
-    assert set(out) == {"a", "b", None}
+        distinct_count(ds, "g", "v")).to_pylist()}
+    assert set(out) == {"a", "b", "z", None}
+    assert out["z"] == 0 and exact["z"] == 0
     for g, e in exact.items():
         assert abs(out[g] - e) <= max(1, 0.05 * e), (g, out[g], e)
     # parallelism-independence: merged registers are a max over the
