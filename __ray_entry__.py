@@ -1754,6 +1754,212 @@ def _q_parts_min_price(sf_dir: str):
                      broadcast=True)
 
 
+def _q_lineitem_q12(sf_dir: str):
+    """TPC-H Q12 shape — conditional aggregation over a fact-fact
+    join: lineitems shipped in 1996 joined to their orders through the
+    BUCKETED exchange, then per-returnflag counts split by order
+    priority as vectorized 0/1 indicator sums (SQL CASE WHEN) — no
+    second pass, no per-row branch.  The ship-date window is pushed
+    into the lineitem read so only (key, flag) leave storage."""
+    import datetime
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+        filter=((pc.field("l_shipdate")
+                 >= pa.scalar(datetime.datetime(1996, 1, 1)))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(datetime.datetime(1997, 1, 1)))))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                  how="inner", buckets=16)
+
+    def _flags(t: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "hi": hi,
+            "lo": pc.subtract(pa.scalar(1, pa.int64()), hi)})
+
+    return group_agg(j.map_batches(_flags, batch_format="pyarrow"),
+                     ["l_returnflag"],
+                     [("hi", "sum", "high_line_count"),
+                      ("lo", "sum", "low_line_count")], buckets=4)
+
+
+def _q_lineitem_q17(sf_dir: str):
+    """TPC-H Q17 shape — per-group scalar subquery applied as a
+    cross-multiplied INTEGER filter: small-quantity orders for one
+    brand's parts, where "small" means below 20% of that part's own
+    average quantity.  ``q < 0.2·(sum/n)`` becomes ``q_c·5·n < sum_c``
+    (exact cents, no float threshold; int64-safe: 5e3·5·1e12 rows/part
+    would still need n<4e14).  Plan: brand parts broadcast-semi-join
+    into lineitem, per-part (sum, n) partials in ONE exchange, the
+    O(brand-parts) stats table broadcast BACK onto the same stream,
+    filter, then a single global sum — the per-part average never
+    materializes as a float anywhere."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    brand_parts = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"],
+        filter=(pc.field("p_brand") == pa.scalar("Brand#2")))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty_c": pc.cast(pc.round(pc.multiply(
+                t["l_quantity"], 100.0)), pa.int64()),
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    li_b = hash_join(li, brand_parts, on=["l_partkey"],
+                     right_on=["p_partkey"], how="left_semi",
+                     broadcast=True)
+    stats = group_agg(li_b, ["l_partkey"],
+                      [("qty_c", "sum", "sum_q"),
+                       ("qty_c", "count_all", "n_q")], buckets=4)
+    j = hash_join(li_b, stats, on=["l_partkey"], how="inner",
+                  broadcast=True)
+
+    def _small(t: pa.Table) -> pa.Table:
+        keep = pc.less(pc.multiply(pc.multiply(
+            t["qty_c"], pa.scalar(5, pa.int64())), t["n_q"]), t["sum_q"])
+        t = t.filter(keep)
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "price_c": t["price_c"]})
+
+    tot = group_agg(j.map_batches(_small, batch_format="pyarrow"),
+                    ["g"], [("price_c", "sum", "total_c"),
+                            ("price_c", "count_all", "n")], buckets=1)
+    # one float division over the exact integer total on both engines
+    return tot.map_batches(lambda t: pa.table({
+        "avg_yearly": pc.divide(pc.cast(t["total_c"], pa.float64()),
+                                700.0),
+        "n": t["n"]}), batch_format="pyarrow")
+
+
+def _q_lineitem_q19(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive multi-clause predicate over a
+    dimension join: revenue from three (brand, size-range, qty-range)
+    clause combinations OR-ed together.  The part dimension is
+    broadcast ONCE; the OR-of-ANDs evaluates as vectorized boolean
+    kernels over the joined batch (a row loop per clause is the
+    anti-pattern).  The shared qty≤30 envelope of all three clauses is
+    pushed into the lineitem read so non-candidate rows never leave
+    storage; revenue in exact integer basis points."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=(pc.field("l_quantity") <= pa.scalar(30.0)))
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": t["l_quantity"],
+            "rev_bp": pc.multiply(
+                pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], 100.0)), pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            pc.cast(pc.round(pc.multiply(
+                                t["l_discount"], 100.0)), pa.int64())))})
+
+    j = hash_join(li.map_batches(_prep, batch_format="pyarrow"), part,
+                  on=["l_partkey"], right_on=["p_partkey"], how="inner",
+                  broadcast=True)
+
+    def _clauses(t: pa.Table) -> pa.Table:
+        def clause(brand, smax, qlo, qhi):
+            return pc.and_(pc.and_(
+                pc.equal(t["p_brand"], pa.scalar(brand)),
+                pc.less_equal(t["p_size"], pa.scalar(smax, pa.int32()))),
+                pc.and_(pc.greater_equal(t["qty"], pa.scalar(float(qlo))),
+                        pc.less_equal(t["qty"], pa.scalar(float(qhi)))))
+        keep = pc.or_(pc.or_(clause("Brand#12", 5, 1, 11),
+                             clause("Brand#23", 10, 10, 20)),
+                      clause("Brand#34", 15, 20, 30))
+        t = t.filter(keep)
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "rev_bp": t["rev_bp"]})
+
+    tot = group_agg(j.map_batches(_clauses, batch_format="pyarrow"),
+                    ["g"], [("rev_bp", "sum", "rev_bp"),
+                            ("rev_bp", "count_all", "n")], buckets=1)
+    return tot.map_batches(lambda t: pa.table({
+        "revenue": pc.divide(pc.cast(t["rev_bp"], pa.float64()),
+                             10000.0),
+        "n": t["n"]}), batch_format="pyarrow")
+
+
+def _q_customers_q10(sf_dir: str):
+    """TPC-H Q10 shape — returned-item revenue top-k: lineitems with
+    returnflag R in a quarter's orders, revenue grouped per customer,
+    global top 20.  Both single-table predicates are pushed into the
+    reads; the fact-fact join runs BUCKETED on orderkey; the customer
+    name resolves by BROADCAST onto the O(customers) aggregate, never
+    the lineitem stream; top-k is a distributed sort+limit on the
+    already-collapsed table.  Ties broken by custkey on both engines."""
+    import datetime
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == pa.scalar("R")))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate")
+                 >= pa.scalar(datetime.datetime(1996, 1, 1)))
+                & (pc.field("o_orderdate")
+                   < pa.scalar(datetime.datetime(1996, 4, 1)))))
+
+    def _rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_bp": pc.multiply(
+                pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], 100.0)), pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            pc.cast(pc.round(pc.multiply(
+                                t["l_discount"], 100.0)), pa.int64())))})
+
+    j = hash_join(li.map_batches(_rev, batch_format="pyarrow"), orders,
+                  on=["l_orderkey"], right_on=["o_orderkey"],
+                  how="inner", buckets=16)
+    per_cust = group_agg(j, ["o_custkey"],
+                         [("rev_bp", "sum", "rev_bp")], buckets=16)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal"])
+    out = hash_join(per_cust, cust, on=["o_custkey"],
+                    right_on=["c_custkey"], how="inner", broadcast=True)
+
+    def _shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "acctbal_c": pc.cast(pc.round(pc.multiply(
+                t["c_acctbal"], 100.0)), pa.int64()),
+            "revenue": pc.divide(pc.cast(t["rev_bp"], pa.float64()),
+                                 10000.0)})
+
+    return out.map_batches(_shape, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False]) \
+        .limit(20)
+
+
 def _q_events_approx_distinct(sf_dir: str):
     """Approximate distinct users per event type (grouped HLL
     partials): O(groups × blocks) sketch bytes cross the exchange
@@ -2185,6 +2391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "lineitem_q12": _q_lineitem_q12,
+        "lineitem_q17": _q_lineitem_q17,
+        "lineitem_q19": _q_lineitem_q19,
+        "customers_q10": _q_customers_q10,
         "lineitem_rollup": _q_lineitem_rollup,
         "orders_cube": _q_orders_cube,
         "orders_share": _q_orders_share,
@@ -3223,6 +3433,69 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "lineitem_q12": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "lineitem_q17": """
+            WITH s AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS sum_q,
+                       count(*) AS n_q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#2'
+                GROUP BY l_partkey)
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)) AS DOUBLE) / 700.0
+                       AS avg_yearly,
+                   count(*) AS n
+            FROM lineitem JOIN s ON lineitem.l_partkey = s.l_partkey
+            WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * n_q
+                  < sum_q
+            HAVING count(*) > 0
+        """,
+        "lineitem_q19": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS DOUBLE) / 10000 AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+            HAVING count(*) > 0
+        """,
+        "customers_q10": """
+            SELECT c_custkey, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS DOUBLE) / 10000 AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "orders_q4": """
             SELECT o_orderpriority, count(*) AS n
