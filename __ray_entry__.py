@@ -1960,6 +1960,211 @@ def _q_customers_q10(sf_dir: str):
         .limit(20)
 
 
+def _q_suppliers_q15(sf_dir: str):
+    """TPC-H Q15 shape — argmax over an aggregate (the "top supplier"
+    view): per-supplier revenue for a quarter's shipments, then the
+    supplier(s) tying the global maximum.  One exchange collapses
+    lineitem to O(suppliers) rows; the global max folds through a
+    single-bucket partial (one row reaches the driver as two ints);
+    the equality filter and the name lookup run broadcast — no second
+    data shuffle, ties kept exactly as SQL does."""
+    import datetime
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate")
+                 >= pa.scalar(datetime.datetime(1996, 1, 1)))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(datetime.datetime(1996, 4, 1)))))
+
+    def _rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "rev_bp": pc.multiply(
+                pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], 100.0)), pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            pc.cast(pc.round(pc.multiply(
+                                t["l_discount"], 100.0)), pa.int64())))})
+
+    per_supp = group_agg(li.map_batches(_rev, batch_format="pyarrow"),
+                         ["l_suppkey"], [("rev_bp", "sum", "rev_bp")],
+                         buckets=8)
+
+    def _const(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "rev_bp": t["rev_bp"]})
+
+    mx = group_agg(per_supp.map_batches(_const, batch_format="pyarrow"),
+                   ["g"], [("rev_bp", "max", "mx")], buckets=1).take_all()
+    max_bp = int(mx[0]["mx"]) if mx else 0
+
+    best = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(
+            t["rev_bp"], pa.scalar(max_bp, pa.int64()))),
+        batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = hash_join(best, supp, on=["l_suppkey"], right_on=["s_suppkey"],
+                    how="inner", broadcast=True)
+    return out.map_batches(lambda t: pa.table({
+        "s_suppkey": t["l_suppkey"],
+        "s_name": t["s_name"],
+        "total_revenue": pc.divide(pc.cast(t["rev_bp"], pa.float64()),
+                                   10000.0)}), batch_format="pyarrow")
+
+
+def _q_parts_q11(sf_dir: str):
+    """TPC-H Q11 shape — per-group total HAVING a fraction of the
+    GLOBAL total: parts whose shipped value exceeds 1/1500 of all
+    shipped value.  The per-part sums come from one exchange; the
+    global total is the sum of the O(parts) per-part rows through a
+    single-bucket partial (two ints to the driver).  The fractional
+    comparison ``part > total/1500`` is applied as the EXACT integer
+    threshold ``part ≥ floor(total/1500)+1`` (driver-side Python
+    bigint, immune to int64 overflow at any corpus size), so no float
+    threshold can diverge between engines."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    per_part = group_agg(li, ["l_partkey"],
+                         [("price_c", "sum", "value_c")], buckets=16)
+
+    def _const(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "value_c": t["value_c"]})
+
+    tot = group_agg(per_part.map_batches(_const, batch_format="pyarrow"),
+                    ["g"], [("value_c", "sum", "s")], buckets=1).take_all()
+    total = int(tot[0]["s"]) if tot else 0
+    # a*1500 > total  <=>  a >= floor(total/1500)+1 (exact for ints)
+    thresh = total // 1500 + 1
+    return per_part.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["value_c"], pa.scalar(thresh, pa.int64()))),
+        batch_format="pyarrow")
+
+
+def _q_suppliers_q21(sf_dir: str):
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS over sibling rows:
+    suppliers who are the ONLY supplier with a returned line in a
+    finished multi-supplier order, counted per supplier.  The
+    commit/receipt-date lateness of stock Q21 maps to the return flag
+    this dataset carries.  Plan: every stage shares the ORDERKEY
+    partitioning — semi-join to 'F' orders, two distinct-counts (all
+    suppliers / returning suppliers per order), stats join, candidate
+    filter — so the key never re-shuffles; the per-supplier count is
+    the only second key, over rows already collapsed to O(orders)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (distinct_count, group_agg,
+                                               hash_join)
+
+    orders_f = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"],
+        filter=(pc.field("o_orderstatus") == pa.scalar("F")))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+    li_f = hash_join(li, orders_f, on=["l_orderkey"],
+                     right_on=["o_orderkey"], how="left_semi",
+                     buckets=16)
+    n_supp = distinct_count(li_f, "l_orderkey", "l_suppkey", buckets=16) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"], "n_supp": t["n_distinct"]}),
+            batch_format="pyarrow")
+    rlines = li_f.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], pa.scalar("R"))),
+        batch_format="pyarrow")
+    n_rsupp = distinct_count(rlines, "l_orderkey", "l_suppkey",
+                             buckets=16) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"], "n_rsupp": t["n_distinct"]}),
+            batch_format="pyarrow")
+    stats = hash_join(n_supp, n_rsupp, on=["l_orderkey"], how="inner",
+                      buckets=16)
+    # one row per (order, returning supplier)
+    pairs = group_agg(rlines, ["l_orderkey", "l_suppkey"],
+                      [("l_suppkey", "count_all", "n_lines")],
+                      buckets=16)
+    cand = hash_join(pairs, stats, on=["l_orderkey"], how="inner",
+                     buckets=16)
+    keep = cand.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["n_supp"], pa.scalar(2, pa.int64())),
+            pc.equal(t["n_rsupp"], pa.scalar(1, pa.int64())))),
+        batch_format="pyarrow")
+    numwait = group_agg(keep, ["l_suppkey"],
+                        [("l_orderkey", "count_all", "numwait")],
+                        buckets=8)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = hash_join(numwait, supp, on=["l_suppkey"],
+                    right_on=["s_suppkey"], how="inner", broadcast=True)
+    return out.map_batches(lambda t: pa.table({
+        "s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
+        "numwait": t["numwait"]}), batch_format="pyarrow") \
+        .sort(["numwait", "s_suppkey"], descending=[True, False]) \
+        .limit(10)
+
+
+def _q_suppliers_q20(sf_dir: str):
+    """TPC-H Q20 shape — nested semi-join with a PER-KEY threshold:
+    suppliers who shipped more than TWICE the average supplier's
+    volume of some matching part.  Per-(part, supplier) sums collapse
+    lineitem in one exchange already partitioned by part; the
+    O(matching-parts) per-part (total, n-suppliers) broadcast back
+    onto the same stream; the share test is the integer
+    cross-multiplication ``supp_qty·n_supp > 2·part_qty`` (no float
+    average anywhere); the surviving supplier keys dedup through a
+    tiny group_agg and resolve names by broadcast."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    green = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"],
+        filter=pc.match_substring(pc.field("p_name"), "a"))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "qty_c": pc.cast(pc.round(pc.multiply(
+                t["l_quantity"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    li_g = hash_join(li, green, on=["l_partkey"], right_on=["p_partkey"],
+                     how="left_semi", broadcast=True)
+    sp = group_agg(li_g, ["l_partkey", "l_suppkey"],
+                   [("qty_c", "sum", "supp_qty_c")], buckets=16)
+    totals = group_agg(sp, ["l_partkey"],
+                       [("supp_qty_c", "sum", "part_qty_c"),
+                        ("supp_qty_c", "count_all", "n_supp")],
+                       buckets=8)
+    j = hash_join(sp, totals, on=["l_partkey"], how="inner",
+                  broadcast=True)
+    dominant = j.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["supp_qty_c"], t["n_supp"]),
+            pc.multiply(t["part_qty_c"], pa.scalar(2, pa.int64())))),
+        batch_format="pyarrow")
+    supp_keys = group_agg(dominant, ["l_suppkey"],
+                          [("l_partkey", "count_all", "n_parts")],
+                          buckets=8)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = hash_join(supp_keys, supp, on=["l_suppkey"],
+                    right_on=["s_suppkey"], how="inner", broadcast=True)
+    return out.map_batches(lambda t: pa.table({
+        "s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
+        "n_parts": t["n_parts"]}), batch_format="pyarrow")
+
+
 def _q_events_approx_distinct(sf_dir: str):
     """Approximate distinct users per event type (grouped HLL
     partials): O(groups × blocks) sketch bytes cross the exchange
@@ -2391,6 +2596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "suppliers_q15": _q_suppliers_q15,
+        "parts_q11": _q_parts_q11,
+        "suppliers_q21": _q_suppliers_q21,
+        "suppliers_q20": _q_suppliers_q20,
         "lineitem_q12": _q_lineitem_q12,
         "lineitem_q17": _q_lineitem_q17,
         "lineitem_q19": _q_lineitem_q19,
@@ -3433,6 +3642,68 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "suppliers_q15": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS rev_bp
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   CAST(rev_bp AS DOUBLE) / 10000 AS total_revenue
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE rev_bp = (SELECT max(rev_bp) FROM r)
+        """,
+        "parts_q11": """
+            WITH p AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS value_c
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value_c FROM p
+            WHERE value_c * 1500 > (SELECT sum(value_c) FROM p)
+        """,
+        "suppliers_q21": """
+            SELECT t.s_suppkey, s_name, numwait FROM (
+                SELECT l.l_suppkey AS s_suppkey, count(*) AS numwait
+                FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                      FROM lineitem WHERE l_returnflag = 'R') l
+                JOIN orders ON o_orderkey = l.l_orderkey
+                           AND o_orderstatus = 'F'
+                WHERE EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = l.l_orderkey
+                                AND l2.l_suppkey <> l.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                  WHERE l3.l_orderkey = l.l_orderkey
+                                    AND l3.l_suppkey <> l.l_suppkey
+                                    AND l3.l_returnflag = 'R')
+                GROUP BY l.l_suppkey) t
+            JOIN supplier ON supplier.s_suppkey = t.s_suppkey
+            ORDER BY numwait DESC, t.s_suppkey
+            LIMIT 10
+        """,
+        "suppliers_q20": """
+            WITH sp AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS supp_qty_c
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE '%a%'
+                GROUP BY l_partkey, l_suppkey),
+            tot AS (
+                SELECT l_partkey, sum(supp_qty_c) AS part_qty_c,
+                       count(*) AS n_supp
+                FROM sp GROUP BY l_partkey)
+            SELECT t.s_suppkey, s_name, n_parts FROM (
+                SELECT l_suppkey AS s_suppkey, count(*) AS n_parts
+                FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+                WHERE supp_qty_c * n_supp > 2 * part_qty_c
+                GROUP BY l_suppkey) t
+            JOIN supplier ON supplier.s_suppkey = t.s_suppkey
         """,
         "lineitem_q12": """
             SELECT l_returnflag,

@@ -2126,8 +2126,36 @@ def hash_join(
     jt = _JOIN_TYPES[how]
     semi = how in ("left_semi", "left_anti")
 
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    # an upstream that dropped every row of a lazy chain can lose its
+    # schema entirely (Dataset.schema() -> None); such a side IS empty,
+    # so resolve the join without executing anything:
+    #   left empty:  inner/semi/anti/left_outer are all empty; pass the
+    #                empty left through (full_outer degenerates to the
+    #                right side, which needs a right schema we may not
+    #                have either — keep the simple empty passthrough
+    #                only for left-preserving types)
+    #   right empty: inner/left_semi are empty-left; left_anti and
+    #                left_outer keep every left row (outer's right cols
+    #                are unknowable without a right schema, so only the
+    #                column-preserving anti passes through)
+    lsch = left.schema()
+    rsch = right.schema()
+    if lsch is None and how != "full_outer":
+        return left
+    if rsch is None:
+        if how in ("inner", "left_semi"):
+            return left.limit(0)
+        if how == "left_anti":
+            return left
+        raise ValueError(
+            f"right side of a {how} join is empty with no schema; "
+            "cannot derive the right-hand output columns")
+    if lsch is None:
+        raise ValueError(
+            "left side of a full_outer join is empty with no schema; "
+            "cannot derive the left-hand output columns")
+    lschema = lsch.base_schema
+    rschema = rsch.base_schema
     lcols = list(lschema.names)
     lval = [c for c in lcols if c not in keys]
     rval = [c for c in rschema.names if c not in rkeys]

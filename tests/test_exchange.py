@@ -173,3 +173,38 @@ def test_sort_exchange_adaptive_buckets(ray_session):
     merged = pa.concat_tables(out_tabs).sort_by("k")
     assert merged["k"].to_pylist() == list(range(7))
     assert all(n in (714, 715) for n in merged["n"].to_pylist())
+
+
+def test_hash_join_schemaless_empty_sides(ray_session):
+    """A lazy chain that drops every row can lose its schema entirely
+    (Dataset.schema() -> None); hash_join must resolve such joins
+    without crashing: empty-left passthrough for left-preserving
+    types, empty/identity for the empty-right cases."""
+    R = rel
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "v": pa.array([10, 20, 30], type=pa.int64())}))
+
+    # an aggregated-then-filtered-to-nothing chain loses its schema
+    agged = R.group_agg(left, ["k"], [("v", "sum", "s")], buckets=2)
+    void = agged.map_batches(
+        lambda t: t.filter(pc.greater(t["s"], 10**9)),
+        batch_format="pyarrow")
+    void = R.group_agg(void, ["k"], [("s", "sum", "s")], buckets=2)
+    assert void.schema() is None
+
+    # schema-less right: inner/semi -> empty, anti -> left unchanged
+    for how, expect in (("inner", 0), ("left_semi", 0), ("left_anti", 3)):
+        out = R.hash_join(left, void, on=["k"], how=how, broadcast=False)
+        assert out.count() == expect, how
+    # left_outer with an unknowable right schema raises clearly
+    try:
+        R.hash_join(left, void, on=["k"], how="left_outer")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "no schema" in str(e)
+
+    # schema-less left: left-preserving joins pass the empty through
+    for how in ("inner", "left_semi", "left_anti", "left_outer"):
+        out = R.hash_join(void, left, on=["k"], how=how)
+        assert out.count() == 0, how
