@@ -2165,6 +2165,23 @@ def _q_suppliers_q20(sf_dir: str):
         "n_parts": t["n_parts"]}), batch_format="pyarrow")
 
 
+def _q_events_sigma_outliers(sf_dir: str):
+    """Robust per-group anomaly detection with an EXACT decision
+    boundary: events whose value is more than 3 population standard
+    deviations from their type's mean.  The z-score test never runs
+    in float — integer moment partials merge driver-side as Python
+    bigints, per-group integer thresholds derive via isqrt, and the
+    filter pass compares int64s — so the flagged set is bit-identical
+    to DuckDB's ``(v·n−s)² > 9(n·ss−s²)`` predicate at any
+    parallelism or scale."""
+    from rayskema.functions.profile import group_sigma_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = group_sigma_outliers(ds, "event_type", "value", k=3,
+                               scale=100, out_col="value_c")
+    return out.select_columns(["event_id", "event_type", "value_c"])
+
+
 def _q_events_approx_distinct(sf_dir: str):
     """Approximate distinct users per event type (grouped HLL
     partials): O(groups × blocks) sketch bytes cross the exchange
@@ -2596,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "events_sigma_outliers": _q_events_sigma_outliers,
         "suppliers_q15": _q_suppliers_q15,
         "parts_q11": _q_parts_q11,
         "suppliers_q21": _q_suppliers_q21,
@@ -3642,6 +3660,30 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "events_sigma_outliers": """
+            WITH m AS (
+                SELECT event_type,
+                       count(value) AS n,
+                       sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS HUGEINT)) AS s,
+                       sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS HUGEINT)
+                           * CAST(round(value * 100) AS BIGINT)) AS ss
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_c
+            FROM events e JOIN m ON e.event_type = m.event_type
+            WHERE value IS NOT NULL
+              AND ((CAST(round(value * 100) AS BIGINT) * n - s > 0
+                    AND (CAST(round(value * 100) AS BIGINT) * n - s)
+                        * (CAST(round(value * 100) AS BIGINT) * n - s)
+                        > 9 * (n * ss - s * s))
+                OR (s - CAST(round(value * 100) AS BIGINT) * n > 0
+                    AND (s - CAST(round(value * 100) AS BIGINT) * n)
+                        * (s - CAST(round(value * 100) AS BIGINT) * n)
+                        > 9 * (n * ss - s * s)))
         """,
         "suppliers_q15": """
             WITH r AS (

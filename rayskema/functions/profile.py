@@ -329,3 +329,124 @@ def paired_moments_corr(
             else float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
     return pa.table({"n": pa.array([n], type=pa.int64()),
                      "corr": pa.array([corr], type=pa.float64())})
+
+
+def group_sigma_outliers(
+    ds: "rd.Dataset", group_col: str, value_col: str, *, k: int = 3,
+    scale: int = 1, out_col: str | None = None,
+) -> "rd.Dataset":
+    """Rows whose value lies more than ``k`` population standard
+    deviations from its GROUP's mean — with an EXACT decision
+    boundary, so the result is bit-identical to SQL's
+    ``(v·n − s)² > k²·(n·ss − s²)`` predicate at any parallelism.
+
+    The z-score test is never evaluated in floating point: one pruned
+    scan emits per-(block, group) integer moment partials
+    ``(n, Σv, Σv²)`` (vectorized 32-bit-limb exact sums — the
+    ``paired_moments_corr`` machinery), the driver merges the
+    O(groups × blocks) partials with Python big-int arithmetic and
+    derives, per group, the largest/smallest NON-outlier integer value
+    via ``isqrt`` (floor of an irrational bound computed exactly — no
+    float ever touches the comparison).  The O(groups) threshold table
+    broadcasts into a second filtering pass as two int64 lookups per
+    row.  Driver state is O(groups × blocks) partial rows, never data.
+
+    ``scale`` converts decimal-valued doubles to exact integers (100
+    for cents) with half-AWAY rounding (SQL ROUND semantics).  Null
+    values and null group keys are never outliers (SQL comparison /
+    join semantics).  A constant group (σ = 0) flags nothing — every
+    value equals the mean — exactly as the SQL predicate does (the
+    degenerate-σ clause only matters for near-constant groups, where
+    the integer test still decides exactly).  Output: the input rows
+    that are outliers, with the scaled integer value appended as
+    ``out_col`` (default ``{value_col}_scaled``).
+
+    Reference analogue: goskema's Range checks are static bounds
+    (rules/rules.go); this is the data-derived robust-bound form a
+    drift/quality pipeline needs."""
+    import math
+
+    from . import round_half_away
+
+    out_col = out_col or f"{value_col}_scaled"
+
+    def _scaled(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_integer(col.type) and scale == 1:
+            return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return round_half_away(
+            pc.multiply(pc.cast(col, pa.float64()), float(scale))
+            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(tab[group_col]),
+                       pc.is_valid(tab[value_col]))
+        tab = tab.filter(keep)
+        g = tab[group_col].to_numpy(zero_copy_only=False)
+        v = _scaled(tab[value_col])
+        # one exact-sum call per distinct group in the block (an
+        # O(groups)-iteration loop, never per-row)
+        uniq, inv = np.unique(g, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        rows = {"g": [], "n": [], "s": [], "ss": []}
+        for i, gv in enumerate(uniq):
+            seg = v[order[bounds[i]:bounds[i + 1]]]
+            rows["g"].append(gv)
+            rows["n"].append(len(seg))
+            rows["s"].append(str(_exact_sum(seg)))
+            rows["ss"].append(str(_exact_dot(seg, seg)))
+        return pa.table({
+            "g": pa.array(rows["g"], type=tab[group_col].type),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "s": pa.array(rows["s"]), "ss": pa.array(rows["ss"])})
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    stats: dict = {}
+    for p in parts:
+        n0, s0, ss0 = stats.get(p["g"], (0, 0, 0))
+        stats[p["g"]] = (n0 + int(p["n"]), s0 + int(p["s"]),
+                         ss0 + int(p["ss"]))
+
+    i64_max, i64_min = 2 ** 63 - 1, -(2 ** 63)
+    groups, hi_b, lo_b = [], [], []
+    for gv, (n, s, ss) in stats.items():
+        if n == 0:
+            continue
+        k2x = k * k * (n * ss - s * s)
+        r = math.isqrt(k2x)
+        # smallest upper outlier: v·n − s > 0 and (v·n − s)² > k²X;
+        # cand+2 provably satisfies, so the window always resolves
+        cand = (s + r) // n
+        t_hi = next(v for v in range(cand - 2, cand + 4)
+                    if v * n - s > 0 and (v * n - s) ** 2 > k2x)
+        cand = (s - r) // n
+        t_lo = next(v for v in range(cand + 2, cand - 4, -1)
+                    if s - v * n > 0 and (s - v * n) ** 2 > k2x)
+        groups.append(gv)
+        # beyond-int64 bounds mean "no outlier on that side" for int64
+        # values, so clamping preserves semantics exactly
+        hi_b.append(min(t_hi - 1, i64_max))
+        lo_b.append(max(t_lo + 1, i64_min))
+
+    thresholds = ray.put((groups, np.array(hi_b, dtype=np.int64),
+                          np.array(lo_b, dtype=np.int64)))
+
+    def _filter(tab: pa.Table) -> pa.Table:
+        gs, hi, lo = ray.get(thresholds)
+        garr = pa.array(gs, type=tab[group_col].type)
+        v = _scaled(tab[value_col])
+        idx = pc.index_in(tab[group_col], value_set=garr) \
+            .to_numpy(zero_copy_only=False)
+        found = ~np.isnan(idx) if idx.dtype.kind == "f" else \
+            np.ones(len(idx), dtype=bool)
+        pos = np.where(found, idx, 0).astype(np.int64)
+        vhi = hi[pos]
+        vlo = lo[pos]
+        valid = pc.is_valid(tab[value_col]) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        out = found & valid & ((v > vhi) | (v < vlo))
+        tab = tab.append_column(out_col, pa.array(v, type=pa.int64()))
+        return tab.filter(pa.array(out))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1506,3 +1506,58 @@ def test_approx_group_quantiles(ray_session):
         assert abs(by[("a", q)] - q * 1999) <= 0.02 * 2000
         assert abs(by[("b", q)] - q * 100) <= max(2, 0.05 * 101)
         assert by[("c", q)] is None
+
+
+def test_group_sigma_outliers_exact(ray_session):
+    """Exact integer decision boundary: reference z-score predicate in
+    Python bigints, constant group flags every off-mean value, nulls
+    (value or group) never flag, result parallelism-independent."""
+    import math
+
+    from rayskema.functions.profile import group_sigma_outliers
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.exponential(50.0, size=4000), 2)
+    g = np.array(["a", "b", "c", "d"])[np.arange(4000) % 4]
+    tab = pa.table({
+        "id": pa.array(np.arange(4000), type=pa.int64()),
+        "g": pa.array(g),
+        "v": pa.array(vals, type=pa.float64())})
+    # inject a constant group, a null value and a null group key
+    extra = pa.table({
+        "id": pa.array([9001, 9002, 9003, 9004, 9005], type=pa.int64()),
+        "g": pa.array(["k", "k", "k", None, "a"]),
+        "v": pa.array([5.0, 5.0, 7.25, 1e6, None], type=pa.float64())})
+    tab = pa.concat_tables([tab, extra])
+
+    # reference: exact predicate over python ints
+    cents = {}
+    for gv, v in zip(tab["g"].to_pylist(), tab["v"].to_pylist()):
+        if gv is None or v is None:
+            continue
+        c = int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
+        cents.setdefault(gv, []).append(c)
+    expect = set()
+    for gv, v, i in zip(tab["g"].to_pylist(), tab["v"].to_pylist(),
+                        tab["id"].to_pylist()):
+        if gv is None or v is None:
+            continue
+        cs = cents[gv]
+        n, s = len(cs), sum(cs)
+        ss = sum(c * c for c in cs)
+        c = int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
+        d = c * n - s
+        if d * d > 9 * (n * ss - s * s) and d != 0:
+            expect.add(i)
+    assert expect, "fixture must produce outliers"
+    # the near-constant group: 7.25 is >3 sigma from the {5, 5, 7.25}
+    # mean only if the exact predicate says so — mirror it, don't guess
+    assert (9003 in expect) == (450 * 450 > 9 * (3 * 1025625
+                                                 - 1725 * 1725))
+
+    for parallelism in (1, 7):
+        ds = rd.from_arrow(tab).repartition(parallelism)
+        out = group_sigma_outliers(ds, "g", "v", k=3, scale=100,
+                                   out_col="v_c")
+        got = {r["id"] for r in out.take_all()}
+        assert got == expect, (parallelism, got ^ expect)
