@@ -2165,6 +2165,22 @@ def _q_suppliers_q20(sf_dir: str):
         "n_parts": t["n_parts"]}), batch_format="pyarrow")
 
 
+def _q_docs_quality_filter(sf_dir: str):
+    """Model-scored document filtering (the fastText-quality-classifier
+    stage shape): an integer linear model over deterministic text
+    features, weights broadcast through the object store once and
+    resolved once per worker, one int64 feature-matrix matmul per
+    batch.  Integer features + integer weights ⇒ the scores and the
+    keep set are exact cross-engine."""
+    from rayskema.functions.textstats import linear_quality_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # (n_chars, n_alpha, n_digit, n_space, n_punct, n_words, max_word_len)
+    return linear_quality_filter(
+        ds, "text", "doc_id",
+        weights=(1, 2, -5, -1, -2, 3, -4), bias=0, threshold=890)
+
+
 def _q_events_sigma_outliers(sf_dir: str):
     """Robust per-group anomaly detection with an EXACT decision
     boundary: events whose value is more than 3 population standard
@@ -2613,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "docs_quality_filter": _q_docs_quality_filter,
         "events_sigma_outliers": _q_events_sigma_outliers,
         "suppliers_q15": _q_suppliers_q15,
         "parts_q11": _q_parts_q11,
@@ -3660,6 +3677,31 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "docs_quality_filter": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '',
+                                             'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS n_digit,
+                       length(text) - length(replace(text, ' ', ''))
+                           AS n_space,
+                       length(regexp_replace(text, '[^.,;:!?]', '',
+                                             'g')) AS n_punct,
+                       len(regexp_extract_all(text, '\\S+')) AS n_words,
+                       coalesce(list_max(list_transform(
+                           regexp_extract_all(text, '\\S+'),
+                           x -> length(x))), 0) AS max_word_len
+                FROM documents)
+            SELECT doc_id,
+                   (1 * n_chars + 2 * n_alpha - 5 * n_digit
+                    - 1 * n_space - 2 * n_punct + 3 * n_words
+                    - 4 * max_word_len)::BIGINT AS score
+            FROM f
+            WHERE 1 * n_chars + 2 * n_alpha - 5 * n_digit - 1 * n_space
+                  - 2 * n_punct + 3 * n_words - 4 * max_word_len >= 890
         """,
         "events_sigma_outliers": """
             WITH m AS (

@@ -588,3 +588,101 @@ def lm_trigram_score(ds: "rd.Dataset", text_col: str, id_col: str, *,
             "lm_score": pa.array(score)})
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (the fastText-classifier stage shape)
+# ---------------------------------------------------------------------------
+
+QUALITY_FEATURES = ("n_chars", "n_alpha", "n_digit", "n_space",
+                    "n_punct", "n_words", "max_word_len")
+
+
+class LinearQualityScorer:
+    """Broadcast-model scoring stage: an integer linear classifier over
+    deterministic text features (the distributed shape of a fastText /
+    logistic quality filter — swap the feature fn and weight vector
+    for a real model; the Ray plumbing is identical).
+
+    The weight vector rides the object store (``ray.put`` once on the
+    driver; each WORKER resolves the ref once on first batch and
+    caches it — the instance pickles with only the tiny ref, so the
+    model is never re-shipped per batch or per task); scoring is one
+    ``(rows × features) @ weights`` int64 matmul per batch.  All
+    features are INTEGER counts reproducible in SQL (the
+    ``quality_stats`` set plus ``n_chars``), so scores and the keep
+    decision are exact cross-engine at any parallelism.  Overflow
+    bound: |w|·n_chars summed over features must stay under 2^63 —
+    fine for any real document and single-digit weights."""
+
+    def __init__(self, weights_ref, bias: int, threshold: int,
+                 text_col: str, id_col: str):
+        self._wref = weights_ref
+        self._w: np.ndarray | None = None
+        self.bias, self.threshold = int(bias), int(threshold)
+        self.text_col, self.id_col = text_col, id_col
+
+    @property
+    def w(self) -> np.ndarray:
+        if self._w is None:
+            # per-worker ray.get is plasma-cached and zero-copy
+            self._w = np.asarray(ray.get(self._wref), dtype=np.int64)
+        return self._w
+
+    def _features(self, tab: pa.Table) -> np.ndarray:
+        t = tab[self.text_col]
+        f = np.empty((tab.num_rows, len(QUALITY_FEATURES)),
+                     dtype=np.int64)
+
+        def cnt(pattern: str) -> np.ndarray:
+            return pc.cast(pc.count_substring_regex(t, pattern=pattern),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+
+        f[:, 0] = pc.cast(pc.utf8_length(t), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        f[:, 1] = cnt(r"[A-Za-z]")
+        f[:, 2] = cnt(r"[0-9]")
+        f[:, 3] = cnt(r" ")
+        f[:, 4] = cnt(r"[.,;:!?]")
+        f[:, 5] = cnt(r"\S+")
+        words = pc.split_pattern_regex(t, pattern=r"\s+")
+        counts = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.utf8_length(pc.list_flatten(words)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        mx = np.zeros(len(counts), dtype=np.int64)
+        nz = counts > 0
+        if nz.any():
+            mx[nz] = np.maximum.reduceat(flat, starts[nz])
+        f[:, 6] = mx
+        return f
+
+    def __call__(self, tab: pa.Table) -> pa.Table:
+        score = self._features(tab) @ self.w + self.bias
+        keep = score >= self.threshold
+        out = pa.table({
+            self.id_col: tab[self.id_col],
+            "score": pa.array(score, type=pa.int64())})
+        return out.filter(pa.array(keep))
+
+
+def linear_quality_filter(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    weights, bias: int = 0, threshold: int = 0,
+) -> "rd.Dataset":
+    """Documents whose integer linear quality score clears
+    ``threshold``: (id, score).  ``weights`` is ordered as
+    :data:`QUALITY_FEATURES`.  See :class:`LinearQualityScorer` for
+    the broadcast-model mechanics; for a heavyweight model pass the
+    class to ``map_batches(..., concurrency=N)`` so Ray builds an
+    actor pool and ``__init__`` runs once per actor."""
+    w = np.asarray(weights, dtype=np.int64)
+    if w.shape != (len(QUALITY_FEATURES),):
+        raise ValueError(
+            f"weights must have shape ({len(QUALITY_FEATURES)},) "
+            f"ordered as {QUALITY_FEATURES}")
+    ref = ray.put(w)
+    scorer = LinearQualityScorer(ref, bias, threshold, text_col, id_col)
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scorer, batch_format="pyarrow")

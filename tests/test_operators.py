@@ -1561,3 +1561,48 @@ def test_group_sigma_outliers_exact(ray_session):
                                    out_col="v_c")
         got = {r["id"] for r in out.take_all()}
         assert got == expect, (parallelism, got ^ expect)
+
+
+def test_linear_quality_filter(ray_session):
+    """Integer linear scoring matches a local reference computation;
+    weights validate; empty/whitespace docs score via zeroed features."""
+    import re
+
+    from rayskema.functions.textstats import (QUALITY_FEATURES,
+                                              linear_quality_filter)
+
+    texts = ["alpha beta 12. gamma!", "", "   ", "x" * 30,
+             "one two three, four five; 99 88"]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    w = (1, 2, -5, -1, -2, 3, -4)
+
+    def ref_score(t: str) -> int:
+        words = re.findall(r"\S+", t)
+        f = (len(t),
+             len(re.findall(r"[A-Za-z]", t)),
+             len(re.findall(r"[0-9]", t)),
+             t.count(" "),
+             len(re.findall(r"[.,;:!?]", t)),
+             len(words),
+             max((len(x) for x in words), default=0))
+        return sum(wi * fi for wi, fi in zip(w, f))
+
+    expect = {i: ref_score(t) for i, t in enumerate(texts)}
+    out = linear_quality_filter(
+        rd.from_arrow(tab).repartition(3), "text", "doc_id",
+        weights=w, threshold=-10**9)
+    got = {r["doc_id"]: r["score"] for r in out.take_all()}
+    assert got == expect
+
+    kept = linear_quality_filter(rd.from_arrow(tab), "text", "doc_id",
+                                 weights=w, threshold=20)
+    assert {r["doc_id"] for r in kept.take_all()} == \
+        {i for i, s in expect.items() if s >= 20}
+
+    try:
+        linear_quality_filter(rd.from_arrow(tab), "text", "doc_id",
+                              weights=(1, 2))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert str(len(QUALITY_FEATURES)) in str(e)
