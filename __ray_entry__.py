@@ -2165,6 +2165,20 @@ def _q_suppliers_q20(sf_dir: str):
         "n_parts": t["n_parts"]}), batch_format="pyarrow")
 
 
+def _q_docs_length_buckets(sf_dir: str):
+    """Global quantile-bucket partitioner (the CCNet head/middle/tail
+    and balanced-shard primitive): every document assigned its exact
+    length quartile.  Thresholds come from a value-histogram exchange
+    (O(distinct lengths × blocks) rows move, never corpus size) and
+    broadcast into a searchsorted per batch — exact type-1 rank
+    semantics, reproducible in SQL via row_number/ceil."""
+    from rayskema.pipelines.relational import quantile_bucket_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quantile_bucket_assign(ds, "n_chars", [0.25, 0.5, 0.75],
+                                  out_col="bucket")
+
+
 def _q_docs_quality_filter(sf_dir: str):
     """Model-scored document filtering (the fastText-quality-classifier
     stage shape): an integer linear model over deterministic text
@@ -2629,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "docs_length_buckets": _q_docs_length_buckets,
         "docs_quality_filter": _q_docs_quality_filter,
         "events_sigma_outliers": _q_events_sigma_outliers,
         "suppliers_q15": _q_suppliers_q15,
@@ -3677,6 +3692,24 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "docs_length_buckets": """
+            WITH r AS (
+                SELECT n_chars AS v,
+                       row_number() OVER (ORDER BY n_chars) AS rn,
+                       count(*) OVER () AS cnt
+                FROM documents WHERE n_chars IS NOT NULL),
+            t AS (
+                SELECT q, min(v) AS thr
+                FROM r JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
+                  ON rn = CAST(ceil(q * cnt) AS BIGINT)
+                GROUP BY q)
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars IS NULL THEN NULL
+                        ELSE (SELECT count(*) FROM t
+                              WHERE d.n_chars > t.thr) END::BIGINT
+                       AS bucket
+            FROM documents d
         """,
         "docs_quality_filter": """
             WITH f AS (

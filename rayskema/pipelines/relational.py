@@ -737,6 +737,78 @@ def approx_distinct_count(
                                buckets=buckets, sort_within=False)
 
 
+def quantile_bucket_assign(
+    ds: "rd.Dataset", value_col: str, qs: Sequence[float], *,
+    out_col: str = "bucket", buckets: int | None = None,
+) -> "rd.Dataset":
+    """Assign every row a global quantile bucket of ``value_col`` —
+    the balanced-shard / CCNet head-middle-tail partitioner: bucket
+    ``b`` = number of thresholds the value EXCEEDS, so bucket 0 is the
+    ≤-q₁ head and bucket ``len(qs)`` the top tail.
+
+    EXACT at any scale when distinct(value) ≪ rows (lengths, scores,
+    counts — the usual bucketing keys): global thresholds come from a
+    VALUE-HISTOGRAM exchange, i.e. ``group_agg`` keyed on the value
+    itself — map-side pre-aggregation means O(distinct × blocks) rows
+    move, never row count — then the driver folds the sorted
+    O(distinct) (value, count) rows into cumulative ranks and picks
+    ``threshold_q`` = smallest value whose cumulative count reaches
+    ``ceil(q·n)`` (the same type-1 rank semantics as
+    :func:`group_quantiles`, reproducible in SQL via the
+    row_number/ceil pattern).  Assignment is a broadcast
+    ``searchsorted`` per batch — no second exchange.  For genuinely
+    continuous high-cardinality doubles use
+    :func:`approx_group_quantiles` thresholds instead (constant-size
+    sketches; this function would ship the full value set).
+
+    Null values get a NULL bucket (SQL comparison semantics).  Ties
+    between thresholds collapse buckets exactly as SQL's
+    ``count(thr < v)`` does."""
+    qs = [float(q) for q in qs]
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+
+    hist_in = ds.select_columns([value_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow")
+    hist = group_agg(hist_in, [value_col],
+                     [(value_col, "count_all", "__n")],
+                     buckets=buckets).take_all()
+    hist.sort(key=lambda r: r[value_col])
+    counts = np.array([r["__n"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    thr = []
+    import math
+    for q in qs:
+        if n == 0:
+            break
+        rank = max(1, math.ceil(q * n))
+        thr.append(hist[int(np.searchsorted(cum, rank))][value_col])
+    thr_ref = ray.put(np.sort(np.array(thr)))
+
+    def _assign(tab: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        col = tab[value_col]
+        valid = pc.is_valid(col)
+        # int64 values stay int64 end to end (a float64 detour would
+        # break exactness past 2^53); nulls masked via fill + if_else
+        if pa.types.is_integer(col.type):
+            v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False)
+            t = t.astype(np.int64)
+        else:
+            v = pc.fill_null(pc.cast(col, pa.float64(), safe=False),
+                             float("nan")).to_numpy(zero_copy_only=False)
+            t = t.astype(np.float64)
+        b = np.searchsorted(t, v, side="left")
+        return tab.append_column(out_col, pc.if_else(
+            valid, pa.array(b.astype(np.int64)),
+            pa.nulls(tab.num_rows, type=pa.int64())))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
 def approx_group_quantiles(
     ds: "rd.Dataset", group_col: str, value_col: str,
     qs: Sequence[float], *, delta: int = 200,

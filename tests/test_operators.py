@@ -1606,3 +1606,31 @@ def test_linear_quality_filter(ray_session):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert str(len(QUALITY_FEATURES)) in str(e)
+
+
+def test_quantile_bucket_assign(ray_session):
+    """Type-1 rank thresholds over a value histogram; null values get
+    null buckets; threshold ties collapse buckets; int values never
+    detour through float; parallelism-independent."""
+    from rayskema.pipelines.relational import quantile_bucket_assign
+
+    # 10 valid values 1..10 -> q=0.3 thr=3, q=0.6 thr=6, q=0.9 thr=9
+    tab = pa.table({
+        "id": pa.array(range(12), type=pa.int64()),
+        "v": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, None, None],
+                      type=pa.int64())})
+    for parts in (1, 5):
+        ds = rd.from_arrow(tab).repartition(parts)
+        out = {r["id"]: r["bucket"] for r in quantile_bucket_assign(
+            ds, "v", [0.3, 0.6, 0.9]).take_all()}
+        # bucket = #{thr : v > thr}
+        expect = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2, 7: 2,
+                  8: 2, 9: 3, 10: None, 11: None}
+        assert out == expect, (parts, out)
+
+    # all-equal values: every threshold is the same value, bucket 0
+    eq = pa.table({"id": pa.array(range(4), type=pa.int64()),
+                   "v": pa.array([7.5] * 4, type=pa.float64())})
+    out = quantile_bucket_assign(rd.from_arrow(eq), "v",
+                                 [0.25, 0.5, 0.75]).take_all()
+    assert all(r["bucket"] == 0 for r in out)
