@@ -2165,6 +2165,31 @@ def _q_suppliers_q20(sf_dir: str):
         "n_parts": t["n_parts"]}), batch_format="pyarrow")
 
 
+def _q_customer_nations_concat(sf_dir: str):
+    """Ordered string aggregation (SQL string_agg): per market
+    segment, the comma-joined list of distinct nation keys in numeric
+    order.  The distinct pairs collapse via one group_agg exchange
+    (map-side pre-agg), then group_concat joins each group with ONE
+    vectorized binary_join over a zero-copy ListArray — no per-group
+    Python."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, group_concat
+
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    pairs = group_agg(cust, ["c_mktsegment", "c_nationkey"],
+                      [("c_nationkey", "count_all", "n")], buckets=8)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "c_nationkey": t["c_nationkey"],
+            "nation_s": pc.cast(t["c_nationkey"], pa.string())})
+
+    return group_concat(pairs.map_batches(_prep, batch_format="pyarrow"),
+                        "c_mktsegment", "nation_s", ["c_nationkey"],
+                        sep=",", out_col="nations", buckets=4)
+
+
 def _q_docs_length_buckets(sf_dir: str):
     """Global quantile-bucket partitioner (the CCNet head/middle/tail
     and balanced-shard primitive): every document assigned its exact
@@ -2643,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "customer_nations_concat": _q_customer_nations_concat,
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_quality_filter": _q_docs_quality_filter,
         "events_sigma_outliers": _q_events_sigma_outliers,
@@ -3692,6 +3718,14 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "customer_nations_concat": """
+            SELECT c_mktsegment,
+                   string_agg(CAST(c_nationkey AS VARCHAR), ','
+                              ORDER BY c_nationkey) AS nations
+            FROM (SELECT DISTINCT c_mktsegment, c_nationkey
+                  FROM customer)
+            GROUP BY c_mktsegment
         """,
         "docs_length_buckets": """
             WITH r AS (

@@ -1461,6 +1461,58 @@ def group_latest(
                                buckets=buckets, sort_within=False)
 
 
+def group_concat(
+    ds: "rd.Dataset", group_col: str, value_col: str,
+    order_cols: Sequence[str], *, sep: str = ",",
+    out_col: str = "concat", buckets: int | None = None,
+) -> "rd.Dataset":
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per group:
+    ``(group, out_col)``.  Make ``order_cols`` a total order within
+    each group for a deterministic result.
+
+    One hash shuffle; inside the bucket the table is sorted once by
+    (group, order…), list offsets are derived from the cumulative
+    valid-value counts at segment boundaries, and the join is ONE
+    ``pc.binary_join`` over a zero-copy ListArray — no per-group
+    Python anywhere.  Null values are skipped and an all-null group
+    yields SQL NULL (string_agg semantics).  ``value_col`` must be a
+    string column (cast upstream; int casts render identically to SQL
+    ``CAST(x AS VARCHAR)``)."""
+    order_cols = list(order_cols)
+
+    def _concat(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=tab[group_col].type),
+                out_col: pa.array([], type=pa.string())})
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        starts = np.flatnonzero(segment_starts(tab, [group_col]))
+        ends = np.append(starts[1:], tab.num_rows)
+        v = pc.cast(tab[value_col], pa.string()).combine_chunks()
+        valid = v.is_valid().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vcum = np.concatenate([[0], np.cumsum(valid)])
+        offs = np.empty(len(starts) + 1, dtype=np.int32)
+        offs[0] = vcum[starts[0]]
+        offs[1:] = vcum[ends]
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs - offs[0], type=pa.int32()),
+            v.filter(pa.array(valid.astype(bool))))
+        joined = pc.binary_join(lists, sep)
+        n_valid = offs[1:] - offs[:-1]
+        out = pc.if_else(pa.array(n_valid > 0), joined,
+                         pa.nulls(len(starts), type=pa.string()))
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(starts)),
+            out_col: out})
+
+    cols = list(dict.fromkeys([group_col, value_col] + order_cols))
+    return bucketed_map_groups(
+        ds.select_columns(cols), [group_col], _concat,
+        buckets=buckets, sort_within=False)
+
+
 def group_rolling(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, window: int, buckets: int | None = None,

@@ -1634,3 +1634,21 @@ def test_quantile_bucket_assign(ray_session):
     out = quantile_bucket_assign(rd.from_arrow(eq), "v",
                                  [0.25, 0.5, 0.75]).take_all()
     assert all(r["bucket"] == 0 for r in out)
+
+
+def test_group_concat(ray_session):
+    """Ordered string_agg: order_cols drive the join order, null
+    values are skipped, an all-null group yields SQL NULL, result is
+    parallelism-independent."""
+    from rayskema.pipelines.relational import group_concat
+
+    tab = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "c", "c"]),
+        "o": pa.array([3, 1, 2, 2, 1, 1, 2], type=pa.int64()),
+        "v": pa.array(["z", "x", None, "q", "p", None, None])})
+    for parts in (1, 4):
+        ds = rd.from_arrow(tab).repartition(parts)
+        out = {r["g"]: r["s"] for r in group_concat(
+            ds, "g", "v", ["o"], sep="|", out_col="s",
+            buckets=2).take_all()}
+        assert out == {"a": "x|z", "b": "p|q", "c": None}, (parts, out)
