@@ -2165,6 +2165,141 @@ def _q_suppliers_q20(sf_dir: str):
         "n_parts": t["n_parts"]}), batch_format="pyarrow")
 
 
+def _q_nations_q7(sf_dir: str):
+    """TPC-H Q7 shape — bidirectional two-nation trade volume by
+    year: revenue on lineitems where the customer sits in one of two
+    nations and the supplier in the other.  Suppliers (with nation
+    resolved) broadcast into the lineitem stream; orders pre-join
+    customer nations by broadcast and meet lineitem through the
+    BUCKETED orderkey exchange; the (supp_nation, cust_nation, year)
+    rollup is a tiny group_agg.  Ship-year derives from the same
+    timestamp kernel family SQL's EXTRACT uses; revenue in exact
+    integer basis points."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    n1, n2 = "NATION_3", "NATION_7"
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nsel = nation.map_batches(
+        lambda t: t.filter(pc.is_in(t["n_name"],
+                                    value_set=pa.array([n1, n2]))),
+        batch_format="pyarrow")
+    supp = hash_join(_read(sf_dir, "supplier",
+                           ["s_suppkey", "s_nationkey"]),
+                     nsel, on=["s_nationkey"], right_on=["n_nationkey"],
+                     how="inner", broadcast=True)
+    cust = hash_join(_read(sf_dir, "customer",
+                           ["c_custkey", "c_nationkey"]),
+                     nsel, on=["c_nationkey"], right_on=["n_nationkey"],
+                     how="inner", broadcast=True)
+    orders = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]), cust,
+        on=["o_custkey"], right_on=["c_custkey"], how="inner",
+        broadcast=True)
+
+    def _rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_bp": pc.multiply(
+                pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], 100.0)), pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            pc.cast(pc.round(pc.multiply(
+                                t["l_discount"], 100.0)), pa.int64())))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(_rev, batch_format="pyarrow")
+    li = hash_join(li, supp.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "supp_nation": t["n_name"]}),
+        batch_format="pyarrow"),
+        on=["l_suppkey"], right_on=["s_suppkey"], how="inner",
+        broadcast=True)
+    j = hash_join(li, orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "cust_nation": t["n_name"]}),
+        batch_format="pyarrow"),
+        on=["l_orderkey"], right_on=["o_orderkey"], how="inner",
+        buckets=16)
+    cross = j.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(
+            t["supp_nation"], t["cust_nation"]))),
+        batch_format="pyarrow")
+    return group_agg(cross, ["supp_nation", "cust_nation", "l_year"],
+                     [("rev_bp", "sum", "rev_bp"),
+                      ("rev_bp", "count_all", "n")], buckets=4)
+
+
+def _q_nations_q9(sf_dir: str):
+    """TPC-H Q9 shape — profit by supplier nation and order year over
+    a name-filtered part subset: revenue minus (retail-price × qty)
+    cost basis, both in exact integer basis points (cents × 100 —
+    ``retail_c·qty_c`` lands on the same scale because qty_c carries
+    the ×100).  Part keys and supplier nations broadcast into the
+    lineitem stream; the order year arrives through the BUCKETED
+    orderkey exchange; the (nation, year) rollup is a tiny
+    group_agg."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice"],
+        filter=pc.match_substring(pc.field("p_name"), "ar"))
+    supp = hash_join(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        on=["s_nationkey"], right_on=["n_nationkey"], how="inner",
+        broadcast=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    li = hash_join(li, part, on=["l_partkey"], right_on=["p_partkey"],
+                   how="inner", broadcast=True)
+
+    def _amount(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], 100.0)), pa.int64()),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(
+                            t["l_discount"], 100.0)), pa.int64())))
+        cost = pc.multiply(
+            pc.cast(pc.round(pc.multiply(
+                t["p_retailprice"], 100.0)), pa.int64()),
+            pc.cast(pc.round(pc.multiply(
+                t["l_quantity"], 100.0)), pa.int64()))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "amount_bp": pc.subtract(rev, cost)})
+
+    li = li.map_batches(_amount, batch_format="pyarrow")
+    li = hash_join(li, supp.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "nation": t["n_name"]}),
+        batch_format="pyarrow"),
+        on=["l_suppkey"], right_on=["s_suppkey"], how="inner",
+        broadcast=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())}),
+            batch_format="pyarrow")
+    j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                  how="inner", buckets=16)
+    agg = group_agg(j, ["nation", "o_year"],
+                    [("amount_bp", "sum", "amount_bp")], buckets=4)
+    return agg.map_batches(lambda t: pa.table({
+        "nation": t["nation"], "o_year": t["o_year"],
+        "sum_profit": pc.divide(pc.cast(t["amount_bp"], pa.float64()),
+                                10000.0)}), batch_format="pyarrow")
+
+
 def _q_customer_nations_concat(sf_dir: str):
     """Ordered string aggregation (SQL string_agg): per market
     segment, the comma-joined list of distinct nation keys in numeric
@@ -2668,6 +2803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "nations_q7": _q_nations_q7,
+        "nations_q9": _q_nations_q9,
         "customer_nations_concat": _q_customer_nations_concat,
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -3718,6 +3855,43 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN lineitem ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_type
+        """,
+        "nations_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT))) AS rev_bp,
+                   count(*) AS n
+            FROM lineitem, orders, customer, supplier,
+                 nation sn, nation cn
+            WHERE l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = sn.n_nationkey
+              AND c_nationkey = cn.n_nationkey
+              AND sn.n_name IN ('NATION_3', 'NATION_7')
+              AND cn.n_name IN ('NATION_3', 'NATION_7')
+              AND sn.n_name <> cn.n_name
+            GROUP BY sn.n_name, cn.n_name,
+                     EXTRACT(year FROM l_shipdate)
+        """,
+        "nations_q9": """
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            - CAST(round(p_retailprice * 100) AS BIGINT)
+                              * CAST(round(l_quantity * 100) AS BIGINT))
+                        AS DOUBLE) / 10000 AS sum_profit
+            FROM lineitem, orders, part, supplier, nation
+            WHERE l_orderkey = o_orderkey
+              AND l_partkey = p_partkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND p_name LIKE '%ar%'
+            GROUP BY n_name, EXTRACT(year FROM o_orderdate)
         """,
         "customer_nations_concat": """
             SELECT c_mktsegment,
