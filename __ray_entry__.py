@@ -2300,6 +2300,88 @@ def _q_nations_q9(sf_dir: str):
                                 10000.0)}), batch_format="pyarrow")
 
 
+def _q_nations_q8(sf_dir: str):
+    """TPC-H Q8 shape — market share: the fraction of a region's
+    customer order volume supplied by one nation, per order year.
+    The conditional numerator is a vectorized 0/1-masked copy of the
+    revenue column (SQL CASE), so ONE group_agg produces both sums;
+    the share is a single float division of exact integer totals,
+    rounded identically on both engines.  Region-filtered customers
+    and supplier nations broadcast; the fact-fact meet is the
+    BUCKETED orderkey exchange."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    target = "NATION_3"
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"])
+    region = rd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"],
+        filter=(pc.field("r_name") == pa.scalar("EUROPE")))
+    rnations = hash_join(nation, region, on=["n_regionkey"],
+                         right_on=["r_regionkey"], how="left_semi",
+                         broadcast=True)
+    cust = hash_join(_read(sf_dir, "customer",
+                           ["c_custkey", "c_nationkey"]),
+                     rnations, on=["c_nationkey"],
+                     right_on=["n_nationkey"], how="left_semi",
+                     broadcast=True)
+    orders = hash_join(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]), cust,
+        on=["o_custkey"], right_on=["c_custkey"], how="left_semi",
+        broadcast=True) \
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())}),
+            batch_format="pyarrow")
+    supp = hash_join(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        nation, on=["s_nationkey"], right_on=["n_nationkey"],
+        how="inner", broadcast=True) \
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": t["s_suppkey"], "supp_nation": t["n_name"]}),
+            batch_format="pyarrow")
+
+    def _rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev_bp": pc.multiply(
+                pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], 100.0)), pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            pc.cast(pc.round(pc.multiply(
+                                t["l_discount"], 100.0)), pa.int64())))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(_rev, batch_format="pyarrow")
+    li = hash_join(li, supp, on=["l_suppkey"], right_on=["s_suppkey"],
+                   how="inner", broadcast=True)
+    j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                  how="inner", buckets=16)
+
+    def _mask(t: pa.Table) -> pa.Table:
+        hit = pc.cast(pc.equal(t["supp_nation"], pa.scalar(target)),
+                      pa.int64())
+        return pa.table({
+            "o_year": t["o_year"],
+            "target_bp": pc.multiply(t["rev_bp"], hit),
+            "rev_bp": t["rev_bp"]})
+
+    agg = group_agg(j.map_batches(_mask, batch_format="pyarrow"),
+                    ["o_year"], [("target_bp", "sum", "target_bp"),
+                                 ("rev_bp", "sum", "total_bp")],
+                    buckets=2)
+    return agg.map_batches(lambda t: pa.table({
+        "o_year": t["o_year"],
+        "mkt_share": pc.round(pc.divide(
+            pc.cast(t["target_bp"], pa.float64()),
+            pc.cast(t["total_bp"], pa.float64())), ndigits=6)}),
+        batch_format="pyarrow")
+
+
 def _q_customer_nations_concat(sf_dir: str):
     """Ordered string aggregation (SQL string_agg): per market
     segment, the comma-joined list of distinct nation keys in numeric
@@ -2804,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
         "nations_q7": _q_nations_q7,
+        "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
         "customer_nations_concat": _q_customer_nations_concat,
         "docs_length_buckets": _q_docs_length_buckets,
@@ -3875,6 +3958,32 @@ def oracle_sql() -> dict[str, str]:
               AND sn.n_name <> cn.n_name
             GROUP BY sn.n_name, cn.n_name,
                      EXTRACT(year FROM l_shipdate)
+        """,
+        "nations_q8": """
+            SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                   round(
+                       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)
+                                     * (100 - CAST(round(l_discount
+                                                         * 100)
+                                                   AS BIGINT))
+                                ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)
+                                  * (100 - CAST(round(l_discount * 100)
+                                                AS BIGINT)))
+                              AS DOUBLE), 6) AS mkt_share
+            FROM lineitem, orders, customer, supplier,
+                 nation n1, nation n2, region
+            WHERE l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = n2.n_nationkey
+            GROUP BY EXTRACT(year FROM o_orderdate)
         """,
         "nations_q9": """
             SELECT n_name AS nation,

@@ -30,6 +30,12 @@ def to_table(res):
     if isinstance(res, rd.Dataset):
         tabs = ray.get(res.to_arrow_refs())
         tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+        if not tabs:
+            # zero blocks entirely: an empty result with whatever
+            # schema the plan still knows (None -> no columns)
+            sch = res.schema()
+            return (sch.base_schema.empty_table() if sch is not None
+                    else pa.table({}))
         return pa.concat_tables(tabs)
     raise TypeError(type(res))
 
