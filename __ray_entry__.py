@@ -2382,6 +2382,18 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_word_dedup(sf_dir: str):
+    """Intra-document repeated-token removal (C4-style within-doc
+    cleanup): first occurrence of each token survives, order
+    preserved.  No shuffle — one vectorized pass (split, flatten,
+    dictionary-encode, one np.unique first-occurrence mask, ListArray
+    reassembly)."""
+    from rayskema.functions.dedup import dedup_tokens_within_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_tokens_within_doc(ds, "text", "doc_id")
+
+
 def _q_customer_nations_concat(sf_dir: str):
     """Ordered string aggregation (SQL string_agg): per market
     segment, the comma-joined list of distinct nation keys in numeric
@@ -2888,6 +2900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "docs_word_dedup": _q_docs_word_dedup,
         "customer_nations_concat": _q_customer_nations_concat,
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -4001,6 +4014,30 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "docs_word_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+'))
+                           AS word,
+                       generate_subscripts(
+                           string_split_regex(trim(text), '\\s+'), 1)
+                           AS pos
+                FROM documents),
+            f AS (
+                SELECT doc_id, word, min(pos) AS first_pos
+                FROM w WHERE word <> ''
+                GROUP BY doc_id, word)
+            SELECT d.doc_id,
+                   a.text_dedup,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(word, ' ' ORDER BY first_pos)
+                                  AS text_dedup,
+                              count(*) AS n_kept
+                       FROM f GROUP BY doc_id) a
+              ON d.doc_id = a.doc_id
         """,
         "customer_nations_concat": """
             SELECT c_mktsegment,

@@ -1386,3 +1386,65 @@ def charset_jaccard_pairs(
     return bucketed_map_groups(
         ds.select_columns(group_cols + [id_col, text_col]), group_cols,
         _pairs, buckets=buckets, sort_within=False)
+
+
+def dedup_tokens_within_doc(
+    ds: "rd.Dataset", text_col: str, id_col: str, *, sep: str = " ",
+) -> "rd.Dataset":
+    """Intra-document repeated-token removal (the C4/MassiveText-style
+    within-doc cleanup, token granularity): each document keeps the
+    FIRST
+    occurrence of each whitespace token, rejoined with ``sep`` —
+    ``(id, text_dedup, n_kept)``.
+
+    Embarrassingly parallel (no shuffle) and fully vectorized per
+    batch: one regex split, one flatten, one dictionary-encode of the
+    flat token array, then the first-occurrence mask comes from a
+    single ``np.unique`` over packed ``(doc, token-code)`` int64 keys
+    and the documents reassemble through a zero-copy ListArray +
+    ``binary_join`` — no per-document Python.  Null or token-less
+    documents yield a NULL ``text_dedup`` and ``n_kept`` 0 (SQL
+    string_agg semantics)."""
+
+    def _dedup(tab: pa.Table) -> pa.Table:
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], type=tab[id_col].type),
+                "text_dedup": pa.array([], type=pa.string()),
+                "n_kept": pa.array([], type=pa.int64())})
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(tab[text_col]), pattern=r"\s+")
+        counts = pc.list_value_length(words).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words).combine_chunks()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # drop the empty token a fully-whitespace/empty doc splits to
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        flat2 = flat.filter(pa.array(nonempty))
+        doc2 = doc_idx[nonempty]
+        enc = pc.dictionary_encode(flat2)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = (doc2 << np.int64(32)) | codes
+        first_idx = np.unique(key, return_index=True)[1]
+        kept = np.zeros(len(codes), dtype=bool)
+        kept[first_idx] = True
+        kept_counts = np.bincount(doc2[kept], minlength=n) \
+            .astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(kept_counts)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), flat2.filter(pa.array(kept)))
+        joined = pc.binary_join(lists, sep)
+        out = pc.if_else(pa.array(kept_counts > 0), joined,
+                         pa.nulls(n, type=pa.string()))
+        return pa.table({
+            id_col: tab[id_col],
+            "text_dedup": out,
+            "n_kept": pa.array(kept_counts)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _dedup, batch_format="pyarrow")

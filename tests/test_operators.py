@@ -1652,3 +1652,20 @@ def test_group_concat(ray_session):
             ds, "g", "v", ["o"], sep="|", out_col="s",
             buckets=2).take_all()}
         assert out == {"a": "x|z", "b": "p|q", "c": None}, (parts, out)
+
+
+def test_dedup_tokens_within_doc(ray_session):
+    """First-occurrence token dedup preserves order; empty/whitespace/
+    null docs yield NULL text and 0 kept; parallelism-independent."""
+    from rayskema.functions.dedup import dedup_tokens_within_doc
+
+    tab = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": pa.array(["b a b c a b", "x", "", "   ", None])})
+    for parts in (1, 3):
+        ds = rd.from_arrow(tab).repartition(parts)
+        out = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+               for r in dedup_tokens_within_doc(
+                   ds, "text", "doc_id").take_all()}
+        assert out == {0: ("b a c", 3), 1: ("x", 1), 2: (None, 0),
+                       3: (None, 0), 4: (None, 0)}, (parts, out)
