@@ -7,6 +7,7 @@ import os
 import pyarrow as pa
 
 import ray
+import ray.data as rd
 
 
 def _write_jsonl(path, rows):
@@ -110,3 +111,33 @@ def test_conv_ids_no_truncation_past_1e8():
     pre = list(_conv_ids(2, 99999998))
     post = list(_conv_ids(2, 100000000))
     assert len(set(pre + post)) == 4
+
+
+def test_ipc_round_trip(ray_session, tmp_path):
+    """write_ipc -> read_ipc round-trips both IPC flavors; column
+    projection prunes; retried-style rewrite is idempotent."""
+    from rayskema.sources.ipc import read_ipc, write_ipc
+
+    tab = pa.table({
+        "k": pa.array(range(100), type=pa.int64()),
+        "s": pa.array([f"v{i}" for i in range(100)]),
+        "x": pa.array([i * 0.5 for i in range(100)], type=pa.float64())})
+    for fmt in ("file", "stream"):
+        out = str(tmp_path / fmt)
+        ds = rd.from_arrow(tab).repartition(4)
+        n_files = write_ipc(ds, out, file_format=fmt)
+        assert n_files >= 1
+        back = read_ipc(out, file_format=fmt)
+        got = pa.concat_tables(
+            [pa.table(b) for b in
+             back.iter_batches(batch_format="pyarrow")]) \
+            .sort_by("k")
+        assert got.equals(tab)
+        # idempotent rewrite: same content -> same file set
+        write_ipc(rd.from_arrow(tab).repartition(4), out,
+                  file_format=fmt)
+        import os
+        assert len([f for f in os.listdir(out)
+                    if f.endswith(".arrow")]) == n_files
+        pruned = read_ipc(out, columns=["k"], file_format=fmt)
+        assert pruned.schema().names == ["k"]
