@@ -158,6 +158,26 @@ def _viol_select(ds: "rd.Dataset", key_cols: list[str]) -> "rd.Dataset":
     return ds.select_columns(key_cols + ["path", "code", "rule"])
 
 
+def _cents(col) -> "pa.ChunkedArray":
+    """Exact integer cents from a 2-decimal double (SQL
+    ``CAST(round(x * 100) AS BIGINT)``) — the repo-wide scaling that
+    makes sums bit-exact cross-engine."""
+    import pyarrow.compute as pc
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _rev_bp(t: "pa.Table", price_col: str = "l_extendedprice",
+            disc_col: str = "l_discount") -> "pa.ChunkedArray":
+    """TPC-H revenue in exact integer basis points:
+    ``price_cents * (100 - discount_percent)`` (SQL
+    ``CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS
+    BIGINT))``)."""
+    import pyarrow.compute as pc
+    return pc.multiply(_cents(t[price_col]),
+                       pc.subtract(pa.scalar(100, pa.int64()),
+                                   _cents(t[disc_col])))
+
+
 # ---------------------------------------------------------------------------
 # Query implementations
 # ---------------------------------------------------------------------------
@@ -1101,10 +1121,8 @@ def _q_lineitem_q1(sf_dir: str):
         return pa.table({
             "l_returnflag": tab["l_returnflag"],
             "l_linestatus": tab["l_linestatus"],
-            "qty_c": pc.cast(pc.round(pc.multiply(
-                tab["l_quantity"], 100.0)), pa.int64()),
-            "price_c": pc.cast(pc.round(pc.multiply(
-                tab["l_extendedprice"], 100.0)), pa.int64()),
+            "qty_c": _cents(tab["l_quantity"]),
+            "price_c": _cents(tab["l_extendedprice"]),
         })
 
     agg = group_agg(
@@ -1146,8 +1164,7 @@ def _q_orders_running(sf_dir: str):
         return pa.table({
             "o_custkey": tab["o_custkey"],
             "o_orderkey": tab["o_orderkey"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                tab["o_totalprice"], 100.0)), pa.int64()),
+            "price_c": _cents(tab["o_totalprice"]),
         })
 
     return group_running(ds.map_batches(_scale, batch_format="pyarrow"),
@@ -1168,8 +1185,7 @@ def _q_orders_rolling(sf_dir: str):
         return pa.table({
             "o_custkey": tab["o_custkey"],
             "o_orderkey": tab["o_orderkey"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                tab["o_totalprice"], 100.0)), pa.int64()),
+            "price_c": _cents(tab["o_totalprice"]),
         })
 
     return group_rolling(ds.map_batches(_scale, batch_format="pyarrow"),
@@ -1271,10 +1287,8 @@ def _q_lineitem_q6(sf_dir: str):
 
     def _scale(tab: pa.Table) -> pa.Table:
         rev = pc.multiply(
-            pc.cast(pc.round(pc.multiply(
-                tab["l_extendedprice"], 100.0)), pa.int64()),
-            pc.cast(pc.round(pc.multiply(
-                tab["l_discount"], 100.0)), pa.int64()))
+            _cents(tab["l_extendedprice"]),
+            _cents(tab["l_discount"]))
         import numpy as np
         return pa.table({
             "k": pa.array(np.zeros(tab.num_rows, dtype=np.int8)),
@@ -1486,12 +1500,7 @@ def _q_orders_q3(sf_dir: str):
 
     def _li_rev(t: pa.Table) -> pa.Table:
         # exact integer basis points: cents x (100 - discount%)
-        rev = pc.multiply(
-            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
-                    pa.int64()),
-            pc.subtract(pa.scalar(100, type=pa.int64()),
-                        pc.cast(pc.round(pc.multiply(
-                            t["l_discount"], 100.0)), pa.int64())))
+        rev = _rev_bp(t)
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_bp": rev})
 
     li = li.map_batches(_li_rev, batch_format="pyarrow")
@@ -1534,8 +1543,7 @@ def _q_lineitem_rollup(sf_dir: str):
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty_c": pc.cast(pc.round(pc.multiply(
-                t["l_quantity"], 100.0)), pa.int64())})
+            "qty_c": _cents(t["l_quantity"])})
 
     ds = li.map_batches(_prep, batch_format="pyarrow")
     return group_rollup(ds, ["l_returnflag", "l_linestatus"],
@@ -1580,8 +1588,7 @@ def _q_orders_grouping_sets(sf_dir: str):
         return pa.table({
             "o_orderstatus": t["o_orderstatus"],
             "o_orderpriority": t["o_orderpriority"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                t["o_totalprice"], 100.0)), pa.int64())})
+            "price_c": _cents(t["o_totalprice"])})
 
     return group_grouping_sets(
         ds.map_batches(_prep, batch_format="pyarrow"),
@@ -1607,8 +1614,7 @@ def _q_orders_share(sf_dir: str):
         return pa.table({
             "o_orderkey": t["o_orderkey"],
             "o_orderstatus": t["o_orderstatus"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                t["o_totalprice"], 100.0)), pa.int64())})
+            "price_c": _cents(t["o_totalprice"])})
 
     return group_share(ds.map_batches(_prep, batch_format="pyarrow"),
                        ["o_orderstatus"], "price_c")
@@ -1686,8 +1692,7 @@ def _q_customers_q22(sf_dir: str):
         return pa.table({
             "c_custkey": t["c_custkey"],
             "c_nationkey": t["c_nationkey"],
-            "bal_c": pc.cast(pc.round(pc.multiply(
-                t["c_acctbal"], 100.0)), pa.int64())})
+            "bal_c": _cents(t["c_acctbal"])})
 
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey", "c_acctbal"]) \
@@ -1742,8 +1747,7 @@ def _q_parts_min_price(sf_dir: str):
         .map_batches(lambda t: pa.table({
             "p_partkey": t["p_partkey"],
             "p_type": t["p_type"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                t["p_retailprice"], 100.0)), pa.int64())}),
+            "price_c": _cents(t["p_retailprice"])}),
             batch_format="pyarrow")
     mins = group_agg(part, ["p_type"], [("price_c", "min", "min_c")],
                      buckets=4) \
@@ -1812,14 +1816,15 @@ def _q_lineitem_q17(sf_dir: str):
                ["l_partkey", "l_quantity", "l_extendedprice"]) \
         .map_batches(lambda t: pa.table({
             "l_partkey": t["l_partkey"],
-            "qty_c": pc.cast(pc.round(pc.multiply(
-                t["l_quantity"], 100.0)), pa.int64()),
-            "price_c": pc.cast(pc.round(pc.multiply(
-                t["l_extendedprice"], 100.0)), pa.int64())}),
+            "qty_c": _cents(t["l_quantity"]),
+            "price_c": _cents(t["l_extendedprice"])}),
             batch_format="pyarrow")
+    # materialized ONCE: both the per-part stats pass and the filter
+    # pass consume it; bounded by the brand's selectivity (~1/brands
+    # of lineitem at TPC-H ratios)
     li_b = hash_join(li, brand_parts, on=["l_partkey"],
                      right_on=["p_partkey"], how="left_semi",
-                     broadcast=True)
+                     broadcast=True).materialize()
     stats = group_agg(li_b, ["l_partkey"],
                       [("qty_c", "sum", "sum_q"),
                        ("qty_c", "count_all", "n_q")], buckets=4)
@@ -1867,12 +1872,7 @@ def _q_lineitem_q19(sf_dir: str):
         return pa.table({
             "l_partkey": t["l_partkey"],
             "qty": t["l_quantity"],
-            "rev_bp": pc.multiply(
-                pc.cast(pc.round(pc.multiply(
-                    t["l_extendedprice"], 100.0)), pa.int64()),
-                pc.subtract(pa.scalar(100, pa.int64()),
-                            pc.cast(pc.round(pc.multiply(
-                                t["l_discount"], 100.0)), pa.int64())))})
+            "rev_bp": _rev_bp(t)})
 
     j = hash_join(li.map_batches(_prep, batch_format="pyarrow"), part,
                   on=["l_partkey"], right_on=["p_partkey"], how="inner",
@@ -1880,9 +1880,11 @@ def _q_lineitem_q19(sf_dir: str):
 
     def _clauses(t: pa.Table) -> pa.Table:
         def clause(brand, smax, qlo, qhi):
+            size_ok = pc.and_(
+                pc.greater_equal(t["p_size"], pa.scalar(1, pa.int32())),
+                pc.less_equal(t["p_size"], pa.scalar(smax, pa.int32())))
             return pc.and_(pc.and_(
-                pc.equal(t["p_brand"], pa.scalar(brand)),
-                pc.less_equal(t["p_size"], pa.scalar(smax, pa.int32()))),
+                pc.equal(t["p_brand"], pa.scalar(brand)), size_ok),
                 pc.and_(pc.greater_equal(t["qty"], pa.scalar(float(qlo))),
                         pc.less_equal(t["qty"], pa.scalar(float(qhi)))))
         keep = pc.or_(pc.or_(clause("Brand#12", 5, 1, 11),
@@ -1929,12 +1931,7 @@ def _q_customers_q10(sf_dir: str):
     def _rev(t: pa.Table) -> pa.Table:
         return pa.table({
             "l_orderkey": t["l_orderkey"],
-            "rev_bp": pc.multiply(
-                pc.cast(pc.round(pc.multiply(
-                    t["l_extendedprice"], 100.0)), pa.int64()),
-                pc.subtract(pa.scalar(100, pa.int64()),
-                            pc.cast(pc.round(pc.multiply(
-                                t["l_discount"], 100.0)), pa.int64())))})
+            "rev_bp": _rev_bp(t)})
 
     j = hash_join(li.map_batches(_rev, batch_format="pyarrow"), orders,
                   on=["l_orderkey"], right_on=["o_orderkey"],
@@ -1950,8 +1947,7 @@ def _q_customers_q10(sf_dir: str):
         return pa.table({
             "c_custkey": t["o_custkey"],
             "c_name": t["c_name"],
-            "acctbal_c": pc.cast(pc.round(pc.multiply(
-                t["c_acctbal"], 100.0)), pa.int64()),
+            "acctbal_c": _cents(t["c_acctbal"]),
             "revenue": pc.divide(pc.cast(t["rev_bp"], pa.float64()),
                                  10000.0)})
 
@@ -1983,16 +1979,14 @@ def _q_suppliers_q15(sf_dir: str):
     def _rev(t: pa.Table) -> pa.Table:
         return pa.table({
             "l_suppkey": t["l_suppkey"],
-            "rev_bp": pc.multiply(
-                pc.cast(pc.round(pc.multiply(
-                    t["l_extendedprice"], 100.0)), pa.int64()),
-                pc.subtract(pa.scalar(100, pa.int64()),
-                            pc.cast(pc.round(pc.multiply(
-                                t["l_discount"], 100.0)), pa.int64())))})
+            "rev_bp": _rev_bp(t)})
 
+    # materialized ONCE: the max fold and the equality filter both
+    # consume it (lazy would re-run the scan+exchange per consumer);
+    # O(suppliers) rows, safe at any scale
     per_supp = group_agg(li.map_batches(_rev, batch_format="pyarrow"),
                          ["l_suppkey"], [("rev_bp", "sum", "rev_bp")],
-                         buckets=8)
+                         buckets=8).materialize()
 
     def _const(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2033,8 +2027,7 @@ def _q_parts_q11(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
         .map_batches(lambda t: pa.table({
             "l_partkey": t["l_partkey"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                t["l_extendedprice"], 100.0)), pa.int64())}),
+            "price_c": _cents(t["l_extendedprice"])}),
             batch_format="pyarrow")
     per_part = group_agg(li, ["l_partkey"],
                          [("price_c", "sum", "value_c")], buckets=16)
@@ -2060,14 +2053,17 @@ def _q_suppliers_q21(sf_dir: str):
     suppliers who are the ONLY supplier with a returned line in a
     finished multi-supplier order, counted per supplier.  The
     commit/receipt-date lateness of stock Q21 maps to the return flag
-    this dataset carries.  Plan: every stage shares the ORDERKEY
-    partitioning — semi-join to 'F' orders, two distinct-counts (all
-    suppliers / returning suppliers per order), stats join, candidate
-    filter — so the key never re-shuffles; the per-supplier count is
-    the only second key, over rows already collapsed to O(orders)."""
+    this dataset carries.  Plan: semi-join to 'F' orders, then ONE
+    bucketed pass per orderkey computes the distinct-supplier count,
+    the distinct-returning-supplier count AND the surviving candidate
+    (order, supplier) pairs together — the fact stream is consumed
+    exactly once (a naive plan re-derives it for each of the three
+    facts); the per-supplier count is the only second key, over rows
+    already collapsed to O(orders)."""
     import pyarrow.compute as pc
-    from rayskema.pipelines.relational import (distinct_count, group_agg,
-                                               hash_join)
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               group_agg, hash_join,
+                                               segment_starts)
 
     orders_f = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"],
@@ -2077,32 +2073,27 @@ def _q_suppliers_q21(sf_dir: str):
     li_f = hash_join(li, orders_f, on=["l_orderkey"],
                      right_on=["o_orderkey"], how="left_semi",
                      buckets=16)
-    n_supp = distinct_count(li_f, "l_orderkey", "l_suppkey", buckets=16) \
-        .map_batches(lambda t: pa.table({
-            "l_orderkey": t["l_orderkey"], "n_supp": t["n_distinct"]}),
-            batch_format="pyarrow")
-    rlines = li_f.map_batches(
-        lambda t: t.filter(pc.equal(t["l_returnflag"], pa.scalar("R"))),
-        batch_format="pyarrow")
-    n_rsupp = distinct_count(rlines, "l_orderkey", "l_suppkey",
-                             buckets=16) \
-        .map_batches(lambda t: pa.table({
-            "l_orderkey": t["l_orderkey"], "n_rsupp": t["n_distinct"]}),
-            batch_format="pyarrow")
-    stats = hash_join(n_supp, n_rsupp, on=["l_orderkey"], how="inner",
-                      buckets=16)
-    # one row per (order, returning supplier)
-    pairs = group_agg(rlines, ["l_orderkey", "l_suppkey"],
-                      [("l_suppkey", "count_all", "n_lines")],
-                      buckets=16)
-    cand = hash_join(pairs, stats, on=["l_orderkey"], how="inner",
-                     buckets=16)
-    keep = cand.map_batches(
-        lambda t: t.filter(pc.and_(
-            pc.greater_equal(t["n_supp"], pa.scalar(2, pa.int64())),
-            pc.equal(t["n_rsupp"], pa.scalar(1, pa.int64())))),
-        batch_format="pyarrow")
-    numwait = group_agg(keep, ["l_suppkey"],
+
+    def _lone_returner(tab: pa.Table) -> pa.Table:
+        # distinct (order, supp) pairs with an any-R flag, one arrow
+        # hash-agg; per-order counts via segment reductions
+        tab = tab.append_column("is_r", pc.cast(
+            pc.equal(tab["l_returnflag"], pa.scalar("R")), pa.int64()))
+        pairs = tab.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("is_r", "max")]).sort_by([("l_orderkey", "ascending")])
+        starts = np.flatnonzero(segment_starts(pairs, ["l_orderkey"]))
+        sizes = np.diff(np.append(starts, pairs.num_rows))
+        rflags = pairs["is_r_max"].to_numpy(zero_copy_only=False)
+        n_rsupp = np.add.reduceat(rflags, starts)
+        keep = (np.repeat(sizes, sizes) >= 2) \
+            & (np.repeat(n_rsupp, sizes) == 1) & (rflags == 1)
+        out = pairs.filter(pa.array(keep))
+        return pa.table({"l_orderkey": out["l_orderkey"],
+                         "l_suppkey": out["l_suppkey"]})
+
+    cand = bucketed_map_groups(li_f, ["l_orderkey"], _lone_returner,
+                               buckets=16, sort_within=False)
+    numwait = group_agg(cand, ["l_suppkey"],
                         [("l_orderkey", "count_all", "numwait")],
                         buckets=8)
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
@@ -2136,13 +2127,15 @@ def _q_suppliers_q20(sf_dir: str):
         .map_batches(lambda t: pa.table({
             "l_partkey": t["l_partkey"],
             "l_suppkey": t["l_suppkey"],
-            "qty_c": pc.cast(pc.round(pc.multiply(
-                t["l_quantity"], 100.0)), pa.int64())}),
+            "qty_c": _cents(t["l_quantity"])}),
             batch_format="pyarrow")
     li_g = hash_join(li, green, on=["l_partkey"], right_on=["p_partkey"],
                      how="left_semi", broadcast=True)
+    # materialized ONCE: feeds both the per-part totals and the share
+    # filter; already collapsed to O(part × supplier) rows
     sp = group_agg(li_g, ["l_partkey", "l_suppkey"],
-                   [("qty_c", "sum", "supp_qty_c")], buckets=16)
+                   [("qty_c", "sum", "supp_qty_c")],
+                   buckets=16).materialize()
     totals = group_agg(sp, ["l_partkey"],
                        [("supp_qty_c", "sum", "part_qty_c"),
                         ("supp_qty_c", "count_all", "n_supp")],
@@ -2202,12 +2195,7 @@ def _q_nations_q7(sf_dir: str):
             "l_orderkey": t["l_orderkey"],
             "l_suppkey": t["l_suppkey"],
             "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
-            "rev_bp": pc.multiply(
-                pc.cast(pc.round(pc.multiply(
-                    t["l_extendedprice"], 100.0)), pa.int64()),
-                pc.subtract(pa.scalar(100, pa.int64()),
-                            pc.cast(pc.round(pc.multiply(
-                                t["l_discount"], 100.0)), pa.int64())))})
+            "rev_bp": _rev_bp(t)})
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate",
@@ -2262,17 +2250,10 @@ def _q_nations_q9(sf_dir: str):
                    how="inner", broadcast=True)
 
     def _amount(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            pc.cast(pc.round(pc.multiply(
-                t["l_extendedprice"], 100.0)), pa.int64()),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(
-                            t["l_discount"], 100.0)), pa.int64())))
+        rev = _rev_bp(t)
         cost = pc.multiply(
-            pc.cast(pc.round(pc.multiply(
-                t["p_retailprice"], 100.0)), pa.int64()),
-            pc.cast(pc.round(pc.multiply(
-                t["l_quantity"], 100.0)), pa.int64()))
+            _cents(t["p_retailprice"]),
+            _cents(t["l_quantity"]))
         return pa.table({
             "l_orderkey": t["l_orderkey"],
             "l_suppkey": t["l_suppkey"],
@@ -2347,12 +2328,7 @@ def _q_nations_q8(sf_dir: str):
         return pa.table({
             "l_orderkey": t["l_orderkey"],
             "l_suppkey": t["l_suppkey"],
-            "rev_bp": pc.multiply(
-                pc.cast(pc.round(pc.multiply(
-                    t["l_extendedprice"], 100.0)), pa.int64()),
-                pc.subtract(pa.scalar(100, pa.int64()),
-                            pc.cast(pc.round(pc.multiply(
-                                t["l_discount"], 100.0)), pa.int64())))})
+            "rev_bp": _rev_bp(t)})
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -2537,8 +2513,7 @@ def _q_lineitem_variance(sf_dir: str):
         .map_batches(lambda t: pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty_c": pc.cast(pc.round(pc.multiply(
-                t["l_quantity"], 100.0)), pa.int64())}),
+            "qty_c": _cents(t["l_quantity"])}),
             batch_format="pyarrow")
     agg = group_agg(ds, ["l_returnflag", "l_linestatus"],
                     [("qty_c", "count", "n"),
@@ -2572,8 +2547,7 @@ def _q_orders_cube(sf_dir: str):
         return pa.table({
             "o_orderstatus": t["o_orderstatus"],
             "o_orderpriority": t["o_orderpriority"],
-            "price_c": pc.cast(pc.round(pc.multiply(
-                t["o_totalprice"], 100.0)), pa.int64())})
+            "price_c": _cents(t["o_totalprice"])})
 
     return group_cube(ds.map_batches(_prep, batch_format="pyarrow"),
                       ["o_orderstatus", "o_orderpriority"],
@@ -2636,12 +2610,7 @@ def _q_orders_q5(sf_dir: str):
         idx = pc.index_in(t["l_suppkey"], value_set=skeys)
         t = t.append_column("s_nationkey", pc.take(snat, idx))
         t = t.filter(pc.is_valid(t["s_nationkey"]))
-        rev = pc.multiply(
-            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
-                    pa.int64()),
-            pc.subtract(pa.scalar(100, type=pa.int64()),
-                        pc.cast(pc.round(pc.multiply(
-                            t["l_discount"], 100.0)), pa.int64())))
+        rev = _rev_bp(t)
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "s_nationkey": t["s_nationkey"],
                          "rev_bp": rev})
@@ -2681,8 +2650,7 @@ def _q_orders_q18(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
         .map_batches(lambda t: pa.table({
             "l_orderkey": t["l_orderkey"],
-            "qty_c": pc.cast(pc.round(pc.multiply(
-                t["l_quantity"], 100.0)), pa.int64())}),
+            "qty_c": _cents(t["l_quantity"])}),
             batch_format="pyarrow")
     big = group_agg(li, ["l_orderkey"], [("qty_c", "sum", "sum_qty_c")],
                     buckets=16) \
@@ -2703,8 +2671,7 @@ def _q_orders_q18(sf_dir: str):
             "o_custkey": t["o_custkey"],
             "o_orderkey": t["l_orderkey"],
             "o_orderdate": t["o_orderdate"],
-            "totalprice_c": pc.cast(pc.round(pc.multiply(
-                t["o_totalprice"], 100.0)), pa.int64()),
+            "totalprice_c": _cents(t["o_totalprice"]),
             "sum_qty_c": t["sum_qty_c"]})
 
     return out.map_batches(_shape, batch_format="pyarrow") \
@@ -2791,12 +2758,7 @@ def _q_lineitem_q14(sf_dir: str):
     from rayskema.pipelines.relational import group_agg, hash_join
 
     def _li_prep(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
-                    pa.int64()),
-            pc.subtract(pa.scalar(100, type=pa.int64()),
-                        pc.cast(pc.round(pc.multiply(
-                            t["l_discount"], 100.0)), pa.int64())))
+        rev = _rev_bp(t)
         return pa.table({"l_partkey": t["l_partkey"], "rev_bp": rev})
 
     # ship-month pushed into the read (pruned row-groups never leave
@@ -2860,8 +2822,7 @@ def _q_customers_dormant(sf_dir: str):
                         buckets=16)
     prepped = dormant.map_batches(lambda t: pa.table({
         "c_mktsegment": t["c_mktsegment"],
-        "bal_c": pc.cast(pc.round(pc.multiply(
-            t["c_acctbal"], 100.0)), pa.int64())}),
+        "bal_c": _cents(t["c_acctbal"])}),
         batch_format="pyarrow")
     return group_agg(prepped, ["c_mktsegment"],
                      [("bal_c", "count_all", "n_dormant"),

@@ -353,8 +353,10 @@ def group_sigma_outliers(
 
     ``scale`` converts decimal-valued doubles to exact integers (100
     for cents) with half-AWAY rounding (SQL ROUND semantics).  Null
-    values and null group keys are never outliers (SQL comparison /
-    join semantics).  A constant group (σ = 0) flags nothing — every
+    values, NaN/±inf values (which have no integer image and would
+    poison the exact sums) and null group keys are never outliers and
+    never contribute to the moments (SQL comparison / join
+    semantics).  A constant group (σ = 0) flags nothing — every
     value equals the mean — exactly as the SQL predicate does (the
     degenerate-σ clause only matters for near-constant groups, where
     the integer test still decides exactly).  Output: the input rows
@@ -370,19 +372,29 @@ def group_sigma_outliers(
 
     out_col = out_col or f"{value_col}_scaled"
 
-    def _scaled(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    def _scaled(col: pa.ChunkedArray | pa.Array) \
+            -> tuple[np.ndarray, np.ndarray]:
+        """(int64 values, usable-mask).  Unusable = null, or a
+        non-finite float (NaN/inf would cast to int64 UB and poison
+        the exact sums); masked positions hold 0."""
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False) \
+            .astype(bool)
         if pa.types.is_integer(col.type) and scale == 1:
-            return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
-        return round_half_away(
-            pc.multiply(pc.cast(col, pa.float64()), float(scale))
-            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+            v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return v, valid
+        f = pc.multiply(pc.cast(col, pa.float64(), safe=False),
+                        float(scale)).to_numpy(zero_copy_only=False)
+        usable = valid & np.isfinite(f)
+        f = np.where(usable, f, 0.0)
+        return round_half_away(f, 0).astype(np.int64), usable
 
     def _partial(tab: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(tab[group_col]),
-                       pc.is_valid(tab[value_col]))
-        tab = tab.filter(keep)
+        tab = tab.filter(pc.is_valid(tab[group_col]))
+        v, usable = _scaled(tab[value_col])
+        tab = tab.filter(pa.array(usable))
+        v = v[usable]
         g = tab[group_col].to_numpy(zero_copy_only=False)
-        v = _scaled(tab[value_col])
         # one exact-sum call per distinct group in the block (an
         # O(groups)-iteration loop, never per-row)
         uniq, inv = np.unique(g, return_inverse=True)
@@ -435,7 +447,7 @@ def group_sigma_outliers(
     def _filter(tab: pa.Table) -> pa.Table:
         gs, hi, lo = ray.get(thresholds)
         garr = pa.array(gs, type=tab[group_col].type)
-        v = _scaled(tab[value_col])
+        v, usable = _scaled(tab[value_col])
         idx = pc.index_in(tab[group_col], value_set=garr) \
             .to_numpy(zero_copy_only=False)
         found = ~np.isnan(idx) if idx.dtype.kind == "f" else \
@@ -443,9 +455,7 @@ def group_sigma_outliers(
         pos = np.where(found, idx, 0).astype(np.int64)
         vhi = hi[pos]
         vlo = lo[pos]
-        valid = pc.is_valid(tab[value_col]) \
-            .to_numpy(zero_copy_only=False).astype(bool)
-        out = found & valid & ((v > vhi) | (v < vlo))
+        out = found & usable & ((v > vhi) | (v < vlo))
         tab = tab.append_column(out_col, pa.array(v, type=pa.int64()))
         return tab.filter(pa.array(out))
 

@@ -630,7 +630,10 @@ class LinearQualityScorer:
         return self._w
 
     def _features(self, tab: pa.Table) -> np.ndarray:
-        t = tab[self.text_col]
+        # null text carries no features; fill with "" here and let
+        # __call__ drop the row (SQL's WHERE-on-NULL-score semantics —
+        # a NaN feature would otherwise cast to int64 garbage)
+        t = pc.fill_null(tab[self.text_col], "")
         f = np.empty((tab.num_rows, len(QUALITY_FEATURES)),
                      dtype=np.int64)
 
@@ -660,7 +663,9 @@ class LinearQualityScorer:
 
     def __call__(self, tab: pa.Table) -> pa.Table:
         score = self._features(tab) @ self.w + self.bias
-        keep = score >= self.threshold
+        valid = pc.is_valid(tab[self.text_col]) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        keep = valid & (score >= self.threshold)
         out = pa.table({
             self.id_col: tab[self.id_col],
             "score": pa.array(score, type=pa.int64())})

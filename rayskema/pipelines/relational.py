@@ -779,11 +779,15 @@ def quantile_bucket_assign(
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
     thr = []
-    import math
+    from fractions import Fraction
     for q in qs:
         if n == 0:
             break
-        rank = max(1, math.ceil(q * n))
+        # exact ceil(q·n) with q read as its DECIMAL literal (what a
+        # SQL engine does with `0.07`): float math.ceil(0.07 * 100)
+        # overshoots to 8 where decimal arithmetic gives exactly 7
+        fq = Fraction(repr(q))
+        rank = max(1, -((-fq.numerator * n) // fq.denominator))
         thr.append(hist[int(np.searchsorted(cum, rank))][value_col])
     thr_ref = ray.put(np.sort(np.array(thr)))
 
@@ -904,8 +908,20 @@ def group_quantiles(
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, tab.num_rows))
         parts = []
+        from fractions import Fraction
         for q in qs:
-            pos = starts + np.ceil(q * counts).astype(np.int64) - 1
+            # exact ceil(q·n) with q read as its decimal literal (SQL
+            # parses `0.07` as DECIMAL; float 0.07·100 overshoots to
+            # ceil 8).  Guard: a long-decimal q (huge denominator)
+            # would overflow num·counts in int64 — fall back to the
+            # float path there (indistinguishable at that precision).
+            fq = Fraction(repr(float(q)))
+            if fq.denominator <= 10 ** 6:
+                ranks = -(np.int64(-fq.numerator) * counts
+                          // np.int64(fq.denominator))
+            else:
+                ranks = np.ceil(q * counts).astype(np.int64)
+            pos = starts + ranks - 1
             parts.append(pa.table({
                 group_col: tab[group_col].take(pa.array(starts)),
                 "q": pa.array(np.full(len(starts), q)),

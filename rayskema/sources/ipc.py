@@ -14,8 +14,7 @@ and decodes RecordBatches with ``pyarrow.ipc`` — one task per file, so
 a directory of shards parallelizes exactly like the parquet reads; the
 optional ``columns`` projection prunes AFTER decode (IPC has no
 row-group projection pushdown — use parquet when reads are narrow, and
-this reader when the data already exists as IPC).  Memory-mapped
-single-file fast path when the path is local.
+this reader when the data already exists as IPC).
 
 ``write_ipc`` lands one ``.arrow`` file per block via
 ``Dataset.write_datasink``-free map_batches append (simple, resumable
@@ -70,9 +69,11 @@ def read_ipc(path: str, *, columns: list[str] | None = None,
 def write_ipc(ds: "rd.Dataset", out_dir: str, *,
               file_format: str = "file") -> int:
     """Write a Dataset as one IPC file per block under ``out_dir``;
-    returns the number of files written.  Task-unique file names make
-    retried tasks overwrite their own output (idempotent), never a
-    neighbor's."""
+    returns the number of DISTINCT files written.  Content-addressed
+    names make retries idempotent and collapse byte-identical blocks
+    into one file.  Write into a fresh directory: files from an
+    earlier run with different content are not cleaned up and a later
+    ``read_ipc`` would return the union."""
     if file_format not in ("file", "stream"):
         raise ValueError("file_format must be 'file' or 'stream'")
     os.makedirs(out_dir, exist_ok=True)
@@ -101,4 +102,4 @@ def write_ipc(ds: "rd.Dataset", out_dir: str, *,
         return pa.table({"path": pa.array([name])})
 
     paths = ds.map_batches(_write, batch_format="pyarrow").take_all()
-    return len(paths)
+    return len({p["path"] for p in paths})

@@ -1669,3 +1669,31 @@ def test_dedup_tokens_within_doc(ray_session):
                    ds, "text", "doc_id").take_all()}
         assert out == {0: ("b a c", 3), 1: ("x", 1), 2: (None, 0),
                        3: (None, 0), 4: (None, 0)}, (parts, out)
+
+
+def test_group_sigma_outliers_int_nulls_and_nan(ray_session):
+    """Review regressions: an integer value column WITH nulls must not
+    crash the filter pass, and a non-null NaN float must neither
+    poison the exact moments nor be emitted as an outlier."""
+    from rayskema.functions.profile import group_sigma_outliers
+
+    # int64 with nulls, scale=1 (the previously-crashing path);
+    # one extreme among 20 constants clears 3 sigma (max z=(n-1)/sqrt n)
+    n = 22
+    iv = [1] * (n - 2) + [None, 1000]
+    tab = pa.table({
+        "id": pa.array(range(n), type=pa.int64()),
+        "g": pa.array(["a"] * n),
+        "v": pa.array(iv, type=pa.int64())})
+    out = group_sigma_outliers(rd.from_arrow(tab), "g", "v", k=3)
+    assert {r["id"] for r in out.take_all()} == {n - 1}
+
+    # a NaN float: excluded from the moments AND from the output
+    fv = [1.0] * (n - 2) + [float("nan"), 1000.0]
+    fl = pa.table({
+        "id": pa.array(range(n), type=pa.int64()),
+        "g": pa.array(["a"] * n),
+        "v": pa.array(fv, type=pa.float64())})
+    out = group_sigma_outliers(rd.from_arrow(fl), "g", "v", k=3,
+                               scale=100)
+    assert {r["id"] for r in out.take_all()} == {n - 1}
