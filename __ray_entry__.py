@@ -2358,6 +2358,20 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_emb_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization (the ANN
+    memory-compression stage): per-vector max-|x| scaling, codes in
+    [-127, 127], scale factor for reconstruction.  One vectorized
+    pass over the flat values buffer (reduceat per-vector maxima —
+    no per-vector Python); emitted flattened (id, dim, code, scale)
+    so the oracle compares flat rows."""
+    from rayskema.functions.similarity import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantize_embeddings(ds, "embedding", "vec_id", bits=8,
+                               flatten=True)
+
+
 def _q_docs_word_dedup(sf_dir: str):
     """Intra-document repeated-token removal (C4-style within-doc
     cleanup): first occurrence of each token survives, order
@@ -2861,6 +2875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "emb_quantize": _q_emb_quantize,
         "docs_word_dedup": _q_docs_word_dedup,
         "customer_nations_concat": _q_customer_nations_concat,
         "docs_length_buckets": _q_docs_length_buckets,
@@ -3975,6 +3990,22 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "emb_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       (generate_subscripts(embedding, 1) - 1)::BIGINT
+                           AS dim,
+                       list_max(list_transform(
+                           embedding,
+                           y -> abs(CAST(y AS DOUBLE)))) AS mx
+                FROM embeddings)
+            SELECT vec_id, dim,
+                   CAST(CASE WHEN mx > 0 THEN round(x / mx * 127)
+                        ELSE 0 END AS TINYINT) AS code,
+                   CASE WHEN mx > 0 THEN mx / 127 ELSE 0.0 END AS scale
+            FROM e
         """,
         "docs_word_dedup": """
             WITH w AS (

@@ -645,3 +645,77 @@ def knn_cosine_ivf(
     tab = tab.filter(pa.array(keep))
     tab = tab.append_column("rank", pa.array((pos[keep] + 1).astype(np.int64)))
     return tab.select(["query_id", "neighbor_id", "rank", "score"])
+
+
+def quantize_embeddings(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *, bits: int = 8,
+    flatten: bool = False,
+) -> "rd.Dataset":
+    """Symmetric per-vector integer quantization of an embedding
+    column — the memory-compression stage in front of a large-scale
+    ANN index (4x smaller than float32 at 8 bits, dot products stay
+    SIMD-friendly).  Each vector scales by its own max-|x| so the
+    code range is fully used: ``code = round(x / max|x| · (2^(b-1)-1))``
+    (half-AWAY, SQL ROUND semantics), ``scale = max|x| / (2^(b-1)-1)``
+    reconstructs ``x ≈ code · scale``.
+
+    Embarrassingly parallel — one vectorized pass over the flat
+    values buffer (no per-vector Python): the per-vector max comes
+    from one ``np.maximum.reduceat``; an all-zero vector quantizes to
+    all-zero codes with scale 0.  Output ``(id, codes list<int8>,
+    scale)`` or, with ``flatten=True``, the exploded
+    ``(id, dim, code, scale)`` rows (dim is 0-based) for engines that
+    compare flat tables."""
+    if not 2 <= bits <= 8:
+        raise ValueError("bits must be in [2, 8]")
+    qmax = float(2 ** (bits - 1) - 1)
+
+    def _quant(tab: pa.Table) -> pa.Table:
+        from . import round_half_away
+
+        n = tab.num_rows
+        col = tab[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if n == 0:
+            empty_codes = pa.array([], type=pa.list_(pa.int8()))
+            if flatten:
+                return pa.table({
+                    id_col: pa.array([], type=tab[id_col].type),
+                    "dim": pa.array([], type=pa.int64()),
+                    "code": pa.array([], type=pa.int8()),
+                    "scale": pa.array([], type=pa.float64())})
+            return pa.table({
+                id_col: tab[id_col], "codes": empty_codes,
+                "scale": pa.array([], type=pa.float64())})
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offs = offs - offs[0]   # flatten() rebases a sliced array
+        starts = offs[:-1]
+        mx = np.maximum.reduceat(np.abs(flat), starts)
+        mx[offs[1:] == starts] = 0.0        # empty vectors
+        denom = np.where(mx > 0, mx, 1.0)
+        codes = round_half_away(
+            flat / np.repeat(denom, np.diff(offs)) * qmax, 0) \
+            .astype(np.int8)
+        scale = np.where(mx > 0, mx / qmax, 0.0)
+        if flatten:
+            dims = np.arange(len(flat), dtype=np.int64) \
+                - np.repeat(starts, np.diff(offs))
+            rep = np.diff(offs)
+            return pa.table({
+                id_col: tab[id_col].take(pa.array(
+                    np.repeat(np.arange(n), rep))),
+                "dim": pa.array(dims),
+                "code": pa.array(codes),
+                "scale": pa.array(np.repeat(scale, rep))})
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs - offs[0], type=pa.int32()), pa.array(codes))
+        return pa.table({
+            id_col: tab[id_col], "codes": lists,
+            "scale": pa.array(scale)})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _quant, batch_format="pyarrow")

@@ -1697,3 +1697,39 @@ def test_group_sigma_outliers_int_nulls_and_nan(ray_session):
     out = group_sigma_outliers(rd.from_arrow(fl), "g", "v", k=3,
                                scale=100)
     assert {r["id"] for r in out.take_all()} == {n - 1}
+
+
+def test_quantize_embeddings(ray_session):
+    """Per-vector symmetric quantization: codes reconstruct within
+    scale/2 per element, zero vectors quantize to zeros with scale 0,
+    list and flattened layouts agree, bits validates."""
+    from rayskema.functions.similarity import quantize_embeddings
+
+    vecs = [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0],
+            [-2.0, 2.0, 1.0, -1.0]]
+    tab = pa.table({
+        "vec_id": pa.array(range(3), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tab).repartition(2)
+    rows = quantize_embeddings(ds, "embedding", "vec_id").take_all()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert [c for c in by_id[0]["codes"]] == [127, -64, 32, 0]
+    assert list(by_id[1]["codes"]) == [0, 0, 0, 0]
+    assert by_id[1]["scale"] == 0.0
+    for r in rows:
+        s = r["scale"]
+        orig = vecs[r["vec_id"]]
+        if s:
+            for c, x in zip(r["codes"], orig):
+                assert abs(c * s - x) <= s / 2 + 1e-12
+    flat = quantize_embeddings(ds, "embedding", "vec_id",
+                               flatten=True).take_all()
+    assert len(flat) == 12
+    got = {(r["vec_id"], r["dim"]): r["code"] for r in flat}
+    assert got[(0, 0)] == 127 and got[(2, 1)] == 127
+
+    try:
+        quantize_embeddings(ds, "embedding", "vec_id", bits=1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
