@@ -874,6 +874,52 @@ def _q_docs_multimodal_resize(sf_dir: str):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def _q_docs_multimodal_patches(sf_dir: str):
+    """ViT-prep patch extraction, driver-checkable: 8x8 BMP payloads
+    from the text bytes tile into four 4x4 patches (one reshape/
+    transpose per image, row-major patch order); the oracle recomputes
+    each patch's byte sum from the original text at the exact (y, x,
+    channel) positions.  Same ASCII-scope caveat as the other
+    byte-position oracles."""
+    from rayskema.functions import binary_buffers
+    from rayskema.plan import limit_arrow_threads
+    from rayskema.stages.multimodal import PatchifyStage, encode_bmp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = PatchifyStage("payload", ["doc_id"], patch=4)
+
+    def run(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        limit_arrow_threads()
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "patch_idx": pa.array([], pa.int64()),
+                             "patch_sum": pa.array([], pa.int64())})
+        batch = batch.filter(pc.greater_equal(
+            pc.binary_length(pc.cast(batch["text"], pa.binary())), 192))
+        offsets, mv, _ = binary_buffers(batch["text"])
+        flat = np.frombuffer(mv, dtype=np.uint8)
+        if len(offsets) > 1:
+            idx = offsets[:-1, None] + np.arange(192, dtype=np.int64)
+            pixels = flat[idx].reshape(-1, 8, 8, 3)
+        else:
+            pixels = np.zeros((0, 8, 8, 3), dtype=np.uint8)
+        enc = pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([encode_bmp(p) for p in pixels],
+                                type=pa.binary())})
+        out = stage(enc)
+        pt = out["patch"].combine_chunks()
+        sums = np.asarray(pt.flatten()).astype(np.int64) \
+            .reshape(-1, 48).sum(axis=1) if len(pt) \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": out["doc_id"],
+                         "patch_idx": out["patch_idx"],
+                         "patch_sum": pa.array(sums)})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def _q_docs_multimodal_audio(sf_dir: str):
     """Audio decode, driver-checkable: each document's first 200 text
     bytes become 100 little-endian int16 samples of a REAL PCM WAV
@@ -2875,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "docs_multimodal_patches": _q_docs_multimodal_patches,
         "emb_quantize": _q_emb_quantize,
         "docs_word_dedup": _q_docs_word_dedup,
         "customer_nations_concat": _q_customer_nations_concat,
@@ -3990,6 +4037,24 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "docs_multimodal_patches": """
+            WITH g AS (
+                SELECT py.i AS py, px.i AS px, dy.i AS dy,
+                       dx.i AS dx, ch.i AS ch
+                FROM (SELECT unnest(range(2)) AS i) py,
+                     (SELECT unnest(range(2)) AS i) px,
+                     (SELECT unnest(range(4)) AS i) dy,
+                     (SELECT unnest(range(4)) AS i) dx,
+                     (SELECT unnest(range(3)) AS i) ch)
+            SELECT doc_id, (py * 2 + px)::BIGINT AS patch_idx,
+                   sum(ord(substr(text,
+                       CAST(((py * 4 + dy) * 8 + (px * 4 + dx)) * 3
+                            + ch + 1 AS BIGINT), 1)))::BIGINT
+                       AS patch_sum
+            FROM documents, g
+            WHERE length(text) >= 192
+            GROUP BY doc_id, py, px
         """,
         "emb_quantize": """
             WITH e AS (

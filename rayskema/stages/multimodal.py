@@ -277,6 +277,73 @@ class ResizeStage:
         return pa.table(out)
 
 
+class PatchifyStage:
+    """Actor-pool stage: image payload column -> non-overlapping
+    P×P patch rows (the ViT tokenizer prep).  Each decoded (H, W, 3)
+    image yields (H//P)·(W//P) rows of ``(keys..., patch_idx,
+    patch)`` where ``patch`` is the flattened P·P·3 uint8 vector and
+    ``patch_idx`` scans row-major.  The image must tile exactly
+    (H % P == W % P == 0) or the stage raises — silent cropping
+    would corrupt training data.  Patch extraction is one
+    reshape/transpose per image (no per-patch Python); decode is the
+    per-payload cost, as in the other stages (decoder resolved once
+    in ``__init__`` — the actor-pool contract)."""
+
+    def __init__(self, payload_col: str, key_cols: list,
+                 patch: int = 4,
+                 decoder: Callable | str | None = "auto", *,
+                 fake: bool = False):
+        if fake:
+            decoder = fake_decode
+        elif decoder == "auto":
+            decoder = sniff_decode_image
+        elif decoder is None:
+            raise NotImplementedError(
+                "pass decoder=..., decoder='auto' (built-in BMP/PPM "
+                "codecs), or fake=True")
+        if patch <= 0:
+            raise ValueError("patch must be positive")
+        self.decode = decoder
+        self.payload_col = payload_col
+        self.key_cols = list(key_cols)
+        self.patch = int(patch)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import binary_buffers
+
+        p = self.patch
+        offsets, mv, null_mask = binary_buffers(batch[self.payload_col])
+        keys_idx: list[int] = []
+        patch_idx: list[np.ndarray] = []
+        patches: list[np.ndarray] = []
+        for i in range(len(offsets) - 1):
+            if null_mask is not None and null_mask[i]:
+                continue
+            arr = self.decode(bytes(mv[offsets[i]:offsets[i + 1]]))
+            h, w = arr.shape[0], arr.shape[1]
+            if h % p or w % p:
+                raise ValueError(
+                    f"image ({h}x{w}) does not tile into {p}x{p} "
+                    "patches; resize upstream")
+            grid = arr.reshape(h // p, p, w // p, p, 3) \
+                .transpose(0, 2, 1, 3, 4).reshape(-1, p * p * 3)
+            keys_idx.extend([i] * grid.shape[0])
+            patch_idx.append(np.arange(grid.shape[0], dtype=np.int64))
+            patches.append(grid.astype(np.uint8))
+        if patches:
+            flat = np.concatenate(patches)
+            pidx = np.concatenate(patch_idx)
+        else:
+            flat = np.zeros((0, p * p * 3), dtype=np.uint8)
+            pidx = np.zeros(0, dtype=np.int64)
+        take = pa.array(np.array(keys_idx, dtype=np.int64))
+        out = {c: batch[c].take(take) for c in self.key_cols}
+        out["patch_idx"] = pa.array(pidx)
+        out["patch"] = pa.array(list(flat),
+                                type=pa.list_(pa.uint8(), p * p * 3))
+        return pa.table(out)
+
+
 class AudioStatsStage:
     """Actor-pool stage: PCM WAV payload column -> audio feature
     columns (sample rate, length, channel count, duration, RMS

@@ -123,3 +123,37 @@ def test_decode_features_auto_through_ray(ray_session):
         np.testing.assert_allclose(
             np.asarray(out["channel_mean"][i]),
             imgs[i].reshape(-1, 3).mean(axis=0), rtol=1e-5)
+
+
+def test_patchify_stage():
+    """Row-major P x P patches tile exactly; a non-tiling image
+    raises; nulls are skipped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayskema.stages.multimodal import PatchifyStage, encode_bmp
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    stage = PatchifyStage("payload", ["id"], patch=4)
+    batch = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([encode_bmp(img), None], type=pa.binary())})
+    out = stage(batch)
+    assert out["id"].to_pylist() == [1, 1, 1, 1]
+    assert out["patch_idx"].to_pylist() == [0, 1, 2, 3]
+    # patch 0 = rows 0..3 x cols 0..3; verify against numpy slicing
+    p0 = np.asarray(out["patch"].combine_chunks().flatten())[:48]
+    assert (p0 == img[:4, :4, :].ravel()).all()
+    # patch 3 = rows 4..7 x cols 4..7
+    p3 = np.asarray(out["patch"].combine_chunks().flatten())[144:]
+    assert (p3 == img[4:, 4:, :].ravel()).all()
+
+    odd = np.zeros((6, 8, 3), dtype=np.uint8)
+    bad = pa.table({"id": pa.array([1], type=pa.int64()),
+                    "payload": pa.array([encode_bmp(odd)],
+                                        type=pa.binary())})
+    try:
+        stage(bad)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "tile" in str(e)
