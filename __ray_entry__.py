@@ -2404,6 +2404,18 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_quantile_cont(sf_dir: str):
+    """Interpolated per-group quantiles (SQL quantile_cont /
+    percentile_cont): position q·(n−1) over the sorted group, value
+    lo + frac·(hi−lo) — the exact expression DuckDB's interpolator
+    evaluates, rounded to 6 digits on both engines."""
+    from rayskema.pipelines.relational import group_quantile_cont
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantile_cont(ds, "event_type", "value",
+                               [0.25, 0.5, 0.9], buckets=4)
+
+
 def _q_emb_quantize(sf_dir: str):
     """Symmetric int8 embedding quantization (the ANN
     memory-compression stage): per-vector max-|x| scaling, codes in
@@ -2921,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_quantile_cont": _q_events_quantile_cont,
         "docs_multimodal_patches": _q_docs_multimodal_patches,
         "emb_quantize": _q_emb_quantize,
         "docs_word_dedup": _q_docs_word_dedup,
@@ -4037,6 +4050,19 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_quantile_cont": """
+            SELECT event_type, 0.25::DOUBLE AS q,
+                   round(quantile_cont(value, 0.25), 6) AS value
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5::DOUBLE,
+                   round(quantile_cont(value, 0.5), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9::DOUBLE,
+                   round(quantile_cont(value, 0.9), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "docs_multimodal_patches": """
             WITH g AS (

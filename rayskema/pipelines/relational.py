@@ -737,6 +737,63 @@ def approx_distinct_count(
                                buckets=buckets, sort_within=False)
 
 
+def group_quantile_cont(
+    ds: "rd.Dataset", group_col: str, value_col: str,
+    qs: Sequence[float], *, digits: int = 6,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Linearly-INTERPOLATED per-group quantiles — SQL
+    ``quantile_cont`` / ``percentile_cont`` semantics: position
+    ``q·(n−1)`` over the sorted non-null values, result
+    ``lo + frac·(hi − lo)`` (the same expression DuckDB's
+    interpolator evaluates, so rounding to ``digits`` on both engines
+    hash-matches).  Output ``(group, q, value float64)``; a group
+    with one value returns it for every q.
+
+    Same scale shape as :func:`group_quantiles` (one hash shuffle on
+    the group key, vectorized rank picks inside the bucket); use that
+    exact rank-based form when bit-exactness without a rounding
+    contract matters, and the t-digest
+    :func:`approx_group_quantiles` when groups are too large to
+    co-locate."""
+    qs = [float(q) for q in qs]
+    if not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+
+    def _quant(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[value_col]))
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=tab[group_col].type),
+                "q": pa.array([], type=pa.float64()),
+                "value": pa.array([], type=pa.float64())})
+        tab = tab.sort_by([(group_col, "ascending"),
+                           (value_col, "ascending")])
+        new = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, tab.num_rows))
+        v = pc.cast(tab[value_col], pa.float64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        parts = []
+        for q in qs:
+            pos = q * (counts - 1)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            lo_v = v[starts + lo]
+            hi_v = v[starts + np.minimum(lo + 1, counts - 1)]
+            val = lo_v + frac * (hi_v - lo_v)
+            parts.append(pa.table({
+                group_col: tab[group_col].take(pa.array(starts)),
+                "q": pa.array(np.full(len(starts), q)),
+                "value": pa.array(np.round(val, digits)),
+            }))
+        return pa.concat_tables(parts)
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col, value_col]), [group_col], _quant,
+        buckets=buckets, sort_within=False)
+
+
 def quantile_bucket_assign(
     ds: "rd.Dataset", value_col: str, qs: Sequence[float], *,
     out_col: str = "bucket", buckets: int | None = None,

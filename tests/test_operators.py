@@ -1733,3 +1733,21 @@ def test_quantize_embeddings(ray_session):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_group_quantile_cont(ray_session):
+    """Interpolated quantiles: endpoints, midpoint interpolation,
+    single-value groups, null exclusion."""
+    from rayskema.pipelines.relational import group_quantile_cont
+
+    tab = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] + ["c", "c"]),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0, 7.0, None, 5.0],
+                      type=pa.float64())})
+    out = {(r["g"], r["q"]): r["value"] for r in group_quantile_cont(
+        rd.from_arrow(tab).repartition(3), "g", "v",
+        [0.0, 0.5, 1.0], buckets=2).take_all()}
+    assert out[("a", 0.0)] == 10.0 and out[("a", 1.0)] == 40.0
+    assert out[("a", 0.5)] == 25.0          # 20 + 0.5*(30-20)
+    assert out[("b", 0.5)] == 7.0           # single value, every q
+    assert out[("c", 0.5)] == 5.0           # null excluded
