@@ -2404,6 +2404,32 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_top_tokens_approx(sf_dir: str):
+    """Approximate corpus heavy hitters (count-min + per-block
+    candidates): constant-size sketch partials replace the vocabulary
+    exchange — the open-vocabulary path (URLs/n-grams/ids) where
+    distinct values scale with the corpus.  No SQL oracle (an
+    estimate never hash-matches); asserted in-query against the
+    engine's own exact top_k_tokens: same token set, estimates never
+    below the true counts, overestimate within the CMS εN bound."""
+    from rayskema.functions.textstats import (approx_top_tokens,
+                                              top_k_tokens)
+
+    ds = _read(sf_dir, "documents", ["text"])
+    approx = approx_top_tokens(ds, "text", k=20, w=2048, d=5)
+    exact = {r["token"]: r["n"]
+             for r in top_k_tokens(ds, "text", k=20,
+                                   buckets=4).take_all()}
+    total = sum(exact.values())  # lower bound on N; eps*N uses true N
+    est = {t: n for t, n in zip(approx["token"].to_pylist(),
+                                approx["n_approx"].to_pylist())}
+    assert set(est) == set(exact), (set(est) ^ set(exact))
+    for t, n in exact.items():
+        assert est[t] >= n, (t, est[t], n)
+        assert est[t] <= n + max(1, (3 * total) // 2048), (t, est[t], n)
+    return approx
+
+
 def _q_events_quantile_cont(sf_dir: str):
     """Interpolated per-group quantiles (SQL quantile_cont /
     percentile_cont): position q·(n−1) over the sorted group, value
@@ -2933,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "docs_top_tokens_approx": _q_docs_top_tokens_approx,
         "events_quantile_cont": _q_events_quantile_cont,
         "docs_multimodal_patches": _q_docs_multimodal_patches,
         "emb_quantize": _q_emb_quantize,

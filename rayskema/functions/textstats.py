@@ -691,3 +691,63 @@ def linear_quality_filter(
     scorer = LinearQualityScorer(ref, bias, threshold, text_col, id_col)
     return ds.select_columns([id_col, text_col]).map_batches(
         scorer, batch_format="pyarrow")
+
+
+def approx_top_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
+                      candidates_per_block: int | None = None,
+                      w: int = 2048, d: int = 5) -> pa.Table:
+    """Approximate corpus heavy hitters: ``(token, n_approx)``, top
+    ``k`` by count-min-sketch estimate (desc, then token asc).
+
+    Why it exists next to the exact :func:`top_k_tokens`: the exact
+    form shuffles the full VOCABULARY — fine for words, ruinous for
+    open vocabularies (URLs, n-grams, user ids) where distinct values
+    scale with the corpus.  Here every block ships a CONSTANT-size
+    partial instead: one ``w × d`` count-min sketch (mergeable by
+    element-wise add) plus its local top-``candidates_per_block``
+    token strings.  The driver merges O(blocks) sketches, queries the
+    merged sketch only for the O(blocks × m) candidate union, and
+    keeps the top k — no token exchange at all.
+
+    Guarantees: CMS never underestimates; overestimate ≤ εN (ε≈e/w)
+    with prob 1−δ (δ≈e^−d).  A global heavy hitter missing from every
+    block's local top-m is possible in theory (adversarial spread) —
+    raise ``candidates_per_block`` (default 4k) when k is tight.
+    Returns a driver-side Table (k rows)."""
+    from ..state.sketches import CountMin, hash_strings
+
+    m = candidates_per_block or 4 * k
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, "")).combine_chunks()
+        cms = CountMin(w=w, d=d)
+        cms.update_hashes(hash_strings(flat))
+        vc = flat.value_counts()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        order = np.argsort(-counts, kind="stable")[:m]
+        cand = vc.field("values").take(pa.array(order))
+        return pa.table({
+            "cms": pa.array([cms.to_bytes()], type=pa.binary()),
+            "cand": pa.array([cand.to_pylist()],
+                             type=pa.list_(pa.string()))})
+
+    parts = ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    merged: CountMin | None = None
+    cand_set: set[str] = set()
+    for p in parts:
+        c = CountMin.from_bytes(p["cms"])
+        merged = c if merged is None else merged.merge(c)
+        cand_set.update(p["cand"])
+    if merged is None or not cand_set:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "n_approx": pa.array([], type=pa.int64())})
+    cands = sorted(cand_set)
+    ests = np.array([merged.query_string(t) for t in cands],
+                    dtype=np.int64)
+    order = np.lexsort((np.array(cands, dtype=object), -ests))[:k]
+    return pa.table({
+        "token": pa.array([cands[i] for i in order]),
+        "n_approx": pa.array(ests[order])})

@@ -86,3 +86,32 @@ def test_profile_merge_and_roundtrip():
     assert merged.value_counts["role"] == {"user": 4, "tool": 2}
     assert merged.row_count == 8
     assert merged.tdigests["len"].total_weight == 4
+
+
+def test_approx_top_tokens(ray_session):
+    """Heavy hitters from CMS + per-block candidates: matches the
+    exact top-k set on a skewed vocabulary, never underestimates,
+    parallelism-independent merge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayskema.functions.textstats import approx_top_tokens
+
+    # zipf-ish: token_i appears (50 - i) times
+    docs = []
+    for i in range(40):
+        docs.extend([f"tok{i:02d}"] * (50 - i))
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rng.shuffle(docs)
+    texts = [" ".join(docs[j:j + 37]) for j in range(0, len(docs), 37)]
+    tab = pa.table({"text": pa.array(texts)})
+    exact = {f"tok{i:02d}": 50 - i for i in range(40)}
+    for parts in (1, 6):
+        out = approx_top_tokens(
+            rd.from_arrow(tab).repartition(parts), "text", k=10)
+        toks = out["token"].to_pylist()
+        ests = out["n_approx"].to_pylist()
+        assert toks == [f"tok{i:02d}" for i in range(10)], (parts, toks)
+        for t, e in zip(toks, ests):
+            assert e >= exact[t]
