@@ -2404,6 +2404,31 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_dow_hour(sf_dir: str):
+    """Calendar rollup — activity by (day-of-week, hour): exercises
+    the temporal kernel parity (Arrow day_of_week is Monday-0; SQL
+    dow is Sunday-0 — mapped explicitly), value sums in exact cents,
+    one small group_agg."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), pa.scalar(1, pa.int64()))
+        return pa.table({
+            "dow": pc.cast(pc.if_else(pc.equal(dow, 7),
+                                      pa.scalar(0, pa.int64()), dow),
+                           pa.int64()),
+            "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            "value_c": _cents(t["value"])})
+
+    return group_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                     ["dow", "hour"],
+                     [("value_c", "sum", "sum_value_c"),
+                      ("value_c", "count", "n")], buckets=4)
+
+
 def _q_docs_top_tokens_approx(sf_dir: str):
     """Approximate corpus heavy hitters (count-min + per-block
     candidates): constant-size sketch partials replace the vocabulary
@@ -2959,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_dow_hour": _q_events_dow_hour,
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,
         "events_quantile_cont": _q_events_quantile_cont,
         "docs_multimodal_patches": _q_docs_multimodal_patches,
@@ -4077,6 +4103,15 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_dow_hour": """
+            SELECT EXTRACT(dow FROM ts)::BIGINT AS dow,
+                   EXTRACT(hour FROM ts)::BIGINT AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       AS sum_value_c,
+                   count(CAST(round(value * 100) AS BIGINT)) AS n
+            FROM events
+            GROUP BY 1, 2
         """,
         "events_quantile_cont": """
             SELECT event_type, 0.25::DOUBLE AS q,
