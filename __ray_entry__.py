@@ -2404,6 +2404,17 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_mad(sf_dir: str):
+    """Robust scale per group: median + median-absolute-deviation
+    (DuckDB median()/mad() parity — both medians interpolated), two
+    bucketed exchanges sharing the group key with the O(groups)
+    median table broadcast between them."""
+    from rayskema.functions.profile import group_mad
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_mad(ds, "event_type", "value", digits=6, buckets=4)
+
+
 def _q_events_dow_hour(sf_dir: str):
     """Calendar rollup — activity by (day-of-week, hour): exercises
     the temporal kernel parity (Arrow day_of_week is Monday-0; SQL
@@ -2984,6 +2995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,
         "events_quantile_cont": _q_events_quantile_cont,
@@ -4103,6 +4115,13 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_mad": """
+            SELECT event_type,
+                   round(median(value), 6) AS median,
+                   round(mad(value), 6) AS mad
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         "events_dow_hour": """
             SELECT EXTRACT(dow FROM ts)::BIGINT AS dow,

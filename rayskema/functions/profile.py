@@ -460,3 +460,68 @@ def group_sigma_outliers(
         return tab.filter(pa.array(out))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def group_mad(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    digits: int | None = 6, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Median absolute deviation per group — the robust scale
+    estimator quality filters reach for when k·σ is too
+    outlier-sensitive: ``(group, median, mad)`` with
+    ``mad = median(|x − median(x)|)``, both medians the interpolated
+    (quantile_cont-0.5) form DuckDB's ``mad()`` evaluates, so
+    ``round(·, digits)`` hash-matches SQL ``median()``/``mad()``.
+
+    Two bucketed exchanges sharing the group key (medians need the
+    group co-located — the σ-based :func:`group_sigma_outliers` is
+    the single-pass alternative); between them the O(groups) median
+    table broadcasts into a vectorized |x − med| map — never a
+    per-group Python pass.  Nulls are excluded (SQL aggregate
+    semantics); an empty group disappears."""
+    from ..pipelines.relational import group_quantile_cont
+
+    med = group_quantile_cont(ds, group_col, value_col, [0.5],
+                              digits=None, buckets=buckets)
+    med_rows = med.take_all()
+    gvals = [r[group_col] for r in med_rows]
+    mvals = np.array([r["value"] for r in med_rows], dtype=np.float64)
+    med_ref = ray.put((gvals, mvals))
+
+    def _absdev(tab: pa.Table) -> pa.Table:
+        gs, ms = ray.get(med_ref)
+        garr = pa.array(gs, type=tab[group_col].type)
+        idx = pc.index_in(tab[group_col], value_set=garr) \
+            .to_numpy(zero_copy_only=False)
+        found = ~np.isnan(idx) if idx.dtype.kind == "f" else \
+            np.ones(len(idx), dtype=bool)
+        pos = np.where(found, idx, 0).astype(np.int64)
+        v = pc.cast(tab[value_col], pa.float64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        dev = np.abs(v - ms[pos])
+        keep = found & ~np.isnan(v)
+        out = pa.table({
+            group_col: tab[group_col],
+            "dev": pa.array(dev)})
+        return out.filter(pa.array(keep))
+
+    devs = ds.select_columns([group_col, value_col]).map_batches(
+        _absdev, batch_format="pyarrow")
+    mad = group_quantile_cont(devs, group_col, "dev", [0.5],
+                              digits=None, buckets=buckets)
+    med_map = {g: m for g, m in zip(gvals, mvals)}
+
+    def _shape(tab: pa.Table) -> pa.Table:
+        gs = tab[group_col].to_pylist()
+        med_col = np.array([med_map[g] for g in gs], dtype=np.float64)
+        mad_col = pc.cast(tab["value"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        if digits is not None:
+            med_col = np.round(med_col, digits)
+            mad_col = np.round(mad_col, digits)
+        return pa.table({
+            group_col: tab[group_col],
+            "median": pa.array(med_col),
+            "mad": pa.array(mad_col)})
+
+    return mad.map_batches(_shape, batch_format="pyarrow")

@@ -739,7 +739,7 @@ def approx_distinct_count(
 
 def group_quantile_cont(
     ds: "rd.Dataset", group_col: str, value_col: str,
-    qs: Sequence[float], *, digits: int = 6,
+    qs: Sequence[float], *, digits: int | None = 6,
     buckets: int | None = None,
 ) -> "rd.Dataset":
     """Linearly-INTERPOLATED per-group quantiles — SQL
@@ -782,10 +782,12 @@ def group_quantile_cont(
             lo_v = v[starts + lo]
             hi_v = v[starts + np.minimum(lo + 1, counts - 1)]
             val = lo_v + frac * (hi_v - lo_v)
+            if digits is not None:
+                val = np.round(val, digits)
             parts.append(pa.table({
                 group_col: tab[group_col].take(pa.array(starts)),
                 "q": pa.array(np.full(len(starts), q)),
-                "value": pa.array(np.round(val, digits)),
+                "value": pa.array(val),
             }))
         return pa.concat_tables(parts)
 

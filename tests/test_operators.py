@@ -1751,3 +1751,21 @@ def test_group_quantile_cont(ray_session):
     assert out[("a", 0.5)] == 25.0          # 20 + 0.5*(30-20)
     assert out[("b", 0.5)] == 7.0           # single value, every q
     assert out[("c", 0.5)] == 5.0           # null excluded
+
+
+def test_group_mad(ray_session):
+    """median + MAD per group: interpolated medians (even-n average),
+    null exclusion, parallelism-independent."""
+    from rayskema.functions.profile import group_mad
+
+    tab = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 4),
+        "v": pa.array([1.0, 3.0, 5.0, 7.0, 100.0,
+                       10.0, 20.0, None, 30.0], type=pa.float64())})
+    # a: median 5, |dev| = [4,2,0,2,95] -> mad 2
+    # b: values [10,20,30] median 20, devs [10,0,10] -> mad 10
+    for parts in (1, 4):
+        out = {r["g"]: (r["median"], r["mad"]) for r in group_mad(
+            rd.from_arrow(tab).repartition(parts), "g", "v",
+            buckets=2).take_all()}
+        assert out == {"a": (5.0, 2.0), "b": (20.0, 10.0)}, (parts, out)
