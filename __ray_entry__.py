@@ -2404,6 +2404,31 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_orders_status_summary(sf_dir: str):
+    """The full SQL reporting aggregate: GROUP BY with plain
+    aggregates AND two count(DISTINCT) columns — plain partials
+    pre-aggregate per block, each distinct column rides its own
+    deduped (group, value) exchange, everything joins back by
+    broadcast on the O(groups) result."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg_distinct
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_custkey", "o_orderpriority",
+                "o_totalprice"]) \
+        .map_batches(lambda t: pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_custkey": t["o_custkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "price_c": _cents(t["o_totalprice"])}),
+            batch_format="pyarrow")
+    return group_agg_distinct(
+        ds, "o_orderstatus",
+        [("price_c", "count_all", "n"),
+         ("price_c", "sum", "sum_price_c")],
+        ["o_custkey", "o_orderpriority"], buckets=4)
+
+
 def _q_events_mad(sf_dir: str):
     """Robust scale per group: median + median-absolute-deviation
     (DuckDB median()/mad() parity — both medians interpolated), two
@@ -2995,6 +3020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,
@@ -4115,6 +4141,16 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "orders_status_summary": """
+            SELECT o_orderstatus, count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS sum_price_c,
+                   count(DISTINCT o_custkey) AS n_distinct_o_custkey,
+                   count(DISTINCT o_orderpriority)
+                       AS n_distinct_o_orderpriority
+            FROM orders
+            GROUP BY o_orderstatus
         """,
         "events_mad": """
             SELECT event_type,

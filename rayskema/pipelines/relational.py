@@ -183,6 +183,10 @@ def _apply_bucket_task(fn, key_cols, sort_within: bool, schema: pa.Schema,
 TARGET_BUCKET_BYTES = 256 << 20
 MANUAL_EXCHANGE_MAX_BUCKETS = 256
 SORT_EXCHANGE_MAX_BUCKETS = 1 << 16
+# hash_join(broadcast="auto"): right sides at or under this
+# materialized size join by broadcast (one worker-heap copy per task
+# slot); larger sides take the bucketed exchange
+AUTO_BROADCAST_MAX_BYTES = 64 << 20
 
 
 def _auto_buckets(total_bytes: int, target: int) -> int:
@@ -735,6 +739,38 @@ def approx_distinct_count(
 
     return bucketed_map_groups(partial, [group_col], _final,
                                buckets=buckets, sort_within=False)
+
+
+def group_agg_distinct(
+    ds: "rd.Dataset", group_col: str,
+    aggs: Sequence[tuple[str, str, str]],
+    distinct_cols: Sequence[str], *, buckets: int | None = None,
+) -> "rd.Dataset":
+    """The full SQL reporting aggregate — ``GROUP BY g`` with plain
+    aggregates AND ``count(DISTINCT col)`` columns (named
+    ``n_distinct_<col>``): composes :func:`group_agg` with one
+    :func:`distinct_count` per distinct column, joined back by
+    BROADCAST on the O(groups) result.
+
+    Scale shape: plain aggregates can pre-aggregate inside blocks but
+    distinct counts cannot (a value seen in two blocks must count
+    once), so each distinct column necessarily rides its own deduped
+    (group, value) exchange — that is the exact-cardinality floor, not
+    an implementation shortcut (HLL ``approx_distinct_count`` is the
+    constant-size alternative).  The pruned input is scanned once per
+    pass; with column-pruned parquet reads that beats materializing
+    the widest projection."""
+    base = group_agg(ds, [group_col], aggs, buckets=buckets)
+    for col in distinct_cols:
+        dc = distinct_count(ds, group_col, col, buckets=buckets) \
+            .map_batches(
+                lambda t, _c=col: pa.table({
+                    group_col: t[group_col],
+                    f"n_distinct_{_c}": t["n_distinct"]}),
+                batch_format="pyarrow")
+        base = hash_join(base, dc, on=[group_col], how="left_outer",
+                         broadcast=True)
+    return base
 
 
 def group_quantile_cont(
@@ -2285,8 +2321,8 @@ def _concat_remote(empty: pa.Table, *parts: pa.Table) -> pa.Table:
 
 def hash_join(
     left: "rd.Dataset", right: "rd.Dataset", *, on, right_on=None,
-    how: str = "inner", broadcast: bool = False, buckets: int | None = None,
-    suffix: str = "_r",
+    how: str = "inner", broadcast: bool | str = False,
+    buckets: int | None = None, suffix: str = "_r",
 ) -> "rd.Dataset":
     """General distributed equi-join with SQL NULL semantics (null keys
     never match — pyarrow's Acero join already guarantees this).
@@ -2294,7 +2330,11 @@ def hash_join(
     The reference has no relational join operator (SURVEY §2.5 notes its
     join-like semantics are semi/anti lookups); this is the
     beyond-reference general form a data-engine user needs.  Two
-    strategies, chosen by ``broadcast``:
+    strategies, chosen by ``broadcast`` (pass ``"auto"`` to let the
+    measured right side decide: it is materialized once — a cost both
+    strategies pay in full anyway — and sides at or under
+    ``AUTO_BROADCAST_MAX_BYTES`` take the broadcast path, larger ones
+    the bucketed exchange; ``full_outer`` always buckets):
 
     - ``broadcast=True`` (dimension-table pattern): the right side is
       materialized ONCE, ``ray.put`` into the object store, and every
@@ -2322,6 +2362,13 @@ def hash_join(
         raise ValueError("on and right_on must have the same arity")
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    if broadcast == "auto":
+        right = right.materialize()
+        sz = right.size_bytes() or 0
+        broadcast = (how != "full_outer"
+                     and sz <= AUTO_BROADCAST_MAX_BYTES)
+    elif not isinstance(broadcast, bool):
+        raise ValueError("broadcast must be True, False or 'auto'")
     jt = _JOIN_TYPES[how]
     semi = how in ("left_semi", "left_anti")
 

@@ -208,3 +208,41 @@ def test_hash_join_schemaless_empty_sides(ray_session):
     for how in ("inner", "left_semi", "left_anti", "left_outer"):
         out = R.hash_join(void, left, on=["k"], how=how)
         assert out.count() == 0, how
+
+
+def test_hash_join_auto_broadcast(ray_session, monkeypatch):
+    """broadcast='auto' picks broadcast for a small right side and the
+    bucketed exchange above the threshold — identical results either
+    way; full_outer always buckets."""
+    R = rel
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(200) % 10, type=pa.int64()),
+        "v": pa.array(np.arange(200), type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(10), type=pa.int64()),
+        "name": pa.array([f"n{i}" for i in range(10)])}))
+
+    want = sorted(
+        (r["k"], r["v"], r["name"]) for r in R.hash_join(
+            left, right, on=["k"], how="inner",
+            broadcast=True).take_all())
+
+    got_auto = sorted(
+        (r["k"], r["v"], r["name"]) for r in R.hash_join(
+            left, right, on=["k"], how="inner",
+            broadcast="auto").take_all())
+    assert got_auto == want
+
+    # force the bucketed decision by shrinking the threshold
+    monkeypatch.setattr(R, "AUTO_BROADCAST_MAX_BYTES", 1)
+    got_bucketed = sorted(
+        (r["k"], r["v"], r["name"]) for r in R.hash_join(
+            left, right, on=["k"], how="inner",
+            broadcast="auto", buckets=4).take_all())
+    assert got_bucketed == want
+
+    try:
+        R.hash_join(left, right, on=["k"], broadcast="yes")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "auto" in str(e)
