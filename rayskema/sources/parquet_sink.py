@@ -1,0 +1,107 @@
+"""Resumable hive-partitioned Parquet sink for ANY dataset.
+
+The validate pipeline has its own checkpointed sink
+(``pipelines/checkpoint.py``); this is the generic form the brief's
+output contract asks for — "write partitioned Parquet (one directory
+per key range) so a failed run can skip finished partitions":
+
+- one ``<by>=<value>/`` directory per distinct partition value (hive
+  layout, readable back with ``read_parquet`` partition discovery);
+- ALL of a value's rows are co-located in one bucket task by the
+  repo-standard hash exchange, so each partition is written by exactly
+  ONE task: data lands as ``part.parquet`` via write-tmp-then-rename
+  and a ``_SUCCESS`` marker commits it — the partition either exists
+  completely or not at all, under any retry;
+- a resumed run lists the committed markers first and drops those
+  partitions' rows BEFORE the exchange (broadcast membership filter),
+  so finished partitions move zero bytes.
+
+Scale notes: the driver holds O(partitions) marker names, never data;
+partition count should be a grouping key's cardinality (source, date,
+shard id — thousands), not a row id.  Values are rendered with ``str``
+— keep partition keys to strings/ints without path separators.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..pipelines.relational import bucketed_map_groups, segment_starts
+
+
+def _part_dir(out_dir: str, by: str, value) -> str:
+    return os.path.join(out_dir, f"{by}={value}")
+
+
+def finished_partitions(out_dir: str, by: str) -> set[str]:
+    """String-rendered values of partitions already committed (their
+    ``_SUCCESS`` marker exists)."""
+    done: set[str] = set()
+    prefix = f"{by}="
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix) and os.path.exists(
+                os.path.join(out_dir, name, "_SUCCESS")):
+            done.add(name[len(prefix):])
+    return done
+
+
+def write_parquet_partitioned(
+    ds: "rd.Dataset", out_dir: str, by: str, *,
+    resume: bool = True, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Write ``ds`` under ``out_dir`` as one hive partition per
+    distinct ``by`` value; returns ``(value, rows)`` for the
+    partitions written THIS run (resumed-over partitions are absent).
+    Rows with a null ``by`` land in ``<by>=__NULL__``."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_partitions(out_dir, by) if resume else set()
+
+    def _key_str(tab: pa.Table) -> pa.ChunkedArray:
+        return pc.fill_null(pc.cast(tab[by], pa.string()), "__NULL__")
+
+    src = ds
+    if done:
+        done_arr = pa.array(sorted(done), type=pa.string())
+
+        def _drop_done(tab: pa.Table) -> pa.Table:
+            hit = pc.is_in(_key_str(tab), value_set=done_arr)
+            return tab.filter(pc.invert(hit))
+
+        src = ds.map_batches(_drop_done, batch_format="pyarrow")
+
+    def _write_bucket(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"value": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        tab = tab.append_column("__k", _key_str(tab))
+        tab = tab.sort_by([("__k", "ascending")])
+        starts = np.flatnonzero(segment_starts(tab, ["__k"]))
+        ends = np.append(starts[1:], tab.num_rows)
+        keys = tab["__k"].take(pa.array(starts)).to_pylist()
+        body = tab.drop_columns(["__k"])
+        out_rows = []
+        for val, s, e in zip(keys, starts, ends):
+            pdir = _part_dir(out_dir, by, val)
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".part.tmp.{os.getpid()}")
+            pq.write_table(body.slice(s, e - s), tmp)
+            os.replace(tmp, os.path.join(pdir, "part.parquet"))
+            with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
+                f.write(str(e - s))
+            out_rows.append((val, int(e - s)))
+        return pa.table({
+            "value": pa.array([v for v, _ in out_rows]),
+            "rows": pa.array([n for _, n in out_rows],
+                             type=pa.int64())})
+
+    return bucketed_map_groups(src, [by], _write_bucket,
+                               buckets=buckets, sort_within=False)

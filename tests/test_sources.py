@@ -141,3 +141,37 @@ def test_ipc_round_trip(ray_session, tmp_path):
                     if f.endswith(".arrow")]) == n_files
         pruned = read_ipc(out, columns=["k"], file_format=fmt)
         assert pruned.schema().names == ["k"]
+
+
+def test_write_parquet_partitioned_resumable(ray_session, tmp_path):
+    """Hive layout, atomic per-partition commit, resume skips
+    committed partitions (zero bytes moved for them), nulls land in
+    __NULL__."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayskema.sources.parquet_sink import (finished_partitions,
+                                               write_parquet_partitioned)
+
+    out = str(tmp_path / "parts")
+    tab = pa.table({
+        "src": pa.array(["a", "b", "a", None, "c", "b"]),
+        "v": pa.array(range(6), type=pa.int64())})
+    ds = rd.from_arrow(tab).repartition(3)
+    res = {r["value"]: r["rows"] for r in write_parquet_partitioned(
+        ds, out, "src", buckets=2).take_all()}
+    assert res == {"a": 2, "b": 2, "c": 1, "__NULL__": 1}
+    assert finished_partitions(out, "src") == {"a", "b", "c", "__NULL__"}
+    back = pq.read_table(os.path.join(out, "src=a", "part.parquet"))
+    assert sorted(back["v"].to_pylist()) == [0, 2]
+
+    # simulate a failed partition: remove its marker, rerun
+    os.remove(os.path.join(out, "src=b", "_SUCCESS"))
+    mtime_a = os.path.getmtime(os.path.join(out, "src=a", "part.parquet"))
+    res2 = {r["value"]: r["rows"] for r in write_parquet_partitioned(
+        rd.from_arrow(tab).repartition(3), out, "src",
+        buckets=2).take_all()}
+    assert res2 == {"b": 2}                       # only the failed one
+    assert os.path.getmtime(
+        os.path.join(out, "src=a", "part.parquet")) == mtime_a
