@@ -2404,6 +2404,21 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_rolling_time(sf_dir: str):
+    """Trailing time-range window per user — SQL RANGE frame parity
+    (peers share the frame end): each event's value-cents sum and
+    count over the preceding hour, exact int64."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_rolling_time
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "value_c": _cents(t["value"])}), batch_format="pyarrow")
+    return group_rolling_time(ds, "user_id", "ts", "value_c",
+                              width=3_600_000_000, buckets=8)
+
+
 def _q_orders_status_summary(sf_dir: str):
     """The full SQL reporting aggregate: GROUP BY with plain
     aggregates AND two count(DISTINCT) columns — plain partials
@@ -3020,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_rolling_time": _q_events_rolling_time,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4141,6 +4157,19 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_rolling_time": """
+            SELECT user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS value_c,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS w_sum,
+                   count(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS w_n
+            FROM events
+            WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,

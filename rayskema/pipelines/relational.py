@@ -1624,6 +1624,77 @@ def group_concat(
         buckets=buckets, sort_within=False)
 
 
+def group_rolling_time(
+    ds: "rd.Dataset", group_col: str, ts_col: str, value_col: str, *,
+    width: int, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Trailing TIME-range rolling aggregates per group — SQL
+    ``SUM/COUNT(v) OVER (PARTITION BY g ORDER BY ts RANGE BETWEEN
+    width PRECEDING AND CURRENT ROW)``: ``(group, ts, value, w_sum,
+    w_n)``.  ``width`` is in the timestamp's own unit (µs for Arrow
+    timestamps) and the frame is inclusive on both ends; rows sharing
+    a timestamp are PEERS — every peer's frame extends through the
+    LAST peer, exactly as SQL RANGE mode does.
+
+    One hash shuffle; inside the bucket the table sorts once by
+    (group, ts) and each group's window bounds come from two
+    ``np.searchsorted`` calls over its sorted timestamps with a
+    prefix-sum difference for the sums — an O(groups)-iteration loop
+    per bucket, never per-row Python.  Integer value columns stay
+    int64-exact; nulls add 0 to the sum and are excluded from
+    ``w_n`` (SQL aggregate null semantics).  Null timestamps are
+    excluded entirely (SQL RANGE ORDER BY semantics are peers-of-null;
+    this engine drops them — keep timestamps non-null upstream)."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+
+    def _roll(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[ts_col]))
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=tab[group_col].type),
+                ts_col: pa.array([], type=tab[ts_col].type),
+                value_col: pa.array([], type=tab[value_col].type),
+                "w_sum": pa.array([], type=pa.int64()),
+                "w_n": pa.array([], type=pa.int64())})
+        tab = tab.sort_by([(group_col, "ascending"),
+                           (ts_col, "ascending")])
+        n = tab.num_rows
+        starts = np.flatnonzero(segment_starts(tab, [group_col]))
+        ends = np.append(starts[1:], n)
+        ts = pc.cast(tab[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = tab[value_col].combine_chunks()
+        valid = v.is_valid().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vnum = v.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(vnum)])
+        cn = np.concatenate([[0], np.cumsum(valid)])
+        w_sum = np.empty(n, dtype=np.int64)
+        w_n = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = s + np.searchsorted(seg, seg - width, side="left")
+            hi = s + np.searchsorted(seg, seg, side="right")
+            w_sum[s:e] = cs[hi] - cs[lo]
+            w_n[s:e] = cn[hi] - cn[lo]
+        # SQL SUM over a frame with no non-null values is NULL, not 0
+        sums = pc.if_else(pa.array(w_n > 0), pa.array(w_sum),
+                          pa.nulls(n, type=pa.int64()))
+        return pa.table({
+            group_col: tab[group_col],
+            ts_col: tab[ts_col],
+            value_col: tab[value_col],
+            "w_sum": sums,
+            "w_n": pa.array(w_n)})
+
+    cols = list(dict.fromkeys([group_col, ts_col, value_col]))
+    return bucketed_map_groups(ds.select_columns(cols), [group_col],
+                               _roll, buckets=buckets,
+                               sort_within=False)
+
+
 def group_rolling(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, window: int, buckets: int | None = None,

@@ -1769,3 +1769,34 @@ def test_group_mad(ray_session):
             rd.from_arrow(tab).repartition(parts), "g", "v",
             buckets=2).take_all()}
         assert out == {"a": (5.0, 2.0), "b": (20.0, 10.0)}, (parts, out)
+
+
+def test_group_rolling_time(ray_session):
+    """RANGE-frame semantics: inclusive width bound, timestamp peers
+    share the frame end, all-null frames sum to NULL, null ts rows
+    dropped, parallelism-independent."""
+    from rayskema.pipelines.relational import group_rolling_time
+
+    tab = pa.table({
+        "g": pa.array(["a"] * 6 + ["b"] * 2),
+        "ts": pa.array([0, 50, 100, 100, 161, None, 0, 10],
+                       type=pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 16, 99, None, 32], type=pa.int64())})
+    for parts in (1, 3):
+        rows = group_rolling_time(
+            rd.from_arrow(tab).repartition(parts), "g", "ts", "v",
+            width=100, buckets=2).take_all()
+        got = {(r["g"], r["ts"], r["v"]): (r["w_sum"], r["w_n"])
+               for r in rows}
+        # a@0: [0] -> 1; a@50: [0,50] -> 3; a@100 peers: [0..100] both
+        # frames end at the last peer -> 1+2+4+8=15; a@161: [61..161]
+        # -> 4+8+16=28
+        assert got[("a", 0, 1)] == (1, 1)
+        assert got[("a", 50, 2)] == (3, 2)
+        assert got[("a", 100, 4)] == (15, 4)
+        assert got[("a", 100, 8)] == (15, 4)
+        assert got[("a", 161, 16)] == (28, 3)
+        # b@0 has only a null value in frame -> NULL sum, 0 count
+        assert got[("b", 0, None)] == (None, 0)
+        assert got[("b", 10, 32)] == (32, 1)
+        assert len(rows) == 7  # the null-ts row is dropped
