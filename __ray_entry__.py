@@ -2404,6 +2404,39 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_gap_stats(sf_dir: str):
+    """Inter-event gap distribution per user — pure composition of
+    two existing operators (group_running's LAG then group_agg), the
+    way a reference user would chain them: gap = ts − lag(ts) in
+    exact µs, per-user count/sum/max.  Single-event users keep SQL
+    null aggregate semantics (0 gaps, NULL sum/max)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, group_running
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts"],
+        filter=~pc.field("ts").is_null()) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64())}),
+            batch_format="pyarrow")
+    run = group_running(ds, "user_id", ["ts_us", "event_id"], "ts_us",
+                        buckets=8)
+
+    def _gap(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "gap": pc.subtract(t["ts_us"], t["lag"])})
+
+    return group_agg(run.map_batches(_gap, batch_format="pyarrow"),
+                     ["user_id"],
+                     [("gap", "count", "n_gaps"),
+                      ("gap", "sum", "sum_gap_us"),
+                      ("gap", "max", "max_gap_us")], buckets=8)
+
+
 def _q_events_rolling_time(sf_dir: str):
     """Trailing time-range window per user — SQL RANGE frame parity
     (peers share the frame end): each event's value-cents sum and
@@ -3035,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_gap_stats": _q_events_gap_stats,
         "events_rolling_time": _q_events_rolling_time,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
@@ -4157,6 +4191,17 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS gap
+                FROM events WHERE ts IS NOT NULL)
+            SELECT user_id, count(gap) AS n_gaps,
+                   sum(gap) AS sum_gap_us, max(gap) AS max_gap_us
+            FROM g GROUP BY user_id
         """,
         "events_rolling_time": """
             SELECT user_id, ts,

@@ -1507,7 +1507,8 @@ def group_running(
         return pa.table(out)
 
     return bucketed_map_groups(
-        ds.select_columns([group_col] + order_cols + [value_col]),
+        ds.select_columns(list(dict.fromkeys(
+            [group_col] + order_cols + [value_col]))),
         [group_col], _win, buckets=buckets, sort_within=False)
 
 
@@ -1748,7 +1749,8 @@ def group_rolling(
         return pa.table(out)
 
     return bucketed_map_groups(
-        ds.select_columns([group_col] + order_cols + [value_col]),
+        ds.select_columns(list(dict.fromkeys(
+            [group_col] + order_cols + [value_col]))),
         [group_col], _roll, buckets=buckets, sort_within=False)
 
 
@@ -1903,7 +1905,8 @@ def pack_bins(
         return pa.table(out)
 
     return bucketed_map_groups(
-        ds.select_columns([group_col] + order_cols + [weight_col]),
+        ds.select_columns(list(dict.fromkeys(
+            [group_col] + order_cols + [weight_col]))),
         [group_col], _pack, buckets=buckets, sort_within=False)
 
 
