@@ -2397,6 +2397,7 @@ def hash_join(
     left: "rd.Dataset", right: "rd.Dataset", *, on, right_on=None,
     how: str = "inner", broadcast: bool | str = False,
     buckets: int | None = None, suffix: str = "_r",
+    prefilter: str | None = None,
 ) -> "rd.Dataset":
     """General distributed equi-join with SQL NULL semantics (null keys
     never match — pyarrow's Acero join already guarantees this).
@@ -2428,6 +2429,16 @@ def hash_join(
     Output columns: left columns, then right non-key columns (renamed
     with ``suffix`` on collision); semi/anti return left columns only.
     Right key columns are coalesced into the left names.
+
+    ``prefilter="bloom"`` (bucketed inner/left_semi only): the right
+    side's key hashes fold into a 128 KiB Bloom filter (per-block
+    partial bitmaps OR-merged, broadcast once) and left rows that
+    cannot match are dropped BEFORE the exchange — for a selective
+    join this removes most of the all-to-all bytes at the cost of one
+    extra pass over the (materialized) right keys.  False positives
+    only add shuffle volume; the join itself stays exact.  Rejected
+    for left-preserving joins (outer/anti must keep unmatched left
+    rows) and pointless under broadcast (no exchange to slim).
     """
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = keys if right_on is None else (
@@ -2443,6 +2454,15 @@ def hash_join(
                      and sz <= AUTO_BROADCAST_MAX_BYTES)
     elif not isinstance(broadcast, bool):
         raise ValueError("broadcast must be True, False or 'auto'")
+    if prefilter not in (None, "bloom"):
+        raise ValueError("prefilter must be None or 'bloom'")
+    if prefilter == "bloom" and not broadcast:
+        if how not in ("inner", "left_semi"):
+            raise ValueError(
+                "bloom prefilter requires inner or left_semi (a "
+                "left-preserving join must keep unmatched left rows)")
+    else:
+        prefilter = None
     jt = _JOIN_TYPES[how]
     semi = how in ("left_semi", "left_anti")
 
@@ -2518,6 +2538,48 @@ def hash_join(
             return tab.join(r, keys=keys, join_type=jt).select(out_cols)
 
         return left.map_batches(_jb, batch_format="pyarrow")
+
+    if prefilter == "bloom":
+        from ..state.sketches import _hash64
+
+        bits_log2 = 20
+        mask = np.uint64((1 << bits_log2) - 1)
+        words = 1 << (bits_log2 - 6)
+        # one extra pass over the right keys: materialize so the join
+        # pass does not recompute the right side's upstream chain
+        right = right.materialize()
+
+        def _pbloom(tab: pa.Table) -> pa.Table:
+            h = composite_hash(tab, rkeys).astype(np.uint64)
+            h2 = _hash64(h)
+            bm = np.zeros(words, dtype=np.uint64)
+            for i in range(4):
+                pos = (h + np.uint64(i) * h2) & mask
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)))
+            return pa.table({"bloom": pa.array([bm.tobytes()],
+                                               type=pa.large_binary())})
+
+        bloom = np.zeros(words, dtype=np.uint64)
+        for t in ray.get(right.select_columns(rkeys).map_batches(
+                _pbloom, batch_format="pyarrow").to_arrow_refs()):
+            for chunk in t["bloom"].to_pylist():
+                bloom |= np.frombuffer(chunk, dtype=np.uint64)
+        bloom_ref = ray.put(bloom)
+
+        def _lfilter(tab: pa.Table) -> pa.Table:
+            bm = ray.get(bloom_ref)
+            h = composite_hash(tab, keys).astype(np.uint64)
+            h2 = _hash64(h)
+            hit = np.ones(tab.num_rows, dtype=bool)
+            for i in range(4):
+                pos = (h + np.uint64(i) * h2) & mask
+                hit &= (bm[(pos >> np.uint64(6)).astype(np.int64)]
+                        >> (pos & np.uint64(63))) & np.uint64(1) == 1
+            return tab.filter(pa.array(hit))
+
+        left = left.map_batches(_lfilter, batch_format="pyarrow")
 
     def _pad_left(tab: pa.Table) -> pa.Table:
         cols = {c: tab[c] for c in keys + lval}

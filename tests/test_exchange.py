@@ -246,3 +246,36 @@ def test_hash_join_auto_broadcast(ray_session, monkeypatch):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "auto" in str(e)
+
+
+def test_hash_join_bloom_prefilter(ray_session):
+    """Bloom-prefiltered bucketed join equals the plain join for
+    inner and semi; invalid combinations raise."""
+    R = rel
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(5000) % 500, type=pa.int64()),
+        "v": pa.array(np.arange(5000), type=pa.int64())})) \
+        .repartition(4)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([3, 77, 250], type=pa.int64()),
+        "w": pa.array([30, 770, 2500], type=pa.int64())}))
+
+    for how in ("inner", "left_semi"):
+        plain = sorted(tuple(sorted(r.items())) for r in R.hash_join(
+            left, right, on=["k"], how=how, buckets=4).take_all())
+        pre = sorted(tuple(sorted(r.items())) for r in R.hash_join(
+            left, right, on=["k"], how=how, buckets=4,
+            prefilter="bloom").take_all())
+        assert pre == plain, how
+        assert len(plain) == 30
+
+    try:
+        R.hash_join(left, right, on=["k"], how="left_anti",
+                    prefilter="bloom")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "left-preserving" in str(e)
+    # pointless under broadcast: silently ignored, results unchanged
+    out = R.hash_join(left, right, on=["k"], how="inner",
+                      broadcast=True, prefilter="bloom")
+    assert out.count() == 30
