@@ -2404,6 +2404,55 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_datacard(sf_dir: str):
+    """The curation 'data card' assembly — the pipeline an LLM data
+    team actually runs: four map-only signal passes (token counts,
+    linear quality score, language ID, byte entropy) over ONE
+    materialized pruned input, the cross-doc signal (exact text dup,
+    first-wins) through the exchange, all assembled by bucketed joins
+    SHARING the doc_id key, ending in a vectorized keep policy
+    (not-dup ∧ score ≥ 890 ∧ lang known)."""
+    import pyarrow.compute as pc
+    from rayskema.functions.dedup import exact_duplicates
+    from rayskema.functions.textstats import (byte_entropy, lang_id,
+                                              linear_quality_filter,
+                                              token_stats)
+    from rayskema.pipelines.relational import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    toks = token_stats(ds, "text", "doc_id") \
+        .select_columns(["doc_id", "n_tokens", "n_chars"])
+    score = linear_quality_filter(
+        ds, "text", "doc_id",
+        weights=(1, 2, -5, -1, -2, 3, -4), threshold=-(10 ** 15))
+    lang = lang_id(ds, "text", "doc_id") \
+        .select_columns(["doc_id", "pred_lang"])
+    ent = byte_entropy(ds, "text", "doc_id")
+    dups = exact_duplicates(ds, ["text"], "doc_id", buckets=8) \
+        .select_columns(["doc_id", "keeper"])
+
+    card = hash_join(toks, score, on=["doc_id"], how="inner",
+                     buckets=8)
+    card = hash_join(card, lang, on=["doc_id"], how="inner", buckets=8)
+    card = hash_join(card, ent, on=["doc_id"], how="inner", buckets=8)
+    card = hash_join(card, dups, on=["doc_id"], how="left_outer",
+                     buckets=8)
+
+    def _policy(t: pa.Table) -> pa.Table:
+        is_dup = pc.is_valid(t["keeper"])
+        keep = pc.and_(pc.and_(
+            pc.invert(is_dup),
+            pc.greater_equal(t["score"], pa.scalar(890, pa.int64()))),
+            pc.not_equal(t["pred_lang"], pa.scalar("und")))
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "n_chars": t["n_chars"], "score": t["score"],
+            "pred_lang": t["pred_lang"], "entropy": t["entropy"],
+            "is_dup": is_dup, "keep": keep})
+
+    return card.map_batches(_policy, batch_format="pyarrow")
+
+
 def _q_events_gap_stats(sf_dir: str):
     """Inter-event gap distribution per user — pure composition of
     two existing operators (group_running's LAG then group_agg), the
@@ -3068,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "docs_datacard": _q_docs_datacard,
         "events_gap_stats": _q_events_gap_stats,
         "events_rolling_time": _q_events_rolling_time,
         "orders_status_summary": _q_orders_status_summary,
@@ -4191,6 +4241,72 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "docs_datacard": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                       1 * length(text)
+                       + 2 * length(regexp_replace(text, '[^A-Za-z]',
+                                                   '', 'g'))
+                       - 5 * length(regexp_replace(text, '[^0-9]', '',
+                                                   'g'))
+                       - 1 * (length(text)
+                              - length(replace(text, ' ', '')))
+                       - 2 * length(regexp_replace(text, '[^.,;:!?]',
+                                                   '', 'g'))
+                       + 3 * len(regexp_extract_all(text, '\\S+'))
+                       - 4 * coalesce(list_max(list_transform(
+                             regexp_extract_all(text, '\\S+'),
+                             x -> length(x))), 0) AS score
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(de, en, es, fr) = 0
+                            THEN 'und'
+                            WHEN de >= en AND de >= es AND de >= fr
+                            THEN 'de'
+                            WHEN en >= es AND en >= fr THEN 'en'
+                            WHEN es >= fr THEN 'es'
+                            ELSE 'fr' END AS pred_lang
+                FROM (SELECT doc_id,
+                             len(regexp_extract_all(text,
+                                 '(?i)\\b(?:der|die|und|das|ist|nicht|mit|ein)\\b'))
+                                 AS de,
+                             len(regexp_extract_all(text,
+                                 '(?i)\\b(?:the|and|of|to|is|in|that|it|for)\\b'))
+                                 AS en,
+                             len(regexp_extract_all(text,
+                                 '(?i)\\b(?:el|la|de|que|y|en|los|del|por)\\b'))
+                                 AS es,
+                             len(regexp_extract_all(text,
+                                 '(?i)\\b(?:le|la|les|des|est|que|dans|pour)\\b'))
+                                 AS fr
+                      FROM documents)),
+            ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                   FROM documents WHERE text IS NOT NULL),
+            cf AS (SELECT doc_id, c, count(*)::DOUBLE AS n
+                   FROM ch GROUP BY doc_id, c),
+            e AS (SELECT cf.doc_id,
+                         abs(round(-sum((n / t.t) * ln(n / t.t)), 6))
+                             AS entropy
+                  FROM cf JOIN (SELECT doc_id, sum(n) AS t FROM cf
+                                GROUP BY doc_id) t USING (doc_id)
+                  GROUP BY cf.doc_id),
+            d AS (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY text)
+                             AS keeper
+                  FROM documents)
+            SELECT f.doc_id, f.n_tokens, f.n_chars,
+                   f.score::BIGINT AS score, l.pred_lang, e.entropy,
+                   (d.keeper < f.doc_id) AS is_dup,
+                   (d.keeper = f.doc_id AND f.score >= 890
+                    AND l.pred_lang <> 'und') AS keep
+            FROM f
+            JOIN l USING (doc_id)
+            JOIN e USING (doc_id)
+            JOIN d USING (doc_id)
         """,
         "events_gap_stats": """
             WITH g AS (
