@@ -2404,6 +2404,23 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_winsorize(sf_dir: str):
+    """Per-type winsorization at the exact [p05, p95] rank quantiles
+    (cents-scaled ints): thresholds from one grouped exchange,
+    broadcast into a vectorized clamp — the heavy-tail taming step
+    before scale-sensitive statistics."""
+    import pyarrow.compute as pc
+    from rayskema.functions.profile import group_winsorize
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(lambda t: pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value_c": _cents(t["value"])}), batch_format="pyarrow")
+    return group_winsorize(ds, "event_type", "value_c",
+                           lo_q=0.05, hi_q=0.95, buckets=4)
+
+
 def _q_docs_datacard(sf_dir: str):
     """The curation 'data card' assembly — the pipeline an LLM data
     team actually runs: four map-only signal passes (token counts,
@@ -3117,6 +3134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_winsorize": _q_events_winsorize,
         "docs_datacard": _q_docs_datacard,
         "events_gap_stats": _q_events_gap_stats,
         "events_rolling_time": _q_events_rolling_time,
@@ -4241,6 +4259,32 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_winsorize": """
+            WITH r AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS value_c
+                FROM events),
+            rk AS (
+                SELECT event_type, value_c,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value_c) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM r WHERE value_c IS NOT NULL),
+            t AS (
+                SELECT event_type, q, min(value_c) AS thr
+                FROM rk JOIN (SELECT unnest([0.05, 0.95]) AS q) qs
+                  ON rn = CAST(ceil(q * cnt) AS BIGINT)
+                GROUP BY event_type, q)
+            SELECT r.event_id, r.event_type, r.value_c,
+                   CASE WHEN r.value_c IS NULL THEN NULL
+                        ELSE least(greatest(r.value_c, lo.thr), hi.thr)
+                   END AS value_c_wins
+            FROM r
+            JOIN (SELECT event_type, thr FROM t WHERE q = 0.05) lo
+              USING (event_type)
+            JOIN (SELECT event_type, thr FROM t WHERE q = 0.95) hi
+              USING (event_type)
         """,
         "docs_datacard": """
             WITH f AS (

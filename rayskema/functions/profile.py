@@ -525,3 +525,63 @@ def group_mad(
             "mad": pa.array(mad_col)})
 
     return mad.map_batches(_shape, batch_format="pyarrow")
+
+
+def group_winsorize(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    lo_q: float = 0.01, hi_q: float = 0.99, out_col: str | None = None,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Winsorize ``value_col`` within each group: values below the
+    group's ``lo_q`` exact rank quantile clip up to it, above ``hi_q``
+    clip down — the standard heavy-tail taming step before
+    scale-sensitive statistics.  Appends the clipped column as
+    ``out_col`` (default ``{value_col}_wins``); null values stay null.
+
+    Thresholds are the EXACT type-1 rank quantiles
+    (:func:`~rayskema.pipelines.relational.group_quantiles` — SQL
+    row_number/ceil reproducible), computed in one grouped exchange;
+    the O(groups × 2) threshold table broadcasts into a vectorized
+    clamp pass (two ``pc.min/max_element_wise`` kernels) — the data
+    itself never shuffles.  Integer columns round-trip through
+    float64 in the clamp (exact below 2^53 — fine for cents-scale
+    data; the thresholds themselves are actual data values)."""
+    from ..pipelines.relational import group_quantiles
+
+    out_col = out_col or f"{value_col}_wins"
+    if not (0.0 < lo_q <= hi_q <= 1.0):
+        raise ValueError("need 0 < lo_q <= hi_q <= 1")
+
+    thr = group_quantiles(ds, group_col, value_col, [lo_q, hi_q],
+                          buckets=buckets).take_all()
+    lo_map: dict = {}
+    hi_map: dict = {}
+    for r in thr:
+        (lo_map if r["q"] == lo_q else hi_map)[r[group_col]] = r["value"]
+    groups = sorted(lo_map, key=repr)
+    lo_arr = np.array([lo_map[g] for g in groups], dtype=np.float64)
+    hi_arr = np.array([hi_map[g] for g in groups], dtype=np.float64)
+    ref = ray.put((groups, lo_arr, hi_arr))
+
+    def _clip(tab: pa.Table) -> pa.Table:
+        gs, lo, hi = ray.get(ref)
+        garr = pa.array(gs, type=tab[group_col].type)
+        idx = pc.index_in(tab[group_col], value_set=garr) \
+            .to_numpy(zero_copy_only=False)
+        found = ~np.isnan(idx) if idx.dtype.kind == "f" else \
+            np.ones(len(idx), dtype=bool)
+        pos = np.where(found, idx, 0).astype(np.int64)
+        v = tab[value_col]
+        is_int = pa.types.is_integer(v.type)
+        vf = pc.cast(v, pa.float64(), safe=False)
+        clipped = pc.max_element_wise(
+            pc.min_element_wise(vf, pa.array(hi_arr[pos]),
+                                skip_nulls=False),
+            pa.array(lo_arr[pos]), skip_nulls=False)
+        # groups absent from the threshold table (all-null) pass through
+        clipped = pc.if_else(pa.array(found), clipped, vf)
+        if is_int:
+            clipped = pc.cast(pc.round(clipped), v.type)
+        return tab.append_column(out_col, clipped)
+
+    return ds.map_batches(_clip, batch_format="pyarrow")

