@@ -2590,18 +2590,31 @@ def _q_docs_top_tokens_approx(sf_dir: str):
     from rayskema.functions.textstats import (approx_top_tokens,
                                               top_k_tokens)
 
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+
     ds = _read(sf_dir, "documents", ["text"])
     approx = approx_top_tokens(ds, "text", k=20, w=2048, d=5)
     exact = {r["token"]: r["n"]
              for r in top_k_tokens(ds, "text", k=20,
                                    buckets=4).take_all()}
-    total = sum(exact.values())  # lower bound on N; eps*N uses true N
+    # the CMS bound is eps*N over the TRUE total token count, not the
+    # top-20 mass — compute N exactly (one tiny aggregate)
+    tot = group_agg(
+        ds.map_batches(lambda t: pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "nt": pc.cast(pc.count_substring_regex(
+                t["text"], pattern=r"\S+"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["g"], [("nt", "sum", "n")], buckets=1).take_all()
+    n_total = int(tot[0]["n"]) if tot else 0
     est = {t: n for t, n in zip(approx["token"].to_pylist(),
                                 approx["n_approx"].to_pylist())}
     assert set(est) == set(exact), (set(est) ^ set(exact))
     for t, n in exact.items():
         assert est[t] >= n, (t, est[t], n)
-        assert est[t] <= n + max(1, (3 * total) // 2048), (t, est[t], n)
+        assert est[t] <= n + max(1, (3 * n_total) // 2048), \
+            (t, est[t], n)
     return approx
 
 

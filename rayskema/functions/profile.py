@@ -552,12 +552,16 @@ def group_winsorize(
     if not (0.0 < lo_q <= hi_q <= 1.0):
         raise ValueError("need 0 < lo_q <= hi_q <= 1")
 
-    thr = group_quantiles(ds, group_col, value_col, [lo_q, hi_q],
+    qs = [lo_q] if lo_q == hi_q else [lo_q, hi_q]
+    thr = group_quantiles(ds, group_col, value_col, qs,
                           buckets=buckets).take_all()
     lo_map: dict = {}
     hi_map: dict = {}
     for r in thr:
-        (lo_map if r["q"] == lo_q else hi_map)[r[group_col]] = r["value"]
+        if r["q"] == lo_q:
+            lo_map[r[group_col]] = r["value"]
+        if r["q"] == hi_q:
+            hi_map[r[group_col]] = r["value"]
     groups = sorted(lo_map, key=repr)
     lo_arr = np.array([lo_map[g] for g in groups], dtype=np.float64)
     hi_arr = np.array([hi_map[g] for g in groups], dtype=np.float64)

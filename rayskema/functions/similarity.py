@@ -690,32 +690,43 @@ def quantize_embeddings(
                 "scale": pa.array([], type=pa.float64())})
         flat = col.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        offs = col.offsets.to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        offs = offs - offs[0]   # flatten() rebases a sliced array
+        # rebuild offsets from per-row VALID lengths: flatten() emits
+        # only non-null rows' values, and raw col.offsets would both
+        # misalign against that and put a trailing-empty row's start
+        # out of reduceat's range
+        valid_row = col.is_valid().to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        lens = pc.list_value_length(col).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.where(valid_row, lens, 0)
+        offs = np.concatenate([[0], np.cumsum(lens)])
         starts = offs[:-1]
-        mx = np.maximum.reduceat(np.abs(flat), starts)
-        mx[offs[1:] == starts] = 0.0        # empty vectors
+        mx = np.zeros(n, dtype=np.float64)
+        nz = lens > 0
+        if nz.any():
+            mx[nz] = np.maximum.reduceat(np.abs(flat), starts[nz])
         denom = np.where(mx > 0, mx, 1.0)
         codes = round_half_away(
-            flat / np.repeat(denom, np.diff(offs)) * qmax, 0) \
-            .astype(np.int8)
+            flat / np.repeat(denom, lens) * qmax, 0).astype(np.int8)
         scale = np.where(mx > 0, mx / qmax, 0.0)
         if flatten:
+            # null/empty vectors emit no rows (SQL UNNEST semantics)
             dims = np.arange(len(flat), dtype=np.int64) \
-                - np.repeat(starts, np.diff(offs))
-            rep = np.diff(offs)
+                - np.repeat(starts, lens)
             return pa.table({
                 id_col: tab[id_col].take(pa.array(
-                    np.repeat(np.arange(n), rep))),
+                    np.repeat(np.arange(n), lens))),
                 "dim": pa.array(dims),
                 "code": pa.array(codes),
-                "scale": pa.array(np.repeat(scale, rep))})
+                "scale": pa.array(np.repeat(scale, lens))})
+        # a null input vector stays NULL (codes and scale)
+        off_mask = np.concatenate([~valid_row, [False]])
         lists = pa.ListArray.from_arrays(
-            pa.array(offs - offs[0], type=pa.int32()), pa.array(codes))
+            pa.array(offs, type=pa.int32(), mask=off_mask),
+            pa.array(codes))
         return pa.table({
             id_col: tab[id_col], "codes": lists,
-            "scale": pa.array(scale)})
+            "scale": pa.array(scale, mask=~valid_row)})
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         _quant, batch_format="pyarrow")

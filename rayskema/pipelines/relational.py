@@ -1652,11 +1652,13 @@ def group_rolling_time(
     def _roll(tab: pa.Table) -> pa.Table:
         tab = tab.filter(pc.is_valid(tab[ts_col]))
         if tab.num_rows == 0:
+            sum_t = pa.int64() if pa.types.is_integer(
+                tab[value_col].type) else pa.float64()
             return pa.table({
                 group_col: pa.array([], type=tab[group_col].type),
                 ts_col: pa.array([], type=tab[ts_col].type),
                 value_col: pa.array([], type=tab[value_col].type),
-                "w_sum": pa.array([], type=pa.int64()),
+                "w_sum": pa.array([], type=sum_t),
                 "w_n": pa.array([], type=pa.int64())})
         tab = tab.sort_by([(group_col, "ascending"),
                            (ts_col, "ascending")])
@@ -1668,11 +1670,15 @@ def group_rolling_time(
         v = tab[value_col].combine_chunks()
         valid = v.is_valid().to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        vnum = v.fill_null(0).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # integer columns stay int64-exact; floats accumulate float64
+        # (the sibling group_rolling/group_running contract — a blind
+        # int64 cast would silently truncate float values)
+        is_int = pa.types.is_integer(v.type)
+        vnum = v.fill_null(0).to_numpy(zero_copy_only=False)
+        vnum = vnum.astype(np.int64 if is_int else np.float64)
         cs = np.concatenate([[0], np.cumsum(vnum)])
         cn = np.concatenate([[0], np.cumsum(valid)])
-        w_sum = np.empty(n, dtype=np.int64)
+        w_sum = np.empty(n, dtype=vnum.dtype)
         w_n = np.empty(n, dtype=np.int64)
         for s, e in zip(starts, ends):
             seg = ts[s:e]
@@ -1681,8 +1687,9 @@ def group_rolling_time(
             w_sum[s:e] = cs[hi] - cs[lo]
             w_n[s:e] = cn[hi] - cn[lo]
         # SQL SUM over a frame with no non-null values is NULL, not 0
-        sums = pc.if_else(pa.array(w_n > 0), pa.array(w_sum),
-                          pa.nulls(n, type=pa.int64()))
+        sums = pc.if_else(
+            pa.array(w_n > 0), pa.array(w_sum),
+            pa.nulls(n, type=pa.int64() if is_int else pa.float64()))
         return pa.table({
             group_col: tab[group_col],
             ts_col: tab[ts_col],
@@ -2550,7 +2557,13 @@ def hash_join(
         right = right.materialize()
 
         def _pbloom(tab: pa.Table) -> pa.Table:
-            h = composite_hash(tab, rkeys).astype(np.uint64)
+            # hash AFTER the right->left key cast (what the exchange
+            # compares) — hashing the raw right dtype would give a
+            # different hash family and silently drop true matches
+            cast_keys = pa.table({
+                lk: pc.cast(tab[rk], lschema.field(lk).type)
+                for lk, rk in zip(keys, rkeys)})
+            h = composite_hash(cast_keys, keys).astype(np.uint64)
             h2 = _hash64(h)
             bm = np.zeros(words, dtype=np.uint64)
             for i in range(4):

@@ -313,7 +313,8 @@ class PatchifyStage:
 
         p = self.patch
         offsets, mv, null_mask = binary_buffers(batch[self.payload_col])
-        keys_idx: list[int] = []
+        img_rows: list[int] = []
+        img_counts: list[int] = []
         patch_idx: list[np.ndarray] = []
         patches: list[np.ndarray] = []
         for i in range(len(offsets) - 1):
@@ -327,7 +328,8 @@ class PatchifyStage:
                     "patches; resize upstream")
             grid = arr.reshape(h // p, p, w // p, p, 3) \
                 .transpose(0, 2, 1, 3, 4).reshape(-1, p * p * 3)
-            keys_idx.extend([i] * grid.shape[0])
+            img_rows.append(i)
+            img_counts.append(grid.shape[0])
             patch_idx.append(np.arange(grid.shape[0], dtype=np.int64))
             patches.append(grid.astype(np.uint8))
         if patches:
@@ -336,11 +338,16 @@ class PatchifyStage:
         else:
             flat = np.zeros((0, p * p * 3), dtype=np.uint8)
             pidx = np.zeros(0, dtype=np.int64)
-        take = pa.array(np.array(keys_idx, dtype=np.int64))
+        take = pa.array(np.repeat(
+            np.array(img_rows, dtype=np.int64),
+            np.array(img_counts, dtype=np.int64)))
         out = {c: batch[c].take(take) for c in self.key_cols}
         out["patch_idx"] = pa.array(pidx)
-        out["patch"] = pa.array(list(flat),
-                                type=pa.list_(pa.uint8(), p * p * 3))
+        # zero-copy fixed-size-list build from the flat buffer — one
+        # Python object per patch (pa.array over a list of row views)
+        # would dominate large images
+        out["patch"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.reshape(-1)), p * p * 3)
         return pa.table(out)
 
 

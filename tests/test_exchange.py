@@ -279,3 +279,48 @@ def test_hash_join_bloom_prefilter(ray_session):
     out = R.hash_join(left, right, on=["k"], how="inner",
                       broadcast=True, prefilter="bloom")
     assert out.count() == 30
+
+
+def test_hash_join_bloom_prefilter_cross_type(ray_session):
+    """Regression: the bloom must hash the CAST right keys (what the
+    exchange compares) — a string right key joined to an int left key
+    must keep its true matches."""
+    R = rel
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "ks": pa.array(["2", "4"], type=pa.string()),
+        "w": pa.array([200, 400], type=pa.int64())}))
+    out = sorted((r["k"], r["w"]) for r in R.hash_join(
+        left, right, on=["k"], right_on=["ks"], how="inner",
+        buckets=2, prefilter="bloom").take_all())
+    assert out == [(2, 200), (4, 400)]
+
+
+def test_group_winsorize_equal_quantiles(ray_session):
+    """Regression: lo_q == hi_q clamps every value to that single
+    quantile instead of raising."""
+    from rayskema.functions.profile import group_winsorize
+
+    tab = pa.table({"g": pa.array(["a"] * 4),
+                    "v": pa.array([1, 2, 3, 4], type=pa.int64())})
+    rows = group_winsorize(rd.from_arrow(tab), "g", "v",
+                           lo_q=0.5, hi_q=0.5, buckets=1).take_all()
+    # type-1 median of [1,2,3,4] is 2 -> everything clamps to 2
+    assert sorted(r["v_wins"] for r in rows) == [2, 2, 2, 2]
+
+
+def test_group_rolling_time_float_values(ray_session):
+    """Regression: float value columns keep float sums (no silent
+    int64 truncation)."""
+    from rayskema.pipelines.relational import group_rolling_time
+
+    tab = pa.table({
+        "g": pa.array(["a", "a"]),
+        "ts": pa.array([0, 5], type=pa.int64()),
+        "v": pa.array([1.5, 2.25], type=pa.float64())})
+    rows = group_rolling_time(rd.from_arrow(tab), "g", "ts", "v",
+                              width=10, buckets=1).take_all()
+    got = {r["ts"]: r["w_sum"] for r in rows}
+    assert got == {0: 1.5, 5: 3.75}

@@ -1706,9 +1706,9 @@ def test_quantize_embeddings(ray_session):
     from rayskema.functions.similarity import quantize_embeddings
 
     vecs = [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0],
-            [-2.0, 2.0, 1.0, -1.0]]
+            [-2.0, 2.0, 1.0, -1.0], None, []]
     tab = pa.table({
-        "vec_id": pa.array(range(3), type=pa.int64()),
+        "vec_id": pa.array(range(5), type=pa.int64()),
         "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
     ds = rd.from_arrow(tab).repartition(2)
     rows = quantize_embeddings(ds, "embedding", "vec_id").take_all()
@@ -1716,6 +1716,9 @@ def test_quantize_embeddings(ray_session):
     assert [c for c in by_id[0]["codes"]] == [127, -64, 32, 0]
     assert list(by_id[1]["codes"]) == [0, 0, 0, 0]
     assert by_id[1]["scale"] == 0.0
+    # a null vector stays NULL; a trailing-empty vector is empty
+    assert by_id[3]["codes"] is None and by_id[3]["scale"] is None
+    assert list(by_id[4]["codes"]) == [] and by_id[4]["scale"] == 0.0
     for r in rows:
         s = r["scale"]
         orig = vecs[r["vec_id"]]
@@ -1724,7 +1727,7 @@ def test_quantize_embeddings(ray_session):
                 assert abs(c * s - x) <= s / 2 + 1e-12
     flat = quantize_embeddings(ds, "embedding", "vec_id",
                                flatten=True).take_all()
-    assert len(flat) == 12
+    assert len(flat) == 12  # null/empty vectors emit no rows
     got = {(r["vec_id"], r["dim"]): r["code"] for r in flat}
     assert got[(0, 0)] == 127 and got[(2, 1)] == 127
 
@@ -1821,4 +1824,5 @@ def test_group_winsorize(ray_session):
         b = {r["v"]: r["v_wins"] for r in rows if r["g"] == "b"}
         assert b[None] is None
         assert b[100] == 100  # b thresholds from {5,100}: hi=100
-        assert rows[0]["v_wins"] is not None or True
+        assert all(r["v_wins"] is not None for r in rows
+                   if r["v"] is not None)
