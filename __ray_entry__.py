@@ -1955,7 +1955,7 @@ def _q_customers_q10(sf_dir: str):
     returnflag R in a quarter's orders, revenue grouped per customer,
     global top 20.  Both single-table predicates are pushed into the
     reads; the fact-fact join runs BUCKETED on orderkey with a Bloom
-    prefilter (one quarter's orders ⇒ ~96%% of returned lineitems
+    prefilter (one quarter's orders ⇒ ~96% of returned lineitems
     drop before the exchange); the customer
     name resolves by BROADCAST onto the O(customers) aggregate, never
     the lineitem stream; top-k is a distributed sort+limit on the
@@ -2213,7 +2213,7 @@ def _q_nations_q7(sf_dir: str):
     resolved) broadcast into the lineitem stream; orders pre-join
     customer nations by broadcast and meet lineitem through the
     BUCKETED orderkey exchange with a BLOOM prefilter (the two-nation
-    orders are ~8%% of all orders, so most lineitem rows drop before
+    orders are ~8% of all orders, so most lineitem rows drop before
     any bytes shuffle); the (supp_nation, cust_nation, year)
     rollup is a tiny group_agg.  Ship-year derives from the same
     timestamp kernel family SQL's EXTRACT uses; revenue in exact
