@@ -2408,6 +2408,19 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_dedup_keep_longest(sf_dir: str):
+    """Near-dup clustering with the curation keep-BEST policy: within
+    each cluster the LONGEST document survives (ties → smallest id)
+    instead of first-wins — scores fetched for the O(affected)
+    pair-graph nodes only, winner table broadcast with the cluster
+    map."""
+    from rayskema.functions.dedup import near_dup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return near_dup_clusters(ds, "text", "doc_id",
+                             jaccard_threshold=0.5, keep_by="n_chars")
+
+
 def _q_events_winsorize(sf_dir: str):
     """Per-type winsorization at the exact [p05, p95] rank quantiles
     (cents-scaled ints): thresholds from one grouped exchange,
@@ -3151,6 +3164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "docs_dedup_keep_longest": _q_docs_dedup_keep_longest,
         "events_winsorize": _q_events_winsorize,
         "docs_datacard": _q_docs_datacard,
         "events_gap_stats": _q_events_gap_stats,
@@ -4276,6 +4290,34 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "docs_dedup_keep_longest": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(length(text) - 4, 1)),
+                    i -> substr(text, i, 5))) AS s
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s)))
+                      >= 0.5),
+            e AS (SELECT u, v FROM p
+                  UNION SELECT v AS u, u AS v FROM p),
+            reach(u, v) AS (
+                SELECT doc_id AS u, doc_id AS v FROM documents
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+            comp AS (
+                SELECT u AS doc_id, min(v) AS rep_id
+                FROM reach GROUP BY u)
+            SELECT c.doc_id, c.rep_id,
+                   (row_number() OVER (
+                        PARTITION BY c.rep_id
+                        ORDER BY d.n_chars DESC, c.doc_id) = 1)
+                       AS keep
+            FROM comp c JOIN documents d USING (doc_id)
         """,
         "events_winsorize": """
             WITH r AS (

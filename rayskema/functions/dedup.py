@@ -1160,6 +1160,7 @@ def near_dup_clusters(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     jaccard_threshold: float = 0.5,
     pairs: "pa.Table | rd.Dataset | None" = None, mode: str = "auto",
+    keep_by: str | None = None,
     **lsh_kwargs,
 ) -> "rd.Dataset":
     """Near-duplicate CLUSTERS and the keep/drop verdict per document:
@@ -1171,6 +1172,14 @@ def near_dup_clusters(
     the reference's ``UniqueBy`` first-dup semantics,
     ``rules/rules.go:116-135``); ``keep`` = (id == rep_id).  Filtering
     on ``keep`` yields the deduplicated corpus.
+
+    ``keep_by``: name of a numeric column of ``ds`` — the curation
+    "keep the best duplicate" policy: within each cluster the kept row
+    maximizes that column (ties → smallest id) instead of first-wins;
+    ``rep_id`` stays the min-id cluster label either way.  Scores are
+    fetched for the O(affected) pair-graph nodes only (one pruned
+    membership-filtered pass — the corpus never ships scores for
+    untouched rows); a null score loses to any non-null one.
 
     ``mode`` picks the component solver:
 
@@ -1211,7 +1220,6 @@ def near_dup_clusters(
         else:
             nodes_arr = pa.array([], type=pa.int64())
             reps_arr = pa.array([], type=pa.int64())
-        handle = ray.put((nodes_arr, reps_arr))
     else:
         if isinstance(pairs, rd.Dataset):
             ptabs = [t for t in ray.get(pairs.to_arrow_refs())
@@ -1243,22 +1251,67 @@ def near_dup_clusters(
                           dtype=np.int64)
         np.minimum.at(rep_min, roots, nodes)
         rep_of_node = rep_min[roots]
-        handle = ray.put((pa.array(nodes, type=pa.int64()),
-                          pa.array(rep_of_node, type=pa.int64())))
+        nodes_arr = pa.array(nodes, type=pa.int64())
+        reps_arr = pa.array(rep_of_node, type=pa.int64())
+
+    # the kept row per cluster: min id (first-wins) by default, or the
+    # keep_by-maximizing member — derived over O(affected) nodes only
+    if keep_by is not None and len(nodes_arr):
+        nodes_np = nodes_arr.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        reps_np = reps_arr.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        node_ref = ray.put(nodes_arr)
+
+        def _scores(tab: pa.Table) -> pa.Table:
+            ids = pc.cast(tab[id_col], pa.int64())
+            hit = pc.is_valid(pc.index_in(
+                ids, value_set=ray.get(node_ref)))
+            t = tab.filter(hit)
+            return pa.table({
+                "id": pc.cast(t[id_col], pa.int64()),
+                "s": pc.cast(t[keep_by], pa.float64(), safe=False)})
+
+        srows = ds.select_columns([id_col, keep_by]).map_batches(
+            _scores, batch_format="pyarrow").take_all()
+        nsort = np.argsort(nodes_np)
+        scores = np.full(len(nodes_np), -np.inf)
+        if srows:
+            sid = np.array([r["id"] for r in srows], dtype=np.int64)
+            sv = np.array([(-np.inf if r["s"] is None else r["s"])
+                           for r in srows], dtype=np.float64)
+            pos = nsort[np.searchsorted(nodes_np[nsort], sid)]
+            scores[pos] = sv
+        # winner per rep: max score, ties -> smallest id
+        o = np.lexsort((nodes_np, -scores, reps_np))
+        rs = reps_np[o]
+        first = np.ones(len(rs), dtype=bool)
+        first[1:] = rs[1:] != rs[:-1]
+        win_rep = rs[first]
+        win_id = nodes_np[o][first]
+        winners = pa.array(
+            win_id[np.searchsorted(win_rep, reps_np)], type=pa.int64())
+    else:
+        winners = reps_arr
+
+    handle = ray.put((nodes_arr, reps_arr, winners))
 
     def _verdict(tab: pa.Table) -> pa.Table:
-        node_arr, rep_arr = ray.get(handle)
+        node_arr, rep_arr, win_arr = ray.get(handle)
         ids = pc.cast(tab[id_col], pa.int64()).combine_chunks()
         idx = pc.index_in(ids, value_set=node_arr)
         if len(rep_arr):
             rep = pc.if_else(idx.is_valid(),
                              pc.take(rep_arr, idx.fill_null(0)), ids)
+            win = pc.if_else(idx.is_valid(),
+                             pc.take(win_arr, idx.fill_null(0)), ids)
         else:
             rep = ids
+            win = ids
         return pa.table({
             id_col: tab[id_col],
             "rep_id": rep,
-            "keep": pc.equal(pc.cast(rep, pa.int64()), ids),
+            "keep": pc.equal(pc.cast(win, pa.int64()), ids),
         })
 
     return ds.select_columns([id_col]).map_batches(

@@ -133,3 +133,32 @@ def test_near_dup_clusters_rejects_unknown_mode(ray_session):
     with pytest.raises(ValueError, match="mode"):
         near_dup_clusters(ds, "text", "doc_id", pairs=pairs,
                           mode="distribued")
+
+
+def test_near_dup_clusters_keep_by(ray_session):
+    """keep_by picks the score-maximizing member per cluster (ties ->
+    smallest id); null scores lose; singletons keep themselves; the
+    driver and distributed solvers agree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayskema.functions.dedup import near_dup_clusters
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(["x"] * 6),
+        "score": pa.array([1.0, 9.0, 9.0, None, 3.0, 7.0],
+                          type=pa.float64())}))
+    # clusters: {1,2,3} and {4,5}; 6 is a singleton
+    pairs = pa.table({"id_a": pa.array([1, 2, 4], type=pa.int64()),
+                      "id_b": pa.array([2, 3, 5], type=pa.int64())})
+    for mode in ("driver", "distributed"):
+        out = {r["doc_id"]: (r["rep_id"], r["keep"])
+               for r in near_dup_clusters(
+                   ds, "text", "doc_id", pairs=pairs, mode=mode,
+                   keep_by="score").take_all()}
+        # cluster {1,2,3}: 2 and 3 tie at 9.0 -> 2 wins; rep stays 1
+        # cluster {4,5}: 4 has null score -> 5 wins
+        assert out == {1: (1, False), 2: (1, True), 3: (1, False),
+                       4: (4, False), 5: (4, True), 6: (6, True)}, \
+            (mode, out)
