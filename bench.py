@@ -153,7 +153,7 @@ def run_queries(sf_dir: str) -> dict:
 def child_main(num_cpus: int, corpus: str) -> None:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     r = run_flagship(corpus, num_cpus, scaling=True)
@@ -328,7 +328,7 @@ def micro_main() -> None:
     # uniqueness shuffle alone (distributed)
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
@@ -401,7 +401,8 @@ def main() -> None:
     n_turns = flagship_turns()
     corpus = ensure_corpus(n_turns)
     ray.init(address="local", num_cpus=args.num_cpus,
-             include_dashboard=False, logging_level="ERROR")
+             include_dashboard=False, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
