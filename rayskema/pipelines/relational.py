@@ -2400,11 +2400,60 @@ def _concat_remote(empty: pa.Table, *parts: pa.Table) -> pa.Table:
     return pa.concat_tables(tabs).combine_chunks()
 
 
+def detect_hot_keys(
+    ds: "rd.Dataset", key_cols: Sequence[str], *,
+    frac: float = 0.05, candidates_per_block: int = 16,
+    w: int = 4096, d: int = 4,
+) -> tuple[np.ndarray, int]:
+    """Keys holding at least ``frac`` of ``ds``'s rows, as 64-bit
+    composite-key hashes: ``(hot_hashes sorted, total_rows)``.
+
+    Constant bytes per block: each block ships one ``w × d`` count-min
+    sketch over its composite key hashes plus its local
+    top-``candidates_per_block`` candidate hashes — no key exchange at
+    all (the same motif as ``approx_top_tokens``).  CMS never
+    underestimates, so a genuinely hot key is never missed once it is
+    any block's local heavy hitter; a cold key promoted by collision
+    only costs its rows a detour through the broadcast path of a skew
+    join — never correctness."""
+    key_cols = list(key_cols)
+    from ..state.sketches import CountMin
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        h = composite_hash(tab, key_cols)
+        cms = CountMin(w=w, d=d)
+        cms.update_hashes(h)
+        uniq, counts = np.unique(h, return_counts=True)
+        top = np.argsort(-counts, kind="stable")[:candidates_per_block]
+        return pa.table({
+            "cms": pa.array([cms.to_bytes()], type=pa.binary()),
+            "cand": pa.array([uniq[top].astype(np.int64)],
+                             type=pa.list_(pa.int64())),
+            "n": pa.array([tab.num_rows], type=pa.int64())})
+
+    parts = ds.select_columns(key_cols).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    merged = None
+    cand: set[int] = set()
+    total = 0
+    for p in parts:
+        c = CountMin.from_bytes(p["cms"])
+        merged = c if merged is None else merged.merge(c)
+        cand.update(int(x) for x in p["cand"])
+        total += int(p["n"])
+    if merged is None or not cand or total == 0:
+        return np.empty(0, dtype=np.uint64), total
+    thresh = max(1, int(frac * total))
+    cand_arr = np.array(sorted(cand), dtype=np.int64).astype(np.uint64)
+    ests = merged.query_hashes(cand_arr)
+    return np.sort(cand_arr[ests >= thresh]), total
+
+
 def hash_join(
     left: "rd.Dataset", right: "rd.Dataset", *, on, right_on=None,
     how: str = "inner", broadcast: bool | str = False,
     buckets: int | None = None, suffix: str = "_r",
-    prefilter: str | None = None,
+    prefilter: str | None = None, skew: str | None = None,
 ) -> "rd.Dataset":
     """General distributed equi-join with SQL NULL semantics (null keys
     never match — pyarrow's Acero join already guarantees this).
@@ -2436,6 +2485,14 @@ def hash_join(
     Output columns: left columns, then right non-key columns (renamed
     with ``suffix`` on collision); semi/anti return left columns only.
     Right key columns are coalesced into the left names.
+
+    ``skew="auto"`` (bucketed, left-preserving joins): a constant-size
+    count-min pass over the left keys detects keys holding ≥5% of the
+    rows; those keys' rows (both sides, routed by the SAME key hash)
+    take a broadcast side-path while the rest join bucketed — no
+    single gather task serializes on a hot key.  Assumes the hot
+    keys' RIGHT rows fit a worker heap (a hot×hot join's output
+    explodes regardless of strategy).
 
     ``prefilter="bloom"`` (bucketed inner/left_semi only): the right
     side's key hashes fold into a 128 KiB Bloom filter (per-block
@@ -2503,6 +2560,58 @@ def hash_join(
             "cannot derive the left-hand output columns")
     lschema = lsch.base_schema
     rschema = rsch.base_schema
+
+    if skew not in (None, "auto"):
+        raise ValueError("skew must be None or 'auto'")
+    if skew == "auto" and not broadcast:
+        if how == "full_outer":
+            raise ValueError(
+                "skew handling requires a left-preserving join (hot "
+                "rows take a broadcast side-path that cannot see "
+                "unmatched right rows)")
+        # constant-size sketch pass over the left keys; hot keys (and
+        # their right rows) take a broadcast side-path so no single
+        # bucket task serializes on them.  Routing is BY KEY HASH on
+        # both sides with the same hash domain, so a collision merely
+        # reroutes a cold key — never loses a match.
+        hot, _total = detect_hot_keys(left, keys)
+        if len(hot):
+            hot_ref = ray.put(hot)
+
+            def _hit(h: np.ndarray) -> np.ndarray:
+                hs = ray.get(hot_ref)
+                idx = np.searchsorted(hs, h).clip(max=len(hs) - 1)
+                return hs[idx] == h
+
+            def _route_left(tab: pa.Table, want: bool) -> pa.Table:
+                m = _hit(composite_hash(tab, keys).astype(np.uint64))
+                return tab.filter(pa.array(m if want else ~m))
+
+            def _route_right(tab: pa.Table, want: bool) -> pa.Table:
+                ck = pa.table({
+                    lk: pc.cast(tab[rk], lschema.field(lk).type)
+                    for lk, rk in zip(keys, rkeys)})
+                m = _hit(composite_hash(ck, keys).astype(np.uint64))
+                return tab.filter(pa.array(m if want else ~m))
+
+            right = right.materialize()  # consumed by both routes
+            l_hot = left.map_batches(
+                lambda t: _route_left(t, True), batch_format="pyarrow")
+            l_cold = left.map_batches(
+                lambda t: _route_left(t, False), batch_format="pyarrow")
+            r_hot = right.map_batches(
+                lambda t: _route_right(t, True), batch_format="pyarrow")
+            r_cold = right.map_batches(
+                lambda t: _route_right(t, False),
+                batch_format="pyarrow")
+            hot_out = hash_join(l_hot, r_hot, on=keys, right_on=rkeys,
+                                how=how, broadcast=True, suffix=suffix)
+            cold_out = hash_join(l_cold, r_cold, on=keys,
+                                 right_on=rkeys, how=how,
+                                 broadcast=False, buckets=buckets,
+                                 suffix=suffix, prefilter=prefilter)
+            return hot_out.union(cold_out)
+
     lcols = list(lschema.names)
     lval = [c for c in lcols if c not in keys]
     rval = [c for c in rschema.names if c not in rkeys]

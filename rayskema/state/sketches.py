@@ -343,14 +343,21 @@ class CountMin:
     def update_strings(self, values) -> None:
         self.update_hashes(hash_strings(values))
 
-    def query_string(self, value: str) -> int:
-        h = hash_strings([value])[0:1]
-        est = np.iinfo(np.int64).max
+    def query_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized point estimates for raw 64-bit hashes (the same
+        position derivation as update_hashes)."""
+        est = np.full(len(hashes), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        h = hashes.astype(np.uint64)
         for r in range(self.d):
-            idx = int(_hash64(h ^ np.uint64(r * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))[0]
-                      % np.uint64(self.w))
-            est = min(est, int(self.table[r, idx]))
+            idx = (_hash64(h ^ np.uint64(
+                r * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+                % np.uint64(self.w)).astype(np.int64)
+            est = np.minimum(est, self.table[r, idx])
         return est
+
+    def query_string(self, value: str) -> int:
+        return int(self.query_hashes(hash_strings([value]))[0])
 
     def merge(self, other: "CountMin") -> "CountMin":
         assert (self.w, self.d) == (other.w, other.d)

@@ -324,3 +324,38 @@ def test_group_rolling_time_float_values(ray_session):
                               width=10, buckets=1).take_all()
     got = {r["ts"]: r["w_sum"] for r in rows}
     assert got == {0: 1.5, 5: 3.75}
+
+
+def test_hash_join_skew_auto(ray_session):
+    """skew='auto': a key holding 50% of left rows is detected by the
+    sketch pass and joined via the broadcast side-path; results equal
+    the plain bucketed join for every left-preserving type."""
+    R = rel
+    n = 4000
+    k = np.where(np.arange(n) % 2 == 0, 7,
+                 np.arange(n) % 100 + 100).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(k),
+        "v": pa.array(np.arange(n), type=np.int64 and pa.int64())})) \
+        .repartition(5)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 100, 101, 999], type=pa.int64()),
+        "w": pa.array(["hot", "a", "b", "unmatched"])}))
+
+    hot, total = R.detect_hot_keys(left, ["k"])
+    assert total == n and len(hot) >= 1
+
+    for how in ("inner", "left_semi", "left_anti", "left_outer"):
+        plain = sorted(tuple(sorted(r.items())) for r in R.hash_join(
+            left, right, on=["k"], how=how, buckets=4).take_all())
+        skewed = sorted(tuple(sorted(r.items())) for r in R.hash_join(
+            left, right, on=["k"], how=how, buckets=4,
+            skew="auto").take_all())
+        assert skewed == plain, how
+
+    try:
+        R.hash_join(left, right, on=["k"], how="full_outer",
+                    skew="auto")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "left-preserving" in str(e)
