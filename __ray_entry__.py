@@ -2408,6 +2408,26 @@ def _q_nations_q8(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_orders_status_names(sf_dir: str):
+    """Skew-join exercise: orders joined to a 3-row status dimension
+    on o_orderstatus — EVERY key exceeds the 5% hot threshold, so the
+    count-min detector routes the whole join through the broadcast
+    side-path (no bucket task ever owns a hot key); result identical
+    to the plain join by construction."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    dim = rd.from_arrow(pa.table({
+        "status": pa.array(["O", "F", "P"]),
+        "status_name": pa.array(["open", "finished", "pending"])}))
+    j = hash_join(orders, dim, on=["o_orderstatus"],
+                  right_on=["status"], how="left_outer", buckets=8,
+                  skew="auto")
+    return group_agg(j, ["o_orderstatus", "status_name"],
+                     [("o_orderkey", "count_all", "n")], buckets=2)
+
+
 def _q_docs_dedup_keep_longest(sf_dir: str):
     """Near-dup clustering with the curation keep-BEST policy: within
     each cluster the LONGEST document survives (ties → smallest id)
@@ -3164,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "orders_status_names": _q_orders_status_names,
         "docs_dedup_keep_longest": _q_docs_dedup_keep_longest,
         "events_winsorize": _q_events_winsorize,
         "docs_datacard": _q_docs_datacard,
@@ -4290,6 +4311,16 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "orders_status_names": """
+            SELECT o_orderstatus, d.status_name, count(*) AS n
+            FROM orders
+            LEFT OUTER JOIN (
+                SELECT unnest(['O', 'F', 'P']) AS status,
+                       unnest(['open', 'finished', 'pending'])
+                           AS status_name) d
+              ON o_orderstatus = d.status
+            GROUP BY o_orderstatus, d.status_name
         """,
         "docs_dedup_keep_longest": """
             WITH RECURSIVE sh AS (
