@@ -1826,3 +1826,17 @@ def test_group_winsorize(ray_session):
         assert b[100] == 100  # b thresholds from {5,100}: hi=100
         assert all(r["v_wins"] is not None for r in rows
                    if r["v"] is not None)
+
+
+def test_quantile_bucket_assign_decimal_rank(ray_session):
+    """Regression: q=0.07 over 100 rows must use rank 7 (decimal
+    semantics, as SQL parses the literal) — float ceil(0.07*100)
+    would overshoot to 8."""
+    from rayskema.pipelines.relational import quantile_bucket_assign
+
+    tab = pa.table({"v": pa.array(range(1, 101), type=pa.int64())})
+    out = quantile_bucket_assign(rd.from_arrow(tab), "v",
+                                 [0.07]).take_all()
+    # threshold = 7 -> values 1..7 are bucket 0, 8..100 bucket 1
+    b = {r["v"]: r["bucket"] for r in out}
+    assert b[7] == 0 and b[8] == 1
