@@ -343,6 +343,27 @@ def _q_events_orders_asof(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_orders_events_asof_fwd(sf_dir: str):
+    """Forward as-of join (each order's customer's FIRST event at or
+    after the order date) — the same carry-forward machinery on
+    negated timestamps; ties at equal ts stay inclusive."""
+    from rayskema.pipelines.relational import asof_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = asof_join(orders, ev, key="user_id", left_key="o_custkey",
+                    left_ts="o_orderdate", right_ts="ts",
+                    left_id="o_orderkey", value_col="ts",
+                    direction="forward")
+
+    def rename(t):
+        return t.rename_columns(["o_orderkey", "o_custkey",
+                                 "next_event_ts"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_events_orders_range_join(sf_dir: str):
     """Interval-count join: events within 7 days of each order's date
     for the order's customer (range join — the third of the
@@ -3184,6 +3205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "orders_events_asof_fwd": _q_orders_events_asof_fwd,
         "orders_status_names": _q_orders_status_names,
         "docs_dedup_keep_longest": _q_docs_dedup_keep_longest,
         "events_winsorize": _q_events_winsorize,
@@ -4311,6 +4333,14 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "orders_events_asof_fwd": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   min(e.ts) AS next_event_ts
+            FROM orders o
+            JOIN events e ON e.user_id = o.o_custkey
+                         AND e.ts >= o.o_orderdate
+            GROUP BY o.o_orderkey, o.o_custkey
         """,
         "orders_status_names": """
             SELECT o_orderstatus, d.status_name, count(*) AS n

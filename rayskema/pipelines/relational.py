@@ -2213,20 +2213,31 @@ def session_windows(
 def asof_join(
     left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
     left_ts: str, right_ts: str, left_id: str, value_col: str,
-    buckets: int | None = None,
+    direction: str = "backward", buckets: int | None = None,
 ) -> "rd.Dataset":
-    """As-of join: for each left row, the greatest ``right_ts`` value
-    with ``right_ts <= left_ts`` for the same key; returns
-    (left_id, left_key, asof_<value_col>).  Left rows with no match are
-    dropped (inner as-of).  Both sides shuffle ONCE on the key; the
-    merge is a vectorized carry-forward over the bucket sorted by
-    (key, ts, side) — right rows sort before left rows at equal ts so
-    ``<=`` semantics hold (SURVEY §2.5 custom operator)."""
+    """As-of join: for each left row, the nearest right row at or
+    BEFORE it (``direction="backward"``: greatest ``right_ts <=
+    left_ts``) or at or AFTER it (``"forward"``: smallest ``right_ts
+    >= left_ts``) for the same key; returns (left_id, left_key,
+    asof_<value_col>).  Left rows with no match are dropped (inner
+    as-of).  Both sides shuffle ONCE on the key; the merge is a
+    vectorized carry-forward over the bucket sorted by (key, ts,
+    side) — right rows sort before left rows at equal ts so the
+    inclusive bound holds.  The forward direction rides the SAME
+    machinery on negated µs timestamps (order reversal preserves the
+    tie handling exactly) — no second code path (SURVEY §2.5 custom
+    operator)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    def _ts_int(col) -> "pa.ChunkedArray":
+        t = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return pc.negate_checked(t) if direction == "forward" else t
 
     def _tag_left(tab: pa.Table) -> pa.Table:
         return pa.table({
             "k": pc.cast(tab[left_key], pa.int64()),
-            "ts": pc.cast(tab[left_ts], pa.timestamp("us")),
+            "ts": _ts_int(tab[left_ts]),
             "side": pa.array(np.ones(tab.num_rows, dtype=np.int8)),
             "lid": pc.cast(tab[left_id], pa.int64()),
             "val": pa.nulls(tab.num_rows, type=pa.timestamp("us")),
@@ -2235,7 +2246,7 @@ def asof_join(
     def _tag_right(tab: pa.Table) -> pa.Table:
         return pa.table({
             "k": pc.cast(tab[key], pa.int64()),
-            "ts": pc.cast(tab[right_ts], pa.timestamp("us")),
+            "ts": _ts_int(tab[right_ts]),
             "side": pa.array(np.zeros(tab.num_rows, dtype=np.int8)),
             "lid": pa.nulls(tab.num_rows, type=pa.int64()),
             "val": pc.cast(tab[value_col], pa.timestamp("us")),

@@ -1840,3 +1840,29 @@ def test_quantile_bucket_assign_decimal_rank(ray_session):
     # threshold = 7 -> values 1..7 are bucket 0, 8..100 bucket 1
     b = {r["v"]: r["bucket"] for r in out}
     assert b[7] == 0 and b[8] == 1
+
+
+def test_asof_join_forward(ray_session):
+    """direction='forward': nearest right row AT OR AFTER each left
+    row (ties inclusive); no-match rows drop; backward unchanged."""
+    from rayskema.pipelines.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lk": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "lts": pa.array([100, 205, 300, 50], type=pa.timestamp("us")),
+        "lid": pa.array([10, 11, 12, 13], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "rts": pa.array([205, 250, 40], type=pa.timestamp("us")),
+        "v": pa.array([205, 250, 40], type=pa.timestamp("us"))}))
+    out = {r["lid"]: r["asof_value"] for r in asof_join(
+        left, right, key="k", left_key="lk", left_ts="lts",
+        right_ts="rts", left_id="lid", value_col="v",
+        direction="forward", buckets=2).take_all()}
+    import datetime
+    us = lambda x: datetime.datetime(1970, 1, 1) \
+        + datetime.timedelta(microseconds=x)
+    # lid 10 (ts100) -> 205; lid 11 (ts205) -> 205 (tie inclusive);
+    # lid 12 (ts300) -> no later right row, dropped;
+    # lid 13 (ts50, key2) -> right has only ts40 (< 50), dropped
+    assert out == {10: us(205), 11: us(205)}, out
