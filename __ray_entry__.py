@@ -343,6 +343,52 @@ def _q_events_orders_asof(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_events_retention(sf_dir: str):
+    """Weekly cohort retention — the classic product-analytics shape:
+    per epoch-week, active users and how many stay active the NEXT
+    week.  Distinct (user, week) pairs collapse in one exchange; the
+    week-shifted self semi-join shares the same key family; both
+    week-level counts are tiny aggregates joined by broadcast.  SQL
+    NULL discipline: a week with zero retained users reports 0 via
+    the outer join, not NULL."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+        filter=~pc.field("ts").is_null())
+
+    def _week(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(t["ts"], pa.int64()),
+                       pa.scalar(604_800_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "week": wk})
+
+    pairs = group_agg(ev.map_batches(_week, batch_format="pyarrow"),
+                      ["user_id", "week"],
+                      [("user_id", "count_all", "n")], buckets=8) \
+        .select_columns(["user_id", "week"]).materialize()
+    active = group_agg(pairs, ["week"],
+                       [("user_id", "count_all", "n_active")],
+                       buckets=2)
+    nxt = pairs.map_batches(lambda t: pa.table({
+        "user_id": t["user_id"],
+        "week": pc.subtract(t["week"], pa.scalar(1, pa.int64()))}),
+        batch_format="pyarrow")
+    kept = hash_join(pairs, nxt, on=["user_id", "week"],
+                     how="left_semi", buckets=8)
+    retained = group_agg(kept, ["week"],
+                         [("user_id", "count_all", "n_retained")],
+                         buckets=2)
+    out = hash_join(active, retained, on=["week"], how="left_outer",
+                    broadcast=True)
+    return out.map_batches(lambda t: pa.table({
+        "week": t["week"], "n_active": t["n_active"],
+        "n_retained": pc.fill_null(t["n_retained"],
+                                   pa.scalar(0, pa.int64()))}),
+        batch_format="pyarrow")
+
+
 def _q_orders_events_asof_fwd(sf_dir: str):
     """Forward as-of join (each order's customer's FIRST event at or
     after the order date) — the same carry-forward machinery on
@@ -3205,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "events_retention": _q_events_retention,
         "orders_events_asof_fwd": _q_orders_events_asof_fwd,
         "orders_status_names": _q_orders_status_names,
         "docs_dedup_keep_longest": _q_docs_dedup_keep_longest,
@@ -4333,6 +4380,22 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "events_retention": """
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events WHERE ts IS NOT NULL)
+            SELECT a.week, a.n_active,
+                   coalesce(r.n_retained, 0) AS n_retained
+            FROM (SELECT week, count(*) AS n_active
+                  FROM p GROUP BY week) a
+            LEFT JOIN (SELECT p.week, count(*) AS n_retained
+                       FROM p JOIN p p2
+                         ON p2.user_id = p.user_id
+                        AND p2.week = p.week + 1
+                       GROUP BY p.week) r
+              ON a.week = r.week
         """,
         "orders_events_asof_fwd": """
             SELECT o.o_orderkey, o.o_custkey,
