@@ -343,6 +343,18 @@ def _q_events_orders_asof(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_parts_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the part pairs most often ordered
+    together.  Items dedup per order, pairs expand from shared
+    per-size triu templates and pre-aggregate inside the bucket, and
+    only distinct (a, b, n) rows ride the second (tiny) exchange."""
+    from rayskema.pipelines.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", k=15,
+                              buckets=8)
+
+
 def _q_events_retention(sf_dir: str):
     """Weekly cohort retention — the classic product-analytics shape:
     per epoch-week, active users and how many stay active the NEXT
@@ -3251,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "parts_basket_pairs": _q_parts_basket_pairs,
         "events_retention": _q_events_retention,
         "orders_events_asof_fwd": _q_orders_events_asof_fwd,
         "orders_status_names": _q_orders_status_names,
@@ -4380,6 +4393,18 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "parts_basket_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem)
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS n
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n DESC, item_a, item_b
+            LIMIT 15
         """,
         "events_retention": """
             WITH p AS (

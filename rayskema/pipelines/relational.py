@@ -741,6 +741,75 @@ def approx_distinct_count(
                                buckets=buckets, sort_within=False)
 
 
+def cooccurrence_pairs(
+    ds: "rd.Dataset", group_col: str, item_col: str, *,
+    k: int = 15, max_group: int = 10_000,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Market-basket co-occurrence: the top-``k`` unordered item pairs
+    by the number of groups containing both — ``(item_a, item_b, n)``
+    with ``item_a < item_b``, ties broken by (item_a, item_b).
+
+    One hash exchange on the group key; inside each bucket items
+    dedup per group (a basket counts a pair once), pairs expand from
+    shared per-size-class triu templates (the dedup module's
+    streaming pair generator — O(distinct sizes) Python iterations,
+    ~2M pairs resident at a time) and PRE-AGGREGATE to distinct
+    (a, b, count) rows before the second, tiny pair-key exchange.
+    Groups larger than ``max_group`` raise rather than silently
+    star-pair (a degenerate basket would distort counts) — filter
+    them upstream."""
+    from ..functions.dedup import _group_pair_chunks
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.and_(pc.is_valid(tab[group_col]),
+                                 pc.is_valid(tab[item_col])))
+        tab = tab.group_by([group_col, item_col]).aggregate([])
+        tab = tab.sort_by([(group_col, "ascending"),
+                           (item_col, "ascending")])
+        if tab.num_rows == 0:
+            t = tab[item_col].type
+            return pa.table({
+                "item_a": pa.array([], type=t),
+                "item_b": pa.array([], type=t),
+                "n": pa.array([], type=pa.int64())})
+        new = segment_starts(tab, [group_col])
+        firsts = np.flatnonzero(new)
+        counts = np.diff(np.append(firsts, tab.num_rows))
+        if counts.max() > max_group:
+            raise ValueError(
+                f"a group holds {int(counts.max())} items "
+                f"(> max_group={max_group}); filter degenerate "
+                "baskets upstream")
+        items = tab[item_col].combine_chunks()
+        parts = []
+        for ia, ib in _group_pair_chunks(counts, firsts,
+                                         max_group=max_group):
+            parts.append(pa.table({
+                "item_a": items.take(pa.array(ia)),
+                "item_b": items.take(pa.array(ib))}))
+        if not parts:
+            t = tab[item_col].type
+            return pa.table({
+                "item_a": pa.array([], type=t),
+                "item_b": pa.array([], type=t),
+                "n": pa.array([], type=pa.int64())})
+        pairs = pa.concat_tables(parts)
+        return agg_named(
+            pairs.append_column(
+                "__one", pa.array(np.ones(pairs.num_rows,
+                                          dtype=np.int64))),
+            ["item_a", "item_b"], [("__one", "sum")], ["n"])
+
+    local = bucketed_map_groups(
+        ds.select_columns([group_col, item_col]), [group_col], _pairs,
+        buckets=buckets, sort_within=False)
+    total = group_agg(local, ["item_a", "item_b"],
+                      [("n", "sum", "n")], buckets=buckets)
+    return total.sort(["n", "item_a", "item_b"],
+                      descending=[True, False, False]).limit(k)
+
+
 def group_agg_distinct(
     ds: "rd.Dataset", group_col: str,
     aggs: Sequence[tuple[str, str, str]],

@@ -1866,3 +1866,34 @@ def test_asof_join_forward(ray_session):
     # lid 12 (ts300) -> no later right row, dropped;
     # lid 13 (ts50, key2) -> right has only ts40 (< 50), dropped
     assert out == {10: us(205), 11: us(205)}, out
+
+
+def test_cooccurrence_pairs(ray_session):
+    """Basket pairs: per-group dedup (a pair counts once per basket),
+    unordered a<b, top-k deterministic tie-break, degenerate-basket
+    guard raises."""
+    from rayskema.pipelines.relational import cooccurrence_pairs
+
+    tab = pa.table({
+        "g": pa.array([1, 1, 1, 1, 2, 2, 3, 3, 3], type=pa.int64()),
+        "i": pa.array([10, 20, 30, 10, 10, 20, 10, 20, 40],
+                      type=pa.int64())})
+    for parts in (1, 3):
+        rows = cooccurrence_pairs(
+            rd.from_arrow(tab).repartition(parts), "g", "i", k=10,
+            buckets=2).take_all()
+        got = {(r["item_a"], r["item_b"]): r["n"] for r in rows}
+        # (10,20) in baskets 1,2,3; duplicate item 10 in basket 1
+        # counts once
+        assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1,
+                       (10, 40): 1, (20, 40): 1}, (parts, got)
+
+    big = pa.table({
+        "g": pa.array([1] * 50, type=pa.int64()),
+        "i": pa.array(range(50), type=pa.int64())})
+    try:
+        cooccurrence_pairs(rd.from_arrow(big), "g", "i",
+                           max_group=10).take_all()
+        raise AssertionError("expected failure")
+    except Exception as e:
+        assert "max_group" in str(e)
