@@ -343,6 +343,30 @@ def _q_events_orders_asof(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_lineitem_leadtime(sf_dir: str):
+    """Order-to-ship lead-time distribution: days between the order
+    date and each line's ship date (calendar-day difference — the
+    same kernel family as SQL datediff), counted per whole day.
+    Fact-fact join bucketed on orderkey; the distribution is a tiny
+    aggregate."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = hash_join(li, orders, on=["l_orderkey"],
+                  right_on=["o_orderkey"], how="inner", buckets=16)
+
+    def _days(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lead_days": pc.cast(pc.days_between(
+                t["o_orderdate"], t["l_shipdate"]), pa.int64())})
+
+    return group_agg(j.map_batches(_days, batch_format="pyarrow"),
+                     ["lead_days"],
+                     [("lead_days", "count_all", "n")], buckets=4)
+
+
 def _q_parts_basket_pairs(sf_dir: str):
     """Market-basket co-occurrence: the part pairs most often ordered
     together.  Items dedup per order, pairs expand from shared
@@ -3263,6 +3287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
+        "lineitem_leadtime": _q_lineitem_leadtime,
         "parts_basket_pairs": _q_parts_basket_pairs,
         "events_retention": _q_events_retention,
         "orders_events_asof_fwd": _q_orders_events_asof_fwd,
@@ -4393,6 +4418,13 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey
               AND p_name LIKE '%ar%'
             GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        """,
+        "lineitem_leadtime": """
+            SELECT datediff('day', o_orderdate, l_shipdate)::BIGINT
+                       AS lead_days,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1
         """,
         "parts_basket_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
