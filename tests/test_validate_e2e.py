@@ -169,3 +169,53 @@ def test_validate_empty_input(ray_session, tmp_path):
                    config=ValidateConfig(buckets=4))
     assert res.violations.num_rows == 0
     assert res.passed
+
+
+def test_curation_end_to_end(ray_session, tmp_path):
+    """The full curation path a reference user runs: signal scoring ->
+    keep policy -> resumable hive-partitioned output, end to end on a
+    small corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayskema.functions.dedup import exact_duplicates
+    from rayskema.functions.textstats import lang_id, token_stats
+    from rayskema.pipelines.relational import hash_join
+    from rayskema.sources.parquet_sink import write_parquet_partitioned
+
+    texts = ["the cat and the hat", "el gato y la casa",
+             "the cat and the hat", "der hund und das haus",
+             "zzz qqq xxx", "the dog in the fog"]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})
+    ds = rd.from_arrow(docs).repartition(2).materialize()
+
+    toks = token_stats(ds, "text", "doc_id") \
+        .select_columns(["doc_id", "n_tokens"])
+    lang = lang_id(ds, "text", "doc_id") \
+        .select_columns(["doc_id", "pred_lang"])
+    dups = exact_duplicates(ds, ["text"], "doc_id", buckets=2) \
+        .select_columns(["doc_id", "keeper"])
+    card = hash_join(toks, lang, on=["doc_id"], how="inner", buckets=2)
+    card = hash_join(card, dups, on=["doc_id"], how="left_outer",
+                     buckets=2)
+    kept = card.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.invert(pc.is_valid(t["keeper"])),
+            pc.not_equal(t["pred_lang"], "und"))),
+        batch_format="pyarrow").select_columns(
+            ["doc_id", "n_tokens", "pred_lang"])
+
+    out = str(tmp_path / "curated")
+    res = {r["value"]: r["rows"] for r in write_parquet_partitioned(
+        kept, out, "pred_lang", buckets=2).take_all()}
+    # doc 2 is an exact dup of 0; doc 4 is language-unknown
+    assert res == {"en": 2, "es": 1, "de": 1}
+    got = pq.read_table(os.path.join(out, "pred_lang=en",
+                                     "part.parquet"))
+    assert sorted(got["doc_id"].to_pylist()) == [0, 5]
