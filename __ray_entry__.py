@@ -396,8 +396,10 @@ def _q_events_retention(sf_dir: str):
         filter=~pc.field("ts").is_null())
 
     def _week(t: pa.Table) -> pa.Table:
-        wk = pc.divide(pc.cast(t["ts"], pa.int64()),
-                       pa.scalar(604_800_000_000, pa.int64()))
+        # double-cast via timestamp(us) so the µs-per-week constant
+        # stays correct even if the source column is ms/ns
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        wk = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
         return pa.table({"user_id": t["user_id"], "week": wk})
 
     pairs = group_agg(ev.map_batches(_week, batch_format="pyarrow"),

@@ -1272,14 +1272,19 @@ def near_dup_clusters(
                 "id": pc.cast(t[id_col], pa.int64()),
                 "s": pc.cast(t[keep_by], pa.float64(), safe=False)})
 
-        srows = ds.select_columns([id_col, keep_by]).map_batches(
-            _scores, batch_format="pyarrow").take_all()
+        stabs = [t for t in ray.get(
+            ds.select_columns([id_col, keep_by]).map_batches(
+                _scores, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
         nsort = np.argsort(nodes_np)
         scores = np.full(len(nodes_np), -np.inf)
-        if srows:
-            sid = np.array([r["id"] for r in srows], dtype=np.int64)
-            sv = np.array([(-np.inf if r["s"] is None else r["s"])
-                           for r in srows], dtype=np.float64)
+        if stabs:
+            st = pa.concat_tables(stabs)
+            sid = st["id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sv = st["s"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            sv = np.where(np.isnan(sv), -np.inf, sv)
             pos = nsort[np.searchsorted(nodes_np[nsort], sid)]
             scores[pos] = sv
         # winner per rep: max score, ties -> smallest id

@@ -782,24 +782,28 @@ def cooccurrence_pairs(
                 f"(> max_group={max_group}); filter degenerate "
                 "baskets upstream")
         items = tab[item_col].combine_chunks()
-        parts = []
+        # aggregate EACH yielded chunk immediately: residency stays at
+        # O(chunk) pair rows + O(distinct pairs) partials, honoring
+        # the generator's streaming contract (collecting all chunks
+        # first would re-materialize the full triu expansion)
+        partials = []
         for ia, ib in _group_pair_chunks(counts, firsts,
                                          max_group=max_group):
-            parts.append(pa.table({
+            chunk = pa.table({
                 "item_a": items.take(pa.array(ia)),
-                "item_b": items.take(pa.array(ib))}))
-        if not parts:
+                "item_b": items.take(pa.array(ib)),
+                "__one": pa.array(np.ones(len(ia), dtype=np.int64))})
+            partials.append(agg_named(chunk, ["item_a", "item_b"],
+                                      [("__one", "sum")], ["n"]))
+        if not partials:
             t = tab[item_col].type
             return pa.table({
                 "item_a": pa.array([], type=t),
                 "item_b": pa.array([], type=t),
                 "n": pa.array([], type=pa.int64())})
-        pairs = pa.concat_tables(parts)
-        return agg_named(
-            pairs.append_column(
-                "__one", pa.array(np.ones(pairs.num_rows,
-                                          dtype=np.int64))),
-            ["item_a", "item_b"], [("__one", "sum")], ["n"])
+        merged = pa.concat_tables(partials)
+        return agg_named(merged, ["item_a", "item_b"],
+                         [("n", "sum")], ["n"])
 
     local = bucketed_map_groups(
         ds.select_columns([group_col, item_col]), [group_col], _pairs,
@@ -2653,7 +2657,10 @@ def hash_join(
         # their right rows) take a broadcast side-path so no single
         # bucket task serializes on them.  Routing is BY KEY HASH on
         # both sides with the same hash domain, so a collision merely
-        # reroutes a cold key — never loses a match.
+        # reroutes a cold key — never loses a match.  Materialize the
+        # left FIRST: the sketch pass plus the two routes would
+        # otherwise re-execute its upstream chain three times.
+        left = left.materialize()
         hot, _total = detect_hot_keys(left, keys)
         if len(hot):
             hot_ref = ray.put(hot)

@@ -336,7 +336,7 @@ def test_hash_join_skew_auto(ray_session):
                  np.arange(n) % 100 + 100).astype(np.int64)
     left = rd.from_arrow(pa.table({
         "k": pa.array(k),
-        "v": pa.array(np.arange(n), type=np.int64 and pa.int64())})) \
+        "v": pa.array(np.arange(n), type=pa.int64())})) \
         .repartition(5)
     right = rd.from_arrow(pa.table({
         "k": pa.array([7, 100, 101, 999], type=pa.int64()),
