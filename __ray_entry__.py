@@ -1118,8 +1118,27 @@ def _recall_at_k(approx: pa.Table, exact: pa.Table) -> float:
     return sum(1 for p in ex if p in ap) / max(len(ex), 1)
 
 
+def _knn_verdict(approx, exact, query_ids, k, bound):
+    """Driver-checkable verdict rows for an approximate kNN run:
+    per-query result count plus the aggregate recall@k flag, all
+    COMPUTED from the approx result — a broken index drops a row or
+    flips the flag and fails the trivial oracle hash (previously
+    these queries were `err: no_oracle`; the neighbor lists
+    themselves stay recall-tested here and in pytest)."""
+    recall = _recall_at_k(approx, exact)
+    a = approx.to_pandas() if hasattr(approx, "to_pandas") else approx
+    counts = a.groupby("query_id").size().to_dict()
+    ok = recall >= bound
+    return pa.table({
+        "query_id": pa.array([int(q) for q in query_ids], pa.int64()),
+        "n_results": pa.array([int(counts.get(q, 0))
+                               for q in query_ids], pa.int64()),
+        "recall_ok": pa.array([bool(ok)] * len(query_ids), pa.bool_()),
+    })
+
+
 def _q_emb_knn_lsh(sf_dir: str):
-    """Approximate kNN (asserted-in-query): recall@5 vs the exact
+    """Approximate kNN (verdict contract): recall@5 vs the exact
     brute-force result is computed here and must clear the bound —
     an approximate index with unmeasured recall is not a result."""
     from rayskema.functions.similarity import knn_cosine_brute, knn_cosine_lsh
@@ -1130,14 +1149,12 @@ def _q_emb_knn_lsh(sf_dir: str):
                             n_planes=6, n_tables=24)
     exact = knn_cosine_brute(ds, "embedding", "vec_id",
                              query_ids=[0, 1, 2, 3, 4], k=5)
-    recall = _recall_at_k(approx, exact)
-    assert recall >= 0.7, f"LSH recall@5 {recall:.2f} below bound 0.7"
-    return _round_score(approx)
+    return _knn_verdict(approx, exact, [0, 1, 2, 3, 4], 5, 0.7)
 
 
 def _q_emb_knn_ivf(sf_dir: str):
-    """Approximate kNN via IVF (asserted-in-query, same recall contract
-    as the LSH variant)."""
+    """Approximate kNN via IVF (verdict contract, same recall bound
+    shape as the LSH variant)."""
     from rayskema.functions.similarity import knn_cosine_brute, knn_cosine_ivf
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
@@ -1146,9 +1163,7 @@ def _q_emb_knn_ivf(sf_dir: str):
                             n_clusters=16, n_probe=6)
     exact = knn_cosine_brute(ds, "embedding", "vec_id",
                              query_ids=[0, 1, 2, 3, 4], k=5)
-    recall = _recall_at_k(approx, exact)
-    assert recall >= 0.5, f"IVF recall@5 {recall:.2f} below bound 0.5"
-    return _round_score(approx)
+    return _knn_verdict(approx, exact, [0, 1, 2, 3, 4], 5, 0.5)
 
 
 def _q_emb_kmeans(sf_dir: str):
@@ -1164,8 +1179,6 @@ def _q_emb_kmeans(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     centroids, hist = kmeans_fit(ds, "embedding", id_col="vec_id",
                                  n_clusters=10, iters=10, seed=7)
-    assert all(hist[i + 1] <= hist[i] * (1 + 1e-9)
-               for i in range(len(hist) - 1)), f"inertia rose: {hist}"
     out = kmeans_assign(ds, "embedding", "vec_id", centroids)
     tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     asg = pa.concat_tables(tabs).sort_by([("vec_id", "ascending")])
@@ -1186,11 +1199,22 @@ def _q_emb_kmeans(sf_dir: str):
         ((m[:, None, :] - ref_c[None, :, :]) ** 2).sum(-1), axis=1)
     got = asg["cluster"].to_numpy(zero_copy_only=False)
     agree = float((got == ref_asg).mean())
-    assert np.allclose(np.sort(ref_c, axis=0),
-                       np.sort(centroids, axis=0), atol=1e-6), \
-        "distributed centroids diverge from the local reference"
-    assert agree >= 0.999, f"assignments agree only {agree:.4f}"
-    return asg.select(["vec_id", "cluster"])
+    centroids_match = bool(np.allclose(np.sort(ref_c, axis=0),
+                                       np.sort(centroids, axis=0),
+                                       atol=1e-6))
+    inertia_monotone = bool(all(hist[i + 1] <= hist[i] * (1 + 1e-9)
+                                for i in range(len(hist) - 1)))
+    # driver-checkable VERDICT row: every flag is COMPUTED from the
+    # distributed fit vs the local seeded Lloyd reference, so a broken
+    # distributed path fails the trivial oracle hash (previously this
+    # query was `err: no_oracle`; assignments stay pytest-covered)
+    return pa.table({
+        "k": pa.array([10], pa.int64()),
+        "n_points": pa.array([asg.num_rows], pa.int64()),
+        "inertia_monotone": pa.array([inertia_monotone], pa.bool_()),
+        "centroids_match_local": pa.array([centroids_match], pa.bool_()),
+        "assign_agree_999": pa.array([bool(agree >= 0.999)], pa.bool_()),
+    })
 
 
 def _q_emb_near_dups(sf_dir: str):
@@ -2752,12 +2776,24 @@ def _q_docs_top_tokens_approx(sf_dir: str):
     n_total = int(tot[0]["n"]) if tot else 0
     est = {t: n for t, n in zip(approx["token"].to_pylist(),
                                 approx["n_approx"].to_pylist())}
-    assert set(est) == set(exact), (set(est) ^ set(exact))
-    for t, n in exact.items():
-        assert est[t] >= n, (t, est[t], n)
-        assert est[t] <= n + max(1, (3 * n_total) // 2048), \
-            (t, est[t], n)
-    return approx
+    # driver-checkable VERDICT rows: token set equality with the exact
+    # top-k plus the one-sided CMS bound (never below truth, over by at
+    # most eps*N), all COMPUTED from the sketch — a broken sketch flips
+    # a flag or drops a token and fails the trivial oracle hash
+    # (previously this query was `err: no_oracle`)
+    same_set = set(est) == set(exact)
+    toks, n_exact, ok = [], [], []
+    for t in sorted(exact):
+        n = exact[t]
+        e = est.get(t)
+        good = (same_set and e is not None and e >= n
+                and e <= n + max(1, (3 * n_total) // 2048))
+        toks.append(t)
+        n_exact.append(int(n))
+        ok.append(bool(good))
+    return pa.table({"token": pa.array(toks, pa.string()),
+                     "n_exact": pa.array(n_exact, pa.int64()),
+                     "within_bound": pa.array(ok, pa.bool_())})
 
 
 def _q_events_quantile_cont(sf_dir: str):
@@ -2888,12 +2924,19 @@ def _q_events_approx_distinct(sf_dir: str):
     exact = {r["event_type"]: r["n_distinct"]
              for r in distinct_count(ds, "event_type", "user_id",
                                      buckets=4).take_all()}
-    out = approx.materialize()
-    for r in out.take_all():
+    rows = sorted(approx.take_all(), key=lambda r: r["event_type"])
+    types, n_exact, ok = [], [], []
+    for r in rows:
         e = exact[r["event_type"]]
-        assert abs(r["n_approx"] - e) <= max(1, 0.05 * e), \
-            (r["event_type"], r["n_approx"], e)
-    return out
+        types.append(r["event_type"])
+        n_exact.append(int(e))
+        ok.append(bool(abs(r["n_approx"] - e) <= max(1, 0.05 * e)))
+    # driver-checkable VERDICT rows: within_5pct is COMPUTED from the
+    # HLL estimate, so a broken sketch flips it false and fails the
+    # trivial oracle hash (previously this query was `err: no_oracle`)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n_exact": pa.array(n_exact, pa.int64()),
+                     "within_5pct": pa.array(ok, pa.bool_())})
 
 
 def _q_docs_approx_quantiles(sf_dir: str):
@@ -2914,15 +2957,27 @@ def _q_docs_approx_quantiles(sf_dir: str):
     exact = {(r["source"], r["q"]): r["value"]
              for r in group_quantiles(ds, "source", "n_chars",
                                       band, buckets=4).take_all()}
-    for r in approx.take_all():
+    # driver-checkable VERDICT rows (source, q, within_band): the flag
+    # is COMPUTED from the t-digest estimate vs the exact [q−2%, q+2%]
+    # rank band, so a broken sketch fails the trivial oracle hash
+    # (previously this query was `err: no_oracle`)
+    rows = sorted(approx.take_all(),
+                  key=lambda r: (r["source"] or "", r["q"]))
+    srcs, qvals, ok = [], [], []
+    for r in rows:
         if r["value_est"] is None:
             # all-null group: exact (null-filtering) has no row for it
-            assert (r["source"], 0.5) not in exact, r
-            continue
-        lo = exact[(r["source"], round(r["q"] - 0.02, 3))]
-        hi = exact[(r["source"], round(r["q"] + 0.02, 3))]
-        assert lo <= r["value_est"] <= hi, (r, lo, hi)
-    return approx
+            good = (r["source"], 0.5) not in exact
+        else:
+            lo = exact[(r["source"], round(r["q"] - 0.02, 3))]
+            hi = exact[(r["source"], round(r["q"] + 0.02, 3))]
+            good = lo <= r["value_est"] <= hi
+        srcs.append(r["source"])
+        qvals.append(float(r["q"]))
+        ok.append(bool(good))
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "q": pa.array(qvals, pa.float64()),
+                     "within_band": pa.array(ok, pa.bool_())})
 
 
 def _q_lineitem_variance(sf_dir: str):
@@ -4335,8 +4390,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    (GROUPING(l_returnflag)
                     + GROUPING(l_linestatus))::BIGINT AS grouping_level,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT))
-                       AS sum_qty_c,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -4345,8 +4400,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    (GROUPING(o_orderstatus) * 2
                     + GROUPING(o_orderpriority))::BIGINT AS grouping_id,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                       AS sum_price_c,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_c,
                    count(*) AS n
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus),
@@ -4361,9 +4416,9 @@ def oracle_sql() -> dict[str, str]:
         "nations_q7": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(round(l_discount * 100)
-                                     AS BIGINT))) AS rev_bp,
+                                     AS BIGINT))) AS BIGINT) AS rev_bp,
                    count(*) AS n
             FROM lineitem, orders, customer, supplier,
                  nation sn, nation cn
@@ -4602,14 +4657,15 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY epoch_us(ts), event_id) AS gap
                 FROM events WHERE ts IS NOT NULL)
             SELECT user_id, count(gap) AS n_gaps,
-                   sum(gap) AS sum_gap_us, max(gap) AS max_gap_us
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+                   max(gap) AS max_gap_us
             FROM g GROUP BY user_id
         """,
         "events_rolling_time": """
             SELECT user_id, ts,
                    CAST(round(value * 100) AS BIGINT) AS value_c,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS w_sum,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS w_sum,
                    count(CAST(round(value * 100) AS BIGINT)) OVER w
                        AS w_n
             FROM events
@@ -4620,8 +4676,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                       AS sum_price_c,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_c,
                    count(DISTINCT o_custkey) AS n_distinct_o_custkey,
                    count(DISTINCT o_orderpriority)
                        AS n_distinct_o_orderpriority
@@ -4638,8 +4694,8 @@ def oracle_sql() -> dict[str, str]:
         "events_dow_hour": """
             SELECT EXTRACT(dow FROM ts)::BIGINT AS dow,
                    EXTRACT(hour FROM ts)::BIGINT AS hour,
-                   sum(CAST(round(value * 100) AS BIGINT))
-                       AS sum_value_c,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_c,
                    count(CAST(round(value * 100) AS BIGINT)) AS n
             FROM events
             GROUP BY 1, 2
@@ -4811,7 +4867,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                            AS value_c
                 FROM lineitem GROUP BY l_partkey)
-            SELECT l_partkey, value_c FROM p
+            SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c FROM p
             WHERE value_c * 1500 > (SELECT sum(value_c) FROM p)
         """,
         "suppliers_q21": """
@@ -4854,12 +4910,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_q12": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority
+                   CAST(sum(CASE WHEN o_orderpriority
                                  IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority
                                  IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -4936,8 +4994,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_q22": """
             SELECT c_nationkey, count(*) AS numcust,
-                   sum(CAST(round(c_acctbal * 100) AS BIGINT))
-                       AS totacctbal_c
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS totacctbal_c
             FROM customer c
             WHERE CAST(round(c_acctbal * 100) AS BIGINT)
                   * (SELECT count(*) FROM customer
@@ -5005,8 +5063,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    (GROUPING(o_orderstatus) * 2
                     + GROUPING(o_orderpriority))::BIGINT AS grouping_id,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                       AS sum_price_c,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_c,
                    count(*) AS n
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -5034,7 +5092,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_name, o_custkey, o_orderkey, o_orderdate,
                    CAST(round(o_totalprice * 100) AS BIGINT)
                        AS totalprice_c,
-                   sq.sum_qty_c
+                   CAST(sq.sum_qty_c AS BIGINT) AS sum_qty_c
             FROM orders
             JOIN (SELECT l_orderkey,
                          sum(CAST(round(l_quantity * 100) AS BIGINT))
@@ -5088,15 +5146,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem JOIN part ON p_partkey = l_partkey
                 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
                   AND l_shipdate < TIMESTAMP '1997-10-01')
-            SELECT promo_rev_bp, total_rev_bp,
+            SELECT CAST(promo_rev_bp AS BIGINT) AS promo_rev_bp,
+                   CAST(total_rev_bp AS BIGINT) AS total_rev_bp,
                    round(100 * CAST(promo_rev_bp AS DOUBLE)
                          / CAST(total_rev_bp AS DOUBLE), 6) AS promo_pct
             FROM s
         """,
         "customers_dormant": """
             SELECT c_mktsegment, count(*) AS n_dormant,
-                   sum(CAST(round(c_acctbal * 100) AS BIGINT))
-                       AS sum_bal_c
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_bal_c
             FROM customer
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders
@@ -5167,11 +5226,45 @@ def oracle_sql() -> dict[str, str]:
             -- without this, greatest(NULL,1)=1 would emit a NULL row)
             WHERE text IS NOT NULL
               AND s.i <= greatest(length(text), 1)
-        """
-        # asserted-in-query (no SQL oracle by nature): emb_knn_lsh /
-        # emb_knn_ivf bound recall@k vs the exact result INSIDE the
-        # query; emb_kmeans (iterative) asserts non-increasing inertia
-        # and equality with a local seeded Lloyd reference
+        """,
+        # approx / iterative operators return driver-checkable VERDICT
+        # rows: the pass flags are computed in-query from the sketch /
+        # index / fit against the engine's own exact reference, so the
+        # oracle side is trivial (exact values + TRUE) and a broken
+        # approx path fails the hash.
+        "events_approx_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_exact,
+                   TRUE AS within_5pct
+            FROM events GROUP BY event_type
+        """,
+        "docs_approx_quantiles": """
+            SELECT s.source, q.q, TRUE AS within_band
+            FROM (SELECT DISTINCT source FROM documents) s
+            CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9])::DOUBLE AS q) q
+        """,
+        "docs_top_tokens_approx": r"""
+            SELECT w AS token, count(*)::BIGINT AS n_exact,
+                   TRUE AS within_bound
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                  FROM documents) t
+            GROUP BY w ORDER BY n_exact DESC, token LIMIT 20
+        """,
+        "emb_knn_lsh": """
+            SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
+                   5::BIGINT AS n_results, TRUE AS recall_ok
+        """,
+        "emb_knn_ivf": """
+            SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
+                   5::BIGINT AS n_results, TRUE AS recall_ok
+        """,
+        "emb_kmeans": """
+            SELECT 10::BIGINT AS k,
+                   (SELECT count(*) FROM embeddings)::BIGINT AS n_points,
+                   TRUE AS inertia_monotone,
+                   TRUE AS centroids_match_local,
+                   TRUE AS assign_agree_999
+        """,
     }
     # orders_gen_validate runs the AOT-generated validator over the
     # SAME schema as validate_orders — one oracle definition for both

@@ -410,11 +410,26 @@ def main() -> None:
     queries = {} if args.skip_queries else run_queries(SF_DIR)
     ray.shutdown()
 
+    # Full per-query timings go on their OWN earlier line (and a file):
+    # the driver keeps only a ~2000-char stdout tail and parses the LAST
+    # line, so the final JSON must stay compact (r03 lesson: embedding
+    # all 124 timings in the last line truncated its head -> parsed:null).
+    if queries:
+        per_query_line = json.dumps({"per_query_sec": queries})
+        print(per_query_line)
+        try:
+            with open("/tmp/rayskema_bench_queries.json", "w") as f:
+                f.write(per_query_line + "\n")
+        except OSError:
+            pass
+    slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "transcript_validate_full_wall",
         "value": round(flag["wall_sec"], 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": slowest,
+        "queries_n": len(queries),
+        "queries_total_sec": round(sum(queries.values()), 3),
         "sf": _sf_name(),
         "num_cpus": args.num_cpus,
         "rows": flag["rows"],

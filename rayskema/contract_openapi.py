@@ -148,8 +148,13 @@ _PRIMITIVES = {
 def _dtype_for(ps: dict, diag: ImportDiag, where: str) -> pa.DataType:
     """Arrow dtype for one property schema (adapters.go:9-44)."""
     if ps.get("x-kubernetes-int-or-string") is True:
-        diag.warn(f"{where}: int-or-string kept as string "
-                  "(numeric checks skipped)")
+        # top-level columns get the REAL int-or-string plan (float64 +
+        # "int_or_string" codec, mirroring kubeopenapi/plan.go:18-28's
+        # NumberJSON().CoerceFromString()) — handled in import_openapi;
+        # only NESTED occurrences (struct fields, where a codec cannot
+        # attach) degrade to string here
+        diag.warn(f"{where}: nested int-or-string kept as string "
+                  "(codecs attach to top-level columns only)")
         return pa.string()
     t = ps.get("type")
     if t in _PRIMITIVES:

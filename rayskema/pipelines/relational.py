@@ -189,6 +189,38 @@ SORT_EXCHANGE_MAX_BUCKETS = 1 << 16
 AUTO_BROADCAST_MAX_BYTES = 64 << 20
 
 
+# Parquet on-disk -> Arrow in-memory inflation used when sizing an
+# exchange from file metadata alone (no execution).  Deliberately on
+# the high side: overestimating bytes only adds buckets (smaller
+# gathers), underestimating would overload gather heaps.
+PARQUET_INFLATION = 4
+
+
+def _estimate_input_bytes(ds: "rd.Dataset") -> int | None:
+    """Byte estimate for an exchange WITHOUT executing the pipeline:
+    sum of the datasource's file sizes (Parquet footer/file metadata
+    Ray already holds) times :data:`PARQUET_INFLATION`.  Returns None
+    when the dataset has no file-backed lineage (from_arrow / from
+    items), where the caller falls back to materialize-based sizing.
+    Upstream filters/projections make this an over-estimate — safe,
+    it only raises the bucket count."""
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os as _os
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            return None
+    return total * PARQUET_INFLATION if total else None
+
+
 def _auto_buckets(total_bytes: int, target: int) -> int:
     """Bucket count from materialized input bytes: enough buckets that
     one bucket's gather stays under ``target`` bytes, floored at the
@@ -216,17 +248,20 @@ def bucketed_map_groups(
     per-group logic stays vectorized).  ``fn`` sees the bucket sorted by
     ``key_cols`` with the helper columns dropped.
 
-    ``buckets=None`` (the default) sizes the exchange from the DATA:
-    the stamped input is materialized (the manual exchange always
-    does), P is derived so one bucket's bytes stay under
+    ``buckets=None`` (the default) sizes the exchange from the DATA
+    without executing it: input-file bytes (Parquet footer/file
+    metadata Ray already holds) times :data:`PARQUET_INFLATION` give
+    the estimate, P is derived so one bucket's bytes stay under
     ``target_bucket_bytes`` (default :data:`TARGET_BUCKET_BYTES`,
     floored at the cluster CPU count), and when the required P exceeds
     :data:`MANUAL_EXCHANGE_MAX_BUCKETS` the exchange auto-falls back
-    to ``"sort"`` — the manual split/gather's object count is
-    O(blocks x buckets) and stops being the right tool there.  A
-    fixed-64-bucket manual exchange at 100 TB would hand ~1.6 TB to
-    each gather task; the adaptive default keeps gather heaps bounded
-    no matter the input size.
+    to ``"sort"`` BEFORE anything is materialized — a 100 TB input
+    reaches the streaming sort shuffle without ever being gathered
+    into the object store just to be measured.  Only a dataset with no
+    file-backed lineage (from_arrow etc., already object-store
+    resident) is materialize-sized.  A fixed-64-bucket manual exchange
+    at 100 TB would hand ~1.6 TB to each gather task; the adaptive
+    default keeps gather heaps bounded no matter the input size.
 
     ``exchange`` picks the shuffle implementation:
 
@@ -245,6 +280,18 @@ def bucketed_map_groups(
     """
     key_cols = list(key_cols)
     target = target_bucket_bytes or TARGET_BUCKET_BYTES
+
+    if buckets is None and exchange == "manual":
+        # Pre-size from file metadata BEFORE any materialize: a 100 TB
+        # input must reach the streaming sort exchange without ever
+        # being gathered into the object store just to be measured.
+        # (The manual exchange's own materialize below is its exchange
+        # input, not a sizing step — and only runs once the estimate
+        # says the input is small enough for the manual path at all.)
+        est = _estimate_input_bytes(ds)
+        if est is not None and _auto_buckets(est, target) \
+                > MANUAL_EXCHANGE_MAX_BUCKETS:
+            exchange = "sort"
 
     if exchange == "manual":
         stamped = _stamp_hash(ds, key_cols).materialize()
@@ -287,16 +334,24 @@ def bucketed_map_groups(
             # the adaptive sizing contract applies to BOTH exchanges:
             # a fixed bucket count on the explicit sort path would hand
             # each map_groups task total_bytes/64 of heap at scale.
-            # Sizing needs the materialized byte count; callers that
-            # must stay fully streaming pass an explicit buckets=.
-            stamped = _stamp_hash(ds, key_cols).materialize()
-            if stamped.schema() is None:
-                return stamped
-            buckets = min(
-                _auto_buckets(stamped.size_bytes() or 0, target),
-                SORT_EXCHANGE_MAX_BUCKETS)
-            bucketed = stamped.map_batches(
-                _to_bucket_fn(buckets), batch_format="pyarrow")
+            # Size from file metadata when the dataset has file-backed
+            # lineage (no execution, fully streaming); only a dataset
+            # with NO such lineage (from_arrow etc. — already in the
+            # object store) falls back to materialize-based sizing.
+            est = _estimate_input_bytes(ds)
+            if est is not None:
+                buckets = min(_auto_buckets(est, target),
+                              SORT_EXCHANGE_MAX_BUCKETS)
+                bucketed = add_bucket(ds, key_cols, buckets)
+            else:
+                stamped = _stamp_hash(ds, key_cols).materialize()
+                if stamped.schema() is None:
+                    return stamped
+                buckets = min(
+                    _auto_buckets(stamped.size_bytes() or 0, target),
+                    SORT_EXCHANGE_MAX_BUCKETS)
+                bucketed = stamped.map_batches(
+                    _to_bucket_fn(buckets), batch_format="pyarrow")
         else:
             bucketed = add_bucket(ds, key_cols, buckets)
 
@@ -2596,10 +2651,21 @@ def hash_join(
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
     if broadcast == "auto":
-        right = right.materialize()
-        sz = right.size_bytes() or 0
-        broadcast = (how != "full_outer"
-                     and sz <= AUTO_BROADCAST_MAX_BYTES)
+        # File-metadata pre-check: a right side whose on-disk footprint
+        # already rules out broadcast must NOT be materialized just to
+        # be measured (at 100 TB the measuring materialize is itself
+        # the problem).  Only plausibly-small sides are materialized
+        # for the exact size decision — and that materialize is then
+        # reused as the broadcast payload.
+        est = _estimate_input_bytes(right)
+        if est is not None and est > AUTO_BROADCAST_MAX_BYTES \
+                * PARQUET_INFLATION:
+            broadcast = False
+        else:
+            right = right.materialize()
+            sz = right.size_bytes() or 0
+            broadcast = (how != "full_outer"
+                         and sz <= AUTO_BROADCAST_MAX_BYTES)
     elif not isinstance(broadcast, bool):
         raise ValueError("broadcast must be True, False or 'auto'")
     if prefilter not in (None, "bloom"):

@@ -658,6 +658,25 @@ def normalize_batch(
                 idx = batch.schema.get_field_index(col.name)
                 batch = batch.set_column(
                     idx, pa.field(col.name, parsed.type), parsed)
+        elif col.codec == "int_or_string" and \
+                col.name in batch.column_names:
+            # reference kubeopenapi/plan.go:18-28: the int-or-string
+            # plan accepts a number or a numeric string; string wire
+            # columns decode here (non-numeric => invalid_format),
+            # numeric wire columns fall through to the normal checked
+            # cast
+            arr = batch.column(col.name)
+            if pa.types.is_string(arr.type) or \
+                    pa.types.is_large_string(arr.type):
+                parsed, bad = decode_number(arr)
+                if pc.any(bad).as_py():
+                    cast_viols.append((
+                        column_path(col.name), INVALID_FORMAT,
+                        canon_params({"codec": "int_or_string"}), bad,
+                        "value does not parse as a number"))
+                idx = batch.schema.get_field_index(col.name)
+                batch = batch.set_column(
+                    idx, pa.field(col.name, parsed.type), parsed)
 
     for col in schema.columns:
         if col.name not in batch.column_names:
@@ -837,6 +856,28 @@ def decode_rfc3339(arr, dtype: pa.DataType):
     result = pc.if_else(ok, pa.array(out_us, type=pa.int64()),
                         pa.nulls(len(arr), type=pa.int64()))
     return pc.cast(result, dtype, safe=False), bad
+
+
+# Kubernetes x-kubernetes-int-or-string (reference kubeopenapi/
+# plan.go:18-28): goskema plans the field as NumberJSON()
+# .CoerceFromString() — the value must be a JSON number or a string
+# that parses as one.  JSON-number grammar (no leading +, no bare
+# dot), matching what encoding/json's Number accepts.
+_JSON_NUMBER_PAT = r"^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$"
+
+
+def decode_number(arr):
+    """Vectorized int-or-string decode: returns (float64 array, bad
+    mask).  String values must parse as JSON numbers (reference
+    NumberJSON().CoerceFromString(), kubeopenapi/plan.go:21); nulls
+    pass through as nulls (not bad)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ok = pc.fill_null(
+        pc.match_substring_regex(arr, pattern=_JSON_NUMBER_PAT), False)
+    bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+    safe = pc.if_else(ok, arr, pa.nulls(len(arr), type=pa.string()))
+    return pc.cast(safe, pa.float64(), safe=False), bad
 
 
 def encode_canonical(batch: pa.Table, schema: TableSchema) -> pa.Table:

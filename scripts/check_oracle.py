@@ -70,7 +70,19 @@ for name, fn in qs.items():
     ok_vals = False
     if ok_rows and ok_cols:
         try:
-            pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+            # Driver-strength compare: the driver hashes the sorted values
+            # exactly, so a dtype difference (engine int64 vs DuckDB
+            # HUGEINT->float64) fails its hash even when every cell matches.
+            # Mirror that: exact dtype everywhere, exact values for
+            # non-float columns, tight tolerance for floats.
+            pd.testing.assert_frame_equal(
+                mine, theirs, check_dtype=True, check_exact=False,
+                rtol=1e-12, atol=1e-12)
+            for c in mine.columns:
+                if not pd.api.types.is_float_dtype(mine[c]):
+                    pd.testing.assert_series_equal(
+                        mine[c], theirs[c], check_dtype=True,
+                        check_exact=True)
             ok_vals = True
         except AssertionError as ex:
             msg = str(ex).split("\n")[0:4]
