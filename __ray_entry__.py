@@ -397,10 +397,15 @@ def _q_events_retention(sf_dir: str):
 
     def _week(t: pa.Table) -> pa.Table:
         # double-cast via timestamp(us) so the µs-per-week constant
-        # stays correct even if the source column is ms/ns
-        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-        wk = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
-        return pa.table({"user_id": t["user_id"], "week": wk})
+        # stays correct even if the source column is ms/ns; FLOOR
+        # division (pc.divide truncates toward zero, DuckDB's //
+        # floors — they differ on pre-1970 negative-epoch timestamps)
+        w = 604_800_000_000
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wk = us // w   # numpy floor-divides, matching DuckDB //
+        return pa.table({"user_id": t["user_id"],
+                         "week": pa.array(wk, pa.int64())})
 
     pairs = group_agg(ev.map_batches(_week, batch_format="pyarrow"),
                       ["user_id", "week"],
@@ -1344,6 +1349,53 @@ def _q_orders_running(sf_dir: str):
 
     return group_running(ds.map_batches(_scale, batch_format="pyarrow"),
                          "o_custkey", ["o_orderkey"], "price_c")
+
+
+def _q_orders_running_bigsum(sf_dir: str):
+    """group_running integer-exactness proof past 2^53: every order
+    contributes (price_c mod 1000 + 1) * 2^40, so the larger
+    customers' running totals cross 2^53 (~9e15) where a float64
+    bucket-wide prefix sum would silently lose exactness — the int64
+    end-to-end accumulation must stay bit-equal to SQL's HUGEINT
+    window sum."""
+    from rayskema.pipelines.relational import group_running
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _scale(tab: pa.Table) -> pa.Table:
+        c = _cents(tab["o_totalprice"]).to_numpy(zero_copy_only=False)
+        v = (c % 1000 + 1) * (1 << 40)
+        return pa.table({
+            "o_custkey": tab["o_custkey"],
+            "o_orderkey": tab["o_orderkey"],
+            "v": pa.array(v, pa.int64()),
+        })
+
+    return group_running(ds.map_batches(_scale, batch_format="pyarrow"),
+                         "o_custkey", ["o_orderkey"], "v")
+
+
+def _q_events_mean_nullgroup(sf_dir: str):
+    """group_agg SQL-NULL proof on an all-null group: cents for
+    event_type='error' are nulled before the aggregate, so AVG over
+    that group must come back SQL NULL (count = 0), never 0.0/0.0 =
+    NaN; sum over the group is NULL likewise.  Exact-int cents keep
+    mean = sum/count bit-equal across engines."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _nullify(tab: pa.Table) -> pa.Table:
+        c = _cents(tab["value"])
+        v = pc.if_else(pc.equal(tab["event_type"], "error"),
+                       pa.nulls(tab.num_rows, type=pa.int64()), c)
+        return pa.table({"event_type": tab["event_type"], "v": v})
+
+    return group_agg(ds.map_batches(_nullify, batch_format="pyarrow"),
+                     ["event_type"],
+                     [("v", "count", "n_v"), ("v", "sum", "sum_v"),
+                      ("v", "mean", "mean_v")], buckets=4)
 
 
 def _q_orders_rolling(sf_dir: str):
@@ -3401,6 +3453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ks_drift": _q_docs_ks_drift,
         "lineitem_q1": _q_lineitem_q1,
         "orders_running": _q_orders_running,
+        "orders_running_bigsum": _q_orders_running_bigsum,
+        "events_mean_nullgroup": _q_events_mean_nullgroup,
         "orders_rolling": _q_orders_rolling,
         "orders_rank": _q_orders_rank,
         "orders_ntile": _q_orders_ntile,
@@ -4180,6 +4234,32 @@ def oracle_sql() -> dict[str, str]:
                    lag(price_c) OVER w AS lag
             FROM s WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderkey)
+        """,
+        "orders_running_bigsum": """
+            WITH s AS (SELECT o_custkey, o_orderkey,
+                              (CAST(round(o_totalprice * 100) AS BIGINT)
+                               % 1000 + 1) * 1099511627776 AS v
+                       FROM orders)
+            SELECT o_custkey, o_orderkey, CAST(v AS BIGINT) AS v,
+                   row_number() OVER w AS row_number,
+                   CAST(sum(v) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_sum,
+                   CAST(lag(v) OVER w AS BIGINT) AS lag
+            FROM s WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderkey)
+        """,
+        "events_mean_nullgroup": """
+            WITH b AS (SELECT event_type,
+                              CASE WHEN event_type = 'error' THEN NULL
+                                   ELSE CAST(round(value * 100)
+                                             AS BIGINT) END AS v
+                       FROM events)
+            SELECT event_type, count(v) AS n_v,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   avg(v) AS mean_v
+            FROM b GROUP BY event_type
         """,
         "orders_rolling": """
             WITH s AS (SELECT o_custkey, o_orderkey,

@@ -302,9 +302,47 @@ def _contains_predicate(cont: dict, diag: ImportDiag, where: str):
     return None
 
 
+_EMBEDDED_FIELDS = (
+    # (sub-field, arrow type): reference embedded.go:50-74 requires
+    # apiVersion:string, kind:string, metadata:object on every
+    # embedded resource
+    ("apiVersion", pa.string()),
+    ("kind", pa.string()),
+    ("metadata", pa.map_(pa.string(), pa.string())),
+)
+
+
+def _embedded_flag(ps: dict) -> str | None:
+    """Where the x-kubernetes-embedded-resource flag sits: on the
+    field itself or on array items (embedded.go:79-95)."""
+    if ps.get("x-kubernetes-embedded-resource") is True:
+        return "field"
+    it = ps.get("items")
+    if isinstance(it, dict) and \
+            it.get("x-kubernetes-embedded-resource") is True:
+        return "items"
+    return None
+
+
+def _inject_embedded_properties(ps: dict) -> dict:
+    """Ensure an embedded-resource object schema declares
+    apiVersion/kind/metadata properties so the Arrow dtype becomes a
+    struct carrying them — the typed analogue of the reference's
+    runtime map lookups (embedded.go:50-74)."""
+    ps = dict(ps)
+    props = dict(ps.get("properties") or {})
+    props.setdefault("apiVersion", {"type": "string"})
+    props.setdefault("kind", {"type": "string"})
+    props.setdefault("metadata", {"type": "object"})
+    ps["properties"] = props
+    ps.setdefault("type", "object")
+    return ps
+
+
 def import_openapi(
     doc: dict | bytes | str, *,
     name: str = "table", key_columns: tuple = (),
+    enable_embedded_checks: bool = False,
 ) -> tuple[TableSchema, ImportDiag]:
     """Compile an OpenAPI v3 / CRD schema into a TableSchema
     (reference ``kubeopenapi.Import``, kubeopenapi.go:14-57).
@@ -351,8 +389,46 @@ def import_openapi(
     columns = []
     for pname in sorted(props):
         ps = props[pname] if isinstance(props[pname], dict) else {}
+        if ps.get("x-kubernetes-int-or-string") is True:
+            # the REAL int-or-string plan (kubeopenapi/plan.go:18-28):
+            # float64 column + "int_or_string" codec — numeric wire
+            # values cast through, numeric strings decode, any other
+            # string is invalid_format; numeric facets then apply
+            cons = list(_value_constraints(
+                {**ps, "type": "number"}, pname, diag, pname))
+            nullable = pname not in required
+            if pname in required:
+                cons.insert(0, NonNull(rule=f"{pname}_required"))
+            columns.append(Column(pname, pa.float64(),
+                                  nullable=nullable,
+                                  default=ps.get("default"),
+                                  constraints=tuple(cons),
+                                  codec="int_or_string"))
+            continue
+        emb = _embedded_flag(ps) if enable_embedded_checks else None
+        if emb == "field":
+            ps = _inject_embedded_properties(ps)
+        elif emb == "items":
+            ps = {**ps, "items":
+                  _inject_embedded_properties(ps["items"])}
+            diag.warn(f"{pname}: embedded-resource on array items "
+                      "typed (apiVersion/kind/metadata struct fields)"
+                      "; per-element presence not enforced")
         dtype = _dtype_for(ps, diag, pname)
         cons = list(_value_constraints(ps, pname, diag, pname))
+        if emb == "field":
+            # presence checks for x-kubernetes-embedded-resource
+            # (reference embedded.go:19-78): apiVersion/kind/metadata
+            # required on the embedded object — required-code
+            # violations at /field/apiVersion etc., matching the
+            # reference's paths
+            for sub, _t in _EMBEDDED_FIELDS:
+                cons.append(StructField(
+                    path=(sub,),
+                    constraint=NonNull(
+                        rule=f"{pname}_{sub}_embedded_required"),
+                    rule=f"{pname}_{sub}_embedded_required",
+                    when_parent_valid=True))
         # one level of nested-object facet constraints, path-rebased
         if ps.get("type") == "object" and isinstance(
                 ps.get("properties"), dict):

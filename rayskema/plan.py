@@ -147,7 +147,14 @@ def _compile_constraint(col: Column, c, key_cols: Sequence[str],
         subpath = tuple(c.path)
         name = col.name
 
+        parent_gate = c.when_parent_valid
+
         def check(t: pa.Table) -> pa.Table:
+            if parent_gate:
+                # reference embedded.go:22-26: a null/absent outer
+                # object is NOT an embedded-presence violation — the
+                # outer field's own required rule owns that case
+                t = t.filter(pc.is_valid(t[name]))
             child = t[name]
             if isinstance(child, pa.ChunkedArray):
                 child = child.combine_chunks()

@@ -204,6 +204,12 @@ class StructField(Constraint):
     # on the subpath — preserve-mode encode restores it to absent.
     # Depth-1 paths only (plan._reconcile_struct).
     default: Any = None
+    # skip rows whose PARENT struct is null (reference embedded
+    # resource presence, kubeopenapi/embedded.go:22-26: "outer field
+    # presence is governed by required; do nothing here") — without
+    # this a NonNull subfield check would fire on every row where the
+    # optional outer object is absent
+    when_parent_valid: bool = False
 
 
 @dataclass(frozen=True)

@@ -16,10 +16,10 @@ optional ``columns`` projection prunes AFTER decode (IPC has no
 row-group projection pushdown — use parquet when reads are narrow, and
 this reader when the data already exists as IPC).
 
-``write_ipc`` lands one ``.arrow`` file per block via
-``Dataset.write_datasink``-free map_batches append (simple, resumable
-at the file level: blocks are written under task-unique names, so
-re-runs never interleave partial files).
+``write_ipc`` lands one ``.arrow`` file per block through a streaming
+``Datasink`` (blocks flow with backpressure, never materialized) under
+ordinal+content-hash names, so re-runs never interleave partial files
+and retried write tasks republish the same names.
 """
 
 from __future__ import annotations
@@ -44,6 +44,25 @@ def read_ipc(path: str, *, columns: list[str] | None = None,
 
     raw = rd.read_binary_files(path)
 
+    # Peek one file's schema up front (footer read, no data pages):
+    # a read task whose batch carries no file bytes must still emit a
+    # SCHEMA-CONSISTENT empty table — a column-less pa.table({}) would
+    # break downstream schema unification/concat for sparse dirs
+    empty = None
+    probe = path
+    if os.path.isdir(path):
+        names = sorted(n for n in os.listdir(path)
+                       if not n.startswith("."))
+        probe = os.path.join(path, names[0]) if names else None
+    if probe is not None and os.path.isfile(probe):
+        with open(probe, "rb") as f:
+            data = pa.py_buffer(f.read())
+        sch = (pipc.open_file(data) if file_format == "file"
+               else pipc.open_stream(data)).schema
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        empty = sch.empty_table()
+
     def _decode(batch: dict) -> list[pa.Table]:
         out = []
         for buf in batch["bytes"]:
@@ -61,7 +80,9 @@ def read_ipc(path: str, *, columns: list[str] | None = None,
 
     def _decode_batch(batch: dict) -> pa.Table:
         tabs = _decode(batch)
-        return pa.concat_tables(tabs) if tabs else pa.table({})
+        if tabs:
+            return pa.concat_tables(tabs)
+        return empty if empty is not None else pa.table({})
 
     return raw.map_batches(_decode_batch, batch_format="numpy")
 
@@ -69,37 +90,61 @@ def read_ipc(path: str, *, columns: list[str] | None = None,
 def write_ipc(ds: "rd.Dataset", out_dir: str, *,
               file_format: str = "file") -> int:
     """Write a Dataset as one IPC file per block under ``out_dir``;
-    returns the number of DISTINCT files written.  Content-addressed
-    names make retries idempotent and collapse byte-identical blocks
-    into one file.  Write into a fresh directory: files from an
-    earlier run with different content are not cleaned up and a later
-    ``read_ipc`` would return the union."""
+    returns the number of files written.  File names carry a
+    deterministic block ORDINAL plus the content hash: a retried
+    block task rewrites the SAME file (idempotent, same ordinal +
+    same content), while byte-identical but DISTINCT blocks keep
+    distinct ordinals — a pure content-addressed name would collapse
+    them into one file and silently lose rows on a write→read round
+    trip.  Write into a fresh directory: files from an earlier run
+    are not cleaned up and a later ``read_ipc`` would return the
+    union."""
     if file_format not in ("file", "stream"):
         raise ValueError("file_format must be 'file' or 'stream'")
     os.makedirs(out_dir, exist_ok=True)
+    import hashlib
 
-    def _write(tab: pa.Table) -> pa.Table:
-        if tab.num_rows == 0:
-            return pa.table({"path": pa.array([], type=pa.string())})
-        sink = pa.BufferOutputStream()
-        if file_format == "file":
-            with pipc.new_file(sink, tab.schema) as w:
-                w.write_table(tab)
-        else:
-            with pipc.new_stream(sink, tab.schema) as w:
-                w.write_table(tab)
-        buf = sink.getvalue()
-        # content-addressed name: a retried task rewrites the SAME
-        # file (idempotent), identical blocks collapse to one
-        import hashlib
-        name = os.path.join(
-            out_dir,
-            f"block-{hashlib.md5(buf).hexdigest()}.arrow")
-        tmp = name + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(buf)
-        os.replace(tmp, name)  # atomic publish
-        return pa.table({"path": pa.array([name])})
+    from ray.data import Datasink
+    from ray.data.block import BlockAccessor
 
-    paths = ds.map_batches(_write, batch_format="pyarrow").take_all()
-    return len({p["path"] for p in paths})
+    class _IpcSink(Datasink):
+        """Streaming per-block sink: blocks flow through write tasks
+        with backpressure (never materialized as a whole), and
+        ``ctx.task_idx`` + the within-task block index give the
+        deterministic ordinal a retried task reproduces exactly."""
+
+        def __init__(self):
+            self.files_written = 0
+
+        def write(self, blocks, ctx) -> list[str]:
+            out = []
+            for j, block in enumerate(blocks):
+                tab = BlockAccessor.for_block(block).to_arrow()
+                if tab.num_rows == 0:
+                    continue
+                sink = pa.BufferOutputStream()
+                if file_format == "file":
+                    with pipc.new_file(sink, tab.schema) as w:
+                        w.write_table(tab)
+                else:
+                    with pipc.new_stream(sink, tab.schema) as w:
+                        w.write_table(tab)
+                buf = sink.getvalue()
+                name = os.path.join(
+                    out_dir,
+                    f"block-{ctx.task_idx:06d}-{j:04d}-"
+                    f"{hashlib.md5(buf).hexdigest()[:16]}.arrow")
+                tmp = name + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as f:
+                    f.write(buf)
+                os.replace(tmp, name)  # atomic publish
+                out.append(name)
+            return out
+
+        def on_write_complete(self, write_result) -> None:
+            self.files_written = sum(
+                len(p) for p in write_result.write_returns)
+
+    sink = _IpcSink()
+    ds.write_datasink(sink)
+    return sink.files_written

@@ -78,11 +78,13 @@ def write_parquet_partitioned(
 
         src = ds.map_batches(_drop_done, batch_format="pyarrow")
 
+    def _stamp_key(tab: pa.Table) -> pa.Table:
+        return tab.append_column("__k", _key_str(tab))
+
     def _write_bucket(tab: pa.Table) -> pa.Table:
         if tab.num_rows == 0:
             return pa.table({"value": pa.array([], type=pa.string()),
                              "rows": pa.array([], type=pa.int64())})
-        tab = tab.append_column("__k", _key_str(tab))
         tab = tab.sort_by([("__k", "ascending")])
         starts = np.flatnonzero(segment_starts(tab, ["__k"]))
         ends = np.append(starts[1:], tab.num_rows)
@@ -103,5 +105,12 @@ def write_parquet_partitioned(
             "rows": pa.array([n for _, n in out_rows],
                              type=pa.int64())})
 
-    return bucketed_map_groups(src, [by], _write_bucket,
-                               buckets=buckets, sort_within=False)
+    # Exchange on the RENDERED key string, not the raw column: a
+    # literal "__NULL__" string value and actual nulls render to the
+    # same partition directory, so they must land in the SAME bucket
+    # task — grouping on the raw column could put them in different
+    # tasks whose concurrent os.replace on <by>=__NULL__/part.parquet
+    # silently drops one task's rows
+    return bucketed_map_groups(
+        src.map_batches(_stamp_key, batch_format="pyarrow"),
+        ["__k"], _write_bucket, buckets=buckets, sort_within=False)

@@ -206,18 +206,24 @@ def test_reference_servicemonitor_crd_unwrap():
     assert s.unknown is Unknown.STRICT
     assert {c.name for c in s.columns} == {"labels", "targets",
                                            "sampleLimit"}
-    # int-or-string degraded to string with a warning
-    assert s.column("sampleLimit").dtype == pa.string()
-    assert any("int-or-string" in w for w in diag.warnings)
+    # int-or-string imports as the real union plan (float64 +
+    # "int_or_string" codec; kubeopenapi/plan.go:18-28), no warning
+    assert s.column("sampleLimit").dtype == pa.float64()
+    assert s.column("sampleLimit").codec == "int_or_string"
+    assert not any("int-or-string" in w for w in diag.warnings)
     targets = s.column("targets")
     assert any(isinstance(c, ListUnique) for c in targets.constraints)
-    plan = ConstraintPlan(s)
-    v = plan.validate(pa.table({
+    from rayskema.plan import normalize_batch
+    batch = pa.table({
         "labels": pa.array([[("k", "v")]],
                            type=pa.map_(pa.string(), pa.string())),
         "sampleLimit": pa.array(["10"]),
         "targets": pa.array([["t1", "t1"]], type=pa.list_(pa.string())),
-    }))
+    })
+    norm, nviols = normalize_batch(batch, s)
+    assert nviols.num_rows == 0
+    assert norm["sampleLimit"].to_pylist() == [10.0]
+    v = ConstraintPlan(s).validate(norm)
     assert ("/targets", "duplicate_item") in _codes(v)
 
 
@@ -296,3 +302,109 @@ def test_anyof_contract_and_jsonschema_roundtrip():
     doc = export_json_schema(s)
     assert doc["properties"]["v"]["oneOf"] == [
         {"const": "a"}, {"pattern": "b"}]
+
+
+def test_int_or_string_real_plan():
+    """x-kubernetes-int-or-string imports as the REAL union plan
+    (reference kubeopenapi/plan.go:18-28: NumberJSON()
+    .CoerceFromString()): float64 column + "int_or_string" codec —
+    numeric strings decode, non-numeric strings are invalid_format,
+    and numeric facets apply to the decoded value."""
+    from rayskema.plan import normalize_batch
+
+    s, diag = import_openapi({
+        "type": "object",
+        "required": ["port"],
+        "properties": {
+            "port": {"x-kubernetes-int-or-string": True,
+                     "minimum": 1, "maximum": 65535},
+        },
+    }, name="t")
+    col = s.column("port")
+    assert col.dtype == pa.float64()
+    assert col.codec == "int_or_string"
+    assert not col.nullable
+    assert not any("int-or-string" in w for w in diag.warnings)
+
+    # string wire column: numeric strings decode, junk is flagged
+    batch = pa.table({"port": pa.array(["8080", "abc", None, "1e2"])})
+    norm, viols = normalize_batch(batch, s)
+    assert norm["port"].type == pa.float64()
+    assert norm["port"].to_pylist() == [8080.0, None, None, 100.0]
+    codes = {(r["path"], r["code"]) for r in viols.to_pylist()}
+    assert ("/port", "invalid_format") in codes
+
+    # numeric wire column: checked cast through, Range facet applies
+    batch2 = pa.table({"port": pa.array([80, 70000], type=pa.int64())})
+    norm2, v2 = normalize_batch(batch2, s)
+    assert v2.num_rows == 0
+    pv = ConstraintPlan(s).validate(norm2)
+    got = _codes(pv)
+    assert ("/port", "too_big") in got
+    assert not any(c == "too_small" for _, c in got)
+
+
+def test_embedded_resource_presence_object():
+    """x-kubernetes-embedded-resource presence checks (reference
+    kubeopenapi/embedded.go:19-78 and
+    kubeopenapi_embedded_test.go object case): apiVersion/kind/
+    metadata required on the embedded object; a null outer object is
+    NOT an embedded violation (outer required owns that)."""
+    s, diag = import_openapi({
+        "type": "object",
+        "properties": {
+            "res": {"type": "object",
+                    "x-kubernetes-embedded-resource": True},
+        },
+        "additionalProperties": False,
+    }, name="t", enable_embedded_checks=True)
+    dt = s.column("res").dtype
+    assert pa.types.is_struct(dt)
+    assert {f.name for f in dt} == {"apiVersion", "kind", "metadata"}
+
+    good = {"apiVersion": "v1", "kind": "Pod", "metadata": []}
+    bad = {"apiVersion": None, "kind": "Pod", "metadata": []}
+    batch = pa.table({"res": pa.array(
+        [good, bad, None], type=dt)})
+    v = ConstraintPlan(s).validate(batch)
+    got = _codes(v)
+    assert ("/res/apiVersion", "required") in got
+    # exactly one violation: the null outer object contributes none
+    assert v.num_rows == 1
+
+
+def test_embedded_resource_presence_array_items():
+    """Array-of-embedded-resources (reference embedded.go:79-95,
+    kubeopenapi_embedded_test.go array case): items get the typed
+    apiVersion/kind/metadata struct fields; per-element presence is
+    typed-only, surfaced as a diag warning."""
+    s, diag = import_openapi({
+        "type": "object",
+        "properties": {
+            "items": {"type": "array",
+                      "items": {"type": "object",
+                                "x-kubernetes-embedded-resource": True}},
+        },
+        "additionalProperties": False,
+    }, name="t", enable_embedded_checks=True)
+    dt = s.column("items").dtype
+    assert pa.types.is_list(dt)
+    assert pa.types.is_struct(dt.value_type)
+    assert {f.name for f in dt.value_type} >= {"apiVersion", "kind",
+                                               "metadata"}
+    assert any("per-element presence" in w for w in diag.warnings)
+
+
+def test_embedded_checks_disabled_by_default():
+    """Without enable_embedded_checks the flag is inert (reference
+    Options.EnableEmbeddedChecks default false)."""
+    s, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "res": {"type": "object",
+                    "x-kubernetes-embedded-resource": True},
+        },
+    }, name="t")
+    assert not any(
+        getattr(c, "when_parent_valid", False)
+        for c in s.column("res").constraints)

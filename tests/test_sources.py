@@ -175,3 +175,45 @@ def test_write_parquet_partitioned_resumable(ray_session, tmp_path):
     assert res2 == {"b": 2}                       # only the failed one
     assert os.path.getmtime(
         os.path.join(out, "src=a", "part.parquet")) == mtime_a
+
+
+def test_ipc_duplicate_blocks_preserved(ray_session, tmp_path):
+    """Byte-identical but DISTINCT blocks must both survive a
+    write_ipc -> read_ipc round trip: names carry a block ordinal, so
+    identical content cannot collapse two blocks into one file."""
+    from rayskema.sources.ipc import read_ipc, write_ipc
+
+    tab = pa.table({"k": pa.array([1, 2], type=pa.int64())})
+    # two blocks with IDENTICAL bytes (same rows, split evenly)
+    ds = rd.from_arrow(pa.concat_tables([tab, tab])).repartition(2)
+    out = str(tmp_path / "dups")
+    n_files = write_ipc(ds, out)
+    assert n_files == 2
+    back = pa.concat_tables(
+        [pa.table(b) for b in read_ipc(out)
+         .iter_batches(batch_format="pyarrow")])
+    assert back.num_rows == 4
+    assert sorted(back["k"].to_pylist()) == [1, 1, 2, 2]
+
+
+def test_partitioned_sink_null_sentinel_collision(ray_session, tmp_path):
+    """A literal "__NULL__" string value and actual nulls render to
+    the same partition directory; both row sets must survive (the
+    exchange groups on the RENDERED key so one task owns the dir)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayskema.sources.parquet_sink import write_parquet_partitioned
+
+    out = str(tmp_path / "collide")
+    tab = pa.table({
+        "src": pa.array(["__NULL__", None, "__NULL__", None, "a"]),
+        "v": pa.array(range(5), type=pa.int64())})
+    res = {r["value"]: r["rows"] for r in write_parquet_partitioned(
+        rd.from_arrow(tab).repartition(3), out, "src",
+        buckets=4).take_all()}
+    assert res == {"__NULL__": 4, "a": 1}
+    back = pq.read_table(os.path.join(out, "src=__NULL__",
+                                      "part.parquet"))
+    assert sorted(back["v"].to_pylist()) == [0, 1, 2, 3]
