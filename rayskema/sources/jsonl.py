@@ -54,17 +54,23 @@ def reconcile_to_schema(ds: "rd.Dataset", schema: TableSchema) -> "rd.Dataset":
 
 def read_jsonl(paths, schema: TableSchema) -> "rd.Dataset":
     """Dataset over JSONL files reconciled to the declared columns
-    (see :func:`reconcile_to_schema`)."""
-    return reconcile_to_schema(rd.read_json(paths), schema)
+    (see :func:`reconcile_to_schema`).  The raw reader resolves
+    through the source-driver SPI (:mod:`rayskema.sources.spi`), so a
+    deployment can swap the JSON engine like the reference's
+    ``SetJSONDriver`` (source.go:73-81)."""
+    from .spi import get_source_driver
+    return reconcile_to_schema(get_source_driver("json")(paths), schema)
 
 
 def read_csv(paths, schema: TableSchema, **read_kwargs) -> "rd.Dataset":
     """Dataset over CSV files reconciled to the declared columns — the
     same ingest seam as JSONL (reference source SPI, source.go:62-112)
     for the other ubiquitous text format.  ``read_kwargs`` pass through
-    to ``ray.data.read_csv`` (pyarrow CSV options: delimiter, header
-    handling, explicit column types)."""
-    return reconcile_to_schema(rd.read_csv(paths, **read_kwargs), schema)
+    to the registered CSV driver (default ``ray.data.read_csv``:
+    pyarrow CSV options — delimiter, header handling, column types)."""
+    from .spi import get_source_driver
+    return reconcile_to_schema(
+        get_source_driver("csv")(paths, **read_kwargs), schema)
 
 
 def csv_to_parquet(paths, schema: TableSchema, out_dir: str,

@@ -217,3 +217,54 @@ def test_partitioned_sink_null_sentinel_collision(ray_session, tmp_path):
     back = pq.read_table(os.path.join(out, "src=__NULL__",
                                       "part.parquet"))
     assert sorted(back["v"].to_pylist()) == [0, 1, 2, 3]
+
+
+def test_source_driver_spi(ray_session, tmp_path):
+    # reference SetJSONDriver / UseDefaultJSONDriver (source.go:73-88):
+    # a registered driver replaces the raw reader the ingest seam uses;
+    # restoring the default brings back ray.data.read_json
+    from rayskema.schema import transcript_schema
+    from rayskema.sources import spi
+    from rayskema.sources.jsonl import read_jsonl
+
+    p = str(tmp_path / "a.jsonl")
+    _write_jsonl(p, [
+        {"conv_id": "conv_00000001", "turn_idx": 0, "role": "user",
+         "text": "hi", "ts": "2023-11-14T22:13:20"},
+    ])
+    calls = []
+
+    def stamped(paths, **kw):
+        calls.append(paths)
+        ds = rd.read_json(paths, **kw)
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "via_custom", pa.array([True] * t.num_rows)),
+            batch_format="pyarrow")
+
+    assert spi.source_driver_names()["json"] == "ray.data"
+    spi.register_source_driver("json", stamped, name="stamped")
+    try:
+        assert spi.source_driver_names()["json"] == "stamped"
+        tab = pa.concat_tables(
+            [t for t in ray.get(
+                read_jsonl(p, transcript_schema()).to_arrow_refs())
+             if t.num_rows])
+        assert calls == [p]
+        assert tab["via_custom"].to_pylist() == [True]
+    finally:
+        spi.use_default_source_driver("json")
+    assert spi.source_driver_names()["json"] == "ray.data"
+    tab = pa.concat_tables(
+        [t for t in ray.get(
+            read_jsonl(p, transcript_schema()).to_arrow_refs())
+         if t.num_rows])
+    assert "via_custom" not in tab.column_names
+    # nil-guard parity: a None reader is ignored
+    spi.register_source_driver("json", None)
+    assert spi.source_driver_names()["json"] == "ray.data"
+    # custom-only format registers and fully unregisters
+    spi.register_source_driver("tsv", lambda paths: rd.read_csv(paths))
+    assert "tsv" in spi.source_driver_names()
+    spi.use_default_source_driver("tsv")
+    assert "tsv" not in spi.source_driver_names()
