@@ -1375,6 +1375,19 @@ def _q_orders_running_bigsum(sf_dir: str):
                          "o_custkey", ["o_orderkey"], "v")
 
 
+def _q_events_window_rank(sf_dir: str):
+    """The SQL ranking-window family in one vectorized pass — rank /
+    dense_rank / percent_rank / cume_dist / ntile(4) / lead /
+    first_value / last_value(UNBOUNDED FOLLOWING frame) per user over
+    (ts, event_id) order.  One hash shuffle on user_id; every window
+    is a segment-reset prefix computation over the bucket-sorted
+    arrays (relational.group_window_rank)."""
+    from rayskema.pipelines.relational import group_window_rank
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return group_window_rank(ds, "user_id", ["ts", "event_id"], "value",
+                             ntile_n=4, buckets=8)
+
+
 def _q_events_mean_nullgroup(sf_dir: str):
     """group_agg SQL-NULL proof on an all-null group: cents for
     event_type='error' are nulled before the aggregate, so AVG over
@@ -3406,6 +3419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_datacard": _q_docs_datacard,
         "events_gap_stats": _q_events_gap_stats,
         "events_rolling_time": _q_events_rolling_time,
+        "events_window_rank": _q_events_window_rank,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4753,6 +4767,22 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                AND CURRENT ROW)
+        """,
+        "events_window_rank": """
+            SELECT user_id, ts, event_id, value,
+                   rank() OVER w AS "rank",
+                   dense_rank() OVER w AS dense_rank,
+                   percent_rank() OVER w AS percent_rank,
+                   cume_dist() OVER w AS cume_dist,
+                   ntile(4) OVER w AS ntile,
+                   lead(value) OVER w AS lead,
+                   first_value(value) OVER w AS first_value,
+                   last_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,

@@ -1640,6 +1640,111 @@ def group_running(
         [group_col], _win, buckets=buckets, sort_within=False)
 
 
+def group_window_rank(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, ntile_n: int = 4, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group ranking windows over ``order_cols`` order:
+    ``(group, order..., value, rank, dense_rank, percent_rank,
+    cume_dist, ntile, lead, first_value, last_value)`` — SQL
+    ``rank()/dense_rank()/percent_rank()/cume_dist()/ntile(n)/
+    lead(v)/first_value(v)`` over ``(PARTITION BY g ORDER BY o...)``
+    and ``last_value(v)`` with the UNBOUNDED FOLLOWING frame (the SQL
+    default frame would make last_value the current row).
+
+    Tie semantics are SQL's: tied order keys share rank/dense_rank/
+    percent_rank, and ``cume_dist`` counts through the END of the tie
+    run.  Order-dependent outputs (``lead``, ``ntile``) follow the
+    sorted position; give a unique order key when comparing against an
+    engine whose tie order differs.
+
+    One hash shuffle on the group key; every window is computed
+    vectorized over the bucket-sorted arrays (segment-reset prefix
+    sums, run-start forward fills, one Arrow ``take`` per value
+    window) — no per-group Python.  ``percent_rank`` of a one-row
+    group is 0.0 (SQL's 0/0 convention)."""
+    order_cols = list(order_cols)
+    if ntile_n < 1:
+        raise ValueError("ntile_n must be >= 1")
+
+    def _win(tab: pa.Table) -> pa.Table:
+        sort_keys = [(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols]
+        tab = tab.sort_by(sort_keys)
+        n = tab.num_rows
+        if n == 0:
+            vt = tab[value_col].type
+            out = {group_col: tab[group_col]}
+            for c in order_cols:
+                out[c] = tab[c]
+            out[value_col] = tab[value_col]
+            for name, t in [("rank", pa.int64()),
+                            ("dense_rank", pa.int64()),
+                            ("percent_rank", pa.float64()),
+                            ("cume_dist", pa.float64()),
+                            ("ntile", pa.int64()),
+                            ("lead", vt), ("first_value", vt),
+                            ("last_value", vt)]:
+                out[name] = pa.nulls(0, type=t)
+            return pa.table(out)
+        new_g = segment_starts(tab, [group_col])
+        new_run = segment_starts(tab, [group_col] + order_cols)
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, sizes)          # group start idx/row
+        size_r = np.repeat(sizes, sizes)           # group size/row
+        pos = np.arange(n) - gstart                # 0-based in group
+        idx = np.arange(n)
+        # rank: 1 + offset of the current tie-run's first row
+        run_start = np.maximum.accumulate(np.where(new_run, idx, -1))
+        rank = run_start - gstart + 1
+        # dense_rank: tie-run ordinal within the group
+        run_ord = np.cumsum(new_run)               # global run id, 1-based
+        dense = run_ord - np.repeat(run_ord[starts] - 1, sizes)
+        # percent_rank: (rank-1)/(n-1), 0.0 for n==1
+        with np.errstate(invalid="ignore"):
+            prank = np.where(size_r > 1, (rank - 1) / np.maximum(
+                size_r - 1, 1), 0.0)
+        # cume_dist: rows through the end of the tie run / group size
+        run_last = idx[np.append(new_run[1:], True)]   # last idx per run
+        cume = (run_last[run_ord - 1] - gstart + 1) / size_r
+        # ntile(k), SQL semantics: q=n//k rows per tile, first n%k
+        # tiles get one extra; n<k -> each row its own tile
+        k = ntile_n
+        q, r = size_r // k, size_r % k
+        big = r * (q + 1)                          # rows in the fat tiles
+        tile = np.where(
+            q == 0, pos + 1,
+            np.where(pos < big, pos // np.maximum(q + 1, 1) + 1,
+                     r + (pos - big) // np.maximum(q, 1) + 1))
+        v = tab[value_col].combine_chunks()
+        # lead: next row's value, null at each group's last row
+        last_in_g = np.append(new_g[1:], True)
+        lead = pc.if_else(
+            pa.array(last_in_g), pa.nulls(n, type=v.type),
+            v.take(pa.array(np.minimum(idx + 1, n - 1))))
+        first_v = v.take(pa.array(gstart))
+        last_v = v.take(pa.array(gstart + size_r - 1))
+        out = {group_col: tab[group_col]}
+        for c in order_cols:
+            out[c] = tab[c]
+        out[value_col] = v
+        out["rank"] = pa.array(rank.astype(np.int64))
+        out["dense_rank"] = pa.array(dense.astype(np.int64))
+        out["percent_rank"] = pa.array(prank.astype(np.float64))
+        out["cume_dist"] = pa.array(cume.astype(np.float64))
+        out["ntile"] = pa.array(tile.astype(np.int64))
+        out["lead"] = lead
+        out["first_value"] = first_v
+        out["last_value"] = last_v
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(
+            [group_col] + order_cols + [value_col]))),
+        [group_col], _win, buckets=buckets, sort_within=False)
+
+
 def explode(
     ds: "rd.Dataset", list_col: str, keep_cols: Sequence[str], *,
     value_col: str = "val", pos_col: str = "pos", one_based: bool = True,

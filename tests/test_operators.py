@@ -1897,3 +1897,61 @@ def test_cooccurrence_pairs(ray_session):
         raise AssertionError("expected failure")
     except Exception as e:
         assert "max_group" in str(e)
+
+
+def test_group_window_rank_ties_vs_duckdb(ray_session):
+    # tie semantics: duplicate order keys share rank/dense_rank/
+    # percent_rank and cume_dist counts through the tie-run END;
+    # order-dependent outputs (lead/ntile) are tie-free here because
+    # (g, o) sorting inside the operator matches DuckDB's sort when the
+    # VALUE ties too (all tied rows carry the same v)
+    import duckdb
+    from rayskema.pipelines.relational import group_window_rank
+
+    g = ["a"] * 7 + ["b"] * 3 + ["c"]          # sizes 7, 3, 1
+    o = [1, 1, 1, 2, 5, 5, 9, 1, 1, 2, 4]     # heavy ties
+    v = [float(x * 10) for x in o]             # value tied with order key
+    tab = pa.table({"g": g, "o": o, "v": v})
+    out = _collect(group_window_rank(
+        rd.from_arrow(tab), "g", ["o"], "v", ntile_n=3, buckets=2))
+    mine = out.to_pandas().sort_values(
+        list(out.column_names)).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", tab)
+    theirs = con.execute("""
+        SELECT g, o, v,
+               rank() OVER w AS "rank",
+               dense_rank() OVER w AS dense_rank,
+               percent_rank() OVER w AS percent_rank,
+               cume_dist() OVER w AS cume_dist,
+               ntile(3) OVER w AS ntile,
+               lead(v) OVER w AS lead,
+               first_value(v) OVER w AS first_value,
+               last_value(v) OVER (PARTITION BY g ORDER BY o
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_value
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY o)
+    """).fetchdf()[list(out.column_names)].sort_values(
+        list(out.column_names)).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+    # single-row group: percent_rank 0.0 (the SQL 0/0 convention)
+    c_row = mine[mine.g == "c"].iloc[0]
+    assert c_row["percent_rank"] == 0.0 and c_row["cume_dist"] == 1.0
+    assert c_row["rank"] == 1 and pd.isna(c_row["lead"])
+
+
+def test_group_window_rank_ntile_small_groups(ray_session):
+    # n < k: each row its own tile (SQL NTILE), and k=1 puts all in 1
+    from rayskema.pipelines.relational import group_window_rank
+    tab = pa.table({"g": ["a", "a", "b"], "o": [2, 1, 1],
+                    "v": [1.0, 2.0, 3.0]})
+    out = _collect(group_window_rank(
+        rd.from_arrow(tab), "g", ["o"], "v", ntile_n=5,
+        buckets=1)).sort_by([("g", "ascending"), ("o", "ascending")])
+    assert out["ntile"].to_pylist() == [1, 2, 1]
+    out1 = _collect(group_window_rank(
+        rd.from_arrow(tab), "g", ["o"], "v", ntile_n=1,
+        buckets=1))
+    assert set(out1["ntile"].to_pylist()) == {1}
