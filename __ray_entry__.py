@@ -1388,6 +1388,76 @@ def _q_events_window_rank(sf_dir: str):
                              ntile_n=4, buckets=8)
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    """Wide→long reshape (SQL UNPIVOT / melt): the four lineitem
+    measures become (l_orderkey, l_linenumber, measure, value) rows —
+    a stateless per-block expansion, no shuffle
+    (relational.unpivot)."""
+    from rayskema.pipelines.relational import unpivot
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"])
+
+
+def _q_customers_setops(sf_dir: str):
+    """SQL EXCEPT / INTERSECT with DISTINCT semantics over the
+    customer-key universes: keys with no orders (except) and keys
+    with at least one order (intersect), tagged by op.  One hash
+    exchange per op over the projected keys with a side flag; each
+    distinct-key run reduces to (any_left, any_right) via one
+    bincount (relational.dataset_set_op)."""
+    from rayskema.pipelines.relational import dataset_set_op
+
+    def _as_key(col):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t[col]})
+        return _f
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _as_key("c_custkey"), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        _as_key("o_custkey"), batch_format="pyarrow")
+
+    def _tag(op):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "op": pa.array([op] * t.num_rows, type=pa.string()),
+                "key": t["key"]})
+        return _f
+
+    exc = dataset_set_op(cust, orders, ["key"], op="except",
+                         buckets=4).map_batches(
+        _tag("except"), batch_format="pyarrow")
+    inter = dataset_set_op(cust, orders, ["key"], op="intersect",
+                           buckets=4).map_batches(
+        _tag("intersect"), batch_format="pyarrow")
+    return exc.union(inter)
+
+
+def _q_events_concurrency(sf_dir: str):
+    """Interval-overlap sweep: max simultaneously open one-hour event
+    windows per user — +1/-1 boundary rows, segment-reset running
+    sum, per-group peak, all inside one hash exchange
+    (relational.interval_concurrency).  End boundaries exclusive;
+    the SQL mirror is the identical boundary UNION ALL + window sum."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import interval_concurrency
+
+    def _spans(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "user_id": t["user_id"], "start_us": us,
+            "end_us": pc.add(us, pa.scalar(3_600_000_000, pa.int64()))})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _spans, batch_format="pyarrow")
+    return interval_concurrency(ds, "user_id", "start_us", "end_us",
+                                buckets=8)
+
+
 def _q_events_mean_nullgroup(sf_dir: str):
     """group_agg SQL-NULL proof on an all-null group: cents for
     event_type='error' are nulled before the aggregate, so AVG over
@@ -3420,6 +3490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_stats": _q_events_gap_stats,
         "events_rolling_time": _q_events_rolling_time,
         "events_window_rank": _q_events_window_rank,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "customers_setops": _q_customers_setops,
+        "events_concurrency": _q_events_concurrency,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4783,6 +4856,48 @@ def oracle_sql() -> dict[str, str]:
                             AND UNBOUNDED FOLLOWING) AS last_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_tax', l_tax FROM lineitem
+        """,
+        "customers_setops": """
+            SELECT 'except' AS op, key FROM (
+                SELECT c_custkey AS key FROM customer
+                EXCEPT
+                SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'intersect' AS op, key FROM (
+                SELECT c_custkey AS key FROM customer
+                INTERSECT
+                SELECT o_custkey FROM orders)
+        """,
+        "events_concurrency": """
+            WITH b AS (
+                SELECT user_id, epoch_us(ts) AS bts, 1 AS delta
+                FROM events WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT user_id, epoch_us(ts) + 3600000000, -1
+                FROM events WHERE ts IS NOT NULL
+            ), r AS (
+                SELECT user_id,
+                       sum(delta) OVER (PARTITION BY user_id
+                           ORDER BY bts, delta
+                           ROWS UNBOUNDED PRECEDING) AS conc
+                FROM b
+            )
+            SELECT user_id, CAST(max(conc) AS BIGINT) AS max_concurrent
+            FROM r GROUP BY user_id
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,

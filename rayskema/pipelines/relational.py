@@ -1778,6 +1778,154 @@ def explode(
         _explode, batch_format="pyarrow")
 
 
+def unpivot(
+    ds: "rd.Dataset", keep_cols: Sequence[str], value_cols: Sequence[str],
+    *, name_col: str = "measure", value_col: str = "value",
+    include_nulls: bool = True,
+) -> "rd.Dataset":
+    """Wide → long (SQL UNPIVOT / pandas melt): one output row per
+    (input row × value column) — ``(keep..., name, value)``.  Value
+    columns are cast to a common Arrow type (unified via
+    ``pa.unify_schemas`` promotion; mixed int/float promotes to
+    float64).  ``include_nulls=False`` drops rows whose measure is
+    null (SQL UNPIVOT's default EXCLUDE NULLS; the default here keeps
+    them, matching the UNION ALL construction).
+
+    Stateless per-batch stage: k vertical slices concatenated — no
+    shuffle, no row loops; row expansion happens inside the block and
+    Ray re-splits oversized output blocks downstream."""
+    keep_cols, value_cols = list(keep_cols), list(value_cols)
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+
+    def _melt(tab: pa.Table) -> pa.Table:
+        vt = pa.unify_schemas(
+            [pa.schema([pa.field("v", tab[c].type)]) for c in value_cols],
+            promote_options="permissive").field("v").type
+        parts = []
+        for c in value_cols:
+            v = pc.cast(tab[c], vt)
+            part = pa.table(
+                {**{k: tab[k] for k in keep_cols},
+                 name_col: pa.array([c] * tab.num_rows, type=pa.string()),
+                 value_col: v})
+            if not include_nulls:
+                part = part.filter(pc.is_valid(part[value_col]))
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(
+        list(dict.fromkeys(keep_cols + value_cols))).map_batches(
+        _melt, batch_format="pyarrow")
+
+
+def dataset_set_op(
+    left: "rd.Dataset", right: "rd.Dataset", cols: Sequence[str], *,
+    op: str, buckets: int | None = None,
+) -> "rd.Dataset":
+    """SQL set operations with DISTINCT semantics — ``op='except'``
+    (rows of ``left`` absent from ``right``) or ``op='intersect'``
+    (rows present in both); output is the deduplicated ``cols``
+    projection.  SQL row equality: nulls compare EQUAL here (a row of
+    nulls in both sides intersects), matching EXCEPT/INTERSECT.
+
+    One hash exchange over both projected sides (a side flag rides
+    along); inside each bucket the union is sorted once and each
+    distinct-row run reduces to (any_left, any_right) via one bincount
+    over run ids — no per-row Python, no driver-side sets.  Both
+    inputs stream; only the deduplicated keys move."""
+    if op not in ("except", "intersect"):
+        raise ValueError("op must be 'except' or 'intersect'")
+    cols = list(cols)
+
+    def _flag(side: int):
+        def _f(tab: pa.Table) -> pa.Table:
+            return tab.select(cols).append_column(
+                "_side", pa.array(
+                    np.full(tab.num_rows, side, dtype=np.int8)))
+        return _f
+
+    both = left.map_batches(_flag(0), batch_format="pyarrow").union(
+        right.map_batches(_flag(1), batch_format="pyarrow"))
+
+    def _reduce(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(c, "ascending") for c in cols])
+        n = tab.num_rows
+        if n == 0:
+            return tab.select(cols)
+        new = segment_starts(tab, cols)
+        run = np.cumsum(new) - 1                    # 0-based run id
+        side = tab["_side"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_runs = run[-1] + 1
+        in_left = np.bincount(run, weights=1 - side,
+                              minlength=n_runs) > 0
+        in_right = np.bincount(run, weights=side, minlength=n_runs) > 0
+        keep_run = (in_left & ~in_right) if op == "except" \
+            else (in_left & in_right)
+        firsts = np.flatnonzero(new)
+        pick = firsts[keep_run]
+        return tab.select(cols).take(pa.array(pick))
+
+    return bucketed_map_groups(both, cols, _reduce, buckets=buckets,
+                               sort_within=False)
+
+
+def interval_concurrency(
+    ds: "rd.Dataset", group_col: str, start_col: str, end_col: str, *,
+    out_col: str = "max_concurrent", buckets: int | None = None,
+) -> "rd.Dataset":
+    """Maximum number of simultaneously open intervals per group —
+    ``(group, max_concurrent)``.  The classic boundary sweep: +1 at
+    each start, -1 at each end, running sum, max.  End boundaries are
+    EXCLUSIVE (an interval ending exactly when another starts does not
+    overlap it): ties sort (end, start) so the -1 applies first —
+    reproducible in SQL as ``sum(delta) OVER (PARTITION BY g ORDER BY
+    bts, delta ROWS UNBOUNDED PRECEDING)`` then ``max()``.  Rows with
+    a null start or end are skipped (SQL's WHERE IS NOT NULL).
+
+    One hash exchange on the group key; the 2n boundary rows are built
+    vectorized inside each bucket (never shuffled), the per-group max
+    is one ``maximum.reduceat`` over the segment-reset prefix sum."""
+
+    def _sweep(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.and_(pc.is_valid(tab[start_col]),
+                                 pc.is_valid(tab[end_col])))
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({group_col: tab[group_col],
+                             out_col: pa.array([], type=pa.int64())})
+        s = pc.cast(tab[start_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        e = pc.cast(tab[end_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        g = tab[group_col].combine_chunks()
+        bounds = pa.table({
+            group_col: pa.concat_arrays([g, g]),
+            "_bts": pa.array(np.concatenate([s, e])),
+            "_delta": pa.array(np.concatenate([
+                np.ones(n, dtype=np.int64),
+                -np.ones(n, dtype=np.int64)])),
+        }).sort_by([(group_col, "ascending"), ("_bts", "ascending"),
+                    ("_delta", "ascending")])
+        new = segment_starts(bounds, [group_col])
+        starts = np.flatnonzero(new)
+        d = bounds["_delta"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cs = np.cumsum(d)
+        base = np.concatenate([[0], cs])[starts]
+        sizes = np.diff(np.append(starts, len(d)))
+        running = cs - np.repeat(base, sizes)
+        peak = np.maximum.reduceat(running, starts)
+        return pa.table({
+            group_col: bounds[group_col].take(pa.array(starts)),
+            out_col: pa.array(peak.astype(np.int64))})
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col, start_col, end_col]),
+        [group_col], _sweep, buckets=buckets, sort_within=False)
+
+
 def group_latest(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str], *,
     descending: bool = True, buckets: int | None = None,

@@ -1955,3 +1955,49 @@ def test_group_window_rank_ntile_small_groups(ray_session):
         rd.from_arrow(tab), "g", ["o"], "v", ntile_n=1,
         buckets=1))
     assert set(out1["ntile"].to_pylist()) == {1}
+
+
+def test_unpivot_nulls_and_promotion(ray_session):
+    from rayskema.pipelines.relational import unpivot
+    tab = pa.table({"id": [1, 2], "a": pa.array([10, None], pa.int64()),
+                    "b": [1.5, 2.5]})
+    out = _collect(unpivot(rd.from_arrow(tab), ["id"], ["a", "b"]))
+    # mixed int64/float64 promotes to float64; nulls kept by default
+    assert out["value"].type == pa.float64()
+    assert out.num_rows == 4
+    got = sorted(zip(out["id"].to_pylist(), out["measure"].to_pylist(),
+                     out["value"].to_pylist()))
+    assert got == [(1, "a", 10.0), (1, "b", 1.5),
+                   (2, "a", None), (2, "b", 2.5)]
+    out2 = _collect(unpivot(rd.from_arrow(tab), ["id"], ["a", "b"],
+                            include_nulls=False))
+    assert out2.num_rows == 3  # SQL UNPIVOT EXCLUDE NULLS
+
+
+def test_dataset_set_op_null_equality(ray_session):
+    # SQL EXCEPT/INTERSECT: nulls compare EQUAL, output is distinct
+    from rayskema.pipelines.relational import dataset_set_op
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 1, None, 3], pa.int64())}))
+    right = rd.from_arrow(pa.table(
+        {"k": pa.array([None, 3, 4], pa.int64())}))
+    exc = _collect(dataset_set_op(left, right, ["k"], op="except",
+                                  buckets=2))
+    assert exc["k"].to_pylist() == [1]
+    inter = _collect(dataset_set_op(left, right, ["k"], op="intersect",
+                                    buckets=2)).sort_by("k")
+    assert inter["k"].to_pylist() == [3, None]
+
+
+def test_interval_concurrency_exclusive_ends(ray_session):
+    from rayskema.pipelines.relational import interval_concurrency
+    # g=a: [0,10) [10,20) back-to-back -> never concurrent;
+    # g=b: [0,10) [5,15) [9,12) -> 3 open at t=9; null span skipped
+    tab = pa.table({
+        "g": ["a", "a", "b", "b", "b", "b"],
+        "s": pa.array([0, 10, 0, 5, 9, None], pa.int64()),
+        "e": pa.array([10, 20, 10, 15, 12, 99], pa.int64())})
+    out = _collect(interval_concurrency(
+        rd.from_arrow(tab), "g", "s", "e", buckets=2)).sort_by("g")
+    assert out["g"].to_pylist() == ["a", "b"]
+    assert out["max_concurrent"].to_pylist() == [1, 3]
