@@ -1403,12 +1403,13 @@ def _q_lineitem_unpivot(sf_dir: str):
 
 
 def _q_customers_setops(sf_dir: str):
-    """SQL EXCEPT / INTERSECT with DISTINCT semantics over the
-    customer-key universes: keys with no orders (except) and keys
-    with at least one order (intersect), tagged by op.  One hash
-    exchange per op over the projected keys with a side flag; each
-    distinct-key run reduces to (any_left, any_right) via one
-    bincount (relational.dataset_set_op)."""
+    """SQL EXCEPT / INTERSECT / UNION with DISTINCT semantics over
+    the customer-key universes: keys with no orders (except), keys
+    with at least one order (intersect), and the distinct key
+    universe (union), tagged by op.  One hash exchange per op over
+    the projected keys with a side flag; each distinct-key run
+    reduces to (any_left, any_right) via one bincount
+    (relational.dataset_set_op)."""
     from rayskema.pipelines.relational import dataset_set_op
 
     def _as_key(col):
@@ -1434,7 +1435,10 @@ def _q_customers_setops(sf_dir: str):
     inter = dataset_set_op(cust, orders, ["key"], op="intersect",
                            buckets=4).map_batches(
         _tag("intersect"), batch_format="pyarrow")
-    return exc.union(inter)
+    uni = dataset_set_op(cust, orders, ["key"], op="union",
+                         buckets=4).map_batches(
+        _tag("union"), batch_format="pyarrow")
+    return exc.union(inter).union(uni)
 
 
 def _q_events_concurrency(sf_dir: str):
@@ -2247,7 +2251,8 @@ def _q_customers_q10(sf_dir: str):
 
     j = hash_join(li.map_batches(_rev, batch_format="pyarrow"), orders,
                   on=["l_orderkey"], right_on=["o_orderkey"],
-                  how="inner", buckets=16, prefilter="bloom")
+                  how="inner", broadcast="auto", buckets=16,
+                  prefilter="bloom")
     per_cust = group_agg(j, ["o_custkey"],
                          [("rev_bp", "sum", "rev_bp")], buckets=16)
     cust = _read(sf_dir, "customer",
@@ -2526,7 +2531,7 @@ def _q_nations_q7(sf_dir: str):
                             "cust_nation": t["n_name"]}),
         batch_format="pyarrow"),
         on=["l_orderkey"], right_on=["o_orderkey"], how="inner",
-        buckets=16, prefilter="bloom")
+        broadcast="auto", buckets=16, prefilter="bloom")
     cross = j.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(
             t["supp_nation"], t["cust_nation"]))),
@@ -2650,7 +2655,8 @@ def _q_nations_q8(sf_dir: str):
     li = hash_join(li, supp, on=["l_suppkey"], right_on=["s_suppkey"],
                    how="inner", broadcast=True)
     j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
-                  how="inner", buckets=16, prefilter="bloom")
+                  how="inner", broadcast="auto", buckets=16,
+                  prefilter="bloom")
 
     def _mask(t: pa.Table) -> pa.Table:
         hit = pc.cast(pc.equal(t["supp_nation"], pa.scalar(target)),
@@ -4880,6 +4886,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'intersect' AS op, key FROM (
                 SELECT c_custkey AS key FROM customer
                 INTERSECT
+                SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'union' AS op, key FROM (
+                SELECT c_custkey AS key FROM customer
+                UNION
                 SELECT o_custkey FROM orders)
         """,
         "events_concurrency": """

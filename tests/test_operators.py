@@ -2001,3 +2001,14 @@ def test_interval_concurrency_exclusive_ends(ray_session):
         rd.from_arrow(tab), "g", "s", "e", buckets=2)).sort_by("g")
     assert out["g"].to_pylist() == ["a", "b"]
     assert out["max_concurrent"].to_pylist() == [1, 3]
+
+
+def test_dataset_set_op_union_distinct(ray_session):
+    from rayskema.pipelines.relational import dataset_set_op
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 1, None], pa.int64())}))
+    right = rd.from_arrow(pa.table(
+        {"k": pa.array([None, 2, 2], pa.int64())}))
+    out = _collect(dataset_set_op(left, right, ["k"], op="union",
+                                  buckets=2)).sort_by("k")
+    assert out["k"].to_pylist() == [1, 2, None]
