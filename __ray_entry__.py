@@ -1462,6 +1462,18 @@ def _q_events_concurrency(sf_dir: str):
                                 buckets=8)
 
 
+def _q_customers_hamming_pairs(sf_dir: str):
+    """EXACT Hamming near-dup join over customer names: every
+    equal-length pair within 1 substitution, with provably-complete
+    interleaved pigeonhole blocking + vectorized byte-compare verify
+    (functions/dedup.hamming_pairs) — recall 1.0 by construction, so
+    a brute-force SQL oracle matches exactly."""
+    from rayskema.functions.dedup import hamming_pairs
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return hamming_pairs(ds, "c_name", "c_custkey", max_hamming=1,
+                         buckets=8)
+
+
 def _q_events_mean_nullgroup(sf_dir: str):
     """group_agg SQL-NULL proof on an all-null group: cents for
     event_type='error' are nulled before the aggregate, so AVG over
@@ -3499,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "customers_setops": _q_customers_setops,
         "events_concurrency": _q_events_concurrency,
+        "customers_hamming_pairs": _q_customers_hamming_pairs,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4909,6 +4922,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(max(conc) AS BIGINT) AS max_concurrent
             FROM r GROUP BY user_id
+        """,
+        "customers_hamming_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(mismatches(a.c_name, b.c_name) AS BIGINT)
+                       AS hamming
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND length(a.c_name) = length(b.c_name)
+            WHERE mismatches(a.c_name, b.c_name) <= 1
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,

@@ -350,6 +350,142 @@ def minhash_lsh_pairs(
 # SimHash near-dup pipeline
 # ---------------------------------------------------------------------------
 
+def hamming_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    max_hamming: int = 1, buckets: int | None = None,
+    max_group: int | None = None,
+) -> "rd.Dataset":
+    """EXACT near-dup pairs by string Hamming distance:
+    ``(id_a, id_b, hamming)`` for every equal-length pair within
+    ``max_hamming`` byte substitutions (``id_a < id_b``; distance 0 =
+    exact duplicates included).  Unequal-length strings never pair
+    (Hamming is undefined across lengths).
+
+    Blocking is the pigeonhole partition over INTERLEAVED byte
+    positions: position class ``i`` holds bytes at offsets ``≡ i mod
+    (d+1)``.  ``d`` substitutions touch at most ``d`` classes, so any
+    in-distance pair agrees exactly on ≥1 class — candidate recall is
+    1.0 by construction, and the per-class verify is an exact byte
+    compare, so the OUTPUT is exact (PassJoin's guarantee with
+    interleaved rather than contiguous segments: sequential-ID data
+    shares long constant prefixes, which would make contiguous
+    segment 0 one global bucket; interleaving puts low-order —
+    high-entropy — positions into every class).
+
+    Scale shape: each row emits d+1 (class-hash, id, text) rows — the
+    only shuffle is that exchange plus the final distinct on the pair
+    key; candidate pairs stream in bounded chunks (shared triu
+    templates, O(chunk) resident) and verification is one vectorized
+    gather + ``add.reduceat`` per chunk.  Class-hash collisions only
+    ADD candidates (verification is exact).  ``max_group=None`` keeps
+    the exact contract on any group size; set a cap only when
+    star-pairing recall loss is acceptable for degenerate key
+    distributions (then connectivity survives, completeness does
+    not)."""
+    n_seg = max_hamming + 1
+
+    def _classes(tab: pa.Table) -> pa.Table:
+        arr = tab[text_col].combine_chunks()
+        n = tab.num_rows
+        offsets, data = _utf8_buffers(arr)
+        lens = np.diff(offsets)
+        total = int(offsets[-1])
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            offsets[:-1], lens)
+        max_rank = int(intra.max() // n_seg) + 1 if total else 1
+        powt = np.empty(max_rank + 1, dtype=np.uint64)
+        powt[0] = 1
+        P = np.uint64(1099511628211)
+        for k in range(1, max_rank + 1):
+            powt[k] = powt[k - 1] * P
+        ids = tab[id_col].combine_chunks()
+        parts = []
+        for i in range(n_seg):
+            m = (intra % n_seg) == i
+            # class-i bytes stay row-major under the mask, so each
+            # row's class span is contiguous: polynomial-hash it with
+            # one reduceat over the per-row class counts
+            contrib = ((data[m].astype(np.uint64)
+                        + np.uint64(0x9E3779B9))
+                       * powt[(intra[m] // n_seg)])
+            cnt = np.bincount(row[m], minlength=n)
+            starts = np.concatenate(
+                [[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+            if contrib.size:
+                h = np.add.reduceat(contrib, starts)
+                h[cnt == 0] = 0  # reduceat start==end quirk
+            else:
+                h = np.zeros(n, dtype=np.uint64)
+            key = _hash64(h ^ (lens.astype(np.uint64)
+                               * np.uint64(n_seg) + np.uint64(i)))
+            parts.append(pa.table({
+                "block_key": pa.array(key.astype(np.int64)),
+                id_col: ids,
+                text_col: arr,
+            }))
+        return pa.concat_tables(parts)
+
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        _classes, batch_format="pyarrow")
+    cap = (1 << 62) if max_group is None else max_group
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("block_key", "ascending"),
+                           (id_col, "ascending")])
+        new = segment_starts(tab, ["block_key"])
+        seg_id = np.cumsum(new) - 1
+        counts = np.bincount(seg_id)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        offsets, data = _utf8_buffers(tab[text_col].combine_chunks())
+        lens = np.diff(offsets)
+        out_a, out_b, out_h = [], [], []
+        for a_i, b_i in _group_pair_chunks(counts, np.flatnonzero(new),
+                                           cap):
+            la = lens[a_i]
+            eq = la == lens[b_i]
+            a_i, b_i, L = a_i[eq], b_i[eq], la[eq]
+            if not len(a_i):
+                continue
+            tot = int(L.sum())
+            pre = np.concatenate([[0], np.cumsum(L)[:-1]]).astype(
+                np.int64)
+            intra = np.arange(tot, dtype=np.int64) - np.repeat(pre, L)
+            ia = np.repeat(offsets[:-1][a_i], L) + intra
+            ib = np.repeat(offsets[:-1][b_i], L) + intra
+            if tot:
+                neq = (data[ia] != data[ib]).astype(np.int64)
+                ham = np.add.reduceat(neq, pre)
+                ham[L == 0] = 0  # reduceat start==end quirk
+            else:
+                ham = np.zeros(len(a_i), dtype=np.int64)
+            keep = ham <= max_hamming
+            out_a.append(ids[a_i[keep]])
+            out_b.append(ids[b_i[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
+        })
+
+    pairs = bucketed_map_groups(sig_ds, ["block_key"], _pairs,
+                                buckets=buckets, sort_within=False)
+
+    def _dedup_pairs(tab: pa.Table) -> pa.Table:
+        return agg_named(tab, ["id_a", "id_b"],
+                         [("hamming", "min")], ["hamming"])
+
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
+                               buckets=(None if buckets is None
+                                        else max(8, buckets // 8)),
+                               sort_within=False)
+
+
 def simhash_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     max_hamming: int = 3, n_blocks: int = 4, buckets: int | None = None,

@@ -2012,3 +2012,46 @@ def test_dataset_set_op_union_distinct(ray_session):
     out = _collect(dataset_set_op(left, right, ["k"], op="union",
                                   buckets=2)).sort_by("k")
     assert out["k"].to_pylist() == [1, 2, None]
+
+
+def test_hamming_pairs_exact_vs_bruteforce(ray_session):
+    # recall/precision 1.0 vs a local brute force over random strings
+    # with heavy shared prefixes (the interleaved-class worst case)
+    from rayskema.functions.dedup import hamming_pairs
+    rng = np.random.default_rng(7)
+    base = [f"PRE{int(x):06d}" for x in rng.integers(0, 300, 80)]
+    base += ["", "", "x", "xy", "xz"]      # empties + shorties
+    ids = list(range(len(base)))
+    tab = pa.table({"id": pa.array(ids, pa.int64()), "s": base})
+    out = _collect(hamming_pairs(
+        rd.from_arrow(tab), "s", "id", max_hamming=1, buckets=3))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                  out["hamming"].to_pylist()))
+    want = set()
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            a, b = base[i], base[j]
+            if len(a) != len(b):
+                continue
+            d = sum(x != y for x, y in zip(a, b))
+            if d <= 1:
+                want.add((i, j, d))
+    assert got == want
+    assert any(h == 0 for _, _, h in got)    # exact dups included
+    assert (base.index("") + 0, base.index("") + 1, 0) in got  # empty pair
+
+
+def test_hamming_pairs_distance_bound(ray_session):
+    from rayskema.functions.dedup import hamming_pairs
+    tab = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                    "s": ["abcd", "abce", "abXY"]})
+    out = _collect(hamming_pairs(
+        rd.from_arrow(tab), "s", "id", max_hamming=1, buckets=1))
+    assert set(zip(out["id_a"].to_pylist(),
+                   out["id_b"].to_pylist())) == {(1, 2)}
+    out2 = _collect(hamming_pairs(
+        rd.from_arrow(tab), "s", "id", max_hamming=2, buckets=1))
+    assert set(zip(out2["id_a"].to_pylist(), out2["id_b"].to_pylist(),
+                   out2["hamming"].to_pylist())) == {(1, 2, 1),
+                                                     (1, 3, 2),
+                                                     (2, 3, 2)}
