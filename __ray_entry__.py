@@ -1474,6 +1474,19 @@ def _q_customers_hamming_pairs(sf_dir: str):
                          buckets=8)
 
 
+def _q_orders_regex_extract(sf_dir: str):
+    """Field parsing via one RE2 pass per block: the priority code
+    splits into its numeric rank and word — SQL regexp_extract per
+    group (textstats.regex_extract_columns); empty-string no-match
+    convention matches DuckDB's."""
+    from rayskema.functions.textstats import regex_extract_columns
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return regex_extract_columns(
+        ds, "o_orderpriority",
+        r"^(?P<pri_num>[0-9]+)-(?P<pri_word>[A-Z ]+)$",
+        ["o_orderkey"], no_match="")
+
+
 def _q_events_mean_nullgroup(sf_dir: str):
     """group_agg SQL-NULL proof on an all-null group: cents for
     event_type='error' are nulled before the aggregate, so AVG over
@@ -3512,6 +3525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_setops": _q_customers_setops,
         "events_concurrency": _q_events_concurrency,
         "customers_hamming_pairs": _q_customers_hamming_pairs,
+        "orders_regex_extract": _q_orders_regex_extract,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4922,6 +4936,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(max(conc) AS BIGINT) AS max_concurrent
             FROM r GROUP BY user_id
+        """,
+        "orders_regex_extract": """
+            SELECT o_orderkey,
+                   regexp_extract(o_orderpriority,
+                       '^([0-9]+)-([A-Z ]+)$', 1) AS pri_num,
+                   regexp_extract(o_orderpriority,
+                       '^([0-9]+)-([A-Z ]+)$', 2) AS pri_word
+            FROM orders
         """,
         "customers_hamming_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -12,6 +12,8 @@ variant is fully vectorized over the flat UTF-8 buffer
 from __future__ import annotations
 
 
+from typing import Sequence
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -356,6 +358,42 @@ class LangIdStage:
             "pred_lang": pa.array(pred, type=pa.string()),
             "marker_hits": pa.array(scores.max(axis=1), type=pa.int64()),
         })
+
+
+def regex_extract_columns(
+    ds: "rd.Dataset", col: str, pattern: str,
+    keep_cols: Sequence[str] = (), *, no_match: str | None = None,
+) -> "rd.Dataset":
+    """Extract the named groups of ``pattern`` into one string column
+    each — ``(keep..., <group1>, <group2>, ...)`` — the log/field
+    parsing staple (SQL ``regexp_extract(col, pat, i)`` per group).
+
+    Stateless per-block stage: ONE ``pc.extract_regex`` call per batch
+    (RE2, compiled once inside Arrow), struct fields unpacked
+    zero-copy; no Python per row, no shuffle.  Rows that do not match
+    (or are null) yield ``no_match`` in every group column — ``None``
+    (SQL NULL) by default; pass ``""`` for DuckDB's
+    ``regexp_extract`` empty-string convention."""
+    import re as _re
+    group_names = list(_re.compile(pattern).groupindex)
+    if not group_names:
+        raise ValueError("pattern must contain named groups "
+                         "(?P<name>...)")
+    keep_cols = list(keep_cols)
+
+    def _extract(tab: pa.Table) -> pa.Table:
+        st = pc.extract_regex(tab[col].combine_chunks(), pattern)
+        out = {k: tab[k] for k in keep_cols}
+        for g in group_names:
+            arr = pc.struct_field(st, g)
+            if no_match is not None:
+                arr = pc.fill_null(arr, no_match)
+            out[g] = arr
+        return pa.table(out)
+
+    return ds.select_columns(
+        list(dict.fromkeys(keep_cols + [col]))).map_batches(
+        _extract, batch_format="pyarrow")
 
 
 def lang_id(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dataset":

@@ -2055,3 +2055,20 @@ def test_hamming_pairs_distance_bound(ray_session):
                    out2["hamming"].to_pylist())) == {(1, 2, 1),
                                                      (1, 3, 2),
                                                      (2, 3, 2)}
+
+
+def test_regex_extract_columns(ray_session):
+    from rayskema.functions.textstats import regex_extract_columns
+    tab = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "s": ["a-1", "bb-22", "nope", None]})
+    out = _collect(regex_extract_columns(
+        rd.from_arrow(tab), "s", r"^(?P<k>[a-z]+)-(?P<v>[0-9]+)$",
+        ["id"])).sort_by("id")
+    assert out["k"].to_pylist() == ["a", "bb", None, None]
+    assert out["v"].to_pylist() == ["1", "22", None, None]
+    out2 = _collect(regex_extract_columns(
+        rd.from_arrow(tab), "s", r"^(?P<k>[a-z]+)-(?P<v>[0-9]+)$",
+        ["id"], no_match="")).sort_by("id")
+    assert out2["k"].to_pylist() == ["a", "bb", "", ""]
+    with pytest.raises(ValueError, match="named groups"):
+        regex_extract_columns(rd.from_arrow(tab), "s", "[a-z]+")
