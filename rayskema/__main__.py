@@ -163,6 +163,33 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Admission-webhook server over a CRD contract (reference
+    examples/k8s_webhook_poc/main.go:72-126): stdlib WSGI, /healthz +
+    /validate, no Ray session — single-record validation reuses the
+    compiled plan."""
+    from wsgiref.simple_server import make_server
+
+    from .serving import AdmissionWebhook, ParseLimits, make_wsgi_app
+
+    with open(args.crd, "rb") as f:
+        doc = f.read()
+    wh = AdmissionWebhook(
+        doc, kind=args.kind,
+        limits=ParseLimits(max_bytes=args.max_bytes,
+                           max_depth=args.max_depth))
+    app = make_wsgi_app(wh)
+    if args.check_only:
+        print(json.dumps({"expected": wh.expected,
+                          "warnings": wh.diag.warnings}))
+        return 0
+    httpd = make_server(args.host, args.port, app)
+    print(json.dumps({"listening": f"{args.host}:{args.port}",
+                      "expected": wh.expected}))
+    httpd.serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayskema")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,6 +260,19 @@ def main(argv=None) -> int:
     i.add_argument("--name", default="inferred")
     i.add_argument("--num-cpus", type=int)
     i.set_defaults(fn=cmd_infer)
+
+    w = sub.add_parser("serve", help="admission-webhook server over a "
+                       "CRD contract (single-record validation, no Ray)")
+    w.add_argument("--crd", required=True, help="CRD YAML/JSON path")
+    w.add_argument("--kind", help="override the expected Kind")
+    w.add_argument("--host", default="127.0.0.1")
+    w.add_argument("--port", type=int, default=18080)
+    w.add_argument("--max-bytes", type=int, default=10 << 20)
+    w.add_argument("--max-depth", type=int, default=256)
+    w.add_argument("--check-only", action="store_true",
+                   help="import the CRD, print expected GVR + import "
+                        "warnings, exit")
+    w.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -217,3 +217,14 @@ def test_wsgi_validate_roundtrip(webhook):
     status, out = _call(app, "POST", "/validate", body)
     assert status.startswith("200")
     assert json.loads(out)["response"]["allowed"] is False
+
+
+def test_cli_serve_check_only(tmp_path, capsys):
+    from rayskema.__main__ import main
+    crd_path = tmp_path / "crd.yaml"
+    crd_path.write_text(CRD)
+    rc = main(["serve", "--crd", str(crd_path), "--check-only"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["expected"]["kind"] == "Widget"
+    assert out["expected"]["resource"] == "widgets"
