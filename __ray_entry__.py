@@ -2758,15 +2758,16 @@ def _q_docs_datacard(sf_dir: str):
     team actually runs: four map-only signal passes (token counts,
     linear quality score, language ID, byte entropy) over ONE
     materialized pruned input, the cross-doc signal (exact text dup,
-    first-wins) through the exchange, all assembled by bucketed joins
-    SHARING the doc_id key, ending in a vectorized keep policy
-    (not-dup ∧ score ≥ 890 ∧ lang known)."""
+    first-wins) through the exchange, all five signal tables folded
+    through ONE doc_id hash exchange (relational.join_many — a
+    binary-join chain would pay four exchanges), ending in a
+    vectorized keep policy (not-dup ∧ score ≥ 890 ∧ lang known)."""
     import pyarrow.compute as pc
     from rayskema.functions.dedup import exact_duplicates
     from rayskema.functions.textstats import (byte_entropy, lang_id,
                                               linear_quality_filter,
                                               token_stats)
-    from rayskema.pipelines.relational import hash_join
+    from rayskema.pipelines.relational import join_many
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
     toks = token_stats(ds, "text", "doc_id") \
@@ -2780,11 +2781,8 @@ def _q_docs_datacard(sf_dir: str):
     dups = exact_duplicates(ds, ["text"], "doc_id", buckets=8) \
         .select_columns(["doc_id", "keeper"])
 
-    card = hash_join(toks, score, on=["doc_id"], how="inner",
-                     buckets=8)
-    card = hash_join(card, lang, on=["doc_id"], how="inner", buckets=8)
-    card = hash_join(card, ent, on=["doc_id"], how="inner", buckets=8)
-    card = hash_join(card, dups, on=["doc_id"], how="left_outer",
+    card = join_many([toks, score, lang, ent, dups], "doc_id",
+                     hows=["inner", "inner", "inner", "left_outer"],
                      buckets=8)
 
     def _policy(t: pa.Table) -> pa.Table:

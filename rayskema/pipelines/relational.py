@@ -2843,6 +2843,106 @@ def detect_hot_keys(
     return np.sort(cand_arr[ests >= thresh]), total
 
 
+def join_many(
+    tables: Sequence["rd.Dataset"], on, *, hows: Sequence[str] | None = None,
+    suffix: str = "_r", buckets: int | None = None,
+) -> "rd.Dataset":
+    """N-way equi-join on a SHARED key through ONE hash exchange —
+    the signal-assembly shape (k per-document signal tables folded
+    into one card).  A chain of binary ``hash_join`` calls would pay
+    k-1 all-to-all exchanges; here every table is tagged with a
+    source ordinal, padded to the union schema, unioned, exchanged
+    ONCE on the key, and the per-bucket fold is k-1 C++-speed
+    ``pa.Table.join`` calls over co-located rows — no further data
+    movement.
+
+    ``hows[i]`` (default ``"inner"``) is the join type folding table
+    ``i`` (i ≥ 1) onto the accumulated left: ``inner`` or
+    ``left_outer``.  Output: table 0's columns then each later
+    table's non-key columns (renamed with ``suffix`` on collision —
+    same rule as :func:`hash_join`).  Key columns must share names
+    across tables; each source's key casts to table 0's key types.
+    SQL NULL keys never match (Acero semantics), matching a chained
+    ``hash_join``."""
+    tables = list(tables)
+    if len(tables) < 2:
+        raise ValueError("join_many needs at least two tables")
+    keys = [on] if isinstance(on, str) else list(on)
+    hows = ["inner"] * (len(tables) - 1) if hows is None else list(hows)
+    if len(hows) != len(tables) - 1:
+        raise ValueError("hows must have len(tables) - 1 entries")
+    bad = [h for h in hows if h not in ("inner", "left_outer")]
+    if bad:
+        raise ValueError(f"unsupported join type(s) {bad}; join_many "
+                         "folds with inner or left_outer")
+    schemas = []
+    for i, t in enumerate(tables):
+        sch = t.schema(fetch_if_missing=False)
+        if sch is None:
+            t = t.materialize()
+            sch = t.schema()
+        if sch is None:
+            raise ValueError(f"join_many table {i} is empty with no "
+                             "schema; cannot derive output columns")
+        tables[i] = t
+        schemas.append(sch.base_schema)
+    key_types = {k: schemas[0].field(k).type for k in keys}
+    # per-source non-key output names, hash_join's collision rule
+    col_map: list[list[tuple[str, str]]] = []
+    used = set(keys)
+    for sch in schemas:
+        m = []
+        for c in sch.names:
+            if c in keys:
+                continue
+            name = c
+            while name in used:
+                name = name + suffix
+            used.add(name)
+            m.append((c, name))
+        col_map.append(m)
+    out_types = {}
+    for sch, m in zip(schemas, col_map):
+        for orig, out in m:
+            out_types[out] = sch.field(orig).type
+    all_out = [out for m in col_map for _, out in m]
+    final_cols = keys + all_out
+
+    def _pad(i: int):
+        def _f(tab: pa.Table) -> pa.Table:
+            n = tab.num_rows
+            cols = {k: pc.cast(tab[k], key_types[k]) for k in keys}
+            for m in col_map:
+                for _, out in m:
+                    cols[out] = pa.nulls(n, type=out_types[out])
+            for orig, out in col_map[i]:
+                cols[out] = tab[orig]
+            cols["_src"] = pa.array(np.full(n, i, dtype=np.int8))
+            return pa.table(cols)
+        return _f
+
+    both = tables[0].map_batches(_pad(0), batch_format="pyarrow")
+    for i in range(1, len(tables)):
+        both = both.union(tables[i].map_batches(
+            _pad(i), batch_format="pyarrow"))
+
+    def _assemble(tab: pa.Table) -> pa.Table:
+        src = tab["_src"]
+        subs = []
+        for i in range(len(col_map)):
+            sub = tab.filter(pc.equal(src, i)).select(
+                keys + [out for _, out in col_map[i]])
+            subs.append(sub)
+        acc = subs[0]
+        for i, sub in enumerate(subs[1:]):
+            acc = acc.join(sub, keys=keys,
+                           join_type=_JOIN_TYPES[hows[i]])
+        return acc.select(final_cols)
+
+    return bucketed_map_groups(both, keys, _assemble, buckets=buckets,
+                               sort_within=False)
+
+
 def _broadcast_join(left, right, keys, rkeys, jt, semi, suffix, how):
     """Broadcast-side implementation of :func:`hash_join`: the right
     side is materialized once and rides the object store; the left

@@ -2072,3 +2072,34 @@ def test_regex_extract_columns(ray_session):
     assert out2["k"].to_pylist() == ["a", "bb", "", ""]
     with pytest.raises(ValueError, match="named groups"):
         regex_extract_columns(rd.from_arrow(tab), "s", "[a-z]+")
+
+
+def test_join_many_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    from rayskema.pipelines.relational import join_many
+    a = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": ["a", "b", "c", "d"]})
+    b = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": [10.0, 20.0, 30.0]})      # name collision -> v_r
+    c = pa.table({"k": pa.array([2, 3, 9], pa.int64()),
+                  "w": [True, False, True]})
+    out = _collect(join_many(
+        [rd.from_arrow(a), rd.from_arrow(b), rd.from_arrow(c)],
+        "k", hows=["inner", "left_outer"], buckets=2))
+    con = duckdb.connect()
+    con.register("a", a); con.register("b", b); con.register("c", c)
+    want = con.execute("""
+        SELECT a.k, a.v, b.v AS v_r, c.w
+        FROM a JOIN b USING (k) LEFT JOIN c USING (k)
+    """).fetchdf()
+    mine = out.to_pandas()[list(want.columns)] \
+        .sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    # null keys never match (inner drops them)
+    a2 = pa.table({"k": pa.array([1, None], pa.int64()), "x": [1, 2]})
+    b2 = pa.table({"k": pa.array([1, None], pa.int64()), "y": [3, 4]})
+    out2 = _collect(join_many([rd.from_arrow(a2), rd.from_arrow(b2)],
+                              "k", buckets=1))
+    assert out2.num_rows == 1 and out2["k"].to_pylist() == [1]
