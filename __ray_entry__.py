@@ -1451,7 +1451,9 @@ def _q_events_concurrency(sf_dir: str):
     from rayskema.pipelines.relational import interval_concurrency
 
     def _spans(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())
+        # normalize to µs BEFORE the int cast so a ms/ns-stored ts
+        # still matches the oracle's epoch_us + 3.6e9 µs window
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         return pa.table({
             "user_id": t["user_id"], "start_us": us,
             "end_us": pc.add(us, pa.scalar(3_600_000_000, pa.int64()))})

@@ -442,10 +442,16 @@ def import_openapi(
                     cons.append(StructField(path=(sub,), constraint=c,
                                             rule=c.rule))
                 if sub in sub_required:
+                    # OpenAPI nested `required` applies only WHEN the
+                    # parent object is present: an absent optional
+                    # parent must not fire its children's required
+                    # checks (same gate the embedded-resource presence
+                    # constraints use above)
                     cons.append(StructField(
                         path=(sub,),
                         constraint=NonNull(rule=f"{pname}_{sub}_required"),
-                        rule=f"{pname}_{sub}_required"))
+                        rule=f"{pname}_{sub}_required",
+                        when_parent_valid=True))
         nullable = pname not in required
         if pname in required:
             cons.insert(0, NonNull(rule=f"{pname}_required"))

@@ -205,19 +205,46 @@ def _group_pair_chunks(counts: np.ndarray, firsts: np.ndarray,
         if s < 2:
             continue
         base = firsts[counts == s]
+        s = int(s)
+        per = s - 1 if s > max_group else s * (s - 1) // 2
+        if per > chunk:
+            # one group's pair count alone exceeds the budget: emit
+            # row-BANDS of the triangle, one group at a time, never
+            # materializing the full O(s^2) template (s=1e6 would be
+            # a ~8 TB triu allocation) — resident stays O(chunk + s)
+            if s > max_group:
+                ia0 = np.zeros(s - 1, dtype=np.int64)
+                ib0 = np.arange(1, s, dtype=np.int64)
+                for b in base:
+                    for t in range(0, per, chunk):
+                        yield b + ia0[t:t + chunk], b + ib0[t:t + chunk]
+                continue
+            cnts = np.arange(s - 1, 0, -1, dtype=np.int64)
+            cum = np.cumsum(cnts)
+            ends = np.unique(np.searchsorted(
+                cum, np.arange(chunk, int(cum[-1]) + chunk, chunk),
+                side="left") + 1)
+            r0 = 0
+            for r1 in ends:
+                r1 = int(min(r1, s - 1))
+                if r1 <= r0:
+                    continue
+                band = cnts[r0:r1]
+                tot = int(band.sum())
+                ia = np.repeat(np.arange(r0, r1, dtype=np.int64), band)
+                pre = np.concatenate(
+                    [[0], np.cumsum(band)[:-1]]).astype(np.int64)
+                ib = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(pre, band) + ia + 1)
+                for b in base:
+                    yield b + ia, b + ib
+                r0 = r1
+            continue
         if s > max_group:
             ia = np.zeros(s - 1, dtype=np.int64)
             ib = np.arange(1, s, dtype=np.int64)
         else:
-            ia, ib = np.triu_indices(int(s), k=1)
-        per = len(ia)
-        if per > chunk:
-            # one group's template alone exceeds the budget: emit the
-            # template in slices, one group at a time
-            for b in base:
-                for t in range(0, per, chunk):
-                    yield b + ia[t:t + chunk], b + ib[t:t + chunk]
-            continue
+            ia, ib = np.triu_indices(s, k=1)
         gstep = max(1, chunk // per)
         for g in range(0, len(base), gstep):
             bs = base[g:g + gstep]
@@ -385,6 +412,10 @@ def hamming_pairs(
     n_seg = max_hamming + 1
 
     def _classes(tab: pa.Table) -> pa.Table:
+        # SQL comparison semantics: a NULL string matches nothing
+        # (mismatches(NULL, x) is NULL) — drop null rows up front so
+        # they never pair as empty strings
+        tab = tab.filter(pc.is_valid(tab[text_col]))
         arr = tab[text_col].combine_chunks()
         n = tab.num_rows
         offsets, data = _utf8_buffers(arr)
@@ -413,12 +444,23 @@ def hamming_pairs(
             starts = np.concatenate(
                 [[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
             if contrib.size:
-                h = np.add.reduceat(contrib, starts)
-                h[cnt == 0] = 0  # reduceat start==end quirk
+                # sentinel pad: a trailing zero-count row makes
+                # starts[-1] == len(contrib), which reduceat rejects;
+                # the appended 0 keeps every start in bounds and only
+                # pads the final segment's sum by 0
+                h = np.add.reduceat(
+                    np.append(contrib, np.uint64(0)), starts)
+                h[cnt == 0] = 0  # reduceat start==next-start quirk
             else:
                 h = np.zeros(n, dtype=np.uint64)
-            key = _hash64(h ^ (lens.astype(np.uint64)
-                               * np.uint64(n_seg) + np.uint64(i)))
+            # tag mixing MUST diffuse before combining: h differs by
+            # small deltas for adjacent bytes, so `h ^ tag` aliases
+            # systematically (h^4 == (h+1)^5 for even h — class 0 of
+            # "ab" collided with class 1).  A golden-ratio multiply
+            # pushes the tag far from any byte-level h delta.
+            tag = (lens.astype(np.uint64) * np.uint64(n_seg)
+                   + np.uint64(i)) * np.uint64(0x9E3779B97F4A7C15)
+            key = _hash64(h + tag)
             parts.append(pa.table({
                 "block_key": pa.array(key.astype(np.int64)),
                 id_col: ids,
@@ -454,12 +496,17 @@ def hamming_pairs(
             ia = np.repeat(offsets[:-1][a_i], L) + intra
             ib = np.repeat(offsets[:-1][b_i], L) + intra
             if tot:
+                # sentinel pad: trailing empty-string pairs put
+                # pre[-1] == tot, out of reduceat's range
                 neq = (data[ia] != data[ib]).astype(np.int64)
-                ham = np.add.reduceat(neq, pre)
-                ham[L == 0] = 0  # reduceat start==end quirk
+                ham = np.add.reduceat(np.append(neq, 0), pre)
+                ham[L == 0] = 0  # start==next-start quirk
             else:
                 ham = np.zeros(len(a_i), dtype=np.int64)
-            keep = ham <= max_hamming
+            # a block-key collision can merge one doc's class rows
+            # into a single group — never pair a row with itself
+            # (matches the oracle's strict id_a < id_b)
+            keep = (ham <= max_hamming) & (ids[a_i] != ids[b_i])
             out_a.append(ids[a_i[keep]])
             out_b.append(ids[b_i[keep]])
             out_h.append(ham[keep])

@@ -371,9 +371,11 @@ def regex_extract_columns(
     Stateless per-block stage: ONE ``pc.extract_regex`` call per batch
     (RE2, compiled once inside Arrow), struct fields unpacked
     zero-copy; no Python per row, no shuffle.  Rows that do not match
-    (or are null) yield ``no_match`` in every group column — ``None``
-    (SQL NULL) by default; pass ``""`` for DuckDB's
-    ``regexp_extract`` empty-string convention."""
+    yield ``no_match`` in every group column — ``None`` (SQL NULL) by
+    default; pass ``""`` for DuckDB's ``regexp_extract`` empty-string
+    convention.  A NULL input row stays NULL in every group column
+    regardless of ``no_match`` (``regexp_extract(NULL, ...)`` is NULL
+    in SQL — only a real non-matching string gets the sentinel)."""
     import re as _re
     group_names = list(_re.compile(pattern).groupindex)
     if not group_names:
@@ -382,12 +384,16 @@ def regex_extract_columns(
     keep_cols = list(keep_cols)
 
     def _extract(tab: pa.Table) -> pa.Table:
-        st = pc.extract_regex(tab[col].combine_chunks(), pattern)
+        src = tab[col].combine_chunks()
+        st = pc.extract_regex(src, pattern)
+        valid = pc.is_valid(src)
         out = {k: tab[k] for k in keep_cols}
         for g in group_names:
             arr = pc.struct_field(st, g)
             if no_match is not None:
-                arr = pc.fill_null(arr, no_match)
+                # fill only true non-matches; null INPUT stays null
+                arr = pc.if_else(valid, pc.fill_null(arr, no_match),
+                                 pa.nulls(len(src), type=pa.string()))
             out[g] = arr
         return pa.table(out)
 

@@ -203,7 +203,12 @@ def _estimate_input_bytes(ds: "rd.Dataset") -> int | None:
     when the dataset has no file-backed lineage (from_arrow / from
     items), where the caller falls back to materialize-based sizing.
     Upstream filters/projections make this an over-estimate — safe,
-    it only raises the bucket count."""
+    it only raises the bucket count.  Row-EXPANDING lineage (pair
+    generation, unpivot/explode, padded unions) makes it an
+    UNDER-estimate: the exchange then gets fewer buckets than the
+    expanded bytes warrant — callers shuffling an expanded
+    intermediate should pass ``buckets=`` explicitly (the dedup
+    pair stages do) rather than rely on the file-size default."""
     try:
         files = ds.input_files()
     except Exception:

@@ -79,7 +79,15 @@ def loads_strict(data: bytes | str, limits: ParseLimits | None = None) -> Any:
                 seen.add(k)
         return dict(pairs)
 
-    obj = json.loads(raw, object_pairs_hook=hook)
+    try:
+        obj = json.loads(raw, object_pairs_hook=hook)
+    except RecursionError:
+        # json.loads recurses before our explicit depth walk can run;
+        # convert to the contractual bounded error so WSGI handlers
+        # answer 400, not a 500 traceback
+        raise ValueError(
+            f"JSON nesting exceeds max_depth {limits.max_depth}") \
+            from None
     _check_depth(obj, limits.max_depth)
     return obj
 

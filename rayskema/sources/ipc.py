@@ -55,10 +55,12 @@ def read_ipc(path: str, *, columns: list[str] | None = None,
                        if not n.startswith("."))
         probe = os.path.join(path, names[0]) if names else None
     if probe is not None and os.path.isfile(probe):
-        with open(probe, "rb") as f:
-            data = pa.py_buffer(f.read())
-        sch = (pipc.open_file(data) if file_format == "file"
-               else pipc.open_stream(data)).schema
+        # memory-map the probe: open_file/open_stream reads only the
+        # footer/first message for .schema — a multi-GB first shard
+        # must not be slurped into the driver heap just for its schema
+        with pa.memory_map(probe, "r") as mm:
+            sch = (pipc.open_file(mm) if file_format == "file"
+                   else pipc.open_stream(mm)).schema
         if columns is not None:
             sch = pa.schema([sch.field(c) for c in columns])
         empty = sch.empty_table()

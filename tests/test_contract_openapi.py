@@ -408,3 +408,29 @@ def test_embedded_checks_disabled_by_default():
     assert not any(
         getattr(c, "when_parent_valid", False)
         for c in s.column("res").constraints)
+
+
+def test_nested_required_gated_on_parent_presence():
+    # OpenAPI nested `required` applies only when the parent object is
+    # present: omitting an OPTIONAL parent section must not fire its
+    # children's required rules (review finding: the webhook denied
+    # legal objects omitting optional spec sections)
+    import pyarrow as pa
+    from rayskema.plan import ConstraintPlan
+    doc = {"openAPIV3Schema": {
+        "type": "object",
+        "properties": {
+            "spec": {"type": "object",
+                     "properties": {"replicas": {"type": "integer"}},
+                     "required": ["replicas"]}}}}
+    s, diag = import_openapi(doc, name="t")
+    plan = ConstraintPlan(s)
+    spec_t = s.column("spec").dtype
+    tab = pa.table({"spec": pa.array(
+        [None, {"replicas": None}, {"replicas": 3}], type=spec_t)})
+    v = plan.validate(tab)
+    codes = list(zip(v["path"].to_pylist(), v["code"].to_pylist()))
+    # row 0 (absent parent): NO violation; row 1 (present, child null):
+    # required fires
+    assert ("/spec/replicas", "required") in codes
+    assert len([c for c in codes if c[1] == "required"]) == 1

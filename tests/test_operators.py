@@ -2069,7 +2069,9 @@ def test_regex_extract_columns(ray_session):
     out2 = _collect(regex_extract_columns(
         rd.from_arrow(tab), "s", r"^(?P<k>[a-z]+)-(?P<v>[0-9]+)$",
         ["id"], no_match="")).sort_by("id")
-    assert out2["k"].to_pylist() == ["a", "bb", "", ""]
+    # no_match fills true non-matches only; NULL input stays NULL
+    # (DuckDB regexp_extract(NULL, ...) is NULL)
+    assert out2["k"].to_pylist() == ["a", "bb", "", None]
     with pytest.raises(ValueError, match="named groups"):
         regex_extract_columns(rd.from_arrow(tab), "s", "[a-z]+")
 
@@ -2103,3 +2105,28 @@ def test_join_many_vs_duckdb(ray_session):
     out2 = _collect(join_many([rd.from_arrow(a2), rd.from_arrow(b2)],
                               "k", buckets=1))
     assert out2.num_rows == 1 and out2["k"].to_pylist() == [1]
+
+
+def test_hamming_pairs_empty_and_null_rows(ray_session):
+    # trailing empty/null rows: no reduceat crash; nulls never pair
+    # (SQL mismatches(NULL, x) is NULL); empty-empty pairs at dist 0
+    from rayskema.functions.dedup import hamming_pairs
+    tab = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "s": ["ab", "ab", None, "", ""]})
+    out = _collect(hamming_pairs(
+        rd.from_arrow(tab), "s", "id", max_hamming=1, buckets=1))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                  out["hamming"].to_pylist()))
+    assert got == {(1, 2, 0), (4, 5, 0)}
+
+
+def test_regex_extract_null_input_stays_null(ray_session):
+    # DuckDB: regexp_extract(NULL, ...) is NULL; '' only for a real
+    # non-match under the empty-string convention
+    from rayskema.functions.textstats import regex_extract_columns
+    tab = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                    "s": ["a-1", None, "nope"]})
+    out = _collect(regex_extract_columns(
+        rd.from_arrow(tab), "s", r"^(?P<k>[a-z])-(?P<v>[0-9])$",
+        ["id"], no_match="")).sort_by("id")
+    assert out["k"].to_pylist() == ["a", None, ""]

@@ -228,3 +228,14 @@ def test_cli_serve_check_only(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["expected"]["kind"] == "Widget"
     assert out["expected"]["resource"] == "widgets"
+
+
+def test_loads_strict_recursion_bomb_is_bounded_error(webhook):
+    # nesting past Python's recursion limit must surface as the
+    # contractual ValueError (HTTP 400), never a RecursionError 500
+    bomb = "[" * 20000 + "]" * 20000
+    with pytest.raises(ValueError, match="max_depth"):
+        loads_strict(bomb)
+    app = make_wsgi_app(webhook)
+    status, _ = _call(app, "POST", "/validate", bomb.encode())
+    assert status.startswith("400")
