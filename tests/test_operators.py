@@ -2130,3 +2130,57 @@ def test_regex_extract_null_input_stays_null(ray_session):
         rd.from_arrow(tab), "s", r"^(?P<k>[a-z])-(?P<v>[0-9])$",
         ["id"], no_match="")).sort_by("id")
     assert out["k"].to_pylist() == ["a", None, ""]
+
+
+def test_round4_ops_parallelism_independent(ray_session):
+    # results must be identical across block layouts and bucket counts
+    # (the cluster-size-independence contract every exchange relies on)
+    import pandas as pd
+    from rayskema.pipelines.relational import (
+        dataset_set_op, group_window_rank, interval_concurrency,
+        join_many, unpivot)
+    from rayskema.functions.dedup import hamming_pairs
+    rng = np.random.default_rng(3)
+    n = 400
+    tab = pa.table({
+        "g": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "o": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "v": rng.normal(size=n),
+        "s": [f"w{int(x):04d}" for x in rng.integers(0, 120, n)],
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+
+    def canon(t: pa.Table) -> "pd.DataFrame":
+        df = t.to_pandas()[sorted(t.column_names)]
+        return df.sort_values(by=list(df.columns)) \
+            .reset_index(drop=True)
+
+    def runs(make):
+        outs = []
+        for blocks, buckets in ((1, 1), (7, 5)):
+            ds = rd.from_arrow(tab).repartition(blocks)
+            outs.append(canon(_collect(make(ds, buckets))))
+        return outs
+
+    for make in (
+        lambda ds, b: group_window_rank(ds, "g", ["o", "id"], "v",
+                                        ntile_n=3, buckets=b),
+        lambda ds, b: interval_concurrency(ds, "g", "o", "id",
+                                           buckets=b),
+        lambda ds, b: unpivot(ds.select_columns(["id", "o", "v"]),
+                              ["id"], ["o", "v"]),
+        lambda ds, b: hamming_pairs(ds, "s", "id", max_hamming=1,
+                                    buckets=b),
+        lambda ds, b: dataset_set_op(
+            ds.select_columns(["g"]),
+            rd.from_arrow(tab.select(["o"])).map_batches(
+                lambda t: pa.table({"g": t["o"]}),
+                batch_format="pyarrow"),
+            ["g"], op="except", buckets=b),
+        lambda ds, b: join_many(
+            [ds.select_columns(["id", "g"]),
+             ds.select_columns(["id", "o"]),
+             ds.select_columns(["id", "v"])], "id", buckets=b),
+    ):
+        a, b = runs(make)
+        pd.testing.assert_frame_equal(a, b)
