@@ -343,6 +343,28 @@ def _q_events_orders_asof(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_events_orders_asof_tol(sf_dir: str):
+    """As-of join WITHIN a tolerance (pandas merge_asof tolerance /
+    ASOF ... WITHIN): nearest order at or before each event, but only
+    when at most 8400 days old (the synthetic tables' epochs sit
+    decades apart; 8400 keeps ~half the events) — matches beyond the
+    window drop.  Same
+    single-exchange carry-forward merge; the gap check is one
+    vectorized subtract in the direction-normalized domain."""
+    from rayskema.pipelines.relational import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = asof_join(ev, orders, key="o_custkey", left_key="user_id",
+                    left_ts="ts", right_ts="o_orderdate",
+                    left_id="event_id", value_col="o_orderdate",
+                    tolerance_us=8400 * 86_400_000_000)
+
+    def rename(t):
+        return t.rename_columns(["event_id", "user_id", "asof_date"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_lineitem_leadtime(sf_dir: str):
     """Order-to-ship lead-time distribution: days between the order
     date and each line's ship date (calendar-day difference — the
@@ -3526,6 +3548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_concurrency": _q_events_concurrency,
         "customers_hamming_pairs": _q_customers_hamming_pairs,
         "orders_regex_extract": _q_orders_regex_extract,
+        "events_orders_asof_tol": _q_events_orders_asof_tol,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4021,6 +4044,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id, e.user_id
+        """,
+        "events_orders_asof_tol": """
+            SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_date
+            FROM events e
+            JOIN orders o ON o.o_custkey = e.user_id
+                         AND o.o_orderdate <= e.ts
+                         AND o.o_orderdate >= e.ts - INTERVAL 8400 DAYS
             GROUP BY e.event_id, e.user_id
         """,
         "events_sessions": """

@@ -2601,14 +2601,19 @@ def session_windows(
 def asof_join(
     left: "rd.Dataset", right: "rd.Dataset", *, key: str, left_key: str,
     left_ts: str, right_ts: str, left_id: str, value_col: str,
-    direction: str = "backward", buckets: int | None = None,
+    direction: str = "backward", tolerance_us: int | None = None,
+    buckets: int | None = None,
 ) -> "rd.Dataset":
     """As-of join: for each left row, the nearest right row at or
     BEFORE it (``direction="backward"``: greatest ``right_ts <=
     left_ts``) or at or AFTER it (``"forward"``: smallest ``right_ts
     >= left_ts``) for the same key; returns (left_id, left_key,
     asof_<value_col>).  Left rows with no match are dropped (inner
-    as-of).  Both sides shuffle ONCE on the key; the merge is a
+    as-of).  ``tolerance_us`` (the SQL ASOF ... WITHIN / pandas
+    merge_asof tolerance) drops matches farther than that many
+    microseconds from the left timestamp — the gap check happens in
+    the merge's internal (direction-normalized) domain, so one code
+    path serves both directions.  Both sides shuffle ONCE on the key; the merge is a
     vectorized carry-forward over the bucket sorted by (key, ts,
     side) — right rows sort before left rows at equal ts so the
     inclusive bound holds.  The forward direction rides the SAME
@@ -2668,6 +2673,16 @@ def asof_join(
         is_left = side == 1
         ok = is_left & (carried >= 0)
         src = carried[ok]
+        if tolerance_us is not None:
+            tsv = tab["ts"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            # internal ts is negated for forward, so the signed gap
+            # left - matched_right is >= 0 in BOTH directions
+            near = (tsv[ok] - tsv[src]) <= tolerance_us
+            full = np.flatnonzero(ok)[near]
+            ok = np.zeros(len(tsv), dtype=bool)
+            ok[full] = True
+            src = src[near]
         out = pa.table({
             "lid": tab["lid"].filter(pa.array(ok)),
             "k": tab["k"].filter(pa.array(ok)),

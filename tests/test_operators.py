@@ -2184,3 +2184,29 @@ def test_round4_ops_parallelism_independent(ray_session):
     ):
         a, b = runs(make)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_tolerance(ray_session):
+    from rayskema.pipelines.relational import asof_join
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([7, 7, 7], pa.int64()),
+        "ts": pa.array([100, 200, 300], pa.timestamp("us"))}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7], pa.int64()),
+        "rts": pa.array([90, 205], pa.timestamp("us"))}))
+    # backward, tol 15us: uid1 matches 90 (gap 10); uid2's nearest is
+    # 90 (gap 110 > 15) -> dropped, NOT matched to a farther row;
+    # uid3 matches 205 (gap 95 > 15) -> dropped
+    out = _collect(asof_join(
+        left, right, key="k", left_key="k", left_ts="ts",
+        right_ts="rts", left_id="uid", value_col="rts",
+        tolerance_us=15, buckets=1))
+    assert out.column(0).to_pylist() == [1]
+    # forward, tol 10us: uid2 -> 205 (gap 5); uid1 nearest fwd is 205
+    # (gap 105) dropped; uid3 has no forward row
+    outf = _collect(asof_join(
+        left, right, key="k", left_key="k", left_ts="ts",
+        right_ts="rts", left_id="uid", value_col="rts",
+        direction="forward", tolerance_us=10, buckets=1))
+    assert outf.column(0).to_pylist() == [2]
