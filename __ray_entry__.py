@@ -365,6 +365,23 @@ def _q_events_orders_asof_tol(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_docs_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (A-Res): 20 docs chosen
+    with probability proportional to byte length, content-keyed and
+    bit-stable across layouts/engines (score rounded half-away to 12
+    digits before ranking — functions/sampling.weighted_sample)."""
+    import pyarrow.compute as pc
+    from rayskema.functions.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "w": pc.cast(pc.binary_length(
+                pc.cast(t["text"], pa.large_binary())), pa.int64())}),
+        batch_format="pyarrow")
+    return weighted_sample(ds, "doc_id", "w", k=20)
+
+
 def _q_lineitem_leadtime(sf_dir: str):
     """Order-to-ship lead-time distribution: days between the order
     date and each line's ship date (calendar-day difference — the
@@ -3549,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_hamming_pairs": _q_customers_hamming_pairs,
         "orders_regex_extract": _q_orders_regex_extract,
         "events_orders_asof_tol": _q_events_orders_asof_tol,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4045,6 +4063,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "docs_weighted_sample": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(octet_length(text::BLOB) AS BIGINT) AS w,
+                       round(-ln((('0x' || substr(md5('wrs' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                               + 1) / 4294967296.0)
+                             / octet_length(text::BLOB), 12) AS score
+                FROM documents
+                WHERE octet_length(text::BLOB) > 0)
+            SELECT doc_id, CAST(w AS DOUBLE) AS w, score,
+                   row_number() OVER (ORDER BY score, doc_id) AS rank
+            FROM s ORDER BY score, doc_id LIMIT 20
         """,
         "events_orders_asof_tol": """
             SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_date

@@ -216,3 +216,61 @@ def mixture_sample(
         return out.append_column(copy_col, pa.array(copy_idx))
 
     return ds.map_batches(_mix, batch_format="pyarrow")
+
+
+def weighted_sample(ds: "rd.Dataset", id_col: str, weight_col: str, *,
+                    k: int, salt: str = "wrs") -> "rd.Dataset":
+    """Deterministic weighted sample without replacement — A-Res
+    (Efraimidis-Spirtsis): each row draws a content-keyed uniform
+    ``u`` and the ``k`` rows with the smallest ``-ln(u)/w`` win, so a
+    row's inclusion probability is proportional to its weight.
+    Returns ``(id, w, score, rank)``, rank 1..k by (score, id).
+
+    Content-keyed and SQL-mirrored like the rest of this module:
+    ``u = (md5(salt || CAST(id AS VARCHAR))[:8 hex] + 1) / 2^32`` and
+    the score is rounded half-away to 12 digits BEFORE ranking (ties
+    then break on id), so the choice is bit-stable across block
+    layouts, cluster sizes AND engines (ln differs in the last ulp
+    between libms; the rounding absorbs it — the tfidf ranking uses
+    the same trick).  Rows with null or non-positive weight are
+    excluded (they can never win: w<=0 has no valid key).
+
+    Scale shape: each block reduces to its own k best rows (one sort
+    of k + block rows), the O(k x blocks) partials merge in a single
+    final task — no shuffle of the corpus."""
+    from . import round_half_away
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    salt_b = salt.encode()
+
+    def _score(tab: pa.Table) -> pa.Table:
+        ids = tab[id_col].combine_chunks()
+        w = pc.cast(tab[weight_col], pa.float64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        u32, null_mask = _md5_u32(pc.cast(ids, pa.string()), salt_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = (u32.astype(np.float64) + 1.0) / 4294967296.0
+            score = round_half_away(-np.log(u) / w, 12)
+        ok = np.isfinite(score) & (w > 0)
+        if null_mask is not None:
+            ok &= ~null_mask
+        out = pa.table({
+            id_col: ids, "w": pa.array(w),
+            "score": pa.array(score)}).filter(pa.array(ok))
+        return out.sort_by([("score", "ascending"),
+                            (id_col, "ascending")]).slice(0, k)
+
+    partials = ds.select_columns(
+        list(dict.fromkeys([id_col, weight_col]))).map_batches(
+        _score, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("score", "ascending"),
+                           (id_col, "ascending")]).slice(0, k)
+        return tab.append_column(
+            "rank", pa.array(np.arange(1, tab.num_rows + 1,
+                                       dtype=np.int64)))
+
+    return partials.repartition(1).map_batches(
+        _final, batch_format="pyarrow")

@@ -2210,3 +2210,25 @@ def test_asof_join_tolerance(ray_session):
         right_ts="rts", left_id="uid", value_col="rts",
         direction="forward", tolerance_us=10, buckets=1))
     assert outf.column(0).to_pylist() == [2]
+
+
+def test_weighted_sample_properties(ray_session):
+    # layout-independent, proportional-ish to weight, w<=0/null excluded
+    import collections
+    from rayskema.functions.sampling import weighted_sample
+    n = 300
+    w = np.where(np.arange(n) % 3 == 0, 100.0, 1.0)
+    w[5] = 0.0
+    tab = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                    "w": pa.array(w)})
+    outs = []
+    for blocks in (1, 9):
+        out = _collect(weighted_sample(
+            rd.from_arrow(tab).repartition(blocks), "id", "w", k=30))
+        outs.append(sorted(zip(out["id"].to_pylist(),
+                               out["rank"].to_pylist())))
+    assert outs[0] == outs[1]               # layout-independent
+    ids = [i for i, _ in outs[0]]
+    assert 5 not in ids                      # zero weight never wins
+    heavy = sum(1 for i in ids if i % 3 == 0)
+    assert heavy >= 20                       # heavy rows dominate
