@@ -365,6 +365,20 @@ def _q_events_orders_asof_tol(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_lineitem_group_corr(sf_dir: str):
+    """Exact per-group Pearson correlation + covariance (quantity vs
+    extended-price cents by return flag): six decimal128 moment
+    partials per (block, group), one exchange, one float closed form
+    per group — bit-equal to DuckDB's HUGEINT evaluation of the same
+    expression (relational.group_corr)."""
+    from rayskema.pipelines.relational import group_corr
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return group_corr(ds, "l_returnflag", "l_quantity",
+                      "l_extendedprice", scale_x=1, scale_y=100,
+                      buckets=8)
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Weighted sample without replacement (A-Res): 20 docs chosen
     with probability proportional to byte length, content-keyed and
@@ -3567,6 +3581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_regex_extract": _q_orders_regex_extract,
         "events_orders_asof_tol": _q_events_orders_asof_tol,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "lineitem_group_corr": _q_lineitem_group_corr,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4063,6 +4078,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "lineitem_group_corr": """
+            WITH s AS (
+                SELECT l_returnflag AS g,
+                       CAST(round(l_quantity) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL),
+            a AS (
+                SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy,
+                       sum(x*y) AS sxy
+                FROM s GROUP BY g)
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS covar_pop,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                       AS covar_samp,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                              * CAST(n*syy - sy*sy AS DOUBLE)) AS corr
+            FROM a
         """,
         "docs_weighted_sample": """
             WITH s AS (

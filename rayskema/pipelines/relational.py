@@ -1324,6 +1324,99 @@ def group_agg(
                                buckets=buckets, sort_within=False)
 
 
+def group_corr(
+    ds: "rd.Dataset", group_col: str, x_col: str, y_col: str, *,
+    scale_x: int = 1, scale_y: int = 1, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Exact per-group Pearson correlation + covariance:
+    ``(group, n, covar_pop, covar_samp, corr)`` — the grouped
+    companion to :func:`~rayskema.functions.profile.
+    paired_moments_corr`.  Values pre-scale to integers
+    (round-half-away, SQL ROUND parity), per-element cross products
+    are CHECKED int64 (raise, never wrap), and the six moment
+    partials ``(n, Σx, Σy, Σx², Σy², Σxy)`` accumulate as
+    decimal128(38) through the block hash-agg and the ONE group
+    exchange — exact and order-independent, so the final single
+    float expression per statistic is bit-reproducible at any
+    parallelism and by a SQL engine evaluating the same HUGEINT
+    closed form:
+
+        covar_pop  = DBL(n·Σxy − Σx·Σy) / DBL(n) / DBL(n)
+        covar_samp = DBL(n·Σxy − Σx·Σy) / DBL(n) / DBL(n−1)
+        corr = DBL(n·Σxy − Σx·Σy)
+               / sqrt(DBL(n·Σx² − Σx·Σx) · DBL(n·Σy² − Σy·Σy))
+
+    covariance is in SCALED units (divide by scale_x·scale_y for
+    original units); corr is scale-invariant.  Rows with either side
+    null are dropped (SQL corr semantics); a group with n<2 or a
+    constant column yields SQL NULL for the undefined statistics."""
+    from ..functions import round_half_away
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(tab[x_col]), pc.is_valid(tab[y_col]))
+        tab = tab.filter(keep)
+        xv = pa.array(round_half_away(
+            pc.multiply(pc.cast(tab[x_col], pa.float64()),
+                        float(scale_x)).to_numpy(zero_copy_only=False),
+            0).astype(np.int64))
+        yv = pa.array(round_half_away(
+            pc.multiply(pc.cast(tab[y_col], pa.float64()),
+                        float(scale_y)).to_numpy(zero_copy_only=False),
+            0).astype(np.int64))
+        dec = pa.decimal128(38, 0)
+        t = pa.table({
+            group_col: tab[group_col],
+            "_x": pc.cast(xv, dec),
+            "_y": pc.cast(yv, dec),
+            "_xx": pc.cast(pc.multiply_checked(xv, xv), dec),
+            "_yy": pc.cast(pc.multiply_checked(yv, yv), dec),
+            "_xy": pc.cast(pc.multiply_checked(xv, yv), dec),
+        })
+        return agg_named(
+            t, [group_col],
+            [([], "count_all"), ("_x", "sum"), ("_y", "sum"),
+             ("_xx", "sum"), ("_yy", "sum"), ("_xy", "sum")],
+            ["n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    partial = ds.select_columns(
+        list(dict.fromkeys([group_col, x_col, y_col]))).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        g = agg_named(
+            tab, [group_col],
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")],
+            ["n", "sx", "sy", "sxx", "syy", "sxy"])
+        import math
+        n_l, cp_l, cs_l, r_l = [], [], [], []
+        for i in range(g.num_rows):
+            # O(groups) exact big-int closed form — groups, not rows
+            n = int(g["n"][i].as_py())
+            sx, sy, sxx, syy, sxy = (
+                int(g[c][i].as_py()) for c in
+                ("sx", "sy", "sxx", "syy", "sxy"))
+            num = float(n * sxy - sx * sy)
+            n_l.append(n)
+            cp_l.append(num / float(n) / float(n) if n > 0 else None)
+            cs_l.append(num / float(n) / float(n - 1) if n > 1
+                        else None)
+            vx = float(n * sxx - sx * sx)
+            vy = float(n * syy - sy * sy)
+            den = math.sqrt(vx * vy)
+            r_l.append(num / den if n > 1 and den > 0 else None)
+        return pa.table({
+            group_col: g[group_col],
+            "n": pa.array(n_l, type=pa.int64()),
+            "covar_pop": pa.array(cp_l, type=pa.float64()),
+            "covar_samp": pa.array(cs_l, type=pa.float64()),
+            "corr": pa.array(r_l, type=pa.float64()),
+        })
+
+    return bucketed_map_groups(partial, [group_col], _final,
+                               buckets=buckets, sort_within=False)
+
+
 def group_rollup(
     ds: "rd.Dataset", group_cols: Sequence[str],
     aggs: Sequence[tuple[str, str, str]], *, buckets: int | None = None,

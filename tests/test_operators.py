@@ -2232,3 +2232,23 @@ def test_weighted_sample_properties(ray_session):
     assert 5 not in ids                      # zero weight never wins
     heavy = sum(1 for i in ids if i % 3 == 0)
     assert heavy >= 20                       # heavy rows dominate
+
+
+def test_group_corr_exact_and_degenerate(ray_session):
+    from rayskema.pipelines.relational import group_corr
+    tab = pa.table({
+        "g": ["a"] * 4 + ["b"] * 2 + ["c"],
+        "x": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 9.0]),
+        "y": pa.array([2.0, 4.0, 6.0, 8.0, 1.0, 2.0, 7.0])})
+    out = _collect(group_corr(rd.from_arrow(tab), "g", "x", "y",
+                              buckets=2)).sort_by("g")
+    rows = {out["g"][i].as_py(): i for i in range(out.num_rows)}
+    # perfect linear group: corr exactly 1.0
+    assert out["corr"][rows["a"]].as_py() == 1.0
+    # constant-x group: corr NULL (zero variance)
+    assert out["corr"][rows["b"]].as_py() is None
+    assert out["covar_pop"][rows["b"]].as_py() == 0.0
+    # single-row group: covar_samp and corr NULL, covar_pop 0
+    assert out["covar_samp"][rows["c"]].as_py() is None
+    assert out["corr"][rows["c"]].as_py() is None
+    assert out["n"].to_pylist() == [4, 2, 1]
