@@ -329,6 +329,18 @@ def _q_events_windowed(sf_dir: str):
     return windowed_agg(ds, "ts", ["event_type"], "value", window="day")
 
 
+def _q_events_hopping(sf_dir: str):
+    """HOPPING (sliding) windows — 24 h windows every 6 h, each event
+    in exactly 4 overlapping windows: per-block shifted-projection
+    expansion, partial pre-agg before the one (window, type) exchange
+    (relational.hopping_window_agg)."""
+    from rayskema.pipelines.relational import hopping_window_agg
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return hopping_window_agg(ds, "ts", ["event_type"], "value",
+                              size_us=86_400_000_000,
+                              hop_us=21_600_000_000, buckets=8)
+
+
 def _q_events_orders_asof(sf_dir: str):
     from rayskema.pipelines.relational import asof_join
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -3582,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof_tol": _q_events_orders_asof_tol,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "lineitem_group_corr": _q_lineitem_group_corr,
+        "events_hopping": _q_events_hopping,
         "orders_status_summary": _q_orders_status_summary,
         "events_mad": _q_events_mad,
         "events_dow_hour": _q_events_dow_hour,
@@ -4078,6 +4091,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_custkey = e.user_id
                          AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "events_hopping": """
+            WITH e AS (
+                SELECT ts, event_type, value,
+                       epoch_us(ts) // 21600000000 AS b
+                FROM events WHERE ts IS NOT NULL),
+            x AS (
+                SELECT make_timestamp((b - j) * 21600000000)
+                           AS window_start,
+                       event_type, value
+                FROM e, unnest(generate_series(0, 3)) AS t(j))
+            SELECT window_start, event_type, count(value) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM x GROUP BY 1, 2
         """,
         "lineitem_group_corr": """
             WITH s AS (

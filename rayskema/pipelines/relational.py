@@ -2600,6 +2600,56 @@ def topk_per_group(ds: "rd.Dataset", group_col: str, order_col: str,
                                sort_within=False)
 
 
+def hopping_window_agg(
+    ds: "rd.Dataset", ts_col: str, group_cols, value_col: str, *,
+    size_us: int, hop_us: int, buckets: int | None = None,
+) -> "rd.Dataset":
+    """HOPPING (sliding) window aggregate: overlapping windows of
+    ``size_us`` starting every ``hop_us`` — each event lands in
+    exactly ``size/hop`` windows; output ``(window_start, group...,
+    n, min_value, max_value)`` per window with ≥1 event.  The
+    tumbling window is the ``size == hop`` special case
+    (:func:`windowed_agg`).
+
+    Per-block expansion (``k`` shifted projections, no row loops —
+    window starts floor-divide the epoch so negative timestamps
+    bucket like SQL ``//``), then the partial+final ``group_agg``
+    pattern: each block pre-aggregates to its (window, group) rows
+    before ONE small shuffle, so the k× row expansion never moves —
+    only O(windows × groups) partials per block do.  Aggregates are
+    order-exact (count/min/max); null timestamps drop (SQL GROUP BY
+    over a derived window key)."""
+    if hop_us <= 0 or size_us <= 0 or size_us % hop_us:
+        raise ValueError("size_us must be a positive multiple of hop_us")
+    k = size_us // hop_us
+    group_cols = list(group_cols)
+
+    def _expand(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[ts_col]))
+        us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                     pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        base = np.floor_divide(us, hop_us)
+        parts = []
+        for j in range(k):
+            ws = (base - j) * hop_us
+            cols = {"window_start": pa.array(ws).cast(
+                pa.timestamp("us"))}
+            for c in group_cols:
+                cols[c] = tab[c]
+            cols[value_col] = tab[value_col]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    expanded = ds.select_columns(list(dict.fromkeys(
+        [ts_col] + group_cols + [value_col]))).map_batches(
+        _expand, batch_format="pyarrow")
+    return group_agg(
+        expanded, ["window_start"] + group_cols,
+        [(value_col, "count", "n"), (value_col, "min", "min_value"),
+         (value_col, "max", "max_value")], buckets=buckets)
+
+
 def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
                  value_col: str, *, window: str = "day") -> "rd.Dataset":
     """Tumbling-window aggregate: (window_start, group..., n, min_value,

@@ -2252,3 +2252,22 @@ def test_group_corr_exact_and_degenerate(ray_session):
     assert out["covar_samp"][rows["c"]].as_py() is None
     assert out["corr"][rows["c"]].as_py() is None
     assert out["n"].to_pylist() == [4, 2, 1]
+
+
+def test_hopping_window_agg(ray_session):
+    from rayskema.pipelines.relational import hopping_window_agg
+    # size 10, hop 5 -> each event in 2 windows; negative ts floors
+    tab = pa.table({
+        "ts": pa.array([0, 4, 5, 12, -3], pa.timestamp("us")),
+        "g": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = _collect(hopping_window_agg(
+        rd.from_arrow(tab), "ts", ["g"], "v", size_us=10, hop_us=5,
+        buckets=1)).sort_by("window_start")
+    ws = [int(x.value) for x in out["window_start"]]
+    n = out["n"].to_pylist()
+    got = dict(zip(ws, n))
+    # event@-3 -> windows -5, -10; 0,4 -> 0,-5; 5 -> 5,0; 12 -> 10,5
+    assert got == {-10: 1, -5: 3, 0: 3, 5: 2, 10: 1}
+    with pytest.raises(ValueError):
+        hopping_window_agg(rd.from_arrow(tab), "ts", ["g"], "v",
+                           size_us=7, hop_us=5)
