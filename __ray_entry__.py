@@ -1541,6 +1541,28 @@ def _q_customers_hamming_pairs(sf_dir: str):
                          buckets=8)
 
 
+def _q_customers_edit_pairs(sf_dir: str):
+    """EXACT Levenshtein-1 similarity join (the indel-capable
+    complement of the Hamming join): customer names with leading
+    zeros stripped (so lengths vary and insert/delete edits occur),
+    then every pair within one byte edit via 1-deletion-neighborhood
+    (SymSpell) blocking + vectorized one-gap verify
+    (functions/dedup.edit_distance_pairs) — recall 1.0 by
+    construction, so a brute-force SQL levenshtein oracle matches
+    exactly."""
+    import pyarrow.compute as pc
+    from rayskema.functions.dedup import edit_distance_pairs
+
+    def _strip(t: pa.Table) -> pa.Table:
+        nm = pc.replace_substring_regex(t["c_name"], pattern="#0+",
+                                        replacement="#")
+        return pa.table({"c_custkey": t["c_custkey"], "nm": nm})
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        _strip, batch_format="pyarrow")
+    return edit_distance_pairs(ds, "nm", "c_custkey", buckets=8)
+
+
 def _q_orders_regex_extract(sf_dir: str):
     """Field parsing via one RE2 pass per block: the priority code
     splits into its numeric rank and word — SQL regexp_extract per
@@ -3590,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_setops": _q_customers_setops,
         "events_concurrency": _q_events_concurrency,
         "customers_hamming_pairs": _q_customers_hamming_pairs,
+        "customers_edit_pairs": _q_customers_edit_pairs,
         "orders_regex_extract": _q_orders_regex_extract,
         "events_orders_asof_tol": _q_events_orders_asof_tol,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -5085,6 +5108,17 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND length(a.c_name) = length(b.c_name)
             WHERE mismatches(a.c_name, b.c_name) <= 1
+        """,
+        "customers_edit_pairs": """
+            WITH c AS (SELECT c_custkey,
+                              regexp_replace(c_name, '#0+', '#') AS nm
+                       FROM customer)
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit
+            FROM c a JOIN c b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.nm) - length(b.nm)) <= 1
+            WHERE levenshtein(a.nm, b.nm) <= 1
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,

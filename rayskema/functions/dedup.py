@@ -428,8 +428,9 @@ def hamming_pairs(
         powt = np.empty(max_rank + 1, dtype=np.uint64)
         powt[0] = 1
         P = np.uint64(1099511628211)
-        for k in range(1, max_rank + 1):
-            powt[k] = powt[k - 1] * P
+        with np.errstate(over="ignore"):   # uint64 wrap is the point
+            for k in range(1, max_rank + 1):
+                powt[k] = powt[k - 1] * P
         ids = tab[id_col].combine_chunks()
         parts = []
         for i in range(n_seg):
@@ -526,6 +527,200 @@ def hamming_pairs(
     def _dedup_pairs(tab: pa.Table) -> pa.Table:
         return agg_named(tab, ["id_a", "id_b"],
                          [("hamming", "min")], ["hamming"])
+
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
+                               buckets=(None if buckets is None
+                                        else max(8, buckets // 8)),
+                               sort_within=False)
+
+
+def edit_distance_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    buckets: int | None = None, max_group: int | None = None,
+) -> "rd.Dataset":
+    """EXACT near-dup pairs by byte Levenshtein distance ≤ 1:
+    ``(id_a, id_b, edit)`` for every pair within one insertion,
+    deletion or substitution (``id_a < id_b``; distance 0 = exact
+    duplicates included) — the indel-capable complement of
+    ``hamming_pairs``.
+
+    Blocking is the 1-DELETION NEIGHBORHOOD (the SymSpell / FastSS
+    scheme): each string emits a signature for itself plus one per
+    single-byte deletion, each a polynomial hash tagged with the
+    RESULT length.  ``ed(a,b) ≤ 1`` implies a shared signature —
+    equal strings share the full-string signature; a substitution
+    pair shares the delete-at-``i`` signature; an insertion pair
+    shares (longer's delete-at-``i``) = (shorter's full) — so
+    candidate recall is 1.0 by construction.  All ``L+1`` deletion
+    hashes of a row come from ONE prefix-sum pass: with
+    ``h(s) = Σ (s[i]+C)·P^i`` (mod 2^64, P odd hence invertible),
+    ``h(s minus byte j) = pref_j + (h(s) − pref_{j+1})·P⁻¹``.
+
+    Verification is exact and vectorized: equal-length candidates
+    use the Hamming byte-compare (``ed ≤ 1`` ⟺ ``hamming ≤ 1`` at
+    equal length — one indel changes length, two cost 2);
+    length-±1 candidates use the one-gap test ``lcp + lcs ≥
+    len(shorter)`` via two masked ``minimum.reduceat`` sweeps.
+    Signature-hash collisions only ADD candidates.
+
+    Scale shape: each row emits ``L+2`` signature rows, so this is
+    built for SHORT KEYS (names, titles, codes — the SymSpell
+    regime), not multi-KiB documents (use MinHash/SimHash there).
+    The only shuffles are the signature exchange and the final
+    pair-distinct; candidate pairs stream in bounded chunks.
+    Distances are byte-level (equals character Levenshtein on
+    ASCII; on multi-byte UTF-8 a one-character edit may cost >1
+    byte edit and fall outside the radius — documented contract).
+
+    No reference analogue: ``UniqueBy`` (``rules/rules.go:104``) is
+    exact-key only; this extends it to the fuzzy-key join an LLM
+    curation pipeline needs."""
+    C = np.uint64(0x9E3779B9)
+    P = np.uint64(1099511628211)
+    PINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _sigs(tab: pa.Table) -> pa.Table:
+        # SQL comparison semantics: NULL pairs with nothing
+        tab = tab.filter(pc.is_valid(tab[text_col]))
+        arr = tab[text_col].combine_chunks()
+        n = tab.num_rows
+        ids = tab[id_col].combine_chunks()
+        offsets, data = _utf8_buffers(arr)
+        lens = np.diff(offsets)
+        total = int(offsets[-1])
+        row_starts = offsets[:-1]
+        # per-byte polynomial terms with ROW-LOCAL exponents, then one
+        # global cumsum; per-row prefixes are differences of cps —
+        # uint64 wrap arithmetic throughout
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            row_starts, lens)
+        max_rank = int(intra.max()) + 1 if total else 1
+        powt = np.empty(max_rank + 1, dtype=np.uint64)
+        powt[0] = 1
+        with np.errstate(over="ignore"):   # uint64 wrap is the point
+            for k in range(1, max_rank + 1):
+                powt[k] = powt[k - 1] * P
+        terms = (data.astype(np.uint64) + C) * powt[intra]
+        cps = np.concatenate(
+            [np.zeros(1, np.uint64), np.cumsum(terms, dtype=np.uint64)])
+        base = np.repeat(cps[row_starts], lens)
+        h_tot_row = cps[offsets[1:]] - cps[row_starts]
+        # full-string signatures (result length = L)
+        key_full = _hash64(h_tot_row
+                           + lens.astype(np.uint64) * GOLD).astype(np.int64)
+        parts = [pa.table({"block_key": pa.array(key_full),
+                           id_col: ids, text_col: arr})]
+        if total:
+            g = np.arange(total, dtype=np.int64)
+            pref_j = cps[g] - base
+            pref_j1 = cps[g + 1] - base
+            h_tot_g = np.repeat(h_tot_row, lens)
+            h_del = pref_j + (h_tot_g - pref_j1) * PINV
+            tag = (np.repeat(lens, lens).astype(np.uint64)
+                   - np.uint64(1)) * GOLD
+            key_del = _hash64(h_del + tag).astype(np.int64)
+            ridx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            parts.append(pa.table({
+                "block_key": pa.array(key_del),
+                id_col: ids.take(pa.array(ridx)),
+                text_col: arr.take(pa.array(ridx))}))
+        return pa.concat_tables(parts)
+
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        _sigs, batch_format="pyarrow")
+    cap = (1 << 62) if max_group is None else max_group
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("block_key", "ascending"),
+                           (id_col, "ascending")])
+        new = segment_starts(tab, ["block_key"])
+        counts = np.bincount(np.cumsum(new) - 1)
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        offsets, data = _utf8_buffers(tab[text_col].combine_chunks())
+        lens = np.diff(offsets)
+        out_a, out_b, out_e = [], [], []
+
+        def _emit(a_i, b_i, ed):
+            keep = ids[a_i] != ids[b_i]
+            out_a.append(ids[a_i[keep]])
+            out_b.append(ids[b_i[keep]])
+            out_e.append(ed[keep])
+
+        for a_i, b_i in _group_pair_chunks(counts, np.flatnonzero(new),
+                                           cap):
+            la, lb = lens[a_i], lens[b_i]
+            # --- equal length: hamming byte compare, keep ham <= 1
+            eq = la == lb
+            ai, bi, L = a_i[eq], b_i[eq], la[eq]
+            if len(ai):
+                tot = int(L.sum())
+                pre = np.concatenate([[0], np.cumsum(L)[:-1]]).astype(
+                    np.int64)
+                pos = np.arange(tot, dtype=np.int64) - np.repeat(pre, L)
+                ia = np.repeat(offsets[:-1][ai], L) + pos
+                ib = np.repeat(offsets[:-1][bi], L) + pos
+                if tot:
+                    neq = (data[ia] != data[ib]).astype(np.int64)
+                    ham = np.add.reduceat(np.append(neq, 0), pre)
+                    ham[L == 0] = 0
+                else:
+                    ham = np.zeros(len(ai), dtype=np.int64)
+                k = ham <= 1
+                _emit(ai[k], bi[k], ham[k])
+            # --- length ±1: one-gap test lcp + lcs >= len(shorter)
+            d1 = np.abs(la - lb) == 1
+            ai, bi = a_i[d1], b_i[d1]
+            if len(ai):
+                swap = lens[ai] > lens[bi]
+                sh = np.where(swap, bi, ai)   # shorter row index
+                lg = np.where(swap, ai, bi)   # longer row index
+                Ls = lens[sh]
+                tot = int(Ls.sum())
+                pre = np.concatenate([[0], np.cumsum(Ls)[:-1]]).astype(
+                    np.int64)
+                if tot:
+                    pos = np.arange(tot, dtype=np.int64) - np.repeat(
+                        pre, Ls)
+                    is_ = np.repeat(offsets[:-1][sh], Ls) + pos
+                    il_ = np.repeat(offsets[:-1][lg], Ls) + pos
+                    neq = data[is_] != data[il_]
+                    big = np.repeat(Ls, Ls)
+                    # sentinel must be LARGE: minimum.reduceat's final
+                    # segment runs to the end of the appended array
+                    sent = np.int64(1) << np.int64(62)
+                    lcp = np.minimum.reduceat(
+                        np.append(np.where(neq, pos, big), sent), pre)
+                    # suffix sweep: short read backwards from its end,
+                    # long backwards from ITS end (one byte further)
+                    is2 = np.repeat(offsets[1:][sh], Ls) - 1 - pos
+                    il2 = np.repeat(offsets[1:][lg], Ls) - 1 - pos
+                    neq2 = data[is2] != data[il2]
+                    lcs = np.minimum.reduceat(
+                        np.append(np.where(neq2, pos, big), sent), pre)
+                    lcp[Ls == 0] = 0
+                    lcs[Ls == 0] = 0
+                else:
+                    lcp = np.zeros(len(ai), dtype=np.int64)
+                    lcs = lcp
+                k = (lcp + lcs) >= Ls
+                _emit(ai[k], bi[k], np.ones(int(k.sum()), dtype=np.int64))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "edit": pa.array([], type=pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "edit": pa.array(np.concatenate(out_e).astype(np.int64)),
+        })
+
+    pairs = bucketed_map_groups(sig_ds, ["block_key"], _pairs,
+                                buckets=buckets, sort_within=False)
+
+    def _dedup_pairs(tab: pa.Table) -> pa.Table:
+        return agg_named(tab, ["id_a", "id_b"],
+                         [("edit", "min")], ["edit"])
 
     return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
                                buckets=(None if buckets is None

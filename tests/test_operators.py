@@ -2041,6 +2041,62 @@ def test_hamming_pairs_exact_vs_bruteforce(ray_session):
     assert (base.index("") + 0, base.index("") + 1, 0) in got  # empty pair
 
 
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(ray_session):
+    # recall/precision 1.0 vs local Levenshtein over a small alphabet
+    # (dense ed<=1 neighborhoods: substitutions, indels, empties,
+    # exact dups, nulls) across block boundaries
+    from rayskema.functions.dedup import edit_distance_pairs
+    rng = np.random.default_rng(11)
+    base = ["".join("abc"[k] for k in rng.integers(0, 3, L))
+            for L in rng.integers(0, 6, 150)]
+    base += ["", "", "a", None, "ab", "ba", "abc", "abcd"]
+    strs = base
+    ids = list(range(len(strs)))
+    tab = pa.table({"id": pa.array(ids, pa.int64()),
+                    "s": pa.array(strs, pa.string())})
+    out = _collect(edit_distance_pairs(
+        rd.from_arrow(tab).repartition(5), "s", "id", buckets=3))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                  out["edit"].to_pylist()))
+    want = set()
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            a, b = strs[i], strs[j]
+            if a is None or b is None or abs(len(a) - len(b)) > 1:
+                continue
+            d = _levenshtein(a, b)
+            if d <= 1:
+                want.add((i, j, d))
+    assert got == want
+    assert any(e == 0 for _, _, e in got)            # exact dups
+    ia, iab = strs.index("a"), strs.index("ab")
+    assert (ia, iab, 1) in got                       # an indel pair
+
+
+def test_edit_distance_pairs_shapes(ray_session):
+    from rayskema.functions.dedup import edit_distance_pairs
+    tab = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "s": ["kitten", "sitten", "kitte", "kittens", "axbyc"]})
+    out = _collect(edit_distance_pairs(
+        rd.from_arrow(tab), "s", "id", buckets=1))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # substitution (1,2); deletion (1,3); insertion (1,4);
+    # sitten/kitte is ed 2; kitte/kittens differs by 2 in length;
+    # axbyc unrelated
+    assert pairs == {(1, 2), (1, 3), (1, 4)}
+
+
 def test_hamming_pairs_distance_bound(ray_session):
     from rayskema.functions.dedup import hamming_pairs
     tab = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
