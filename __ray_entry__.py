@@ -3574,6 +3574,30 @@ def _q_docs_tfidf(sf_dir: str):
     return tfidf_top_terms(ds, "text", "doc_id", k=3)
 
 
+def _q_events_resample(sf_dir: str):
+    """Per-type 6-hour resample with ZERO-FILLED gaps
+    (relational.resample_fill): block-local (type, bucket) partials,
+    one group exchange, arange+scatter fill — SQL's generate_series
+    LEFT JOIN COALESCE(0) shape."""
+    from rayskema.pipelines.relational import resample_fill
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return resample_fill(ds, ["event_type"], "ts",
+                         every_us=21_600_000_000, buckets=8)
+
+
+def _q_docs_bm25(sf_dir: str):
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (functions/textstats.bm25_scores): zero shuffles — one
+    corpus-stats partial pass (N, Σ|d|, per-term df) merged to a few
+    driver scalars, one broadcast scoring pass; integer micro-unit
+    contributions keep the cross-term sum order-independent so the
+    SQL oracle hash-matches."""
+    from rayskema.functions.textstats import bm25_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_scores(ds, "text", "doc_id",
+                       ["query", "merge", "stream"])
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -3684,6 +3708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_tfidf": _q_docs_tfidf,
+        "docs_bm25": _q_docs_bm25,
+        "events_resample": _q_events_resample,
         "orders_q3": _q_orders_q3,
         "transcript_validate": _q_transcript_validate,
         # r02-green queries follow (driver rows already on record)
@@ -5647,6 +5673,56 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY score DESC, term) AS rank
                   FROM s)
             SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+        """,
+        "events_resample": """
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 21600000000 AS b,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, min(b) AS lo, max(b) AS hi
+                  FROM c GROUP BY 1),
+            g AS (SELECT r.event_type,
+                         unnest(generate_series(r.lo, r.hi)) AS b
+                  FROM r)
+            SELECT g.event_type,
+                   CAST(g.b * 21600000000 AS BIGINT) AS bucket_us,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM g LEFT JOIN c
+              ON g.event_type IS NOT DISTINCT FROM c.event_type
+             AND g.b = c.b
+        """,
+        "docs_bm25": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok
+                   GROUP BY doc_id),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            avgdl AS (SELECT (SELECT COALESCE(sum(dl), 0)::DOUBLE
+                              FROM dl) / (SELECT n FROM n) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tok
+                   WHERE term IN ('query', 'merge', 'stream')
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                   FROM tok
+                   WHERE term IN ('query', 'merge', 'stream')
+                   GROUP BY term),
+            c AS (SELECT tf.doc_id,
+                         CAST(round(
+                             ln(((SELECT n FROM n) - df.df + 0.5)
+                                / (df.df + 0.5) + 1)
+                             * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                  / (SELECT avgdl FROM avgdl)))
+                             * 1e6) AS BIGINT) AS cu
+                  FROM tf
+                  JOIN df USING (term) JOIN dl USING (doc_id))
+            SELECT doc_id, CAST(sum(cu) AS BIGINT) AS score_u,
+                   count(*) AS n_terms
+            FROM c GROUP BY doc_id
         """,
         "docs_pack": """
             WITH s AS (

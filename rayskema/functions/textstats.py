@@ -296,6 +296,105 @@ def tfidf_top_terms(ds: "rd.Dataset", text_col: str, id_col: str, *,
                                buckets=buckets, sort_within=False)
 
 
+def bm25_scores(ds: "rd.Dataset", text_col: str, id_col: str,
+                query_terms: list[str], *, k1: float = 1.2,
+                b: float = 0.75) -> "rd.Dataset":
+    """Okapi BM25 relevance of every document against a FIXED small
+    query-term set: ``(id, score_u, n_terms)`` for each document
+    matching ≥1 term, where ``score_u = Σ_t round(1e6 · idf(t) ·
+    tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)))`` in integer micro-units
+    and ``idf(t) = ln((N−df+0.5)/(df+0.5)+1)`` (the Lucene/Okapi-plus
+    variant, never negative).  Terms are lowercased ``[a-z0-9]+``
+    runs, the same tokenizer as :func:`tfidf_top_terms`.
+
+    Integer micro-unit contributions make the per-document sum
+    order-independent and exact (float summation order across terms
+    would otherwise vary by engine), so a SQL oracle hash-matches.
+
+    Scale shape: UNLIKE tf-idf there is NO vocabulary exchange — the
+    query set is tiny and fixed, so pass 1 is a corpus-stats partial
+    (per-block ``N``, ``Σ|d|``, per-query-term df; block-local docs
+    make per-block df partials exact) merged on the driver into a
+    handful of scalars, and pass 2 scores each block locally against
+    those broadcast scalars.  Zero shuffles; two passes over a
+    materialized-once projection (the same nondeterministic-upstream
+    guard as tf-idf).  At 100 TB both passes stream block-by-block
+    and the driver holds ``len(query_terms)+2`` numbers."""
+    from . import round_half_away
+
+    terms_arr = pa.array(sorted(set(query_terms)), type=pa.string())
+    n_q = len(terms_arr)
+
+    def _tokenize(tab: pa.Table):
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(words).combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(tab.num_rows, dtype=np.int64), counts)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        return flat.filter(pa.array(keep)), seg[keep]
+
+    proj = ds.select_columns([id_col, text_col]).materialize()
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        flat, seg = _tokenize(tab)
+        # doc length per row (empty/null docs count 0 tokens but DO
+        # count in N, matching SQL's count(*) over the base table)
+        dl = np.bincount(seg, minlength=tab.num_rows)
+        qidx = pc.index_in(flat, value_set=terms_arr)
+        hit = np.asarray(pc.is_valid(qidx))
+        qi = qidx.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        # df partial: distinct docs per term within this block
+        pair = np.unique(seg[hit] * n_q + qi) if hit.any() else \
+            np.empty(0, dtype=np.int64)
+        df = np.bincount(pair % n_q, minlength=n_q) if len(pair) else \
+            np.zeros(n_q, dtype=np.int64)
+        return pa.table({
+            "n_docs": pa.array([tab.num_rows], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            "df": pa.array([df.tolist()],
+                           pa.list_(pa.int64())),
+        })
+
+    parts = proj.map_batches(_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    sum_dl = sum(r["sum_dl"] for r in parts)
+    df = np.sum([r["df"] for r in parts], axis=0).astype(np.float64) \
+        if parts else np.zeros(n_q)
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    idf_ref = ray.put(idf)
+
+    def _score(tab: pa.Table) -> pa.Table:
+        flat, seg = _tokenize(tab)
+        dl = np.bincount(seg, minlength=tab.num_rows).astype(np.float64)
+        qidx = pc.index_in(flat, value_set=terms_arr)
+        hit = np.asarray(pc.is_valid(qidx))
+        qi = qidx.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        key = seg[hit] * n_q + qi
+        tf = np.bincount(key, minlength=tab.num_rows * n_q).astype(
+            np.float64).reshape(tab.num_rows, n_q)
+        idf_v = ray.get(idf_ref)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            contrib = (idf_v[None, :] * tf * (k1 + 1.0)
+                       / (tf + k1 * (1.0 - b
+                                     + b * dl[:, None] / avgdl)))
+        cu = round_half_away(np.where(tf > 0, contrib, 0.0) * 1e6, 0) \
+            .astype(np.int64)
+        score_u = cu.sum(axis=1)
+        n_terms = (tf > 0).sum(axis=1).astype(np.int64)
+        keep = pa.array(n_terms > 0)
+        return pa.table({
+            id_col: tab[id_col].filter(keep),
+            "score_u": pa.array(score_u[n_terms > 0]),
+            "n_terms": pa.array(n_terms[n_terms > 0]),
+        })
+
+    return proj.map_batches(_score, batch_format="pyarrow")
+
+
 def top_k_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
                  buckets: int | None = None) -> "rd.Dataset":
     """Corpus-wide most frequent whitespace tokens: ``(token, n)``,

@@ -2680,6 +2680,89 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,
                                _final, buckets=16, sort_within=False)
 
 
+def resample_fill(
+    ds: "rd.Dataset", group_cols, ts_col: str, *, every_us: int,
+    buckets: int | None = None, max_fill: int = 1 << 24,
+) -> "rd.Dataset":
+    """Per-group time-series RESAMPLE with zero-filled gaps: one row
+    per ``every_us`` bucket from each group's first to last event —
+    ``(group..., bucket_us, n)`` where ``n = 0`` for buckets with no
+    events (the gap-fill SQL spells as ``generate_series`` +
+    ``LEFT JOIN``).  Bucketing floor-divides the epoch so negative
+    (pre-1970) timestamps land like SQL ``//``; null timestamps drop.
+
+    Scale shape: the partial+final pattern — each block pre-aggregates
+    to its distinct (group, bucket) counts before ONE hash exchange on
+    the group (a group's fill range needs all its buckets together),
+    then the fill is a pure prefix-sum expansion (arange + scatter, no
+    row loops).  Emitted rows per group are TIME-bounded (span /
+    ``every_us``), not data-bounded — ``max_fill`` caps a degenerate
+    span (one stray 1970 timestamp against 2026 data would emit
+    millions of zeros; raising beats silently flooding the sink).
+
+    No reference analogue (goskema has no temporal ops); this is the
+    training-data freshness/coverage histogram a curation pipeline
+    reports."""
+    group_cols = list(group_cols)
+    if every_us <= 0:
+        raise ValueError("every_us must be positive")
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[ts_col]))
+        us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                     pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        b = np.floor_divide(us, every_us)
+        t = pa.table({**{c: tab[c] for c in group_cols},
+                      "_b": pa.array(b)})
+        return agg_named(t, group_cols + ["_b"], [([], "count_all")],
+                         ["n"])
+
+    partial = ds.select_columns(list(dict.fromkeys(
+        group_cols + [ts_col]))).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _fill(tab: pa.Table) -> pa.Table:
+        if not tab.num_rows:   # an empty exchange bucket
+            return pa.table(
+                {**{c: tab[c] for c in group_cols},
+                 "bucket_us": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())})
+        tab = agg_named(tab, group_cols + ["_b"], [("n", "sum")], ["n"])
+        tab = tab.sort_by([(c, "ascending") for c in group_cols]
+                          + [("_b", "ascending")])
+        new = segment_starts(tab, group_cols)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], tab.num_rows)
+        b = tab["_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = pc.cast(tab["n"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lo, hi = b[starts], b[ends - 1]
+        span = hi - lo + 1
+        if len(span) and int(span.max()) > max_fill:
+            raise ValueError(
+                f"resample_fill: a group spans {int(span.max())} "
+                f"buckets (> max_fill={max_fill}); widen every_us or "
+                "filter outlier timestamps")
+        out_total = int(span.sum())
+        seg_off = np.concatenate([[0], np.cumsum(span)[:-1]]).astype(
+            np.int64)
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64), span)
+        ob = (np.arange(out_total, dtype=np.int64)
+              - np.repeat(seg_off, span) + np.repeat(lo, span))
+        on = np.zeros(out_total, dtype=np.int64)
+        rseg = np.cumsum(new) - 1
+        on[seg_off[rseg] + (b - lo[rseg])] = n
+        cols = {c: tab[c].take(pa.array(starts[gidx]))
+                for c in group_cols}
+        cols["bucket_us"] = pa.array(ob * every_us)
+        cols["n"] = pa.array(on)
+        return pa.table(cols)
+
+    return bucketed_map_groups(partial, group_cols, _fill,
+                               buckets=buckets, sort_within=False)
+
+
 def session_windows(
     ds: "rd.Dataset", *, key: str, ts_col: str, gap_us: int,
     buckets: int | None = None,

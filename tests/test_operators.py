@@ -2097,6 +2097,77 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_resample_fill_gaps_and_negative_epochs(ray_session):
+    import pytest
+    from rayskema.pipelines.relational import resample_fill
+    # group "a": buckets 0 and 3 occupied -> 1,2 zero-filled;
+    # group "b": one pre-1970 ts floors to bucket -1 (not 0)
+    us = [5, 8, 35, -3, None]
+    grp = ["a", "a", "a", "b", "b"]
+    tab = pa.table({
+        "g": pa.array(grp),
+        "ts": pa.array(us, pa.timestamp("us"))})
+    out = _collect(resample_fill(
+        rd.from_arrow(tab).repartition(3), ["g"], "ts", every_us=10,
+        buckets=2)).sort_by([("g", "ascending"),
+                             ("bucket_us", "ascending")])
+    rows = list(zip(out["g"].to_pylist(), out["bucket_us"].to_pylist(),
+                    out["n"].to_pylist()))
+    assert rows == [("a", 0, 2), ("a", 10, 0), ("a", 20, 0),
+                    ("a", 30, 1), ("b", -10, 1)]
+    with pytest.raises(Exception, match="max_fill"):
+        _collect(resample_fill(
+            rd.from_arrow(pa.table({
+                "g": ["x", "x"],
+                "ts": pa.array([0, 10_000_000_000],
+                               pa.timestamp("us"))})),
+            ["g"], "ts", every_us=10, buckets=1, max_fill=1000))
+
+
+def test_bm25_scores_vs_local(ray_session):
+    # parity with a straight-line local BM25 (Okapi-plus idf), with
+    # empty / null / no-match docs in the corpus counting toward N
+    # and avgdl but never emitting rows
+    import math, re
+    from rayskema.functions.textstats import bm25_scores
+    docs = ["the query engine", "merge merge sort", "",
+            None, "no hits here", "stream query merge",
+            "query Query QUERY!"]
+    ids = list(range(len(docs)))
+    terms = ["query", "merge", "stream"]
+    tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    out = _collect(bm25_scores(
+        rd.from_arrow(tab).repartition(3), "text", "doc_id",
+        terms)).sort_by("doc_id")
+
+    toks = [re.findall(r"[a-z0-9]+", (d or "").lower()) for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    k1, b = 1.2, 0.75
+    want = {}
+    for t in sorted(set(terms)):
+        df = sum(t in tk for tk in toks)
+        idf = math.log((N - df + 0.5) / (df + 0.5) + 1)
+        for i, tk in enumerate(toks):
+            tf = tk.count(t)
+            if not tf:
+                continue
+            c = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl))
+            su, nt = want.get(i, (0, 0))
+            want[i] = (su + int(math.floor(abs(c) * 1e6 + 0.5)), nt + 1)
+    assert out["doc_id"].to_pylist() == sorted(want)
+    for i, su, nt in zip(out["doc_id"].to_pylist(),
+                         out["score_u"].to_pylist(),
+                         out["n_terms"].to_pylist()):
+        assert (su, nt) == want[i]
+    # repeated-term doc scores saturate sublinearly: tf=3 'query'
+    # scores < 3x the tf=1 doc
+    row = {i: s for i, (s, _) in want.items()}
+    assert row[6] < 3 * row[0]
+
+
 def test_hamming_pairs_distance_bound(ray_session):
     from rayskema.functions.dedup import hamming_pairs
     tab = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
