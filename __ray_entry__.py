@@ -3574,6 +3574,32 @@ def _q_docs_tfidf(sf_dir: str):
     return tfidf_top_terms(ds, "text", "doc_id", k=3)
 
 
+def _q_lineitem_ols(sf_dir: str):
+    """Grouped OLS fit (extended-price cents vs quantity by return
+    flag): five decimal128 moment partials per (block, group), one
+    exchange, slope/intercept as single float expressions over exact
+    big-int sums — bit-equal to DuckDB's HUGEINT evaluation
+    (relational.group_ols)."""
+    from rayskema.pipelines.relational import group_ols
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return group_ols(ds, "l_returnflag", "l_quantity",
+                     "l_extendedprice", scale_x=1, scale_y=100,
+                     buckets=4)
+
+
+def _q_events_hopping_distinct(sf_dir: str):
+    """Rolling 6-hour active-user count every 2 hours: exact
+    COUNT(DISTINCT) per hopping window — block-local (window, user)
+    dedup before the one window exchange
+    (relational.hopping_window_distinct)."""
+    from rayskema.pipelines.relational import hopping_window_distinct
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return hopping_window_distinct(
+        ds, "ts", "user_id", size_us=21_600_000_000,
+        hop_us=7_200_000_000, buckets=8)
+
+
 def _q_events_resample(sf_dir: str):
     """Per-type 6-hour resample with ZERO-FILLED gaps
     (relational.resample_fill): block-local (type, bucket) partials,
@@ -3710,6 +3736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_bm25": _q_docs_bm25,
         "events_resample": _q_events_resample,
+        "lineitem_ols": _q_lineitem_ols,
+        "events_hopping_distinct": _q_events_hopping_distinct,
         "orders_q3": _q_orders_q3,
         "transcript_validate": _q_transcript_validate,
         # r02-green queries follow (driver rows already on record)
@@ -5673,6 +5701,43 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY score DESC, term) AS rank
                   FROM s)
             SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+        """,
+        "lineitem_ols": """
+            WITH s AS (
+                SELECT l_returnflag AS g,
+                       CAST(round(l_quantity) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL),
+            a AS (
+                SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(x*y) AS sxy
+                FROM s GROUP BY g)
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                       AS intercept
+            FROM a
+        """,
+        "events_hopping_distinct": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 7200000000 AS hb
+                       FROM events WHERE ts IS NOT NULL),
+            x AS (SELECT e.user_id,
+                         make_timestamp((e.hb - j.j) * 7200000000)
+                             AS window_start
+                  FROM e,
+                       (SELECT unnest(generate_series(0, 2)) AS j) j)
+            SELECT window_start,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM x GROUP BY window_start
         """,
         "events_resample": """
             WITH c AS (SELECT event_type,

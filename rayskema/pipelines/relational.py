@@ -1417,6 +1417,88 @@ def group_corr(
                                buckets=buckets, sort_within=False)
 
 
+def group_ols(
+    ds: "rd.Dataset", group_col: str, x_col: str, y_col: str, *,
+    scale_x: int = 1, scale_y: int = 1, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Exact per-group ordinary-least-squares fit ``y = slope·x +
+    intercept``: ``(group, n, slope, intercept)`` — the grouped
+    ``regr_slope/regr_intercept`` pair, sharing :func:`group_corr`'s
+    exactness scheme: values pre-scale to integers, the five moment
+    partials ``(n, Σx, Σy, Σx², Σxy)`` ride ONE group exchange as
+    decimal128(38), and each statistic is a single float expression
+    over exact big-int sums — bit-reproducible at any parallelism and
+    by a SQL engine evaluating the same HUGEINT closed form:
+
+        slope     = DBL(n·Σxy − Σx·Σy) / DBL(n·Σx² − Σx·Σx)
+        intercept = (DBL(Σy) − slope·DBL(Σx)) / DBL(n)
+
+    slope/intercept are in SCALED units.  Rows with either side null
+    drop (SQL ``regr_*`` semantics); a constant-x or empty group
+    yields SQL NULL for both statistics."""
+    from ..functions import round_half_away
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(tab[x_col]), pc.is_valid(tab[y_col]))
+        tab = tab.filter(keep)
+        xv = pa.array(round_half_away(
+            pc.multiply(pc.cast(tab[x_col], pa.float64()),
+                        float(scale_x)).to_numpy(zero_copy_only=False),
+            0).astype(np.int64))
+        yv = pa.array(round_half_away(
+            pc.multiply(pc.cast(tab[y_col], pa.float64()),
+                        float(scale_y)).to_numpy(zero_copy_only=False),
+            0).astype(np.int64))
+        dec = pa.decimal128(38, 0)
+        t = pa.table({
+            group_col: tab[group_col],
+            "_x": pc.cast(xv, dec),
+            "_y": pc.cast(yv, dec),
+            "_xx": pc.cast(pc.multiply_checked(xv, xv), dec),
+            "_xy": pc.cast(pc.multiply_checked(xv, yv), dec),
+        })
+        return agg_named(
+            t, [group_col],
+            [([], "count_all"), ("_x", "sum"), ("_y", "sum"),
+             ("_xx", "sum"), ("_xy", "sum")],
+            ["n", "sx", "sy", "sxx", "sxy"])
+
+    partial = ds.select_columns(
+        list(dict.fromkeys([group_col, x_col, y_col]))).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        g = agg_named(
+            tab, [group_col],
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")],
+            ["n", "sx", "sy", "sxx", "sxy"])
+        n_l, sl_l, ic_l = [], [], []
+        for i in range(g.num_rows):
+            # O(groups) exact big-int closed form — groups, not rows
+            n = int(g["n"][i].as_py())
+            sx, sy, sxx, sxy = (int(g[c][i].as_py())
+                                for c in ("sx", "sy", "sxx", "sxy"))
+            den = float(n * sxx - sx * sx)
+            n_l.append(n)
+            if n == 0 or den == 0.0:
+                sl_l.append(None)
+                ic_l.append(None)
+            else:
+                slope = float(n * sxy - sx * sy) / den
+                sl_l.append(slope)
+                ic_l.append((float(sy) - slope * float(sx)) / float(n))
+        return pa.table({
+            group_col: g[group_col],
+            "n": pa.array(n_l, type=pa.int64()),
+            "slope": pa.array(sl_l, type=pa.float64()),
+            "intercept": pa.array(ic_l, type=pa.float64()),
+        })
+
+    return bucketed_map_groups(partial, [group_col], _final,
+                               buckets=buckets, sort_within=False)
+
+
 def group_rollup(
     ds: "rd.Dataset", group_cols: Sequence[str],
     aggs: Sequence[tuple[str, str, str]], *, buckets: int | None = None,
@@ -2648,6 +2730,47 @@ def hopping_window_agg(
         expanded, ["window_start"] + group_cols,
         [(value_col, "count", "n"), (value_col, "min", "min_value"),
          (value_col, "max", "max_value")], buckets=buckets)
+
+
+def hopping_window_distinct(
+    ds: "rd.Dataset", ts_col: str, value_col: str, *,
+    size_us: int, hop_us: int, buckets: int | None = None,
+) -> "rd.Dataset":
+    """EXACT distinct count per HOPPING window — ``(window_start,
+    n_distinct)``, the sliding-window ``COUNT(DISTINCT v)`` (e.g.
+    rolling 6-hour active users every 2 hours).  Each event expands
+    into its ``size/hop`` windows, (window, value) pairs dedupe
+    INSIDE every block before the one hash exchange on the window —
+    only distinct pairs move, never the expansion — and the bucket
+    side counts distinct per window vectorized
+    (:func:`distinct_count`'s combine pattern over
+    :func:`hopping_window_agg`'s expansion).  Null timestamps drop;
+    null values don't count but keep their window in the output."""
+    if hop_us <= 0 or size_us <= 0 or size_us % hop_us:
+        raise ValueError("size_us must be a positive multiple of hop_us")
+    k = size_us // hop_us
+
+    def _expand(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[ts_col]))
+        us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                     pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        base = np.floor_divide(us, hop_us)
+        parts = []
+        for j in range(k):
+            ws = (base - j) * hop_us
+            parts.append(pa.table({
+                "window_start": pa.array(ws).cast(pa.timestamp("us")),
+                value_col: tab[value_col]}))
+        # map-side combine: only distinct (window, value) pairs ship
+        return pa.concat_tables(parts).group_by(
+            ["window_start", value_col]).aggregate([])
+
+    expanded = ds.select_columns(list(dict.fromkeys(
+        [ts_col, value_col]))).map_batches(
+        _expand, batch_format="pyarrow")
+    return distinct_count(expanded, "window_start", value_col,
+                          buckets=buckets)
 
 
 def windowed_agg(ds: "rd.Dataset", ts_col: str, group_cols,

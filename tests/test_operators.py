@@ -2097,6 +2097,59 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_group_ols_vs_numpy(ray_session):
+    from rayskema.pipelines.relational import group_ols
+    rng = np.random.default_rng(3)
+    g = rng.choice(["a", "b"], 200).tolist() + ["c", "c", "d"]
+    x = rng.integers(0, 50, 200).tolist() + [7, 7, 9]   # c: constant x
+    y = rng.integers(0, 1000, 200).tolist() + [1, 2, 3]
+    x[5] = None
+    y[6] = None
+    tab = pa.table({"g": pa.array(g), "x": pa.array(x, pa.float64()),
+                    "y": pa.array(y, pa.float64())})
+    out = _collect(group_ols(rd.from_arrow(tab).repartition(4),
+                             "g", "x", "y", buckets=2)).sort_by("g")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    for grp in ("a", "b"):
+        xs = np.array([xi for gi, xi, yi in zip(g, x, y)
+                       if gi == grp and xi is not None
+                       and yi is not None], dtype=np.float64)
+        ys = np.array([yi for gi, xi, yi in zip(g, x, y)
+                       if gi == grp and xi is not None
+                       and yi is not None], dtype=np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert rows[grp]["n"] == len(xs)
+        assert abs(rows[grp]["slope"] - slope) < 1e-9
+        assert abs(rows[grp]["intercept"] - intercept) < 1e-9
+    # constant-x group: denominator 0 -> SQL NULL, n still counted
+    assert rows["c"]["slope"] is None
+    assert rows["c"]["intercept"] is None
+    assert rows["c"]["n"] == 2
+    # single-point group: also degenerate (n*sxx == sx*sx)
+    assert rows["d"]["slope"] is None
+
+
+def test_hopping_window_distinct_vs_brute(ray_session):
+    from rayskema.pipelines.relational import hopping_window_distinct
+    rng = np.random.default_rng(5)
+    ts = rng.integers(0, 100, 300)
+    users = rng.integers(0, 9, 300)
+    tab = pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "u": pa.array(users, pa.int64())})
+    out = _collect(hopping_window_distinct(
+        rd.from_arrow(tab).repartition(5), "ts", "u",
+        size_us=30, hop_us=10, buckets=3))
+    ws_us = out["window_start"].cast(pa.int64()).to_pylist()
+    got = dict(zip(ws_us, out["n_distinct"].to_pylist()))
+    want = {}
+    for w in range(-20, 100, 10):
+        s = {u for t, u in zip(ts, users) if w <= t < w + 30}
+        if s:
+            want[w] = len(s)
+    assert got == want
+
+
 def test_resample_fill_gaps_and_negative_epochs(ray_session):
     import pytest
     from rayskema.pipelines.relational import resample_fill
