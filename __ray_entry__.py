@@ -3624,6 +3624,47 @@ def _q_docs_bm25(sf_dir: str):
                        ["query", "merge", "stream"])
 
 
+def _q_graph_triangles(sf_dir: str):
+    """Exact global triangle census (degree-oriented wedge algorithm,
+    functions/graph.triangle_stats) of a synthetic co-purchase graph:
+    vertices = o_custkey mod 400, edges hashed from (custkey,
+    orderkey), canonicalized a<b and made DISTINCT by one pair
+    exchange.  After orientation every out-neighborhood is O(sqrt(2m))
+    regardless of raw degree, so a celebrity vertex cannot blow up the
+    wedge stage.  Transitivity reported in exact ppm
+    (3e6*tri // wedges) so the driver hash is float-free."""
+    from rayskema.functions.graph import triangle_stats
+    from rayskema.pipelines.relational import bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        tab = pa.table({"a": pa.array(np.minimum(x, y)[m], pa.int64()),
+                        "b": pa.array(np.maximum(x, y)[m], pa.int64())})
+        return tab.group_by(["a", "b"]).aggregate([])  # block-local dedup
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(raw, ["a", "b"], _uniq, buckets=8,
+                                sort_within=False)
+    s = triangle_stats(edges, "a", "b", buckets=8).to_pydict()
+    n_w, n_t = s["n_wedges"][0], s["n_triangles"][0]
+    return pa.table({
+        "n_edges": pa.array([s["n_edges"][0]], pa.int64()),
+        "n_wedges": pa.array([n_w], pa.int64()),
+        "n_triangles": pa.array([n_t], pa.int64()),
+        "transitivity_ppm": pa.array(
+            [(3 * n_t * 1_000_000) // n_w if n_w else None], pa.int64()),
+    })
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -3644,6 +3685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
+        "graph_triangles": _q_graph_triangles,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -5738,6 +5780,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start,
                    count(DISTINCT user_id) AS n_distinct
             FROM x GROUP BY window_start
+        """,
+        "graph_triangles": """
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            e AS (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM raw WHERE x <> y),
+            deg AS (
+                SELECT v, count(*) AS d
+                FROM (SELECT a AS v FROM e
+                      UNION ALL SELECT b AS v FROM e)
+                GROUP BY v),
+            w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg),
+            t AS (
+                SELECT count(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT n_wedges FROM w) AS BIGINT) AS n_wedges,
+                   CAST((SELECT n_triangles FROM t) AS BIGINT)
+                       AS n_triangles,
+                   CAST((3 * (SELECT n_triangles FROM t) * 1000000)
+                        // (SELECT n_wedges FROM w) AS BIGINT)
+                       AS transitivity_ppm
         """,
         "events_resample": """
             WITH c AS (SELECT event_type,

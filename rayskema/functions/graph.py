@@ -1,0 +1,184 @@
+"""Graph analytics over distributed edge lists.
+
+The reference has no graph operators; these are the graph-shaped
+companions to the dedup module's :func:`~rayskema.functions.dedup.
+connected_components` — the analytics a curation pipeline runs over
+similarity / co-occurrence graphs (triangle density distinguishes
+template-spam clusters from organic near-dup neighborhoods).
+
+Both operators follow the repo's two motifs: vectorized per-block
+work, hash exchanges only where a key's rows must co-locate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                    hash_join, segment_starts)
+
+
+def triangle_stats(
+    edges: "rd.Dataset", a_col: str = "a", b_col: str = "b", *,
+    buckets: int | None = None, max_group: int = 10_000_000,
+) -> pa.Table:
+    """Exact triangle census of an undirected simple graph given as a
+    DISTINCT canonical edge list (``a < b``, no self-loops): one row
+    ``(n_edges, n_wedges, n_triangles, transitivity)`` where
+    ``n_wedges = Σ_v C(deg(v), 2)`` (open + closed paths of length 2)
+    and ``transitivity = 3·triangles / wedges`` (the global clustering
+    coefficient).
+
+    The algorithm is the degree-oriented wedge count (Cohen's
+    MapReduce triangle scheme; also Schank–Wagner's forward
+    algorithm): orient every edge from its lower-``(deg, id)``
+    endpoint to the higher, so each vertex's OUT-degree is
+    ``O(√(2m))`` regardless of its raw degree — a celebrity vertex
+    generates almost no wedges; its low-degree neighbors generate
+    them instead.  Wedges (pairs of out-neighbors) are emitted per
+    source vertex and closed by matching against the edge set.
+
+    Exchanges: degree count (on vertex), two degree joins (``deg``
+    is |V| rows ≤ edges — ``hash_join(broadcast="auto")`` broadcasts
+    a small vertex set, buckets a huge one), wedge generation (on
+    source), wedge↔edge match (on the pair).  Every stage's partial
+    is pre-aggregated in-block; the driver holds five scalars.
+    Wedge chunks stream through the dedup module's bounded pair
+    templates, so peak residency is O(chunk) even on dense
+    neighborhoods; an out-neighborhood larger than ``max_group``
+    raises (it would mean ≫10¹³ wedges on a simple graph).
+
+    Returns a driver-side one-row table (the result is five numbers,
+    not a dataset)."""
+    from .dedup import _group_pair_chunks
+
+    edges = edges.select_columns([a_col, b_col])
+
+    # --- degrees: one exchange on the vertex ----------------------
+    def _deg_partial(tab: pa.Table) -> pa.Table:
+        v = pa.chunked_array([tab[a_col].combine_chunks(),
+                              tab[b_col].combine_chunks()])
+        vc = v.combine_chunks().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "deg": pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = bucketed_map_groups(
+        edges.map_batches(_deg_partial, batch_format="pyarrow"),
+        ["v"], lambda t: agg_named(t, ["v"], [("deg", "sum")], ["deg"]),
+        buckets=buckets, sort_within=False)
+
+    # --- n_edges and n_wedges = Σ C(deg, 2): tiny driver partials --
+    def _wedge_partial(tab: pa.Table) -> pa.Table:
+        d = tab["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_vertices": pa.array([tab.num_rows], pa.int64()),
+            "n_wedges": pa.array([int((d * (d - 1) // 2).sum())],
+                                 pa.int64())})
+
+    deg_mat = deg.materialize()   # reused: wedge partials + two joins
+    wparts = deg_mat.map_batches(_wedge_partial,
+                                 batch_format="pyarrow").take_all()
+    n_wedges = sum(r["n_wedges"] for r in wparts)
+    n_edges = edges.count()
+
+    # --- orientation: src = lower (deg, id) endpoint ---------------
+    j1 = hash_join(edges, deg_mat, on=a_col, right_on="v",
+                   broadcast="auto", suffix="_a")
+    j1 = j1.map_batches(lambda t: t.rename_columns(
+        [{"deg": "deg_a"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, deg_mat, on=b_col, right_on="v",
+                   broadcast="auto", suffix="_b")
+
+    def _orient(tab: pa.Table) -> pa.Table:
+        da = tab["deg_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = tab["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = tab[a_col].combine_chunks()
+        b = tab[b_col].combine_chunks()
+        an = a.to_numpy(zero_copy_only=False)
+        bn = b.to_numpy(zero_copy_only=False)
+        # lower (deg, id) wins; ids are distinct so ties break on id
+        a_first = (da < db) | ((da == db) & (an < bn))
+        src = pc.if_else(pa.array(a_first), a, b)
+        dst = pc.if_else(pa.array(a_first), b, a)
+        return pa.table({"src": src, "dst": dst})
+
+    oriented = j2.map_batches(_orient, batch_format="pyarrow")
+
+    # --- wedges: pairs of out-neighbors per source -----------------
+    def _wedges(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("src", "ascending"), ("dst", "ascending")])
+        if not tab.num_rows:
+            t = tab["dst"].type
+            return pa.table({"wa": pa.array([], t), "wb": pa.array([], t),
+                             "n_w": pa.array([], pa.int64())})
+        new = segment_starts(tab, ["src"])
+        firsts = np.flatnonzero(new)
+        counts = np.diff(np.append(firsts, tab.num_rows))
+        dst = tab["dst"].combine_chunks()
+        partials = []
+        for ia, ib in _group_pair_chunks(counts, firsts,
+                                         max_group=max_group):
+            chunk = pa.table({
+                "wa": dst.take(pa.array(ia)),   # dst sorted per src,
+                "wb": dst.take(pa.array(ib)),   # so wa < wb holds
+                "__one": pa.array(np.ones(len(ia), dtype=np.int64))})
+            partials.append(agg_named(chunk, ["wa", "wb"],
+                                      [("__one", "sum")], ["n_w"]))
+        if not partials:
+            t = dst.type
+            return pa.table({"wa": pa.array([], t), "wb": pa.array([], t),
+                             "n_w": pa.array([], pa.int64())})
+        return agg_named(pa.concat_tables(partials), ["wa", "wb"],
+                         [("n_w", "sum")], ["n_w"])
+
+    wedges = bucketed_map_groups(oriented, ["src"], _wedges,
+                                 buckets=buckets, sort_within=False)
+
+    # --- close wedges against the edge set: one pair exchange ------
+    def _tag(is_edge: int):
+        def fn(tab: pa.Table) -> pa.Table:
+            first = tab.column_names[0]
+            return pa.table({
+                "wa": tab[0], "wb": tab[1],
+                "n_w": (pa.nulls(tab.num_rows, pa.int64())
+                        if is_edge else tab["n_w"]),
+                "is_edge": pa.array(
+                    np.full(tab.num_rows, is_edge, dtype=np.int8)),
+            }) if first else tab
+        return fn
+
+    tagged = wedges.map_batches(_tag(0), batch_format="pyarrow").union(
+        edges.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _close(tab: pa.Table) -> pa.Table:
+        if not tab.num_rows:
+            return pa.table({"n_tri": pa.array([0], pa.int64())})
+        tab = tab.sort_by([("wa", "ascending"), ("wb", "ascending")])
+        new = segment_starts(tab, ["wa", "wb"])
+        seg = np.cumsum(new) - 1
+        is_e = tab["is_edge"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nw = pc.fill_null(tab["n_w"], 0).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_seg = int(seg[-1]) + 1
+        has_edge = np.bincount(seg, weights=is_e,
+                               minlength=n_seg) > 0
+        w_sum = np.bincount(seg, weights=nw, minlength=n_seg)
+        tri = int(w_sum[has_edge].sum())
+        return pa.table({"n_tri": pa.array([tri], pa.int64())})
+
+    closed = bucketed_map_groups(tagged, ["wa", "wb"], _close,
+                                 buckets=buckets, sort_within=False)
+    n_tri = sum(r["n_tri"] for r in closed.take_all())
+    trans = (3.0 * float(n_tri) / float(n_wedges)) if n_wedges else None
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "transitivity": pa.array([trans], pa.float64()),
+    })

@@ -2451,3 +2451,42 @@ def test_hopping_window_agg(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(rd.from_arrow(tab), "ts", ["g"], "v",
                            size_us=7, hop_us=5)
+
+
+def test_triangle_stats(ray_session):
+    from rayskema.functions.graph import triangle_stats
+    rng = np.random.default_rng(7)
+    pairs = set()
+    for _ in range(400):
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    pairs = sorted(pairs)
+    tab = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                    "b": pa.array([p[1] for p in pairs], pa.int64())})
+    out = triangle_stats(rd.from_arrow(tab).repartition(5),
+                         "a", "b", buckets=4).to_pydict()
+    # brute-force census on the driver
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in pairs) // 3
+    wed = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert out["n_edges"] == [len(pairs)]
+    assert out["n_wedges"] == [wed]
+    assert out["n_triangles"] == [tri]
+    assert out["transitivity"] == [3.0 * tri / wed]
+
+
+def test_triangle_stats_degenerate(ray_session):
+    from rayskema.functions.graph import triangle_stats
+    # a single edge: no wedges, no triangles, transitivity NULL
+    tab = pa.table({"a": pa.array([1], pa.int64()),
+                    "b": pa.array([2], pa.int64())})
+    out = triangle_stats(rd.from_arrow(tab), "a", "b",
+                         buckets=2).to_pydict()
+    assert out["n_edges"] == [1]
+    assert out["n_wedges"] == [0]
+    assert out["n_triangles"] == [0]
+    assert out["transitivity"] == [None]
