@@ -3665,6 +3665,71 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_graph_pagerank(sf_dir: str):
+    """Deterministic integer PageRank (functions/graph.pagerank): 5
+    synchronous power iterations in fixed-point micro-units over the
+    DIRECTED version of the synthetic co-purchase graph (src =
+    custkey mod 400, dst hashed from (custkey, orderkey)).  Every
+    division floors, so the engine's numpy path and the oracle's
+    unrolled-CTE SQL agree bit-for-bit — no float summation order to
+    disagree about.  The edge⋈outdeg join is computed once and reused
+    across iterations; ranks are the |V|-sized iterate."""
+    from rayskema.functions.graph import pagerank
+    from rayskema.pipelines.relational import bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        tab = pa.table({"src": pa.array(x[m], pa.int64()),
+                        "dst": pa.array(y[m], pa.int64())})
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        buckets=8, sort_within=False)
+    return pagerank(edges, "src", "dst", iterations=5, buckets=8)
+
+
+def _pagerank_oracle_sql(iterations: int = 5, scale: int = 1_000_000,
+                         num: int = 85, den: int = 100) -> str:
+    """Unrolled-CTE mirror of functions/graph.pagerank's integer
+    recurrence (one CTE per iteration; DuckDB `//` floors like
+    numpy's `//` over the non-negative ranks)."""
+    base = (scale * (den - num)) // den
+    ctes = [f"pr0 AS (SELECT v, CAST({scale} AS BIGINT) AS r FROM verts)"]
+    for i in range(iterations):
+        ctes.append(f"""pr{i + 1} AS (
+                SELECT vt.v, CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS r
+                FROM verts vt LEFT JOIN (
+                    SELECT e.dst AS v,
+                           SUM((p.r * {num}) // ({den} * o.dg)) AS s
+                    FROM edges e
+                    JOIN pr{i} p ON p.v = e.src
+                    JOIN outdeg o ON o.v = e.src
+                    GROUP BY e.dst) c ON c.v = vt.v)""")
+    return f"""
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            edges AS (
+                SELECT DISTINCT x AS src, y AS dst FROM raw WHERE x <> y),
+            verts AS (SELECT src AS v FROM edges
+                      UNION SELECT dst FROM edges),
+            outdeg AS (SELECT src AS v, count(*) AS dg
+                       FROM edges GROUP BY src),
+            {", ".join(ctes)}
+            SELECT v, r FROM pr{iterations}
+        """
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -3686,6 +3751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
         "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -5808,6 +5874,7 @@ def oracle_sql() -> dict[str, str]:
                         // (SELECT n_wedges FROM w) AS BIGINT)
                        AS transitivity_ppm
         """,
+        "graph_pagerank": _pagerank_oracle_sql(),
         "events_resample": """
             WITH c AS (SELECT event_type,
                               epoch_us(ts) // 21600000000 AS b,

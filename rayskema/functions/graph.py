@@ -22,6 +22,101 @@ from ..pipelines.relational import (agg_named, bucketed_map_groups,
                                     hash_join, segment_starts)
 
 
+def pagerank(
+    edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst", *,
+    iterations: int = 5, scale: int = 1_000_000,
+    damping_num: int = 85, damping_den: int = 100,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Deterministic INTEGER PageRank over a directed edge list:
+    ``iterations`` synchronous power iterations in fixed-point
+    micro-units so the result is exactly reproducible (and exactly
+    SQL-mirrorable — no float summation order to disagree about).
+
+    Semantics (every division is a floor over non-negatives):
+
+    - vertices = DISTINCT(src ∪ dst); ``r0(v) = scale``
+    - ``r_{i+1}(v) = (scale·(den−num))//den
+      + Σ_{(u,v)∈E} (r_i(u)·num) // (den·outdeg(u))``
+    - dangling mass (outdeg 0) is dropped, the classic simplification;
+      total mass therefore shrinks slightly per step, which is fine
+      for RANKING (the use here) and keeps the recurrence local.
+
+    Scale design: ``outdeg`` and the per-iteration contribution sums
+    are one bucketed exchange each; the edge⋈outdeg join is computed
+    ONCE and reused across all iterations (it is the |E|-sized
+    invariant; ranks are the |V|-sized iterate).  The rank join takes
+    ``broadcast="auto"`` — a small vertex set rides the object store,
+    a huge one falls back to the bucketed exchange.  The driver holds
+    no per-vertex data; each iterate is a materialized |V| dataset.
+    Overflow headroom: max rank ≤ |V|·scale, so contributions fit
+    int64 while ``|V|·scale·damping_num < 2^63`` (raise ``scale`` only
+    for small graphs).
+
+    Returns a Dataset ``(v, r)`` after the final iteration.
+    """
+    edges = edges.select_columns([src_col, dst_col])
+
+    def _vert_partial(tab: pa.Table) -> pa.Table:
+        v = pa.chunked_array([tab[src_col].combine_chunks(),
+                              tab[dst_col].combine_chunks()])
+        return pa.table({"v": v.combine_chunks().unique()})
+
+    verts = bucketed_map_groups(
+        edges.map_batches(_vert_partial, batch_format="pyarrow"),
+        ["v"], lambda t: t.group_by(["v"]).aggregate([]),
+        buckets=buckets, sort_within=False).materialize()
+
+    def _deg_partial(tab: pa.Table) -> pa.Table:
+        vc = tab[src_col].combine_chunks().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "dg": pc.cast(vc.field("counts"), pa.int64())})
+
+    outdeg = bucketed_map_groups(
+        edges.map_batches(_deg_partial, batch_format="pyarrow"),
+        ["v"], lambda t: agg_named(t, ["v"], [("dg", "sum")], ["dg"]),
+        buckets=buckets, sort_within=False)
+
+    # |E|-sized invariant, joined once and reused every iteration.
+    e_deg = hash_join(edges, outdeg, on=src_col, right_on="v",
+                      broadcast="auto").materialize()
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = verts.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(t.num_rows, scale, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+
+    num, den = damping_num, damping_den
+    for _ in range(iterations):
+        j = hash_join(e_deg, ranks, on=src_col, right_on="v",
+                      broadcast="auto", suffix="_rk")
+
+        def _contrib(tab: pa.Table) -> pa.Table:
+            r = tab["r"].combine_chunks().to_numpy(zero_copy_only=False)
+            dg = tab["dg"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = (r * num) // (den * dg)
+            part = pa.table({"v": tab[dst_col], "c": pa.array(c)})
+            return agg_named(part, ["v"], [("c", "sum")], ["c"])
+
+        contrib = bucketed_map_groups(
+            j.map_batches(_contrib, batch_format="pyarrow"),
+            ["v"], lambda t: agg_named(t, ["v"], [("c", "sum")], ["c"]),
+            buckets=buckets, sort_within=False)
+
+        nxt = hash_join(verts, contrib, on="v", how="left_outer",
+                        broadcast="auto")
+
+        def _apply(tab: pa.Table) -> pa.Table:
+            c = pc.fill_null(pc.cast(tab["c"], pa.int64()), 0)
+            return pa.table({"v": tab["v"],
+                             "r": pc.add_checked(c, base)})
+
+        ranks = nxt.map_batches(_apply,
+                                batch_format="pyarrow").materialize()
+    return ranks
+
+
 def triangle_stats(
     edges: "rd.Dataset", a_col: str = "a", b_col: str = "b", *,
     buckets: int | None = None, max_group: int = 10_000_000,

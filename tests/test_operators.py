@@ -2490,3 +2490,49 @@ def test_triangle_stats_degenerate(ray_session):
     assert out["n_wedges"] == [0]
     assert out["n_triangles"] == [0]
     assert out["transitivity"] == [None]
+
+
+def test_pagerank_integer(ray_session):
+    from rayskema.functions.graph import pagerank
+    rng = np.random.default_rng(11)
+    pairs = set()
+    for _ in range(300):
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs = sorted(pairs)
+    tab = pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], pa.int64())})
+    out = _collect(pagerank(rd.from_arrow(tab).repartition(5),
+                            iterations=4, buckets=4)).sort_by("v")
+    # driver-side reference: the exact same integer recurrence
+    verts = sorted({v for p in pairs for v in p})
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = {v: 1_000_000 for v in verts}
+    base = (1_000_000 * 15) // 100
+    for _ in range(4):
+        nxt = {v: base for v in verts}
+        for a, b in pairs:
+            nxt[b] += (r[a] * 85) // (100 * outdeg[a])
+        r = nxt
+    assert out["v"].to_pylist() == verts
+    assert out["r"].to_pylist() == [r[v] for v in verts]
+    # mass never exceeds the initial total (dangling mass is dropped)
+    assert sum(r.values()) <= 1_000_000 * len(verts)
+
+
+def test_pagerank_sink_vertex(ray_session):
+    from rayskema.functions.graph import pagerank
+    # 1 -> 2 -> 3; 3 is dangling (its mass drops each iteration)
+    tab = pa.table({"src": pa.array([1, 2], pa.int64()),
+                    "dst": pa.array([2, 3], pa.int64())})
+    out = _collect(pagerank(rd.from_arrow(tab),
+                            iterations=2, buckets=2)).sort_by("v")
+    s, base = 1_000_000, 150_000
+    r1 = {1: base, 2: base + (s * 85) // 100, 3: base + (s * 85) // 100}
+    r2 = {1: base, 2: base + (r1[1] * 85) // 100,
+          3: base + (r1[2] * 85) // 100}
+    assert out["v"].to_pylist() == [1, 2, 3]
+    assert out["r"].to_pylist() == [r2[1], r2[2], r2[3]]
