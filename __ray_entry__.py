@@ -2161,6 +2161,26 @@ def _q_customers_q22(sf_dir: str):
                       ("bal_c", "sum", "totacctbal_c")], buckets=4)
 
 
+def _q_parts_skyline(sf_dir: str):
+    """SKYLINE / Pareto frontier (relational.skyline): parts where no
+    other part is both cheaper (or equal) AND bigger (or equal) with
+    one strict — the cheap-and-large frontier.  Zero exchanges: each
+    block computes its local frontier in parallel (global skyline ⊆
+    every local one, so frontier-of-frontiers is exact), survivors
+    merge in one final task.  Prices in exact cents so the driver
+    hash is float-free."""
+    from rayskema.pipelines.relational import skyline
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_size", "p_retailprice"]) \
+        .map_batches(lambda t: pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_size": t["p_size"],
+            "price_c": _cents(t["p_retailprice"])}),
+            batch_format="pyarrow")
+    return skyline(part, minimize=["price_c"], maximize=["p_size"])
+
+
 def _q_parts_min_price(sf_dir: str):
     """TPC-H Q2 shape — argmin join-back: the cheapest part(s) per
     type, ties included.  group_agg min collapses part to one row per
@@ -3805,6 +3825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_order_dist": _q_customers_order_dist,
         "customers_q22": _q_customers_q22,
         "parts_min_price": _q_parts_min_price,
+        "parts_skyline": _q_parts_skyline,
         "lineitem_variance": _q_lineitem_variance,
         "events_approx_distinct": _q_events_approx_distinct,
         "docs_approx_quantiles": _q_docs_approx_quantiles,
@@ -5643,6 +5664,17 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6)
                        AS stddev_qty
             FROM p
+        """,
+        "parts_skyline": """
+            WITH t AS (SELECT p_partkey, p_size,
+                              CAST(round(p_retailprice * 100) AS BIGINT)
+                                  AS price_c
+                       FROM part)
+            SELECT p_partkey, p_size, price_c FROM t p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t q
+                WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+                  AND (q.price_c < p.price_c OR q.p_size > p.p_size))
         """,
         "parts_min_price": """
             SELECT p.p_type,

@@ -3745,3 +3745,97 @@ def diff_snapshots(
 
     return bucketed_map_groups(both, key_cols, _diff, buckets=buckets,
                                sort_within=False)
+
+
+def _pareto_frontier_table(tab: pa.Table, dims: Sequence[str],
+                           sense: np.ndarray, chunk: int = 4096
+                           ) -> pa.Table:
+    """Exact local Pareto frontier of one table (all original columns
+    kept).  A row is dominated iff some other row is at-least-as-good
+    on EVERY dim and strictly better on at least one; identical dim
+    vectors never dominate each other, so duplicate points all stay.
+
+    Vectorized: canonicalize every dim to minimize, lexsort; in
+    ascending lexicographic order a later row can never dominate an
+    earlier one (componentwise ≤ with a strict dim contradicts the
+    sort), so one forward pass over CHUNKS suffices — each chunk is
+    matrix-checked (numpy broadcast) against the accumulated frontier
+    and its own earlier rows.  Cost ≈ n·|frontier|·d bool ops, and
+    skylines are small in practice; worst case (fully anti-correlated
+    data, frontier = everything) degrades to quadratic, like every
+    exact skyline."""
+    n = tab.num_rows
+    if n == 0:
+        return tab
+    # canonicalize to minimize; NATIVE dtypes per dim (an int64 dim
+    # stays exact past 2^53 — no shared float matrix)
+    cols = []
+    for d, s in zip(dims, sense):
+        if pc.any(pc.is_null(tab[d])).as_py():
+            raise ValueError("skyline dims must be non-null / non-NaN")
+        c = tab[d].combine_chunks().to_numpy(zero_copy_only=False)
+        if np.issubdtype(c.dtype, np.floating) and np.isnan(c).any():
+            raise ValueError("skyline dims must be non-null / non-NaN")
+        cols.append(-c if s < 0 else c)
+    order = np.lexsort(tuple(reversed(cols)))
+    cols = [c[order] for c in cols]
+    front = [c[:0] for c in cols]
+    keep_sorted: list[np.ndarray] = []
+    for lo in range(0, n, chunk):
+        C = [c[lo:lo + chunk] for c in cols]
+        m = len(C[0])
+        le = np.ones((m, len(front[0])), dtype=bool)
+        lt = np.zeros((m, len(front[0])), dtype=bool)
+        for f, c in zip(front, C):
+            le &= f[None, :] <= c[:, None]
+            lt |= f[None, :] < c[:, None]
+        dom = (le & lt).any(1)
+        # intra-chunk: only earlier rows (j < i) can dominate
+        le2 = np.ones((m, m), dtype=bool)
+        lt2 = np.zeros((m, m), dtype=bool)
+        for c in C:
+            le2 &= c[None, :] <= c[:, None]
+            lt2 |= c[None, :] < c[:, None]
+        tri = np.tri(m, k=-1, dtype=bool)             # j < i
+        dom |= (le2 & lt2 & tri).any(1)
+        keep = ~dom
+        keep_sorted.append(np.flatnonzero(keep) + lo)
+        front = [np.concatenate([f, c[keep]])
+                 for f, c in zip(front, C)]
+    pick = order[np.concatenate(keep_sorted)]
+    return tab.take(pa.array(np.sort(pick)))
+
+
+def skyline(
+    ds: "rd.Dataset", *, minimize: Sequence[str] = (),
+    maximize: Sequence[str] = (), chunk: int = 4096,
+) -> "rd.Dataset":
+    """Distributed SKYLINE (Pareto frontier): rows not dominated by
+    any other row, where better = smaller on every ``minimize`` dim
+    and larger on every ``maximize`` dim (strict on at least one).
+    SQL mirror: ``WHERE NOT EXISTS (SELECT 1 FROM t q WHERE <q
+    weakly better> AND <q strictly better somewhere>)``.
+
+    Two stages, NO hash exchange at all: (1) every block computes its
+    local frontier in parallel — valid because domination is global:
+    the global skyline is a subset of every local one, so
+    frontier-of-frontiers is EXACT, not approximate; (2) surviving
+    candidates (typically a vanishing fraction) are repartitioned to
+    one block for the final pass.  The stage-2 single task is the
+    documented partitioning assumption: the union of local frontiers
+    fits one worker — true for real data where skylines are tiny; a
+    pathologically anti-correlated input would need a tree of merge
+    rounds instead.  Null/NaN dims raise (SQL NOT EXISTS treats NULL
+    comparisons as non-domination both ways, a semantics nobody
+    wants from a frontier)."""
+    dims = list(minimize) + list(maximize)
+    if not dims:
+        raise ValueError("need at least one minimize/maximize dim")
+    sense = np.array([1.0] * len(minimize) + [-1.0] * len(maximize))
+
+    def _local(tab: pa.Table) -> pa.Table:
+        return _pareto_frontier_table(tab, dims, sense, chunk)
+
+    cand = ds.map_batches(_local, batch_format="pyarrow")
+    return cand.repartition(1).map_batches(_local,
+                                           batch_format="pyarrow")

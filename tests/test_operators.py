@@ -2536,3 +2536,61 @@ def test_pagerank_sink_vertex(ray_session):
           3: base + (r1[2] * 85) // 100}
     assert out["v"].to_pylist() == [1, 2, 3]
     assert out["r"].to_pylist() == [r2[1], r2[2], r2[3]]
+
+
+def test_skyline_2d(ray_session):
+    from rayskema.pipelines.relational import skyline
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1000, 500).astype(np.int64)
+    y = rng.integers(0, 1000, 500).astype(np.int64)
+    tab = pa.table({"id": pa.array(np.arange(500)),
+                    "x": pa.array(x), "y": pa.array(y)})
+    out = _collect(skyline(rd.from_arrow(tab).repartition(7),
+                           minimize=["x"], maximize=["y"]))
+    # brute-force reference
+    keep = []
+    for i in range(500):
+        dom = ((x <= x[i]) & (y >= y[i]) &
+               ((x < x[i]) | (y > y[i]))).any()
+        if not dom:
+            keep.append(i)
+    assert sorted(out["id"].to_pylist()) == keep
+    # frontier rows carry their original dims through untouched
+    got = dict(zip(out["id"].to_pylist(), out["x"].to_pylist()))
+    for i in keep:
+        assert got[i] == x[i]
+
+
+def test_skyline_duplicates_and_chunking(ray_session):
+    from rayskema.pipelines.relational import skyline
+    # identical points never dominate each other: both copies stay;
+    # chunk=2 exercises the cross-chunk frontier accumulation
+    tab = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "x": pa.array([1, 1, 2, 3, 0], pa.int64()),
+                    "y": pa.array([5, 5, 9, 1, 0], pa.int64())})
+    out = _collect(skyline(rd.from_arrow(tab), minimize=["x"],
+                           maximize=["y"], chunk=2))
+    assert sorted(out["id"].to_pylist()) == [1, 2, 3, 5]
+    with pytest.raises(ValueError):
+        skyline(rd.from_arrow(tab))
+
+
+def test_skyline_three_dims_and_nulls(ray_session):
+    from rayskema.pipelines.relational import skyline
+    rng = np.random.default_rng(9)
+    m = 200
+    a = rng.integers(0, 8, m).astype(np.int64)
+    b = rng.integers(0, 8, m).astype(np.int64)
+    c = rng.integers(0, 8, m).astype(np.int64)
+    tab = pa.table({"id": pa.array(np.arange(m)), "a": pa.array(a),
+                    "b": pa.array(b), "c": pa.array(c)})
+    out = _collect(skyline(rd.from_arrow(tab).repartition(3),
+                           minimize=["a", "b"], maximize=["c"]))
+    keep = [i for i in range(m)
+            if not ((a <= a[i]) & (b <= b[i]) & (c >= c[i]) &
+                    ((a < a[i]) | (b < b[i]) | (c > c[i]))).any()]
+    assert sorted(out["id"].to_pylist()) == keep
+    bad = pa.table({"x": pa.array([1.0, float("nan")]),
+                    "y": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception):
+        _collect(skyline(rd.from_arrow(bad), minimize=["x", "y"]))
