@@ -3685,6 +3685,21 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_events_transitions(sf_dir: str):
+    """Markov transition matrix of the event stream
+    (relational.group_transitions): per user, order events by
+    (ts, event_id) and count every adjacent event_type pair globally.
+    Full rows shuffle ONCE (on user); each bucket pre-aggregates to
+    its distinct (from, to) pairs, and only that vocabulary-sized
+    partial takes the second exchange."""
+    from rayskema.pipelines.relational import group_transitions
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return group_transitions(ds, "user_id", ["ts", "event_id"],
+                             "event_type", buckets=8,
+                             from_col="from_type", to_col="to_type")
+
+
 def _q_graph_pagerank(sf_dir: str):
     """Deterministic integer PageRank (functions/graph.pagerank): 5
     synchronous power iterations in fixed-point micro-units over the
@@ -3772,6 +3787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2-unchecked entries lead the dict to get their row
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
+        "events_transitions": _q_events_transitions,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -5907,6 +5923,18 @@ def oracle_sql() -> dict[str, str]:
                        AS transitivity_ppm
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "events_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        """,
         "events_resample": """
             WITH c AS (SELECT event_type,
                               epoch_us(ts) // 21600000000 AS b,

@@ -3839,3 +3839,53 @@ def skyline(
     cand = ds.map_batches(_local, batch_format="pyarrow")
     return cand.repartition(1).map_batches(_local,
                                            batch_format="pyarrow")
+
+
+def group_transitions(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, buckets: int | None = None,
+    from_col: str = "from_v", to_col: str = "to_v", n_col: str = "n",
+) -> "rd.Dataset":
+    """Consecutive-pair (Markov transition) counts: per group, order
+    rows by ``order_cols`` and count every adjacent
+    ``(value, next value)`` pair globally — SQL ``lead(v) OVER
+    (PARTITION BY g ORDER BY o...)`` then ``GROUP BY v, nxt`` with
+    ``nxt IS NOT NULL`` dropped pairs only at each group's last row.
+    Give a unique order key (ties break by sorted position otherwise).
+    NULL values ARE counted as states (SQL GROUP BY null-group
+    semantics).
+
+    One hash exchange on the group key; each bucket emits its
+    PARTIAL ``(from, to) -> count`` table (distinct pairs, tiny), and
+    a second exchange over that vocabulary-sized partial sums it —
+    the full rows never move twice."""
+    order_cols = list(order_cols)
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        n = tab.num_rows
+        v = tab[value_col].combine_chunks()
+        if n < 2:
+            return pa.table({from_col: v.slice(0, 0),
+                             to_col: v.slice(0, 0),
+                             n_col: pa.array([], pa.int64())})
+        new_g = segment_starts(tab, [group_col])
+        idx = np.arange(n)
+        src = idx[~np.append(new_g[1:], True)]     # not last in group
+        part = pa.table({
+            from_col: v.take(pa.array(src)),
+            to_col: v.take(pa.array(src + 1)),
+            "__one": pa.array(np.ones(len(src), dtype=np.int64))})
+        return agg_named(part, [from_col, to_col], [("__one", "sum")],
+                         [n_col])
+
+    partials = bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(
+            [group_col] + order_cols + [value_col]))),
+        [group_col], _pairs, buckets=buckets, sort_within=False)
+    return bucketed_map_groups(
+        partials, [from_col, to_col],
+        lambda t: agg_named(t, [from_col, to_col], [(n_col, "sum")],
+                            [n_col]),
+        buckets=buckets, sort_within=False)

@@ -2594,3 +2594,31 @@ def test_skyline_three_dims_and_nulls(ray_session):
                     "y": pa.array([1, 2], pa.int64())})
     with pytest.raises(Exception):
         _collect(skyline(rd.from_arrow(bad), minimize=["x", "y"]))
+
+
+def test_group_transitions(ray_session):
+    from rayskema.pipelines.relational import group_transitions
+    tab = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "o": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        "v": ["a", "b", "a", "b", "a", "a"]})
+    out = _collect(group_transitions(
+        rd.from_arrow(tab).repartition(4), "g", ["o"], "v",
+        buckets=2)).to_pydict()
+    got = {(f, t): n for f, t, n in
+           zip(out["from_v"], out["to_v"], out["n"])}
+    # g1: a->b, b->a; g2: b->a; g3: no pairs
+    assert got == {("a", "b"): 1, ("b", "a"): 2}
+
+
+def test_group_transitions_null_state(ray_session):
+    from rayskema.pipelines.relational import group_transitions
+    tab = pa.table({
+        "g": pa.array([1, 1, 1], pa.int64()),
+        "o": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array(["a", None, "a"], pa.string())})
+    out = _collect(group_transitions(rd.from_arrow(tab), "g", ["o"],
+                                     "v", buckets=1)).to_pydict()
+    got = {(f, t): n for f, t, n in
+           zip(out["from_v"], out["to_v"], out["n"])}
+    assert got == {("a", None): 1, (None, "a"): 1}
