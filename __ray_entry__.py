@@ -3685,6 +3685,62 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_events_zorder(sf_dir: str):
+    """Z-ORDER clustering key (functions/layout): Morton-interleave
+    10 bits of (user_id mod 1024, epoch-day mod 1024) per event and
+    summarize the top-10-bit key-range partitions (count, min/max
+    key).  This is the write-side layout op — clustering on the Z
+    curve bounds BOTH dims' spread inside every partition so Parquet
+    row-group stats prune range predicates on either dim; the summary
+    (not the sorted payload) is returned because the driver compares
+    order-insensitively.  Key construction is pure per-batch bit
+    arithmetic mirrored exactly by a generated SQL shift-mask
+    expression."""
+    import pyarrow.compute as pc
+    from rayskema.functions.layout import zorder_key
+    from rayskema.pipelines.relational import group_agg
+
+    def _dims(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array(uid % 1024, pa.int64()),
+                         "y": pa.array((us // 86_400_000_000) % 1024,
+                                       pa.int64())})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _dims, batch_format="pyarrow")
+    k = zorder_key(ds, ["x", "y"], bits=10)
+
+    def _part(t: pa.Table) -> pa.Table:
+        z = t["zkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(z >> 10), "zkey": t["zkey"]})
+
+    return group_agg(k.map_batches(_part, batch_format="pyarrow"),
+                     ["p"], [("zkey", "count_all", "n"),
+                             ("zkey", "min", "min_zkey"),
+                             ("zkey", "max", "max_zkey")], buckets=4)
+
+
+def _zorder_oracle_sql() -> str:
+    """Mirror of _q_events_zorder: the Morton key as a generated
+    shift-mask SQL expression (functions/layout.morton_sql_expr)."""
+    from rayskema.functions.layout import morton_sql_expr
+    return f"""
+            WITH d AS (
+                SELECT user_id % 1024 AS x,
+                       (epoch_us(ts) // 86400000000) % 1024 AS y
+                FROM events),
+            k AS (SELECT {morton_sql_expr(["x", "y"], 10)} AS zkey
+                  FROM d)
+            SELECT CAST(zkey >> 10 AS BIGINT) AS p,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(zkey) AS BIGINT) AS min_zkey,
+                   CAST(max(zkey) AS BIGINT) AS max_zkey
+            FROM k GROUP BY 1
+        """
+
+
 def _q_events_transitions(sf_dir: str):
     """Markov transition matrix of the event stream
     (relational.group_transitions): per user, order events by
@@ -3788,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "events_transitions": _q_events_transitions,
+        "events_zorder": _q_events_zorder,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -5923,6 +5980,7 @@ def oracle_sql() -> dict[str, str]:
                        AS transitivity_ppm
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "events_zorder": _zorder_oracle_sql(),
         "events_transitions": """
             WITH s AS (
                 SELECT event_type,

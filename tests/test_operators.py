@@ -2622,3 +2622,58 @@ def test_group_transitions_null_state(ray_session):
     got = {(f, t): n for f, t, n in
            zip(out["from_v"], out["to_v"], out["n"])}
     assert got == {("a", None): 1, (None, "a"): 1}
+
+
+def test_morton_interleave_reference():
+    from rayskema.functions.layout import morton_interleave
+
+    def ref(x, y, bits):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i + 1)
+            k |= ((y >> i) & 1) << (2 * i)
+        return k
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, 100)
+    y = rng.integers(0, 256, 100)
+    got = morton_interleave([x, y], 8)
+    assert got.tolist() == [ref(int(a), int(b), 8)
+                            for a, b in zip(x, y)]
+    # key is monotone in each dim with the other held fixed
+    assert morton_interleave([np.array([3]), np.array([7])], 4)[0] < \
+        morton_interleave([np.array([3]), np.array([8])], 4)[0]
+    with pytest.raises(ValueError):
+        morton_interleave([x], 8)
+    with pytest.raises(ValueError):
+        morton_interleave([x, np.array([-1] * 100)], 8)
+    with pytest.raises(ValueError):
+        morton_interleave([x, y, x, y], 16)  # 64 bits > int64
+
+
+def test_zorder_sort_clusters(ray_session):
+    from rayskema.functions.layout import zorder_sort
+    rng = np.random.default_rng(2)
+    n = 4000
+    tab = pa.table({"x": pa.array(rng.integers(0, 1024, n).astype(np.int64)),
+                    "y": pa.array(rng.integers(0, 1024, n).astype(np.int64))})
+    out = zorder_sort(rd.from_arrow(tab).repartition(8), ["x", "y"],
+                      bits=10).materialize()
+    import ray as _ray
+    blocks = [b for b in _ray.get(out.to_arrow_refs()) if b.num_rows]
+    # sorted: block key ranges are non-overlapping and ordered
+    los = [b["zkey"][0].as_py() for b in blocks]
+    his = [b["zkey"][-1].as_py() for b in blocks]
+    order = np.argsort(los)
+    for i, j in zip(order, order[1:]):
+        assert his[i] <= los[j]
+    # the clustering property: each block's per-dim spread is bounded
+    # far below the global spread (a random split would cover ~full
+    # range in every block)
+    for b in blocks:
+        if b.num_rows < 50:
+            continue
+        xs = b["x"].to_numpy(zero_copy_only=False)
+        ys = b["y"].to_numpy(zero_copy_only=False)
+        assert (xs.max() - xs.min()) * (ys.max() - ys.min()) < \
+            1024 * 1024 / 2
