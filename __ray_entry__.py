@@ -3685,6 +3685,24 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_lineitem_wmedian(sf_dir: str):
+    """Exact weighted median (relational.group_weighted_median):
+    per returnflag, the smallest quantity whose cumulative
+    revenue-weight (exact cents, integer) reaches half the flag's
+    total — min(v) WHERE 2·cumw ≥ totw.  One exchange; threshold
+    crossings found by segment prefix sums, no per-group Python."""
+    from rayskema.pipelines.relational import group_weighted_median
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"]) \
+        .map_batches(lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_quantity": t["l_quantity"],
+            "w_c": _cents(t["l_extendedprice"])}),
+            batch_format="pyarrow")
+    return group_weighted_median(ds, ["l_returnflag"], "l_quantity",
+                                 "w_c", buckets=4)
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-ORDER clustering key (functions/layout): Morton-interleave
     10 bits of (user_id mod 1024, epoch-day mod 1024) per event and
@@ -3845,6 +3863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "events_transitions": _q_events_transitions,
         "events_zorder": _q_events_zorder,
+        "lineitem_wmedian": _q_lineitem_wmedian,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -5981,6 +6000,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "lineitem_wmedian": """
+            WITH t AS (
+                SELECT l_returnflag AS g, l_quantity AS v,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+                FROM lineitem),
+            c AS (
+                SELECT g, v,
+                       SUM(w) OVER (PARTITION BY g ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cw,
+                       SUM(w) OVER (PARTITION BY g) AS tw
+                FROM t)
+            SELECT g AS l_returnflag, min(v) AS wmedian
+            FROM c WHERE 2 * cw >= tw GROUP BY g
+        """,
         "events_transitions": """
             WITH s AS (
                 SELECT event_type,

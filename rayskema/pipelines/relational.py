@@ -3889,3 +3889,66 @@ def group_transitions(
         lambda t: agg_named(t, [from_col, to_col], [(n_col, "sum")],
                             [n_col]),
         buckets=buckets, sort_within=False)
+
+
+def group_weighted_median(
+    ds: "rd.Dataset", group_cols: Sequence[str], value_col: str,
+    weight_col: str, *, buckets: int | None = None,
+    out_col: str = "wmedian",
+) -> "rd.Dataset":
+    """Exact WEIGHTED median per group (lower / type-1 convention):
+    the smallest value whose cumulative weight, in value order,
+    reaches half the group's total — ``min(v) WHERE 2·cumw(v) ≥
+    totw`` in SQL window terms.  With all weights 1 this is the SQL
+    ``median`` of an odd group and the LOWER middle of an even one.
+    Weights must be non-negative integers (exact comparisons — no
+    float cumsum drift); a group whose total weight is 0 yields NULL.
+
+    One hash exchange on the group key; inside each bucket the sort
+    is by (group, value) and the threshold crossing is found with a
+    segment-reset prefix sum + one searchsorted per bucket — no
+    per-group Python."""
+    group_cols = list(group_cols)
+
+    def _med(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(c, "ascending") for c in group_cols] +
+                          [(value_col, "ascending")])
+        n = tab.num_rows
+        v = tab[value_col].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {**{c: tab[c] for c in group_cols},
+                 out_col: v.slice(0, 0)})
+        w = tab[weight_col].combine_chunks()
+        if not pa.types.is_integer(w.type):
+            raise TypeError("weights must be integers")
+        if w.null_count:
+            raise ValueError("weights must be non-null")
+        wn = w.to_numpy(zero_copy_only=False).astype(np.int64)
+        if wn.min() < 0:
+            raise ValueError("weights must be non-negative")
+        new_g = segment_starts(tab, group_cols)
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        cum = np.cumsum(wn)
+        base = np.repeat(np.where(starts > 0, cum[starts - 1], 0), sizes)
+        gcum = cum - base                       # per-group prefix sum
+        ends = starts + sizes - 1
+        tot = np.repeat(gcum[ends], sizes)
+        hit = 2 * gcum >= tot
+        # first hit per group: the minimum index with hit & same group
+        idx = np.arange(n)
+        cand = np.where(hit, idx, n)
+        first_hit = np.minimum.reduceat(cand, starts)
+        empty = gcum[ends] == 0                 # all-zero weight group
+        med = v.take(pa.array(np.where(empty, ends, first_hit)))
+        med = pc.if_else(pa.array(empty), pa.nulls(len(starts),
+                                                   type=v.type), med)
+        out = {c: tab[c].take(pa.array(starts)) for c in group_cols}
+        out[out_col] = med
+        return pa.table(out)
+
+    return bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(
+            group_cols + [value_col, weight_col]))),
+        group_cols, _med, buckets=buckets, sort_within=False)

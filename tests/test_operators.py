@@ -2677,3 +2677,40 @@ def test_zorder_sort_clusters(ray_session):
         ys = b["y"].to_numpy(zero_copy_only=False)
         assert (xs.max() - xs.min()) * (ys.max() - ys.min()) < \
             1024 * 1024 / 2
+
+
+def test_group_weighted_median(ray_session):
+    from rayskema.pipelines.relational import group_weighted_median
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 5, 300).astype(np.int64)
+    v = rng.integers(0, 50, 300).astype(np.int64)
+    w = rng.integers(0, 9, 300).astype(np.int64)   # includes zeros
+    tab = pa.table({"g": pa.array(g), "v": pa.array(v),
+                    "w": pa.array(w)})
+    out = _collect(group_weighted_median(
+        rd.from_arrow(tab).repartition(6), ["g"], "v", "w",
+        buckets=3)).to_pydict()
+    got = dict(zip(out["g"], out["wmedian"]))
+    for gr in np.unique(g):
+        vv, ww = v[g == gr], w[g == gr]
+        order = np.argsort(vv, kind="stable")
+        cw = np.cumsum(ww[order])
+        exp = int(vv[order][np.flatnonzero(2 * cw >= cw[-1])[0]])
+        assert got[int(gr)] == exp, gr
+
+
+def test_group_weighted_median_edges(ray_session):
+    from rayskema.pipelines.relational import group_weighted_median
+    tab = pa.table({
+        "g": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "v": pa.array([10, 20, 7, 1, 2], pa.int64()),
+        "w": pa.array([1, 1, 5, 0, 0], pa.int64())})
+    out = _collect(group_weighted_median(
+        rd.from_arrow(tab), ["g"], "v", "w", buckets=2)).to_pydict()
+    got = dict(zip(out["g"], out["wmedian"]))
+    # even total: LOWER middle; zero-weight group: NULL
+    assert got == {1: 10, 2: 7, 3: None}
+    bad = pa.table({"g": [1], "v": [1], "w": [1.5]})
+    with pytest.raises(Exception):
+        _collect(group_weighted_median(rd.from_arrow(bad), ["g"],
+                                       "v", "w"))
