@@ -3685,6 +3685,39 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_orders_mom(sf_dir: str):
+    """Month-over-month revenue delta per priority: calendar-month
+    rollup (group_agg, exact cents) then lag-difference in month
+    order (group_running) — SQL ``rev - lag(rev) OVER (PARTITION BY
+    priority ORDER BY month)``, NULL on each priority's first month.
+    Both exchanges are on the tiny (priority, month) grain; the fact
+    table itself shuffles once via map-side partials."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, group_running
+
+    def _grain(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 12),
+                    pc.cast(pc.subtract(m, 1), pa.int64()))
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "ym": ym,
+                         "price_c": _cents(t["o_totalprice"])})
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"]) \
+        .map_batches(_grain, batch_format="pyarrow")
+    monthly = group_agg(ds, ["o_orderpriority", "ym"],
+                        [("price_c", "sum", "rev_c")], buckets=4)
+    run = group_running(monthly, "o_orderpriority", ["ym"], "rev_c",
+                        buckets=2)
+    return run.map_batches(lambda t: pa.table({
+        "o_orderpriority": t["o_orderpriority"], "ym": t["ym"],
+        "rev_c": t["rev_c"],
+        "mom_c": pc.subtract_checked(t["rev_c"], t["lag"])}),
+        batch_format="pyarrow")
+
+
 def _q_lineitem_wmedian(sf_dir: str):
     """Exact weighted median (relational.group_weighted_median):
     per returnflag, the smallest quantity whose cumulative
@@ -3864,6 +3897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_zorder": _q_events_zorder,
         "lineitem_wmedian": _q_lineitem_wmedian,
+        "orders_mom": _q_orders_mom,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6000,6 +6034,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "orders_mom": """
+            WITH m AS (
+                SELECT o_orderpriority,
+                       year(o_orderdate) * 12
+                           + (month(o_orderdate) - 1) AS ym,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS rev_c
+                FROM orders GROUP BY 1, 2)
+            SELECT o_orderpriority, CAST(ym AS BIGINT) AS ym,
+                   CAST(rev_c AS BIGINT) AS rev_c,
+                   CAST(rev_c - lag(rev_c) OVER (
+                       PARTITION BY o_orderpriority ORDER BY ym)
+                       AS BIGINT) AS mom_c
+            FROM m
+        """,
         "lineitem_wmedian": """
             WITH t AS (
                 SELECT l_returnflag AS g, l_quantity AS v,
