@@ -3685,6 +3685,49 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_orders_view_update(sf_dir: str):
+    """Incremental materialized-view refresh (relational.merge_views):
+    the standing (priority, month) revenue view — built from orders
+    with orderkey % 10 != 0 — absorbs the late-arriving delta (the
+    % 10 == 0 tail) WITHOUT rescanning the base: both sides are
+    pre-aggregated at the view grain and merged in one exchange over
+    aggregate rows.  The oracle recomputes from the full fact table,
+    proving merged == recomputed for decomposable aggregates."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, merge_views
+
+    def _grain(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 12),
+                    pc.cast(pc.subtract(m, 1), pa.int64()))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "ym": ym,
+                         "price_c": _cents(t["o_totalprice"])})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                  "o_orderdate", "o_totalprice"]) \
+        .map_batches(_grain, batch_format="pyarrow")
+    def _split(is_late: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ok = t["o_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            m = (ok % 10 == 0) if is_late else (ok % 10 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    base = ds.map_batches(_split(False), batch_format="pyarrow")
+    late = ds.map_batches(_split(True), batch_format="pyarrow")
+    spec = [("price_c", "sum", "rev_c"), ("price_c", "count_all", "n"),
+            ("price_c", "max", "max_c")]
+    view = group_agg(base, ["o_orderpriority", "ym"], spec, buckets=4)
+    delta = group_agg(late, ["o_orderpriority", "ym"], spec, buckets=2)
+    return merge_views(view, delta, ["o_orderpriority", "ym"],
+                       [("rev_c", "sum"), ("n", "sum"),
+                        ("max_c", "max")], buckets=2)
+
+
 def _q_orders_mom(sf_dir: str):
     """Month-over-month revenue delta per priority: calendar-month
     rollup (group_agg, exact cents) then lag-difference in month
@@ -3898,6 +3941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": _q_events_zorder,
         "lineitem_wmedian": _q_lineitem_wmedian,
         "orders_mom": _q_orders_mom,
+        "orders_view_update": _q_orders_view_update,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6034,6 +6078,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "orders_view_update": """
+            SELECT o_orderpriority,
+                   CAST(year(o_orderdate) * 12
+                        + (month(o_orderdate) - 1) AS BIGINT) AS ym,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS max_c
+            FROM orders GROUP BY 1, 2
+        """,
         "orders_mom": """
             WITH m AS (
                 SELECT o_orderpriority,

@@ -3952,3 +3952,34 @@ def group_weighted_median(
         ds.select_columns(list(dict.fromkeys(
             group_cols + [value_col, weight_col]))),
         group_cols, _med, buckets=buckets, sort_within=False)
+
+
+def merge_views(
+    view: "rd.Dataset", delta: "rd.Dataset", keys: Sequence[str],
+    spec: Sequence[tuple[str, str]], *, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Incremental MATERIALIZED-VIEW maintenance for decomposable
+    aggregates: merge an existing pre-aggregated view with a (much
+    smaller) delta aggregated at the same grain, WITHOUT rescanning
+    the base fact table.  ``spec`` maps each measure column to its
+    merge op — ``sum`` (also merges counts: a count is a sum of
+    partial counts), ``min`` or ``max``.  Keys present in only one
+    side pass through; additive refresh only (retractions would need
+    signed deltas — negate the delta's sum columns upstream, min/max
+    are not retractable without the base data).
+
+    Cost shape: ONE exchange over |view| + |delta| AGGREGATE rows —
+    the whole point vs. re-running the fact-table aggregation; at
+    100 TB the view is the small derived artifact and the nightly
+    delta smaller still."""
+    keys = list(keys)
+    ops = {op for _, op in spec}
+    if not ops <= {"sum", "min", "max"}:
+        raise ValueError("merge ops must be sum|min|max")
+    cols = keys + [c for c, _ in spec]
+    both = view.select_columns(cols).union(delta.select_columns(cols))
+    aggs = [(c, op) for c, op in spec]
+    names = [c for c, _ in spec]
+    return bucketed_map_groups(
+        both, keys, lambda t: agg_named(t, keys, aggs, names),
+        buckets=buckets, sort_within=False)

@@ -2714,3 +2714,37 @@ def test_group_weighted_median_edges(ray_session):
     with pytest.raises(Exception):
         _collect(group_weighted_median(rd.from_arrow(bad), ["g"],
                                        "v", "w"))
+
+
+def test_merge_views(ray_session):
+    from rayskema.pipelines.relational import group_agg, merge_views
+    rng = np.random.default_rng(6)
+    k = rng.integers(0, 7, 400).astype(np.int64)
+    v = rng.integers(1, 100, 400).astype(np.int64)
+    tab = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    cut = k % 3 == 0                        # "late" slice
+    base = rd.from_arrow(tab.filter(pa.array(~cut))).repartition(4)
+    late = rd.from_arrow(tab.filter(pa.array(cut))).repartition(2)
+    spec = [("v", "sum", "s"), ("v", "count_all", "n"),
+            ("v", "max", "mx")]
+    merged = _collect(merge_views(
+        group_agg(base, ["k"], spec, buckets=2),
+        group_agg(late, ["k"], spec, buckets=2),
+        ["k"], [("s", "sum"), ("n", "sum"), ("mx", "max")],
+        buckets=2)).sort_by("k").to_pydict()
+    full = _collect(group_agg(rd.from_arrow(tab), ["k"], spec,
+                              buckets=2)).sort_by("k").to_pydict()
+    assert merged == full
+    with pytest.raises(ValueError):
+        merge_views(base, late, ["k"], [("v", "mean")])
+
+
+def test_merge_views_disjoint_keys(ray_session):
+    from rayskema.pipelines.relational import merge_views
+    view = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "s": pa.array([5], pa.int64())}))
+    delta = rd.from_arrow(pa.table({"k": pa.array([2], pa.int64()),
+                                    "s": pa.array([7], pa.int64())}))
+    out = _collect(merge_views(view, delta, ["k"], [("s", "sum")],
+                               buckets=1)).sort_by("k").to_pydict()
+    assert out == {"k": [1, 2], "s": [5, 7]}
