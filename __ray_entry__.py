@@ -3685,6 +3685,32 @@ def _q_graph_triangles(sf_dir: str):
     })
 
 
+def _q_events_cdc_apply(sf_dir: str):
+    """CDC log compaction (relational.apply_cdc): the event stream
+    read as an upsert/delete log keyed by (user, event_type) —
+    last write wins by (ts, event_id), and a key whose final
+    operation is a tombstone (value < 0.05 here) disappears.  One
+    exchange, one segment-start take per bucket; rebuilding a
+    snapshot from log shards with no driver state."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import apply_cdc
+
+    def _log(t: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.less(t["value"], 0.05), "delete", "upsert")
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts": t["ts"], "event_id": t["event_id"],
+                         "value": t["value"], "op": op})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id", "value"]) \
+        .map_batches(_log, batch_format="pyarrow")
+    out = apply_cdc(ds, ["user_id", "event_type"],
+                    ["ts", "event_id"], "op", buckets=8)
+    return out.select_columns(["user_id", "event_type", "event_id",
+                               "value"])
+
+
 def _q_orders_view_update(sf_dir: str):
     """Incremental materialized-view refresh (relational.merge_views):
     the standing (priority, month) revenue view — built from orders
@@ -3942,6 +3968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_wmedian": _q_lineitem_wmedian,
         "orders_mom": _q_orders_mom,
         "orders_view_update": _q_orders_view_update,
+        "events_cdc_apply": _q_events_cdc_apply,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6078,6 +6105,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_cdc_apply": """
+            WITH log AS (
+                SELECT user_id, event_type, ts, event_id, value,
+                       CASE WHEN value < 0.05 THEN 'delete'
+                            ELSE 'upsert' END AS op
+                FROM events),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM log)
+            SELECT user_id, event_type, event_id, value
+            FROM r WHERE rn = 1 AND op <> 'delete'
+        """,
         "orders_view_update": """
             SELECT o_orderpriority,
                    CAST(year(o_orderdate) * 12

@@ -2748,3 +2748,33 @@ def test_merge_views_disjoint_keys(ray_session):
     out = _collect(merge_views(view, delta, ["k"], [("s", "sum")],
                                buckets=1)).sort_by("k").to_pydict()
     assert out == {"k": [1, 2], "s": [5, 7]}
+
+
+def test_apply_cdc(ray_session):
+    from rayskema.pipelines.relational import apply_cdc
+    tab = pa.table({
+        "k1": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "k2": ["a", "a", "a", "a", "b", "a", "a"],
+        "seq": pa.array([1, 3, 2, 1, 1, 2, 1], pa.int64()),
+        "op": ["upsert", "upsert", "delete",
+               "delete", "upsert", "delete", "upsert"],
+        "payload": pa.array([10, 30, 20, 40, 50, 60, 70], pa.int64())})
+    out = _collect(apply_cdc(rd.from_arrow(tab).repartition(4),
+                             ["k1", "k2"], ["seq"], "op",
+                             buckets=2)).sort_by("payload").to_pydict()
+    # (1,a): seq3 upsert wins; (2,a): delete wins -> gone;
+    # (2,b): upsert stays; (3,a): seq2 delete wins -> gone
+    assert out["payload"] == [30, 50]
+    assert "op" not in out
+
+
+def test_apply_cdc_null_op_and_empty(ray_session):
+    from rayskema.pipelines.relational import apply_cdc
+    tab = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "seq": pa.array([1, 1], pa.int64()),
+        "op": pa.array([None, "delete"], pa.string()),
+        "v": pa.array([5, 6], pa.int64())})
+    out = _collect(apply_cdc(rd.from_arrow(tab), ["k"], ["seq"],
+                             "op", buckets=1)).to_pydict()
+    assert out["v"] == [5]          # NULL op is not a tombstone
