@@ -879,6 +879,17 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_k_tokens(ds, "text", k=20)
 
 
+def _q_docs_vocab(sf_dir: str):
+    """Frequency-ordered vocabulary construction
+    (textstats.build_vocab): whitespace tokens with count >= 20, ids
+    contiguous by (count desc, token asc).  Only the vocabulary
+    shuffles (block-local value_counts partials); the single global
+    step — id assignment — runs over the already-thresholded vocab."""
+    from rayskema.functions.textstats import build_vocab
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return build_vocab(ds, "text", min_count=20)
+
+
 def _q_docs_scrub(sf_dir: str):
     """PII redaction over documents enriched with synthetic emails/URLs/
     long numbers (the corpus itself is a-z text, so the fixture plants
@@ -4107,6 +4118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
         "docs_top_tokens": _q_docs_top_tokens,
+        "docs_vocab": _q_docs_vocab,
         "docs_scrub": _q_docs_scrub,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
@@ -4798,6 +4810,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "docs_vocab": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents),
+            c AS (SELECT w AS token, count(*)::BIGINT AS n
+                  FROM tok GROUP BY w HAVING count(*) >= 20)
+            SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token)
+                        - 1 AS BIGINT) AS id
+            FROM c
         """,
         "docs_multimodal_decode": """
             WITH px AS (

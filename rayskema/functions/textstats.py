@@ -894,3 +894,49 @@ def approx_top_tokens(ds: "rd.Dataset", text_col: str, *, k: int = 20,
     return pa.table({
         "token": pa.array([cands[i] for i in order]),
         "n_approx": pa.array(ests[order])})
+
+
+def build_vocab(ds: "rd.Dataset", text_col: str, *, min_count: int = 2,
+                buckets: int | None = None) -> "rd.Dataset":
+    """Deterministic VOCABULARY construction: corpus-wide whitespace
+    token counts, thresholded at ``min_count``, with contiguous ids
+    assigned by ``(count desc, token asc)`` — the classic
+    frequency-ordered vocab an LLM tokenizer training step emits,
+    bit-stable across layouts and engines.
+
+    Scale shape: blocks reduce to distinct (token, count) partials
+    before the shuffle (only the vocabulary moves), the bucketed
+    exchange sums and thresholds per token, and id assignment — the
+    one inherently GLOBAL step — runs as a single task over the
+    thresholded vocab, which ``min_count`` has already shrunk to the
+    kept-vocabulary size (ids need a total order; that is the
+    sequential floor, not an implementation shortcut)."""
+    from ..pipelines.relational import agg_named, bucketed_map_groups
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.combine_chunks().value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partial = ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _sum(tab: pa.Table) -> pa.Table:
+        out = agg_named(tab, ["token"], [("n", "sum")], ["n"])
+        return out.filter(pc.greater_equal(out["n"], min_count))
+
+    summed = bucketed_map_groups(partial, ["token"], _sum,
+                                 buckets=buckets, sort_within=False)
+
+    def _assign(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("n", "descending"), ("token", "ascending")])
+        return tab.append_column(
+            "id", pa.array(np.arange(tab.num_rows, dtype=np.int64)))
+
+    # batch_size=None -> the whole (single) block in one call, so ids
+    # are assigned over the full vocab, never per-batch from 0
+    return summed.repartition(1).map_batches(
+        _assign, batch_format="pyarrow", batch_size=None)

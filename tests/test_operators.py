@@ -2778,3 +2778,21 @@ def test_apply_cdc_null_op_and_empty(ray_session):
     out = _collect(apply_cdc(rd.from_arrow(tab), ["k"], ["seq"],
                              "op", buckets=1)).to_pydict()
     assert out["v"] == [5]          # NULL op is not a tombstone
+
+
+def test_build_vocab(ray_session):
+    from rayskema.functions.textstats import build_vocab
+    docs = ["b b b a a c", "a b", "d", "a b c"]
+    tab = pa.table({"text": pa.array(docs)})
+    out = _collect(build_vocab(rd.from_arrow(tab).repartition(3),
+                               "text", min_count=2,
+                               buckets=2)).sort_by("id").to_pydict()
+    # counts: b=5 a=4 c=2 d=1; d falls below min_count
+    assert out["token"] == ["b", "a", "c"]
+    assert out["n"] == [5, 4, 2]
+    assert out["id"] == [0, 1, 2]
+    # tie-break: equal counts order by token ascending
+    tab2 = pa.table({"text": pa.array(["z y", "z y"])})
+    out2 = _collect(build_vocab(rd.from_arrow(tab2), "text",
+                                min_count=2)).sort_by("id").to_pydict()
+    assert out2["token"] == ["y", "z"]
