@@ -890,6 +890,20 @@ def _q_docs_vocab(sf_dir: str):
     return build_vocab(ds, "text", min_count=20)
 
 
+def _q_docs_encode(sf_dir: str):
+    """Corpus tokenization against the trained vocab
+    (textstats.encode_with_vocab after build_vocab): per doc, token
+    count, OOV count, and exact int64 order-independent checksums
+    (Σid, Σid²) of the in-vocab ids.  The vocab is ray.put ONCE and
+    every encoding task maps its batch with one zero-copy index_in —
+    the corpus never shuffles."""
+    from rayskema.functions.textstats import build_vocab, \
+        encode_with_vocab
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = build_vocab(ds, "text", min_count=20)
+    return encode_with_vocab(ds, "doc_id", "text", vocab)
+
+
 def _q_docs_scrub(sf_dir: str):
     """PII redaction over documents enriched with synthetic emails/URLs/
     long numbers (the corpus itself is a-z text, so the fixture plants
@@ -4119,6 +4133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_vocab": _q_docs_vocab,
+        "docs_encode": _q_docs_encode,
         "docs_scrub": _q_docs_scrub,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
@@ -4810,6 +4825,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "docs_encode": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents),
+            v AS (SELECT w AS token, count(*) AS n
+                  FROM tok GROUP BY w HAVING count(*) >= 20),
+            vi AS (SELECT token,
+                          CAST(row_number() OVER (ORDER BY n DESC,
+                               token) - 1 AS BIGINT) AS id
+                   FROM v),
+            e AS (SELECT t.doc_id, vi.id
+                  FROM tok t LEFT JOIN vi ON t.w = vi.token),
+            a AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_tok,
+                         CAST(count(*) FILTER (WHERE id IS NULL)
+                              AS BIGINT) AS n_oov,
+                         CAST(COALESCE(SUM(id), 0) AS BIGINT)
+                             AS sum_id,
+                         CAST(COALESCE(SUM(id * id), 0) AS BIGINT)
+                             AS sum_id2
+                  FROM e GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+                   CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(COALESCE(a.sum_id, 0) AS BIGINT) AS sum_id,
+                   CAST(COALESCE(a.sum_id2, 0) AS BIGINT) AS sum_id2
+            FROM documents d LEFT JOIN a USING (doc_id)
         """,
         "docs_vocab": r"""
             WITH tok AS (

@@ -940,3 +940,65 @@ def build_vocab(ds: "rd.Dataset", text_col: str, *, min_count: int = 2,
     # are assigned over the full vocab, never per-batch from 0
     return summed.repartition(1).map_batches(
         _assign, batch_format="pyarrow", batch_size=None)
+
+
+def encode_with_vocab(ds: "rd.Dataset", id_col: str, text_col: str,
+                      vocab: "rd.Dataset", *,
+                      buckets: int | None = None) -> "rd.Dataset":
+    """Tokenize the corpus against a TRAINED vocabulary (the
+    :func:`build_vocab` output, or any ``(token, id)`` table): per
+    document, whitespace-tokenize and map each token to its vocab id;
+    out-of-vocabulary tokens count as OOV.  Output is per-doc
+    ``(id, n_tok, n_oov, sum_id, sum_id2)`` — token count, OOV count
+    and order-independent integer checksums of the in-vocab ids (Σid,
+    Σid²), exact in int64.
+
+    Scale shape: the vocab is the SMALL side — materialized once,
+    ``ray.put`` into the object store, and every encoding task maps
+    its batch with one zero-copy ``pc.index_in`` against the shared
+    token array; the corpus itself never shuffles (per-doc outputs
+    are computed block-locally with a value_counts-style hash agg,
+    no row loops).  OOV is a lookup miss, not an error — the id -1
+    convention every tokenizer uses."""
+    vtab = pa.concat_tables(
+        ray.get(vocab.select_columns(["token", "id"]).to_arrow_refs()))
+    vref = ray.put((vtab["token"].combine_chunks(),
+                    vtab["id"].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    def _encode(tab: pa.Table) -> pa.Table:
+        tokens, ids = ray.get(vref)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        ok = pc.not_equal(flat, "")
+        # doc index of every token via the list offsets
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        okn = ok.to_numpy(zero_copy_only=False)
+        flat = flat.filter(ok)
+        doc_of = doc_of[okn]
+        idx = pc.index_in(flat, value_set=tokens)
+        miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vid = np.where(miss, -1, ids[pos])
+        n_docs = tab.num_rows
+        n_tok = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        n_oov = np.bincount(doc_of, weights=miss.astype(np.int64),
+                            minlength=n_docs).astype(np.int64)
+        inv = ~miss
+        # exact int64 scatter-adds (a float bincount would lose
+        # integer exactness past 2^53 on a big vocab)
+        sum_id = np.zeros(n_docs, dtype=np.int64)
+        sum_id2 = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(sum_id, doc_of[inv], vid[inv])
+        np.add.at(sum_id2, doc_of[inv], vid[inv] * vid[inv])
+        return pa.table({
+            id_col: tab[id_col],
+            "n_tok": pa.array(n_tok), "n_oov": pa.array(n_oov),
+            "sum_id": pa.array(sum_id), "sum_id2": pa.array(sum_id2)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _encode, batch_format="pyarrow")

@@ -2796,3 +2796,21 @@ def test_build_vocab(ray_session):
     out2 = _collect(build_vocab(rd.from_arrow(tab2), "text",
                                 min_count=2)).sort_by("id").to_pydict()
     assert out2["token"] == ["y", "z"]
+
+
+def test_encode_with_vocab(ray_session):
+    from rayskema.functions.textstats import build_vocab, \
+        encode_with_vocab
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a zz", "b b", "   "])})
+    ds = rd.from_arrow(docs).repartition(2)
+    vocab = build_vocab(ds, "text", min_count=2)   # a:2->id1, b:3->id0
+    out = _collect(encode_with_vocab(ds, "doc_id", "text",
+                                     vocab)).sort_by("doc_id")
+    o = out.to_pydict()
+    # doc1: tokens a,b,a,zz -> ids 1,0,1,OOV
+    assert o["n_tok"] == [4, 2, 0]
+    assert o["n_oov"] == [1, 0, 0]
+    assert o["sum_id"] == [2, 0, 0]
+    assert o["sum_id2"] == [2, 0, 0]
