@@ -2186,6 +2186,24 @@ def _q_customers_q22(sf_dir: str):
                       ("bal_c", "sum", "totacctbal_c")], buckets=4)
 
 
+def _q_parts_topn_types(sf_dir: str):
+    """Top-8-plus-OTHER rollup (relational.topn_other): retail value
+    per part type, the 8 biggest types kept, the tail collapsed into
+    one '__other__' row.  No single-task pass over the totals: each
+    totals bucket emits its local top-8 (global top-8 ⊆ the union),
+    the winner set broadcasts, and the tail sums through bounded
+    partials — dashboard cardinality stays fixed however long the
+    type tail grows."""
+    from rayskema.pipelines.relational import topn_other
+
+    part = _read(sf_dir, "part", ["p_type", "p_retailprice"]) \
+        .map_batches(lambda t: pa.table({
+            "p_type": t["p_type"],
+            "price_c": _cents(t["p_retailprice"])}),
+            batch_format="pyarrow")
+    return topn_other(part, "p_type", "price_c", n=8, buckets=4)
+
+
 def _q_parts_skyline(sf_dir: str):
     """SKYLINE / Pareto frontier (relational.skyline): parts where no
     other part is both cheaper (or equal) AND bigger (or equal) with
@@ -4048,6 +4066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_q22": _q_customers_q22,
         "parts_min_price": _q_parts_min_price,
         "parts_skyline": _q_parts_skyline,
+        "parts_topn_types": _q_parts_topn_types,
         "lineitem_variance": _q_lineitem_variance,
         "events_approx_distinct": _q_events_approx_distinct,
         "docs_approx_quantiles": _q_docs_approx_quantiles,
@@ -5928,6 +5947,20 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6)
                        AS stddev_qty
             FROM p
+        """,
+        "parts_topn_types": """
+            WITH t AS (
+                SELECT p_type,
+                       SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+                           AS s
+                FROM part GROUP BY 1),
+            r AS (SELECT p_type, s, row_number() OVER (
+                      ORDER BY s DESC, p_type) AS rn
+                  FROM t)
+            SELECT CASE WHEN rn <= 8 THEN p_type
+                        ELSE '__other__' END AS p_type,
+                   CAST(SUM(s) AS BIGINT) AS price_c
+            FROM r GROUP BY 1
         """,
         "parts_skyline": """
             WITH t AS (SELECT p_partkey, p_size,

@@ -4021,3 +4021,73 @@ def apply_cdc(
 
     return bucketed_map_groups(ds, key_cols, _compact,
                                buckets=buckets, sort_within=False)
+
+
+def topn_other(
+    ds: "rd.Dataset", key_col: str, value_col: str, *, n: int,
+    other_key: str = "__other__", buckets: int | None = None,
+) -> "rd.Dataset":
+    """Top-N-plus-OTHER rollup: sum ``value_col`` per key, keep the
+    ``n`` largest keys (ties broken by key ascending — deterministic),
+    and collapse every remaining key into one ``other_key`` row.  The
+    reporting staple that keeps dashboard cardinality bounded no
+    matter how long the key tail grows.  Requires a string key (the
+    OTHER row needs a label in the same column); integer values sum
+    in int64 end-to-end.
+
+    Scale shape — NO single-task pass over the totals, so an
+    unbounded key tail (user ids, URLs) stays distributed: (1) per-key
+    totals via one map-side-partial exchange; (2) each totals bucket
+    emits its LOCAL top-n (the global top-n is a subset of the union
+    of bucket top-ns, because per-key totals are already complete), a
+    buckets-times-n-row table the driver cuts to the winners and
+    ``ray.put``s; (3) one streaming pass over the totals re-labels
+    every non-winner to ``other_key`` and partial-sums per block, and
+    a final exchange over (n+1 keys x blocks) partials produces the
+    bounded result."""
+
+    totals = bucketed_map_groups(
+        ds.select_columns([key_col, value_col]).map_batches(
+            lambda t: agg_named(t, [key_col], [(value_col, "sum")],
+                                ["_s"]),
+            batch_format="pyarrow"),
+        [key_col], lambda t: agg_named(t, [key_col], [("_s", "sum")],
+                                       ["_s"]),
+        buckets=buckets, sort_within=False)
+
+    def _local_top(tab: pa.Table) -> pa.Table:
+        if not pa.types.is_string(tab[key_col].type):
+            raise TypeError("topn_other needs a string key column")
+        return tab.sort_by([("_s", "descending"),
+                            (key_col, "ascending")]).slice(0, n)
+
+    totals = totals.materialize()     # reused: candidate cut + relabel
+    parts = [t.select([key_col, "_s"]) for t in ray.get(
+        totals.map_batches(_local_top, batch_format="pyarrow",
+                           batch_size=None).to_arrow_refs())
+        if t.num_rows]
+    if parts:
+        cand = pa.concat_tables(parts).sort_by(
+            [("_s", "descending"), (key_col, "ascending")])
+        winners = cand[key_col].combine_chunks().slice(0, n)
+    else:
+        winners = pa.chunked_array([pa.array([], pa.string())])
+    winners_ref = ray.put(winners)
+
+    def _relabel(tab: pa.Table) -> pa.Table:
+        winners = ray.get(winners_ref)
+        hit = pc.is_in(tab[key_col], value_set=winners)
+        lab = pc.if_else(hit, tab[key_col],
+                         pa.scalar(other_key, type=pa.string()))
+        part = pa.table({key_col: lab, "_s": tab["_s"]})
+        return agg_named(part, [key_col], [("_s", "sum")], ["_s"])
+
+    out = bucketed_map_groups(
+        totals.map_batches(_relabel, batch_format="pyarrow"),
+        [key_col],
+        lambda t: agg_named(t, [key_col], [("_s", "sum")], ["_s"]),
+        buckets=buckets, sort_within=False)
+    return out.map_batches(
+        lambda t: t.rename_columns([value_col if c == "_s" else c
+                                    for c in t.column_names]),
+        batch_format="pyarrow")

@@ -2814,3 +2814,30 @@ def test_encode_with_vocab(ray_session):
     assert o["n_oov"] == [1, 0, 0]
     assert o["sum_id"] == [2, 0, 0]
     assert o["sum_id2"] == [2, 0, 0]
+
+
+def test_topn_other(ray_session):
+    from rayskema.pipelines.relational import topn_other
+    keys = ["a"] * 5 + ["b"] * 4 + ["c"] * 3 + ["d"] * 2 + ["e"]
+    tab = pa.table({"k": pa.array(keys),
+                    "v": pa.array([10] * len(keys), pa.int64())})
+    out = _collect(topn_other(rd.from_arrow(tab).repartition(4),
+                              "k", "v", n=2,
+                              buckets=2)).sort_by("k").to_pydict()
+    assert dict(zip(out["k"], out["v"])) == \
+        {"a": 50, "b": 40, "__other__": 60}
+    # n >= cardinality: no other row
+    out2 = _collect(topn_other(rd.from_arrow(tab), "k", "v", n=9,
+                               buckets=2)).to_pydict()
+    assert "__other__" not in out2["k"] and len(out2["k"]) == 5
+
+
+def test_topn_other_tie_break(ray_session):
+    from rayskema.pipelines.relational import topn_other
+    tab = pa.table({"k": pa.array(["x", "y", "z"]),
+                    "v": pa.array([5, 5, 5], pa.int64())})
+    out = _collect(topn_other(rd.from_arrow(tab), "k", "v", n=2,
+                              buckets=3)).sort_by("k").to_pydict()
+    # ties broken by key ascending: x,y kept; z -> other
+    assert dict(zip(out["k"], out["v"])) == \
+        {"x": 5, "y": 5, "__other__": 5}
