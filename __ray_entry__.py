@@ -3754,6 +3754,17 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_orders_fd_check(sf_dir: str):
+    """Functional-dependency profiling (profile.fd_check): does
+    custkey determine orderpriority?  One exchange over block-deduped
+    (custkey, priority) pairs; every bucket reduces to three scalars
+    and the driver holds only bucket partials.  (It does not hold —
+    the violation count is the interesting number.)"""
+    from rayskema.functions.profile import fd_check
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return fd_check(ds, ["o_custkey"], "o_orderpriority", buckets=4)
+
+
 def _q_orders_view_update(sf_dir: str):
     """Incremental materialized-view refresh (relational.merge_views):
     the standing (priority, month) revenue view — built from orders
@@ -4012,6 +4023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_mom": _q_orders_mom,
         "orders_view_update": _q_orders_view_update,
         "events_cdc_apply": _q_events_cdc_apply,
+        "orders_fd_check": _q_orders_fd_check,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6205,6 +6217,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "orders_fd_check": """
+            WITH g AS (
+                SELECT o_custkey,
+                       count(DISTINCT o_orderpriority) AS nd
+                FROM orders GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT)
+                       AS n_violating,
+                   CAST(max(nd) AS BIGINT) AS max_distinct
+            FROM g
+        """,
         "events_cdc_apply": """
             WITH log AS (
                 SELECT user_id, event_type, ts, event_id, value,

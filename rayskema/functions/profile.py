@@ -589,3 +589,55 @@ def group_winsorize(
         return tab.append_column(out_col, clipped)
 
     return ds.map_batches(_clip, batch_format="pyarrow")
+
+
+def fd_check(ds: "rd.Dataset", det_cols: Sequence[str],
+             dep_col: str, *, buckets: int | None = None) -> pa.Table:
+    """Functional-dependency profiling: does ``det_cols → dep_col``
+    hold?  Returns one row ``(n_groups, n_violating, max_distinct)``
+    — determinant groups, groups carrying >1 distinct dependent value
+    (FD violations), and the worst group's distinct count.  SQL
+    mirror: ``count(DISTINCT dep)`` per determinant group, reduced.
+    NULL dependents count as one distinct value (SQL count(DISTINCT)
+    ignores nulls — this uses the GROUP BY convention instead: null
+    is a value; pre-filter if the SQL convention is wanted).
+
+    One exchange: blocks pre-dedup their (det, dep) pairs, the hash
+    exchange co-locates each determinant's pairs, and every bucket
+    reduces straight to THREE scalars — the driver concatenates
+    bucket partials, never rows."""
+    det_cols = list(det_cols)
+    cols = det_cols + [dep_col]
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        return tab.select(cols).group_by(cols).aggregate([])
+
+    def _reduce(tab: pa.Table) -> pa.Table:
+        tab = _pairs(tab)                     # cross-block dedup
+        if not tab.num_rows:
+            z = pa.array([0], pa.int64())
+            return pa.table({"n_groups": z, "n_violating": z,
+                             "max_distinct": z})
+        tab = tab.sort_by([(c, "ascending") for c in cols])
+        from ..pipelines.relational import segment_starts
+        new_g = segment_starts(tab, det_cols)
+        starts = np.flatnonzero(new_g)
+        nd = np.diff(np.append(starts, tab.num_rows))
+        return pa.table({
+            "n_groups": pa.array([len(starts)], pa.int64()),
+            "n_violating": pa.array([int((nd > 1).sum())], pa.int64()),
+            "max_distinct": pa.array([int(nd.max())], pa.int64())})
+
+    parts = bucketed_map_groups(
+        ds.select_columns(cols).map_batches(
+            _pairs, batch_format="pyarrow"),
+        det_cols, _reduce, buckets=buckets, sort_within=False)
+    acc = [r for r in parts.take_all()]
+    return pa.table({
+        "n_groups": pa.array([sum(r["n_groups"] for r in acc)],
+                             pa.int64()),
+        "n_violating": pa.array([sum(r["n_violating"] for r in acc)],
+                                pa.int64()),
+        "max_distinct": pa.array(
+            [max((r["max_distinct"] for r in acc), default=0)],
+            pa.int64())})

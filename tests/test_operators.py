@@ -2841,3 +2841,22 @@ def test_topn_other_tie_break(ray_session):
     # ties broken by key ascending: x,y kept; z -> other
     assert dict(zip(out["k"], out["v"])) == \
         {"x": 5, "y": 5, "__other__": 5}
+
+
+def test_fd_check(ray_session):
+    from rayskema.functions.profile import fd_check
+    tab = pa.table({
+        "det": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "dep": ["a", "a", "b", "c", "c", "d"]})
+    out = fd_check(rd.from_arrow(tab).repartition(3), ["det"], "dep",
+                   buckets=2).to_pydict()
+    # det=1 has two deps (violation); 2 and 3 hold
+    assert out["n_groups"] == [3]
+    assert out["n_violating"] == [1]
+    assert out["max_distinct"] == [2]
+    # FD that holds
+    ok = fd_check(rd.from_arrow(pa.table({
+        "det": pa.array([1, 1, 2], pa.int64()),
+        "dep": ["x", "x", "y"]})), ["det"], "dep",
+        buckets=1).to_pydict()
+    assert ok["n_violating"] == [0]
