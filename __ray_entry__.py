@@ -3754,6 +3754,18 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_key_skew(sf_dir: str):
+    """Key-skew diagnostics (profile.key_skew_stats) on the events
+    user_id — the shuffle-planning census: key count, max key, top-1
+    share and the EXACT integer Gini of per-key row counts (ppm).
+    Global ranks over the sorted counts come from the zipWithIndex
+    pattern (block-length tasks + driver prefix sum), never a
+    driver-side pull of the counts."""
+    from rayskema.functions.profile import key_skew_stats
+    ds = _read(sf_dir, "events", ["user_id"])
+    return key_skew_stats(ds, ["user_id"], buckets=4)
+
+
 def _q_orders_fd_check(sf_dir: str):
     """Functional-dependency profiling (profile.fd_check): does
     custkey determine orderpriority?  One exchange over block-deduped
@@ -4024,6 +4036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_view_update": _q_orders_view_update,
         "events_cdc_apply": _q_events_cdc_apply,
         "orders_fd_check": _q_orders_fd_check,
+        "events_key_skew": _q_events_key_skew,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6217,6 +6230,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_key_skew": """
+            WITH c AS (SELECT count(*) AS x FROM events
+                       GROUP BY user_id),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS i
+                  FROM c),
+            a AS (SELECT count(*) AS n, SUM(x) AS sx,
+                         SUM(i * x) AS six, MAX(x) AS mx
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_keys,
+                   CAST(sx AS BIGINT) AS n_rows,
+                   CAST(mx AS BIGINT) AS max_key_rows,
+                   CAST((mx * 1000000) // sx AS BIGINT)
+                       AS top1_share_ppm,
+                   CAST(((2 * six - (n + 1) * sx) * 1000000)
+                        // (n * sx) AS BIGINT) AS gini_ppm
+            FROM a
+        """,
         "orders_fd_check": """
             WITH g AS (
                 SELECT o_custkey,

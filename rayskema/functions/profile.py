@@ -641,3 +641,77 @@ def fd_check(ds: "rd.Dataset", det_cols: Sequence[str],
         "max_distinct": pa.array(
             [max((r["max_distinct"] for r in acc), default=0)],
             pa.int64())})
+
+
+@ray.remote(num_cpus=0.5)
+def _block_len(tab: pa.Table) -> int:
+    return tab.num_rows
+
+
+@ray.remote(num_cpus=0.5)
+def _gini_partial(tab: pa.Table, offset: int) -> tuple:
+    """(Σ i·x, Σ x, max x) over one sorted block, i global 1-based."""
+    limit_arrow_threads()
+    # an empty exchange block can arrive schema-less
+    if "x" not in tab.column_names or not tab.num_rows:
+        return (0, 0, 0)
+    x = tab["x"].combine_chunks().to_numpy(zero_copy_only=False)
+    i = np.arange(1, len(x) + 1, dtype=np.int64) + offset
+    return (int((i * x).sum()), int(x.sum()), int(x.max()))
+
+
+def key_skew_stats(ds: "rd.Dataset", key_cols: Sequence[str], *,
+                   buckets: int | None = None) -> pa.Table:
+    """KEY-SKEW diagnostics — the numbers that predict whether a
+    shuffle on ``key_cols`` will hot-spot: one row ``(n_keys, n_rows,
+    max_key_rows, top1_share_ppm, gini_ppm)``.  The Gini coefficient
+    of the per-key row counts is computed EXACTLY in integer
+    arithmetic (``gini = (2·Σi·x − (n+1)·Σx) / (n·Σx)`` over
+    ascending-sorted counts, reported floor-scaled to ppm) — 0 means
+    perfectly even keys, →1 means one key owns the table; the formula
+    is tie-invariant, so no tie-break column is needed.
+
+    Scale shape: per-key counts via one map-side-partial exchange;
+    the counts table (|keys| rows) takes Ray Data's distributed range
+    sort; the global rank ``i`` each sorted count needs is recovered
+    WITHOUT moving data to the driver — block lengths come from tiny
+    remote ``len`` tasks, offsets are a |blocks|-sized driver prefix
+    sum, and each block reduces to three scalars in place (the
+    zipWithIndex pattern; raw Ray tasks because a batch cannot know
+    its global position).  int64 partials bound the exact range to
+    Σi·x < 2^63 — beyond that the ppm answer saturates meaninglessly
+    before the arithmetic does."""
+    key_cols = list(key_cols)
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        return agg_named(
+            tab.select(key_cols).append_column(
+                "_one", pa.array(np.ones(tab.num_rows, np.int64))),
+            key_cols, [("_one", "sum")], ["x"])
+
+    counts = bucketed_map_groups(
+        ds.select_columns(key_cols).map_batches(
+            _partial, batch_format="pyarrow"),
+        key_cols,
+        lambda t: agg_named(t, key_cols, [("x", "sum")], ["x"]),
+        buckets=buckets, sort_within=False)
+
+    s = counts.select_columns(["x"]).sort("x").materialize()
+    refs = s.to_arrow_refs()
+    lens = ray.get([_block_len.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    parts = ray.get([_gini_partial.remote(r, int(off))
+                     for r, off in zip(refs, offsets[:-1])])
+    n = int(offsets[-1])
+    s_ix = sum(p[0] for p in parts)
+    s_x = sum(p[1] for p in parts)
+    mx = max((p[2] for p in parts), default=0)
+    gini = ((2 * s_ix - (n + 1) * s_x) * 1_000_000) // (n * s_x) \
+        if n and s_x else None
+    top1 = (mx * 1_000_000) // s_x if s_x else None
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "n_rows": pa.array([s_x], pa.int64()),
+        "max_key_rows": pa.array([mx], pa.int64()),
+        "top1_share_ppm": pa.array([top1], pa.int64()),
+        "gini_ppm": pa.array([gini], pa.int64())})

@@ -2860,3 +2860,29 @@ def test_fd_check(ray_session):
         "dep": ["x", "x", "y"]})), ["det"], "dep",
         buckets=1).to_pydict()
     assert ok["n_violating"] == [0]
+
+
+def test_key_skew_stats(ray_session):
+    from rayskema.functions.profile import key_skew_stats
+    # keys: a x6, b x3, c x1  -> sorted counts [1,3,6]
+    keys = ["a"] * 6 + ["b"] * 3 + ["c"]
+    tab = pa.table({"k": pa.array(keys)})
+    out = key_skew_stats(rd.from_arrow(tab).repartition(4), ["k"],
+                         buckets=2).to_pydict()
+    n, sx = 3, 10
+    six = 1 * 1 + 2 * 3 + 3 * 6            # ranks ascending
+    gini = ((2 * six - (n + 1) * sx) * 1_000_000) // (n * sx)
+    assert out["n_keys"] == [3]
+    assert out["n_rows"] == [10]
+    assert out["max_key_rows"] == [6]
+    assert out["top1_share_ppm"] == [600_000]
+    assert out["gini_ppm"] == [gini]
+
+
+def test_key_skew_stats_uniform(ray_session):
+    from rayskema.functions.profile import key_skew_stats
+    tab = pa.table({"k": pa.array(list("abcd") * 5)})
+    out = key_skew_stats(rd.from_arrow(tab), ["k"],
+                         buckets=2).to_pydict()
+    assert out["gini_ppm"] == [0]           # perfectly even keys
+    assert out["top1_share_ppm"] == [250_000]
