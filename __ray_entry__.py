@@ -3754,6 +3754,20 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_late(sf_dir: str):
+    """Watermark / allowed-lateness accounting
+    (relational.late_arrivals): replaying events in event_id arrival
+    order, count per type the rows whose event time lags the running
+    high-water mark by >6h — what a streaming window with that
+    allowed lateness would drop.  The global running max uses block
+    SEEDS (remote block maxes + driver prefix-max), so the scan stays
+    parallel; the driver touches block scalars only."""
+    from rayskema.pipelines.relational import late_arrivals
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return late_arrivals(ds, "event_id", "ts", "event_type",
+                         lateness_us=6 * 3600 * 1_000_000)
+
+
 def _q_events_key_skew(sf_dir: str):
     """Key-skew diagnostics (profile.key_skew_stats) on the events
     user_id — the shuffle-planning census: key count, max key, top-1
@@ -4037,6 +4051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cdc_apply": _q_events_cdc_apply,
         "orders_fd_check": _q_orders_fd_check,
         "events_key_skew": _q_events_key_skew,
+        "events_late": _q_events_late,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6230,6 +6245,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_late": """
+            WITH w AS (
+                SELECT event_type, epoch_us(ts) AS us,
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS hwm
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (
+                       WHERE hwm IS NOT NULL
+                         AND us + 21600000000 < hwm) AS BIGINT)
+                       AS n_late
+            FROM w GROUP BY 1
+        """,
         "events_key_skew": """
             WITH c AS (SELECT count(*) AS x FROM events
                        GROUP BY user_id),

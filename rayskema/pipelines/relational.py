@@ -4091,3 +4091,81 @@ def topn_other(
         lambda t: t.rename_columns([value_col if c == "_s" else c
                                     for c in t.column_names]),
         batch_format="pyarrow")
+
+
+@ray.remote(num_cpus=0.5)
+def _block_ts_max(tab: pa.Table, ts_col: str) -> int | None:
+    if ts_col not in tab.column_names or not tab.num_rows:
+        return None
+    us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")), pa.int64())
+    m = pc.max(us).as_py()
+    return None if m is None else int(m)
+
+
+@ray.remote(num_cpus=0.5)
+def _late_partial(tab: pa.Table, ts_col: str, group_col: str,
+                  lateness_us: int, seed: int | None) -> "pa.Table":
+    if ts_col not in tab.column_names or not tab.num_rows:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_late": pa.array([], pa.int64())})
+    us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                 pa.int64()).to_numpy(zero_copy_only=False)
+    lo = np.iinfo(np.int64).min
+    prev = np.empty_like(us)
+    prev[0] = seed if seed is not None else lo
+    if len(us) > 1:
+        np.maximum.accumulate(us[:-1], out=prev[1:])
+        prev[1:] = np.maximum(prev[1:], prev[0])
+    late = (prev != lo) & (us + lateness_us < prev)
+    part = pa.table({group_col: tab[group_col],
+                     "_l": pa.array(late.astype(np.int64)),
+                     "_o": pa.array(np.ones(len(us), np.int64))})
+    return agg_named(part, [group_col], [("_o", "sum"), ("_l", "sum")],
+                     ["n_events", "n_late"])
+
+
+def late_arrivals(
+    ds: "rd.Dataset", arrival_col: str, ts_col: str, group_col: str,
+    *, lateness_us: int,
+) -> pa.Table:
+    """WATERMARK / allowed-lateness accounting: replay the stream in
+    arrival order (``arrival_col`` — a unique ingestion sequence) and
+    count, per group, events whose event-time ``ts_col`` lags the
+    running event-time high-water mark by more than ``lateness_us`` —
+    the rows a streaming window with this allowed lateness would have
+    dropped.  SQL mirror: ``max(ts) OVER (ORDER BY arrival ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` vs ``ts +
+    lateness``; the first arrival is never late.
+
+    The running max is GLOBAL and order-sensitive — the one
+    inherently sequential scan — but only block SEEDS are sequential:
+    after a distributed range sort on the arrival column, tiny remote
+    tasks report each block's event-time max, the driver prefix-maxes
+    that |blocks|-sized list (exclusive), and every block then computes
+    its seeded cumulative max vectorized and in parallel, reducing
+    straight to per-group partial counts.  The same zipWithIndex-style
+    trick as the skew census: the driver touches block scalars, never
+    rows."""
+    s = ds.select_columns([arrival_col, ts_col, group_col]) \
+        .sort(arrival_col).materialize()
+    refs = s.to_arrow_refs()
+    maxes = ray.get([_block_ts_max.remote(r, ts_col) for r in refs])
+    seeds: list[int | None] = []
+    cur: int | None = None
+    for m in maxes:
+        seeds.append(cur)
+        if m is not None:
+            cur = m if cur is None else max(cur, m)
+    parts = ray.get([
+        _late_partial.remote(r, ts_col, group_col, lateness_us, sd)
+        for r, sd in zip(refs, seeds)])
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_late": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
+    return agg_named(merged, [group_col],
+                     [("n_events", "sum"), ("n_late", "sum")],
+                     ["n_events", "n_late"])

@@ -2886,3 +2886,30 @@ def test_key_skew_stats_uniform(ray_session):
                          buckets=2).to_pydict()
     assert out["gini_ppm"] == [0]           # perfectly even keys
     assert out["top1_share_ppm"] == [250_000]
+
+
+def test_late_arrivals(ray_session):
+    from rayskema.pipelines.relational import late_arrivals
+    # arrival order 1..6; event times (us): 100, 50, 90, 200, 10, 210
+    tab = pa.table({
+        "seq": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([100, 50, 90, 200, 10, 210],
+                       pa.timestamp("us")),
+        "g": ["a", "a", "b", "a", "b", "a"]})
+    out = late_arrivals(rd.from_arrow(tab).repartition(3), "seq",
+                        "ts", "g", lateness_us=30)
+    got = {r["g"]: (r["n_events"], r["n_late"])
+           for r in out.to_pylist()}
+    # hwm before each: -,100,100,100,200,200 ; late if ts+30 < hwm:
+    # 50+30<100 late(a), 90+30>=100 ok, 10+30<200 late(b)
+    assert got == {"a": (4, 1), "b": (2, 1)}
+
+
+def test_late_arrivals_first_never_late(ray_session):
+    from rayskema.pipelines.relational import late_arrivals
+    tab = pa.table({"seq": pa.array([1], pa.int64()),
+                    "ts": pa.array([5], pa.timestamp("us")),
+                    "g": ["x"]})
+    out = late_arrivals(rd.from_arrow(tab), "seq", "ts", "g",
+                        lateness_us=0).to_pydict()
+    assert out["n_late"] == [0]
