@@ -3754,6 +3754,17 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_orders_checksum(sf_dir: str):
+    """Order-invariant table checksum (profile.table_checksum): Σ of
+    per-row 64-bit md5 over a canonical '|'-joined serialization,
+    mod 2^61 — the replica-verification primitive.  Addition
+    commutes, so partitioning never matters; blocks reduce to two
+    scalars each."""
+    from rayskema.functions.profile import table_checksum
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return table_checksum(ds, ["o_orderkey", "o_orderstatus"])
+
+
 def _q_events_late(sf_dir: str):
     """Watermark / allowed-lateness accounting
     (relational.late_arrivals): replaying events in event_id arrival
@@ -4052,6 +4063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fd_check": _q_orders_fd_check,
         "events_key_skew": _q_events_key_skew,
         "events_late": _q_events_late,
+        "orders_checksum": _q_orders_checksum,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6245,6 +6257,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "orders_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(md5_number_lower(
+                            CAST(o_orderkey AS VARCHAR) || '|'
+                            || o_orderstatus))
+                        % 2305843009213693952 AS BIGINT) AS checksum
+            FROM orders
+        """,
         "events_late": """
             WITH w AS (
                 SELECT event_type, epoch_us(ts) AS us,

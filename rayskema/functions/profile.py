@@ -715,3 +715,49 @@ def key_skew_stats(ds: "rd.Dataset", key_cols: Sequence[str], *,
         "max_key_rows": pa.array([mx], pa.int64()),
         "top1_share_ppm": pa.array([top1], pa.int64()),
         "gini_ppm": pa.array([gini], pa.int64())})
+
+
+_CHECKSUM_MOD = 1 << 61          # sums stay positive BIGINTs in SQL
+
+
+def table_checksum(ds: "rd.Dataset", cols: Sequence[str]) -> pa.Table:
+    """ORDER-INVARIANT table checksum — the replica-verification /
+    did-the-copy-work primitive: one row ``(n_rows, checksum)`` where
+    ``checksum = Σ md5_64(row) mod 2^61`` over a canonical ``'|'``
+    -joined string serialization of ``cols`` (cast to VARCHAR; use
+    non-null columns or COALESCE upstream — the serialization must be
+    injective for the check to mean anything).  Addition commutes, so
+    block order, partitioning and engine never matter; two tables
+    with equal checksums and row counts are equal with
+    2^-61-collision confidence per differing row.
+
+    ``md5_64`` is the LOW 64 bits of the md5 digest little-endian —
+    exactly DuckDB's ``md5_number_lower`` — so the SQL mirror is
+    ``SUM(md5_number_lower(expr)) % 2^61``.  Per-block partials are
+    exact Python ints; the driver adds |blocks| scalars."""
+    import hashlib
+    import struct
+    cols = list(cols)
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        parts = [pc.cast(tab[c], pa.string()) for c in cols]
+        # last positional arg is the separator
+        joined = pc.binary_join_element_wise(*parts, "|") \
+            if len(parts) > 1 else parts[0]
+        total = 0
+        for s in joined.to_pylist():
+            d = hashlib.md5(s.encode("utf-8")).digest()
+            total += struct.unpack("<Q", d[8:16])[0]
+        return pa.table({
+            "n_rows": pa.array([tab.num_rows], pa.int64()),
+            "_sum_lo": pa.array([total % _CHECKSUM_MOD], pa.int64()),
+            "_sum_hi": pa.array([total // _CHECKSUM_MOD], pa.int64())})
+
+    acc_rows, acc = 0, 0
+    for r in ds.map_batches(_partial, batch_format="pyarrow",
+                            batch_size=None).take_all():
+        acc_rows += r["n_rows"]
+        acc += r["_sum_hi"] * _CHECKSUM_MOD + r["_sum_lo"]
+    return pa.table({
+        "n_rows": pa.array([acc_rows], pa.int64()),
+        "checksum": pa.array([acc % _CHECKSUM_MOD], pa.int64())})

@@ -2913,3 +2913,27 @@ def test_late_arrivals_first_never_late(ray_session):
     out = late_arrivals(rd.from_arrow(tab), "seq", "ts", "g",
                         lateness_us=0).to_pydict()
     assert out["n_late"] == [0]
+
+
+def test_table_checksum(ray_session):
+    import hashlib
+    import struct
+    from rayskema.functions.profile import table_checksum
+    tab = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                    "b": ["x", "y", "z"]})
+    out = table_checksum(rd.from_arrow(tab).repartition(3),
+                         ["a", "b"]).to_pydict()
+    exp = sum(struct.unpack(
+        "<Q", hashlib.md5(f"{i}|{s}".encode()).digest()[8:16])[0]
+        for i, s in [(1, "x"), (2, "y"), (3, "z")]) % (1 << 61)
+    assert out == {"n_rows": [3], "checksum": [exp]}
+    # order/partitioning invariance
+    perm = tab.take(pa.array([2, 0, 1]))
+    out2 = table_checksum(rd.from_arrow(perm).repartition(2),
+                          ["a", "b"]).to_pydict()
+    assert out2 == out
+    # sensitivity: one changed cell changes the sum
+    tweaked = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                        "b": ["x", "y", "w"]})
+    assert table_checksum(rd.from_arrow(tweaked), ["a", "b"]) \
+        .to_pydict() != out
