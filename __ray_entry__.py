@@ -3754,6 +3754,38 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_cumulative_users(sf_dir: str):
+    """Cumulative-distinct growth curve: per event type and epoch-day,
+    how many DISTINCT users have appeared so far.  A running
+    count(DISTINCT) is not a SQL window — but first-appearance days
+    are: min(day) per (type, user) via one deduped exchange, counts
+    per (type, day), then a running sum in day order.  Rows exist for
+    first-appearance days (the curve's change points)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, group_running
+
+    def _day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "user_id": t["user_id"],
+                         "day": pa.array(us // 86_400_000_000)})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"]) \
+        .map_batches(_day, batch_format="pyarrow")
+    first = group_agg(ds, ["event_type", "user_id"],
+                      [("day", "min", "first_day")], buckets=4)
+    per_day = group_agg(first, ["event_type", "first_day"],
+                        [("first_day", "count_all", "new_users")],
+                        buckets=2)
+    run = group_running(per_day, "event_type", ["first_day"],
+                        "new_users", buckets=2)
+    return run.map_batches(lambda t: pa.table({
+        "event_type": t["event_type"], "day": t["first_day"],
+        "new_users": t["new_users"], "cum_users": t["running_sum"]}),
+        batch_format="pyarrow")
+
+
 def _q_orders_checksum(sf_dir: str):
     """Order-invariant table checksum (profile.table_checksum): Σ of
     per-row 64-bit md5 over a canonical '|'-joined serialization,
@@ -4064,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_key_skew": _q_events_key_skew,
         "events_late": _q_events_late,
         "orders_checksum": _q_orders_checksum,
+        "events_cumulative_users": _q_events_cumulative_users,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6257,6 +6290,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_cumulative_users": """
+            WITH f AS (
+                SELECT event_type, user_id,
+                       min(epoch_us(ts) // 86400000000) AS first_day
+                FROM events GROUP BY 1, 2),
+            d AS (SELECT event_type, first_day,
+                         count(*) AS new_users
+                  FROM f GROUP BY 1, 2)
+            SELECT event_type, CAST(first_day AS BIGINT) AS day,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(SUM(new_users) OVER (
+                       PARTITION BY event_type ORDER BY first_day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM d
+        """,
         "orders_checksum": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(SUM(md5_number_lower(
