@@ -2985,6 +2985,22 @@ def _q_events_gap_stats(sf_dir: str):
                       ("gap", "max", "max_gap_us")], buckets=8)
 
 
+def _q_events_rolling_centered(sf_dir: str):
+    """CENTERED time-range window per user (group_rolling_time with
+    following=width): each event's value-cents sum/count over the
+    ±1 hour neighborhood — SQL RANGE BETWEEN 1 HOUR PRECEDING AND
+    1 HOUR FOLLOWING, the two-sided smoother."""
+    from rayskema.pipelines.relational import group_rolling_time
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "value_c": _cents(t["value"])}), batch_format="pyarrow")
+    return group_rolling_time(ds, "user_id", "ts", "value_c",
+                              width=3_600_000_000,
+                              following=3_600_000_000, buckets=8)
+
+
 def _q_events_rolling_time(sf_dir: str):
     """Trailing time-range window per user — SQL RANGE frame parity
     (peers share the frame end): each event's value-cents sum and
@@ -4097,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late": _q_events_late,
         "orders_checksum": _q_orders_checksum,
         "events_cumulative_users": _q_events_cumulative_users,
+        "events_rolling_centered": _q_events_rolling_centered,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -5566,6 +5583,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap) AS BIGINT) AS sum_gap_us,
                    max(gap) AS max_gap_us
             FROM g GROUP BY user_id
+        """,
+        "events_rolling_centered": """
+            SELECT user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS value_c,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS w_sum,
+                   count(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS w_n
+            FROM events
+            WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND INTERVAL 1 HOUR FOLLOWING)
         """,
         "events_rolling_time": """
             SELECT user_id, ts,

@@ -2190,15 +2190,18 @@ def group_concat(
 
 def group_rolling_time(
     ds: "rd.Dataset", group_col: str, ts_col: str, value_col: str, *,
-    width: int, buckets: int | None = None,
+    width: int, following: int = 0, buckets: int | None = None,
 ) -> "rd.Dataset":
-    """Trailing TIME-range rolling aggregates per group — SQL
+    """TIME-range rolling aggregates per group — SQL
     ``SUM/COUNT(v) OVER (PARTITION BY g ORDER BY ts RANGE BETWEEN
-    width PRECEDING AND CURRENT ROW)``: ``(group, ts, value, w_sum,
-    w_n)``.  ``width`` is in the timestamp's own unit (µs for Arrow
-    timestamps) and the frame is inclusive on both ends; rows sharing
-    a timestamp are PEERS — every peer's frame extends through the
-    LAST peer, exactly as SQL RANGE mode does.
+    width PRECEDING AND following FOLLOWING)``: ``(group, ts, value,
+    w_sum, w_n)``.  ``following=0`` (default) is the trailing
+    ``CURRENT ROW`` frame; a positive ``following`` gives the
+    centered / forward frame (e.g. ``width=following=30min`` is the
+    ±30-minute smoother).  Units are the timestamp's own (µs for
+    Arrow timestamps) and the frame is inclusive on both ends; rows
+    sharing a timestamp are PEERS — every peer's frame extends
+    through the LAST peer, exactly as SQL RANGE mode does.
 
     One hash shuffle; inside the bucket the table sorts once by
     (group, ts) and each group's window bounds come from two
@@ -2211,6 +2214,9 @@ def group_rolling_time(
     this engine drops them — keep timestamps non-null upstream)."""
     if width <= 0:
         raise ValueError("width must be positive")
+    if following < 0:
+        raise ValueError("following must be >= 0 (it extends the "
+                         "frame forward; shrink with width instead)")
 
     def _roll(tab: pa.Table) -> pa.Table:
         tab = tab.filter(pc.is_valid(tab[ts_col]))
@@ -2246,7 +2252,7 @@ def group_rolling_time(
         for s, e in zip(starts, ends):
             seg = ts[s:e]
             lo = s + np.searchsorted(seg, seg - width, side="left")
-            hi = s + np.searchsorted(seg, seg, side="right")
+            hi = s + np.searchsorted(seg, seg + following, side="right")
             w_sum[s:e] = cs[hi] - cs[lo]
             w_n[s:e] = cn[hi] - cn[lo]
         # SQL SUM over a frame with no non-null values is NULL, not 0

