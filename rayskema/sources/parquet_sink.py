@@ -114,3 +114,57 @@ def write_parquet_partitioned(
     return bucketed_map_groups(
         src.map_batches(_stamp_key, batch_format="pyarrow"),
         ["__k"], _write_bucket, buckets=buckets, sort_within=False)
+
+
+def read_hive_partitions(out_dir: str, by: str, *, values=None,
+                         columns=None) -> "rd.Dataset":
+    """Read back a :func:`write_parquet_partitioned` layout with
+    PARTITION PRUNING: only directories whose ``<by>=<value>`` name
+    matches ``values`` are listed and read — unmatched partitions'
+    files never leave storage, the property the hive layout exists
+    for.  ``values=None`` reads everything.  The partition column is
+    re-materialized from the directory name as a string column
+    (nulls arrive as the ``__NULL__`` sentinel directory and come
+    back as NULL); combine with ``columns=`` so the scan is pruned on
+    both axes.  Partitions without a ``_SUCCESS`` marker (interrupted
+    writes) raise rather than silently return partial data."""
+    want = None if values is None else {str(v) for v in values}
+    dirs = []
+    prefix = f"{by}="
+    for name in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, name)
+        if not (os.path.isdir(full) and name.startswith(prefix)):
+            continue
+        val = name[len(prefix):]
+        if want is not None and val not in want:
+            continue
+        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+            raise RuntimeError(
+                f"partition {name!r} has no _SUCCESS marker "
+                "(interrupted write) — refusing partial data")
+        dirs.append((val, full))
+    if not dirs:
+        return rd.from_arrow(pa.table({by: pa.array([], pa.string())}))
+
+    def _with_part(val: str):
+        def f(tab: pa.Table) -> pa.Table:
+            # the files carry the original column too; the directory
+            # name is authoritative (and survives columns= pruning)
+            if by in tab.column_names:
+                tab = tab.drop_columns([by])
+            col = pa.nulls(tab.num_rows, pa.string()) \
+                if val == "__NULL__" else pa.array(
+                    [val] * tab.num_rows, pa.string())
+            return tab.append_column(by, col)
+        return f
+
+    parts = []
+    for val, full in dirs:
+        ds = rd.read_parquet(full, columns=columns,
+                             file_extensions=["parquet"])
+        parts.append(ds.map_batches(_with_part(val),
+                                    batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

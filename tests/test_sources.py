@@ -268,3 +268,32 @@ def test_source_driver_spi(ray_session, tmp_path):
     assert "tsv" in spi.source_driver_names()
     spi.use_default_source_driver("tsv")
     assert "tsv" not in spi.source_driver_names()
+
+
+def test_read_hive_partitions_pruned(ray_session, tmp_path):
+    import ray.data as rd
+    from rayskema.sources.parquet_sink import (read_hive_partitions,
+                                               write_parquet_partitioned)
+    tab = pa.table({
+        "src": pa.array(["a", "a", "b", "c", None]),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    out = str(tmp_path / "hive")
+    write_parquet_partitioned(rd.from_arrow(tab), out, "src",
+                              buckets=2).materialize()
+    # pruned read: only src=a listed/read
+    got = read_hive_partitions(out, "src", values=["a"]) \
+        .to_pandas().sort_values("v")
+    assert got["v"].tolist() == [1, 2]
+    assert set(got["src"]) == {"a"}
+    # full read round-trips all rows incl. the NULL partition
+    full = read_hive_partitions(out, "src").to_pandas()
+    assert sorted(full["v"].tolist()) == [1, 2, 3, 4, 5]
+    assert full["src"].isna().sum() == 1
+    # a partition without _SUCCESS refuses to read
+    import pytest
+    os.remove(os.path.join(out, "src=b", "_SUCCESS"))
+    with pytest.raises(RuntimeError):
+        read_hive_partitions(out, "src")
+    # ...but pruning past it is fine
+    ok = read_hive_partitions(out, "src", values=["c"]).to_pandas()
+    assert ok["v"].tolist() == [4]
