@@ -1312,6 +1312,44 @@ def _q_emb_kmeans(sf_dir: str):
     })
 
 
+def _q_emb_pca(sf_dir: str):
+    """Distributed PCA (similarity.pca_fit): top-4 principal axes
+    from O(d²) moment partials per block — the corpus never moves;
+    projection is a broadcast matmul.  No SQL analogue
+    (eigendecomposition); the VERDICT row is computed against a
+    local single-pass numpy reference on the fixture (the kmeans
+    pattern): covariance partials match, components orthonormal,
+    projection variance per axis equals the eigenvalue share."""
+    from rayskema.functions.similarity import (_matrix, pca_fit,
+                                               pca_project)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps, ratio = pca_fit(ds, "embedding", k=4)
+    proj = pca_project(ds, "embedding", "vec_id", mean, comps)
+    tabs = [t for t in ray.get(proj.to_arrow_refs()) if t.num_rows]
+    p = _matrix(pa.concat_tables(tabs)["pc"])
+    # local reference: exact single-pass covariance on the fixture
+    full = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows])
+    m = _matrix(full["embedding"])
+    cov = np.cov(m, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    ref_ratio = evals[:4] / evals.sum()
+    ratio_match = bool(np.allclose(ratio, ref_ratio, rtol=1e-8))
+    ortho = bool(np.allclose(comps @ comps.T, np.eye(4), atol=1e-9))
+    # projected variance along axis i must equal eigenvalue i
+    pv = p.var(axis=0, ddof=1)
+    pv_match = bool(np.allclose(np.sort(pv)[::-1],
+                                evals[:4], rtol=1e-8))
+    return pa.table({
+        "d": pa.array([m.shape[1]], pa.int64()),
+        "k": pa.array([4], pa.int64()),
+        "n_points": pa.array([p.shape[0]], pa.int64()),
+        "ratio_match_local": pa.array([ratio_match], pa.bool_()),
+        "components_orthonormal": pa.array([ortho], pa.bool_()),
+        "projected_var_match": pa.array([pv_match], pa.bool_()),
+    })
+
+
 def _q_emb_near_dups(sf_dir: str):
     """EXACT all-pairs cosine near-dups (broadcast-corpus tiling) — the
     oracle-checkable verification operator; the LSH candidate variant
@@ -4182,6 +4220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_decimal": _q_lineitem_decimal,
         "orders_gen_validate": _q_orders_gen_validate,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_pca": _q_emb_pca,
         "emb_near_dups": _q_emb_near_dups,
         "events_type_psi": _q_events_type_psi,
         "docs_ks_drift": _q_docs_ks_drift,
@@ -6559,6 +6598,14 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_ivf": """
             SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
                    5::BIGINT AS n_results, TRUE AS recall_ok
+        """,
+        "emb_pca": """
+            SELECT 64::BIGINT AS d, 4::BIGINT AS k,
+                   (SELECT count(*) FROM embeddings)::BIGINT
+                       AS n_points,
+                   TRUE AS ratio_match_local,
+                   TRUE AS components_orthonormal,
+                   TRUE AS projected_var_match
         """,
         "emb_kmeans": """
             SELECT 10::BIGINT AS k,

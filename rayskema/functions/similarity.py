@@ -730,3 +730,78 @@ def quantize_embeddings(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         _quant, batch_format="pyarrow")
+
+
+def pca_fit(ds: "rd.Dataset", vec_col: str, *, k: int,
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit over an embedding column: returns
+    ``(mean, components, explained_ratio)`` — the top-``k`` principal
+    axes (rows of ``components``, descending eigenvalue order) of the
+    sample covariance, and each axis's share of total variance.
+
+    Scale shape: every block reduces to the exact moment partials
+    ``(n, Σx, ΣxᵀX)`` — O(d²) floats per block regardless of rows —
+    and the driver merges |blocks| partials and eigendecomposes the
+    d×d covariance locally (d is the embedding width; the n×d corpus
+    never moves).  Signs are normalized (each component's
+    largest-|coefficient| entry is positive) so the fit is
+    deterministic up to eigenvalue ties.  The whitening /
+    dim-reduction step is then a broadcast matmul inside
+    ``map_batches`` (see :func:`pca_project`)."""
+    def _partial(tab: pa.Table) -> pa.Table:
+        m = _matrix(tab[vec_col])
+        if m.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0)],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel()],
+                           pa.list_(pa.float64()))})
+
+    rows = ds.select_columns([vec_col]).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    rows = [r for r in rows if r["n"]]
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = len(s)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows],
+                axis=0).reshape(d, d)
+    if n < 2:
+        raise ValueError("pca_fit needs >= 2 rows")
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # (k, d)
+    top = np.abs(comps).argmax(axis=1)
+    flip = np.sign(comps[np.arange(len(comps)), top])
+    comps = comps * flip[:, None]
+    total = float(np.clip(evals.sum(), 1e-300, None))
+    return mean, comps, evals[order] / total
+
+
+def pca_project(ds: "rd.Dataset", vec_col: str, id_col: str,
+                mean: np.ndarray, components: np.ndarray,
+                *, out_col: str = "pc") -> "rd.Dataset":
+    """Project every row onto the fitted axes: one broadcast matmul
+    per batch (``(X - mean) @ componentsᵀ``), no exchange; output
+    ``(id, pc list<double>)``."""
+    import ray
+    ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    def _proj(tab: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        m = _matrix(tab[vec_col])
+        p = (m - mu[None, :]) @ c.T if m.size else \
+            np.zeros((0, c.shape[0]))
+        return pa.table({id_col: tab[id_col],
+                         out_col: pa.array(list(p),
+                                           pa.list_(pa.float64()))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _proj, batch_format="pyarrow")

@@ -2961,3 +2961,35 @@ def test_group_rolling_time_centered(ray_session):
     with pytest.raises(ValueError):
         group_rolling_time(rd.from_arrow(tab), "g", "ts", "v",
                            width=10, following=-1)
+
+
+def test_pca_fit_project(ray_session):
+    from rayskema.functions.similarity import (_matrix, pca_fit,
+                                               pca_project)
+    rng = np.random.default_rng(8)
+    # anisotropic 6-d cloud: variance concentrated on two axes
+    base = rng.normal(size=(400, 6)) * np.array([5, 3, 1, 1, .5, .1])
+    mix = rng.normal(size=(6, 6))
+    m = base @ mix + rng.normal(size=6) * 10
+    tab = pa.table({
+        "id": pa.array(np.arange(400), pa.int64()),
+        "v": pa.array([r.astype(np.float32) for r in m],
+                      pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tab).repartition(5)
+    mean, comps, ratio = pca_fit(ds, "v", k=3)
+    m64 = _matrix(tab["v"])
+    assert np.allclose(mean, m64.mean(axis=0), rtol=1e-9)
+    cov = np.cov(m64, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(ratio, evals[:3] / evals.sum(), rtol=1e-8)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    # deterministic across a different partitioning (summation order
+    # differs only at float roundoff; sign convention pins the rest)
+    _, comps2, _ = pca_fit(rd.from_arrow(tab).repartition(2), "v", k=3)
+    assert np.allclose(comps, comps2, atol=1e-9)
+    # projection variance along axis i equals eigenvalue i
+    p = _matrix(pa.concat_tables([t for t in __import__("ray").get(
+        pca_project(ds, "v", "id", mean, comps).to_arrow_refs())
+        if t.num_rows])["pc"])
+    assert np.allclose(np.sort(p.var(axis=0, ddof=1))[::-1],
+                       evals[:3], rtol=1e-8)
