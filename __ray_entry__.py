@@ -3808,6 +3808,26 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_cusum(sf_dir: str):
+    """One-sided CUSUM change-point statistic per event type
+    (relational.group_cusum): S_t = max(0, S_{t-1} + value_c - 500)
+    with alarms above 2000 — exact int64 via the closed form
+    S_t = C_t - min(prefix C, 0), one prefix sum + one prefix min per
+    group, mirrored in SQL as two nested windows."""
+    from rayskema.pipelines.relational import group_cusum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id",
+                                  "value"]) \
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "value_c": _cents(t["value"])}), batch_format="pyarrow")
+    out = group_cusum(ds, "event_type", ["ts", "event_id"], "value_c",
+                      drift=500, threshold=2000, buckets=4)
+    return out.select_columns(["event_type", "event_id", "cusum",
+                               "alarm"])
+
+
 def _q_events_cumulative_users(sf_dir: str):
     """Cumulative-distinct growth curve: per event type and epoch-day,
     how many DISTINCT users have appeared so far.  A running
@@ -4152,6 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum": _q_orders_checksum,
         "events_cumulative_users": _q_events_cumulative_users,
         "events_rolling_centered": _q_events_rolling_centered,
+        "events_cusum": _q_events_cusum,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6359,6 +6380,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_cusum": """
+            WITH t AS (
+                SELECT event_type, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) - 500 AS x
+                FROM events),
+            c AS (
+                SELECT event_type, ts, event_id,
+                       SUM(x) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t),
+            m AS (
+                SELECT event_type, event_id, cum,
+                       LEAST(MIN(cum) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING), 0) AS pm
+                FROM c)
+            SELECT event_type, event_id,
+                   CAST(cum - pm AS BIGINT) AS cusum,
+                   (cum - pm) > 2000 AS alarm
+            FROM m
+        """,
         "events_cumulative_users": """
             WITH f AS (
                 SELECT event_type, user_id,

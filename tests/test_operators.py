@@ -2993,3 +2993,31 @@ def test_pca_fit_project(ray_session):
         if t.num_rows])["pc"])
     assert np.allclose(np.sort(p.var(axis=0, ddof=1))[::-1],
                        evals[:3], rtol=1e-8)
+
+
+def test_group_cusum(ray_session):
+    from rayskema.pipelines.relational import group_cusum
+    tab = pa.table({
+        "g": ["a"] * 6 + ["b"] * 2,
+        "o": pa.array([1, 2, 3, 4, 5, 6, 1, 2], pa.int64()),
+        "v": pa.array([3, 1, 9, 9, 0, 2, 7, 0], pa.int64())})
+    out = _collect(group_cusum(rd.from_arrow(tab).repartition(3),
+                               "g", ["o"], "v", drift=4, threshold=5,
+                               buckets=2)).sort_by([("g", "ascending"),
+                                                    ("o", "ascending")])
+    o = out.to_pydict()
+    # reference recurrence S = max(0, S + v - 4)
+    ref = []
+    for grp in ("a", "b"):
+        s = 0
+        for v in [r for g, r in zip(tab["g"].to_pylist(),
+                                    tab["v"].to_pylist()) if g == grp]:
+            s = max(0, s + v - 4)
+            ref.append(s)
+    assert o["cusum"] == ref
+    assert o["alarm"] == [s > 5 for s in ref]
+    bad = pa.table({"g": ["x"], "o": pa.array([1], pa.int64()),
+                    "v": pa.array([1.5])})
+    with pytest.raises(Exception):
+        _collect(group_cusum(rd.from_arrow(bad), "g", ["o"], "v",
+                             drift=0, threshold=1))
