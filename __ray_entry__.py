@@ -3808,6 +3808,25 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_ab_test(sf_dir: str):
+    """Two-proportion A/B z-test with ZERO floats
+    (drift.ab_ztest_exact): variant = user_id parity, conversion =
+    purchase events; z² is a rational function of the four counts,
+    computed in exact big ints and floored to ppm.  No exchange —
+    four counter partials per block, four scalars on the driver."""
+    import pyarrow.compute as pc
+    from rayskema.functions.drift import ab_ztest_exact
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(lambda t: pa.table({
+            "variant": pc.cast(pc.bit_wise_and(t["user_id"], 1),
+                               pa.int64()),
+            "converted": pc.cast(pc.equal(t["event_type"],
+                                          "purchase"), pa.int64())}),
+            batch_format="pyarrow")
+    return ab_ztest_exact(ds, "variant", "converted")
+
+
 def _q_events_cusum(sf_dir: str):
     """One-sided CUSUM change-point statistic per event type
     (relational.group_cusum): S_t = max(0, S_{t-1} + value_c - 500)
@@ -4173,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative_users": _q_events_cumulative_users,
         "events_rolling_centered": _q_events_rolling_centered,
         "events_cusum": _q_events_cusum,
+        "events_ab_test": _q_events_ab_test,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6380,6 +6400,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_ab_test": """
+            WITH c AS (
+                SELECT
+                    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS n_a,
+                    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS n_b,
+                    SUM(CASE WHEN user_id % 2 = 0
+                             AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS conv_a,
+                    SUM(CASE WHEN user_id % 2 = 1
+                             AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS conv_b
+                FROM events)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(conv_a AS BIGINT) AS conv_a,
+                   CAST(conv_b AS BIGINT) AS conv_b,
+                   CAST(((conv_a * n_b - conv_b * n_a)
+                         * (conv_a * n_b - conv_b * n_a)
+                         * (n_a + n_b) * 1000000)
+                        // (n_a * n_b * (conv_a + conv_b)
+                            * (n_a + n_b - conv_a - conv_b))
+                       AS BIGINT) AS z2_ppm
+            FROM c
+        """,
         "events_cusum": """
             WITH t AS (
                 SELECT event_type, ts, event_id,

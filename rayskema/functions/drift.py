@@ -200,3 +200,59 @@ def drift_report(baseline: ColumnProfile, observed: ColumnProfile,
             "passed": value < rule.threshold,
         })
     return out
+
+
+def ab_ztest_exact(ds, variant_col: str, converted_col: str):
+    """Two-proportion A/B z-test with NO floating point: the squared
+    pooled z-statistic is a RATIONAL function of the four counts —
+
+        z² = (c_a·n_b − c_b·n_a)² · N
+             ─────────────────────────────────
+             n_a·n_b·(c_a+c_b)·(N − c_a − c_b)
+
+    — so it is computed exactly in arbitrary-precision ints and
+    reported floor-scaled to ppm (``z2_ppm``; compare against
+    3.8416e6 for the two-sided 5% level).  ``variant_col`` must be
+    int 0/1 (0 = A); ``converted_col`` int 0/1.  Degenerate splits
+    (either arm empty, all-or-none conversions pooled) yield NULL.
+
+    Scale shape: the only distributed work is four counter partials
+    per block (no exchange at all); the exact big-int arithmetic
+    happens once on the driver's four scalars.
+
+    Returns a one-row table
+    ``(n_a, n_b, conv_a, conv_b, z2_ppm)``."""
+    import pyarrow as pa
+
+    def _partial(tab: "pa.Table") -> "pa.Table":
+        v = tab[variant_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = tab[converted_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if ((v != 0) & (v != 1)).any() or ((c != 0) & (c != 1)).any():
+            raise ValueError("variant/converted must be 0/1")
+        b = v == 1
+        return pa.table({
+            "n_a": pa.array([int((~b).sum())], pa.int64()),
+            "n_b": pa.array([int(b.sum())], pa.int64()),
+            "conv_a": pa.array([int(c[~b].sum())], pa.int64()),
+            "conv_b": pa.array([int(c[b].sum())], pa.int64())})
+
+    acc = {"n_a": 0, "n_b": 0, "conv_a": 0, "conv_b": 0}
+    for r in ds.select_columns([variant_col, converted_col]) \
+            .map_batches(_partial, batch_format="pyarrow").take_all():
+        for k in acc:
+            acc[k] += r[k]
+    n_a, n_b = acc["n_a"], acc["n_b"]
+    c_a, c_b = acc["conv_a"], acc["conv_b"]
+    n = n_a + n_b
+    conv = c_a + c_b
+    den = n_a * n_b * conv * (n - conv)
+    z2_ppm = ((c_a * n_b - c_b * n_a) ** 2 * n * 1_000_000) // den \
+        if den else None
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "conv_a": pa.array([c_a], pa.int64()),
+        "conv_b": pa.array([c_b], pa.int64()),
+        "z2_ppm": pa.array([z2_ppm], pa.int64())})

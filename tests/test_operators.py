@@ -3021,3 +3021,31 @@ def test_group_cusum(ray_session):
     with pytest.raises(Exception):
         _collect(group_cusum(rd.from_arrow(bad), "g", ["o"], "v",
                              drift=0, threshold=1))
+
+
+def test_ab_ztest_exact(ray_session):
+    import math
+    from rayskema.functions.drift import ab_ztest_exact
+    rng = np.random.default_rng(12)
+    v = rng.integers(0, 2, 2000).astype(np.int64)
+    c = ((rng.random(2000) < np.where(v == 1, 0.30, 0.22))
+         .astype(np.int64))
+    tab = pa.table({"v": pa.array(v), "c": pa.array(c)})
+    out = ab_ztest_exact(rd.from_arrow(tab).repartition(5), "v",
+                         "c").to_pydict()
+    n_a, n_b = out["n_a"][0], out["n_b"][0]
+    c_a, c_b = out["conv_a"][0], out["conv_b"][0]
+    assert n_a + n_b == 2000 and c_a + c_b == int(c.sum())
+    # float reference z²
+    p1, p2 = c_a / n_a, c_b / n_b
+    p = (c_a + c_b) / 2000
+    z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert math.isclose(out["z2_ppm"][0] / 1e6, z2, rel_tol=1e-4)
+
+
+def test_ab_ztest_degenerate(ray_session):
+    from rayskema.functions.drift import ab_ztest_exact
+    tab = pa.table({"v": pa.array([0, 0], pa.int64()),
+                    "c": pa.array([1, 0], pa.int64())})
+    out = ab_ztest_exact(rd.from_arrow(tab), "v", "c").to_pydict()
+    assert out["z2_ppm"] == [None]          # arm B empty
