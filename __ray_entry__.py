@@ -3808,6 +3808,39 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_lineitem_rolling_ols(sf_dir: str):
+    """Per-row rolling OLS trend (relational.group_rolling_ols):
+    slope of quantity vs ship-day over the trailing 20 rows per
+    returnflag, emitted as the EXACT integer numerator/denominator
+    of the slope rational — no float drift, no ppm overflow; the SQL
+    mirror computes the same five window sums."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_rolling_ols
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_shipdate": t["l_shipdate"],
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "x": pa.array(us // 86_400_000_000),
+            "y": pc.cast(pc.round(t["l_quantity"]), pa.int64())})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_shipdate", "l_orderkey",
+                "l_linenumber", "l_quantity"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    # the dup-fixture rows share (orderkey, linenumber) with
+    # different quantities — include y in the order key so the frame
+    # contents are total-order deterministic on both sides
+    return group_rolling_ols(
+        ds, "l_returnflag",
+        ["l_shipdate", "l_orderkey", "l_linenumber", "y"], "x", "y",
+        window=20, buckets=4)
+
+
 def _q_events_ab_test(sf_dir: str):
     """Two-proportion A/B z-test with ZERO floats
     (drift.ab_ztest_exact): variant = user_id parity, conversion =
@@ -4193,6 +4226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_centered": _q_events_rolling_centered,
         "events_cusum": _q_events_cusum,
         "events_ab_test": _q_events_ab_test,
+        "lineitem_rolling_ols": _q_lineitem_rolling_ols,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6400,6 +6434,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "lineitem_rolling_ols": """
+            WITH t AS (
+                SELECT l_returnflag, l_shipdate, l_orderkey,
+                       l_linenumber,
+                       epoch_us(l_shipdate) // 86400000000 AS x,
+                       CAST(round(l_quantity) AS BIGINT) AS y
+                FROM lineitem),
+            w AS (
+                SELECT l_returnflag, l_shipdate, l_orderkey,
+                       l_linenumber, y,
+                       COUNT(*) OVER f AS n,
+                       SUM(x) OVER f AS sx, SUM(y) OVER f AS sy,
+                       SUM(x * y) OVER f AS sxy,
+                       SUM(x * x) OVER f AS sxx
+                FROM t
+                WINDOW f AS (PARTITION BY l_returnflag
+                             ORDER BY l_shipdate, l_orderkey,
+                                      l_linenumber, y
+                             ROWS BETWEEN 19 PRECEDING
+                                  AND CURRENT ROW))
+            SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+                   CAST(y AS BIGINT) AS y,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS ols_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS ols_den
+            FROM w
+        """,
         "events_ab_test": """
             WITH c AS (
                 SELECT

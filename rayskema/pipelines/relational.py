@@ -4241,3 +4241,75 @@ def group_cusum(
     return bucketed_map_groups(ds.select_columns(cols), [group_col],
                                _cusum, buckets=buckets,
                                sort_within=False)
+
+
+def group_rolling_ols(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    x_col: str, y_col: str, *, window: int,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-row ROLLING OLS trend over the trailing ``window`` rows
+    (ROWS frame, per group, ``order_cols`` order): emits the exact
+    integer NUMERATOR and DENOMINATOR of the slope —
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    — as ``ols_num`` / ``ols_den`` int64 columns (``den = 0`` ⇔
+    fewer than 2 distinct x in the frame; divide downstream, or
+    compare as a rational).  Keeping the rational avoids BOTH float
+    drift and the ppm-scaling overflow a premature division invites;
+    the SQL mirror computes the same two windows sums.  ``x_col`` and
+    ``y_col`` must be int64-scaled by the caller small enough that
+    ``window·Σ|xy|`` fits int64 (day numbers and cents are fine;
+    epoch-µs x is not — rescale first).
+
+    One hash exchange; all five windowed sums are prefix-sum
+    differences over the bucket-sorted arrays."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    order_cols = list(order_cols)
+
+    def _roll(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        n = tab.num_rows
+        out = {group_col: tab[group_col]}
+        for c in order_cols:
+            out[c] = tab[c]
+        if n == 0:
+            out["ols_num"] = pa.array([], pa.int64())
+            out["ols_den"] = pa.array([], pa.int64())
+            return pa.table(out)
+        for c in (x_col, y_col):
+            if not pa.types.is_integer(tab[c].type):
+                raise TypeError(f"{c} must be integer-scaled")
+            if tab[c].null_count:
+                raise ValueError(f"{c} must be non-null")
+        x = tab[x_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = tab[y_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_g = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, sizes)
+        idx = np.arange(n)
+        lo = np.maximum(idx - window + 1, gstart)    # frame start
+        def _ps(a):
+            return np.concatenate([[0], np.cumsum(a)])
+        cs_x, cs_y = _ps(x), _ps(y)
+        cs_xy, cs_xx = _ps(x * y), _ps(x * x)
+        cnt = idx + 1 - lo
+        sx = cs_x[idx + 1] - cs_x[lo]
+        sy = cs_y[idx + 1] - cs_y[lo]
+        sxy = cs_xy[idx + 1] - cs_xy[lo]
+        sxx = cs_xx[idx + 1] - cs_xx[lo]
+        out["ols_num"] = pa.array(cnt * sxy - sx * sy)
+        out["ols_den"] = pa.array(cnt * sxx - sx * sx)
+        return pa.table(out)
+
+    cols = list(dict.fromkeys([group_col] + order_cols +
+                              [x_col, y_col]))
+    return bucketed_map_groups(ds.select_columns(cols), [group_col],
+                               _roll, buckets=buckets,
+                               sort_within=False)

@@ -3049,3 +3049,33 @@ def test_ab_ztest_degenerate(ray_session):
                     "c": pa.array([1, 0], pa.int64())})
     out = ab_ztest_exact(rd.from_arrow(tab), "v", "c").to_pydict()
     assert out["z2_ppm"] == [None]          # arm B empty
+
+
+def test_group_rolling_ols(ray_session):
+    from rayskema.pipelines.relational import group_rolling_ols
+    rng = np.random.default_rng(13)
+    g = np.repeat([1, 2], 50)
+    o = np.tile(np.arange(50), 2).astype(np.int64)
+    x = rng.integers(0, 100, 100).astype(np.int64)
+    y = rng.integers(0, 100, 100).astype(np.int64)
+    tab = pa.table({"g": pa.array(g), "o": pa.array(o),
+                    "x": pa.array(x), "y": pa.array(y)})
+    out = _collect(group_rolling_ols(
+        rd.from_arrow(tab).repartition(4), "g", ["o"], "x", "y",
+        window=7, buckets=2)).sort_by([("g", "ascending"),
+                                       ("o", "ascending")]).to_pydict()
+    for i, (gr, oo) in enumerate(zip(out["g"], out["o"])):
+        sel = (g == gr) & (o <= oo) & (o > oo - 7)
+        xs, ys = x[sel], y[sel]
+        nn = len(xs)
+        num = nn * (xs * ys).sum() - xs.sum() * ys.sum()
+        den = nn * (xs * xs).sum() - xs.sum() ** 2
+        assert out["ols_num"][i] == num
+        assert out["ols_den"][i] == den
+    # den=0 on a 1-row frame
+    one = pa.table({"g": [1], "o": pa.array([0], pa.int64()),
+                    "x": pa.array([5], pa.int64()),
+                    "y": pa.array([9], pa.int64())})
+    od = _collect(group_rolling_ols(rd.from_arrow(one), "g", ["o"],
+                                    "x", "y", window=3)).to_pydict()
+    assert od["ols_den"] == [0]
