@@ -3808,6 +3808,139 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_cohort_matrix(sf_dir: str):
+    """Full cohort-retention TRIANGLE: users grouped by first-seen
+    week (cohort), counted distinct per (cohort, age-in-weeks) —
+    the classic growth-accounting grid, generalizing the adjacent-week
+    `events_retention`.  Two bucketed exchanges over deduped pairs:
+    first-week per user, then distinct (user, week) activity joined
+    back to cohorts by BROADCAST (cohort table is O(users) but the
+    join is on user — reuse the same hash family), aggregated on the
+    tiny (cohort, age) grain."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups,
+                                               group_agg, hash_join)
+
+    def _week(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "week": pa.array(us // 604_800_000_000)})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _week, batch_format="pyarrow")
+    # distinct (user, week) activity — dedup partials then one exchange
+    pairs = bucketed_map_groups(
+        ev.map_batches(
+            lambda t: t.group_by(["user_id", "week"]).aggregate([]),
+            batch_format="pyarrow"),
+        ["user_id", "week"],
+        lambda t: t.group_by(["user_id", "week"]).aggregate([]),
+        buckets=4, sort_within=False).materialize()
+    cohort = group_agg(pairs, ["user_id"],
+                       [("week", "min", "cohort")], buckets=2)
+    j = hash_join(pairs, cohort, on="user_id", broadcast="auto")
+
+    def _grid(t: pa.Table) -> pa.Table:
+        wk = t["week"].combine_chunks().to_numpy(zero_copy_only=False)
+        co = t["cohort"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        part = pa.table({
+            "cohort": t["cohort"],
+            "age": pa.array(wk - co),
+            "__one": pa.array(np.ones(len(wk), np.int64))})
+        return agg_named(part, ["cohort", "age"], [("__one", "sum")],
+                         ["n_users"])
+
+    return bucketed_map_groups(
+        j.map_batches(_grid, batch_format="pyarrow"),
+        ["cohort", "age"],
+        lambda t: agg_named(t, ["cohort", "age"],
+                            [("n_users", "sum")], ["n_users"]),
+        buckets=2, sort_within=False)
+
+
+def _q_events_type_overlap(sf_dir: str):
+    """Event-type co-occurrence matrix over USER SETS: for every
+    unordered type pair, |users(a) ∩ users(b)|, both set sizes, and
+    the exact Jaccard in ppm.  One exchange co-locates each user's
+    distinct types; per-user pair expansion rides the dedup module's
+    bounded pair templates (types per user is tiny), and only the
+    O(|types|²) pair partials move again."""
+    from rayskema.functions.dedup import _group_pair_chunks
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups,
+                                               segment_starts)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _dedup(tab: pa.Table) -> pa.Table:
+        return tab.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs_src = ds.map_batches(_dedup, batch_format="pyarrow")
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = _dedup(tab).sort_by([("user_id", "ascending"),
+                                   ("event_type", "ascending")])
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n_both": pa.array([], pa.int64())})
+        new = segment_starts(tab, ["user_id"])
+        firsts = np.flatnonzero(new)
+        counts = np.diff(np.append(firsts, n))
+        et = tab["event_type"].combine_chunks()
+        parts = []
+        for ia, ib in _group_pair_chunks(counts, firsts,
+                                         max_group=1_000_000):
+            chunk = pa.table({
+                "a": et.take(pa.array(ia)),
+                "b": et.take(pa.array(ib)),
+                "__one": pa.array(np.ones(len(ia), np.int64))})
+            parts.append(agg_named(chunk, ["a", "b"],
+                                   [("__one", "sum")], ["n_both"]))
+        if not parts:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n_both": pa.array([], pa.int64())})
+        return agg_named(pa.concat_tables(parts), ["a", "b"],
+                         [("n_both", "sum")], ["n_both"])
+
+    both = bucketed_map_groups(pairs_src, ["user_id"], _pairs,
+                               buckets=4, sort_within=False)
+    both = bucketed_map_groups(
+        both, ["a", "b"],
+        lambda t: agg_named(t, ["a", "b"], [("n_both", "sum")],
+                            ["n_both"]),
+        buckets=2, sort_within=False)
+    # per-type distinct-user sizes: tiny table, broadcast into the mix
+    sizes = bucketed_map_groups(
+        pairs_src, ["event_type"],
+        lambda t: agg_named(
+            t.group_by(["user_id", "event_type"]).aggregate([]),
+            ["event_type"], [("user_id", "count")], ["n_users"]),
+        buckets=2, sort_within=False)
+    sz = {r["event_type"]: r["n_users"] for r in sizes.take_all()}
+
+    def _jaccard(tab: pa.Table) -> pa.Table:
+        a = tab["a"].to_pylist()
+        b = tab["b"].to_pylist()
+        nb = tab["n_both"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        na = np.array([sz[x] for x in a], dtype=np.int64)
+        nb_ = np.array([sz[x] for x in b], dtype=np.int64)
+        union = na + nb_ - nb
+        return pa.table({
+            "a": tab["a"], "b": tab["b"],
+            "n_both": tab["n_both"],
+            "n_a": pa.array(na), "n_b": pa.array(nb_),
+            "jaccard_ppm": pa.array(nb * 1_000_000 // union)})
+
+    return both.map_batches(_jaccard, batch_format="pyarrow")
+
+
 def _q_lineitem_rolling_ols(sf_dir: str):
     """Per-row rolling OLS trend (relational.group_rolling_ols):
     slope of quantity vs ship-day over the trailing 20 rows per
@@ -4227,6 +4360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": _q_events_cusum,
         "events_ab_test": _q_events_ab_test,
         "lineitem_rolling_ols": _q_lineitem_rolling_ols,
+        "events_type_overlap": _q_events_type_overlap,
+        "events_cohort_matrix": _q_events_cohort_matrix,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6434,6 +6569,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_cohort_matrix": """
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events),
+            c AS (SELECT user_id, min(week) AS cohort
+                  FROM p GROUP BY 1)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort,
+                   CAST(p.week - c.cohort AS BIGINT) AS age,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_type_overlap": """
+            WITH du AS (
+                SELECT DISTINCT user_id, event_type FROM events),
+            sz AS (SELECT event_type, count(*) AS n
+                   FROM du GROUP BY 1),
+            p AS (
+                SELECT x.event_type AS a, y.event_type AS b,
+                       count(*) AS n_both
+                FROM du x JOIN du y
+                  ON x.user_id = y.user_id
+                 AND x.event_type < y.event_type
+                GROUP BY 1, 2)
+            SELECT p.a, p.b, CAST(p.n_both AS BIGINT) AS n_both,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(p.n_both * 1000000
+                        // (sa.n + sb.n - p.n_both) AS BIGINT)
+                       AS jaccard_ppm
+            FROM p JOIN sz sa ON sa.event_type = p.a
+                 JOIN sz sb ON sb.event_type = p.b
+        """,
         "lineitem_rolling_ols": """
             WITH t AS (
                 SELECT l_returnflag, l_shipdate, l_orderkey,
