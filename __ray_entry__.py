@@ -3808,6 +3808,17 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_docs_line_dedup(sf_dir: str):
+    """C4/CCNet-style LINE-level corpus dedup (dedup.line_dedup):
+    only the globally first occurrence of each distinct line
+    survives (first = smallest (doc_id, position)); docs reassemble
+    from surviving lines in order.  One line-value exchange dedups
+    AND filters; reassembly is the ordered group_concat."""
+    from rayskema.functions.dedup import line_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(ds, "doc_id", "text", buckets=4)
+
+
 def _q_events_cohort_matrix(sf_dir: str):
     """Full cohort-retention TRIANGLE: users grouped by first-seen
     week (cohort), counted distinct per (cohort, age-in-weeks) —
@@ -4362,6 +4373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rolling_ols": _q_lineitem_rolling_ols,
         "events_type_overlap": _q_events_type_overlap,
         "events_cohort_matrix": _q_events_cohort_matrix,
+        "docs_line_dedup": _q_docs_line_dedup,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6569,6 +6581,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "docs_line_dedup": """
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS arr
+                FROM documents),
+            occ AS (
+                SELECT doc_id, unnest(arr) AS line,
+                       unnest(generate_series(1, len(arr))) - 1
+                           AS pos
+                FROM ls),
+            w AS (
+                SELECT doc_id, line, pos,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM occ)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos)
+                       AS text_deduped
+            FROM w WHERE rn = 1
+            GROUP BY doc_id
+        """,
         "events_cohort_matrix": """
             WITH p AS (
                 SELECT DISTINCT user_id,

@@ -1884,3 +1884,56 @@ def dedup_tokens_within_doc(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _dedup, batch_format="pyarrow")
+
+
+def line_dedup(ds: "rd.Dataset", id_col: str, text_col: str, *,
+               sep: str = "\n", buckets: int | None = None,
+               out_col: str = "text_deduped") -> "rd.Dataset":
+    """LINE-level corpus deduplication (the C4/CCNet pre-clean): split
+    every document on ``sep``, keep only the globally FIRST occurrence
+    of each distinct line (first = smallest ``(id, position)`` — the
+    boilerplate/navigation killer), and reassemble each document from
+    its surviving lines in original order.  A document whose every
+    line was seen earlier vanishes (SQL string_agg-over-no-rows
+    semantics); empty lines deduplicate like any other line.
+
+    Scale shape: explode is per-batch (list offsets, no row loop);
+    ONE hash exchange on the line value both dedups and filters —
+    each bucket holds every occurrence of its lines, sorts once and
+    takes segment starts; reassembly is the ordered
+    :func:`~rayskema.pipelines.relational.group_concat` (a second
+    exchange on the doc id).  Only (line, id, pos) occurrence rows
+    ever move — never whole documents."""
+    from ..pipelines.relational import (bucketed_map_groups,
+                                        group_concat, segment_starts)
+
+    def _explode(tab: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.fill_null(tab[text_col], ""),
+                                 pattern=sep)
+        lens = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = tab[id_col].combine_chunks()
+        flat = pc.list_flatten(lines)
+        doc = ids.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+        ends = np.cumsum(lens)
+        pos = np.arange(int(ends[-1]) if len(ends) else 0) - \
+            np.repeat(ends - lens, lens)
+        return pa.table({"line": flat, id_col: doc,
+                         "pos": pa.array(pos)})
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow")
+
+    def _first(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab
+        tab = tab.sort_by([("line", "ascending"),
+                           (id_col, "ascending"),
+                           ("pos", "ascending")])
+        firsts = np.flatnonzero(segment_starts(tab, ["line"]))
+        return tab.take(pa.array(firsts))
+
+    kept = bucketed_map_groups(occ, ["line"], _first,
+                               buckets=buckets, sort_within=False)
+    return group_concat(kept, id_col, "line", ["pos"], sep=sep,
+                        out_col=out_col, buckets=buckets)

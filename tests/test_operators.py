@@ -3079,3 +3079,29 @@ def test_group_rolling_ols(ray_session):
     od = _collect(group_rolling_ols(rd.from_arrow(one), "g", ["o"],
                                     "x", "y", window=3)).to_pydict()
     assert od["ols_den"] == [0]
+
+
+def test_line_dedup(ray_session):
+    from rayskema.functions.dedup import line_dedup
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha\nbeta\ngamma",
+                          "beta\ndelta",          # beta seen in doc 1
+                          "alpha\nbeta"])})       # fully duplicated
+    out = _collect(line_dedup(rd.from_arrow(docs).repartition(2),
+                              "doc_id", "text",
+                              buckets=2)).sort_by("doc_id")
+    o = dict(zip(out["doc_id"].to_pylist(),
+                 out["text_deduped"].to_pylist()))
+    # doc 3 vanishes: every line already seen earlier
+    assert o == {1: "alpha\nbeta\ngamma", 2: "delta"}
+
+
+def test_line_dedup_position_tiebreak(ray_session):
+    from rayskema.functions.dedup import line_dedup
+    docs = pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "text": pa.array(["x\nx\ny"])})   # same line twice in one doc
+    out = _collect(line_dedup(rd.from_arrow(docs), "doc_id", "text",
+                              buckets=1)).to_pydict()
+    assert out["text_deduped"] == ["x\ny"]   # first position wins
