@@ -1906,6 +1906,8 @@ def line_dedup(ds: "rd.Dataset", id_col: str, text_col: str, *,
     ever move — never whole documents."""
     from ..pipelines.relational import (bucketed_map_groups,
                                         group_concat, segment_starts)
+    if id_col in ("__line", "__pos"):
+        raise ValueError("id_col collides with internal columns")
 
     def _explode(tab: pa.Table) -> pa.Table:
         lines = pc.split_pattern(pc.fill_null(tab[text_col], ""),
@@ -1918,8 +1920,8 @@ def line_dedup(ds: "rd.Dataset", id_col: str, text_col: str, *,
         ends = np.cumsum(lens)
         pos = np.arange(int(ends[-1]) if len(ends) else 0) - \
             np.repeat(ends - lens, lens)
-        return pa.table({"line": flat, id_col: doc,
-                         "pos": pa.array(pos)})
+        return pa.table({"__line": flat, id_col: doc,
+                         "__pos": pa.array(pos)})
 
     occ = ds.select_columns([id_col, text_col]).map_batches(
         _explode, batch_format="pyarrow")
@@ -1927,13 +1929,13 @@ def line_dedup(ds: "rd.Dataset", id_col: str, text_col: str, *,
     def _first(tab: pa.Table) -> pa.Table:
         if tab.num_rows == 0:
             return tab
-        tab = tab.sort_by([("line", "ascending"),
+        tab = tab.sort_by([("__line", "ascending"),
                            (id_col, "ascending"),
-                           ("pos", "ascending")])
-        firsts = np.flatnonzero(segment_starts(tab, ["line"]))
+                           ("__pos", "ascending")])
+        firsts = np.flatnonzero(segment_starts(tab, ["__line"]))
         return tab.take(pa.array(firsts))
 
-    kept = bucketed_map_groups(occ, ["line"], _first,
+    kept = bucketed_map_groups(occ, ["__line"], _first,
                                buckets=buckets, sort_within=False)
-    return group_concat(kept, id_col, "line", ["pos"], sep=sep,
+    return group_concat(kept, id_col, "__line", ["__pos"], sep=sep,
                         out_col=out_col, buckets=buckets)

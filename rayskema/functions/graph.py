@@ -95,6 +95,10 @@ def pagerank(
         def _contrib(tab: pa.Table) -> pa.Table:
             r = tab["r"].combine_chunks().to_numpy(zero_copy_only=False)
             dg = tab["dg"].combine_chunks().to_numpy(zero_copy_only=False)
+            if len(r) and int(r.max()) > (2**63 - 1) // num:
+                raise OverflowError(
+                    "pagerank: rank*damping_num exceeds int64 — "
+                    "lower `scale` for this vertex count")
             c = (r * num) // (den * dg)
             part = pa.table({"v": tab[dst_col], "c": pa.array(c)})
             return agg_named(part, ["v"], [("c", "sum")], ["c"])

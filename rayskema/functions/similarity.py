@@ -773,6 +773,8 @@ def pca_fit(ds: "rd.Dataset", vec_col: str, *, k: int,
                 axis=0).reshape(d, d)
     if n < 2:
         raise ValueError("pca_fit needs >= 2 rows")
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} outside [1, d={d}]")
     mean = s / n
     cov = (ss - n * np.outer(mean, mean)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)          # ascending

@@ -3782,6 +3782,12 @@ def _pareto_frontier_table(tab: pa.Table, dims: Sequence[str],
         c = tab[d].combine_chunks().to_numpy(zero_copy_only=False)
         if np.issubdtype(c.dtype, np.floating) and np.isnan(c).any():
             raise ValueError("skyline dims must be non-null / non-NaN")
+        if s < 0 and c.dtype.kind == "u":
+            # unsigned negation wraps (0 would become the BEST value)
+            if len(c) and c.max() > np.iinfo(np.int64).max:
+                raise ValueError(f"maximize dim {d!r}: uint64 value "
+                                 "exceeds int64 range")
+            c = c.astype(np.int64)
         cols.append(-c if s < 0 else c)
     order = np.lexsort(tuple(reversed(cols)))
     cols = [c[order] for c in cols]
@@ -4000,7 +4006,9 @@ def apply_cdc(
     its final state — per key, the operation that sorts LAST by
     ``seq_cols`` wins, and a key whose winning op is ``delete_op``
     vanishes (tombstone).  SQL mirror: ``row_number() OVER (PARTITION
-    BY key ORDER BY seq DESC) = 1 AND op <> delete``.  Make
+    BY key ORDER BY seq DESC) = 1 AND op IS DISTINCT FROM delete``
+    (the NULL-safe form — a NULL op is NOT a tombstone here, and
+    plain ``op <> delete`` would drop it).  Make
     ``seq_cols`` a total order per key (include a unique id) or the
     winner under ties is sort-order-dependent.
 
@@ -4112,7 +4120,9 @@ def _block_ts_max(tab: pa.Table, ts_col: str) -> int | None:
 def _late_partial(tab: pa.Table, ts_col: str, group_col: str,
                   lateness_us: int, seed: int | None) -> "pa.Table":
     if ts_col not in tab.column_names or not tab.num_rows:
-        return pa.table({group_col: pa.array([], pa.string()),
+        gt = (tab[group_col].type if group_col in tab.column_names
+              else pa.string())
+        return pa.table({group_col: pa.array([], gt),
                          "n_events": pa.array([], pa.int64()),
                          "n_late": pa.array([], pa.int64())})
     us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
@@ -4153,7 +4163,14 @@ def late_arrivals(
     straight to per-group partial counts.  The same zipWithIndex-style
     trick as the skew census: the driver touches block scalars, never
     rows."""
+    # null event times are DROPPED (the group_rolling_time
+    # convention): a NaT would otherwise poison the running max for
+    # every later row in its block
+    def _drop_null_ts(tab: pa.Table) -> pa.Table:
+        return tab.filter(pc.is_valid(tab[ts_col]))
+
     s = ds.select_columns([arrival_col, ts_col, group_col]) \
+        .map_batches(_drop_null_ts, batch_format="pyarrow") \
         .sort(arrival_col).materialize()
     refs = s.to_arrow_refs()
     maxes = ray.get([_block_ts_max.remote(r, ts_col) for r in refs])
@@ -4168,7 +4185,10 @@ def late_arrivals(
         for r, sd in zip(refs, seeds)])
     parts = [p for p in parts if p.num_rows]
     if not parts:
-        return pa.table({group_col: pa.array([], pa.string()),
+        sch = s.schema()
+        gt = (sch.base_schema.field(group_col).type
+              if sch is not None else pa.string())
+        return pa.table({group_col: pa.array([], gt),
                          "n_events": pa.array([], pa.int64()),
                          "n_late": pa.array([], pa.int64())})
     merged = pa.concat_tables(parts)

@@ -128,7 +128,8 @@ def read_hive_partitions(out_dir: str, by: str, *, values=None,
     back as NULL); combine with ``columns=`` so the scan is pruned on
     both axes.  Partitions without a ``_SUCCESS`` marker (interrupted
     writes) raise rather than silently return partial data."""
-    want = None if values is None else {str(v) for v in values}
+    want = None if values is None else {
+        "__NULL__" if v is None else str(v) for v in values}
     dirs = []
     prefix = f"{by}="
     for name in sorted(os.listdir(out_dir)):

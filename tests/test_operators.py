@@ -3105,3 +3105,46 @@ def test_line_dedup_position_tiebreak(ray_session):
     out = _collect(line_dedup(rd.from_arrow(docs), "doc_id", "text",
                               buckets=1)).to_pydict()
     assert out["text_deduped"] == ["x\ny"]   # first position wins
+
+
+def test_late_arrivals_null_ts_dropped(ray_session):
+    from rayskema.pipelines.relational import late_arrivals
+    # a null ts must not poison the running max for later rows
+    tab = pa.table({
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([100, None, 50, 40], pa.timestamp("us")),
+        "g": ["a", "a", "a", "a"]})
+    out = late_arrivals(rd.from_arrow(tab), "seq", "ts", "g",
+                        lateness_us=10).to_pydict()
+    # rows 50 and 40 are late vs hwm 100; the null row is dropped
+    assert out["n_events"] == [3]
+    assert out["n_late"] == [2]
+
+
+def test_skyline_unsigned_maximize(ray_session):
+    from rayskema.pipelines.relational import skyline
+    tab = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "x": pa.array([1, 1], pa.int64()),
+                    "y": pa.array([0, 250], pa.uint8())})
+    out = _collect(skyline(rd.from_arrow(tab), minimize=["x"],
+                           maximize=["y"])).to_pydict()
+    assert out["id"] == [2]       # 250 dominates 0, no unsigned wrap
+
+
+def test_line_dedup_reserved_id_col(ray_session):
+    from rayskema.functions.dedup import line_dedup
+    docs = pa.table({"__pos": pa.array([1], pa.int64()),
+                     "text": ["a"]})
+    with pytest.raises(ValueError):
+        line_dedup(rd.from_arrow(docs), "__pos", "text")
+
+
+def test_pca_fit_k_validation(ray_session):
+    from rayskema.functions.similarity import pca_fit
+    tab = pa.table({"v": pa.array([[1.0, 2.0], [3.0, 4.0],
+                                   [5.0, 7.0]],
+                                  pa.list_(pa.float32()))})
+    with pytest.raises(ValueError):
+        pca_fit(rd.from_arrow(tab), "v", k=5)
+    with pytest.raises(ValueError):
+        pca_fit(rd.from_arrow(tab), "v", k=0)

@@ -30,7 +30,8 @@ def test_read_jsonl_reconciles_schema(ray_session, tmp_path):
     ])
     ds = read_jsonl(p, transcript_schema())
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    tab = pa.concat_tables(tabs)
+    # block arrival order is scheduler-dependent: pin it by turn_idx
+    tab = pa.concat_tables(tabs).sort_by("turn_idx")
     assert tab["turn_idx"].type == pa.int32()
     assert tab["role"].to_pylist() == ["system", None]
     assert "debug" in tab.column_names  # policy enforced by validator
@@ -297,3 +298,17 @@ def test_read_hive_partitions_pruned(ray_session, tmp_path):
     # ...but pruning past it is fine
     ok = read_hive_partitions(out, "src", values=["c"]).to_pandas()
     assert ok["v"].tolist() == [4]
+
+
+def test_read_hive_partitions_null_value(ray_session, tmp_path):
+    import ray.data as rd
+    from rayskema.sources.parquet_sink import (read_hive_partitions,
+                                               write_parquet_partitioned)
+    tab = pa.table({"src": pa.array(["a", None]),
+                    "v": pa.array([1, 2], pa.int64())})
+    out = str(tmp_path / "hive2")
+    write_parquet_partitioned(rd.from_arrow(tab), out, "src",
+                              buckets=1).materialize()
+    got = read_hive_partitions(out, "src", values=[None]).to_pandas()
+    assert got["v"].tolist() == [2]
+    assert got["src"].isna().all()
