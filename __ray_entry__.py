@@ -3808,6 +3808,24 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_suppliers_pareto(sf_dir: str):
+    """ABC / Pareto analysis (relational.pareto_cut): the minimal set
+    of suppliers carrying 80% of lineitem revenue, keys taken in
+    (revenue desc, suppkey asc) order, with exact int64 running
+    totals — the cut test is an integer cross-multiplication, no
+    float share.  Global running sums ride the seeded block-scan
+    (remote block sums + driver prefix); no task sees all keys."""
+    from rayskema.pipelines.relational import pareto_cut
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"]) \
+        .map_batches(lambda t: pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "rev_c": _cents(t["l_extendedprice"])}),
+            batch_format="pyarrow")
+    return pareto_cut(ds, ["l_suppkey"], "rev_c", numer=8, denom=10,
+                      buckets=4)
+
+
 def _q_docs_line_dedup(sf_dir: str):
     """C4/CCNet-style LINE-level corpus dedup (dedup.line_dedup):
     only the globally first occurrence of each distinct line
@@ -4374,6 +4392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": _q_events_type_overlap,
         "events_cohort_matrix": _q_events_cohort_matrix,
         "docs_line_dedup": _q_docs_line_dedup,
+        "suppliers_pareto": _q_suppliers_pareto,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6581,6 +6600,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "suppliers_pareto": """
+            WITH t AS (
+                SELECT l_suppkey,
+                       SUM(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)) AS rev_c
+                FROM lineitem GROUP BY 1),
+            w AS (
+                SELECT l_suppkey, rev_c,
+                       SUM(rev_c) OVER (ORDER BY rev_c DESC,
+                                        l_suppkey
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS cum,
+                       SUM(rev_c) OVER () AS total
+                FROM t)
+            SELECT l_suppkey, CAST(rev_c AS BIGINT) AS rev_c,
+                   CAST(cum AS BIGINT) AS cum
+            FROM w WHERE (cum - rev_c) * 10 < 8 * total
+        """,
         "docs_line_dedup": """
             WITH ls AS (
                 SELECT doc_id, string_split(text, chr(10)) AS arr

@@ -4333,3 +4333,83 @@ def group_rolling_ols(
     return bucketed_map_groups(ds.select_columns(cols), [group_col],
                                _roll, buckets=buckets,
                                sort_within=False)
+
+
+@ray.remote(num_cpus=0.5)
+def _block_sum64(tab: pa.Table, col: str) -> int:
+    if col not in tab.column_names or not tab.num_rows:
+        return 0
+    return int(pc.sum(tab[col]).as_py() or 0)
+
+
+@ray.remote(num_cpus=0.5)
+def _pareto_slice(tab: pa.Table, col: str, seed: int, numer: int,
+                  denom: int, total: int, key_cols: list,
+                  value_col: str, schema: "pa.Schema") -> "pa.Table":
+    if col not in tab.column_names or not tab.num_rows:
+        # empty exchange blocks can arrive schema-less — emit the
+        # canonical empty block so from_arrow_refs unifies cleanly
+        out = {c: pa.array([], schema.field(c).type)
+               for c in key_cols}
+        out[value_col] = pa.array([], pa.int64())
+        out["cum"] = pa.array([], pa.int64())
+        return pa.table(out)
+    v = tab[col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(v) + seed
+    keep = (cum - v) * denom < numer * total   # hadn't reached cut yet
+    out = tab.filter(pa.array(keep))
+    out = out.append_column("cum", pa.array(cum[keep]))
+    return out.select(key_cols + [col, "cum"]).rename_columns(
+        key_cols + [value_col, "cum"])
+
+
+def pareto_cut(
+    ds: "rd.Dataset", key_cols: Sequence[str], value_col: str, *,
+    numer: int = 8, denom: int = 10, buckets: int | None = None,
+) -> "rd.Dataset":
+    """ABC / Pareto analysis: the MINIMAL set of keys whose summed
+    ``value_col`` reaches ``numer/denom`` of the grand total, taking
+    keys in (value desc, key asc) order — "which 20% of suppliers
+    carry 80% of revenue".  Output: the kept keys with their total
+    and inclusive running total ``cum`` (exact int64; the cut test is
+    the integer cross-multiplication ``(cum − v)·denom <
+    numer·total``, so no float share ever appears).  SQL mirror: a
+    window cumsum over the same order with the same inequality.
+
+    Scale shape: per-key totals via one map-side-partial exchange;
+    the descending distributed range sort orders the totals; the
+    global running sum uses block SEEDS (remote per-block sums +
+    driver prefix over |blocks| scalars) and each block then filters
+    itself in parallel — the same seeded-scan pattern as
+    :func:`late_arrivals`, so no single task ever sees all keys."""
+    key_cols = list(key_cols)
+    if not (0 < numer <= denom):
+        raise ValueError("need 0 < numer <= denom")
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        return agg_named(tab.select(key_cols + [value_col]),
+                         key_cols, [(value_col, "sum")], ["_v"])
+
+    totals = bucketed_map_groups(
+        ds.select_columns(key_cols + [value_col]).map_batches(
+            _partial, batch_format="pyarrow"),
+        key_cols,
+        lambda t: agg_named(t, key_cols, [("_v", "sum")], ["_v"]),
+        buckets=buckets, sort_within=False)
+    s = totals.sort(["_v"] + key_cols,
+                    descending=[True] + [False] * len(key_cols)) \
+        .materialize()
+    refs = s.to_arrow_refs()
+    sums = ray.get([_block_sum64.remote(r, "_v") for r in refs])
+    total = int(sum(sums))
+    seeds = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    # kept blocks stay IN the object store — the result is a Dataset
+    # built from the filtered block refs, never a driver concat (the
+    # kept set is all keys when numer == denom)
+    sch = s.schema().base_schema
+    out_refs = [
+        _pareto_slice.remote(r, "_v", int(sd), numer, denom, total,
+                             key_cols, value_col, sch)
+        for r, sd in zip(refs, seeds)]
+    return rd.from_arrow_refs(out_refs)

@@ -3148,3 +3148,29 @@ def test_pca_fit_k_validation(ray_session):
         pca_fit(rd.from_arrow(tab), "v", k=5)
     with pytest.raises(ValueError):
         pca_fit(rd.from_arrow(tab), "v", k=0)
+
+
+def test_pareto_cut(ray_session):
+    from rayskema.pipelines.relational import pareto_cut
+    # totals: a=50 b=30 c=15 d=5 (T=100); 80% cut keeps a,b (cum 80)
+    rows = [("a", 50), ("b", 30), ("c", 15), ("d", 5)]
+    keys = [k for k, n in rows for _ in range(n)]
+    tab = pa.table({"k": pa.array(keys),
+                    "v": pa.array([1] * len(keys), pa.int64())})
+    out = _collect(pareto_cut(rd.from_arrow(tab).repartition(5),
+                              ["k"], "v", numer=8, denom=10,
+                              buckets=2)).sort_by("cum").to_pydict()
+    assert out["k"] == ["a", "b"]
+    assert out["v"] == [50, 30]
+    assert out["cum"] == [50, 80]
+    # the crossing row is INCLUDED: 81% needs c too
+    out2 = _collect(pareto_cut(rd.from_arrow(tab), ["k"], "v",
+                               numer=81, denom=100,
+                               buckets=2)).sort_by("cum").to_pydict()
+    assert out2["k"] == ["a", "b", "c"]
+    # numer == denom keeps everything
+    out3 = _collect(pareto_cut(rd.from_arrow(tab), ["k"], "v",
+                               numer=1, denom=1)).to_pydict()
+    assert sorted(out3["k"]) == ["a", "b", "c", "d"]
+    with pytest.raises(ValueError):
+        pareto_cut(rd.from_arrow(tab), ["k"], "v", numer=0, denom=1)
