@@ -3808,6 +3808,25 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_events_streaks(sf_dir: str):
+    """GAPS-AND-ISLANDS (relational.group_islands): each user's
+    maximal runs of consecutive active days (gap ≤ 1 day) — the
+    activity-streak primitive; one exchange, islands from a sorted
+    diff + boolean cumsum, SQL lag-flag mirror."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_islands
+
+    def _day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "day": pa.array(us // 86_400_000_000)})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _day, batch_format="pyarrow")
+    return group_islands(ds, "user_id", "day", max_gap=1, buckets=4)
+
+
 def _q_suppliers_pareto(sf_dir: str):
     """ABC / Pareto analysis (relational.pareto_cut): the minimal set
     of suppliers carrying 80% of lineitem revenue, keys taken in
@@ -4393,6 +4412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_matrix": _q_events_cohort_matrix,
         "docs_line_dedup": _q_docs_line_dedup,
         "suppliers_pareto": _q_suppliers_pareto,
+        "events_streaks": _q_events_streaks,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6600,6 +6620,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "events_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            f AS (
+                SELECT user_id, day,
+                       CASE WHEN day - lag(day) OVER (
+                                PARTITION BY user_id ORDER BY day)
+                                > 1
+                            OR lag(day) OVER (
+                                PARTITION BY user_id ORDER BY day)
+                                IS NULL
+                            THEN 1 ELSE 0 END AS brk
+                FROM d),
+            i AS (
+                SELECT user_id, day,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS island
+                FROM f)
+            SELECT user_id,
+                   CAST(min(day) AS BIGINT) AS island_start,
+                   CAST(max(day) AS BIGINT) AS island_end,
+                   CAST(count(*) AS BIGINT) AS n_values
+            FROM i GROUP BY user_id, island
+        """,
         "suppliers_pareto": """
             WITH t AS (
                 SELECT l_suppkey,

@@ -4413,3 +4413,58 @@ def pareto_cut(
                              key_cols, value_col, sch)
         for r, sd in zip(refs, seeds)]
     return rd.from_arrow_refs(out_refs)
+
+
+def group_islands(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    max_gap: int = 1, buckets: int | None = None,
+) -> "rd.Dataset":
+    """GAPS-AND-ISLANDS: per group, collapse the sorted DISTINCT
+    integer values of ``value_col`` into maximal runs where adjacent
+    values differ by at most ``max_gap`` — one output row per island:
+    ``(group, island_start, island_end, n_values)``.  The activity-
+    streak / sensor-uptime primitive.  SQL mirror: island id =
+    running ``SUM(CASE WHEN v - lag(v) > max_gap THEN 1 END)`` per
+    group, then GROUP BY (g, id).
+
+    One hash exchange on the group key; islands fall out of one
+    sorted diff + boolean cumsum per bucket — no per-group Python.
+    Values must be non-null integers (epoch days, seq numbers)."""
+
+    def _islands(tab: pa.Table) -> pa.Table:
+        tab = tab.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([])     # distinct
+        tab = tab.sort_by([(group_col, "ascending"),
+                           (value_col, "ascending")])
+        n = tab.num_rows
+        gt = tab[group_col]
+        if n == 0:
+            return pa.table({
+                group_col: gt,
+                "island_start": pa.array([], pa.int64()),
+                "island_end": pa.array([], pa.int64()),
+                "n_values": pa.array([], pa.int64())})
+        v = tab[value_col].combine_chunks()
+        if v.null_count or not pa.types.is_integer(v.type):
+            raise ValueError("value_col must be non-null integers")
+        vn = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        new_g = segment_starts(tab, [group_col])
+        diff = np.empty(n, dtype=np.int64)
+        diff[0] = max_gap + 1
+        diff[1:] = vn[1:] - vn[:-1]
+        new_island = new_g | (diff > max_gap)
+        starts = np.flatnonzero(new_island)
+        sizes = np.diff(np.append(starts, n))
+        ends = starts + sizes - 1
+        return pa.table({
+            group_col: gt.take(pa.array(starts)),
+            "island_start": pa.array(vn[starts]),
+            "island_end": pa.array(vn[ends]),
+            "n_values": pa.array(sizes.astype(np.int64))})
+
+    return bucketed_map_groups(
+        ds.select_columns([group_col, value_col]).map_batches(
+            lambda t: t.group_by(
+                [group_col, value_col]).aggregate([]),
+            batch_format="pyarrow"),
+        [group_col], _islands, buckets=buckets, sort_within=False)

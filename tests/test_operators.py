@@ -3174,3 +3174,26 @@ def test_pareto_cut(ray_session):
     assert sorted(out3["k"]) == ["a", "b", "c", "d"]
     with pytest.raises(ValueError):
         pareto_cut(rd.from_arrow(tab), ["k"], "v", numer=0, denom=1)
+
+
+def test_group_islands(ray_session):
+    from rayskema.pipelines.relational import group_islands
+    tab = pa.table({
+        "g": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array([3, 4, 4, 7, 8, 10, 13], pa.int64())})
+    out = _collect(group_islands(rd.from_arrow(tab).repartition(3),
+                                 "g", "v", max_gap=1, buckets=2)) \
+        .sort_by([("g", "ascending"), ("island_start", "ascending")])
+    o = out.to_pydict()
+    # g1: [3,4] and [7,8] (dup 4 collapses); g2: [10], [13]
+    assert o["g"] == [1, 1, 2, 2]
+    assert o["island_start"] == [3, 7, 10, 13]
+    assert o["island_end"] == [4, 8, 10, 13]
+    assert o["n_values"] == [2, 2, 1, 1]
+    # a wider gap tolerance merges islands
+    o2 = _collect(group_islands(rd.from_arrow(tab), "g", "v",
+                                max_gap=3, buckets=1)) \
+        .sort_by([("g", "ascending"),
+                  ("island_start", "ascending")]).to_pydict()
+    assert o2["g"] == [1, 2]
+    assert o2["n_values"] == [4, 2]
