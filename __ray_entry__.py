@@ -3808,6 +3808,63 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_parts_q2_shape(sf_dir: str):
+    """TPC-H Q2 full shape over the available tables: the CHEAPEST
+    EUROPE supplier per part (lineitem as the part↔supplier bridge,
+    cost = summed revenue cents per (part, supplier)), ties broken by
+    suppkey.  Join plan: the supplier⋈nation⋈region dim chain folds
+    by BROADCAST into the (part, supplier) aggregate (one fact
+    exchange), the per-part argmin is one more bucketed pass (sort +
+    segment firsts), and supplier names join back by broadcast —
+    exactly one fact-sized exchange end to end."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               group_agg, hash_join,
+                                               segment_starts)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name",
+                                      "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t["r_name"],
+                                                 "EUROPE")),
+                     batch_format="pyarrow")
+    sn = hash_join(supp, nat, on="s_nationkey", right_on="n_nationkey",
+                   broadcast=True)
+    sr = hash_join(sn, reg, on="n_regionkey", right_on="r_regionkey",
+                   broadcast=True, how="left_semi")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "cost_c": _cents(t["l_extendedprice"])}),
+            batch_format="pyarrow")
+    ps = group_agg(li, ["l_partkey", "l_suppkey"],
+                   [("cost_c", "sum", "cost_c")], buckets=4)
+    ps_eu = hash_join(ps, sr.select_columns(["s_suppkey"]),
+                      on="l_suppkey", right_on="s_suppkey",
+                      broadcast=True, how="left_semi")
+
+    def _argmin(tab: pa.Table) -> pa.Table:
+        if not tab.num_rows:
+            return tab
+        tab = tab.sort_by([("l_partkey", "ascending"),
+                           ("cost_c", "ascending"),
+                           ("l_suppkey", "ascending")])
+        firsts = np.flatnonzero(segment_starts(tab, ["l_partkey"]))
+        return tab.take(pa.array(firsts))
+
+    best = bucketed_map_groups(ps_eu, ["l_partkey"], _argmin,
+                               buckets=2, sort_within=False)
+    out = hash_join(best, sr.select_columns(["s_suppkey", "s_name"]),
+                    on="l_suppkey", right_on="s_suppkey",
+                    broadcast=True)
+    return out.select_columns(["l_partkey", "l_suppkey", "s_name",
+                               "cost_c"])
+
+
 def _q_events_streaks(sf_dir: str):
     """GAPS-AND-ISLANDS (relational.group_islands): each user's
     maximal runs of consecutive active days (gap ≤ 1 day) — the
@@ -4413,6 +4470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _q_docs_line_dedup,
         "suppliers_pareto": _q_suppliers_pareto,
         "events_streaks": _q_events_streaks,
+        "parts_q2_shape": _q_parts_q2_shape,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6620,6 +6678,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "parts_q2_shape": """
+            WITH eu AS (
+                SELECT s_suppkey, s_name
+                FROM supplier
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE'),
+            ps AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)) AS cost_c
+                FROM lineitem GROUP BY 1, 2),
+            r AS (
+                SELECT ps.l_partkey, ps.l_suppkey, eu.s_name,
+                       ps.cost_c,
+                       row_number() OVER (
+                           PARTITION BY ps.l_partkey
+                           ORDER BY ps.cost_c, ps.l_suppkey) AS rn
+                FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey)
+            SELECT l_partkey, l_suppkey, s_name,
+                   CAST(cost_c AS BIGINT) AS cost_c
+            FROM r WHERE rn = 1
+        """,
         "events_streaks": """
             WITH d AS (
                 SELECT DISTINCT user_id,

@@ -3154,6 +3154,13 @@ _JOIN_TYPES = {
 }
 
 
+@ray.remote(num_cpus=0.25)
+def _block_schema_nonempty(tab: pa.Table):
+    """Schema of a block IF it has rows, else None (empty blocks can
+    carry stale schemas through Ray's Project — see _broadcast_join)."""
+    return tab.schema if tab.num_rows else None
+
+
 @ray.remote(num_cpus=1)
 def _concat_remote(empty: pa.Table, *parts: pa.Table) -> pa.Table:
     """Assemble a broadcast table in a worker: the output lands in the
@@ -3330,6 +3337,16 @@ def _broadcast_join(left, right, keys, rkeys, jt, semi, suffix, how):
     right = right.materialize()
     rsch = right.schema(fetch_if_missing=False)
     rschema = rsch.base_schema if rsch is not None else None
+    # Ray's Project (select_columns) can pass ZERO-ROW blocks through
+    # UN-projected, so empty blocks carry a stale wider schema and the
+    # dataset-level schema above is their union — a lie.  A non-empty
+    # block's schema is authoritative; probe for one (tiny remote
+    # tasks — the driver never pulls block bytes).
+    ne_schemas = [s for s in ray.get(
+        [_block_schema_nonempty.remote(r)
+         for r in right.to_arrow_refs()]) if s is not None]
+    if ne_schemas:
+        rschema = ne_schemas[0]
     if rschema is None:
         # schema-less empty right: resolve without touching the left
         if how in ("inner", "left_semi"):
