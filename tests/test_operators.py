@@ -3197,3 +3197,27 @@ def test_group_islands(ray_session):
                   ("island_start", "ascending")]).to_pydict()
     assert o2["g"] == [1, 2]
     assert o2["n_values"] == [4, 2]
+
+
+def test_broadcast_join_right_side_with_stale_empty_blocks(ray_session):
+    from rayskema.pipelines.relational import hash_join
+    # Ray's Project can pass ZERO-ROW blocks through select_columns
+    # UN-projected, so the right side's dataset-level schema lies; the
+    # join must trust a non-empty block instead (regression for the
+    # parts_q2_shape KeyError)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": ["a", "b", "c"]}))
+    wide = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "keep": pa.array([10, 20, 0, 0], pa.int64()),
+        "extra": ["x", "y", "z", "w"]})
+    import pyarrow.compute as _pc
+    right = rd.from_arrow(wide).repartition(4).map_batches(
+        lambda t: t.filter(_pc.greater(t["keep"], 0)),
+        batch_format="pyarrow").select_columns(["k", "keep"])
+    out = _collect(hash_join(left, right, on="k",
+                             broadcast=True)).sort_by("k").to_pydict()
+    assert out["k"] == [1, 2]
+    assert out["keep"] == [10, 20]
+    assert "extra" not in out
