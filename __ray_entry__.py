@@ -3808,6 +3808,60 @@ def _q_events_cdc_apply(sf_dir: str):
                                "value"])
 
 
+def _q_orders_incremental_view(sf_dir: str):
+    """Streaming-refresh simulation: the (priority, month) revenue
+    view is built by folding THREE deterministic arrival slices
+    (orderkey mod 3) one at a time through relational.merge_views —
+    the micro-batch ingestion pattern where each refresh touches only
+    aggregate rows.  The oracle recomputes from the full table,
+    proving fold(fold(fold(∅,s0),s1),s2) == recompute."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg, merge_views
+
+    def _grain(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 12),
+                    pc.cast(pc.subtract(m, 1), pa.int64()))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "ym": ym,
+                         "price_c": _cents(t["o_totalprice"])})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                  "o_orderdate", "o_totalprice"]) \
+        .map_batches(_grain, batch_format="pyarrow")
+
+    # ONE fact pass at the (slice, priority, month) grain; the three
+    # per-slice deltas are then cheap filters over aggregate rows, so
+    # each fold touches aggregates only — the fact never rescans
+    def _stamp_slice(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return t.drop_columns(["o_orderkey"]).append_column(
+            "r", pa.array(ok % 3))
+
+    grained = group_agg(
+        ds.map_batches(_stamp_slice, batch_format="pyarrow"),
+        ["r", "o_orderpriority", "ym"],
+        [("price_c", "sum", "rev_c"),
+         ("price_c", "count_all", "n")], buckets=4).materialize()
+
+    def _slice(r: int):
+        def f(t: pa.Table) -> pa.Table:
+            rr = t["r"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(rr == r)).drop_columns(["r"])
+        return f
+
+    merge = [("rev_c", "sum"), ("n", "sum")]
+    view = None
+    for r in range(3):
+        delta = grained.map_batches(_slice(r), batch_format="pyarrow")
+        view = delta if view is None else merge_views(
+            view, delta, ["o_orderpriority", "ym"], merge, buckets=2)
+    return view
+
+
 def _q_parts_q2_shape(sf_dir: str):
     """TPC-H Q2 full shape over the available tables: the CHEAPEST
     EUROPE supplier per part (lineitem as the part↔supplier bridge,
@@ -4471,6 +4525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_pareto": _q_suppliers_pareto,
         "events_streaks": _q_events_streaks,
         "parts_q2_shape": _q_parts_q2_shape,
+        "orders_incremental_view": _q_orders_incremental_view,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6678,6 +6733,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
+        "orders_incremental_view": """
+            SELECT o_orderpriority,
+                   CAST(year(o_orderdate) * 12
+                        + (month(o_orderdate) - 1) AS BIGINT) AS ym,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        """,
         "parts_q2_shape": """
             WITH eu AS (
                 SELECT s_suppkey, s_name
