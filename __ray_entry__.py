@@ -879,6 +879,18 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_k_tokens(ds, "text", k=20)
 
 
+def _q_docs_cooccurrence(sf_dir: str):
+    """Word2vec/GloVe statistics pass (textstats.token_cooccurrence):
+    unordered co-occurrence counts of top-30-vocab token pairs within
+    5 original positions (OOV tokens hold positions but never pair).
+    Pair expansion is 5 shifted-array comparisons per batch; only the
+    vocab²-bounded pair table shuffles."""
+    from rayskema.functions.textstats import token_cooccurrence
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_cooccurrence(ds, "text", window=5, vocab_size=30,
+                              min_count=2)
+
+
 def _q_docs_vocab(sf_dir: str):
     """Frequency-ordered vocabulary construction
     (textstats.build_vocab): whitespace tokens with count >= 20, ids
@@ -4668,6 +4680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_vocab": _q_docs_vocab,
         "docs_encode": _q_docs_encode,
+        "docs_cooccurrence": _q_docs_cooccurrence,
         "docs_scrub": _q_docs_scrub,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
@@ -5388,6 +5401,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.sum_id, 0) AS BIGINT) AS sum_id,
                    CAST(COALESCE(a.sum_id2, 0) AS BIGINT) AS sum_id2
             FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        "docs_cooccurrence": r"""
+            WITH tl AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                FROM documents),
+            tok AS (
+                SELECT doc_id, unnest(arr) AS w,
+                       unnest(generate_series(1, len(arr))) AS p
+                FROM tl),
+            cnt AS (SELECT w AS token, count(*) AS n
+                    FROM tok GROUP BY 1 HAVING count(*) >= 2),
+            v AS (SELECT token,
+                         CAST(row_number() OVER (ORDER BY n DESC,
+                              token) - 1 AS BIGINT) AS id
+                  FROM cnt),
+            tv AS (SELECT t.doc_id, t.p, v.id
+                   FROM tok t JOIN v ON v.token = t.w
+                   WHERE v.id < 30),
+            pr AS (
+                SELECT LEAST(a.id, b.id) AS id_a,
+                       GREATEST(a.id, b.id) AS id_b,
+                       count(*) AS n_pair
+                FROM tv a JOIN tv b
+                  ON a.doc_id = b.doc_id
+                 AND b.p > a.p AND b.p <= a.p + 5
+                GROUP BY 1, 2)
+            SELECT va.token AS tok_a, vb.token AS tok_b,
+                   CAST(pr.id_a AS BIGINT) AS id_a,
+                   CAST(pr.id_b AS BIGINT) AS id_b,
+                   CAST(pr.n_pair AS BIGINT) AS n_pair
+            FROM pr JOIN v va ON va.id = pr.id_a
+                 JOIN v vb ON vb.id = pr.id_b
         """,
         "docs_vocab": r"""
             WITH tok AS (

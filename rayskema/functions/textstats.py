@@ -1002,3 +1002,101 @@ def encode_with_vocab(ds: "rd.Dataset", id_col: str, text_col: str,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _encode, batch_format="pyarrow")
+
+
+def token_cooccurrence(ds: "rd.Dataset", text_col: str, *,
+                       window: int = 5, vocab_size: int = 30,
+                       min_count: int = 2,
+                       buckets: int | None = None) -> "rd.Dataset":
+    """Windowed token CO-OCCURRENCE counts over the top-``vocab_size``
+    vocabulary — the word2vec / GloVe statistics pass: for every
+    unordered pair of in-vocab tokens appearing within ``window``
+    ORIGINAL positions of each other in a document (OOV tokens still
+    occupy positions), the corpus-wide pair count.  Pairs are
+    canonicalized by vocab id (id_a ≤ id_b — frequency order, ties by
+    token), so the output is ``(tok_a, tok_b, id_a, id_b, n_pair)``.
+
+    Scale shape: the vocab comes from :func:`build_vocab` (partial
+    counts, vocabulary-sized exchange) and is ``ray.put`` once; each
+    batch maps tokens to ids with one ``index_in``, expands pairs by
+    ``window`` shifted-array comparisons (no per-token Python), and
+    pre-aggregates its ``(id_a, id_b)`` partials — only the
+    O(vocab²)-bounded pair table ever shuffles."""
+    vocab = build_vocab(ds, text_col, min_count=min_count,
+                        buckets=buckets)
+
+    def _cut(tab: pa.Table) -> pa.Table:
+        return tab.filter(pc.less(tab["id"], vocab_size))
+
+    vtab = pa.concat_tables(
+        ray.get(vocab.map_batches(_cut, batch_format="pyarrow")
+                .to_arrow_refs()))
+    vref = ray.put((vtab["token"].combine_chunks(),
+                    vtab["id"].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tokens, ids = ray.get(vref)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        # drop the empty split artifacts FIRST so positions equal the
+        # \\S+ token sequence; OOV tokens keep their positions (window
+        # distances span them), they just can't pair
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ok))
+        doc_of = doc_of[ok]
+        idx = pc.index_in(flat, value_set=tokens)
+        miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vid = np.where(miss, -1, ids[pos])
+        n = len(vid)
+        parts = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            a, b = vid[:-d], vid[d:]
+            m = (a >= 0) & (b >= 0) & (doc_of[:-d] == doc_of[d:])
+            if not m.any():
+                continue
+            lo = np.minimum(a[m], b[m])
+            hi = np.maximum(a[m], b[m])
+            parts.append(pa.table({
+                "id_a": pa.array(lo), "id_b": pa.array(hi),
+                "__one": pa.array(np.ones(len(lo), np.int64))}))
+        if not parts:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n_pair": pa.array([], pa.int64())})
+        from ..pipelines.relational import agg_named
+        return agg_named(pa.concat_tables(parts), ["id_a", "id_b"],
+                         [("__one", "sum")], ["n_pair"])
+
+    from ..pipelines.relational import agg_named, bucketed_map_groups
+    summed = bucketed_map_groups(
+        ds.select_columns([text_col]).map_batches(
+            _pairs, batch_format="pyarrow"),
+        ["id_a", "id_b"],
+        lambda t: agg_named(t, ["id_a", "id_b"], [("n_pair", "sum")],
+                            ["n_pair"]),
+        buckets=buckets, sort_within=False)
+
+    def _name(tab: pa.Table) -> pa.Table:
+        tokens, ids = ray.get(vref)
+        order = np.argsort(ids)
+        tok_sorted = tokens.take(pa.array(order))
+        ia = tab["id_a"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ib = tab["id_b"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "tok_a": tok_sorted.take(pa.array(ia)),
+            "tok_b": tok_sorted.take(pa.array(ib)),
+            "id_a": tab["id_a"], "id_b": tab["id_b"],
+            "n_pair": tab["n_pair"]})
+
+    return summed.map_batches(_name, batch_format="pyarrow")

@@ -3221,3 +3221,20 @@ def test_broadcast_join_right_side_with_stale_empty_blocks(ray_session):
     assert out["k"] == [1, 2]
     assert out["keep"] == [10, 20]
     assert "extra" not in out
+
+
+def test_token_cooccurrence(ray_session):
+    from rayskema.functions.textstats import token_cooccurrence
+    docs = pa.table({"text": pa.array([
+        "a b a rare b", "b a", "a a"])})
+    # counts: a=5 b=3 rare=1 -> vocab [a:0, b:1]; rare is OOV but
+    # holds its position (a..b at distance 2 through it)
+    out = _collect(token_cooccurrence(
+        rd.from_arrow(docs).repartition(2), "text", window=2,
+        vocab_size=2, min_count=2, buckets=2)).to_pydict()
+    got = {(a, b): n for a, b, n in
+           zip(out["tok_a"], out["tok_b"], out["n_pair"])}
+    # doc1 pairs (w<=2): (a,b)d1,(b,a)d1,(a,rare)skip,(rare,b)skip,
+    #   (a,a)d2,(b,rare)skip,(a,b via rare)d2 -> a-b x3, a-a x1
+    # doc2: (b,a) -> a-b; doc3: (a,a)
+    assert got == {("a", "b"): 4, ("a", "a"): 2}
