@@ -879,6 +879,17 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_k_tokens(ds, "text", k=20)
 
 
+def _q_docs_bpe_step(sf_dir: str):
+    """One byte-level BPE training step (textstats.bpe_pair_counts):
+    the 10 most frequent adjacent byte pairs inside tokens — the
+    merge-selection statistic.  Exchange-free: each block bincounts
+    16-bit pair codes into a constant 65536-slot vector; the driver
+    sums block vectors."""
+    from rayskema.functions.textstats import bpe_pair_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_pair_counts(ds, "text", k=10)
+
+
 def _q_docs_cooccurrence(sf_dir: str):
     """Word2vec/GloVe statistics pass (textstats.token_cooccurrence):
     unordered co-occurrence counts of top-30-vocab token pairs within
@@ -4681,6 +4692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab": _q_docs_vocab,
         "docs_encode": _q_docs_encode,
         "docs_cooccurrence": _q_docs_cooccurrence,
+        "docs_bpe_step": _q_docs_bpe_step,
         "docs_scrub": _q_docs_scrub,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_id": _q_docs_lang_id,
@@ -5401,6 +5413,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.sum_id, 0) AS BIGINT) AS sum_id,
                    CAST(COALESCE(a.sum_id2, 0) AS BIGINT) AS sum_id2
             FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        "docs_bpe_step": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents),
+            pos AS (
+                SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM tok),
+            pr AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+                   FROM pos)
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1 ORDER BY n DESC, pair LIMIT 10
         """,
         "docs_cooccurrence": r"""
             WITH tl AS (

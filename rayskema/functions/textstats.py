@@ -1100,3 +1100,69 @@ def token_cooccurrence(ds: "rd.Dataset", text_col: str, *,
             "n_pair": tab["n_pair"]})
 
     return summed.map_batches(_name, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds: "rd.Dataset", text_col: str, *, k: int = 10,
+                    ) -> "rd.Dataset":
+    """One BPE-training MERGE STEP at corpus scale: count every
+    adjacent BYTE pair inside whitespace tokens (never across token
+    boundaries — the word-boundary convention) and return the top-``k``
+    pairs by (count desc, pair asc) — exactly the statistic byte-level
+    BPE consults to pick its next merge.  For an ASCII corpus byte
+    pairs are character pairs, which is what the SQL mirror's
+    ``substr`` sees; multibyte UTF-8 would count byte (not char)
+    pairs, faithful to byte-level BPE.
+
+    Fully vectorized and exchange-free: each block flattens its
+    tokens, reads the flat UTF-8 buffer as one uint8 array, masks the
+    in-token adjacent positions, and bincounts 16-bit pair codes into
+    a CONSTANT 65536-slot vector — the only thing that ever leaves a
+    block.  The driver sums |blocks| constant vectors; no vocabulary
+    exchange at any size."""
+    def _partial(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if not len(flat):
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        arr = flat
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # the hash_strings buffer convention: large_binary for int64
+        # offsets, slice offset honored
+        arr = pc.cast(arr, pa.large_binary())
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+        buf = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        starts, ends = off[:-1], off[1:]
+        # positions p with p and p+1 inside the SAME token
+        n_pos = len(buf) - 1
+        if n_pos <= 0:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        in_tok = np.zeros(len(buf) + 1, dtype=np.int64)
+        np.add.at(in_tok, starts, 1)
+        np.add.at(in_tok, np.maximum(ends - 1, starts), -1)
+        valid = np.cumsum(in_tok[:-1])[:n_pos] > 0
+        codes = (buf[:-1].astype(np.int64) * 256 +
+                 buf[1:].astype(np.int64))[valid]
+        cnt = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    acc = np.zeros(65536, dtype=np.int64)
+    for r in ds.select_columns([text_col]).map_batches(
+            _partial, batch_format="pyarrow").take_all():
+        acc[r["code"]] += r["n"]
+    order = np.lexsort((np.arange(65536), -acc))[:k]
+    order = order[acc[order] > 0]
+    pairs = [bytes([c // 256, c % 256]).decode("latin-1")
+             for c in order]
+    return rd.from_arrow(pa.table({
+        "pair": pa.array(pairs, pa.string()),
+        "n": pa.array(acc[order])}))

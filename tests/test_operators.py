@@ -3238,3 +3238,19 @@ def test_token_cooccurrence(ray_session):
     #   (a,a)d2,(b,rare)skip,(a,b via rare)d2 -> a-b x3, a-a x1
     # doc2: (b,a) -> a-b; doc3: (a,a)
     assert got == {("a", "b"): 4, ("a", "a"): 2}
+
+
+def test_bpe_pair_counts(ray_session):
+    from collections import Counter
+    from rayskema.functions.textstats import bpe_pair_counts
+    docs = ["abab cd", "abc  x", "a"]
+    tab = pa.table({"text": pa.array(docs)})
+    out = _collect(bpe_pair_counts(rd.from_arrow(tab).repartition(2),
+                                   "text", k=3)).to_pydict()
+    ref = Counter()
+    for d in docs:
+        for w in d.split():
+            for i in range(len(w) - 1):
+                ref[w[i:i + 2]] += 1
+    exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(out["pair"], out["n"])) == exp
