@@ -3942,6 +3942,53 @@ def _q_parts_q2_shape(sf_dir: str):
                                "cost_c"])
 
 
+def _q_events_stickiness(sf_dir: str):
+    """DAU/MAU stickiness per active day: exact daily distinct users
+    over exact TRAILING-28-day distinct users (hopping_window_distinct
+    size=28d hop=1d — only deduped (window, user) pairs shuffle),
+    ratio in exact ppm.  Both sides are day-grain aggregates joined by
+    broadcast."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (distinct_count,
+                                               hash_join,
+                                               hopping_window_distinct)
+
+    DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(us // DAY),
+                         "user_id": t["user_id"]})
+
+    dau = distinct_count(ev.map_batches(_day, batch_format="pyarrow"),
+                         "day", "user_id", buckets=2) \
+        .map_batches(lambda t: pa.table({
+            "day": t["day"], "dau": t["n_distinct"]}),
+            batch_format="pyarrow")
+    mau = hopping_window_distinct(ev, "ts", "user_id",
+                                  size_us=28 * DAY, hop_us=DAY,
+                                  buckets=4)
+
+    def _label(t: pa.Table) -> pa.Table:
+        ws = pc.cast(pc.cast(t["window_start"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(ws // DAY + 27),
+                         "mau": t["n_distinct"]})
+
+    mau = mau.map_batches(_label, batch_format="pyarrow")
+    j = hash_join(dau, mau, on="day", broadcast=True)
+    return j.map_batches(lambda t: pa.table({
+        "day": t["day"], "dau": t["dau"], "mau": t["mau"],
+        "stickiness_ppm": pa.array(
+            t["dau"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 1_000_000
+            // t["mau"].combine_chunks().to_numpy(
+                zero_copy_only=False))}),
+        batch_format="pyarrow")
+
+
 def _q_events_streaks(sf_dir: str):
     """GAPS-AND-ISLANDS (relational.group_islands): each user's
     maximal runs of consecutive active days (gap ≤ 1 day) — the
@@ -4547,6 +4594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _q_docs_line_dedup,
         "suppliers_pareto": _q_suppliers_pareto,
         "events_streaks": _q_events_streaks,
+        "events_stickiness": _q_events_stickiness,
         "parts_q2_shape": _q_parts_q2_shape,
         "orders_incremental_view": _q_orders_incremental_view,
         "nations_q7": _q_nations_q7,
@@ -6833,6 +6881,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, l_suppkey, s_name,
                    CAST(cost_c AS BIGINT) AS cost_c
             FROM r WHERE rn = 1
+        """,
+        "events_stickiness": """
+            WITH e AS (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                    FROM e GROUP BY 1),
+            days AS (SELECT DISTINCT day FROM e),
+            mau AS (
+                SELECT d.day, count(DISTINCT e.user_id) AS mau
+                FROM days d JOIN e
+                  ON e.day BETWEEN d.day - 27 AND d.day
+                GROUP BY 1)
+            SELECT CAST(dau.day AS BIGINT) AS day,
+                   CAST(dau AS BIGINT) AS dau,
+                   CAST(mau AS BIGINT) AS mau,
+                   CAST(dau * 1000000 // mau AS BIGINT)
+                       AS stickiness_ppm
+            FROM dau JOIN mau ON mau.day = dau.day
         """,
         "events_streaks": """
             WITH d AS (
