@@ -3885,6 +3885,17 @@ def _q_orders_incremental_view(sf_dir: str):
     return view
 
 
+def _q_region_nation_grid(sf_dir: str):
+    """Cartesian scaffold (relational.cross_join): region × nation —
+    the parameter-grid / calendar-frame primitive; the small side is
+    broadcast once and every left batch expands by repeat × tile, no
+    exchange.  A guard refuses unbounded right sides."""
+    from rayskema.pipelines.relational import cross_join
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return cross_join(reg, nat)
+
+
 def _q_parts_q2_shape(sf_dir: str):
     """TPC-H Q2 full shape over the available tables: the CHEAPEST
     EUROPE supplier per part (lineitem as the part↔supplier bridge,
@@ -4597,6 +4608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": _q_events_stickiness,
         "parts_q2_shape": _q_parts_q2_shape,
         "orders_incremental_view": _q_orders_incremental_view,
+        "region_nation_grid": _q_region_nation_grid,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6858,6 +6870,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rev_c,
                    CAST(count(*) AS BIGINT) AS n
             FROM orders GROUP BY 1, 2
+        """,
+        "region_nation_grid": """
+            SELECT r_regionkey, r_name, n_nationkey, n_name
+            FROM region CROSS JOIN nation
         """,
         "parts_q2_shape": """
             WITH eu AS (

@@ -4485,3 +4485,52 @@ def group_islands(
                 [group_col, value_col]).aggregate([]),
             batch_format="pyarrow"),
         [group_col], _islands, buckets=buckets, sort_within=False)
+
+
+def cross_join(
+    left: "rd.Dataset", right: "rd.Dataset", *, suffix: str = "_r",
+    max_right_rows: int = 1_000_000,
+) -> "rd.Dataset":
+    """Cartesian product with the SMALL side broadcast: every left
+    batch pairs with the materialized right table (repeat × tile, one
+    take each — no Python row loops).  Refuses a right side beyond
+    ``max_right_rows`` — an unbounded cross join at 100 TB is always
+    a bug, and the guard names it; calendars, parameter grids and dim
+    tables are what this is for.  Collision columns from the right
+    take ``suffix``."""
+    right = right.materialize()
+    cnt = right.count()
+    if cnt > max_right_rows:
+        raise ValueError(
+            f"cross_join right side has {cnt} rows "
+            f"(> {max_right_rows}); a cross join this size is "
+            "almost certainly a mistake — raise max_right_rows "
+            "to insist")
+    parts = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return left.limit(0)
+    rtab = pa.concat_tables(parts).combine_chunks()
+    ref = ray.put(rtab)
+
+    def _cross(tab: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        n, m = tab.num_rows, r.num_rows
+        if n == 0:
+            out = {c: tab[c] for c in tab.column_names}
+        else:
+            li = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+            tabr = tab.take(li)
+            out = {c: tabr[c] for c in tab.column_names}
+        used = set(out)
+        ri = pa.array(np.tile(np.arange(r.num_rows, dtype=np.int64),
+                              max(tab.num_rows, 0)))
+        rr = r.take(ri)
+        for c in r.column_names:
+            name = c
+            while name in used:
+                name = name + suffix
+            used.add(name)
+            out[name] = rr[c]
+        return pa.table(out)
+
+    return left.map_batches(_cross, batch_format="pyarrow")

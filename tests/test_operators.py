@@ -3254,3 +3254,21 @@ def test_bpe_pair_counts(ray_session):
                 ref[w[i:i + 2]] += 1
     exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(out["pair"], out["n"])) == exp
+
+
+def test_cross_join(ray_session):
+    from rayskema.pipelines.relational import cross_join
+    left = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()), "x": ["p", "q", "r"]}))
+    right = rd.from_arrow(pa.table({
+        "b": pa.array([10, 20], pa.int64()),
+        "x": ["s", "t"]}))                      # name collision
+    out = _collect(cross_join(left.repartition(2), right)) \
+        .sort_by([("a", "ascending"), ("b", "ascending")]).to_pydict()
+    assert len(out["a"]) == 6
+    assert out["a"] == [1, 1, 2, 2, 3, 3]
+    assert out["b"] == [10, 20, 10, 20, 10, 20]
+    assert out["x"] == ["p", "p", "q", "q", "r", "r"]
+    assert out["x_r"] == ["s", "t", "s", "t", "s", "t"]
+    with pytest.raises(ValueError):
+        cross_join(left, right, max_right_rows=1)
