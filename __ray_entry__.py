@@ -3885,6 +3885,24 @@ def _q_orders_incremental_view(sf_dir: str):
     return view
 
 
+def _q_orders_pivot_revenue(sf_dir: str):
+    """SUM pivot (relational.pivot_sum): revenue cents per priority,
+    one column per order status ('O','F','P' + other) — the measure
+    crosstab with a declared domain, exact int64 scatter-add
+    partials, one O(groups × categories) exchange."""
+    from rayskema.pipelines.relational import pivot_sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "price_c": _cents(t["o_totalprice"])}),
+            batch_format="pyarrow")
+    return pivot_sum(ds, "o_orderpriority", "o_orderstatus",
+                     "price_c", ["O", "F", "P"], buckets=2)
+
+
 def _q_region_nation_grid(sf_dir: str):
     """Cartesian scaffold (relational.cross_join): region × nation —
     the parameter-grid / calendar-frame primitive; the small side is
@@ -4609,6 +4627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_q2_shape": _q_parts_q2_shape,
         "orders_incremental_view": _q_orders_incremental_view,
         "region_nation_grid": _q_region_nation_grid,
+        "orders_pivot_revenue": _q_orders_pivot_revenue,
         "nations_q7": _q_nations_q7,
         "nations_q8": _q_nations_q8,
         "nations_q9": _q_nations_q9,
@@ -6870,6 +6889,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rev_c,
                    CAST(count(*) AS BIGINT) AS n
             FROM orders GROUP BY 1, 2
+        """,
+        "orders_pivot_revenue": """
+            SELECT o_orderpriority,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END), 0) AS BIGINT) AS s_O,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END), 0) AS BIGINT) AS s_F,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END), 0) AS BIGINT) AS s_P,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END), 0) AS BIGINT) AS s_other
+            FROM orders GROUP BY 1
         """,
         "region_nation_grid": """
             SELECT r_regionkey, r_name, n_nationkey, n_name

@@ -4534,3 +4534,78 @@ def cross_join(
         return pa.table(out)
 
     return left.map_batches(_cross, batch_format="pyarrow")
+
+
+def pivot_sum(
+    ds: "rd.Dataset", group_col: str, cat_col: str, value_col: str,
+    categories: Sequence[str], *, buckets: int | None = None,
+    other: str | None = "other",
+) -> "rd.Dataset":
+    """SUM pivot (crosstab of a measure): one row per group with the
+    exact int64 sum of ``value_col`` per declared category —
+    ``(group, s_<cat1>, ..., s_other)``; empty cells are 0 (the
+    ``COALESCE(SUM(...), 0)`` convention).  Null measure values add
+    nothing; null/undeclared categories land in ``other`` (None
+    drops them).  Same declared-domain design as
+    :func:`pivot_counts`: fixed schema, dictionary-encode slotting,
+    int64 scatter-add partials per block (a float bincount would lose
+    integer exactness past 2^53), one exchange over
+    O(groups × categories) partial rows."""
+    categories = list(categories)
+    n_cat = len(categories)
+    cat_index = {c: i for i, c in enumerate(categories)}
+    cols = [f"s_{c}" for c in categories] + (
+        [f"s_{other}"] if other is not None else [])
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            out = {group_col: tab[group_col]}
+            for c in cols:
+                out[c] = pa.array([], type=pa.int64())
+            return pa.table(out)
+        v = tab[value_col]
+        if not pa.types.is_integer(v.type):
+            raise TypeError("pivot_sum is integer-exact; scale "
+                            "floats to int units upstream")
+        vals = pc.fill_null(v, 0).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(
+            pc.cast(tab[cat_col], pa.string()).combine_chunks())
+        dict_vals = enc.dictionary.to_pylist()
+        slot_of = np.array(
+            [cat_index.get(x, n_cat) for x in dict_vals],
+            dtype=np.int64)
+        idx = enc.indices.fill_null(len(dict_vals)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        slot_of = np.concatenate([slot_of, [n_cat]])  # nulls -> other
+        slots = slot_of[idx]
+        genc = pc.dictionary_encode(tab[group_col].combine_chunks())
+        n_g = len(genc.dictionary)
+        gidx = genc.indices.fill_null(n_g).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        has_null_g = bool((gidx == n_g).any())
+        n_rows_g = n_g + (1 if has_null_g else 0)
+        width = n_cat + 1
+        sums = np.zeros((n_rows_g, width), dtype=np.int64)
+        np.add.at(sums, (gidx, slots), vals)
+        gvals = genc.dictionary
+        if has_null_g:
+            gvals = pa.concat_arrays(
+                [gvals, pa.nulls(1, type=gvals.type)])
+        out = {group_col: gvals}
+        for i, c in enumerate(categories):
+            out[f"s_{c}"] = pa.array(sums[:, i])
+        if other is not None:
+            out[f"s_{other}"] = pa.array(sums[:, n_cat])
+        return pa.table(out)
+
+    partial = ds.select_columns(
+        [group_col, cat_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _sum(tab: pa.Table) -> pa.Table:
+        return agg_named(tab, [group_col],
+                         [(c, "sum") for c in cols], cols)
+
+    return bucketed_map_groups(partial, [group_col], _sum,
+                               buckets=buckets, sort_within=False)

@@ -3272,3 +3272,23 @@ def test_cross_join(ray_session):
     assert out["x_r"] == ["s", "t", "s", "t", "s", "t"]
     with pytest.raises(ValueError):
         cross_join(left, right, max_right_rows=1)
+
+
+def test_pivot_sum(ray_session):
+    from rayskema.pipelines.relational import pivot_sum
+    tab = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, None], pa.int64()),
+        "c": pa.array(["x", "y", "z", "x", None, "x"], pa.string()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64())})
+    out = _collect(pivot_sum(rd.from_arrow(tab).repartition(3),
+                             "g", "c", "v", ["x", "y"],
+                             buckets=2)).to_pydict()
+    got = {g: (a, b, o) for g, a, b, o in
+           zip(out["g"], out["s_x"], out["s_y"], out["s_other"])}
+    # z and null categories fold into other; null group is a group
+    assert got == {1: (10, 20, 30), 2: (40, 0, 50),
+                   None: (60, 0, 0)}
+    with pytest.raises(Exception):
+        _collect(pivot_sum(rd.from_arrow(pa.table({
+            "g": [1], "c": ["x"], "v": [1.5]})), "g", "c", "v",
+            ["x"]))
