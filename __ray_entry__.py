@@ -3619,6 +3619,45 @@ def _q_events_incremental_dedup(sf_dir: str):
         .select_columns(["event_id", "user_id", "event_type"])
 
 
+def _q_orders_orc_roundtrip(sf_dir: str):
+    """Cross-format ingest: orders lands as ORC (the Hive/Spark
+    warehouse interchange format), is read back through the ORC
+    source with column pruning pushed into the decoder, and
+    aggregated — proving the engine consumes a warehouse-format
+    corpus without a pre-conversion pass.  The ORC copy is written
+    once per (corpus, process) into a deterministic /tmp dir
+    (cleared at exit), mirroring the incremental-dedup index
+    convention."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from rayskema.pipelines.relational import group_agg
+    from rayskema.sources.orc import write_orc
+    from rayskema.sources.spi import get_source_driver
+
+    tag = f"{os.path.abspath(sf_dir)}|orc|{os.getuid()}|{os.getpid()}"
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_orc_" + hashlib.md5(tag.encode()).hexdigest()[:12])
+    if out not in _DEDUP_IDX_CLEANUP:
+        _DEDUP_IDX_CLEANUP.add(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    if not os.path.isdir(out) or not os.listdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+        write_orc(_read(sf_dir, "orders",
+                        ["o_orderkey", "o_orderstatus"]), out)
+    # pruned read through the SPI: only the two needed column streams
+    # are decoded
+    back = get_source_driver("orc")(
+        out, columns=["o_orderkey", "o_orderstatus"])
+    return group_agg(back, ["o_orderstatus"],
+                     [("o_orderkey", "count", "n"),
+                      ("o_orderkey", "min", "min_key"),
+                      ("o_orderkey", "max", "max_key")])
+
+
 def _q_lineitem_q14(sf_dir: str):
     """TPC-H Q14 shape — promo revenue share: conditional aggregation
     over lineitem⋈part for one ship-month.  The part side is joined
@@ -4689,6 +4728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_q5": _q_orders_q5,
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
+        "orders_orc_roundtrip": _q_orders_orc_roundtrip,
         "docs_mixture": _q_docs_mixture,
         "orders_q18": _q_orders_q18,
         "customers_dormant": _q_customers_dormant,
@@ -6745,6 +6785,12 @@ def oracle_sql() -> dict[str, str]:
                   WHERE o.ts < TIMESTAMP '2024-01-10'
                     AND o.user_id = e.user_id
                     AND o.event_type = e.event_type)
+        """,
+        "orders_orc_roundtrip": """
+            SELECT o_orderstatus, count(o_orderkey) AS n,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus
         """,
         "lineitem_q14": """
             WITH s AS (

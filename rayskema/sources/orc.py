@@ -1,0 +1,129 @@
+"""Apache ORC source + sink.
+
+The reference's source SPI is pluggable byte readers
+(``source.go:62-112``); the Ray-Data analogue is per-format Dataset
+constructors (see :mod:`rayskema.sources.spi`).  ORC is the columnar
+interchange format of the Hive/Trino/Spark warehouse world — a 100 TB
+corpus often *arrives* as ORC even when the pipeline's native substrate
+is Parquet, so the engine reads it directly instead of demanding a
+pre-conversion pass.
+
+``read_orc`` wraps each file in a ``ray.data.read_binary_files`` task
+and decodes with ``pyarrow.orc`` — one task per file, so a directory
+of shards parallelizes exactly like the parquet reads.  Unlike the IPC
+reader, the optional ``columns`` projection is pushed into the ORC
+decoder itself (``ORCFile.read(columns=...)`` materializes only the
+selected streams), so a narrow read of a wide table never allocates
+the unused columns.
+
+``write_orc`` lands one ``.orc`` file per block through a streaming
+``Datasink`` (blocks flow with backpressure, never materialized) under
+ordinal+content-hash names — the same idempotent naming contract as
+:func:`rayskema.sources.ipc.write_ipc`: a retried block task rewrites
+the SAME file, while byte-identical but DISTINCT blocks keep distinct
+ordinals.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.orc as porc
+
+import ray.data as rd
+
+
+def read_orc(path: str, *, columns: list[str] | None = None) -> "rd.Dataset":
+    """Read a directory of ORC files (or one file) as a Dataset.
+
+    ``columns`` prunes at decode time (ORC stores columns as separate
+    streams; unselected ones are never materialized).
+
+    ORC's timestamp type is nanosecond-resolution with no unit
+    metadata, so a ``timestamp[us]`` column written by ``write_orc``
+    reads back as ``timestamp[ns]`` — cast after the read when the
+    downstream pipeline needs the original unit."""
+    raw = rd.read_binary_files(path)
+
+    # Peek one file's schema up front (footer read only): a read task
+    # whose batch carries no file bytes must still emit a
+    # SCHEMA-CONSISTENT empty table — a column-less pa.table({}) would
+    # break downstream schema unification/concat for sparse dirs
+    empty = None
+    probe = path
+    if os.path.isdir(path):
+        names = sorted(n for n in os.listdir(path)
+                       if not n.startswith("."))
+        probe = os.path.join(path, names[0]) if names else None
+    if probe is not None and os.path.isfile(probe):
+        # memory-map the probe: ORCFile reads only footer metadata for
+        # .schema — a multi-GB first shard must not be slurped into
+        # the driver heap just for its schema
+        with pa.memory_map(probe, "r") as mm:
+            sch = porc.ORCFile(mm).schema
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        empty = sch.empty_table()
+
+    def _decode_batch(batch: dict) -> pa.Table:
+        tabs = []
+        for buf in batch["bytes"]:
+            f = porc.ORCFile(pa.BufferReader(pa.py_buffer(buf)))
+            tabs.append(f.read(columns=columns))
+        if tabs:
+            return pa.concat_tables(tabs)
+        return empty if empty is not None else pa.table({})
+
+    return raw.map_batches(_decode_batch, batch_format="numpy")
+
+
+def write_orc(ds: "rd.Dataset", out_dir: str) -> int:
+    """Write a Dataset as one ORC file per block under ``out_dir``;
+    returns the number of files written.  Ordinal+content-hash names
+    (idempotent retries, no duplicate-block collapse — see
+    ``write_ipc``).  Write into a fresh directory: files from an
+    earlier run are not cleaned up and a later ``read_orc`` would
+    return the union."""
+    os.makedirs(out_dir, exist_ok=True)
+    import hashlib
+
+    from ray.data import Datasink
+    from ray.data.block import BlockAccessor
+
+    class _OrcSink(Datasink):
+        """Streaming per-block sink: ``ctx.task_idx`` + the
+        within-task block index give the deterministic ordinal a
+        retried task reproduces exactly."""
+
+        def __init__(self):
+            self.files_written = 0
+
+        def write(self, blocks, ctx) -> list[str]:
+            out = []
+            for j, block in enumerate(blocks):
+                tab = BlockAccessor.for_block(block).to_arrow()
+                if tab.num_rows == 0:
+                    continue
+                sink = pa.BufferOutputStream()
+                porc.write_table(tab, sink)
+                buf = sink.getvalue()
+                name = os.path.join(
+                    out_dir,
+                    f"block-{ctx.task_idx:06d}-{j:04d}-"
+                    f"{hashlib.md5(buf).hexdigest()[:16]}.orc")
+                tmp = name + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as f:
+                    f.write(buf)
+                os.replace(tmp, name)  # atomic publish
+                out.append(name)
+            return out
+
+        def on_write_complete(self, write_result) -> None:
+            self.files_written = sum(
+                len(p) for p in write_result.write_returns)
+
+    sink = _OrcSink()
+    ds.write_datasink(sink)
+    return sink.files_written

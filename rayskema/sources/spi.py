@@ -45,13 +45,28 @@ def _default_parquet(paths, **kw) -> "rd.Dataset":
     return rd.read_parquet(paths, **kw)
 
 
+def _default_ipc(paths, **kw) -> "rd.Dataset":
+    from rayskema.sources.ipc import read_ipc
+    return read_ipc(paths, **kw)
+
+
+def _default_orc(paths, **kw) -> "rd.Dataset":
+    from rayskema.sources.orc import read_orc
+    return read_orc(paths, **kw)
+
+
 _DEFAULTS: dict[str, Callable[..., "rd.Dataset"]] = {
     "json": _default_json,
     "csv": _default_csv,
     "parquet": _default_parquet,
+    "ipc": _default_ipc,
+    "orc": _default_orc,
 }
 _drivers: dict[str, Callable[..., "rd.Dataset"]] = dict(_DEFAULTS)
-_names: dict[str, str] = {f: "ray.data" for f in _DEFAULTS}
+_DEFAULT_NAMES: dict[str, str] = {
+    f: ("ray.data" if f in ("json", "csv", "parquet") else "rayskema")
+    for f in _DEFAULTS}
+_names: dict[str, str] = dict(_DEFAULT_NAMES)
 
 
 def register_source_driver(fmt: str, reader: Callable[..., "rd.Dataset"],
@@ -83,10 +98,10 @@ def use_default_source_driver(fmt: str | None = None) -> None:
             _drivers.clear()
             _drivers.update(_DEFAULTS)
             _names.clear()
-            _names.update({f: "ray.data" for f in _DEFAULTS})
+            _names.update(_DEFAULT_NAMES)
         elif fmt in _DEFAULTS:
             _drivers[fmt] = _DEFAULTS[fmt]
-            _names[fmt] = "ray.data"
+            _names[fmt] = _DEFAULT_NAMES[fmt]
         else:
             _drivers.pop(fmt, None)
             _names.pop(fmt, None)

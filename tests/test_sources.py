@@ -312,3 +312,69 @@ def test_read_hive_partitions_null_value(ray_session, tmp_path):
     got = read_hive_partitions(out, "src", values=[None]).to_pandas()
     assert got["v"].tolist() == [2]
     assert got["src"].isna().all()
+
+
+def test_orc_round_trip(ray_session, tmp_path):
+    """write_orc -> read_orc round-trips values; column projection
+    prunes at decode; retried-style rewrite is idempotent; ORC's
+    ns-only timestamp comes back as timestamp[ns]."""
+    import os
+
+    from rayskema.sources.orc import read_orc, write_orc
+
+    tab = pa.table({
+        "k": pa.array(range(100), type=pa.int64()),
+        "s": pa.array([f"v{i}" for i in range(100)]),
+        "ts": pa.array([1_000_000 * i for i in range(100)],
+                       type=pa.timestamp("us")),
+        "x": pa.array([i * 0.5 for i in range(100)], type=pa.float64())})
+    out = str(tmp_path / "orc")
+    n_files = write_orc(rd.from_arrow(tab).repartition(4), out)
+    assert n_files >= 1
+    back = pa.concat_tables(
+        [pa.table(b) for b in
+         read_orc(out).iter_batches(batch_format="pyarrow")]) \
+        .sort_by("k")
+    assert back.schema.field("ts").type == pa.timestamp("ns")
+    assert back.set_column(
+        back.schema.get_field_index("ts"), "ts",
+        back["ts"].cast(pa.timestamp("us"))).equals(tab)
+    # idempotent rewrite: same content -> same file set
+    write_orc(rd.from_arrow(tab).repartition(4), out)
+    assert len([f for f in os.listdir(out)
+                if f.endswith(".orc")]) == n_files
+    pruned = read_orc(out, columns=["k"])
+    assert pruned.schema().names == ["k"]
+    assert pruned.count() == 100
+
+
+def test_orc_duplicate_blocks_preserved(ray_session, tmp_path):
+    """Byte-identical but DISTINCT blocks both survive the round trip
+    (ordinal+hash naming, as write_ipc)."""
+    from rayskema.sources.orc import read_orc, write_orc
+
+    tab = pa.table({"k": pa.array([1, 2], type=pa.int64())})
+    ds = rd.from_arrow(pa.concat_tables([tab, tab])).repartition(2)
+    out = str(tmp_path / "dups_orc")
+    assert write_orc(ds, out) == 2
+    back = pa.concat_tables(
+        [pa.table(b) for b in read_orc(out)
+         .iter_batches(batch_format="pyarrow")])
+    assert sorted(back["k"].to_pylist()) == [1, 1, 2, 2]
+
+
+def test_orc_source_driver_registered(ray_session, tmp_path):
+    """'orc' and 'ipc' resolve through the SPI defaults."""
+    from rayskema.sources.orc import write_orc
+    from rayskema.sources.spi import (get_source_driver,
+                                      source_driver_names)
+
+    names = source_driver_names()
+    assert names["orc"] == "rayskema" and names["ipc"] == "rayskema"
+    tab = pa.table({"k": pa.array([3, 1, 2], type=pa.int64())})
+    out = str(tmp_path / "spi_orc")
+    write_orc(rd.from_arrow(tab), out)
+    got = pa.concat_tables(
+        [pa.table(b) for b in get_source_driver("orc")(out)
+         .iter_batches(batch_format="pyarrow")])
+    assert sorted(got["k"].to_pylist()) == [1, 2, 3]
