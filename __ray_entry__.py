@@ -3658,6 +3658,77 @@ def _q_orders_orc_roundtrip(sf_dir: str):
                       ("o_orderkey", "max", "max_key")])
 
 
+def _q_lineitem_benford(sf_dir: str):
+    """Benford first-digit profile of lineitem prices (data-quality /
+    synthetic-data smell test): counts + floor-scaled basis-point
+    shares per leading digit of the exact integer cents.  Each block
+    reduces to a ≤9-row partial; nothing row-proportional shuffles."""
+    from rayskema.functions.profile import first_digit_profile
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": _cents(t["l_extendedprice"])}),
+        batch_format="pyarrow")
+    return first_digit_profile(ds, "cents")
+
+
+def _q_events_twap(sf_dir: str):
+    """Time-weighted average building blocks per user (TWAP — the
+    finance/metering aggregate): exact int64 numerator
+    Σ v_cents·(t_next − t)µs plus the duration, never divided into a
+    float on either engine.  One hash exchange on user_id; numpy
+    segment arithmetic after."""
+    from rayskema.pipelines.relational import group_time_weighted
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts": t["ts"], "v_cents": _cents(t["value"])}),
+            batch_format="pyarrow")
+    return group_time_weighted(ev, "user_id", "ts", "v_cents",
+                               tiebreak_cols=["event_id"])
+
+
+def _q_events_session_order_overlap(sf_dir: str):
+    """Interval×interval overlap join: gap-based sessions (6h) per
+    user against ±1h windows around the same user's HIGH-VALUE events
+    (value ≥ 100) — the range-predicate join no equi-join expresses.
+    Both sides ride ONE hash exchange on the key (side-stamped union,
+    no broadcast); within buckets the match is rank-space binary
+    search, no per-row loops."""
+    import pyarrow.compute as pc
+
+    from rayskema.pipelines.relational import (interval_overlap_join,
+                                               session_windows)
+
+    sess = session_windows(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key="user_id", ts_col="ts", gap_us=6 * 3600 * 1_000_000)
+    hour = 3600 * 1_000_000
+
+    def _win(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"], "hv_event_id": t["event_id"],
+            "w_start": pc.cast(pc.subtract(
+                us, pa.scalar(hour, pa.int64())), pa.timestamp("us")),
+            "w_end": pc.cast(pc.add(
+                us, pa.scalar(hour, pa.int64())), pa.timestamp("us"))})
+
+    # the filter is pushed into the parquet read: only high-value
+    # rows' three columns leave storage
+    hv = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+        filter=(pc.field("value") >= 100.0)
+        & ~pc.field("ts").is_null()) \
+        .map_batches(_win, batch_format="pyarrow")
+    return interval_overlap_join(
+        sess, hv, key="user_id",
+        l_start="session_start", l_end="session_end",
+        r_start="w_start", r_end="w_end",
+        l_cols=["session_idx"], r_cols=["hv_event_id"])
+
+
 def _q_lineitem_q14(sf_dir: str):
     """TPC-H Q14 shape — promo revenue share: conditional aggregation
     over lineitem⋈part for one ship-month.  The part side is joined
@@ -4729,6 +4800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
         "orders_orc_roundtrip": _q_orders_orc_roundtrip,
+        "lineitem_benford": _q_lineitem_benford,
+        "events_twap": _q_events_twap,
+        "events_session_order_overlap": _q_events_session_order_overlap,
         "docs_mixture": _q_docs_mixture,
         "orders_q18": _q_orders_q18,
         "customers_dormant": _q_customers_dormant,
@@ -6791,6 +6865,66 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderstatus
+        """,
+        "lineitem_benford": """
+            WITH c AS (
+                SELECT CAST(substr(CAST(CAST(round(l_extendedprice
+                    * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND round(l_extendedprice * 100) > 0)
+            SELECT digit, count(*) AS n,
+                   CAST((10000 * count(*))
+                        // (SELECT count(*) FROM c) AS BIGINT) AS bp
+            FROM c GROUP BY digit
+        """,
+        "events_twap": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL)
+            SELECT user_id,
+                   CAST(sum(v * (nxt - us)) AS BIGINT) AS twap_num,
+                   CAST(max(us) - min(us) AS BIGINT) AS dur_us,
+                   CAST(count(*) - 1 AS BIGINT) AS n_seg
+            FROM e GROUP BY user_id HAVING count(*) >= 2
+        """,
+        "events_session_order_overlap": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events WHERE ts IS NOT NULL),
+            f AS (
+                SELECT user_id, us,
+                       CASE WHEN prev IS NULL
+                                 OR us - prev > 21600000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM e),
+            s AS (
+                SELECT user_id, us,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f),
+            sess AS (
+                SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+                FROM s GROUP BY user_id, sid),
+            hv AS (
+                SELECT user_id, event_id AS hv_event_id,
+                       epoch_us(ts) - 3600000000 AS w_s,
+                       epoch_us(ts) + 3600000000 AS w_e
+                FROM events
+                WHERE value >= 100.0 AND ts IS NOT NULL)
+            SELECT sess.user_id,
+                   CAST(sess.sid AS BIGINT) AS session_idx,
+                   hv.hv_event_id
+            FROM sess JOIN hv ON hv.user_id = sess.user_id
+             AND s_us <= w_e AND w_s <= e_us
         """,
         "lineitem_q14": """
             WITH s AS (

@@ -761,3 +761,52 @@ def table_checksum(ds: "rd.Dataset", cols: Sequence[str]) -> pa.Table:
     return pa.table({
         "n_rows": pa.array([acc_rows], pa.int64()),
         "checksum": pa.array([acc % _CHECKSUM_MOD], pa.int64())})
+
+
+def first_digit_profile(ds: "rd.Dataset", col: str, *,
+                        buckets: int | None = None) -> "rd.Dataset":
+    """Benford first-digit profile — the fraud/synthetic-data smell
+    test: one row per leading decimal digit of the POSITIVE int64
+    column ``col`` with its count and its floor-scaled share in basis
+    points (``bp = 10000·n // total``).  Digits are extracted through
+    the decimal string rendering (exact — a float ``log10`` misreads
+    powers of ten at the boundary), vectorized with Arrow string
+    kernels.  Nulls and non-positive values are excluded.
+
+    Scale shape: each block reduces to a ≤9-row partial, one tiny
+    exchange sums them, and the ≤9-row result collapses to a single
+    block for the total — nothing driver-side, nothing proportional
+    to row count ever shuffles."""
+    from ..pipelines.relational import agg_named, bucketed_map_groups
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        x = tab[col]
+        mask = pc.and_(pc.is_valid(x), pc.greater(
+            pc.cast(x, pa.int64()), pa.scalar(0, pa.int64())))
+        if tab.num_rows and not pc.all(mask).as_py():
+            x = x.filter(mask)
+        d = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(pc.cast(x, pa.int64()), pa.string()), 0, 1),
+            pa.int64())
+        part = pa.table({
+            "digit": d,
+            "_one": pa.array(np.ones(len(d), np.int64))})
+        return agg_named(part, ["digit"], [("_one", "sum")], ["n"])
+
+    summed = bucketed_map_groups(
+        ds.select_columns([col]).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["digit"],
+        lambda t: agg_named(t, ["digit"], [("n", "sum")], ["n"]),
+        buckets=buckets, sort_within=False)
+
+    def _bp(tab: pa.Table) -> pa.Table:
+        n = tab["n"].to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        bp = (10_000 * n) // total if total else n
+        return pa.table({"digit": tab["digit"], "n": tab["n"],
+                         "bp": pa.array(bp, pa.int64())})
+
+    # ≤9 rows: one block, one pass for the total
+    return summed.repartition(1).map_batches(_bp,
+                                             batch_format="pyarrow")

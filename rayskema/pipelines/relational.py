@@ -4609,3 +4609,198 @@ def pivot_sum(
 
     return bucketed_map_groups(partial, [group_col], _sum,
                                buckets=buckets, sort_within=False)
+
+
+def group_time_weighted(
+    ds: "rd.Dataset", group_col: str, ts_col: str, value_col: str, *,
+    tiebreak_cols: Sequence[str] = (), buckets: int | None = None,
+) -> "rd.Dataset":
+    """Exact time-weighted sum per group (the TWAP numerator): rows
+    ordered by ``(ts, tiebreak...)``, each value weighted by the µs
+    until the NEXT row of the same group —
+    ``twap_num = Σ v_i·(t_{i+1}−t_i)``, all int64 integer arithmetic.
+    The time-weighted AVERAGE is ``twap_num / dur_us``; both terms are
+    returned unreduced so the caller (and a SQL oracle) never divides
+    into floats.  Returns (group, twap_num, dur_us, n_seg) for groups
+    with ≥2 in-scope rows; rows with a null timestamp or null value
+    are excluded.
+
+    Exactness bound: ``|v|·corpus_span_us`` must fit int64 —
+    cents-scale values (≤10^9) over a multi-year span (≤10^14 µs) stay
+    inside 9.2·10^18.  One hash exchange on the group key; everything
+    after is numpy segment arithmetic (reduceat), no per-row loops."""
+    tiebreak_cols = list(tiebreak_cols)
+
+    def _twap(tab: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(tab[ts_col]), pc.is_valid(tab[value_col]))
+        if tab.num_rows and not pc.all(mask).as_py():
+            tab = tab.filter(mask)
+        gtype = tab[group_col].type
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=gtype),
+                "twap_num": pa.array([], type=pa.int64()),
+                "dur_us": pa.array([], type=pa.int64()),
+                "n_seg": pa.array([], type=pa.int64())})
+        tab = tab.sort_by(
+            [(group_col, "ascending"), (ts_col, "ascending")]
+            + [(c, "ascending") for c in tiebreak_cols])
+        us = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(tab[value_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = tab.num_rows
+        new_g = segment_starts(tab, [group_col])
+        d = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            d[:-1] = us[1:] - us[:-1]
+        last = np.append(new_g[1:], True)
+        d[last] = 0                      # no segment leaves its group
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.append(starts, n))
+        num = np.add.reduceat(v * d, starts)
+        ends = np.append(starts[1:], n) - 1
+        dur = us[ends] - us[starts]
+        keep = counts >= 2
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(starts[keep])),
+            "twap_num": pa.array(num[keep]),
+            "dur_us": pa.array(dur[keep]),
+            "n_seg": pa.array((counts - 1)[keep])})
+
+    cols = list(dict.fromkeys(
+        [group_col, ts_col, value_col] + tiebreak_cols))
+    return bucketed_map_groups(ds.select_columns(cols), [group_col],
+                               _twap, buckets=buckets,
+                               sort_within=False)
+
+
+def interval_overlap_join(
+    left: "rd.Dataset", right: "rd.Dataset", *, key: str,
+    l_start: str, l_end: str, r_start: str, r_end: str,
+    l_cols: Sequence[str], r_cols: Sequence[str],
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Interval×interval overlap join within a key: emit one row per
+    (left, right) pair of the same ``key`` whose CLOSED intervals
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` overlap
+    (``l_start ≤ r_end AND r_start ≤ l_end`` — the SQL range-predicate
+    join no equi-join can express).  Output columns:
+    ``key`` + ``l_cols`` + ``r_cols`` (names must not collide).
+
+    Distribution: BOTH sides ride one hash exchange on ``key`` (side-
+    stamped union — neither side is broadcast or materialized), so the
+    join parallelizes across keys no matter the total size.  Within a
+    bucket the matching is fully vectorized: rights sort by
+    (key, start) in RANK space (composite ``code·M + rank`` int64
+    keys), each left binary-searches its candidate window
+    ``start ∈ [l_start − max_right_duration, l_end]`` with two global
+    searchsorteds, candidates expand by repeat, and the exact overlap
+    predicate filters.  Per-left candidate count is bounded by rights
+    starting inside a ``max_right_duration + left_length`` window —
+    tight when interval lengths are regular (sessions, promo windows);
+    a single enormous right interval in a key degrades that key to a
+    scan, never the whole bucket.  Rows with null bounds are dropped.
+    """
+    l_cols, r_cols = list(l_cols), list(r_cols)
+    if set(l_cols) & set(r_cols):
+        raise ValueError("l_cols and r_cols must not collide")
+
+    def _us(col: pa.ChunkedArray) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        else:
+            col = pc.cast(col, pa.int64())
+        return col.to_numpy(zero_copy_only=False)
+
+    # payload types resolved ONCE on the driver (a one-block schema
+    # probe) so each stamped side can null-fill the OTHER side's
+    # payload columns — the union then has one schema and rides one
+    # exchange
+    l_types = {f.name: f.type for f in left.schema().base_schema}
+    r_types = {f.name: f.type for f in right.schema().base_schema}
+
+    def _stamp(side: int, s_col: str, e_col: str):
+        def _f(tab: pa.Table) -> pa.Table:
+            # SQL join semantics: null keys and null bounds never match
+            mask = pc.and_(pc.is_valid(tab[key]),
+                           pc.and_(pc.is_valid(tab[s_col]),
+                                   pc.is_valid(tab[e_col])))
+            if tab.num_rows and not pc.all(mask).as_py():
+                tab = tab.filter(mask)
+            n = tab.num_rows
+            cols = {key: tab[key],
+                    "__side": pa.array(
+                        np.full(n, side, dtype=np.int8)),
+                    "__s": pa.array(_us(tab[s_col].combine_chunks())),
+                    "__e": pa.array(_us(tab[e_col].combine_chunks()))}
+            # canonical payload order (l_cols then r_cols) on BOTH
+            # sides so the union concats cleanly
+            for c in l_cols:
+                cols[c] = tab[c] if side == 0 else \
+                    pa.nulls(n, type=l_types[c])
+            for c in r_cols:
+                cols[c] = tab[c] if side == 1 else \
+                    pa.nulls(n, type=r_types[c])
+            return pa.table(cols)
+        return _f
+
+    lt = left.map_batches(_stamp(0, l_start, l_end),
+                          batch_format="pyarrow")
+    rt = right.map_batches(_stamp(1, r_start, r_end),
+                           batch_format="pyarrow")
+
+    def _join(tab: pa.Table) -> pa.Table:
+        side = tab["__side"].to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 0, side == 1
+        l_tab = tab.filter(pa.array(lmask))
+        r_tab = tab.filter(pa.array(rmask))
+        empty = {key: pa.array([], type=tab[key].type)}
+        for c in l_cols + r_cols:
+            empty[c] = pa.array([], type=tab[c].type)
+        if l_tab.num_rows == 0 or r_tab.num_rows == 0:
+            return pa.table(empty)
+        # consistent key codes across both sides: ONE dictionary over
+        # the whole bucket (a chunk-wise encode would give each chunk
+        # its own code space)
+        karr = tab[key].combine_chunks()
+        if isinstance(karr, pa.ChunkedArray):
+            karr = (karr.chunk(0) if karr.num_chunks == 1
+                    else pa.concat_arrays(karr.chunks))
+        codes = pc.dictionary_encode(karr).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lc, rc = codes[lmask], codes[rmask]
+        ls = l_tab["__s"].to_numpy(zero_copy_only=False)
+        le = l_tab["__e"].to_numpy(zero_copy_only=False)
+        rs = r_tab["__s"].to_numpy(zero_copy_only=False)
+        re_ = r_tab["__e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rs, rc))
+        rc_o, rs_o, re_o = rc[order], rs[order], re_[order]
+        vals = np.unique(rs_o)
+        m = np.int64(len(vals) + 2)
+        comp = rc_o * m + np.searchsorted(vals, rs_o)
+        dmax = np.int64((re_o - rs_o).max()) if len(rs_o) else 0
+        lo_rank = np.searchsorted(vals, ls - dmax, side="left")
+        hi_rank = np.searchsorted(vals, le, side="right")
+        lo = np.searchsorted(comp, lc * m + lo_rank, side="left")
+        hi = np.searchsorted(comp, lc * m + hi_rank, side="left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(empty)
+        lidx = np.repeat(np.arange(len(lc)), cnt)
+        ridx = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        ok = re_o[ridx] >= ls[lidx]        # start bound already holds
+        lidx, ridx = lidx[ok], ridx[ok]
+        out = {key: l_tab[key].take(pa.array(lidx))}
+        l_take = pa.array(lidx)
+        r_take = pa.array(order[ridx])
+        for c in l_cols:
+            out[c] = l_tab[c].take(l_take)
+        for c in r_cols:
+            out[c] = r_tab[c].take(r_take)
+        return pa.table(out)
+
+    return bucketed_map_groups(lt.union(rt), [key], _join,
+                               buckets=buckets, sort_within=False)

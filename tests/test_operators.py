@@ -3292,3 +3292,124 @@ def test_pivot_sum(ray_session):
         _collect(pivot_sum(rd.from_arrow(pa.table({
             "g": [1], "c": ["x"], "v": [1.5]})), "g", "c", "v",
             ["x"]))
+
+
+def test_group_time_weighted(ray_session):
+    """Exact TWAP terms: segment products, duration, tie ordering via
+    the tiebreak column, null ts/value exclusion, <2-row groups
+    dropped."""
+    from rayskema.pipelines.relational import group_time_weighted
+    ts = pa.array([0, 10, 30, 0, 5, None, 100],
+                  type=pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ts": ts,
+        "v": pa.array([5, 7, 9, 2, None, 4, 1], pa.int64())}))
+    out = _collect(group_time_weighted(
+        ds, "g", "ts", "v", tiebreak_cols=["id"], buckets=4)) \
+        .sort_by("g")
+    # g=1: 5*10 + 7*20 = 190, dur 30, 2 segs
+    # g=2: null ts row and null v row excluded -> only ts=0 left -> dropped
+    # g=3: single row -> dropped
+    assert out["g"].to_pylist() == [1]
+    assert out["twap_num"].to_pylist() == [190]
+    assert out["dur_us"].to_pylist() == [30]
+    assert out["n_seg"].to_pylist() == [2]
+
+
+def test_group_time_weighted_tie_order(ray_session):
+    """Timestamp ties resolve by the tiebreak column: the tied pair
+    contributes a 0-length segment regardless of input order."""
+    from rayskema.pipelines.relational import group_time_weighted
+    tab = pa.table({
+        "g": pa.array([1, 1, 1], pa.int64()),
+        "id": pa.array([2, 1, 3], pa.int64()),
+        "ts": pa.array([5, 5, 8], type=pa.timestamp("us")),
+        "v": pa.array([100, 3, 9], pa.int64())})
+    out = _collect(group_time_weighted(
+        rd.from_arrow(tab), "g", "ts", "v", tiebreak_cols=["id"],
+        buckets=2))
+    # order by (ts, id): (5,id1,v3) (5,id2,v100) (8,id3): 3*0 + 100*3
+    assert out["twap_num"].to_pylist() == [300]
+    assert out["n_seg"].to_pylist() == [2]
+
+
+def test_interval_overlap_join(ray_session):
+    """Closed-interval overlap semantics within a key: touching
+    endpoints match, disjoint don't, keys never cross, null bounds
+    and null keys drop."""
+    from rayskema.pipelines.relational import interval_overlap_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, None], pa.int64()),
+        "lid": pa.array([10, 11, 12, 13], pa.int64()),
+        "ls": pa.array([0, 100, 0, 0], type=pa.timestamp("us")),
+        "le": pa.array([10, 200, 50, 50], type=pa.timestamp("us"))}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "rid": pa.array([20, 21, 22, 23], pa.int64()),
+        "rs": pa.array([10, 50, 60, None], type=pa.timestamp("us")),
+        "re": pa.array([30, 99, 70, 80], type=pa.timestamp("us"))}))
+    out = _collect(interval_overlap_join(
+        left, right, key="k", l_start="ls", l_end="le",
+        r_start="rs", r_end="re", l_cols=["lid"], r_cols=["rid"],
+        buckets=4))
+    pairs = sorted(zip(out["lid"].to_pylist(), out["rid"].to_pylist()))
+    # lid10 [0,10] touches rid20 [10,30]; lid11 [100,200] misses both
+    # (rid21 ends 99); k=2: lid12 [0,50] misses rid22 [60,70]; null
+    # bound rid23 and null-key lid13 drop
+    assert pairs == [(10, 20)]
+
+
+def test_interval_overlap_join_dense(ray_session):
+    """Cross-check against a brute-force O(n²) reference on a dense
+    random-ish grid (deterministic arithmetic fixture)."""
+    from rayskema.pipelines.relational import interval_overlap_join
+    n = 120
+    ks = [(i * 7) % 5 for i in range(n)]
+    ss = [(i * 37) % 400 for i in range(n)]
+    ls = [(i * 13) % 60 + 1 for i in range(n)]
+    left = pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "lid": pa.array(range(n), pa.int64()),
+        "ls": pa.array(ss, type=pa.timestamp("us")),
+        "le": pa.array([s + d for s, d in zip(ss, ls)],
+                       type=pa.timestamp("us"))})
+    ks2 = [(i * 11) % 5 for i in range(n)]
+    ss2 = [(i * 53) % 400 for i in range(n)]
+    ls2 = [(i * 17) % 80 + 1 for i in range(n)]
+    right = pa.table({
+        "k": pa.array(ks2, pa.int64()),
+        "rid": pa.array(range(1000, 1000 + n), pa.int64()),
+        "rs": pa.array(ss2, type=pa.timestamp("us")),
+        "re": pa.array([s + d for s, d in zip(ss2, ls2)],
+                       type=pa.timestamp("us"))})
+    le_i = [s + d for s, d in zip(ss, ls)]
+    re_i = [s + d for s, d in zip(ss2, ls2)]
+    expect = sorted(
+        (li, 1000 + ri)
+        for li in range(n) for ri in range(n)
+        if ks[li] == ks2[ri] and ss[li] <= re_i[ri]
+        and ss2[ri] <= le_i[li])
+    out = _collect(interval_overlap_join(
+        rd.from_arrow(left).repartition(3),
+        rd.from_arrow(right).repartition(2),
+        key="k", l_start="ls", l_end="le", r_start="rs", r_end="re",
+        l_cols=["lid"], r_cols=["rid"], buckets=4))
+    got = sorted(zip(out["lid"].to_pylist(), out["rid"].to_pylist()))
+    assert got == expect
+
+
+def test_first_digit_profile(ray_session):
+    """Digit extraction is string-exact (powers of ten stay digit 1),
+    zero/negative/null excluded, bp floor-scaled."""
+    from rayskema.functions.profile import first_digit_profile
+    vals = [1000, 1, 19, 999, 2, 20, 0, -5, None, 3]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})) \
+        .repartition(3)
+    out = _collect(first_digit_profile(ds, "x")).sort_by("digit")
+    assert out["digit"].to_pylist() == [1, 2, 3, 9]
+    # 1000, 1, 19 -> 1; 2, 20 -> 2; 3 -> 3; 999 -> 9; total 7
+    assert out["n"].to_pylist() == [3, 2, 1, 1]
+    assert out["bp"].to_pylist() == [30000 // 7, 20000 // 7,
+                                     10000 // 7, 10000 // 7]
