@@ -3658,6 +3658,34 @@ def _q_orders_orc_roundtrip(sf_dir: str):
                       ("o_orderkey", "max", "max_key")])
 
 
+def _q_docs_regex_counts(sf_dir: str):
+    """Vectorized regex extraction counts per source — cross-engine
+    RE2 parity (Arrow's count_substring_regex and DuckDB's
+    regexp_extract_all are both RE2, so non-overlapping match counts
+    agree bit-for-bit).  Per-block partial aggregation; only the tiny
+    (source, sums) table shuffles."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+
+    pattern = r"\bs[a-z]+"
+
+    def _count(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern),
+                    pa.int64())
+        return pa.table({
+            "source": t["source"], "n_matches": n,
+            "hit": pc.cast(pc.greater(n, pa.scalar(0, pa.int64())),
+                           pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        _count, batch_format="pyarrow")
+    return group_agg(ds, ["source"],
+                     [("n_matches", "sum", "n_matches"),
+                      ("hit", "sum", "n_docs_hit"),
+                      ("hit", "count", "n_docs")])
+
+
 def _q_lineitem_benford(sf_dir: str):
     """Benford first-digit profile of lineitem prices (data-quality /
     synthetic-data smell test): counts + floor-scaled basis-point
@@ -4801,6 +4829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_incremental_dedup": _q_events_incremental_dedup,
         "orders_orc_roundtrip": _q_orders_orc_roundtrip,
         "lineitem_benford": _q_lineitem_benford,
+        "docs_regex_counts": _q_docs_regex_counts,
         "events_twap": _q_events_twap,
         "events_session_order_overlap": _q_events_session_order_overlap,
         "docs_mixture": _q_docs_mixture,
@@ -6865,6 +6894,17 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderstatus
+        """,
+        "docs_regex_counts": """
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(
+                        text, '\\bs[a-z]+'))) AS BIGINT) AS n_matches,
+                   CAST(sum(CASE WHEN regexp_matches(
+                        text, '\\bs[a-z]+') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_hit,
+                   count(text) AS n_docs
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY source
         """,
         "lineitem_benford": """
             WITH c AS (
