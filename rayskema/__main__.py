@@ -106,6 +106,28 @@ def cmd_contract(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Contract compatibility report (registry BACKWARD/FORWARD
+    semantics — evolution.py): exit 0 when the change set satisfies
+    ``--require`` (default ``backward``), 1 otherwise — CI-gateable
+    before a contract rollout."""
+    from .contract import load_contract
+    from .evolution import changes_table, compatibility, diff_schemas
+
+    changes = diff_schemas(load_contract(args.old),
+                           load_contract(args.new))
+    verdict = compatibility(changes)
+    for row in changes_table(changes).to_pylist():
+        print(json.dumps(row, sort_keys=True))
+    print(json.dumps({"compatibility": verdict,
+                      "n_changes": len(changes)}))
+    ok = {"full": ("full",),
+          "backward": ("full", "backward"),
+          "forward": ("full", "forward"),
+          "none": ("full", "backward", "forward", "none")}
+    return 0 if verdict in ok[args.require] else 1
+
+
 def cmd_sample(args) -> int:
     _ensure_ray(args.num_cpus)
     import ray.data as rd
@@ -224,6 +246,15 @@ def main(argv=None) -> int:
                    "native contract format")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_contract)
+
+    d = sub.add_parser("diff", help="contract compatibility report "
+                       "(BACKWARD/FORWARD registry semantics)")
+    d.add_argument("--old", required=True, help="old contract JSON")
+    d.add_argument("--new", required=True, help="new contract JSON")
+    d.add_argument("--require", default="backward",
+                   choices=["full", "backward", "forward", "none"],
+                   help="minimum compatibility for exit code 0")
+    d.set_defaults(fn=cmd_diff)
 
     s = sub.add_parser("sample", help="seeded deterministic sample "
                        "(cheap drift pre-check input)")
