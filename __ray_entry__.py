@@ -3658,6 +3658,55 @@ def _q_orders_orc_roundtrip(sf_dir: str):
                       ("o_orderkey", "max", "max_key")])
 
 
+def _q_events_snapshot_prune(sf_dir: str):
+    """Snapshot-table round trip with manifest file-skipping: events
+    land as a manifest-tracked snapshot (per-file ts min/max), then a
+    time-range read prunes files from the MANIFEST before any task
+    launches and pushes the same predicate into the Parquet read.
+    The aggregate matches plain SQL regardless of file layout —
+    pruning only removes provably-irrelevant files."""
+    import atexit
+    import datetime
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+    from rayskema.sources.snapshot import read_snapshot, write_snapshot
+
+    tag = f"{os.path.abspath(sf_dir)}|snap|{os.getuid()}|{os.getpid()}"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_snap_" + hashlib.md5(tag.encode()).hexdigest()[:12])
+    if root not in _DEDUP_IDX_CLEANUP:
+        _DEDUP_IDX_CLEANUP.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    if not os.path.isfile(os.path.join(root, "HEAD")):
+        shutil.rmtree(root, ignore_errors=True)
+        # sort by ts so file ranges are disjoint and the prune bites;
+        # at scale this is the ingest-time clustering decision
+        ev = _read(sf_dir, "events", ["event_type", "ts"]) \
+            .sort("ts").repartition(8)
+        write_snapshot(ev, root, stats_cols=("ts",))
+    cutoff = datetime.datetime(2024, 1, 20)
+    pruned = read_snapshot(root, filter=[("ts", ">=", cutoff)])
+    kept = pa.table({
+        "n_files_kept": [len(pruned.input_files())],
+        "n_files_total": [8]})
+    counts = group_agg(pruned, ["event_type"],
+                       [("ts", "count", "n")])
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pruned_ok", pa.array(
+                np.full(t.num_rows,
+                        kept["n_files_kept"][0].as_py() < 8),
+                pa.bool_()))
+
+    return counts.map_batches(_stamp, batch_format="pyarrow")
+
+
 def _q_docs_regex_counts(sf_dir: str):
     """Vectorized regex extraction counts per source — cross-engine
     RE2 parity (Arrow's count_substring_regex and DuckDB's
@@ -4830,6 +4879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_orc_roundtrip": _q_orders_orc_roundtrip,
         "lineitem_benford": _q_lineitem_benford,
         "docs_regex_counts": _q_docs_regex_counts,
+        "events_snapshot_prune": _q_events_snapshot_prune,
         "events_twap": _q_events_twap,
         "events_session_order_overlap": _q_events_session_order_overlap,
         "docs_mixture": _q_docs_mixture,
@@ -6894,6 +6944,11 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderstatus
+        """,
+        "events_snapshot_prune": """
+            SELECT event_type, count(ts) AS n, TRUE AS pruned_ok
+            FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+            GROUP BY event_type
         """,
         "docs_regex_counts": """
             SELECT source,

@@ -1,0 +1,109 @@
+"""Snapshot table layout (sources/snapshot.py): manifest stats
+pruning, atomic HEAD, append chains, time travel."""
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from rayskema.sources.snapshot import (read_snapshot, snapshot_history,
+                                       write_snapshot)
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    return pa.concat_tables(tabs)
+
+
+def _table(lo, hi):
+    n = hi - lo
+    return pa.table({
+        "k": pa.array(range(lo, hi), pa.int64()),
+        "ts": pa.array([1_000_000 * i for i in range(lo, hi)],
+                       type=pa.timestamp("us")),
+        "s": pa.array([f"v{i}" for i in range(lo, hi)])})
+
+
+def test_snapshot_roundtrip_and_prune(ray_session, tmp_path):
+    root = str(tmp_path / "tbl")
+    # 4 blocks of 25 rows each -> 4 files with disjoint k ranges
+    ds = rd.from_arrow(_table(0, 100)).repartition(4)
+    m = write_snapshot(ds, root, stats_cols=("k", "ts"))
+    assert m["id"] == 1 and m["rows"] == 100 and len(m["files"]) == 4
+
+    back = _collect(read_snapshot(root)).sort_by("k")
+    assert back["k"].to_pylist() == list(range(100))
+
+    # manifest prune: k >= 80 can only live in one file
+    pruned = read_snapshot(root, filter=[("k", ">=", 80)])
+    assert len(pruned.input_files()) == 1
+    got = _collect(pruned)
+    assert sorted(got["k"].to_pylist()) == list(range(80, 100))
+
+    # timestamp predicate prunes through the µs-tagged stats
+    import datetime
+    t_pruned = read_snapshot(root, filter=[
+        ("ts", "<", datetime.datetime(1970, 1, 1, 0, 0, 25))])
+    assert len(t_pruned.input_files()) == 1
+    assert _collect(t_pruned).num_rows == 25
+
+    # conjunction that PROVES emptiness -> zero files, schema kept
+    none = read_snapshot(root, filter=[("k", ">", 99)])
+    assert none.count() == 0
+    assert none.schema().names == ["k", "ts", "s"]
+
+
+def test_snapshot_append_and_time_travel(ray_session, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(_table(0, 50)).repartition(2), root,
+                   stats_cols=("k",))
+    m2 = write_snapshot(rd.from_arrow(_table(50, 100)).repartition(2),
+                        root, stats_cols=("k",), mode="append")
+    assert m2["id"] == 2 and m2["rows"] == 100
+
+    assert _collect(read_snapshot(root)).num_rows == 100
+    # time travel: snapshot 1 still reads its original 50 rows
+    assert _collect(read_snapshot(root, snapshot=1)).num_rows == 50
+
+    hist = snapshot_history(root)
+    assert [(h["id"], h["rows"]) for h in hist] == [(1, 50), (2, 100)]
+    assert hist[1]["parent"] == 1
+
+    # overwrite starts fresh but leaves history readable
+    write_snapshot(rd.from_arrow(_table(0, 10)), root,
+                   stats_cols=("k",), mode="overwrite")
+    assert _collect(read_snapshot(root)).num_rows == 10
+    assert _collect(read_snapshot(root, snapshot=2)).num_rows == 100
+
+
+def test_snapshot_allnull_stats_prune(ray_session, tmp_path):
+    root = str(tmp_path / "tbl")
+    tab = pa.table({"k": pa.array([None, None], pa.int64()),
+                    "v": pa.array([1, 2], pa.int64())})
+    write_snapshot(rd.from_arrow(tab), root, stats_cols=("k",))
+    # every k is null: k == 1 can match no row, file prunes
+    assert read_snapshot(root, filter=[("k", "==", 1)]).count() == 0
+    # a column without stats never prunes
+    assert read_snapshot(root, filter=[("v", "==", 1)]).count() == 1
+
+
+def test_snapshot_column_projection(ray_session, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(_table(0, 10)), root,
+                   stats_cols=("k",))
+    ds = read_snapshot(root, columns=["k"])
+    assert ds.schema().names == ["k"]
+
+
+def test_snapshot_bad_args(ray_session, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(root)
+    write_snapshot(rd.from_arrow(_table(0, 5)), root)
+    with pytest.raises(ValueError):
+        read_snapshot(root, filter=[("k", "!=", 3)])
+    with pytest.raises(ValueError):
+        write_snapshot(rd.from_arrow(_table(0, 5)), root, mode="merge")
