@@ -35,7 +35,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-__all__ = ["write_snapshot", "read_snapshot", "snapshot_history"]
+__all__ = ["write_snapshot", "read_snapshot", "snapshot_history",
+           "compact_snapshot"]
 
 _OPS = ("==", "<", "<=", ">", ">=")
 
@@ -253,3 +254,35 @@ def snapshot_history(root: str) -> list[dict]:
                     "mode": m["mode"], "rows": m["rows"],
                     "files": len(m["files"])})
     return out
+
+
+def compact_snapshot(root: str, *, target_rows: int = 1_000_000,
+                     order_by: str | None = None,
+                     stats_cols: tuple | None = None) -> dict:
+    """Small-file compaction: rewrite HEAD's files into
+    ``ceil(rows / target_rows)`` files as a NEW snapshot (history
+    stays readable — compaction is just another snapshot whose parent
+    is the fragmented one).  ``order_by`` re-clusters during the
+    rewrite (a ts/Z-order sort makes the per-file stats ranges
+    disjoint, which is what makes manifest pruning bite); by default
+    the existing order is kept.  ``stats_cols`` defaults to the
+    manifest's existing choice.
+
+    An append-heavy table accumulates one file per written block;
+    at 10^5 files the read-task launch overhead dominates scans —
+    compaction is the standing maintenance op (public Iceberg/Delta
+    ``rewrite_data_files`` / ``OPTIMIZE`` concept)."""
+    head = _read_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no HEAD at {root!r}")
+    manifest = _load_manifest(root, head)
+    if stats_cols is None:
+        stats_cols = tuple(manifest.get("stats_cols", ()))
+    ds = read_snapshot(root, snapshot=head)
+    if order_by is not None:
+        ds = ds.sort(order_by)
+    rows = manifest["rows"]
+    n_files = max(1, -(-rows // max(1, target_rows)))
+    ds = ds.repartition(n_files)
+    return write_snapshot(ds, root, stats_cols=stats_cols,
+                          mode="overwrite")

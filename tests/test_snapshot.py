@@ -107,3 +107,24 @@ def test_snapshot_bad_args(ray_session, tmp_path):
         read_snapshot(root, filter=[("k", "!=", 3)])
     with pytest.raises(ValueError):
         write_snapshot(rd.from_arrow(_table(0, 5)), root, mode="merge")
+
+
+def test_snapshot_compaction(ray_session, tmp_path):
+    root = str(tmp_path / "tbl")
+    # three appends of 4 files each -> 12 fragments
+    for lo in (0, 40, 80):
+        write_snapshot(
+            rd.from_arrow(_table(lo, lo + 40)).repartition(4),
+            root, stats_cols=("k",),
+            mode="overwrite" if lo == 0 else "append")
+    from rayskema.sources.snapshot import compact_snapshot
+    m = compact_snapshot(root, target_rows=60, order_by="k")
+    assert m["rows"] == 120 and len(m["files"]) == 2
+    back = _collect(read_snapshot(root)).sort_by("k")
+    assert back["k"].to_pylist() == list(range(120))
+    # re-clustered on k: a point lookup opens ONE file
+    assert len(read_snapshot(
+        root, filter=[("k", "==", 5)]).input_files()) == 1
+    # the fragmented snapshot is still time-travelable
+    assert _collect(read_snapshot(root, snapshot=3)).num_rows == 120
+    assert snapshot_history(root)[-1]["id"] == 4
