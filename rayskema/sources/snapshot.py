@@ -121,7 +121,7 @@ def _load_manifest(root: str, snap_id: int) -> dict:
 
 def write_snapshot(ds: "rd.Dataset", root: str, *,
                    stats_cols: tuple = (), mode: str = "overwrite",
-                   ) -> dict:
+                   contract=None) -> dict:
     """Write ``ds`` as a new snapshot of the table at ``root``;
     returns the manifest dict.  ``stats_cols`` are the columns whose
     per-file min/max land in the manifest (pick the prune keys —
@@ -129,7 +129,17 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
     current HEAD snapshot's files; ``"overwrite"`` starts the file
     list fresh (older snapshots stay readable either way).  Blocks
     stream through the sink with backpressure; only the file ENTRIES
-    (path + stats) gather on the driver for the manifest."""
+    (path + stats) gather on the driver for the manifest.
+
+    ``contract`` (a :class:`~rayskema.schema.TableSchema`) turns the
+    write into a VALIDATED COMMIT: every block is checked against the
+    contract's column-scope constraints in the same task that writes
+    it (one pass — no separate validation scan), and when any block
+    violates, the data files are removed and ``HEAD`` never flips —
+    readers can only ever observe contract-clean snapshots.  The
+    manifest records the ``schema_hash``.  Table-scope rules
+    (uniqueness, referential integrity) need the exchange and stay
+    with the validate pipeline."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
     stats_cols = tuple(stats_cols)
@@ -147,11 +157,20 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
             self.entries: list[dict] = []
 
         def write(self, blocks, ctx) -> list[dict]:
+            plan = None
+            if contract is not None:
+                # one compile per write task (regexes, kernels); the
+                # violation COUNT is all that ships back
+                from ..plan import ConstraintPlan, limit_arrow_threads
+                limit_arrow_threads()
+                plan = ConstraintPlan(contract)
             out = []
             for j, block in enumerate(blocks):
                 tab = BlockAccessor.for_block(block).to_arrow()
                 if tab.num_rows == 0:
                     continue
+                n_viol = (plan.validate(tab).num_rows
+                          if plan is not None else 0)
                 buf_sink = pa.BufferOutputStream()
                 pq.write_table(tab, buf_sink)
                 buf = buf_sink.getvalue()
@@ -166,6 +185,7 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
                     "path": os.path.join("data", name),
                     "rows": int(tab.num_rows),
                     "bytes": len(buf),
+                    "violations": n_viol,
                     "stats": {c: _col_stats(tab, c)
                               for c in stats_cols
                               if c in tab.column_names}})
@@ -178,6 +198,19 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
     sink = _SnapSink()
     ds.write_datasink(sink)
 
+    total_viol = sum(f["violations"] for f in sink.entries)
+    if contract is not None and total_viol:
+        # the commit gate: violating data never becomes HEAD
+        for f in sink.entries:
+            try:
+                os.remove(os.path.join(root, f["path"]))
+            except FileNotFoundError:
+                pass
+        raise ValueError(
+            f"snapshot rejected: {total_viol} contract violations "
+            f"across {sum(1 for f in sink.entries if f['violations'])}"
+            f"/{len(sink.entries)} files; HEAD unchanged")
+
     head = _read_head(root)
     files = list(sink.entries)
     if mode == "append" and head is not None:
@@ -186,7 +219,9 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
     manifest = {"id": snap_id, "parent": head,
                 "mode": mode, "files": files,
                 "rows": sum(f["rows"] for f in files),
-                "stats_cols": list(stats_cols)}
+                "stats_cols": list(stats_cols),
+                "schema_hash": (contract.schema_hash()
+                                if contract is not None else None)}
     mpath = os.path.join(_manifest_dir(root), f"snap-{snap_id:06d}.json")
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

@@ -128,3 +128,33 @@ def test_snapshot_compaction(ray_session, tmp_path):
     # the fragmented snapshot is still time-travelable
     assert _collect(read_snapshot(root, snapshot=3)).num_rows == 120
     assert snapshot_history(root)[-1]["id"] == 4
+
+
+def test_snapshot_validated_commit(ray_session, tmp_path):
+    """contract= turns the write into a commit gate: clean data
+    flips HEAD and stamps the schema_hash; violating data removes its
+    files and leaves HEAD (and history) untouched."""
+    from rayskema.schema import Column, Range, TableSchema
+
+    schema = TableSchema(columns=(
+        Column("k", pa.int64(), nullable=False,
+               constraints=(Range(min=0),)),
+        Column("s", pa.string()),))
+    root = str(tmp_path / "tbl")
+    clean = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "s": pa.array(["a", "b", "c"])})
+    m = write_snapshot(rd.from_arrow(clean), root,
+                       stats_cols=("k",), contract=schema)
+    assert m["schema_hash"] == schema.schema_hash()
+
+    bad = pa.table({"k": pa.array([4, -1, None], pa.int64()),
+                    "s": pa.array(["d", "e", "f"])})
+    import os
+    files_before = sorted(os.listdir(os.path.join(root, "data")))
+    with pytest.raises(ValueError, match="snapshot rejected"):
+        write_snapshot(rd.from_arrow(bad), root, stats_cols=("k",),
+                       mode="append", contract=schema)
+    # HEAD still 1, rejected files cleaned up, table reads clean data
+    assert sorted(os.listdir(os.path.join(root, "data"))) == files_before
+    assert snapshot_history(root)[-1]["id"] == 1
+    assert _collect(read_snapshot(root)).num_rows == 3
