@@ -4675,6 +4675,48 @@ def group_time_weighted(
                                sort_within=False)
 
 
+def match_overlapping_intervals(
+    lc: np.ndarray, ls: np.ndarray, le: np.ndarray,
+    rc: np.ndarray, rs: np.ndarray, re_: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All index pairs ``(i, j)`` with ``lc[i] == rc[j]`` and CLOSED
+    intervals ``[ls[i], le[i]]`` ∩ ``[rs[j], re_[j]]`` ≠ ∅ — the
+    vectorized core of :func:`interval_overlap_join`, exposed for
+    direct testing.
+
+    Rights sort once by (code, start); the composite key
+    ``code·M + rank(start)`` (M > number of distinct starts) keeps the
+    whole order in ONE int64 array, so each left's candidate window
+    ``start ∈ [ls − max_right_duration, le]`` is two global
+    searchsorteds.  The lower bound is sound for ANY input (a matching
+    right j has ``rs_j = re_j − dur_j ≥ ls − dur_j ≥ ls − dmax``
+    because ``dur_j ≤ dmax``, even with malformed reversed
+    intervals); the upper bound enforces ``rs ≤ le`` exactly, and the
+    residual predicate ``re ≥ ls`` filters the expansion."""
+    order = np.lexsort((rs, rc))
+    rc_o, rs_o, re_o = rc[order], rs[order], re_[order]
+    vals = np.unique(rs_o)
+    m = np.int64(len(vals) + 2)
+    comp = rc_o * m + np.searchsorted(vals, rs_o)
+    dmax = np.int64((re_o - rs_o).max()) if len(rs_o) else np.int64(0)
+    if dmax < 0:
+        dmax = np.int64(0)
+    lo_rank = np.searchsorted(vals, ls - dmax, side="left")
+    hi_rank = np.searchsorted(vals, le, side="right")
+    lo = np.searchsorted(comp, lc * m + lo_rank, side="left")
+    hi = np.searchsorted(comp, lc * m + hi_rank, side="left")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    lidx = np.repeat(np.arange(len(lc)), cnt)
+    ridx = np.repeat(lo, cnt) + (
+        np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    ok = re_o[ridx] >= ls[lidx]            # start bound already holds
+    return lidx[ok], order[ridx[ok]]
+
+
 def interval_overlap_join(
     left: "rd.Dataset", right: "rd.Dataset", *, key: str,
     l_start: str, l_end: str, r_start: str, r_end: str,
@@ -4774,28 +4816,13 @@ def interval_overlap_join(
         le = l_tab["__e"].to_numpy(zero_copy_only=False)
         rs = r_tab["__s"].to_numpy(zero_copy_only=False)
         re_ = r_tab["__e"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((rs, rc))
-        rc_o, rs_o, re_o = rc[order], rs[order], re_[order]
-        vals = np.unique(rs_o)
-        m = np.int64(len(vals) + 2)
-        comp = rc_o * m + np.searchsorted(vals, rs_o)
-        dmax = np.int64((re_o - rs_o).max()) if len(rs_o) else 0
-        lo_rank = np.searchsorted(vals, ls - dmax, side="left")
-        hi_rank = np.searchsorted(vals, le, side="right")
-        lo = np.searchsorted(comp, lc * m + lo_rank, side="left")
-        hi = np.searchsorted(comp, lc * m + hi_rank, side="left")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if total == 0:
+        lidx, ridx = match_overlapping_intervals(lc, ls, le,
+                                                 rc, rs, re_)
+        if len(lidx) == 0:
             return pa.table(empty)
-        lidx = np.repeat(np.arange(len(lc)), cnt)
-        ridx = np.repeat(lo, cnt) + (
-            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        ok = re_o[ridx] >= ls[lidx]        # start bound already holds
-        lidx, ridx = lidx[ok], ridx[ok]
         out = {key: l_tab[key].take(pa.array(lidx))}
         l_take = pa.array(lidx)
-        r_take = pa.array(order[ridx])
+        r_take = pa.array(ridx)
         for c in l_cols:
             out[c] = l_tab[c].take(l_take)
         for c in r_cols:

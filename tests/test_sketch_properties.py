@@ -107,3 +107,35 @@ def test_countmin_overestimates_only():
     assert cm.query_string("b") >= 5
     m = CountMin.from_bytes(cm.to_bytes())
     assert m.query_string("a") == cm.query_string("a")
+
+
+# ---------------------------------------------------------------------------
+# interval matcher (relational.match_overlapping_intervals)
+# ---------------------------------------------------------------------------
+
+_iv = st.tuples(st.integers(0, 6), st.integers(-50, 50),
+                st.integers(0, 40))
+_ivs = st.lists(_iv, min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ivs, _ivs)
+def test_match_overlapping_intervals_vs_bruteforce(lraw, rraw):
+    """The rank-space candidate-window matcher returns exactly the
+    brute-force pair set for arbitrary keys/starts/durations
+    (including empty sides, ties, zero-length and nested
+    intervals)."""
+    from rayskema.pipelines.relational import match_overlapping_intervals
+    lc = np.array([k for k, _, _ in lraw], dtype=np.int64)
+    ls = np.array([s for _, s, _ in lraw], dtype=np.int64)
+    le = np.array([s + d for _, s, d in lraw], dtype=np.int64)
+    rc = np.array([k for k, _, _ in rraw], dtype=np.int64)
+    rs = np.array([s for _, s, _ in rraw], dtype=np.int64)
+    re_ = np.array([s + d for _, s, d in rraw], dtype=np.int64)
+    lidx, ridx = match_overlapping_intervals(lc, ls, le, rc, rs, re_)
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    want = sorted(
+        (i, j)
+        for i in range(len(lraw)) for j in range(len(rraw))
+        if lc[i] == rc[j] and ls[i] <= re_[j] and rs[j] <= le[i])
+    assert got == want
