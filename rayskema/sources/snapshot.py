@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 __all__ = ["write_snapshot", "read_snapshot", "snapshot_history",
-           "compact_snapshot"]
+           "compact_snapshot", "snapshot_changes"]
 
 _OPS = ("==", "<", "<=", ">", ">=")
 
@@ -321,3 +321,65 @@ def compact_snapshot(root: str, *, target_rows: int = 1_000_000,
     ds = ds.repartition(n_files)
     return write_snapshot(ds, root, stats_cols=stats_cols,
                           mode="overwrite")
+
+
+def snapshot_changes(root: str, *, from_snapshot: int,
+                     to_snapshot: int | None = None,
+                     key_cols: tuple = (), compare_cols: tuple = (),
+                     buckets: int | None = None) -> "rd.Dataset":
+    """CDC between two snapshots of the same table: ``(key...,
+    change)`` rows with change ∈ {added, removed, changed} — the
+    incremental-consumption primitive (what changed since the
+    snapshot I last processed?).
+
+    The manifest makes this cheap: data files are immutable, so every
+    file PRESENT IN BOTH snapshots is skipped without opening it —
+    only the symmetric difference of the file lists is read.  For an
+    append-only history that is exactly the new files (constant work
+    in table size); after a compaction the rewritten files re-read but
+    identical rows cancel in the keyed diff.  Keys must be unique per
+    snapshot across the DIFFED files (the validate pipeline's
+    uniqueness rule is the upstream guarantee)."""
+    from ..pipelines.relational import diff_snapshots
+
+    key_cols, compare_cols = list(key_cols), list(compare_cols)
+    if not key_cols:
+        raise ValueError("key_cols is required")
+    to_id = to_snapshot if to_snapshot is not None else _read_head(root)
+    a = _load_manifest(root, from_snapshot)
+    b = _load_manifest(root, to_id)
+    a_paths = {f["path"] for f in a["files"]}
+    b_paths = {f["path"] for f in b["files"]}
+    cols = key_cols + compare_cols
+
+    def _read(paths: list[str]) -> "rd.Dataset":
+        return rd.read_parquet([os.path.join(root, p) for p in paths],
+                               columns=cols)
+
+    old_only = sorted(a_paths - b_paths)
+    new_only = sorted(b_paths - a_paths)
+
+    def _const(paths: list[str], change: str) -> "rd.Dataset":
+        def _f(tab: pa.Table) -> pa.Table:
+            out = {c: tab[c] for c in key_cols}
+            out["change"] = pa.array(
+                [change] * tab.num_rows, pa.string())
+            return pa.table(out)
+        return _read(paths).map_batches(_f, batch_format="pyarrow")
+
+    if not old_only and not new_only:
+        sch = pa.schema(
+            [pa.field(c, pa.int64()) for c in key_cols]
+            + [pa.field("change", pa.string())])
+        if a["files"]:
+            fsch = pq.read_schema(
+                os.path.join(root, a["files"][0]["path"]))
+            sch = pa.schema([fsch.field(c) for c in key_cols]
+                            + [pa.field("change", pa.string())])
+        return rd.from_arrow(sch.empty_table())
+    if not old_only:
+        return _const(new_only, "added")      # append-only fast path
+    if not new_only:
+        return _const(old_only, "removed")
+    return diff_snapshots(_read(old_only), _read(new_only),
+                          key_cols, compare_cols, buckets=buckets)

@@ -158,3 +158,62 @@ def test_snapshot_validated_commit(ray_session, tmp_path):
     assert sorted(os.listdir(os.path.join(root, "data"))) == files_before
     assert snapshot_history(root)[-1]["id"] == 1
     assert _collect(read_snapshot(root)).num_rows == 3
+
+
+def test_snapshot_changes(ray_session, tmp_path):
+    from rayskema.sources.snapshot import (compact_snapshot,
+                                           snapshot_changes)
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(_table(0, 50)).repartition(2), root,
+                   stats_cols=("k",))
+    write_snapshot(rd.from_arrow(_table(50, 80)).repartition(2), root,
+                   stats_cols=("k",), mode="append")
+    # append-only fast path never OPENS the shared files: prove it by
+    # making snap-1's data unreadable before running the CDC
+    import os
+    m1 = {f["path"] for f in __import__("json").load(
+        open(os.path.join(root, "manifests", "snap-000001.json")))
+        ["files"]}
+    for p in m1:
+        os.rename(os.path.join(root, p), os.path.join(root, p) + ".cold")
+    ch = snapshot_changes(root, from_snapshot=1, key_cols=("k",),
+                          compare_cols=("s",))
+    got = _collect(ch)
+    for p in m1:
+        os.rename(os.path.join(root, p) + ".cold", os.path.join(root, p))
+    assert set(got["change"].to_pylist()) == {"added"}
+    assert sorted(got["k"].to_pylist()) == list(range(50, 80))
+
+    # compaction rewrites every file but changes no rows: empty CDC
+    compact_snapshot(root, target_rows=100)
+    ch2 = _collect(snapshot_changes(root, from_snapshot=2,
+                                    key_cols=("k",),
+                                    compare_cols=("s",)))
+    assert ch2.num_rows == 0
+
+    # an overwrite with edits: detect added/removed/changed
+    t = _table(0, 80)
+    import pyarrow.compute as pc
+    s2 = pc.if_else(pc.equal(t["k"], 7), "EDITED", t["s"])
+    edited = pa.table({"k": t["k"], "ts": t["ts"], "s": s2}) \
+        .filter(pc.not_equal(t["k"], 3))           # drop one row
+    extra = pa.table({"k": pa.array([999], pa.int64()),
+                      "ts": pa.array([0], pa.timestamp("us")),
+                      "s": pa.array(["new"])})
+    write_snapshot(rd.from_arrow(pa.concat_tables([edited, extra])),
+                   root, stats_cols=("k",), mode="overwrite")
+    ch3 = _collect(snapshot_changes(root, from_snapshot=3,
+                                    key_cols=("k",),
+                                    compare_cols=("s",)))
+    by = {r["k"]: r["change"] for r in ch3.to_pylist()}
+    assert by == {3: "removed", 7: "changed", 999: "added"}
+
+
+def test_snapshot_changes_identical(ray_session, tmp_path):
+    from rayskema.sources.snapshot import snapshot_changes
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(_table(0, 10)), root)
+    ch = snapshot_changes(root, from_snapshot=1, to_snapshot=1,
+                          key_cols=("k",), compare_cols=("s",))
+    assert ch.count() == 0
+    assert ch.schema().names == ["k", "change"]
