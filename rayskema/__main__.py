@@ -128,6 +128,58 @@ def cmd_diff(args) -> int:
     return 0 if verdict in ok[args.require] else 1
 
 
+def cmd_snapshot(args) -> int:
+    """Snapshot-table maintenance (sources/snapshot.py): write /
+    history / compact / changes — the ray-job-submittable face of the
+    manifest layout."""
+    from .sources import snapshot as snap
+
+    if args.action == "history":
+        for h in snap.snapshot_history(args.root):
+            print(json.dumps(h, sort_keys=True))
+        return 0
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+    if args.action == "write":
+        if not args.input:
+            print("--input required for write", file=sys.stderr)
+            return 2
+        contract = None
+        if args.contract:
+            from .contract import load_contract
+            contract = load_contract(args.contract)
+        m = snap.write_snapshot(
+            rd.read_parquet(args.input), args.root,
+            stats_cols=tuple((args.stats_cols or "").split(","))
+            if args.stats_cols else (),
+            mode=args.mode, contract=contract)
+        print(json.dumps({"id": m["id"], "rows": m["rows"],
+                          "files": len(m["files"])}))
+        return 0
+    if args.action == "compact":
+        m = snap.compact_snapshot(args.root,
+                                  target_rows=args.target_rows,
+                                  order_by=args.order_by)
+        print(json.dumps({"id": m["id"], "rows": m["rows"],
+                          "files": len(m["files"])}))
+        return 0
+    if args.action == "changes":
+        if args.since is None or not args.keys or not args.out:
+            print("--since/--keys/--out required for changes",
+                  file=sys.stderr)
+            return 2
+        ds = snap.snapshot_changes(
+            args.root, from_snapshot=args.since,
+            key_cols=tuple(args.keys.split(",")),
+            compare_cols=tuple(args.compare.split(","))
+            if args.compare else ())
+        ds.write_parquet(args.out)
+        print(json.dumps({"written": args.out}))
+        return 0
+    print(f"unknown action {args.action!r}", file=sys.stderr)
+    return 2
+
+
 def cmd_sample(args) -> int:
     _ensure_ray(args.num_cpus)
     import ray.data as rd
@@ -255,6 +307,25 @@ def main(argv=None) -> int:
                    choices=["full", "backward", "forward", "none"],
                    help="minimum compatibility for exit code 0")
     d.set_defaults(fn=cmd_diff)
+
+    sn = sub.add_parser("snapshot", help="manifest-tracked snapshot "
+                        "tables: write/history/compact/changes")
+    sn.add_argument("--root", required=True)
+    sn.add_argument("--action", required=True,
+                    choices=["write", "history", "compact", "changes"])
+    sn.add_argument("--input", help="parquet file/dir (write)")
+    sn.add_argument("--stats-cols", help="comma-separated prune cols")
+    sn.add_argument("--mode", default="overwrite",
+                    choices=["overwrite", "append"])
+    sn.add_argument("--contract", help="validated-commit gate (write)")
+    sn.add_argument("--target-rows", type=int, default=1_000_000)
+    sn.add_argument("--order-by", help="re-cluster column (compact)")
+    sn.add_argument("--since", type=int, help="from snapshot (changes)")
+    sn.add_argument("--keys", help="comma-separated key cols (changes)")
+    sn.add_argument("--compare", help="comma-separated compare cols")
+    sn.add_argument("--out", help="output parquet dir (changes)")
+    sn.add_argument("--num-cpus", type=int)
+    sn.set_defaults(fn=cmd_snapshot)
 
     s = sub.add_parser("sample", help="seeded deterministic sample "
                        "(cheap drift pre-check input)")

@@ -217,3 +217,39 @@ def test_snapshot_changes_identical(ray_session, tmp_path):
                           key_cols=("k",), compare_cols=("s",))
     assert ch.count() == 0
     assert ch.schema().names == ["k", "change"]
+
+
+def test_cli_snapshot(ray_session, tmp_path, capsys):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayskema.__main__ import main
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(_table(0, 30), src)
+    src2 = str(tmp_path / "src2.parquet")
+    pq.write_table(_table(30, 60), src2)
+    root = str(tmp_path / "tbl")
+    assert main(["snapshot", "--root", root, "--action", "write",
+                 "--input", src, "--stats-cols", "k"]) == 0
+    assert main(["snapshot", "--root", root, "--action", "write",
+                 "--input", src2, "--mode", "append"]) == 0
+    assert main(["snapshot", "--root", root, "--action",
+                 "compact", "--target-rows", "100"]) == 0
+    assert main(["snapshot", "--root", root, "--action",
+                 "history"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    # last 3 history lines: ids 1..3, compacted rows = 60
+    assert [h["id"] for h in lines[-3:]] == [1, 2, 3]
+    assert lines[-1]["rows"] == 60
+    out = str(tmp_path / "changes")
+    assert main(["snapshot", "--root", root, "--action", "changes",
+                 "--since", "1", "--keys", "k", "--compare", "s",
+                 "--out", out]) == 0
+    ch = pq.read_table(out)
+    # snap1 (k 0..29) -> HEAD(3, compacted 0..59): 30 added keys
+    assert set(ch["change"].to_pylist()) == {"added"}
+    assert sorted(ch["k"].to_pylist()) == list(range(30, 60))
