@@ -35,16 +35,29 @@ import pyarrow.orc as porc
 import ray.data as rd
 
 
-def read_orc(path: str, *, columns: list[str] | None = None) -> "rd.Dataset":
+def read_orc(path: str, *, columns: list[str] | None = None,
+             split_stripes: int | None = None) -> "rd.Dataset":
     """Read a directory of ORC files (or one file) as a Dataset.
 
     ``columns`` prunes at decode time (ORC stores columns as separate
     streams; unselected ones are never materialized).
 
+    ``split_stripes=N`` switches from one-task-per-FILE to
+    one-task-per-N-STRIPES: the driver reads only each file's footer
+    (stripe count), and every task opens the file itself and decodes
+    its stripe range — a single 100 GB ORC file parallelizes across
+    the cluster instead of serializing into one task.  Requires the
+    paths to be worker-readable (shared/cluster storage — the same
+    assumption as any path-based read); the default whole-file mode
+    ships bytes via ``read_binary_files`` and works anywhere the
+    driver can list.
+
     ORC's timestamp type is nanosecond-resolution with no unit
     metadata, so a ``timestamp[us]`` column written by ``write_orc``
     reads back as ``timestamp[ns]`` — cast after the read when the
     downstream pipeline needs the original unit."""
+    if split_stripes is not None:
+        return _read_orc_stripes(path, columns, int(split_stripes))
     raw = rd.read_binary_files(path)
 
     # Peek one file's schema up front (footer read only): a read task
@@ -77,6 +90,46 @@ def read_orc(path: str, *, columns: list[str] | None = None) -> "rd.Dataset":
         return empty if empty is not None else pa.table({})
 
     return raw.map_batches(_decode_batch, batch_format="numpy")
+
+
+def _read_orc_stripes(path: str, columns: list[str] | None,
+                      per_task: int) -> "rd.Dataset":
+    """Stripe-range plan: footer-only driver pass, per-range decode
+    tasks (see ``read_orc(split_stripes=...)``)."""
+    if per_task < 1:
+        raise ValueError("split_stripes must be >= 1")
+    if os.path.isdir(path):
+        files = sorted(os.path.join(path, n) for n in os.listdir(path)
+                       if not n.startswith(".") and n.endswith(".orc"))
+    else:
+        files = [path]
+    items, sch = [], None
+    for fp in files:
+        with pa.memory_map(fp, "r") as mm:
+            f = porc.ORCFile(mm)
+            n = f.nstripes
+            if sch is None:
+                sch = f.schema
+        for s in range(0, n, per_task):
+            items.append({"path": fp, "start": s,
+                          "n": min(per_task, n - s)})
+    if sch is not None and columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    empty = sch.empty_table() if sch is not None else pa.table({})
+    if not items:
+        return rd.from_arrow(empty)
+
+    def _decode(batch: dict) -> pa.Table:
+        tabs = []
+        for p, s, n in zip(batch["path"], batch["start"], batch["n"]):
+            f = porc.ORCFile(p)
+            for i in range(int(s), int(s) + int(n)):
+                rb = f.read_stripe(i, columns=columns)
+                tabs.append(pa.Table.from_batches([rb]))
+        return pa.concat_tables(tabs) if tabs else empty
+
+    return rd.from_items(items).map_batches(
+        _decode, batch_format="numpy")
 
 
 def write_orc(ds: "rd.Dataset", out_dir: str) -> int:

@@ -378,3 +378,30 @@ def test_orc_source_driver_registered(ray_session, tmp_path):
         [pa.table(b) for b in get_source_driver("orc")(out)
          .iter_batches(batch_format="pyarrow")])
     assert sorted(got["k"].to_pylist()) == [1, 2, 3]
+
+
+def test_orc_stripe_split_read(ray_session, tmp_path):
+    """split_stripes parallelizes WITHIN one big ORC file: footer-only
+    planning, per-range decode, same rows + projection as the
+    whole-file path."""
+    import pyarrow.orc as porc
+
+    from rayskema.sources.orc import read_orc
+
+    tab = pa.table({
+        "k": pa.array(range(50_000), type=pa.int64()),
+        "s": pa.array([f"v{i % 97}" for i in range(50_000)])})
+    p = str(tmp_path / "big.orc")
+    porc.write_table(tab, p, stripe_size=64 * 1024)
+    n_stripes = porc.ORCFile(p).nstripes
+    assert n_stripes > 4          # the fixture really is multi-stripe
+
+    ds = read_orc(p, split_stripes=2)
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    ).sort_by("k")
+    assert got.equals(tab)
+
+    pruned = read_orc(str(tmp_path), columns=["k"], split_stripes=3)
+    assert pruned.schema().names == ["k"]
+    assert pruned.count() == 50_000
