@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .schema import (AnyOf, ByteBounds, Column, Contains, Enum,
                      LenBounds, ListUnique, MapKeyRegex, NonNull, Range,
-                     Regex, TableSchema, TsFormat, Unknown)
+                     Regex, StructField, TableSchema, TsFormat, Unknown)
 
 __all__ = ["Change", "diff_schemas", "compatibility", "changes_table"]
 
@@ -119,7 +119,7 @@ def _bounds_of(c) -> tuple:
 
 _BOUND_KINDS = (Range, LenBounds, ByteBounds)
 _OPAQUE_KINDS = (Regex, TsFormat, MapKeyRegex, AnyOf, Contains,
-                 ListUnique)
+                 ListUnique, StructField)
 # looseness rank of the unknown-column policy
 _UNKNOWN_RANK = {Unknown.STRICT: 0, Unknown.STRIP: 1,
                  Unknown.PASSTHROUGH: 2}
@@ -187,6 +187,20 @@ def _constraint_changes(col: str, old: Column, new: Column) -> list[Change]:
             not added,        # new checks old data never saw
             not removed))     # old checks new data no longer meets
 
+    # any constraint kind this checker does not model: set inequality
+    # is conservatively incompatible both ways (never silently
+    # "full") — future constraint classes are safe by default
+    handled = (NonNull, Enum) + _BOUND_KINDS + _OPAQUE_KINDS
+    old_rest = [c for c in old.constraints
+                if not isinstance(c, handled)]
+    new_rest = [c for c in new.constraints
+                if not isinstance(c, handled)]
+    if old_rest != new_rest:
+        kinds = sorted({type(c).__name__
+                        for c in old_rest + new_rest})
+        out.append(Change(col, "constraint_changed",
+                          f"unmodeled kinds {kinds}", False, False))
+
     if old.codec != new.codec:
         out.append(Change(col, "codec_changed",
                           f"{old.codec} -> {new.codec}", False, False))
@@ -246,6 +260,12 @@ def diff_schemas(old: TableSchema, new: TableSchema) -> list[Change]:
             "<table>", "unknown_policy_changed",
             f"{old.unknown.value} -> {new.unknown.value}",
             not tightened, tightened))
+    if tuple(old.normalizers) != tuple(new.normalizers):
+        # a normalizer rewrites data before validation: a different
+        # canonical form can flip validity in either direction
+        out.append(Change("<table>", "normalizers_changed",
+                          f"{len(old.normalizers)} -> "
+                          f"{len(new.normalizers)}", False, False))
     old_rules, new_rules = set(old.rules), set(new.rules)
     for r in sorted(new_rules - old_rules, key=repr):
         out.append(Change("<table>", "rule_added", repr(r), False, True))

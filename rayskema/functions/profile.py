@@ -781,8 +781,14 @@ def first_digit_profile(ds: "rd.Dataset", col: str, *,
 
     def _partial(tab: pa.Table) -> pa.Table:
         x = tab[col]
-        mask = pc.and_(pc.is_valid(x), pc.greater(
-            pc.cast(x, pa.int64()), pa.scalar(0, pa.int64())))
+        # fill_null(False): `x > 0` is NULL for null x, and pc.all
+        # SKIPS nulls — without the fill a block whose only invalid
+        # values are nulls would dodge the filter and emit a spurious
+        # null-digit group
+        mask = pc.fill_null(
+            pc.and_(pc.is_valid(x), pc.greater(
+                pc.cast(x, pa.int64()), pa.scalar(0, pa.int64()))),
+            False)
         if tab.num_rows and not pc.all(mask).as_py():
             x = x.filter(mask)
         d = pc.cast(pc.utf8_slice_codeunits(

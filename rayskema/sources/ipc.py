@@ -103,50 +103,17 @@ def write_ipc(ds: "rd.Dataset", out_dir: str, *,
     union."""
     if file_format not in ("file", "stream"):
         raise ValueError("file_format must be 'file' or 'stream'")
-    os.makedirs(out_dir, exist_ok=True)
-    import hashlib
+    from rayskema.sources._blocksink import write_block_files
 
-    from ray.data import Datasink
-    from ray.data.block import BlockAccessor
+    def _encode(tab: pa.Table) -> pa.Buffer:
+        sink = pa.BufferOutputStream()
+        if file_format == "file":
+            with pipc.new_file(sink, tab.schema) as w:
+                w.write_table(tab)
+        else:
+            with pipc.new_stream(sink, tab.schema) as w:
+                w.write_table(tab)
+        return sink.getvalue()
 
-    class _IpcSink(Datasink):
-        """Streaming per-block sink: blocks flow through write tasks
-        with backpressure (never materialized as a whole), and
-        ``ctx.task_idx`` + the within-task block index give the
-        deterministic ordinal a retried task reproduces exactly."""
-
-        def __init__(self):
-            self.files_written = 0
-
-        def write(self, blocks, ctx) -> list[str]:
-            out = []
-            for j, block in enumerate(blocks):
-                tab = BlockAccessor.for_block(block).to_arrow()
-                if tab.num_rows == 0:
-                    continue
-                sink = pa.BufferOutputStream()
-                if file_format == "file":
-                    with pipc.new_file(sink, tab.schema) as w:
-                        w.write_table(tab)
-                else:
-                    with pipc.new_stream(sink, tab.schema) as w:
-                        w.write_table(tab)
-                buf = sink.getvalue()
-                name = os.path.join(
-                    out_dir,
-                    f"block-{ctx.task_idx:06d}-{j:04d}-"
-                    f"{hashlib.md5(buf).hexdigest()[:16]}.arrow")
-                tmp = name + f".tmp-{uuid.uuid4().hex}"
-                with open(tmp, "wb") as f:
-                    f.write(buf)
-                os.replace(tmp, name)  # atomic publish
-                out.append(name)
-            return out
-
-        def on_write_complete(self, write_result) -> None:
-            self.files_written = sum(
-                len(p) for p in write_result.write_returns)
-
-    sink = _IpcSink()
-    ds.write_datasink(sink)
-    return sink.files_written
+    return len(write_block_files(ds, out_dir, encode=_encode,
+                                 ext="arrow"))

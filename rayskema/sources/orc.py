@@ -58,38 +58,49 @@ def read_orc(path: str, *, columns: list[str] | None = None,
     downstream pipeline needs the original unit."""
     if split_stripes is not None:
         return _read_orc_stripes(path, columns, int(split_stripes))
-    raw = rd.read_binary_files(path)
+    files = _orc_files(path)
+    if not files:
+        return rd.from_arrow(pa.table({}))
+    # only .orc files ship to decode tasks — warehouse-exported dirs
+    # carry _SUCCESS/sidecar files that would crash the decoder
+    raw = rd.read_binary_files(files)
 
     # Peek one file's schema up front (footer read only): a read task
     # whose batch carries no file bytes must still emit a
     # SCHEMA-CONSISTENT empty table — a column-less pa.table({}) would
-    # break downstream schema unification/concat for sparse dirs
-    empty = None
-    probe = path
-    if os.path.isdir(path):
-        names = sorted(n for n in os.listdir(path)
-                       if not n.startswith("."))
-        probe = os.path.join(path, names[0]) if names else None
-    if probe is not None and os.path.isfile(probe):
-        # memory-map the probe: ORCFile reads only footer metadata for
-        # .schema — a multi-GB first shard must not be slurped into
-        # the driver heap just for its schema
-        with pa.memory_map(probe, "r") as mm:
-            sch = porc.ORCFile(mm).schema
-        if columns is not None:
-            sch = pa.schema([sch.field(c) for c in columns])
-        empty = sch.empty_table()
+    # break downstream schema unification/concat for sparse dirs.
+    # memory-map the probe: ORCFile reads only footer metadata for
+    # .schema — a multi-GB first shard must not be slurped into the
+    # driver heap just for its schema
+    with pa.memory_map(files[0], "r") as mm:
+        sch = porc.ORCFile(mm).schema
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    empty = sch.empty_table()
 
     def _decode_batch(batch: dict) -> pa.Table:
         tabs = []
         for buf in batch["bytes"]:
             f = porc.ORCFile(pa.BufferReader(pa.py_buffer(buf)))
-            tabs.append(f.read(columns=columns))
+            tab = f.read(columns=columns)
+            if columns is not None:
+                # ORC returns the projection in FILE order; callers
+                # get the REQUESTED order
+                tab = tab.select(columns)
+            tabs.append(tab)
         if tabs:
             return pa.concat_tables(tabs)
-        return empty if empty is not None else pa.table({})
+        return empty
 
     return raw.map_batches(_decode_batch, batch_format="numpy")
+
+
+def _orc_files(path: str) -> list[str]:
+    """The .orc members of a file-or-directory path (sorted)."""
+    if os.path.isdir(path):
+        return sorted(os.path.join(path, n) for n in os.listdir(path)
+                      if not n.startswith(".") and n.endswith(".orc"))
+    return [path]
 
 
 def _read_orc_stripes(path: str, columns: list[str] | None,
@@ -98,11 +109,7 @@ def _read_orc_stripes(path: str, columns: list[str] | None,
     tasks (see ``read_orc(split_stripes=...)``)."""
     if per_task < 1:
         raise ValueError("split_stripes must be >= 1")
-    if os.path.isdir(path):
-        files = sorted(os.path.join(path, n) for n in os.listdir(path)
-                       if not n.startswith(".") and n.endswith(".orc"))
-    else:
-        files = [path]
+    files = _orc_files(path)
     items, sch = [], None
     for fp in files:
         with pa.memory_map(fp, "r") as mm:
@@ -125,7 +132,11 @@ def _read_orc_stripes(path: str, columns: list[str] | None,
             f = porc.ORCFile(p)
             for i in range(int(s), int(s) + int(n)):
                 rb = f.read_stripe(i, columns=columns)
-                tabs.append(pa.Table.from_batches([rb]))
+                tab = pa.Table.from_batches([rb])
+                if columns is not None:
+                    # file order -> requested order (as read_orc)
+                    tab = tab.select(columns)
+                tabs.append(tab)
         return pa.concat_tables(tabs) if tabs else empty
 
     return rd.from_items(items).map_batches(
@@ -139,44 +150,12 @@ def write_orc(ds: "rd.Dataset", out_dir: str) -> int:
     ``write_ipc``).  Write into a fresh directory: files from an
     earlier run are not cleaned up and a later ``read_orc`` would
     return the union."""
-    os.makedirs(out_dir, exist_ok=True)
-    import hashlib
+    from rayskema.sources._blocksink import write_block_files
 
-    from ray.data import Datasink
-    from ray.data.block import BlockAccessor
+    def _encode(tab: pa.Table) -> pa.Buffer:
+        sink = pa.BufferOutputStream()
+        porc.write_table(tab, sink)
+        return sink.getvalue()
 
-    class _OrcSink(Datasink):
-        """Streaming per-block sink: ``ctx.task_idx`` + the
-        within-task block index give the deterministic ordinal a
-        retried task reproduces exactly."""
-
-        def __init__(self):
-            self.files_written = 0
-
-        def write(self, blocks, ctx) -> list[str]:
-            out = []
-            for j, block in enumerate(blocks):
-                tab = BlockAccessor.for_block(block).to_arrow()
-                if tab.num_rows == 0:
-                    continue
-                sink = pa.BufferOutputStream()
-                porc.write_table(tab, sink)
-                buf = sink.getvalue()
-                name = os.path.join(
-                    out_dir,
-                    f"block-{ctx.task_idx:06d}-{j:04d}-"
-                    f"{hashlib.md5(buf).hexdigest()[:16]}.orc")
-                tmp = name + f".tmp-{uuid.uuid4().hex}"
-                with open(tmp, "wb") as f:
-                    f.write(buf)
-                os.replace(tmp, name)  # atomic publish
-                out.append(name)
-            return out
-
-        def on_write_complete(self, write_result) -> None:
-            self.files_written = sum(
-                len(p) for p in write_result.write_returns)
-
-    sink = _OrcSink()
-    ds.write_datasink(sink)
-    return sink.files_written
+    return len(write_block_files(ds, out_dir, encode=_encode,
+                                 ext="orc"))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 import pyarrow as pa
@@ -40,20 +41,51 @@ __all__ = ["write_snapshot", "read_snapshot", "snapshot_history",
 
 _OPS = ("==", "<", "<=", ">", ">=")
 
+_PLAN_CACHE: dict = {}
+
+
+def _cached_plan(contract):
+    """One ConstraintPlan compile per (process, contract) — the
+    validated-commit entry callback runs per BLOCK inside write
+    tasks, so the compile (regexes, kernels) must not repeat."""
+    key = contract.schema_hash()
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        from ..plan import ConstraintPlan, limit_arrow_threads
+        limit_arrow_threads()
+        plan = _PLAN_CACHE[key] = ConstraintPlan(contract)
+    return plan
+
+
+def _stats_supported(t: pa.DataType) -> bool:
+    """Types whose min/max encode JSON-safely AND compare correctly
+    against filter literals.  Anything else gets NO stats entry (the
+    file is simply never pruned on that column) instead of crashing
+    the manifest write or mis-pruning on a lexicographic surprise."""
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_timestamp(t) or pa.types.is_date(t))
+
 
 def _stat_value(v, t: pa.DataType):
     """JSON-safe manifest encoding of a scalar (timestamps as int64
-    µs with a type tag handled by the column entry)."""
+    µs, dates as int days — the type tag on the column entry maps
+    filter literals into the same domain)."""
     if v is None:
         return None
     if pa.types.is_timestamp(t):
         return int(pa.scalar(v, type=t).cast(pa.int64()).as_py())
+    if pa.types.is_date(t):
+        return int(pa.scalar(v, type=t).cast(
+            pa.date32()).cast(pa.int32()).as_py())
     return v.as_py() if isinstance(v, pa.Scalar) else v
 
 
-def _col_stats(tab: pa.Table, col: str) -> dict:
+def _col_stats(tab: pa.Table, col: str) -> dict | None:
     c = tab[col]
     t = c.type
+    if not _stats_supported(t):
+        return None
     entry = {"type": str(t),
              "null_count": int(c.null_count),
              "min": None, "max": None}
@@ -70,6 +102,11 @@ def _norm_lit(lit, type_str: str):
             return int(lit)
         return int(pa.scalar(lit).cast(
             pa.timestamp("us")).cast(pa.int64()).as_py())
+    if type_str.startswith("date"):
+        if isinstance(lit, (int, float)):
+            return int(lit)
+        return int(pa.scalar(lit).cast(
+            pa.date32()).cast(pa.int32()).as_py())
     return lit
 
 
@@ -147,72 +184,53 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(_manifest_dir(root), exist_ok=True)
 
-    import hashlib
+    from ._blocksink import write_block_files
 
-    from ray.data import Datasink
-    from ray.data.block import BlockAccessor
+    # the commit token namespaces THIS write attempt's files: without
+    # it, re-writing identical data produces identical names (same
+    # ordinals, same content hash), os.replace silently no-ops onto a
+    # COMMITTED snapshot's file, and the reject-cleanup below would
+    # delete data that HEAD still references
+    token = uuid.uuid4().hex[:8]
 
-    class _SnapSink(Datasink):
-        def __init__(self):
-            self.entries: list[dict] = []
+    def _encode(tab: pa.Table) -> pa.Buffer:
+        buf_sink = pa.BufferOutputStream()
+        pq.write_table(tab, buf_sink)
+        return buf_sink.getvalue()
 
-        def write(self, blocks, ctx) -> list[dict]:
-            plan = None
-            if contract is not None:
-                # one compile per write task (regexes, kernels); the
-                # violation COUNT is all that ships back
-                from ..plan import ConstraintPlan, limit_arrow_threads
-                limit_arrow_threads()
-                plan = ConstraintPlan(contract)
-            out = []
-            for j, block in enumerate(blocks):
-                tab = BlockAccessor.for_block(block).to_arrow()
-                if tab.num_rows == 0:
-                    continue
-                n_viol = (plan.validate(tab).num_rows
-                          if plan is not None else 0)
-                buf_sink = pa.BufferOutputStream()
-                pq.write_table(tab, buf_sink)
-                buf = buf_sink.getvalue()
-                name = (f"part-{ctx.task_idx:06d}-{j:04d}-"
-                        f"{hashlib.md5(buf).hexdigest()[:16]}.parquet")
-                path = os.path.join(data_dir, name)
-                tmp = path + f".tmp-{uuid.uuid4().hex}"
-                with open(tmp, "wb") as f:
-                    f.write(buf)
-                os.replace(tmp, path)      # atomic publish
-                out.append({
-                    "path": os.path.join("data", name),
-                    "rows": int(tab.num_rows),
-                    "bytes": len(buf),
-                    "violations": n_viol,
-                    "stats": {c: _col_stats(tab, c)
-                              for c in stats_cols
-                              if c in tab.column_names}})
-            return out
+    def _entry(tab: pa.Table, name: str, buf) -> dict:
+        n_viol = 0
+        if contract is not None:
+            n_viol = _cached_plan(contract).validate(tab).num_rows
+        stats = {}
+        for c in stats_cols:
+            if c in tab.column_names:
+                s = _col_stats(tab, c)
+                if s is not None:
+                    stats[c] = s
+        return {"path": os.path.join("data", name),
+                "rows": int(tab.num_rows), "bytes": len(buf),
+                "violations": int(n_viol), "stats": stats}
 
-        def on_write_complete(self, write_result) -> None:
-            for part in write_result.write_returns:
-                self.entries.extend(part)
+    entries = write_block_files(ds, data_dir, encode=_encode,
+                                ext="parquet", prefix="part",
+                                token=token, entry=_entry)
 
-    sink = _SnapSink()
-    ds.write_datasink(sink)
-
-    total_viol = sum(f["violations"] for f in sink.entries)
+    total_viol = sum(f["violations"] for f in entries)
     if contract is not None and total_viol:
         # the commit gate: violating data never becomes HEAD
-        for f in sink.entries:
+        for f in entries:
             try:
                 os.remove(os.path.join(root, f["path"]))
             except FileNotFoundError:
                 pass
         raise ValueError(
             f"snapshot rejected: {total_viol} contract violations "
-            f"across {sum(1 for f in sink.entries if f['violations'])}"
-            f"/{len(sink.entries)} files; HEAD unchanged")
+            f"across {sum(1 for f in entries if f['violations'])}"
+            f"/{len(entries)} files; HEAD unchanged")
 
     head = _read_head(root)
-    files = list(sink.entries)
+    files = list(entries)
     if mode == "append" and head is not None:
         files = _load_manifest(root, head)["files"] + files
     snap_id = (head or 0) + 1
@@ -282,7 +300,11 @@ def snapshot_history(root: str) -> list[dict]:
     """All snapshots oldest-first: (id, parent, mode, rows, files)."""
     out = []
     mdir = _manifest_dir(root)
-    for name in sorted(os.listdir(mdir)):
+    # a writer killed mid-publish leaves snap-*.json.tmp-<uuid>
+    # siblings; the table is consistent (HEAD never flipped), so
+    # history must skip them
+    for name in sorted(n for n in os.listdir(mdir)
+                       if re.fullmatch(r"snap-\d{6}\.json", n)):
         with open(os.path.join(mdir, name)) as f:
             m = json.load(f)
         out.append({"id": m["id"], "parent": m["parent"],

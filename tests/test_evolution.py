@@ -204,3 +204,22 @@ def test_cli_diff(tmp_path, capsys):
     # demanding FULL fails
     assert main(["diff", "--old", po, "--new", pn,
                  "--require", "full"]) == 1
+
+
+def test_structfield_and_normalizer_changes_not_full():
+    from rayskema.schema import Regex, StructField
+
+    old = _s(Column("meta", pa.struct([("lang", pa.string())]),
+                    constraints=(StructField(),)))
+    new = _s(Column("meta", pa.struct([("lang", pa.string())])))
+    (ch,) = diff_schemas(old, new)
+    assert ch.change == "structfield_changed"
+    assert ch.backward_ok and not ch.forward_ok   # pure removal
+    assert compatibility(diff_schemas(old, new)) != "full"
+
+    base = _s(Column("a", pa.int64()))
+    with_norm = TableSchema(columns=(Column("a", pa.int64()),),
+                            normalizers=(("trim",),))
+    (ch,) = diff_schemas(base, with_norm)
+    assert ch.change == "normalizers_changed"
+    assert not ch.backward_ok and not ch.forward_ok

@@ -3413,3 +3413,15 @@ def test_first_digit_profile(ray_session):
     assert out["n"].to_pylist() == [3, 2, 1, 1]
     assert out["bp"].to_pylist() == [30000 // 7, 20000 // 7,
                                      10000 // 7, 10000 // 7]
+
+
+def test_first_digit_profile_null_only_block(ray_session):
+    """A block whose only invalid values are NULLS must not emit a
+    null-digit group (the x>0 mask is null there; fill_null(False))."""
+    from rayskema.functions.profile import first_digit_profile
+    ds = rd.from_arrow(pa.table(
+        {"x": pa.array([5, None, 42, None], pa.int64())}))
+    out = _collect(first_digit_profile(ds, "x")).sort_by("digit")
+    assert out["digit"].to_pylist() == [4, 5]
+    assert out["n"].to_pylist() == [1, 1]
+    assert out["bp"].to_pylist() == [5000, 5000]

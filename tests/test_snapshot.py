@@ -253,3 +253,52 @@ def test_cli_snapshot(ray_session, tmp_path, capsys):
     # snap1 (k 0..29) -> HEAD(3, compacted 0..59): 30 added keys
     assert set(ch["change"].to_pylist()) == {"added"}
     assert sorted(ch["k"].to_pylist()) == list(range(30, 60))
+
+
+def test_snapshot_reject_never_deletes_committed_files(ray_session,
+                                                       tmp_path):
+    """Writing IDENTICAL data twice must not collide file names: a
+    rejected second attempt cleans up ONLY its own files (the commit
+    token), never the committed snapshot's."""
+    from rayskema.schema import Column, Range, TableSchema
+
+    tab = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(tab), root, stats_cols=("k",))
+    strict = TableSchema(columns=(
+        Column("k", pa.int64(), nullable=False,
+               constraints=(Range(max=1),)),))
+    with pytest.raises(ValueError, match="snapshot rejected"):
+        write_snapshot(rd.from_arrow(tab), root, mode="append",
+                       contract=strict)
+    # snapshot 1 still fully readable (its files were not deleted)
+    assert _collect(read_snapshot(root))["k"].to_pylist() == [1, 2, 3]
+
+
+def test_snapshot_history_ignores_tmp_manifests(ray_session, tmp_path):
+    import os
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(_table(0, 5)), root)
+    junk = os.path.join(root, "manifests", "snap-000002.json.tmp-abc")
+    with open(junk, "w") as f:
+        f.write("{ partial")
+    assert [h["id"] for h in snapshot_history(root)] == [1]
+
+
+def test_snapshot_date_stats_prune(ray_session, tmp_path):
+    import datetime
+    root = str(tmp_path / "tbl")
+    tab = pa.table({
+        "d": pa.array([datetime.date(2024, 1, i + 1)
+                       for i in range(20)], pa.date32()),
+        "v": pa.array(range(20), pa.int64()),
+        # unsupported stats type: must be skipped, not crash the
+        # manifest JSON
+        "b": pa.array([b"x"] * 20, pa.binary())})
+    m = write_snapshot(rd.from_arrow(tab).repartition(2), root,
+                       stats_cols=("d", "b"))
+    assert all("b" not in f["stats"] for f in m["files"])
+    pruned = read_snapshot(root, filter=[
+        ("d", ">=", datetime.date(2024, 1, 15))])
+    assert len(pruned.input_files()) == 1
+    assert _collect(pruned).num_rows == 6

@@ -405,3 +405,33 @@ def test_orc_stripe_split_read(ray_session, tmp_path):
     pruned = read_orc(str(tmp_path), columns=["k"], split_stripes=3)
     assert pruned.schema().names == ["k"]
     assert pruned.count() == 50_000
+
+
+def test_orc_projection_order_and_sidecar_files(ray_session, tmp_path):
+    """ORC decodes projections in FILE order — the reader must return
+    the REQUESTED order; sidecar files (_SUCCESS) in the directory are
+    ignored by both read modes."""
+    import pyarrow.orc as porc
+
+    from rayskema.sources.orc import read_orc
+
+    tab = pa.table({
+        "a": pa.array(range(10), pa.int64()),
+        "m": pa.array([f"x{i}" for i in range(10)]),
+        "z": pa.array(range(10, 20), pa.int64())})
+    d = str(tmp_path / "orcdir")
+    import os
+    os.makedirs(d)
+    porc.write_table(tab, os.path.join(d, "part0.orc"))
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("")
+    got = pa.concat_tables(
+        [pa.table(b) for b in read_orc(d, columns=["z", "a"])
+         .iter_batches(batch_format="pyarrow")])
+    assert got.column_names == ["z", "a"]
+    got2 = pa.concat_tables(
+        [pa.table(b) for b in
+         read_orc(d, columns=["z", "a"], split_stripes=1)
+         .iter_batches(batch_format="pyarrow")])
+    assert got2.column_names == ["z", "a"]
+    assert got2["z"].to_pylist() == list(range(10, 20))
