@@ -1649,6 +1649,28 @@ def _q_customers_edit_pairs(sf_dir: str):
     return edit_distance_pairs(ds, "nm", "c_custkey", buckets=8)
 
 
+def _q_suppliers_edit2_pairs(sf_dir: str):
+    """EXACT Levenshtein-2 similarity join: supplier names with
+    leading zeros stripped, every pair within TWO byte edits via
+    Pass-Join partition blocking (3 even segments, multi-match-aware
+    probe windows — Li et al., VLDB 2011) + vectorized banded-DP
+    verify (functions/dedup.edit_distance2_pairs).  Recall 1.0 by
+    the partition pigeonhole, so a brute-force SQL levenshtein
+    oracle matches exactly — the radius-2 big sibling of
+    ``customers_edit_pairs``."""
+    import pyarrow.compute as pc
+    from rayskema.functions.dedup import edit_distance2_pairs
+
+    def _strip(t: pa.Table) -> pa.Table:
+        nm = pc.replace_substring_regex(t["s_name"], pattern="#0+",
+                                        replacement="#")
+        return pa.table({"s_suppkey": t["s_suppkey"], "nm": nm})
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        _strip, batch_format="pyarrow")
+    return edit_distance2_pairs(ds, "nm", "s_suppkey", buckets=8)
+
+
 def _q_orders_regex_extract(sf_dir: str):
     """Field parsing via one RE2 pass per block: the priority code
     splits into its numeric rank and word — SQL regexp_extract per
@@ -4834,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_concurrency": _q_events_concurrency,
         "customers_hamming_pairs": _q_customers_hamming_pairs,
         "customers_edit_pairs": _q_customers_edit_pairs,
+        "suppliers_edit2_pairs": _q_suppliers_edit2_pairs,
         "orders_regex_extract": _q_orders_regex_extract,
         "events_orders_asof_tol": _q_events_orders_asof_tol,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -6454,6 +6477,17 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.nm) - length(b.nm)) <= 1
             WHERE levenshtein(a.nm, b.nm) <= 1
+        """,
+        "suppliers_edit2_pairs": """
+            WITH s AS (SELECT s_suppkey,
+                              regexp_replace(s_name, '#0+', '#') AS nm
+                       FROM supplier)
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit
+            FROM s a JOIN s b
+              ON a.s_suppkey < b.s_suppkey
+             AND abs(length(a.nm) - length(b.nm)) <= 2
+            WHERE levenshtein(a.nm, b.nm) <= 2
         """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,

@@ -728,6 +728,309 @@ def edit_distance_pairs(
                                sort_within=False)
 
 
+def _bipartite_pair_chunks(counts0: np.ndarray, counts1: np.ndarray,
+                           firsts0: np.ndarray, firsts1: np.ndarray,
+                           chunk: int = 1 << 21):
+    """Yield global row-index pair chunks (A, B) for the CROSS PRODUCT
+    of each block's index rows x probe rows, templated per
+    (n_index, n_probe) size class exactly like ``_group_pair_chunks``
+    — the Python iteration count is O(distinct size classes), not
+    O(blocks).  At most ~``chunk`` pairs are resident per yield."""
+    if not len(counts0):
+        return
+    cls = counts0.astype(np.int64) * (int(counts1.max()) + 1) + counts1
+    for c in np.unique(cls):
+        sel = cls == c
+        s0 = int(counts0[sel][0])
+        s1 = int(counts1[sel][0])
+        if s0 == 0 or s1 == 0:
+            continue
+        per = s0 * s1
+        b0 = firsts0[sel]
+        b1 = firsts1[sel]
+        if per > chunk:
+            # one block's cross product alone exceeds the budget:
+            # emit index-row bands, never materializing the full
+            # template
+            rows_per = max(1, chunk // s1)
+            ib0 = np.arange(s1, dtype=np.int64)
+            for f0, f1 in zip(b0, b1):
+                for r in range(0, s0, rows_per):
+                    rr = np.arange(r, min(r + rows_per, s0),
+                                   dtype=np.int64)
+                    yield (f0 + np.repeat(rr, s1),
+                           f1 + np.tile(ib0, len(rr)))
+            continue
+        ia = np.repeat(np.arange(s0, dtype=np.int64), s1)
+        ib = np.tile(np.arange(s1, dtype=np.int64), s0)
+        gstep = max(1, chunk // per)
+        for g in range(0, len(b0), gstep):
+            yield ((b0[g:g + gstep, None] + ia[None, :]).ravel(),
+                   (b1[g:g + gstep, None] + ib[None, :]).ravel())
+
+
+def _banded_lev(a_i: np.ndarray, b_i: np.ndarray, offsets: np.ndarray,
+                data: np.ndarray, lens: np.ndarray, t: int) -> np.ndarray:
+    """Exact byte Levenshtein for candidate pairs, Ukkonen-banded at
+    threshold ``t``: distances > t saturate to t+1.  Vectorized over
+    PAIRS — the loops are over string position i (<= max length) and
+    the 2t+1 band cells; every inner op is a flat numpy gather/min
+    over all pairs at once.  Callers must pre-filter ``|len diff| <=
+    t`` (the final band cell assumes it)."""
+    m = lens[a_i].astype(np.int64)
+    n = lens[b_i].astype(np.int64)
+    P = len(a_i)
+    W = 2 * t + 1
+    INF = np.int16(t + 1)
+    res = np.full(P, INF, dtype=np.int16)
+    zero = m == 0
+    res[zero] = np.minimum(n[zero], np.int64(INF)).astype(np.int16)
+    if P == 0:
+        return res.astype(np.int64)
+    band = np.full((P, W), INF, dtype=np.int16)
+    for k in range(t, W):                  # row 0: D[0][j] = j
+        j = k - t
+        band[:, k] = np.where(j <= n, np.int16(j), INF)
+    offA = offsets[:-1][a_i].astype(np.int64)
+    offB = offsets[:-1][b_i].astype(np.int64)
+    last = max(0, len(data) - 1)
+    infc = np.full(P, INF, dtype=np.int16)
+    for i in range(1, int(m.max()) + 1):
+        act = i <= m
+        cur = np.empty((P, W), dtype=np.int16)
+        ca = data[np.minimum(offA + (i - 1), last)] if len(data) \
+            else np.zeros(P, dtype=np.uint8)
+        for k in range(W):
+            j = i + k - t                  # scalar: band is diagonal
+            if j < 0:
+                cur[:, k] = INF
+                continue
+            up = (band[:, k + 1] + np.int16(1)) if k + 1 < W else infc
+            if j >= 1:
+                cb = data[np.minimum(offB + (j - 1), last)] if len(data) \
+                    else np.zeros(P, dtype=np.uint8)
+                cell = np.minimum(
+                    band[:, k] + (ca != cb).astype(np.int16), up)
+            else:
+                cell = np.minimum(
+                    np.full(P, min(i, int(INF)), dtype=np.int16), up)
+            if k >= 1:
+                cell = np.minimum(cell, cur[:, k - 1] + np.int16(1))
+            cur[:, k] = np.where(j <= n, np.minimum(cell, INF), INF)
+        band = np.where(act[:, None], cur, band)
+        hit = m == i
+        if hit.any():
+            res[hit] = band[hit, (n - m)[hit] + t]
+    return res.astype(np.int64)
+
+
+def edit_distance2_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    buckets: int | None = None, chunk: int = 1 << 21,
+) -> "rd.Dataset":
+    """EXACT near-dup pairs by byte Levenshtein distance <= 2:
+    ``(id_a, id_b, edit)`` for every pair within two insertions,
+    deletions or substitutions (``id_a < id_b``; distance 0/1
+    included) — the radius-2 extension of ``edit_distance_pairs``.
+
+    Blocking is the Pass-Join partition scheme (Li, Deng, Wang, Feng,
+    "PASS-JOIN: a partition-based method for similarity joins",
+    VLDB 2011): each string partitions into tau+1 = 3 even segments;
+    if ``ed(a,b) <= 2`` then (pigeonhole) at least one segment of the
+    SHORTER string is untouched by any edit and appears EXACTLY in
+    the longer one, shifted by at most the net indels around it.  The
+    shorter side indexes its 3 segments keyed by (segment bytes, i,
+    own length L); the longer side probes, for each candidate index
+    length L' in [L-2, L], the substrings at the multi-match-aware
+    window of start positions [max(p_i - i, p_i + D - (2-i)),
+    min(p_i + i, p_i + D + (2-i))] (D = length gap) — <= 12 probe +
+    3 index signatures per row, each an O(1) substring hash off one
+    prefix-sum pass.  Candidate recall is 1.0 by the Pass-Join
+    selection lemma; hash collisions only ADD candidates.
+
+    Strings shorter than 3 bytes cannot be cut into 3 non-empty
+    segments, so every string of length <= 4 additionally lands in
+    one shared "tiny" block (pairs whose shorter side is < 3 bytes
+    have a longer side <= 4, so the tiny block covers exactly the
+    pairs the partition scheme cannot).
+
+    Verification is EXACT: a vectorized Ukkonen band-5 DP
+    (``_banded_lev``) over each candidate chunk — loops run over
+    byte position and the 5 band cells, never over pairs.
+
+    Scale shape: ~15 signature rows per input row (vs L+1 for the
+    radius-1 join), one signature exchange, bounded candidate chunks
+    (``chunk``), one pair-distinct exchange.  Built for SHORT KEYS
+    (names, titles, codes); byte-level distances (see
+    ``edit_distance_pairs`` for the UTF-8 contract).
+
+    No reference analogue: extends ``UniqueBy``
+    (``rules/rules.go:104``) to the fuzzy-key regime."""
+    TAU = 2
+    C = np.uint64(0x9E3779B9)
+    P = np.uint64(1099511628211)
+    PINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+    G1 = np.uint64(0x9E3779B97F4A7C15)
+    G2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    TINY_KEY = np.int64(-0x1D2E3F4A5B6C7D8E)
+
+    def _part(L: np.ndarray, i: int):
+        """Even-partition segment (start, len) arrays for lengths L."""
+        base = L // 3
+        rem = L % 3
+        li = base + (i + rem >= 3).astype(L.dtype)
+        pi = i * base + np.maximum(0, i + rem - 3)
+        return pi, li
+
+    def _sigs(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.is_valid(tab[text_col]))
+        arr = tab[text_col].combine_chunks()
+        n = tab.num_rows
+        ids = tab[id_col].combine_chunks()
+        offsets, data = _utf8_buffers(arr)
+        lens = np.diff(offsets).astype(np.int64)
+        total = int(offsets[-1])
+        row_starts = offsets[:-1].astype(np.int64)
+        # rolling polynomial prefix hashes with ROW-LOCAL exponents:
+        # h(s[a:b)) = (cps[start+b] - cps[start+a]) * PINV^a
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            row_starts, lens)
+        max_rank = int(intra.max()) + 1 if total else 1
+        powt = np.empty(max_rank + 1, dtype=np.uint64)
+        pinvt = np.empty(max_rank + 1, dtype=np.uint64)
+        powt[0] = pinvt[0] = 1
+        with np.errstate(over="ignore"):
+            for k in range(1, max_rank + 1):
+                powt[k] = powt[k - 1] * P
+                pinvt[k] = pinvt[k - 1] * PINV
+            terms = (data.astype(np.uint64) + C) * powt[intra]
+            cps = np.concatenate(
+                [np.zeros(1, np.uint64),
+                 np.cumsum(terms, dtype=np.uint64)])
+
+            def _sub_hash(ridx: np.ndarray, a: np.ndarray,
+                          ln: np.ndarray) -> np.ndarray:
+                s = row_starts[ridx]
+                return ((cps[s + a + ln] - cps[s + a]) * pinvt[a]
+                        + ln.astype(np.uint64) * G2)
+
+            keys, rows, roles = [], [], []
+            ridx_all = np.arange(n, dtype=np.int64)
+            # --- index signatures: own 3 segments, keyed by own L
+            big = np.flatnonzero(lens >= 3)
+            for i in range(TAU + 1):
+                pi, li = _part(lens[big], i)
+                h = _sub_hash(big, pi, li) + np.uint64(i) * G1 \
+                    + lens[big].astype(np.uint64) * C
+                keys.append(_hash64(h).astype(np.int64))
+                rows.append(big)
+                roles.append(np.zeros(len(big), dtype=np.int8))
+            # --- probe signatures: for each index length L' = L - D
+            for D in range(TAU + 1):
+                Lp = lens - D
+                ok0 = Lp >= 3
+                for i in range(TAU + 1):
+                    lo = max(-i, D - (TAU - i))
+                    hi = min(i, D + (TAU - i))
+                    for s in range(lo, hi + 1):
+                        pi, li = _part(Lp, i)
+                        p = pi + s
+                        ok = ok0 & (p >= 0) & (p + li <= lens)
+                        r = ridx_all[ok]
+                        if not len(r):
+                            continue
+                        h = _sub_hash(r, p[ok], li[ok]) \
+                            + np.uint64(i) * G1 \
+                            + Lp[ok].astype(np.uint64) * C
+                        keys.append(_hash64(h).astype(np.int64))
+                        rows.append(r)
+                        roles.append(np.ones(len(r), dtype=np.int8))
+            # --- tiny block: both roles for every string of len <= 4
+            tiny = np.flatnonzero(lens <= TAU * 2)
+            for role in (0, 1):
+                keys.append(np.full(len(tiny), TINY_KEY, dtype=np.int64))
+                rows.append(tiny)
+                roles.append(np.full(len(tiny), role, dtype=np.int8))
+        kk = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        rr = np.concatenate(rows) if rows else np.empty(0, np.int64)
+        ro = np.concatenate(roles) if roles else np.empty(0, np.int8)
+        # drop duplicate (key, row, role) sigs (repeated substrings in
+        # one row, e.g. "aaaa") — exact lexsort dedup, no hash merge
+        order = np.lexsort((ro, rr, kk))
+        kk, rr, ro = kk[order], rr[order], ro[order]
+        keep = np.ones(len(kk), dtype=bool)
+        keep[1:] = ((kk[1:] != kk[:-1]) | (rr[1:] != rr[:-1])
+                    | (ro[1:] != ro[:-1]))
+        kk, rr, ro = kk[keep], rr[keep], ro[keep]
+        take = pa.array(rr)
+        return pa.table({"block_key": pa.array(kk),
+                         "role": pa.array(ro, type=pa.int8()),
+                         id_col: ids.take(take),
+                         text_col: arr.take(take)})
+
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        _sigs, batch_format="pyarrow")
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([("block_key", "ascending"),
+                           ("role", "ascending"),
+                           (id_col, "ascending")])
+        new = segment_starts(tab, ["block_key"])
+        block_of = np.cumsum(new) - 1
+        n_blocks = int(block_of[-1]) + 1 if len(block_of) else 0
+        roles = tab["role"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        counts1 = np.bincount(block_of, weights=roles,
+                              minlength=n_blocks).astype(np.int64)
+        counts = np.bincount(block_of, minlength=n_blocks)
+        counts0 = counts - counts1
+        firsts = np.flatnonzero(new)
+        firsts0 = firsts
+        firsts1 = firsts + counts0
+        ids = tab[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        offsets, data = _utf8_buffers(tab[text_col].combine_chunks())
+        lens = np.diff(offsets).astype(np.int64)
+        out_a, out_b, out_e = [], [], []
+        for a_i, b_i in _bipartite_pair_chunks(counts0, counts1,
+                                               firsts0, firsts1, chunk):
+            keep = (ids[a_i] != ids[b_i]) \
+                & (np.abs(lens[a_i] - lens[b_i]) <= TAU)
+            a_i, b_i = a_i[keep], b_i[keep]
+            if not len(a_i):
+                continue
+            # same pair via several segments: verify each once
+            u = np.unique(np.stack([a_i, b_i]), axis=1)
+            a_i, b_i = u[0], u[1]
+            ed = _banded_lev(a_i, b_i, offsets, data, lens, TAU)
+            k = ed <= TAU
+            ia, ib = ids[a_i[k]], ids[b_i[k]]
+            sw = ia > ib
+            out_a.append(np.where(sw, ib, ia))
+            out_b.append(np.where(sw, ia, ib))
+            out_e.append(ed[k])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "edit": pa.array([], type=pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "edit": pa.array(np.concatenate(out_e).astype(np.int64)),
+        })
+
+    pairs = bucketed_map_groups(sig_ds, ["block_key"], _pairs,
+                                buckets=buckets, sort_within=False)
+
+    def _dedup_pairs(tab: pa.Table) -> pa.Table:
+        return agg_named(tab, ["id_a", "id_b"],
+                         [("edit", "min")], ["edit"])
+
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], _dedup_pairs,
+                               buckets=(None if buckets is None
+                                        else max(8, buckets // 8)),
+                               sort_within=False)
+
+
 def simhash_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str, *,
     max_hamming: int = 3, n_blocks: int = 4, buckets: int | None = None,

@@ -2097,6 +2097,53 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_edit_distance2_pairs_exact_vs_bruteforce(ray_session):
+    # PassJoin radius-2 join: recall/precision 1.0 vs local
+    # Levenshtein — small alphabet (dense neighborhoods), lengths 0-12
+    # (tiny-block path + partition path), nulls, dup strings, across
+    # block boundaries
+    from rayskema.functions.dedup import edit_distance2_pairs
+    rng = np.random.default_rng(7)
+    strs = ["".join("abc"[k] for k in rng.integers(0, 3, L))
+            for L in rng.integers(0, 13, 220)]
+    strs += ["", "", "a", None, "ab", "ba", "abc", "abcd", "aaaa",
+             "aaaaaaaaaaaa"]
+    ids = list(range(len(strs)))
+    tab = pa.table({"id": pa.array(ids, pa.int64()),
+                    "s": pa.array(strs, pa.string())})
+    out = _collect(edit_distance2_pairs(
+        rd.from_arrow(tab).repartition(5), "s", "id", buckets=3))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                  out["edit"].to_pylist()))
+    want = set()
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            a, b = strs[i], strs[j]
+            if a is None or b is None or abs(len(a) - len(b)) > 2:
+                continue
+            d = _levenshtein(a, b)
+            if d <= 2:
+                want.add((i, j, d))
+    assert got == want
+    assert any(e == 2 for _, _, e in got)            # radius-2 pairs
+    assert any(e == 0 for _, _, e in got)            # exact dups
+
+
+def test_edit_distance2_pairs_shapes(ray_session):
+    from rayskema.functions.dedup import edit_distance2_pairs
+    tab = pa.table({"id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "s": ["kitten", "sitting", "kitte", "kit",
+                          "mitten", "xyzzy"]})
+    out = _collect(edit_distance2_pairs(
+        rd.from_arrow(tab), "s", "id", buckets=1))
+    got = {(a, b): e for a, b, e in zip(out["id_a"].to_pylist(),
+                                        out["id_b"].to_pylist(),
+                                        out["edit"].to_pylist())}
+    # kitten/kitte del=1; kitten/mitten sub=1; kitte/kit ed=2;
+    # kitte/mitten ed=2; kitten/kit ed=3 (out); sitting far from all
+    assert got == {(1, 3): 1, (1, 5): 1, (3, 4): 2, (3, 5): 2}
+
+
 def test_group_ols_vs_numpy(ray_session):
     from rayskema.pipelines.relational import group_ols
     rng = np.random.default_rng(3)
