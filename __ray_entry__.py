@@ -4757,6 +4757,67 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank(edges, "src", "dst", iterations=5, buckets=8)
 
 
+def _q_graph_kcore(sf_dir: str):
+    """k-core decomposition (functions/graph.kcore): 6 synchronous
+    peeling rounds at k=3 over the undirected co-purchase graph
+    (vertices = keys mod 800) — each round drops every vertex whose
+    degree among the previous round's survivors is < 3, all at once.
+    The fixed round count (not "until fixpoint") makes the result
+    deterministic and exactly mirrorable by an unrolled-CTE SQL
+    oracle at any scale; peeling is monotone so extra rounds past
+    convergence are no-ops."""
+    from rayskema.functions.graph import kcore
+    from rayskema.pipelines.relational import bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = ck % 800
+        y = (ck * 7 + ok * 3) % 800
+        m = x != y
+        tab = pa.table({"src": pa.array(np.minimum(x[m], y[m])),
+                        "dst": pa.array(np.maximum(x[m], y[m]))})
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        buckets=8, sort_within=False)
+    return kcore(edges, "src", "dst", k=3, rounds=6, buckets=8)
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 6,
+                      mod: int = 800) -> str:
+    """Unrolled-CTE mirror of functions/graph.kcore's synchronous
+    peeling (one deg/alive CTE pair per round)."""
+    ctes = ["alive0 AS (SELECT DISTINCT a AS v FROM und)"]
+    for i in range(rounds):
+        ctes.append(f"""deg{i + 1} AS (
+                SELECT e.a AS v, COUNT(*) AS deg
+                FROM und e
+                JOIN alive{i} x ON x.v = e.a
+                JOIN alive{i} y ON y.v = e.b
+                GROUP BY e.a)""")
+        ctes.append(f"""alive{i + 1} AS (
+                SELECT v, deg FROM deg{i + 1} WHERE deg >= {k})""")
+    return f"""
+            WITH raw AS (
+                SELECT o_custkey % {mod} AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % {mod} AS y
+                FROM orders),
+            edges AS (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM raw WHERE x <> y),
+            und AS (SELECT a, b FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            {", ".join(ctes)}
+            SELECT v, CAST(deg AS BIGINT) AS deg FROM alive{rounds}
+        """
+
+
 def _pagerank_oracle_sql(iterations: int = 5, scale: int = 1_000_000,
                          num: int = 85, den: int = 100) -> str:
     """Unrolled-CTE mirror of functions/graph.pagerank's integer
@@ -4812,6 +4873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2-unchecked entries lead the dict to get their row
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_kcore": _q_graph_kcore,
         "events_transitions": _q_events_transitions,
         "events_zorder": _q_events_zorder,
         "lineitem_wmedian": _q_lineitem_wmedian,
@@ -7189,6 +7251,7 @@ def oracle_sql() -> dict[str, str]:
                        AS transitivity_ppm
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_kcore": _kcore_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
         "orders_incremental_view": """
             SELECT o_orderpriority,

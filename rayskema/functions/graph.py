@@ -121,6 +121,80 @@ def pagerank(
     return ranks
 
 
+def kcore(
+    edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst", *,
+    k: int, rounds: int = 6, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Synchronous k-core peeling over an UNDIRECTED edge list:
+    ``rounds`` rounds of "drop every vertex whose degree among
+    surviving vertices is < k", applied simultaneously each round.
+
+    The contract is ``rounds`` SYNCHRONOUS rounds, not "until
+    fixpoint" — that makes the result deterministic and exactly
+    SQL-mirrorable (one unrolled CTE per round, like ``pagerank``)
+    at ANY dataset, converged or not; peeling is monotone, so once
+    the true k-core is reached further rounds are no-ops.
+
+    Input must be DISTINCT undirected pairs with ``src != dst`` (one
+    row per edge, either orientation); it is symmetrized internally,
+    which keeps per-batch work local — no global dedup pass.
+
+    Scale shape per round: two semi-joins of the (2|E|)-sized
+    symmetric edge list against the alive set (``broadcast="auto"``:
+    a small vertex set rides the object store once, a huge one falls
+    back to the bucketed exchange) and one degree exchange.  The
+    driver holds no per-vertex data; the alive iterate is a
+    materialized |V|-sized dataset.
+
+    Returns ``(v, deg)`` for vertices alive after the last round;
+    ``deg`` is the degree that round filtered on (counted over the
+    previous round's survivors).
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    edges = edges.select_columns([src_col, dst_col])
+
+    def _sym(tab: pa.Table) -> pa.Table:
+        a = pa.chunked_array([tab[src_col].combine_chunks(),
+                              tab[dst_col].combine_chunks()])
+        b = pa.chunked_array([tab[dst_col].combine_chunks(),
+                              tab[src_col].combine_chunks()])
+        return pa.table({"a": a.combine_chunks(),
+                         "b": b.combine_chunks()})
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    def _vert_partial(tab: pa.Table) -> pa.Table:
+        return pa.table({"v": tab["a"].combine_chunks().unique()})
+
+    alive = bucketed_map_groups(
+        sym.map_batches(_vert_partial, batch_format="pyarrow"),
+        ["v"], lambda t: t.group_by(["v"]).aggregate([]),
+        buckets=buckets, sort_within=False).materialize()
+
+    def _deg_partial(tab: pa.Table) -> pa.Table:
+        vc = tab["a"].combine_chunks().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "deg": pc.cast(vc.field("counts"), pa.int64())})
+
+    for _ in range(rounds):
+        av = alive.select_columns(["v"])
+        e1 = hash_join(sym, av, on="a", right_on="v",
+                       how="left_semi", broadcast="auto")
+        e2 = hash_join(e1, av, on="b", right_on="v",
+                       how="left_semi", broadcast="auto")
+        deg = bucketed_map_groups(
+            e2.map_batches(_deg_partial, batch_format="pyarrow"),
+            ["v"], lambda t: agg_named(t, ["v"], [("deg", "sum")],
+                                       ["deg"]),
+            buckets=buckets, sort_within=False)
+        alive = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["deg"], pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow").materialize()
+    return alive
+
+
 def triangle_stats(
     edges: "rd.Dataset", a_col: str = "a", b_col: str = "b", *,
     buckets: int | None = None, max_group: int = 10_000_000,

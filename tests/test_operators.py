@@ -2097,6 +2097,30 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_kcore_peels_path_keeps_clique(ray_session):
+    # K5 clique (0-4) + a path 4-5-6-7-8: the path needs one peel
+    # round per tail vertex (degree cascades), the clique survives
+    # k=3; a second run with k=5 peels EVERYTHING (empty core must
+    # keep flowing through the per-round joins without schema loss)
+    from rayskema.functions.graph import kcore
+    cl = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(4, 5), (5, 6), (6, 7), (7, 8)]
+    tab = pa.table({"src": pa.array([a for a, _ in cl + path],
+                                    pa.int64()),
+                    "dst": pa.array([b for _, b in cl + path],
+                                    pa.int64())})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(kcore(ds, "src", "dst", k=3, rounds=6, buckets=2))
+    got = dict(zip(out["v"].to_pylist(), out["deg"].to_pylist()))
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # synchronous-rounds contract: after only 2 rounds the path has
+    # peeled two tail vertices (8 then 7), not yet 6 and 5
+    out2 = _collect(kcore(ds, "src", "dst", k=2, rounds=2, buckets=2))
+    assert sorted(out2["v"].to_pylist()) == [0, 1, 2, 3, 4, 5, 6]
+    empty = _collect(kcore(ds, "src", "dst", k=5, rounds=4, buckets=2))
+    assert empty.num_rows == 0
+
+
 def test_edit_distance2_pairs_exact_vs_bruteforce(ray_session):
     # PassJoin radius-2 join: recall/precision 1.0 vs local
     # Levenshtein — small alphabet (dense neighborhoods), lengths 0-12
