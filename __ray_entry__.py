@@ -3641,6 +3641,45 @@ def _q_events_incremental_dedup(sf_dir: str):
         .select_columns(["event_id", "user_id", "event_type"])
 
 
+def _q_orders_jsonl_roundtrip(sf_dir: str):
+    """Text-format export seam: orders lands as JSONL through the
+    shared block sink (sources/jsonl.write_jsonl — atomic publish,
+    ordinal+hash idempotent naming), is read back through the JSONL
+    ingest seam reconciled to a declared contract, and aggregated —
+    the full export→ingest round trip for the interchange format
+    LLM-corpus pipelines actually exchange.  Written once per
+    (corpus, process) into a deterministic /tmp dir cleared at
+    exit, mirroring the ORC round-trip convention."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from rayskema.pipelines.relational import group_agg
+    from rayskema.schema import Column, TableSchema
+    from rayskema.sources.jsonl import read_jsonl, write_jsonl
+
+    tag = f"{os.path.abspath(sf_dir)}|jsonl|{os.getuid()}|{os.getpid()}"
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_jsonl_" + hashlib.md5(tag.encode()).hexdigest()[:12])
+    if out not in _DEDUP_IDX_CLEANUP:
+        _DEDUP_IDX_CLEANUP.add(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    if not os.path.isdir(out) or not os.listdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+        write_jsonl(_read(sf_dir, "orders",
+                          ["o_orderkey", "o_orderpriority"]), out)
+    sch = TableSchema(columns=(Column("o_orderkey", pa.int64()),
+                               Column("o_orderpriority", pa.string())),
+                      name="orders_jsonl")
+    back = read_jsonl(out, sch)
+    return group_agg(back, ["o_orderpriority"],
+                     [("o_orderkey", "count", "n"),
+                      ("o_orderkey", "min", "min_key"),
+                      ("o_orderkey", "max", "max_key")])
+
+
 def _q_orders_orc_roundtrip(sf_dir: str):
     """Cross-format ingest: orders lands as ORC (the Hive/Spark
     warehouse interchange format), is read back through the ORC
@@ -4962,6 +5001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q14": _q_lineitem_q14,
         "events_incremental_dedup": _q_events_incremental_dedup,
         "orders_orc_roundtrip": _q_orders_orc_roundtrip,
+        "orders_jsonl_roundtrip": _q_orders_jsonl_roundtrip,
         "lineitem_benford": _q_lineitem_benford,
         "docs_regex_counts": _q_docs_regex_counts,
         "events_snapshot_prune": _q_events_snapshot_prune,
@@ -7040,6 +7080,12 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderstatus
+        """,
+        "orders_jsonl_roundtrip": """
+            SELECT o_orderpriority, count(o_orderkey) AS n,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderpriority
         """,
         "events_snapshot_prune": """
             SELECT event_type, count(ts) AS n, TRUE AS pruned_ok

@@ -73,6 +73,60 @@ def read_csv(paths, schema: TableSchema, **read_kwargs) -> "rd.Dataset":
         get_source_driver("csv")(paths, **read_kwargs), schema)
 
 
+def write_jsonl(ds: "rd.Dataset", out_dir: str, *,
+                token: str | None = None) -> int:
+    """Write a Dataset as one JSONL file per non-empty block under
+    ``out_dir`` (the export seam symmetric to :func:`read_jsonl`);
+    returns the number of files written.  Naming / atomic-publish /
+    retry-idempotency semantics come from the shared block sink
+    (``sources/_blocksink.py``) — same contract as ``write_ipc`` and
+    ``write_orc``.  Timestamps serialize as ISO-8601 strings (the
+    RFC3339 codec on the read side decodes them); binary columns are
+    not JSON-representable and raise up front."""
+    from ._blocksink import write_block_files
+
+    def _encode(tab: pa.Table) -> pa.Buffer:
+        for f in tab.schema:
+            if pa.types.is_binary(f.type) or pa.types.is_large_binary(
+                    f.type) or pa.types.is_fixed_size_binary(f.type):
+                raise TypeError(
+                    f"write_jsonl: column {f.name!r} is binary — JSON "
+                    "has no bytes type; encode it (base64/hex) first")
+        s = tab.to_pandas().to_json(orient="records", lines=True,
+                                    date_format="iso", date_unit="us")
+        if s and not s.endswith("\n"):
+            s += "\n"
+        return pa.py_buffer(s.encode("utf-8"))
+
+    return len(write_block_files(ds, out_dir, encode=_encode,
+                                 ext="jsonl", token=token))
+
+
+def write_csv(ds: "rd.Dataset", out_dir: str, *,
+              token: str | None = None, **csv_kwargs) -> int:
+    """Write a Dataset as one CSV file per non-empty block under
+    ``out_dir`` (header row per file; pyarrow's CSV writer, so
+    quoting/escaping follow RFC 4180); returns the number of files
+    written.  Shares the block sink's atomic-publish contract.
+    ``csv_kwargs`` pass through to ``pyarrow.csv.WriteOptions``.
+    CSV has no null literal: a null STRING cell writes as an empty
+    field and reads back as ``""`` (numeric nulls round-trip, since
+    an empty field parses to null under a numeric dtype) — use
+    ``write_jsonl`` when string nulls must survive."""
+    from pyarrow import csv as pcsv
+
+    from ._blocksink import write_block_files
+
+    def _encode(tab: pa.Table) -> pa.Buffer:
+        sink = pa.BufferOutputStream()
+        opts = pcsv.WriteOptions(**csv_kwargs) if csv_kwargs else None
+        pcsv.write_csv(tab, sink, write_options=opts)
+        return sink.getvalue()
+
+    return len(write_block_files(ds, out_dir, encode=_encode,
+                                 ext="csv", token=token))
+
+
 def csv_to_parquet(paths, schema: TableSchema, out_dir: str,
                    **write_kwargs) -> None:
     """Land CSV files as Parquet shards for the validate pipeline
