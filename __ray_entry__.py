@@ -3223,6 +3223,68 @@ def _q_events_quantile_cont(sf_dir: str):
                                [0.25, 0.5, 0.9], buckets=4)
 
 
+def _q_emb_mmr(sf_dir: str):
+    """Diversity-aware curation: Maximal Marginal Relevance picks 8
+    embeddings that are individually strong (integer squared norm)
+    but mutually diverse (max integer dot against the picks so far),
+    greedy argmax per step with id tie-breaks
+    (functions/similarity.mmr_select).  All arithmetic is integer
+    (floor-quantized components), so an unrolled-CTE SQL oracle —
+    one pick per CTE over a pairwise-dot table — matches
+    bit-for-bit.  The ENGINE never forms the pairwise matrix; only
+    the oracle does (its cost is the oracle's, not the pipeline's)."""
+    from rayskema.functions.similarity import mmr_select
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mmr_select(ds, "embedding", "vec_id", k=8)
+
+
+def _mmr_oracle_sql(k: int = 8, quant: int = 64, rel_num: int = 1,
+                    div_num: int = 2) -> str:
+    """Unrolled-CTE mirror of functions/similarity.mmr_select: one
+    (pick, selected-set) CTE pair per step over an exact pairwise
+    integer-dot table."""
+    ctes = [f"""q AS MATERIALIZED (SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {quant})
+                         AS BIGINT)) AS qv
+            FROM embeddings)""",
+            """flat AS MATERIALIZED (SELECT vec_id,
+                       generate_subscripts(qv, 1) AS i,
+                       UNNEST(qv) AS v FROM q)""",
+            """dots AS MATERIALIZED (SELECT a.vec_id AS ia,
+                       b.vec_id AS ib,
+                       SUM(a.v * b.v) AS d
+                FROM flat a JOIN flat b ON a.i = b.i
+                GROUP BY a.vec_id, b.vec_id)""",
+            "rel AS MATERIALIZED (SELECT ia AS vec_id, d AS rel "
+            "FROM dots WHERE ia = ib)",
+            f"""p1 AS (SELECT 1 AS step, vec_id,
+                      {rel_num} * rel AS score
+               FROM rel ORDER BY score DESC, vec_id LIMIT 1)""",
+            "sel1 AS (SELECT vec_id FROM p1)"]
+    for i in range(2, k + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+                SELECT {i} AS step, r.vec_id,
+                       {rel_num} * r.rel - {div_num} *
+                       (SELECT MAX(d.d) FROM dots d
+                        JOIN sel{i - 1} s ON d.ib = s.vec_id
+                        WHERE d.ia = r.vec_id) AS score
+                FROM rel r
+                WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+                ORDER BY score DESC, r.vec_id LIMIT 1)""")
+        ctes.append(f"""sel{i} AS MATERIALIZED (
+                SELECT vec_id FROM sel{i - 1}
+                UNION ALL SELECT vec_id FROM p{i})""")
+    picks = " UNION ALL ".join(f"SELECT * FROM p{i}"
+                               for i in range(1, k + 1))
+    return f"""
+            WITH {", ".join(ctes)}
+            SELECT CAST(step AS BIGINT) AS step, vec_id,
+                   CAST(score AS BIGINT) AS score
+            FROM ({picks})
+        """
+
+
 def _q_emb_quantize(sf_dir: str):
     """Symmetric int8 embedding quantization (the ANN
     memory-compression stage): per-vector max-|x| scaling, codes in
@@ -4970,6 +5032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_cont": _q_events_quantile_cont,
         "docs_multimodal_patches": _q_docs_multimodal_patches,
         "emb_quantize": _q_emb_quantize,
+        "emb_mmr": _q_emb_mmr,
         "docs_word_dedup": _q_docs_word_dedup,
         "customer_nations_concat": _q_customer_nations_concat,
         "docs_length_buckets": _q_docs_length_buckets,
@@ -6648,6 +6711,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(text) >= 192
             GROUP BY doc_id, py, px
         """,
+        "emb_mmr": _mmr_oracle_sql(),
         "emb_quantize": """
             WITH e AS (
                 SELECT vec_id,

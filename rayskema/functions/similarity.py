@@ -807,3 +807,94 @@ def pca_project(ds: "rd.Dataset", vec_col: str, id_col: str,
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         _proj, batch_format="pyarrow")
+
+
+def mmr_select(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *,
+    k: int = 8, quant: int = 64, rel_num: int = 1, div_num: int = 2,
+) -> pa.Table:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) in EXACT INTEGER arithmetic: pick ``k`` rows that
+    are individually strong but mutually diverse —
+
+    - vectors quantize once as ``q = floor(v * quant)`` per component
+      (float32 * power-of-two is exact, so engine and SQL agree
+      bit-for-bit);
+    - relevance(c) = q(c)·q(c) (integer squared norm);
+    - step score(c) = rel_num·relevance(c)
+      − div_num·max_{s∈selected} q(c)·q(s), argmax with ties broken
+      by ascending id; step 1 has no diversity term.
+
+    The greedy argmax is inherently sequential in k, but each step is
+    ONE distributed pass: the ≤k selected vectors broadcast via
+    ``ray.put``, every block emits its local best row, the driver
+    reduces the per-block winners (O(blocks) rows, never the corpus).
+    The quantized corpus is materialized once and re-scanned k times.
+
+    Returns a pa.Table ``(step, vec_id, score)`` — step 1..k (fewer
+    if the corpus runs out).  Overflow headroom: |q·q| ≤
+    dim·(quant·max|v|)², keep ``quant`` modest for large dims."""
+    def _quant(tab: pa.Table) -> pa.Table:
+        m = _matrix(tab[vec_col])
+        q = np.floor(m * quant).astype(np.int64)
+        rel = (q * q).sum(axis=1)
+        return pa.table({
+            "vec_id": pc.cast(tab[id_col], pa.int64()),
+            "q": pa.array(list(q), pa.list_(pa.int64())),
+            "rel": pa.array(rel)})
+
+    qds = ds.select_columns([id_col, vec_col]).map_batches(
+        _quant, batch_format="pyarrow").materialize()
+
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    out_steps, out_ids, out_scores = [], [], []
+    for step in range(1, k + 1):
+        ref = ray.put((np.array(sel_ids, dtype=np.int64),
+                       np.stack(sel_vecs) if sel_vecs else None))
+
+        def _best(tab: pa.Table, _ref=ref) -> pa.Table:
+            ids_sel, mat_sel = ray.get(_ref)
+            ids = tab["vec_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            rel = tab["rel"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            q = _matrix(tab["q"]).astype(np.int64)
+            keep = ~np.isin(ids, ids_sel)
+            if not keep.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64()),
+                                 "q": pa.array([], pa.list_(pa.int64()))})
+            score = rel_num * rel
+            if mat_sel is not None:
+                score = score - div_num * (q @ mat_sel.T).max(axis=1)
+            # argmax over the non-selected rows, ties by ascending id
+            # — drop masked rows BEFORE sorting (an int64-min
+            # sentinel would wrap under negation and sort first)
+            cand = np.flatnonzero(keep)
+            order = np.lexsort((ids[cand], -score[cand]))
+            b = cand[order[0]]
+            return pa.table({
+                "vec_id": pa.array([ids[b]], pa.int64()),
+                "score": pa.array([int(score[b])], pa.int64()),
+                "q": pa.array([q[b]], pa.list_(pa.int64()))})
+
+        tabs = [t for t in ray.get(
+            qds.map_batches(_best,
+                            batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        if not tabs:                   # corpus exhausted before k
+            break
+        winners = pa.concat_tables(tabs)
+        ws = winners["score"].to_numpy(zero_copy_only=False)
+        wi = winners["vec_id"].to_numpy(zero_copy_only=False)
+        b = int(np.lexsort((wi, -ws))[0])
+        sel_ids.append(int(wi[b]))
+        sel_vecs.append(np.asarray(winners["q"][b].as_py(),
+                                   dtype=np.int64))
+        out_steps.append(step)
+        out_ids.append(int(wi[b]))
+        out_scores.append(int(ws[b]))
+    return pa.table({"step": pa.array(out_steps, pa.int64()),
+                     "vec_id": pa.array(out_ids, pa.int64()),
+                     "score": pa.array(out_scores, pa.int64())})

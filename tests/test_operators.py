@@ -2097,6 +2097,41 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_mmr_select_vs_local_greedy(ray_session):
+    # distributed per-block argmax + driver reduce must equal the
+    # plain sequential greedy on the same integer arithmetic,
+    # including id tie-breaks and a k larger than the corpus
+    from rayskema.functions.similarity import mmr_select
+    rng = np.random.default_rng(3)
+    n, d = 40, 6
+    m = rng.normal(0, 0.5, (n, d)).astype(np.float32)
+    m[7] = m[3]                      # exact duplicate -> tie paths
+    tab = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(list(m.astype(np.float64)),
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tab).repartition(5)
+    out = mmr_select(ds, "embedding", "vec_id", k=50, quant=64,
+                     rel_num=1, div_num=2).to_pylist()
+    q = np.floor(m.astype(np.float64) * 64).astype(np.int64)
+    rel = (q * q).sum(axis=1)
+    sel, want = [], []
+    for step in range(1, n + 1):
+        best = None
+        for i in range(n):
+            if i in sel:
+                continue
+            s = int(rel[i])
+            if sel:
+                s -= 2 * int(max(q[i] @ q[j] for j in sel))
+            if best is None or s > best[1] or (s == best[1]
+                                               and i < best[0]):
+                best = (i, s)
+        sel.append(best[0])
+        want.append({"step": step, "vec_id": best[0],
+                     "score": best[1]})
+    assert out == want               # k=50 > n=40: stops at n picks
+
+
 def test_kcore_peels_path_keeps_clique(ray_session):
     # K5 clique (0-4) + a path 4-5-6-7-8: the path needs one peel
     # round per tail vertex (degree cascades), the clique survives
