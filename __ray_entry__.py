@@ -1942,6 +1942,19 @@ def _q_docs_entropy(sf_dir: str):
     return byte_entropy(ds, "text", "doc_id")
 
 
+def _q_lineitem_outliers(sf_dir: str):
+    """Exact per-group z-score anomaly counts: rows where
+    ``(x − μ)² > 2σ²`` per (returnflag, linestatus), decided entirely
+    in integers — ``|n·x − S|`` against a per-group big-int isqrt
+    threshold (functions/profile.group_outliers) — so no float tie
+    can flip a row and a HUGEINT SQL oracle matches bit-for-bit."""
+    from rayskema.functions.profile import group_outliers
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    return group_outliers(ds, ["l_returnflag", "l_linestatus"],
+                          "l_quantity", z2_num=2, z2_den=1, buckets=8)
+
+
 def _q_lineitem_corr(sf_dir: str):
     """Exact distributed Pearson correlation (quantity vs extended
     price) — integer-scaled moment partials merged with
@@ -5096,6 +5109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_score": _q_docs_lm_score,
         "docs_entropy": _q_docs_entropy,
         "lineitem_corr": _q_lineitem_corr,
+        "lineitem_outliers": _q_lineitem_outliers,
         "events_latest": _q_events_latest,
         "events_funnel": _q_events_funnel,
         "events_mode": _q_events_mode,
@@ -6192,6 +6206,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id,
                    abs(round(-sum((n / t) * ln(n / t)), 6)) AS entropy
             FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id
+        """,
+        "lineitem_outliers": """
+            WITH v AS (SELECT l_returnflag, l_linestatus,
+                              CAST(round(l_quantity) AS BIGINT) AS x
+                       FROM lineitem WHERE l_quantity IS NOT NULL),
+            s AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS s1,
+                         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                             AS s2
+                  FROM v GROUP BY l_returnflag, l_linestatus)
+            SELECT s.l_returnflag, s.l_linestatus,
+                   CAST(s.n AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN
+                       (CAST(s.n AS HUGEINT) * v.x - s.s1)
+                       * (CAST(s.n AS HUGEINT) * v.x - s.s1) * 1
+                       > 2 * (s.n * s.s2 - s.s1 * s.s1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM v JOIN s USING (l_returnflag, l_linestatus)
+            GROUP BY s.l_returnflag, s.l_linestatus, s.n
         """,
         "lineitem_corr": """
             WITH s AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,

@@ -816,3 +816,129 @@ def first_digit_profile(ds: "rd.Dataset", col: str, *,
     # ≤9 rows: one block, one pass for the total
     return summed.repartition(1).map_batches(_bp,
                                              batch_format="pyarrow")
+
+
+def group_outliers(
+    ds: "rd.Dataset", group_cols: "Sequence[str]", val_col: str, *,
+    z2_num: int = 2, z2_den: int = 1, scale: int = 1,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group z-score outlier counts in EXACT integer arithmetic:
+    a row is an outlier when ``(x − μ_g)² > (z2_num/z2_den)·σ_g²``,
+    decided without ever forming μ or σ as floats —
+
+        ``(n·x − S)² · z2_den > z2_num · (n·SS − S²)``
+
+    with per-group ``n, S = Σx, SS = Σx²`` exact integers.  The
+    per-row test reduces to ``|n·x − S| > m`` where ``m`` is the
+    integer threshold ``max{ m : m²·z2_den ≤ z2_num·(n·SS−S²) }`` —
+    computed once per GROUP with Python big-int ``isqrt`` (no
+    precision cliff), leaving the row-side compare pure int64.  So
+    the engine's verdict is bit-identical to a SQL engine evaluating
+    the same inequality in HUGEINT — no float tie can flip a row.
+
+    ``scale`` converts decimal doubles to exact integers (100 for
+    cents) via half-away rounding, like ``paired_moments_corr``.
+    Null values are ignored (SQL aggregate semantics).
+
+    Shape: one stats exchange (group_agg partials), the tiny
+    per-group stats table broadcast-joined back onto rows, one
+    flag-count exchange.  Overflow contract (raises, never wraps):
+    per group ``n·max(x²) < 2^63`` and ``n·max|x| + |S| < 2^63`` —
+    holds to ~10^15 rows for single-digit-scaled metrics; raise
+    ``scale`` only as magnitudes allow.
+
+    Returns ``(group_cols..., n, n_outliers)``.
+    """
+    from . import round_half_away
+    from ..pipelines.relational import group_agg, hash_join
+
+    group_cols = list(group_cols)
+
+    def _prep(tab: pa.Table) -> pa.Table:
+        x = tab[val_col]
+        keep = pc.is_valid(x)
+        tab = tab.filter(keep)
+        xv = round_half_away(
+            pc.multiply(pc.cast(tab[val_col], pa.float64()),
+                        float(scale))
+            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        if len(xv) and int(np.abs(xv).max()) >= 3_037_000_499:
+            raise OverflowError(
+                "group_outliers: |x| too large — x² exceeds int64; "
+                "lower `scale`")
+        cols = {c: tab[c] for c in group_cols}
+        cols["_x"] = pa.array(xv)
+        cols["_xx"] = pa.array(xv * xv)
+        return pa.table(cols)
+
+    prepped = ds.select_columns(group_cols + [val_col]).map_batches(
+        _prep, batch_format="pyarrow").materialize()
+
+    stats = group_agg(prepped, group_cols,
+                      [("_x", "count", "n"), ("_x", "sum", "s1"),
+                       ("_xx", "sum", "s2"), ("_x", "min", "lo"),
+                       ("_x", "max", "hi")],
+                      buckets=buckets)
+
+    def _thresholds(tab: pa.Table) -> pa.Table:
+        n = tab["n"].to_pylist()
+        s1 = tab["s1"].to_pylist()
+        s2 = tab["s2"].to_pylist()
+        lo = tab["lo"].to_pylist()
+        hi = tab["hi"].to_pylist()
+        import math
+        ms = []
+        for ni, si, ssi, l, h in zip(n, s1, s2, lo, hi):
+            # group_agg integer sums ride decimal128 partials —
+            # coerce to Python ints for the big-int threshold math
+            ni, si, ssi, l, h = (int(ni), int(si), int(ssi),
+                                 int(l), int(h))
+            amax = max(abs(l), abs(h))
+            if ni * amax * amax >= 2 ** 63 \
+                    or ni * amax + abs(si) >= 2 ** 63:
+                raise OverflowError(
+                    "group_outliers: per-group moment bound exceeded "
+                    "— int64 stats would have wrapped")
+            v = z2_num * (ni * ssi - si * si)       # Python big ints
+            # largest m with m²·z2_den <= v  (outlier ⇔ |d| > m)
+            m = math.isqrt(v // z2_den) if v >= 0 else -1
+            while m * m * z2_den > v:
+                m -= 1
+            while (m + 1) * (m + 1) * z2_den <= v:
+                m += 1
+            ms.append(m)
+        out = {c: tab[c] for c in group_cols}
+        out["n"] = pc.cast(tab["n"], pa.int64())
+        # safe: the per-group bound above guarantees |S| < 2^63
+        out["s1"] = pc.cast(tab["s1"], pa.int64())
+        out["_m"] = pa.array(ms, pa.int64())
+        return pa.table(out)
+
+    thr = stats.map_batches(_thresholds, batch_format="pyarrow")
+    joined = hash_join(prepped, thr, on=group_cols, broadcast="auto")
+
+    def _flag_partial(tab: pa.Table) -> pa.Table:
+        x = tab["_x"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = tab["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s1 = tab["s1"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = tab["_m"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = n * x - s1
+        f = (np.abs(d) > m).astype(np.int64)
+        cols = {c: tab[c] for c in group_cols}
+        cols["f"] = pa.array(f)
+        part = pa.table(cols)
+        return agg_named(part, group_cols, [("f", "sum")], ["f"])
+
+    flags = bucketed_map_groups(
+        joined.map_batches(_flag_partial, batch_format="pyarrow"),
+        group_cols,
+        lambda t: agg_named(t, group_cols, [("f", "sum")], ["f"]),
+        buckets=buckets, sort_within=False)
+    out = hash_join(stats.select_columns(group_cols + ["n"]), flags,
+                    on=group_cols, broadcast="auto")
+    return out.map_batches(
+        lambda t: pa.table({**{c: t[c] for c in group_cols},
+                            "n": t["n"],
+                            "n_outliers": pc.cast(t["f"], pa.int64())}),
+        batch_format="pyarrow")

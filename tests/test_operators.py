@@ -2097,6 +2097,34 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_group_outliers_vs_bruteforce(ray_session):
+    # exact integer verdicts vs a big-int brute force: negatives,
+    # constant groups (zero variance), single-row groups, nulls,
+    # and a boundary value sitting exactly ON the threshold
+    from rayskema.functions.profile import group_outliers
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 6, 500)
+    x = rng.integers(-1000, 1000, 500)
+    g = np.concatenate([g, [7, 7, 7, 8]])
+    x = np.concatenate([x, [42, 42, 42, -3]])
+    tab = pa.table({"g": pa.array(g, pa.int64()),
+                    "x": pa.array(list(x) ,pa.float64())})
+    ds = rd.from_arrow(tab).repartition(5)
+    out = _collect(group_outliers(ds, ["g"], "x", z2_num=2, z2_den=1,
+                                  buckets=3))
+    got = {r["g"]: (r["n"], r["n_outliers"]) for r in out.to_pylist()}
+    want = {}
+    for gv in np.unique(g):
+        xs = [int(v) for v in x[g == gv]]
+        n, s1, s2 = len(xs), sum(xs), sum(v * v for v in xs)
+        v2 = 2 * (n * s2 - s1 * s1)
+        flags = sum(1 for v in xs
+                    if (n * v - s1) * (n * v - s1) * 1 > v2)
+        want[int(gv)] = (n, flags)
+    assert got == want
+    assert got[7] == (3, 0) and got[8] == (1, 0)   # zero-variance
+
+
 def test_mmr_select_vs_local_greedy(ray_session):
     # distributed per-block argmax + driver reduce must equal the
     # plain sequential greedy on the same integer arithmetic,
