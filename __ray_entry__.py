@@ -1671,6 +1671,43 @@ def _q_suppliers_edit2_pairs(sf_dir: str):
     return edit_distance2_pairs(ds, "nm", "s_suppkey", buckets=8)
 
 
+def _q_suppliers_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution composed from the engine's own
+    operators: fuzzy-key blocking+verify (edit_distance2_pairs, the
+    PassJoin radius-2 join) → distributed connected components
+    (hash-to-min) → survivorship (rep = min key; keep flag) — the
+    classic dedupe-a-customer-master pipeline.  Singleton entities
+    (no fuzzy match) keep themselves.  Oracle: brute-force
+    levenshtein pair graph + recursive-CTE transitive closure."""
+    import pyarrow.compute as pc
+    from rayskema.functions.dedup import (connected_components,
+                                          edit_distance2_pairs)
+    from rayskema.pipelines.relational import hash_join
+
+    def _strip(t: pa.Table) -> pa.Table:
+        nm = pc.replace_substring_regex(t["s_name"], pattern="#0+",
+                                        replacement="#")
+        return pa.table({"s_suppkey": t["s_suppkey"], "nm": nm})
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        _strip, batch_format="pyarrow")
+    pairs = edit_distance2_pairs(ds, "nm", "s_suppkey", buckets=8)
+    cc = connected_components(pairs, id_a="id_a", id_b="id_b",
+                              buckets=8)
+    allk = ds.select_columns(["s_suppkey"])
+    j = hash_join(allk, cc, on="s_suppkey", right_on="node",
+                  how="left_outer", broadcast="auto")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["s_suppkey"], pa.int64())
+        rep = pc.coalesce(pc.cast(t["rep"], pa.int64()), key)
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "rep_id": rep,
+                         "keep": pc.equal(key, rep)})
+
+    return j.map_batches(_fin, batch_format="pyarrow")
+
+
 def _q_orders_regex_extract(sf_dir: str):
     """Field parsing via one RE2 pass per block: the priority code
     splits into its numeric rank and word — SQL regexp_extract per
@@ -4839,6 +4876,21 @@ def _q_events_transitions(sf_dir: str):
                              from_col="from_type", to_col="to_type")
 
 
+def _q_events_path_trigrams(sf_dir: str):
+    """Funnel DISCOVERY: counts of every observed 3-step event path
+    per user stream (relational.group_path_ngrams) — the k-step
+    generalization of the Markov transition matrix; `events_funnel`
+    checks a declared path, this surfaces the observed ones ranked
+    by frequency.  Oracle: two LEADs with a row_number/count window
+    guard (windows that fit the partition), NOT an IS NOT NULL
+    filter — a null state must count."""
+    from rayskema.pipelines.relational import group_path_ngrams
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return group_path_ngrams(ds, "user_id", ["ts", "event_id"],
+                             "event_type", n=3, buckets=8)
+
+
 def _q_graph_pagerank(sf_dir: str):
     """Deterministic integer PageRank (functions/graph.pagerank): 5
     synchronous power iterations in fixed-point micro-units over the
@@ -4989,6 +5041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
         "events_transitions": _q_events_transitions,
+        "events_path_trigrams": _q_events_path_trigrams,
         "events_zorder": _q_events_zorder,
         "lineitem_wmedian": _q_lineitem_wmedian,
         "orders_mom": _q_orders_mom,
@@ -5033,6 +5086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_hamming_pairs": _q_customers_hamming_pairs,
         "customers_edit_pairs": _q_customers_edit_pairs,
         "suppliers_edit2_pairs": _q_suppliers_edit2_pairs,
+        "suppliers_entity_resolution": _q_suppliers_entity_resolution,
         "orders_regex_extract": _q_orders_regex_extract,
         "events_orders_asof_tol": _q_events_orders_asof_tol,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -6687,6 +6741,25 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.nm) - length(b.nm)) <= 2
             WHERE levenshtein(a.nm, b.nm) <= 2
         """,
+        "suppliers_entity_resolution": """
+            WITH RECURSIVE
+            s AS (SELECT s_suppkey,
+                         regexp_replace(s_name, '#0+', '#') AS nm
+                  FROM supplier),
+            p AS (SELECT a.s_suppkey AS u, b.s_suppkey AS v
+                  FROM s a JOIN s b
+                    ON a.s_suppkey < b.s_suppkey
+                   AND abs(length(a.nm) - length(b.nm)) <= 2
+                  WHERE levenshtein(a.nm, b.nm) <= 2),
+            e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+            reach(u, v) AS (
+                SELECT s_suppkey AS u, s_suppkey AS v FROM supplier
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v)
+            SELECT u AS s_suppkey, min(v) AS rep_id,
+                   (u = min(v)) AS keep
+            FROM reach GROUP BY u
+        """,
         "orders_status_summary": """
             SELECT o_orderstatus, count(*) AS n,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -7777,6 +7850,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_path_trigrams": """
+            WITH s AS (
+                SELECT event_type AS v1,
+                       lead(event_type, 1) OVER w AS v2,
+                       lead(event_type, 2) OVER w AS v3,
+                       row_number() OVER w AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS cnt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+            SELECT v1, v2, v3, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE rn + 2 <= cnt
+            GROUP BY 1, 2, 3
         """,
         "events_resample": """
             WITH c AS (SELECT event_type,

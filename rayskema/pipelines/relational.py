@@ -3920,6 +3920,58 @@ def group_transitions(
         buckets=buckets, sort_within=False)
 
 
+def group_path_ngrams(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, n: int = 3, buckets: int | None = None,
+    n_col: str = "n",
+) -> "rd.Dataset":
+    """Consecutive n-window (path n-gram) counts — the k-step
+    generalization of :func:`group_transitions`: per group, order
+    rows by ``order_cols`` and count every window of ``n``
+    consecutive values globally (``v1..vn`` columns).  SQL mirror:
+    ``lead(v, 1..n-1) OVER (PARTITION BY g ORDER BY o...)`` counting
+    only windows that fit inside the partition (use ``row_number`` +
+    ``count(*) OVER`` rather than ``IS NOT NULL`` — a NULL value is
+    a legitimate state).  The funnel-DISCOVERY primitive:
+    ``events_funnel`` checks a declared path, this surfaces the
+    observed ones.
+
+    Same exchange shape as ``group_transitions``: full rows shuffle
+    once on the group key, each bucket pre-aggregates to its distinct
+    n-gram vocabulary, and only that partial takes the second
+    exchange."""
+    if n < 2:
+        raise ValueError("group_path_ngrams: n must be >= 2")
+    order_cols = list(order_cols)
+    out_cols = [f"v{j + 1}" for j in range(n)]
+
+    def _windows(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        rows = tab.num_rows
+        v = tab[value_col].combine_chunks()
+        if rows < n:
+            return pa.table({**{c: v.slice(0, 0) for c in out_cols},
+                             n_col: pa.array([], pa.int64())})
+        gid = np.cumsum(segment_starts(tab, [group_col])) - 1
+        idx = np.arange(rows - (n - 1))
+        src = idx[gid[idx] == gid[idx + (n - 1)]]  # window fits group
+        part = pa.table({
+            **{out_cols[j]: v.take(pa.array(src + j)) for j in
+               range(n)},
+            "__one": pa.array(np.ones(len(src), dtype=np.int64))})
+        return agg_named(part, out_cols, [("__one", "sum")], [n_col])
+
+    partials = bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(
+            [group_col] + order_cols + [value_col]))),
+        [group_col], _windows, buckets=buckets, sort_within=False)
+    return bucketed_map_groups(
+        partials, out_cols,
+        lambda t: agg_named(t, out_cols, [(n_col, "sum")], [n_col]),
+        buckets=buckets, sort_within=False)
+
+
 def group_weighted_median(
     ds: "rd.Dataset", group_cols: Sequence[str], value_col: str,
     weight_col: str, *, buckets: int | None = None,

@@ -2097,6 +2097,24 @@ def test_edit_distance_pairs_shapes(ray_session):
     assert pairs == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_group_path_ngrams(ray_session):
+    # windows never straddle groups; groups shorter than n emit
+    # nothing; NULL is a countable state (no IS NOT NULL shortcut)
+    from rayskema.pipelines.relational import group_path_ngrams
+    tab = pa.table({
+        "g": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 1, 2, 1], pa.int64()),
+        "v": pa.array(["a", "b", None, "b", "a", "b", "a"]),
+    })
+    out = _collect(group_path_ngrams(
+        rd.from_arrow(tab).repartition(3), "g", ["o"], "v", n=3,
+        buckets=2))
+    got = {(r["v1"], r["v2"], r["v3"]): r["n"]
+           for r in out.to_pylist()}
+    # g=1 windows: (a,b,NULL), (b,NULL,b); g=2 too short; g=3 too
+    assert got == {("a", "b", None): 1, ("b", None, "b"): 1}
+
+
 def test_group_outliers_vs_bruteforce(ray_session):
     # exact integer verdicts vs a big-int brute force: negatives,
     # constant groups (zero variance), single-row groups, nulls,
