@@ -837,6 +837,13 @@ def group_outliers(
     the engine's verdict is bit-identical to a SQL engine evaluating
     the same inequality in HUGEINT — no float tie can flip a row.
 
+    Sibling of :func:`group_sigma_outliers` (which RETURNS the
+    outlier rows, takes integer k only, and merges moment partials on
+    the driver): this is the COUNT aggregate — z² is an arbitrary
+    rational (``z2_num/z2_den``, e.g. 2/1 for k = √2, inexpressible
+    there), and the stats ride the ordinary ``group_agg`` exchange,
+    so a billion-group keyspace never lands on the driver.
+
     ``scale`` converts decimal doubles to exact integers (100 for
     cents) via half-away rounding, like ``paired_moments_corr``.
     Null values are ignored (SQL aggregate semantics).
