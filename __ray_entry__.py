@@ -4955,6 +4955,71 @@ def _q_graph_kcore(sf_dir: str):
     return kcore(edges, "src", "dst", k=3, rounds=6, buckets=8)
 
 
+def _q_graph_labelprop(sf_dir: str):
+    """Community detection by 4 SYNCHRONOUS label-propagation rounds
+    (functions/graph.label_propagation) over the same undirected
+    co-purchase graph as graph_kcore: every vertex simultaneously
+    adopts its neighborhood's most frequent label (ties → smallest),
+    so the result is a pure function of the input and an unrolled-CTE
+    SQL oracle mirrors it exactly — no schedule dependence."""
+    from rayskema.functions.graph import label_propagation
+    from rayskema.pipelines.relational import bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = ck % 800
+        y = (ck * 7 + ok * 3) % 800
+        m = x != y
+        tab = pa.table({"src": pa.array(np.minimum(x[m], y[m])),
+                        "dst": pa.array(np.maximum(x[m], y[m]))})
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        buckets=8, sort_within=False)
+    return label_propagation(edges, "src", "dst", rounds=4, buckets=8)
+
+
+def _labelprop_oracle_sql(rounds: int = 4, mod: int = 800) -> str:
+    """Unrolled-CTE mirror of functions/graph.label_propagation's
+    synchronous majority vote (one vote/winner/label CTE trio per
+    round; MATERIALIZED so chained references don't re-inline)."""
+    ctes = ["""verts AS MATERIALIZED (
+                SELECT DISTINCT a AS v FROM und)""",
+            "lab0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)"]
+    for i in range(rounds):
+        ctes.append(f"""vote{i + 1} AS MATERIALIZED (
+                SELECT e.b AS v, l.lab, COUNT(*) AS c
+                FROM und e JOIN lab{i} l ON l.v = e.a
+                GROUP BY e.b, l.lab)""")
+        ctes.append(f"""win{i + 1} AS MATERIALIZED (
+                SELECT v, lab FROM (
+                    SELECT v, lab, row_number() OVER (
+                        PARTITION BY v ORDER BY c DESC, lab) AS rn
+                    FROM vote{i + 1}) WHERE rn = 1)""")
+        ctes.append(f"""lab{i + 1} AS MATERIALIZED (
+                SELECT l.v, COALESCE(w.lab, l.lab) AS lab
+                FROM lab{i} l LEFT JOIN win{i + 1} w ON w.v = l.v)""")
+    return f"""
+            WITH raw AS (
+                SELECT o_custkey % {mod} AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % {mod} AS y
+                FROM orders),
+            edges AS (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM raw WHERE x <> y),
+            und AS MATERIALIZED (SELECT a, b FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            {", ".join(ctes)}
+            SELECT v, lab FROM lab{rounds}
+        """
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 6,
                       mod: int = 800) -> str:
     """Unrolled-CTE mirror of functions/graph.kcore's synchronous
@@ -5040,6 +5105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
+        "graph_labelprop": _q_graph_labelprop,
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
         "events_zorder": _q_events_zorder,
@@ -7468,6 +7534,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
+        "graph_labelprop": _labelprop_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
         "orders_incremental_view": """
             SELECT o_orderpriority,

@@ -195,6 +195,89 @@ def kcore(
     return alive
 
 
+def label_propagation(
+    edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst", *,
+    rounds: int = 4, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Deterministic SYNCHRONOUS label propagation over an undirected
+    edge list (community detection): labels start as the vertex id;
+    each round EVERY vertex simultaneously adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label;
+    isolated vertices keep their label.  Like :func:`kcore`, the
+    contract is a fixed number of synchronous rounds — classic async
+    LPA is schedule-dependent (and sync LPA can oscillate on
+    bipartite structure), but a fixed-round synchronous sweep is a
+    pure function of the input, exactly mirrorable by one unrolled
+    CTE per round.
+
+    Input: distinct undirected pairs with ``src != dst`` (one row per
+    edge, either orientation); symmetrized internally.
+
+    Scale shape per round: one broadcast-auto join of the symmetric
+    edge list against the O(|V|) label iterate, block-local
+    ``(vertex, label) -> count`` partials, ONE hash exchange on the
+    vertex (complete groups make the majority vote exact), and a
+    left-outer join back onto the vertex set for isolated vertices.
+    The driver holds no per-vertex data.
+
+    Returns ``(v, lab)`` after the final round."""
+    edges = edges.select_columns([src_col, dst_col])
+
+    def _sym(tab: pa.Table) -> pa.Table:
+        a = pa.chunked_array([tab[src_col].combine_chunks(),
+                              tab[dst_col].combine_chunks()])
+        b = pa.chunked_array([tab[dst_col].combine_chunks(),
+                              tab[src_col].combine_chunks()])
+        return pa.table({"a": a.combine_chunks(),
+                         "b": b.combine_chunks()})
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    def _vert_partial(tab: pa.Table) -> pa.Table:
+        return pa.table({"v": tab["a"].combine_chunks().unique()})
+
+    verts = bucketed_map_groups(
+        sym.map_batches(_vert_partial, batch_format="pyarrow"),
+        ["v"], lambda t: t.group_by(["v"]).aggregate([]),
+        buckets=buckets, sort_within=False).materialize()
+
+    labels = verts.map_batches(
+        lambda t: pa.table({"v": t["v"],
+                            "lab": pc.cast(t["v"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def _count_partial(tab: pa.Table) -> pa.Table:
+        part = pa.table({
+            "v": tab["b"], "lab": tab["lab"],
+            "__one": pa.array(np.ones(tab.num_rows, dtype=np.int64))})
+        return agg_named(part, ["v", "lab"], [("__one", "sum")], ["c"])
+
+    def _majority(tab: pa.Table) -> pa.Table:
+        tab = agg_named(tab, ["v", "lab"], [("c", "sum")], ["c"])
+        tab = tab.sort_by([("v", "ascending"), ("c", "descending"),
+                           ("lab", "ascending")])
+        firsts = np.flatnonzero(segment_starts(tab, ["v"]))
+        take = pa.array(firsts)
+        return pa.table({"v": tab["v"].take(take),
+                         "lab_new": tab["lab"].take(take)})
+
+    for _ in range(rounds):
+        msgs = hash_join(sym, labels, on="a", right_on="v",
+                         broadcast="auto")
+        votes = bucketed_map_groups(
+            msgs.map_batches(_count_partial, batch_format="pyarrow"),
+            ["v"], _majority, buckets=buckets, sort_within=False)
+        j = hash_join(labels, votes, on="v", how="left_outer",
+                      broadcast="auto")
+        labels = j.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "lab": pc.coalesce(pc.cast(t["lab_new"], pa.int64()),
+                                   t["lab"])}),
+            batch_format="pyarrow").materialize()
+    return labels
+
+
 def triangle_stats(
     edges: "rd.Dataset", a_col: str = "a", b_col: str = "b", *,
     buckets: int | None = None, max_group: int = 10_000_000,

@@ -2202,6 +2202,47 @@ def test_kcore_peels_path_keeps_clique(ray_session):
     assert empty.num_rows == 0
 
 
+def test_label_propagation_vs_local_sync(ray_session):
+    # distributed majority vote must equal a local synchronous LPA
+    # simulation exactly (count-desc, label-asc tie-breaks), on a
+    # random graph plus a deterministic two-cliques-and-a-bridge
+    from rayskema.functions.graph import label_propagation
+    rng = np.random.default_rng(9)
+    e = set()
+    for _ in range(60):
+        a, b = int(rng.integers(0, 25)), int(rng.integers(0, 25))
+        if a != b:
+            e.add((min(a, b), max(a, b)))
+    for c in ([30, 31, 32], [40, 41, 42]):      # two triangles
+        for i in range(3):
+            e.add((c[i], c[(i + 1) % 3]) if c[i] < c[(i + 1) % 3]
+                  else (c[(i + 1) % 3], c[i]))
+    e.add((32, 40))                             # bridge
+    edges = sorted(e)
+    tab = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+    rounds = 3
+    out = _collect(label_propagation(
+        rd.from_arrow(tab).repartition(4), "src", "dst",
+        rounds=rounds, buckets=3))
+    got = dict(zip(out["v"].to_pylist(), out["lab"].to_pylist()))
+    # local synchronous reference
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v in nbrs:
+            cnt = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = new
+    assert got == lab
+
+
 def test_edit_distance2_pairs_exact_vs_bruteforce(ray_session):
     # PassJoin radius-2 join: recall/precision 1.0 vs local
     # Levenshtein — small alphabet (dense neighborhoods), lengths 0-12
