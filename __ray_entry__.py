@@ -2037,6 +2037,20 @@ def _q_events_funnel(sf_dir: str):
     return paths.map_batches(_flag, batch_format="pyarrow")
 
 
+def _q_events_funnel_windowed(sf_dir: str):
+    """TIME-BOUNDED funnel: view → click → purchase where each step
+    lands strictly after and within 3 days of the previous matched
+    step, anchored greedy-earliest (relational.funnel_within) — the
+    attribution-window variant of `events_funnel`.  One exchange,
+    masked reduceat sweeps per step; oracle = one MIN-join per
+    step."""
+    from rayskema.pipelines.relational import funnel_within
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_within(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"],
+                         within_us=259_200_000_000, buckets=16)
+
+
 def _q_events_mode(sf_dir: str):
     """Most frequent event type per user (grouped mode) — composed
     from the engine's own operators: partial-aggregated counts, then
@@ -5108,6 +5122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": _q_graph_labelprop,
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
+        "events_funnel_windowed": _q_events_funnel_windowed,
         "events_zorder": _q_events_zorder,
         "lineitem_wmedian": _q_lineitem_wmedian,
         "orders_mom": _q_orders_mom,
@@ -6385,6 +6400,29 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(seq, 'view.*click.*purchase')
                        AS converted
             FROM p
+        """,
+        "events_funnel_windowed": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' AND ts IS NOT NULL
+                   GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND epoch_us(e.ts) <= epoch_us(s1.t1)
+                         + 259200000000
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND epoch_us(e.ts) <= epoch_us(s2.t2)
+                         + 259200000000
+                   GROUP BY e.user_id)
+            SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+                   (s3.t3 IS NOT NULL) AS converted
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
         """,
         "events_mode": """
             WITH c AS (SELECT user_id, event_type, count(*) AS n

@@ -3920,6 +3920,78 @@ def group_transitions(
         buckets=buckets, sort_within=False)
 
 
+def funnel_within(
+    ds: "rd.Dataset", group_col: str, ts_col: str, type_col: str,
+    steps: Sequence[str], *, within_us: int,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """TIME-BOUNDED funnel per group — did ``steps[0] → steps[1] →
+    …`` happen in order with every successive step STRICTLY after
+    and within ``within_us`` microseconds of the previous matched
+    step?  Anchoring is GREEDY-EARLIEST and deterministic: ``t1 =
+    min ts of step 1``, ``t_{i+1} = min ts of step i+1 in
+    ``(t_i, t_i + within_us]`` — the simple contract SQL mirrors
+    with one MIN-join per step (a full NFA funnel, where a LATER
+    anchor can succeed when the earliest fails, is a different
+    operator; this is the fixed-anchor industry default).  Null
+    timestamps never match (SQL comparison semantics); every group
+    with ≥1 row appears in the output.
+
+    Scale shape: ONE hash exchange on the group key; inside each
+    bucket every step is a masked ``minimum.reduceat`` sweep over
+    the sorted rows — no per-group Python loop.  Returns
+    ``(group, t1..tn timestamps (null where unmatched), converted)``.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel_within: need >= 2 steps")
+    SENT = np.int64(1) << np.int64(62)
+
+    def _funnel(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")])
+        n = tab.num_rows
+        if n == 0:
+            cols = {group_col: tab[group_col]}
+            for i in range(len(steps)):
+                cols[f"t{i + 1}"] = pa.array([], pa.timestamp("us"))
+            cols["converted"] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        new_g = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.append(starts, n))
+        ts = tab[ts_col].combine_chunks()
+        valid = pc.is_valid(ts).to_numpy(zero_copy_only=False)
+        us = pc.cast(ts, pa.timestamp("us")).cast(pa.int64()) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+        ty = tab[type_col].combine_chunks()
+        prev = None
+        t_steps = []
+        for i, s in enumerate(steps):
+            m = pc.equal(ty, s).fill_null(False) \
+                .to_numpy(zero_copy_only=False) & valid
+            if prev is not None:
+                prow = np.repeat(prev, counts)
+                m = m & (us > prow) & (us <= prow + within_us) \
+                    & (prow != SENT)
+            t = np.minimum.reduceat(np.where(m, us, SENT), starts)
+            t[counts == 0] = SENT          # reduceat quirk guard
+            t_steps.append(t)
+            prev = t
+        take = pa.array(starts)
+        cols = {group_col: tab[group_col].take(take)}
+        for i, t in enumerate(t_steps):
+            cols[f"t{i + 1}"] = pa.Array.from_pandas(
+                np.where(t == SENT, None, t),
+                type=pa.timestamp("us"))
+        cols["converted"] = pa.array(t_steps[-1] != SENT)
+        return pa.table(cols)
+
+    return bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(
+            [group_col, ts_col, type_col]))),
+        [group_col], _funnel, buckets=buckets, sort_within=False)
+
+
 def group_path_ngrams(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, n: int = 3, buckets: int | None = None,

@@ -2202,6 +2202,50 @@ def test_kcore_peels_path_keeps_clique(ray_session):
     assert empty.num_rows == 0
 
 
+def test_funnel_within_window_semantics(ray_session):
+    from rayskema.pipelines.relational import funnel_within
+
+    def t(sec):
+        return sec * 1_000_000
+
+    rows = [
+        # u1: click 5s after view (inside 10s), purchase 8s after
+        # click -> converted
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(13), "purchase"),
+        # u2: click outside the window -> not converted, t2 null
+        (2, t(0), "view"), (2, t(11), "click"), (2, t(12), "purchase"),
+        # u3: anchor = EARLIEST view; click within window of it even
+        # though a later view exists; purchase exactly AT the bound
+        # (inclusive)
+        (3, t(0), "view"), (3, t(20), "view"), (3, t(9), "click"),
+        (3, t(19), "purchase"),
+        # u4: click at the SAME ts as view -> strict '>' rejects it
+        (4, t(0), "view"), (4, t(0), "click"),
+        # u5: null ts never matches; no view at all
+        (5, None, "view"), (5, t(1), "click"),
+    ]
+    tab = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "et": pa.array([r[2] for r in rows]),
+    })
+    out = _collect(funnel_within(
+        rd.from_arrow(tab).repartition(3), "u", "ts", "et",
+        ["view", "click", "purchase"], within_us=t(10), buckets=2))
+    got = {r["u"]: (r["converted"], r["t1"], r["t2"], r["t3"])
+           for r in out.to_pylist()}
+    import datetime as dt
+
+    def ep(sec):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=sec)
+
+    assert got[1] == (True, ep(0), ep(5), ep(13))
+    assert got[2] == (False, ep(0), None, None)
+    assert got[3] == (True, ep(0), ep(9), ep(19))
+    assert got[4] == (False, ep(0), None, None)
+    assert got[5] == (False, None, None, None)
+
+
 def test_label_propagation_vs_local_sync(ray_session):
     # distributed majority vote must equal a local synchronous LPA
     # simulation exactly (count-desc, label-asc tie-breaks), on a
