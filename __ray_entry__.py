@@ -2037,6 +2037,37 @@ def _q_events_funnel(sf_dir: str):
     return paths.map_batches(_flag, batch_format="pyarrow")
 
 
+def _q_events_impute(sf_dir: str):
+    """Group-statistic imputation (relational.impute_by_group): event
+    values masked null on a deterministic rule (event_id % 7 == 0,
+    the synthetic missingness) are filled with their event_type's
+    MODE over exact integer cents, ties to the smallest value —
+    vocabulary-sized stats exchange, broadcast fill, rows never
+    shuffle."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import impute_by_group
+
+    def _mask(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = round_half_away(
+            pc.multiply(pc.cast(t["value"], pa.float64()), 100.0)
+            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        vc = pa.Array.from_pandas(
+            np.where(eid % 7 == 0, None, cents), type=pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value_c": vc})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        _mask, batch_format="pyarrow")
+    return impute_by_group(ds, ["event_type"], "value_c",
+                           strategy="mode", buckets=16)
+
+
 def _q_events_funnel_windowed(sf_dir: str):
     """TIME-BOUNDED funnel: view → click → purchase where each step
     lands strictly after and within 3 days of the previous matched
@@ -5123,6 +5154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
         "events_funnel_windowed": _q_events_funnel_windowed,
+        "events_impute": _q_events_impute,
         "events_zorder": _q_events_zorder,
         "lineitem_wmedian": _q_lineitem_wmedian,
         "orders_mom": _q_orders_mom,
@@ -6400,6 +6432,25 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(seq, 'view.*click.*purchase')
                        AS converted
             FROM p
+        """,
+        "events_impute": """
+            WITH v AS (SELECT event_id, event_type,
+                              CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE CAST(round(value * 100)
+                                        AS BIGINT) END AS value_c
+                       FROM events),
+            m AS (SELECT event_type, value_c AS fill FROM (
+                    SELECT event_type, value_c, COUNT(*) AS c,
+                           row_number() OVER (
+                               PARTITION BY event_type
+                               ORDER BY COUNT(*) DESC, value_c) AS rn
+                    FROM v WHERE value_c IS NOT NULL
+                    GROUP BY event_type, value_c) t WHERE rn = 1)
+            SELECT v.event_id, v.event_type,
+                   COALESCE(v.value_c, m.fill) AS value_c,
+                   (v.value_c IS NULL AND m.fill IS NOT NULL)
+                       AS imputed
+            FROM v LEFT JOIN m USING (event_type)
         """,
         "events_funnel_windowed": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

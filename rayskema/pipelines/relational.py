@@ -3920,6 +3920,101 @@ def group_transitions(
         buckets=buckets, sort_within=False)
 
 
+def impute_by_group(
+    ds: "rd.Dataset", group_cols: Sequence[str], val_col: str, *,
+    strategy: str = "mode", buckets: int | None = None,
+    out_col: str | None = None, flag_col: str = "imputed",
+) -> "rd.Dataset":
+    """Fill null values from their GROUP's statistic — the data-repair
+    stage of a feature pipeline — with EXACT integer strategies so
+    the fill is bit-identical to SQL at any parallelism:
+
+    - ``mode``: the group's most frequent non-null value, ties by
+      the smallest value (SQL: count window + row_number);
+    - ``mean_floor``: ``floor(Σv / n)`` over non-null values in
+      big-int arithmetic (SQL: HUGEINT ``SUM(v) // COUNT(v)`` —
+      floor semantics match numpy on negatives).
+
+    ``val_col`` must be integer-typed (scale decimal doubles to
+    cents FIRST, the engine-wide convention).  A group with no
+    non-null values fills nothing (value stays null, flag false).
+
+    Scale shape: one vocabulary-sized stats exchange (mode rides
+    block-local ``(group, value) → count`` partials; mean rides
+    sum/count partials), then the O(groups) fill table broadcast-joins
+    back onto the stream — rows never shuffle.  Returns the input
+    rows with ``out_col`` (default ``val_col``) filled and a
+    ``flag_col`` bool marking imputed rows."""
+    group_cols = list(group_cols)
+    out_col = out_col or val_col
+    if strategy not in ("mode", "mean_floor"):
+        raise ValueError(f"impute_by_group: unknown strategy "
+                         f"{strategy!r}")
+
+    src = ds
+    nn = src.map_batches(
+        lambda t: t.filter(pc.is_valid(t[val_col])),
+        batch_format="pyarrow")
+
+    if strategy == "mode":
+        def _cnt_partial(tab: pa.Table) -> pa.Table:
+            part = pa.table({
+                **{c: tab[c] for c in group_cols},
+                "_v": tab[val_col],
+                "__one": pa.array(np.ones(tab.num_rows,
+                                          dtype=np.int64))})
+            return agg_named(part, group_cols + ["_v"],
+                             [("__one", "sum")], ["c"])
+
+        def _mode(tab: pa.Table) -> pa.Table:
+            tab = agg_named(tab, group_cols + ["_v"],
+                            [("c", "sum")], ["c"])
+            tab = tab.sort_by([(c, "ascending") for c in group_cols]
+                              + [("c", "descending"),
+                                 ("_v", "ascending")])
+            firsts = pa.array(np.flatnonzero(
+                segment_starts(tab, group_cols)))
+            return pa.table({
+                **{c: tab[c].take(firsts) for c in group_cols},
+                "_fill": tab["_v"].take(firsts)})
+
+        fills = bucketed_map_groups(
+            nn.map_batches(_cnt_partial, batch_format="pyarrow"),
+            group_cols, _mode, buckets=buckets, sort_within=False)
+    else:
+        stats = group_agg(nn, group_cols,
+                          [(val_col, "sum", "_s"),
+                           (val_col, "count", "_n")], buckets=buckets)
+
+        def _mean(tab: pa.Table) -> pa.Table:
+            s = tab["_s"].to_pylist()
+            n = tab["_n"].to_pylist()
+            # big-int floor division — decimal128 sums arrive as
+            # Decimal; // floors like SQL's HUGEINT // on negatives
+            fill = [int(si) // int(ni) for si, ni in zip(s, n)]
+            return pa.table({
+                **{c: tab[c] for c in group_cols},
+                "_fill": pa.array(fill, pa.int64())})
+
+        fills = stats.map_batches(_mean, batch_format="pyarrow")
+
+    j = hash_join(src, fills, on=group_cols, how="left_outer",
+                  broadcast="auto")
+
+    def _fill(tab: pa.Table) -> pa.Table:
+        v = tab[val_col]
+        f = pc.cast(tab["_fill"], pa.int64())
+        filled = pc.coalesce(pc.cast(v, pa.int64()), f)
+        imput = pc.and_(pc.is_null(v), pc.is_valid(f))
+        out = {c: tab[c] for c in tab.column_names
+               if c not in ("_fill", val_col, out_col, flag_col)}
+        out[out_col] = filled
+        out[flag_col] = imput
+        return pa.table(out)
+
+    return j.map_batches(_fill, batch_format="pyarrow")
+
+
 def funnel_within(
     ds: "rd.Dataset", group_col: str, ts_col: str, type_col: str,
     steps: Sequence[str], *, within_us: int,

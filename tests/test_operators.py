@@ -2202,6 +2202,35 @@ def test_kcore_peels_path_keeps_clique(ray_session):
     assert empty.num_rows == 0
 
 
+def test_impute_by_group_strategies(ray_session):
+    from rayskema.pipelines.relational import impute_by_group
+    tab = pa.table({
+        "g": pa.array(["a", "a", "a", "a", "b", "b", "c"],),
+        "id": pa.array(range(7), pa.int64()),
+        "v": pa.array([5, 5, 9, None, -3, None, None], pa.int64()),
+    })
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(impute_by_group(ds, ["g"], "v", strategy="mode",
+                                   buckets=2))
+    got = {r["id"]: (r["v"], r["imputed"]) for r in out.to_pylist()}
+    assert got[3] == (5, True)            # mode of {5,5,9}
+    assert got[5] == (-3, True)
+    assert got[6] == (None, False)        # all-null group: no fill
+    assert got[0] == (5, False)
+    # floor-mean: (-3)//1 = -3; a: (5+5+9)//3 = 6; and floor on a
+    # negative mean: d group {-3, -4} -> -7//2 = -4 (floors, not
+    # truncates)
+    tab2 = pa.table({
+        "g": pa.array(["d", "d", "d"]),
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([-3, -4, None], pa.int64())})
+    out2 = _collect(impute_by_group(
+        rd.from_arrow(tab2), ["g"], "v", strategy="mean_floor",
+        buckets=1))
+    got2 = {r["id"]: r["v"] for r in out2.to_pylist()}
+    assert got2[2] == -4
+
+
 def test_funnel_within_window_semantics(ray_session):
     from rayskema.pipelines.relational import funnel_within
 
