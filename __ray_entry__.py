@@ -5000,6 +5000,38 @@ def _q_graph_kcore(sf_dir: str):
     return kcore(edges, "src", "dst", k=3, rounds=6, buckets=8)
 
 
+def _q_graph_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (functions/graph.bfs_hops): 6
+    synchronous min-plus rounds over the DIRECTED co-purchase graph
+    (vertices = keys mod 800, edge x -> y) from the deterministic
+    source set {v : v % 23 == 0}.  Each round every vertex takes
+    min(d, min in-neighbor d + 1) simultaneously; the fixed round
+    count makes the result exactly mirrorable by an unrolled-CTE SQL
+    oracle, and the contribution join ships only the reached frontier
+    (exact pruning — an unreached neighbor can never win the min)."""
+    from rayskema.functions.graph import bfs_hops
+    from rayskema.pipelines.relational import bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = ck % 800
+        y = (ck * 7 + ok * 3) % 800
+        m = x != y
+        tab = pa.table({"src": pa.array(x[m]), "dst": pa.array(y[m])})
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        buckets=8, sort_within=False)
+    return bfs_hops(edges, "src", "dst", source_mod=23, rounds=6,
+                    buckets=8)
+
+
 def _q_graph_labelprop(sf_dir: str):
     """Community detection by 4 SYNCHRONOUS label-propagation rounds
     (functions/graph.label_propagation) over the same undirected
@@ -5094,6 +5126,42 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 6,
         """
 
 
+def _bfs_oracle_sql(source_mod: int = 23, rounds: int = 6,
+                    mod: int = 800, inf: int = 1_000_000_000) -> str:
+    """Unrolled-CTE mirror of functions/graph.bfs_hops' synchronous
+    min-plus recurrence (one CTE per round).  The SQL side keeps the
+    inf sentinel on every vertex (no frontier filter) — equivalent,
+    since an unreached in-neighbor's d+1 can never win the LEAST."""
+    ctes = [f"""d0 AS (
+                SELECT v, CAST(CASE WHEN v % {source_mod} = 0
+                               THEN 0 ELSE {inf} END AS BIGINT) AS d
+                FROM verts)"""]
+    for i in range(rounds):
+        ctes.append(f"""d{i + 1} AS (
+                SELECT p.v,
+                       LEAST(p.d, COALESCE(MIN(q.d + 1), {inf})) AS d
+                FROM d{i} p
+                LEFT JOIN edges e ON e.dst = p.v
+                LEFT JOIN d{i} q ON q.v = e.src
+                GROUP BY p.v, p.d)""")
+    return f"""
+            WITH raw AS (
+                SELECT o_custkey % {mod} AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % {mod} AS y
+                FROM orders),
+            edges AS (
+                SELECT DISTINCT x AS src, y AS dst
+                FROM raw WHERE x <> y),
+            verts AS (
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+            {", ".join(ctes)}
+            SELECT v, CAST(d AS BIGINT) AS d FROM d{rounds}
+            WHERE d < {inf}
+        """
+
+
 def _pagerank_oracle_sql(iterations: int = 5, scale: int = 1_000_000,
                          num: int = 85, den: int = 100) -> str:
     """Unrolled-CTE mirror of functions/graph.pagerank's integer
@@ -5150,6 +5218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
+        "graph_bfs_hops": _q_graph_bfs_hops,
         "graph_labelprop": _q_graph_labelprop,
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
@@ -7623,6 +7692,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
+        "graph_bfs_hops": _bfs_oracle_sql(),
         "graph_labelprop": _labelprop_oracle_sql(),
         "events_zorder": _zorder_oracle_sql(),
         "orders_incremental_view": """

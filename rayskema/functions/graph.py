@@ -438,3 +438,104 @@ def triangle_stats(
         "n_triangles": pa.array([n_tri], pa.int64()),
         "transitivity": pa.array([trans], pa.float64()),
     })
+
+
+def bfs_hops(
+    edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst", *,
+    source_mod: int, rounds: int, inf: int = 1_000_000_000,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Synchronous multi-source BFS hop distances over a DIRECTED
+    edge list: ``rounds`` min-plus iterations of
+    ``d(v) <- min(d(v), min_{(u,v) in E} d(u) + 1)`` applied
+    simultaneously each round, from the deterministic source set
+    ``{v : v % source_mod == 0}``.
+
+    Like :func:`kcore`/:func:`label_propagation`, the contract is a
+    FIXED round count, not "until fixpoint": the result is exactly
+    reproducible and exactly SQL-mirrorable by one unrolled CTE per
+    round at any scale (min-plus iteration is monotone, so rounds
+    past convergence are no-ops; ``rounds`` bounds the reported
+    hop radius).
+
+    Unreached vertices carry the ``inf`` sentinel internally (never
+    NULL — NULL arithmetic would diverge between engines) and are
+    dropped from the output.  The contribution join each round takes
+    ONLY the rows with ``d < inf`` — exact frontier pruning, since a
+    ``d(u) = inf`` neighbor can never win the min; early rounds
+    therefore ship the small reached set, not all of |V|.
+
+    Scale shape per round: one ``broadcast="auto"`` join of the edge
+    list against the reached set and one min-exchange on ``dst``; the
+    driver holds no per-vertex data, the distance iterate is a
+    materialized |V|-sized dataset.
+
+    Returns ``(v, d)`` for vertices with ``d < inf`` after the last
+    round.
+    """
+    if rounds < 0:
+        raise ValueError("bfs_hops: rounds must be >= 0")
+    if source_mod < 1:
+        raise ValueError("bfs_hops: source_mod must be >= 1")
+    edges = edges.select_columns([src_col, dst_col])
+
+    def _vert_partial(tab: pa.Table) -> pa.Table:
+        v = pa.chunked_array([tab[src_col].combine_chunks(),
+                              tab[dst_col].combine_chunks()])
+        return pa.table({"v": v.combine_chunks().unique()})
+
+    verts = bucketed_map_groups(
+        edges.map_batches(_vert_partial, batch_format="pyarrow"),
+        ["v"], lambda t: t.group_by(["v"]).aggregate([]),
+        buckets=buckets, sort_within=False)
+
+    def _seed(tab: pa.Table) -> pa.Table:
+        v = tab["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = np.where(v % source_mod == 0, 0, inf).astype(np.int64)
+        return pa.table({"v": tab["v"], "d": pa.array(d)})
+
+    dist = verts.map_batches(_seed, batch_format="pyarrow").materialize()
+    dsch = dist.schema(fetch_if_missing=False)
+    if dsch is None:
+        return dist          # empty graph: nothing to search
+    vtype = dsch.base_schema.field("v").type
+    # schema anchor for the contribution exchange: with NO reached
+    # frontier (legal — e.g. zero sources this round) the contrib
+    # dataset would otherwise be empty AND schema-less, and the
+    # left_outer join below could not resolve its right-hand columns
+    contrib_seed = rd.from_arrow(pa.table(
+        {"v": pa.array([], vtype), "c": pa.array([], pa.int64())}))
+
+    for _ in range(rounds):
+        frontier = dist.map_batches(
+            lambda t: t.filter(pc.less(t["d"], pa.scalar(inf, pa.int64()))),
+            batch_format="pyarrow")
+        j = hash_join(edges, frontier, on=src_col, right_on="v",
+                      broadcast="auto")
+
+        def _contrib(tab: pa.Table) -> pa.Table:
+            part = pa.table({"v": tab[dst_col],
+                             "c": pc.add(tab["d"],
+                                         pa.scalar(1, pa.int64()))})
+            return agg_named(part, ["v"], [("c", "min")], ["c"])
+
+        contrib = bucketed_map_groups(
+            j.map_batches(_contrib, batch_format="pyarrow"),
+            ["v"], lambda t: agg_named(t, ["v"], [("c", "min")], ["c"]),
+            buckets=buckets, sort_within=False).union(contrib_seed)
+
+        nxt = hash_join(dist, contrib, on="v", how="left_outer",
+                        broadcast="auto")
+
+        def _apply(tab: pa.Table) -> pa.Table:
+            c = pc.fill_null(pc.cast(tab["c"], pa.int64()),
+                             pa.scalar(inf, pa.int64()))
+            return pa.table({"v": tab["v"],
+                             "d": pc.min_element_wise(tab["d"], c)})
+
+        dist = nxt.map_batches(_apply,
+                               batch_format="pyarrow").materialize()
+
+    return dist.map_batches(
+        lambda t: t.filter(pc.less(t["d"], pa.scalar(inf, pa.int64()))),
+        batch_format="pyarrow")

@@ -2202,6 +2202,41 @@ def test_kcore_peels_path_keeps_clique(ray_session):
     assert empty.num_rows == 0
 
 
+def test_bfs_hops_directed_chain_and_frontier_rounds(ray_session):
+    # directed chain 0->1->2->3->4 plus a back edge 4->0 and an
+    # isolated pair 10->11: sources are {v % 5 == 0} = {0, 10}.
+    # Hop distances follow edge direction only; vertex 11 is reached
+    # from 10 in one hop; nothing reaches 10 itself except d0.
+    from rayskema.functions.graph import bfs_hops
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (10, 11)]
+    tab = pa.table({"src": pa.array([a for a, _ in e], pa.int64()),
+                    "dst": pa.array([b for _, b in e], pa.int64())})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(bfs_hops(ds, "src", "dst", source_mod=5, rounds=6,
+                            buckets=2))
+    got = dict(zip(out["v"].to_pylist(), out["d"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 0, 11: 1}
+    # fixed-round contract: after 2 rounds the chain is known only
+    # to depth 2 — vertices 3 and 4 are still unreached and dropped
+    out2 = _collect(bfs_hops(ds, "src", "dst", source_mod=5, rounds=2,
+                             buckets=2))
+    got2 = dict(zip(out2["v"].to_pylist(), out2["d"].to_pylist()))
+    assert got2 == {0: 0, 1: 1, 2: 2, 10: 0, 11: 1}
+    # rounds=0: just the seeded sources
+    out0 = _collect(bfs_hops(ds, "src", "dst", source_mod=5, rounds=0,
+                             buckets=2))
+    got0 = dict(zip(out0["v"].to_pylist(), out0["d"].to_pylist()))
+    assert got0 == {0: 0, 10: 0}
+    # no sources at all (no vertex divisible by 97 — note 0 % m == 0,
+    # so the graph must not contain vertex 0): empty result must flow
+    # through every round without schema loss
+    tab2 = pa.table({"src": pa.array([1, 2], pa.int64()),
+                     "dst": pa.array([2, 3], pa.int64())})
+    none = _collect(bfs_hops(rd.from_arrow(tab2), "src", "dst",
+                             source_mod=97, rounds=3, buckets=2))
+    assert none.num_rows == 0
+
+
 def test_impute_by_group_strategies(ray_session):
     from rayskema.pipelines.relational import impute_by_group
     tab = pa.table({
