@@ -444,6 +444,22 @@ def _q_parts_basket_pairs(sf_dir: str):
                               buckets=8)
 
 
+def _q_parts_assoc_rules(sf_dir: str):
+    """Association rules over order baskets
+    (relational.association_rules): every directed part rule
+    ant -> cons with pair support >= 2 and confidence >= 1/10,
+    decided by the exact integer cross-product n_ab*10 >= n_ant*1 —
+    no float thresholds.  Emits the four exact integers (n_ab, n_ant,
+    n_cons, n_groups) from which confidence and lift are rationals,
+    so the SQL oracle hash-matches bit-for-bit."""
+    from rayskema.pipelines.relational import association_rules
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_pair_support=2, conf_num=1,
+                             conf_den=10, buckets=8)
+
+
 def _q_events_retention(sf_dir: str):
     """Weekly cohort retention — the classic product-analytics shape:
     per epoch-week, active users and how many stay active the NEXT
@@ -5253,6 +5269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_q9": _q_nations_q9,
         "lineitem_leadtime": _q_lineitem_leadtime,
         "parts_basket_pairs": _q_parts_basket_pairs,
+        "parts_assoc_rules": _q_parts_assoc_rules,
         "events_retention": _q_events_retention,
         "orders_events_asof_fwd": _q_orders_events_asof_fwd,
         "orders_status_names": _q_orders_status_names,
@@ -6670,6 +6687,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY n DESC, item_a, item_b
             LIMIT 15
+        """,
+        "parts_assoc_rules": """
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            ng AS (SELECT COUNT(DISTINCT g) AS n FROM bi),
+            isup AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY i),
+            pairs AS (
+                SELECT a.i AS x, b.i AS y, COUNT(*) AS nab
+                FROM bi a JOIN bi b
+                  ON a.g = b.g AND a.i < b.i
+                GROUP BY a.i, b.i
+                HAVING COUNT(*) >= 2),
+            dir AS (
+                SELECT x AS ant, y AS cons, nab FROM pairs
+                UNION ALL
+                SELECT y AS ant, x AS cons, nab FROM pairs)
+            SELECT d.ant, d.cons, CAST(d.nab AS BIGINT) AS n_ab,
+                   CAST(sa.ni AS BIGINT) AS n_ant,
+                   CAST(sc.ni AS BIGINT) AS n_cons,
+                   CAST(ng.n AS BIGINT) AS n_groups
+            FROM dir d
+            JOIN isup sa ON sa.i = d.ant
+            JOIN isup sc ON sc.i = d.cons
+            CROSS JOIN ng
+            WHERE d.nab * 10 >= sa.ni * 1
         """,
         "events_retention": """
             WITH p AS (

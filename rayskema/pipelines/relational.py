@@ -874,6 +874,149 @@ def cooccurrence_pairs(
                       descending=[True, False, False]).limit(k)
 
 
+def association_rules(
+    ds: "rd.Dataset", group_col: str, item_col: str, *,
+    min_pair_support: int = 2, conf_num: int = 1, conf_den: int = 10,
+    max_group: int = 10_000, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Market-basket association rules ``ant -> cons`` with EXACT
+    integer statistics: every directed rule whose pair support
+    ``n_ab >= min_pair_support`` and whose confidence
+    ``n_ab / n_ant >= conf_num / conf_den`` (decided by the integer
+    cross-product ``n_ab * conf_den >= n_ant * conf_num`` — no float
+    thresholds).  Output columns ``(ant, cons, n_ab, n_ant, n_cons,
+    n_groups)``; confidence and lift are exact rationals of these
+    four integers, so the caller (or the SQL oracle) derives them
+    without any float-summation-order ambiguity.
+
+    Scale shape — ONE basket-sized exchange: groups co-locate once on
+    ``group_col`` and the bucket emits three partial families in one
+    tagged table (pair counts from the streaming triu templates, item
+    supports from the same per-group dedup, and one distinct-group
+    count row per bucket).  Downstream exchanges move only distinct
+    pairs / items; the item-support side of the two rule joins rides
+    ``broadcast="auto"``.  Baskets larger than ``max_group`` raise,
+    exactly like :func:`cooccurrence_pairs`."""
+    from ..functions.dedup import _group_pair_chunks
+
+    def _partials(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(pc.and_(pc.is_valid(tab[group_col]),
+                                 pc.is_valid(tab[item_col])))
+        tab = tab.group_by([group_col, item_col]).aggregate([])
+        tab = tab.sort_by([(group_col, "ascending"),
+                           (item_col, "ascending")])
+        t = tab[item_col].type
+        if tab.num_rows == 0:
+            return pa.table({
+                "item_a": pa.array([], type=t),
+                "item_b": pa.array([], type=t),
+                "n": pa.array([], type=pa.int64()),
+                "tag": pa.array([], type=pa.int8())})
+        new = segment_starts(tab, [group_col])
+        firsts = np.flatnonzero(new)
+        counts = np.diff(np.append(firsts, tab.num_rows))
+        if counts.max() > max_group:
+            raise ValueError(
+                f"a group holds {int(counts.max())} items "
+                f"(> max_group={max_group}); filter degenerate "
+                "baskets upstream")
+        items = tab[item_col].combine_chunks()
+        parts = []
+        for ia, ib in _group_pair_chunks(counts, firsts,
+                                         max_group=max_group):
+            chunk = pa.table({
+                "item_a": items.take(pa.array(ia)),
+                "item_b": items.take(pa.array(ib)),
+                "__one": pa.array(np.ones(len(ia), dtype=np.int64))})
+            parts.append(agg_named(chunk, ["item_a", "item_b"],
+                                   [("__one", "sum")], ["n"]))
+        pair = (agg_named(pa.concat_tables(parts),
+                          ["item_a", "item_b"], [("n", "sum")], ["n"])
+                if parts else pa.table({
+                    "item_a": pa.array([], type=t),
+                    "item_b": pa.array([], type=t),
+                    "n": pa.array([], type=pa.int64())}))
+        pair = pair.append_column(
+            "tag", pa.array(np.zeros(pair.num_rows, dtype=np.int8)))
+        # item supports: the (group, item) rows are already distinct
+        vc = items.value_counts()
+        isup = pa.table({
+            "item_a": vc.field("values"),
+            "item_b": pa.nulls(len(vc), type=t),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+            "tag": pa.array(np.ones(len(vc), dtype=np.int8))})
+        # distinct groups seen by this bucket (groups never split)
+        gcnt = pa.table({
+            "item_a": pa.nulls(1, type=t),
+            "item_b": pa.nulls(1, type=t),
+            "n": pa.array([len(firsts)], pa.int64()),
+            "tag": pa.array([2], pa.int8())})
+        return pa.concat_tables([pair, isup, gcnt])
+
+    local = bucketed_map_groups(
+        ds.select_columns([group_col, item_col]), [group_col],
+        _partials, buckets=buckets, sort_within=False).materialize()
+
+    def _only(tag: int):
+        def fn(tab: pa.Table) -> pa.Table:
+            return tab.filter(pc.equal(tab["tag"],
+                                       pa.scalar(tag, pa.int8())))
+        return fn
+
+    pairs = group_agg(
+        local.map_batches(_only(0), batch_format="pyarrow")
+        .select_columns(["item_a", "item_b", "n"]),
+        ["item_a", "item_b"], [("n", "sum", "n_ab")],
+        buckets=buckets).map_batches(
+        lambda tab: tab.filter(pc.greater_equal(
+            tab["n_ab"], pa.scalar(min_pair_support, pa.int64()))),
+        batch_format="pyarrow")
+    isup = group_agg(
+        local.map_batches(_only(1), batch_format="pyarrow")
+        .select_columns(["item_a", "n"]),
+        ["item_a"], [("n", "sum", "ni")], buckets=buckets)
+    n_groups = sum(
+        r["n"] for r in local.map_batches(
+            _only(2), batch_format="pyarrow")
+        .select_columns(["n"]).take_all())
+
+    def _sym(tab: pa.Table) -> pa.Table:
+        ant = pa.chunked_array([tab["item_a"].combine_chunks(),
+                                tab["item_b"].combine_chunks()])
+        cons = pa.chunked_array([tab["item_b"].combine_chunks(),
+                                 tab["item_a"].combine_chunks()])
+        nab = pa.chunked_array([tab["n_ab"].combine_chunks()] * 2)
+        return pa.table({"ant": ant.combine_chunks(),
+                         "cons": cons.combine_chunks(),
+                         "n_ab": nab.combine_chunks()})
+
+    rules = pairs.map_batches(_sym, batch_format="pyarrow")
+    rules = hash_join(rules, isup, on="ant", right_on="item_a",
+                      broadcast="auto")
+    rules = rules.map_batches(
+        lambda tab: tab.rename_columns(
+            [("n_ant" if c == "ni" else c) for c in tab.column_names]),
+        batch_format="pyarrow")
+    rules = hash_join(rules, isup, on="cons", right_on="item_a",
+                      broadcast="auto")
+
+    def _finish(tab: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply_checked(tab["n_ab"],
+                                pa.scalar(conf_den, pa.int64())),
+            pc.multiply_checked(tab["n_ant"],
+                                pa.scalar(conf_num, pa.int64())))
+        tab = tab.filter(keep)
+        return pa.table({
+            "ant": tab["ant"], "cons": tab["cons"],
+            "n_ab": tab["n_ab"], "n_ant": tab["n_ant"],
+            "n_cons": tab["ni"],
+            "n_groups": pa.array(
+                np.full(tab.num_rows, n_groups, dtype=np.int64))})
+
+    return rules.map_batches(_finish, batch_format="pyarrow")
+
+
 def group_agg_distinct(
     ds: "rd.Dataset", group_col: str,
     aggs: Sequence[tuple[str, str, str]],

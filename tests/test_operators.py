@@ -2178,6 +2178,36 @@ def test_mmr_select_vs_local_greedy(ray_session):
     assert out == want               # k=50 > n=40: stops at n picks
 
 
+def test_association_rules_exact_integer_stats(ray_session):
+    # baskets: g1={A,B,C} g2={A,B} g3={A,B} g4={A,C} g5={B}; N=5
+    # supports A=4 B=4 C=2; pairs (A,B)=3 (A,C)=2 (B,C)=1
+    from rayskema.pipelines.relational import association_rules
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+            (3, "A"), (3, "B"), (4, "A"), (4, "C"), (5, "B"),
+            (2, "A"),            # duplicate item in a basket: once
+            (None, "X"), (6, None)]   # null keys drop entirely
+    tab = pa.table({"g": pa.array([g for g, _ in rows], pa.int64()),
+                    "i": pa.array([i for _, i in rows])})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(association_rules(
+        ds, "g", "i", min_pair_support=2, conf_num=3, conf_den=5,
+        buckets=2))
+    got = {(r["ant"], r["cons"]): (r["n_ab"], r["n_ant"], r["n_cons"],
+                                   r["n_groups"])
+           for r in out.to_pylist()}
+    # conf >= 3/5 keeps A->B (3/4), B->A (3/4), C->A (2/2);
+    # A->C (2/4) fails 2*5 >= 4*3; (B,C)=1 below min support
+    assert got == {("A", "B"): (3, 4, 4, 5),
+                   ("B", "A"): (3, 4, 4, 5),
+                   ("C", "A"): (2, 2, 4, 5)}
+    # threshold 1/2 admits A->C on the exact boundary (2*2 == 4*1)
+    out2 = _collect(association_rules(
+        ds, "g", "i", min_pair_support=2, conf_num=1, conf_den=2,
+        buckets=2))
+    assert sorted((r["ant"], r["cons"]) for r in out2.to_pylist()) \
+        == [("A", "B"), ("A", "C"), ("B", "A"), ("C", "A")]
+
+
 def test_kcore_peels_path_keeps_clique(ray_session):
     # K5 clique (0-4) + a path 4-5-6-7-8: the path needs one peel
     # round per tail vertex (degree cascades), the clique survives
