@@ -4692,6 +4692,26 @@ def _q_events_cusum(sf_dir: str):
                                "alarm"])
 
 
+def _q_events_autocorr(sf_dir: str):
+    """Lag-1 autocovariance statistics per event type
+    (relational.group_autocorr): each event pairs with the previous
+    event of its type in (ts, event_id) order, and the type emits the
+    six exact int64 sums (n_pairs, s_a, s_b, s_ab, s_aa, s_bb) from
+    which the autocorrelation is a downstream rational — the SQL
+    mirror is LAG(v) OVER (PARTITION BY ... ORDER BY ...) + integer
+    SUMs, bit-identical."""
+    from rayskema.pipelines.relational import group_autocorr
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id",
+                                  "value"]) \
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "value_c": _cents(t["value"])}), batch_format="pyarrow")
+    return group_autocorr(ds, "event_type", ["ts", "event_id"],
+                          "value_c", lag=1, buckets=4)
+
+
 def _q_events_cumulative_users(sf_dir: str):
     """Cumulative-distinct growth curve: per event type and epoch-day,
     how many DISTINCT users have appeared so far.  A running
@@ -5252,6 +5272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative_users": _q_events_cumulative_users,
         "events_rolling_centered": _q_events_rolling_centered,
         "events_cusum": _q_events_cusum,
+        "events_autocorr": _q_events_autocorr,
         "events_ab_test": _q_events_ab_test,
         "lineitem_rolling_ols": _q_lineitem_rolling_ols,
         "events_type_overlap": _q_events_type_overlap,
@@ -7964,6 +7985,29 @@ def oracle_sql() -> dict[str, str]:
                             * (n_a + n_b - conv_a - conv_b))
                        AS BIGINT) AS z2_ppm
             FROM c
+        """,
+        "events_autocorr": """
+            WITH src AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       ts, event_id
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL),
+            lagd AS (
+                SELECT event_type, v,
+                       LAG(v, 1) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS pv
+                FROM src)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(v) AS BIGINT) AS s_a,
+                   CAST(SUM(pv) AS BIGINT) AS s_b,
+                   CAST(SUM(v * pv) AS BIGINT) AS s_ab,
+                   CAST(SUM(v * v) AS BIGINT) AS s_aa,
+                   CAST(SUM(pv * pv) AS BIGINT) AS s_bb
+            FROM lagd
+            WHERE pv IS NOT NULL
+            GROUP BY event_type
         """,
         "events_cusum": """
             WITH t AS (

@@ -4714,6 +4714,101 @@ def group_rolling_ols(
                                sort_within=False)
 
 
+def group_autocorr(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, lag: int = 1,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group lag-``lag`` autocovariance statistics as EXACT int64
+    sums: each row pairs with the row ``lag`` positions earlier in the
+    group's ``order_cols`` order, and the group emits
+
+        (n_pairs, s_a, s_b, s_ab, s_aa, s_bb)
+
+    where ``a`` is the current side and ``b`` the lagged side —
+    autocorrelation is the rational
+    ``(n·s_ab − s_a·s_b) / √((n·s_aa − s_a²)(n·s_bb − s_b²))`` of
+    these integers, derived downstream so no float summation order
+    ever disagrees with the SQL mirror (``LAG(v) OVER (PARTITION BY g
+    ORDER BY ...)`` + integer SUMs).
+
+    ``value_col`` must be integer-scaled by the caller with
+    ``Σ v²`` per group inside int64 (cents are fine); rows with a
+    null value or null order key are dropped BEFORE pairing (mirror
+    the same WHERE in SQL).  Groups with fewer than ``lag + 1``
+    surviving rows produce no output row.
+
+    One hash exchange on ``group_col``; pair sums are vectorized
+    ``np.add.reduceat`` segments over the bucket-sorted arrays."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    order_cols = list(order_cols)
+
+    def _stats(tab: pa.Table) -> pa.Table:
+        keep = pc.is_valid(tab[value_col])
+        for c in order_cols:
+            keep = pc.and_(keep, pc.is_valid(tab[c]))
+        tab = tab.filter(keep)
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        gty = tab[group_col].type
+        empty = pa.table({
+            group_col: pa.array([], type=gty),
+            "n_pairs": pa.array([], pa.int64()),
+            "s_a": pa.array([], pa.int64()),
+            "s_b": pa.array([], pa.int64()),
+            "s_ab": pa.array([], pa.int64()),
+            "s_aa": pa.array([], pa.int64()),
+            "s_bb": pa.array([], pa.int64())})
+        n = tab.num_rows
+        if n == 0:
+            return empty
+        if not pa.types.is_integer(tab[value_col].type):
+            raise TypeError(f"{value_col} must be integer-scaled")
+        v = tab[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_g = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        gid = np.repeat(np.arange(len(starts)), sizes)
+        gstart = np.repeat(starts, sizes)
+        idx = np.arange(n)
+        valid = idx - gstart >= lag
+        if not valid.any():
+            return empty
+        cur_i = np.flatnonzero(valid)
+        a = v[cur_i]
+        b = v[cur_i - lag]
+        seg = gid[cur_i]                      # sorted, per pair
+        pstart = np.flatnonzero(np.diff(seg, prepend=-1))
+        n_pairs = np.diff(np.append(pstart, len(seg)))
+        vmax = int(np.abs(v).max())
+        if vmax * vmax > 2**62:
+            raise OverflowError(
+                "group_autocorr: v² exceeds int64 — rescale "
+                "value_col")
+        prod = a * b
+
+        def _seg(x):
+            return np.add.reduceat(x, pstart)
+
+        keys = tab[group_col].combine_chunks().take(
+            pa.array(starts[seg[pstart]]))
+        return pa.table({
+            group_col: keys,
+            "n_pairs": pa.array(n_pairs.astype(np.int64)),
+            "s_a": pa.array(_seg(a)),
+            "s_b": pa.array(_seg(b)),
+            "s_ab": pa.array(_seg(prod)),
+            "s_aa": pa.array(_seg(a * a)),
+            "s_bb": pa.array(_seg(b * b))})
+
+    cols = list(dict.fromkeys([group_col] + order_cols + [value_col]))
+    return bucketed_map_groups(ds.select_columns(cols), [group_col],
+                               _stats, buckets=buckets,
+                               sort_within=False)
+
+
 @ray.remote(num_cpus=0.5)
 def _block_sum64(tab: pa.Table, col: str) -> int:
     if col not in tab.column_names or not tab.num_rows:

@@ -2178,6 +2178,28 @@ def test_mmr_select_vs_local_greedy(ray_session):
     assert out == want               # k=50 > n=40: stops at n picks
 
 
+def test_group_autocorr_lag_pairs_exact(ray_session):
+    from rayskema.pipelines.relational import group_autocorr
+    tab = pa.table({
+        "g": pa.array(list("aaaab" "ccc")),
+        "o": pa.array([1, 2, 3, 4, 1, 1, 2, 3], pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 5, 3, None, 7], pa.int64())})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(group_autocorr(ds, "g", ["o"], "v", lag=1,
+                                  buckets=2))
+    got = {r["g"]: (r["n_pairs"], r["s_a"], r["s_b"], r["s_ab"],
+                    r["s_aa"], r["s_bb"]) for r in out.to_pylist()}
+    # "b" has one row (no pair); "c"'s null row drops before pairing,
+    # so its surviving values 3,7 become adjacent
+    assert got == {"a": (3, 14, 7, 42, 84, 21),
+                   "c": (1, 7, 3, 21, 49, 9)}
+    out2 = _collect(group_autocorr(ds, "g", ["o"], "v", lag=2,
+                                   buckets=2))
+    got2 = {r["g"]: (r["n_pairs"], r["s_a"], r["s_b"], r["s_ab"],
+                     r["s_aa"], r["s_bb"]) for r in out2.to_pylist()}
+    assert got2 == {"a": (2, 12, 3, 20, 80, 5)}
+
+
 def test_association_rules_exact_integer_stats(ray_session):
     # baskets: g1={A,B,C} g2={A,B} g3={A,B} g4={A,C} g5={B}; N=5
     # supports A=4 B=4 C=2; pairs (A,B)=3 (A,C)=2 (B,C)=1
