@@ -4692,6 +4692,33 @@ def _q_events_cusum(sf_dir: str):
                                "alarm"])
 
 
+def _q_events_seq_pattern(sf_dir: str):
+    """Sequence-shape validation per user
+    (relational.sequence_pattern_flags): each user's event-type
+    initials concatenate in (ts, event_id) order and two RE2 patterns
+    flag the shape — did the journey start with signup-or-view, and
+    did it ever hit two consecutive errors?  Arrow and DuckDB both
+    run RE2, so string_agg + regexp_matches mirrors the flags
+    bit-for-bit."""
+    from rayskema.pipelines.relational import sequence_pattern_flags
+
+    def _prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "tok": pc.utf8_slice_codeunits(t["event_type"], 0, 1),
+        }).filter(pc.is_valid(t["ts"]))
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"]).map_batches(
+        _prep, batch_format="pyarrow")
+    return sequence_pattern_flags(
+        ds, "user_id", "tok", ["ts", "event_id"],
+        patterns={"starts_ok": "^[sv]", "double_error": "ee"},
+        buckets=4)
+
+
 def _q_events_autocorr(sf_dir: str):
     """Lag-1 autocovariance statistics per event type
     (relational.group_autocorr): each event pairs with the previous
@@ -5273,6 +5300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_centered": _q_events_rolling_centered,
         "events_cusum": _q_events_cusum,
         "events_autocorr": _q_events_autocorr,
+        "events_seq_pattern": _q_events_seq_pattern,
         "events_ab_test": _q_events_ab_test,
         "lineitem_rolling_ols": _q_lineitem_rolling_ols,
         "events_type_overlap": _q_events_type_overlap,
@@ -7985,6 +8013,19 @@ def oracle_sql() -> dict[str, str]:
                             * (n_a + n_b - conv_a - conv_b))
                        AS BIGINT) AS z2_ppm
             FROM c
+        """,
+        "events_seq_pattern": """
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events
+                WHERE ts IS NOT NULL
+                GROUP BY user_id)
+            SELECT user_id, seq,
+                   regexp_matches(seq, '^[sv]') AS starts_ok,
+                   regexp_matches(seq, 'ee') AS double_error
+            FROM s
         """,
         "events_autocorr": """
             WITH src AS (

@@ -2331,6 +2331,39 @@ def group_concat(
         buckets=buckets, sort_within=False)
 
 
+def sequence_pattern_flags(
+    ds: "rd.Dataset", group_col: str, token_col: str,
+    order_cols: Sequence[str], *, patterns: dict[str, str],
+    sep: str = "", out_col: str = "seq",
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sequence-shape validation per group (the transcript engine's
+    MATCH_RECOGNIZE-lite): the group's ``token_col`` values concatenate
+    in ``order_cols`` order (``sep`` between tokens) and each named
+    RE2 ``patterns`` entry emits a boolean column — True iff the
+    regex FINDS a match in the sequence string (anchor with ``^``/``$``
+    inside the pattern for full-sequence shapes).  Arrow and DuckDB
+    both run RE2, so ``regexp_matches(seq, pattern)`` mirrors every
+    flag bit-for-bit.
+
+    Output: ``(group, out_col, <one bool col per pattern>)``.  A group
+    whose tokens are all null has a NULL sequence and NULL flags (SQL
+    semantics).  One hash exchange (``group_concat``) plus a
+    per-batch vectorized regex pass; the sequence string is O(group
+    turns) — transcripts are bounded by the DoS byte caps upstream,
+    but pass ``sep`` and single-char tokens to keep it minimal."""
+    seqs = group_concat(ds, group_col, token_col, order_cols,
+                        sep=sep, out_col=out_col, buckets=buckets)
+
+    def _flags(tab: pa.Table) -> pa.Table:
+        out = {group_col: tab[group_col], out_col: tab[out_col]}
+        for name, rx in patterns.items():
+            out[name] = pc.match_substring_regex(tab[out_col], rx)
+        return pa.table(out)
+
+    return seqs.map_batches(_flags, batch_format="pyarrow")
+
+
 def group_rolling_time(
     ds: "rd.Dataset", group_col: str, ts_col: str, value_col: str, *,
     width: int, following: int = 0, buckets: int | None = None,

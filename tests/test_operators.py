@@ -2178,6 +2178,25 @@ def test_mmr_select_vs_local_greedy(ray_session):
     assert out == want               # k=50 > n=40: stops at n picks
 
 
+def test_sequence_pattern_flags(ray_session):
+    from rayskema.pipelines.relational import sequence_pattern_flags
+    tab = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "o": pa.array([2, 1, 3, 1, 2, 1, 2], pa.int64()),
+        "tok": pa.array(["b", "a", "c", "x", "y", None, None])})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(sequence_pattern_flags(
+        ds, "g", "tok", ["o"],
+        patterns={"starts_a": "^a", "has_bc": "bc"}, buckets=2))
+    got = {r["g"]: (r["seq"], r["starts_a"], r["has_bc"])
+           for r in out.to_pylist()}
+    # order col reorders group 1 to a,b,c; group 3 is all-null ->
+    # NULL sequence and NULL flags (SQL string_agg semantics)
+    assert got == {1: ("abc", True, True),
+                   2: ("xy", False, False),
+                   3: (None, None, None)}
+
+
 def test_group_autocorr_lag_pairs_exact(ray_session):
     from rayskema.pipelines.relational import group_autocorr
     tab = pa.table({
