@@ -2178,6 +2178,44 @@ def test_mmr_select_vs_local_greedy(ray_session):
     assert out == want               # k=50 > n=40: stops at n picks
 
 
+def test_group_autocorr_random_vs_brute(ray_session):
+    # 1200 rows / 40 groups / duplicate-free order keys, lag in {1,3}:
+    # the reduceat segmentation must agree with a per-group Python
+    # brute force everywhere (seeded — deterministic)
+    from rayskema.pipelines.relational import group_autocorr
+    rng = np.random.default_rng(7)
+    n = 1200
+    g = rng.integers(0, 40, n)
+    o = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-500, 500, n).astype(np.int64)
+    null_at = rng.random(n) < 0.05
+    vals = [None if m else int(x) for x, m in zip(v, null_at)]
+    tab = pa.table({"g": pa.array(g, pa.int64()),
+                    "o": pa.array(o), "v": pa.array(vals, pa.int64())})
+    ds = rd.from_arrow(tab).repartition(5)
+    for lag in (1, 3):
+        out = _collect(group_autocorr(ds, "g", ["o"], "v", lag=lag,
+                                      buckets=3))
+        got = {r["g"]: (r["n_pairs"], r["s_a"], r["s_b"], r["s_ab"],
+                        r["s_aa"], r["s_bb"]) for r in out.to_pylist()}
+        want = {}
+        for gv in np.unique(g):
+            rows = sorted((int(oo), vv) for oo, vv, gg, m
+                          in zip(o, vals, g, null_at)
+                          if gg == gv and not m)
+            seq = [vv for _, vv in rows]
+            pairs = [(seq[i], seq[i - lag])
+                     for i in range(lag, len(seq))]
+            if pairs:
+                want[int(gv)] = (
+                    len(pairs), sum(a for a, _ in pairs),
+                    sum(b for _, b in pairs),
+                    sum(a * b for a, b in pairs),
+                    sum(a * a for a, _ in pairs),
+                    sum(b * b for _, b in pairs))
+        assert got == want, f"lag={lag}"
+
+
 def test_sequence_pattern_flags(ray_session):
     from rayskema.pipelines.relational import sequence_pattern_flags
     tab = pa.table({
@@ -2247,6 +2285,44 @@ def test_association_rules_exact_integer_stats(ray_session):
         buckets=2))
     assert sorted((r["ant"], r["cons"]) for r in out2.to_pylist()) \
         == [("A", "B"), ("A", "C"), ("B", "A"), ("C", "A")]
+
+
+def test_association_rules_random_vs_brute(ray_session):
+    # 150 baskets / 12 items, seeded: supports, confidence filtering
+    # and the direction expansion must match a set-based brute force
+    from rayskema.pipelines.relational import association_rules
+    from itertools import combinations
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 150, 900)
+    i = rng.integers(0, 12, 900)
+    tab = pa.table({"g": pa.array(g, pa.int64()),
+                    "i": pa.array(i, pa.int64())})
+    ds = rd.from_arrow(tab).repartition(4)
+    out = _collect(association_rules(ds, "g", "i",
+                                     min_pair_support=3, conf_num=2,
+                                     conf_den=5, buckets=3))
+    got = {(r["ant"], r["cons"]): (r["n_ab"], r["n_ant"], r["n_cons"],
+                                   r["n_groups"])
+           for r in out.to_pylist()}
+    baskets = {}
+    for gg, ii in zip(g, i):
+        baskets.setdefault(int(gg), set()).add(int(ii))
+    ng = len(baskets)
+    isup, pair = {}, {}
+    for items in baskets.values():
+        for it in items:
+            isup[it] = isup.get(it, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    want = {}
+    for (a, b), nab in pair.items():
+        if nab < 3:
+            continue
+        for ant, cons in ((a, b), (b, a)):
+            if nab * 5 >= isup[ant] * 2:
+                want[(ant, cons)] = (nab, isup[ant], isup[cons], ng)
+    assert got == want
+    assert want  # the seed must actually produce rules
 
 
 def test_kcore_peels_path_keeps_clique(ray_session):
