@@ -5063,6 +5063,42 @@ def _q_graph_kcore(sf_dir: str):
     return kcore(edges, "src", "dst", k=3, rounds=6, buckets=8)
 
 
+def _q_docs_dedup_eval(sf_dir: str):
+    """Dedup-quality evaluation (verdict contract): the raw
+    MinHash+LSH candidate pairs (word-trigram signatures, estimate
+    threshold 0.5, NO exact verify) are scored against the exact
+    word-trigram Jaccard >= 0.6 ground truth computed in-query by
+    ngram_jaccard_near_dup_pairs.  Emits the SQL-recomputable truth
+    count plus recall/precision >= 0.9 flags — a recall regression in
+    the banding or a precision collapse flips a flag and fails the
+    driver hash; the truth count pins the oracle to the real
+    all-pairs Jaccard, not a constant."""
+    from rayskema.functions.dedup import (minhash_lsh_pairs,
+                                          ngram_jaccard_near_dup_pairs)
+    from rayskema.pipelines.relational import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    truth = ngram_jaccard_near_dup_pairs(ds, "text", "doc_id",
+                                         jaccard_threshold=0.6)
+    if isinstance(truth, pa.Table):
+        truth = rd.from_arrow(truth)
+    truth = truth.select_columns(["id_a", "id_b"]).materialize()
+    cand = minhash_lsh_pairs(ds, "text", "doc_id", n_perm=64,
+                             bands=16, jaccard_threshold=0.5,
+                             shingles="word3") \
+        .select_columns(["id_a", "id_b"]).materialize()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    tp = hash_join(cand, truth, on=["id_a", "id_b"],
+                   how="left_semi", broadcast="auto").count()
+    recall_ok = n_truth == 0 or tp >= 0.9 * n_truth
+    precision_ok = n_cand == 0 or tp >= 0.9 * n_cand
+    return pa.table({
+        "n_truth": pa.array([n_truth], pa.int64()),
+        "recall_ok": pa.array([bool(recall_ok)]),
+        "precision_ok": pa.array([bool(precision_ok)])})
+
+
 def _q_graph_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distances (functions/graph.bfs_hops): 6
     synchronous min-plus rounds over the DIRECTED co-purchase graph
@@ -5282,6 +5318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
         "graph_bfs_hops": _q_graph_bfs_hops,
+        "docs_dedup_eval": _q_docs_dedup_eval,
         "graph_labelprop": _q_graph_labelprop,
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
@@ -5662,6 +5699,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM p WHERE j >= 0.6
+        """,
+        "docs_dedup_eval": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                    AS s
+                FROM t),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT (SELECT COUNT(*) FROM p WHERE j >= 0.6)::BIGINT
+                       AS n_truth,
+                   TRUE AS recall_ok, TRUE AS precision_ok
         """,
         "docs_common_substrings": """
             WITH w AS (
