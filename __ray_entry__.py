@@ -3271,6 +3271,31 @@ def _q_events_dow_hour(sf_dir: str):
                       ("value_c", "count", "n")], buckets=4)
 
 
+def _q_events_independence(sf_dir: str):
+    """Two-way independence profile of event_type × day-of-week
+    (profile.crosstab_deviation): per observed cell the exact integer
+    contingency statistics and the signed deviation rational
+    (o·n − row_n·col_n) / (n·row_n·col_n) — the χ² cell contribution
+    without any float summation.  One fact exchange; margins reduce
+    from the cells and broadcast back."""
+    import pyarrow.compute as pc
+    from rayskema.functions.profile import crosstab_deviation
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), pa.scalar(1, pa.int64()))
+        return pa.table({
+            "event_type": t["event_type"],
+            "dow": pc.cast(pc.if_else(pc.equal(dow, 7),
+                                      pa.scalar(0, pa.int64()), dow),
+                           pa.int64())})
+
+    return crosstab_deviation(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        "event_type", "dow", buckets=4)
+
+
 def _q_docs_top_tokens_approx(sf_dir: str):
     """Approximate corpus heavy hitters (count-min + per-block
     candidates): constant-size sketch partials replace the vocabulary
@@ -5337,6 +5362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_centered": _q_events_rolling_centered,
         "events_cusum": _q_events_cusum,
         "events_autocorr": _q_events_autocorr,
+        "events_independence": _q_events_independence,
         "events_seq_pattern": _q_events_seq_pattern,
         "events_ab_test": _q_events_ab_test,
         "lineitem_rolling_ols": _q_lineitem_rolling_ols,
@@ -8070,6 +8096,34 @@ def oracle_sql() -> dict[str, str]:
                             * (n_a + n_b - conv_a - conv_b))
                        AS BIGINT) AS z2_ppm
             FROM c
+        """,
+        "events_independence": """
+            WITH src AS (
+                SELECT event_type, dayofweek(ts) AS dow
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            cells AS (
+                SELECT event_type, dow, COUNT(*) AS o
+                FROM src GROUP BY 1, 2),
+            rows_m AS (
+                SELECT event_type, SUM(o) AS row_n
+                FROM cells GROUP BY 1),
+            cols_m AS (
+                SELECT dow, SUM(o) AS col_n FROM cells GROUP BY 1),
+            tot AS (SELECT SUM(o) AS n FROM cells)
+            SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+                   CAST(c.o AS BIGINT) AS o,
+                   CAST(r.row_n AS BIGINT) AS row_n,
+                   CAST(cm.col_n AS BIGINT) AS col_n,
+                   CAST(t.n AS BIGINT) AS n,
+                   CAST(c.o * t.n - r.row_n * cm.col_n AS BIGINT)
+                       AS dev_num,
+                   CAST(t.n * r.row_n * cm.col_n AS BIGINT)
+                       AS dev_den
+            FROM cells c
+            JOIN rows_m r USING (event_type)
+            JOIN cols_m cm USING (dow)
+            CROSS JOIN tot t
         """,
         "events_seq_pattern": """
             WITH s AS (

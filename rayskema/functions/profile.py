@@ -949,3 +949,83 @@ def group_outliers(
                             "n": t["n"],
                             "n_outliers": pc.cast(t["f"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def crosstab_deviation(
+    ds: "rd.Dataset", row_col: str, col_col: str, *,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Independence-test profile of a two-way contingency table: for
+    every observed ``(row, col)`` cell emit the EXACT integer
+    statistics
+
+        (row, col, o, row_n, col_n, n, dev_num, dev_den)
+
+    where ``o`` is the cell count, ``row_n``/``col_n`` the margins,
+    ``n`` the grand total, and the signed independence deviation is
+    the exact rational ``dev_num / dev_den = (o·n − row_n·col_n) /
+    (n·row_n·col_n)`` — the chi-square cell contribution is
+    ``dev_num² / (dev_den·…)`` downstream, and Σ o·dev keeps every
+    comparison in integers (no float χ² summation order to disagree
+    about).  Rows with a null key on either side are dropped (SQL
+    GROUP BY would keep a NULL class; mirror the WHERE).
+
+    Scale shape: ONE exchange on the composite key builds the cell
+    counts; margins reduce FROM the cells (vocabulary-sized — two
+    tiny exchanges) and ride back as ``broadcast="auto"`` joins, so
+    the fact table is read once.  Overflow: requires
+    ``n·row_n·col_n < 2^63`` (checked) — at 100 TB pre-bucket the
+    fact stream by time/shard first or scale counts down.
+    """
+    from ..pipelines.relational import group_agg, hash_join
+
+    def _drop_nulls(tab: pa.Table) -> pa.Table:
+        return tab.filter(pc.and_(pc.is_valid(tab[row_col]),
+                                  pc.is_valid(tab[col_col])))
+
+    src = ds.select_columns([row_col, col_col]).map_batches(
+        _drop_nulls, batch_format="pyarrow")
+
+    def _cell_partial(tab: pa.Table) -> pa.Table:
+        g = tab.group_by([row_col, col_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({row_col: g[row_col], col_col: g[col_col],
+                         "o": pc.cast(g["count_all"], pa.int64())})
+
+    cells = group_agg(
+        src.map_batches(_cell_partial, batch_format="pyarrow"),
+        [row_col, col_col], [("o", "sum", "o")],
+        buckets=buckets).materialize()
+
+    rows = group_agg(cells, [row_col], [("o", "sum", "row_n")],
+                     buckets=buckets)
+    cols = group_agg(cells, [col_col], [("o", "sum", "col_n")],
+                     buckets=buckets)
+    n = sum(r["o"] for r in cells.select_columns(["o"]).take_all())
+
+    out = hash_join(cells, rows, on=row_col, broadcast="auto")
+    out = hash_join(out, cols, on=col_col, broadcast="auto")
+
+    def _dev(tab: pa.Table) -> pa.Table:
+        o = tab["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        rn = tab["row_n"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cn = tab["col_n"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(o):
+            worst = int(n) * int(rn.max()) * int(cn.max())
+            if worst > 2**63 - 1:
+                raise OverflowError(
+                    "crosstab_deviation: n·row_n·col_n exceeds "
+                    "int64 — pre-aggregate or rescale")
+        num = o * np.int64(n) - rn * cn
+        den = np.int64(n) * rn * cn
+        return pa.table({
+            row_col: tab[row_col], col_col: tab[col_col],
+            "o": tab["o"], "row_n": tab["row_n"],
+            "col_n": tab["col_n"],
+            "n": pa.array(np.full(len(o), n, dtype=np.int64)),
+            "dev_num": pa.array(num.astype(np.int64)),
+            "dev_den": pa.array(den.astype(np.int64))})
+
+    return out.map_batches(_dev, batch_format="pyarrow")

@@ -2235,6 +2235,25 @@ def test_sequence_pattern_flags(ray_session):
                    3: (None, None, None)}
 
 
+def test_crosstab_deviation_exact_rationals(ray_session):
+    from rayskema.functions.profile import crosstab_deviation
+    tab = pa.table({"r": pa.array(["a", "a", "a", "b", "b", None]),
+                    "c": pa.array(["x", "x", "y", "x", "y", "x"])})
+    out = _collect(crosstab_deviation(
+        rd.from_arrow(tab).repartition(3), "r", "c", buckets=2))
+    got = {(r["r"], r["c"]): (r["o"], r["row_n"], r["col_n"], r["n"],
+                              r["dev_num"], r["dev_den"])
+           for r in out.to_pylist()}
+    # null row key drops; n=5; cell (a,x): dev = (2*5-3*3)/(5*3*3)
+    assert got == {("a", "x"): (2, 3, 3, 5, 1, 45),
+                   ("a", "y"): (1, 3, 2, 5, -1, 30),
+                   ("b", "x"): (1, 2, 3, 5, -1, 30),
+                   ("b", "y"): (1, 2, 2, 5, 1, 20)}
+    # sanity: Σ(o·n − row_n·col_n) = n² − (Σrow)(Σcol) = 0 whenever
+    # every (row, col) combination is observed
+    assert sum(r["dev_num"] for r in out.to_pylist()) == 0
+
+
 def test_group_autocorr_lag_pairs_exact(ray_session):
     from rayskema.pipelines.relational import group_autocorr
     tab = pa.table({
