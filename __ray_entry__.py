@@ -3271,6 +3271,41 @@ def _q_events_dow_hour(sf_dir: str):
                       ("value_c", "count", "n")], buckets=4)
 
 
+def _q_events_interpolate(sf_dir: str):
+    """Per-user linear interpolation of missing values
+    (relational.interpolate_by_group): values at event_id % 7 == 0
+    are masked to NULL deterministically, then each masked value
+    between two surviving neighbors becomes the exact rational
+    (a·(p1−p0) + (b−a)·(p−p0)) / (p1−p0) over row positions in
+    (ts, event_id) order — emitted as int64 num/den so the IGNORE
+    NULLS window-pair SQL mirror hash-matches with no float division."""
+    from rayskema.pipelines.relational import interpolate_by_group
+
+    def _prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = _cents(t["value"])
+        hole = pc.equal(
+            pc.subtract(t["event_id"],
+                        pc.multiply(pc.divide(t["event_id"],
+                                              pa.scalar(7, pa.int64())),
+                                    pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "v_c": pc.if_else(hole, pa.nulls(t.num_rows, pa.int64()),
+                              vc),
+        }).filter(pc.is_valid(t["ts"]))
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "value"]).map_batches(
+        _prep, batch_format="pyarrow")
+    out = interpolate_by_group(ds, "user_id", ["ts", "event_id"],
+                               "v_c", buckets=4)
+    return out.select_columns(["user_id", "event_id", "v_c",
+                               "interp_num", "interp_den"])
+
+
 def _q_events_independence(sf_dir: str):
     """Two-way independence profile of event_type × day-of-week
     (profile.crosstab_deviation): per observed cell the exact integer
@@ -5363,6 +5398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": _q_events_cusum,
         "events_autocorr": _q_events_autocorr,
         "events_independence": _q_events_independence,
+        "events_interpolate": _q_events_interpolate,
         "events_seq_pattern": _q_events_seq_pattern,
         "events_ab_test": _q_events_ab_test,
         "lineitem_rolling_ols": _q_lineitem_rolling_ols,
@@ -8096,6 +8132,44 @@ def oracle_sql() -> dict[str, str]:
                             * (n_a + n_b - conv_a - conv_b))
                        AS BIGINT) AS z2_ppm
             FROM c
+        """,
+        "events_interpolate": """
+            WITH src AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE CAST(round(value * 100) AS BIGINT)
+                       END AS v_c
+                FROM events WHERE ts IS NOT NULL),
+            pos AS (
+                SELECT user_id, event_id, v_c,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS p
+                FROM src),
+            w AS (
+                SELECT user_id, event_id, v_c, p,
+                       LAST_VALUE(v_c IGNORE NULLS) OVER wp AS a,
+                       LAST_VALUE(CASE WHEN v_c IS NOT NULL THEN p END
+                                  IGNORE NULLS) OVER wp AS p0,
+                       FIRST_VALUE(v_c IGNORE NULLS) OVER wn AS b,
+                       FIRST_VALUE(CASE WHEN v_c IS NOT NULL THEN p
+                                   END IGNORE NULLS) OVER wn AS p1
+                FROM pos
+                WINDOW wp AS (PARTITION BY user_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       wn AS (PARTITION BY user_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING))
+            SELECT user_id, event_id, v_c,
+                   CASE WHEN v_c IS NOT NULL THEN v_c
+                        WHEN a IS NOT NULL AND b IS NOT NULL
+                        THEN a * (p1 - p0) + (b - a) * (p - p0)
+                   END AS interp_num,
+                   CASE WHEN v_c IS NOT NULL THEN CAST(1 AS BIGINT)
+                        WHEN a IS NOT NULL AND b IS NOT NULL
+                        THEN p1 - p0
+                   END AS interp_den
+            FROM w
         """,
         "events_independence": """
             WITH src AS (

@@ -4747,6 +4747,86 @@ def group_rolling_ols(
                                sort_within=False)
 
 
+def interpolate_by_group(
+    ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
+    value_col: str, *, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group LINEAR interpolation of missing values over row
+    position (pandas ``interpolate(method="linear")`` semantics,
+    exactly): each null value between two non-null neighbors in the
+    group's ``order_cols`` order becomes the exact rational
+
+        num / den = (a·(p1−p0) + (b−a)·(p−p0)) / (p1−p0)
+
+    where ``a``/``b`` are the neighbor values at positions
+    ``p0``/``p1``.  Emitted as int64 ``interp_num`` / ``interp_den``
+    columns — non-null rows carry ``(v, 1)``, leading/trailing nulls
+    (no neighbor on one side) stay NULL — so the result is
+    bit-reproducible and SQL-mirrorable via the IGNORE NULLS window
+    pair (``LAST_VALUE``/``FIRST_VALUE`` over position) with no float
+    division anywhere.
+
+    ``value_col`` must be integer-scaled with ``|v| · group_size``
+    inside int64 (cents are fine).  One hash exchange on
+    ``group_col``; the neighbor scan is two vectorized
+    ``maximum/minimum.accumulate`` passes over the bucket-sorted
+    arrays — no per-group Python."""
+    order_cols = list(order_cols)
+
+    def _interp(tab: pa.Table) -> pa.Table:
+        tab = tab.sort_by([(group_col, "ascending")] + [
+            (c, "ascending") for c in order_cols])
+        n = tab.num_rows
+        out = {group_col: tab[group_col]}
+        for c in order_cols:
+            out[c] = tab[c]
+        out[value_col] = tab[value_col]
+        if n == 0:
+            out["interp_num"] = pa.array([], pa.int64())
+            out["interp_den"] = pa.array([], pa.int64())
+            return pa.table(out)
+        if not pa.types.is_integer(tab[value_col].type):
+            raise TypeError(f"{value_col} must be integer-scaled")
+        va = tab[value_col].combine_chunks()
+        valid = va.is_valid().to_numpy(zero_copy_only=False)
+        v = va.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new_g = segment_starts(tab, [group_col])
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, sizes)
+        gend = np.repeat(starts + sizes, sizes)       # one past last
+        idx = np.arange(n)
+        # previous non-null index (forward max-scan), masked to the
+        # current group; a scan value from an earlier group sits
+        # below gstart and reads as "no neighbor"
+        ff = np.maximum.accumulate(np.where(valid, idx, -1))
+        has_prev = ff >= gstart
+        # next non-null index (backward min-scan)
+        bf = np.minimum.accumulate(
+            np.where(valid, idx, n)[::-1])[::-1]
+        has_next = bf < gend
+        both = has_prev & has_next & ~valid
+        pp = np.where(has_prev, ff, 0)
+        nn = np.where(has_next, bf, 0)
+        a, b = v[pp], v[nn]
+        den = np.where(both, nn - pp, 0).astype(np.int64)
+        num = np.where(
+            both, a * (nn - pp) + (b - a) * (idx - pp), 0
+        ).astype(np.int64)
+        num = np.where(valid, v, num)
+        den = np.where(valid, 1, den)
+        has = valid | both
+        out["interp_num"] = pa.array(num, mask=~has)
+        out["interp_den"] = pa.array(den, mask=~has)
+        return pa.table(out)
+
+    cols = list(dict.fromkeys([group_col] + order_cols + [value_col]))
+    return bucketed_map_groups(ds.select_columns(cols), [group_col],
+                               _interp, buckets=buckets,
+                               sort_within=False)
+
+
 def group_autocorr(
     ds: "rd.Dataset", group_col: str, order_cols: Sequence[str],
     value_col: str, *, lag: int = 1,

@@ -2235,6 +2235,30 @@ def test_sequence_pattern_flags(ray_session):
                    3: (None, None, None)}
 
 
+def test_interpolate_by_group_rationals(ray_session):
+    from rayskema.pipelines.relational import interpolate_by_group
+    tab = pa.table({
+        "g": pa.array(list("aaaaaa" "bb" "c")),
+        "o": pa.array([1, 2, 3, 4, 5, 6, 1, 2, 1], pa.int64()),
+        "v": pa.array([None, 10, None, None, 40, None,
+                       None, None, 7], pa.int64())})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = _collect(interpolate_by_group(ds, "g", ["o"], "v",
+                                        buckets=2))
+    got = {(r["g"], r["o"]): (r["interp_num"], r["interp_den"])
+           for r in out.to_pylist()}
+    assert got == {
+        ("a", 1): (None, None),          # leading null: no left arm
+        ("a", 2): (10, 1),
+        ("a", 3): (60, 3),               # 10 + 30·(1/3) = 20
+        ("a", 4): (90, 3),               # 10 + 30·(2/3) = 30
+        ("a", 5): (40, 1),
+        ("a", 6): (None, None),          # trailing null
+        ("b", 1): (None, None),          # all-null group
+        ("b", 2): (None, None),
+        ("c", 1): (7, 1)}
+
+
 def test_crosstab_deviation_exact_rationals(ray_session):
     from rayskema.functions.profile import crosstab_deviation
     tab = pa.table({"r": pa.array(["a", "a", "a", "b", "b", None]),
