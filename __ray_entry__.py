@@ -4001,6 +4001,64 @@ def _q_events_snapshot_prune(sf_dir: str):
     return counts.map_batches(_stamp, batch_format="pyarrow")
 
 
+def _q_events_snapshot_upsert(sf_dir: str):
+    """Keyed MERGE into a snapshot table
+    (sources/snapshot.upsert_snapshot): the base snapshot holds
+    events with event_id % 3 != 0 clustered by key across 8 files
+    (disjoint min/max ranges), then a CDC-style update batch
+    (event_id % 5 == 0, value + 10.00) replaces matching keys and
+    inserts the rest.  Only key-range-intersecting files rewrite —
+    the others carry into the new manifest by reference — and the
+    merged read-back matches plain anti-join + union SQL."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    from rayskema.sources.snapshot import (read_snapshot,
+                                           upsert_snapshot,
+                                           write_snapshot)
+
+    tag = f"{os.path.abspath(sf_dir)}|upsert|{os.getuid()}|{os.getpid()}"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_snap_" + hashlib.md5(tag.encode()).hexdigest()[:12])
+    if root not in _DEDUP_IDX_CLEANUP:
+        _DEDUP_IDX_CLEANUP.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def _mod(t: pa.Table, m: int) -> "pa.ChunkedArray":
+        return pc.subtract(
+            t["event_id"],
+            pc.multiply(pc.divide(t["event_id"],
+                                  pa.scalar(m, pa.int64())),
+                        pa.scalar(m, pa.int64())))
+
+    def _base(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(_mod(t, 3), pa.scalar(0, pa.int64()))
+        return pa.table({"event_id": t["event_id"],
+                         "v_c": _cents(t["value"])}).filter(keep)
+
+    def _upd(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_mod(t, 5), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "event_id": t["event_id"],
+            "v_c": pc.add(_cents(t["value"]),
+                          pa.scalar(1000, pa.int64()))}).filter(keep)
+
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    base = ev.map_batches(_base, batch_format="pyarrow") \
+        .sort("event_id").repartition(8)
+    write_snapshot(base, root, stats_cols=("event_id",))
+    m = upsert_snapshot(
+        ev.map_batches(_upd, batch_format="pyarrow"), root,
+        "event_id")
+    assert m["files_carried"] == 0 or m["files_rewritten"] <= 8
+    return read_snapshot(root).select_columns(["event_id", "v_c"])
+
+
 def _q_docs_regex_counts(sf_dir: str):
     """Vectorized regex extraction counts per source — cross-engine
     RE2 parity (Arrow's count_substring_regex and DuckDB's
@@ -5379,6 +5437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": _q_graph_kcore,
         "graph_bfs_hops": _q_graph_bfs_hops,
         "docs_dedup_eval": _q_docs_dedup_eval,
+        "events_snapshot_upsert": _q_events_snapshot_upsert,
         "graph_labelprop": _q_graph_labelprop,
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
@@ -7693,6 +7752,21 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderpriority
+        """,
+        "events_snapshot_upsert": """
+            WITH base AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS v_c
+                FROM events WHERE event_id % 3 <> 0),
+            upd AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) + 1000
+                           AS v_c
+                FROM events WHERE event_id % 5 = 0)
+            SELECT event_id, v_c FROM base
+            WHERE event_id NOT IN (SELECT event_id FROM upd)
+            UNION ALL
+            SELECT event_id, v_c FROM upd
         """,
         "events_snapshot_prune": """
             SELECT event_type, count(ts) AS n, TRUE AS pruned_ok

@@ -156,30 +156,15 @@ def _load_manifest(root: str, snap_id: int) -> dict:
         return json.load(f)
 
 
-def write_snapshot(ds: "rd.Dataset", root: str, *,
-                   stats_cols: tuple = (), mode: str = "overwrite",
-                   contract=None) -> dict:
-    """Write ``ds`` as a new snapshot of the table at ``root``;
-    returns the manifest dict.  ``stats_cols`` are the columns whose
-    per-file min/max land in the manifest (pick the prune keys —
-    timestamps, partition-ish ids).  ``mode="append"`` includes the
-    current HEAD snapshot's files; ``"overwrite"`` starts the file
-    list fresh (older snapshots stay readable either way).  Blocks
-    stream through the sink with backpressure; only the file ENTRIES
-    (path + stats) gather on the driver for the manifest.
-
-    ``contract`` (a :class:`~rayskema.schema.TableSchema`) turns the
-    write into a VALIDATED COMMIT: every block is checked against the
-    contract's column-scope constraints in the same task that writes
-    it (one pass — no separate validation scan), and when any block
-    violates, the data files are removed and ``HEAD`` never flips —
-    readers can only ever observe contract-clean snapshots.  The
-    manifest records the ``schema_hash``.  Table-scope rules
-    (uniqueness, referential integrity) need the exchange and stay
-    with the validate pipeline."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError("mode must be 'overwrite' or 'append'")
-    stats_cols = tuple(stats_cols)
+def _write_data_files(ds: "rd.Dataset", root: str,
+                      stats_cols: tuple, contract) -> list[dict]:
+    """Shared data-file writer for snapshot commits: one parquet file
+    per non-empty block (ordinal+hash idempotent naming under a
+    per-attempt commit token), per-file min/max stats for
+    ``stats_cols``, and the validated-commit gate — when ``contract``
+    is given, every block is checked in its write task and a single
+    violation removes THIS attempt's files and raises before any
+    manifest exists."""
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(_manifest_dir(root), exist_ok=True)
@@ -228,7 +213,50 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
             f"snapshot rejected: {total_viol} contract violations "
             f"across {sum(1 for f in entries if f['violations'])}"
             f"/{len(entries)} files; HEAD unchanged")
+    return entries
 
+
+def _commit_manifest(root: str, manifest: dict) -> dict:
+    """Atomically publish ``manifest`` and flip HEAD to it."""
+    snap_id = manifest["id"]
+    mpath = os.path.join(_manifest_dir(root),
+                         f"snap-{snap_id:06d}.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    # the table flips to the new snapshot in ONE rename
+    htmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
+    with open(htmp, "w") as f:
+        f.write(str(snap_id))
+    os.replace(htmp, _head_path(root))
+    return manifest
+
+
+def write_snapshot(ds: "rd.Dataset", root: str, *,
+                   stats_cols: tuple = (), mode: str = "overwrite",
+                   contract=None) -> dict:
+    """Write ``ds`` as a new snapshot of the table at ``root``;
+    returns the manifest dict.  ``stats_cols`` are the columns whose
+    per-file min/max land in the manifest (pick the prune keys —
+    timestamps, partition-ish ids).  ``mode="append"`` includes the
+    current HEAD snapshot's files; ``"overwrite"`` starts the file
+    list fresh (older snapshots stay readable either way).  Blocks
+    stream through the sink with backpressure; only the file ENTRIES
+    (path + stats) gather on the driver for the manifest.
+
+    ``contract`` (a :class:`~rayskema.schema.TableSchema`) turns the
+    write into a VALIDATED COMMIT: every block is checked against the
+    contract's column-scope constraints in the same task that writes
+    it (one pass — no separate validation scan), and when any block
+    violates, the data files are removed and ``HEAD`` never flips —
+    readers can only ever observe contract-clean snapshots.  The
+    manifest records the ``schema_hash``.  Table-scope rules
+    (uniqueness, referential integrity) need the exchange and stay
+    with the validate pipeline."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    entries = _write_data_files(ds, root, tuple(stats_cols), contract)
     head = _read_head(root)
     files = list(entries)
     if mode == "append" and head is not None:
@@ -240,17 +268,93 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
                 "stats_cols": list(stats_cols),
                 "schema_hash": (contract.schema_hash()
                                 if contract is not None else None)}
-    mpath = os.path.join(_manifest_dir(root), f"snap-{snap_id:06d}.json")
-    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
-    # the table flips to the new snapshot in ONE rename
-    htmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
-    with open(htmp, "w") as f:
-        f.write(str(snap_id))
-    os.replace(htmp, _head_path(root))
-    return manifest
+    return _commit_manifest(root, manifest)
+
+
+def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
+                    contract=None) -> dict:
+    """Keyed MERGE (upsert) into the snapshot table at ``root``: rows
+    of ``updates`` REPLACE current rows with the same ``key_col``
+    value and INSERT otherwise, committing a new snapshot.
+
+    Scale shape — only intersecting files rewrite: the update keys
+    gather once (updates are the SMALL side of a merge — a CDC batch,
+    not the table), and every HEAD file whose manifest ``key_col``
+    min/max range provably excludes all update keys is CARRIED BY
+    REFERENCE into the new manifest, its bytes never read or moved.
+    Files that may intersect are re-read, anti-filtered on the
+    broadcast key set (vectorized ``is_in``), unioned with the
+    updates, and rewritten through the validated-commit path (the
+    same contract gate as :func:`write_snapshot`; rejection leaves
+    HEAD unchanged).  Cluster the table on ``key_col`` at ingest
+    (sort / Z-order) to make the prune bite.
+
+    Stats for ``key_col`` (and the table's existing ``stats_cols``)
+    are recomputed for the rewritten files.  Returns the new
+    manifest, which also records ``files_carried``/``files_rewritten``.
+    """
+    import numpy as np
+
+    import ray
+
+    head = _read_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no HEAD at {root!r} — write a "
+                                "snapshot before upserting")
+    manifest = _load_manifest(root, head)
+    stats_cols = tuple(manifest.get("stats_cols") or ())
+    if key_col not in stats_cols:
+        stats_cols = stats_cols + (key_col,)
+
+    # distinct update keys, driver-held: the CDC-batch contract (the
+    # TABLE never gathers; only the update key column does)
+    upd = updates.materialize()
+    key_chunks = [t[key_col] for t in ray.get(upd.to_arrow_refs())
+                  if t.num_rows]
+    if not key_chunks:
+        return manifest          # empty update: no-op, HEAD stays
+    keys = pa.chunked_array(key_chunks).combine_chunks().unique()
+    if keys.null_count:
+        raise ValueError("upsert_snapshot: null update keys")
+    keys_np = np.sort(keys.to_numpy(zero_copy_only=False))
+
+    def _may_intersect(f: dict) -> bool:
+        s = (f.get("stats") or {}).get(key_col)
+        if not s or s.get("min") is None:
+            return True          # no stats: conservatively rewrite
+        lo = np.searchsorted(keys_np, s["min"], side="left")
+        return lo < len(keys_np) and keys_np[lo] <= s["max"]
+
+    touched = [f for f in manifest["files"] if _may_intersect(f)]
+    carried = [f for f in manifest["files"] if not _may_intersect(f)]
+
+    key_set = pa.array(keys_np)
+
+    def _drop_updated(tab: pa.Table) -> pa.Table:
+        return tab.filter(pc.invert(pc.is_in(
+            pc.cast(tab[key_col], key_set.type), value_set=key_set)))
+
+    if touched:
+        old = rd.read_parquet(
+            [os.path.join(root, f["path"]) for f in touched])
+        combined = old.map_batches(
+            _drop_updated, batch_format="pyarrow").union(upd)
+    else:
+        combined = upd
+    new_entries = _write_data_files(combined, root, stats_cols,
+                                    contract)
+
+    files = carried + new_entries
+    new_manifest = {
+        "id": head + 1, "parent": head, "mode": "upsert",
+        "files": files, "rows": sum(f["rows"] for f in files),
+        "stats_cols": list(stats_cols),
+        "schema_hash": (contract.schema_hash()
+                        if contract is not None
+                        else manifest.get("schema_hash")),
+        "files_carried": len(carried),
+        "files_rewritten": len(touched)}
+    return _commit_manifest(root, new_manifest)
 
 
 def read_snapshot(root: str, *, columns: list[str] | None = None,

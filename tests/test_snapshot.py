@@ -302,3 +302,69 @@ def test_snapshot_date_stats_prune(ray_session, tmp_path):
         ("d", ">=", datetime.date(2024, 1, 15))])
     assert len(pruned.input_files()) == 1
     assert _collect(pruned).num_rows == 6
+
+
+def test_snapshot_upsert_prunes_and_merges(ray_session, tmp_path):
+    from rayskema.sources.snapshot import upsert_snapshot
+    root = str(tmp_path / "up")
+    # 4 files with disjoint k ranges (0-24, 25-49, 50-74, 75-99)
+    base = rd.from_arrow(_table(0, 100)).repartition(4)
+    write_snapshot(base, root, stats_cols=("k",))
+
+    # updates touch k in {10, 110}: one replace, one insert — both
+    # land in the FIRST file's range or beyond all ranges
+    upd = rd.from_arrow(pa.table({
+        "k": pa.array([10, 110], pa.int64()),
+        "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        "s": pa.array(["NEW10", "NEW110"])}))
+    m = upsert_snapshot(upd, root, "k")
+    assert m["id"] == 2 and m["mode"] == "upsert"
+    # k=110 is beyond every range but k=10 hits file 1: exactly one
+    # of the four base files rewrites, three carry by reference
+    assert m["files_rewritten"] == 1 and m["files_carried"] == 3
+    assert m["rows"] == 101
+
+    back = _collect(read_snapshot(root)).sort_by("k")
+    got = dict(zip(back["k"].to_pylist(), back["s"].to_pylist()))
+    assert got[10] == "NEW10" and got[110] == "NEW110"
+    assert got[9] == "v9" and len(got) == 101
+
+    # time travel: the parent snapshot still reads the old row
+    old = _collect(read_snapshot(root, snapshot=1)).sort_by("k")
+    old_map = dict(zip(old["k"].to_pylist(), old["s"].to_pylist()))
+    assert old_map[10] == "v10" and 110 not in old_map
+
+    # carried files are literally the same manifest entries (paths
+    # unchanged -> bytes never rewritten)
+    import json as _json
+    import os as _os
+    m1 = _json.load(open(_os.path.join(root, "manifests",
+                                       "snap-000001.json")))
+    p1 = {f["path"] for f in m1["files"]}
+    p2 = {f["path"] for f in m["files"]}
+    assert len(p1 & p2) == 3
+
+    # empty update batch: no-op, HEAD unchanged
+    m3 = upsert_snapshot(
+        rd.from_arrow(_table(0, 0)), root, "k")
+    assert m3["id"] == 2
+
+
+def test_snapshot_upsert_contract_gate(ray_session, tmp_path):
+    from rayskema.schema import Column, Range, TableSchema
+    from rayskema.sources.snapshot import upsert_snapshot
+    root = str(tmp_path / "upc")
+    write_snapshot(rd.from_arrow(_table(0, 20)).repartition(2), root,
+                   stats_cols=("k",))
+    contract = TableSchema(columns=(
+        Column("k", pa.int64(),
+               constraints=(Range(max=50, rule="k_cap"),)),))
+    bad = rd.from_arrow(pa.table({
+        "k": pa.array([999], pa.int64()),
+        "ts": pa.array([0], type=pa.timestamp("us")),
+        "s": pa.array(["x"])}))
+    with pytest.raises(ValueError, match="rejected"):
+        upsert_snapshot(bad, root, "k", contract=contract)
+    # HEAD unchanged, old content intact
+    back = _collect(read_snapshot(root))
+    assert back.num_rows == 20
