@@ -156,6 +156,23 @@ def cmd_snapshot(args) -> int:
         print(json.dumps({"id": m["id"], "rows": m["rows"],
                           "files": len(m["files"])}))
         return 0
+    if args.action == "upsert":
+        if not args.input or not args.keys:
+            print("--input/--keys required for upsert",
+                  file=sys.stderr)
+            return 2
+        contract = None
+        if args.contract:
+            from .contract import load_contract
+            contract = load_contract(args.contract)
+        m = snap.upsert_snapshot(
+            rd.read_parquet(args.input), args.root,
+            args.keys.split(",")[0], contract=contract)
+        print(json.dumps({"id": m["id"], "rows": m["rows"],
+                          "files": len(m["files"]),
+                          "rewritten": m.get("files_rewritten"),
+                          "carried": m.get("files_carried")}))
+        return 0
     if args.action == "compact":
         m = snap.compact_snapshot(args.root,
                                   target_rows=args.target_rows,
@@ -309,11 +326,12 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_diff)
 
     sn = sub.add_parser("snapshot", help="manifest-tracked snapshot "
-                        "tables: write/history/compact/changes")
+                        "tables: write/history/compact/changes/upsert")
     sn.add_argument("--root", required=True)
     sn.add_argument("--action", required=True,
-                    choices=["write", "history", "compact", "changes"])
-    sn.add_argument("--input", help="parquet file/dir (write)")
+                    choices=["write", "history", "compact", "changes",
+                             "upsert"])
+    sn.add_argument("--input", help="parquet file/dir (write/upsert)")
     sn.add_argument("--stats-cols", help="comma-separated prune cols")
     sn.add_argument("--mode", default="overwrite",
                     choices=["overwrite", "append"])

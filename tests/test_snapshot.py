@@ -253,6 +253,19 @@ def test_cli_snapshot(ray_session, tmp_path, capsys):
     # snap1 (k 0..29) -> HEAD(3, compacted 0..59): 30 added keys
     assert set(ch["change"].to_pylist()) == {"added"}
     assert sorted(ch["k"].to_pylist()) == list(range(30, 60))
+    # upsert via CLI: replace k=5, insert k=99
+    up = str(tmp_path / "up.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([5, 99], pa.int64()),
+        "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        "s": pa.array(["UP5", "UP99"])}), up)
+    assert main(["snapshot", "--root", root, "--action", "upsert",
+                 "--input", up, "--keys", "k"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["id"] == 4 and m["rows"] == 61
+    back = _collect(read_snapshot(root)).sort_by("k")
+    got = dict(zip(back["k"].to_pylist(), back["s"].to_pylist()))
+    assert got[5] == "UP5" and got[99] == "UP99" and got[6] == "v6"
 
 
 def test_snapshot_reject_never_deletes_committed_files(ray_session,
