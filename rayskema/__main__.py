@@ -173,6 +173,27 @@ def cmd_snapshot(args) -> int:
                           "rewritten": m.get("files_rewritten"),
                           "carried": m.get("files_carried")}))
         return 0
+    if args.action == "delete":
+        if not args.where:
+            print("--where col,op,value required for delete",
+                  file=sys.stderr)
+            return 2
+        conj = []
+        for w in args.where:
+            col, op, val = w.split(",", 2)
+            for cast in (int, float):
+                try:
+                    val = cast(val)
+                    break
+                except ValueError:
+                    pass
+            conj.append((col, op, val))
+        m = snap.delete_snapshot(args.root, conj)
+        print(json.dumps({"id": m["id"], "rows": m["rows"],
+                          "dropped": m.get("files_dropped"),
+                          "rewritten": m.get("files_rewritten"),
+                          "carried": m.get("files_carried")}))
+        return 0
     if args.action == "compact":
         m = snap.compact_snapshot(args.root,
                                   target_rows=args.target_rows,
@@ -330,7 +351,9 @@ def main(argv=None) -> int:
     sn.add_argument("--root", required=True)
     sn.add_argument("--action", required=True,
                     choices=["write", "history", "compact", "changes",
-                             "upsert"])
+                             "upsert", "delete"])
+    sn.add_argument("--where", action="append",
+                    help="delete conjunct 'col,op,value' (repeatable)")
     sn.add_argument("--input", help="parquet file/dir (write/upsert)")
     sn.add_argument("--stats-cols", help="comma-separated prune cols")
     sn.add_argument("--mode", default="overwrite",

@@ -18,9 +18,10 @@ for this engine's needs:
   id remains readable.
 
 This intentionally implements the 20% of a table format the engine
-exercises (stats pruning, atomicity, append, history) and none of the
-rest (no deletes, no schema evolution inside the manifest — contracts
-own schema; no catalog).
+exercises (stats pruning, atomicity, append, history, keyed
+MERGE/upsert and predicate DELETE — both stats-pruned so untouched
+files carry by reference) and none of the rest (no schema evolution
+inside the manifest — contracts own schema; no catalog).
 """
 
 from __future__ import annotations
@@ -37,7 +38,8 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 __all__ = ["write_snapshot", "read_snapshot", "snapshot_history",
-           "compact_snapshot", "snapshot_changes"]
+           "compact_snapshot", "snapshot_changes", "upsert_snapshot",
+           "delete_snapshot"]
 
 _OPS = ("==", "<", "<=", ">", ">=")
 
@@ -131,6 +133,30 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
         return hi > lit
     if op == ">=":
         return hi >= lit
+    raise ValueError(f"op must be one of {_OPS}")
+
+
+def _file_all_match(stats: dict, col: str, op: str, lit) -> bool:
+    """True ONLY when the file's stats PROVE every row satisfies the
+    predicate: no nulls (a null never satisfies) and the whole
+    [min, max] range inside the predicate's region."""
+    s = stats.get(col)
+    if s is None or s.get("null_count", 1) != 0:
+        return False
+    lo, hi = s["min"], s["max"]
+    if lo is None or hi is None:
+        return False
+    lit = _norm_lit(lit, s["type"])
+    if op == "==":
+        return lo == lit and hi == lit
+    if op == "<":
+        return hi < lit
+    if op == "<=":
+        return hi <= lit
+    if op == ">":
+        return lo > lit
+    if op == ">=":
+        return lo >= lit
     raise ValueError(f"op must be one of {_OPS}")
 
 
@@ -354,6 +380,85 @@ def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
                         else manifest.get("schema_hash")),
         "files_carried": len(carried),
         "files_rewritten": len(touched)}
+    return _commit_manifest(root, new_manifest)
+
+
+def delete_snapshot(root: str, filter: list[tuple], *,
+                    contract=None) -> dict:
+    """Predicate DELETE from the snapshot table at ``root``: rows
+    satisfying ALL ``(col, op, literal)`` conjuncts (op in
+    ``== < <= > >=``; SQL semantics — a null comparison never
+    deletes) are removed in a new snapshot commit.
+
+    Three-way file triage from the manifest stats, so data moves only
+    where the predicate actually bites:
+
+    - files whose stats PROVE no row matches **carry by reference**
+      (bytes never read);
+    - files whose stats prove EVERY row matches (no nulls, whole
+      [min, max] inside the predicate region) **drop entirely** —
+      also no read;
+    - only genuinely straddling files **rewrite**, streaming through
+      the validated-commit path with the inverted predicate.
+
+    Returns the new manifest (records ``files_carried`` /
+    ``files_dropped`` / ``files_rewritten``); an empty-effect delete
+    (every file carried) still commits a snapshot for lineage.
+    """
+    if not filter:
+        raise ValueError("delete_snapshot: empty predicate would "
+                         "delete nothing — pass conjuncts")
+    for col, op, lit in filter:
+        if op not in _OPS:
+            raise ValueError(f"op must be one of {_OPS}")
+    head = _read_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no HEAD at {root!r}")
+    manifest = _load_manifest(root, head)
+    stats_cols = tuple(manifest.get("stats_cols") or ())
+
+    carried, dropped, rewrite = [], [], []
+    for f in manifest["files"]:
+        stats = f.get("stats") or {}
+        if not all(_file_may_match(stats, c, o, v)
+                   for c, o, v in filter):
+            carried.append(f)
+        elif all(_file_all_match(stats, c, o, v)
+                 for c, o, v in filter):
+            dropped.append(f)
+        else:
+            rewrite.append(f)
+
+    def _keep(tab: pa.Table) -> pa.Table:
+        mask = None
+        for col, op, lit in filter:
+            c = tab[col]
+            lit_s = pa.scalar(lit, type=c.type) \
+                if not isinstance(lit, pa.Scalar) else lit
+            term = {"==": pc.equal, "<": pc.less,
+                    "<=": pc.less_equal, ">": pc.greater,
+                    ">=": pc.greater_equal}[op](c, lit_s)
+            mask = term if mask is None else pc.and_(mask, term)
+        # null predicate -> not deleted (SQL DELETE WHERE semantics)
+        return tab.filter(pc.fill_null(pc.invert(mask), True))
+
+    new_entries = []
+    if rewrite:
+        survivors = rd.read_parquet(
+            [os.path.join(root, f["path"]) for f in rewrite]
+        ).map_batches(_keep, batch_format="pyarrow")
+        new_entries = _write_data_files(survivors, root, stats_cols,
+                                        contract)
+
+    files = carried + new_entries
+    new_manifest = {
+        "id": head + 1, "parent": head, "mode": "delete",
+        "files": files, "rows": sum(f["rows"] for f in files),
+        "stats_cols": list(stats_cols),
+        "schema_hash": manifest.get("schema_hash"),
+        "files_carried": len(carried),
+        "files_dropped": len(dropped),
+        "files_rewritten": len(rewrite)}
     return _commit_manifest(root, new_manifest)
 
 

@@ -381,3 +381,57 @@ def test_snapshot_upsert_contract_gate(ray_session, tmp_path):
     # HEAD unchanged, old content intact
     back = _collect(read_snapshot(root))
     assert back.num_rows == 20
+
+
+def test_snapshot_delete_three_way_triage(ray_session, tmp_path):
+    from rayskema.sources.snapshot import delete_snapshot
+    root = str(tmp_path / "del")
+    # 4 files with disjoint k ranges: 0-24 / 25-49 / 50-74 / 75-99
+    write_snapshot(rd.from_arrow(_table(0, 100)).repartition(4), root,
+                   stats_cols=("k",))
+    # DELETE WHERE k >= 30 AND k < 60: file 1 carries (proven
+    # unmatched), file 2 straddles at both edges? no — 25-49: rows
+    # 30..49 match, 25..29 don't -> rewrite; 50-74: 50..59 match ->
+    # rewrite; 75-99 carries
+    m = delete_snapshot(root, [("k", ">=", 30), ("k", "<", 60)])
+    assert m["mode"] == "delete"
+    assert m["files_carried"] == 2
+    assert m["files_rewritten"] == 2
+    assert m["files_dropped"] == 0
+    assert m["rows"] == 70
+    back = _collect(read_snapshot(root)).sort_by("k")
+    assert back["k"].to_pylist() == (list(range(0, 30))
+                                     + list(range(60, 100)))
+    # DELETE WHERE k >= 60: one file (75-99) is PROVEN all-match and
+    # drops without a read; 60-74 of the rewritten file also goes
+    m2 = delete_snapshot(root, [("k", ">=", 60)])
+    assert m2["files_dropped"] >= 1 and m2["rows"] == 30
+    back2 = _collect(read_snapshot(root)).sort_by("k")
+    assert back2["k"].to_pylist() == list(range(0, 30))
+    # time travel: the pre-delete snapshot still reads 100 rows
+    assert _collect(read_snapshot(root, snapshot=1)).num_rows == 100
+    # null-safe: predicate over an all-null stats column deletes
+    # nothing but still commits
+    import pyarrow as _pa
+    root2 = str(tmp_path / "deln")
+    t = _pa.table({"k": _pa.array([None, None], _pa.int64()),
+                   "s": _pa.array(["a", "b"])})
+    write_snapshot(rd.from_arrow(t), root2, stats_cols=("k",))
+    m3 = delete_snapshot(root2, [("k", ">=", 0)])
+    assert m3["rows"] == 2 and m3["files_carried"] == 1
+
+
+def test_cli_snapshot_delete(ray_session, tmp_path, capsys):
+    import json
+    import pyarrow.parquet as pq
+    from rayskema.__main__ import main
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(_table(0, 40), src)
+    root = str(tmp_path / "tbl")
+    assert main(["snapshot", "--root", root, "--action", "write",
+                 "--input", src, "--stats-cols", "k"]) == 0
+    assert main(["snapshot", "--root", root, "--action", "delete",
+                 "--where", "k,>=,35"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 35
+    assert _collect(read_snapshot(root)).num_rows == 35
