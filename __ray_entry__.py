@@ -4059,6 +4059,48 @@ def _q_events_snapshot_upsert(sf_dir: str):
     return read_snapshot(root).select_columns(["event_id", "v_c"])
 
 
+def _q_events_snapshot_delete(sf_dir: str):
+    """Predicate DELETE on a snapshot table
+    (sources/snapshot.delete_snapshot): events land clustered by
+    event_id, then DELETE WHERE event_id >= 8000 drops/rewrites only
+    the files whose stats ranges intersect the predicate (three-way
+    triage); the surviving read-back matches plain SQL NOT-matching
+    semantics including null keys (a null comparison never deletes)."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from rayskema.sources.snapshot import (delete_snapshot,
+                                           read_snapshot,
+                                           write_snapshot)
+
+    tag = f"{os.path.abspath(sf_dir)}|del|{os.getuid()}|{os.getpid()}"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_snap_" + hashlib.md5(tag.encode()).hexdigest()[:12])
+    if root not in _DEDUP_IDX_CLEANUP:
+        _DEDUP_IDX_CLEANUP.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "v_c": _cents(t["value"])})
+
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow") \
+        .sort("event_id").repartition(8)
+    write_snapshot(ev, root, stats_cols=("event_id",))
+    m = delete_snapshot(root, [("event_id", ">=", 8000)])
+    # clustered on the key: at least one file must have been handled
+    # without a rewrite (carried or dropped whole)
+    assert m["files_carried"] + m["files_dropped"] >= 1
+    return read_snapshot(root).select_columns(
+        ["event_id", "event_type", "v_c"])
+
+
 def _q_docs_regex_counts(sf_dir: str):
     """Vectorized regex extraction counts per source — cross-engine
     RE2 parity (Arrow's count_substring_regex and DuckDB's
@@ -5438,6 +5480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs_hops": _q_graph_bfs_hops,
         "docs_dedup_eval": _q_docs_dedup_eval,
         "events_snapshot_upsert": _q_events_snapshot_upsert,
+        "events_snapshot_delete": _q_events_snapshot_delete,
         "graph_labelprop": _q_graph_labelprop,
         "events_transitions": _q_events_transitions,
         "events_path_trigrams": _q_events_path_trigrams,
@@ -7752,6 +7795,12 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS min_key,
                    max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderpriority
+        """,
+        "events_snapshot_delete": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v_c
+            FROM events
+            WHERE event_id < 8000 OR event_id IS NULL
         """,
         "events_snapshot_upsert": """
             WITH base AS (

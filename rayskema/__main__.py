@@ -152,6 +152,8 @@ def cmd_snapshot(args) -> int:
             rd.read_parquet(args.input), args.root,
             stats_cols=tuple((args.stats_cols or "").split(","))
             if args.stats_cols else (),
+            bloom_cols=tuple((args.bloom_cols or "").split(","))
+            if args.bloom_cols else (),
             mode=args.mode, contract=contract)
         print(json.dumps({"id": m["id"], "rows": m["rows"],
                           "files": len(m["files"])}))
@@ -356,6 +358,8 @@ def main(argv=None) -> int:
                     help="delete conjunct 'col,op,value' (repeatable)")
     sn.add_argument("--input", help="parquet file/dir (write/upsert)")
     sn.add_argument("--stats-cols", help="comma-separated prune cols")
+    sn.add_argument("--bloom-cols", help="comma-separated point-"
+                    "lookup Bloom cols (write)")
     sn.add_argument("--mode", default="overwrite",
                     choices=["overwrite", "append"])
     sn.add_argument("--contract", help="validated-commit gate (write)")

@@ -160,6 +160,81 @@ def _file_all_match(stats: dict, col: str, op: str, lit) -> bool:
     raise ValueError(f"op must be one of {_OPS}")
 
 
+_BLOOM_HASHES = 4
+
+
+def _bloom_hash(arr, type_str: str) -> "object":
+    """Canonical uint64 hashes of key values for the manifest Bloom
+    filter — the WRITE and READ paths must agree bit-for-bit, so both
+    go through the manifest stat domain (timestamps as int64 µs,
+    dates as int days) before the splitmix mix; strings use the
+    engine's vectorized rolling hash."""
+    import numpy as np
+
+    from ..state.sketches import _hash64, hash_strings
+
+    if type_str.startswith(("string", "large_string")):
+        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            return hash_strings(arr)
+        return hash_strings(pa.array([arr], type=pa.string()))
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        vals = pc.cast(arr, pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        vals = np.array([_norm_lit(arr, type_str)], dtype=np.int64)
+    return _hash64(vals.view(np.uint64))
+
+
+def _bloom_positions(h, bits_log2: int):
+    import numpy as np
+
+    from ..state.sketches import _hash64
+
+    mask = np.uint64((1 << bits_log2) - 1)
+    h2 = _hash64(h)
+    return [((h + np.uint64(i) * h2) & mask)
+            for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_build(col, type_str: str, bits_log2: int) -> str:
+    """Base64 Bloom bitmap over the column's non-null values."""
+    import base64
+
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    words = 1 << max(0, bits_log2 - 6)
+    bm = np.zeros(words, dtype=np.uint64)
+    if len(col):
+        h = _bloom_hash(col, type_str)
+        for pos in _bloom_positions(h, bits_log2):
+            np.bitwise_or.at(
+                bm, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)))
+    return base64.b64encode(bm.tobytes()).decode("ascii")
+
+
+def _bloom_may_contain(s: dict, lit) -> bool:
+    """False ONLY when the file's Bloom filter PROVES the equality
+    literal is absent.  Files without a bloom entry always pass."""
+    b = s.get("bloom")
+    if not b:
+        return True
+    import base64
+
+    import numpy as np
+
+    bm = np.frombuffer(base64.b64decode(b["b64"]), dtype=np.uint64)
+    h = _bloom_hash(lit, s["type"])
+    for pos in _bloom_positions(h, b["bits_log2"]):
+        w = bm[int(pos[0]) >> 6]
+        if not (int(w) >> (int(pos[0]) & 63)) & 1:
+            return False
+    return True
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "manifests")
 
@@ -183,7 +258,9 @@ def _load_manifest(root: str, snap_id: int) -> dict:
 
 
 def _write_data_files(ds: "rd.Dataset", root: str,
-                      stats_cols: tuple, contract) -> list[dict]:
+                      stats_cols: tuple, contract,
+                      bloom_cols: tuple = (),
+                      bloom_bits_log2: int = 13) -> list[dict]:
     """Shared data-file writer for snapshot commits: one parquet file
     per non-empty block (ordinal+hash idempotent naming under a
     per-attempt commit token), per-file min/max stats for
@@ -214,11 +291,16 @@ def _write_data_files(ds: "rd.Dataset", root: str,
         if contract is not None:
             n_viol = _cached_plan(contract).validate(tab).num_rows
         stats = {}
-        for c in stats_cols:
+        for c in dict.fromkeys(stats_cols + tuple(bloom_cols)):
             if c in tab.column_names:
                 s = _col_stats(tab, c)
                 if s is not None:
                     stats[c] = s
+                    if c in bloom_cols:
+                        s["bloom"] = {
+                            "bits_log2": bloom_bits_log2,
+                            "b64": _bloom_build(tab[c], s["type"],
+                                                bloom_bits_log2)}
         return {"path": os.path.join("data", name),
                 "rows": int(tab.num_rows), "bytes": len(buf),
                 "violations": int(n_viol), "stats": stats}
@@ -261,7 +343,8 @@ def _commit_manifest(root: str, manifest: dict) -> dict:
 
 def write_snapshot(ds: "rd.Dataset", root: str, *,
                    stats_cols: tuple = (), mode: str = "overwrite",
-                   contract=None) -> dict:
+                   contract=None, bloom_cols: tuple = (),
+                   bloom_bits_log2: int = 13) -> dict:
     """Write ``ds`` as a new snapshot of the table at ``root``;
     returns the manifest dict.  ``stats_cols`` are the columns whose
     per-file min/max land in the manifest (pick the prune keys —
@@ -282,7 +365,9 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
     with the validate pipeline."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
-    entries = _write_data_files(ds, root, tuple(stats_cols), contract)
+    entries = _write_data_files(ds, root, tuple(stats_cols), contract,
+                                bloom_cols=tuple(bloom_cols),
+                                bloom_bits_log2=bloom_bits_log2)
     head = _read_head(root)
     files = list(entries)
     if mode == "append" and head is not None:
@@ -292,6 +377,8 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
                 "mode": mode, "files": files,
                 "rows": sum(f["rows"] for f in files),
                 "stats_cols": list(stats_cols),
+                "bloom_cols": list(bloom_cols),
+                "bloom_bits_log2": bloom_bits_log2,
                 "schema_hash": (contract.schema_hash()
                                 if contract is not None else None)}
     return _commit_manifest(root, manifest)
@@ -329,6 +416,8 @@ def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
                                 "snapshot before upserting")
     manifest = _load_manifest(root, head)
     stats_cols = tuple(manifest.get("stats_cols") or ())
+    bloom_cols = tuple(manifest.get("bloom_cols") or ())
+    bloom_bits = manifest.get("bloom_bits_log2") or 13
     if key_col not in stats_cols:
         stats_cols = stats_cols + (key_col,)
 
@@ -368,13 +457,16 @@ def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
     else:
         combined = upd
     new_entries = _write_data_files(combined, root, stats_cols,
-                                    contract)
+                                    contract, bloom_cols=bloom_cols,
+                                    bloom_bits_log2=bloom_bits)
 
     files = carried + new_entries
     new_manifest = {
         "id": head + 1, "parent": head, "mode": "upsert",
         "files": files, "rows": sum(f["rows"] for f in files),
         "stats_cols": list(stats_cols),
+        "bloom_cols": list(bloom_cols),
+        "bloom_bits_log2": bloom_bits,
         "schema_hash": (contract.schema_hash()
                         if contract is not None
                         else manifest.get("schema_hash")),
@@ -416,11 +508,15 @@ def delete_snapshot(root: str, filter: list[tuple], *,
         raise FileNotFoundError(f"no HEAD at {root!r}")
     manifest = _load_manifest(root, head)
     stats_cols = tuple(manifest.get("stats_cols") or ())
+    bloom_cols = tuple(manifest.get("bloom_cols") or ())
+    bloom_bits = manifest.get("bloom_bits_log2") or 13
 
     carried, dropped, rewrite = [], [], []
     for f in manifest["files"]:
         stats = f.get("stats") or {}
         if not all(_file_may_match(stats, c, o, v)
+                   and (o != "==" or _bloom_may_contain(
+                       stats.get(c) or {}, v))
                    for c, o, v in filter):
             carried.append(f)
         elif all(_file_all_match(stats, c, o, v)
@@ -448,13 +544,17 @@ def delete_snapshot(root: str, filter: list[tuple], *,
             [os.path.join(root, f["path"]) for f in rewrite]
         ).map_batches(_keep, batch_format="pyarrow")
         new_entries = _write_data_files(survivors, root, stats_cols,
-                                        contract)
+                                        contract,
+                                        bloom_cols=bloom_cols,
+                                        bloom_bits_log2=bloom_bits)
 
     files = carried + new_entries
     new_manifest = {
         "id": head + 1, "parent": head, "mode": "delete",
         "files": files, "rows": sum(f["rows"] for f in files),
         "stats_cols": list(stats_cols),
+        "bloom_cols": list(bloom_cols),
+        "bloom_bits_log2": bloom_bits,
         "schema_hash": manifest.get("schema_hash"),
         "files_carried": len(carried),
         "files_dropped": len(dropped),
@@ -482,6 +582,8 @@ def read_snapshot(root: str, *, columns: list[str] | None = None,
                 raise ValueError(f"op must be one of {_OPS}")
         files = [f for f in files
                  if all(_file_may_match(f["stats"], col, op, lit)
+                        and (op != "==" or _bloom_may_contain(
+                            (f["stats"] or {}).get(col) or {}, lit))
                         for col, op, lit in filter)]
     paths = [os.path.join(root, f["path"]) for f in files]
     if not paths:

@@ -435,3 +435,52 @@ def test_cli_snapshot_delete(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 35
     assert _collect(read_snapshot(root)).num_rows == 35
+
+
+def test_snapshot_bloom_point_lookup_prune(ray_session, tmp_path):
+    """Manifest Bloom filters prune equality lookups that min/max
+    ranges cannot: two files with fully OVERLAPPING key ranges
+    (even/odd interleave) — a point lookup opens only the file whose
+    bloom contains the key."""
+    from rayskema.sources.snapshot import upsert_snapshot
+    root = str(tmp_path / "bl")
+    evens = pa.table({
+        "k": pa.array(list(range(0, 100, 2)), pa.int64()),
+        "s": pa.array([f"e{i}" for i in range(50)])})
+    odds = pa.table({
+        "k": pa.array(list(range(1, 100, 2)), pa.int64()),
+        "s": pa.array([f"o{i}" for i in range(50)])})
+    ds = rd.from_arrow([evens, odds])
+    write_snapshot(ds, root, stats_cols=("k",), bloom_cols=("k",))
+
+    # ranges overlap completely: min/max alone keeps both files;
+    # the bloom proves k=42 lives only in the even file
+    hit = read_snapshot(root, filter=[("k", "==", 42)])
+    assert len(hit.input_files()) == 1
+    assert _collect(hit)["s"].to_pylist() == ["e21"]
+    # absent key: bloom prunes EVERYTHING (no task launches)
+    miss = read_snapshot(root, filter=[("k", "==", 1000)])
+    assert miss.count() == 0
+    # range predicates ignore the bloom (both files still read):
+    # evens {90..98} + odds {91..99} = 10 rows
+    rng = read_snapshot(root, filter=[("k", ">=", 90)])
+    assert _collect(rng).num_rows == 10
+
+    # string bloom column + DML thread-through: upsert preserves the
+    # bloom config on rewritten files
+    root2 = str(tmp_path / "bls")
+    t = pa.table({
+        "k": pa.array([f"conv-{i:03d}" for i in range(40)]),
+        "v": pa.array(range(40), pa.int64())})
+    write_snapshot(rd.from_arrow(t).repartition(2), root2,
+                   stats_cols=("k",), bloom_cols=("k",))
+    upd = rd.from_arrow(pa.table({
+        "k": pa.array(["conv-005"]),
+        "v": pa.array([999], pa.int64())}))
+    m = upsert_snapshot(upd, root2, "k")
+    assert m["bloom_cols"] == ["k"]
+    one = read_snapshot(root2, filter=[("k", "==", "conv-005")])
+    got = _collect(one)
+    assert got["v"].to_pylist() == [999]
+    none = read_snapshot(root2, filter=[("k", "==", "conv-999")])
+    assert none.count() == 0
