@@ -20,8 +20,9 @@ for this engine's needs:
 This intentionally implements the 20% of a table format the engine
 exercises (stats pruning, atomicity, append, history, keyed
 MERGE/upsert and predicate DELETE — both stats-pruned so untouched
-files carry by reference) and none of the rest (no schema evolution
-inside the manifest — contracts own schema; no catalog).
+files carry by reference — and add-column read evolution via per-file
+schema fingerprints) and none of the rest (contracts own schema
+SEMANTICS — what columns mean and must satisfy; no catalog).
 """
 
 from __future__ import annotations
@@ -158,6 +159,15 @@ def _file_all_match(stats: dict, col: str, op: str, lit) -> bool:
     if op == ">=":
         return lo >= lit
     raise ValueError(f"op must be one of {_OPS}")
+
+
+def _schema_fp(schema: pa.Schema) -> str:
+    """Order-sensitive fingerprint of (name, type) pairs — manifest
+    entries carry it so a read can detect mixed schemas (add-column
+    evolution) without touching any parquet footer."""
+    import hashlib
+    sig = ";".join(f"{f.name}:{f.type}" for f in schema)
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
 
 
 _BLOOM_HASHES = 4
@@ -303,7 +313,8 @@ def _write_data_files(ds: "rd.Dataset", root: str,
                                                 bloom_bits_log2)}
         return {"path": os.path.join("data", name),
                 "rows": int(tab.num_rows), "bytes": len(buf),
-                "violations": int(n_viol), "stats": stats}
+                "violations": int(n_viol), "stats": stats,
+                "schema_fp": _schema_fp(tab.schema)}
 
     entries = write_block_files(ds, data_dir, encode=_encode,
                                 ext="parquet", prefix="part",
@@ -604,6 +615,76 @@ def read_snapshot(root: str, *, columns: list[str] | None = None,
             term = {"==": f_ == lit, "<": f_ < lit, "<=": f_ <= lit,
                     ">": f_ > lit, ">=": f_ >= lit}[op]
             expr = term if expr is None else expr & term
+    # add-column evolution: with MIXED file schemas in one snapshot
+    # (an append introduced a column), Ray's read would silently keep
+    # only the FIRST file's columns.  The manifest schema_fp detects
+    # the mix without touching data; one footer read per DISTINCT
+    # schema builds the unified schema, each schema group reads
+    # separately and pads to it (absent columns surface as nulls),
+    # and the groups union.  Conflicting types fail loudly in
+    # unify_schemas.
+    groups: dict = {}
+    for f, p in zip(files, paths):
+        groups.setdefault(f.get("schema_fp") or p, []).append(p)
+    if len(groups) > 1:
+        schemas = {g: pq.read_schema(ps[0])
+                   for g, ps in groups.items()}
+        unified = pa.unify_schemas(list(schemas.values()),
+                                   promote_options="permissive")
+        if columns is not None:
+            unified = pa.schema([unified.field(c) for c in columns])
+
+        def _pad_to(target: pa.Schema):
+            def fn(tab: pa.Table) -> pa.Table:
+                out = {}
+                for fld in target:
+                    if fld.name in tab.column_names:
+                        out[fld.name] = pc.cast(tab[fld.name],
+                                                fld.type)
+                    else:
+                        out[fld.name] = pa.nulls(tab.num_rows,
+                                                 type=fld.type)
+                return pa.table(out)
+            return fn
+
+        def _mask(conjuncts):
+            def fn(tab: pa.Table) -> pa.Table:
+                mask = None
+                for col, op, lit in conjuncts:
+                    c = tab[col]
+                    lit_s = (pa.scalar(lit, type=c.type)
+                             if not isinstance(lit, pa.Scalar)
+                             else lit)
+                    term = {"==": pc.equal, "<": pc.less,
+                            "<=": pc.less_equal, ">": pc.greater,
+                            ">=": pc.greater_equal}[op](c, lit_s)
+                    mask = (term if mask is None
+                            else pc.and_(mask, term))
+                return tab.filter(pc.fill_null(mask, False))
+            return fn
+
+        parts = []
+        for g, ps in groups.items():
+            names = set(schemas[g].names)
+            want = [c for c in unified.names if c in names]
+            # a projection may exclude every physical column of an
+            # old file; read one real column to carry the row count
+            read_cols = want or [schemas[g].names[0]]
+            sub = rd.read_parquet(ps, columns=read_cols)
+            sub = sub.map_batches(_pad_to(unified),
+                                  batch_format="pyarrow")
+            if filter:
+                # filter columns may be padded nulls here, so the
+                # predicate applies AFTER padding (null -> drop, SQL
+                # semantics); row-group pushdown stays on the
+                # single-schema path by design
+                sub = sub.map_batches(_mask(filter),
+                                      batch_format="pyarrow")
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
     return rd.read_parquet(paths, columns=columns, filter=expr)
 
 

@@ -484,3 +484,27 @@ def test_snapshot_bloom_point_lookup_prune(ray_session, tmp_path):
     assert got["v"].to_pylist() == [999]
     none = read_snapshot(root2, filter=[("k", "==", "conv-999")])
     assert none.count() == 0
+
+
+def test_snapshot_add_column_evolution(ray_session, tmp_path):
+    """An append introducing a new column must surface it (nulls for
+    old files) regardless of file order — Ray's bare read_parquet
+    would silently keep only the first file's columns."""
+    root = str(tmp_path / "evo")
+    write_snapshot(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64())})), root, stats_cols=("k",))
+    write_snapshot(rd.from_arrow(pa.table({
+        "k": pa.array([3], pa.int64()),
+        "lang": pa.array(["en"])})), root,
+        stats_cols=("k",), mode="append")
+    back = _collect(read_snapshot(root)).sort_by("k")
+    assert back.column_names == ["k", "lang"]
+    assert back["lang"].to_pylist() == [None, None, "en"]
+    # projection onto the evolved column alone still works
+    lang = _collect(read_snapshot(root, columns=["lang"]))
+    assert sorted(lang["lang"].to_pylist(), key=str) == \
+        [None, None, "en"]
+    # the single-schema fast path is untouched (no footer reads):
+    # snapshot 1 alone has one fingerprint
+    one = _collect(read_snapshot(root, snapshot=1))
+    assert one.column_names == ["k"]
