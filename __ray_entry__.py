@@ -5469,8 +5469,105 @@ def _q_transcript_validate(sf_dir: str):
     return entry()
 
 
+def _q_orders_global_rank(sf_dir: str):
+    """Partition-free window ranking (relational.global_rank):
+    ROW_NUMBER / RANK / DENSE_RANK over the WHOLE orders table by
+    order day descending — range-partitioned sort, O(1) stats per
+    block, driver resolves cross-block tie runs with O(blocks)
+    scalars.  Day granularity forces ties that straddle sort blocks,
+    so the carry logic is what the oracle hash actually checks."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import global_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_day": pc.cast(t["o_orderdate"], pa.date32())}),
+        batch_format="pyarrow")
+    out = global_rank(ds, "o_day", descending=True,
+                      tiebreak="o_orderkey")
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "row_number", "rank",
+                            "dense_rank"]),
+        batch_format="pyarrow")
+
+
+def _q_docs_rrf(sf_dir: str):
+    """Reciprocal Rank Fusion (relational.rrf_fuse): fold two
+    per-document signals — codepoint length and UTF-8 byte length —
+    into one fused relevance by summed reciprocal ranks (k=60,
+    Cormack et al.).  Two global_rank sorts + ONE shared hash
+    exchange; the float score is bit-stable because both engines sum
+    the same two exact reciprocals in the same order."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import rrf_fuse
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "n_bytes": pc.binary_length(t["text"])}),
+        batch_format="pyarrow")
+    return rrf_fuse(ds, "doc_id",
+                    [("n_chars", True), ("n_bytes", True)])
+
+
+def _q_events_survival(sf_dir: str):
+    """Kaplan–Meier risk table (relational.km_risk_table) for
+    user churn: a user's observation window is first→last event day;
+    the event is OBSERVED when their final event (by ts, event_id) is
+    an ``error``, censored otherwise.  Per-subject rows come from two
+    O(users) aggregates sharing one broadcast join; the risk table's
+    suffix-summed ``n_at_risk`` stays exact-integer — the float
+    survival product is left to the consumer (engines disagree on
+    float Π, never on these counts)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (group_agg, group_latest,
+                                               hash_join, km_risk_table)
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    ev = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64())}),
+        batch_format="pyarrow")
+    span = group_agg(ev, ["user_id"],
+                     [("ts_us", "min", "min_us"),
+                      ("ts_us", "max", "max_us")])
+    last = group_latest(ev, "user_id", ["ts_us", "event_id"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "is_event": pc.equal(t["event_type"], "error")}),
+            batch_format="pyarrow")
+    per_user = hash_join(span, last, on=["user_id"], broadcast="auto")
+    day = 86_400_000_000
+
+    def _dur(t: pa.Table) -> pa.Table:
+        import numpy as np
+        lo = np.floor_divide(
+            t["min_us"].to_numpy(zero_copy_only=False), day)
+        hi = np.floor_divide(
+            t["max_us"].to_numpy(zero_copy_only=False), day)
+        return pa.table({
+            "duration_days": pa.array(hi - lo, pa.int64()),
+            "is_event": t["is_event"]})
+
+    rows = per_user.map_batches(_dur, batch_format="pyarrow")
+    return km_risk_table(rows, "duration_days", "is_event")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_global_rank": _q_orders_global_rank,
+        "docs_rrf": _q_docs_rrf,
+        "events_survival": _q_events_survival,
         # never-driver-checked queries FIRST: the driver's correctness
         # window covered only the first 50 entries in r02, so new and
         # round-2-unchecked entries lead the dict to get their row
@@ -5688,6 +5785,56 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "orders_global_rank": """
+            SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)
+                                      DESC, o_orderkey) AS "row_number",
+                   RANK() OVER (ORDER BY CAST(o_orderdate AS DATE)
+                                DESC) AS "rank",
+                   DENSE_RANK() OVER (ORDER BY CAST(o_orderdate AS DATE)
+                                      DESC) AS "dense_rank"
+            FROM orders
+        """,
+        "docs_rrf": """
+            WITH sig AS (
+                SELECT doc_id, n_chars,
+                       octet_length(text::BLOB) AS n_bytes
+                FROM documents
+            ), rk AS (
+                SELECT doc_id,
+                       RANK() OVER (ORDER BY n_chars DESC)
+                           AS rank_n_chars,
+                       RANK() OVER (ORDER BY n_bytes DESC)
+                           AS rank_n_bytes
+                FROM sig
+            )
+            SELECT doc_id, rank_n_chars, rank_n_bytes,
+                   1.0 / (60 + rank_n_chars)
+                       + 1.0 / (60 + rank_n_bytes) AS rrf
+            FROM rk
+        """,
+        "events_survival": """
+            WITH per_user AS (
+                SELECT user_id,
+                       epoch_us(max(ts)) // 86400000000
+                           - epoch_us(min(ts)) // 86400000000 AS d,
+                       (array_agg(event_type
+                                  ORDER BY ts DESC, event_id DESC))[1]
+                           = 'error' AS ev
+                FROM events GROUP BY user_id
+            ), t AS (
+                SELECT d,
+                       SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n_death,
+                       SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+                FROM per_user GROUP BY d
+            )
+            SELECT CAST(d AS BIGINT) AS duration_days,
+                   CAST(n_death AS BIGINT) AS n_death,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CAST(SUM(n_death + n_censored)
+                        OVER (ORDER BY d DESC) AS BIGINT) AS n_at_risk
+            FROM t
+        """,
         "orders_infer_contract": """
             SELECT 'o_custkey' AS col, count(*)::BIGINT AS n,
                    (count(*) - count(o_custkey))::BIGINT AS n_null,

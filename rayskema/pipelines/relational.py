@@ -5401,3 +5401,332 @@ def interval_overlap_join(
 
     return bucketed_map_groups(lt.union(rt), [key], _join,
                                buckets=buckets, sort_within=False)
+
+
+# ---------------------------------------------------------------------------
+# Global (partition-free) window ranking: ROW_NUMBER / RANK / DENSE_RANK
+# OVER (ORDER BY ...) with no PARTITION BY — the one window shape the
+# per-group machinery (group_rank etc.) cannot express, because there is
+# no key to hash-partition on.
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0.5)
+def _rank_block_stats(tab: pa.Table, by: list, n_by: int) -> dict:
+    """O(1)-size ordering stats for one range-partitioned block: row
+    count, first/last key tuple, sizes of the leading/trailing tie
+    runs, and the distinct-key count — everything the driver needs to
+    resolve cross-block tie runs without touching row data."""
+    n = tab.num_rows
+    if n == 0:
+        return {"n": 0}
+    ne = _neighbor_change_mask(tab, by)          # len n-1, True = new run
+    n_runs = 1 + int(ne.sum())
+    # leading run length = first True position (or n); trailing likewise
+    idx = np.flatnonzero(ne)
+    lead = int(idx[0]) + 1 if len(idx) else n
+    trail = n - 1 - int(idx[-1]) if len(idx) else n
+    first = tuple(tab[c][0].as_py() for c in by)
+    last = tuple(tab[c][n - 1].as_py() for c in by)
+    return {"n": n, "first": first, "last": last,
+            "lead": lead, "trail": trail, "runs": n_runs}
+
+
+def _neighbor_change_mask(tab: pa.Table, by: Sequence[str]) -> np.ndarray:
+    """Boolean vector of length ``n-1``: True where row ``i+1`` starts a
+    new tie run over the ``by`` tuple (null-safe: null == null)."""
+    n = tab.num_rows
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    ne = np.zeros(n - 1, dtype=bool)
+    for c in by:
+        col = tab[c].combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        eq = pc.fill_null(pc.equal(a, b), False)
+        eq = pc.or_(eq, pc.and_(pc.is_null(a), pc.is_null(b)))
+        ne |= np.logical_not(eq.to_numpy(zero_copy_only=False))
+    return ne
+
+
+@ray.remote(num_cpus=0.5)
+def _rank_block_finalize(
+        tab: pa.Table, by: list, kinds: tuple, out_schema: pa.Schema,
+        row_off: int, rank_carry: int, dense_before: int,
+        cont: bool) -> pa.Table:
+    """Attach the requested global window columns to one sorted block.
+
+    ``row_off``: global 0-based index of the block's first row.
+    ``rank_carry``: global 0-based start index of the tie run the
+    block's first row belongs to (== ``row_off`` unless the run
+    straddles in from earlier blocks).
+    ``dense_before``: distinct keys strictly before this block's first
+    NEW key; ``cont``: whether the first row continues an earlier run.
+    """
+    n = tab.num_rows
+    if n == 0:
+        # Ray's sort can emit ZERO-COLUMN empty blocks (schema ".");
+        # return the full output schema so the downstream union of
+        # blocks stays schema-consistent
+        return out_schema.empty_table()
+    ne = _neighbor_change_mask(tab, by)
+    new_run = np.empty(n, dtype=np.int64)
+    new_run[0] = 1
+    new_run[1:] = ne
+    run_id = np.cumsum(new_run)                  # 1-based within block
+    out = tab
+    if "row_number" in kinds:
+        out = out.append_column("row_number", pa.array(
+            np.arange(row_off + 1, row_off + n + 1, dtype=np.int64)))
+    if "rank" in kinds:
+        # rank of a run = 1-based global index of its first row; the
+        # first run's start may carry in from an earlier block
+        starts = np.flatnonzero(new_run) + row_off      # 0-based global
+        starts[0] = rank_carry
+        out = out.append_column("rank", pa.array(
+            starts[run_id - 1] + 1))
+    if "dense_rank" in kinds:
+        base = dense_before - 1 if cont else dense_before
+        out = out.append_column("dense_rank", pa.array(
+            base + run_id))
+    return out.select(out_schema.names)
+
+
+def _null_fill_default(t: pa.DataType):
+    """An arbitrary valid scalar of ``t`` used to null-fill physical
+    sort keys (the value never affects semantics — null placement is
+    carried by the is-null flag column)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", type=t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, type=t)
+    try:
+        return pa.scalar(0, type=t)      # ints, floats, ts, date, time
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        raise ValueError(f"unsupported global_rank key type: {t}")
+
+
+def global_rank(
+    ds: "rd.Dataset", by, *, descending=False, tiebreak=None,
+    kinds: Sequence[str] = ("row_number", "rank", "dense_rank"),
+) -> "rd.Dataset":
+    """Exact global ``ROW_NUMBER()`` / ``RANK()`` / ``DENSE_RANK()``
+    ``OVER (ORDER BY by)`` — no PARTITION BY — attached as int64
+    columns (1-based), TeraSort style.
+
+    Distribution: ``ds.sort`` range-partitions on sampled boundaries
+    (Ray Data's streaming sort — each block ends up globally ordered
+    relative to its neighbors and sorted within), then ONE O(1)-sized
+    stats task per block feeds a driver pass that resolves row offsets,
+    cross-block tie runs (a run straddling any number of blocks gets
+    the rank of its true first row) and distinct-key prefix counts —
+    driver state is O(blocks), never O(rows).  A finalize task per
+    block attaches the columns vectorized (run-length encoding over
+    the pre-sorted keys; no row loops).
+
+    ``by``: ordering/comparison columns for rank semantics.
+    ``descending``: bool or per-``by``-column list.
+    ``tiebreak``: extra columns appended to the physical sort (always
+    ascending) so ``row_number`` is deterministic under ties without
+    affecting ``rank``/``dense_rank`` comparisons — mirror them in the
+    oracle's ``ROW_NUMBER() OVER (ORDER BY ..., tiebreak)``.
+
+    Null ordering follows Ray's sort (nulls last under ascending,
+    first under descending — Arrow semantics); nulls form one tie run
+    (null == null for ranking, the SQL convention).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    tiebreak = ([] if tiebreak is None else
+                [tiebreak] if isinstance(tiebreak, str) else list(tiebreak))
+    kinds = tuple(kinds)
+    bad = set(kinds) - {"row_number", "rank", "dense_rank"}
+    if bad:
+        raise ValueError(f"unknown rank kinds: {sorted(bad)}")
+    desc = ([descending] * len(by) if isinstance(descending, bool)
+            else list(descending))
+    if len(desc) != len(by):
+        raise ValueError("descending must match by arity")
+
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        ds = ds.materialize()
+        sch = ds.schema()
+    if sch is None:
+        return ds          # fully-empty schema-less input: nothing to rank
+    in_schema = sch.base_schema
+    out_fields = list(in_schema) + [pa.field(k, pa.int64())
+                                    for k in kinds]
+    out_schema = pa.schema(out_fields)
+
+    # Null-free physical sort keys: Ray's range-partitioned sort can
+    # DUPLICATE a row whose sort key is null across two partitions
+    # (observed on 2.49 with more blocks than rows), so every sort
+    # column is encoded as (is_null flag, null-filled value) — the
+    # flag reproduces the documented null placement (last under asc,
+    # first under desc) and the filled value never reaches Ray's
+    # boundary logic as a null.  Rank semantics still read the
+    # ORIGINAL columns (null-safe run detection), so the fill value is
+    # arbitrary.
+    sort_cols: list = []
+    sort_desc: list = []
+    enc_all = list(zip(by, desc)) + [(c, False) for c in tiebreak]
+
+    def _encode(tab: pa.Table) -> pa.Table:
+        cols = {c: tab[c] for c in tab.column_names}
+        for i, (c, _d) in enumerate(enc_all):
+            col = tab[c]
+            cols[f"__nn{i}"] = pc.cast(pc.is_null(col), pa.int8())
+            cols[f"__nv{i}"] = pc.fill_null(col, _null_fill_default(
+                col.type))
+        return pa.table(cols)
+
+    for i, (_c, d) in enumerate(enc_all):
+        sort_cols += [f"__nn{i}", f"__nv{i}"]
+        sort_desc += [d, d]
+    s = ds.map_batches(_encode, batch_format="pyarrow") \
+        .sort(sort_cols, descending=sort_desc).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    stats = ray.get([_rank_block_stats.remote(r, by, len(by))
+                     for r in refs])
+
+    # driver pass: O(blocks) scalars
+    out_refs = []
+    row_off = 0          # global 0-based index of next block's first row
+    dense_before = 0     # distinct keys fully before the current block
+    prev_last = None     # last key tuple of the previous non-empty block
+    run_start = 0        # global 0-based start of the open trailing run
+    for r, st in zip(refs, stats):
+        n = st["n"]
+        if n == 0:
+            out_refs.append(_rank_block_finalize.remote(
+                r, by, kinds, out_schema, row_off, row_off,
+                dense_before, False))
+            continue
+        cont = prev_last is not None and st["first"] == prev_last
+        rank_carry = run_start if cont else row_off
+        out_refs.append(_rank_block_finalize.remote(
+            r, by, kinds, out_schema, row_off, rank_carry,
+            dense_before, cont))
+        # advance driver state
+        dense_before += st["runs"] - (1 if cont else 0)
+        if st["first"] == st["last"] and st["lead"] == n and cont:
+            # whole block continues the open run: run_start unchanged
+            pass
+        else:
+            run_start = row_off + n - st["trail"]
+        row_off += n
+        prev_last = st["last"]
+    return rd.from_arrow_refs(out_refs)
+
+
+def rrf_fuse(
+    ds: "rd.Dataset", id_cols, signals: Sequence[tuple[str, bool]],
+    *, k: int = 60, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Reciprocal Rank Fusion over per-row scoring signals: each
+    signal column ranks the whole corpus globally (SQL ``RANK()``
+    ties), and every row's fused relevance is
+    ``rrf = Σ_s 1/(k + rank_s)`` (Cormack et al. SIGIR'09, k=60).
+    The multi-signal ranking combiner a curation pipeline uses to
+    fold quality/BM25/freshness scores into ONE ordering without
+    score normalization.
+
+    Output: ``id_cols`` + one int64 ``rank_<col>`` per signal +
+    float64 ``rrf`` (terms summed in ``signals`` order — fixed
+    float-op order keeps the score bit-reproducible; rank ties make
+    it layout-independent).
+
+    Distribution: one :func:`global_rank` sort per signal (range
+    partitioned, O(blocks) driver state) and ONE shared hash exchange
+    (:func:`join_many`) folding the rank tables — no all-pairs, no
+    driver-side rows.
+    """
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    if not signals:
+        raise ValueError("rrf_fuse needs at least one signal")
+    ranked = []
+    for col, desc in signals:
+        r = global_rank(ds, col, descending=desc, tiebreak=id_cols,
+                        kinds=("rank",))
+        ranked.append(r.map_batches(
+            lambda t, _c=col: t.select(id_cols + ["rank"])
+            .rename_columns(id_cols + [f"rank_{_c}"]),
+            batch_format="pyarrow"))
+    if len(ranked) == 1:
+        fused = ranked[0]
+    else:
+        fused = join_many(ranked, id_cols, buckets=buckets)
+    rank_names = [f"rank_{c}" for c, _ in signals]
+
+    def _score(tab: pa.Table) -> pa.Table:
+        acc = np.zeros(tab.num_rows, dtype=np.float64)
+        for rn in rank_names:
+            acc = acc + 1.0 / (k + tab[rn].to_numpy(zero_copy_only=False))
+        return tab.append_column("rrf", pa.array(acc))
+
+    return fused.map_batches(_score, batch_format="pyarrow")
+
+
+def km_risk_table(
+    ds: "rd.Dataset", duration_col: str, event_col: str,
+    *, buckets: int | None = None,
+) -> pa.Table:
+    """Kaplan–Meier risk table over per-subject survival rows: for
+    every distinct observed ``duration`` (int units — days, weeks;
+    null durations are dropped), the counts the estimator needs:
+
+    - ``n_death``: subjects whose event was OBSERVED at exactly t
+      (``event_col`` truthy),
+    - ``n_censored``: subjects lost to follow-up at t,
+    - ``n_at_risk``: subjects still under observation entering t
+      (duration ≥ t).
+
+    Integer-only by design: ``S(t) = Π (n_at_risk−n_death)/n_at_risk``
+    is a product of floats no two engines multiply identically, so the
+    operator emits the exact counts and leaves the product to the
+    consumer — the risk table IS the reproducible artifact (and the
+    SQL-checkable one).
+
+    Distribution: per-block partial counts collapse each block to at
+    most 2·distinct-durations rows, ONE small exchange merges them
+    (``group_agg``), and the suffix-sum for ``n_at_risk`` runs on the
+    merged O(distinct durations) table on the driver — with bucketed
+    durations (days) that is thousands of rows from 10^12 subjects.
+    """
+    def _flag(t: pa.Table) -> pa.Table:
+        # null event flag = censored (the subject was observed for the
+        # duration but no event was recorded — SQL COALESCE(ev, FALSE))
+        ev = pc.fill_null(pc.cast(t[event_col], pa.bool_()), False)
+        return pa.table({
+            duration_col: t[duration_col],
+            "_d": pc.cast(ev, pa.int64()),
+            "_c": pc.cast(pc.invert(ev), pa.int64()),
+        }).filter(pc.is_valid(t[duration_col]))
+
+    merged = group_agg(ds.map_batches(_flag, batch_format="pyarrow"),
+                       [duration_col],
+                       [("_d", "sum", "n_death"),
+                        ("_c", "sum", "n_censored")],
+                       buckets=buckets).materialize()
+    tabs = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(tabs, promote_options="default") \
+        if tabs else None
+    if tab is None or tab.num_rows == 0:
+        return pa.table({duration_col: pa.array([], pa.int64()),
+                         "n_death": pa.array([], pa.int64()),
+                         "n_censored": pa.array([], pa.int64()),
+                         "n_at_risk": pa.array([], pa.int64())})
+    tab = tab.sort_by(duration_col)
+    d = pc.cast(tab["n_death"], pa.int64()).to_numpy(zero_copy_only=False)
+    c = pc.cast(tab["n_censored"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    leaving = d + c
+    at_risk = leaving[::-1].cumsum()[::-1]
+    return pa.table({
+        duration_col: pc.cast(tab[duration_col], pa.int64()),
+        "n_death": pa.array(d),
+        "n_censored": pa.array(c),
+        "n_at_risk": pa.array(at_risk),
+    })

@@ -3916,3 +3916,95 @@ def test_first_digit_profile_null_only_block(ray_session):
     assert out["digit"].to_pylist() == [4, 5]
     assert out["n"].to_pylist() == [1, 1]
     assert out["bp"].to_pylist() == [5000, 5000]
+
+
+# ---------------------------------------------------------------------------
+# global (partition-free) window ranking + rank fusion + survival
+# ---------------------------------------------------------------------------
+
+def test_global_rank_vs_duckdb(ray_session):
+    import duckdb
+    from rayskema.pipelines.relational import global_rank
+    rng = np.random.default_rng(11)
+    n = 20_000
+    t = pa.table({"id": np.arange(n),
+                  "v": rng.integers(0, 137, n),
+                  "w": rng.integers(0, 3, n)})
+    out = global_rank(rd.from_arrow(t).repartition(23), ["v", "w"],
+                      descending=[True, False], tiebreak="id")
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    o = con.execute(
+        "SELECT ROW_NUMBER() OVER (ORDER BY v DESC, w, id) rn,"
+        "       RANK() OVER (ORDER BY v DESC, w) rk,"
+        "       DENSE_RANK() OVER (ORDER BY v DESC, w) dr "
+        "FROM t ORDER BY id").fetchdf()
+    assert (df["row_number"].values == o["rn"].values).all()
+    assert (df["rank"].values == o["rk"].values).all()
+    assert (df["dense_rank"].values == o["dr"].values).all()
+
+
+def test_global_rank_single_run_straddles_all_blocks(ray_session):
+    # one giant tie run crossing every sort block: rank must stay 1
+    from rayskema.pipelines.relational import global_rank
+    n = 5_000
+    t = pa.table({"id": np.arange(n), "v": np.zeros(n, np.int64)})
+    out = global_rank(rd.from_arrow(t).repartition(17), "v",
+                      tiebreak="id").to_pandas()
+    assert (out["rank"] == 1).all()
+    assert (out["dense_rank"] == 1).all()
+    assert sorted(out["row_number"]) == list(range(1, n + 1))
+
+
+def test_global_rank_nulls_and_parallelism_independence(ray_session):
+    from rayskema.pipelines.relational import global_rank
+    vals = pa.array([None, 3, 1, None, 2, 3, 1, None], pa.int64())
+    t = pa.table({"id": np.arange(8), "v": vals})
+    ranks = []
+    for parts in (1, 3, 8):
+        out = global_rank(rd.from_arrow(t).repartition(parts), "v",
+                          tiebreak="id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        ranks.append((tuple(out["rank"]), tuple(out["dense_rank"]),
+                      tuple(out["row_number"])))
+    assert ranks[0] == ranks[1] == ranks[2]
+    # nulls sort last ascending and tie with each other
+    out = ranks[0]
+    by_id = dict(zip(range(8), out[0]))
+    assert by_id[0] == by_id[3] == by_id[7] == 6  # the null run
+    assert by_id[2] == by_id[6] == 1              # value 1
+
+
+def test_rrf_fuse_matches_manual(ray_session):
+    from rayskema.pipelines.relational import rrf_fuse
+    rng = np.random.default_rng(5)
+    n = 3_000
+    a = rng.integers(0, 50, n)
+    b = rng.integers(0, 9, n)
+    t = pa.table({"id": np.arange(n), "a": a, "b": b})
+    out = rrf_fuse(rd.from_arrow(t).repartition(11), "id",
+                   [("a", True), ("b", False)]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # manual reference ranks (SQL RANK ties)
+    import pandas as pd
+    ra = pd.Series(-a).rank(method="min").astype(np.int64).values
+    rb = pd.Series(b).rank(method="min").astype(np.int64).values
+    assert (out["rank_a"].values == ra).all()
+    assert (out["rank_b"].values == rb).all()
+    expect = 1.0 / (60 + ra) + 1.0 / (60 + rb)
+    assert (out["rrf"].values == expect).all()
+
+
+def test_km_risk_table(ray_session):
+    from rayskema.pipelines.relational import km_risk_table
+    t = pa.table({
+        "d": pa.array([2, 2, 5, 5, 5, 7, 9, 9, None], pa.int64()),
+        "ev": pa.array([True, False, True, True, None, False, True,
+                        False, True])})
+    out = km_risk_table(rd.from_arrow(t).repartition(4), "d", "ev")
+    assert out["d"].to_pylist() == [2, 5, 7, 9]
+    assert out["n_death"].to_pylist() == [1, 2, 0, 1]
+    # null event flag counts as censored; null duration dropped
+    assert out["n_censored"].to_pylist() == [1, 1, 1, 1]
+    assert out["n_at_risk"].to_pylist() == [8, 6, 3, 2]
