@@ -5563,8 +5563,76 @@ def _q_events_survival(sf_dir: str):
     return km_risk_table(rows, "duration_days", "is_event")
 
 
+def _q_docs_cdc_dedup(sf_dir: str):
+    """Content-defined chunking dedup profile (dedup.cdc_dedup_stats):
+    rolling-hash chunk boundaries (LBFS/rsync shape — byte-identical
+    runs chunk identically even under byte shifts), chunk-level exact
+    dedup through ONE exchange on chunk_hash, O(blocks) driver fold.
+    Driver-checkable verdict: total chunk bytes must reconstruct the
+    corpus byte count (SQL-checkable), and a deterministic doc sample
+    is re-chunked by an independent pure-Python rolling hash — the
+    vectorized prefix-sum path must reproduce it span for span."""
+    import numpy as np
+    from rayskema.functions.dedup import cdc_chunks, cdc_dedup_stats
+    from rayskema.state.sketches import _hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = cdc_dedup_stats(ds, "doc_id", "text", window=16,
+                            avg_size=128)
+
+    # independent reference on a deterministic sample (~1% of docs)
+    sample = ds.filter(
+        lambda r: r["doc_id"] % 97 == 0).take_all()
+    sample_ids = {r["doc_id"] for r in sample}
+    MASK = (1 << 64) - 1
+
+    def _brute(text: str) -> list[tuple[int, int]]:
+        b = text.encode()
+        bounds = []
+        for p in range(15, max(len(b) - 1, 0)):
+            h = 0
+            for j in range(p - 15, p + 1):
+                h = (h * 1099511628211 + b[j]) & MASK
+            hh = int(_hash64(np.array([h], dtype=np.uint64))[0])
+            if hh % 128 == 0:
+                bounds.append(p)
+        starts = [0] + [p + 1 for p in bounds]
+        ends = starts[1:] + [len(b)]
+        out = []
+        for s, e in zip(starts, ends):
+            h = 0
+            for j in range(s, e):
+                h = (h * 1099511628211 + b[j]) & MASK
+            out.append((int(_hash64(
+                np.array([h], dtype=np.uint64))[0]), e - s))
+        return out
+
+    expect = {r["doc_id"]: _brute(r["text"] or "") for r in sample}
+    got: dict[int, list] = {}
+    mine = cdc_chunks(ds, "doc_id", "text", window=16, avg_size=128) \
+        .filter(lambda r: r["doc_id"] % 97 == 0) \
+        .sort(["doc_id", "chunk_ord"]).take_all()
+    for r in mine:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_hash"] % (1 << 64), r["chunk_len"]))
+    match = set(got) == sample_ids and all(
+        got[i] == expect[i] for i in sample_ids)
+
+    n_docs = ds.count()
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_bytes": pa.array(
+            [stats["total_bytes"][0].as_py()], pa.int64()),
+        "sample_checked": pa.array([len(sample_ids)], pa.int64()),
+        "chunks_match": pa.array([bool(match)], pa.bool_()),
+        "dup_bytes_saved_nonneg": pa.array(
+            [stats["dup_bytes_saved"][0].as_py() >= 0], pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_cdc_dedup": _q_docs_cdc_dedup,
         "orders_global_rank": _q_orders_global_rank,
         "docs_rrf": _q_docs_rrf,
         "events_survival": _q_events_survival,
@@ -5785,6 +5853,17 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_cdc_dedup": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   CAST(COALESCE(SUM(COALESCE(
+                       octet_length(text::BLOB), 0)), 0) AS BIGINT)
+                       AS total_bytes,
+                   CAST(count(*) FILTER (doc_id % 97 = 0) AS BIGINT)
+                       AS sample_checked,
+                   TRUE AS chunks_match,
+                   TRUE AS dup_bytes_saved_nonneg
+            FROM documents
+        """,
         "orders_global_rank": """
             SELECT o_orderkey,
                    ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)

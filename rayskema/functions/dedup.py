@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 
 from ..pipelines.relational import (agg_named, bucketed_map_groups,
-                                    segment_starts)
+                                    group_agg, segment_starts)
 from ..state.sketches import _hash64, hash_strings
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -2242,3 +2242,165 @@ def line_dedup(ds: "rd.Dataset", id_col: str, text_col: str, *,
                                buckets=buckets, sort_within=False)
     return group_concat(kept, id_col, "__line", ["__pos"], sep=sep,
                         out_col=out_col, buckets=buckets)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — shift-resistant chunk-level dedup
+# ---------------------------------------------------------------------------
+
+_CDC_PRIME = np.uint64(1099511628211)
+# modular inverse of the odd prime mod 2^64: prefix hashes become a
+# cumsum of byte·inv^j, so ANY span's hash is two lookups + one
+# multiply (the same rollback trick edit_distance_pairs uses)
+_CDC_PRIME_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _cdc_spans(offsets: np.ndarray, data: np.ndarray,
+               window: int, avg_size: int):
+    """Vectorized CDC over a flat UTF-8 buffer: returns
+    ``(doc_ids, chunk_starts, chunk_ends, chunk_hashes)`` — all global
+    byte positions.  A chunk boundary falls AFTER byte ``p`` when the
+    rolling polynomial hash of the ``window`` bytes ending at ``p``
+    satisfies ``hash % avg_size == 0`` and the window lies entirely
+    inside the document.  No min/max clamps: boundary decisions stay
+    position-independent (insert a byte and only the two adjacent
+    chunks change — the shift-resistance CDC exists for); expected
+    chunk size is ``avg_size`` (geometric).
+
+    Everything is prefix sums over the flat buffer: S[i] = Σ_{j<i}
+    byte[j]·inv^j (uint64 wraparound), so the hash of span [a, b) is
+    ``(S[b] − S[a]) · prime^(b−1)`` — the standard forward polynomial
+    Σ byte[j]·prime^(b−1−j), position-independent, O(1) per span.
+    Peak memory is ~3 uint64 arrays the size of the text buffer; size
+    batches accordingly (512–2048 docs)."""
+    n = len(offsets) - 1
+    nb = len(data)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=np.uint64)
+    pows = np.ones(nb + 1, dtype=np.uint64)
+    if nb:
+        np.cumprod(np.full(nb, _CDC_PRIME, dtype=np.uint64),
+                   out=pows[1:])
+    inv_pows = np.ones(nb, dtype=np.uint64)
+    if nb > 1:
+        np.cumprod(np.full(nb - 1, _CDC_PRIME_INV, dtype=np.uint64),
+                   out=inv_pows[1:])
+    S = np.zeros(nb + 1, dtype=np.uint64)
+    if nb:
+        np.cumsum(data.astype(np.uint64) * inv_pows, out=S[1:])
+
+    starts, ends = offsets[:-1], offsets[1:]
+    # candidate boundary positions p (boundary after byte p): the
+    # window [p-window+1, p+1) must fit in the doc and a boundary at
+    # the doc's last byte is meaningless (the tail chunk ends anyway)
+    if nb:
+        pos = np.arange(nb, dtype=np.int64)
+        doc_of = np.searchsorted(offsets, pos, side="right") - 1
+        wh = ((S[pos + 1] - S[pos - window + 1])
+              * pows[pos]) & _MASK64
+        ok = ((pos - starts[doc_of] >= window - 1)
+              & (pos < ends[doc_of] - 1)
+              & (_hash64(wh) % np.uint64(avg_size) == 0))
+        b = pos[ok]
+        bd = doc_of[ok]
+    else:
+        b = np.empty(0, dtype=np.int64)
+        bd = np.empty(0, dtype=np.int64)
+
+    # chunk starts per doc = doc start + every boundary+1, in order
+    cs = np.concatenate([starts, b + 1])
+    cd = np.concatenate([np.arange(n, dtype=np.int64), bd])
+    order = np.lexsort((cs, cd))
+    cs, cd = cs[order], cd[order]
+    nxt_same = np.empty(len(cs), dtype=bool)
+    nxt_same[:-1] = cd[1:] == cd[:-1]
+    nxt_same[-1] = False
+    ce = np.where(nxt_same,
+                  np.concatenate([cs[1:], np.array([0], np.int64)]),
+                  ends[cd])
+    ch = ((S[ce] - S[cs]) * pows[np.maximum(ce - 1, 0)]) & _MASK64
+    return cd, cs, ce, _hash64(ch)
+
+
+def cdc_chunks(
+    ds: "rd.Dataset", id_col: str, text_col: str, *,
+    window: int = 16, avg_size: int = 128,
+    batch_size: int = 1024,
+) -> "rd.Dataset":
+    """Content-defined chunk table: one row per (document, chunk
+    ordinal) with the chunk's 64-bit content hash and byte length —
+    the storage/dedup shape (LBFS/rsync lineage): byte-identical runs
+    land in byte-identical chunks even when surrounding bytes shift,
+    which fixed-size blocking cannot do.  Null text chunks as empty.
+
+    Fully vectorized per batch (prefix-sum rolling hashes over the
+    flat UTF-8 buffer — no per-byte Python); embarrassingly parallel,
+    NO shuffle: chunking each document needs only its own bytes.
+    Downstream dedup (group by ``chunk_hash``) is where the one
+    exchange happens."""
+    def _f(tab: pa.Table) -> pa.Table:
+        arr = tab[text_col].combine_chunks()
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        offsets, data = _utf8_buffers(arr)
+        cd, cs, ce, ch = _cdc_spans(offsets, data, window, avg_size)
+        # ordinal within doc: segment-reset arange
+        first = np.concatenate([[True], cd[1:] != cd[:-1]]) \
+            if len(cd) else np.empty(0, dtype=bool)
+        idx = np.arange(len(cd), dtype=np.int64)
+        ords = idx - np.maximum.accumulate(np.where(first, idx, 0)) \
+            if len(cd) else idx
+        return pa.table({
+            id_col: tab[id_col].take(pa.array(cd)),
+            "chunk_ord": pa.array(ords),
+            "chunk_hash": pa.array(ch.view(np.int64)),
+            "chunk_len": pa.array(ce - cs),
+        })
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def cdc_dedup_stats(
+    ds: "rd.Dataset", id_col: str, text_col: str, *,
+    window: int = 16, avg_size: int = 128,
+    buckets: int | None = None,
+) -> pa.Table:
+    """Corpus-level CDC dedup profile: total chunks / bytes, distinct
+    chunks / bytes, and the bytes a chunk-store would save
+    (``Σ (copies−1)·len`` per distinct chunk).  One exchange on
+    ``chunk_hash`` merges per-block (hash → count, len) partials; the
+    grouped table reduces to per-block scalar partials and the driver
+    folds O(blocks) rows — never O(chunks)."""
+    chunks = cdc_chunks(ds, id_col, text_col, window=window,
+                        avg_size=avg_size)
+    grouped = group_agg(chunks, ["chunk_hash"],
+                        [("chunk_len", "count_all", "n_copies"),
+                         ("chunk_len", "min", "len")],
+                        buckets=buckets)
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        n = pc.cast(tab["n_copies"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ln = pc.cast(tab["len"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_chunks": pa.array([int(n.sum())], pa.int64()),
+            "n_distinct": pa.array([len(n)], pa.int64()),
+            "total_bytes": pa.array([int((n * ln).sum())], pa.int64()),
+            "distinct_bytes": pa.array([int(ln.sum())], pa.int64()),
+            "dup_bytes_saved": pa.array([int(((n - 1) * ln).sum())],
+                                        pa.int64()),
+        })
+
+    parts = [t for t in ray.get(
+        grouped.map_batches(_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({c: pa.array([0], pa.int64()) for c in
+                         ("n_chunks", "n_distinct", "total_bytes",
+                          "distinct_bytes", "dup_bytes_saved")})
+    allp = pa.concat_tables(parts)
+    return pa.table({c: pa.array([pc.sum(allp[c]).as_py() or 0],
+                                 pa.int64())
+                     for c in allp.column_names})

@@ -4008,3 +4008,42 @@ def test_km_risk_table(ray_session):
     # null event flag counts as censored; null duration dropped
     assert out["n_censored"].to_pylist() == [1, 1, 1, 1]
     assert out["n_at_risk"].to_pylist() == [8, 6, 3, 2]
+
+
+def test_cdc_chunks_reconstruct_and_dedup(ray_session):
+    from rayskema.functions.dedup import cdc_chunks, cdc_dedup_stats
+    rng = np.random.default_rng(9)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 24, 4000))
+    docs = [base, "PREFIX-" + base, base + "-SUFFIX", "tiny", ""]
+    t = pa.table({"doc_id": np.arange(len(docs)), "text": docs})
+    ds = rd.from_arrow(t).repartition(3)
+    chunks = cdc_chunks(ds, "doc_id", "text").to_pandas()
+    # chunk lengths reconstruct each doc's byte length
+    got = chunks.groupby("doc_id")["chunk_len"].sum().to_dict()
+    assert got == {i: len(d.encode()) for i, d in enumerate(docs)}
+    # shift resistance: the shared middle chunks between base and
+    # PREFIX-base dedupe (most chunk hashes overlap)
+    h0 = set(chunks[chunks.doc_id == 0]["chunk_hash"])
+    h1 = set(chunks[chunks.doc_id == 1]["chunk_hash"])
+    assert len(h0 & h1) >= max(1, len(h0) - 2)
+    stats = cdc_dedup_stats(ds, "doc_id", "text")
+    assert stats["total_bytes"][0].as_py() == sum(
+        len(d.encode()) for d in docs)
+    assert stats["dup_bytes_saved"][0].as_py() > len(base.encode())
+    assert stats["n_distinct"][0].as_py() < stats["n_chunks"][0].as_py()
+
+
+def test_cdc_chunks_parallelism_independent(ray_session):
+    from rayskema.functions.dedup import cdc_chunks
+    rng = np.random.default_rng(13)
+    docs = ["".join(chr(97 + c) for c in rng.integers(0, 26, int(L)))
+            for L in rng.integers(0, 600, 40)]
+    t = pa.table({"doc_id": np.arange(40), "text": docs})
+    outs = []
+    for parts in (1, 7):
+        df = cdc_chunks(rd.from_arrow(t).repartition(parts),
+                        "doc_id", "text", batch_size=8).to_pandas() \
+            .sort_values(["doc_id", "chunk_ord"]).reset_index(drop=True)
+        outs.append(df[["doc_id", "chunk_ord", "chunk_hash",
+                        "chunk_len"]].values.tolist())
+    assert outs[0] == outs[1]
