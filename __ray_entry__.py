@@ -5630,8 +5630,23 @@ def _q_docs_cdc_dedup(sf_dir: str):
     })
 
 
+def _q_events_theta_overlap(sf_dir: str):
+    """Pairwise event-type audience overlap via KMV/theta sketches
+    (relational.theta_set_overlap): |A|, |B|, |A∪B|, |A∩B| per
+    unordered type pair from ONE 8k-byte bottom-k sketch per
+    (group, block) — O(groups × blocks) exchange bytes regardless of
+    user cardinality.  Below k distinct values the sketch is the
+    exact hash set, so at driver scale the oracle is the EXACT SQL —
+    the same code path that estimates at 10^12 rows."""
+    from rayskema.pipelines.relational import theta_set_overlap
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return theta_set_overlap(ds, "event_type", "user_id", k=4096)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_theta_overlap": _q_events_theta_overlap,
         "docs_cdc_dedup": _q_docs_cdc_dedup,
         "orders_global_rank": _q_orders_global_rank,
         "docs_rrf": _q_docs_rrf,
@@ -5853,6 +5868,28 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_theta_overlap": """
+            WITH s AS (SELECT DISTINCT event_type, user_id
+                       FROM events WHERE user_id IS NOT NULL),
+                 sizes AS (SELECT event_type, count(*) AS n
+                           FROM s GROUP BY 1),
+                 inter AS (SELECT s1.event_type AS a,
+                                  s2.event_type AS b,
+                                  count(*) AS ni
+                           FROM s s1 JOIN s s2 USING (user_id)
+                           WHERE s1.event_type < s2.event_type
+                           GROUP BY 1, 2)
+            SELECT sa.event_type AS group_a, sb.event_type AS group_b,
+                   CAST(sa.n AS BIGINT) AS est_a,
+                   CAST(sb.n AS BIGINT) AS est_b,
+                   CAST(sa.n + sb.n - COALESCE(i.ni, 0) AS BIGINT)
+                       AS est_union,
+                   CAST(COALESCE(i.ni, 0) AS BIGINT) AS est_intersect
+            FROM sizes sa
+            JOIN sizes sb ON sa.event_type < sb.event_type
+            LEFT JOIN inter i
+              ON i.a = sa.event_type AND i.b = sb.event_type
+        """,
         "docs_cdc_dedup": """
             SELECT count(*)::BIGINT AS n_docs,
                    CAST(COALESCE(SUM(COALESCE(

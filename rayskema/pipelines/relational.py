@@ -5730,3 +5730,92 @@ def km_risk_table(
         "n_censored": pa.array(c),
         "n_at_risk": pa.array(at_risk),
     })
+
+
+def theta_set_overlap(
+    ds: "rd.Dataset", group_col: str, value_col: str, *,
+    k: int = 4096, buckets: int | None = None,
+) -> pa.Table:
+    """Approximate pairwise SET OPERATIONS between per-group value
+    sets via KMV/theta sketches: for every unordered group pair,
+    estimated ``|A|``, ``|B|``, ``|A∪B|`` and ``|A∩B|`` — the
+    audience-overlap / contamination-matrix shape at 10^12 rows.
+
+    Scale: exact pairwise overlap must ship every distinct
+    (group, value) pair through an exchange; this ships ONE ``8k``-byte
+    bottom-k sketch per (group, block) — O(groups × blocks) bytes,
+    independent of value cardinality — merges per group through one
+    exchange, and the driver holds only the O(groups) merged sketches
+    for the pairwise pass (group cardinality must be modest: event
+    types, sources, languages).  Deterministic (seeded value hashes,
+    order-independent merges); sets under ``k`` distinct values are
+    EXACT.  Nulls: null values are excluded (SQL DISTINCT), a null
+    group is its own group."""
+    from ..state.sketches import KMV, _hash64, hash_strings
+
+    def _prep(tab: pa.Table):
+        v = tab[value_col].combine_chunks()
+        valid = np.asarray(v.is_valid()) if v.null_count else \
+            np.ones(len(v), dtype=bool)
+        if pa.types.is_integer(v.type):
+            data = _hash64(pc.cast(v, pa.int64()).fill_null(0)
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.uint64))
+        else:
+            data = hash_strings(pc.cast(v, pa.string()))
+        return data, valid
+
+    def _make(hashes: np.ndarray) -> bytes:
+        s = KMV(k)
+        s.update_hashes(hashes)
+        return s.to_bytes()
+
+    partial = ds.select_columns([group_col, value_col]).map_batches(
+        lambda t: _grouped_sketch_partial(t, group_col, _prep, _make,
+                                          "__kmv"),
+        batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        gtype = tab.schema.field(group_col).type
+        if tab.num_rows == 0:
+            return pa.table({group_col: pa.nulls(0, type=gtype),
+                             "__kmv": pa.array([], type=pa.binary())})
+        tab, starts, merged = _merge_grouped_blobs(
+            tab, group_col, "__kmv", KMV.from_bytes)
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(starts)),
+            "__kmv": pa.array([s.to_bytes() for s in merged],
+                              type=pa.binary())})
+
+    rows = bucketed_map_groups(partial, [group_col], _final,
+                               buckets=buckets,
+                               sort_within=False).take_all()
+    rows.sort(key=lambda r: (r[group_col] is None, str(r[group_col])))
+    sketches = [(r[group_col], KMV.from_bytes(r["__kmv"]))
+                for r in rows]
+    a_col, b_col, ea, eb, eu, ei = [], [], [], [], [], []
+    for i in range(len(sketches)):
+        for j in range(i + 1, len(sketches)):
+            ga, sa = sketches[i]
+            gb, sb = sketches[j]
+            u = KMV.from_bytes(sa.to_bytes()).merge(sb)
+            a_col.append(ga)
+            b_col.append(gb)
+            ea.append(int(round(sa.estimate())))
+            eb.append(int(round(sb.estimate())))
+            eu.append(int(round(u.estimate())))
+            ei.append(int(round(KMV.intersection_estimate(sa, sb))))
+    gtype = None
+    for r in rows:
+        if r[group_col] is not None:
+            gtype = pa.scalar(r[group_col]).type
+            break
+    gtype = gtype or pa.string()
+    return pa.table({
+        "group_a": pa.array(a_col, gtype),
+        "group_b": pa.array(b_col, gtype),
+        "est_a": pa.array(ea, pa.int64()),
+        "est_b": pa.array(eb, pa.int64()),
+        "est_union": pa.array(eu, pa.int64()),
+        "est_intersect": pa.array(ei, pa.int64()),
+    })

@@ -436,3 +436,72 @@ class ColumnProfile:
             countmin=CountMin.from_bytes(d["countmin"]),
             row_count=d["row_count"],
         )
+
+
+class KMV:
+    """Bottom-k / KMV theta sketch (k minimum distinct hash values):
+    the set-OPERATION sketch HyperLogLog cannot be — two KMVs support
+    union (merge + trim) AND intersection (count shared hashes below
+    the smaller theta), so pairwise overlap of 10^12-row sets costs
+    ``8k`` bytes per set.  Deterministic: built from the same seeded
+    value hashes as the HLL path, so estimates are bit-stable at any
+    parallelism.  With fewer than ``k`` distinct values the sketch IS
+    the exact hash set (estimates are exact).
+
+    Estimator (Beyer et al. 2007 / DataSketches theta): with the
+    k-th smallest normalized hash as θ, ``|A| ≈ (k−1)/θ``;
+    ``|A∩B| ≈ |{h ∈ A_k ∩ B_k : h < θ_min}| / θ_min``."""
+
+    __slots__ = ("k", "hashes")
+
+    _SCALE = float(1 << 64)
+
+    def __init__(self, k: int = 4096):
+        self.k = k
+        self.hashes = np.empty(0, dtype=np.uint64)   # sorted, unique
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        self.hashes = np.unique(
+            np.concatenate([self.hashes,
+                            hashes.astype(np.uint64)]))[: self.k]
+
+    def update_strings(self, values, seed: int = 0) -> None:
+        self.update_hashes(hash_strings(values, seed=seed))
+
+    def merge(self, other: "KMV") -> "KMV":
+        assert self.k == other.k
+        self.update_hashes(other.hashes)
+        return self
+
+    @property
+    def theta(self) -> float:
+        if len(self.hashes) < self.k:
+            return 1.0
+        # exclusive bound: hashes strictly below theta are retained
+        return float(self.hashes[-1]) / self._SCALE
+
+    def estimate(self) -> float:
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta
+
+    @staticmethod
+    def intersection_estimate(a: "KMV", b: "KMV") -> float:
+        th = min(a.theta, b.theta)
+        common = np.intersect1d(a.hashes, b.hashes,
+                                assume_unique=True)
+        if th >= 1.0:
+            return float(len(common))
+        bound = np.uint64(int(th * KMV._SCALE))
+        return float((common < bound).sum()) / th
+
+    def to_bytes(self) -> bytes:
+        return np.uint64(self.k).tobytes() + self.hashes.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KMV":
+        s = cls(int(np.frombuffer(b[:8], dtype=np.uint64)[0]))
+        s.hashes = np.frombuffer(b[8:], dtype=np.uint64).copy()
+        return s

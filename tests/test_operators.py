@@ -4047,3 +4047,25 @@ def test_cdc_chunks_parallelism_independent(ray_session):
         outs.append(df[["doc_id", "chunk_ord", "chunk_hash",
                         "chunk_len"]].values.tolist())
     assert outs[0] == outs[1]
+
+
+def test_theta_set_overlap_exact_below_k(ray_session):
+    from rayskema.pipelines.relational import theta_set_overlap
+    rng = np.random.default_rng(21)
+    rows = []
+    sets = {"a": set(rng.integers(0, 400, 300).tolist()),
+            "b": set(rng.integers(200, 600, 300).tolist()),
+            "c": set(rng.integers(0, 100, 80).tolist())}
+    for g, vs in sets.items():
+        for v in vs:
+            rows.append((g, int(v)))
+    t = pa.table({"g": [r[0] for r in rows],
+                  "v": pa.array([r[1] for r in rows], pa.int64())})
+    out = theta_set_overlap(rd.from_arrow(t).repartition(5),
+                            "g", "v", k=4096).to_pandas()
+    for _, r in out.iterrows():
+        A, B = sets[r["group_a"]], sets[r["group_b"]]
+        assert r["est_a"] == len(A) and r["est_b"] == len(B)
+        assert r["est_union"] == len(A | B)
+        assert r["est_intersect"] == len(A & B)
+    assert len(out) == 3

@@ -115,3 +115,32 @@ def test_approx_top_tokens(ray_session):
         assert toks == [f"tok{i:02d}" for i in range(10)], (parts, toks)
         for t, e in zip(toks, ests):
             assert e >= exact[t]
+
+
+def test_kmv_exact_below_k_and_approx_above():
+    import numpy as np
+    from rayskema.state.sketches import KMV, _hash64
+    rng = np.random.default_rng(4)
+    small = _hash64(np.arange(500, dtype=np.uint64))
+    s = KMV(4096)
+    s.update_hashes(small)
+    s.update_hashes(small)          # idempotent
+    assert s.estimate() == 500.0
+    assert s.theta == 1.0
+    big_a = _hash64(rng.integers(0, 10**12, 120_000).astype(np.uint64))
+    big_b = _hash64(rng.integers(5 * 10**11, 15 * 10**11,
+                                 120_000).astype(np.uint64))
+    a, b = KMV(4096), KMV(4096)
+    a.update_hashes(big_a)
+    b.update_hashes(big_b)
+    na = len(np.unique(big_a))
+    assert abs(a.estimate() - na) / na < 0.05
+    u = KMV.from_bytes(a.to_bytes()).merge(b)
+    nu = len(np.union1d(big_a, big_b))
+    assert abs(u.estimate() - nu) / nu < 0.05
+    ni = len(np.intersect1d(big_a, big_b))
+    est_i = KMV.intersection_estimate(a, b)
+    assert abs(est_i - ni) <= max(0.15 * ni, 50)
+    # merge order independence (bit-stable)
+    u2 = KMV.from_bytes(b.to_bytes()).merge(a)
+    assert u2.estimate() == u.estimate()
