@@ -5644,8 +5644,79 @@ def _q_events_theta_overlap(sf_dir: str):
     return theta_set_overlap(ds, "event_type", "user_id", k=4096)
 
 
+def _q_emb_pq(sf_dir: str):
+    """Product quantization end-to-end (similarity.pq_fit / pq_encode
+    / pq_topk_adc): deterministic sample-fit codebooks, one-pass
+    32×-compressed codes, asymmetric-distance top-k where scoring a
+    vector is m table lookups.  Verdict rows: the 100-code ADC
+    shortlist must recover the exact-L2 top-5 (recall measured
+    0.8-1.0 per query at both driver scales, via a distributed exact
+    pass, never a driver-side corpus scan) and PQ reconstruction MSE
+    must beat the one-centroid baseline by 2x (measured 0.33)."""
+    import numpy as np
+    from rayskema.functions.similarity import (_matrix, pq_encode,
+                                               pq_fit, pq_mse,
+                                               pq_topk_adc)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_fit(ds, "embedding", id_col="vec_id", m=8,
+                   n_centroids=64)
+    codes = pq_encode(ds, "embedding", "vec_id", books).materialize()
+    mse = pq_mse(ds, "embedding", books)
+    base = pq_fit(ds, "embedding", id_col="vec_id", m=1,
+                  n_centroids=1)
+    mse0 = pq_mse(ds, "embedding", base)
+
+    qtab = ds.filter(lambda r: r["vec_id"] < 5).take_all()
+    qtab.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qtab], dtype=np.float64)
+    short = pq_topk_adc(codes, "vec_id", books, Q, k=100)
+
+    # exact L2 top-5: distributed per-block local top-k, driver merge
+    qref = ray.put(Q)
+
+    def _exact(tab: pa.Table, _q=qref) -> pa.Table:
+        Qm = ray.get(_q)
+        X = _matrix(tab["embedding"])
+        ids = tab["vec_id"].to_numpy(zero_copy_only=False)
+        d2 = (X * X).sum(1)[None, :] - 2.0 * (Qm @ X.T) \
+            + (Qm * Qm).sum(1)[:, None]
+        qi, oi, dd = [], [], []
+        for q in range(len(Qm)):
+            top = np.argsort(d2[q], kind="stable")[:5]
+            qi.extend([q] * len(top))
+            oi.extend(ids[top].tolist())
+            dd.extend(d2[q][top].tolist())
+        return pa.table({"q": pa.array(qi, pa.int64()),
+                         "id": pa.array(oi, pa.int64()),
+                         "d2": pa.array(dd, pa.float64())})
+
+    parts = [t for t in ray.get(ds.map_batches(
+        _exact, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    allp = pa.concat_tables(parts)
+    qs = allp["q"].to_numpy(zero_copy_only=False)
+    ids = allp["id"].to_numpy(zero_copy_only=False)
+    dd = allp["d2"].to_numpy(zero_copy_only=False)
+    rows = []
+    for q in range(len(Q)):
+        mask = qs == q
+        order = np.lexsort((ids[mask], dd[mask]))[:5]
+        exact_ids = set(ids[mask][order].tolist())
+        got = {i for i, _ in short[q]}
+        recall = len(exact_ids & got) / 5.0
+        rows.append((q, 5, recall >= 0.6))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_results": pa.array([r[1] for r in rows], pa.int64()),
+        "recall_ok": pa.array([r[2] for r in rows], pa.bool_()),
+        "mse_ok": pa.array([mse < 0.5 * mse0] * len(rows), pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "emb_pq": _q_emb_pq,
         "events_theta_overlap": _q_events_theta_overlap,
         "docs_cdc_dedup": _q_docs_cdc_dedup,
         "orders_global_rank": _q_orders_global_rank,
@@ -5868,6 +5939,11 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "emb_pq": """
+            SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
+                   5::BIGINT AS n_results, TRUE AS recall_ok,
+                   TRUE AS mse_ok
+        """,
         "events_theta_overlap": """
             WITH s AS (SELECT DISTINCT event_type, user_id
                        FROM events WHERE user_id IS NOT NULL),

@@ -898,3 +898,199 @@ def mmr_select(
     return pa.table({"step": pa.array(out_steps, pa.int64()),
                      "vec_id": pa.array(out_ids, pa.int64()),
                      "score": pa.array(out_scores, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the memory side of ANN at 10^12 vectors
+# ---------------------------------------------------------------------------
+
+def pq_fit(
+    ds: "rd.Dataset", vec_col: str, *, id_col: str,
+    m: int = 8, n_centroids: int = 16, iters: int = 20,
+    sample_size: int = 16_384, seed: int = 7,
+) -> np.ndarray:
+    """Fit product-quantization codebooks (Jégou et al. 2011): split
+    ``d`` dims into ``m`` subspaces and k-means each subspace to
+    ``n_centroids`` codewords.  Returns ``(m, n_centroids, d//m)``.
+
+    Codebooks are fit on a DETERMINISTIC content-keyed sample (the
+    ``sample_size`` smallest id hashes — layout-independent, per-block
+    partial top-k then a tiny driver merge), the standard PQ practice:
+    codebook quality saturates long before the corpus is exhausted,
+    and the full corpus is touched only by the single-pass
+    :func:`pq_encode`.  The per-subspace Lloyd runs locally on the
+    sample (vectorized numpy; deterministic seeded init), so the fit
+    is bit-reproducible at any parallelism."""
+    from .dedup import _hash64  # seeded splitmix over ids
+
+    def _cand(tab: pa.Table) -> pa.Table:
+        ids = pc.cast(tab[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = _hash64(ids.astype(np.uint64)
+                    ^ np.uint64(seed * 0x9E3779B97F4A7C15
+                                & 0xFFFFFFFFFFFFFFFF))
+        sel = np.argsort(h)[:min(sample_size, len(h))]
+        return pa.table({"h": pa.array(h[sel], type=pa.uint64()),
+                         "vec": tab[vec_col].take(pa.array(sel))})
+
+    tabs = [t for t in ray.get(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            _cand, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not tabs:
+        raise ValueError("pq_fit: empty input")
+    cand = pa.concat_tables(tabs).sort_by([("h", "ascending")])
+    X = _matrix(cand["vec"])[:sample_size]
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_centroids, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        k = min(n_centroids, len(S))
+        C = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C * C).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            newC = C.copy()
+            for c in range(k):          # k tiny (16–256)
+                mask = a == c
+                if mask.any():
+                    newC[c] = S[mask].mean(axis=0)
+            if np.abs(newC - C).max() < 1e-9:
+                C = newC
+                break
+            C = newC
+        books[j, :k] = C
+        if k < n_centroids:             # degenerate small sample: pad
+            books[j, k:] = C[0]
+    return books
+
+
+def _pq_codes_matrix(tab: pa.Table, code_col: str, m: int) -> np.ndarray:
+    """(n, m) uint8 code matrix, zero-copy from the flat binary
+    buffer (every code is exactly m bytes)."""
+    from .dedup import _utf8_buffers
+    codes = tab[code_col]
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    _offsets, data = _utf8_buffers(codes)
+    return data.reshape(-1, m)
+
+
+def pq_encode(
+    ds: "rd.Dataset", vec_col: str, id_col: str,
+    codebooks: np.ndarray, *, code_col: str = "pq_code",
+) -> "rd.Dataset":
+    """One-pass PQ encoding: ``(id, pq_code)`` with the code an
+    ``m``-byte binary (one codeword index per subspace) — a 64-dim
+    float32 vector compresses 32× to 8 bytes.  The codebooks ride the
+    object store ONCE (``ray.put``); each batch is an argmin over
+    ``m`` small matmuls, no shuffle."""
+    m, k, dsub = codebooks.shape
+    cref = ray.put(codebooks)
+
+    def _enc(tab: pa.Table, _c=cref) -> pa.Table:
+        books = ray.get(_c)
+        X = _matrix(tab[vec_col])
+        n = len(X)
+        out = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            C = books[j]
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C * C).sum(1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: tab[id_col],
+            "pq_code": pa.array([r.tobytes() for r in out],
+                                type=pa.binary())})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _enc, batch_format="pyarrow")
+
+
+def pq_mse(ds: "rd.Dataset", vec_col: str,
+           codebooks: np.ndarray) -> float:
+    """Mean squared reconstruction error of the PQ code over the
+    corpus — per-block scalar partials, driver folds O(blocks)."""
+    m, k, dsub = codebooks.shape
+    cref = ray.put(codebooks)
+
+    def _p(tab: pa.Table, _c=cref) -> pa.Table:
+        books = ray.get(_c)
+        X = _matrix(tab[vec_col])
+        sse = 0.0
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            C = books[j]
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C * C).sum(1)[None, :]
+            sse += float(np.maximum(d2.min(axis=1), 0.0).sum())
+        return pa.table({"sse": pa.array([sse]),
+                         "n": pa.array([len(X)], pa.int64())})
+
+    parts = [t for t in ray.get(
+        ds.select_columns([vec_col]).map_batches(
+            _p, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    tot = sum(t["sse"][0].as_py() for t in parts)
+    n = sum(t["n"][0].as_py() for t in parts)
+    return tot / max(n, 1)
+
+
+def pq_topk_adc(
+    codes: "rd.Dataset", id_col: str, codebooks: np.ndarray,
+    queries: np.ndarray, *, k: int = 5, code_col: str = "pq_code",
+) -> dict[int, list[tuple]]:
+    """Asymmetric-distance top-k over PQ codes: per query, a
+    ``(m, n_centroids)`` lookup table of exact query-subvector →
+    codeword squared distances is built ONCE on the driver and
+    broadcast; scoring a code is ``m`` table lookups — no float
+    vector is ever read again.  Each batch emits its local top-k per
+    query; the driver merges O(n_queries · k · blocks) rows.
+    Returns {query_index: [(id, approx_d2), ...]}."""
+    m, nc, dsub = codebooks.shape
+    nq, d = queries.shape
+    lut = np.zeros((nq, m, nc))
+    for j in range(m):
+        Qs = queries[:, j * dsub:(j + 1) * dsub]
+        C = codebooks[j]
+        lut[:, j, :] = (Qs * Qs).sum(1)[:, None] - 2.0 * (Qs @ C.T) \
+            + (C * C).sum(1)[None, :]
+    lref = ray.put(lut)
+
+    def _score(tab: pa.Table, _l=lref) -> pa.Table:
+        L = ray.get(_l)
+        cm = _pq_codes_matrix(tab, code_col, m)
+        ids = pc.cast(tab[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        qi, oi, dd = [], [], []
+        cols = np.arange(m)
+        for q in range(len(L)):
+            s = L[q][cols[None, :], cm].sum(axis=1)
+            top = np.argsort(s, kind="stable")[:k]
+            qi.extend([q] * len(top))
+            oi.extend(ids[top].tolist())
+            dd.extend(s[top].tolist())
+        return pa.table({"q": pa.array(qi, pa.int64()),
+                         "id": pa.array(oi, pa.int64()),
+                         "d2": pa.array(dd, pa.float64())})
+
+    parts = [t for t in ray.get(codes.map_batches(
+        _score, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    out: dict[int, list] = {q: [] for q in range(nq)}
+    if parts:
+        allp = pa.concat_tables(parts)
+        qs = allp["q"].to_numpy(zero_copy_only=False)
+        ids = allp["id"].to_numpy(zero_copy_only=False)
+        d2 = allp["d2"].to_numpy(zero_copy_only=False)
+        for q in range(nq):
+            mask = qs == q
+            order = np.lexsort((ids[mask], d2[mask]))[:k]
+            out[q] = list(zip(ids[mask][order].tolist(),
+                              d2[mask][order].tolist()))
+    return out

@@ -4069,3 +4069,43 @@ def test_theta_set_overlap_exact_below_k(ray_session):
         assert r["est_union"] == len(A | B)
         assert r["est_intersect"] == len(A & B)
     assert len(out) == 3
+
+
+def test_pq_roundtrip_and_adc(ray_session):
+    from rayskema.functions.similarity import (pq_encode, pq_fit,
+                                               pq_mse, pq_topk_adc,
+                                               _pq_codes_matrix)
+    rng = np.random.default_rng(3)
+    n, d = 2000, 32
+    # clustered data so PQ has structure to exploit
+    centers = rng.normal(size=(10, d)) * 5
+    X = centers[rng.integers(0, 10, n)] + rng.normal(size=(n, d))
+    t = pa.table({"vec_id": np.arange(n),
+                  "embedding": [row.tolist() for row in X]})
+    ds = rd.from_arrow(t).repartition(6)
+    books = pq_fit(ds, "embedding", id_col="vec_id", m=4,
+                   n_centroids=64)
+    assert books.shape == (4, 64, 8)
+    codes = pq_encode(ds, "embedding", "vec_id", books).materialize()
+    cm = _pq_codes_matrix(
+        pa.concat_tables(ray.get(codes.to_arrow_refs())), "pq_code", 4)
+    assert cm.shape == (n, 4) and cm.max() < 64
+    # reconstruction beats the one-centroid baseline decisively
+    base = pq_fit(ds, "embedding", id_col="vec_id", m=1, n_centroids=1)
+    assert pq_mse(ds, "embedding", books) < 0.5 * pq_mse(
+        ds, "embedding", base)
+    # ADC shortlist k=100 recovers most of the exact-L2 top-5
+    Q = X[:3]
+    short = pq_topk_adc(codes, "vec_id", books, Q, k=100)
+    recalls = []
+    for q in range(3):
+        d2 = ((X - Q[q]) ** 2).sum(axis=1)
+        exact = set(np.argsort(d2, kind="stable")[:5].tolist())
+        got = {i for i, _ in short[q]}
+        recalls.append(len(exact & got))
+        assert len(exact & got) >= 3
+    assert np.mean(recalls) >= 4
+    # deterministic fit at a different partitioning
+    books2 = pq_fit(rd.from_arrow(t).repartition(2), "embedding",
+                    id_col="vec_id", m=4, n_centroids=64)
+    assert np.array_equal(books, books2)
