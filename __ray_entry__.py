@@ -5714,8 +5714,79 @@ def _q_emb_pq(sf_dir: str):
     })
 
 
+def _q_emb_dbscan(sf_dir: str):
+    """Distributed DBSCAN (similarity.dbscan): eps-ball edges →
+    degree exchange → core mask → core-core connected components
+    (hash-to-min) → deterministic border assignment (minimum
+    neighboring core's cluster) → noise.  Verdict: the whole labeling
+    must equal an in-query brute single-node DBSCAN implementing the
+    same deterministic rule; cluster/core/noise counts returned as
+    flags a trivial oracle hash-checks."""
+    import numpy as np
+    from rayskema.functions.similarity import dbscan
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    eps, min_pts = 1.18, 6   # core/border/noise mix at both driver sf
+    out = dbscan(ds, "embedding", "vec_id", eps=eps,
+                 min_pts=min_pts).take_all()
+    mine = {r["vec_id"]: (r["cluster"], r["is_core"]) for r in out}
+
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ X.T) \
+        + (X * X).sum(1)[None, :]
+    adj = (d2 <= eps * eps + 1e-12)
+    deg = adj.sum(axis=1)            # includes self (diagonal)
+    core = deg >= min_pts
+    # union-find over core-core edges
+    parent = np.arange(len(ids))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.flatnonzero(core)
+    for a in ci:
+        for b in np.flatnonzero(adj[a] & core):
+            if b > a:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    rep_of = {}
+    for a in ci:
+        root = find(a)
+        rep_of.setdefault(root, ids[[i for i in ci
+                                     if find(i) == root]].min())
+    for i in range(len(ids)):
+        if core[i]:
+            expect[int(ids[i])] = (int(rep_of[find(i)]), True)
+        else:
+            nb = np.flatnonzero(adj[i] & core)
+            if len(nb):
+                expect[int(ids[i])] = (
+                    int(min(rep_of[find(j)] for j in nb)), False)
+            else:
+                expect[int(ids[i])] = (-1, False)
+    match = mine == expect
+    n_clusters = len({c for c, _ in expect.values() if c != -1})
+    return pa.table({
+        "n_points": pa.array([len(ids)], pa.int64()),
+        "labels_match_brute": pa.array([bool(match)], pa.bool_()),
+        "has_clusters": pa.array([n_clusters >= 1], pa.bool_()),
+        "has_noise_or_border": pa.array(
+            [any(not c for _, c in expect.values())], pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "emb_dbscan": _q_emb_dbscan,
         "emb_pq": _q_emb_pq,
         "events_theta_overlap": _q_events_theta_overlap,
         "docs_cdc_dedup": _q_docs_cdc_dedup,
@@ -5939,6 +6010,13 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "emb_dbscan": """
+            SELECT count(*)::BIGINT AS n_points,
+                   TRUE AS labels_match_brute,
+                   TRUE AS has_clusters,
+                   TRUE AS has_noise_or_border
+            FROM embeddings
+        """,
         "emb_pq": """
             SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
                    5::BIGINT AS n_results, TRUE AS recall_ok,

@@ -295,17 +295,20 @@ def embedding_near_dup_pairs(
 
 
 @ray.remote(num_cpus=1)
-def _pack_corpus(id_col: str, vec_col: str, *tabs: "pa.Table"):
-    """Assemble the (ids, normalized matrix) broadcast in a worker —
-    the O(n·d) corpus never transits the driver heap (module-level
-    remote: defined once, not re-exported per call)."""
+def _pack_corpus(id_col: str, vec_col: str, *tabs: "pa.Table",
+                 normalize: bool = True):
+    """Assemble the (ids, matrix) broadcast in a worker — the O(n·d)
+    corpus never transits the driver heap (module-level remote:
+    defined once, not re-exported per call).  ``normalize=True`` for
+    the cosine paths; ``False`` keeps raw vectors (Euclidean eps)."""
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:  # empty corpus: scoring loop sees 0 ids, emits 0
         return (np.empty(0, dtype=np.int64),
                 np.empty((0, 1), dtype=np.float64))
     full = pa.concat_tables(tabs)
     ids = full[id_col].to_numpy(zero_copy_only=False)
-    return ids, _normalize(_matrix(full[vec_col]))
+    m = _matrix(full[vec_col])
+    return ids, (_normalize(m) if normalize else m)
 
 
 def embedding_near_dup_pairs_exact(
@@ -1094,3 +1097,145 @@ def pq_topk_adc(
             out[q] = list(zip(ids[mask][order].tolist(),
                               d2[mask][order].tolist()))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Density clustering (DBSCAN) composed from the engine's primitives
+# ---------------------------------------------------------------------------
+
+def eps_neighbor_pairs(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *, eps: float,
+) -> "rd.Dataset":
+    """EXACT Euclidean eps-ball pairs ``(id_a < id_b, dist ≤ eps)``:
+    the corpus matrix is assembled once in a worker task and
+    broadcast; every batch scores its rows against it (same pattern
+    as :func:`embedding_near_dup_pairs_exact`).  O(n²/tasks) compute —
+    the verification-scale path; for web-scale candidate generation
+    use the LSH variant over normalized vectors (L2² = 2−2·cos)."""
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64())})
+    if not refs:
+        return rd.from_arrow(empty)
+    corpus_ref = _pack_corpus.remote(id_col, vec_col, *refs,
+                                     normalize=False)
+    e2 = float(eps) * float(eps)
+
+    def _pairs_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids_all, M = ray.get(corpus_ref)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        X = _matrix(batch[vec_col])
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ M.T) \
+            + (M * M).sum(1)[None, :]
+        hit = d2 <= e2 + 1e-12
+        li, gi = np.nonzero(hit)
+        a, b = ids[li], ids_all[gi]
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep]),
+                         "id_b": pa.array(b[keep])})
+
+    return ds.map_batches(_pairs_fn, batch_format="pyarrow")
+
+
+def dbscan(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *,
+    eps: float, min_pts: int = 4, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Distributed DBSCAN over an embedding column: returns
+    ``(id, cluster, is_core)`` — cluster is the component's minimum
+    core id, ``-1`` for noise.  Composed ENTIRELY from the engine's
+    own primitives, each with its documented scale shape:
+
+    1. eps-ball edge list (:func:`eps_neighbor_pairs` here; swap in
+       the LSH candidate generator at corpus scale),
+    2. per-node degree via one ``group_agg`` exchange (a point counts
+       itself, sklearn's ``min_samples`` convention) → core mask,
+    3. core–core edges → ``connected_components`` (hash-to-min,
+       O(log n) rounds) → cluster reps; an isolated core is its own
+       singleton cluster,
+    4. border points (non-core with a core neighbor) join to the
+       MINIMUM neighboring core's cluster — deterministic where
+       sklearn's is scan-order-dependent,
+    5. everything else is noise.
+
+    Driver state: O(1) — membership never leaves the cluster."""
+    from ..pipelines.relational import group_agg, hash_join
+    from .dedup import connected_components
+
+    ids_only = ds.select_columns([id_col])
+    pairs = eps_neighbor_pairs(ds, vec_col, id_col,
+                               eps=eps).materialize()
+
+    ends = pairs.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([
+                t["id_a"].combine_chunks(),
+                t["id_b"].combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = group_agg(ends, ["node"], [("node", "count_all", "n")],
+                    buckets=buckets)
+    core = deg.filter(lambda r: r["n"] + 1 >= min_pts) \
+        .select_columns(["node"]).materialize()
+
+    # 3. core-core components
+    cc_edges = hash_join(
+        hash_join(pairs, core, on=["id_a"], right_on=["node"],
+                  how="left_semi", buckets=buckets),
+        core, on=["id_b"], right_on=["node"], how="left_semi",
+        buckets=buckets)
+    comp = connected_components(cc_edges, buckets=buckets)  # node, rep
+    # isolated cores: no core neighbor -> their own singleton cluster
+    iso = hash_join(core, comp.select_columns(["node"]), on=["node"],
+                    how="left_anti", buckets=buckets) \
+        .map_batches(lambda t: pa.table({"node": t["node"],
+                                         "rep": t["node"]}),
+                     batch_format="pyarrow")
+    core_lab = comp.union(iso).materialize()
+
+    # 4. border points: non-core endpoint adjacent to a core endpoint
+    def _directed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                      t["id_b"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["id_b"].combine_chunks(),
+                                     t["id_a"].combine_chunks()])})
+
+    adj = pairs.map_batches(_directed, batch_format="pyarrow")
+    adj_core = hash_join(adj, core_lab, on=["nbr"], right_on=["node"],
+                         how="inner", buckets=buckets)
+    nbr_rep = adj_core.map_batches(
+        lambda t: pa.table({"node": t["node"], "rep": t["rep"]}),
+        batch_format="pyarrow")
+    border = hash_join(nbr_rep, core, on=["node"], how="left_anti",
+                       buckets=buckets)
+    border_lab = group_agg(border, ["node"], [("rep", "min", "rep")],
+                           buckets=buckets)
+
+    labeled = core_lab.union(border_lab).materialize()
+    out = hash_join(ids_only, labeled, on=[id_col], right_on=["node"],
+                    how="left_outer", buckets=buckets)
+    core_set = hash_join(
+        ids_only, core, on=[id_col], right_on=["node"],
+        how="left_semi", buckets=buckets).materialize()
+
+    cref = ray.put(np.sort(np.concatenate(
+        [pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+         for t in ray.get(core_set.to_arrow_refs())]
+        or [np.empty(0, dtype=np.int64)])))
+
+    def _final(t: pa.Table, _c=cref) -> pa.Table:
+        cores = ray.get(_c)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(cores, ids).clip(max=max(len(cores)-1, 0))
+        is_core = (cores[pos] == ids) if len(cores) else \
+            np.zeros(len(ids), dtype=bool)
+        rep = pc.fill_null(pc.cast(t["rep"], pa.int64()), -1)
+        return pa.table({id_col: t[id_col],
+                         "cluster": rep,
+                         "is_core": pa.array(is_core)})
+
+    return out.map_batches(_final, batch_format="pyarrow")

@@ -4109,3 +4109,55 @@ def test_pq_roundtrip_and_adc(ray_session):
     books2 = pq_fit(rd.from_arrow(t).repartition(2), "embedding",
                     id_col="vec_id", m=4, n_centroids=64)
     assert np.array_equal(books, books2)
+
+
+def test_dbscan_matches_reference(ray_session):
+    from rayskema.functions.similarity import dbscan
+    rng = np.random.default_rng(17)
+    # two dense blobs + sparse noise
+    A = rng.normal(0, 0.3, (40, 4))
+    B = rng.normal(5, 0.3, (35, 4))
+    N = rng.uniform(-10, 15, (12, 4))
+    X = np.vstack([A, B, N])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in X]})
+    eps, mp = 1.0, 4
+    out = dbscan(rd.from_arrow(t).repartition(5), "embedding",
+                 "vec_id", eps=eps, min_pts=mp).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # reference (same deterministic border rule)
+    d2 = (X * X).sum(1)[:, None] - 2 * (X @ X.T) + (X * X).sum(1)[None]
+    adj = d2 <= eps * eps + 1e-12
+    core = adj.sum(1) >= mp
+    parent = np.arange(len(X))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a in np.flatnonzero(core):
+        for b in np.flatnonzero(adj[a] & core):
+            if b > a:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    roots = {}
+    for a in np.flatnonzero(core):
+        roots.setdefault(find(a), []).append(a)
+    rep = {r: min(v) for r, v in roots.items()}
+    for i in range(len(X)):
+        row = out.iloc[i]
+        if core[i]:
+            assert row["is_core"] and row["cluster"] == rep[find(i)]
+        else:
+            nb = np.flatnonzero(adj[i] & core)
+            want = min(rep[find(j)] for j in nb) if len(nb) else -1
+            assert not row["is_core"] and row["cluster"] == want
+    # both blobs form clusters, noise labeled -1
+    assert out[out.vec_id < 40]["cluster"].nunique() == 1
+    assert out[(out.vec_id >= 40) & (out.vec_id < 75)][
+        "cluster"].nunique() == 1
+    assert (out[out.vec_id >= 75]["cluster"] == -1).any()
