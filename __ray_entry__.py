@@ -5784,8 +5784,36 @@ def _q_emb_dbscan(sf_dir: str):
     })
 
 
+def _q_events_mannwhitney(sf_dir: str):
+    """Exact Mann–Whitney rank-sum between click and purchase values
+    (relational.rank_sum_u): midrank ties via the two-rank identity
+    2·midrank = rank_asc + (n+1) − rank_desc, so the doubled rank sum
+    and doubled U are exact integers — two range-partitioned
+    global_rank sorts, never a single-bucket funnel."""
+    from rayskema.pipelines.relational import rank_sum_u
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return rank_sum_u(ds, "event_type", "value",
+                      ["click", "purchase"])
+
+
+def _q_events_global_quantiles(sf_dir: str):
+    """Whole-corpus exact discrete quantiles of event values
+    (relational.global_quantiles, SQL quantile_disc semantics):
+    range-partitioned sort + O(1) per-block counts; each quantile is
+    ONE single-row take from its block — no bucket ever holds the
+    global value column."""
+    from rayskema.pipelines.relational import global_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    return global_quantiles(ds, "value",
+                            [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_mannwhitney": _q_events_mannwhitney,
+        "events_global_quantiles": _q_events_global_quantiles,
         "emb_dbscan": _q_emb_dbscan,
         "emb_pq": _q_emb_pq,
         "events_theta_overlap": _q_events_theta_overlap,
@@ -6010,6 +6038,31 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_mannwhitney": """
+            WITH f AS (SELECT event_type AS g, value AS v FROM events
+                       WHERE event_type IN ('click', 'purchase')
+                         AND value IS NOT NULL),
+                 r AS (SELECT g,
+                              RANK() OVER (ORDER BY v) AS ra,
+                              RANK() OVER (ORDER BY v DESC) AS rd,
+                              count(*) OVER () AS nn
+                       FROM f)
+            SELECT g AS event_type, count(*)::BIGINT AS n,
+                   CAST(SUM(ra + nn + 1 - rd) AS BIGINT) AS r2_sum,
+                   CAST(SUM(ra + nn + 1 - rd)
+                        - count(*) * (count(*) + 1) AS BIGINT) AS u2
+            FROM r GROUP BY g
+        """,
+        "events_global_quantiles": """
+            WITH qv AS (
+                SELECT quantile_disc(value,
+                    [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
+                FROM events WHERE value IS NOT NULL)
+            SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                           0.99])::DOUBLE AS q,
+                   unnest(vals) AS value
+            FROM qv
+        """,
         "emb_dbscan": """
             SELECT count(*)::BIGINT AS n_points,
                    TRUE AS labels_match_brute,

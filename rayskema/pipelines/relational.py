@@ -5819,3 +5819,113 @@ def theta_set_overlap(
         "est_union": pa.array(eu, pa.int64()),
         "est_intersect": pa.array(ei, pa.int64()),
     })
+
+
+@ray.remote(num_cpus=0.25)
+def _block_nrows(tab: pa.Table) -> int:
+    return tab.num_rows
+
+
+@ray.remote(num_cpus=0.25)
+def _block_take_one(tab: pa.Table, idx: int) -> pa.Table:
+    return tab.slice(idx, 1)
+
+
+def global_quantiles(
+    ds: "rd.Dataset", value_col: str, qs: Sequence[float],
+) -> pa.Table:
+    """Exact whole-corpus discrete quantiles (SQL ``quantile_disc``
+    semantics: value at position ``ceil(q·n)−1`` of the sorted
+    non-null values) — the global complement of the per-group
+    ``group_quantiles``, which would funnel a constant group through
+    ONE bucket task.  Range-partitioned sort instead: per-block row
+    COUNTS (an O(1) scalar per block) locate each quantile's block,
+    and one single-row take per quantile fetches the value — the
+    driver never holds a value column, only O(blocks) counts.
+    Returns ``(q float64, value)``."""
+    import math
+
+    clean = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col]))
+        .select([value_col]),
+        batch_format="pyarrow")
+    s = clean.sort(value_col).materialize()
+    refs = s.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    vtype = None
+    sch = s.schema(fetch_if_missing=False)
+    if sch is not None:
+        vtype = sch.base_schema.field(value_col).type
+    if n == 0:
+        return pa.table({
+            "q": pa.array([], pa.float64()),
+            "value": pa.array([], vtype or pa.float64())})
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    fetch = []
+    for q in qs:
+        pos = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        b = int(np.searchsorted(offs, pos, side="right") - 1)
+        fetch.append(_block_take_one.remote(refs[b], pos - int(offs[b])))
+    rows = ray.get(fetch)
+    vals = pa.concat_tables(rows)[value_col]
+    return pa.table({"q": pa.array([float(q) for q in qs],
+                                   pa.float64()),
+                     "value": vals})
+
+
+def rank_sum_u(
+    ds: "rd.Dataset", group_col: str, value_col: str,
+    groups: Sequence, *, buckets: int | None = None,
+) -> pa.Table:
+    """Exact Mann–Whitney / Wilcoxon rank-sum statistics between two
+    (or more) groups, ties handled by MIDRANKS without ever computing
+    a float: ``2·midrank = rank_asc + (n+1) − rank_desc`` (min-rank
+    ascending plus the mirrored descending rank), so the doubled rank
+    sum and doubled U stay exact integers any engine reproduces.
+
+    Two :func:`global_rank` passes (range-partitioned sorts, no
+    single-bucket funnel) + one tiny per-group aggregate each; the
+    driver folds O(groups) scalars.  Output per group:
+    ``(group, n, r2_sum, u2)`` with ``u2 = r2_sum − n(n+1)`` — the
+    doubled U statistic of that group against the rest."""
+    gset = pa.array(list(groups))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(t[group_col], value_set=gset),
+                    pc.is_valid(t[value_col]))
+        return t.filter(m).select([group_col, value_col])
+
+    base = ds.map_batches(_keep, batch_format="pyarrow").materialize()
+
+    def _sums(ranked: "rd.Dataset") -> dict:
+        agg = group_agg(ranked, [group_col],
+                        [("rank", "sum", "s"),
+                         ("rank", "count", "n")], buckets=buckets)
+        out = {}
+        for t in ray.get(agg.to_arrow_refs()):
+            for i in range(t.num_rows):
+                out[t[group_col][i].as_py()] = (
+                    int(t["s"][i].as_py()), int(t["n"][i].as_py()))
+        return out
+
+    asc = _sums(global_rank(base, value_col, kinds=("rank",)))
+    desc = _sums(global_rank(base, value_col, descending=True,
+                             kinds=("rank",)))
+    n = sum(v[1] for v in asc.values())
+    keys = sorted(asc, key=lambda k: (k is None, str(k)))
+    g_out, n_out, r2_out, u2_out = [], [], [], []
+    for g in keys:
+        s_a, n_g = asc[g]
+        s_d, _ = desc[g]
+        r2 = s_a + (n + 1) * n_g - s_d
+        g_out.append(g)
+        n_out.append(n_g)
+        r2_out.append(r2)
+        u2_out.append(r2 - n_g * (n_g + 1))
+    return pa.table({
+        group_col: pa.array(g_out, gset.type),
+        "n": pa.array(n_out, pa.int64()),
+        "r2_sum": pa.array(r2_out, pa.int64()),
+        "u2": pa.array(u2_out, pa.int64()),
+    })

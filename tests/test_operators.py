@@ -4161,3 +4161,46 @@ def test_dbscan_matches_reference(ray_session):
     assert out[(out.vec_id >= 40) & (out.vec_id < 75)][
         "cluster"].nunique() == 1
     assert (out[out.vec_id >= 75]["cluster"] == -1).any()
+
+
+def test_global_quantiles_disc_convention(ray_session):
+    import duckdb
+    from rayskema.pipelines.relational import global_quantiles
+    rng = np.random.default_rng(31)
+    for n in (1, 4, 5, 997):
+        vals = rng.normal(size=n).round(3)
+        t = pa.table({"v": np.concatenate([vals, [np.nan]])})
+        t = pa.table({"v": pa.array(list(vals) + [None], pa.float64())})
+        out = global_quantiles(
+            rd.from_arrow(t).repartition(min(7, n + 1)), "v",
+            [0.0, 0.1, 0.5, 0.9, 1.0])
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        o = con.execute(
+            "WITH q AS (SELECT quantile_disc(v, [0.0,0.1,0.5,0.9,1.0])"
+            " vals FROM t WHERE v IS NOT NULL) "
+            "SELECT unnest(vals) FROM q").fetchall()
+        assert out["value"].to_pylist() == [r[0] for r in o], n
+
+
+def test_rank_sum_u_vs_scipy_formula(ray_session):
+    from rayskema.pipelines.relational import rank_sum_u
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 40, 300)          # heavy ties
+    b = rng.integers(10, 50, 200)
+    t = pa.table({
+        "g": ["a"] * 300 + ["b"] * 200,
+        "v": pa.array(np.concatenate([a, b]), pa.int64())})
+    out = rank_sum_u(rd.from_arrow(t).repartition(9), "g", "v",
+                     ["a", "b"]).to_pandas().set_index("g")
+    # reference: midranks via scipy-style average ranking
+    import pandas as pd
+    allv = np.concatenate([a, b])
+    mid = pd.Series(allv).rank(method="average").values
+    r_a2 = int(round(2 * mid[:300].sum()))
+    r_b2 = int(round(2 * mid[300:].sum()))
+    assert out.loc["a", "r2_sum"] == r_a2
+    assert out.loc["b", "r2_sum"] == r_b2
+    assert out.loc["a", "u2"] == r_a2 - 300 * 301
+    # U_a + U_b = n_a * n_b (Mann-Whitney identity)
+    assert out.loc["a", "u2"] + out.loc["b", "u2"] == 2 * 300 * 200
