@@ -5810,8 +5810,39 @@ def _q_events_global_quantiles(sf_dir: str):
                             [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_docs_top_tokens_by_source(sf_dir: str):
+    """Per-group heavy hitters (relational.approx_top_k_per_group):
+    one SpaceSaving summary per (source, block) through the exchange —
+    bounded bytes at any vocabulary size.  Below k_track distinct
+    tokens per source the summary is exact (err 0), so the oracle is
+    the exact SQL top-5 — the same path that approximates with the
+    N/k guarantee at corpus scale."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import approx_top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.coalesce(t["text"], pa.scalar("")), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        src = t["source"].take(parents)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"source": src.filter(keep),
+                         "token": flat.filter(keep)})
+
+    toks = ds.map_batches(_tok, batch_format="pyarrow")
+    out = approx_top_k_per_group(toks, "source", "token", n_top=5,
+                                 k_track=4096)
+    return out.map_batches(
+        lambda t: t.select(["source", "item", "est_count"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_top_tokens_by_source": _q_docs_top_tokens_by_source,
         "events_mannwhitney": _q_events_mannwhitney,
         "events_global_quantiles": _q_events_global_quantiles,
         "emb_dbscan": _q_emb_dbscan,
@@ -6038,6 +6069,22 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_top_tokens_by_source": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents),
+                 counts AS (
+                SELECT source, w, count(*) AS n
+                FROM toks GROUP BY source, w),
+                 ranked AS (
+                SELECT source, w, n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n DESC, w) AS rn
+                FROM counts)
+            SELECT source, w AS item, CAST(n AS BIGINT) AS est_count
+            FROM ranked WHERE rn <= 5
+        """,
         "events_mannwhitney": """
             WITH f AS (SELECT event_type AS g, value AS v FROM events
                        WHERE event_type IN ('click', 'purchase')

@@ -5929,3 +5929,67 @@ def rank_sum_u(
         "r2_sum": pa.array(r2_out, pa.int64()),
         "u2": pa.array(u2_out, pa.int64()),
     })
+
+
+def approx_top_k_per_group(
+    ds: "rd.Dataset", group_col: str, item_col: str, *,
+    n_top: int = 5, k_track: int = 256, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Approximate PER-GROUP heavy hitters via mergeable SpaceSaving
+    summaries: ``(group, item, est_count, err)`` for each group's
+    top ``n_top`` items — count desc, item asc.
+
+    Scale shape: exact per-group top-k must ship every distinct
+    (group, item) pair through the exchange; this ships ONE
+    ``k_track``-entry summary per (group, block) — bounded bytes at
+    any item cardinality — and merges per group through one exchange
+    (merge keeps the SpaceSaving guarantee: any item with frequency
+    > N_g/k_track is present, reported counts overestimate truth by
+    at most ``err``).  Below ``k_track`` distinct items per group the
+    summary is EXACT (err 0) — the validation-scale regime.  Null
+    items are excluded; a null group is its own group."""
+    from ..state.sketches import SpaceSaving
+
+    def _prep(tab: pa.Table):
+        v = pc.cast(tab[item_col], pa.string()).combine_chunks()
+        valid = np.asarray(v.is_valid()) if v.null_count else \
+            np.ones(len(v), dtype=bool)
+        return v.to_numpy(zero_copy_only=False), valid
+
+    def _make(items: np.ndarray) -> bytes:
+        s = SpaceSaving(k_track)
+        if len(items):
+            u, c = np.unique(items, return_counts=True)
+            s.update_aggregated(list(u), c)
+        return s.to_bytes()
+
+    partial = ds.select_columns([group_col, item_col]).map_batches(
+        lambda t: _grouped_sketch_partial(t, group_col, _prep, _make,
+                                          "__ss"),
+        batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        gtype = tab.schema.field(group_col).type
+        if tab.num_rows == 0:
+            return pa.table({
+                group_col: pa.nulls(0, type=gtype),
+                "item": pa.array([], pa.string()),
+                "est_count": pa.array([], pa.int64()),
+                "err": pa.array([], pa.int64())})
+        tab, starts, merged = _merge_grouped_blobs(
+            tab, group_col, "__ss", SpaceSaving.from_bytes)
+        g_idx, items, cnts, errs = [], [], [], []
+        for i, st in enumerate(starts):
+            for it, c, e in merged[i].top(n_top):
+                g_idx.append(int(st))
+                items.append(it)
+                cnts.append(c)
+                errs.append(e)
+        return pa.table({
+            group_col: tab[group_col].take(pa.array(g_idx, pa.int64())),
+            "item": pa.array(items, pa.string()),
+            "est_count": pa.array(cnts, pa.int64()),
+            "err": pa.array(errs, pa.int64())})
+
+    return bucketed_map_groups(partial, [group_col], _final,
+                               buckets=buckets, sort_within=False)

@@ -505,3 +505,90 @@ class KMV:
         s = cls(int(np.frombuffer(b[:8], dtype=np.uint64)[0]))
         s.hashes = np.frombuffer(b[8:], dtype=np.uint64).copy()
         return s
+
+
+class SpaceSaving:
+    """SpaceSaving heavy-hitters summary (Metwally et al. 2005) over
+    STRING items: at most ``k`` (item → count, overestimate-error)
+    entries; any item with true frequency > N/k is guaranteed present,
+    and every reported count overestimates truth by at most its
+    recorded error.  Merge (Agarwal et al. 2012, mergeable summaries):
+    sum counts/errors of shared items, offset absent items by the
+    other side's minimum count, re-prune to k — the guarantee
+    degrades to N/k of the COMBINED stream, which is what makes
+    per-block partials sound.
+
+    Vectorized build: a block's items are pre-aggregated with numpy
+    (unique + bincount) before touching the dict, so the Python work
+    is O(distinct per block), not O(rows)."""
+
+    __slots__ = ("k", "counts", "errors")
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def update_aggregated(self, items, counts: np.ndarray) -> None:
+        """Feed (distinct item, count) pairs — the per-block shape."""
+        order = np.argsort(np.asarray(counts))[::-1]
+        for i in order:
+            it = items[i]
+            c = int(counts[i])
+            if it in self.counts:
+                self.counts[it] += c
+            elif len(self.counts) < self.k:
+                self.counts[it] = c
+                self.errors[it] = 0
+            else:
+                m_it = min(self.counts, key=lambda x: self.counts[x])
+                m = self.counts.pop(m_it)
+                self.errors.pop(m_it)
+                self.counts[it] = m + c
+                self.errors[it] = m
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        assert self.k == other.k
+        min_s = min(self.counts.values()) if len(self.counts) == self.k \
+            else 0
+        min_o = min(other.counts.values()) \
+            if len(other.counts) == other.k else 0
+        out_c, out_e = {}, {}
+        for it, c in self.counts.items():
+            oc = other.counts.get(it)
+            if oc is not None:
+                out_c[it] = c + oc
+                out_e[it] = self.errors[it] + other.errors[it]
+            else:
+                out_c[it] = c + min_o
+                out_e[it] = self.errors[it] + min_o
+        for it, c in other.counts.items():
+            if it not in self.counts:
+                out_c[it] = c + min_s
+                out_e[it] = other.errors[it] + min_s
+        if len(out_c) > self.k:
+            keep = sorted(out_c, key=lambda x: (-out_c[x], str(x)))[
+                : self.k]
+            out_c = {it: out_c[it] for it in keep}
+            out_e = {it: out_e[it] for it in keep}
+        self.counts, self.errors = out_c, out_e
+        return self
+
+    def top(self, n: int) -> list:
+        """[(item, count, error)] by count desc, item asc (stable)."""
+        order = sorted(self.counts,
+                       key=lambda x: (-self.counts[x], str(x)))[:n]
+        return [(it, self.counts[it], self.errors[it]) for it in order]
+
+    def to_bytes(self) -> bytes:
+        import pickle
+        return pickle.dumps((self.k, self.counts, self.errors),
+                            protocol=5)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "SpaceSaving":
+        import pickle
+        k, c, e = pickle.loads(b)
+        s = cls(k)
+        s.counts, s.errors = c, e
+        return s

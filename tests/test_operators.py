@@ -4204,3 +4204,22 @@ def test_rank_sum_u_vs_scipy_formula(ray_session):
     assert out.loc["a", "u2"] == r_a2 - 300 * 301
     # U_a + U_b = n_a * n_b (Mann-Whitney identity)
     assert out.loc["a", "u2"] + out.loc["b", "u2"] == 2 * 300 * 200
+
+
+def test_approx_top_k_per_group_exact_below_k(ray_session):
+    from rayskema.pipelines.relational import approx_top_k_per_group
+    rng = np.random.default_rng(6)
+    groups = rng.choice(["g1", "g2", "g3"], 5000)
+    items = np.array([f"t{v}" for v in rng.zipf(1.6, 5000) % 40])
+    t = pa.table({"g": groups, "it": items})
+    out = approx_top_k_per_group(
+        rd.from_arrow(t).repartition(8), "g", "it",
+        n_top=3, k_track=256).to_pandas()
+    import collections
+    for g in ("g1", "g2", "g3"):
+        cnt = collections.Counter(items[groups == g].tolist())
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = out[out.g == g].sort_values(
+            ["est_count", "item"], ascending=[False, True])
+        assert list(zip(got["item"], got["est_count"])) == want
+        assert (got["err"] == 0).all()

@@ -144,3 +144,36 @@ def test_kmv_exact_below_k_and_approx_above():
     # merge order independence (bit-stable)
     u2 = KMV.from_bytes(b.to_bytes()).merge(a)
     assert u2.estimate() == u.estimate()
+
+
+def test_spacesaving_guarantees_and_merge():
+    import collections
+    import numpy as np
+    from rayskema.state.sketches import SpaceSaving
+    rng = np.random.default_rng(1)
+    stream = [f"i{int(v)}" for v in rng.zipf(1.5, 100_000) if v < 5000]
+    exact = collections.Counter(stream)
+    parts = np.array_split(np.array(stream), 7)
+    merged = None
+    for p in parts:
+        u, c = np.unique(p, return_counts=True)
+        s = SpaceSaving(64)
+        s.update_aggregated(list(u), c)
+        merged = s if merged is None else merged.merge(s)
+    # mergeable-summary guarantee: overestimate bounded by err,
+    # never an underestimate
+    for it, c, e in merged.top(20):
+        assert c >= exact[it]
+        assert c - exact[it] <= e
+    # true heavy hitters survive
+    want = [t[0] for t in exact.most_common(5)]
+    got15 = {t[0] for t in merged.top(15)}
+    assert set(want) <= got15
+    # below-k exactness
+    s = SpaceSaving(64)
+    u, c = np.unique(np.array(["a"] * 5 + ["b"] * 3 + ["c"]),
+                     return_counts=True)
+    s.update_aggregated(list(u), c)
+    assert s.top(3) == [("a", 5, 0), ("b", 3, 0), ("c", 1, 0)]
+    b = SpaceSaving.from_bytes(s.to_bytes())
+    assert b.top(3) == s.top(3)
