@@ -5840,8 +5840,62 @@ def _q_docs_top_tokens_by_source(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_bpe_train(sf_dir: str):
+    """Iterative byte-level BPE TRAINING (textstats.bpe_train): the
+    corpus collapses once to the distinct (word, count) table, then
+    every merge is two map passes over that table — an exchange-free
+    pair-count fold and a vectorized greedy-left merge apply.
+    Verdict rows per merge: the distributed merge sequence must equal
+    a pure-Python Sennrich-style reference recomputed in-query."""
+    import collections
+    from rayskema.functions.textstats import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n_merges = 12
+    out = bpe_train(ds, "text", n_merges=n_merges)
+    mine = list(zip(out["rank"].to_pylist(), out["sym_a"].to_pylist(),
+                    out["sym_b"].to_pylist(), out["new_id"].to_pylist(),
+                    out["weight"].to_pylist()))
+
+    wc = collections.Counter(
+        w for r in ds.take_all() for w in (r["text"] or "").split()
+        if w)
+    pieces = {w: list(w.encode()) for w in wc}
+    want, nid = [], 256
+    for r in range(n_merges):
+        stats = collections.Counter()
+        for w, c in wc.items():
+            p = pieces[w]
+            for i in range(len(p) - 1):
+                stats[(p[i], p[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats, key=lambda k: (-stats[k],
+                                         k[0] * (1 << 20) + k[1]))
+        want.append((r + 1, best[0], best[1], nid, stats[best]))
+        for w in pieces:
+            p = pieces[w]
+            q, i = [], 0
+            while i < len(p):
+                if i + 1 < len(p) and (p[i], p[i + 1]) == best:
+                    q.append(nid)
+                    i += 2
+                else:
+                    q.append(p[i])
+                    i += 1
+            pieces[w] = q
+        nid += 1
+    ok = [m == w for m, w in zip(mine, want)]
+    return pa.table({
+        "rank": pa.array([m[0] for m in mine], pa.int64()),
+        "matches_reference": pa.array(
+            ok + [False] * (len(mine) - len(ok)), pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_bpe_train": _q_docs_bpe_train,
         "docs_top_tokens_by_source": _q_docs_top_tokens_by_source,
         "events_mannwhitney": _q_events_mannwhitney,
         "events_global_quantiles": _q_events_global_quantiles,
@@ -6069,6 +6123,10 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_bpe_train": """
+            SELECT unnest(range(1, 13))::BIGINT AS rank,
+                   TRUE AS matches_reference
+        """,
         "docs_top_tokens_by_source": r"""
             WITH toks AS (
                 SELECT source,

@@ -1166,3 +1166,167 @@ def bpe_pair_counts(ds: "rd.Dataset", text_col: str, *, k: int = 10,
     return rd.from_arrow(pa.table({
         "pair": pa.array(pairs, pa.string()),
         "n": pa.array(acc[order])}))
+
+
+# ---------------------------------------------------------------------------
+# Multi-merge BPE training over the distributed word-frequency table
+# ---------------------------------------------------------------------------
+
+def _bpe_word_table(ds: "rd.Dataset", text_col: str,
+                    buckets=None) -> "rd.Dataset":
+    """(word, count) over whitespace tokens — ONE exchange; BPE then
+    trains on the distinct-word table (the HF/sentencepiece shape),
+    so every later pass touches O(vocabulary), never the corpus."""
+    from ..pipelines.relational import group_agg
+
+    def _tok(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"word": flat})
+
+    words = ds.select_columns([text_col]).map_batches(
+        _tok, batch_format="pyarrow")
+    return group_agg(words, ["word"], [("word", "count_all", "n")],
+                     buckets=buckets)
+
+
+def bpe_train(
+    ds: "rd.Dataset", text_col: str, *, n_merges: int = 20,
+    buckets=None,
+) -> pa.Table:
+    """Byte-level BPE TRAINING (Sennrich et al. 2016): ``n_merges``
+    greedy merges, ties broken by smallest pair code — deterministic
+    at any parallelism.  Returns the merge table
+    ``(rank, sym_a, sym_b, new_id, weight)``.
+
+    Distribution: the corpus collapses ONCE to the distinct
+    (word, count) table (one exchange); every merge iteration is two
+    map passes over that table — an exchange-free pair-count partial
+    (per-block ``np.unique`` of 40-bit pair codes, driver folds
+    O(blocks) dicts) and a broadcast merge-apply (vectorized
+    run-aware greedy-left replacement, no Python per word).  Word
+    pieces live as a flat int32 buffer + offsets, rebuilt in place
+    per block."""
+    base = _bpe_word_table(ds, text_col, buckets=buckets)
+
+    def _init(tab: pa.Table) -> pa.Table:
+        w = pc.cast(tab["word"], pa.large_binary()).combine_chunks()
+        bufs = w.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64,
+                            count=len(w) + 1, offset=w.offset * 8)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        data = data[off[0]: off[-1]]
+        off = off - off[0]
+        return pa.table({
+            "syms": pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()),
+                pa.array(data.astype(np.int32), pa.int32())),
+            "n": tab["n"]})
+
+    state = base.map_batches(_init, batch_format="pyarrow") \
+        .materialize()
+    merges = []
+    next_id = 256
+    SHIFT = np.int64(1) << np.int64(20)
+
+    def _pieces(tab: pa.Table):
+        syms = tab["syms"].combine_chunks()
+        flat = syms.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offs = syms.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = pc.cast(tab["n"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return flat, offs, cnt
+
+    for rank in range(n_merges):
+        def _count(tab: pa.Table) -> pa.Table:
+            flat, offs, cnt = _pieces(tab)
+            if not len(flat):
+                return pa.table({"code": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64())})
+            word_of = np.searchsorted(offs, np.arange(len(flat)),
+                                      side="right") - 1
+            ok = np.zeros(len(flat), dtype=bool)
+            ok[:-1] = word_of[:-1] == word_of[1:]
+            pos = np.flatnonzero(ok)
+            codes = flat[pos] * SHIFT + flat[pos + 1]
+            w = cnt[word_of[pos]]
+            u, inv = np.unique(codes, return_inverse=True)
+            ww = np.bincount(inv, weights=w).astype(np.int64)
+            return pa.table({"code": pa.array(u),
+                             "w": pa.array(ww)})
+
+        agg: dict = {}
+        for t in ray.get(state.map_batches(
+                _count, batch_format="pyarrow").to_arrow_refs()):
+            if t.num_rows == 0:
+                # zero-row blocks bypass the UDF and keep the input
+                # schema — nothing to fold either way
+                continue
+            for c, w in zip(t["code"].to_numpy(zero_copy_only=False),
+                            t["w"].to_numpy(zero_copy_only=False)):
+                agg[int(c)] = agg.get(int(c), 0) + int(w)
+        if not agg:
+            break
+        best = min(agg, key=lambda c: (-agg[c], c))
+        a, b = best >> 20, best & ((1 << 20) - 1)
+        merges.append((rank + 1, int(a), int(b), next_id, agg[best]))
+        new_id, pa_a, pa_b = next_id, a, b
+        next_id += 1
+
+        def _apply(tab: pa.Table, _a=pa_a, _b=pa_b,
+                   _nid=new_id) -> pa.Table:
+            flat, offs, cnt = _pieces(tab)
+            if not len(flat):
+                return tab
+            word_of = np.searchsorted(offs, np.arange(len(flat)),
+                                      side="right") - 1
+            cand = np.zeros(len(flat), dtype=bool)
+            cand[:-1] = (flat[:-1] == _a) & (flat[1:] == _b) \
+                & (word_of[:-1] == word_of[1:])
+            # greedy-left non-overlap: inside each RUN of consecutive
+            # candidates keep alternating positions (aaa with (a,a)
+            # merges the first pair only)
+            p = np.flatnonzero(cand)
+            if len(p):
+                run_start = np.zeros(len(p), dtype=np.int64)
+                new_run = np.concatenate([[True], p[1:] != p[:-1] + 1])
+                run_ids = np.cumsum(new_run) - 1
+                first = p[np.concatenate(
+                    [[0], np.flatnonzero(new_run[1:]) + 1])]
+                keep = ((p - first[run_ids]) % 2) == 0
+                p = p[keep]
+            sel = np.zeros(len(flat), dtype=bool)
+            sel[p] = True
+            drop = np.zeros(len(flat), dtype=bool)
+            drop[p + 1] = True
+            out = flat.copy()
+            out[sel] = _nid
+            kept = ~drop
+            new_flat = out[kept]
+            # new offsets: each word loses one symbol per applied merge
+            merged_per_word = np.bincount(word_of[p],
+                                          minlength=len(offs) - 1) \
+                if len(p) else np.zeros(len(offs) - 1, dtype=np.int64)
+            new_offs = offs - np.concatenate(
+                [[0], np.cumsum(merged_per_word)])
+            return pa.table({
+                "syms": pa.ListArray.from_arrays(
+                    pa.array(new_offs.astype(np.int32), pa.int32()),
+                    pa.array(new_flat.astype(np.int32), pa.int32())),
+                "n": tab["n"]})
+
+        state = state.map_batches(_apply, batch_format="pyarrow") \
+            .materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "sym_a": pa.array([m[1] for m in merges], pa.int64()),
+        "sym_b": pa.array([m[2] for m in merges], pa.int64()),
+        "new_id": pa.array([m[3] for m in merges], pa.int64()),
+        "weight": pa.array([m[4] for m in merges], pa.int64()),
+    })

@@ -4223,3 +4223,50 @@ def test_approx_top_k_per_group_exact_below_k(ray_session):
             ["est_count", "item"], ascending=[False, True])
         assert list(zip(got["item"], got["est_count"])) == want
         assert (got["err"] == 0).all()
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import collections
+    from rayskema.functions.textstats import bpe_train
+    rng = np.random.default_rng(5)
+    words = ["hello", "world", "help", "hell", "lower", "lowest",
+             "newer", "wider", "new", "the", "then", "than", "aaa"]
+    docs = [" ".join(rng.choice(words, rng.integers(1, 25)))
+            for _ in range(150)] + ["", "   "]
+    t = pa.table({"text": docs})
+    out = bpe_train(rd.from_arrow(t).repartition(6), "text",
+                    n_merges=10)
+    mine = list(zip(out["rank"].to_pylist(), out["sym_a"].to_pylist(),
+                    out["sym_b"].to_pylist(),
+                    out["new_id"].to_pylist(),
+                    out["weight"].to_pylist()))
+    wc = collections.Counter(w for d in docs for w in d.split() if w)
+    pieces = {w: list(w.encode()) for w in wc}
+    want, nid = [], 256
+    for r in range(10):
+        stats = collections.Counter()
+        for w, c in wc.items():
+            p = pieces[w]
+            for i in range(len(p) - 1):
+                stats[(p[i], p[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats, key=lambda k: (-stats[k],
+                                         k[0] * (1 << 20) + k[1]))
+        want.append((r + 1, best[0], best[1], nid, stats[best]))
+        for w in pieces:
+            p = pieces[w]
+            q, i = [], 0
+            while i < len(p):
+                if i + 1 < len(p) and (p[i], p[i + 1]) == best:
+                    q.append(nid)
+                    i += 2
+                else:
+                    q.append(p[i])
+                    i += 1
+            pieces[w] = q
+        nid += 1
+    assert mine == want
+    # overlap semantics: 'aaa' merges greedily left (one merge per
+    # occurrence of the winning (a, a) pair)
+    assert len(mine) == 10
