@@ -5893,8 +5893,72 @@ def _q_docs_bpe_train(sf_dir: str):
     })
 
 
+def _q_emb_ivfpq(sf_dir: str):
+    """IVF-PQ index end-to-end (similarity.ivfpq_build /
+    ivfpq_search): coarse L2 quantizer routes vectors to inverted
+    lists, PQ encodes the RESIDUALS, probed asymmetric search scores
+    only the nprobe nearest lists' codes (m table lookups each).
+    Verdict rows: the probed shortlist must recover the exact-L2
+    top-5 (recall measured 0.8-1.0 per query at both driver scales,
+    threshold 0.6)."""
+    import numpy as np
+    from rayskema.functions.similarity import (_matrix, ivfpq_build,
+                                               ivfpq_search)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    coarse, books, codes = ivfpq_build(ds, "embedding", "vec_id",
+                                       n_lists=16, m=8,
+                                       n_centroids=64)
+    codes = codes.materialize()
+    qtab = ds.filter(lambda r: r["vec_id"] < 5).take_all()
+    qtab.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qtab], dtype=np.float64)
+    short = ivfpq_search(codes, "vec_id", coarse, books, Q, k=100,
+                         nprobe=8)
+
+    qref = ray.put(Q)
+
+    def _exact(tab: pa.Table, _q=qref) -> pa.Table:
+        Qm = ray.get(_q)
+        X = _matrix(tab["embedding"])
+        ids = tab["vec_id"].to_numpy(zero_copy_only=False)
+        d2 = (X * X).sum(1)[None, :] - 2.0 * (Qm @ X.T) \
+            + (Qm * Qm).sum(1)[:, None]
+        qi, oi, dd = [], [], []
+        for q in range(len(Qm)):
+            top = np.argsort(d2[q], kind="stable")[:5]
+            qi.extend([q] * len(top))
+            oi.extend(ids[top].tolist())
+            dd.extend(d2[q][top].tolist())
+        return pa.table({"q": pa.array(qi, pa.int64()),
+                         "id": pa.array(oi, pa.int64()),
+                         "d2": pa.array(dd, pa.float64())})
+
+    parts = [t for t in ray.get(ds.map_batches(
+        _exact, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    allp = pa.concat_tables(parts)
+    qs = allp["q"].to_numpy(zero_copy_only=False)
+    ids = allp["id"].to_numpy(zero_copy_only=False)
+    dd = allp["d2"].to_numpy(zero_copy_only=False)
+    rows = []
+    for q in range(len(Q)):
+        mask = qs == q
+        order = np.lexsort((ids[mask], dd[mask]))[:5]
+        exact_ids = set(ids[mask][order].tolist())
+        got = {i for i, _ in short[q]}
+        rows.append((q, len(exact_ids & got) / 5.0 >= 0.6))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_lists": pa.array([16] * len(rows), pa.int64()),
+        "nprobe": pa.array([8] * len(rows), pa.int64()),
+        "recall_ok": pa.array([r[1] for r in rows], pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "emb_ivfpq": _q_emb_ivfpq,
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_top_tokens_by_source": _q_docs_top_tokens_by_source,
         "events_mannwhitney": _q_events_mannwhitney,
@@ -6126,6 +6190,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "emb_ivfpq": """
+            SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
+                   16::BIGINT AS n_lists, 8::BIGINT AS nprobe,
+                   TRUE AS recall_ok
         """,
         "docs_top_tokens_by_source": r"""
             WITH toks AS (

@@ -1239,3 +1239,135 @@ def dbscan(
                          "is_core": pa.array(is_core)})
 
     return out.map_batches(_final, batch_format="pyarrow")
+
+
+def ivfpq_build(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *,
+    n_lists: int = 16, m: int = 8, n_centroids: int = 64,
+    sample_size: int = 16_384, seed: int = 7,
+):
+    """IVF-PQ index (Jégou et al. 2011, the billion-vector layout):
+    a coarse L2 quantizer routes each vector to one of ``n_lists``
+    inverted lists and PQ encodes the RESIDUAL (vector − list
+    centroid) — residual magnitudes are a fraction of vector
+    magnitudes, so the same code budget quantizes much finer.
+
+    Returns ``(coarse (n_lists, d), codebooks (m, k, d//m),
+    codes Dataset (id, list_id, pq_code))``.  Both trainings ride the
+    deterministic content-keyed sample (:func:`pq_fit`); the corpus
+    is touched by ONE routing+encode pass, no shuffle — at query time
+    only the probed lists' codes are scored."""
+    coarse = pq_fit(ds, vec_col, id_col=id_col, m=1,
+                    n_centroids=n_lists, sample_size=sample_size,
+                    seed=seed)[0]                     # (n_lists, d)
+    cref = ray.put(coarse)
+
+    def _residual(tab: pa.Table, _c=cref) -> pa.Table:
+        C = ray.get(_c)
+        X = _matrix(tab[vec_col])
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) \
+            + (C * C).sum(1)[None, :]
+        lid = np.argmin(d2, axis=1)
+        R = X - C[lid]
+        return pa.table({
+            id_col: tab[id_col],
+            "list_id": pa.array(lid.astype(np.int64)),
+            "resvec": pa.array(list(R))})
+
+    resid = ds.select_columns([id_col, vec_col]).map_batches(
+        _residual, batch_format="pyarrow").materialize()
+    books = pq_fit(resid, "resvec", id_col=id_col, m=m,
+                   n_centroids=n_centroids, sample_size=sample_size,
+                   seed=seed)
+    mm, k, dsub = books.shape
+    bref = ray.put(books)
+
+    def _enc(tab: pa.Table, _b=bref) -> pa.Table:
+        B = ray.get(_b)
+        R = _matrix(tab["resvec"])
+        n = len(R)
+        out = np.zeros((n, mm), dtype=np.uint8)
+        for j in range(mm):
+            S = R[:, j * dsub:(j + 1) * dsub]
+            C = B[j]
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C * C).sum(1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: tab[id_col],
+            "list_id": tab["list_id"],
+            "pq_code": pa.array([r.tobytes() for r in out],
+                                type=pa.binary())})
+
+    codes = resid.map_batches(_enc, batch_format="pyarrow")
+    return coarse, books, codes
+
+
+def ivfpq_search(
+    codes: "rd.Dataset", id_col: str, coarse: np.ndarray,
+    codebooks: np.ndarray, queries: np.ndarray, *,
+    k: int = 10, nprobe: int = 4, code_col: str = "pq_code",
+) -> dict[int, list[tuple]]:
+    """Probed asymmetric search over an IVF-PQ index: per query, the
+    ``nprobe`` nearest coarse lists are selected on the driver and a
+    residual ADC lookup table is built per (query, probed list) —
+    ``(nq, nprobe, m, n_centroids)`` floats, tiny and broadcast once.
+    Each batch scores ONLY its rows whose ``list_id`` is probed by
+    some query (m table lookups per scored code) and emits local
+    top-k; the driver merges O(nq·k·blocks) rows.  Returns
+    ``{query_index: [(id, approx_d2), ...]}``."""
+    m, nc, dsub = codebooks.shape
+    nq = len(queries)
+    cd = (queries * queries).sum(1)[:, None] \
+        - 2.0 * (queries @ coarse.T) \
+        + (coarse * coarse).sum(1)[None, :]
+    probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]
+    luts = np.zeros((nq, nprobe, m, nc))
+    for q in range(nq):
+        for pi, lid in enumerate(probe[q]):
+            r = queries[q] - coarse[lid]
+            for j in range(m):
+                rj = r[j * dsub:(j + 1) * dsub]
+                C = codebooks[j]
+                luts[q, pi, j, :] = (rj * rj).sum() - 2.0 * (C @ rj) \
+                    + (C * C).sum(1)
+    bref = ray.put((probe, luts))
+
+    def _score(tab: pa.Table, _b=bref) -> pa.Table:
+        probe, luts = ray.get(_b)
+        lid = tab["list_id"].to_numpy(zero_copy_only=False)
+        cm = _pq_codes_matrix(tab, code_col, m)
+        ids = pc.cast(tab[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cols = np.arange(m)
+        qi, oi, dd = [], [], []
+        for q in range(len(probe)):
+            for pi, pl in enumerate(probe[q]):
+                sel = np.flatnonzero(lid == pl)
+                if not len(sel):
+                    continue
+                s = luts[q, pi][cols[None, :], cm[sel]].sum(axis=1)
+                kk = min(k, len(sel))
+                top = np.argpartition(s, kk - 1)[:kk]
+                qi.extend([q] * kk)
+                oi.extend(ids[sel[top]].tolist())
+                dd.extend(s[top].tolist())
+        return pa.table({"q": pa.array(qi, pa.int64()),
+                         "id": pa.array(oi, pa.int64()),
+                         "d2": pa.array(dd, pa.float64())})
+
+    parts = [t for t in ray.get(codes.map_batches(
+        _score, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    out: dict[int, list] = {q: [] for q in range(nq)}
+    if parts:
+        allp = pa.concat_tables(parts)
+        qs = allp["q"].to_numpy(zero_copy_only=False)
+        ids = allp["id"].to_numpy(zero_copy_only=False)
+        d2 = allp["d2"].to_numpy(zero_copy_only=False)
+        for q in range(nq):
+            mask = qs == q
+            order = np.lexsort((ids[mask], d2[mask]))[:k]
+            out[q] = list(zip(ids[mask][order].tolist(),
+                              d2[mask][order].tolist()))
+    return out

@@ -4270,3 +4270,36 @@ def test_bpe_train_matches_reference(ray_session):
     # overlap semantics: 'aaa' merges greedily left (one merge per
     # occurrence of the winning (a, a) pair)
     assert len(mine) == 10
+
+
+def test_ivfpq_routing_and_recall(ray_session):
+    from rayskema.functions.similarity import (ivfpq_build,
+                                               ivfpq_search)
+    rng = np.random.default_rng(19)
+    centers = rng.normal(size=(6, 16)) * 4
+    X = centers[rng.integers(0, 6, 1500)] + rng.normal(
+        size=(1500, 16)) * 0.5
+    t = pa.table({"vec_id": np.arange(1500),
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(5)
+    coarse, books, codes = ivfpq_build(ds, "embedding", "vec_id",
+                                       n_lists=8, m=4, n_centroids=32)
+    codes = codes.materialize()
+    assert coarse.shape == (8, 16) and books.shape == (4, 32, 4)
+    tab = pa.concat_tables(
+        [b for b in ray.get(codes.to_arrow_refs()) if b.num_rows])
+    assert tab.num_rows == 1500
+    assert tab["list_id"].to_numpy(zero_copy_only=False).max() < 8
+    Q = X[:4]
+    short = ivfpq_search(codes, "vec_id", coarse, books, Q, k=60,
+                         nprobe=4)
+    for q in range(4):
+        d2 = ((X - Q[q]) ** 2).sum(axis=1)
+        exact = set(np.argsort(d2, kind="stable")[:5].tolist())
+        got = {i for i, _ in short[q]}
+        assert len(exact & got) >= 3
+    # deterministic build at another partitioning
+    c2, b2, _ = ivfpq_build(rd.from_arrow(t).repartition(2),
+                            "embedding", "vec_id", n_lists=8, m=4,
+                            n_centroids=32)
+    assert np.array_equal(coarse, c2) and np.array_equal(books, b2)
