@@ -2294,8 +2294,12 @@ def _cdc_spans(offsets: np.ndarray, data: np.ndarray,
     # candidate boundary positions p (boundary after byte p): the
     # window [p-window+1, p+1) must fit in the doc and a boundary at
     # the doc's last byte is meaningless (the tail chunk ends anyway)
-    if nb:
-        pos = np.arange(nb, dtype=np.int64)
+    if nb >= window:
+        # only positions with a full window to their left are ever
+        # boundary candidates — starting the range at window-1 also
+        # keeps every fancy index non-negative (a tiny trailing batch
+        # whose whole buffer is under `window` bytes has none at all)
+        pos = np.arange(window - 1, nb, dtype=np.int64)
         doc_of = np.searchsorted(offsets, pos, side="right") - 1
         wh = ((S[pos + 1] - S[pos - window + 1])
               * pows[pos]) & _MASK64

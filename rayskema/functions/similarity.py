@@ -1165,20 +1165,37 @@ def dbscan(
     from ..pipelines.relational import group_agg, hash_join
     from .dedup import connected_components
 
-    ids_only = ds.select_columns([id_col])
+    # UDF projection, NOT select_columns: Ray's Project can report the
+    # UNPROJECTED schema for a dataset with empty blocks while
+    # delivering projected blocks — the bucketed join would then
+    # demand a column the blocks legitimately lack
+    ids_only = ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
     pairs = eps_neighbor_pairs(ds, vec_col, id_col,
                                eps=eps).materialize()
 
-    ends = pairs.map_batches(
-        lambda t: pa.table({
-            "node": pa.concat_arrays([
-                t["id_a"].combine_chunks(),
-                t["id_b"].combine_chunks()])}),
-        batch_format="pyarrow")
-    deg = group_agg(ends, ["node"], [("node", "count_all", "n")],
-                    buckets=buckets)
-    core = deg.filter(lambda r: r["n"] + 1 >= min_pts) \
-        .select_columns(["node"]).materialize()
+    if min_pts <= 1:
+        # every point's neighborhood contains itself, so every point
+        # is core — including isolated points that never appear in
+        # the pair table and would otherwise have no degree row
+        core = ids_only.map_batches(
+            lambda t: pa.table({"node": t[id_col]}),
+            batch_format="pyarrow").materialize()
+        deg = None
+    else:
+        deg = None  # assigned below
+
+    if min_pts > 1:
+        ends = pairs.map_batches(
+            lambda t: pa.table({
+                "node": pa.concat_arrays([
+                    t["id_a"].combine_chunks(),
+                    t["id_b"].combine_chunks()])}),
+            batch_format="pyarrow")
+        deg = group_agg(ends, ["node"], [("node", "count_all", "n")],
+                        buckets=buckets)
+        core = deg.filter(lambda r: r["n"] + 1 >= min_pts) \
+            .select_columns(["node"]).materialize()
 
     # 3. core-core components
     cc_edges = hash_join(
@@ -1188,7 +1205,9 @@ def dbscan(
         buckets=buckets)
     comp = connected_components(cc_edges, buckets=buckets)  # node, rep
     # isolated cores: no core neighbor -> their own singleton cluster
-    iso = hash_join(core, comp.select_columns(["node"]), on=["node"],
+    comp_nodes = comp.map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow")
+    iso = hash_join(core, comp_nodes, on=["node"],
                     how="left_anti", buckets=buckets) \
         .map_batches(lambda t: pa.table({"node": t["node"],
                                          "rep": t["node"]}),
@@ -1203,18 +1222,25 @@ def dbscan(
             "nbr": pa.concat_arrays([t["id_b"].combine_chunks(),
                                      t["id_a"].combine_chunks()])})
 
-    adj = pairs.map_batches(_directed, batch_format="pyarrow")
-    adj_core = hash_join(adj, core_lab, on=["nbr"], right_on=["node"],
-                         how="inner", buckets=buckets)
-    nbr_rep = adj_core.map_batches(
-        lambda t: pa.table({"node": t["node"], "rep": t["rep"]}),
-        batch_format="pyarrow")
-    border = hash_join(nbr_rep, core, on=["node"], how="left_anti",
-                       buckets=buckets)
-    border_lab = group_agg(border, ["node"], [("rep", "min", "rep")],
-                           buckets=buckets)
-
-    labeled = core_lab.union(border_lab).materialize()
+    if min_pts <= 1:
+        # every point is core; the border stage would union an empty
+        # (possibly schema-less) table and poison the join schema
+        labeled = core_lab
+    else:
+        adj = pairs.map_batches(_directed, batch_format="pyarrow")
+        adj_core = hash_join(adj, core_lab, on=["nbr"],
+                             right_on=["node"], how="inner",
+                             buckets=buckets)
+        nbr_rep = adj_core.map_batches(
+            lambda t: pa.table({"node": t["node"], "rep": t["rep"]}),
+            batch_format="pyarrow")
+        border = hash_join(nbr_rep, core, on=["node"],
+                           how="left_anti", buckets=buckets)
+        border_lab = group_agg(border, ["node"],
+                               [("rep", "min", "rep")],
+                               buckets=buckets)
+        labeled = core_lab.union(border_lab)
+    labeled = labeled.materialize()
     out = hash_join(ids_only, labeled, on=[id_col], right_on=["node"],
                     how="left_outer", buckets=buckets)
     core_set = hash_join(

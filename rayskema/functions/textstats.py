@@ -1238,6 +1238,9 @@ def bpe_train(
             .astype(np.int64)
         offs = syms.offsets.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        # a SLICED ListArray keeps raw offsets while flatten()
+        # rebases the values — rebase offsets to match
+        offs = offs - offs[0]
         cnt = pc.cast(tab["n"], pa.int64()).to_numpy(
             zero_copy_only=False)
         return flat, offs, cnt

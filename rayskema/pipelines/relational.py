@@ -3789,12 +3789,24 @@ def hash_join(
         used.add(name)
     out_cols = keys + lval + ([] if semi else [ren[c] for c in rval])
 
+    def _col_or_empty(tab: pa.Table, name: str, typ: pa.DataType):
+        # Ray's sort/exchange machinery can emit ZERO-COLUMN empty
+        # blocks (schema "."); pad those from the known side schema
+        # instead of KeyError-ing the whole join
+        if name in tab.column_names:
+            return tab[name]
+        if tab.num_rows == 0:
+            return pa.array([], type=typ)
+        raise KeyError(f"join side block is missing column {name!r}")
+
     def _prep_right(tab: pa.Table) -> pa.Table:
         cols = {}
         for lk, rk in zip(keys, rkeys):
-            cols[lk] = pc.cast(tab[rk], lschema.field(lk).type)
+            cols[lk] = pc.cast(
+                _col_or_empty(tab, rk, rschema.field(rk).type),
+                lschema.field(lk).type)
         for c in rval:
-            cols[ren[c]] = tab[c]
+            cols[ren[c]] = _col_or_empty(tab, c, rschema.field(c).type)
         return pa.table(cols)
 
     if prefilter == "bloom":
@@ -3846,7 +3858,8 @@ def hash_join(
         left = left.map_batches(_lfilter, batch_format="pyarrow")
 
     def _pad_left(tab: pa.Table) -> pa.Table:
-        cols = {c: tab[c] for c in keys + lval}
+        cols = {c: _col_or_empty(tab, c, lschema.field(c).type)
+                for c in keys + lval}
         for c in rval:
             cols[ren[c]] = pa.nulls(tab.num_rows,
                                     type=rschema.field(c).type)
@@ -5411,7 +5424,7 @@ def interval_overlap_join(
 # ---------------------------------------------------------------------------
 
 @ray.remote(num_cpus=0.5)
-def _rank_block_stats(tab: pa.Table, by: list, n_by: int) -> dict:
+def _rank_block_stats(tab: pa.Table, by: list) -> dict:
     """O(1)-size ordering stats for one range-partitioned block: row
     count, first/last key tuple, sizes of the leading/trailing tie
     runs, and the distinct-key count — everything the driver needs to
@@ -5425,8 +5438,20 @@ def _rank_block_stats(tab: pa.Table, by: list, n_by: int) -> dict:
     idx = np.flatnonzero(ne)
     lead = int(idx[0]) + 1 if len(idx) else n
     trail = n - 1 - int(idx[-1]) if len(idx) else n
-    first = tuple(tab[c][0].as_py() for c in by)
-    last = tuple(tab[c][n - 1].as_py() for c in by)
+
+    def _key(i: int) -> tuple:
+        # NaN canonicalized to a sentinel so the driver's cross-block
+        # tuple equality matches the NaN==NaN run semantics above
+        out = []
+        for c in by:
+            v = tab[c][i].as_py()
+            if isinstance(v, float) and v != v:
+                v = "__nan__"
+            out.append(v)
+        return tuple(out)
+
+    first = _key(0)
+    last = _key(n - 1)
     return {"n": n, "first": first, "last": last,
             "lead": lead, "trail": trail, "runs": n_runs}
 
@@ -5443,6 +5468,12 @@ def _neighbor_change_mask(tab: pa.Table, by: Sequence[str]) -> np.ndarray:
         a, b = col.slice(1), col.slice(0, n - 1)
         eq = pc.fill_null(pc.equal(a, b), False)
         eq = pc.or_(eq, pc.and_(pc.is_null(a), pc.is_null(b)))
+        if pa.types.is_floating(col.type):
+            # SQL ORDER BY groups NaNs into one tie run; IEEE
+            # NaN != NaN would split them into singleton runs
+            both_nan = pc.and_(pc.fill_null(pc.is_nan(a), False),
+                               pc.fill_null(pc.is_nan(b), False))
+            eq = pc.or_(eq, both_nan)
         ne |= np.logical_not(eq.to_numpy(zero_copy_only=False))
     return ne
 
@@ -5588,7 +5619,7 @@ def global_rank(
     refs = s.to_arrow_refs()
     if not refs:
         return s
-    stats = ray.get([_rank_block_stats.remote(r, by, len(by))
+    stats = ray.get([_rank_block_stats.remote(r, by)
                      for r in refs])
 
     # driver pass: O(blocks) scalars
@@ -5787,9 +5818,13 @@ def theta_set_overlap(
             "__kmv": pa.array([s.to_bytes() for s in merged],
                               type=pa.binary())})
 
-    rows = bucketed_map_groups(partial, [group_col], _final,
-                               buckets=buckets,
-                               sort_within=False).take_all()
+    merged_ds = bucketed_map_groups(partial, [group_col], _final,
+                                    buckets=buckets,
+                                    sort_within=False).materialize()
+    tabs = [t for t in ray.get(merged_ds.to_arrow_refs())
+            if t.num_rows]
+    gtype = tabs[0].schema.field(group_col).type if tabs else         ds.schema().base_schema.field(group_col).type
+    rows = [r for t in tabs for r in t.to_pylist()]
     rows.sort(key=lambda r: (r[group_col] is None, str(r[group_col])))
     sketches = [(r[group_col], KMV.from_bytes(r["__kmv"]))
                 for r in rows]
@@ -5805,12 +5840,6 @@ def theta_set_overlap(
             eb.append(int(round(sb.estimate())))
             eu.append(int(round(u.estimate())))
             ei.append(int(round(KMV.intersection_estimate(sa, sb))))
-    gtype = None
-    for r in rows:
-        if r[group_col] is not None:
-            gtype = pa.scalar(r[group_col]).type
-            break
-    gtype = gtype or pa.string()
     return pa.table({
         "group_a": pa.array(a_col, gtype),
         "group_b": pa.array(b_col, gtype),
@@ -5844,6 +5873,7 @@ def global_quantiles(
     driver never holds a value column, only O(blocks) counts.
     Returns ``(q float64, value)``."""
     import math
+    from fractions import Fraction
 
     clean = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t[value_col]))
@@ -5864,7 +5894,12 @@ def global_quantiles(
     offs = np.concatenate([[0], np.cumsum(counts)])
     fetch = []
     for q in qs:
-        pos = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        # DECIMAL-literal semantics, matching DuckDB's parse of a
+        # clean decimal quantile literal: the position is computed on
+        # the exact rational of the decimal string, not the binary
+        # double (0.2 means 1/5 exactly; ceil is never off-by-one
+        # from float representation error)
+        pos = min(max(math.ceil(Fraction(str(q)) * n) - 1, 0), n - 1)
         b = int(np.searchsorted(offs, pos, side="right") - 1)
         fetch.append(_block_take_one.remote(refs[b], pos - int(offs[b])))
     rows = ray.get(fetch)

@@ -530,22 +530,32 @@ class SpaceSaving:
         self.errors: dict = {}
 
     def update_aggregated(self, items, counts: np.ndarray) -> None:
-        """Feed (distinct item, count) pairs — the per-block shape."""
+        """Feed (distinct item, count) pairs — the per-block shape.
+        Eviction uses a lazily-invalidated min-heap, so a block with
+        V distinct items costs O(V log k), not O(V·k) linear scans."""
+        import heapq
         order = np.argsort(np.asarray(counts))[::-1]
+        heap = [(c, it) for it, c in self.counts.items()]
+        heapq.heapify(heap)
         for i in order:
             it = items[i]
             c = int(counts[i])
             if it in self.counts:
                 self.counts[it] += c
+                heapq.heappush(heap, (self.counts[it], it))
             elif len(self.counts) < self.k:
                 self.counts[it] = c
                 self.errors[it] = 0
+                heapq.heappush(heap, (c, it))
             else:
-                m_it = min(self.counts, key=lambda x: self.counts[x])
-                m = self.counts.pop(m_it)
+                while self.counts.get(heap[0][1]) != heap[0][0]:
+                    heapq.heappop(heap)   # stale entry
+                m, m_it = heapq.heappop(heap)
+                self.counts.pop(m_it)
                 self.errors.pop(m_it)
                 self.counts[it] = m + c
                 self.errors[it] = m
+                heapq.heappush(heap, (m + c, it))
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         assert self.k == other.k

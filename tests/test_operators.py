@@ -4303,3 +4303,43 @@ def test_ivfpq_routing_and_recall(ray_session):
                             "embedding", "vec_id", n_lists=8, m=4,
                             n_centroids=32)
     assert np.array_equal(coarse, c2) and np.array_equal(books, b2)
+
+
+def test_review_fix_regressions(ray_session):
+    """Round-4 session-6 review findings, pinned as tests."""
+    import duckdb
+    from rayskema.functions.dedup import cdc_chunks
+    from rayskema.functions.similarity import dbscan
+    from rayskema.pipelines.relational import (global_quantiles,
+                                               global_rank)
+    # 1. CDC on a tiny trailing batch (buffer < window) must not crash
+    t = pa.table({"doc_id": [0, 1], "text": ["abc", ""]})
+    out = cdc_chunks(rd.from_arrow(t), "doc_id", "text").to_pandas()
+    assert out["chunk_len"].sum() == 3
+    # 2. quantile positions use the decimal's exact rational (0.2 of
+    #    5 rows is row 0, not row 1 as float 0.2*5 would give)
+    t5 = pa.table({"v": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    g = global_quantiles(rd.from_arrow(t5).repartition(2), "v",
+                         [0.2, 0.4, 0.8])
+    con = duckdb.connect()
+    con.register("t5", t5.to_pandas())
+    o = con.execute("WITH q AS (SELECT quantile_disc(v, [0.2,0.4,0.8])"
+                    " vals FROM t5) SELECT unnest(vals) FROM q") \
+        .fetchall()
+    assert g["value"].to_pylist() == [r[0] for r in o]
+    # 3. NaNs form ONE tie run in global_rank (SQL semantics)
+    tn = pa.table({"id": np.arange(6), "v": pa.array(
+        [1.0, float("nan"), 2.0, float("nan"), float("nan"), 1.0])})
+    r = global_rank(rd.from_arrow(tn).repartition(6), "v",
+                    tiebreak="id").to_pandas().sort_values("id")
+    nan_ranks = r[r["id"].isin([1, 3, 4])]["rank"].tolist()
+    assert nan_ranks[0] == nan_ranks[1] == nan_ranks[2]
+    assert r[r["id"].isin([1, 3, 4])]["dense_rank"].nunique() == 1
+    # 4. dbscan min_pts=1: an isolated point is its own core cluster
+    ti = pa.table({"vec_id": np.arange(3, dtype=np.int64),
+                   "embedding": [[0.0, 0.0], [0.1, 0.0],
+                                 [50.0, 50.0]]})
+    d = dbscan(rd.from_arrow(ti), "embedding", "vec_id", eps=1.0,
+               min_pts=1).to_pandas().sort_values("vec_id")
+    assert d["is_core"].all()
+    assert d["cluster"].tolist() == [0, 0, 2]
