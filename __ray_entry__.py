@@ -5956,8 +5956,29 @@ def _q_emb_ivfpq(sf_dir: str):
     })
 
 
+def _q_events_theilsen(sf_dir: str):
+    """Per-user Theil–Sen robust trend of event value over time
+    (relational.group_theilsen): median of all pairwise slopes inside
+    one group exchange — shared triu templates per group size, ~4M
+    pairs resident max.  Matches DuckDB median() over the self-join
+    slope set bit-for-bit (same divisions, same middle-pair mean)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_theilsen
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "x_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                            pa.int64()),
+            "value": t["value"]}),
+        batch_format="pyarrow")
+    return group_theilsen(ds, "user_id", "x_us", "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_theilsen": _q_events_theilsen,
         "emb_ivfpq": _q_emb_ivfpq,
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_top_tokens_by_source": _q_docs_top_tokens_by_source,
@@ -6190,6 +6211,27 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "events_theilsen": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS x, value AS y,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND user_id IS NOT NULL),
+                 p AS (
+                SELECT a.user_id,
+                       CASE WHEN b.x <> a.x
+                            THEN (b.y - a.y) / (b.x - a.x) END AS s
+                FROM e a JOIN e b
+                  ON a.user_id = b.user_id AND a.rn < b.rn)
+            SELECT e.user_id, count(*)::BIGINT AS n,
+                   (SELECT count(s) FROM p
+                    WHERE p.user_id = e.user_id)::BIGINT AS n_pairs,
+                   (SELECT median(s) FROM p
+                    WHERE p.user_id = e.user_id) AS slope
+            FROM e GROUP BY e.user_id
         """,
         "emb_ivfpq": """
             SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,

@@ -4343,3 +4343,32 @@ def test_review_fix_regressions(ray_session):
                min_pts=1).to_pandas().sort_values("vec_id")
     assert d["is_core"].all()
     assert d["cluster"].tolist() == [0, 0, 2]
+
+
+def test_group_theilsen(ray_session):
+    from rayskema.pipelines.relational import group_theilsen
+    rng = np.random.default_rng(23)
+    rows = []
+    for g, n in (("a", 2), ("b", 7), ("c", 1), ("d", 40)):
+        xs = rng.choice(1000, n, replace=False).astype(float)
+        ys = 3.0 * xs + rng.normal(0, 5, n)
+        if g == "d":
+            ys[0] += 1e6            # wild outlier barely moves T-S
+        rows += [(g, float(x), float(y)) for x, y in zip(xs, ys)]
+    rows.append(("e", 5.0, 1.0))
+    rows.append(("e", 5.0, 9.0))    # only pair has dx=0 -> NULL slope
+    t = pa.table({"g": [r[0] for r in rows],
+                  "x": [r[1] for r in rows],
+                  "y": [r[2] for r in rows]})
+    out = group_theilsen(rd.from_arrow(t).repartition(4), "g", "x",
+                         "y").to_pandas().set_index("g")
+    for g in ("a", "b", "d"):
+        sub = [(x, y) for gg, x, y in rows if gg == g]
+        slopes = [(y2 - y1) / (x2 - x1)
+                  for i, (x1, y1) in enumerate(sub)
+                  for (x2, y2) in sub[i + 1:] if x2 != x1]
+        assert out.loc[g, "slope"] == np.median(slopes)
+        assert out.loc[g, "n_pairs"] == len(slopes)
+    assert abs(out.loc["d", "slope"] - 3.0) < 1.0
+    assert out.loc["c", "n_pairs"] == 0 and np.isnan(out.loc["c", "slope"])
+    assert np.isnan(out.loc["e", "slope"])
