@@ -138,6 +138,26 @@ def cmd_snapshot(args) -> int:
         for h in snap.snapshot_history(args.root):
             print(json.dumps(h, sort_keys=True))
         return 0
+    if args.action == "branch":
+        if not args.name:
+            print("--name required for branch", file=sys.stderr)
+            return 2
+        sid = snap.create_branch(args.root, args.name,
+                                 at=args.since,
+                                 from_ref=args.ref or "main")
+        print(json.dumps({"branch": args.name, "at": sid}))
+        return 0
+    if args.action == "tag":
+        if not args.name:
+            print("--name required for tag", file=sys.stderr)
+            return 2
+        sid = snap.create_tag(args.root, args.name, at=args.since,
+                              from_ref=args.ref or "main")
+        print(json.dumps({"tag": args.name, "at": sid}))
+        return 0
+    if args.action == "refs":
+        print(json.dumps(snap.list_refs(args.root), sort_keys=True))
+        return 0
     _ensure_ray(args.num_cpus)
     import ray.data as rd
     if args.action == "write":
@@ -154,7 +174,8 @@ def cmd_snapshot(args) -> int:
             if args.stats_cols else (),
             bloom_cols=tuple((args.bloom_cols or "").split(","))
             if args.bloom_cols else (),
-            mode=args.mode, contract=contract)
+            mode=args.mode, contract=contract,
+            branch=args.branch or "main")
         print(json.dumps({"id": m["id"], "rows": m["rows"],
                           "files": len(m["files"])}))
         return 0
@@ -169,7 +190,8 @@ def cmd_snapshot(args) -> int:
             contract = load_contract(args.contract)
         m = snap.upsert_snapshot(
             rd.read_parquet(args.input), args.root,
-            args.keys.split(",")[0], contract=contract)
+            args.keys.split(",")[0], contract=contract,
+            branch=args.branch or "main")
         print(json.dumps({"id": m["id"], "rows": m["rows"],
                           "files": len(m["files"]),
                           "rewritten": m.get("files_rewritten"),
@@ -190,7 +212,8 @@ def cmd_snapshot(args) -> int:
                 except ValueError:
                     pass
             conj.append((col, op, val))
-        m = snap.delete_snapshot(args.root, conj)
+        m = snap.delete_snapshot(args.root, conj,
+                                 branch=args.branch or "main")
         print(json.dumps({"id": m["id"], "rows": m["rows"],
                           "dropped": m.get("files_dropped"),
                           "rewritten": m.get("files_rewritten"),
@@ -199,7 +222,8 @@ def cmd_snapshot(args) -> int:
     if args.action == "compact":
         m = snap.compact_snapshot(args.root,
                                   target_rows=args.target_rows,
-                                  order_by=args.order_by)
+                                  order_by=args.order_by,
+                                  branch=args.branch or "main")
         print(json.dumps({"id": m["id"], "rows": m["rows"],
                           "files": len(m["files"])}))
         return 0
@@ -349,11 +373,18 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_diff)
 
     sn = sub.add_parser("snapshot", help="manifest-tracked snapshot "
-                        "tables: write/history/compact/changes/upsert")
+                        "tables: write/history/compact/changes/"
+                        "upsert/branch/tag/refs")
     sn.add_argument("--root", required=True)
     sn.add_argument("--action", required=True,
                     choices=["write", "history", "compact", "changes",
-                             "upsert", "delete"])
+                             "upsert", "delete", "branch", "tag",
+                             "refs"])
+    sn.add_argument("--branch", help="commit target branch "
+                    "(write/upsert/delete/compact; default main)")
+    sn.add_argument("--name", help="branch/tag name")
+    sn.add_argument("--ref", help="base ref for branch/tag "
+                    "(default main)")
     sn.add_argument("--where", action="append",
                     help="delete conjunct 'col,op,value' (repeatable)")
     sn.add_argument("--input", help="parquet file/dir (write/upsert)")

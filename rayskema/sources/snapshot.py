@@ -261,6 +261,127 @@ def _read_head(root: str) -> int | None:
         return None
 
 
+# -- named refs: branches (movable) and tags (immutable) -------------------
+#
+# "main" is the HEAD file (unchanged layout — every pre-branching table
+# is a main-only table); other branches live in refs/heads/<name>, tags
+# in refs/tags/<name>, each a single file holding a snapshot id flipped
+# with the same atomic os.replace as HEAD.  Snapshot ids are allocated
+# globally (max manifest + 1) so two branches never collide.
+
+def _ref_file(root: str, name: str, kind: str = "heads") -> str:
+    if name == "main":
+        return _head_path(root)
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"bad ref name {name!r}")
+    return os.path.join(root, "refs", kind, name)
+
+
+def _read_ref(root: str, name: str = "main") -> int | None:
+    if name != "main":
+        try:
+            with open(_ref_file(root, name, "heads")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+    return _read_head(root)
+
+
+def _write_ref(root: str, name: str, snap_id: int,
+               kind: str = "heads") -> None:
+    path = _ref_file(root, name, kind)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(snap_id))
+    os.replace(tmp, path)
+
+
+def _next_snap_id(root: str) -> int:
+    """Globally-unique snapshot id: max committed manifest + 1 (a
+    per-branch head+1 would collide across branches)."""
+    mdir = _manifest_dir(root)
+    best = 0
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        return 1
+    for n in names:
+        if n.startswith("snap-") and n.endswith(".json"):
+            try:
+                best = max(best, int(n[5:-5]))
+            except ValueError:
+                pass
+    return best + 1
+
+
+def resolve_ref(root: str, ref: str = "main") -> int | None:
+    """Resolve main / a branch / a tag / a literal snapshot-id string
+    to a snapshot id (branch wins over tag on a name collision)."""
+    got = _read_ref(root, ref)
+    if got is not None:
+        return got
+    try:
+        with open(_ref_file(root, ref, "tags")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    try:
+        return int(ref)
+    except ValueError:
+        return None
+
+
+def create_branch(root: str, name: str, *, at: int | None = None,
+                  from_ref: str = "main") -> int:
+    """New movable branch pointing at ``at`` (default: the resolved
+    ``from_ref``).  Later ``write/upsert/delete(..., branch=name)``
+    commits advance ONLY this branch; main never observes them."""
+    if name == "main":
+        raise ValueError("'main' always exists")
+    snap = at if at is not None else resolve_ref(root, from_ref)
+    if snap is None:
+        raise FileNotFoundError(f"nothing to branch from at {root!r}")
+    _load_manifest(root, snap)          # must exist
+    _write_ref(root, name, snap, "heads")
+    return snap
+
+
+def create_tag(root: str, name: str, *, at: int | None = None,
+               from_ref: str = "main") -> int:
+    """Immutable named snapshot pointer; re-tagging an existing name
+    raises (delete the file manually if you truly must)."""
+    path = _ref_file(root, name, "tags")
+    if os.path.exists(path):
+        raise FileExistsError(f"tag {name!r} already exists")
+    snap = at if at is not None else resolve_ref(root, from_ref)
+    if snap is None:
+        raise FileNotFoundError(f"nothing to tag at {root!r}")
+    _load_manifest(root, snap)
+    _write_ref(root, name, snap, "tags")
+    return snap
+
+
+def list_refs(root: str) -> dict:
+    """{'main': id|None, 'branches': {name: id}, 'tags': {name: id}}."""
+    out = {"main": _read_head(root), "branches": {}, "tags": {}}
+    for kind, key in (("heads", "branches"), ("tags", "tags")):
+        d = os.path.join(root, "refs", kind)
+        try:
+            names = sorted(os.listdir(d))
+        except FileNotFoundError:
+            continue
+        for n in names:
+            if n.endswith((".tmp",)) or ".tmp-" in n:
+                continue
+            try:
+                with open(os.path.join(d, n)) as f:
+                    out[key][n] = int(f.read().strip())
+            except (ValueError, OSError):
+                pass
+    return out
+
+
 def _load_manifest(root: str, snap_id: int) -> dict:
     with open(os.path.join(_manifest_dir(root),
                            f"snap-{snap_id:06d}.json")) as f:
@@ -335,8 +456,9 @@ def _write_data_files(ds: "rd.Dataset", root: str,
     return entries
 
 
-def _commit_manifest(root: str, manifest: dict) -> dict:
-    """Atomically publish ``manifest`` and flip HEAD to it."""
+def _commit_manifest(root: str, manifest: dict,
+                     branch: str = "main") -> dict:
+    """Atomically publish ``manifest`` and flip ``branch`` to it."""
     snap_id = manifest["id"]
     mpath = os.path.join(_manifest_dir(root),
                          f"snap-{snap_id:06d}.json")
@@ -344,18 +466,16 @@ def _commit_manifest(root: str, manifest: dict) -> dict:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, mpath)
-    # the table flips to the new snapshot in ONE rename
-    htmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
-    with open(htmp, "w") as f:
-        f.write(str(snap_id))
-    os.replace(htmp, _head_path(root))
+    # the branch flips to the new snapshot in ONE rename
+    _write_ref(root, branch, snap_id, "heads")
     return manifest
 
 
 def write_snapshot(ds: "rd.Dataset", root: str, *,
                    stats_cols: tuple = (), mode: str = "overwrite",
                    contract=None, bloom_cols: tuple = (),
-                   bloom_bits_log2: int = 13) -> dict:
+                   bloom_bits_log2: int = 13,
+                   branch: str = "main") -> dict:
     """Write ``ds`` as a new snapshot of the table at ``root``;
     returns the manifest dict.  ``stats_cols`` are the columns whose
     per-file min/max land in the manifest (pick the prune keys —
@@ -379,11 +499,11 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
     entries = _write_data_files(ds, root, tuple(stats_cols), contract,
                                 bloom_cols=tuple(bloom_cols),
                                 bloom_bits_log2=bloom_bits_log2)
-    head = _read_head(root)
+    head = _read_ref(root, branch)
     files = list(entries)
     if mode == "append" and head is not None:
         files = _load_manifest(root, head)["files"] + files
-    snap_id = (head or 0) + 1
+    snap_id = _next_snap_id(root)
     manifest = {"id": snap_id, "parent": head,
                 "mode": mode, "files": files,
                 "rows": sum(f["rows"] for f in files),
@@ -392,11 +512,11 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
                 "bloom_bits_log2": bloom_bits_log2,
                 "schema_hash": (contract.schema_hash()
                                 if contract is not None else None)}
-    return _commit_manifest(root, manifest)
+    return _commit_manifest(root, manifest, branch=branch)
 
 
 def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
-                    contract=None) -> dict:
+                    contract=None, branch: str = "main") -> dict:
     """Keyed MERGE (upsert) into the snapshot table at ``root``: rows
     of ``updates`` REPLACE current rows with the same ``key_col``
     value and INSERT otherwise, committing a new snapshot.
@@ -421,7 +541,7 @@ def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
 
     import ray
 
-    head = _read_head(root)
+    head = _read_ref(root, branch)
     if head is None:
         raise FileNotFoundError(f"no HEAD at {root!r} — write a "
                                 "snapshot before upserting")
@@ -473,7 +593,7 @@ def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
 
     files = carried + new_entries
     new_manifest = {
-        "id": head + 1, "parent": head, "mode": "upsert",
+        "id": _next_snap_id(root), "parent": head, "mode": "upsert",
         "files": files, "rows": sum(f["rows"] for f in files),
         "stats_cols": list(stats_cols),
         "bloom_cols": list(bloom_cols),
@@ -483,11 +603,11 @@ def upsert_snapshot(updates: "rd.Dataset", root: str, key_col: str, *,
                         else manifest.get("schema_hash")),
         "files_carried": len(carried),
         "files_rewritten": len(touched)}
-    return _commit_manifest(root, new_manifest)
+    return _commit_manifest(root, new_manifest, branch=branch)
 
 
 def delete_snapshot(root: str, filter: list[tuple], *,
-                    contract=None) -> dict:
+                    contract=None, branch: str = "main") -> dict:
     """Predicate DELETE from the snapshot table at ``root``: rows
     satisfying ALL ``(col, op, literal)`` conjuncts (op in
     ``== < <= > >=``; SQL semantics — a null comparison never
@@ -514,7 +634,7 @@ def delete_snapshot(root: str, filter: list[tuple], *,
     for col, op, lit in filter:
         if op not in _OPS:
             raise ValueError(f"op must be one of {_OPS}")
-    head = _read_head(root)
+    head = _read_ref(root, branch)
     if head is None:
         raise FileNotFoundError(f"no HEAD at {root!r}")
     manifest = _load_manifest(root, head)
@@ -561,7 +681,7 @@ def delete_snapshot(root: str, filter: list[tuple], *,
 
     files = carried + new_entries
     new_manifest = {
-        "id": head + 1, "parent": head, "mode": "delete",
+        "id": _next_snap_id(root), "parent": head, "mode": "delete",
         "files": files, "rows": sum(f["rows"] for f in files),
         "stats_cols": list(stats_cols),
         "bloom_cols": list(bloom_cols),
@@ -570,21 +690,23 @@ def delete_snapshot(root: str, filter: list[tuple], *,
         "files_carried": len(carried),
         "files_dropped": len(dropped),
         "files_rewritten": len(rewrite)}
-    return _commit_manifest(root, new_manifest)
+    return _commit_manifest(root, new_manifest, branch=branch)
 
 
 def read_snapshot(root: str, *, columns: list[str] | None = None,
                   snapshot: int | None = None,
-                  filter: list[tuple] | None = None) -> "rd.Dataset":
+                  filter: list[tuple] | None = None,
+                  ref: str = "main") -> "rd.Dataset":
     """Read a snapshot (HEAD by default, or a historical id).
     ``filter`` is a list of ``(col, op, literal)`` conjuncts with op
     in ``== < <= > >=``: files the manifest stats prove irrelevant are
     never opened, and the same conjunction is pushed into the Parquet
     read (row-group pruning).  Returns an empty-schema'd Dataset when
     everything prunes."""
-    snap_id = snapshot if snapshot is not None else _read_head(root)
+    snap_id = snapshot if snapshot is not None \
+        else resolve_ref(root, ref)
     if snap_id is None:
-        raise FileNotFoundError(f"no HEAD at {root!r}")
+        raise FileNotFoundError(f"no ref {ref!r} at {root!r}")
     manifest = _load_manifest(root, snap_id)
     files = manifest["files"]
     if filter:
@@ -707,7 +829,8 @@ def snapshot_history(root: str) -> list[dict]:
 
 def compact_snapshot(root: str, *, target_rows: int = 1_000_000,
                      order_by: str | None = None,
-                     stats_cols: tuple | None = None) -> dict:
+                     stats_cols: tuple | None = None,
+                     branch: str = "main") -> dict:
     """Small-file compaction: rewrite HEAD's files into
     ``ceil(rows / target_rows)`` files as a NEW snapshot (history
     stays readable — compaction is just another snapshot whose parent
@@ -721,7 +844,7 @@ def compact_snapshot(root: str, *, target_rows: int = 1_000_000,
     at 10^5 files the read-task launch overhead dominates scans —
     compaction is the standing maintenance op (public Iceberg/Delta
     ``rewrite_data_files`` / ``OPTIMIZE`` concept)."""
-    head = _read_head(root)
+    head = _read_ref(root, branch)
     if head is None:
         raise FileNotFoundError(f"no HEAD at {root!r}")
     manifest = _load_manifest(root, head)
@@ -734,7 +857,7 @@ def compact_snapshot(root: str, *, target_rows: int = 1_000_000,
     n_files = max(1, -(-rows // max(1, target_rows)))
     ds = ds.repartition(n_files)
     return write_snapshot(ds, root, stats_cols=stats_cols,
-                          mode="overwrite")
+                          mode="overwrite", branch=branch)
 
 
 def snapshot_changes(root: str, *, from_snapshot: int,

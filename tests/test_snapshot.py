@@ -508,3 +508,48 @@ def test_snapshot_add_column_evolution(ray_session, tmp_path):
     # snapshot 1 alone has one fingerprint
     one = _collect(read_snapshot(root, snapshot=1))
     assert one.column_names == ["k"]
+
+
+def test_snapshot_branches_and_tags(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+    from rayskema.sources.snapshot import (create_branch, create_tag,
+                                           list_refs, read_snapshot,
+                                           upsert_snapshot,
+                                           write_snapshot)
+    root = str(tmp_path / "tbl")
+    base = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    m1 = write_snapshot(rd.from_arrow(base), root, stats_cols=("k",))
+    create_tag(root, "v1")
+    create_branch(root, "dev")
+    # commits on dev: main must not observe them
+    m2 = write_snapshot(
+        rd.from_arrow(pa.table({"k": [4], "v": ["d"]})), root,
+        stats_cols=("k",), mode="append", branch="dev")
+    assert m2["parent"] == m1["id"] and m2["id"] != m1["id"]
+    main_rows = read_snapshot(root).to_pandas()
+    dev_rows = read_snapshot(root, ref="dev").to_pandas()
+    assert sorted(main_rows["k"]) == [1, 2, 3]
+    assert sorted(dev_rows["k"]) == [1, 2, 3, 4]
+    # upsert on dev only
+    upsert_snapshot(rd.from_arrow(pa.table({"k": [1], "v": ["A"]})),
+                    root, "k", branch="dev")
+    dev2 = read_snapshot(root, ref="dev").to_pandas() \
+        .set_index("k")["v"].to_dict()
+    assert dev2[1] == "A" and dev2[4] == "d"
+    assert read_snapshot(root).to_pandas().set_index("k")["v"][1] == "a"
+    # main keeps committing with globally-unique ids
+    m3 = write_snapshot(
+        rd.from_arrow(pa.table({"k": [9], "v": ["z"]})), root,
+        stats_cols=("k",), mode="append")
+    refs = list_refs(root)
+    assert refs["tags"]["v1"] == m1["id"]
+    assert refs["main"] == m3["id"]
+    ids = {m1["id"], m2["id"], m3["id"], refs["branches"]["dev"]}
+    assert len(ids) == 4          # no id collisions across branches
+    # tag is immutable and readable by name
+    tagged = read_snapshot(root, ref="v1").to_pandas()
+    assert sorted(tagged["k"]) == [1, 2, 3]
+    import pytest
+    with pytest.raises(FileExistsError):
+        create_tag(root, "v1")
