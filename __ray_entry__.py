@@ -5454,6 +5454,82 @@ def _pagerank_oracle_sql(iterations: int = 5, scale: int = 1_000_000,
         """
 
 
+def _q_graph_ppr(sf_dir: str):
+    """Weighted PERSONALIZED PageRank (functions/graph.pagerank with
+    weight_col + seeds): teleport mass concentrates on seeds 0-9,
+    edge weights are co-purchase multiplicities, contributions split
+    weight-proportionally — all in floor-exact integer arithmetic, so
+    the unrolled-CTE oracle matches bit-for-bit."""
+    from rayskema.functions.graph import pagerank
+    from rayskema.pipelines.relational import agg_named, \
+        bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        tab = pa.table({"src": pa.array(x[m], pa.int64()),
+                        "dst": pa.array(y[m], pa.int64()),
+                        "w": pa.array(np.ones(int(m.sum()),
+                                              dtype=np.int64))})
+        return agg_named(tab, ["src", "dst"], [("w", "sum")], ["w"])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: agg_named(t, ["src", "dst"], [("w", "sum")], ["w"]),
+        buckets=8, sort_within=False)
+    return pagerank(edges, "src", "dst", iterations=4, buckets=8,
+                    weight_col="w", seeds=list(range(10)))
+
+
+def _ppr_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
+                    num: int = 85, den: int = 100,
+                    n_seeds: int = 10) -> str:
+    """Unrolled-CTE mirror of the weighted personalized recurrence:
+    base concentrates on the seed set, contributions split by edge
+    weight over the source's weight sum — every step floors."""
+    ctes = [f"pr0 AS (SELECT v, CAST({scale} AS BIGINT) AS r "
+            f"FROM verts)"]
+    base = (f"(({scale} * ({den} - {num}) * "
+            f"(SELECT count(*) FROM verts)) // ({den} * {n_seeds}))")
+    for i in range(iterations):
+        ctes.append(f"""pr{i + 1} AS (
+                SELECT vt.v,
+                       CAST(CASE WHEN vt.v < {n_seeds}
+                                 THEN {base} ELSE 0 END
+                            + COALESCE(c.s, 0) AS BIGINT) AS r
+                FROM verts vt LEFT JOIN (
+                    SELECT e.dst AS v,
+                           SUM((p.r * {num} * e.w)
+                               // ({den} * o.wsum)) AS s
+                    FROM edges e
+                    JOIN pr{i} p ON p.v = e.src
+                    JOIN outw o ON o.v = e.src
+                    GROUP BY e.dst) c ON c.v = vt.v)""")
+    return f"""
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            edges AS (
+                SELECT x AS src, y AS dst, count(*) AS w
+                FROM raw WHERE x <> y GROUP BY x, y),
+            verts AS (SELECT src AS v FROM edges
+                      UNION SELECT dst FROM edges),
+            outw AS (SELECT src AS v, SUM(w) AS wsum
+                     FROM edges GROUP BY src),
+            {", ".join(ctes)}
+            SELECT v, r FROM pr{iterations}
+        """
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -5978,6 +6054,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "graph_ppr": _q_graph_ppr,
         "events_theilsen": _q_events_theilsen,
         "emb_ivfpq": _q_emb_ivfpq,
         "docs_bpe_train": _q_docs_bpe_train,
@@ -6212,6 +6289,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
         """,
+        "graph_ppr": _ppr_oracle_sql(),
         "events_theilsen": """
             WITH e AS (
                 SELECT user_id, epoch_us(ts) AS x, value AS y,

@@ -26,6 +26,7 @@ def pagerank(
     edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst", *,
     iterations: int = 5, scale: int = 1_000_000,
     damping_num: int = 85, damping_den: int = 100,
+    weight_col: str | None = None, seeds: "list | None" = None,
     buckets: int | None = None,
 ) -> "rd.Dataset":
     """Deterministic INTEGER PageRank over a directed edge list:
@@ -53,9 +54,20 @@ def pagerank(
     int64 while ``|V|·scale·damping_num < 2^63`` (raise ``scale`` only
     for small graphs).
 
+    ``weight_col`` (int64 edge weights > 0) turns the uniform split
+    into a weight-proportional one: contribution =
+    ``(r·num·w) // (den·Σw_u)`` — same floor-exact arithmetic, so the
+    SQL mirror still matches bit-for-bit.  ``seeds`` switches to
+    PERSONALIZED PageRank: the teleport mass concentrates on the seed
+    set — ``base(v∈S) = (scale·(den−num)·|V|) // (den·|S|)``, 0
+    elsewhere (total teleport mass unchanged) — the
+    random-walk-with-restart proximity score used for
+    recommendations; ``r0`` stays uniform ``scale``.
+
     Returns a Dataset ``(v, r)`` after the final iteration.
     """
-    edges = edges.select_columns([src_col, dst_col])
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(cols)
 
     def _vert_partial(tab: pa.Table) -> pa.Table:
         v = pa.chunked_array([tab[src_col].combine_chunks(),
@@ -68,9 +80,16 @@ def pagerank(
         buckets=buckets, sort_within=False).materialize()
 
     def _deg_partial(tab: pa.Table) -> pa.Table:
-        vc = tab[src_col].combine_chunks().value_counts()
-        return pa.table({"v": vc.field("values"),
-                         "dg": pc.cast(vc.field("counts"), pa.int64())})
+        if weight_col is None:
+            vc = tab[src_col].combine_chunks().value_counts()
+            return pa.table({
+                "v": vc.field("values"),
+                "dg": pc.cast(vc.field("counts"), pa.int64())})
+        w = pc.cast(tab[weight_col], pa.int64())
+        if tab.num_rows and pc.min(w).as_py() <= 0:
+            raise ValueError("pagerank: edge weights must be > 0")
+        part = pa.table({"v": tab[src_col], "dg": w})
+        return agg_named(part, ["v"], [("dg", "sum")], ["dg"])
 
     outdeg = bucketed_map_groups(
         edges.map_batches(_deg_partial, batch_format="pyarrow"),
@@ -81,7 +100,16 @@ def pagerank(
     e_deg = hash_join(edges, outdeg, on=src_col, right_on="v",
                       broadcast="auto").materialize()
 
-    base = (scale * (damping_den - damping_num)) // damping_den
+    if seeds is None:
+        base = (scale * (damping_den - damping_num)) // damping_den
+        seed_arr = None
+    else:
+        if not seeds:
+            raise ValueError("pagerank: seeds must be non-empty")
+        n_verts = verts.count()
+        base = (scale * (damping_den - damping_num) * n_verts) \
+            // (damping_den * len(seeds))
+        seed_arr = pa.array(sorted(set(seeds)))
     ranks = verts.map_batches(
         lambda t: t.append_column(
             "r", pa.array(np.full(t.num_rows, scale, dtype=np.int64))),
@@ -95,11 +123,18 @@ def pagerank(
         def _contrib(tab: pa.Table) -> pa.Table:
             r = tab["r"].combine_chunks().to_numpy(zero_copy_only=False)
             dg = tab["dg"].combine_chunks().to_numpy(zero_copy_only=False)
-            if len(r) and int(r.max()) > (2**63 - 1) // num:
+            if weight_col is None:
+                w = 1
+                wmax = 1
+            else:
+                w = pc.cast(tab[weight_col], pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                wmax = int(w.max()) if len(w) else 1
+            if len(r) and int(r.max()) > (2**63 - 1) // (num * wmax):
                 raise OverflowError(
-                    "pagerank: rank*damping_num exceeds int64 — "
-                    "lower `scale` for this vertex count")
-            c = (r * num) // (den * dg)
+                    "pagerank: rank*damping_num*weight exceeds int64 "
+                    "— lower `scale` for this vertex count")
+            c = (r * num * w) // (den * dg)
             part = pa.table({"v": tab[dst_col], "c": pa.array(c)})
             return agg_named(part, ["v"], [("c", "sum")], ["c"])
 
@@ -113,8 +148,15 @@ def pagerank(
 
         def _apply(tab: pa.Table) -> pa.Table:
             c = pc.fill_null(pc.cast(tab["c"], pa.int64()), 0)
+            if seed_arr is None:
+                return pa.table({"v": tab["v"],
+                                 "r": pc.add_checked(c, base)})
+            b = pc.if_else(
+                pc.is_in(tab["v"], value_set=seed_arr),
+                pa.scalar(base, pa.int64()),
+                pa.scalar(0, pa.int64()))
             return pa.table({"v": tab["v"],
-                             "r": pc.add_checked(c, base)})
+                             "r": pc.add_checked(c, b)})
 
         ranks = nxt.map_batches(_apply,
                                 batch_format="pyarrow").materialize()

@@ -4372,3 +4372,30 @@ def test_group_theilsen(ray_session):
     assert abs(out.loc["d", "slope"] - 3.0) < 1.0
     assert out.loc["c", "n_pairs"] == 0 and np.isnan(out.loc["c", "slope"])
     assert np.isnan(out.loc["e", "slope"])
+
+
+def test_pagerank_weighted_personalized(ray_session):
+    from rayskema.functions.graph import pagerank
+    # star: seeds {0}; vertex 2 gets 3x vertex 3's weight from 0
+    t = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                  "dst": pa.array([2, 3, 0], pa.int64()),
+                  "w": pa.array([3, 1, 5], pa.int64())})
+    ds = rd.from_arrow(t)
+    out = pagerank(ds, iterations=3, weight_col="w",
+                   seeds=[0]).to_pandas().set_index("v")["r"]
+    # manual replication of the integer recurrence
+    scale, num, den = 1_000_000, 85, 100
+    verts = [0, 1, 2, 3]
+    base = (scale * (den - num) * 4) // (den * 1)
+    r = {v: scale for v in verts}
+    wsum = {0: 4, 1: 5}
+    for _ in range(3):
+        contrib = {v: 0 for v in verts}
+        for s, d, w in [(0, 2, 3), (0, 3, 1), (1, 0, 5)]:
+            contrib[d] += (r[s] * num * w) // (den * wsum[s])
+        r = {v: contrib[v] + (base if v == 0 else 0) for v in verts}
+    assert out.to_dict() == r
+    # unweighted unseeded default path unchanged (regression guard)
+    out2 = pagerank(ds.select_columns(["src", "dst"]),
+                    iterations=2).to_pandas()
+    assert len(out2) == 4 and (out2["r"] > 0).all()
