@@ -5530,6 +5530,80 @@ def _ppr_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
         """
 
 
+def _q_events_calibration(sf_dir: str):
+    """Score-calibration / reliability profile: global value deciles
+    (exact type-1 thresholds from the value-histogram exchange) ×
+    observed purchase rate per decile — the model-calibration shape,
+    composed from quantile_bucket_assign + group_agg with exact
+    integer counts (rate left as an exact n_pos/n pair)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (group_agg,
+                                               quantile_bucket_assign)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "value": t["value"],
+            "is_pos": pc.cast(pc.equal(t["event_type"], "purchase"),
+                              pa.int64())}).filter(
+            pc.is_valid(t["value"])),
+        batch_format="pyarrow")
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    bucketed = quantile_bucket_assign(ds, "value", qs)
+    return group_agg(bucketed, ["bucket"],
+                     [("is_pos", "sum", "n_pos"),
+                      ("is_pos", "count_all", "n")])
+
+
+def _q_events_attribution(sf_dir: str):
+    """First-touch / last-touch conversion attribution per converting
+    user: the event type that OPENED the user's history and the type
+    of the last event strictly before their first purchase — composed
+    from two group_latest passes (arg_min / arg_max) and one
+    broadcast-joined purchase watermark."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (group_agg,
+                                               group_latest,
+                                               hash_join)
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    ev = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64())}),
+        batch_format="pyarrow")
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow")
+    first_purchase = group_agg(purchases, ["user_id"],
+                               [("ts_us", "min", "p_us")])
+    first_touch = group_latest(ev, "user_id", ["ts_us", "event_id"],
+                               descending=False) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["user_id"],
+            "first_touch": t["event_type"]}),
+            batch_format="pyarrow")
+    with_p = hash_join(ev, first_purchase, on=["user_id"],
+                       broadcast="auto")
+    before = with_p.map_batches(
+        lambda t: t.filter(pc.less(t["ts_us"], t["p_us"])),
+        batch_format="pyarrow")
+    last_touch = group_latest(before, "user_id",
+                              ["ts_us", "event_id"]) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t["user_id"],
+            "last_touch": t["event_type"]}),
+            batch_format="pyarrow")
+    out = hash_join(first_purchase.select_columns(["user_id"]),
+                    first_touch, on=["user_id"], broadcast="auto")
+    return hash_join(out, last_touch, on=["user_id"],
+                     how="left_outer", broadcast="auto")
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -6054,6 +6128,8 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_calibration": _q_events_calibration,
+        "events_attribution": _q_events_attribution,
         "graph_ppr": _q_graph_ppr,
         "events_theilsen": _q_events_theilsen,
         "emb_ivfpq": _q_emb_ivfpq,
@@ -6288,6 +6364,49 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "events_calibration": """
+            WITH v AS (SELECT value,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS is_pos
+                       FROM events WHERE value IS NOT NULL),
+                 r AS (SELECT value,
+                              row_number() OVER (ORDER BY value)
+                                  AS rn,
+                              count(*) OVER () AS cnt
+                       FROM v),
+                 t AS (SELECT q, min(value) AS thr
+                       FROM r JOIN (SELECT unnest([0.1,0.2,0.3,0.4,
+                                                   0.5,0.6,0.7,0.8,
+                                                   0.9]) AS q) qs
+                         ON rn = CAST(ceil(q * cnt) AS BIGINT)
+                       GROUP BY q)
+            SELECT CAST((SELECT count(*) FROM t
+                         WHERE v.value > t.thr) AS BIGINT) AS bucket,
+                   CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+                   count(*)::BIGINT AS n
+            FROM v GROUP BY bucket
+        """,
+        "events_attribution": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS ts_us FROM events),
+                 fp AS (SELECT user_id, min(ts_us) AS p_us FROM e
+                        WHERE event_type = 'purchase' GROUP BY user_id),
+                 ft AS (SELECT user_id,
+                               (array_agg(event_type
+                                ORDER BY ts_us, event_id))[1]
+                                   AS first_touch
+                        FROM e GROUP BY user_id),
+                 lt AS (SELECT e.user_id,
+                               (array_agg(e.event_type
+                                ORDER BY e.ts_us DESC,
+                                         e.event_id DESC))[1]
+                                   AS last_touch
+                        FROM e JOIN fp ON fp.user_id = e.user_id
+                        WHERE e.ts_us < fp.p_us GROUP BY e.user_id)
+            SELECT fp.user_id, ft.first_touch, lt.last_touch
+            FROM fp JOIN ft ON ft.user_id = fp.user_id
+            LEFT JOIN lt ON lt.user_id = fp.user_id
         """,
         "graph_ppr": _ppr_oracle_sql(),
         "events_theilsen": """
