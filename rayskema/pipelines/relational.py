@@ -5606,9 +5606,24 @@ def global_rank(
         cols = {c: tab[c] for c in tab.column_names}
         for i, (c, _d) in enumerate(enc_all):
             col = tab[c]
-            cols[f"__nn{i}"] = pc.cast(pc.is_null(col), pa.int8())
-            cols[f"__nv{i}"] = pc.fill_null(col, _null_fill_default(
-                col.type))
+            fill = _null_fill_default(col.type)
+            if pa.types.is_floating(col.type):
+                # NaN is ALSO a sort key Ray's range sort can
+                # duplicate, and it must order values < NaN < NULL
+                # (DuckDB semantics): flag 0 valid / 1 NaN / 2 null,
+                # both specials zero-filled out of the value key
+                isnan = pc.fill_null(pc.is_nan(col), False)
+                flag = pc.add(
+                    pc.cast(isnan, pa.int8()),
+                    pc.cast(pc.is_null(col), pa.int8()))
+                flag = pc.if_else(pc.is_null(col),
+                                  pa.scalar(2, pa.int8()), flag)
+                cols[f"__nn{i}"] = flag
+                cols[f"__nv{i}"] = pc.if_else(
+                    isnan, fill, pc.fill_null(col, fill))
+            else:
+                cols[f"__nn{i}"] = pc.cast(pc.is_null(col), pa.int8())
+                cols[f"__nv{i}"] = pc.fill_null(col, fill)
         return pa.table(cols)
 
     for i, (_c, d) in enumerate(enc_all):

@@ -4399,3 +4399,54 @@ def test_pagerank_weighted_personalized(ray_session):
     out2 = pagerank(ds.select_columns(["src", "dst"]),
                     iterations=2).to_pandas()
     assert len(out2) == 4 and (out2["r"] > 0).all()
+
+
+def test_global_rank_randomized_duckdb_parity(ray_session):
+    """Randomized brute-force parity (the session-5 pattern): random
+    dtypes, null rates, NaNs, tie densities and partition counts vs
+    DuckDB window functions."""
+    import duckdb
+    rng = np.random.default_rng(77)
+    from rayskema.pipelines.relational import global_rank
+    for trial in range(8):
+        n = int(rng.integers(1, 400))
+        parts = int(rng.integers(1, 12))
+        kind = rng.choice(["int", "float", "str"])
+        nulls = rng.random() < 0.5
+        desc = bool(rng.integers(0, 2))
+        if kind == "int":
+            v = rng.integers(0, max(2, n // 4), n).astype("int64")
+            arr = pa.array(v, pa.int64())
+        elif kind == "float":
+            v = np.round(rng.normal(size=n), 1)
+            if rng.random() < 0.5:
+                v[rng.random(n) < 0.15] = np.nan
+            arr = pa.array(v, pa.float64())
+        else:
+            v = rng.choice(list("abcde"), n)
+            arr = pa.array(v, pa.string())
+        if nulls and n:
+            mask = rng.random(n) < 0.2
+            arr = pa.array(
+                [None if m else x for m, x in zip(mask,
+                                                  arr.to_pylist())],
+                arr.type)
+        t = pa.table({"id": np.arange(n, dtype=np.int64), "v": arr})
+        out = global_rank(rd.from_arrow(t).repartition(parts), "v",
+                          descending=desc, tiebreak="id") \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        # register ARROW, not pandas: to_pandas() would fold NaN into
+        # NULL and the oracle would never see a true NaN
+        con.register("t", t)
+        direction = "DESC" if desc else "ASC"
+        nul = "NULLS FIRST" if desc else "NULLS LAST"
+        o = con.execute(
+            f"SELECT ROW_NUMBER() OVER (ORDER BY v {direction} {nul},"
+            f" id) rn, RANK() OVER (ORDER BY v {direction} {nul}) rk,"
+            f" DENSE_RANK() OVER (ORDER BY v {direction} {nul}) dr "
+            f"FROM t ORDER BY id").fetchdf()
+        ctx = f"trial {trial}: n={n} parts={parts} {kind} desc={desc}"
+        assert (out["row_number"].values == o["rn"].values).all(), ctx
+        assert (out["rank"].values == o["rk"].values).all(), ctx
+        assert (out["dense_rank"].values == o["dr"].values).all(), ctx
