@@ -5604,6 +5604,68 @@ def _q_events_attribution(sf_dir: str):
                      how="left_outer", broadcast="auto")
 
 
+def _q_events_hopping_quantile(sf_dir: str):
+    """Sliding-window percentiles (relational.hopping_window_quantile):
+    t-digest estimates per (6h window hopping 2h, event_type) — the
+    k× expansion collapses to one sketch blob per (window, group,
+    block) before the exchange.  Verdict rows: every estimate must
+    land inside the exact [q−0.15, q+0.15] rank band recomputed
+    in-query over the same expansion (small driver-scale windows make
+    the digests near-exact)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (group_quantiles,
+                                               hopping_window_quantile)
+
+    hop, size = 2 * 3600 * 1_000_000, 6 * 3600 * 1_000_000
+    qs = [0.5, 0.9]
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    approx = hopping_window_quantile(ds, "ts", "event_type", "value",
+                                     size_us=size, hop_us=hop, qs=qs)
+
+    # exact rank quantiles over the SAME expansion, composite-keyed
+    k = size // hop
+
+    def _expand(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["value"]))
+        m = pc.and_(m, pc.is_valid(t["event_type"]))
+        t = t.filter(m)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        base = np.floor_divide(us, hop)
+        parts = []
+        for j in range(k):
+            w = (base - j) * hop
+            wk = pc.binary_join_element_wise(
+                pa.array(w.astype(str)),
+                pc.cast(t["event_type"], pa.string()), "|")
+            parts.append(pa.table({"wg": wk, "value": t["value"]}))
+        return pa.concat_tables(parts)
+
+    expanded = ds.map_batches(_expand, batch_format="pyarrow")
+    band = sorted({round(max(0.0, min(1.0, q + d)), 3)
+                   for q in qs for d in (-0.15, 0.15)})
+    exact = {(r["wg"], r["q"]): r["value"]
+             for r in group_quantiles(expanded, "wg", "value",
+                                      band).take_all()}
+    rows = sorted(approx.take_all(),
+                  key=lambda r: (r["window_start"], r["event_type"],
+                                 r["q"]))
+    ws, gs, qo, ok = [], [], [], []
+    for r in rows:
+        key = f'{r["window_start"]}|{r["event_type"]}'
+        lo = exact[(key, round(max(0.0, r["q"] - 0.15), 3))]
+        hi = exact[(key, round(min(1.0, r["q"] + 0.15), 3))]
+        ws.append(r["window_start"])
+        gs.append(r["event_type"])
+        qo.append(float(r["q"]))
+        ok.append(bool(lo <= r["value_est"] <= hi))
+    return pa.table({
+        "window_start": pa.array(ws, pa.int64()),
+        "event_type": pa.array(gs, pa.string()),
+        "q": pa.array(qo, pa.float64()),
+        "within_band": pa.array(ok, pa.bool_())})
+
+
 def _q_docs_pack(sf_dir: str):
     """Sequence packing: consecutive docs per source (doc_id order)
     fill 4096-char bins by cumulative n_chars (contiguous-fill
@@ -6128,6 +6190,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_hopping_quantile": _q_events_hopping_quantile,
         "events_calibration": _q_events_calibration,
         "events_attribution": _q_events_attribution,
         "graph_ppr": _q_graph_ppr,
@@ -6364,6 +6427,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "events_hopping_quantile": """
+            WITH e AS (SELECT epoch_us(ts) AS us, event_type
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL
+                         AND event_type IS NOT NULL),
+                 w AS (SELECT DISTINCT
+                              ((us // 7200000000) - j.j) * 7200000000
+                                  AS window_start,
+                              event_type
+                       FROM e, (SELECT unnest(range(3)) AS j) j)
+            SELECT window_start, event_type, q, TRUE AS within_band
+            FROM w, (SELECT unnest([0.5, 0.9])::DOUBLE AS q) qs
         """,
         "events_calibration": """
             WITH v AS (SELECT value,

@@ -6139,3 +6139,99 @@ def group_theilsen(
 
     return bucketed_map_groups(cleaned, [group_col], _ts,
                                buckets=buckets, sort_within=False)
+
+
+def hopping_window_quantile(
+    ds: "rd.Dataset", ts_col: str, group_col: str, value_col: str, *,
+    size_us: int, hop_us: int, qs: Sequence[float],
+    delta: int = 200, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sliding-window percentiles: t-digest quantile estimates per
+    (hopping window, group) — the latency-p99-over-time shape.
+    Output ``(window_start, group, q, value_est)``.
+
+    Scale shape: the k = size/hop per-row window expansion happens
+    INSIDE each block and collapses immediately to one constant-size
+    t-digest blob per (window, group, block) — only blobs ride the
+    exchange, never the k× rows (the reason exact sliding quantiles
+    don't scale: they must ship every (window, value) pair).  Windows
+    floor-divide the epoch (negative timestamps bucket like SQL
+    ``//``); null timestamps/values drop."""
+    from ..state.sketches import TDigest
+
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    k = size_us // hop_us
+
+    def _expand(tab: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(tab[ts_col]),
+                    pc.is_valid(tab[value_col]))
+        m = pc.and_(m, pc.is_valid(tab[group_col]))
+        tab = tab.filter(m)
+        ts = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        base = np.floor_divide(ts, hop_us)
+        parts = []
+        for j in range(k):
+            w = (base - j) * hop_us
+            parts.append(pa.table({
+                "window_start": pa.array(w),
+                group_col: tab[group_col],
+                value_col: tab[value_col]}))
+        return pa.concat_tables(parts)
+
+    def _prep(tab: pa.Table):
+        v = pc.cast(tab[value_col], pa.float64())
+        valid = np.asarray(v.is_valid()) if v.null_count else \
+            np.ones(len(v), dtype=bool)
+        return v.to_numpy(zero_copy_only=False), valid
+
+    def _make(vals: np.ndarray) -> bytes:
+        t = TDigest(delta)
+        t.update(vals)
+        return t.to_bytes()
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        tab = _expand(tab)
+        # composite (window, group) key packed as one string column so
+        # the shared grouped-sketch machinery applies unchanged
+        wk = pc.binary_join_element_wise(
+            pc.cast(tab["window_start"], pa.string()),
+            pc.cast(tab[group_col], pa.string()), "|")
+        keyed = pa.table({"__wg": wk, value_col: tab[value_col]})
+        return _grouped_sketch_partial(keyed, "__wg", _prep, _make,
+                                       "__td")
+
+    partial = ds.select_columns([ts_col, group_col, value_col]) \
+        .map_batches(_partial, batch_format="pyarrow")
+
+    qlist = [float(q) for q in qs]
+
+    def _final(tab: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "window_start": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            "q": pa.array([], pa.float64()),
+            "value_est": pa.array([], pa.float64())})
+        if tab.num_rows == 0:
+            return empty
+        tab, starts, merged = _merge_grouped_blobs(
+            tab, "__wg", "__td", TDigest.from_bytes)
+        keys = tab["__wg"].take(pa.array(starts)).to_pylist()
+        ws, gs, qs_out, vs = [], [], [], []
+        for key, td in zip(keys, merged):
+            w_str, g = key.split("|", 1)
+            est = td.quantile(np.array(qlist))
+            for q, v in zip(qlist, est):
+                ws.append(int(w_str))
+                gs.append(g)
+                qs_out.append(q)
+                vs.append(float(v))
+        return pa.table({
+            "window_start": pa.array(ws, pa.int64()),
+            group_col: pa.array(gs, pa.string()),
+            "q": pa.array(qs_out, pa.float64()),
+            "value_est": pa.array(vs, pa.float64())})
+
+    return bucketed_map_groups(partial, ["__wg"], _final,
+                               buckets=buckets, sort_within=False)

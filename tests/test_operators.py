@@ -4450,3 +4450,42 @@ def test_global_rank_randomized_duckdb_parity(ray_session):
         assert (out["row_number"].values == o["rn"].values).all(), ctx
         assert (out["rank"].values == o["rk"].values).all(), ctx
         assert (out["dense_rank"].values == o["dr"].values).all(), ctx
+
+
+def test_hopping_window_quantile(ray_session):
+    from rayskema.pipelines.relational import hopping_window_quantile
+    rng = np.random.default_rng(12)
+    n = 4000
+    ts = rng.integers(0, 10 * 3600 * 1_000_000, n)
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "g": rng.choice(["a", "b"], n),
+        "v": rng.normal(50, 10, n)})
+    size, hop = 4 * 3600 * 1_000_000, 2 * 3600 * 1_000_000
+    out = hopping_window_quantile(
+        rd.from_arrow(t).repartition(6), "ts", "g", "v",
+        size_us=size, hop_us=hop, qs=[0.5]).to_pandas()
+    # reference: every event in exactly size/hop windows; p50 within
+    # a generous exact band
+    df = t.to_pandas()
+    df["us"] = ts
+    checked = 0
+    for (w, g), sub in out.groupby(["window_start", "g"]):
+        m = (df["g"] == g) & (df["us"] >= w) & (df["us"] < w + size)
+        vals = np.sort(df.loc[m, "v"].values)
+        if len(vals) < 10:
+            continue
+        lo, hi = np.quantile(vals, [0.3, 0.7])
+        est = sub[sub["q"] == 0.5]["value_est"].iloc[0]
+        assert lo <= est <= hi, (w, g, est, lo, hi)
+        checked += 1
+    assert checked >= 5
+    # parallelism independence (bit-stable digests)
+    out2 = hopping_window_quantile(
+        rd.from_arrow(t).repartition(2), "ts", "g", "v",
+        size_us=size, hop_us=hop, qs=[0.5]).to_pandas()
+    a = out.sort_values(["window_start", "g", "q"]).reset_index(
+        drop=True)
+    b = out2.sort_values(["window_start", "g", "q"]).reset_index(
+        drop=True)
+    assert (a["window_start"] == b["window_start"]).all()
