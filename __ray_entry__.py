@@ -5484,21 +5484,29 @@ def _q_graph_ppr(sf_dir: str):
     edges = bucketed_map_groups(
         raw, ["src", "dst"],
         lambda t: agg_named(t, ["src", "dst"], [("w", "sum")], ["w"]),
-        buckets=8, sort_within=False)
+        buckets=8, sort_within=False).materialize()
+    # seeds derived FROM the graph (vertex ids < 20): a fixed list
+    # would raise at a scale factor where some id never occurs
+    seed_ids = set()
+    for t in ray.get(edges.to_arrow_refs()):
+        for col in ("src", "dst"):
+            a = t[col].to_numpy(zero_copy_only=False)
+            seed_ids.update(a[a < 20].tolist())
     return pagerank(edges, "src", "dst", iterations=4, buckets=8,
-                    weight_col="w", seeds=list(range(10)))
+                    weight_col="w", seeds=sorted(seed_ids))
 
 
 def _ppr_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
                     num: int = 85, den: int = 100,
-                    n_seeds: int = 10) -> str:
+                    n_seeds: int = 20) -> str:
     """Unrolled-CTE mirror of the weighted personalized recurrence:
     base concentrates on the seed set, contributions split by edge
     weight over the source's weight sum — every step floors."""
     ctes = [f"pr0 AS (SELECT v, CAST({scale} AS BIGINT) AS r "
             f"FROM verts)"]
     base = (f"(({scale} * ({den} - {num}) * "
-            f"(SELECT count(*) FROM verts)) // ({den} * {n_seeds}))")
+            f"(SELECT count(*) FROM verts)) // ({den} * "
+            f"(SELECT count(*) FROM verts WHERE v < {n_seeds})))")
     for i in range(iterations):
         ctes.append(f"""pr{i + 1} AS (
                 SELECT vt.v,

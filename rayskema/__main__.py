@@ -138,22 +138,20 @@ def cmd_snapshot(args) -> int:
         for h in snap.snapshot_history(args.root):
             print(json.dumps(h, sort_keys=True))
         return 0
-    if args.action == "branch":
+    if args.action in ("branch", "tag"):
         if not args.name:
-            print("--name required for branch", file=sys.stderr)
+            print(f"--name required for {args.action}",
+                  file=sys.stderr)
             return 2
-        sid = snap.create_branch(args.root, args.name,
-                                 at=args.since,
-                                 from_ref=args.ref or "main")
-        print(json.dumps({"branch": args.name, "at": sid}))
-        return 0
-    if args.action == "tag":
-        if not args.name:
-            print("--name required for tag", file=sys.stderr)
+        fn = (snap.create_branch if args.action == "branch"
+              else snap.create_tag)
+        try:
+            sid = fn(args.root, args.name, at=args.at,
+                     from_ref=args.ref or "main")
+        except (FileNotFoundError, FileExistsError) as ex:
+            print(str(ex), file=sys.stderr)
             return 2
-        sid = snap.create_tag(args.root, args.name, at=args.since,
-                              from_ref=args.ref or "main")
-        print(json.dumps({"tag": args.name, "at": sid}))
+        print(json.dumps({args.action: args.name, "at": sid}))
         return 0
     if args.action == "refs":
         print(json.dumps(snap.list_refs(args.root), sort_keys=True))
@@ -385,6 +383,8 @@ def main(argv=None) -> int:
     sn.add_argument("--name", help="branch/tag name")
     sn.add_argument("--ref", help="base ref for branch/tag "
                     "(default main)")
+    sn.add_argument("--at", type=int, help="pin branch/tag to this "
+                    "snapshot id (default: resolved --ref)")
     sn.add_argument("--where", action="append",
                     help="delete conjunct 'col,op,value' (repeatable)")
     sn.add_argument("--input", help="parquet file/dir (write/upsert)")

@@ -86,7 +86,9 @@ def pagerank(
                 "v": vc.field("values"),
                 "dg": pc.cast(vc.field("counts"), pa.int64())})
         w = pc.cast(tab[weight_col], pa.int64())
-        if tab.num_rows and pc.min(w).as_py() <= 0:
+        if w.null_count:
+            raise ValueError("pagerank: edge weights must not be null")
+        if tab.num_rows and (pc.min(w).as_py() or 0) <= 0:
             raise ValueError("pagerank: edge weights must be > 0")
         part = pa.table({"v": tab[src_col], "dg": w})
         return agg_named(part, ["v"], [("dg", "sum")], ["dg"])
@@ -104,12 +106,25 @@ def pagerank(
         base = (scale * (damping_den - damping_num)) // damping_den
         seed_arr = None
     else:
-        if not seeds:
+        seed_set = sorted(set(seeds))
+        if not seed_set:
             raise ValueError("pagerank: seeds must be non-empty")
+        seed_arr = pa.array(seed_set)
         n_verts = verts.count()
+        # teleport conservation: every seed must BE a vertex and the
+        # divisor is the DEDUPED seed count — duplicate or absent
+        # seeds would silently shrink total teleport mass
+        n_found = verts.map_batches(
+            lambda t, _s=seed_arr: pa.table({"n": pa.array(
+                [pc.sum(pc.cast(pc.is_in(t["v"], value_set=_s),
+                                pa.int64())).as_py() or 0])}),
+            batch_format="pyarrow").sum("n")
+        if n_found != len(seed_set):
+            raise ValueError(
+                f"pagerank: {len(seed_set) - n_found} seed(s) are "
+                "not vertices of the edge list")
         base = (scale * (damping_den - damping_num) * n_verts) \
-            // (damping_den * len(seeds))
-        seed_arr = pa.array(sorted(set(seeds)))
+            // (damping_den * len(seed_set))
     ranks = verts.map_batches(
         lambda t: t.append_column(
             "r", pa.array(np.full(t.num_rows, scale, dtype=np.int64))),

@@ -5613,12 +5613,9 @@ def global_rank(
                 # (DuckDB semantics): flag 0 valid / 1 NaN / 2 null,
                 # both specials zero-filled out of the value key
                 isnan = pc.fill_null(pc.is_nan(col), False)
-                flag = pc.add(
-                    pc.cast(isnan, pa.int8()),
-                    pc.cast(pc.is_null(col), pa.int8()))
-                flag = pc.if_else(pc.is_null(col),
-                                  pa.scalar(2, pa.int8()), flag)
-                cols[f"__nn{i}"] = flag
+                cols[f"__nn{i}"] = pc.if_else(
+                    pc.is_null(col), pa.scalar(2, pa.int8()),
+                    pc.cast(isnan, pa.int8()))
                 cols[f"__nv{i}"] = pc.if_else(
                     isnan, fill, pc.fill_null(col, fill))
             else:
@@ -6114,10 +6111,23 @@ def group_theilsen(
                 dx = x[B] - x[A]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sl = (y[B] - y[A]) / dx
-                sl[dx == 0] = np.nan
-                valid = (~np.isnan(sl)).sum(axis=1)
-                with np.errstate(all="ignore"):
-                    med = np.nanmedian(sl, axis=1)
+                # SQL parity: equal-x pairs are NULL (excluded), but a
+                # NaN-y slope is a VALUE that sorts largest — map it
+                # to +inf so sorting places it where DuckDB does, and
+                # map any inf-touching median back to NaN at the end
+                nan_slope = np.isnan(sl) & (dx != 0)
+                sl[nan_slope] = np.inf
+                sl[dx == 0] = np.nan          # sorts after inf: excluded
+                valid = (dx != 0).sum(axis=1)
+                srt = np.sort(sl, axis=1)
+                med = np.full(len(bs), np.nan)
+                has = valid > 0
+                if has.any():
+                    m = valid[has]
+                    lo = srt[has, (m - 1) // 2]
+                    hi = srt[has, m // 2]
+                    med[has] = (lo + hi) / 2.0
+                med[np.isinf(med)] = np.nan
                 g_out.extend(int(b) for b in bs)
                 n_out.extend([s] * len(bs))
                 np_out.extend(valid.astype(np.int64).tolist())
@@ -6156,8 +6166,13 @@ def hopping_window_quantile(
     exchange, never the k× rows (the reason exact sliding quantiles
     don't scale: they must ship every (window, value) pair).  Windows
     floor-divide the epoch (negative timestamps bucket like SQL
-    ``//``); null timestamps/values drop."""
+    ``//``); null timestamps/values drop.  The group column must
+    round-trip through a string key (ints/strings do); its dtype is
+    restored in the output."""
     from ..state.sketches import TDigest
+
+    gsch = ds.schema(fetch_if_missing=True)
+    gtype = gsch.base_schema.field(group_col).type
 
     if size_us % hop_us:
         raise ValueError("size_us must be a multiple of hop_us")
@@ -6210,7 +6225,7 @@ def hopping_window_quantile(
     def _final(tab: pa.Table) -> pa.Table:
         empty = pa.table({
             "window_start": pa.array([], pa.int64()),
-            group_col: pa.array([], pa.string()),
+            group_col: pa.array([], gtype),
             "q": pa.array([], pa.float64()),
             "value_est": pa.array([], pa.float64())})
         if tab.num_rows == 0:
@@ -6229,7 +6244,7 @@ def hopping_window_quantile(
                 vs.append(float(v))
         return pa.table({
             "window_start": pa.array(ws, pa.int64()),
-            group_col: pa.array(gs, pa.string()),
+            group_col: pc.cast(pa.array(gs, pa.string()), gtype),
             "q": pa.array(qs_out, pa.float64()),
             "value_est": pa.array(vs, pa.float64())})
 

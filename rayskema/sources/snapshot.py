@@ -289,6 +289,12 @@ def _read_ref(root: str, name: str = "main") -> int | None:
 
 def _write_ref(root: str, name: str, snap_id: int,
                kind: str = "heads") -> None:
+    if kind == "heads" and name != "main" and \
+            os.path.exists(_ref_file(root, name, "tags")):
+        # a branch shadowing an existing tag would silently hijack
+        # the "immutable" name through resolve_ref's branch priority
+        raise FileExistsError(
+            f"{name!r} is a tag; tags are immutable commit targets")
     path = _ref_file(root, name, kind)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -354,6 +360,9 @@ def create_tag(root: str, name: str, *, at: int | None = None,
     path = _ref_file(root, name, "tags")
     if os.path.exists(path):
         raise FileExistsError(f"tag {name!r} already exists")
+    if name == "main" or os.path.exists(_ref_file(root, name, "heads")):
+        raise FileExistsError(
+            f"{name!r} is a branch; pick a distinct tag name")
     snap = at if at is not None else resolve_ref(root, from_ref)
     if snap is None:
         raise FileNotFoundError(f"nothing to tag at {root!r}")
@@ -458,14 +467,27 @@ def _write_data_files(ds: "rd.Dataset", root: str,
 
 def _commit_manifest(root: str, manifest: dict,
                      branch: str = "main") -> dict:
-    """Atomically publish ``manifest`` and flip ``branch`` to it."""
+    """Atomically publish ``manifest`` and flip ``branch`` to it.
+
+    The manifest file is created with O_EXCL and the id re-allocated
+    on collision, so two concurrent writers (different branches of
+    the same table) can never clobber each other's manifest — the
+    loser simply lands on the next id."""
     snap_id = manifest["id"]
-    mpath = os.path.join(_manifest_dir(root),
-                         f"snap-{snap_id:06d}.json")
-    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    payload = None
+    while True:
+        manifest["id"] = snap_id
+        payload = json.dumps(manifest).encode()
+        mpath = os.path.join(_manifest_dir(root),
+                             f"snap-{snap_id:06d}.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            snap_id += 1
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        break
     # the branch flips to the new snapshot in ONE rename
     _write_ref(root, branch, snap_id, "heads")
     return manifest
@@ -500,6 +522,15 @@ def write_snapshot(ds: "rd.Dataset", root: str, *,
                                 bloom_cols=tuple(bloom_cols),
                                 bloom_bits_log2=bloom_bits_log2)
     head = _read_ref(root, branch)
+    if head is None and branch != "main":
+        if os.path.exists(_ref_file(root, branch, "tags")):
+            raise FileExistsError(
+                f"{branch!r} is a tag; tags are immutable commit "
+                "targets")
+        raise FileNotFoundError(
+            f"branch {branch!r} does not exist at {root!r}; create it "
+            "with create_branch first (a typo would otherwise "
+            "silently open a fresh branch)")
     files = list(entries)
     if mode == "append" and head is not None:
         files = _load_manifest(root, head)["files"] + files

@@ -4480,7 +4480,9 @@ def test_hopping_window_quantile(ray_session):
         assert lo <= est <= hi, (w, g, est, lo, hi)
         checked += 1
     assert checked >= 5
-    # parallelism independence (bit-stable digests)
+    # partitioning robustness: t-digest merges are NOT bit-stable
+    # across block layouts, but the key set must match exactly and
+    # every estimate must stay close to its other-layout twin
     out2 = hopping_window_quantile(
         rd.from_arrow(t).repartition(2), "ts", "g", "v",
         size_us=size, hop_us=hop, qs=[0.5]).to_pandas()
@@ -4489,3 +4491,5 @@ def test_hopping_window_quantile(ray_session):
     b = out2.sort_values(["window_start", "g", "q"]).reset_index(
         drop=True)
     assert (a["window_start"] == b["window_start"]).all()
+    assert (a["g"] == b["g"]).all()
+    assert np.allclose(a["value_est"], b["value_est"], rtol=0.1)

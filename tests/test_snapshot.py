@@ -553,3 +553,60 @@ def test_snapshot_branches_and_tags(ray_session, tmp_path):
     import pytest
     with pytest.raises(FileExistsError):
         create_tag(root, "v1")
+
+
+def test_refs_guards(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from rayskema.sources.snapshot import (create_branch, create_tag,
+                                           read_snapshot,
+                                           write_snapshot)
+    root = str(tmp_path / "tbl")
+    write_snapshot(rd.from_arrow(pa.table({"k": [1, 2]})), root)
+    create_tag(root, "v1")
+    # a DML commit cannot shadow a tag name with a branch
+    with pytest.raises(FileExistsError):
+        write_snapshot(rd.from_arrow(pa.table({"k": [9]})), root,
+                       branch="v1")
+    assert sorted(read_snapshot(root, ref="v1").to_pandas()["k"]) \
+        == [1, 2]
+    with pytest.raises(FileExistsError):
+        create_branch(root, "v1")
+    create_branch(root, "dev")
+    with pytest.raises(FileExistsError):
+        create_tag(root, "dev")
+    # append to a nonexistent branch errors instead of silently
+    # creating a fresh branch with only the new rows
+    with pytest.raises(FileNotFoundError):
+        write_snapshot(rd.from_arrow(pa.table({"k": [9]})), root,
+                       branch="dve", mode="append")
+
+
+def test_theilsen_nan_y_sql_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rayskema.pipelines.relational import group_theilsen
+    t = pa.table({"g": ["a"] * 3 + ["b"] * 3,
+                  "x": pa.array([0.0, 1.0, 2.0] * 2),
+                  "y": pa.array([1.0, float("nan"), 2.0,
+                                 1.0, 2.0, 3.0])})
+    out = group_theilsen(rd.from_arrow(t).repartition(2), "g", "x",
+                         "y").to_pandas().set_index("g")
+    con = duckdb.connect()
+    con.register("t", t)       # arrow: NaN stays NaN, not NULL
+    o = con.execute("""
+        WITH e AS (SELECT g, x, y,
+                          ROW_NUMBER() OVER (PARTITION BY g
+                                             ORDER BY x) rn FROM t),
+             p AS (SELECT a.g, CASE WHEN b.x <> a.x
+                        THEN (b.y - a.y) / (b.x - a.x) END AS s
+                   FROM e a JOIN e b ON a.g = b.g AND a.rn < b.rn)
+        SELECT g, count(s) AS n_pairs, median(s) AS slope
+        FROM p GROUP BY g ORDER BY g""").fetchdf().set_index("g")
+    assert out.loc["a", "n_pairs"] == o.loc["a", "n_pairs"] == 3
+    assert np.isnan(out.loc["a", "slope"]) == np.isnan(
+        o.loc["a", "slope"])
+    assert out.loc["b", "slope"] == o.loc["b", "slope"] == 1.0
