@@ -1200,15 +1200,16 @@ def dbscan(
     # 3. core-core components
     cc_edges = hash_join(
         hash_join(pairs, core, on=["id_a"], right_on=["node"],
-                  how="left_semi", buckets=buckets),
+                  how="left_semi", broadcast="auto", buckets=buckets),
         core, on=["id_b"], right_on=["node"], how="left_semi",
-        buckets=buckets)
+        broadcast="auto", buckets=buckets)
     comp = connected_components(cc_edges, buckets=buckets)  # node, rep
     # isolated cores: no core neighbor -> their own singleton cluster
     comp_nodes = comp.map_batches(
         lambda t: t.select(["node"]), batch_format="pyarrow")
     iso = hash_join(core, comp_nodes, on=["node"],
-                    how="left_anti", buckets=buckets) \
+                    how="left_anti", broadcast="auto",
+                    buckets=buckets) \
         .map_batches(lambda t: pa.table({"node": t["node"],
                                          "rep": t["node"]}),
                      batch_format="pyarrow")
@@ -1230,22 +1231,25 @@ def dbscan(
         adj = pairs.map_batches(_directed, batch_format="pyarrow")
         adj_core = hash_join(adj, core_lab, on=["nbr"],
                              right_on=["node"], how="inner",
-                             buckets=buckets)
+                             broadcast="auto", buckets=buckets)
         nbr_rep = adj_core.map_batches(
             lambda t: pa.table({"node": t["node"], "rep": t["rep"]}),
             batch_format="pyarrow")
         border = hash_join(nbr_rep, core, on=["node"],
-                           how="left_anti", buckets=buckets)
+                           how="left_anti", broadcast="auto",
+                           buckets=buckets)
         border_lab = group_agg(border, ["node"],
                                [("rep", "min", "rep")],
                                buckets=buckets)
         labeled = core_lab.union(border_lab)
     labeled = labeled.materialize()
-    out = hash_join(ids_only, labeled, on=[id_col], right_on=["node"],
-                    how="left_outer", buckets=buckets)
+    out = hash_join(ids_only, labeled, on=[id_col],
+                    right_on=["node"], how="left_outer",
+                    broadcast="auto", buckets=buckets)
     core_set = hash_join(
         ids_only, core, on=[id_col], right_on=["node"],
-        how="left_semi", buckets=buckets).materialize()
+        how="left_semi", broadcast="auto", buckets=buckets) \
+        .materialize()
 
     cref = ray.put(np.sort(np.concatenate(
         [pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
