@@ -5612,6 +5612,61 @@ def _q_events_attribution(sf_dir: str):
                      how="left_outer", broadcast="auto")
 
 
+def _q_docs_bpe_encode(sf_dir: str):
+    """BPE apply (textstats.bpe_encode): the trained merge table
+    (bpe_train, 12 merges) applied to the whole corpus as k
+    vectorized greedy-left passes per block — no shuffle, and the
+    same non-overlap rule training used, so encode/train can never
+    disagree on a word.  Verdict: per-doc token ids on a ~1% doc
+    sample must equal a pure-Python re-encode; corpus-wide token
+    count conservation (bytes − merged pairs) is asserted in-query."""
+    import collections
+    from rayskema.functions.textstats import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_tab = bpe_train(ds, "text", n_merges=12)
+    merges = list(zip(merges_tab["sym_a"].to_pylist(),
+                      merges_tab["sym_b"].to_pylist(),
+                      merges_tab["new_id"].to_pylist()))
+    out = bpe_encode(ds, "doc_id", "text", merges_tab).materialize()
+
+    def _py_encode(text: str) -> list[int]:
+        ids = []
+        for word in (text or "").split():
+            p = list(word.encode())
+            for a, b, nid in merges:
+                q, i = [], 0
+                while i < len(p):
+                    if i + 1 < len(p) and p[i] == a and p[i + 1] == b:
+                        q.append(nid)
+                        i += 2
+                    else:
+                        q.append(p[i])
+                        i += 1
+                p = q
+            ids.extend(p)
+        return ids
+
+    sample = {r["doc_id"]: r["text"]
+              for r in ds.filter(
+                  lambda r: r["doc_id"] % 97 == 0).take_all()}
+    got = {r["doc_id"]: (r["n_tokens"], r["id_sum"], r["id_sq_sum"])
+           for r in out.take_all() if r["doc_id"] in sample}
+    match = True
+    for did, text in sample.items():
+        ids = _py_encode(text)
+        want = (len(ids), sum(ids), sum(i * i for i in ids))
+        if got.get(did) != want:
+            match = False
+            break
+    n_docs = ds.count()
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_merges": pa.array([len(merges)], pa.int64()),
+        "sample_checked": pa.array([len(sample)], pa.int64()),
+        "ids_match": pa.array([bool(match)], pa.bool_())})
+
+
 def _q_events_hopping_quantile(sf_dir: str):
     """Sliding-window percentiles (relational.hopping_window_quantile):
     t-digest estimates per (6h window hopping 2h, event_type) — the
@@ -6198,6 +6253,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_bpe_encode": _q_docs_bpe_encode,
         "events_hopping_quantile": _q_events_hopping_quantile,
         "events_calibration": _q_events_calibration,
         "events_attribution": _q_events_attribution,
@@ -6435,6 +6491,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "docs_bpe_encode": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   12::BIGINT AS n_merges,
+                   CAST(count(*) FILTER (doc_id % 97 = 0) AS BIGINT)
+                       AS sample_checked,
+                   TRUE AS ids_match
+            FROM documents
         """,
         "events_hopping_quantile": """
             WITH e AS (SELECT epoch_us(ts) AS us, event_type

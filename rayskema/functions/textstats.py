@@ -1333,3 +1333,86 @@ def bpe_train(
         "new_id": pa.array([m[3] for m in merges], pa.int64()),
         "weight": pa.array([m[4] for m in merges], pa.int64()),
     })
+
+
+def bpe_encode(
+    ds: "rd.Dataset", id_col: str, text_col: str, merges,
+) -> "rd.Dataset":
+    """Apply a trained BPE merge table (the output of
+    :func:`bpe_train`: rank-ordered ``(sym_a, sym_b, new_id)`` rows)
+    to the corpus: per document, the subword token count and exact
+    order-independent id checksums ``(id_sum, id_sq_sum)`` — enough
+    to verify any other implementation id-for-id without shipping the
+    token streams anywhere.
+
+    Embarrassingly parallel, NO shuffle: each block tokenizes its
+    docs to words, lays the bytes out flat, and applies the merges IN
+    RANK ORDER as k vectorized greedy-left passes over the whole
+    block (the same run-aware non-overlap rule training used —
+    encode/train can never disagree on a word).  Merges never cross
+    word boundaries."""
+    if isinstance(merges, pa.Table):
+        merges = list(zip(merges["sym_a"].to_pylist(),
+                          merges["sym_b"].to_pylist(),
+                          merges["new_id"].to_pylist()))
+    merges = [(int(a), int(b), int(n)) for a, b, n in merges]
+
+    def _f(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(tab[text_col], ""), pattern=r"\s+")
+        flat_words = pc.list_flatten(toks).combine_chunks()
+        doc_of_word = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat_words, "")
+        doc_of_word = doc_of_word[
+            keep.to_numpy(zero_copy_only=False)]
+        flat_words = flat_words.filter(keep)
+        w = pc.cast(flat_words, pa.large_binary())
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        bufs = w.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64,
+                            count=len(w) + 1, offset=w.offset * 8)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        data = data[off[0]: off[-1]]
+        off = off - off[0]
+        flat = data.astype(np.int64)
+        # word id per byte; stays aligned through merge passes
+        word_of = np.repeat(np.arange(len(off) - 1, dtype=np.int64),
+                            np.diff(off))
+        for a, b, nid in merges:
+            if len(flat) < 2:
+                break
+            cand = np.zeros(len(flat), dtype=bool)
+            cand[:-1] = (flat[:-1] == a) & (flat[1:] == b) \
+                & (word_of[:-1] == word_of[1:])
+            p = np.flatnonzero(cand)
+            if not len(p):
+                continue
+            new_run = np.concatenate([[True], p[1:] != p[:-1] + 1])
+            run_ids = np.cumsum(new_run) - 1
+            first = p[np.flatnonzero(new_run)]
+            p = p[((p - first[run_ids]) % 2) == 0]
+            flat[p] = nid
+            drop = np.zeros(len(flat), dtype=bool)
+            drop[p + 1] = True
+            flat = flat[~drop]
+            word_of = word_of[~drop]
+        # per-doc rollups over the surviving symbols
+        n_docs = tab.num_rows
+        doc_of_sym = doc_of_word[word_of] if len(word_of) else \
+            np.empty(0, dtype=np.int64)
+        n_tok = np.bincount(doc_of_sym, minlength=n_docs)
+        id_sum = np.bincount(doc_of_sym, weights=flat,
+                             minlength=n_docs).astype(np.int64)
+        id_sq = np.bincount(doc_of_sym, weights=flat * flat,
+                            minlength=n_docs).astype(np.int64)
+        return pa.table({
+            id_col: tab[id_col],
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "id_sum": pa.array(id_sum),
+            "id_sq_sum": pa.array(id_sq)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pyarrow")

@@ -4493,3 +4493,44 @@ def test_hopping_window_quantile(ray_session):
     assert (a["window_start"] == b["window_start"]).all()
     assert (a["g"] == b["g"]).all()
     assert np.allclose(a["value_est"], b["value_est"], rtol=0.1)
+
+
+def test_bpe_encode_matches_python_apply(ray_session):
+    from rayskema.functions.textstats import bpe_encode, bpe_train
+    rng = np.random.default_rng(5)
+    words = ["banana", "bandana", "ananas", "aaa", "ab"]
+    docs = [" ".join(rng.choice(words, rng.integers(1, 20)))
+            for _ in range(80)] + ["", "   "]
+    t = pa.table({"doc_id": np.arange(len(docs)), "text": docs})
+    ds = rd.from_arrow(t).repartition(5)
+    merges_tab = bpe_train(ds, "text", n_merges=8)
+    merges = list(zip(merges_tab["sym_a"].to_pylist(),
+                      merges_tab["sym_b"].to_pylist(),
+                      merges_tab["new_id"].to_pylist()))
+    out = bpe_encode(ds, "doc_id", "text", merges_tab).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def py_encode(text):
+        ids = []
+        for word in text.split():
+            p = list(word.encode())
+            for a, b, nid in merges:
+                q, i = [], 0
+                while i < len(p):
+                    if i + 1 < len(p) and p[i] == a and p[i+1] == b:
+                        q.append(nid); i += 2
+                    else:
+                        q.append(p[i]); i += 1
+                p = q
+            ids.extend(p)
+        return ids
+
+    for i, d in enumerate(docs):
+        ids = py_encode(d)
+        row = out.iloc[i]
+        assert row["n_tokens"] == len(ids), i
+        assert row["id_sum"] == sum(ids), i
+        assert row["id_sq_sum"] == sum(x * x for x in ids), i
+    # merges compress: total tokens < total bytes
+    total_bytes = sum(len(w.encode()) for d in docs for w in d.split())
+    assert out["n_tokens"].sum() < total_bytes
