@@ -5667,6 +5667,50 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_events_seasonal(sf_dir: str):
+    """Seasonal decomposition of the daily event volume (STL-lite,
+    EXACT integers): counts per day ride ONE exchange; the trend is a
+    7-day centered rolling sum, the weekday seasonal component is the
+    summed de-trended residual ×7 (``Σ(7·count − window_sum)``) so no
+    division ever happens — bit-exact in any engine.  Only interior
+    days with a full window contribute (SQL frame ROWS BETWEEN 3
+    PRECEDING AND 3 FOLLOWING, counted rows = 7)."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+    days = ds.map_batches(
+        lambda t: pa.table({
+            "day": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                           pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).set_column(0, "day", pa.array(np.floor_divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False),
+            86_400_000_000))),
+        batch_format="pyarrow")
+    daily = group_agg(days, ["day"], [("one", "sum", "n")]) \
+        .take_all()          # O(distinct days): the aggregated table
+    daily.sort(key=lambda r: r["day"])
+    d = np.array([r["day"] for r in daily], dtype=np.int64)
+    n = np.array([r["n"] for r in daily], dtype=np.int64)
+    # interior days only (full 7-day centered window, contiguous)
+    rows = []
+    for i in range(3, len(d) - 3):
+        if d[i + 3] - d[i - 3] == 6:      # no gaps in the window
+            wsum = int(n[i - 3:i + 4].sum())
+            rows.append((int(d[i]) % 7, 7 * int(n[i]) - wsum))
+    dow = np.array([r[0] for r in rows], dtype=np.int64)
+    resid = np.array([r[1] for r in rows], dtype=np.int64)
+    out_dow = sorted(set(dow.tolist()))
+    return pa.table({
+        "dow": pa.array(out_dow, pa.int64()),
+        "resid7_sum": pa.array(
+            [int(resid[dow == k].sum()) for k in out_dow], pa.int64()),
+        "n_days": pa.array(
+            [int((dow == k).sum()) for k in out_dow], pa.int64())})
+
+
 def _q_events_hopping_quantile(sf_dir: str):
     """Sliding-window percentiles (relational.hopping_window_quantile):
     t-digest estimates per (6h window hopping 2h, event_type) — the
@@ -6253,6 +6297,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_seasonal": _q_events_seasonal,
         "docs_bpe_encode": _q_docs_bpe_encode,
         "events_hopping_quantile": _q_events_hopping_quantile,
         "events_calibration": _q_events_calibration,
@@ -6491,6 +6536,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "events_seasonal": """
+            WITH daily AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY day),
+                 w AS (
+                SELECT day, n,
+                       SUM(n) OVER (ORDER BY day
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND 3 FOLLOWING) AS wsum,
+                       COUNT(*) OVER (ORDER BY day
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND 3 FOLLOWING) AS wn,
+                       LAG(day, 3) OVER (ORDER BY day) AS d_lo,
+                       LEAD(day, 3) OVER (ORDER BY day) AS d_hi
+                FROM daily)
+            SELECT CAST(day % 7 AS BIGINT) AS dow,
+                   CAST(SUM(7 * n - wsum) AS BIGINT) AS resid7_sum,
+                   count(*)::BIGINT AS n_days
+            FROM w
+            WHERE wn = 7 AND d_hi - d_lo = 6
+            GROUP BY dow
         """,
         "docs_bpe_encode": """
             SELECT count(*)::BIGINT AS n_docs,
