@@ -5667,6 +5667,50 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_events_mask_spans(sf_dir: str):
+    """Per-turn loss-mask spans for training-example assembly: each
+    user's events become one concatenated sequence ('<type>\\n' per
+    turn, ts order); every turn's exact byte span [start, end) in the
+    assembled text falls out of ONE inclusive prefix sum
+    (group_running) — start = running_sum − len, end = running_sum —
+    plus the trainer's mask flag (supervise only 'purchase' turns).
+    The offsets a masking dataloader needs, computed without ever
+    materializing the assembled strings."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import group_running
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "piece_len": pc.add(pc.binary_length(
+                pc.cast(t["event_type"], pa.string())),
+                pa.scalar(1, pa.int32()))}),
+        batch_format="pyarrow")
+    # event_type rides as a trailing order col (event_id is already a
+    # total order, so appending it cannot change the ordering) purely
+    # so the mask flag survives group_running's column contract
+    run = group_running(ds, "user_id",
+                        ["ts_us", "event_id", "event_type"],
+                        "piece_len")
+    return run.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "turn_idx": t["row_number"],
+            "span_start": pc.subtract(
+                pc.cast(t["running_sum"], pa.int64()),
+                pc.cast(t["piece_len"], pa.int64())),
+            "span_end": pc.cast(t["running_sum"], pa.int64()),
+            "supervise": pc.equal(t["event_type"], "purchase")}),
+        batch_format="pyarrow")
+
+
 def _q_events_seasonal(sf_dir: str):
     """Seasonal decomposition of the daily event volume (STL-lite,
     EXACT integers): counts per day ride ONE exchange; the trend is a
@@ -6297,6 +6341,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_mask_spans": _q_events_mask_spans,
         "events_seasonal": _q_events_seasonal,
         "docs_bpe_encode": _q_docs_bpe_encode,
         "events_hopping_quantile": _q_events_hopping_quantile,
@@ -6536,6 +6581,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "events_mask_spans": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS ts_us,
+                              octet_length(event_type::BLOB) + 1
+                                  AS piece_len
+                       FROM events),
+                 w AS (SELECT user_id, event_id, event_type,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts_us, event_id,
+                                           event_type) AS turn_idx,
+                              SUM(piece_len) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts_us, event_id, event_type
+                                  ROWS UNBOUNDED PRECEDING) AS rs,
+                              piece_len
+                       FROM e)
+            SELECT user_id, event_id, turn_idx,
+                   CAST(rs - piece_len AS BIGINT) AS span_start,
+                   CAST(rs AS BIGINT) AS span_end,
+                   event_type = 'purchase' AS supervise
+            FROM w
         """,
         "events_seasonal": """
             WITH daily AS (
