@@ -5667,6 +5667,19 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_docs_negatives(sf_dir: str):
+    """Deterministic contrastive negatives (sampling.ring_neighbors):
+    each doc's 2 negatives are its successors on the content-keyed
+    md5 ring — identical across block layouts and engines, uniform
+    unlike same-shard "next row" negatives.  One range sort; the only
+    cross-block rows are each following block's first k (plus the
+    global head for the wrap), O(blocks·k) through the driver."""
+    from rayskema.functions.sampling import ring_neighbors
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ring_neighbors(ds, "doc_id", k=2)
+
+
 def _q_events_mask_spans(sf_dir: str):
     """Per-turn loss-mask spans for training-example assembly: each
     user's events become one concatenated sequence ('<type>\\n' per
@@ -6341,6 +6354,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_negatives": _q_docs_negatives,
         "events_mask_spans": _q_events_mask_spans,
         "events_seasonal": _q_events_seasonal,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -6581,6 +6595,20 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "docs_negatives": """
+            WITH r AS (SELECT doc_id,
+                              md5(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+                 o AS (SELECT doc_id,
+                              ROW_NUMBER() OVER (ORDER BY h, doc_id)
+                                  AS rn,
+                              count(*) OVER () AS n
+                       FROM r)
+            SELECT a.doc_id, b.doc_id AS neighbor_id,
+                   CAST(js.j AS BIGINT) AS ring_rank
+            FROM o a, (SELECT unnest([1, 2]) AS j) js
+            JOIN o b ON b.rn = ((a.rn - 1 + js.j) % a.n) + 1
         """,
         "events_mask_spans": """
             WITH e AS (SELECT user_id, event_id, event_type,

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..state.sketches import _hash64, hash_strings
@@ -274,3 +275,94 @@ def weighted_sample(ds: "rd.Dataset", id_col: str, weight_col: str, *,
 
     return partials.repartition(1).map_batches(
         _final, batch_format="pyarrow")
+
+
+@ray.remote(num_cpus=0.25)
+def _ring_head(tab: "pa.Table", k: int) -> "pa.Table":
+    return tab.slice(0, k)
+
+
+def ring_neighbors(
+    ds: "rd.Dataset", id_col: str, *, k: int = 2, salt: str = "",
+) -> "rd.Dataset":
+    """Deterministic NEGATIVE sampling for contrastive training: each
+    row's ``k`` negatives are its successors on the content-keyed md5
+    ring (sort by ``md5(salt || id)``, neighbors wrap past the end).
+    Content-keyed means the pairing is identical across block
+    layouts, cluster sizes and engines — SQL reproduces it with
+    ``ROW_NUMBER() OVER (ORDER BY md5(id))`` modular joins — and
+    approximately uniform (md5 order is independent of any data
+    order), unlike "next row in file order" negatives that pair
+    near-duplicates from the same shard.
+
+    Distribution: one range-partitioned sort on the hex ring key;
+    in-block successors are a vectorized shift, and the only
+    cross-block data needed is each FOLLOWING block's first ``k``
+    rows (plus the global head for the wrap) — O(blocks × k) rows
+    through the driver, never the corpus.  Output
+    ``(id, neighbor_id, ring_rank 1..k)``."""
+    from . import md5_hex
+
+    def _key(tab: "pa.Table") -> "pa.Table":
+        sid = pc.cast(tab[id_col], pa.string())
+        if salt:
+            sid = pc.binary_join_element_wise(
+                pa.array([salt] * tab.num_rows), sid, "")
+        return pa.table({id_col: tab[id_col],
+                         "__ring": md5_hex(sid)})
+
+    s = ds.select_columns([id_col]).map_batches(
+        _key, batch_format="pyarrow") \
+        .sort(["__ring", id_col]).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    heads = ray.get([_ring_head.remote(r, k) for r in refs])
+    nonempty = [h for h in heads if h.num_rows]
+    if not nonempty:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "ring_rank": pa.array([], pa.int64())}))
+    # successor pool for block i = heads of blocks i+1.. then the
+    # global head cycled (wrap); a ring smaller than k wraps several
+    # times, and then every block is shorter than k so the heads hold
+    # the ENTIRE ring — cycling them is cycling the ring
+    head_rows = sum(h.num_rows for h in nonempty)
+    wraps = -(-k // max(head_rows, 1)) + 1
+    carries = []
+    for i in range(len(refs)):
+        pool = [heads[j] for j in range(i + 1, len(refs))] \
+            + nonempty * wraps
+        cat = pa.concat_tables(pool).slice(0, k)
+        carries.append(cat)
+
+    @ray.remote(num_cpus=0.5)
+    def _emit(tab: "pa.Table", carry: "pa.Table",
+              kk: int) -> "pa.Table":
+        n = tab.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], tab.schema.field(id_col).type
+                                 if id_col in tab.column_names
+                                 else pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "ring_rank": pa.array([], pa.int64())})
+        ids = tab[id_col]
+        ext = pa.concat_arrays(
+            [ids.combine_chunks(),
+             carry[id_col].combine_chunks().cast(ids.type)])
+        out_id, out_nb, out_rk = [], [], []
+        for j in range(1, kk + 1):
+            out_id.append(ids.combine_chunks())
+            out_nb.append(ext.slice(j, n))
+            out_rk.append(pa.array(np.full(n, j, dtype=np.int64)))
+        return pa.table({
+            id_col: pa.concat_arrays(out_id),
+            "neighbor_id": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_nb]),
+            "ring_rank": pa.concat_arrays(out_rk)})
+
+    out_refs = [_emit.remote(r, c, k) for r, c in zip(refs, carries)]
+    return rd.from_arrow_refs(out_refs)

@@ -4534,3 +4534,33 @@ def test_bpe_encode_matches_python_apply(ray_session):
     # merges compress: total tokens < total bytes
     total_bytes = sum(len(w.encode()) for d in docs for w in d.split())
     assert out["n_tokens"].sum() < total_bytes
+
+
+def test_ring_neighbors(ray_session):
+    import duckdb
+    from rayskema.functions.sampling import ring_neighbors
+    for n, parts, k in ((1, 1, 2), (7, 5, 3), (300, 11, 2)):
+        t = pa.table({"id": np.arange(n, dtype=np.int64)})
+        out = ring_neighbors(rd.from_arrow(t).repartition(parts),
+                             "id", k=k).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        o = con.execute(f"""
+            WITH r AS (SELECT id, md5(CAST(id AS VARCHAR)) h FROM t),
+                 o AS (SELECT id,
+                              ROW_NUMBER() OVER (ORDER BY h, id) rn,
+                              count(*) OVER () n FROM r)
+            SELECT a.id, b.id AS neighbor_id, js.j AS ring_rank
+            FROM o a, (SELECT unnest(range(1, {k + 1})) j) js
+            JOIN o b ON b.rn = ((a.rn - 1 + js.j) % a.n) + 1
+            """).fetchdf()
+        mine = set(map(tuple,
+                       out[["id", "neighbor_id",
+                            "ring_rank"]].values.tolist()))
+        want = set(map(tuple, o.values.tolist()))
+        assert mine == want, (n, parts, k)
+        # every row gets exactly k negatives, none of them itself
+        # (except the degenerate n=1 ring)
+        assert len(out) == n * k
+        if n > 1:
+            assert (out["id"] != out["neighbor_id"]).all()
