@@ -4564,3 +4564,30 @@ def test_ring_neighbors(ray_session):
         assert len(out) == n * k
         if n > 1:
             assert (out["id"] != out["neighbor_id"]).all()
+
+
+def test_theta_set_overlap_above_k_accuracy(ray_session):
+    from rayskema.pipelines.relational import theta_set_overlap
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 60_000, 40_000)
+    b = np.concatenate([a[:20_000],
+                        rng.integers(60_000, 120_000, 20_000)])
+    t = pa.table({
+        "g": ["a"] * len(a) + ["b"] * len(b),
+        "v": pa.array(np.concatenate([a, b]), pa.int64())})
+    out = theta_set_overlap(rd.from_arrow(t).repartition(10),
+                            "g", "v", k=2048).to_pandas().iloc[0]
+    ea = len(np.unique(a))
+    eb = len(np.unique(b))
+    eu = len(np.union1d(a, b))
+    ei = len(np.intersect1d(a, b))
+    assert abs(out["est_a"] - ea) / ea < 0.1
+    assert abs(out["est_b"] - eb) / eb < 0.1
+    assert abs(out["est_union"] - eu) / eu < 0.1
+    assert abs(out["est_intersect"] - ei) / ei < 0.15
+    # estimates are layout-independent (hash-based, merge-order free)
+    out2 = theta_set_overlap(rd.from_arrow(t).repartition(3),
+                             "g", "v", k=2048).to_pandas().iloc[0]
+    assert (out[["est_a", "est_b", "est_union", "est_intersect"]]
+            == out2[["est_a", "est_b", "est_union",
+                     "est_intersect"]]).all()
