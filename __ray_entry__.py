@@ -5667,6 +5667,61 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_events_hopping_users(sf_dir: str):
+    """Approximate sliding-window active users
+    (relational.hopping_window_distinct_approx): one HLL per
+    (6h-window hopping 2h, event_type, block) — constant bytes
+    through the exchange where the exact operator ships every
+    distinct (window, user) pair.  Verdict rows: every estimate
+    within max(3, 5%) of the exact sliding COUNT(DISTINCT)
+    recomputed by the exact operator in-query."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (
+        distinct_count, hopping_window_distinct_approx)
+
+    hop, size = 2 * 3600 * 1_000_000, 6 * 3600 * 1_000_000
+    k = size // hop
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+    approx = hopping_window_distinct_approx(
+        ds, "ts", "event_type", "user_id", size_us=size, hop_us=hop)
+
+    # exact reference: the same window expansion through the exact
+    # grouped distinct-count (deduped (key, value) pair exchange)
+    def _expand(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
+        m = pc.and_(m, pc.is_valid(t["event_type"]))
+        t = t.filter(m)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        base = np.floor_divide(us, hop)
+        parts = []
+        for j in range(k):
+            w = (base - j) * hop
+            wk = pc.binary_join_element_wise(
+                pa.array(w.astype(str)),
+                pc.cast(t["event_type"], pa.string()), "|")
+            parts.append(pa.table({"wg": wk,
+                                   "user_id": t["user_id"]}))
+        return pa.concat_tables(parts)
+
+    exact = {r["wg"]: r["n_distinct"]
+             for r in distinct_count(
+                 ds.map_batches(_expand, batch_format="pyarrow"),
+                 "wg", "user_id").take_all()}
+    rows = sorted(approx.take_all(),
+                  key=lambda r: (r["window_start"], r["event_type"]))
+    ws, gs, ok = [], [], []
+    for r in rows:
+        e = exact[f'{r["window_start"]}|{r["event_type"]}']
+        ws.append(r["window_start"])
+        gs.append(r["event_type"])
+        ok.append(bool(abs(r["n_approx"] - e) <= max(3, 0.05 * e)))
+    return pa.table({
+        "window_start": pa.array(ws, pa.int64()),
+        "event_type": pa.array(gs, pa.string()),
+        "within_band": pa.array(ok, pa.bool_())})
+
+
 def _q_docs_negatives(sf_dir: str):
     """Deterministic contrastive negatives (sampling.ring_neighbors):
     each doc's 2 negatives are its successors on the content-keyed
@@ -6354,6 +6409,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_hopping_users": _q_events_hopping_users,
         "docs_negatives": _q_docs_negatives,
         "events_mask_spans": _q_events_mask_spans,
         "events_seasonal": _q_events_seasonal,
@@ -6595,6 +6651,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "events_hopping_users": """
+            WITH e AS (SELECT epoch_us(ts) AS us, event_type
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+                 w AS (SELECT DISTINCT
+                              ((us // 7200000000) - j.j) * 7200000000
+                                  AS window_start,
+                              event_type
+                       FROM e, (SELECT unnest(range(3)) AS j) j)
+            SELECT window_start, event_type, TRUE AS within_band
+            FROM w
         """,
         "docs_negatives": """
             WITH r AS (SELECT doc_id,

@@ -6250,3 +6250,93 @@ def hopping_window_quantile(
 
     return bucketed_map_groups(partial, ["__wg"], _final,
                                buckets=buckets, sort_within=False)
+
+
+def hopping_window_distinct_approx(
+    ds: "rd.Dataset", ts_col: str, group_col: str, value_col: str, *,
+    size_us: int, hop_us: int, p: int = 12,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Approximate sliding-window COUNT(DISTINCT): HyperLogLog per
+    (hopping window, group) — active-users-per-window at 10^12 rows.
+    Output ``(window_start, group, n_approx)``.
+
+    Scale shape vs the exact :func:`hopping_window_distinct`: exact
+    must ship every distinct (window, value) pair through the
+    exchange — O(windows × distinct values) rows — while this ships
+    ONE 2^p-register sketch per (window, group, block).  Same
+    composite-key machinery as :func:`hopping_window_quantile`;
+    deterministic and parallelism-independent (register-wise max).
+    The group column round-trips through a string key; its dtype is
+    restored in the output."""
+    from ..state.sketches import HyperLogLog, _hash64, hash_strings
+
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    k = size_us // hop_us
+    gsch = ds.schema(fetch_if_missing=True)
+    gtype = gsch.base_schema.field(group_col).type
+
+    def _expand(tab: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(tab[ts_col]),
+                    pc.is_valid(tab[value_col]))
+        m = pc.and_(m, pc.is_valid(tab[group_col]))
+        tab = tab.filter(m)
+        ts = pc.cast(pc.cast(tab[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        base = np.floor_divide(ts, hop_us)
+        parts = []
+        for j in range(k):
+            w = (base - j) * hop_us
+            wk = pc.binary_join_element_wise(
+                pa.array(w.astype(str)),
+                pc.cast(tab[group_col], pa.string()), "|")
+            parts.append(pa.table({"__wg": wk,
+                                   value_col: tab[value_col]}))
+        return pa.concat_tables(parts)
+
+    def _prep(tab: pa.Table):
+        v = tab[value_col].combine_chunks()
+        valid = np.asarray(v.is_valid()) if v.null_count else \
+            np.ones(len(v), dtype=bool)
+        if pa.types.is_integer(v.type):
+            data = _hash64(pc.cast(v, pa.int64()).fill_null(0)
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.uint64))
+        else:
+            data = hash_strings(pc.cast(v, pa.string()))
+        return data, valid
+
+    def _make(hashes: np.ndarray) -> bytes:
+        h = HyperLogLog(p)
+        h.update_hashes(hashes)
+        return h.to_bytes()
+
+    partial = ds.select_columns([ts_col, group_col, value_col]) \
+        .map_batches(
+            lambda t: _grouped_sketch_partial(_expand(t), "__wg",
+                                              _prep, _make, "__hll"),
+            batch_format="pyarrow")
+
+    def _final(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({
+                "window_start": pa.array([], pa.int64()),
+                group_col: pa.array([], gtype),
+                "n_approx": pa.array([], pa.int64())})
+        tab, starts, merged = _merge_grouped_blobs(
+            tab, "__wg", "__hll", HyperLogLog.from_bytes)
+        keys = tab["__wg"].take(pa.array(starts)).to_pylist()
+        ws, gs, ns = [], [], []
+        for key, h in zip(keys, merged):
+            w_str, g = key.split("|", 1)
+            ws.append(int(w_str))
+            gs.append(g)
+            ns.append(int(round(h.estimate())))
+        return pa.table({
+            "window_start": pa.array(ws, pa.int64()),
+            group_col: pc.cast(pa.array(gs, pa.string()), gtype),
+            "n_approx": pa.array(ns, pa.int64())})
+
+    return bucketed_map_groups(partial, ["__wg"], _final,
+                               buckets=buckets, sort_within=False)

@@ -4591,3 +4591,33 @@ def test_theta_set_overlap_above_k_accuracy(ray_session):
     assert (out[["est_a", "est_b", "est_union", "est_intersect"]]
             == out2[["est_a", "est_b", "est_union",
                      "est_intersect"]]).all()
+
+
+def test_hopping_window_distinct_approx(ray_session):
+    from rayskema.pipelines.relational import (
+        hopping_window_distinct_approx)
+    rng = np.random.default_rng(14)
+    n = 6000
+    ts = rng.integers(0, 8 * 3600 * 1_000_000, n)
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "g": rng.choice(["a", "b"], n),
+        "u": pa.array(rng.integers(0, 800, n), pa.int64())})
+    size, hop = 4 * 3600 * 1_000_000, 2 * 3600 * 1_000_000
+    out = hopping_window_distinct_approx(
+        rd.from_arrow(t).repartition(7), "ts", "g", "u",
+        size_us=size, hop_us=hop).to_pandas()
+    df = t.to_pandas()
+    df["us"] = ts
+    for _, r in out.iterrows():
+        m = (df["g"] == r["g"]) & (df["us"] >= r["window_start"]) \
+            & (df["us"] < r["window_start"] + size)
+        exact = df.loc[m, "u"].nunique()
+        assert abs(r["n_approx"] - exact) <= max(3, 0.05 * exact)
+    # bit-stable across layouts (register-wise max is order-free)
+    out2 = hopping_window_distinct_approx(
+        rd.from_arrow(t).repartition(2), "ts", "g", "u",
+        size_us=size, hop_us=hop).to_pandas()
+    a = out.sort_values(["window_start", "g"]).reset_index(drop=True)
+    b = out2.sort_values(["window_start", "g"]).reset_index(drop=True)
+    assert (a["n_approx"] == b["n_approx"]).all()
