@@ -5667,6 +5667,76 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_graph_sssp(sf_dir: str):
+    """Weighted shortest paths (graph.bfs_hops with weight_col):
+    synchronous Bellman–Ford over the co-purchase graph with integer
+    edge weights (w = 1 + (src+dst) % 5), sources {v % 31 == 0},
+    5 rounds — frontier-pruned min-plus, unrolled-CTE oracle
+    bit-exact."""
+    from rayskema.functions.graph import bfs_hops
+    from rayskema.pipelines.relational import agg_named, \
+        bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = ck % 800
+        y = (ck * 7 + ok * 3) % 800
+        m = x != y
+        x, y = x[m], y[m]
+        tab = pa.table({"src": pa.array(x), "dst": pa.array(y),
+                        "w": pa.array(1 + (x + y) % 5)})
+        return agg_named(tab, ["src", "dst"], [("w", "min")], ["w"])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: agg_named(t, ["src", "dst"], [("w", "min")], ["w"]),
+        buckets=8, sort_within=False)
+    return bfs_hops(edges, "src", "dst", source_mod=31, rounds=5,
+                    weight_col="w", buckets=8)
+
+
+def _sssp_oracle_sql(source_mod: int = 31, rounds: int = 5,
+                     mod: int = 800,
+                     inf: int = 1_000_000_000) -> str:
+    """Unrolled-CTE mirror of the weighted min-plus recurrence."""
+    ctes = [f"""d0 AS (
+                SELECT v, CASE WHEN v % {source_mod} = 0
+                               THEN 0 ELSE {inf} END AS d
+                FROM verts)"""]
+    for i in range(rounds):
+        ctes.append(f"""d{i + 1} AS (
+                SELECT p.v,
+                       LEAST(p.d, COALESCE(MIN(q.d + e.w), {inf}))
+                           AS d
+                FROM d{i} p
+                LEFT JOIN edges e ON e.dst = p.v
+                LEFT JOIN d{i} q ON q.v = e.src AND q.d < {inf}
+                GROUP BY p.v, p.d)""")
+    return f"""
+            WITH raw AS (
+                SELECT o_custkey % {mod} AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % {mod} AS y
+                FROM orders),
+            edges AS (
+                SELECT x AS src, y AS dst,
+                       MIN(1 + (x + y) % 5) AS w
+                FROM raw WHERE x <> y GROUP BY x, y),
+            verts AS (
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+            {", ".join(ctes)}
+            SELECT v, CAST(d AS BIGINT) AS d FROM d{rounds}
+            WHERE d < {inf}
+        """
+
+
 def _q_events_hopping_users(sf_dir: str):
     """Approximate sliding-window active users
     (relational.hopping_window_distinct_approx): one HLL per
@@ -6409,6 +6479,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "graph_sssp": _q_graph_sssp,
         "events_hopping_users": _q_events_hopping_users,
         "docs_negatives": _q_docs_negatives,
         "events_mask_spans": _q_events_mask_spans,
@@ -6652,6 +6723,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
         """,
+        "graph_sssp": _sssp_oracle_sql(),
         "events_hopping_users": """
             WITH e AS (SELECT epoch_us(ts) AS us, event_type
                        FROM events

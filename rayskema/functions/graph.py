@@ -500,6 +500,7 @@ def triangle_stats(
 def bfs_hops(
     edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst", *,
     source_mod: int, rounds: int, inf: int = 1_000_000_000,
+    weight_col: str | None = None,
     buckets: int | None = None,
 ) -> "rd.Dataset":
     """Synchronous multi-source BFS hop distances over a DIRECTED
@@ -527,6 +528,12 @@ def bfs_hops(
     driver holds no per-vertex data, the distance iterate is a
     materialized |V|-sized dataset.
 
+    ``weight_col`` (int64 weights ≥ 0) turns the recurrence into
+    synchronous Bellman–Ford — weighted single/multi-source shortest
+    paths ``d(v) ← min(d(v), min d(u) + w(u,v))`` — with the same
+    fixed-round, frontier-pruned, unrolled-CTE-mirrorable contract
+    (non-negative weights keep min-plus monotone per round).
+
     Returns ``(v, d)`` for vertices with ``d < inf`` after the last
     round.
     """
@@ -534,7 +541,18 @@ def bfs_hops(
         raise ValueError("bfs_hops: rounds must be >= 0")
     if source_mod < 1:
         raise ValueError("bfs_hops: source_mod must be >= 1")
-    edges = edges.select_columns([src_col, dst_col])
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(cols)
+    if weight_col is not None:
+        def _wcheck(tab: pa.Table) -> pa.Table:
+            w = pc.cast(tab[weight_col], pa.int64())
+            if w.null_count:
+                raise ValueError("bfs_hops: weights must not be null")
+            if tab.num_rows and (pc.min(w).as_py() or 0) < 0:
+                raise ValueError("bfs_hops: weights must be >= 0 "
+                                 "(min-plus monotonicity)")
+            return tab
+        edges = edges.map_batches(_wcheck, batch_format="pyarrow")
 
     def _vert_partial(tab: pa.Table) -> pa.Table:
         v = pa.chunked_array([tab[src_col].combine_chunks(),
@@ -571,9 +589,10 @@ def bfs_hops(
                       broadcast="auto")
 
         def _contrib(tab: pa.Table) -> pa.Table:
+            step = (pa.scalar(1, pa.int64()) if weight_col is None
+                    else pc.cast(tab[weight_col], pa.int64()))
             part = pa.table({"v": tab[dst_col],
-                             "c": pc.add(tab["d"],
-                                         pa.scalar(1, pa.int64()))})
+                             "c": pc.add(tab["d"], step)})
             return agg_named(part, ["v"], [("c", "min")], ["c"])
 
         contrib = bucketed_map_groups(

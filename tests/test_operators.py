@@ -4621,3 +4621,27 @@ def test_hopping_window_distinct_approx(ray_session):
     a = out.sort_values(["window_start", "g"]).reset_index(drop=True)
     b = out2.sort_values(["window_start", "g"]).reset_index(drop=True)
     assert (a["n_approx"] == b["n_approx"]).all()
+
+
+def test_bfs_hops_weighted_bellman_ford(ray_session):
+    from rayskema.functions.graph import bfs_hops
+    # path 0 -w2-> 1 -w3-> 2; shortcut 0 -w10-> 2; isolated 5->6
+    t = pa.table({"src": pa.array([0, 1, 0, 5], pa.int64()),
+                  "dst": pa.array([1, 2, 2, 6], pa.int64()),
+                  "w": pa.array([2, 3, 10, 4], pa.int64())})
+    out = bfs_hops(rd.from_arrow(t), source_mod=5, rounds=4,
+                   weight_col="w").to_pandas().set_index("v")["d"]
+    # sources: v % 5 == 0 -> {0, 5}
+    assert out.to_dict() == {0: 0, 1: 2, 2: 5, 5: 0, 6: 4}
+    # unweighted default unchanged
+    out2 = bfs_hops(rd.from_arrow(t.select(["src", "dst"])),
+                    source_mod=5, rounds=4).to_pandas() \
+        .set_index("v")["d"]
+    assert out2.to_dict() == {0: 0, 1: 1, 2: 1, 5: 0, 6: 1}
+    import pytest
+    with pytest.raises(Exception):
+        bfs_hops(rd.from_arrow(pa.table({
+            "src": pa.array([0], pa.int64()),
+            "dst": pa.array([1], pa.int64()),
+            "w": pa.array([-1], pa.int64())})),
+            source_mod=1, rounds=1, weight_col="w").take_all()
