@@ -5667,6 +5667,54 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_graph_assortativity(sf_dir: str):
+    """Degree assortativity of the co-purchase graph: exact Pearson
+    correlation of (out-degree(src), in-degree(dst)) over directed
+    edges — composed from one degree exchange, two broadcast joins
+    onto the edge list, and profile.paired_moments_corr's exact
+    integer moment partials (bit-reproducible at any parallelism;
+    HUGEINT closed-form oracle)."""
+    import pyarrow.compute as pc
+    from rayskema.functions.profile import paired_moments_corr
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups,
+                                               group_agg, hash_join)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        tab = pa.table({"src": pa.array(x[m]), "dst": pa.array(y[m])})
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        buckets=8, sort_within=False).materialize()
+
+    def _deg(col, name):
+        part = edges.map_batches(
+            lambda t, _c=col: pa.table({
+                "v": t[_c],
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        return group_agg(part, ["v"], [("one", "sum", name)])
+
+    outdeg = _deg("src", "odeg")
+    indeg = _deg("dst", "ideg")
+    j = hash_join(edges, outdeg, on="src", right_on="v",
+                  broadcast=True)
+    j = hash_join(j, indeg, on="dst", right_on="v", broadcast=True)
+    return paired_moments_corr(j, "odeg", "ideg")
+
+
 def _q_graph_sssp(sf_dir: str):
     """Weighted shortest paths (graph.bfs_hops with weight_col):
     synchronous Bellman–Ford over the co-purchase graph with integer
@@ -6479,6 +6527,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "graph_assortativity": _q_graph_assortativity,
         "graph_sssp": _q_graph_sssp,
         "events_hopping_users": _q_events_hopping_users,
         "docs_negatives": _q_docs_negatives,
@@ -6722,6 +6771,35 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "graph_assortativity": """
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            edges AS (SELECT DISTINCT x AS src, y AS dst
+                      FROM raw WHERE x <> y),
+            od AS (SELECT src AS v, count(*) AS odeg
+                   FROM edges GROUP BY src),
+            idg AS (SELECT dst AS v, count(*) AS ideg
+                    FROM edges GROUP BY dst),
+            s AS (SELECT od.odeg AS x, idg.ideg AS y
+                  FROM edges e
+                  JOIN od ON od.v = e.src
+                  JOIN idg ON idg.v = e.dst),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx,
+                         CAST(sum(y * y) AS HUGEINT) AS syy,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr
+            FROM m
         """,
         "graph_sssp": _sssp_oracle_sql(),
         "events_hopping_users": """
