@@ -5667,6 +5667,47 @@ def _q_docs_bpe_encode(sf_dir: str):
         "ids_match": pa.array([bool(match)], pa.bool_())})
 
 
+def _q_graph_reciprocity(sf_dir: str):
+    """Edge reciprocity of the directed co-purchase graph: the
+    fraction of edges whose reverse edge also exists — ONE semi-join
+    of the edge list against its own reversal (both sides share the
+    same bucketed exchange machinery), exact integer counts."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               hash_join)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        tab = pa.table({"src": pa.array(x[m]), "dst": pa.array(y[m])})
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    raw = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).map_batches(
+        _edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(
+        raw, ["src", "dst"],
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        buckets=8, sort_within=False).materialize()
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow")
+    recip = hash_join(edges, rev, on=["src", "dst"], how="left_semi",
+                      buckets=8)
+    n_edges = edges.count()
+    n_recip = recip.count()
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "reciprocity_ppm": pa.array(
+            [n_recip * 1_000_000 // max(n_edges, 1)], pa.int64())})
+
+
 def _q_graph_assortativity(sf_dir: str):
     """Degree assortativity of the co-purchase graph: exact Pearson
     correlation of (out-degree(src), in-degree(dst)) over directed
@@ -6527,6 +6568,7 @@ def _q_events_theilsen(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "graph_reciprocity": _q_graph_reciprocity,
         "graph_assortativity": _q_graph_assortativity,
         "graph_sssp": _q_graph_sssp,
         "events_hopping_users": _q_events_hopping_users,
@@ -6771,6 +6813,25 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference
+        """,
+        "graph_reciprocity": """
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            edges AS (SELECT DISTINCT x AS src, y AS dst
+                      FROM raw WHERE x <> y)
+            SELECT count(*)::BIGINT AS n_edges,
+                   CAST(count(*) FILTER (EXISTS (
+                       SELECT 1 FROM edges r
+                       WHERE r.src = e.dst AND r.dst = e.src))
+                       AS BIGINT) AS n_reciprocal,
+                   CAST(count(*) FILTER (EXISTS (
+                       SELECT 1 FROM edges r
+                       WHERE r.src = e.dst AND r.dst = e.src))
+                       * 1000000 // count(*) AS BIGINT)
+                       AS reciprocity_ppm
+            FROM edges e
         """,
         "graph_assortativity": """
             WITH raw AS (
