@@ -6566,8 +6566,27 @@ def _q_events_theilsen(sf_dir: str):
     return group_theilsen(ds, "user_id", "x_us", "value")
 
 
+def _q_docs_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood (merge/purge) near-dup candidates
+    (dedup.sorted_neighborhood_pairs): corpus globally sorted by the
+    24-char normalized-text prefix, each row compared ONLY to the 2
+    rows following it in sort order — candidate count is exactly
+    n*(window-1) no matter how skewed the blocking key, the property
+    LSH banding lacks.  One TeraSort-style range sort + one span
+    exchange with a window-1 overlap copy; char-set Jaccard rides as
+    a single uint64 mask per row.  Tiny span forces many cross-span
+    windows so the overlap-ownership logic is what the oracle hash
+    checks."""
+    from rayskema.functions.dedup import sorted_neighborhood_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sorted_neighborhood_pairs(ds, "doc_id", "text",
+                                     key_len=24, window=3,
+                                     threshold=0.9, span=64, buckets=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_snm_pairs": _q_docs_snm_pairs,
         "graph_reciprocity": _q_graph_reciprocity,
         "graph_assortativity": _q_graph_assortativity,
         "graph_sssp": _q_graph_sssp,
@@ -6810,6 +6829,23 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_snm_pairs": """
+            WITH k AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]', '',
+                                      'g') AS norm
+                FROM documents),
+            f AS (SELECT doc_id, norm, substr(norm, 1, 24) AS skey
+                  FROM k WHERE norm <> ''),
+            s AS (SELECT doc_id, norm,
+                         row_number() OVER (ORDER BY skey, doc_id)
+                             AS rn
+                  FROM f)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(jaccard(a.norm, b.norm), 6) AS jaccard
+            FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 2
+            WHERE round(jaccard(a.norm, b.norm), 6) >= 0.9
+        """,
         "docs_bpe_train": """
             SELECT unnest(range(1, 13))::BIGINT AS rank,
                    TRUE AS matches_reference

@@ -2408,3 +2408,145 @@ def cdc_dedup_stats(
     return pa.table({c: pa.array([pc.sum(allp[c]).as_py() or 0],
                                  pa.int64())
                      for c in allp.column_names})
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood (merge/purge) near-duplicate candidates
+# ---------------------------------------------------------------------------
+
+def sorted_neighborhood_pairs(
+    ds: "rd.Dataset", id_col: str, text_col: str, *,
+    key_len: int = 24, window: int = 3, threshold: float = 0.9,
+    span: int = 8192, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sorted-neighborhood near-duplicate candidates — the merge/purge
+    blocking of Hernandez & Stolfo (SIGMOD'95): normalize each text to
+    its lowercase-alphanumeric form, SORT the corpus globally by the
+    first ``key_len`` characters of that form (ties by id), and compare
+    each row only to the ``window - 1`` rows that FOLLOW it in sort
+    order.  Output: ``(id_a, id_b, jaccard)`` for candidate pairs whose
+    character-set Jaccard similarity (over the normalized form, rounded
+    to 6 decimals — the DuckDB ``jaccard()`` contract) reaches
+    ``threshold``; ``id_a`` is the sort-earlier row.  Rows whose
+    normalized form is empty are excluded up front.
+
+    Complements the hash blockers (minhash/simhash/charset groups):
+    candidate count is EXACTLY ``n * (window-1)`` regardless of key
+    skew — a hot blocking key cannot blow up a group, because the
+    window, not the key, bounds comparisons.
+
+    Distribution: ONE range-partitioned sort (:func:`global_rank`'s
+    TeraSort machinery — O(blocks) driver state) assigns consecutive
+    row numbers over the non-empty rows; rows are then exchanged by
+    ``rn // span`` with a ``window - 1`` overlap copy into the next
+    span (each row ships at most twice), so pairing is a per-span
+    vectorized shift — no join, no quadratic group.  Only
+    ``(id, rn, mask)`` ever moves after the sort: the character set
+    rides as ONE uint64 (36-bit alphabet), texts never pair.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w1 = window - 1
+    from ..pipelines.relational import global_rank
+
+    def _prep(tab: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]", replacement="").combine_chunks()
+        keep = pc.not_equal(norm, "")
+        tab2 = tab.filter(keep)
+        norm = norm.filter(keep)
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        n = len(norm)
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], tab[id_col].type),
+                "skey": pa.array([], pa.string()),
+                "mask": pa.array([], pa.uint64())})
+        offsets, data = _utf8_buffers(norm)
+        # 36-bit alphabet: 'a'..'z' -> 0..25, '0'..'9' -> 26..35
+        bit = np.where(data >= 97, data - 97, data - 48 + 26)
+        vals = np.uint64(1) << bit.astype(np.uint64)
+        masks = np.bitwise_or.reduceat(vals, offsets[:-1])
+        return pa.table({
+            id_col: tab2[id_col],
+            "skey": pc.utf8_slice_codeunits(norm, 0, key_len),
+            "mask": pa.array(masks)})
+
+    prepped = ds.select_columns([id_col, text_col]).map_batches(
+        _prep, batch_format="pyarrow")
+    ranked = global_rank(prepped, "skey", tiebreak=id_col,
+                         kinds=("row_number",))
+
+    def _route(tab: pa.Table) -> pa.Table:
+        rn = tab["row_number"].combine_chunks().to_numpy(
+            zero_copy_only=False) - 1          # 0-based
+        own = rn // span
+        body = pa.table({id_col: tab[id_col], "mask": tab["mask"],
+                         "rn": pa.array(rn)})
+        parts = [body.append_column("bkt", pa.array(own))]
+        over = (rn % span) >= span - w1
+        if over.any():
+            sel = pa.array(over)
+            parts.append(body.filter(sel).append_column(
+                "bkt", pa.array(own[over] + 1)))
+        return pa.concat_tables(parts)
+
+    routed = ranked.map_batches(_route, batch_format="pyarrow")
+
+    id_type = None
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None:
+        try:
+            id_type = sch.base_schema.field(id_col).type
+        except KeyError:
+            pass
+    empty_t = pa.table({
+        "id_a": pa.array([], id_type or pa.int64()),
+        "id_b": pa.array([], id_type or pa.int64()),
+        "jaccard": pa.array([], pa.float64())})
+
+    def _pairs(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return empty_t
+        tab = tab.sort_by([("bkt", "ascending"), ("rn", "ascending")])
+        bkt = tab["bkt"].combine_chunks().to_numpy(zero_copy_only=False)
+        rn = tab["rn"].combine_chunks().to_numpy(zero_copy_only=False)
+        masks = tab["mask"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sizes = _popcount64(masks)
+        ids = tab[id_col].combine_chunks()
+        out = []
+        n = tab.num_rows
+        for d in range(1, window):
+            if n <= d:
+                break
+            # same bucket segment, consecutive rns => index shift == rn
+            # shift; the RIGHT endpoint must be OWNED by this bucket —
+            # the left endpoint is then guaranteed present (same span,
+            # or the forward overlap copy of the previous span), and
+            # each pair is emitted exactly once (one owner per row)
+            m = (bkt[:-d] == bkt[d:]) & (rn[d:] - rn[:-d] == d) \
+                & (rn[d:] // span == bkt[d:])
+            if not m.any():
+                continue
+            ia = np.flatnonzero(m)
+            ib = ia + d
+            inter = _popcount64(masks[ia] & masks[ib])
+            union = sizes[ia] + sizes[ib] - inter
+            from . import round_half_away
+            jac = round_half_away(inter / np.maximum(union, 1), 6)
+            keep = jac >= threshold
+            if not keep.any():
+                continue
+            out.append(pa.table({
+                "id_a": ids.take(pa.array(ia[keep])),
+                "id_b": ids.take(pa.array(ib[keep])),
+                "jaccard": pa.array(jac[keep])}))
+        if not out:
+            return empty_t
+        return pa.concat_tables(out)
+
+    return bucketed_map_groups(routed, ["bkt"], _pairs,
+                               buckets=buckets, sort_within=False)

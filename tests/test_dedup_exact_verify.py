@@ -164,3 +164,48 @@ def test_embedding_exact_pairs_match_numpy(ray_session):
            tab["cosine"][i].as_py() for i in range(tab.num_rows)}
     assert got == want
     assert (3, 7) in got
+
+
+def test_snm_window_semantics(ray_session):
+    """Sorted-neighborhood pairing: with key 'skey'=norm prefix, sort
+    order is by normalized text; window=3 pairs each row with the next
+    2 only, across any span boundary, each pair exactly once."""
+    from rayskema.functions.dedup import sorted_neighborhood_pairs
+    import ray
+
+    # norms sort as: aaa1(id0) aaa2(id3) aab(id1) zzz(id2); empty drops
+    ds = _docs(["AAA 1!", "aab", "zzz", "aaa?2", "  .,  "])
+    out = pa.concat_tables([t for t in ray.get(
+        sorted_neighborhood_pairs(
+            ds, "doc_id", "text", key_len=4, window=3,
+            threshold=0.0, span=2, buckets=3).to_arrow_refs())
+        if t.num_rows])
+    got = sorted(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # sort order ids: [0, 3, 1, 2] -> d=1 pairs (0,3)(3,1)(1,2),
+    # d=2 pairs (0,1)(3,2)
+    assert got == [(0, 1), (0, 3), (1, 2), (3, 1), (3, 2)]
+
+
+def test_snm_layout_and_span_independent(ray_session):
+    """Same pairs regardless of block layout and span size (the
+    overlap-copy ownership rule must not duplicate or drop boundary
+    pairs)."""
+    from rayskema.functions.dedup import sorted_neighborhood_pairs
+    import ray
+
+    texts = [f"doc {i % 7} common text body {i}" for i in range(101)]
+    outs = []
+    for nparts, span in ((1, 8192), (13, 4), (5, 16)):
+        ds = _docs(texts)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = pa.concat_tables([t for t in ray.get(
+            sorted_neighborhood_pairs(
+                ds, "doc_id", "text", key_len=10, window=4,
+                threshold=0.0, span=span, buckets=4).to_arrow_refs())
+            if t.num_rows])
+        outs.append(sorted(zip(out["id_a"].to_pylist(),
+                               out["id_b"].to_pylist(),
+                               out["jaccard"].to_pylist())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 100 + 99 + 98          # n*(w-1) minus tail
