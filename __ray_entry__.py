@@ -6584,8 +6584,21 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_pmi(sf_dir: str):
+    """Adjacent-bigram PMI collocations (textstats.pmi_bigrams):
+    corpus-wide unigram/bigram count tables (per-batch partials, one
+    exchange each), driver folds O(blocks) total-count scalars, and
+    unigram counts reach the min-count-surviving bigrams via two
+    bucketed-or-broadcast hash joins.  ln() evaluated in the oracle's
+    left-associative double order, rounded half-away to 6."""
+    from rayskema.functions.textstats import pmi_bigrams
+    ds = _read(sf_dir, "documents", ["text"])
+    return pmi_bigrams(ds, "text", min_count=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_pmi": _q_docs_pmi,
         "docs_snm_pairs": _q_docs_snm_pairs,
         "graph_reciprocity": _q_graph_reciprocity,
         "graph_assortativity": _q_graph_assortativity,
@@ -6829,6 +6842,35 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_pmi": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(text),
+                                          '[a-z0-9]+') AS toks
+                FROM documents),
+            u AS (SELECT unnest(toks) AS tok FROM t),
+            uc AS (SELECT tok, count(*)::BIGINT AS n
+                   FROM u GROUP BY tok),
+            tot AS (SELECT count(*)::BIGINT AS t_tok FROM u),
+            b AS (SELECT unnest(list_slice(toks, 1,
+                                           len(toks)-1)) AS tok_a,
+                         unnest(list_slice(toks, 2,
+                                           len(toks))) AS tok_b
+                  FROM t WHERE len(toks) >= 2),
+            bc AS (SELECT tok_a, tok_b, count(*)::BIGINT AS n_pair
+                   FROM b GROUP BY tok_a, tok_b),
+            nb AS (SELECT count(*)::BIGINT AS n_big FROM b)
+            SELECT bc.tok_a, bc.tok_b, bc.n_pair,
+                   a.n AS n_a, c.n AS n_b,
+                   round(ln((bc.n_pair::DOUBLE * tot.t_tok
+                             * tot.t_tok)
+                            / (nb.n_big::DOUBLE * a.n * c.n)),
+                         6) AS pmi
+            FROM bc
+            JOIN uc a ON a.tok = bc.tok_a
+            JOIN uc c ON c.tok = bc.tok_b
+            CROSS JOIN tot CROSS JOIN nb
+            WHERE bc.n_pair >= 5
+        """,
         "docs_snm_pairs": """
             WITH k AS (
                 SELECT doc_id,

@@ -1416,3 +1416,129 @@ def bpe_encode(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+def pmi_bigrams(ds: "rd.Dataset", text_col: str, *,
+                min_count: int = 5,
+                buckets: int | None = None) -> "rd.Dataset":
+    """Pointwise-mutual-information scores for ADJACENT token bigrams
+    (collocation mining, Church & Hanks 1990): tokens are the
+    ``[a-z0-9]+`` runs of the lowercased text; for every ordered
+    bigram seen at least ``min_count`` times,
+
+        ``pmi = ln( P(x,y) / (P(x)·P(y)) )
+              = ln( (c_xy·T·T) / (N·c_x·c_y) )``
+
+    with ``c_xy`` the bigram count, ``c_x``/``c_y`` the corpus-wide
+    unigram counts, ``T`` total tokens, ``N`` total bigrams — rounded
+    half-away to 6 decimals (the SQL ``round`` contract; the float
+    expression is evaluated in the oracle's left-associative order so
+    both sides hold the same double).  Output: ``(tok_a, tok_b,
+    n_pair, n_a, n_b, pmi)``.
+
+    Distribution: the projected input is materialized ONCE and
+    tokenized twice (unigram and bigram passes — both vectorized over
+    the flat Arrow buffer, both pre-aggregated per batch so only
+    count tables ever shuffle).  ``T``/``N`` fold per-block scalar
+    partials on the driver (O(blocks)).  Unigram counts reach the
+    surviving bigrams via two hash joins (``broadcast="auto"`` — at
+    vocab scale the join buckets, it never assumes the vocabulary
+    fits one heap)."""
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        hash_join)
+
+    proj = ds.select_columns([text_col]).materialize()
+
+    def _tokens(tab: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(ok)), doc_of[ok]
+
+    def _uni_partial(tab: pa.Table) -> pa.Table:
+        flat, _ = _tokens(tab)
+        return agg_named(
+            pa.table({"tok": flat,
+                      "__one": np.ones(len(flat), np.int64)}),
+            ["tok"], [("__one", "sum")], ["n"])
+
+    def _big_partial(tab: pa.Table) -> pa.Table:
+        flat, doc_of = _tokens(tab)
+        if len(flat) < 2:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n_pair": pa.array([], pa.int64())})
+        m = doc_of[:-1] == doc_of[1:]
+        sel = pa.array(np.flatnonzero(m))
+        return agg_named(
+            pa.table({"tok_a": flat.take(sel),
+                      "tok_b": flat.take(pc.add(sel, 1)),
+                      "__one": np.ones(len(sel), np.int64)}),
+            ["tok_a", "tok_b"], [("__one", "sum")], ["n_pair"])
+
+    uni = bucketed_map_groups(
+        proj.map_batches(_uni_partial, batch_format="pyarrow"),
+        ["tok"],
+        lambda t: agg_named(t, ["tok"], [("n", "sum")], ["n"]),
+        buckets=buckets, sort_within=False).materialize()
+    big = bucketed_map_groups(
+        proj.map_batches(_big_partial, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        lambda t: agg_named(t, ["tok_a", "tok_b"],
+                            [("n_pair", "sum")], ["n_pair"]),
+        buckets=buckets, sort_within=False).materialize()
+
+    def _tot(col):
+        def _f(tab: pa.Table) -> pa.Table:
+            return pa.table({"s": pa.array(
+                [pc.sum(tab[col]).as_py() or 0], pa.int64())})
+        return _f
+
+    T = sum(t["s"].to_pylist()[0] for t in ray.get(
+        uni.map_batches(_tot("n"), batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows)
+    N = sum(t["s"].to_pylist()[0] for t in ray.get(
+        big.map_batches(_tot("n_pair"), batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows)
+
+    surviving = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_pair"], min_count)),
+        batch_format="pyarrow")
+    uni_a = uni.map_batches(
+        lambda t: pa.table({"tok_a": t["tok"], "n_a": t["n"]}),
+        batch_format="pyarrow")
+    uni_b = uni.map_batches(
+        lambda t: pa.table({"tok_b": t["tok"], "n_b": t["n"]}),
+        batch_format="pyarrow")
+    j = hash_join(surviving, uni_a, on="tok_a", broadcast="auto")
+    j = hash_join(j, uni_b, on="tok_b", broadcast="auto")
+
+    from . import round_half_away
+
+    def _score(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab.append_column("pmi",
+                                     pa.array([], pa.float64()))
+        cxy = tab["n_pair"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ca = tab["n_a"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cb = tab["n_b"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # left-associative, mirrors the oracle's
+        # (c_xy::DOUBLE * T * T) / (N::DOUBLE * c_a * c_b)
+        num = cxy * float(T) * float(T)
+        den = float(N) * ca * cb
+        pmi = round_half_away(np.log(num / den), 6)
+        return tab.append_column("pmi", pa.array(pmi))
+
+    return j.map_batches(_score, batch_format="pyarrow")

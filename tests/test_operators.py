@@ -4645,3 +4645,41 @@ def test_bfs_hops_weighted_bellman_ford(ray_session):
             "dst": pa.array([1], pa.int64()),
             "w": pa.array([-1], pa.int64())})),
             source_mod=1, rounds=1, weight_col="w").take_all()
+
+
+def test_pmi_bigrams_exact_counts(ray_session):
+    """PMI over a corpus small enough to count by hand: bigram and
+    unigram counts are exact, pmi matches the closed form, and the
+    result is block-layout independent."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from rayskema.functions import round_half_away
+    from rayskema.functions.textstats import pmi_bigrams
+
+    texts = (["hot dog"] * 6 + ["hot day"] * 2 + ["dog day"] * 2
+             + ["hot", "dog!"])
+    expect_T = 22          # 10 two-token docs + 2 singles
+    expect_N = 10
+
+    for nparts in (1, 5):
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = pa.concat_tables([t for t in ray.get(
+            pmi_bigrams(ds, "text", min_count=2).to_arrow_refs())
+            if t.num_rows])
+        rows = {(a, b): (np_, na, nb, p) for a, b, np_, na, nb, p in
+                zip(out["tok_a"].to_pylist(), out["tok_b"].to_pylist(),
+                    out["n_pair"].to_pylist(), out["n_a"].to_pylist(),
+                    out["n_b"].to_pylist(), out["pmi"].to_pylist())}
+        assert set(rows) == {("hot", "dog"), ("hot", "day"),
+                             ("dog", "day")}
+        n_pair, n_a, n_b, pmi = rows[("hot", "dog")]
+        assert (n_pair, n_a, n_b) == (6, 9, 9)
+        want = float(round_half_away(
+            math.log((6.0 * expect_T * expect_T)
+                     / (float(expect_N) * 9.0 * 9.0)), 6))
+        assert pmi == want
