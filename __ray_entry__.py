@@ -6584,6 +6584,73 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_graph_modularity(sf_dir: str):
+    """Newman modularity of a fixed partition (community = node % 20)
+    over the UNDIRECTED co-purchase graph: per community c,
+    ``contrib_c = (4·m·m_c − d_c²) / (4·m²)`` with m total edges, m_c
+    intra-community edges, d_c endpoint-degree sum — the summands of
+    ``Q = Σ_c [m_c/m − (d_c/2m)²]``, kept in exact int64 until ONE
+    float division (rounded half-away to 6).  One bucketed exchange
+    dedups the canonical edge list; community stats fold as 20-row
+    per-block bincount partials, driver holds O(blocks·20) rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import bucketed_map_groups
+    from rayskema.functions import round_half_away
+
+    K = 20
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        u = np.minimum(x[m], y[m])
+        v = np.maximum(x[m], y[m])
+        return pa.table({"u": pa.array(u), "v": pa.array(v)}) \
+            .group_by(["u", "v"]).aggregate([])
+
+    edges = bucketed_map_groups(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda t: t.group_by(["u", "v"]).aggregate([]),
+        buckets=8, sort_within=False).materialize()
+    m_edges = edges.count()
+
+    def _stats(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cu, cv = u % K, v % K
+        deg = (np.bincount(cu, minlength=K)
+               + np.bincount(cv, minlength=K)).astype(np.int64)
+        intra = np.bincount(cu[cu == cv], minlength=K).astype(np.int64)
+        return pa.table({"community": pa.array(np.arange(K, dtype=np.int64)),
+                         "intra_edges": pa.array(intra),
+                         "degree_sum": pa.array(deg)})
+
+    parts = [t for t in ray.get(
+        edges.map_batches(_stats, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    intra = np.zeros(K, np.int64)
+    deg = np.zeros(K, np.int64)
+    for t in parts:
+        idx = t["community"].to_numpy(zero_copy_only=False)
+        intra[idx] += t["intra_edges"].to_numpy(zero_copy_only=False)
+        deg[idx] += t["degree_sum"].to_numpy(zero_copy_only=False)
+    num = 4 * m_edges * intra - deg * deg
+    den = float(4 * m_edges * m_edges)
+    contrib = round_half_away(num.astype(np.float64) / den, 6)
+    return pa.table({
+        "community": pa.array(np.arange(K, dtype=np.int64)),
+        "intra_edges": pa.array(intra),
+        "degree_sum": pa.array(deg),
+        "contrib": pa.array(contrib)})
+
+
 def _q_docs_pmi(sf_dir: str):
     """Adjacent-bigram PMI collocations (textstats.pmi_bigrams):
     corpus-wide unigram/bigram count tables (per-batch partials, one
@@ -6598,6 +6665,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "graph_modularity": _q_graph_modularity,
         "docs_pmi": _q_docs_pmi,
         "docs_snm_pairs": _q_docs_snm_pairs,
         "graph_reciprocity": _q_graph_reciprocity,
@@ -6842,6 +6910,37 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "graph_modularity": """
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            e AS (SELECT DISTINCT least(x, y) AS u,
+                                  greatest(x, y) AS v
+                  FROM raw WHERE x <> y),
+            m AS (SELECT count(*)::BIGINT AS m FROM e),
+            clist AS (SELECT unnest(range(0, 20))::BIGINT
+                          AS community),
+            ends AS (SELECT u AS node FROM e
+                     UNION ALL SELECT v FROM e),
+            deg AS (SELECT node % 20 AS community,
+                           count(*)::BIGINT AS degree_sum
+                    FROM ends GROUP BY 1),
+            intra AS (SELECT u % 20 AS community,
+                             count(*)::BIGINT AS intra_edges
+                      FROM e WHERE u % 20 = v % 20 GROUP BY 1)
+            SELECT c.community,
+                   coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+                   coalesce(d.degree_sum, 0)::BIGINT AS degree_sum,
+                   round((4 * m.m * coalesce(i.intra_edges, 0)
+                          - coalesce(d.degree_sum, 0)
+                            * coalesce(d.degree_sum, 0))::DOUBLE
+                         / (4 * m.m * m.m), 6) AS contrib
+            FROM clist c
+            LEFT JOIN deg d USING (community)
+            LEFT JOIN intra i ON i.community = c.community
+            CROSS JOIN m
+        """,
         "docs_pmi": """
             WITH t AS (
                 SELECT regexp_extract_all(lower(text),
