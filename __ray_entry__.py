@@ -6584,6 +6584,20 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_containment(sf_dir: str):
+    """Directed containment pairs (dedup.containment_pairs):
+    |S_a ∩ S_b|/|S_a| >= 0.8 over word-3-gram sets — the asymmetric
+    quotation relation MinHash-LSH candidates systematically miss.
+    Candidates come from the exact PREFIX FILTER (PPJoin family):
+    only each doc's rarest |A|-floor(t|A|)+1 shingles emit A-side
+    rows, so hot shingles cannot explode a group yet recall is
+    provably 1.0."""
+    from rayskema.functions.dedup import containment_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(ds, "text", "doc_id", threshold=0.8,
+                             buckets=4)
+
+
 def _q_graph_modularity(sf_dir: str):
     """Newman modularity of a fixed partition (community = node % 20)
     over the UNDIRECTED co-purchase graph: per community c,
@@ -6665,6 +6679,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_containment": _q_docs_containment,
         "graph_modularity": _q_graph_modularity,
         "docs_pmi": _q_docs_pmi,
         "docs_snm_pairs": _q_docs_snm_pairs,
@@ -6910,6 +6925,25 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_containment": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 2),
+                                         ' '))) AS s
+                FROM t),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(a.s) AS c
+                FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+            SELECT id_a, id_b, round(c, 4) AS containment
+            FROM p WHERE c >= 0.8
+        """,
         "graph_modularity": """
             WITH raw AS (
                 SELECT o_custkey % 400 AS x,

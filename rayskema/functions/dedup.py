@@ -2550,3 +2550,284 @@ def sorted_neighborhood_pairs(
 
     return bucketed_map_groups(routed, ["bkt"], _pairs,
                                buckets=buckets, sort_within=False)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered containment join (asymmetric near-dup / quotation)
+# ---------------------------------------------------------------------------
+
+def _exploded_word3(tab: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(id, sh) rows: each document's DISTINCT word-3-gram shingle
+    hashes (same semantics as ``_row_shingle_sets(kind="word3")``),
+    vectorized — the per-row fold loop runs only for documents with
+    fewer than 3 tokens."""
+    arr = tab[text_col].combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    th = hash_strings(flat)
+    nonempty = np.asarray(pc.not_equal(flat, "").fill_null(False))
+    counts = pc.list_value_length(toks).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(len(counts)), counts)[nonempty]
+    h = th[nonempty]
+    n_eff = np.bincount(row_of, minlength=len(counts)).astype(np.int64)
+    prime = np.uint64(0x100000001B3)
+    rids, shs = [], []
+    if len(h) >= 3:
+        same = (row_of[:-2] == row_of[2:])
+        if same.any():
+            idx = np.flatnonzero(same)
+            combo = (h[idx] * prime + h[idx + 1]) * prime + h[idx + 2]
+            rids.append(row_of[idx])
+            shs.append(_hash64(combo & _MASK64))
+    short = np.flatnonzero(n_eff < 3)
+    if len(short):
+        starts = np.concatenate([[0], np.cumsum(n_eff)[:-1]])
+        s_r, s_h = [], []
+        for r in short:
+            c = np.uint64(0)
+            for v in h[starts[r]:starts[r] + n_eff[r]]:
+                c = c * prime + v
+            s_r.append(r)
+            s_h.append(c)
+        rids.append(np.asarray(s_r, dtype=np.int64))
+        shs.append(_hash64(np.asarray(s_h, dtype=np.uint64) & _MASK64))
+    if not rids:
+        return pa.table({id_col: pa.array([], tab[id_col].type),
+                         "sh": pa.array([], pa.uint64())})
+    rid = np.concatenate(rids)
+    sh = np.concatenate(shs)
+    # per-doc distinct (a doc's shingles all sit in this batch)
+    order = np.lexsort((sh, rid))
+    rid, sh = rid[order], sh[order]
+    first = np.concatenate([[True],
+                            (rid[1:] != rid[:-1]) | (sh[1:] != sh[:-1])])
+    rid, sh = rid[first], sh[first]
+    return pa.table({id_col: tab[id_col].combine_chunks()
+                     .take(pa.array(rid)),
+                     "sh": pa.array(sh)})
+
+
+def containment_pairs(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    threshold: float = 0.8, buckets: int | None = None,
+) -> pa.Table:
+    """Directed containment near-dup pairs: ``(id_a, id_b,
+    containment)`` for every ordered pair with
+    ``|S_a ∩ S_b| / |S_a| >= threshold`` over word-3-gram shingle
+    sets — the asymmetric relation Jaccard blocking misses (a short
+    document quoted inside a long one has high containment but low
+    Jaccard, so MinHash-LSH candidates systematically skip it).
+
+    Candidate generation is the PREFIX FILTER of the set-similarity-
+    join family (PPJoin, Xiao et al. 2008), adapted to containment:
+    order each document's shingles by ascending global document
+    frequency; containment >= t needs an overlap of ceil(t·|A|)
+    shingles, so A must share at least one of its
+    ``|A| - floor(t·|A|) + 1`` RAREST shingles with B.  Only those
+    prefix shingles emit A-side candidates; B-side emits everything.
+    A corpus-hot shingle therefore generates candidates only against
+    the (few) documents rare enough to hold it in their prefix — the
+    skew cap LSH banding needs is structural here, with NO recall
+    loss (the filter is exact).
+
+    Distribution: per-batch vectorized shingle explode (distinct per
+    doc), one exchange for document frequencies, one bucketed join of
+    df onto the exploded rows, one exchange per document to mark
+    prefixes, one exchange per shingle for candidate pairs (driver
+    holds the O(candidates) dedup only), then the shared
+    chunk-parallel exact verify computing BOTH directions of each
+    candidate pair.  Returns an arrow table sorted by (id_a, id_b)."""
+    import math
+    from ..pipelines.relational import bucketed_map_groups, hash_join
+
+    proj = ds.select_columns([id_col, text_col]).materialize()
+    expl = proj.map_batches(
+        lambda t: _exploded_word3(t, id_col, text_col),
+        batch_format="pyarrow").materialize()
+
+    df = bucketed_map_groups(
+        expl.map_batches(
+            lambda t: agg_named(
+                t.append_column("__one",
+                                pa.array(np.ones(t.num_rows, np.int64))),
+                ["sh"], [("__one", "sum")], ["df"]),
+            batch_format="pyarrow"),
+        ["sh"],
+        lambda t: agg_named(t, ["sh"], [("df", "sum")], ["df"]),
+        buckets=buckets, sort_within=False)
+
+    joined = hash_join(expl, df, on="sh", buckets=buckets)
+
+    def _mark_prefix(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab.append_column("pref", pa.array([], pa.bool_()))
+        tab = tab.sort_by([(id_col, "ascending"), ("df", "ascending"),
+                           ("sh", "ascending")])
+        new = segment_starts(tab, [id_col])
+        seg = np.cumsum(new) - 1
+        sizes = np.bincount(seg)
+        pos_in_doc = np.arange(tab.num_rows) \
+            - np.flatnonzero(new)[seg]
+        n = sizes[seg]
+        k = n - np.floor(threshold * n).astype(np.int64) + 1
+        return tab.append_column("pref", pa.array(pos_in_doc < k))
+
+    marked = bucketed_map_groups(joined, [id_col], _mark_prefix,
+                                 buckets=buckets, sort_within=False)
+
+    def _cands(tab: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        tab = tab.sort_by([("sh", "ascending")])
+        new = segment_starts(tab, ["sh"])
+        seg = np.cumsum(new) - 1
+        counts = np.bincount(seg)
+        firsts = np.flatnonzero(new)
+        ids = tab[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pref = tab["pref"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out_a, out_b = [], []
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            gids = ids[s:e]
+            a_side = gids[pref[s:e]]
+            if not len(a_side):
+                continue
+            ia, ib = np.meshgrid(a_side, gids, indexing="ij")
+            m = ia != ib
+            out_a.append(ia[m])
+            out_b.append(ib[m])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # canonicalize + dedup within the bucket; global dedup happens
+        # at the driver over the O(candidates) union
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.concatenate([[True], (lo[1:] != lo[:-1])
+                                | (hi[1:] != hi[:-1])])
+        return pa.table({"id_a": pa.array(lo[first]),
+                         "id_b": pa.array(hi[first])})
+
+    cand_tabs = [t for t in ray.get(
+        bucketed_map_groups(marked, ["sh"], _cands, buckets=buckets,
+                            sort_within=False).to_arrow_refs())
+        if t.num_rows]
+    if not cand_tabs:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "containment": pa.array([], pa.float64())})
+    cand = pa.concat_tables(cand_tabs)
+    a = cand["id_a"].to_numpy(zero_copy_only=False)
+    b = cand["id_b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    pairs = np.stack([a[first], b[first]], axis=1)
+
+    sets_tab = pa.concat_tables([t for t in ray.get(
+        proj.map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col],
+                "sh": pa.array(
+                    [s for s in _row_shingle_sets(
+                        t[text_col].combine_chunks()
+                        if t.num_rows else pa.array([], pa.string()),
+                        "word3")],
+                    type=pa.list_(pa.uint64()))}),
+            batch_format="pyarrow").to_arrow_refs()) if t.num_rows])
+
+    chunk = max(20_000, -(-len(pairs) // 64))
+    n_chunks = -(-len(pairs) // chunk)
+    if n_chunks <= 1:
+        parts = [_verify_containment_chunk(pairs, sets_tab, id_col,
+                                           threshold)]
+    else:
+        sets_ref = ray.put(sets_tab)
+        parts = ray.get([
+            _verify_containment_chunk_task.remote(
+                pairs[i * chunk:(i + 1) * chunk], sets_ref, id_col,
+                threshold)
+            for i in range(n_chunks)])
+    out = pa.concat_tables(parts)
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _verify_containment_chunk(pairs: np.ndarray, sets_tab: pa.Table,
+                              id_col: str,
+                              threshold: float) -> pa.Table:
+    """Exact containment for one chunk of canonical (lo, hi) pairs:
+    emits BOTH directions that reach the threshold.  Size prefilter:
+    containment(A→B) <= min(|A|,|B|)/|A|, so a pair where NEITHER
+    direction's bound reaches the threshold is dropped before any
+    intersection."""
+    from . import round_half_away
+
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "containment": pa.array([], type=pa.float64())})
+    if len(pairs) == 0:
+        return empty
+    need = np.unique(pairs.ravel())
+    sel = sets_tab.filter(pc.is_in(
+        sets_tab[id_col], value_set=pa.array(need, type=pa.int64())))
+    if sel.num_rows == 0:
+        return empty
+    ids = sel[id_col].to_numpy(zero_copy_only=False)
+    sh = sel["sh"].combine_chunks()
+    flat = np.asarray(sh.values)
+    offs = np.asarray(sh.offsets).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    starts_s = offs[:-1][order]
+    lens_s = (offs[1:] - offs[:-1])[order]
+
+    plo = np.searchsorted(ids_s, pairs[:, 0]).clip(0, len(ids_s) - 1)
+    phi = np.searchsorted(ids_s, pairs[:, 1]).clip(0, len(ids_s) - 1)
+    valid = (ids_s[plo] == pairs[:, 0]) & (ids_s[phi] == pairs[:, 1])
+    la, lb = lens_s[plo], lens_s[phi]
+    # inter <= min(|A|,|B|); with both directions evaluated the only
+    # pairs provably below threshold up front are those where even the
+    # smaller side cannot reach it: min/min = 1, so just require
+    # nonempty sets (word3 sets are never empty, but stay defensive)
+    survivors = np.flatnonzero(valid & (np.minimum(la, lb) > 0))
+
+    out_a, out_b, out_c = [], [], []
+    for i in survivors:
+        sa = flat[starts_s[plo[i]]:starts_s[plo[i]] + la[i]]
+        sb = flat[starts_s[phi[i]]:starts_s[phi[i]] + lb[i]]
+        small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+        pos = np.searchsorted(big, small).clip(0, len(big) - 1)
+        inter = int(np.count_nonzero(big[pos] == small)) \
+            if len(big) else 0
+        ca = inter / max(int(la[i]), 1)
+        cb = inter / max(int(lb[i]), 1)
+        if ca >= threshold:
+            out_a.append(int(pairs[i, 0]))
+            out_b.append(int(pairs[i, 1]))
+            out_c.append(float(round_half_away(ca, 4)))
+        if cb >= threshold:
+            out_a.append(int(pairs[i, 1]))
+            out_b.append(int(pairs[i, 0]))
+            out_c.append(float(round_half_away(cb, 4)))
+    return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                     "id_b": pa.array(out_b, type=pa.int64()),
+                     "containment": pa.array(out_c, type=pa.float64())})
+
+
+@ray.remote(num_cpus=1)
+def _verify_containment_chunk_task(pairs, sets_tab, id_col,
+                                   threshold) -> pa.Table:
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    return _verify_containment_chunk(pairs, sets_tab, id_col, threshold)

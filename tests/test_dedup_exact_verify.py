@@ -209,3 +209,58 @@ def test_snm_layout_and_span_independent(ray_session):
                                out["jaccard"].to_pylist())))
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) == 100 + 99 + 98          # n*(w-1) minus tail
+
+
+def test_containment_asymmetric_pair(ray_session):
+    """A short doc fully quoted inside a long one: containment
+    short->long is 1.0 while Jaccard is far below threshold — the
+    directed pair appears exactly once, in the right direction."""
+    import ray
+
+    from rayskema.functions.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = ("intro words here " + quote
+                + " and many more unrelated trailing tokens "
+                + "one two three four five six seven eight nine ten")
+    ds = _docs([quote, long_doc, "totally different content words"])
+    out = containment_pairs(ds, "text", "doc_id", threshold=0.9,
+                            buckets=3)
+    rows = list(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                    out["containment"].to_pylist()))
+    assert rows == [(0, 1, 1.0)]
+
+
+def test_containment_prefix_filter_complete(ray_session):
+    """Prefix-filtered candidates reproduce the exhaustive all-pairs
+    result exactly (recall 1.0) on a corpus with hot shared shingles,
+    regardless of block layout."""
+    import numpy as np
+    import ray
+
+    from rayskema.functions.dedup import (_row_shingle_sets,
+                                          containment_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base + f" tail {i % 4} {i % 3}" for i in range(40)]
+    texts += ["the quick brown fox jumps", "unrelated stuff entirely"]
+    ds = _docs(texts)
+
+    sets = _row_shingle_sets(pa.array(texts), "word3")
+    want = []
+    for i, sa in enumerate(sets):
+        for j, sb in enumerate(sets):
+            if i == j:
+                continue
+            inter = len(np.intersect1d(sa, sb))
+            c = inter / max(len(sa), 1)
+            if c >= 0.8:
+                want.append((i, j))
+    for nparts in (1, 6):
+        d = ds.repartition(nparts) if nparts > 1 else ds
+        out = containment_pairs(d, "text", "doc_id", threshold=0.8,
+                                buckets=4)
+        got = sorted(zip(out["id_a"].to_pylist(),
+                         out["id_b"].to_pylist()))
+        assert got == sorted(want)
+        assert len(got) > 0
