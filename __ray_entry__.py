@@ -1707,7 +1707,8 @@ def _q_suppliers_entity_resolution(sf_dir: str):
 
     ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
         _strip, batch_format="pyarrow")
-    pairs = edit_distance2_pairs(ds, "nm", "s_suppkey", buckets=8)
+    pairs = edit_distance2_pairs(ds, "nm", "s_suppkey",
+                                 buckets=8).materialize()
     cc = connected_components(pairs, id_a="id_a", id_b="id_b",
                               buckets=8)
     allk = ds.select_columns(["s_suppkey"])

@@ -1140,9 +1140,64 @@ def eps_neighbor_pairs(
     return ds.map_batches(_pairs_fn, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=1)
+def _dbscan_local_labels(min_pts: int, *tabs: pa.Table) -> pa.Table:
+    """Single-task DBSCAN labeling over a small eps-ball pair list:
+    (node, cluster, core) for every node APPEARING in a pair — the
+    deterministic rule of the distributed path (cluster = component
+    minimum core id; border joins its minimum neighboring core's
+    cluster; else noise -1).  Vectorized throughout."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    from .dedup import _cc_local
+
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "core": pa.array([], pa.bool_())})
+    tab = pa.concat_tables(tabs)
+    a = pc.cast(tab["id_a"], pa.int64()).to_numpy(zero_copy_only=False)
+    b = pc.cast(tab["id_b"], pa.int64()).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    deg = (np.bincount(ia, minlength=len(nodes))
+           + np.bincount(ib, minlength=len(nodes)))
+    core = deg + 1 >= min_pts          # a point counts itself
+    cluster = np.full(len(nodes), -1, dtype=np.int64)
+
+    cc_m = core[ia] & core[ib]
+    if cc_m.any():
+        cc = _cc_local("id_a", "id_b", pa.table(
+            {"id_a": pa.array(nodes[ia[cc_m]]),
+             "id_b": pa.array(nodes[ib[cc_m]])}))
+        cn = cc["node"].to_numpy(zero_copy_only=False)
+        cr = cc["rep"].to_numpy(zero_copy_only=False)
+        cluster[np.searchsorted(nodes, cn)] = cr
+    # isolated cores: their own singleton cluster
+    iso = core & (cluster < 0)
+    cluster[iso] = nodes[iso]
+    # border: non-core with >= 1 core neighbor -> min neighboring
+    # core's cluster (evaluate both edge directions)
+    na = np.concatenate([ia, ib])
+    nb = np.concatenate([ib, ia])
+    bm = ~core[na] & core[nb]
+    if bm.any():
+        bmin = np.full(len(nodes), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        np.minimum.at(bmin, na[bm], cluster[nb[bm]])
+        hit = bmin != np.iinfo(np.int64).max
+        cluster[hit] = bmin[hit]
+    return pa.table({"node": pa.array(nodes),
+                     "cluster": pa.array(cluster),
+                     "core": pa.array(core)})
+
+
 def dbscan(
     ds: "rd.Dataset", vec_col: str, id_col: str, *,
     eps: float, min_pts: int = 4, buckets: int | None = None,
+    local_max_bytes: int | None = None,
 ) -> "rd.Dataset":
     """Distributed DBSCAN over an embedding column: returns
     ``(id, cluster, is_core)`` — cluster is the component's minimum
@@ -1174,6 +1229,54 @@ def dbscan(
     pairs = eps_neighbor_pairs(ds, vec_col, id_col,
                                eps=eps).materialize()
 
+    # Adaptive small-graph path (same policy as connected_components):
+    # the materialized eps-ball pair list already tells us its size —
+    # when it fits one worker heap, degrees + core mask + components +
+    # border assignment collapse into ONE task over the pair list, and
+    # the corpus is touched by a single broadcast-labeling pass.  The
+    # big path below (one exchange per stage) is untouched for graphs
+    # that don't fit.
+    from .dedup import LOCAL_CC_MAX_BYTES
+    if local_max_bytes is None:
+        local_max_bytes = LOCAL_CC_MAX_BYTES // 4
+    if (pairs.size_bytes() or 0) <= local_max_bytes:
+        prefs = list(pairs.to_arrow_refs())
+        lab_ref = _dbscan_local_labels.remote(min_pts, *prefs) \
+            if prefs else None
+        lab_tab = ray.get(lab_ref) if lab_ref is not None else \
+            pa.table({"node": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "core": pa.array([], pa.bool_())})
+        lref = ray.put(lab_tab)
+
+        def _attach(t: pa.Table, _l=lref) -> pa.Table:
+            lab = ray.get(_l)
+            nodes = lab["node"].to_numpy(zero_copy_only=False)
+            clus = lab["cluster"].to_numpy(zero_copy_only=False)
+            corem = lab["core"].to_numpy(zero_copy_only=False)
+            ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(nodes, ids).clip(
+                max=max(len(nodes) - 1, 0))
+            hit = (nodes[pos] == ids) if len(nodes) else \
+                np.zeros(len(ids), dtype=bool)
+            # a point absent from the pair list is noise — unless
+            # min_pts <= 1, where every point is core and an isolated
+            # one is its own singleton cluster
+            miss_cluster = ids if min_pts <= 1 else \
+                np.full(len(ids), -1, dtype=np.int64)
+            cluster = np.where(hit, clus[pos] if len(nodes) else -1,
+                               miss_cluster)
+            is_core = np.where(hit, corem[pos] if len(nodes) else
+                               False, min_pts <= 1)
+            return pa.table({id_col: t[id_col],
+                             "cluster": pa.array(
+                                 cluster.astype(np.int64)),
+                             "is_core": pa.array(
+                                 is_core.astype(bool))})
+
+        return ids_only.map_batches(_attach, batch_format="pyarrow")
+
     if min_pts <= 1:
         # every point's neighborhood contains itself, so every point
         # is core — including isolated points that never appear in
@@ -1203,7 +1306,12 @@ def dbscan(
                   how="left_semi", broadcast="auto", buckets=buckets),
         core, on=["id_b"], right_on=["node"], how="left_semi",
         broadcast="auto", buckets=buckets)
-    comp = connected_components(cc_edges, buckets=buckets)  # node, rep
+    # materialized so connected_components can SEE the edge list's
+    # size and take its single-task path for small graphs (the core
+    # subgraph is never larger than `pairs`, which is materialized
+    # above anyway)
+    comp = connected_components(cc_edges.materialize(),
+                                buckets=buckets)  # node, rep
     # isolated cores: no core neighbor -> their own singleton cluster
     comp_nodes = comp.map_batches(
         lambda t: t.select(["node"]), batch_format="pyarrow")

@@ -4683,3 +4683,45 @@ def test_pmi_bigrams_exact_counts(ray_session):
             math.log((6.0 * expect_T * expect_T)
                      / (float(expect_N) * 9.0 * 9.0)), 6))
         assert pmi == want
+
+
+def test_dbscan_local_path_matches_distributed(ray_session):
+    """The adaptive single-task DBSCAN labeling must equal the
+    distributed stage pipeline bit-for-bit (clusters, core flags,
+    noise) on a mixed core/border/noise corpus; likewise the local
+    connected-components path vs the hash-to-min rounds."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayskema.functions.dedup import connected_components
+    from rayskema.functions.similarity import dbscan
+
+    rng = np.random.default_rng(11)
+    blob_a = rng.normal(0.0, 0.3, (40, 4))
+    blob_b = rng.normal(4.0, 0.3, (30, 4))
+    stray = rng.normal(8.0, 3.0, (15, 4))
+    X = np.concatenate([blob_a, blob_b, stray])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+        "embedding": pa.array(list(X.astype(np.float32)))})
+
+    def run(local_max_bytes):
+        out = dbscan(rd.from_arrow(t).repartition(4), "embedding",
+                     "vec_id", eps=1.0, min_pts=5,
+                     local_max_bytes=local_max_bytes).take_all()
+        return sorted((r["vec_id"], r["cluster"], r["is_core"])
+                      for r in out)
+
+    assert run(0) == run(None)          # big path == local path
+
+    edges = pa.table({
+        "id_a": pa.array([1, 2, 7, 9, 100], type=pa.int64()),
+        "id_b": pa.array([2, 3, 9, 11, 101], type=pa.int64())})
+    a = {(r["node"], r["rep"]) for r in connected_components(
+        edges, local_max_bytes=1 << 30).take_all()}
+    b = {(r["node"], r["rep"]) for r in connected_components(
+        edges, local_max_bytes=0).take_all()}
+    assert a == b
+    assert a == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7), (11, 7),
+                 (100, 100), (101, 100)}
