@@ -6585,6 +6585,53 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_incremental_near_dup(sf_dir: str):
+    """Incremental NEAR-dup against a PERSISTENT MinHash band index
+    (state.minhash_index — the near-dup sibling of the exact
+    incremental index): even doc_ids are the accepted corpus (band
+    rows built into an on-disk index once), odd doc_ids the crawl
+    increment (probed bucket-by-bucket against only matching index
+    files, merging its own rows in).  Candidates are exact-verified
+    by char-5-shingle Jaccard, so the result equals the all-CROSS-
+    pairs SQL oracle (precision 1.0 by construction, banding recall
+    1.0 at this threshold — same contract as docs_minhash_pairs)."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from rayskema.functions.dedup import exact_shingle_jaccard_pairs
+    from rayskema.state.minhash_index import (build_minhash_index,
+                                              probe_minhash_index)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
+                                    0)), batch_format="pyarrow")
+    inc = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
+                                    1)), batch_format="pyarrow")
+
+    tag = f"{os.path.abspath(sf_dir)}|{os.getuid()}|{os.getpid()}"
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "rayskema_mh_idx_"
+        + hashlib.md5(tag.encode()).hexdigest()[:12])
+    if idx not in _DEDUP_IDX_CLEANUP:
+        _DEDUP_IDX_CLEANUP.add(idx)
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    build_minhash_index(corpus, "text", "doc_id", idx, buckets=16)
+    cands = probe_minhash_index(inc, "text", "doc_id", idx,
+                                update=True)
+    cands = cands.map_batches(
+        lambda t: pa.table({"id_a": t["id_old"], "id_b": t["id_new"]}),
+        batch_format="pyarrow")
+    return exact_shingle_jaccard_pairs(docs, cands, "text", "doc_id",
+                                       kind="char5", threshold=0.5)
+
+
 def _q_docs_containment(sf_dir: str):
     """Directed containment pairs (dedup.containment_pairs):
     |S_a ∩ S_b|/|S_a| >= 0.8 over word-3-gram sets — the asymmetric
@@ -6680,6 +6727,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_incremental_near_dup": _q_docs_incremental_near_dup,
         "docs_containment": _q_docs_containment,
         "graph_modularity": _q_graph_modularity,
         "docs_pmi": _q_docs_pmi,
@@ -6926,6 +6974,23 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_incremental_near_dup": """
+            WITH sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(length(text) - 4, 1)),
+                    i -> substr(text, i, 5))) AS s
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(
+                                 list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b
+                  ON a.doc_id < b.doc_id
+                     AND (a.doc_id % 2) <> (b.doc_id % 2))
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM p WHERE j >= 0.5
+        """,
         "docs_containment": r"""
             WITH t AS (
                 SELECT doc_id,

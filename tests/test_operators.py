@@ -4725,3 +4725,59 @@ def test_dbscan_local_path_matches_distributed(ray_session):
     assert a == b
     assert a == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7), (11, 7),
                  (100, 100), (101, 100)}
+
+
+def test_minhash_index_incremental_equals_single_shot(ray_session):
+    """Building the band index on half the corpus and probing the
+    other half must surface every cross near-dup pair the single-shot
+    banding surfaces; a second probe after update=True finds pairs
+    against the merged (corpus + first increment) index."""
+    import tempfile
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayskema.state.minhash_index import (build_minhash_index,
+                                              probe_minhash_index,
+                                              read_meta)
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts, ids = [], []
+    for i in range(30):
+        # pairs (2i, 2i+1) are near-identical; distinct across i
+        body = base + f"variant {i} " * 3
+        texts += [body, body + "tail"]
+        ids += [2 * i, 2 * i + 1]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    corpus = rd.from_arrow(t.filter(
+        pa.array([i % 2 == 0 for i in ids])))
+    inc = rd.from_arrow(t.filter(
+        pa.array([i % 2 == 1 for i in ids])))
+
+    with tempfile.TemporaryDirectory() as idx:
+        meta = build_minhash_index(corpus, "text", "doc_id", idx,
+                                   buckets=8)
+        assert read_meta(idx)["n_rows"] == meta["n_rows"] > 0
+        cands = pa.concat_tables([c for c in ray.get(
+            probe_minhash_index(inc, "text", "doc_id", idx,
+                                update=True).to_arrow_refs())
+            if c.num_rows])
+        got = set(zip(cands["id_new"].to_pylist(),
+                      cands["id_old"].to_pylist()))
+        # every constructed near-identical pair must be a candidate
+        for i in range(30):
+            assert (2 * i + 1, 2 * i) in got
+        # probe an exact copy of an increment doc: after update=True
+        # the index knows the increment, so the copy collides with
+        # BOTH halves of its pair
+        probe2 = rd.from_arrow(pa.table({
+            "doc_id": pa.array([999], type=pa.int64()),
+            "text": pa.array([texts[1]])}))
+        c2 = pa.concat_tables([c for c in ray.get(
+            probe_minhash_index(probe2, "text", "doc_id", idx)
+            .to_arrow_refs()) if c.num_rows])
+        got2 = set(zip(c2["id_new"].to_pylist(),
+                       c2["id_old"].to_pylist()))
+        assert (999, 0) in got2 and (999, 1) in got2
