@@ -6585,6 +6585,50 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_logreg(sf_dir: str):
+    """Distributed full-batch logistic regression (functions.fit):
+    P(click | value, hour) via T map-side passes, each folding
+    per-ROW integer-quantized gradient partials — bit-identical
+    weights under any block layout by integer associativity.
+    Verdict contract: the single-node replica (same quantized rule)
+    must reproduce weights AND the per-iteration quantized loss
+    trajectory exactly; the oracle states the deterministic flags."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rayskema.functions.fit import (logistic_regression_gd,
+                                        logistic_regression_local)
+
+    def _feats(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        x1 = pc.divide(pc.min_element_wise(
+            pc.max_element_wise(v, 0.0), 10.0), 10.0)
+        hour = pc.hour(pc.cast(t["ts"], pa.timestamp("us")))
+        x2 = pc.divide(pc.cast(hour, pa.float64()), 24.0)
+        y = pc.cast(pc.equal(t["event_type"], "click"), pa.float64())
+        return pa.table({"x1": x1, "x2": x2, "y": y})
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]) \
+        .map_batches(_feats, batch_format="pyarrow")
+    fit = logistic_regression_gd(ds.repartition(9), ["x1", "x2"],
+                                 "y", iters=15, lr=0.5)
+
+    rows = pa.concat_tables([t for t in ray.get(
+        ds.to_arrow_refs()) if t.num_rows])
+    X = np.column_stack([rows["x1"].to_numpy(zero_copy_only=False),
+                         rows["x2"].to_numpy(zero_copy_only=False)])
+    y = rows["y"].to_numpy(zero_copy_only=False)
+    ref = logistic_regression_local(X, y, iters=15, lr=0.5)
+    matches = bool(np.array_equal(fit["w"], ref["w"])
+                   and fit["losses_q"] == ref["losses_q"]
+                   and fit["n"] == ref["n"])
+    return pa.table({
+        "n": pa.array([fit["n"]], pa.int64()),
+        "matches_reference": pa.array([matches]),
+        "loss_decreased": pa.array(
+            [fit["losses_q"][-1] < fit["losses_q"][0]])})
+
+
 def _q_docs_incremental_near_dup(sf_dir: str):
     """Incremental NEAR-dup against a PERSISTENT MinHash band index
     (state.minhash_index — the near-dup sibling of the exact
@@ -6727,6 +6771,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_logreg": _q_events_logreg,
         "docs_incremental_near_dup": _q_docs_incremental_near_dup,
         "docs_containment": _q_docs_containment,
         "graph_modularity": _q_graph_modularity,
@@ -6974,6 +7019,12 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_logreg": """
+            SELECT count(*)::BIGINT AS n,
+                   TRUE AS matches_reference,
+                   TRUE AS loss_decreased
+            FROM events
+        """,
         "docs_incremental_near_dup": """
             WITH sh AS (
                 SELECT doc_id, list_distinct(list_transform(

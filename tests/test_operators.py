@@ -4781,3 +4781,41 @@ def test_minhash_index_incremental_equals_single_shot(ray_session):
         got2 = set(zip(c2["id_new"].to_pylist(),
                        c2["id_old"].to_pylist()))
         assert (999, 0) in got2 and (999, 1) in got2
+
+
+def test_logreg_layout_independent_and_learns(ray_session):
+    """Distributed logistic GD: bit-identical weights across block
+    layouts (integer-quantized gradient fold), exact equality with
+    the single-node replica, and loss decreases on separable data."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayskema.functions.fit import (logistic_regression_gd,
+                                        logistic_regression_local)
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    x1 = rng.uniform(-1, 1, n)
+    x2 = rng.uniform(-1, 1, n)
+    y = (x1 + 0.5 * x2 + rng.normal(0, 0.2, n) > 0).astype(np.float64)
+    t = pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
+                  "y": pa.array(y)})
+
+    fits = []
+    for nparts in (1, 7, 31):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        fits.append(logistic_regression_gd(
+            ds, ["x1", "x2"], "y", iters=10, lr=1.0))
+    assert np.array_equal(fits[0]["w"], fits[1]["w"])
+    assert np.array_equal(fits[0]["w"], fits[2]["w"])
+    assert fits[0]["losses_q"] == fits[1]["losses_q"] \
+        == fits[2]["losses_q"]
+
+    ref = logistic_regression_local(
+        np.column_stack([x1, x2]), y, iters=10, lr=1.0)
+    assert np.array_equal(fits[0]["w"], ref["w"])
+    assert fits[0]["losses_q"] == ref["losses_q"]
+    assert fits[0]["losses_q"][-1] < fits[0]["losses_q"][0]
+    assert fits[0]["w"][0] > 0          # learned the true direction
