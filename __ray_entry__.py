@@ -6585,6 +6585,19 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes train + apply
+    (textstats.naive_bayes_classify): P(source | tokens) with Laplace
+    smoothing, every log term integer-quantized BEFORE summation so
+    per-doc class scores are exact int64 folds the SQL oracle
+    reproduces term-for-term.  Training counts take one token
+    exchange; the finished model broadcasts once and inference
+    shuffles nothing."""
+    from rayskema.functions.textstats import naive_bayes_classify
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return naive_bayes_classify(ds, "text", "doc_id", "source")
+
+
 def _q_events_logreg(sf_dir: str):
     """Distributed full-batch logistic regression (functions.fit):
     P(click | value, hour) via T map-side passes, each folding
@@ -6771,6 +6784,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_naive_bayes": _q_docs_naive_bayes,
         "events_logreg": _q_events_logreg,
         "docs_incremental_near_dup": _q_docs_incremental_near_dup,
         "docs_containment": _q_docs_containment,
@@ -7019,6 +7033,53 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_naive_bayes": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents),
+            dtok AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt
+                     FROM tok GROUP BY doc_id, tok),
+            cls AS (SELECT source AS c, count(*)::BIGINT AS n_docs
+                    FROM documents GROUP BY source),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            tc AS (SELECT d.source AS c, t.tok,
+                          count(*)::BIGINT AS n
+                   FROM tok t JOIN documents d USING (doc_id)
+                   GROUP BY d.source, t.tok),
+            tot AS (SELECT c, sum(n)::BIGINT AS n_tok
+                    FROM tc GROUP BY c),
+            vv AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM tok),
+            lnq AS (SELECT v.tok, c.c,
+                           CAST(round(ln((coalesce(tc.n, 0) + 1)::DOUBLE
+                                         / (tot.n_tok + vv.v))
+                                      * 1000000) AS BIGINT) AS q
+                    FROM (SELECT DISTINCT tok FROM tok) v
+                    CROSS JOIN cls c
+                    LEFT JOIN tc ON tc.tok = v.tok AND tc.c = c.c
+                    JOIN tot ON tot.c = c.c
+                    CROSS JOIN vv),
+            pri AS (SELECT c, CAST(round(ln(n_docs::DOUBLE / nd.n)
+                                         * 1000000) AS BIGINT) AS pq
+                    FROM cls CROSS JOIN nd),
+            scores AS (SELECT d.doc_id, pri.c,
+                              CAST(pri.pq
+                                   + coalesce(sum(dt.cnt * lnq.q), 0)
+                                   AS BIGINT) AS score_q
+                       FROM documents d
+                       CROSS JOIN pri
+                       LEFT JOIN dtok dt ON dt.doc_id = d.doc_id
+                       LEFT JOIN lnq ON lnq.tok = dt.tok
+                                        AND lnq.c = pri.c
+                       GROUP BY d.doc_id, pri.c, pri.pq),
+            r AS (SELECT doc_id, c, score_q,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY score_q DESC, c) AS rk
+                  FROM scores)
+            SELECT doc_id, c AS pred, score_q FROM r WHERE rk = 1
+        """,
         "events_logreg": """
             SELECT count(*)::BIGINT AS n,
                    TRUE AS matches_reference,

@@ -1542,3 +1542,152 @@ def pmi_bigrams(ds: "rd.Dataset", text_col: str, *,
         return tab.append_column("pmi", pa.array(pmi))
 
     return j.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (train + distributed inference)
+# ---------------------------------------------------------------------------
+
+def naive_bayes_classify(
+    ds: "rd.Dataset", text_col: str, id_col: str, class_col: str, *,
+    quant: int = 1_000_000, buckets: int | None = None,
+) -> "rd.Dataset":
+    """Train a multinomial Naive Bayes model on (text -> class) and
+    score every document with it (the classic self-train/apply shape;
+    split train/apply upstream for held-out scoring).  Tokens are the
+    ``[a-z0-9]+`` runs of the lowercased text; Laplace (+1) smoothing;
+
+        ``score(d, c) = prior_q(c) + Σ_tok cnt_d(tok) · lnq(c, tok)``
+
+    with every log term INDIVIDUALLY quantized to an integer
+    (``round_half_away(ln(·)·quant)``) before any summation, so the
+    per-document class scores are exact int64 arithmetic — layout-
+    independent, and bit-reproducible by a SQL oracle using the same
+    per-term rounding.  Prediction = argmax, ties to the
+    lexicographically smallest class.  Output: ``(id, pred,
+    score_q)``.
+
+    Distribution: training counts are per-batch partials folded by ONE
+    exchange on token (class axis rides as columns after a per-token
+    pivot); the finished model — vocab, per-class smoothed log table,
+    priors — is ``ray.put`` ONCE (the vocabulary is the SMALL side, as
+    in ``build_vocab``/``lm_trigram_score``), and inference is a
+    single embarrassingly-parallel pass: a document's tokens never
+    leave its batch, so scoring shuffles NOTHING."""
+    from . import round_half_away
+    from ..pipelines.relational import agg_named, bucketed_map_groups
+
+    proj = ds.select_columns([id_col, text_col, class_col]) \
+        .materialize()
+
+    def _tokens(tab: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(ok)), doc_of[ok]
+
+    # ---- training counts --------------------------------------------------
+    def _tok_class_partial(tab: pa.Table) -> pa.Table:
+        flat, doc_of = _tokens(tab)
+        cls = tab[class_col].combine_chunks().take(pa.array(doc_of))
+        return agg_named(
+            pa.table({"tok": flat, "cls": cls,
+                      "__one": np.ones(len(flat), np.int64)}),
+            ["tok", "cls"], [("__one", "sum")], ["n"])
+
+    tok_cls = bucketed_map_groups(
+        proj.map_batches(_tok_class_partial, batch_format="pyarrow"),
+        ["tok", "cls"],
+        lambda t: agg_named(t, ["tok", "cls"], [("n", "sum")], ["n"]),
+        buckets=buckets, sort_within=False).materialize()
+
+    def _doc_class_partial(tab: pa.Table) -> pa.Table:
+        return agg_named(
+            tab.append_column("__one",
+                              pa.array(np.ones(tab.num_rows,
+                                               np.int64))),
+            [class_col], [("__one", "sum")], ["n_docs"])
+
+    cls_parts = [t for t in ray.get(
+        proj.map_batches(_doc_class_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    cls_counts: dict[str, int] = {}
+    for t in cls_parts:
+        for c, n in zip(t[class_col].to_pylist(),
+                        t["n_docs"].to_pylist()):
+            cls_counts[c] = cls_counts.get(c, 0) + int(n)
+    classes = sorted(cls_counts)
+    n_classes = len(classes)
+    n_docs = sum(cls_counts.values())
+
+    # model table: one row per vocab token with the per-class count
+    # vector — the vocabulary is the SMALL side, gathered once
+    vocab_tabs = [t for t in ray.get(
+        tok_cls.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(vocab_tabs) if vocab_tabs else pa.table(
+        {"tok": pa.array([], pa.string()),
+         "cls": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())})
+    toks_np = vt["tok"].combine_chunks()
+    cls_idx = np.searchsorted(
+        np.array(classes),
+        np.asarray(vt["cls"].combine_chunks().to_numpy(
+            zero_copy_only=False), dtype=object)) \
+        if vt.num_rows else np.zeros(0, np.int64)
+    vocab, tok_inv = np.unique(
+        np.asarray(toks_np.to_numpy(zero_copy_only=False),
+                   dtype=object), return_inverse=True) \
+        if vt.num_rows else (np.zeros(0, dtype=object),
+                             np.zeros(0, np.int64))
+    counts = np.zeros((len(vocab), n_classes), dtype=np.int64)
+    if vt.num_rows:
+        counts[tok_inv, cls_idx] = vt["n"].to_numpy(
+            zero_copy_only=False)
+    V = len(vocab)
+    tok_totals = counts.sum(axis=0)                # per-class tokens
+    denom = (tok_totals + V).astype(np.float64)
+    lnq = round_half_away(
+        np.log((counts + 1).astype(np.float64) / denom[None, :])
+        * quant, 0).astype(np.int64)
+    priors = round_half_away(
+        np.log(np.array([cls_counts[c] for c in classes],
+                        np.float64) / float(n_docs)) * quant,
+        0).astype(np.int64)
+    model = ray.put((pa.array(list(vocab), type=pa.string()),
+                     lnq, priors, classes))
+
+    # ---- inference (no shuffle) -------------------------------------------
+    def _score(tab: pa.Table, _m=model) -> pa.Table:
+        vocab_arr, lnq_m, priors_v, classes_l = ray.get(_m)
+        flat, doc_of = _tokens(tab)
+        scores = np.tile(priors_v, (tab.num_rows, 1))
+        if len(flat):
+            idx = pc.index_in(flat, value_set=vocab_arr)
+            # same-corpus train/apply: every token is in the vocab;
+            # an OOV token (held-out apply) contributes the smoothed
+            # zero-count term
+            miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            pos = pc.fill_null(idx, 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            occ = np.where(miss[:, None],
+                           round_half_away(
+                               np.log(1.0 / denom) * quant,
+                               0).astype(np.int64)[None, :],
+                           lnq_m[pos])
+            np.add.at(scores, doc_of, occ)
+        pred_i = np.argmax(scores, axis=1)        # first max = lex min
+        score_q = scores[np.arange(tab.num_rows), pred_i]
+        return pa.table({
+            id_col: tab[id_col],
+            "pred": pa.array([classes_l[i] for i in pred_i],
+                             type=pa.string()),
+            "score_q": pa.array(score_q)})
+
+    return proj.map_batches(_score, batch_format="pyarrow")

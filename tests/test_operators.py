@@ -4819,3 +4819,36 @@ def test_logreg_layout_independent_and_learns(ray_session):
     assert fits[0]["losses_q"] == ref["losses_q"]
     assert fits[0]["losses_q"][-1] < fits[0]["losses_q"][0]
     assert fits[0]["w"][0] > 0          # learned the true direction
+
+
+def test_naive_bayes_separable_and_layout_independent(ray_session):
+    """NB on a cleanly separable corpus recovers every label; scores
+    are identical across block layouts (integer-quantized folds)."""
+    import ray
+    import ray.data as rd
+
+    from rayskema.functions.textstats import naive_bayes_classify
+
+    spam = [f"buy cheap pills now offer {i}" for i in range(20)]
+    ham = [f"meeting notes agenda quarterly review {i}"
+           for i in range(20)]
+    t = pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array(spam + ham),
+        "label": pa.array(["spam"] * 20 + ["ham"] * 20)})
+
+    outs = []
+    for nparts in (1, 8):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = pa.concat_tables([b for b in ray.get(
+            naive_bayes_classify(ds, "text", "doc_id", "label",
+                                 buckets=4).to_arrow_refs())
+            if b.num_rows])
+        outs.append(sorted(zip(out["doc_id"].to_pylist(),
+                               out["pred"].to_pylist(),
+                               out["score_q"].to_pylist())))
+    assert outs[0] == outs[1]
+    for i, pred, _ in outs[0]:
+        assert pred == ("spam" if i < 20 else "ham")
