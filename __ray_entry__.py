@@ -6585,6 +6585,44 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_curriculum(sf_dir: str):
+    """Curriculum shard assembly (relational.global_pack): the whole
+    corpus sorted easy→hard by token count (ties by doc_id) and
+    packed into contiguous 2048-token training shards by the GLOBAL
+    weighted prefix sum — one TeraSort-range sort, O(blocks) integer
+    offsets on the driver, per-block vectorized finalize.  The SQL
+    window running-sum reproduces the assignment bit-for-bit."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import global_pack
+
+    def _diff(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        import numpy as np
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(doc_of[ok], minlength=len(lens)) \
+            .astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tok": pa.array(n_tok)})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _diff, batch_format="pyarrow")
+    out = global_pack(ds, ["n_tok", "doc_id"], "n_tok", budget=2048)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_tok": t["n_tok"],
+                            "shard": t["bin"],
+                            "bin_offset": t["bin_offset"]}),
+        batch_format="pyarrow")
+
+
 def _q_docs_naive_bayes(sf_dir: str):
     """Multinomial Naive Bayes train + apply
     (textstats.naive_bayes_classify): P(source | tokens) with Laplace
@@ -6784,6 +6822,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_curriculum": _q_docs_curriculum,
         "docs_naive_bayes": _q_docs_naive_bayes,
         "events_logreg": _q_events_logreg,
         "docs_incremental_near_dup": _q_docs_incremental_near_dup,
@@ -7033,6 +7072,23 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_curriculum": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text),
+                           '[a-z0-9]+'))::BIGINT AS n_tok
+                FROM documents),
+            o AS (SELECT doc_id, n_tok,
+                         sum(n_tok) OVER (
+                             ORDER BY n_tok, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok
+                             AS excl
+                  FROM s)
+            SELECT doc_id, n_tok,
+                   CAST(excl // 2048 AS BIGINT) AS shard,
+                   CAST(excl % 2048 AS BIGINT) AS bin_offset
+            FROM o
+        """,
         "docs_naive_bayes": """
             WITH tok AS (
                 SELECT doc_id,

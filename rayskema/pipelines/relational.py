@@ -6340,3 +6340,112 @@ def hopping_window_distinct_approx(
 
     return bucketed_map_groups(partial, ["__wg"], _final,
                                buckets=buckets, sort_within=False)
+
+
+# ---------------------------------------------------------------------------
+# Global ordered prefix-sum packing (curriculum / shard assembly)
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=1)
+def _pack_block_stats(tab: pa.Table, weight_col: str) -> int:
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    if tab.num_rows == 0:
+        return 0
+    w = pc.cast(tab[weight_col], pa.int64()).fill_null(0)
+    return int(pc.sum(w).as_py() or 0)
+
+
+@ray.remote(num_cpus=1)
+def _pack_block_finalize(tab: pa.Table, weight_col: str, offset: int,
+                         budget: int, keep_cols: list) -> pa.Table:
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    out = {c: tab[c] for c in keep_cols}
+    if tab.num_rows == 0:
+        out["bin"] = pa.array([], type=pa.int64())
+        out["bin_offset"] = pa.array([], type=pa.int64())
+        return pa.table(out)
+    w = pc.cast(tab[weight_col], pa.int64()).fill_null(0) \
+        .combine_chunks().to_numpy(zero_copy_only=False)
+    excl = offset + np.cumsum(w) - w
+    out["bin"] = pa.array(excl // budget, type=pa.int64())
+    out["bin_offset"] = pa.array(excl % budget, type=pa.int64())
+    return pa.table(out)
+
+
+def global_pack(
+    ds: "rd.Dataset", order_cols: Sequence[str], weight_col: str, *,
+    budget: int, descending=False,
+) -> "rd.Dataset":
+    """GLOBAL contiguous-fill packing: sort the whole corpus by
+    ``order_cols`` and assign each row to ``bin = floor(exclusive_
+    global_prefix_sum(weight) / budget)`` (plus its ``bin_offset``) —
+    the curriculum/shard-assembly step where one total order spans
+    the corpus, which :func:`pack_bins` (per-GROUP packing, one hash
+    bucket per group) cannot express without serializing everything
+    into a single group.
+
+    Same straddling semantics as ``pack_bins``: a row stays wholly in
+    the bin where its exclusive prefix lands, so a bin overfills by
+    at most ``max(weight) - 1`` — the price of keeping assignment a
+    pure prefix sum (associative, layout-independent, SQL-window
+    reproducible).
+
+    Distribution, TeraSort style like :func:`global_rank`: ONE
+    range-partitioned sort (order keys null-encoded so Ray's boundary
+    logic never sees a null or NaN), one O(1) weight-sum stat task
+    per block, a driver fold carrying O(blocks) integer offsets
+    (Python ints — exact at any corpus size), and one finalize task
+    per block attaching ``bin``/``bin_offset`` vectorized."""
+    order_cols = list(order_cols)
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    desc = ([descending] * len(order_cols)
+            if isinstance(descending, bool) else list(descending))
+    if len(desc) != len(order_cols):
+        raise ValueError("descending must match order_cols arity")
+
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        ds = ds.materialize()
+        sch = ds.schema()
+    if sch is None:
+        return ds
+    keep_cols = list(sch.base_schema.names)
+
+    def _encode(tab: pa.Table) -> pa.Table:
+        cols = {c: tab[c] for c in tab.column_names}
+        for i, c in enumerate(order_cols):
+            col = tab[c]
+            fill = _null_fill_default(col.type)
+            if pa.types.is_floating(col.type):
+                isnan = pc.fill_null(pc.is_nan(col), False)
+                cols[f"__pn{i}"] = pc.if_else(
+                    pc.is_null(col), pa.scalar(2, pa.int8()),
+                    pc.cast(isnan, pa.int8()))
+                cols[f"__pv{i}"] = pc.if_else(
+                    isnan, fill, pc.fill_null(col, fill))
+            else:
+                cols[f"__pn{i}"] = pc.cast(pc.is_null(col), pa.int8())
+                cols[f"__pv{i}"] = pc.fill_null(col, fill)
+        return pa.table(cols)
+
+    sort_cols, sort_desc = [], []
+    for i, d in enumerate(desc):
+        sort_cols += [f"__pn{i}", f"__pv{i}"]
+        sort_desc += [d, d]
+    s = ds.map_batches(_encode, batch_format="pyarrow") \
+        .sort(sort_cols, descending=sort_desc).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    sums = ray.get([_pack_block_stats.remote(r, weight_col)
+                    for r in refs])
+    out_refs = []
+    offset = 0
+    for r, ws in zip(refs, sums):
+        out_refs.append(_pack_block_finalize.remote(
+            r, weight_col, offset, budget, keep_cols))
+        offset += ws
+    return rd.from_arrow_refs(out_refs)

@@ -4852,3 +4852,39 @@ def test_naive_bayes_separable_and_layout_independent(ray_session):
     assert outs[0] == outs[1]
     for i, pred, _ in outs[0]:
         assert pred == ("spam" if i < 20 else "ham")
+
+
+def test_global_pack_matches_window_sum(ray_session):
+    """global_pack equals the SQL running-sum assignment on a corpus
+    forcing cross-block bins (tiny budget), identical across layouts,
+    and handles null weights/order keys without row duplication."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayskema.pipelines.relational import global_pack
+
+    rng = np.random.default_rng(5)
+    n = 500
+    w = rng.integers(1, 50, n)
+    key = rng.integers(0, 9, n)          # heavy ties across blocks
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "k": pa.array(key.astype(np.int64)),
+                  "w": pa.array(w.astype(np.int64))})
+
+    order = np.lexsort((np.arange(n), key))
+    excl = np.cumsum(w[order]) - w[order]
+    want = {int(t["id"][i].as_py()): (int(e // 64), int(e % 64))
+            for i, e in zip(order, excl)}
+
+    for nparts in (1, 11):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = pa.concat_tables([b for b in ray.get(
+            global_pack(ds, ["k", "id"], "w", budget=64)
+            .to_arrow_refs()) if b.num_rows])
+        got = {i: (b, o) for i, b, o in
+               zip(out["id"].to_pylist(), out["bin"].to_pylist(),
+                   out["bin_offset"].to_pylist())}
+        assert got == want
