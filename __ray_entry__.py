@@ -6585,6 +6585,17 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_kl_sources(sf_dir: str):
+    """Pairwise KL divergence between per-source unigram distributions
+    (textstats.kl_divergence_by_group): Laplace-smoothed over the
+    union vocabulary, every term integer-quantized before the fold so
+    the per-pair sums are exact int64 the SQL oracle reproduces.
+    One token exchange; only O(sources²) integers reach the driver."""
+    from rayskema.functions.textstats import kl_divergence_by_group
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    return kl_divergence_by_group(ds, "text", "source")
+
+
 def _q_docs_curriculum(sf_dir: str):
     """Curriculum shard assembly (relational.global_pack): the whole
     corpus sorted easy→hard by token count (ties by doc_id) and
@@ -6822,6 +6833,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_kl_sources": _q_docs_kl_sources,
         "docs_curriculum": _q_docs_curriculum,
         "docs_naive_bayes": _q_docs_naive_bayes,
         "events_logreg": _q_events_logreg,
@@ -7072,6 +7084,36 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_kl_sources": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents),
+            tc AS (SELECT source, tok, count(*)::BIGINT AS n
+                   FROM tok GROUP BY source, tok),
+            tot AS (SELECT source, sum(n)::BIGINT AS n_tok
+                    FROM tc GROUP BY source),
+            vv AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM tok),
+            grid AS (SELECT v.tok, t.source,
+                            coalesce(tc.n, 0) AS n,
+                            t.n_tok, vv.v
+                     FROM (SELECT DISTINCT tok FROM tok) v
+                     CROSS JOIN tot t
+                     LEFT JOIN tc ON tc.tok = v.tok
+                                     AND tc.source = t.source
+                     CROSS JOIN vv),
+            p AS (SELECT tok, source,
+                         (n + 1)::DOUBLE / (n_tok + v) AS p
+                  FROM grid)
+            SELECT a.source AS src, b.source AS dst,
+                   CAST(sum(CAST(round(a.p * (ln(a.p) - ln(b.p))
+                                       * 1000000000) AS BIGINT))
+                        AS BIGINT) AS kl_q
+            FROM p a JOIN p b ON a.tok = b.tok
+                                 AND a.source <> b.source
+            GROUP BY a.source, b.source
+        """,
         "docs_curriculum": """
             WITH s AS (
                 SELECT doc_id,

@@ -1691,3 +1691,145 @@ def naive_bayes_classify(
             "score_q": pa.array(score_q)})
 
     return proj.map_batches(_score, batch_format="pyarrow")
+
+
+def kl_divergence_by_group(
+    ds: "rd.Dataset", text_col: str, group_col: str, *,
+    quant: int = 1_000_000_000, buckets: int | None = None,
+) -> pa.Table:
+    """Pairwise Kullback-Leibler divergence between the unigram token
+    distributions of every ordered group pair (corpus-drift /
+    source-contamination diagnostics):
+
+        ``KL(a ‖ b) = Σ_tok p_a(tok) · ln(p_a(tok) / p_b(tok))``
+
+    with Laplace-smoothed ``p_g(tok) = (n_g,tok + 1) / (N_g + V)``
+    over the UNION vocabulary (V = corpus distinct tokens), every
+    term quantized to an integer (``round_half_away(term · quant)``)
+    before summation — the sum is an exact int64 fold, bit-equal to a
+    SQL oracle applying the same per-term rounding, and independent
+    of block layout or vocabulary iteration order.
+
+    Output (driver-side table, O(groups²) rows): ``(src, dst,
+    kl_q)``.
+
+    Distribution: one token exchange builds the per-token count
+    vector across groups (same shape as Naive Bayes training); each
+    exchange bucket then folds ITS vocabulary slice's quantized terms
+    for all group pairs — only O(groups²) integer partials ever
+    reach the driver, the vocabulary never does."""
+    from . import round_half_away
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        segment_starts)
+
+    proj = ds.select_columns([text_col, group_col])
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        grp = tab[group_col].combine_chunks().take(
+            pa.array(row_of[ok]))
+        return agg_named(
+            pa.table({"tok": flat.filter(pa.array(ok)), "grp": grp,
+                      "__one": np.ones(int(ok.sum()), np.int64)}),
+            ["tok", "grp"], [("__one", "sum")], ["n"])
+
+    tok_grp = bucketed_map_groups(
+        proj.map_batches(_partial, batch_format="pyarrow"),
+        ["tok", "grp"],
+        lambda t: agg_named(t, ["tok", "grp"], [("n", "sum")], ["n"]),
+        buckets=buckets, sort_within=False).materialize()
+
+    # per-group token totals: sum-decomposable, safe to fold from
+    # arbitrarily split blocks of the exchange output
+    totals: dict[str, int] = {}
+    for t in ray.get(tok_grp.map_batches(
+            lambda tb: (agg_named(tb, ["grp"], [("n", "sum")],
+                                  ["n_tok"]) if tb.num_rows else
+                        pa.table({"grp": pa.array([], pa.string()),
+                                  "n_tok": pa.array([], pa.int64())})),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for g, n in zip(t["grp"].to_pylist(), t["n_tok"].to_pylist()):
+            totals[g] = totals.get(g, 0) + int(n)
+    # vocab size: distinct-token counting needs COMPLETE token groups
+    # (Ray splits exchange-output blocks mid-group), so it runs inside
+    # a token-keyed gather where completeness is guaranteed
+    v_total = 0
+    for t in ray.get(bucketed_map_groups(
+            tok_grp, ["tok"],
+            lambda tb: pa.table({"v": pa.array(
+                [int(pc.count_distinct(tb["tok"]).as_py())
+                 if tb.num_rows else 0], pa.int64())}),
+            buckets=buckets, sort_within=False).to_arrow_refs()):
+        v_total += int(sum(t["v"].to_pylist()))
+    groups = sorted(totals)
+    k = len(groups)
+    denom = np.array([totals[g] for g in groups],
+                     dtype=np.float64) + v_total
+    dref = ray.put((groups, denom, v_total, quant))
+
+    def _pair_partial(tab: pa.Table, _d=dref) -> pa.Table:
+        groups_l, denom_v, V, q = ray.get(_d)
+        kk = len(groups_l)
+        if tab.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        tab = tab.sort_by([("tok", "ascending"), ("grp", "ascending")])
+        new = segment_starts(tab, ["tok"])
+        seg = np.cumsum(new) - 1
+        gi = np.searchsorted(
+            np.array(groups_l),
+            np.asarray(tab["grp"].combine_chunks().to_numpy(
+                zero_copy_only=False), dtype=object))
+        n = tab["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_seg = int(seg[-1]) + 1
+        counts = np.zeros((n_seg, kk), dtype=np.int64)
+        counts[seg, gi] = n
+        p = (counts + 1).astype(np.float64) / denom_v[None, :]
+        lp = np.log(p)
+        out_i, out_j, out_s = [], [], []
+        for i in range(kk):
+            for j in range(kk):
+                if i == j:
+                    continue
+                term = p[:, i] * (lp[:, i] - lp[:, j])
+                s = int(round_half_away(term * q, 0)
+                        .astype(np.int64).sum())
+                out_i.append(i)
+                out_j.append(j)
+                out_s.append(s)
+        return pa.table({"i": pa.array(out_i, pa.int64()),
+                         "j": pa.array(out_j, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    pair_ds = bucketed_map_groups(tok_grp, ["tok"], _pair_partial,
+                                  buckets=buckets, sort_within=False)
+    acc = np.zeros((k, k), dtype=object)
+    for t in ray.get(pair_ds.to_arrow_refs()):
+        for i, j, s in zip(t["i"].to_pylist(), t["j"].to_pylist(),
+                           t["s"].to_pylist()):
+            acc[i, j] += s
+    # tokens absent from the exchange output contribute NOTHING extra:
+    # the union vocabulary is exactly the exchanged token set, and
+    # every (tok, pair) term was folded by the bucket owning the token
+    out_a, out_b, out_q = [], [], []
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                out_a.append(groups[i])
+                out_b.append(groups[j])
+                out_q.append(int(acc[i, j]))
+    return pa.table({"src": pa.array(out_a, pa.string()),
+                     "dst": pa.array(out_b, pa.string()),
+                     "kl_q": pa.array(out_q, pa.int64())})

@@ -4888,3 +4888,29 @@ def test_global_pack_matches_window_sum(ray_session):
                zip(out["id"].to_pylist(), out["bin"].to_pylist(),
                    out["bin_offset"].to_pylist())}
         assert got == want
+
+
+def test_kl_divergence_layout_independent(ray_session):
+    """KL pair sums are exact integer folds: identical across block
+    layouts and bucket counts, zero only for identical distributions."""
+    import ray.data as rd
+
+    from rayskema.functions.textstats import kl_divergence_by_group
+
+    texts = (["alpha beta gamma"] * 5 + ["alpha beta delta"] * 5
+             + ["alpha beta gamma"] * 5)
+    grp = ["p"] * 5 + ["q"] * 5 + ["r"] * 5
+    t = pa.table({"text": pa.array(texts), "g": pa.array(grp)})
+    outs = []
+    for nparts, b in ((1, 2), (6, 4)):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = kl_divergence_by_group(ds, "text", "g", buckets=b)
+        outs.append(sorted(zip(out["src"].to_pylist(),
+                               out["dst"].to_pylist(),
+                               out["kl_q"].to_pylist())))
+    assert outs[0] == outs[1]
+    d = dict(((a, b), v) for a, b, v in outs[0])
+    assert d[("p", "r")] == 0 and d[("r", "p")] == 0   # same dist
+    assert d[("p", "q")] > 0 and d[("q", "p")] > 0
