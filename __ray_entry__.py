@@ -6585,6 +6585,32 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_orders_fd_mine(sf_dir: str):
+    """Approximate FD discovery (infer.mine_fds, the TANE/G3 error):
+    every ordered attribute pair's minimum-row-removal violation
+    count over (status, priority, priority digit, order year) — the
+    derived digit makes priority→digit hold exactly, the rest fail —
+    with the ≤(1−conf)·N decision in exact integer cross-multiply.
+    One exchange keyed (pair, lhs-value); max-per-group folds inside
+    the gather where groups are complete."""
+    import pyarrow.compute as pc
+    from rayskema.functions.infer import mine_fds
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "prio_digit": pc.utf8_slice_codeunits(
+                t["o_orderpriority"], 0, 1),
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())})
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_orderdate"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    return mine_fds(ds, ["o_orderstatus", "o_orderpriority",
+                         "prio_digit", "o_year"], min_conf=0.99)
+
+
 def _q_docs_kl_sources(sf_dir: str):
     """Pairwise KL divergence between per-source unigram distributions
     (textstats.kl_divergence_by_group): Laplace-smoothed over the
@@ -6833,6 +6859,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_fd_mine": _q_orders_fd_mine,
         "docs_kl_sources": _q_docs_kl_sources,
         "docs_curriculum": _q_docs_curriculum,
         "docs_naive_bayes": _q_docs_naive_bayes,
@@ -10617,4 +10644,33 @@ def oracle_sql() -> dict[str, str]:
     # SAME schema as validate_orders — one oracle definition for both
     # so a future constraint edit cannot drift them apart
     d["orders_gen_validate"] = d["validate_orders"]
+
+    # orders_fd_mine: one generated UNION ALL branch per ordered
+    # attribute pair — the SAME G3 formula per branch, generated so a
+    # pair-list edit cannot desynchronize engine and oracle
+    fd_cols = ["o_orderstatus", "o_orderpriority", "prio_digit",
+               "o_year"]
+    fd_branches = []
+    for a in fd_cols:
+        for b in fd_cols:
+            if a == b:
+                continue
+            fd_branches.append(f"""
+            SELECT '{a}' AS lhs, '{b}' AS rhs,
+                   CAST(sum(na - mx) AS BIGINT) AS violations,
+                   (SELECT n FROM nn) AS n_rows,
+                   sum(na - mx) * 1000000
+                       <= 10000 * (SELECT n FROM nn) AS holds
+            FROM (SELECT {a}, sum(c) AS na, max(c) AS mx
+                  FROM (SELECT {a}, {b}, count(*)::BIGINT AS c
+                        FROM base GROUP BY 1, 2)
+                  GROUP BY {a})""")
+    d["orders_fd_mine"] = ("""
+            WITH base AS (
+                SELECT o_orderstatus, o_orderpriority,
+                       substr(o_orderpriority, 1, 1) AS prio_digit,
+                       year(o_orderdate) AS o_year
+                FROM orders),
+            nn AS (SELECT count(*)::BIGINT AS n FROM base)
+            """ + "\n            UNION ALL".join(fd_branches))
     return d

@@ -269,3 +269,98 @@ def infer_contract(
                                       buckets=buckets)
     return contract_from_facts(facts, dtypes, key_columns=key_columns,
                                name=name, unknown=unknown)
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency mining
+# ---------------------------------------------------------------------------
+
+def mine_fds(
+    ds: "rd.Dataset", cols: Sequence[str], *,
+    min_conf: float = 0.99, buckets: int | None = None,
+) -> pa.Table:
+    """Mine approximate functional dependencies A → B over every
+    ordered pair of ``cols`` (the TANE/G3 error measure): the minimum
+    number of rows that must be removed for the dependency to hold
+    exactly is
+
+        ``viol(A→B) = Σ_a ( |rows with A=a| − max_b |rows with A=a,
+        B=b| )``
+
+    and the FD is reported as holding when
+    ``viol ≤ (1 − min_conf) · N`` (compared in EXACT integer
+    cross-multiplication — no float thresholds).  Null is a value
+    (SQL ``GROUP BY`` semantics).  Output (driver-side, O(pairs)
+    rows): ``(lhs, rhs, violations, n_rows, holds)``.
+
+    Distribution: values are cast to strings once and every pair's
+    ``(a, b)`` counts pre-aggregate per batch, so ONE exchange keyed
+    on ``(pair, a)`` sees each A-group complete (max-per-group is not
+    sum-decomposable — it must fold inside the gather, the same
+    completeness argument as connected_components' group minima);
+    each bucket emits one integer partial per pair and the driver
+    folds O(buckets · pairs) scalars."""
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        segment_starts)
+
+    cols = list(cols)
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+
+    def _pair_counts(tab: pa.Table) -> pa.Table:
+        strs = {c: pc.fill_null(
+            pc.cast(tab[c], pa.string()), "\x00null") for c in cols}
+        parts = []
+        for pid, (a, b) in enumerate(pairs):
+            parts.append(agg_named(
+                pa.table({"pid": pa.array(
+                    np.full(tab.num_rows, pid, np.int64)),
+                    "a": strs[a], "b": strs[b],
+                    "__one": np.ones(tab.num_rows, np.int64)}),
+                ["pid", "a", "b"], [("__one", "sum")], ["n"]))
+        return pa.concat_tables(parts)
+
+    counted = ds.select_columns(cols).map_batches(
+        _pair_counts, batch_format="pyarrow")
+
+    def _viol(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "viol": pa.array([], pa.int64())})
+        # sum (pid, a, b) partials from different batches first, then
+        # per (pid, a): violations = group total - max b count
+        tab = agg_named(tab, ["pid", "a", "b"], [("n", "sum")], ["n"])
+        tab = tab.sort_by([("pid", "ascending"), ("a", "ascending"),
+                           ("b", "ascending")])
+        seg = np.cumsum(segment_starts(tab, ["pid", "a"])) - 1
+        n = tab["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pid = tab["pid"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_seg = int(seg[-1]) + 1
+        tot = np.zeros(n_seg, np.int64)
+        mx = np.zeros(n_seg, np.int64)
+        np.add.at(tot, seg, n)
+        np.maximum.at(mx, seg, n)
+        first = np.concatenate([[True], seg[1:] != seg[:-1]])
+        return pa.table({"pid": pa.array(pid[first]),
+                         "viol": pa.array(tot - mx)})
+
+    viol_ds = bucketed_map_groups(counted, ["pid", "a"], _viol,
+                                  buckets=buckets, sort_within=False)
+    viol = np.zeros(len(pairs), np.int64)
+    for t in ray.get(viol_ds.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for p, v in zip(t["pid"].to_pylist(), t["viol"].to_pylist()):
+            viol[p] += v
+
+    n_rows = ds.count()
+    # holds <=> viol * 10^k <= (10^k - conf_scaled) * n, exact ints
+    conf_num = int(round(min_conf * 1_000_000))
+    holds = [int(v) * 1_000_000 <= (1_000_000 - conf_num) * n_rows
+             for v in viol]
+    return pa.table({
+        "lhs": pa.array([a for a, _ in pairs], pa.string()),
+        "rhs": pa.array([b for _, b in pairs], pa.string()),
+        "violations": pa.array(viol),
+        "n_rows": pa.array(np.full(len(pairs), n_rows, np.int64)),
+        "holds": pa.array(holds)})

@@ -4914,3 +4914,42 @@ def test_kl_divergence_layout_independent(ray_session):
     d = dict(((a, b), v) for a, b, v in outs[0])
     assert d[("p", "r")] == 0 and d[("r", "p")] == 0   # same dist
     assert d[("p", "q")] > 0 and d[("q", "p")] > 0
+
+
+def test_mine_fds_exact_and_layout_independent(ray_session):
+    """G3 violation counts: a constructed exact FD holds, a near-FD's
+    violation count is the known minimum row removal, identical
+    across layouts; nulls group as values."""
+    import ray.data as rd
+
+    from rayskema.functions.infer import mine_fds
+
+    # b = a // 2 exactly; c breaks it for 3 rows; d has a null group
+    a = list(range(20)) * 3
+    b = [x // 2 for x in a]
+    c = list(b)
+    c[0] = 99
+    c[20] = 99          # a=0 appears 3x: two say 0, one says 99 -> 1 viol... (a=0 rows are idx 0,20,40)
+    d = [None if x % 5 == 0 else x % 3 for x in a]
+    t = pa.table({"a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64()),
+                  "c": pa.array(c, pa.int64()),
+                  "d": pa.array(d, pa.int64())})
+    outs = []
+    for nparts in (1, 9):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = mine_fds(ds, ["a", "b", "c", "d"], min_conf=0.99,
+                       buckets=4)
+        outs.append(sorted(zip(out["lhs"].to_pylist(),
+                               out["rhs"].to_pylist(),
+                               out["violations"].to_pylist(),
+                               out["holds"].to_pylist())))
+    assert outs[0] == outs[1]
+    res = {(l, r): (v, h) for l, r, v, h in outs[0]}
+    assert res[("a", "b")] == (0, True)
+    # a=0 rows: c values (99, 0, 0) -> 1 removal; others 0
+    assert res[("a", "c")][0] == 1
+    assert res[("a", "c")][1] is False      # 1 > 0.01 * 60
+    assert res[("b", "a")][0] > 0           # b maps to two a values
