@@ -6585,6 +6585,38 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_orders_violation_examples(sf_dir: str):
+    """Violation drill-down: the 3 smallest offending keys per
+    (code, rule) — the triage view a data-quality report leads with.
+    Composed from the SAME validate_orders pipeline (one oracle
+    definition feeds both, so a constraint edit cannot drift them)
+    plus topk_per_group's map-side-capped exchange: a rule violated
+    by half the corpus still ships O(blocks·k) rows."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import topk_per_group
+
+    v = _q_validate_orders(sf_dir)
+    tagged = v.map_batches(
+        lambda t: pa.table({
+            "grp": pc.binary_join_element_wise(t["code"], t["rule"],
+                                               "|"),
+            "o_orderkey": t["o_orderkey"],
+            "okey": t["o_orderkey"]}),
+        batch_format="pyarrow")
+    top = topk_per_group(tagged, "grp", "okey", "o_orderkey",
+                         k=3, descending=False)
+
+    def _split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["grp"], pattern="|", max_splits=1)
+        return pa.table({
+            "code": pc.list_element(parts, 0),
+            "rule": pc.list_element(parts, 1),
+            "o_orderkey": t["o_orderkey"],
+            "rank": t["rank"]})
+
+    return top.map_batches(_split, batch_format="pyarrow")
+
+
 def _q_orders_fd_mine(sf_dir: str):
     """Approximate FD discovery (infer.mine_fds, the TANE/G3 error):
     every ordered attribute pair's minimum-row-removal violation
@@ -6859,6 +6891,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_violation_examples": _q_orders_violation_examples,
         "orders_fd_mine": _q_orders_fd_mine,
         "docs_kl_sources": _q_docs_kl_sources,
         "docs_curriculum": _q_docs_curriculum,
@@ -10644,6 +10677,18 @@ def oracle_sql() -> dict[str, str]:
     # SAME schema as validate_orders — one oracle definition for both
     # so a future constraint edit cannot drift them apart
     d["orders_gen_validate"] = d["validate_orders"]
+
+    # violation drill-down reuses the validate_orders oracle verbatim
+    d["orders_violation_examples"] = f"""
+            WITH v AS ({d["validate_orders"]}),
+            r AS (SELECT code, rule, o_orderkey,
+                         row_number() OVER (
+                             PARTITION BY code, rule
+                             ORDER BY o_orderkey) AS rank
+                  FROM v)
+            SELECT code, rule, o_orderkey, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """
 
     # orders_fd_mine: one generated UNION ALL branch per ordered
     # attribute pair — the SAME G3 formula per branch, generated so a
