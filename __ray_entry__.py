@@ -6585,6 +6585,19 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_scd2(sf_dir: str):
+    """SCD type-2 history build (relational.scd2_intervals): each
+    user's time-ordered event-type stream collapsed into validity
+    intervals (valid_from, valid_to, version) — one key exchange,
+    run detection by shifted compares.  The oracle is the classic
+    LAG-change + LEAD-bound window pair."""
+    from rayskema.pipelines.relational import scd2_intervals
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+    return scd2_intervals(ds, "user_id", "event_type", "ts",
+                          tiebreak=["event_id"])
+
+
 def _q_orders_violation_examples(sf_dir: str):
     """Violation drill-down: the 3 smallest offending keys per
     (code, rule) — the triage view a data-quality report leads with.
@@ -6891,6 +6904,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_scd2": _q_events_scd2,
         "orders_violation_examples": _q_orders_violation_examples,
         "orders_fd_mine": _q_orders_fd_mine,
         "docs_kl_sources": _q_docs_kl_sources,
@@ -7144,6 +7158,28 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_scd2": """
+            WITH o AS (
+                SELECT user_id, event_type AS val, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            c AS (SELECT *,
+                         CASE WHEN lag(val) OVER (
+                                  PARTITION BY user_id ORDER BY rn)
+                              IS DISTINCT FROM val
+                              THEN 1 ELSE 0 END AS chg
+                  FROM o),
+            s AS (SELECT * FROM c WHERE chg = 1)
+            SELECT user_id, val AS event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY rn) AS valid_to,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS BIGINT)
+                       AS version
+            FROM s
+        """,
         "docs_kl_sources": """
             WITH tok AS (
                 SELECT source,

@@ -6449,3 +6449,76 @@ def global_pack(
             r, weight_col, offset, budget, keep_cols))
         offset += ws
     return rd.from_arrow_refs(out_refs)
+
+
+def scd2_intervals(
+    ds: "rd.Dataset", key_col: str, value_col: str, ts_col: str, *,
+    tiebreak: Sequence[str] = (), buckets: int | None = None,
+) -> "rd.Dataset":
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    key's time-ordered value stream into validity intervals —
+    ``(key, value, valid_from, valid_to, version)`` with one row per
+    RUN of consecutive equal values, ``valid_to`` the next run's
+    start (null while current) and ``version`` the key's 1-based run
+    ordinal.  Ordering ties resolve by ``tiebreak`` columns; equal
+    values compare null-safely (null == null, one run).
+
+    One hash exchange on the key; run detection, interval bounds and
+    version numbers are all shift-compares over the bucket-sorted
+    arrays — no per-key Python."""
+    tiebreak = list(tiebreak)
+    sort_cols = [key_col, ts_col] + tiebreak
+
+    def _runs(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                value_col: pa.array([], pa.string()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+                "version": pa.array([], pa.int64())})
+        tab = tab.sort_by([(c, "ascending") for c in sort_cols])
+        new_key = segment_starts(tab, [key_col])
+        # null-safe value change detection via the shared segment
+        # machinery on (key, value): a row starts a run iff it starts
+        # a (key, value) segment in the KEY-sorted order... which is
+        # not the same as a (key,value) sort — compare shifted arrays
+        # instead
+        v = tab[value_col]
+        eq = pc.fill_null(
+            pc.equal(v.slice(1), v.slice(0, tab.num_rows - 1)), False)
+        both_null = pc.and_(pc.is_null(v.slice(1)),
+                            pc.is_null(v.slice(0, tab.num_rows - 1)))
+        same = pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        chg = np.ones(tab.num_rows, dtype=bool)
+        chg[1:] = new_key[1:] | ~same
+        starts = np.flatnonzero(chg)
+        key_seg = np.cumsum(new_key) - 1
+        # version: ordinal of the run within its key
+        run_key = key_seg[starts]
+        first_run_of_key = np.concatenate(
+            [[True], run_key[1:] != run_key[:-1]])
+        version = np.arange(len(starts)) - np.repeat(
+            np.flatnonzero(first_run_of_key),
+            np.diff(np.append(np.flatnonzero(first_run_of_key),
+                              len(starts)))) + 1
+        ts = tab[ts_col].combine_chunks()
+        valid_from = ts.take(pa.array(starts))
+        nxt = np.append(starts[1:], -1)
+        same_key_next = np.append(run_key[1:] == run_key[:-1], False)
+        to_idx = np.where(same_key_next, nxt, 0)
+        valid_to_raw = ts.take(pa.array(to_idx))
+        valid_to = pc.if_else(pa.array(same_key_next), valid_to_raw,
+                              pa.nulls(len(starts), ts.type))
+        return pa.table({
+            key_col: tab[key_col].combine_chunks().take(
+                pa.array(starts)),
+            value_col: v.combine_chunks().take(pa.array(starts)),
+            "valid_from": valid_from,
+            "valid_to": valid_to,
+            "version": pa.array(version.astype(np.int64))})
+
+    return bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(
+            sort_cols + [value_col]))), [key_col], _runs,
+        buckets=buckets, sort_within=False)

@@ -4953,3 +4953,47 @@ def test_mine_fds_exact_and_layout_independent(ray_session):
     assert res[("a", "c")][0] == 1
     assert res[("a", "c")][1] is False      # 1 > 0.01 * 60
     assert res[("b", "a")][0] > 0           # b maps to two a values
+
+
+def test_scd2_runs_and_null_values(ray_session):
+    """SCD2: runs collapse, null values form their own run
+    (null-safe equality), valid_to chains to the next run, versions
+    are per-key ordinals; identical across layouts."""
+    import datetime as dt
+
+    import ray
+    import ray.data as rd
+
+    from rayskema.pipelines.relational import scd2_intervals
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, "a", T(0), 100), (1, "a", T(1), 101), (1, "b", T(2), 102),
+        (1, None, T(3), 103), (1, None, T(4), 104), (1, "a", T(5), 105),
+        (2, "x", T(0), 200),
+    ]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "id": pa.array([r[3] for r in rows], pa.int64())})
+
+    outs = []
+    for nparts in (1, 4):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        out = pa.concat_tables([b for b in ray.get(
+            scd2_intervals(ds, "k", "v", "ts", tiebreak=["id"],
+                           buckets=2).to_arrow_refs())
+            if b.num_rows])
+        outs.append(sorted(
+            zip(out["k"].to_pylist(), out["version"].to_pylist(),
+                out["v"].to_pylist(), out["valid_from"].to_pylist(),
+                out["valid_to"].to_pylist()),
+            key=lambda r: (r[0], r[1])))
+    assert outs[0] == outs[1]
+    assert outs[0] == [
+        (1, 1, "a", T(0), T(2)), (1, 2, "b", T(2), T(3)),
+        (1, 3, None, T(3), T(5)), (1, 4, "a", T(5), None),
+        (2, 1, "x", T(0), None)]
