@@ -6585,6 +6585,38 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_join_estimate(sf_dir: str):
+    """Planner-side join cardinality: the CMS inner-product estimate
+    of the events×events self-join on user_id
+    (relational.cms_join_size_estimate — constant bytes per block, no
+    shuffle) checked against the EXACT size Σ n_u² from one group
+    exchange.  Verdict flags assert the estimator's one-sided
+    guarantee (never undershoots) and its e/w·|L|·|R| slack bound."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (cms_join_size_estimate,
+                                               group_agg)
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = cms_join_size_estimate(ds, ds, "user_id", "user_id")
+    counts = group_agg(ds.map_batches(
+        lambda t: t.append_column("__one", pa.array(
+            np.ones(t.num_rows, np.int64))), batch_format="pyarrow"),
+        ["user_id"], [("__one", "sum", "n")])
+    exact = 0
+    for t in ray.get(counts.map_batches(
+            lambda tb: pa.table({"s": pa.array(
+                [int((tb["n"].to_numpy(zero_copy_only=False).astype(
+                    object) ** 2).sum()) if tb.num_rows else 0],
+                pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()):
+        exact += int(sum(t["s"].to_pylist()))
+    return pa.table({
+        "exact_size": pa.array([exact], pa.int64()),
+        "est_ge_exact": pa.array([est["estimate"] >= exact]),
+        "within_bound": pa.array(
+            [est["estimate"] - exact <= est["bound"]])})
+
+
 def _q_events_scd2(sf_dir: str):
     """SCD type-2 history build (relational.scd2_intervals): each
     user's time-ordered event-type stream collapsed into validity
@@ -6904,6 +6936,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_join_estimate": _q_events_join_estimate,
         "events_scd2": _q_events_scd2,
         "orders_violation_examples": _q_orders_violation_examples,
         "orders_fd_mine": _q_orders_fd_mine,
@@ -7158,6 +7191,14 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_join_estimate": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events GROUP BY user_id)
+            SELECT CAST(sum(n * n) AS BIGINT) AS exact_size,
+                   TRUE AS est_ge_exact,
+                   TRUE AS within_bound
+            FROM c
+        """,
         "events_scd2": """
             WITH o AS (
                 SELECT user_id, event_type AS val, ts,

@@ -6522,3 +6522,55 @@ def scd2_intervals(
         ds.select_columns(list(dict.fromkeys(
             sort_cols + [value_col]))), [key_col], _runs,
         buckets=buckets, sort_within=False)
+
+
+def cms_join_size_estimate(
+    left: "rd.Dataset", right: "rd.Dataset",
+    left_key: Sequence[str] | str, right_key: Sequence[str] | str, *,
+    w: int = 4096, d: int = 5,
+) -> dict:
+    """Equi-join OUTPUT-size estimate WITHOUT joining: fold one
+    count-min sketch per side over the composite key hashes (constant
+    ``d × w`` int64 bytes per block, merged by addition — associative,
+    layout-independent) and take ``min_r ⟨A_r, B_r⟩`` over the d hash
+    rows (Cormode & Muthukrishnan's inner-product estimator).  The
+    estimate NEVER undershoots the true size (collisions only add),
+    and exceeds it by at most ``e/w · |L| · |R|`` with probability
+    ``1 − e^−d`` — the planner-side cardinality input for choosing
+    broadcast vs bucketed vs skew-path joins before paying any
+    shuffle.
+
+    Returns ``{"estimate": int, "n_left": int, "n_right": int,
+    "bound": int}`` (bound = the ``⌈e/w·|L|·|R|⌉`` slack term)."""
+    import math
+
+    from ..state.sketches import CountMin
+
+    def _fold(ds, keys):
+        keys = [keys] if isinstance(keys, str) else list(keys)
+
+        def _partial(tab: pa.Table) -> pa.Table:
+            cms = CountMin(w=w, d=d)
+            cms.update_hashes(composite_hash(tab, keys))
+            return pa.table({
+                "cms": pa.array([cms.to_bytes()], type=pa.binary()),
+                "n": pa.array([tab.num_rows], type=pa.int64())})
+
+        total = CountMin(w=w, d=d)
+        n = 0
+        for t in ray.get(ds.select_columns(keys).map_batches(
+                _partial, batch_format="pyarrow").to_arrow_refs()):
+            for blob, bn in zip(t["cms"].to_pylist(),
+                                t["n"].to_pylist()):
+                total.merge(CountMin.from_bytes(blob))
+                n += int(bn)
+        return total, n
+
+    ca, na = _fold(left, left_key)
+    cb, nb = _fold(right, right_key)
+    est = min(int(np.dot(ca.table[r].astype(object),
+                         cb.table[r].astype(object)))
+              for r in range(d))
+    bound = int(math.ceil(math.e / w * na * nb))
+    return {"estimate": est, "n_left": na, "n_right": nb,
+            "bound": bound}
