@@ -6609,6 +6609,8 @@ def _q_events_join_estimate(sf_dir: str):
                     object) ** 2).sum()) if tb.num_rows else 0],
                 pa.int64())}),
             batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0 or "s" not in t.column_names:
+            continue        # schema-less empty block at tiny scale
         exact += int(sum(t["s"].to_pylist()))
     return pa.table({
         "exact_size": pa.array([exact], pa.int64()),
