@@ -6585,6 +6585,18 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_fingerprint_clusters(sf_dir: str):
+    """OpenRefine-style key-collision clusters
+    (dedup.fingerprint_clusters): documents keyed by their sorted
+    distinct token set — reordered/repeated-word template duplicates
+    collapse at pure group-by cost, no pair generation.  Arrow sort +
+    segment dedup + vectorized list rebuild per batch, one
+    fingerprint exchange."""
+    from rayskema.functions.dedup import fingerprint_clusters
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_clusters(ds, "text", "doc_id", buckets=4)
+
+
 def _q_events_join_estimate(sf_dir: str):
     """Planner-side join cardinality: the CMS inner-product estimate
     of the events×events self-join on user_id
@@ -6938,6 +6950,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_fingerprint_clusters": _q_docs_fingerprint_clusters,
         "events_join_estimate": _q_events_join_estimate,
         "events_scd2": _q_events_scd2,
         "orders_violation_examples": _q_orders_violation_examples,
@@ -7193,6 +7206,19 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_fingerprint_clusters": """
+            WITH f AS (
+                SELECT doc_id,
+                       array_to_string(list_sort(list_distinct(
+                           regexp_extract_all(lower(text),
+                                              '[a-z0-9]+'))),
+                           ' ') AS fp
+                FROM documents)
+            SELECT fp AS fingerprint,
+                   count(*)::BIGINT AS n_members,
+                   min(doc_id) AS min_doc_id
+            FROM f GROUP BY fp HAVING count(*) > 1
+        """,
         "events_join_estimate": """
             WITH c AS (SELECT user_id, count(*)::BIGINT AS n
                        FROM events GROUP BY user_id)

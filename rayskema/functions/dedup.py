@@ -2903,3 +2903,62 @@ def _verify_containment_chunk_task(pairs, sets_tab, id_col,
     from ..plan import limit_arrow_threads
     limit_arrow_threads()
     return _verify_containment_chunk(pairs, sets_tab, id_col, threshold)
+
+
+def fingerprint_clusters(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Key-collision clustering by TOKEN-SET fingerprint (the
+    OpenRefine "fingerprint" method): each document keys on its
+    sorted distinct ``[a-z0-9]+`` tokens joined by single spaces, and
+    clusters are fingerprints shared by more than one document —
+    template/boilerplate detection that exact-hash dedup misses
+    (reordered or repeated words collapse to one key) at pure
+    group-by cost (no pairs, no similarity).
+
+    Output: ``(fingerprint, n_members, min_doc_id)`` for every
+    colliding fingerprint.  One exchange on the fingerprint; the
+    per-batch fingerprint build is Arrow sort + segment dedup +
+    vectorized list rebuild — no per-row Python."""
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        segment_starts)
+
+    def _fp(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab[text_col], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table({"d": pa.array(doc_of[ok]),
+                          "t": flat.filter(pa.array(ok))}) \
+            .sort_by([("d", "ascending"), ("t", "ascending")])
+        if pairs.num_rows:
+            keep = segment_starts(pairs, ["d", "t"])
+            pairs = pairs.filter(pa.array(keep.astype(bool)))
+        d = pairs["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        per_doc = np.bincount(d, minlength=tab.num_rows) \
+            if len(d) else np.zeros(tab.num_rows, np.int64)
+        offsets = np.concatenate([[0], np.cumsum(per_doc)]) \
+            .astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets), pairs["t"].combine_chunks())
+        fp = pc.binary_join(lst, " ")
+        return pa.table({"fingerprint": fp, id_col: tab[id_col]})
+
+    fps = ds.select_columns([id_col, text_col]).map_batches(
+        _fp, batch_format="pyarrow")
+
+    def _clusters(tab: pa.Table) -> pa.Table:
+        out = agg_named(tab, ["fingerprint"],
+                        [([], "count_all"), (id_col, "min")],
+                        ["n_members", "min_doc_id"])
+        return out.filter(pc.greater(out["n_members"], 1))
+
+    return bucketed_map_groups(fps, ["fingerprint"], _clusters,
+                               buckets=buckets, sort_within=False)
