@@ -6585,6 +6585,43 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_ridge(sf_dir: str):
+    """Closed-form ridge regression (fit.ridge_regression): one pass
+    folds integer-quantized sufficient statistics (exact Python-int
+    driver fold), one deterministic 3×3 solve.  The oracle
+    hash-checks every moment integer; the solve's normal-equation
+    residual is the in-query flag."""
+    import pyarrow.compute as pc
+    from rayskema.functions.fit import _ridge_solve, ridge_regression
+
+    def _feats(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        x1 = pc.divide(pc.cast(pc.hour(ts), pa.float64()), 24.0)
+        x2 = pc.divide(pc.cast(pc.minute(ts), pa.float64()), 60.0)
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        y = pc.divide(pc.min_element_wise(
+            pc.max_element_wise(v, 0.0), 10.0), 10.0)
+        return pa.table({"x1": x1, "x2": x2, "y": y})
+
+    ds = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        _feats, batch_format="pyarrow")
+    fit = ridge_regression(ds, ["x1", "x2"], "y", l2=1.0)
+    m, w = fit["moments"], fit["w"]
+    q2 = float(1 << 16) ** 2
+    A = np.array([[m["m11"] / q2 + 1.0, m["m12"] / q2,
+                   m["s1"] / 65536.0],
+                  [m["m12"] / q2, m["m22"] / q2 + 1.0,
+                   m["s2"] / 65536.0],
+                  [m["s1"] / 65536.0, m["s2"] / 65536.0,
+                   float(m["n"])]])
+    b = np.array([m["v1"] / q2, m["v2"] / q2, m["vy"] / 65536.0])
+    resid = float(np.abs(A @ w - b).max())
+    cols = {k: pa.array([m[k]], pa.int64()) for k in
+            ("n", "s1", "s2", "m11", "m12", "m22", "v1", "v2", "vy")}
+    cols["solved"] = pa.array([resid < 1e-6])
+    return pa.table(cols)
+
+
 def _q_docs_fingerprint_clusters(sf_dir: str):
     """OpenRefine-style key-collision clusters
     (dedup.fingerprint_clusters): documents keyed by their sorted
@@ -6950,6 +6987,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_ridge": _q_events_ridge,
         "docs_fingerprint_clusters": _q_docs_fingerprint_clusters,
         "events_join_estimate": _q_events_join_estimate,
         "events_scd2": _q_events_scd2,
@@ -7206,6 +7244,28 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_ridge": """
+            WITH f AS (
+                SELECT CAST(round(hour(ts)::DOUBLE / 24 * 65536)
+                            AS BIGINT) AS qx1,
+                       CAST(round(minute(ts)::DOUBLE / 60 * 65536)
+                            AS BIGINT) AS qx2,
+                       CAST(round(least(greatest(
+                               coalesce(value, 0), 0), 10)::DOUBLE
+                               / 10 * 65536) AS BIGINT) AS qy
+                FROM events)
+            SELECT count(*)::BIGINT AS n,
+                   CAST(sum(qx1) AS BIGINT) AS s1,
+                   CAST(sum(qx2) AS BIGINT) AS s2,
+                   CAST(sum(qx1 * qx1) AS BIGINT) AS m11,
+                   CAST(sum(qx1 * qx2) AS BIGINT) AS m12,
+                   CAST(sum(qx2 * qx2) AS BIGINT) AS m22,
+                   CAST(sum(qx1 * qy) AS BIGINT) AS v1,
+                   CAST(sum(qx2 * qy) AS BIGINT) AS v2,
+                   CAST(sum(qy) AS BIGINT) AS vy,
+                   TRUE AS solved
+            FROM f
+        """,
         "docs_fingerprint_clusters": """
             WITH f AS (
                 SELECT doc_id,

@@ -133,3 +133,86 @@ def logistic_regression_local(X: np.ndarray, y: np.ndarray, *,
                             .astype(np.int64).sum()))
         w = w - lr * (gq.astype(np.float64) / quant) / n
     return {"w": w, "n": n, "losses_q": losses_q}
+
+
+def ridge_moments(X: np.ndarray, y: np.ndarray,
+                  quant: int) -> dict[str, int]:
+    """Quantized sufficient statistics for 2-feature ridge: per-row
+    ``round_half_away(value · quant)`` int64s, summed — shared by the
+    distributed fold and the local replica."""
+    from . import round_half_away
+
+    qx = round_half_away(X * float(quant), 0).astype(np.int64)
+    qy = round_half_away(y * float(quant), 0).astype(np.int64)
+    return {
+        "n": int(len(y)),
+        "s1": int(qx[:, 0].sum()), "s2": int(qx[:, 1].sum()),
+        "m11": int((qx[:, 0] * qx[:, 0]).sum()),
+        "m12": int((qx[:, 0] * qx[:, 1]).sum()),
+        "m22": int((qx[:, 1] * qx[:, 1]).sum()),
+        "v1": int((qx[:, 0] * qy).sum()),
+        "v2": int((qx[:, 1] * qy).sum()),
+        "vy": int(qy.sum()),
+    }
+
+
+_MOMENT_KEYS = ("n", "s1", "s2", "m11", "m12", "m22", "v1", "v2",
+                "vy")
+
+
+def _ridge_solve(m: dict[str, int], quant: int,
+                 l2: float) -> np.ndarray:
+    """(w1, w2, bias) from exact integer moments — one deterministic
+    3×3 float solve on the de-scaled normal equations (bias
+    unpenalized)."""
+    q2 = float(quant) * float(quant)
+    n = float(m["n"])
+    A = np.array([
+        [m["m11"] / q2 + l2, m["m12"] / q2, m["s1"] / float(quant)],
+        [m["m12"] / q2, m["m22"] / q2 + l2, m["s2"] / float(quant)],
+        [m["s1"] / float(quant), m["s2"] / float(quant), n],
+    ], dtype=np.float64)
+    b = np.array([m["v1"] / q2, m["v2"] / q2,
+                  m["vy"] / float(quant)], dtype=np.float64)
+    return np.linalg.solve(A, b)
+
+
+def ridge_regression(
+    ds: "rd.Dataset", feature_cols: Sequence[str], label_col: str, *,
+    l2: float = 1.0, quant_bits: int = 16,
+) -> dict:
+    """Closed-form 2-feature ridge regression over a Dataset: ONE
+    streaming pass folds per-block integer-quantized sufficient
+    statistics (products bounded by ``2^(2·quant_bits)`` per row —
+    int64-safe for any realistic block, Python-int exact on the
+    driver), then a single deterministic 3×3 solve.  The moments are
+    plain integer sums a SQL oracle reproduces term-for-term; the
+    weights are a pure function of those integers, so a 256-node run
+    and a laptop run return bit-identical coefficients.
+
+    Features/label must be pre-bounded (|value| ≲ 1) by the caller's
+    projection.  Returns ``{"w": (3,) ndarray, "moments": dict}``."""
+    feature_cols = list(feature_cols)
+    if len(feature_cols) != 2:
+        raise ValueError("ridge_regression expects exactly 2 features")
+    quant = 1 << quant_bits
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            pc.cast(tab[c], pa.float64()).to_numpy(
+                zero_copy_only=False) for c in feature_cols])
+        y = pc.cast(tab[label_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        m = ridge_moments(X, y, quant)
+        return pa.table({k: pa.array([m[k]], pa.int64())
+                         for k in _MOMENT_KEYS})
+
+    total = {k: 0 for k in _MOMENT_KEYS}
+    for t in ray.get(ds.select_columns(feature_cols + [label_col])
+                     .map_batches(_partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if t.num_rows == 0 or "n" not in t.column_names:
+            continue
+        for k in _MOMENT_KEYS:
+            total[k] += int(sum(t[k].to_pylist()))
+    return {"w": _ridge_solve(total, quant, l2), "moments": total}

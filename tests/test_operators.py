@@ -4997,3 +4997,31 @@ def test_scd2_runs_and_null_values(ray_session):
         (1, 1, "a", T(0), T(2)), (1, 2, "b", T(2), T(3)),
         (1, 3, None, T(3), T(5)), (1, 4, "a", T(5), None),
         (2, 1, "x", T(0), None)]
+
+
+def test_ridge_layout_independent_and_accurate(ray_session):
+    """Ridge moments fold exactly (layout-independent) and the solve
+    recovers known coefficients on clean linear data."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayskema.functions.fit import ridge_regression
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    x1 = rng.uniform(0, 1, n)
+    x2 = rng.uniform(0, 1, n)
+    y = 0.6 * x1 - 0.3 * x2 + 0.2
+    t = pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
+                  "y": pa.array(y)})
+    fits = []
+    for nparts in (1, 13):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        fits.append(ridge_regression(ds, ["x1", "x2"], "y", l2=0.001))
+    assert fits[0]["moments"] == fits[1]["moments"]
+    assert np.array_equal(fits[0]["w"], fits[1]["w"])
+    w = fits[0]["w"]
+    assert abs(w[0] - 0.6) < 0.02 and abs(w[1] + 0.3) < 0.02 \
+        and abs(w[2] - 0.2) < 0.02
