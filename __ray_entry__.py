@@ -6585,6 +6585,78 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (the ML categorical-feature
+    transform): each event's type encoded as the mean quantized value
+    of OTHER events of that type — per-type integer sums from one
+    small exchange, broadcast back, per-row exact arithmetic
+    ``(sum_q − own_q) / (n − 1)`` rounded to 6.  No row ever sees its
+    own label (leakage-free by construction)."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    def _q(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qy = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "qy": pa.array(qy)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        _q, batch_format="pyarrow")
+    stats = group_agg(ds, ["event_type"],
+                      [("qy", "sum", "sum_q"),
+                       ("qy", "count_all", "n_type")])
+    j = hash_join(ds, stats, on="event_type", broadcast="auto")
+
+    def _loo(t: pa.Table) -> pa.Table:
+        qy = t["qy"].combine_chunks().to_numpy(zero_copy_only=False)
+        sq = pc.cast(t["sum_q"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n_type"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        loo = round_half_away(
+            (sq - qy).astype(np.float64)
+            / np.maximum(n - 1, 1).astype(np.float64) / 1_000_000, 6)
+        return pa.table({"event_id": t["event_id"],
+                         "loo_mean": pa.array(loo)})
+
+    return j.map_batches(_loo, batch_format="pyarrow")
+
+
+def _q_events_percent_rank(sf_dir: str):
+    """Global empirical-CDF transform: every event's value mapped to
+    its corpus-wide PERCENT_RANK ((rank−1)/(n−1), SQL tie
+    semantics) — global_rank's TeraSort machinery at full-row grain,
+    the rank join-back a quantile-normalization pipeline runs."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "value": pc.fill_null(pc.cast(t["value"], pa.float64()),
+                                  0.0)}),
+        batch_format="pyarrow")
+    n = ds.count()
+    ranked = global_rank(ds, "value", tiebreak="event_id",
+                         kinds=("rank",))
+
+    def _pr(t: pa.Table) -> pa.Table:
+        r = t["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = round_half_away((r - 1).astype(np.float64)
+                             / float(max(n - 1, 1)), 6)
+        return pa.table({"event_id": t["event_id"],
+                         "pr": pa.array(pr)})
+
+    return ranked.map_batches(_pr, batch_format="pyarrow")
+
+
 def _q_events_ridge(sf_dir: str):
     """Closed-form ridge regression (fit.ridge_regression): one pass
     folds integer-quantized sufficient statistics (exact Python-int
@@ -6987,6 +7059,8 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_target_encode": _q_events_target_encode,
+        "events_percent_rank": _q_events_percent_rank,
         "events_ridge": _q_events_ridge,
         "docs_fingerprint_clusters": _q_docs_fingerprint_clusters,
         "events_join_estimate": _q_events_join_estimate,
@@ -7244,6 +7318,33 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_target_encode": """
+            WITH q AS (
+                SELECT event_id, event_type,
+                       CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qy
+                FROM events),
+            s AS (SELECT event_type,
+                         CAST(sum(qy) AS BIGINT) AS sum_q,
+                         count(*)::BIGINT AS n_type
+                  FROM q GROUP BY event_type)
+            SELECT q.event_id,
+                   round((s.sum_q - q.qy)::DOUBLE
+                         / greatest(s.n_type - 1, 1) / 1000000,
+                         6) AS loo_mean
+            FROM q JOIN s USING (event_type)
+        """,
+        "events_percent_rank": """
+            WITH v AS (SELECT event_id,
+                              coalesce(value, 0)::DOUBLE AS value
+                       FROM events),
+            n AS (SELECT count(*)::BIGINT AS n FROM v)
+            SELECT event_id,
+                   round((rank() OVER (ORDER BY value) - 1)::DOUBLE
+                         / greatest((SELECT n FROM n) - 1, 1),
+                         6) AS pr
+            FROM v
+        """,
         "events_ridge": """
             WITH f AS (
                 SELECT CAST(round(hour(ts)::DOUBLE / 24 * 65536)
