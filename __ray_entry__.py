@@ -6585,6 +6585,17 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_novelty(sf_dir: str):
+    """Per-document n-gram novelty (dedup.ngram_novelty): fraction of
+    a doc's distinct word-3-shingles appearing in no other document —
+    the originality/boilerplate signal dual to containment, computed
+    with one df exchange + one join-back + one per-doc fold (no
+    pairs)."""
+    from rayskema.functions.dedup import ngram_novelty
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_novelty(ds, "text", "doc_id", buckets=4)
+
+
 def _q_events_target_encode(sf_dir: str):
     """Leave-one-out target encoding (the ML categorical-feature
     transform): each event's type encoded as the mean quantized value
@@ -7059,6 +7070,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_novelty": _q_docs_novelty,
         "events_target_encode": _q_events_target_encode,
         "events_percent_rank": _q_events_percent_rank,
         "events_ridge": _q_events_ridge,
@@ -7318,6 +7330,28 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_novelty": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 2),
+                                         ' ')))) AS s
+                FROM t),
+            df AS (SELECT s, count(*)::BIGINT AS df
+                   FROM sh GROUP BY s),
+            p AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                         CAST(sum(CASE WHEN df.df = 1 THEN 1
+                                       ELSE 0 END) AS BIGINT)
+                             AS n_unique
+                  FROM sh JOIN df USING (s) GROUP BY doc_id)
+            SELECT doc_id, n_shingles, n_unique,
+                   round(n_unique::DOUBLE / n_shingles, 6) AS novelty
+            FROM p
+        """,
         "events_target_encode": """
             WITH q AS (
                 SELECT event_id, event_type,

@@ -2962,3 +2962,71 @@ def fingerprint_clusters(
 
     return bucketed_map_groups(fps, ["fingerprint"], _clusters,
                                buckets=buckets, sort_within=False)
+
+
+def ngram_novelty(
+    ds: "rd.Dataset", text_col: str, id_col: str, *,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word-3-gram shingles that appear in NO other document —
+    the memorization/boilerplate signal dual to containment (novelty
+    1.0 = fully original text; 0.0 = every phrase seen elsewhere).
+    Output: ``(id, n_shingles, n_unique, novelty)`` with novelty
+    rounded half-away to 6 (``n_unique / n_shingles``; a document
+    whose shingle set is empty is excluded — SQL inner-join
+    semantics).
+
+    Distribution: the vectorized shingle explode (distinct per doc),
+    ONE exchange for document frequencies, one bucketed join of df=1
+    flags back onto the exploded rows, and a per-document exchange
+    folding two integers — no pair generation anywhere."""
+    from . import round_half_away
+    from ..pipelines.relational import (agg_named, bucketed_map_groups,
+                                        hash_join)
+
+    expl = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: _exploded_word3(t, id_col, text_col),
+        batch_format="pyarrow").materialize()
+
+    df = bucketed_map_groups(
+        expl.map_batches(
+            lambda t: agg_named(
+                t.append_column("__one", pa.array(
+                    np.ones(t.num_rows, np.int64))),
+                ["sh"], [("__one", "sum")], ["df"]),
+            batch_format="pyarrow"),
+        ["sh"],
+        lambda t: agg_named(t, ["sh"], [("df", "sum")], ["df"]),
+        buckets=buckets, sort_within=False)
+
+    joined = hash_join(expl, df, on="sh", buckets=buckets)
+
+    def _fold(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_shingles": pa.array([], pa.int64()),
+                             "n_unique": pa.array([], pa.int64())})
+        uniq = pc.cast(pc.equal(tab["df"], 1), pa.int64())
+        return agg_named(
+            tab.append_column("__u", uniq).append_column(
+                "__one", pa.array(np.ones(tab.num_rows, np.int64))),
+            [id_col], [("__one", "sum"), ("__u", "sum")],
+            ["n_shingles", "n_unique"])
+
+    per_doc = bucketed_map_groups(joined, [id_col], _fold,
+                                  buckets=buckets, sort_within=False)
+
+    def _score(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab.append_column("novelty",
+                                     pa.array([], pa.float64()))
+        ns = tab["n_shingles"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nu = tab["n_unique"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nov = round_half_away(nu.astype(np.float64)
+                              / ns.astype(np.float64), 6)
+        return tab.append_column("novelty", pa.array(nov))
+
+    return per_doc.map_batches(_score, batch_format="pyarrow")
