@@ -6585,6 +6585,37 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_emd(sf_dir: str):
+    """EXACT 1-D Wasserstein distance between click and view value
+    distributions (relational.wasserstein_1d): per-value count
+    exchange → TeraSort over distinct values → O(blocks) driver
+    prefix carry → per-block arbitrary-precision gap terms.  The
+    numerator is one exact integer the SQL running-sum window
+    reproduces."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import wasserstein_1d
+
+    def _prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        side = pc.if_else(pc.equal(t["event_type"], "click"),
+                          "a", "b")
+        return pa.table({"qv": pa.array(qv), "side": side})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    r = wasserstein_1d(ds, "qv", "side")
+    return pa.table({"w1_num": pa.array([r["w1_num"]], pa.int64()),
+                     "n_a": pa.array([r["n_a"]], pa.int64()),
+                     "n_b": pa.array([r["n_b"]], pa.int64())})
+
+
 def _q_docs_novelty(sf_dir: str):
     """Per-document n-gram novelty (dedup.ngram_novelty): fraction of
     a doc's distinct word-3-shingles appearing in no other document —
@@ -7070,6 +7101,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_emd": _q_events_emd,
         "docs_novelty": _q_docs_novelty,
         "events_target_encode": _q_events_target_encode,
         "events_percent_rank": _q_events_percent_rank,
@@ -7330,6 +7362,33 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_emd": """
+            WITH q AS (
+                SELECT CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qv,
+                       CASE WHEN event_type = 'click' THEN 'a'
+                            ELSE 'b' END AS side
+                FROM events WHERE event_type IN ('click', 'view')),
+            u AS (SELECT qv,
+                         CAST(sum(CASE WHEN side = 'a' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS na,
+                         CAST(sum(CASE WHEN side = 'b' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS nb
+                  FROM q GROUP BY qv),
+            t AS (SELECT (SELECT sum(na) FROM u)::BIGINT AS ta,
+                         (SELECT sum(nb) FROM u)::BIGINT AS tb),
+            c AS (SELECT qv,
+                         sum(na) OVER (ORDER BY qv) AS ca,
+                         sum(nb) OVER (ORDER BY qv) AS cb,
+                         lead(qv) OVER (ORDER BY qv) AS nxt
+                  FROM u)
+            SELECT CAST(sum(abs(c.ca * t.tb - c.cb * t.ta)
+                            * (c.nxt - c.qv)) AS BIGINT) AS w1_num,
+                   t.ta AS n_a, t.tb AS n_b
+            FROM c CROSS JOIN t
+            WHERE c.nxt IS NOT NULL
+            GROUP BY t.ta, t.tb
+        """,
         "docs_novelty": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -5025,3 +5025,31 @@ def test_ridge_layout_independent_and_accurate(ray_session):
     w = fits[0]["w"]
     assert abs(w[0] - 0.6) < 0.02 and abs(w[1] + 0.3) < 0.02 \
         and abs(w[2] - 0.2) < 0.02
+
+
+def test_wasserstein_1d_exact(ray_session):
+    """W1 numerator on hand-checkable distributions, identical
+    across layouts; zero for identical distributions."""
+    import ray.data as rd
+
+    from rayskema.pipelines.relational import wasserstein_1d
+
+    # a: {0:2, 10:2}; b: {0:2, 20:2} -> N=2x... na=4? use 2 rows each
+    qv = [0, 10, 0, 20, 0, 10, 0, 20]
+    side = ["a", "a", "b", "b", "a", "a", "b", "b"]
+    t = pa.table({"qv": pa.array(qv, pa.int64()),
+                  "side": pa.array(side)})
+    # F_a steps: val 0 cum 2/4, val 10 cum 4/4; F_b: 0->2/4, 20->4/4
+    # gaps: [0,10): |2*4-2*4|*10=0; [10,20): |4*4-2*4|*10=80
+    want = 80
+    for nparts in (1, 5):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        r = wasserstein_1d(ds, "qv", "side", buckets=2)
+        assert (r["w1_num"], r["n_a"], r["n_b"]) == (want, 4, 4)
+
+    ident = pa.table({"qv": pa.array([1, 2, 1, 2], pa.int64()),
+                      "side": pa.array(["a", "a", "b", "b"])})
+    r = wasserstein_1d(rd.from_arrow(ident), "qv", "side", buckets=2)
+    assert r["w1_num"] == 0
