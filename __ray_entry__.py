@@ -6585,6 +6585,25 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_active_time(sf_dir: str):
+    """Per-user active time (relational.interval_union_length): each
+    event opens a 5-minute half-open interval; overlaps merge via the
+    vectorized sweep (grouped running-max, break on gap) and the
+    union length + merged-interval count come back exact.  One key
+    exchange; oracle is the classic window prev-max/island SQL."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import interval_union_length
+
+    def _iv(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "s": us,
+                         "e": pc.add(us, 300_000_000)})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _iv, batch_format="pyarrow")
+    return interval_union_length(ds, "user_id", "s", "e")
+
+
 def _q_events_emd(sf_dir: str):
     """EXACT 1-D Wasserstein distance between click and view value
     distributions (relational.wasserstein_1d): per-value count
@@ -7101,6 +7120,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_active_time": _q_events_active_time,
         "events_emd": _q_events_emd,
         "docs_novelty": _q_docs_novelty,
         "events_target_encode": _q_events_target_encode,
@@ -7362,6 +7382,30 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_active_time": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts)::BIGINT AS s,
+                       epoch_us(ts)::BIGINT + 300000000 AS e
+                FROM events),
+            o AS (SELECT user_id, s, e,
+                         max(e) OVER (
+                             PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pm
+                  FROM iv),
+            g AS (SELECT *, CASE WHEN pm IS NULL OR s > pm
+                                 THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            h AS (SELECT *, sum(brk) OVER (
+                         PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM g),
+            m AS (SELECT user_id, grp, min(s) AS ms, max(e) AS me
+                  FROM h GROUP BY user_id, grp)
+            SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS active,
+                   count(*)::BIGINT AS n_intervals
+            FROM m GROUP BY user_id
+        """,
         "events_emd": """
             WITH q AS (
                 SELECT CAST(round(coalesce(value, 0) * 1000000)

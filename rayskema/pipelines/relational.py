@@ -6679,3 +6679,69 @@ def wasserstein_1d(
         cum_b += st.get("sum_b", 0)
     w1_num = sum(int(x) for x in ray.get(folds))
     return {"w1_num": w1_num, "n_a": total_a, "n_b": total_b}
+
+
+def interval_union_length(
+    ds: "rd.Dataset", key_col: str, start_col: str, end_col: str, *,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Total length of the UNION of each key's (possibly overlapping)
+    half-open intervals, plus the merged-interval count — the
+    active-time / uptime / coverage measure
+    (``[1,5)∪[3,8)∪[10,12) → 9, 2 intervals``).  Degenerate
+    intervals (end ≤ start) contribute zero length but still merge.
+
+    One hash exchange on the key; inside each bucket the classic
+    sweep is fully vectorized: sort by (key, start, end), running
+    ``np.maximum.accumulate`` of ends segment-reset per key, a break
+    wherever a start exceeds the previous running max, and merged
+    spans reduced by segment sums — no per-key Python.  Output:
+    ``(key, active, n_intervals)``, both int64."""
+    def _union(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "active": pa.array([], pa.int64()),
+                             "n_intervals": pa.array([], pa.int64())})
+        tab = tab.sort_by([(key_col, "ascending"),
+                           (start_col, "ascending"),
+                           (end_col, "ascending")])
+        new_key = segment_starts(tab, [key_col])
+        s = pc.cast(tab[start_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        e = pc.cast(tab[end_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        key_seg = np.cumsum(new_key) - 1
+        # running max of e within each key segment (C-level grouped
+        # cummax; a shift-offset accumulate trick would overflow for
+        # epoch-range values × many keys)
+        import pandas as pd
+        run = pd.Series(e).groupby(key_seg).cummax().to_numpy()
+        prev_max = np.empty_like(run)
+        prev_max[1:] = run[:-1]
+        brk = new_key.copy()
+        brk[1:] |= s[1:] > prev_max[1:]
+        # merged span id; span bounds: start of first member,
+        # running-max end at last member
+        span = np.cumsum(brk) - 1
+        span_start = s[np.flatnonzero(brk)]
+        last_of_span = np.append(np.flatnonzero(brk)[1:] - 1,
+                                 len(s) - 1)
+        span_end = run[last_of_span]
+        span_len = np.maximum(span_end - span_start, 0)
+        span_key_row = np.flatnonzero(brk)
+        key_of_span = key_seg[span_key_row]
+        n_keys = int(key_seg[-1]) + 1
+        active = np.zeros(n_keys, np.int64)
+        np.add.at(active, key_of_span, span_len)
+        n_int = np.bincount(key_of_span, minlength=n_keys) \
+            .astype(np.int64)
+        first_rows = np.flatnonzero(new_key)
+        return pa.table({
+            key_col: tab[key_col].combine_chunks().take(
+                pa.array(first_rows)),
+            "active": pa.array(active),
+            "n_intervals": pa.array(n_int)})
+
+    return bucketed_map_groups(
+        ds.select_columns([key_col, start_col, end_col]), [key_col],
+        _union, buckets=buckets, sort_within=False)
