@@ -6585,6 +6585,37 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_graph_linkpred(sf_dir: str):
+    """Link prediction (graph.link_prediction): common-neighbor count
+    + integer-quantized Adamic–Adar for every non-edge pair at
+    distance 2 of the co-purchase graph — wedge expansion grouped by
+    middle node, one pair exchange, one anti-join against the edge
+    list."""
+    from rayskema.functions.graph import link_prediction
+    from rayskema.pipelines.relational import bucketed_map_groups
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = ck % 400
+        y = (ck * 7 + ok * 3) % 400
+        m = x != y
+        tab = pa.table({
+            "a": pa.array(np.minimum(x, y)[m], pa.int64()),
+            "b": pa.array(np.maximum(x, y)[m], pa.int64())})
+        return tab.group_by(["a", "b"]).aggregate([])
+
+    edges = bucketed_map_groups(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(_edges, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda t: t.group_by(["a", "b"]).aggregate([]),
+        buckets=8, sort_within=False)
+    return link_prediction(edges, min_common=12, buckets=8)
+
+
 def _q_events_active_time(sf_dir: str):
     """Per-user active time (relational.interval_union_length): each
     event opens a 5-minute half-open interval; overlaps merge via the
@@ -7120,6 +7151,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "graph_linkpred": _q_graph_linkpred,
         "events_active_time": _q_events_active_time,
         "events_emd": _q_events_emd,
         "docs_novelty": _q_docs_novelty,
@@ -7382,6 +7414,34 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "graph_linkpred": """
+            WITH raw AS (
+                SELECT o_custkey % 400 AS x,
+                       (o_custkey * 7 + o_orderkey * 3) % 400 AS y
+                FROM orders),
+            e AS (SELECT DISTINCT least(x, y) AS a,
+                                  greatest(x, y) AS b
+                  FROM raw WHERE x <> y),
+            dir AS (SELECT a AS mid, b AS leaf FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT mid AS node, count(*)::BIGINT AS d
+                    FROM dir GROUP BY mid),
+            aa AS (SELECT node,
+                          CAST(round(1000000000 / ln(d)) AS BIGINT)
+                              AS q
+                   FROM deg),
+            w AS (SELECT d1.leaf AS x, d2.leaf AS y, d1.mid
+                  FROM dir d1 JOIN dir d2
+                    ON d1.mid = d2.mid AND d1.leaf < d2.leaf),
+            cn AS (SELECT w.x, w.y, count(*)::BIGINT AS common,
+                          CAST(sum(aa.q) AS BIGINT) AS aa_q
+                   FROM w JOIN aa ON aa.node = w.mid
+                   GROUP BY w.x, w.y),
+            ne AS (SELECT cn.* FROM cn
+                   LEFT JOIN e ON e.a = cn.x AND e.b = cn.y
+                   WHERE e.a IS NULL)
+            SELECT x, y, common, aa_q FROM ne WHERE common >= 12
+        """,
         "events_active_time": """
             WITH iv AS (
                 SELECT user_id, epoch_us(ts)::BIGINT AS s,

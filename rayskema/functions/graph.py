@@ -615,3 +615,116 @@ def bfs_hops(
     return dist.map_batches(
         lambda t: t.filter(pc.less(t["d"], pa.scalar(inf, pa.int64()))),
         batch_format="pyarrow")
+
+
+def link_prediction(
+    edges: "rd.Dataset", *, min_common: int = 2,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Common-neighbor link prediction over a canonical undirected
+    DISTINCT edge list ``(a, b)`` with ``a < b``: for every NON-edge
+    vertex pair at distance 2, the common-neighbor count and the
+    Adamic–Adar score
+
+        ``AA(x, y) = Σ_{w ∈ N(x) ∩ N(y)} 1 / ln(deg(w))``
+
+    with each middle-node term integer-quantized
+    (``round_half_away(10^9 / ln(deg)) ``) before summation so the
+    score is an exact int64 fold (a middle node always has
+    ``deg ≥ 2``, so ``ln`` never vanishes).  Output: ``(x, y,
+    common, aa_q)`` for pairs with ``common ≥ min_common``.
+
+    Distribution: degrees fold from per-block partials and broadcast
+    once (the degree table is O(vertices) — the same small-side
+    assumption every AA formulation needs); wedge expansion groups by
+    MIDDLE node (cost Σ deg², the triangle-census bound — orient or
+    cap upstream if a celebrity vertex dominates); one pair exchange
+    sums the per-wedge terms; existing edges leave via one anti-join.
+    """
+    import ray
+
+    from . import round_half_away
+
+    edges = edges.materialize()
+
+    def _ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t["a"].combine_chunks(), t["b"].combine_chunks()])})
+
+    deg_parts: dict[int, int] = {}
+    for t in ray.get(edges.map_batches(_ends, batch_format="pyarrow")
+                     .map_batches(
+            lambda tb: agg_named(
+                tb.append_column("__one", pa.array(
+                    np.ones(tb.num_rows, np.int64))),
+                ["node"], [("__one", "sum")], ["d"]),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0 or "node" not in t.column_names:
+            continue
+        for nd, d in zip(t["node"].to_pylist(), t["d"].to_pylist()):
+            deg_parts[nd] = deg_parts.get(nd, 0) + int(d)
+    nodes = np.array(sorted(deg_parts), dtype=np.int64)
+    degs = np.array([deg_parts[n] for n in nodes], dtype=np.int64)
+    aa_q = np.where(
+        degs >= 2,
+        round_half_away(1e9 / np.log(degs.astype(np.float64)), 0),
+        0).astype(np.int64)
+    dref = ray.put((nodes, aa_q))
+
+    def _dir(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "leaf": pa.concat_arrays([t["b"].combine_chunks(),
+                                      t["a"].combine_chunks()])})
+
+    def _wedges(tab: pa.Table, _d=dref) -> pa.Table:
+        empty = pa.table({"x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "common": pa.array([], pa.int64()),
+                          "aa_q": pa.array([], pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        nodes_v, aa_v = ray.get(_d)
+        tab = tab.sort_by([("mid", "ascending"), ("leaf", "ascending")])
+        new = segment_starts(tab, ["mid"])
+        seg = np.cumsum(new) - 1
+        counts = np.bincount(seg)
+        firsts = np.flatnonzero(new)
+        mid = tab["mid"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        leaf = tab["leaf"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mid_aa = aa_v[np.searchsorted(nodes_v, mid[firsts])]
+        out_x, out_y, out_a = [], [], []
+        for g in np.flatnonzero(counts > 1):
+            s, e = firsts[g], firsts[g] + counts[g]
+            ls = leaf[s:e]
+            ia, ib = np.triu_indices(len(ls), k=1)
+            out_x.append(ls[ia])
+            out_y.append(ls[ib])
+            out_a.append(np.full(len(ia), mid_aa[g], np.int64))
+        if not out_x:
+            return empty
+        x = np.concatenate(out_x)
+        y = np.concatenate(out_y)
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "common": pa.array(np.ones(len(x), np.int64)),
+            "aa_q": pa.array(np.concatenate(out_a))})
+
+    wedges = bucketed_map_groups(
+        edges.map_batches(_dir, batch_format="pyarrow"), ["mid"],
+        _wedges, buckets=buckets, sort_within=False)
+    summed = bucketed_map_groups(
+        wedges, ["x", "y"],
+        lambda t: agg_named(t, ["x", "y"],
+                            [("common", "sum"), ("aa_q", "sum")],
+                            ["common", "aa_q"]),
+        buckets=buckets, sort_within=False)
+    non_edges = hash_join(summed, edges, on=["x", "y"],
+                          right_on=["a", "b"], how="left_anti",
+                          broadcast="auto", buckets=buckets)
+    return non_edges.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["common"], min_common)),
+        batch_format="pyarrow")
