@@ -6585,6 +6585,35 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_stump(sf_dir: str):
+    """Depth-1 decision tree (relational.decision_stump): the exact
+    minimum-impurity threshold on quantized value predicting clicks —
+    per-value class-count exchange, range sort, driver-carried prefix
+    counts, per-block vectorized candidate scoring.  Score floats are
+    quantized once per threshold; the SQL window argmin reproduces
+    threshold, score and split sizes bit-for-bit."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import decision_stump
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        y = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        return pa.table({"qv": pa.array(qv), "y": y})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    r = decision_stump(ds, "qv", "y")
+    return pa.table({
+        "threshold": pa.array([r["threshold"]], pa.int64()),
+        "score_q": pa.array([r["score_q"]], pa.int64()),
+        "n_left": pa.array([r["n_left"]], pa.int64()),
+        "n_right": pa.array([r["n_right"]], pa.int64())})
+
+
 def _q_graph_linkpred(sf_dir: str):
     """Link prediction (graph.link_prediction): common-neighbor count
     + integer-quantized Adamic–Adar for every non-edge pair at
@@ -7151,6 +7180,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_stump": _q_events_stump,
         "graph_linkpred": _q_graph_linkpred,
         "events_active_time": _q_events_active_time,
         "events_emd": _q_events_emd,
@@ -7414,6 +7444,48 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_stump": """
+            WITH q AS (
+                SELECT CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qv,
+                       CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            u AS (SELECT qv, CAST(sum(y) AS BIGINT) AS pos,
+                         CAST(sum(1 - y) AS BIGINT) AS neg
+                  FROM q GROUP BY qv),
+            t AS (SELECT sum(pos)::BIGINT AS tp,
+                         sum(neg)::BIGINT AS tn FROM u),
+            c AS (SELECT qv,
+                         CAST(sum(pos) OVER w AS BIGINT) AS p,
+                         CAST(sum(neg) OVER w AS BIGINT) AS ng,
+                         row_number() OVER (ORDER BY qv DESC) AS rvn
+                  FROM u
+                  WINDOW w AS (ORDER BY qv ROWS UNBOUNDED PRECEDING)),
+            s AS (SELECT qv, p, ng,
+                         t.tp - p AS rp, t.tn - ng AS rn
+                  FROM c CROSS JOIN t WHERE rvn > 1),
+            g AS (SELECT qv,
+                         CAST(round((
+                             (CASE WHEN p + ng > 0 THEN (p + ng)
+                                  * ln(p + ng) ELSE 0 END)
+                             - (CASE WHEN p > 0 THEN p * ln(p)
+                                    ELSE 0 END)
+                             - (CASE WHEN ng > 0 THEN ng * ln(ng)
+                                    ELSE 0 END)
+                             + (CASE WHEN rp + rn > 0 THEN (rp + rn)
+                                    * ln(rp + rn) ELSE 0 END)
+                             - (CASE WHEN rp > 0 THEN rp * ln(rp)
+                                    ELSE 0 END)
+                             - (CASE WHEN rn > 0 THEN rn * ln(rn)
+                                    ELSE 0 END)) * 1000000)
+                              AS BIGINT) AS score_q,
+                         CAST(p + ng AS BIGINT) AS n_left,
+                         CAST(rp + rn AS BIGINT) AS n_right
+                  FROM s)
+            SELECT qv AS threshold, score_q, n_left, n_right
+            FROM g ORDER BY score_q, threshold LIMIT 1
+        """,
         "graph_linkpred": """
             WITH raw AS (
                 SELECT o_custkey % 400 AS x,

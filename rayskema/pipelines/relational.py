@@ -6745,3 +6745,117 @@ def interval_union_length(
     return bucketed_map_groups(
         ds.select_columns([key_col, start_col, end_col]), [key_col],
         _union, buckets=buckets, sort_within=False)
+
+
+@ray.remote(num_cpus=1)
+def _stump_block_stats(tab: pa.Table) -> dict:
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    if tab.num_rows == 0:
+        return {"n": 0}
+    return {"n": tab.num_rows,
+            "pos": int(pc.sum(tab["pos"]).as_py() or 0),
+            "neg": int(pc.sum(tab["neg"]).as_py() or 0)}
+
+
+@ray.remote(num_cpus=1)
+def _stump_block_best(tab: pa.Table, cum_pos: int, cum_neg: int,
+                      tot_pos: int, tot_neg: int,
+                      quant: int, is_last: bool) -> tuple | None:
+    """Best (lowest) split score among this block's candidate
+    thresholds: split AFTER each distinct value (the last global value
+    is no split).  Returns (score_q, threshold) or None."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    if tab.num_rows == 0:
+        return None
+    from ..functions import round_half_away
+
+    qv = tab["qv"].to_numpy(zero_copy_only=False)
+    p = np.cumsum(tab["pos"].to_numpy(zero_copy_only=False)) + cum_pos
+    ng = np.cumsum(tab["neg"].to_numpy(zero_copy_only=False)) + cum_neg
+    if is_last:         # drop the no-split candidate (all rows left)
+        qv, p, ng = qv[:-1], p[:-1], ng[:-1]
+        if len(qv) == 0:
+            return None
+
+    def _xlx(c):
+        c = c.astype(np.float64)
+        return np.where(c > 0, c * np.log(np.maximum(c, 1)), 0.0)
+
+    rp = tot_pos - p
+    rn = tot_neg - ng
+    score = (_xlx(p + ng) - _xlx(p) - _xlx(ng)
+             + _xlx(rp + rn) - _xlx(rp) - _xlx(rn))
+    sq = round_half_away(score * quant, 0).astype(np.int64)
+    i = int(np.lexsort((qv, sq))[0])      # min score, tie: smaller qv
+    n_left = int(p[i] + ng[i])
+    return (int(sq[i]), int(qv[i]), n_left,
+            (tot_pos + tot_neg) - n_left)
+
+
+def decision_stump(
+    ds: "rd.Dataset", value_col: str, label_col: str, *,
+    quant: int = 1_000_000, buckets: int | None = None,
+) -> dict:
+    """Exact best binary split (a depth-1 decision tree): over every
+    candidate threshold t (split after each distinct value of the
+    int64 ``value_col``), minimize the total split impurity
+
+        ``n_L·H(L) + n_R·H(R)
+          = Σ_side [ n·ln n − c₊·ln c₊ − c₋·ln c₋ ]``
+
+    computed from EXACT prefix class counts, the float expression
+    quantized ONCE per threshold (``round_half_away(score · quant)``)
+    so the argmin — ties to the smaller threshold — is deterministic
+    and SQL-window-reproducible.  ``label_col`` must be 0/1 int64.
+
+    Returns ``{"threshold": int, "score_q": int, "n_left": int,
+    "n_right": int}`` — rows with ``value <= threshold`` go left.
+
+    Distribution: the EMD motif — one per-value count exchange, one
+    range sort over distinct values, O(1) class-prefix stats per
+    block, per-block vectorized candidate scoring with driver-carried
+    prefix counts, O(blocks) driver reduce of block champions."""
+    def _counts(tab: pa.Table) -> pa.Table:
+        lab = pc.cast(tab[label_col], pa.int64())
+        return agg_named(
+            pa.table({"qv": tab[value_col], "pos": lab,
+                      "neg": pc.subtract(1, lab)}),
+            ["qv"], [("pos", "sum"), ("neg", "sum")], ["pos", "neg"])
+
+    per_value = bucketed_map_groups(
+        ds.select_columns([value_col, label_col]).map_batches(
+            _counts, batch_format="pyarrow"),
+        ["qv"],
+        lambda t: agg_named(t, ["qv"],
+                            [("pos", "sum"), ("neg", "sum")],
+                            ["pos", "neg"]),
+        buckets=buckets, sort_within=False)
+
+    s = per_value.sort("qv").materialize()
+    refs = s.to_arrow_refs()
+    stats = ray.get([_stump_block_stats.remote(r) for r in refs])
+    tot_pos = sum(st.get("pos", 0) for st in stats)
+    tot_neg = sum(st.get("neg", 0) for st in stats)
+    last_nonempty = max((i for i, st in enumerate(stats) if st["n"]),
+                        default=-1)
+    folds = []
+    cum_pos = cum_neg = 0
+    for i, (r, st) in enumerate(zip(refs, stats)):
+        folds.append(_stump_block_best.remote(
+            r, cum_pos, cum_neg, tot_pos, tot_neg, quant,
+            i == last_nonempty))
+        cum_pos += st.get("pos", 0)
+        cum_neg += st.get("neg", 0)
+    best = None
+    for cand in ray.get(folds):
+        if cand is None:
+            continue
+        if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+            best = cand
+    if best is None:
+        raise ValueError("no split candidate (fewer than 2 distinct "
+                         "values)")
+    return {"score_q": best[0], "threshold": best[1],
+            "n_left": best[2], "n_right": best[3]}

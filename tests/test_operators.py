@@ -5053,3 +5053,31 @@ def test_wasserstein_1d_exact(ray_session):
                       "side": pa.array(["a", "a", "b", "b"])})
     r = wasserstein_1d(rd.from_arrow(ident), "qv", "side", buckets=2)
     assert r["w1_num"] == 0
+
+
+def test_decision_stump_exact(ray_session):
+    """Stump finds the known best threshold on a separable-by-
+    threshold corpus, identical across layouts; ties go to the
+    smaller threshold."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayskema.pipelines.relational import decision_stump
+
+    # qv <= 10 -> mostly positive; qv > 10 -> mostly negative
+    qv = [1, 5, 10, 11, 20, 30] * 50
+    y = [1, 1, 1, 0, 0, 0] * 50
+    # noise that doesn't move the optimum
+    qv += [5, 20]
+    y += [0, 1]
+    t = pa.table({"qv": pa.array(qv, pa.int64()),
+                  "y": pa.array(y, pa.int64())})
+    outs = []
+    for nparts in (1, 7):
+        ds = rd.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        outs.append(decision_stump(ds, "qv", "y", buckets=2))
+    assert outs[0] == outs[1]
+    assert outs[0]["threshold"] == 10
+    assert outs[0]["n_left"] == 151 and outs[0]["n_right"] == 151
