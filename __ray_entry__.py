@@ -6585,6 +6585,38 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_ks_exact(sf_dir: str):
+    """Exact two-sample KS between click and view value
+    distributions (relational.ks_exact) — the exact companion to the
+    sketch-based drift gate, same TeraSort/prefix-carry motif as
+    events_emd, returned as integers with a deterministic
+    smallest-argmax tie rule."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import ks_exact
+
+    def _prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        side = pc.if_else(pc.equal(t["event_type"], "click"),
+                          "a", "b")
+        return pa.table({"qv": pa.array(qv), "side": side})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    r = ks_exact(ds, "qv", "side")
+    return pa.table({
+        "ks_num": pa.array([r["ks_num"]], pa.int64()),
+        "at_value": pa.array([r["at_value"]], pa.int64()),
+        "n_a": pa.array([r["n_a"]], pa.int64()),
+        "n_b": pa.array([r["n_b"]], pa.int64())})
+
+
 def _q_events_stump(sf_dir: str):
     """Depth-1 decision tree (relational.decision_stump): the exact
     minimum-impurity threshold on quantized value predicting clicks —
@@ -7180,6 +7212,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_ks_exact": _q_events_ks_exact,
         "events_stump": _q_events_stump,
         "graph_linkpred": _q_graph_linkpred,
         "events_active_time": _q_events_active_time,
@@ -7444,6 +7477,34 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_ks_exact": """
+            WITH q AS (
+                SELECT CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qv,
+                       CASE WHEN event_type = 'click' THEN 'a'
+                            ELSE 'b' END AS side
+                FROM events WHERE event_type IN ('click', 'view')),
+            u AS (SELECT qv,
+                         CAST(sum(CASE WHEN side = 'a' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS na,
+                         CAST(sum(CASE WHEN side = 'b' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS nb
+                  FROM q GROUP BY qv),
+            t AS (SELECT (SELECT sum(na) FROM u)::BIGINT AS ta,
+                         (SELECT sum(nb) FROM u)::BIGINT AS tb),
+            c AS (SELECT qv,
+                         CAST(sum(na) OVER w AS BIGINT) AS ca,
+                         CAST(sum(nb) OVER w AS BIGINT) AS cb
+                  FROM u
+                  WINDOW w AS (ORDER BY qv ROWS UNBOUNDED PRECEDING)),
+            g AS (SELECT qv,
+                         abs(c.ca * t.tb - c.cb * t.ta) AS diff,
+                         t.ta, t.tb
+                  FROM c CROSS JOIN t)
+            SELECT CAST(diff AS BIGINT) AS ks_num,
+                   qv AS at_value, ta AS n_a, tb AS n_b
+            FROM g ORDER BY diff DESC, qv LIMIT 1
+        """,
         "events_stump": """
             WITH q AS (
                 SELECT CAST(round(coalesce(value, 0) * 1000000)

@@ -6859,3 +6859,79 @@ def decision_stump(
                          "values)")
     return {"score_q": best[0], "threshold": best[1],
             "n_left": best[2], "n_right": best[3]}
+
+
+@ray.remote(num_cpus=1)
+def _ks_block_fold(tab: pa.Table, cum_a: int, cum_b: int,
+                   total_a: int, total_b: int) -> tuple:
+    """Block maximum of |cumA·N_B − cumB·N_A| over its distinct
+    values (evaluated at every step of the union CDF), with the
+    smallest value attaining it."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    if tab.num_rows == 0:
+        return (0, None)
+    qv = tab["qv"].to_numpy(zero_copy_only=False)
+    ca = np.cumsum(tab["na"].to_numpy(zero_copy_only=False)
+                   .astype(object)) + cum_a
+    cb = np.cumsum(tab["nb"].to_numpy(zero_copy_only=False)
+                   .astype(object)) + cum_b
+    diff = np.abs(ca * total_b - cb * total_a)
+    best = int(np.argmax(diff))       # first (= smallest qv) argmax
+    return (int(diff[best]), int(qv[best]))
+
+
+def ks_exact(
+    ds: "rd.Dataset", value_col: str, side_col: str, *,
+    buckets: int | None = None,
+) -> dict:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the
+    integer-valued distributions tagged ``"a"`` / ``"b"``:
+
+        ``KS = max_v |F_a(v) − F_b(v)|
+             = max_v |cumA·N_B − cumB·N_A| / (N_A·N_B)``
+
+    returned as exact integers ``{"ks_num": int, "at_value": int,
+    "n_a": int, "n_b": int}`` (``at_value`` = the smallest value
+    attaining the maximum — a deterministic tie rule the SQL window
+    argmax reproduces).  The sketch-based drift check
+    (``drift.ks_from_digests``) trades exactness for constant state;
+    this is its exact companion at one-sort cost — same distribution
+    shape as :func:`wasserstein_1d` (per-value count exchange, range
+    sort, O(blocks) driver prefix carry, per-block vectorized max)."""
+    def _counts(tab: pa.Table) -> pa.Table:
+        a = pc.cast(pc.equal(tab[side_col], "a"), pa.int64())
+        b = pc.cast(pc.equal(tab[side_col], "b"), pa.int64())
+        return agg_named(
+            pa.table({"qv": tab[value_col], "na": a, "nb": b}),
+            ["qv"], [("na", "sum"), ("nb", "sum")], ["na", "nb"])
+
+    per_value = bucketed_map_groups(
+        ds.select_columns([value_col, side_col]).map_batches(
+            _counts, batch_format="pyarrow"),
+        ["qv"],
+        lambda t: agg_named(t, ["qv"], [("na", "sum"), ("nb", "sum")],
+                            ["na", "nb"]),
+        buckets=buckets, sort_within=False)
+
+    s = per_value.sort("qv").materialize()
+    refs = s.to_arrow_refs()
+    stats = ray.get([_emd_block_stats.remote(r) for r in refs])
+    total_a = sum(st.get("sum_a", 0) for st in stats)
+    total_b = sum(st.get("sum_b", 0) for st in stats)
+    folds = []
+    cum_a = cum_b = 0
+    for r, st in zip(refs, stats):
+        folds.append(_ks_block_fold.remote(r, cum_a, cum_b,
+                                           total_a, total_b))
+        cum_a += st.get("sum_a", 0)
+        cum_b += st.get("sum_b", 0)
+    best_num, best_at = 0, None
+    for num, at in ray.get(folds):
+        if at is None:
+            continue
+        if num > best_num or (num == best_num and
+                              (best_at is None or at < best_at)):
+            best_num, best_at = num, at
+    return {"ks_num": best_num, "at_value": best_at,
+            "n_a": total_a, "n_b": total_b}
