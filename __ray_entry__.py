@@ -6585,6 +6585,29 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_emd_matrix(sf_dir: str):
+    """Pairwise exact W1 drift matrix across ALL event types in one
+    sort (relational.wasserstein_matrix): per-(value, group) count
+    exchange, one range sort, O(blocks·k) driver carry, per-block
+    all-pairs gap terms — the segment-drift report of a validation
+    engine with every cell an exact integer."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import wasserstein_matrix
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        return pa.table({"qv": pa.array(qv),
+                         "event_type": t["event_type"]})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    return wasserstein_matrix(ds, "qv", "event_type")
+
+
 def _q_events_ks_exact(sf_dir: str):
     """Exact two-sample KS between click and view value
     distributions (relational.ks_exact) — the exact companion to the
@@ -7212,6 +7235,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_emd_matrix": _q_events_emd_matrix,
         "events_ks_exact": _q_events_ks_exact,
         "events_stump": _q_events_stump,
         "graph_linkpred": _q_graph_linkpred,
@@ -7477,6 +7501,42 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_emd_matrix": """
+            WITH q AS (
+                SELECT CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qv, event_type AS g
+                FROM events),
+            u AS (SELECT g, qv, count(*)::BIGINT AS c
+                  FROM q GROUP BY g, qv),
+            tot AS (SELECT g, sum(c)::BIGINT AS n FROM u GROUP BY g),
+            pairs AS (SELECT a.g AS ga, b.g AS gb
+                      FROM tot a JOIN tot b ON a.g < b.g),
+            grid AS (SELECT p.ga, p.gb, u.qv,
+                            sum(CASE WHEN u.g = p.ga THEN u.c
+                                     ELSE 0 END) AS ca_d,
+                            sum(CASE WHEN u.g = p.gb THEN u.c
+                                     ELSE 0 END) AS cb_d
+                     FROM pairs p
+                     JOIN u ON u.g IN (p.ga, p.gb)
+                     GROUP BY p.ga, p.gb, u.qv),
+            c AS (SELECT ga, gb, qv,
+                         CAST(sum(ca_d) OVER w AS BIGINT) AS ca,
+                         CAST(sum(cb_d) OVER w AS BIGINT) AS cb,
+                         lead(qv) OVER w2 AS nxt
+                  FROM grid
+                  WINDOW w AS (PARTITION BY ga, gb ORDER BY qv
+                               ROWS UNBOUNDED PRECEDING),
+                         w2 AS (PARTITION BY ga, gb ORDER BY qv))
+            SELECT c.ga AS g_a, c.gb AS g_b,
+                   CAST(sum(abs(c.ca * tb.n - c.cb * ta.n)
+                            * (c.nxt - c.qv)) AS BIGINT) AS w1_num,
+                   ta.n AS n_a, tb.n AS n_b
+            FROM c
+            JOIN tot ta ON ta.g = c.ga
+            JOIN tot tb ON tb.g = c.gb
+            WHERE c.nxt IS NOT NULL
+            GROUP BY c.ga, c.gb, ta.n, tb.n
+        """,
         "events_ks_exact": """
             WITH q AS (
                 SELECT CAST(round(coalesce(value, 0) * 1000000)

@@ -6935,3 +6935,139 @@ def ks_exact(
             best_num, best_at = num, at
     return {"ks_num": best_num, "at_value": best_at,
             "n_a": total_a, "n_b": total_b}
+
+
+@ray.remote(num_cpus=1)
+def _emdm_block_stats(tab: pa.Table, k: int) -> dict:
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    if tab.num_rows == 0:
+        return {"n": 0}
+    g = tab["g"].to_numpy(zero_copy_only=False)
+    c = tab["c"].to_numpy(zero_copy_only=False)
+    sums = np.zeros(k, dtype=np.int64)
+    np.add.at(sums, g, c)
+    return {"n": tab.num_rows, "sums": sums.tolist(),
+            "first_qv": int(tab["qv"][0].as_py())}
+
+
+@ray.remote(num_cpus=1)
+def _emdm_block_fold(tab: pa.Table, k: int, cum: list,
+                     totals: list, next_qv: int | None) -> list:
+    """All-pairs W1 contributions of one block: per distinct value,
+    per-group cumulative counts advance, and every ordered pair (i<j)
+    accumulates |cum_i·N_j − cum_j·N_i| · gap.  Python-int exact;
+    returns a flat k*k list of decimal strings."""
+    from ..plan import limit_arrow_threads
+    limit_arrow_threads()
+    acc = [[0] * k for _ in range(k)]
+    if tab.num_rows == 0:
+        return [str(x) for row in acc for x in row]
+    qv = tab["qv"].to_numpy(zero_copy_only=False)
+    g = tab["g"].to_numpy(zero_copy_only=False)
+    c = tab["c"].to_numpy(zero_copy_only=False)
+    # group rows by distinct qv (sorted): segment boundaries
+    new = np.ones(len(qv), dtype=bool)
+    new[1:] = qv[1:] != qv[:-1]
+    starts = np.flatnonzero(new)
+    cumv = [int(x) for x in cum]
+    for si, s in enumerate(starts):
+        e = starts[si + 1] if si + 1 < len(starts) else len(qv)
+        for r in range(s, e):
+            cumv[g[r]] += int(c[r])
+        nxt = int(qv[e]) if e < len(qv) else next_qv
+        if nxt is None:
+            continue
+        gap = nxt - int(qv[s])
+        for i in range(k):
+            for j in range(i + 1, k):
+                acc[i][j] += abs(cumv[i] * totals[j]
+                                 - cumv[j] * totals[i]) * gap
+    return [str(x) for row in acc for x in row]
+
+
+def wasserstein_matrix(
+    ds: "rd.Dataset", value_col: str, group_col: str, *,
+    buckets: int | None = None,
+) -> pa.Table:
+    """Pairwise EXACT 1-D Wasserstein distances between EVERY group's
+    value distribution in ONE sort (the k-way generalization of
+    :func:`wasserstein_1d` — the distribution-drift matrix a
+    validation engine reports per segment): output ``(g_a, g_b,
+    w1_num, n_a, n_b)`` for each unordered pair, ``w1 = w1_num /
+    (n_a·n_b)``.
+
+    Distribution: one exchange builds per-(value, group) counts, one
+    range sort over distinct values, per-block stats carry O(blocks·k)
+    integers on the driver, and each block folds its own all-pairs
+    gap terms (O(distinct·k²) exact-int work, the k-way price)."""
+    def _counts(tab: pa.Table) -> pa.Table:
+        return agg_named(
+            pa.table({"qv": tab[value_col], "grp": tab[group_col],
+                      "__one": np.ones(tab.num_rows, np.int64)}),
+            ["qv", "grp"], [("__one", "sum")], ["c"])
+
+    per_value = bucketed_map_groups(
+        ds.select_columns([value_col, group_col]).map_batches(
+            _counts, batch_format="pyarrow"),
+        ["qv", "grp"],
+        lambda t: agg_named(t, ["qv", "grp"], [("c", "sum")], ["c"]),
+        buckets=buckets, sort_within=False).materialize()
+
+    groups = sorted({g for t in ray.get(
+        per_value.map_batches(
+            lambda tb: pa.table({"g": pc.unique(tb["grp"])})
+            if tb.num_rows else pa.table(
+                {"g": pa.array([], pa.string())}),
+            batch_format="pyarrow").to_arrow_refs())
+        for g in (t["g"].to_pylist() if t.num_rows else [])})
+    k = len(groups)
+    garr = pa.array(groups, pa.string())
+
+    coded = per_value.map_batches(
+        lambda t: pa.table({
+            "qv": t["qv"],
+            "g": pc.cast(pc.index_in(t["grp"], value_set=garr),
+                         pa.int64()),
+            "c": t["c"]}),
+        batch_format="pyarrow")
+    s = coded.sort("qv").materialize()
+    refs = s.to_arrow_refs()
+    stats = ray.get([_emdm_block_stats.remote(r, k) for r in refs])
+    totals = [0] * k
+    for st in stats:
+        if st["n"]:
+            for i, v in enumerate(st["sums"]):
+                totals[i] += v
+    firsts = [st.get("first_qv") for st in stats]
+    folds = []
+    cum = [0] * k
+    for i, (r, st) in enumerate(zip(refs, stats)):
+        nxt = None
+        for j in range(i + 1, len(stats)):
+            if stats[j]["n"]:
+                nxt = firsts[j]
+                break
+        folds.append(_emdm_block_fold.remote(r, k, list(cum),
+                                             totals, nxt))
+        if st["n"]:
+            for x, v in enumerate(st["sums"]):
+                cum[x] += v
+    acc = [[0] * k for _ in range(k)]
+    for flat in ray.get(folds):
+        for i in range(k):
+            for j in range(k):
+                acc[i][j] += int(flat[i * k + j])
+    out_a, out_b, out_w, out_na, out_nb = [], [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            out_a.append(groups[i])
+            out_b.append(groups[j])
+            out_w.append(acc[i][j])
+            out_na.append(totals[i])
+            out_nb.append(totals[j])
+    return pa.table({"g_a": pa.array(out_a, pa.string()),
+                     "g_b": pa.array(out_b, pa.string()),
+                     "w1_num": pa.array(out_w, pa.int64()),
+                     "n_a": pa.array(out_na, pa.int64()),
+                     "n_b": pa.array(out_nb, pa.int64())})
