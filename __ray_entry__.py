@@ -6585,6 +6585,43 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_journey_near_dups(sf_dir: str):
+    """User-journey near-dup pairs — a pure COMPOSITION of public
+    operators: per-user window rank (unique order key → row_number
+    semantics) keeps each user's first 5 events, assemble_sequences
+    rebuilds the ordered single-char journey code, and
+    edit_distance2_pairs
+    (Pass-Join 3-segment blocking, exact byte Levenshtein ≤ 2) finds
+    users whose journeys differ by at most two edits."""
+    import pyarrow.compute as pc
+    from rayskema.functions.dedup import edit_distance2_pairs
+    from rayskema.pipelines.relational import (assemble_sequences,
+                                               group_window_rank)
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"], "ts": t["ts"],
+                "event_id": t["event_id"],
+                "code": pc.utf8_slice_codeunits(t["event_type"],
+                                                0, 1)}),
+            batch_format="pyarrow")
+    ranked = group_window_rank(ds, "user_id", ["ts", "event_id"],
+                               "code")
+    first12 = ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t["rank"], 5)).select(
+            ["user_id", "ts", "event_id", "code"]),
+        batch_format="pyarrow")
+    seqs = assemble_sequences(first12, "user_id",
+                              ["ts", "event_id"], "code", sep="")
+    txt = seqs.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "seq": t["seq"]}),
+        batch_format="pyarrow")
+    return edit_distance2_pairs(txt, "seq", "user_id", buckets=8)
+
+
 def _q_events_emd_matrix(sf_dir: str):
     """Pairwise exact W1 drift matrix across ALL event types in one
     sort (relational.wasserstein_matrix): per-(value, group) count
@@ -7235,6 +7272,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_journey_near_dups": _q_events_journey_near_dups,
         "events_emd_matrix": _q_events_emd_matrix,
         "events_ks_exact": _q_events_ks_exact,
         "events_stump": _q_events_stump,
@@ -7501,6 +7539,23 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_journey_near_dups": """
+            WITH r AS (
+                SELECT user_id, substr(event_type, 1, 1) AS code,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            s AS (SELECT user_id,
+                         string_agg(code, '' ORDER BY rn) AS seq
+                  FROM r WHERE rn <= 5 GROUP BY user_id)
+            SELECT a.user_id AS id_a, b.user_id AS id_b,
+                   CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS edit
+            FROM s a JOIN s b
+              ON a.user_id < b.user_id
+             AND abs(length(a.seq) - length(b.seq)) <= 2
+            WHERE levenshtein(a.seq, b.seq) <= 2
+        """,
         "events_emd_matrix": """
             WITH q AS (
                 SELECT CAST(round(coalesce(value, 0) * 1000000)
