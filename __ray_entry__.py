@@ -6585,6 +6585,30 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_group_stump(sf_dir: str):
+    """Per-event-type decision stump
+    (relational.group_decision_stump): one exchange, segment-reset
+    vectorized candidate scan — a calibrated afternoon-vs-morning
+    value threshold per type, scores quantized once per candidate."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import group_decision_stump
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        hour = pc.hour(pc.cast(t["ts"], pa.timestamp("us")))
+        y = pc.cast(pc.greater_equal(hour, 12), pa.int64())
+        return pa.table({"grp": t["event_type"],
+                         "qv": pa.array(qv), "y": y})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    return group_decision_stump(ds, "grp", "qv", "y")
+
+
 def _q_events_journey_near_dups(sf_dir: str):
     """User-journey near-dup pairs — a pure COMPOSITION of public
     operators: per-user window rank (unique order key → row_number
@@ -7272,6 +7296,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_group_stump": _q_events_group_stump,
         "events_journey_near_dups": _q_events_journey_near_dups,
         "events_emd_matrix": _q_events_emd_matrix,
         "events_ks_exact": _q_events_ks_exact,
@@ -7539,6 +7564,58 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_group_stump": """
+            WITH q AS (
+                SELECT event_type AS grp,
+                       CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qv,
+                       CASE WHEN hour(ts) >= 12
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            u AS (SELECT grp, qv, CAST(sum(y) AS BIGINT) AS pos,
+                         CAST(sum(1 - y) AS BIGINT) AS neg
+                  FROM q GROUP BY grp, qv),
+            t AS (SELECT grp, sum(pos)::BIGINT AS tp,
+                         sum(neg)::BIGINT AS tn
+                  FROM u GROUP BY grp),
+            c AS (SELECT grp, qv,
+                         CAST(sum(pos) OVER w AS BIGINT) AS p,
+                         CAST(sum(neg) OVER w AS BIGINT) AS ng,
+                         row_number() OVER (
+                             PARTITION BY grp
+                             ORDER BY qv DESC) AS rvn
+                  FROM u
+                  WINDOW w AS (PARTITION BY grp ORDER BY qv
+                               ROWS UNBOUNDED PRECEDING)),
+            s AS (SELECT c.grp, qv, p, ng,
+                         t.tp - p AS rp, t.tn - ng AS rn
+                  FROM c JOIN t USING (grp) WHERE rvn > 1),
+            g AS (SELECT grp, qv,
+                         CAST(round((
+                             (CASE WHEN p + ng > 0 THEN (p + ng)
+                                  * ln(p + ng) ELSE 0 END)
+                             - (CASE WHEN p > 0 THEN p * ln(p)
+                                    ELSE 0 END)
+                             - (CASE WHEN ng > 0 THEN ng * ln(ng)
+                                    ELSE 0 END)
+                             + (CASE WHEN rp + rn > 0 THEN (rp + rn)
+                                    * ln(rp + rn) ELSE 0 END)
+                             - (CASE WHEN rp > 0 THEN rp * ln(rp)
+                                    ELSE 0 END)
+                             - (CASE WHEN rn > 0 THEN rn * ln(rn)
+                                    ELSE 0 END)) * 1000000)
+                              AS BIGINT) AS score_q,
+                         CAST(p + ng AS BIGINT) AS n_left,
+                         CAST(rp + rn AS BIGINT) AS n_right
+                  FROM s),
+            r AS (SELECT *, row_number() OVER (
+                         PARTITION BY grp
+                         ORDER BY score_q, qv) AS rk
+                  FROM g)
+            SELECT grp AS "group", qv AS threshold, score_q,
+                   n_left, n_right
+            FROM r WHERE rk = 1
+        """,
         "events_journey_near_dups": """
             WITH r AS (
                 SELECT user_id, substr(event_type, 1, 1) AS code,

@@ -7071,3 +7071,99 @@ def wasserstein_matrix(
                      "w1_num": pa.array(out_w, pa.int64()),
                      "n_a": pa.array(out_na, pa.int64()),
                      "n_b": pa.array(out_nb, pa.int64())})
+
+
+def group_decision_stump(
+    ds: "rd.Dataset", group_col: str, value_col: str,
+    label_col: str, *, quant: int = 1_000_000,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-GROUP best binary split: :func:`decision_stump`'s
+    minimum-impurity threshold computed independently for every value
+    of ``group_col`` in one exchange — per-segment feature binning
+    (e.g. one calibrated alert threshold per event type).  Groups
+    with fewer than 2 distinct values emit nothing.  Output:
+    ``(group, threshold, score_q, n_left, n_right)`` with the same
+    quantized-score / smaller-threshold tie contract.
+
+    Distribution: per-(group, value) class counts pre-aggregate per
+    batch; ONE exchange on the group key sees each group complete,
+    and the candidate scan is segment-reset vectorized (prefix sums,
+    one lexsort argmin per segment) — no per-group Python."""
+    from ..functions import round_half_away
+
+    def _counts(tab: pa.Table) -> pa.Table:
+        lab = pc.cast(tab[label_col], pa.int64())
+        return agg_named(
+            pa.table({"grp": tab[group_col], "qv": tab[value_col],
+                      "pos": lab, "neg": pc.subtract(1, lab)}),
+            ["grp", "qv"], [("pos", "sum"), ("neg", "sum")],
+            ["pos", "neg"])
+
+    counted = ds.select_columns(
+        [group_col, value_col, label_col]).map_batches(
+        _counts, batch_format="pyarrow")
+
+    def _best(tab: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "group": pa.array([], pa.string()),
+            "threshold": pa.array([], pa.int64()),
+            "score_q": pa.array([], pa.int64()),
+            "n_left": pa.array([], pa.int64()),
+            "n_right": pa.array([], pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        tab = agg_named(tab, ["grp", "qv"],
+                        [("pos", "sum"), ("neg", "sum")],
+                        ["pos", "neg"])
+        tab = tab.sort_by([("grp", "ascending"), ("qv", "ascending")])
+        new = segment_starts(tab, ["grp"])
+        seg = np.cumsum(new) - 1
+        firsts = np.flatnonzero(new)
+        sizes = np.diff(np.append(firsts, tab.num_rows))
+        qv = tab["qv"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = tab["pos"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        neg = tab["neg"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cp = np.cumsum(pos)
+        cn = np.cumsum(neg)
+        base_p = np.concatenate([[0], cp])[np.repeat(firsts, sizes)]
+        base_n = np.concatenate([[0], cn])[np.repeat(firsts, sizes)]
+        p = cp - base_p
+        ng = cn - base_n
+        lasts = firsts + sizes - 1
+        tp = p[lasts][seg]
+        tn = ng[lasts][seg]
+        # candidates: all rows except each segment's last
+        cand = np.ones(tab.num_rows, dtype=bool)
+        cand[lasts] = False
+        if not cand.any():
+            return empty
+
+        def _xlx(c):
+            c = c.astype(np.float64)
+            return np.where(c > 0,
+                            c * np.log(np.maximum(c, 1)), 0.0)
+
+        rp = tp - p
+        rn = tn - ng
+        score = (_xlx(p + ng) - _xlx(p) - _xlx(ng)
+                 + _xlx(rp + rn) - _xlx(rp) - _xlx(rn))
+        sq = round_half_away(score * quant, 0).astype(np.int64)
+        ci = np.flatnonzero(cand)
+        order = np.lexsort((qv[ci], sq[ci], seg[ci]))
+        oseg = seg[ci][order]
+        first_of_seg = np.concatenate([[True], oseg[1:] != oseg[:-1]])
+        win = ci[order][first_of_seg]
+        return pa.table({
+            "group": pc.cast(tab["grp"], pa.string()).take(
+                pa.array(win)),
+            "threshold": pa.array(qv[win]),
+            "score_q": pa.array(sq[win]),
+            "n_left": pa.array(p[win] + ng[win]),
+            "n_right": pa.array((tp[win] - p[win])
+                                + (tn[win] - ng[win]))})
+
+    return bucketed_map_groups(counted, ["grp"], _best,
+                               buckets=buckets, sort_within=False)
