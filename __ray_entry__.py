@@ -6585,6 +6585,44 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_decay_score(sf_dir: str):
+    """Per-user time-decayed activity score: each event contributes
+    ``exp(−age/τ)`` (τ = 7 days against the corpus max timestamp),
+    QUANTIZED per event to an integer before the per-user fold — the
+    engagement-recency score is an exact int64 sum, layout-
+    independent and bit-reproduced by the SQL oracle.  Corpus max ts
+    folds from per-block scalars; one group exchange."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import group_agg
+
+    raw = _read(sf_dir, "events", ["user_id", "ts"])
+    mx = 0
+    for t in ray.get(raw.map_batches(
+            lambda tb: pa.table({"m": pa.array(
+                [pc.max(pc.cast(pc.cast(tb["ts"], pa.timestamp("us")),
+                                pa.int64())).as_py() or 0],
+                pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows and "m" in t.column_names:
+            mx = max(mx, max(t["m"].to_pylist()))
+    tau_us = 7 * 86_400_000_000.0
+
+    def _score(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        age = (mx - us).astype(np.float64)
+        dq = round_half_away(np.exp(-(age / tau_us)) * 1_000_000_000,
+                             0).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "dq": pa.array(dq)})
+
+    scored = raw.map_batches(_score, batch_format="pyarrow")
+    return group_agg(scored, ["user_id"],
+                     [("dq", "sum", "decay_q"),
+                      ("dq", "count_all", "n_events")])
+
+
 def _q_events_group_stump(sf_dir: str):
     """Per-event-type decision stump
     (relational.group_decision_stump): one exchange, segment-reset
@@ -7296,6 +7334,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_decay_score": _q_events_decay_score,
         "events_group_stump": _q_events_group_stump,
         "events_journey_near_dups": _q_events_journey_near_dups,
         "events_emd_matrix": _q_events_emd_matrix,
@@ -7564,6 +7603,18 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_decay_score": """
+            WITH mx AS (SELECT max(epoch_us(ts))::BIGINT AS m
+                        FROM events)
+            SELECT user_id,
+                   CAST(sum(CAST(round(exp(-((mx.m
+                            - epoch_us(ts)::BIGINT)::DOUBLE
+                            / 604800000000)) * 1000000000)
+                        AS BIGINT)) AS BIGINT) AS decay_q,
+                   count(*)::BIGINT AS n_events
+            FROM events CROSS JOIN mx
+            GROUP BY user_id
+        """,
         "events_group_stump": """
             WITH q AS (
                 SELECT event_type AS grp,
