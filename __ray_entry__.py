@@ -6585,6 +6585,56 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_rfm(sf_dir: str):
+    """RFM segmentation: per-user recency / frequency / monetary
+    folded in one group exchange, then THREE TeraSort global ranks
+    (unique tiebreak) mapped to quintiles by the exact integer rule
+    ``q = (rank−1)·5 // n + 1`` — no ntile remainder ambiguity, no
+    float thresholds; the driver hash checks every user's codes."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import global_rank, group_agg
+
+    raw = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64())
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "us": us,
+                         "qv": pa.array(qv)})
+
+    per_user = group_agg(raw.map_batches(_prep,
+                                         batch_format="pyarrow"),
+                         ["user_id"],
+                         [("us", "max", "last_us"),
+                          ("us", "count_all", "freq"),
+                          ("qv", "sum", "monetary_q")]).materialize()
+    n = per_user.count()
+
+    out = per_user
+    for col, desc, name in (("last_us", True, "r"),
+                            ("freq", True, "f"),
+                            ("monetary_q", True, "m")):
+        ranked = global_rank(out, col, descending=desc,
+                             tiebreak="user_id",
+                             kinds=("row_number",))
+        out = ranked.map_batches(
+            lambda t, _nm=name: t.append_column(
+                _nm, pa.array(
+                    (t["row_number"].to_numpy(zero_copy_only=False)
+                     - 1) * 5 // n + 1)).drop_columns(
+                ["row_number"]),
+            batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "last_us", "freq",
+                            "monetary_q", "r", "f", "m"]),
+        batch_format="pyarrow")
+
+
 def _q_events_decay_score(sf_dir: str):
     """Per-user time-decayed activity score: each event contributes
     ``exp(−age/τ)`` (τ = 7 days against the corpus max timestamp),
@@ -7334,6 +7384,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_rfm": _q_events_rfm,
         "events_decay_score": _q_events_decay_score,
         "events_group_stump": _q_events_group_stump,
         "events_journey_near_dups": _q_events_journey_near_dups,
@@ -7603,6 +7654,32 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "events_rfm": """
+            WITH p AS (
+                SELECT user_id,
+                       max(epoch_us(ts))::BIGINT AS last_us,
+                       count(*)::BIGINT AS freq,
+                       CAST(sum(CAST(round(coalesce(value, 0)
+                                           * 1000000) AS BIGINT))
+                            AS BIGINT) AS monetary_q
+                FROM events GROUP BY user_id),
+            n AS (SELECT count(*)::BIGINT AS n FROM p),
+            r AS (SELECT p.*,
+                         row_number() OVER (
+                             ORDER BY last_us DESC, user_id)
+                             AS rr,
+                         row_number() OVER (
+                             ORDER BY freq DESC, user_id) AS rf,
+                         row_number() OVER (
+                             ORDER BY monetary_q DESC, user_id)
+                             AS rm
+                  FROM p)
+            SELECT user_id, last_us, freq, monetary_q,
+                   CAST((rr - 1) * 5 // n.n + 1 AS BIGINT) AS r,
+                   CAST((rf - 1) * 5 // n.n + 1 AS BIGINT) AS f,
+                   CAST((rm - 1) * 5 // n.n + 1 AS BIGINT) AS m
+            FROM r CROSS JOIN n
+        """,
         "events_decay_score": """
             WITH mx AS (SELECT max(epoch_us(ts))::BIGINT AS m
                         FROM events)
