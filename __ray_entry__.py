@@ -6585,6 +6585,44 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_gini(sf_dir: str):
+    """Gini coefficient of the document-length distribution (the
+    inequality diagnostic for token-budget concentration):
+    ``G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)`` over the
+    row_number-ordered lengths — one TeraSort rank plus two exact
+    integer folds; numerator and denominator ship as BIGINTs so the
+    hash never touches a float."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ranked = global_rank(ds, "n_chars", tiebreak="doc_id",
+                         kinds=("row_number",))
+    num = 0
+    tot = 0
+    n = 0
+    for t in ray.get(ranked.map_batches(
+            lambda tb: pa.table({
+                "rx": pa.array([int((tb["row_number"].to_numpy(
+                    zero_copy_only=False).astype(object)
+                    * tb["n_chars"].to_numpy(
+                        zero_copy_only=False).astype(object)).sum())
+                    if tb.num_rows else 0], pa.int64()),
+                "sx": pa.array([int(pc.sum(tb["n_chars"]).as_py()
+                                    or 0)], pa.int64()),
+                "c": pa.array([tb.num_rows], pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0 or "rx" not in t.column_names:
+            continue
+        num += int(sum(t["rx"].to_pylist()))
+        tot += int(sum(t["sx"].to_pylist()))
+        n += int(sum(t["c"].to_pylist()))
+    return pa.table({
+        "gini_num": pa.array([2 * num - (n + 1) * tot], pa.int64()),
+        "gini_den": pa.array([n * tot], pa.int64()),
+        "n": pa.array([n], pa.int64())})
+
+
 def _q_events_rfm(sf_dir: str):
     """RFM segmentation: per-user recency / frequency / monetary
     folded in one group exchange, then THREE TeraSort global ranks
@@ -7384,6 +7422,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_gini": _q_docs_gini,
         "events_rfm": _q_events_rfm,
         "events_decay_score": _q_events_decay_score,
         "events_group_stump": _q_events_group_stump,
@@ -7654,6 +7693,22 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_gini": """
+            WITH r AS (
+                SELECT n_chars,
+                       row_number() OVER (
+                           ORDER BY n_chars, doc_id) AS rn
+                FROM documents),
+            s AS (SELECT CAST(sum(rn * n_chars) AS BIGINT) AS num,
+                         CAST(sum(n_chars) AS BIGINT) AS tot,
+                         count(*)::BIGINT AS n
+                  FROM r)
+            SELECT CAST(2 * num - (n + 1) * tot AS BIGINT)
+                       AS gini_num,
+                   CAST(n * tot AS BIGINT) AS gini_den,
+                   n
+            FROM s
+        """,
         "events_rfm": """
             WITH p AS (
                 SELECT user_id,
