@@ -6585,6 +6585,111 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_diversity(sf_dir: str):
+    """Per-source token diversity: distinct count, exact-integer
+    Simpson concentration ``Σ nᵢ(nᵢ−1)`` over ``N(N−1)``, and Shannon
+    entropy with each ``−nᵢ·ln(nᵢ/N)`` term quantized before the fold
+    (same exact-int contract as the KL family).  One (source, token)
+    count exchange; per-bucket partials fold on the driver as
+    O(buckets·sources) integers."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups)
+
+    def _tok_counts(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab["text"], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        src = tab["source"].combine_chunks().take(
+            pa.array(row_of[ok]))
+        return agg_named(
+            pa.table({"src": src, "tok": flat.filter(pa.array(ok)),
+                      "__one": np.ones(int(ok.sum()), np.int64)}),
+            ["src", "tok"], [("__one", "sum")], ["n"])
+
+    counts = bucketed_map_groups(
+        _read(sf_dir, "documents", ["text", "source"]).map_batches(
+            _tok_counts, batch_format="pyarrow"),
+        ["src", "tok"],
+        lambda t: agg_named(t, ["src", "tok"], [("n", "sum")], ["n"]),
+        buckets=4, sort_within=False).materialize()
+
+    # totals per source first (safe sum-decomposable fold)
+    totals: dict[str, int] = {}
+    for t in ray.get(counts.map_batches(
+            lambda tb: (agg_named(tb, ["src"], [("n", "sum")], ["s"])
+                        if tb.num_rows else pa.table(
+                            {"src": pa.array([], pa.string()),
+                             "s": pa.array([], pa.int64())})),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for s, v in zip(t["src"].to_pylist(), t["s"].to_pylist()):
+            totals[s] = totals.get(s, 0) + int(v)
+    srcs = sorted(totals)
+    tref = ray.put((srcs, np.array([totals[s] for s in srcs],
+                                   np.float64)))
+
+    def _partial(tab: pa.Table, _t=tref) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64()),
+                             "simp": pa.array([], pa.int64()),
+                             "shan": pa.array([], pa.int64())})
+        srcs_l, tot_v = ray.get(_t)
+        si = np.searchsorted(
+            np.array(srcs_l),
+            np.asarray(tab["src"].combine_chunks().to_numpy(
+                zero_copy_only=False), dtype=object))
+        nv = tab["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nf = nv.astype(np.float64)
+        term = round_half_away(
+            -(nf * (np.log(nf) - np.log(tot_v[si]))) * 1_000, 0) \
+            .astype(np.int64)
+        k = len(srcs_l)
+        dist = np.bincount(si, minlength=k).astype(np.int64)
+        simp = np.zeros(k, np.int64)
+        np.add.at(simp, si, nv * (nv - 1))
+        shan = np.zeros(k, np.int64)
+        np.add.at(shan, si, term)
+        return pa.table({"src": pa.array(srcs_l, pa.string()),
+                         "dist": pa.array(dist),
+                         "simp": pa.array(simp),
+                         "shan": pa.array(shan)})
+
+    dist = {}
+    simp = {}
+    shan = {}
+    for t in ray.get(counts.map_batches(
+            _partial, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0 or "dist" not in t.column_names:
+            continue
+        for s, d_, sp, sh in zip(t["src"].to_pylist(),
+                                 t["dist"].to_pylist(),
+                                 t["simp"].to_pylist(),
+                                 t["shan"].to_pylist()):
+            dist[s] = dist.get(s, 0) + int(d_)
+            simp[s] = simp.get(s, 0) + int(sp)
+            shan[s] = shan.get(s, 0) + int(sh)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tokens": pa.array([totals[s] for s in srcs], pa.int64()),
+        "n_distinct": pa.array([dist.get(s, 0) for s in srcs],
+                               pa.int64()),
+        "simpson_num": pa.array([simp.get(s, 0) for s in srcs],
+                                pa.int64()),
+        "shannon_mq": pa.array([shan.get(s, 0) for s in srcs],
+                               pa.int64())})
+
+
 def _q_docs_gini(sf_dir: str):
     """Gini coefficient of the document-length distribution (the
     inequality diagnostic for token-budget concentration):
@@ -7422,6 +7527,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_diversity": _q_docs_diversity,
         "docs_gini": _q_docs_gini,
         "events_rfm": _q_events_rfm,
         "events_decay_score": _q_events_decay_score,
@@ -7693,6 +7799,27 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_diversity": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents),
+            tc AS (SELECT source, tok, count(*)::BIGINT AS n
+                   FROM tok GROUP BY source, tok),
+            tt AS (SELECT source, sum(n)::BIGINT AS nt
+                   FROM tc GROUP BY source)
+            SELECT tc.source, tt.nt AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   CAST(sum(tc.n * (tc.n - 1)) AS BIGINT)
+                       AS simpson_num,
+                   CAST(sum(CAST(round(-(tc.n * (ln(tc.n)
+                                               - ln(tt.nt)))
+                                       * 1000) AS BIGINT))
+                        AS BIGINT) AS shannon_mq
+            FROM tc JOIN tt USING (source)
+            GROUP BY tc.source, tt.nt
+        """,
         "docs_gini": """
             WITH r AS (
                 SELECT n_chars,
