@@ -6585,6 +6585,109 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_gini_by_source(sf_dir: str):
+    """Per-SOURCE Gini of document lengths — pure composition: one
+    group exchange gives within-group row numbers
+    (group_window_rank, unique order key), the Lorenz sums fold as
+    exact integers per group."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups,
+                                               group_window_rank)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ranked = group_window_rank(ds, "source", ["n_chars", "doc_id"],
+                               "n_chars")
+
+    def _fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "gini_num": pa.array([], pa.int64()),
+                             "gini_den": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        rn = t["rank"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = pc.cast(t["n_chars"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        agg = agg_named(
+            pa.table({"source": t["source"],
+                      "rx": pa.array(rn * x),
+                      "x": pa.array(x),
+                      "__one": np.ones(t.num_rows, np.int64)}),
+            ["source"],
+            [("rx", "sum"), ("x", "sum"), ("__one", "sum")],
+            ["srx", "sx", "n"])
+        srx = agg["srx"].to_numpy(zero_copy_only=False)
+        sx = agg["sx"].to_numpy(zero_copy_only=False)
+        n = agg["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": agg["source"],
+                         "gini_num": pa.array(2 * srx - (n + 1) * sx),
+                         "gini_den": pa.array(n * sx),
+                         "n": pa.array(n)})
+
+    # ranks are already per-group correct; the fold needs each
+    # group's rows together, which the rank exchange's OUTPUT no
+    # longer guarantees — one more tiny keyed exchange
+    return bucketed_map_groups(
+        ranked.map_batches(
+            lambda t: t.select(["source", "rank", "n_chars"]),
+            batch_format="pyarrow"),
+        ["source"], _fold, buckets=4, sort_within=False)
+
+
+def _q_events_fano(sf_dir: str):
+    """Burstiness per event type: the Fano factor (variance/mean) of
+    hourly event counts over the type's OBSERVED hour buckets —
+    ``fano = (n·Σc² − (Σc)²) / (n·Σc)`` shipped as exact integer
+    numerator/denominator.  Two small exchanges: (type, hour) counts,
+    then per-type integer moments."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups)
+
+    def _hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return agg_named(
+            pa.table({"event_type": t["event_type"],
+                      "hb": pa.array(us // 3_600_000_000),
+                      "__one": np.ones(t.num_rows, np.int64)}),
+            ["event_type", "hb"], [("__one", "sum")], ["c"])
+
+    hourly = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            _hours, batch_format="pyarrow"),
+        ["event_type", "hb"],
+        lambda t: agg_named(t, ["event_type", "hb"],
+                            [("c", "sum")], ["c"]),
+        buckets=4, sort_within=False)
+
+    def _moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "fano_num": pa.array([], pa.int64()),
+                             "fano_den": pa.array([], pa.int64()),
+                             "n_hours": pa.array([], pa.int64())})
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        agg = agg_named(
+            pa.table({"event_type": t["event_type"],
+                      "s": pa.array(c), "q": pa.array(c * c),
+                      "__one": np.ones(t.num_rows, np.int64)}),
+            ["event_type"],
+            [("s", "sum"), ("q", "sum"), ("__one", "sum")],
+            ["s", "q", "n"])
+        s = agg["s"].to_numpy(zero_copy_only=False)
+        q = agg["q"].to_numpy(zero_copy_only=False)
+        n = agg["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": agg["event_type"],
+                         "fano_num": pa.array(n * q - s * s),
+                         "fano_den": pa.array(n * s),
+                         "n_hours": pa.array(n)})
+
+    return bucketed_map_groups(hourly, ["event_type"], _moments,
+                               buckets=2, sort_within=False)
+
+
 def _q_docs_diversity(sf_dir: str):
     """Per-source token diversity: distinct count, exact-integer
     Simpson concentration ``Σ nᵢ(nᵢ−1)`` over ``N(N−1)``, and Shannon
@@ -7527,6 +7630,8 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_gini_by_source": _q_docs_gini_by_source,
+        "events_fano": _q_events_fano,
         "docs_diversity": _q_docs_diversity,
         "docs_gini": _q_docs_gini,
         "events_rfm": _q_events_rfm,
@@ -7799,6 +7904,35 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_gini_by_source": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS rn
+                FROM documents)
+            SELECT source,
+                   CAST(2 * sum(rn * n_chars)
+                        - (count(*) + 1) * sum(n_chars)
+                        AS BIGINT) AS gini_num,
+                   CAST(count(*) * sum(n_chars) AS BIGINT)
+                       AS gini_den,
+                   count(*)::BIGINT AS n
+            FROM r GROUP BY source
+        """,
+        "events_fano": """
+            WITH h AS (
+                SELECT event_type,
+                       epoch_us(ts)::BIGINT // 3600000000 AS hb,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY event_type, hb)
+            SELECT event_type,
+                   CAST(count(*) * sum(c * c) - sum(c) * sum(c)
+                        AS BIGINT) AS fano_num,
+                   CAST(count(*) * sum(c) AS BIGINT) AS fano_den,
+                   count(*)::BIGINT AS n_hours
+            FROM h GROUP BY event_type
+        """,
         "docs_diversity": """
             WITH tok AS (
                 SELECT source,

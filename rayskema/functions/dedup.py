@@ -2519,10 +2519,13 @@ def sorted_neighborhood_pairs(
     if window < 2:
         raise ValueError("window must be >= 2")
     w1 = window - 1
-    if span <= w1:
-        # the overlap copy reaches exactly ONE span forward; a pair
-        # whose endpoints sit two spans apart would be silently lost
-        raise ValueError(f"span ({span}) must exceed window-1 ({w1})")
+    if span < w1:
+        # the overlap copy reaches exactly ONE span forward; with
+        # span >= window-1 every pair's left endpoint lies in the
+        # right endpoint's span or the immediately previous one (the
+        # copy region), but a smaller span would need copies to skip
+        # ahead multiple spans and would silently lose pairs
+        raise ValueError(f"span ({span}) must be >= window-1 ({w1})")
     from ..pipelines.relational import global_rank
 
     def _prep(tab: pa.Table) -> pa.Table:
