@@ -264,3 +264,19 @@ def test_containment_prefix_filter_complete(ray_session):
                          out["id_b"].to_pylist()))
         assert got == sorted(want)
         assert len(got) > 0
+
+
+def test_containment_identical_docs_both_directions(ray_session):
+    """Identical documents contain each other: both directed rows
+    appear with containment 1.0, and candidates survive dedup across
+    multiple shared shingles."""
+    from rayskema.functions.dedup import containment_pairs
+
+    text = "one two three four five six seven eight nine ten"
+    ds = _docs([text, text, "something else entirely here now"])
+    out = containment_pairs(ds, "text", "doc_id", threshold=0.99,
+                            buckets=2)
+    rows = sorted(zip(out["id_a"].to_pylist(),
+                      out["id_b"].to_pylist(),
+                      out["containment"].to_pylist()))
+    assert rows == [(0, 1, 1.0), (1, 0, 1.0)]
