@@ -5626,6 +5626,7 @@ def global_rank(
     for i, (_c, d) in enumerate(enc_all):
         sort_cols += [f"__nn{i}", f"__nv{i}"]
         sort_desc += [d, d]
+
     s = ds.map_batches(_encode, batch_format="pyarrow") \
         .sort(sort_cols, descending=sort_desc).materialize()
     refs = s.to_arrow_refs()

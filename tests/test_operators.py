@@ -5081,3 +5081,39 @@ def test_decision_stump_exact(ray_session):
     assert outs[0] == outs[1]
     assert outs[0]["threshold"] == 10
     assert outs[0]["n_left"] == 151 and outs[0]["n_right"] == 151
+
+
+def test_global_rank_parquet_backed_nan_ties(ray_session, tmp_path):
+    """Parquet-backed global ranking with NaN keys and heavy ties:
+    deterministic and self-consistent (row_number unique and aligned
+    with rank runs) — the shape the file-metadata sizing sees."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from rayskema.pipelines import relational as R
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    keys = rng.integers(0, 40, n).astype(np.float64)
+    keys[rng.integers(0, n, 25)] = np.nan
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "k": pa.array(keys)})
+    p = str(tmp_path / "rank_in.parquet")
+    pq.write_table(t, p)
+
+    def run():
+        ds = rd.read_parquet(p)
+        out = pa.concat_tables([b for b in ray.get(
+            R.global_rank(ds, "k", descending=True, tiebreak="id")
+            .to_arrow_refs()) if b.num_rows])
+        return sorted(zip(out["id"].to_pylist(),
+                          out["row_number"].to_pylist(),
+                          out["rank"].to_pylist(),
+                          out["dense_rank"].to_pylist()))
+
+    a, b = run(), run()
+    assert a == b
+    assert len(a) == n
+    assert sorted(r[1] for r in a) == list(range(1, n + 1))
