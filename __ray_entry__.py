@@ -6585,6 +6585,62 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_zipf(sf_dir: str):
+    """Zipf-law fit of the token frequency distribution: OLS slope of
+    quantized (ln rank, ln freq) over the rank-ordered vocabulary —
+    numerator and denominator of the closed form shipped as exact
+    integers from quantized-log int products (no float reaches the
+    hash).  Vocabulary counts from one token exchange; the vocabulary
+    is the SMALL side and folds on the driver like build_vocab.  The
+    BIGINT output contract bounds the vocabulary (~1e4 tokens at this
+    quant — ample for a fit diagnostic; scale the quant down or ship
+    decimal strings for corpus-scale vocabularies)."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups)
+
+    def _tok(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab["text"], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ok = pc.not_equal(flat, "")
+        flat = flat.filter(ok)
+        return agg_named(
+            pa.table({"tok": flat,
+                      "__one": np.ones(len(flat), np.int64)}),
+            ["tok"], [("__one", "sum")], ["n"])
+
+    vocab = bucketed_map_groups(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            _tok, batch_format="pyarrow"),
+        ["tok"],
+        lambda t: agg_named(t, ["tok"], [("n", "sum")], ["n"]),
+        buckets=4, sort_within=False)
+    rows = []
+    for t in ray.get(vocab.to_arrow_refs()):
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            continue
+        rows += list(zip(t["tok"].to_pylist(), t["n"].to_pylist()))
+    rows.sort(key=lambda kv: (-kv[1], kv[0]))
+    n = len(rows)
+    slr = slf = srr = srf = 0
+    for i, (_, f) in enumerate(rows):
+        lr = int(round_half_away(np.log(float(i + 1)) * 1_000_000, 0))
+        lf = int(round_half_away(np.log(float(f)) * 1_000_000, 0))
+        slr += lr
+        slf += lf
+        srr += lr * lr
+        srf += lr * lf
+    return pa.table({
+        "n_vocab": pa.array([n], pa.int64()),
+        "slope_num": pa.array([n * srf - slr * slf], pa.int64()),
+        "slope_den": pa.array([n * srr - slr * slr], pa.int64())})
+
+
 def _q_docs_gini_by_source(sf_dir: str):
     """Per-SOURCE Gini of document lengths — pure composition: one
     group exchange gives within-group row numbers
@@ -7630,6 +7686,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_zipf": _q_docs_zipf,
         "docs_gini_by_source": _q_docs_gini_by_source,
         "events_fano": _q_events_fano,
         "docs_diversity": _q_docs_diversity,
@@ -7904,6 +7961,29 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "docs_zipf": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents),
+            tc AS (SELECT tok, count(*)::BIGINT AS n
+                   FROM tok GROUP BY tok),
+            r AS (SELECT n,
+                         row_number() OVER (
+                             ORDER BY n DESC, tok) AS rnk
+                  FROM tc),
+            q AS (SELECT CAST(round(ln(rnk::DOUBLE) * 1000000)
+                              AS BIGINT) AS lr,
+                         CAST(round(ln(n::DOUBLE) * 1000000)
+                              AS BIGINT) AS lf
+                  FROM r)
+            SELECT count(*)::BIGINT AS n_vocab,
+                   CAST(count(*) * sum(lr * lf)
+                        - sum(lr) * sum(lf) AS BIGINT) AS slope_num,
+                   CAST(count(*) * sum(lr * lr)
+                        - sum(lr) * sum(lr) AS BIGINT) AS slope_den
+            FROM q
+        """,
         "docs_gini_by_source": """
             WITH r AS (
                 SELECT source, n_chars,
