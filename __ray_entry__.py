@@ -6585,6 +6585,45 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_emb_coreset(sf_dir: str):
+    """Greedy k-center coreset (similarity.kcenter_coreset,
+    farthest-first): 12 maximally-diverse embedding exemplars in k
+    broadcast passes, no shuffle.  Verdict: the single-node replica
+    (same float ops, same value-then-id champion rule) must reproduce
+    the center sequence AND per-step radii exactly; the cover radius
+    is non-increasing by construction."""
+    import numpy as np
+
+    from rayskema.functions.similarity import kcenter_coreset
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = kcenter_coreset(ds, "embedding", "vec_id", k=12)
+
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    chosen = [int(ids.min())]
+    rad = [0.0]
+    for _ in range(11):
+        C = X[np.isin(ids, chosen)]
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) \
+            + (C * C).sum(1)[None, :]
+        mind = d2.min(axis=1)
+        best = np.lexsort((ids, -mind))[0]
+        chosen.append(int(ids[best]))
+        rad.append(float(mind[best]))
+    matches = bool(res["ids"] == chosen and res["radius2"] == rad)
+    r = np.array(res["radius2"][1:])
+    return pa.table({
+        "k": pa.array([len(res["ids"])], pa.int64()),
+        "first_center": pa.array([res["ids"][0]], pa.int64()),
+        "matches_reference": pa.array([matches]),
+        "radius_nonincreasing": pa.array(
+            [bool(np.all(np.diff(r) <= 1e-12))])})
+
+
 def _q_docs_zipf(sf_dir: str):
     """Zipf-law fit of the token frequency distribution: OLS slope of
     quantized (ln rank, ln freq) over the rank-ordered vocabulary —
@@ -7686,6 +7725,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "emb_coreset": _q_emb_coreset,
         "docs_zipf": _q_docs_zipf,
         "docs_gini_by_source": _q_docs_gini_by_source,
         "events_fano": _q_events_fano,
@@ -7961,6 +8001,13 @@ def oracle_sql() -> dict[str, str]:
     # make sure it exists even if the driver runs oracles before queries
     fixture_dir = _ensure_entry_fixture()
     d = {
+        "emb_coreset": """
+            SELECT 12::BIGINT AS k,
+                   min(vec_id)::BIGINT AS first_center,
+                   TRUE AS matches_reference,
+                   TRUE AS radius_nonincreasing
+            FROM embeddings
+        """,
         "docs_zipf": """
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(lower(text),

@@ -1509,3 +1509,89 @@ def ivfpq_search(
             out[q] = list(zip(ids[mask][order].tolist(),
                               d2[mask][order].tolist()))
     return out
+
+
+def kcenter_coreset(
+    ds: "rd.Dataset", vec_col: str, id_col: str, *, k: int = 16,
+) -> dict:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985):
+    pick the smallest-id vector, then k−1 times the point FARTHEST
+    from the chosen set (ties to the smallest id) — the classic
+    2-approximation coverage coreset for diverse subset selection.
+
+    Deterministic by construction: each round broadcasts the chosen
+    centers once, every block reports its champion ``(min-dist²,
+    id)`` under the exact same float ops, and the driver folds
+    O(blocks) champions with the value-then-id rule — block layout
+    cannot change any comparison.  Returns ``{"ids": [int], "radius2":
+    [float]}`` (``radius2[t]`` = the squared distance that step's
+    winner had to the previous centers).
+
+    Scale shape: k streaming passes, centers matrix O(k·d) broadcast,
+    no shuffle — the embedding column never moves."""
+    import ray
+
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+
+    def _champion(tab: pa.Table, _c) -> pa.Table:
+        C = ray.get(_c)
+        X = _matrix(tab[vec_col])
+        ids = pc.cast(tab[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) \
+            + (C * C).sum(1)[None, :]
+        mind = d2.min(axis=1)
+        best = np.lexsort((ids, -mind))[0]
+        return pa.table({"d2": pa.array([float(mind[best])]),
+                         "bid": pa.array([int(ids[best])],
+                                         pa.int64())})
+
+    # seed: smallest id
+    seed = None
+    for t in ray.get(proj.map_batches(
+            lambda tb: pa.table({"m": pa.array(
+                [int(pc.min(pc.cast(tb[id_col], pa.int64())).as_py())
+                 if tb.num_rows else np.iinfo(np.int64).max],
+                pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()):
+        for v in t["m"].to_pylist():
+            seed = v if seed is None else min(seed, v)
+    if seed is None or seed == np.iinfo(np.int64).max:
+        raise ValueError("empty input")
+    chosen = [int(seed)]
+    radius2 = [0.0]
+
+    def _vec_of(ids_needed):
+        sel_ref = ray.put(pa.array(sorted(ids_needed), pa.int64()))
+
+        def _sel(tb: pa.Table) -> pa.Table:
+            keep = pc.is_in(pc.cast(tb[id_col], pa.int64()),
+                            value_set=ray.get(sel_ref))
+            return tb.filter(keep)
+
+        tabs = [t for t in ray.get(proj.map_batches(
+            _sel, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        tab = pa.concat_tables(tabs)
+        order = np.argsort(pc.cast(tab[id_col], pa.int64())
+                           .to_numpy(zero_copy_only=False))
+        return _matrix(tab[vec_col])[order], sorted(ids_needed)
+
+    while len(chosen) < k:
+        M, _ = _vec_of(chosen)
+        cref = ray.put(M)
+        best_d, best_id = -1.0, None
+        for t in ray.get(proj.map_batches(
+                lambda tb, _c=cref: _champion(tb, _c),
+                batch_format="pyarrow").to_arrow_refs()):
+            if t.num_rows == 0 or "d2" not in t.column_names:
+                continue
+            for d2v, bid in zip(t["d2"].to_pylist(),
+                                t["bid"].to_pylist()):
+                if d2v > best_d or (d2v == best_d
+                                    and (best_id is None
+                                         or bid < best_id)):
+                    best_d, best_id = d2v, bid
+        chosen.append(int(best_id))
+        radius2.append(float(best_d))
+    return {"ids": chosen, "radius2": radius2}
