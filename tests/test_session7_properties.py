@@ -201,3 +201,81 @@ def test_decision_stump_matches_brute(ray_session, rows):
             best = cand
     assert (got["score_q"], got["threshold"], got["n_left"],
             got["n_right"]) == best
+
+
+texts_pmi = st.lists(
+    st.text(alphabet="abc d", min_size=0, max_size=24),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts_pmi)
+def test_pmi_bigrams_match_brute(ray_session, txts):
+    import math
+    import re
+    from collections import Counter
+
+    from rayskema.functions import round_half_away
+    from rayskema.functions.textstats import pmi_bigrams
+
+    t = pa.table({"text": pa.array(txts, pa.string())})
+    out = _collect(pmi_bigrams(
+        rd.from_arrow(t).repartition(3), "text", min_count=1))
+    got = {} if out is None else {
+        (a, b): (np_, na, nb, p) for a, b, np_, na, nb, p in
+        zip(out["tok_a"].to_pylist(), out["tok_b"].to_pylist(),
+            out["n_pair"].to_pylist(), out["n_a"].to_pylist(),
+            out["n_b"].to_pylist(), out["pmi"].to_pylist())}
+
+    uni = Counter()
+    big = Counter()
+    for s in txts:
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    T = sum(uni.values())
+    N = sum(big.values())
+    want = {}
+    for (x, y), c in big.items():
+        ratio = (float(c) * T * T) / (float(N) * uni[x] * uni[y])
+        want[(x, y)] = (c, uni[x], uni[y],
+                        float(round_half_away(math.log(ratio), 6)))
+    assert got == want
+
+
+snm_texts = st.lists(
+    st.text(alphabet="abcXY 12", min_size=0, max_size=16),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=15, deadline=None)
+@given(snm_texts)
+def test_sorted_neighborhood_matches_brute(ray_session, txts):
+    import re
+
+    from rayskema.functions import round_half_away
+    from rayskema.functions.dedup import sorted_neighborhood_pairs
+
+    t = pa.table({"doc_id": pa.array(range(len(txts)), pa.int64()),
+                  "text": pa.array(txts, pa.string())})
+    out = _collect(sorted_neighborhood_pairs(
+        rd.from_arrow(t).repartition(3), "doc_id", "text",
+        key_len=6, window=3, threshold=0.0, span=2, buckets=2))
+    got = sorted(zip(out["id_a"].to_pylist(),
+                     out["id_b"].to_pylist(),
+                     out["jaccard"].to_pylist())) \
+        if out is not None else []
+
+    norm = {i: re.sub(r"[^a-z0-9]", "", s.lower())
+            for i, s in enumerate(txts)}
+    keep = [(norm[i][:6], i) for i in norm if norm[i]]
+    keep.sort()
+    want = []
+    for a in range(len(keep)):
+        for b in range(a + 1, min(a + 3, len(keep))):
+            ia, ib = keep[a][1], keep[b][1]
+            sa, sb = set(norm[ia]), set(norm[ib])
+            j = float(round_half_away(
+                len(sa & sb) / len(sa | sb), 6))
+            want.append((ia, ib, j))
+    assert got == sorted(want)
