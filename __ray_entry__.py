@@ -6585,6 +6585,36 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_atypical(sf_dir: str):
+    """The 20 documents LEAST typical of the corpus under the Naive
+    Bayes model (lowest winning class score — outlier/quality triage
+    by generative likelihood): NB scoring composed with the capped
+    top-k exchange (ascending).  The oracle reuses the
+    docs_naive_bayes SQL verbatim, so model drift is impossible."""
+    import pyarrow.compute as pc
+    from rayskema.functions.textstats import naive_bayes_classify
+    from rayskema.pipelines.relational import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = naive_bayes_classify(ds, "text", "doc_id", "source")
+    tagged = scored.map_batches(
+        lambda t: pa.table({"all": pa.array(["x"] * t.num_rows),
+                            "score_q": t["score_q"],
+                            "doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    top = topk_per_group(tagged, "all", "score_q", "doc_id",
+                         k=20, descending=False)
+    picked = top.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "rank": t["rank"]}),
+        batch_format="pyarrow")
+    from rayskema.pipelines.relational import hash_join
+    return hash_join(picked, scored, on="doc_id",
+                     broadcast="auto").map_batches(
+        lambda t: t.select(["doc_id", "pred", "score_q", "rank"]),
+        batch_format="pyarrow")
+
+
 def _q_emb_coreset(sf_dir: str):
     """Greedy k-center coreset (similarity.kcenter_coreset,
     farthest-first): 12 maximally-diverse embedding exemplars in k
@@ -7725,6 +7755,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_atypical": _q_docs_atypical,
         "emb_coreset": _q_emb_coreset,
         "docs_zipf": _q_docs_zipf,
         "docs_gini_by_source": _q_docs_gini_by_source,
@@ -12036,6 +12067,17 @@ def oracle_sql() -> dict[str, str]:
     # SAME schema as validate_orders — one oracle definition for both
     # so a future constraint edit cannot drift them apart
     d["orders_gen_validate"] = d["validate_orders"]
+
+    # atypical docs reuse the full Naive Bayes oracle verbatim
+    d["docs_atypical"] = f"""
+            WITH nb AS ({d["docs_naive_bayes"]}),
+            r AS (SELECT doc_id, pred, score_q,
+                         row_number() OVER (
+                             ORDER BY score_q, doc_id) AS rank
+                  FROM nb)
+            SELECT doc_id, pred, score_q, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 20
+        """
 
     # violation drill-down reuses the validate_orders oracle verbatim
     d["orders_violation_examples"] = f"""
