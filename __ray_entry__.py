@@ -6585,6 +6585,64 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_temporal_drift(sf_dir: str):
+    """Within-type temporal drift: exact W1 between each event
+    type's FIRST-half and SECOND-half value distributions (split at
+    the corpus median timestamp rounded to days) — the
+    distribution-shift report of the north rule computed with
+    wasserstein_matrix over composite (type|half) groups, keeping
+    only the same-type pairs."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import wasserstein_matrix
+
+    raw = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    # split boundary: corpus midpoint day (exact integer fold)
+    lo = hi = None
+    for t in ray.get(raw.map_batches(
+            lambda tb: pa.table({
+                "lo": pa.array([pc.min(pc.cast(pc.cast(
+                    tb["ts"], pa.timestamp("us")), pa.int64()))
+                    .as_py() or 0], pa.int64()),
+                "hi": pa.array([pc.max(pc.cast(pc.cast(
+                    tb["ts"], pa.timestamp("us")), pa.int64()))
+                    .as_py() or 0], pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0 or "lo" not in t.column_names:
+            continue
+        for a, b in zip(t["lo"].to_pylist(), t["hi"].to_pylist()):
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+    mid_day = (lo + (hi - lo) // 2) // 86_400_000_000
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        half = np.where(us // 86_400_000_000 <= mid_day, "1", "2")
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        g = pc.binary_join_element_wise(
+            t["event_type"], pa.array(half, pa.string()), "|")
+        return pa.table({"qv": pa.array(qv), "g": g})
+
+    ds = raw.map_batches(_prep, batch_format="pyarrow")
+    full = wasserstein_matrix(ds, "qv", "g")
+    ga = full["g_a"].to_pylist()
+    gb = full["g_b"].to_pylist()
+    keep = [i for i in range(full.num_rows)
+            if ga[i].rsplit("|", 1)[0] == gb[i].rsplit("|", 1)[0]]
+    sel = full.take(pa.array(keep, pa.int64()))
+    return pa.table({
+        "event_type": pa.array(
+            [g.rsplit("|", 1)[0] for g in
+             sel["g_a"].to_pylist()], pa.string()),
+        "w1_num": sel["w1_num"],
+        "n_first": sel["n_a"],
+        "n_second": sel["n_b"]})
+
+
 def _q_docs_atypical(sf_dir: str):
     """The 20 documents LEAST typical of the corpus under the Naive
     Bayes model (lowest winning class score — outlier/quality triage
@@ -7755,6 +7813,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_temporal_drift": _q_events_temporal_drift,
         "docs_atypical": _q_docs_atypical,
         "emb_coreset": _q_emb_coreset,
         "docs_zipf": _q_docs_zipf,
@@ -12067,6 +12126,46 @@ def oracle_sql() -> dict[str, str]:
     # SAME schema as validate_orders — one oracle definition for both
     # so a future constraint edit cannot drift them apart
     d["orders_gen_validate"] = d["validate_orders"]
+
+    d["events_temporal_drift"] = """
+            WITH b AS (SELECT min(epoch_us(ts))::BIGINT AS lo,
+                              max(epoch_us(ts))::BIGINT AS hi
+                       FROM events),
+            md AS (SELECT (lo + (hi - lo) // 2) // 86400000000
+                       AS mid FROM b),
+            q AS (SELECT event_type,
+                         CASE WHEN epoch_us(ts)::BIGINT
+                                  // 86400000000 <= md.mid
+                              THEN 'a' ELSE 'b' END AS side,
+                         CAST(round(coalesce(value, 0) * 1000000)
+                              AS BIGINT) AS qv
+                  FROM events CROSS JOIN md),
+            u AS (SELECT event_type, qv,
+                         CAST(sum(CASE WHEN side = 'a' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS na,
+                         CAST(sum(CASE WHEN side = 'b' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS nb
+                  FROM q GROUP BY event_type, qv),
+            t AS (SELECT event_type, sum(na)::BIGINT AS ta,
+                         sum(nb)::BIGINT AS tb
+                  FROM u GROUP BY event_type),
+            c AS (SELECT event_type, qv,
+                         CAST(sum(na) OVER w AS BIGINT) AS ca,
+                         CAST(sum(nb) OVER w AS BIGINT) AS cb,
+                         lead(qv) OVER w2 AS nxt
+                  FROM u
+                  WINDOW w AS (PARTITION BY event_type ORDER BY qv
+                               ROWS UNBOUNDED PRECEDING),
+                         w2 AS (PARTITION BY event_type
+                                ORDER BY qv))
+            SELECT c.event_type,
+                   CAST(sum(abs(c.ca * t.tb - c.cb * t.ta)
+                            * (c.nxt - c.qv)) AS BIGINT) AS w1_num,
+                   t.ta AS n_first, t.tb AS n_second
+            FROM c JOIN t USING (event_type)
+            WHERE c.nxt IS NOT NULL
+            GROUP BY c.event_type, t.ta, t.tb
+        """
 
     # atypical docs reuse the full Naive Bayes oracle verbatim
     d["docs_atypical"] = f"""
