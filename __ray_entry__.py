@@ -6585,6 +6585,30 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_docs_nb_confusion(sf_dir: str):
+    """Self-classification confusion matrix of the Naive Bayes model
+    (actual source × predicted source counts) — scoring joined back
+    to labels by one auto-broadcast join, counted on the tiny
+    (k × k) grain.  The oracle reuses the NB SQL verbatim."""
+    import pyarrow.compute as pc
+    from rayskema.functions.textstats import naive_bayes_classify
+    from rayskema.pipelines.relational import group_agg, hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = naive_bayes_classify(ds, "text", "doc_id", "source")
+    labels = ds.map_batches(
+        lambda t: t.select(["doc_id", "source"]),
+        batch_format="pyarrow")
+    j = hash_join(scored, labels, on="doc_id", broadcast="auto")
+    return group_agg(j.map_batches(
+        lambda t: pa.table({"actual": t["source"],
+                            "pred": t["pred"],
+                            "__one": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"),
+        ["actual", "pred"], [("__one", "sum", "n")])
+
+
 def _q_events_temporal_drift(sf_dir: str):
     """Within-type temporal drift: exact W1 between each event
     type's FIRST-half and SECOND-half value distributions (split at
@@ -7813,6 +7837,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "docs_nb_confusion": _q_docs_nb_confusion,
         "events_temporal_drift": _q_events_temporal_drift,
         "docs_atypical": _q_docs_atypical,
         "emb_coreset": _q_emb_coreset,
@@ -12165,6 +12190,14 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (event_type)
             WHERE c.nxt IS NOT NULL
             GROUP BY c.event_type, t.ta, t.tb
+        """
+
+    d["docs_nb_confusion"] = f"""
+            WITH nb AS ({d["docs_naive_bayes"]})
+            SELECT d.source AS actual, nb.pred,
+                   count(*)::BIGINT AS n
+            FROM nb JOIN documents d USING (doc_id)
+            GROUP BY d.source, nb.pred
         """
 
     # atypical docs reuse the full Naive Bayes oracle verbatim
