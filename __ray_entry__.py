@@ -6585,6 +6585,19 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_orders_value_shapes(sf_dir: str):
+    """Value-shape profiling (profile.value_shape_profile): the
+    format-pattern distribution of orders' string columns — one
+    length-preserving byte-substitution pass over the flat Arrow
+    buffer, one (column, shape) exchange; format drift surfaces as a
+    new shape row before any regex rule exists for it."""
+    from rayskema.functions.profile import value_shape_profile
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority"])
+    return value_shape_profile(ds, ["o_orderstatus",
+                                    "o_orderpriority"])
+
+
 def _q_docs_nb_confusion(sf_dir: str):
     """Self-classification confusion matrix of the Naive Bayes model
     (actual source × predicted source counts) — scoring joined back
@@ -7837,6 +7850,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_value_shapes": _q_orders_value_shapes,
         "docs_nb_confusion": _q_docs_nb_confusion,
         "events_temporal_drift": _q_events_temporal_drift,
         "docs_atypical": _q_docs_atypical,
@@ -12190,6 +12204,27 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (event_type)
             WHERE c.nxt IS NOT NULL
             GROUP BY c.event_type, t.ta, t.tb
+        """
+
+    d["orders_value_shapes"] = """
+            WITH s AS (
+                SELECT 'o_orderstatus' AS "column",
+                       regexp_replace(regexp_replace(regexp_replace(
+                           coalesce(o_orderstatus, ''),
+                           '[A-Z]', 'A', 'g'),
+                           '[a-z]', 'a', 'g'),
+                           '[0-9]', '9', 'g') AS shape
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority',
+                       regexp_replace(regexp_replace(regexp_replace(
+                           coalesce(o_orderpriority, ''),
+                           '[A-Z]', 'A', 'g'),
+                           '[a-z]', 'a', 'g'),
+                           '[0-9]', '9', 'g')
+                FROM orders)
+            SELECT "column", shape, count(*)::BIGINT AS n
+            FROM s GROUP BY "column", shape
         """
 
     d["docs_nb_confusion"] = f"""

@@ -1029,3 +1029,67 @@ def crosstab_deviation(
             "dev_den": pa.array(den.astype(np.int64))})
 
     return out.map_batches(_dev, batch_format="pyarrow")
+
+
+def value_shape_profile(
+    ds: "rd.Dataset", cols: "Sequence[str]", *,
+    buckets: int | None = None,
+) -> "rd.Dataset":
+    """Value-SHAPE distribution per string column (format/pattern
+    discovery, the data-prep profiling step): every byte maps
+    ``A-Z → 'A'``, ``a-z → 'a'``, ``0-9 → '9'`` (others kept), and
+    the profile counts each column's distinct shapes — ``'O'`` and
+    ``'F'`` collapse to shape ``A``, ``'1-URGENT'`` to ``9-AAAAAA``,
+    so format drift (a lowercase id, a stray space) surfaces as a
+    new shape row.  Output: ``(column, shape, n)``.
+
+    The byte substitution is one vectorized pass over the flat Arrow
+    buffer (length-preserving, so offsets are reused zero-copy);
+    counts pre-aggregate per batch and ONE exchange on
+    (column, shape) finishes — never more than the distinct-shape
+    table moves.  Multibyte UTF-8 passes through untouched (lead/
+    continuation bytes are outside the mapped ASCII ranges)."""
+    from ..pipelines.relational import agg_named, bucketed_map_groups
+
+    cols = list(cols)
+
+    def _shapes(tab: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            arr = pc.cast(pc.fill_null(tab[c], ""), pa.string())
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            buf = pc.cast(arr, pa.large_binary())
+            bufs = buf.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64,
+                                    count=len(buf) + 1,
+                                    offset=buf.offset * 8)
+            data = np.frombuffer(bufs[2], dtype=np.uint8) \
+                if bufs[2] is not None else np.empty(0, np.uint8)
+            data = data[offsets[0]:offsets[-1]].copy()
+            upper = (data >= 65) & (data <= 90)
+            lower = (data >= 97) & (data <= 122)
+            digit = (data >= 48) & (data <= 57)
+            data[upper] = ord("A")
+            data[lower] = ord("a")
+            data[digit] = ord("9")
+            rel = (offsets - offsets[0]).astype(np.int64)
+            shaped = pa.Array.from_buffers(
+                pa.large_utf8(), len(buf),
+                [None, pa.py_buffer(rel.tobytes()),
+                 pa.py_buffer(data.tobytes())])
+            parts.append(agg_named(
+                pa.table({"column": pa.array([c] * len(buf),
+                                             pa.string()),
+                          "shape": pc.cast(shaped, pa.string()),
+                          "__one": np.ones(len(buf), np.int64)}),
+                ["column", "shape"], [("__one", "sum")], ["n"]))
+        return pa.concat_tables(parts)
+
+    return bucketed_map_groups(
+        ds.select_columns(cols).map_batches(
+            _shapes, batch_format="pyarrow"),
+        ["column", "shape"],
+        lambda t: agg_named(t, ["column", "shape"],
+                            [("n", "sum")], ["n"]),
+        buckets=buckets, sort_within=False)
