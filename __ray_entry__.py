@@ -6585,6 +6585,74 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_transition_entropy(sf_dir: str):
+    """Per-user behavioral diversity: Shannon entropy of the user's
+    event-type TRANSITION distribution, every ``−n·(ln n − ln N)``
+    term quantized before the exact integer fold (the KL-family
+    contract).  ONE user exchange: adjacency, pair counts and the
+    entropy fold all run inside the gather where each user's ordered
+    rows are complete."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               segment_starts)
+
+    def _fold(tab: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_transitions": pa.array([], pa.int64()),
+                          "n_distinct_pairs": pa.array([],
+                                                       pa.int64()),
+                          "entropy_mq": pa.array([], pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        tab = tab.sort_by([("user_id", "ascending"),
+                           ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        uid = pc.cast(tab["user_id"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        et = tab["event_type"].combine_chunks().dictionary_encode()
+        code = et.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = uid[:-1] == uid[1:]
+        if not m.any():
+            return empty
+        pu = uid[:-1][m]
+        pf = code[:-1][m]
+        pt = code[1:][m]
+        order = np.lexsort((pt, pf, pu))
+        pu, pf, pt = pu[order], pf[order], pt[order]
+        new = np.ones(len(pu), dtype=bool)
+        new[1:] = (pu[1:] != pu[:-1]) | (pf[1:] != pf[:-1]) \
+            | (pt[1:] != pt[:-1])
+        seg = np.cumsum(new) - 1
+        n = np.bincount(seg).astype(np.int64)
+        seg_user = pu[np.flatnonzero(new)]
+        new_user = np.ones(len(seg_user), dtype=bool)
+        new_user[1:] = seg_user[1:] != seg_user[:-1]
+        useg = np.cumsum(new_user) - 1
+        n_users = int(useg[-1]) + 1
+        nt = np.zeros(n_users, np.int64)
+        np.add.at(nt, useg, n)
+        term = round_half_away(
+            -(n.astype(np.float64)
+              * (np.log(n.astype(np.float64))
+                 - np.log(nt[useg].astype(np.float64)))) * 1_000,
+            0).astype(np.int64)
+        ent = np.zeros(n_users, np.int64)
+        np.add.at(ent, useg, term)
+        ndp = np.bincount(useg, minlength=n_users).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(seg_user[new_user]),
+            "n_transitions": pa.array(nt),
+            "n_distinct_pairs": pa.array(ndp),
+            "entropy_mq": pa.array(ent)})
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return bucketed_map_groups(ds, ["user_id"], _fold,
+                               buckets=4, sort_within=False)
+
+
 def _q_orders_value_shapes(sf_dir: str):
     """Value-shape profiling (profile.value_shape_profile): the
     format-pattern distribution of orders' string columns — one
@@ -7850,6 +7918,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_transition_entropy": _q_events_transition_entropy,
         "orders_value_shapes": _q_orders_value_shapes,
         "docs_nb_confusion": _q_docs_nb_confusion,
         "events_temporal_drift": _q_events_temporal_drift,
@@ -12204,6 +12273,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (event_type)
             WHERE c.nxt IS NOT NULL
             GROUP BY c.event_type, t.ta, t.tb
+        """
+
+    d["events_transition_entropy"] = """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            p AS (SELECT a.user_id, a.event_type AS f,
+                         b.event_type AS t2
+                  FROM r a JOIN r b
+                    ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+            pcnt AS (SELECT user_id, f, t2, count(*)::BIGINT AS n
+                     FROM p GROUP BY user_id, f, t2),
+            tot AS (SELECT user_id, sum(n)::BIGINT AS nt
+                    FROM pcnt GROUP BY user_id)
+            SELECT pcnt.user_id, tot.nt AS n_transitions,
+                   count(*)::BIGINT AS n_distinct_pairs,
+                   CAST(sum(CAST(round(-(pcnt.n * (ln(pcnt.n)
+                                                  - ln(tot.nt)))
+                                       * 1000) AS BIGINT))
+                        AS BIGINT) AS entropy_mq
+            FROM pcnt JOIN tot USING (user_id)
+            GROUP BY pcnt.user_id, tot.nt
         """
 
     d["orders_value_shapes"] = """
