@@ -6585,6 +6585,63 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_trimmed_mean(sf_dir: str):
+    """Exact 10% trimmed mean per event type (the robust-mean
+    companion to winsorize): drop each type's lowest and highest
+    ``n // 10`` values by the unique (value, event_id) order and ship
+    the kept quantized sum + count as integers — one type exchange,
+    segment-reset rank trim, no floats in the hash."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               segment_starts)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0)
+        qv = round_half_away(
+            v.to_numpy(zero_copy_only=False) * 1_000_000, 0) \
+            .astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "qv": pa.array(qv),
+                         "event_id": t["event_id"]})
+
+    def _trim(tab: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_total": pa.array([], pa.int64()),
+                          "n_kept": pa.array([], pa.int64()),
+                          "kept_sum_q": pa.array([], pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        tab = tab.sort_by([("event_type", "ascending"),
+                           ("qv", "ascending"),
+                           ("event_id", "ascending")])
+        new = segment_starts(tab, ["event_type"])
+        seg = np.cumsum(new) - 1
+        firsts = np.flatnonzero(new)
+        sizes = np.diff(np.append(firsts, tab.num_rows))
+        pos = np.arange(tab.num_rows) - firsts[seg]
+        k = (sizes // 10)[seg]
+        keep = (pos >= k) & (pos < sizes[seg] - k)
+        qv = tab["qv"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_seg = len(firsts)
+        ksum = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(ksum, seg[keep], qv[keep])
+        kn = np.bincount(seg[keep], minlength=n_seg).astype(np.int64)
+        return pa.table({
+            "event_type": tab["event_type"].combine_chunks().take(
+                pa.array(firsts)),
+            "n_total": pa.array(sizes.astype(np.int64)),
+            "n_kept": pa.array(kn),
+            "kept_sum_q": pa.array(ksum)})
+
+    ds = _read(sf_dir, "events",
+               ["event_type", "event_id", "value"]).map_batches(
+        _prep, batch_format="pyarrow")
+    return bucketed_map_groups(ds, ["event_type"], _trim,
+                               buckets=2, sort_within=False)
+
+
 def _q_events_transition_entropy(sf_dir: str):
     """Per-user behavioral diversity: Shannon entropy of the user's
     event-type TRANSITION distribution, every ``−n·(ln n − ln N)``
@@ -7918,6 +7975,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_trimmed_mean": _q_events_trimmed_mean,
         "events_transition_entropy": _q_events_transition_entropy,
         "orders_value_shapes": _q_orders_value_shapes,
         "docs_nb_confusion": _q_docs_nb_confusion,
@@ -12273,6 +12331,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (event_type)
             WHERE c.nxt IS NOT NULL
             GROUP BY c.event_type, t.ta, t.tb
+        """
+
+    d["events_trimmed_mean"] = """
+            WITH q AS (
+                SELECT event_type, event_id,
+                       CAST(round(coalesce(value, 0) * 1000000)
+                            AS BIGINT) AS qv
+                FROM events),
+            r AS (SELECT event_type, qv,
+                         row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY qv, event_id) AS rn,
+                         count(*) OVER (
+                             PARTITION BY event_type) AS n
+                  FROM q)
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN rn > n // 10
+                                  AND rn <= n - n // 10
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(sum(CASE WHEN rn > n // 10
+                                  AND rn <= n - n // 10
+                                 THEN qv ELSE 0 END) AS BIGINT)
+                       AS kept_sum_q
+            FROM r GROUP BY event_type
         """
 
     d["events_transition_entropy"] = """
