@@ -6585,6 +6585,61 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_orders_hhi(sf_dir: str):
+    """Per-customer Herfindahl concentration of order spend across
+    years (customer-lifecycle diversification): with yearly spend in
+    exact integer cents, ``HHI = Σ sᵢ² / (Σ sᵢ)²`` ships as integer
+    numerator/denominator — two small keyed exchanges, no floats.
+    Customers with one active year (HHI = 1) included."""
+    import pyarrow.compute as pc
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            pc.cast(t["o_totalprice"], pa.float64())
+            .to_numpy(zero_copy_only=False) * 100, 0) \
+            .astype(np.int64)
+        return agg_named(
+            pa.table({"c": t["o_custkey"],
+                      "y": pc.cast(pc.year(t["o_orderdate"]),
+                                   pa.int64()),
+                      "s": pa.array(cents)}),
+            ["c", "y"], [("s", "sum")], ["s"])
+
+    yearly = bucketed_map_groups(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(_prep, batch_format="pyarrow"),
+        ["c", "y"],
+        lambda t: agg_named(t, ["c", "y"], [("s", "sum")], ["s"]),
+        buckets=4, sort_within=False)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n_years": pa.array([], pa.int64()),
+                             "hhi_num": pa.array([], pa.int64()),
+                             "hhi_den": pa.array([], pa.int64())})
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        agg = agg_named(
+            pa.table({"c": t["c"], "sq": pa.array(s * s),
+                      "s": pa.array(s),
+                      "__one": np.ones(t.num_rows, np.int64)}),
+            ["c"], [("sq", "sum"), ("s", "sum"), ("__one", "sum")],
+            ["num", "tot", "n_years"])
+        tot = agg["tot"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": agg["c"],
+            "n_years": agg["n_years"],
+            "hhi_num": agg["num"],
+            "hhi_den": pa.array(tot * tot)})
+
+    return bucketed_map_groups(yearly, ["c"], _fold, buckets=4,
+                               sort_within=False)
+
+
 def _q_events_trimmed_mean(sf_dir: str):
     """Exact 10% trimmed mean per event type (the robust-mean
     companion to winsorize): drop each type's lowest and highest
@@ -7975,6 +8030,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_hhi": _q_orders_hhi,
         "events_trimmed_mean": _q_events_trimmed_mean,
         "events_transition_entropy": _q_events_transition_entropy,
         "orders_value_shapes": _q_orders_value_shapes,
@@ -12331,6 +12387,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (event_type)
             WHERE c.nxt IS NOT NULL
             GROUP BY c.event_type, t.ta, t.tb
+        """
+
+    d["orders_hhi"] = """
+            WITH y AS (
+                SELECT o_custkey,
+                       year(o_orderdate) AS y,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS s
+                FROM orders GROUP BY o_custkey, y)
+            SELECT o_custkey,
+                   count(*)::BIGINT AS n_years,
+                   CAST(sum(s * s) AS BIGINT) AS hhi_num,
+                   CAST(sum(s) * sum(s) AS BIGINT) AS hhi_den
+            FROM y GROUP BY o_custkey
         """
 
     d["events_trimmed_mean"] = """
