@@ -6585,6 +6585,51 @@ def _q_docs_snm_pairs(sf_dir: str):
                                      threshold=0.9, span=64, buckets=4)
 
 
+def _q_events_peak_hour(sf_dir: str):
+    """Peak activity hour per event type (argmax over the 24-hour
+    profile, ties to the earliest hour): per-batch 24-slot bincount
+    partials, one tiny exchange, deterministic argmax — the
+    aggregate-then-argmax miniature of the topn family."""
+    import pyarrow.compute as pc
+    from rayskema.pipelines.relational import (agg_named,
+                                               bucketed_map_groups,
+                                               segment_starts)
+
+    def _hours(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.hour(pc.cast(t["ts"], pa.timestamp("us"))),
+                    pa.int64())
+        return agg_named(
+            pa.table({"event_type": t["event_type"], "h": h,
+                      "__one": np.ones(t.num_rows, np.int64)}),
+            ["event_type", "h"], [("__one", "sum")], ["n"])
+
+    def _peak(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "peak_hour": pa.array([], pa.int64()),
+                             "peak_n": pa.array([], pa.int64())})
+        t = agg_named(t, ["event_type", "h"], [("n", "sum")], ["n"])
+        t = t.sort_by([("event_type", "ascending"),
+                       ("h", "ascending")])
+        seg = np.cumsum(segment_starts(t, ["event_type"])) - 1
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, -n, seg))
+        oseg = seg[order]
+        first = np.concatenate([[True], oseg[1:] != oseg[:-1]])
+        win = order[first]
+        return pa.table({
+            "event_type": t["event_type"].combine_chunks().take(
+                pa.array(win)),
+            "peak_hour": pa.array(h[win]),
+            "peak_n": pa.array(n[win])})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        _hours, batch_format="pyarrow")
+    return bucketed_map_groups(ds, ["event_type"], _peak, buckets=2,
+                               sort_within=False)
+
+
 def _q_orders_hhi(sf_dir: str):
     """Per-customer Herfindahl concentration of order spend across
     years (customer-lifecycle diversification): with yearly spend in
@@ -8030,6 +8075,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_peak_hour": _q_events_peak_hour,
         "orders_hhi": _q_orders_hhi,
         "events_trimmed_mean": _q_events_trimmed_mean,
         "events_transition_entropy": _q_events_transition_entropy,
@@ -12387,6 +12433,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (event_type)
             WHERE c.nxt IS NOT NULL
             GROUP BY c.event_type, t.ta, t.tb
+        """
+
+    d["events_peak_hour"] = """
+            WITH h AS (SELECT event_type, hour(ts) AS h,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY event_type, h),
+            r AS (SELECT *, row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY n DESC, h) AS rk
+                  FROM h)
+            SELECT event_type, CAST(h AS BIGINT) AS peak_hour,
+                   n AS peak_n
+            FROM r WHERE rk = 1
         """
 
     d["orders_hhi"] = """
