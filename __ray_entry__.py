@@ -7941,8 +7941,13 @@ def _q_docs_incremental_near_dup(sf_dir: str):
     increment (probed bucket-by-bucket against only matching index
     files, merging its own rows in).  Candidates are exact-verified
     by char-5-shingle Jaccard, so the result equals the all-CROSS-
-    pairs SQL oracle (precision 1.0 by construction, banding recall
-    1.0 at this threshold — same contract as docs_minhash_pairs)."""
+    pairs SQL oracle.  Precision is 1.0 by construction; the verify
+    threshold 0.8 sits in the banding's EFFECTIVE recall-1.0 region:
+    with the index defaults n_perm=64 / bands=16 (4 rows per band) a
+    pair at Jaccard s collides in ≥1 band with probability
+    1−(1−s⁴)¹⁶ ≥ 0.9998 for s ≥ 0.8, whereas at s = 0.5 that is only
+    ~0.65 — so a 0.5 threshold would rest on the fixture containing
+    no borderline-similarity pairs rather than on the banding."""
     import atexit
     import hashlib
     import shutil
@@ -7977,7 +7982,7 @@ def _q_docs_incremental_near_dup(sf_dir: str):
         lambda t: pa.table({"id_a": t["id_old"], "id_b": t["id_new"]}),
         batch_format="pyarrow")
     return exact_shingle_jaccard_pairs(docs, cands, "text", "doc_id",
-                                       kind="char5", threshold=0.5)
+                                       kind="char5", threshold=0.8)
 
 
 def _q_docs_containment(sf_dir: str):
@@ -8683,7 +8688,10 @@ def oracle_sql() -> dict[str, str]:
             aa AS (SELECT node,
                           CAST(round(1000000000 / ln(d)) AS BIGINT)
                               AS q
-                   FROM deg),
+                   -- d >= 2 guards ln(1) = 0 -> inf -> BIGINT cast
+                   -- error; results unchanged: a middle node of any
+                   -- wedge pair always has degree >= 2
+                   FROM deg WHERE d >= 2),
             w AS (SELECT d1.leaf AS x, d2.leaf AS y, d1.mid
                   FROM dir d1 JOIN dir d2
                     ON d1.mid = d2.mid AND d1.leaf < d2.leaf),
@@ -8976,7 +8984,7 @@ def oracle_sql() -> dict[str, str]:
                   ON a.doc_id < b.doc_id
                      AND (a.doc_id % 2) <> (b.doc_id % 2))
             SELECT id_a, id_b, round(j, 4) AS jaccard
-            FROM p WHERE j >= 0.5
+            FROM p WHERE j >= 0.8
         """,
         "docs_containment": r"""
             WITH t AS (

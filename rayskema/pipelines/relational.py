@@ -6470,13 +6470,28 @@ def scd2_intervals(
     tiebreak = list(tiebreak)
     sort_cols = [key_col, ts_col] + tiebreak
 
+    # empty-bucket blocks must carry the SAME key/value/ts types as
+    # the non-empty ones (a string key or non-us timestamp would
+    # otherwise poison the union schema) — derive from the input
+    # schema when available, fall back to the common fixture types
+    key_t, val_t, ts_t = pa.int64(), pa.string(), pa.timestamp("us")
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None:
+        base = getattr(sch, "base_schema", sch)
+        try:
+            key_t = base.field(key_col).type
+            val_t = base.field(value_col).type
+            ts_t = base.field(ts_col).type
+        except KeyError:
+            pass
+
     def _runs(tab: pa.Table) -> pa.Table:
         if tab.num_rows == 0:
             return pa.table({
-                key_col: pa.array([], pa.int64()),
-                value_col: pa.array([], pa.string()),
-                "valid_from": pa.array([], pa.timestamp("us")),
-                "valid_to": pa.array([], pa.timestamp("us")),
+                key_col: pa.array([], key_t),
+                value_col: pa.array([], val_t),
+                "valid_from": pa.array([], ts_t),
+                "valid_to": pa.array([], ts_t),
                 "version": pa.array([], pa.int64())})
         tab = tab.sort_by([(c, "ascending") for c in sort_cols])
         new_key = segment_starts(tab, [key_col])
@@ -6698,9 +6713,20 @@ def interval_union_length(
     wherever a start exceeds the previous running max, and merged
     spans reduced by segment sums — no per-key Python.  Output:
     ``(key, active, n_intervals)``, both int64."""
+    # empty-bucket key type must match the non-empty blocks' (same
+    # schema-poisoning hazard scd2_intervals documents)
+    key_t = pa.int64()
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None:
+        base = getattr(sch, "base_schema", sch)
+        try:
+            key_t = base.field(key_col).type
+        except KeyError:
+            pass
+
     def _union(tab: pa.Table) -> pa.Table:
         if tab.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.int64()),
+            return pa.table({key_col: pa.array([], key_t),
                              "active": pa.array([], pa.int64()),
                              "n_intervals": pa.array([], pa.int64())})
         tab = tab.sort_by([(key_col, "ascending"),

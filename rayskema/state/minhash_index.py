@@ -214,19 +214,40 @@ def probe_minhash_index(
                 _atomic_write(inc, path)
             return empty
         idx = pq.read_table(path)
-        # group index rows by (band, band_key); cap degenerate groups
-        joined = inc.join(idx, keys=["band", "band_key"],
+        # cap degenerate groups on the INDEX side BEFORE the join:
+        # a (band, band_key) group with more than ``max_group`` index
+        # rows (e.g. a band key every empty document shares) is
+        # skipped entirely — the docstring/meta contract.  Capping
+        # pre-join also bounds the join's output (increment rows x
+        # max_group), where a post-join row-count cap would first
+        # materialize the m x n blowup it is meant to prevent.
+        # Dropped groups are surfaced, not silent: one warning line
+        # per bucket task with the group count (worker log).
+        idx = idx.sort_by([("band", "ascending"),
+                           ("band_key", "ascending"),
+                           ("id", "ascending")])
+        igrp = np.cumsum(segment_starts(idx, ["band", "band_key"])) - 1
+        isizes = np.bincount(igrp) if len(igrp) else \
+            np.zeros(0, dtype=np.int64)
+        n_dropped = int((isizes > max_group).sum())
+        if n_dropped:
+            import warnings
+            warnings.warn(
+                f"probe_minhash_index: bucket {b}: skipped "
+                f"{n_dropped} degenerate (band, band_key) group(s) "
+                f"with > {max_group} index rows (recall loss on "
+                f"those keys)", RuntimeWarning, stacklevel=2)
+            idx_j = idx.filter(pa.array(isizes[igrp] <= max_group))
+        else:
+            idx_j = idx
+        joined = inc.join(idx_j, keys=["band", "band_key"],
                           join_type="inner", right_suffix="_old")
         out = empty
         if joined.num_rows:
             joined = joined.sort_by(
                 [("band", "ascending"), ("band_key", "ascending"),
                  ("id", "ascending"), ("id_old", "ascending")])
-            grp = np.cumsum(segment_starts(
-                joined, ["band", "band_key"])) - 1
-            sizes = np.bincount(grp)
-            keep = sizes[grp] <= max_group
-            kept = joined.filter(pa.array(keep))
+            kept = joined
             a = kept["id"].to_numpy(zero_copy_only=False)
             o = kept["id_old"].to_numpy(zero_copy_only=False)
             m = a != o
