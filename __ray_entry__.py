@@ -6201,7 +6201,9 @@ def _q_docs_cdc_dedup(sf_dir: str):
     expect = {r["doc_id"]: _brute(r["text"] or "") for r in sample}
     got: dict[int, list] = {}
     mine = cdc_chunks(ds, "doc_id", "text", window=16, avg_size=128) \
-        .filter(lambda r: r["doc_id"] % 97 == 0) \
+        .map_batches(lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+            batch_format="pyarrow") \
         .sort(["doc_id", "chunk_ord"]).take_all()
     for r in mine:
         got.setdefault(r["doc_id"], []).append(
@@ -6258,7 +6260,10 @@ def _q_emb_pq(sf_dir: str):
                   n_centroids=1)
     mse0 = pq_mse(ds, "embedding", base)
 
-    qtab = ds.filter(lambda r: r["vec_id"] < 5).take_all()
+    qtab = ds.map_batches(
+        lambda t: t.filter(pa.array(
+            t["vec_id"].to_numpy(zero_copy_only=False) < 5)),
+        batch_format="pyarrow").take_all()
     qtab.sort(key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in qtab], dtype=np.float64)
     short = pq_topk_adc(codes, "vec_id", books, Q, k=100)
@@ -6312,11 +6317,17 @@ def _q_emb_dbscan(sf_dir: str):
     neighboring core's cluster) → noise.  Verdict: the whole labeling
     must equal an in-query brute single-node DBSCAN implementing the
     same deterministic rule; cluster/core/noise counts returned as
-    flags a trivial oracle hash-checks."""
+    flags a trivial oracle hash-checks.  The whole query (both
+    engines AND the oracle) runs on the deterministic ``vec_id % 2 =
+    0`` half so the in-query single-node reference is sample-bounded
+    — it never materializes the full base table."""
     import numpy as np
     from rayskema.functions.similarity import dbscan
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(lambda t: t.filter(pa.array(
+            t["vec_id"].to_numpy(zero_copy_only=False) % 2 == 0)),
+            batch_format="pyarrow")
     eps, min_pts = 1.18, 6   # core/border/noise mix at both driver sf
     out = dbscan(ds, "embedding", "vec_id", eps=eps,
                  min_pts=min_pts).take_all()
@@ -6372,6 +6383,74 @@ def _q_emb_dbscan(sf_dir: str):
         "has_clusters": pa.array([n_clusters >= 1], pa.bool_()),
         "has_noise_or_border": pa.array(
             [any(not c for _, c in expect.values())], pa.bool_()),
+    })
+
+
+def _q_emb_dbscan_lsh(sf_dir: str):
+    """DBSCAN with the pluggable E2LSH candidate stage
+    (similarity.dbscan method="lsh" → eps_neighbor_pairs_lsh):
+    p-stable banded candidates, exact-verified in buckets, NO corpus
+    matrix pack/broadcast — the 100 TB path.  Verdict compares it to
+    the exact-candidate run ENTIRELY distributively (pair-list
+    anti-join + label join + count aggregates; no base-table
+    take_all): missed/spurious candidate pairs must be 0 (the E2LSH
+    defaults put per-pair recall at eps above 0.9999, deterministic
+    under the fixed seed) and every (cluster, is_core) label must
+    match."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions.similarity import (dbscan,
+                                               eps_neighbor_pairs,
+                                               eps_neighbor_pairs_lsh)
+    from rayskema.pipelines.relational import hash_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    eps, min_pts = 1.18, 6
+    p_exact = eps_neighbor_pairs(ds, "embedding", "vec_id",
+                                 eps=eps).materialize()
+    p_lsh = eps_neighbor_pairs_lsh(ds, "embedding", "vec_id",
+                                   eps=eps).materialize()
+    missed = hash_join(p_exact, p_lsh, on=["id_a", "id_b"],
+                       how="left_anti", broadcast="auto").count()
+    spurious = hash_join(p_lsh, p_exact, on=["id_a", "id_b"],
+                         how="left_anti", broadcast="auto").count()
+
+    lab_e = dbscan(ds, "embedding", "vec_id", eps=eps,
+                   min_pts=min_pts, candidates=p_exact)
+    lab_l = dbscan(ds, "embedding", "vec_id", eps=eps,
+                   min_pts=min_pts, candidates=p_lsh).map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"],
+                            "cluster_l": t["cluster"],
+                            "is_core_l": t["is_core"]}),
+        batch_format="pyarrow")
+    both = hash_join(lab_e, lab_l, on=["vec_id"], how="inner",
+                     broadcast="auto")
+
+    def _cmp(t: pa.Table) -> pa.Table:
+        mism = pc.sum(pc.cast(pc.or_(
+            pc.not_equal(t["cluster"], t["cluster_l"]),
+            pc.not_equal(t["is_core"], t["is_core_l"])),
+            pa.int64())).as_py() or 0
+        clustered = pc.sum(pc.cast(
+            pc.not_equal(t["cluster"], pa.scalar(-1, pa.int64())),
+            pa.int64())).as_py() or 0
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "mism": pa.array([int(mism)], pa.int64()),
+            "clustered": pa.array([int(clustered)], pa.int64())})
+
+    parts = [t for t in ray.get(both.map_batches(
+        _cmp, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    agg = pa.concat_tables(parts)
+    n = int(pc.sum(agg["n"]).as_py() or 0)
+    mism = int(pc.sum(agg["mism"]).as_py() or 0)
+    clustered = int(pc.sum(agg["clustered"]).as_py() or 0)
+    return pa.table({
+        "n_points": pa.array([n], pa.int64()),
+        "missed_pairs": pa.array([int(missed)], pa.int64()),
+        "spurious_pairs": pa.array([int(spurious)], pa.int64()),
+        "labels_match_exact": pa.array([mism == 0], pa.bool_()),
+        "has_clusters": pa.array([clustered >= 1], pa.bool_()),
     })
 
 
@@ -6437,11 +6516,18 @@ def _q_docs_bpe_train(sf_dir: str):
     every merge is two map passes over that table — an exchange-free
     pair-count fold and a vectorized greedy-left merge apply.
     Verdict rows per merge: the distributed merge sequence must equal
-    a pure-Python Sennrich-style reference recomputed in-query."""
+    a pure-Python Sennrich-style reference recomputed in-query.
+    Both sides train on the deterministic ``doc_id % 7 = 0`` sample
+    so the in-query Python reference is sample-bounded — it never
+    Counter-folds the full base table (the oracle is
+    corpus-independent, so it needs no matching predicate)."""
     import collections
     from rayskema.functions.textstats import bpe_train
 
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0))
+            .select(["text"]), batch_format="pyarrow")
     n_merges = 12
     out = bpe_train(ds, "text", n_merges=n_merges)
     mine = list(zip(out["rank"].to_pylist(), out["sym_a"].to_pylist(),
@@ -6501,7 +6587,10 @@ def _q_emb_ivfpq(sf_dir: str):
                                        n_lists=16, m=8,
                                        n_centroids=64)
     codes = codes.materialize()
-    qtab = ds.filter(lambda r: r["vec_id"] < 5).take_all()
+    qtab = ds.map_batches(
+        lambda t: t.filter(pa.array(
+            t["vec_id"].to_numpy(zero_copy_only=False) < 5)),
+        batch_format="pyarrow").take_all()
     qtab.sort(key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in qtab], dtype=np.float64)
     short = ivfpq_search(codes, "vec_id", coarse, books, Q, k=100,
@@ -6941,12 +7030,18 @@ def _q_emb_coreset(sf_dir: str):
     broadcast passes, no shuffle.  Verdict: the single-node replica
     (same float ops, same value-then-id champion rule) must reproduce
     the center sequence AND per-step radii exactly; the cover radius
-    is non-increasing by construction."""
+    is non-increasing by construction.  Both engines and the oracle
+    run on the deterministic ``vec_id % 4 = 0`` quarter so the
+    single-node replica is sample-bounded — it never materializes
+    the full base table."""
     import numpy as np
 
     from rayskema.functions.similarity import kcenter_coreset
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(lambda t: t.filter(pa.array(
+            t["vec_id"].to_numpy(zero_copy_only=False) % 4 == 0)),
+            batch_format="pyarrow")
     res = kcenter_coreset(ds, "embedding", "vec_id", k=12)
 
     rows = ds.take_all()
@@ -8080,6 +8175,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "emb_dbscan_lsh": _q_emb_dbscan_lsh,
         "events_peak_hour": _q_events_peak_hour,
         "orders_hhi": _q_orders_hhi,
         "events_trimmed_mean": _q_events_trimmed_mean,
@@ -8369,7 +8465,7 @@ def oracle_sql() -> dict[str, str]:
                    min(vec_id)::BIGINT AS first_center,
                    TRUE AS matches_reference,
                    TRUE AS radius_nonincreasing
-            FROM embeddings
+            FROM embeddings WHERE vec_id % 4 = 0
         """,
         "docs_zipf": """
             WITH tok AS (
@@ -9345,7 +9441,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS labels_match_brute,
                    TRUE AS has_clusters,
                    TRUE AS has_noise_or_border
-            FROM embeddings
+            FROM embeddings WHERE vec_id % 2 = 0
         """,
         "emb_pq": """
             SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
@@ -12600,4 +12696,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders),
             nn AS (SELECT count(*)::BIGINT AS n FROM base)
             """ + "\n            UNION ALL".join(fd_branches))
+
+    d["emb_dbscan_lsh"] = """
+            SELECT count(*)::BIGINT AS n_points,
+                   0::BIGINT AS missed_pairs,
+                   0::BIGINT AS spurious_pairs,
+                   TRUE AS labels_match_exact,
+                   TRUE AS has_clusters
+            FROM embeddings
+        """
     return d

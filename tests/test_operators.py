@@ -5117,3 +5117,94 @@ def test_global_rank_parquet_backed_nan_ties(ray_session, tmp_path):
     assert a == b
     assert len(a) == n
     assert sorted(r[1] for r in a) == list(range(1, n + 1))
+
+
+def test_eps_neighbor_pairs_lsh_matches_exact(ray_session):
+    """E2LSH candidate pairs exact-verify to the same set as the
+    brute eps-ball at the default parameters (recall ~1 at eps)."""
+    from rayskema.functions.similarity import (eps_neighbor_pairs,
+                                               eps_neighbor_pairs_lsh)
+    rng = np.random.default_rng(41)
+    X = np.vstack([rng.normal(0, 0.3, (60, 4)),
+                   rng.normal(4, 0.3, (50, 4)),
+                   rng.uniform(-3, 7, (30, 4))])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(5)
+
+    def pairset(d):
+        tabs = [b for b in ray.get(d.to_arrow_refs()) if b.num_rows]
+        if not tabs:
+            return set()
+        full = pa.concat_tables(tabs)
+        return set(zip(full["id_a"].to_pylist(),
+                       full["id_b"].to_pylist()))
+
+    exact = pairset(eps_neighbor_pairs(ds, "embedding", "vec_id",
+                                       eps=0.9))
+    lsh = pairset(eps_neighbor_pairs_lsh(ds, "embedding", "vec_id",
+                                         eps=0.9))
+    assert lsh == exact
+    assert all(a < b for a, b in lsh)
+    # layout independence
+    lsh2 = pairset(eps_neighbor_pairs_lsh(
+        rd.from_arrow(t).repartition(2), "embedding", "vec_id",
+        eps=0.9))
+    assert lsh2 == lsh
+
+
+def test_dbscan_lsh_mode_never_packs_corpus(ray_session,
+                                            monkeypatch):
+    """method="lsh" must label identically to the exact path WITHOUT
+    ever assembling the corpus matrix (_pack_corpus is the exact
+    path's broadcast; in LSH mode it must not be called)."""
+    from rayskema.functions import similarity as S
+    rng = np.random.default_rng(29)
+    X = np.vstack([rng.normal(0, 0.3, (50, 4)),
+                   rng.normal(5, 0.3, (45, 4)),
+                   rng.uniform(-8, 12, (15, 4))])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(4)
+    exact = S.dbscan(ds, "embedding", "vec_id", eps=1.0,
+                     min_pts=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    class _Poison:
+        def remote(self, *a, **k):
+            raise AssertionError("corpus matrix packed in LSH mode")
+
+    monkeypatch.setattr(S, "_pack_corpus", _Poison())
+    lsh = S.dbscan(ds, "embedding", "vec_id", eps=1.0, min_pts=4,
+                   method="lsh").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert lsh.equals(exact)
+    import pytest
+    with pytest.raises(Exception):
+        S.dbscan(ds, "embedding", "vec_id", eps=1.0, min_pts=4,
+                 method="exact").take_all()
+
+
+def test_dbscan_candidates_injection(ray_session):
+    """A precomputed exact-verified pair list short-circuits the
+    candidate stage entirely and yields the same labeling."""
+    from rayskema.functions.similarity import (dbscan,
+                                               eps_neighbor_pairs)
+    rng = np.random.default_rng(31)
+    X = np.vstack([rng.normal(0, 0.4, (40, 3)),
+                   rng.uniform(-6, 6, (20, 3))])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(3)
+    pairs = eps_neighbor_pairs(ds, "embedding", "vec_id",
+                               eps=1.1).materialize()
+    base = dbscan(ds, "embedding", "vec_id", eps=1.1,
+                  min_pts=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    inj = dbscan(ds, "embedding", "vec_id", eps=1.1, min_pts=5,
+                 candidates=pairs).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert inj.equals(base)
