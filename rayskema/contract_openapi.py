@@ -148,13 +148,17 @@ _PRIMITIVES = {
 def _dtype_for(ps: dict, diag: ImportDiag, where: str) -> pa.DataType:
     """Arrow dtype for one property schema (adapters.go:9-44)."""
     if ps.get("x-kubernetes-int-or-string") is True:
-        # top-level columns get the REAL int-or-string plan (float64 +
-        # "int_or_string" codec, mirroring kubeopenapi/plan.go:18-28's
-        # NumberJSON().CoerceFromString()) — handled in import_openapi;
-        # only NESTED occurrences (struct fields, where a codec cannot
+        # top-level columns AND depth-1 struct fields get the REAL
+        # int-or-string plan (float64 + "int_or_string" codec,
+        # mirroring kubeopenapi/plan.go:18-28's
+        # NumberJSON().CoerceFromString()) — both handled in
+        # import_openapi before this function runs; only DEEPER
+        # occurrences (depth ≥ 2 structs, array items, map values —
+        # where neither a Column nor a depth-1 StructField codec can
         # attach) degrade to string here
-        diag.warn(f"{where}: nested int-or-string kept as string "
-                  "(codecs attach to top-level columns only)")
+        diag.warn(f"{where}: deeply-nested int-or-string kept as "
+                  "string (codecs attach to columns and depth-1 "
+                  "struct fields only)")
         return pa.string()
     t = ps.get("type")
     if t in _PRIMITIVES:
@@ -414,8 +418,35 @@ def import_openapi(
             diag.warn(f"{pname}: embedded-resource on array items "
                       "typed (apiVersion/kind/metadata struct fields)"
                       "; per-element presence not enforced")
+        # depth-1 nested int-or-string: the REAL plan under nesting
+        # (kubeopenapi/plan.go:18-28) — rewrite the property to
+        # "number" BEFORE _dtype_for / _value_constraints so the
+        # child is declared float64 with number facets and no
+        # degradation warning; the codec-only StructField appended
+        # below makes plan._reconcile_struct decode a string wire
+        # child (non-numeric => invalid_format at /<col>/<sub>).
+        ios_subs = []
+        if ps.get("type") == "object" and isinstance(
+                ps.get("properties"), dict):
+            newprops = {}
+            for sub, sps in ps["properties"].items():
+                if isinstance(sps, dict) and \
+                        sps.get("x-kubernetes-int-or-string") is True:
+                    ios_subs.append(sub)
+                    newprops[sub] = {
+                        **{k: v for k, v in sps.items()
+                           if k != "x-kubernetes-int-or-string"},
+                        "type": "number"}
+                else:
+                    newprops[sub] = sps
+            if ios_subs:
+                ps = {**ps, "properties": newprops}
         dtype = _dtype_for(ps, diag, pname)
         cons = list(_value_constraints(ps, pname, diag, pname))
+        for sub in sorted(ios_subs):
+            cons.append(StructField(
+                path=(sub,), codec="int_or_string",
+                rule=f"{pname}_{sub}_int_or_string"))
         if emb == "field":
             # presence checks for x-kubernetes-embedded-resource
             # (reference embedded.go:19-78): apiVersion/kind/metadata

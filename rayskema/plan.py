@@ -136,6 +136,13 @@ def compile_expr(expr: Mapping[str, Any]) -> Callable[[pa.Table], pa.ChunkedArra
 def _compile_constraint(col: Column, c, key_cols: Sequence[str],
                         path: str | None = None) -> CheckFn:
     if isinstance(c, StructField):
+        if c.constraint is None:
+            # codec-only StructField (nested int-or-string): the
+            # decode happens in _reconcile_struct; nothing to check
+            def noop(t: pa.Table) -> pa.Table:
+                return empty_violations(
+                    [t.schema.field(k) for k in key_cols])
+            return noop
         # nested subfield: compile the inner constraint against a view
         # table where the column is replaced by the child array
         # (pc.struct_field — zero-copy); the violation path is rebased
@@ -566,6 +573,12 @@ def _reconcile_struct(
     defaults = {c.path[0]: c.default for c in col.constraints
                 if isinstance(c, StructField) and c.default is not None
                 and len(c.path) == 1}
+    # nested codecs (StructField.codec, depth-1): decode a string wire
+    # child before the declared-type cast — reference
+    # kubeopenapi/plan.go:18-28 int-or-string under nesting
+    sub_codecs = {c.path[0]: c.codec for c in col.constraints
+                  if isinstance(c, StructField) and c.codec is not None
+                  and len(c.path) == 1}
     parent_valid = np.asarray(pc.is_valid(arr))
     children: list[pa.Array] = []
     presence: dict[str, pa.Array] = {}
@@ -575,6 +588,18 @@ def _reconcile_struct(
         key = f"{col.name}/{f.name}"
         if f.name in wire_names:
             child = pc.struct_field(arr, f.name)
+            if sub_codecs.get(f.name) == "int_or_string" and (
+                    pa.types.is_string(child.type)
+                    or pa.types.is_large_string(child.type)):
+                parsed, bad = decode_number(child)
+                if bad is not None and pc.any(bad).as_py():
+                    row_viols.append((
+                        column_path(col.name, f.name), INVALID_FORMAT,
+                        canon_params({"codec": "int_or_string"}),
+                        bad, "value does not parse as a number"))
+                    parsed = pc.if_else(
+                        bad, pa.nulls(n, type=parsed.type), parsed)
+                child = parsed
             if child.type != f.type:
                 casted, bad = _checked_cast(child, f.type)
                 if casted is None:

@@ -210,6 +210,13 @@ class StructField(Constraint):
     # this a NonNull subfield check would fire on every row where the
     # optional outer object is absent
     when_parent_valid: bool = False
+    # subfield codec (the nested analogue of Column.codec — reference
+    # kubeopenapi/plan.go:18-28 under nesting): "int_or_string"
+    # decodes a string wire child to the declared float64 child during
+    # struct reconciliation (non-numeric => invalid_format at
+    # /<col>/<path>).  Depth-1 paths only, constraint may be None for
+    # a codec-only entry.
+    codec: str | None = None
 
 
 @dataclass(frozen=True)

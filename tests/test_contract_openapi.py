@@ -434,3 +434,65 @@ def test_nested_required_gated_on_parent_presence():
     # required fires
     assert ("/spec/replicas", "required") in codes
     assert len([c for c in codes if c[1] == "required"]) == 1
+
+
+def test_nested_int_or_string_real_plan():
+    """x-kubernetes-int-or-string on a NESTED struct field gets the
+    same real union plan as a top-level column (reference
+    kubeopenapi/plan.go:18-28 under nesting): the child is declared
+    float64 with a depth-1 StructField codec, numeric AND
+    numeric-string wire children both validate, non-numeric strings
+    are invalid_format at /<col>/<sub>, numeric facets apply to the
+    decoded value — and no degradation warning is emitted."""
+    from rayskema.plan import normalize_batch
+
+    s, diag = import_openapi({
+        "type": "object",
+        "properties": {
+            "spec": {"type": "object",
+                     "required": ["port"],
+                     "properties": {
+                         "port": {"x-kubernetes-int-or-string": True,
+                                  "minimum": 1, "maximum": 65535},
+                         "name": {"type": "string"},
+                     }},
+        },
+    }, name="t")
+    col = s.column("spec")
+    assert col.dtype.field("port").type == pa.float64()
+    from rayskema.schema import StructField
+    assert any(isinstance(c, StructField) and c.path == ("port",)
+               and c.codec == "int_or_string"
+               for c in col.constraints)
+    assert not any("int-or-string" in w for w in diag.warnings)
+
+    # string wire child: numeric strings decode, junk flagged at the
+    # subpath; numeric wire child falls through the normal cast
+    wire = pa.table({"spec": pa.array(
+        [{"port": "8080", "name": "a"},
+         {"port": "abc", "name": "b"},
+         {"port": "1e2", "name": "c"},
+         None],
+        type=pa.struct([pa.field("port", pa.string()),
+                        pa.field("name", pa.string())]))})
+    norm, viols = normalize_batch(wire, s)
+    assert norm["spec"].type.field("port").type == pa.float64()
+    ports = [r["port"] if r is not None else None
+             for r in norm["spec"].to_pylist()]
+    assert ports == [8080.0, None, 100.0, None]
+    codes = {(r["path"], r["code"]) for r in viols.to_pylist()}
+    assert ("/spec/port", "invalid_format") in codes
+
+    # numeric wire child: no decode needed, facets apply post-cast
+    wire2 = pa.table({"spec": pa.array(
+        [{"port": 443, "name": "a"}, {"port": 99999, "name": "b"},
+         {"port": None, "name": "c"}],
+        type=pa.struct([pa.field("port", pa.int64()),
+                        pa.field("name", pa.string())]))})
+    norm2, viols2 = normalize_batch(wire2, s)
+    assert [r["port"] for r in norm2["spec"].to_pylist()] == \
+        [443.0, 99999.0, None]
+    v = ConstraintPlan(s).validate(norm2)
+    got = _codes(v)
+    assert ("/spec/port", "too_big") in got       # 99999 > 65535
+    assert ("/spec/port", "required") in got      # null under parent
