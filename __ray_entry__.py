@@ -2584,10 +2584,17 @@ def _q_lineitem_q19(sf_dir: str):
     tot = group_agg(j.map_batches(_clauses, batch_format="pyarrow"),
                     ["g"], [("rev_bp", "sum", "rev_bp"),
                             ("rev_bp", "count_all", "n")], buckets=1)
-    return tot.map_batches(lambda t: pa.table({
+    out = tot.map_batches(lambda t: pa.table({
         "revenue": pc.divide(pc.cast(t["rev_bp"], pa.float64()),
                              10000.0),
         "n": t["n"]}), batch_format="pyarrow")
+    # a scale factor where NO row satisfies any clause yields zero
+    # blocks, which would lose the schema (the oracle's HAVING
+    # count(*) > 0 returns 0 rows too) — a typed empty block keeps
+    # the 0-row result schema-stable
+    return out.union(rd.from_arrow(pa.table({
+        "revenue": pa.array([], pa.float64()),
+        "n": pa.array([], pa.int64())})))
 
 
 def _q_customers_q10(sf_dir: str):
