@@ -408,6 +408,10 @@ def main() -> None:
 
     flag = run_flagship(corpus, args.num_cpus)
     queries = {} if args.skip_queries else run_queries(SF_DIR)
+    if queries:
+        # the flagship IS the registry's transcript_validate entry —
+        # include its wall so queries_n equals the registry size
+        queries["transcript_validate"] = round(flag["wall_sec"], 3)
     ray.shutdown()
 
     # Full per-query timings go on their OWN earlier line (and a file):

@@ -279,3 +279,47 @@ def test_sorted_neighborhood_matches_brute(ray_session, txts):
                 len(sa & sb) / len(sa | sb), 6))
             want.append((ia, ib, j))
     assert got == sorted(want)
+
+
+# E2LSH eps-pair candidates: precision is an INVARIANT (every emitted
+# pair is exact-verified inside its bucket), and the pair list is a
+# deterministic function of the data — layout cannot change it.
+eps_vecs = st.lists(
+    st.tuples(st.integers(-8, 8), st.integers(-8, 8),
+              st.integers(-8, 8)),
+    min_size=2, max_size=40, unique=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(eps_vecs)
+def test_eps_lsh_precision_and_subset(ray_session, pts):
+    from rayskema.functions.similarity import (eps_neighbor_pairs,
+                                               eps_neighbor_pairs_lsh)
+    X = np.array(pts, dtype=np.float64)
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in X]})
+    eps = 3.0
+
+    def pairset(d):
+        tab = _collect(d)
+        if tab is None:
+            return set()
+        return set(zip(tab["id_a"].to_pylist(),
+                       tab["id_b"].to_pylist()))
+
+    lsh = pairset(eps_neighbor_pairs_lsh(
+        rd.from_arrow(t).repartition(3), "embedding", "vec_id",
+        eps=eps))
+    exact = pairset(eps_neighbor_pairs(
+        rd.from_arrow(t).repartition(3), "embedding", "vec_id",
+        eps=eps))
+    # precision 1.0: every LSH pair is a true eps-pair
+    assert lsh <= exact
+    for a, b in lsh:
+        assert a < b
+    # layout independence
+    lsh2 = pairset(eps_neighbor_pairs_lsh(
+        rd.from_arrow(t).repartition(1), "embedding", "vec_id",
+        eps=eps))
+    assert lsh2 == lsh
