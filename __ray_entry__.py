@@ -6461,6 +6461,132 @@ def _q_emb_dbscan_lsh(sf_dir: str):
     })
 
 
+def _q_emb_label_drift(sf_dir: str):
+    """Per-label embedding-centroid drift between two ingestion waves
+    (similarity.group_centroid_cosine): the even and odd vec_id
+    halves stand in for wave A / wave B; each label's drift is the
+    cosine between its two half-centroids.  Exact and
+    layout-independent — components quantize once to int64
+    (round-half-away ×10⁴, the oracle's round(val·10000)), integer
+    sums fold as per-block partials into arbitrary-precision driver
+    ints, and ONE float cosine per label is evaluated from the exact
+    sums (cosine is scale-invariant, so SUM vectors replace MEAN
+    vectors and row counts cancel).  One streaming pass, no
+    shuffle."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions.similarity import group_centroid_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]) \
+        .map_batches(lambda t: pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "par": pc.cast(pc.bit_wise_and(
+                pc.cast(t["vec_id"], pa.int64()),
+                pa.scalar(1, pa.int64())), pa.int64()),
+            "embedding": t["embedding"]}), batch_format="pyarrow")
+    return group_centroid_cosine(ds, "embedding", "label", "par",
+                                 quant=10_000)
+
+
+def _q_docs_source_jaccard(sf_dir: str):
+    """Source-vocabulary Jaccard matrix: for every source pair, the
+    Jaccard of their distinct word-3-shingle sets — the corpus-level
+    'how similar are these two crawls' measure (vocabulary twin of
+    the document-level containment/minhash family).  One bucketed
+    exchange on the shingle hash carries distinct (shingle, source)
+    rows; each bucket emits per-shingle source pairs (≤ sources²
+    per shingle) and per-source partial set sizes; pair counts and
+    set sizes fold exactly as int64, and jaccard6 is ONE float
+    division of exact integers per pair."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions import round_half_away
+    from rayskema.functions.dedup import word_shingle_hashes
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               segment_starts)
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def _rows(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        row_ids, h = word_shingle_hashes(txt, k=3)
+        src = t["source"].combine_chunks().take(pa.array(row_ids))
+        tab = pa.table({"sh": pa.array(h.astype(np.int64)),
+                        "source": src})
+        # in-batch distinct cuts exchange volume
+        return tab.group_by(["sh", "source"]).aggregate([])
+
+    rows = ds.map_batches(_rows, batch_format="pyarrow")
+
+    def _bucket(tab: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())})
+        if tab.num_rows == 0:
+            return empty
+        tab = tab.group_by(["sh", "source"]).aggregate([])
+        tab = tab.sort_by([("sh", "ascending"),
+                           ("source", "ascending")])
+        new = segment_starts(tab, ["sh"])
+        seg = np.cumsum(new) - 1
+        counts = np.bincount(seg)
+        firsts = np.flatnonzero(new)
+        srcs = tab["source"].combine_chunks()
+        out_a, out_b = [], []
+        # per-shingle source-pair expansion (sources per shingle is
+        # bounded by the source cardinality, not the corpus)
+        for s0, c in zip(firsts, counts):
+            if c < 2:
+                continue
+            grp = srcs.slice(s0, c).to_pylist()
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    out_a.append(grp[i])
+                    out_b.append(grp[j])
+        pair_tab = pa.table({
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "n": pa.array(np.ones(len(out_a), np.int64))}) \
+            if out_a else empty
+        pairs = pair_tab.group_by(["src_a", "src_b"]).aggregate(
+            [("n", "sum")]).rename_columns(["src_a", "src_b", "n"])
+        # per-source partial set sizes ride along with src_b = ""
+        sizes = tab.group_by(["source"]).aggregate([([], "count_all")])
+        size_tab = pa.table({
+            "src_a": sizes["source"],
+            "src_b": pa.array([""] * sizes.num_rows, pa.string()),
+            "n": pc.cast(sizes["count_all"], pa.int64())})
+        return pa.concat_tables([pairs, size_tab])
+
+    parts = bucketed_map_groups(rows, ["sh"], _bucket, buckets=8,
+                                sort_within=False)
+    inter: dict[tuple, int] = {}
+    sizes: dict[str, int] = {}
+    for t in ray.get(parts.to_arrow_refs()):
+        for a, b, n in zip(t["src_a"].to_pylist(),
+                           t["src_b"].to_pylist(),
+                           t["n"].to_pylist()):
+            if b == "":
+                sizes[a] = sizes.get(a, 0) + int(n)
+            else:
+                inter[(a, b)] = inter.get((a, b), 0) + int(n)
+    out_a, out_b, out_i, out_j = [], [], [], []
+    for (a, b) in sorted(inter):
+        i = inter[(a, b)]
+        u = sizes[a] + sizes[b] - i
+        out_a.append(a)
+        out_b.append(b)
+        out_i.append(i)
+        out_j.append(float(round_half_away(
+            np.array([i / u]), 6)[0]))
+    return pa.table({
+        "src_a": pa.array(out_a, pa.string()),
+        "src_b": pa.array(out_b, pa.string()),
+        "inter": pa.array(out_i, pa.int64()),
+        "jaccard6": pa.array(out_j, pa.float64())})
+
+
 def _q_events_mannwhitney(sf_dir: str):
     """Exact Mann–Whitney rank-sum between click and purchase values
     (relational.rank_sum_u): midrank ties via the two-rank identity
@@ -8182,6 +8308,8 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     d = {
+        "docs_source_jaccard": _q_docs_source_jaccard,
+        "emb_label_drift": _q_emb_label_drift,
         "emb_dbscan_lsh": _q_emb_dbscan_lsh,
         "events_peak_hour": _q_events_peak_hour,
         "orders_hhi": _q_orders_hhi,
@@ -8473,6 +8601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries absent from every prior round's driver correctness sample
 # (the union of CORRECTNESS_r01-r04 keys), in registry order.
 _NEVER_DRIVER_SAMPLED = [
+    "docs_source_jaccard",
+    "emb_label_drift",
     "emb_dbscan_lsh", "events_hopping_quantile", "events_calibration",
     "events_attribution", "graph_ppr", "events_theilsen", "emb_ivfpq",
     "docs_bpe_train", "docs_top_tokens_by_source", "events_mannwhitney",
@@ -12757,6 +12887,62 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders),
             nn AS (SELECT count(*)::BIGINT AS n FROM base)
             """ + "\n            UNION ALL".join(fd_branches))
+
+    d["docs_source_jaccard"] = r"""
+            WITH t AS (
+                SELECT source,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            sh0 AS (SELECT source,
+                           unnest(list_transform(
+                               generate_series(
+                                   1, greatest(len(toks) - 2, 1)),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 2), ' ')))
+                               AS s
+                    FROM t WHERE len(toks) > 0),
+            sh AS (SELECT DISTINCT source, s FROM sh0),
+            sizes AS (SELECT source, count(*)::BIGINT AS n
+                      FROM sh GROUP BY source),
+            i AS (SELECT a.source AS src_a, b.source AS src_b,
+                         count(*)::BIGINT AS inter
+                  FROM sh a JOIN sh b
+                    ON a.s = b.s AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT src_a, src_b, inter,
+                   round(CAST(inter AS DOUBLE)
+                         / (sa.n + sb.n - inter), 6) AS jaccard6
+            FROM i JOIN sizes sa ON sa.source = src_a
+                   JOIN sizes sb ON sb.source = src_b
+        """
+
+    d["emb_label_drift"] = """
+            WITH e AS (
+                SELECT label, vec_id % 2 AS par,
+                       unnest(generate_series(1, len(embedding)))
+                           AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings),
+            q AS (SELECT label, par, dim,
+                         CAST(round(CAST(val AS DOUBLE) * 10000)
+                              AS BIGINT) AS qv
+                  FROM e),
+            s AS (SELECT label, par, dim, CAST(SUM(qv) AS BIGINT) AS s
+                  FROM q GROUP BY 1, 2, 3),
+            p AS (SELECT a.label AS label,
+                         SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
+                         SUM(CAST(a.s AS HUGEINT) * a.s) AS n0,
+                         SUM(CAST(b.s AS HUGEINT) * b.s) AS n1
+                  FROM s a JOIN s b
+                    ON a.label = b.label AND a.dim = b.dim
+                  WHERE a.par = 0 AND b.par = 1
+                  GROUP BY a.label)
+            SELECT CAST(label AS BIGINT) AS label,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(n0 AS DOUBLE))
+                            * sqrt(CAST(n1 AS DOUBLE))), 6) AS cosine6
+            FROM p WHERE n0 > 0 AND n1 > 0
+        """
 
     d["emb_dbscan_lsh"] = """
             SELECT count(*)::BIGINT AS n_points,

@@ -1647,6 +1647,80 @@ def ivfpq_search(
     return out
 
 
+def group_centroid_cosine(
+    ds: "rd.Dataset", vec_col: str, group_col: str, split_col: str, *,
+    quant: int = 10_000,
+) -> pa.Table:
+    """Per-group cosine between the CENTROIDS of the two halves of a
+    split column (values 0/1) — the representation-drift measure for
+    comparing two ingestion waves / snapshots of an embedding corpus
+    per class.  Exact and layout-independent: each component is
+    quantized once (round-half-away at ``quant``, matching SQL
+    ``round(val·quant)``), per-(group, split, dim) INTEGER sums fold
+    as per-block partials (int64 on the wire, arbitrary-precision
+    Python ints on the driver — no float ever crosses blocks), and
+    cosine is evaluated once per group from the exact sums.  Cosine
+    is scale-invariant, so the SUM vector stands in for the MEAN
+    vector and row counts cancel.
+
+    Scale shape: one streaming pass, no shuffle — the driver holds
+    O(blocks · groups · 2) partial rows of d int64s.  Returns
+    ``(group, cosine6)`` sorted by group; groups missing either
+    split half are omitted."""
+    import math
+
+    from ..functions import round_half_away
+
+    def _partial(tab: pa.Table) -> pa.Table:
+        d = len(tab[vec_col][0]) if tab.num_rows else 0
+        if tab.num_rows == 0:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                "sp": pa.array([], pa.int64()),
+                "svec": pa.array([], pa.list_(pa.int64()))})
+        g = pc.cast(tab[group_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sp = pc.cast(tab[split_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        X = _matrix(tab[vec_col])
+        Q = round_half_away(X * float(quant), 0).astype(np.int64)
+        keys = g * 2 + sp
+        uk, inv = np.unique(keys, return_inverse=True)
+        S = np.zeros((len(uk), Q.shape[1]), np.int64)
+        np.add.at(S, inv, Q)
+        return pa.table({
+            "g": pa.array(uk // 2),
+            "sp": pa.array(uk % 2),
+            "svec": pa.array(list(S))})
+
+    acc: dict[tuple[int, int], list] = {}
+    for t in ray.get(ds.select_columns(
+            [group_col, split_col, vec_col]).map_batches(
+            _partial, batch_format="pyarrow").to_arrow_refs()):
+        for r in range(t.num_rows):
+            key = (int(t["g"][r].as_py()), int(t["sp"][r].as_py()))
+            vec = [int(v) for v in t["svec"][r].as_py()]
+            if key in acc:
+                acc[key] = [a + b for a, b in zip(acc[key], vec)]
+            else:
+                acc[key] = vec
+    groups, cos6 = [], []
+    for gk in sorted({g for g, _ in acc}):
+        a, b = acc.get((gk, 0)), acc.get((gk, 1))
+        if a is None or b is None:
+            continue
+        dot = sum(x * y for x, y in zip(a, b))
+        n0 = sum(x * x for x in a)
+        n1 = sum(y * y for y in b)
+        if n0 <= 0 or n1 <= 0:
+            continue
+        c = float(dot) / (math.sqrt(float(n0)) * math.sqrt(float(n1)))
+        groups.append(gk)
+        cos6.append(float(round_half_away(np.array([c]), 6)[0]))
+    return pa.table({group_col: pa.array(groups, pa.int64()),
+                     "cosine6": pa.array(cos6, pa.float64())})
+
+
 def kcenter_coreset(
     ds: "rd.Dataset", vec_col: str, id_col: str, *, k: int = 16,
 ) -> dict:
