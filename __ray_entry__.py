@@ -6488,6 +6488,56 @@ def _q_emb_label_drift(sf_dir: str):
                                  quant=10_000)
 
 
+def _q_events_wilson_ci(sf_dir: str):
+    """Per-type Wilson 95% score interval for P(value ≥ 35): the
+    proportion CI that stays inside [0,1] and behaves at small n —
+    the A/B-readout primitive.  Success/total counts fold as exact
+    int64 per-block partials through one tiny exchange; the interval
+    is ONE fixed float expression per group evaluated from the exact
+    ints, written with the SAME association as the SQL oracle and
+    rounded half-away to 6."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import group_agg
+
+    def _part(t: pa.Table) -> pa.Table:
+        hit = pc.fill_null(pc.greater_equal(
+            pc.cast(t["value"], pa.float64()), 35.0), False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": pc.cast(hit, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(_part, batch_format="pyarrow")
+    agg = group_agg(ds, ["event_type"],
+                    [("one", "sum", "n"), ("s", "sum", "s")],
+                    buckets=2)
+
+    def _wilson(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = [], []
+        for ni, si in zip(n.tolist(), s.tolist()):
+            ph = si / ni
+            z22n = 1.96 * 1.96 / (2 * ni)
+            half = 1.96 * math.sqrt(
+                (ph * (1 - ph) + 1.96 * 1.96 / (4 * ni)) / ni)
+            den = 1 + 1.96 * 1.96 / ni
+            lo.append(((ph + z22n) - half) / den)
+            hi.append(((ph + z22n) + half) / den)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(n), "s": pa.array(s),
+            "wilson_lo6": pa.array(round_half_away(np.array(lo), 6)),
+            "wilson_hi6": pa.array(round_half_away(np.array(hi), 6))})
+
+    return agg.map_batches(_wilson, batch_format="pyarrow")
+
+
 def _q_docs_source_jaccard(sf_dir: str):
     """Source-vocabulary Jaccard matrix: for every source pair, the
     Jaccard of their distinct word-3-shingle sets — the corpus-level
@@ -8308,6 +8358,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     d = {
+        "events_wilson_ci": _q_events_wilson_ci,
         "docs_source_jaccard": _q_docs_source_jaccard,
         "emb_label_drift": _q_emb_label_drift,
         "emb_dbscan_lsh": _q_emb_dbscan_lsh,
@@ -8601,6 +8652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries absent from every prior round's driver correctness sample
 # (the union of CORRECTNESS_r01-r04 keys), in registry order.
 _NEVER_DRIVER_SAMPLED = [
+    "events_wilson_ci",
     "docs_source_jaccard",
     "emb_label_drift",
     "emb_dbscan_lsh", "events_hopping_quantile", "events_calibration",
@@ -12887,6 +12939,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders),
             nn AS (SELECT count(*)::BIGINT AS n FROM base)
             """ + "\n            UNION ALL".join(fd_branches))
+
+    d["events_wilson_ci"] = """
+            WITH c AS (
+                SELECT event_type,
+                       count(*)::BIGINT AS n,
+                       CAST(count(*) FILTER (value >= 35.0)
+                            AS BIGINT) AS s
+                FROM events GROUP BY event_type),
+            w AS (SELECT event_type, n, s,
+                         CAST(s AS DOUBLE) / n AS ph
+                  FROM c)
+            SELECT event_type, n, s,
+                   round(((ph + 1.96 * 1.96 / (2 * n))
+                          - 1.96 * sqrt((ph * (1 - ph)
+                                         + 1.96 * 1.96 / (4 * n))
+                                        / n))
+                         / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo6,
+                   round(((ph + 1.96 * 1.96 / (2 * n))
+                          + 1.96 * sqrt((ph * (1 - ph)
+                                         + 1.96 * 1.96 / (4 * n))
+                                        / n))
+                         / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi6
+            FROM w
+        """
 
     d["docs_source_jaccard"] = r"""
             WITH t AS (
