@@ -5208,3 +5208,48 @@ def test_dbscan_candidates_injection(ray_session):
                  candidates=pairs).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert inj.equals(base)
+
+
+def test_group_centroid_cosine_matches_brute(ray_session):
+    """Exact quantized-integer centroid cosine per group: equals the
+    brute reference computed with Python ints, independent of block
+    layout, and omits groups missing a split half."""
+    import math
+
+    from rayskema.functions import round_half_away
+    from rayskema.functions.similarity import group_centroid_cosine
+    rng = np.random.default_rng(47)
+    n, d = 120, 6
+    X = rng.normal(0, 1, (n, d))
+    g = rng.integers(0, 4, n)
+    sp = rng.integers(0, 2, n)
+    # group 3 gets only split-0 rows -> omitted from the output
+    sp[g == 3] = 0
+    t = pa.table({"grp": pa.array(g.astype(np.int64)),
+                  "sp": pa.array(sp.astype(np.int64)),
+                  "vec": [r.tolist() for r in X]})
+
+    def brute():
+        Q = round_half_away(X * 10_000, 0).astype(np.int64)
+        out = {}
+        for gk in sorted(set(g.tolist())):
+            a = Q[(g == gk) & (sp == 0)].sum(axis=0)
+            b = Q[(g == gk) & (sp == 1)].sum(axis=0)
+            if not ((g == gk) & (sp == 1)).any():
+                continue
+            dot = sum(int(x) * int(y) for x, y in zip(a, b))
+            n0 = sum(int(x) * int(x) for x in a)
+            n1 = sum(int(y) * int(y) for y in b)
+            c = float(dot) / (math.sqrt(float(n0))
+                              * math.sqrt(float(n1)))
+            out[gk] = float(round_half_away(np.array([c]), 6)[0])
+        return out
+
+    want = brute()
+    for parts in (1, 5):
+        got = group_centroid_cosine(
+            rd.from_arrow(t).repartition(parts), "vec", "grp", "sp")
+        res = dict(zip(got["grp"].to_pylist(),
+                       got["cosine6"].to_pylist()))
+        assert res == want
+    assert 3 not in want
