@@ -6579,25 +6579,29 @@ def _q_docs_source_jaccard(sf_dir: str):
         tab = tab.sort_by([("sh", "ascending"),
                            ("source", "ascending")])
         new = segment_starts(tab, ["sh"])
-        seg = np.cumsum(new) - 1
-        counts = np.bincount(seg)
+        counts = np.bincount(np.cumsum(new) - 1)
         firsts = np.flatnonzero(new)
         srcs = tab["source"].combine_chunks()
+        # vectorized per-shingle source-pair expansion via the shared
+        # pair templates (group size is bounded by the source
+        # cardinality, far under max_group, so the expansion is the
+        # EXACT all-pairs set — no star pairing); rows are sorted by
+        # (sh, source), so i<j gives src_a < src_b canonically
+        from rayskema.functions.dedup import _group_pair_chunks
         out_a, out_b = [], []
-        # per-shingle source-pair expansion (sources per shingle is
-        # bounded by the source cardinality, not the corpus)
-        for s0, c in zip(firsts, counts):
-            if c < 2:
-                continue
-            grp = srcs.slice(s0, c).to_pylist()
-            for i in range(len(grp)):
-                for j in range(i + 1, len(grp)):
-                    out_a.append(grp[i])
-                    out_b.append(grp[j])
+        for a_i, b_i in _group_pair_chunks(counts, firsts, 4096,
+                                           chunk=1 << 18):
+            out_a.append(srcs.take(pa.array(a_i)))
+            out_b.append(srcs.take(pa.array(b_i)))
         pair_tab = pa.table({
-            "src_a": pa.array(out_a, pa.string()),
-            "src_b": pa.array(out_b, pa.string()),
-            "n": pa.array(np.ones(len(out_a), np.int64))}) \
+            "src_a": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_a]),
+            "src_b": pa.concat_arrays(
+                [b.combine_chunks() if isinstance(b, pa.ChunkedArray)
+                 else b for b in out_b]),
+            "n": pa.array(np.ones(sum(len(a) for a in out_a),
+                                  np.int64))}) \
             if out_a else empty
         pairs = pair_tab.group_by(["src_a", "src_b"]).aggregate(
             [("n", "sum")]).rename_columns(["src_a", "src_b", "n"])
