@@ -5253,3 +5253,30 @@ def test_group_centroid_cosine_matches_brute(ray_session):
                        got["cosine6"].to_pylist()))
         assert res == want
     assert 3 not in want
+
+
+def test_dbscan_lsh_big_path_matches_local(ray_session):
+    """Force the fully-distributed DBSCAN path (local_max_bytes=0:
+    degree exchange + core-core components + border joins) under LSH
+    candidates and pin it to the adaptive single-task path's labels —
+    both with the exact candidate stage and with E2LSH."""
+    from rayskema.functions.similarity import dbscan
+    rng = np.random.default_rng(53)
+    X = np.vstack([rng.normal(0, 0.3, (45, 4)),
+                   rng.normal(4, 0.3, (40, 4)),
+                   rng.uniform(-6, 9, (15, 4))])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(4)
+
+    def run(**kw):
+        return dbscan(ds, "embedding", "vec_id", eps=0.95,
+                      min_pts=5, **kw).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+
+    base = run()                                   # exact, local path
+    for kw in ({"local_max_bytes": 0},             # exact, big path
+               {"method": "lsh"},                  # lsh, local path
+               {"method": "lsh", "local_max_bytes": 0}):  # lsh, big
+        assert run(**kw).equals(base), kw
