@@ -6488,6 +6488,96 @@ def _q_emb_label_drift(sf_dir: str):
                                  quant=10_000)
 
 
+def _q_docs_top_terms(sf_dir: str):
+    """Per-DOCUMENT top-3 TF-IDF terms — the doc-labeling/keyword
+    primitive (document-level dual of the corpus-level tfidf_top_terms
+    rollup).  TF is in-batch exact (a document is one row, so its
+    term counts never need an exchange); DF folds through one token
+    exchange; ln(N/df) quantizes to int64 BEFORE the tf multiply so
+    per-doc ranking compares exact integers (the KL-family contract);
+    the top-3 cut is one doc-bucketed exchange with vectorized
+    segment ranking — ties break on the term string, SQL
+    row_number parity."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (bucketed_map_groups,
+                                               hash_join,
+                                               segment_starts)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _tf(tab: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(tab["text"], "")),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        ids = pc.cast(tab["doc_id"], pa.int64()).combine_chunks() \
+            .take(parents)
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"doc_id": ids.filter(keep),
+                      "term": flat.filter(keep)})
+        return t.group_by(["doc_id", "term"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["doc_id", "term", "tf"])
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow")
+
+    def _df(tab: pa.Table) -> pa.Table:
+        # rows are already distinct (doc_id, term); count per term
+        return tab.group_by(["term"]).aggregate(
+            [([], "count_all")]).rename_columns(["term", "df"])
+
+    df = bucketed_map_groups(tf.select_columns(["doc_id", "term"]),
+                             ["term"], _df, buckets=4,
+                             sort_within=False)
+    joined = hash_join(tf, df, on=["term"], broadcast="auto",
+                       buckets=4)
+
+    def _score(tab: pa.Table) -> pa.Table:
+        dfv = tab["df"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lnq = round_half_away(
+            np.log(float(n_docs) / dfv) * 1_000_000, 0) \
+            .astype(np.int64)
+        tfv = pc.cast(tab["tf"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": tab["doc_id"],
+            "term": tab["term"],
+            "tf": pa.array(tfv),
+            "score_q": pa.array(tfv * lnq)})
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+
+    def _top3(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "score_q": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64())})
+        neg = pc.subtract(pa.scalar(0, pa.int64()), tab["score_q"])
+        tab = tab.append_column("__neg", neg)
+        tab = tab.sort_by([("doc_id", "ascending"),
+                           ("__neg", "ascending"),
+                           ("term", "ascending")])
+        new = segment_starts(tab, ["doc_id"])
+        seg = np.cumsum(new) - 1
+        firsts = np.flatnonzero(new)
+        rk = np.arange(tab.num_rows, dtype=np.int64) \
+            - np.repeat(firsts, np.bincount(seg)) + 1
+        keep = rk <= 3
+        out = tab.filter(pa.array(keep)).drop_columns(["__neg"])
+        return out.append_column("rk", pa.array(rk[keep]))
+
+    return bucketed_map_groups(scored, ["doc_id"], _top3, buckets=4,
+                               sort_within=False)
+
+
 def _q_events_wilson_ci(sf_dir: str):
     """Per-type Wilson 95% score interval for P(value ≥ 35): the
     proportion CI that stays inside [0,1] and behaves at small n —
@@ -8362,6 +8452,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     d = {
+        "docs_top_terms": _q_docs_top_terms,
         "events_wilson_ci": _q_events_wilson_ci,
         "docs_source_jaccard": _q_docs_source_jaccard,
         "emb_label_drift": _q_emb_label_drift,
@@ -8656,6 +8747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries absent from every prior round's driver correctness sample
 # (the union of CORRECTNESS_r01-r04 keys), in registry order.
 _NEVER_DRIVER_SAMPLED = [
+    "docs_top_terms",
     "events_wilson_ci",
     "docs_source_jaccard",
     "emb_label_drift",
@@ -12943,6 +13035,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders),
             nn AS (SELECT count(*)::BIGINT AS n FROM base)
             """ + "\n            UNION ALL".join(fd_branches))
+
+    d["docs_top_terms"] = """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                   FROM t GROUP BY 1, 2),
+            df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM t GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.tok, tf.tf,
+                         tf.tf * CAST(round(
+                             ln(CAST((SELECT n FROM n) AS DOUBLE)
+                                / df.df) * 1000000) AS BIGINT)
+                             AS score_q
+                  FROM tf JOIN df USING (tok)),
+            r AS (SELECT *, row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score_q DESC, tok) AS rk
+                  FROM s)
+            SELECT doc_id, tok AS term, tf, score_q,
+                   CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 3
+        """
 
     d["events_wilson_ci"] = """
             WITH c AS (
