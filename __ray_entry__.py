@@ -6488,6 +6488,78 @@ def _q_emb_label_drift(sf_dir: str):
                                  quant=10_000)
 
 
+def _q_events_mad_outliers(sf_dir: str):
+    """Robust per-type anomaly counts via MEDIAN ABSOLUTE DEVIATION —
+    the robust-statistics complement of the z-score family
+    (lineitem_outliers): med and MAD are exact rank-based grouped
+    quantiles over integer cents (relational.group_quantiles, the
+    quantile_disc contract), deviations and the ``ad > 3·MAD`` cut
+    compare exact int64 — no float anywhere, so a window-SQL oracle
+    matches bit-for-bit.  Two grouped-quantile exchanges + two
+    broadcast joins; the value column streams."""
+    import pyarrow.compute as pc
+
+    from rayskema.functions import round_half_away
+    from rayskema.pipelines.relational import (group_agg,
+                                               group_quantiles,
+                                               hash_join)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        t = pa.table({"event_type": t["event_type"], "v": v}) \
+            .filter(pc.is_valid(v))
+        vc = round_half_away(
+            t["v"].to_numpy(zero_copy_only=False) * 100, 0) \
+            .astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "v": pa.array(vc)})
+
+    ds_q = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(_prep, batch_format="pyarrow")
+    med = group_quantiles(ds_q, "event_type", "v", [0.5]) \
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"],
+            "med": pc.cast(t["value"], pa.int64())}),
+            batch_format="pyarrow")
+    with_med = hash_join(ds_q, med, on=["event_type"],
+                         broadcast=True)
+
+    def _ad(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "med": t["med"],
+            "ad": pc.abs(pc.subtract(t["v"], t["med"]))})
+
+    ad_ds = with_med.map_batches(_ad, batch_format="pyarrow")
+    mad = group_quantiles(ad_ds, "event_type", "ad", [0.5]) \
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"],
+            "mad": pc.cast(t["value"], pa.int64())}),
+            batch_format="pyarrow")
+    full = hash_join(ad_ds, mad, on=["event_type"], broadcast=True)
+
+    def _flags(t: pa.Table) -> pa.Table:
+        out = pc.cast(pc.greater(
+            t["ad"], pc.multiply(t["mad"], pa.scalar(3, pa.int64()))),
+            pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "med": t["med"], "mad": t["mad"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "out": out})
+
+    return group_agg(full.map_batches(_flags, batch_format="pyarrow"),
+                     ["event_type", "med", "mad"],
+                     [("one", "sum", "n"), ("out", "sum", "n_outliers")],
+                     buckets=2).map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "med_c": t["med"],
+            "mad_c": t["mad"],
+            "n_outliers": t["n_outliers"]}), batch_format="pyarrow")
+
+
 def _q_docs_top_terms(sf_dir: str):
     """Per-DOCUMENT top-3 TF-IDF terms — the doc-labeling/keyword
     primitive (document-level dual of the corpus-level tfidf_top_terms
@@ -8452,6 +8524,7 @@ def _q_docs_pmi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     d = {
+        "events_mad_outliers": _q_events_mad_outliers,
         "docs_top_terms": _q_docs_top_terms,
         "events_wilson_ci": _q_events_wilson_ci,
         "docs_source_jaccard": _q_docs_source_jaccard,
@@ -8747,6 +8820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries absent from every prior round's driver correctness sample
 # (the union of CORRECTNESS_r01-r04 keys), in registry order.
 _NEVER_DRIVER_SAMPLED = [
+    "events_mad_outliers",
     "docs_top_terms",
     "events_wilson_ci",
     "docs_source_jaccard",
@@ -13035,6 +13109,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders),
             nn AS (SELECT count(*)::BIGINT AS n FROM base)
             """ + "\n            UNION ALL".join(fd_branches))
+
+    d["events_mad_outliers"] = """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+            r AS (SELECT event_type, v,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY v) AS rn,
+                         count(*) OVER (PARTITION BY event_type)
+                             AS cnt
+                  FROM q),
+            m AS (SELECT event_type, min(v) AS med FROM r
+                  WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                  GROUP BY event_type),
+            a AS (SELECT q.event_type, q.v, m.med,
+                         abs(q.v - m.med) AS ad
+                  FROM q JOIN m USING (event_type)),
+            r2 AS (SELECT event_type, ad,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ad) AS rn,
+                          count(*) OVER (PARTITION BY event_type)
+                              AS cnt
+                   FROM a),
+            md AS (SELECT event_type, min(ad) AS mad FROM r2
+                   WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                   GROUP BY event_type)
+            SELECT a.event_type, count(*)::BIGINT AS n,
+                   CAST(a.med AS BIGINT) AS med_c,
+                   CAST(md.mad AS BIGINT) AS mad_c,
+                   CAST(count(*) FILTER (a.ad > 3 * md.mad)
+                        AS BIGINT) AS n_outliers
+            FROM a JOIN md USING (event_type)
+            GROUP BY a.event_type, a.med, md.mad
+        """
 
     d["docs_top_terms"] = """
             WITH t AS (
