@@ -6595,7 +6595,10 @@ def _q_docs_top_terms(sf_dir: str):
             [([], "count_all")]).rename_columns(
             ["doc_id", "term", "tf"])
 
-    tf = docs.map_batches(_tf, batch_format="pyarrow")
+    # materialized ONCE: both the df branch and the score join
+    # consume tf — unmaterialized lineage would tokenize the whole
+    # corpus twice
+    tf = docs.map_batches(_tf, batch_format="pyarrow").materialize()
 
     def _df(tab: pa.Table) -> pa.Table:
         # rows are already distinct (doc_id, term); count per term
@@ -7406,6 +7409,11 @@ def _q_emb_coreset(sf_dir: str):
             + (C * C).sum(1)[None, :]
         mind = d2.min(axis=1)
         best = np.lexsort((ids, -mind))[0]
+        # mirror kcenter_coreset's duplicate-center early stop so the
+        # replica and the operator agree if k ever exceeds the number
+        # of distinct sampled points
+        if float(mind[best]) <= 0.0 and int(ids[best]) in set(chosen):
+            break
         chosen.append(int(ids[best]))
         rad.append(float(mind[best]))
     matches = bool(res["ids"] == chosen and res["radius2"] == rad)
@@ -8874,7 +8882,8 @@ def oracle_sql() -> dict[str, str]:
     fixture_dir = _ensure_entry_fixture()
     d = {
         "emb_coreset": """
-            SELECT 12::BIGINT AS k,
+            SELECT CAST(least(12, count(DISTINCT embedding))
+                        AS BIGINT) AS k,
                    min(vec_id)::BIGINT AS first_center,
                    TRUE AS matches_reference,
                    TRUE AS radius_nonincreasing

@@ -1166,7 +1166,14 @@ def eps_neighbor_pairs_lsh(
     from ..pipelines.relational import bucketed_map_groups
     from .dedup import _group_pair_chunks
 
-    probe = ds.take_batch(1, batch_format="pyarrow")
+    empty_pairs = pa.table({"id_a": pa.array([], type=pa.int64()),
+                            "id_b": pa.array([], type=pa.int64())})
+    try:
+        probe = ds.take_batch(1, batch_format="pyarrow")
+    except ValueError:
+        # empty corpus: same contract as the exact path's
+        # `if not refs` guard — no pairs, not an error
+        return rd.from_arrow(empty_pairs)
     d = len(probe[vec_col][0])
     rng = np.random.default_rng(seed)
     A = rng.standard_normal((n_tables, n_hashes, d))

@@ -6452,6 +6452,26 @@ def global_pack(
     return rd.from_arrow_refs(out_refs)
 
 
+def _field_types_or(ds: "rd.Dataset", cols: Sequence[str],
+                    defaults: Sequence["pa.DataType"]) -> list:
+    """Arrow types of ``cols`` from the dataset's already-known schema
+    (``fetch_if_missing=False`` — never triggers execution), falling
+    back to ``defaults`` per column when the schema is unknown or a
+    column is absent.  Used by operators that must emit SCHEMA-STABLE
+    empty blocks from empty exchange buckets (a mismatched empty
+    block poisons the union schema)."""
+    out = list(defaults)
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None:
+        base = getattr(sch, "base_schema", sch)
+        for i, c in enumerate(cols):
+            try:
+                out[i] = base.field(c).type
+            except KeyError:
+                pass
+    return out
+
+
 def scd2_intervals(
     ds: "rd.Dataset", key_col: str, value_col: str, ts_col: str, *,
     tiebreak: Sequence[str] = (), buckets: int | None = None,
@@ -6474,16 +6494,9 @@ def scd2_intervals(
     # the non-empty ones (a string key or non-us timestamp would
     # otherwise poison the union schema) — derive from the input
     # schema when available, fall back to the common fixture types
-    key_t, val_t, ts_t = pa.int64(), pa.string(), pa.timestamp("us")
-    sch = ds.schema(fetch_if_missing=False)
-    if sch is not None:
-        base = getattr(sch, "base_schema", sch)
-        try:
-            key_t = base.field(key_col).type
-            val_t = base.field(value_col).type
-            ts_t = base.field(ts_col).type
-        except KeyError:
-            pass
+    key_t, val_t, ts_t = _field_types_or(
+        ds, [key_col, value_col, ts_col],
+        [pa.int64(), pa.string(), pa.timestamp("us")])
 
     def _runs(tab: pa.Table) -> pa.Table:
         if tab.num_rows == 0:
@@ -6715,14 +6728,7 @@ def interval_union_length(
     ``(key, active, n_intervals)``, both int64."""
     # empty-bucket key type must match the non-empty blocks' (same
     # schema-poisoning hazard scd2_intervals documents)
-    key_t = pa.int64()
-    sch = ds.schema(fetch_if_missing=False)
-    if sch is not None:
-        base = getattr(sch, "base_schema", sch)
-        try:
-            key_t = base.field(key_col).type
-        except KeyError:
-            pass
+    [key_t] = _field_types_or(ds, [key_col], [pa.int64()])
 
     def _union(tab: pa.Table) -> pa.Table:
         if tab.num_rows == 0:

@@ -26,25 +26,40 @@ def main():
     ceiling = (hw[hi] / hw[lo]) / (hi / lo)
     rec = {"ts": time.time(), "levels": list(levels),
            "hw_ceiling_efficiency": round(ceiling, 4), "gate": GATE}
-    if ceiling < GATE:
-        rec["outcome"] = "skipped_noisy_host"
+    try:
+        if ceiling < GATE:
+            rec["outcome"] = "skipped_noisy_host"
+        else:
+            env = dict(os.environ,
+                       RAYSKEMA_SCALING_LEVELS=f"{lo},{hi}")
+            try:
+                # bench --scaling budgets up to 3600s per child
+                # (2 levels x best-of-2) + corpus gen; the outer
+                # timeout must exceed the worst case
+                p = subprocess.run(
+                    [sys.executable, os.path.join(
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))), "bench.py"),
+                     "--scaling"],
+                    capture_output=True, text=True, timeout=16_000,
+                    env=env)
+            except subprocess.TimeoutExpired:
+                rec["outcome"] = "timeout"
+            else:
+                line = [ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")]
+                if p.returncode == 0 and line:
+                    rec["outcome"] = "ran"
+                    rec["result"] = json.loads(line[-1])
+                else:
+                    rec["outcome"] = "child_failed"
+                    rec["returncode"] = p.returncode
+                    rec["stderr_tail"] = p.stderr[-1000:]
         print(json.dumps(rec))
-    else:
-        env = dict(os.environ,
-                   RAYSKEMA_SCALING_LEVELS=f"{lo},{hi}")
-        p = subprocess.run(
-            [sys.executable, os.path.join(
-                os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__))), "bench.py"),
-             "--scaling"],
-            capture_output=True, text=True, timeout=3000, env=env)
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith("{")]
-        rec["outcome"] = "ran"
-        rec["result"] = json.loads(line[-1]) if line else None
-        print(json.dumps(rec))
-    with open(LOG, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    finally:
+        # every attempt leaves a record, even on an unexpected raise
+        with open(LOG, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
