@@ -6514,8 +6514,10 @@ def _q_events_mad_outliers(sf_dir: str):
         return pa.table({"event_type": t["event_type"],
                          "v": pa.array(vc)})
 
+    # ds_q and ad_ds are each consumed twice (quantile pass + join);
+    # materialize so the read+prep lineage runs once, not four times
     ds_q = _read(sf_dir, "events", ["event_type", "value"]) \
-        .map_batches(_prep, batch_format="pyarrow")
+        .map_batches(_prep, batch_format="pyarrow").materialize()
     med = group_quantiles(ds_q, "event_type", "v", [0.5]) \
         .map_batches(lambda t: pa.table({
             "event_type": t["event_type"],
@@ -6530,7 +6532,8 @@ def _q_events_mad_outliers(sf_dir: str):
             "med": t["med"],
             "ad": pc.abs(pc.subtract(t["v"], t["med"]))})
 
-    ad_ds = with_med.map_batches(_ad, batch_format="pyarrow")
+    ad_ds = with_med.map_batches(_ad, batch_format="pyarrow") \
+        .materialize()
     mad = group_quantiles(ad_ds, "event_type", "ad", [0.5]) \
         .map_batches(lambda t: pa.table({
             "event_type": t["event_type"],
@@ -6635,10 +6638,8 @@ def _q_docs_top_terms(sf_dir: str):
                 "tf": pa.array([], pa.int64()),
                 "score_q": pa.array([], pa.int64()),
                 "rk": pa.array([], pa.int64())})
-        neg = pc.subtract(pa.scalar(0, pa.int64()), tab["score_q"])
-        tab = tab.append_column("__neg", neg)
         tab = tab.sort_by([("doc_id", "ascending"),
-                           ("__neg", "ascending"),
+                           ("score_q", "descending"),
                            ("term", "ascending")])
         new = segment_starts(tab, ["doc_id"])
         seg = np.cumsum(new) - 1
@@ -6646,7 +6647,7 @@ def _q_docs_top_terms(sf_dir: str):
         rk = np.arange(tab.num_rows, dtype=np.int64) \
             - np.repeat(firsts, np.bincount(seg)) + 1
         keep = rk <= 3
-        out = tab.filter(pa.array(keep)).drop_columns(["__neg"])
+        out = tab.filter(pa.array(keep))
         return out.append_column("rk", pa.array(rk[keep]))
 
     return bucketed_map_groups(scored, ["doc_id"], _top3, buckets=4,
@@ -6712,7 +6713,10 @@ def _q_docs_source_jaccard(sf_dir: str):
     rows; each bucket emits per-shingle source pairs (≤ sources²
     per shingle) and per-source partial set sizes; pair counts and
     set sizes fold exactly as int64, and jaccard6 is ONE float
-    division of exact integers per pair."""
+    division of exact integers per pair.  The vocabulary is defined
+    over docs with ≥ 3 tokens (both engine and oracle) — the hashed
+    shingler clamps shorter docs, which string shingles cannot
+    mirror."""
     import pyarrow.compute as pc
 
     from rayskema.functions import round_half_away
@@ -6724,7 +6728,27 @@ def _q_docs_source_jaccard(sf_dir: str):
 
     def _rows(t: pa.Table) -> pa.Table:
         txt = t["text"].combine_chunks()
-        row_ids, h = word_shingle_hashes(txt, k=3)
+        # the vocabulary is defined over docs with >= 3 tokens: the
+        # hashed shingler CLAMPS shorter docs (a 2-token doc hashes
+        # like its last-token-repeated 3-gram), which the string-
+        # shingle SQL oracle cannot mirror — excluding short docs on
+        # BOTH sides keeps engine and oracle on the same set
+        toks = pc.split_pattern_regex(pc.utf8_lower(
+            pc.fill_null(txt, "")), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nonempty = pc.cast(pc.not_equal(flat, ""), pa.int64())
+        parents = pc.list_parent_indices(toks)
+        cnt = np.zeros(t.num_rows, np.int64)
+        np.add.at(cnt, parents.to_numpy(zero_copy_only=False),
+                  nonempty.to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(cnt >= 3))
+        if t.num_rows == 0:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        row_ids, h = word_shingle_hashes(
+            t["text"].combine_chunks(), k=3)
         src = t["source"].combine_chunks().take(pa.array(row_ids))
         tab = pa.table({"sh": pa.array(h.astype(np.int64)),
                         "source": src})
@@ -6770,11 +6794,12 @@ def _q_docs_source_jaccard(sf_dir: str):
             if out_a else empty
         pairs = pair_tab.group_by(["src_a", "src_b"]).aggregate(
             [("n", "sum")]).rename_columns(["src_a", "src_b", "n"])
-        # per-source partial set sizes ride along with src_b = ""
+        # per-source partial set sizes ride along with a NULL src_b
+        # sentinel (a real source named "" can never collide with it)
         sizes = tab.group_by(["source"]).aggregate([([], "count_all")])
         size_tab = pa.table({
             "src_a": sizes["source"],
-            "src_b": pa.array([""] * sizes.num_rows, pa.string()),
+            "src_b": pa.nulls(sizes.num_rows, pa.string()),
             "n": pc.cast(sizes["count_all"], pa.int64())})
         return pa.concat_tables([pairs, size_tab])
 
@@ -6786,7 +6811,7 @@ def _q_docs_source_jaccard(sf_dir: str):
         for a, b, n in zip(t["src_a"].to_pylist(),
                            t["src_b"].to_pylist(),
                            t["n"].to_pylist()):
-            if b == "":
+            if b is None:
                 sizes[a] = sizes.get(a, 0) + int(n)
             else:
                 inter[(a, b)] = inter.get((a, b), 0) + int(n)
@@ -7412,7 +7437,8 @@ def _q_emb_coreset(sf_dir: str):
         # mirror kcenter_coreset's duplicate-center early stop so the
         # replica and the operator agree if k ever exceeds the number
         # of distinct sampled points
-        if float(mind[best]) <= 0.0 and int(ids[best]) in set(chosen):
+        if float(mind[best]) <= 1e-12 and \
+                int(ids[best]) in set(chosen):
             break
         chosen.append(int(ids[best]))
         rad.append(float(mind[best]))
@@ -13216,7 +13242,7 @@ def oracle_sql() -> dict[str, str]:
                                i -> array_to_string(
                                    list_slice(toks, i, i + 2), ' ')))
                                AS s
-                    FROM t WHERE len(toks) > 0),
+                    FROM t WHERE len(toks) >= 3),
             sh AS (SELECT DISTINCT source, s FROM sh0),
             sizes AS (SELECT source, count(*)::BIGINT AS n
                       FROM sh GROUP BY source),

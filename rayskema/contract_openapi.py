@@ -126,6 +126,40 @@ def _resolve_refs(node: dict, defs: dict, diag: ImportDiag,
     return node
 
 
+def _int_or_string_number_schema(ps: dict, diag: ImportDiag,
+                                 where: str) -> dict:
+    """Rewrite an ``x-kubernetes-int-or-string`` property schema to
+    its number-plan form: type number, numeric facets kept,
+    STRING-FORM facets dropped WITH a warning.  The int-or-string
+    plan decodes the wire value to float64 before any facet runs, so
+    a ``pattern`` (e.g. the common ``^(\\d+|\\d+%)$`` of
+    maxUnavailable) or a string-valued ``enum`` can never be checked
+    post-decode — compiling them against the float64 column would
+    crash every batch with a no-kernel Arrow error instead."""
+    out = {k: v for k, v in ps.items()
+           if k != "x-kubernetes-int-or-string"}
+    out["type"] = "number"
+    if isinstance(out.get("pattern"), str):
+        diag.warn(f"{where}: int-or-string pattern facet dropped "
+                  "(facets run on the decoded number, not the "
+                  "string form)")
+        del out["pattern"]
+    enum = out.get("enum")
+    if isinstance(enum, list) and any(
+            not isinstance(v, (int, float)) or isinstance(v, bool)
+            for v in enum):
+        diag.warn(f"{where}: int-or-string enum with non-numeric "
+                  "values dropped (facets run on the decoded "
+                  "number)")
+        del out["enum"]
+    for facet in ("minLength", "maxLength"):
+        if facet in out:
+            diag.warn(f"{where}: int-or-string {facet} facet "
+                      "dropped (string-form facet)")
+            del out[facet]
+    return out
+
+
 def _unknown_policy(doc: dict, diag: ImportDiag) -> Unknown:
     if doc.get("x-kubernetes-preserve-unknown-fields") is True:
         return Unknown.PASSTHROUGH
@@ -398,8 +432,10 @@ def import_openapi(
             # float64 column + "int_or_string" codec — numeric wire
             # values cast through, numeric strings decode, any other
             # string is invalid_format; numeric facets then apply
+            # (string-form facets are dropped with a warning)
             cons = list(_value_constraints(
-                {**ps, "type": "number"}, pname, diag, pname))
+                _int_or_string_number_schema(ps, diag, pname),
+                pname, diag, pname))
             nullable = pname not in required
             if pname in required:
                 cons.insert(0, NonNull(rule=f"{pname}_required"))
@@ -433,10 +469,8 @@ def import_openapi(
                 if isinstance(sps, dict) and \
                         sps.get("x-kubernetes-int-or-string") is True:
                     ios_subs.append(sub)
-                    newprops[sub] = {
-                        **{k: v for k, v in sps.items()
-                           if k != "x-kubernetes-int-or-string"},
-                        "type": "number"}
+                    newprops[sub] = _int_or_string_number_schema(
+                        sps, diag, f"{pname}/{sub}")
                 else:
                     newprops[sub] = sps
             if ios_subs:

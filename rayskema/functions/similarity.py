@@ -1809,7 +1809,7 @@ def kcenter_coreset(
                                     and (best_id is None
                                          or bid < best_id)):
                     best_d, best_id = d2v, bid
-        if best_d <= 0.0 and int(best_id) in set(chosen):
+        if best_d <= 1e-12 and int(best_id) in set(chosen):
             # k exceeds the number of distinct points: every
             # remaining candidate sits at distance 0 from the chosen
             # set and the champion rule re-selects an already-chosen

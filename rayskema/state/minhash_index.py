@@ -240,8 +240,31 @@ def probe_minhash_index(
             idx_j = idx.filter(pa.array(isizes[igrp] <= max_group))
         else:
             idx_j = idx
-        joined = inc.join(idx_j, keys=["band", "band_key"],
-                          join_type="inner", right_suffix="_old")
+        # ... and symmetrically on the INCREMENT side: a degenerate
+        # increment group (e.g. >max_group near-identical docs in one
+        # crawl batch) would otherwise join every capped index group
+        # uncapped, materializing the m x n blowup anyway
+        inc_s = inc.sort_by([("band", "ascending"),
+                             ("band_key", "ascending"),
+                             ("id", "ascending")])
+        ngrp = np.cumsum(segment_starts(inc_s,
+                                        ["band", "band_key"])) - 1
+        nsizes = np.bincount(ngrp) if len(ngrp) else \
+            np.zeros(0, dtype=np.int64)
+        n_dropped_inc = int((nsizes > max_group).sum())
+        if n_dropped_inc:
+            import warnings
+            warnings.warn(
+                f"probe_minhash_index: bucket {b}: skipped "
+                f"{n_dropped_inc} degenerate (band, band_key) "
+                f"increment group(s) with > {max_group} rows "
+                f"(recall loss on those keys)", RuntimeWarning,
+                stacklevel=2)
+            inc_j = inc_s.filter(pa.array(nsizes[ngrp] <= max_group))
+        else:
+            inc_j = inc_s
+        joined = inc_j.join(idx_j, keys=["band", "band_key"],
+                            join_type="inner", right_suffix="_old")
         out = empty
         if joined.num_rows:
             joined = joined.sort_by(

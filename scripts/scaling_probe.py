@@ -19,14 +19,15 @@ LOG = "/tmp/rayskema_scaling_attempts.jsonl"
 
 
 def main():
-    levels = tuple(int(x) for x in os.environ.get(
-        "RAYSKEMA_SCALING_LEVELS", "2,8").split(","))
-    lo, hi = levels
-    hw = bench._hw_ceiling(levels)
-    ceiling = (hw[hi] / hw[lo]) / (hi / lo)
-    rec = {"ts": time.time(), "levels": list(levels),
-           "hw_ceiling_efficiency": round(ceiling, 4), "gate": GATE}
+    rec = {"ts": time.time(), "gate": GATE}
     try:
+        levels = tuple(int(x) for x in os.environ.get(
+            "RAYSKEMA_SCALING_LEVELS", "2,8").split(","))
+        lo, hi = levels
+        rec["levels"] = list(levels)
+        hw = bench._hw_ceiling(levels)
+        ceiling = (hw[hi] / hw[lo]) / (hi / lo)
+        rec["hw_ceiling_efficiency"] = round(ceiling, 4)
         if ceiling < GATE:
             rec["outcome"] = "skipped_noisy_host"
         else:
@@ -49,8 +50,10 @@ def main():
                 line = [ln for ln in p.stdout.splitlines()
                         if ln.startswith("{")]
                 if p.returncode == 0 and line:
-                    rec["outcome"] = "ran"
+                    # parse BEFORE claiming success: a truncated last
+                    # line must not persist as outcome "ran"
                     rec["result"] = json.loads(line[-1])
+                    rec["outcome"] = "ran"
                 else:
                     rec["outcome"] = "child_failed"
                     rec["returncode"] = p.returncode

@@ -496,3 +496,46 @@ def test_nested_int_or_string_real_plan():
     got = _codes(v)
     assert ("/spec/port", "too_big") in got       # 99999 > 65535
     assert ("/spec/port", "required") in got      # null under parent
+
+
+def test_int_or_string_string_facets_dropped():
+    """int-or-string with a string-form ``pattern`` (the common k8s
+    maxUnavailable percent regex) must not compile a Regex against
+    the float64 column — the facet is dropped with a warning at both
+    the top level and nested depth-1, and validation runs."""
+    from rayskema.plan import normalize_batch
+
+    s, diag = import_openapi({
+        "type": "object",
+        "properties": {
+            "maxUnavailable": {"x-kubernetes-int-or-string": True,
+                               "pattern": r"^(\d+|\d+%)$"},
+            "spec": {"type": "object",
+                     "properties": {
+                         "maxSurge": {
+                             "x-kubernetes-int-or-string": True,
+                             "pattern": r"^(\d+|\d+%)$",
+                             "minimum": 0},
+                     }},
+        },
+    }, name="t")
+    assert sum("pattern facet dropped" in w
+               for w in diag.warnings) == 2
+    from rayskema.schema import Regex, StructField
+    assert not any(isinstance(c, Regex)
+                   for c in s.column("maxUnavailable").constraints)
+    spec = s.column("spec")
+    assert not any(isinstance(c, StructField)
+                   and isinstance(c.constraint, Regex)
+                   for c in spec.constraints)
+    # numeric + numeric-string wire values validate without crashing
+    batch = pa.table({
+        "maxUnavailable": pa.array(["25", "3"]),
+        "spec": pa.array(
+            [{"maxSurge": 1}, {"maxSurge": 2}],
+            type=pa.struct([pa.field("maxSurge", pa.int64())]))})
+    norm, viols = normalize_batch(batch, s)
+    assert viols.num_rows == 0
+    v = ConstraintPlan(s).validate(norm)
+    assert v.num_rows == 0
+    assert norm["maxUnavailable"].to_pylist() == [25.0, 3.0]
