@@ -1761,7 +1761,8 @@ def kcenter_coreset(
         best = np.lexsort((ids, -mind))[0]
         return pa.table({"d2": pa.array([float(mind[best])]),
                          "bid": pa.array([int(ids[best])],
-                                         pa.int64())})
+                                         pa.int64()),
+                         "bvec": pa.array([X[best].tolist()])})
 
     # seed: smallest id
     seed = None
@@ -1794,21 +1795,28 @@ def kcenter_coreset(
                            .to_numpy(zero_copy_only=False))
         return _matrix(tab[vec_col])[order], sorted(ids_needed)
 
+    # centers matrix grows incrementally: each round's champion pass
+    # returns the winner's VECTOR alongside (d2, id), so no per-round
+    # corpus re-scan is needed to fetch it — k streaming passes
+    # total, not 2k.  Row order of M is selection order; every d2
+    # column is computed independently and min() is order-invariant,
+    # so the floats match the sorted-matrix formulation exactly.
+    M = _vec_of(chosen)[0]
     while len(chosen) < k:
-        M, _ = _vec_of(chosen)
         cref = ray.put(M)
-        best_d, best_id = -1.0, None
+        best_d, best_id, best_vec = -1.0, None, None
         for t in ray.get(proj.map_batches(
                 lambda tb, _c=cref: _champion(tb, _c),
                 batch_format="pyarrow").to_arrow_refs()):
             if t.num_rows == 0 or "d2" not in t.column_names:
                 continue
-            for d2v, bid in zip(t["d2"].to_pylist(),
-                                t["bid"].to_pylist()):
+            for d2v, bid, bv in zip(t["d2"].to_pylist(),
+                                    t["bid"].to_pylist(),
+                                    t["bvec"].to_pylist()):
                 if d2v > best_d or (d2v == best_d
                                     and (best_id is None
                                          or bid < best_id)):
-                    best_d, best_id = d2v, bid
+                    best_d, best_id, best_vec = d2v, bid, bv
         if best_d <= 1e-12 and int(best_id) in set(chosen):
             # k exceeds the number of distinct points: every
             # remaining candidate sits at distance 0 from the chosen
@@ -1817,4 +1825,5 @@ def kcenter_coreset(
             break
         chosen.append(int(best_id))
         radius2.append(float(best_d))
+        M = np.vstack([M, np.asarray(best_vec, dtype=np.float64)])
     return {"ids": chosen, "radius2": radius2}
