@@ -6416,7 +6416,8 @@ def _q_emb_dbscan_lsh(sf_dir: str):
     p_exact = eps_neighbor_pairs(ds, "embedding", "vec_id",
                                  eps=eps).materialize()
     p_lsh = eps_neighbor_pairs_lsh(ds, "embedding", "vec_id",
-                                   eps=eps).materialize()
+                                   eps=eps,
+                                   n_tables=16).materialize()
     missed = hash_join(p_exact, p_lsh, on=["id_a", "id_b"],
                        how="left_anti", broadcast="auto").count()
     spurious = hash_join(p_lsh, p_exact, on=["id_a", "id_b"],
@@ -6971,7 +6972,7 @@ def _q_emb_ivfpq(sf_dir: str):
     qtab.sort(key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in qtab], dtype=np.float64)
     short = ivfpq_search(codes, "vec_id", coarse, books, Q, k=100,
-                         nprobe=8)
+                         nprobe=12)
 
     qref = ray.put(Q)
 
@@ -7008,7 +7009,7 @@ def _q_emb_ivfpq(sf_dir: str):
     return pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "n_lists": pa.array([16] * len(rows), pa.int64()),
-        "nprobe": pa.array([8] * len(rows), pa.int64()),
+        "nprobe": pa.array([12] * len(rows), pa.int64()),
         "recall_ok": pa.array([r[1] for r in rows], pa.bool_()),
     })
 
@@ -9840,7 +9841,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_ivfpq": """
             SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS query_id,
-                   16::BIGINT AS n_lists, 8::BIGINT AS nprobe,
+                   16::BIGINT AS n_lists, 12::BIGINT AS nprobe,
                    TRUE AS recall_ok
         """,
         "docs_top_tokens_by_source": r"""
